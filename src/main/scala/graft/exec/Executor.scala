@@ -1,0 +1,241 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.MetricSchema
+import graft.plan.{PlannedQuery, TimeBuckets, TimeContext}
+import graft.plan.TimeBuckets.Span
+import graft.sql.Ast._
+
+/** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema. */
+final case class MetricRef(df: DataFrame, schema: MetricSchema)
+
+/**
+ * Compiles [[PlannedQuery]] shapes into DataFrame pipelines.
+ *
+ * Everything stays declarative so Catalyst handles predicate pushdown,
+ * column pruning, partial/final aggregation and top-k
+ * (`TakeOrderedAndProject`) natively; the only non-built-in pieces are the
+ * reference's semantic quirks: null-safe NOT, `$` LIKE wildcard, the
+ * limit-clamped global count, backward-anchored temporal buckets and the
+ * "last v buckets" temporal limit.
+ */
+object Executor {
+
+  // ---- predicate compilation ---------------------------------------------
+
+  /** Translate the `$` wildcard dialect to SQL LIKE (`$`→`%`, literal `%`/`_` escaped). */
+  def likePattern(p: String): String = p.flatMap {
+    case '$'  => "%"
+    case '%'  => "\\%"
+    case '_'  => "\\_"
+    case '\\' => "\\\\"
+    case c    => c.toString
+  }
+
+  /**
+   * Compile a predicate to a Column. NOT is null-safe (`!coalesce(p, false)`)
+   * to match the reference's Lucene MUST_NOT semantics, where a negated
+   * predicate over a missing field MATCHES the record — Spark's three-valued
+   * `!` would propagate the null instead (reference:
+   * `nsdb-core/.../statement/ExpressionParser.scala:205-212`).
+   */
+  def compile(p: Predicate, tc: TimeContext): Column = p match {
+    case EqPred(f, v)       => col(f) === lit(v.resolve(tc.currentTime))
+    case CmpPred(f, op, v)  =>
+      val l = lit(v.resolve(tc.currentTime))
+      op match {
+        case Gt  => col(f) > l
+        case Gte => col(f) >= l
+        case Lt  => col(f) < l
+        case Lte => col(f) <= l
+      }
+    case RangePred(f, lo, hi) =>
+      col(f).between(lit(lo.resolve(tc.currentTime)), lit(hi.resolve(tc.currentTime)))
+    case LikePred(f, pat) => col(f).like(likePattern(pat))
+    case NullPred(f)      => col(f).isNull
+    case NotPred(inner)   => !coalesce(compile(inner, tc), lit(false))
+    case AndPred(l, r)    => compile(l, tc) && compile(r, tc)
+    case OrPred(l, r)     => compile(l, tc) || compile(r, tc)
+  }
+
+  // ---- aggregation columns -----------------------------------------------
+
+  /** Aggregate column + its canonical output name. */
+  private def aggColumn(agg: Agg, limit: Option[Int]): (String, Column) = agg match {
+    case CountAgg(f) =>
+      // the reference clamps a global/grouped count at LIMIT if present
+      // (`post_proc/package.scala:343-347`)
+      val c = if (f == "value" || f == "*") count(lit(1)) else count(col(f))
+      "count" -> limit.fold(c)(l => least(c, lit(l.toLong)))
+    case CountDistinctAgg(f) => "count_distinct" -> count_distinct(col(f))
+    case SumAgg(f)           => "sum"            -> sum(col(f))
+    case MinAgg(f)           => "min"            -> min(col(f))
+    case MaxAgg(f)           => "max"            -> max(col(f))
+    case AvgAgg(f)           => "avg"            -> avg(col(f))
+    case FirstAgg(_)         => "first"          -> min_by(struct(col("timestamp"), col("value")), col("timestamp"))
+    case LastAgg(_)          => "last"           -> max_by(struct(col("timestamp"), col("value")), col("timestamp"))
+  }
+
+  // ---- plan execution ----------------------------------------------------
+
+  def execute(plan: PlannedQuery, metric: MetricRef, tc: TimeContext): DataFrame = plan match {
+    case p: PlannedQuery.Simple      => executeSimple(p, metric, tc)
+    case p: PlannedQuery.GlobalAgg   => executeGlobal(p, metric, tc)
+    case p: PlannedQuery.TagAgg      => executeTagAgg(p, metric, tc)
+    case p: PlannedQuery.TemporalAgg => executeTemporal(p, metric, tc)
+    case _: PlannedQuery.Delete =>
+      throw new IllegalArgumentException("DELETE must be executed through the warehouse")
+  }
+
+  private def filtered(df: DataFrame, where: Option[Predicate], tc: TimeContext): DataFrame =
+    where.fold(df)(p => df.filter(compile(p, tc)))
+
+  private def executeSimple(p: PlannedQuery.Simple, m: MetricRef, tc: TimeContext): DataFrame = {
+    val base = filtered(m.df, p.where, tc)
+    if (p.distinct) {
+      // SELECT DISTINCT f — just the distinct values of the single field
+      val f   = p.fields.head.name
+      val d   = base.select(col(f)).distinct()
+      val ord = p.order.filter(_.field == f).map(o => if (o.desc) col(f).desc else col(f).asc)
+      val sorted = ord.fold(d)(d.orderBy(_))
+      p.limit.fold(sorted)(sorted.limit)
+    } else {
+      // timestamp and value are always part of the projection (reference:
+      // `nsdb-core/.../statement/FieldsParser.scala:78-93`)
+      val names =
+        if (p.fields.isEmpty) m.schema.orderedNames
+        else {
+          val requested = p.fields.map(_.name).filterNot(n => n == "timestamp" || n == "value" || n == "*")
+          Seq("timestamp", "value").filter(m.schema.contains) ++ requested.distinct
+        }
+      val projected = base.select(names.map(col): _*)
+      val sorted = p.order.fold(projected) { o =>
+        projected.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc)
+      }
+      p.limit.fold(sorted)(sorted.limit)
+    }
+  }
+
+  private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
+    val base     = filtered(m.df, p.where, tc)
+    val aggPairs = p.aggs.map(aggColumn(_, p.limit))
+    val aggCols  = aggPairs.map { case (n, c) => c.as(n) }
+    val aggRow   = base.agg(aggCols.head, aggCols.tail: _*)
+    if (p.plainFields.isEmpty) aggRow
+    else {
+      // mixed plain fields + global aggregates: every output row carries the
+      // plain fields plus the (identical) global aggregate values — the
+      // Spark-idiomatic shape for the reference's head/tail trick
+      // (`post_proc/package.scala:385-392`) is a broadcast cross join.
+      val names = Seq("timestamp", "value") ++
+        p.plainFields.map(_.name).filterNot(n => n == "timestamp" || n == "value").distinct
+      val rows = base.select(names.map(col): _*)
+      val sorted = p.order.fold(rows)(o => rows.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc))
+      val limited = p.limit.fold(sorted)(sorted.limit)
+      limited.crossJoin(broadcast(aggRow))
+    }
+  }
+
+  private def executeTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext): DataFrame = {
+    val base = filtered(m.df, p.where, tc)
+    val out = p.agg match {
+      case FirstAgg(_) | LastAgg(_) =>
+        val (n, c) = aggColumn(p.agg, None)
+        base
+          .groupBy(col(p.tag))
+          .agg(c.as(n))
+          .select(col(n)("timestamp").as("timestamp"), col(p.tag), col(n)("value").as("value"))
+      case agg =>
+        // LIMIT on a group-by query limits the number of groups, it does not
+        // clamp the count itself (clamping is global-count-only)
+        val (_, c) = aggColumn(agg, None)
+        base.groupBy(col(p.tag)).agg(c.as("value"))
+    }
+    val sorted = p.order.fold(out) { o =>
+      val key = if (o.field == "*" || o.field == "value") col("value") else col(o.field)
+      out.orderBy(if (o.desc) key.desc else key.asc)
+    }
+    p.limit.fold(sorted)(sorted.limit)
+  }
+
+  private def executeTemporal(p: PlannedQuery.TemporalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
+    val len = p.intervalMs
+
+    // bucket bounds: WHERE-clause time spans if present, else the data bounds
+    // (reference: `ReadCoordinator.scala:252-272`)
+    val rawSpans = TimeBuckets.extractSpans(p.where, tc)
+    val spans0 =
+      if (rawSpans.nonEmpty) rawSpans
+      else {
+        val bounds: Array[Row] =
+          filtered(m.df, p.where, tc).agg(min(col("timestamp")), max(col("timestamp"))).collect()
+        bounds.headOption match {
+          case Some(r) if !r.isNullAt(0) => Seq(Span(r.getLong(0), r.getLong(1)))
+          case _                         => Seq.empty
+        }
+      }
+    // SINCE grace period: nothing older than now - grace (reference:
+    // `TimeRangeManager.scala:102-126`)
+    val spans = p.graceMs
+      .map(g => spans0.flatMap(s => s.intersect(Span(tc.currentTime - g, Long.MaxValue))))
+      .getOrElse(spans0)
+
+    val valueType = m.schema.fields.get("value").map(_.dataType).getOrElse(DoubleType)
+    if (spans.isEmpty) return emptyTemporalResult(m.df.sparkSession, p.agg, valueType)
+
+    val base = filtered(m.df, p.where, tc)
+
+    // per-span backward-anchored bucket arithmetic, fused into single
+    // codegen-friendly CASE expressions
+    def inSpan(s: Span)  = col("timestamp").between(lit(s.lo), lit(s.hi))
+    def upperExpr(s: Span): Column = {
+      val nB = TimeBuckets.bucketCount(s, len)
+      val k  = least(floor((lit(s.hi) - col("timestamp")).cast(DoubleType) / lit(len.toDouble)).cast(LongType), lit(nB - 1))
+      lit(s.hi) - k * lit(len)
+    }
+    val spanFilter = spans.map(inSpan).reduce(_ || _)
+    val upperCol = spans.tail.foldLeft(when(inSpan(spans.head), upperExpr(spans.head))) { (acc, s) =>
+      acc.when(inSpan(s), upperExpr(s))
+    }
+    val lowerCol = spans.tail.foldLeft(when(inSpan(spans.head), greatest(lit(spans.head.lo), upperExpr(spans.head) - lit(len)))) {
+      (acc, s) => acc.when(inSpan(s), greatest(lit(s.lo), upperExpr(s) - lit(len)))
+    }
+
+    val (_, aggCol) = aggColumn(p.agg, None)
+    val grouped = base
+      .filter(spanFilter)
+      .withColumn("upperBound", upperCol)
+      .withColumn("lowerBound", lowerCol)
+      .groupBy(col("lowerBound"), col("upperBound"))
+      .agg(aggCol.as("value"))
+      .select(col("upperBound").as("timestamp"), col("lowerBound"), col("upperBound"), col("value"))
+
+    // default ordering is timestamp asc; LIMIT without explicit order keeps
+    // the LAST v buckets (reference: `post_proc.applyOrderingWithLimit:56-94`)
+    val desc = p.order.exists(_.desc)
+    (p.limit, desc) match {
+      case (Some(v), false) =>
+        grouped.orderBy(col("timestamp").desc).limit(v).orderBy(col("timestamp").asc)
+      case (Some(v), true) => grouped.orderBy(col("timestamp").desc).limit(v)
+      case (None, d)       => grouped.orderBy(if (d) col("timestamp").desc else col("timestamp").asc)
+    }
+  }
+
+  private def emptyTemporalResult(spark: SparkSession, agg: Agg, valueType: DataType): DataFrame = {
+    val vt = agg match {
+      case _: CountAgg | _: CountDistinctAgg => LongType
+      case _: AvgAgg                         => DoubleType
+      case _                                 => valueType
+    }
+    val schema = StructType(Seq(
+      StructField("timestamp", LongType),
+      StructField("lowerBound", LongType),
+      StructField("upperBound", LongType),
+      StructField("value", vt)
+    ))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+}
