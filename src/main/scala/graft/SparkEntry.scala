@@ -1,13 +1,163 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plan.TimeContext
+
+/**
+ * Driver contract: `queries` maps every implemented operator from SURVEY.md
+ * §2 to a runnable DataFrame pipeline; `oracleSql` gives the DuckDB-
+ * equivalent ANSI SQL for the hash-compare correctness gate.
+ *
+ * The engine queries run through the FULL stack (dialect parser → planner →
+ * executor) over the `events` table registered as a metric
+ * (timestamp = ts ns→ms, value, tags = event_type/user_id). All time
+ * literals are fixed so results are deterministic across runs and engines;
+ * NOW resolves against a pinned [[TimeContext]].
+ */
 object SparkEntry {
+
+  /** pinned query-time "now": just past the newest event at every SF. */
+  val Now = 1706659200000L
+  implicit private val tc: TimeContext = TimeContext(Now)
+
+  // fixed temporal window for interval queries (within the events range at all SFs)
+  private val T1   = 1704500000000L
+  private val T2   = 1706500000000L
+  private val Day  = 86400000L
+  private val NowMinus7d  = Now - 7 * Day
+  private val GraceLo     = Now - 10 * Day // SINCE 10 d cutoff, > T1
+
+  /** ns→ms with integer division (float division loses precision above 2^53). */
+  private val TsMs = "epoch_ns(ts)//1000000"
+
+  private def engineFor(spark: SparkSession, dir: String): GraftEngine = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val e  = new GraftEngine(spark)
+    e.registerMetric("graft", "main", "events", ev,
+      expr("ts div 1000000"), col("value"),
+      tags = Set("event_type", "user_id"), drop = Set("ts"))
+    e
+  }
+
+  /** Run a dialect query through the full parse→plan→execute stack. */
+  private def run(q: String)(spark: SparkSession, dir: String): DataFrame =
+    engineFor(spark, dir).sql("graft", "main", q).fold(err => sys.error(s"[$q] $err"), identity)
+
+  private def roundValue(dp: Int)(df: DataFrame): DataFrame =
+    df.withColumn("value", round(col("value"), dp))
+
+  /** DuckDB bucket arithmetic mirroring the backward-anchored temporal buckets. */
+  private def temporalOracle(lo: Long, hi: Long, len: Long, agg: String,
+                             extraCols: String = "value", wrap: String => String = identity,
+                             lastN: Option[Int] = None): String = {
+    val nB   = math.max(1L, (hi - lo + len - 1) / len)
+    val base =
+      s"""WITH b AS (SELECT $hi - least(($hi - ($TsMs))//$len, ${nB - 1})*$len AS ub, $extraCols FROM events WHERE $TsMs BETWEEN $lo AND $hi)
+         |SELECT ub AS "timestamp", greatest($lo, ub - $len) AS "lowerBound", ub AS "upperBound", ${wrap(agg)} AS "value" FROM b GROUP BY ub ORDER BY ub""".stripMargin.replace("\n", " ")
+    lastN.fold(base)(n =>
+      s"""SELECT * FROM ($base DESC LIMIT $n) ORDER BY "timestamp"""")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    run("select sum(value) from events group by event_type order by event_type")(
+      spark, "/root/testdata/sf0.001")
+
+  // --------------------------------------------------------------------
+  // queries: one per operator from SURVEY.md §2 (engine-driven), plus the
+  // training-data pipeline operators (direct DataFrame API)
+  // --------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- C1/P1: scans + projection (timestamp/value always included)
+    "s_star"  -> ((s, d) => run("select * from events where value > 150 order by event_id limit 200")(s, d)),
+    "s_proj"  -> ((s, d) => run("select event_type from events where user_id >= 10 order by event_id limit 500")(s, d)),
+    // ---- P2-P9: predicates
+    "p_eq"    -> ((s, d) => run("select * from events where event_type = purchase order by event_id limit 300")(s, d)),
+    "p_cmp"   -> ((s, d) => run("select * from events where value >= 50.5 and value < 150 order by event_id limit 300")(s, d)),
+    "p_range" -> ((s, d) => run(s"select * from events where timestamp in ($T1, $T2) order by event_id limit 300")(s, d)),
+    "p_like"  -> ((s, d) => run("select * from events where event_type like $ur$ order by event_id limit 300")(s, d)),
+    "p_not"   -> ((s, d) => run("select * from events where not (value > 100 or event_type = click) order by event_id limit 300")(s, d)),
+    "p_null"  -> ((s, d) => run("select * from events where props is not null and value <= 20 order by event_id limit 300")(s, d)),
+    "p_now"   -> ((s, d) => run("select * from events where timestamp > now - 7 d order by event_id limit 300")(s, d)),
+    // ---- A13: distinct
+    "a_distinct" -> ((s, d) => run("select distinct event_type from events order by event_type")(s, d)),
+    // ---- A1-A6: global aggregations
+    "g_count"        -> ((s, d) => run("select count(*) from events")(s, d)),
+    "g_count_clamp"  -> ((s, d) => run("select count(*) from events limit 100")(s, d)),
+    "g_minmax"       -> ((s, d) => run("select min(*), max(*) from events")(s, d)),
+    "g_sum"          -> ((s, d) => roundValue(3)(run("select sum(*) from events")(s, d).withColumnRenamed("sum", "value"))),
+    "g_avg"          -> ((s, d) => roundValue(4)(run("select avg(*) from events")(s, d).withColumnRenamed("avg", "value"))),
+    "g_count_dist"   -> ((s, d) => run("select count(distinct user_id) from events")(s, d)),
+    "g_mixed"        -> ((s, d) => run("select event_type, count(*) from events where value > 120 order by event_id limit 50")(s, d)),
+    // ---- A7-A12: group by tag
+    "t_count"      -> ((s, d) => run("select count(*) from events group by event_type order by event_type")(s, d)),
+    "t_sum"        -> ((s, d) => roundValue(3)(run("select sum(value) from events group by event_type order by event_type")(s, d))),
+    "t_min"        -> ((s, d) => run("select min(value) from events group by event_type order by event_type")(s, d)),
+    "t_max"        -> ((s, d) => run("select max(value) from events group by event_type order by event_type")(s, d)),
+    "t_avg"        -> ((s, d) => roundValue(4)(run("select avg(value) from events group by event_type order by event_type")(s, d))),
+    "t_count_dist" -> ((s, d) => run("select count(distinct user_id) from events group by event_type order by event_type")(s, d)),
+    "t_first"      -> ((s, d) => run("select first(value) from events group by event_type order by event_type")(s, d)),
+    "t_last"       -> ((s, d) => run("select last(value) from events group by event_type order by event_type")(s, d)),
+    "t_topk"       -> ((s, d) => roundValue(3)(run("select sum(value) from events group by user_id order by value desc limit 5")(s, d))),
+    // ---- T1-T7: temporal aggregation (backward-anchored buckets)
+    "i_count"      -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
+    "i_sum"        -> ((s, d) => roundValue(3)(run(s"select sum(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d))),
+    "i_avg"        -> ((s, d) => roundValue(4)(run(s"select avg(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d))),
+    "i_minmax"     -> ((s, d) => run(s"select max(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
+    "i_count_dist" -> ((s, d) => run(s"select count(distinct user_id) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
+    "i_since"      -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d since 10 d")(s, d)),
+    "i_last_buckets" -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d limit 5")(s, d))
+  )
+
+  // --------------------------------------------------------------------
+  // oracle SQL (DuckDB dialect) — column names must match the Spark output
+  // --------------------------------------------------------------------
+
+  /** canonical star projection of the events metric in DuckDB terms. */
+  private val Star =
+    s"""$TsMs AS "timestamp", value, event_id, event_type, props, user_id"""
+
+  def oracleSql: Map[String, String] = Map(
+    "s_star"  -> s"SELECT $Star FROM events WHERE value > 150 ORDER BY event_id LIMIT 200",
+    "s_proj"  -> s"""SELECT $TsMs AS "timestamp", value, event_type FROM events WHERE user_id >= 10 ORDER BY event_id LIMIT 500""",
+    "p_eq"    -> s"SELECT $Star FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 300",
+    "p_cmp"   -> s"SELECT $Star FROM events WHERE value >= 50.5 AND value < 150 ORDER BY event_id LIMIT 300",
+    "p_range" -> s"SELECT $Star FROM events WHERE $TsMs BETWEEN $T1 AND $T2 ORDER BY event_id LIMIT 300",
+    "p_like"  -> s"SELECT $Star FROM events WHERE event_type LIKE '%ur%' ORDER BY event_id LIMIT 300",
+    "p_not"   -> s"SELECT $Star FROM events WHERE NOT (value > 100 OR event_type = 'click') ORDER BY event_id LIMIT 300",
+    "p_null"  -> s"SELECT $Star FROM events WHERE props IS NOT NULL AND value <= 20 ORDER BY event_id LIMIT 300",
+    "p_now"   -> s"SELECT $Star FROM events WHERE $TsMs > $NowMinus7d ORDER BY event_id LIMIT 300",
+    "a_distinct" -> "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "g_count"       -> """SELECT count(*) AS "count" FROM events""",
+    "g_count_clamp" -> """SELECT least(count(*), 100) AS "count" FROM events""",
+    "g_minmax"      -> """SELECT min(value) AS "min", max(value) AS "max" FROM events""",
+    "g_sum"         -> """SELECT round(sum(value), 3) AS "value" FROM events""",
+    "g_avg"         -> """SELECT round(avg(value), 4) AS "value" FROM events""",
+    "g_count_dist"  -> """SELECT count(DISTINCT user_id) AS "count_distinct" FROM events""",
+    "g_mixed" ->
+      s"""SELECT $TsMs AS "timestamp", value, event_type, least((SELECT count(*) FROM events WHERE value > 120), 50) AS "count" FROM events WHERE value > 120 ORDER BY event_id LIMIT 50""",
+    "t_count"      -> """SELECT event_type, count(*) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_sum"        -> """SELECT event_type, round(sum(value), 3) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_min"        -> """SELECT event_type, min(value) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_max"        -> """SELECT event_type, max(value) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_avg"        -> """SELECT event_type, round(avg(value), 4) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_count_dist" -> """SELECT event_type, count(DISTINCT user_id) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_first" ->
+      s"""SELECT min($TsMs) AS "timestamp", event_type, arg_min(value, ts) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_last" ->
+      s"""SELECT max($TsMs) AS "timestamp", event_type, arg_max(value, ts) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_topk" ->
+      """SELECT user_id, round(sum(value), 3) AS "value" FROM events GROUP BY user_id ORDER BY sum(value) DESC LIMIT 5""",
+    "i_count"      -> temporalOracle(T1, T2, Day, "count(*)"),
+    "i_sum"        -> temporalOracle(T1, T2, Day, "sum(value)", wrap = a => s"round($a, 3)"),
+    "i_avg"        -> temporalOracle(T1, T2, Day, "avg(value)", wrap = a => s"round($a, 4)"),
+    "i_minmax"     -> temporalOracle(T1, T2, Day, "max(value)"),
+    "i_count_dist" -> temporalOracle(T1, T2, Day, "count(DISTINCT user_id)", extraCols = "value, user_id"),
+    "i_since"      -> temporalOracle(GraceLo, T2, Day, "count(*)"),
+    "i_last_buckets" -> temporalOracle(T1, T2, Day, "count(*)", lastN = Some(5))
+  )
 }

@@ -111,11 +111,14 @@ object Executor {
           val requested = p.fields.map(_.name).filterNot(n => n == "timestamp" || n == "value" || n == "*")
           Seq("timestamp", "value").filter(m.schema.contains) ++ requested.distinct
         }
-      val projected = base.select(names.map(col): _*)
-      val sorted = p.order.fold(projected) { o =>
-        projected.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc)
+      // sort+limit BEFORE the projection so ORDER BY may reference any schema
+      // field (the reference sorts at the index scan); Catalyst fuses this
+      // into a single TakeOrderedAndProject when a limit is present
+      val sorted = p.order.fold(base) { o =>
+        base.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc)
       }
-      p.limit.fold(sorted)(sorted.limit)
+      val limited = p.limit.fold(sorted)(sorted.limit)
+      limited.select(names.map(col): _*)
     }
   }
 
@@ -132,10 +135,9 @@ object Executor {
       // (`post_proc/package.scala:385-392`) is a broadcast cross join.
       val names = Seq("timestamp", "value") ++
         p.plainFields.map(_.name).filterNot(n => n == "timestamp" || n == "value").distinct
-      val rows = base.select(names.map(col): _*)
-      val sorted = p.order.fold(rows)(o => rows.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc))
+      val sorted = p.order.fold(base)(o => base.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc))
       val limited = p.limit.fold(sorted)(sorted.limit)
-      limited.crossJoin(broadcast(aggRow))
+      limited.select(names.map(col): _*).crossJoin(broadcast(aggRow))
     }
   }
 
