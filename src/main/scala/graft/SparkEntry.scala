@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plan.TimeContext
 
 /**
@@ -110,8 +111,43 @@ object SparkEntry {
     "i_minmax"     -> ((s, d) => run(s"select max(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
     "i_count_dist" -> ((s, d) => run(s"select count(distinct user_id) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
     "i_since"      -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d since 10 d")(s, d)),
-    "i_last_buckets" -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d limit 5")(s, d))
+    "i_last_buckets" -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d limit 5")(s, d)),
+
+    // ---- training-data pipeline: deduplication
+    "d_exact"   -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
+    "d_ngram"   -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), "source", 0.1).orderBy("id_a", "id_b")),
+    "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
+    "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
+    "d_embed"   -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
+    // ---- similarity search
+    "ann_topk" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.bruteForceTopK(emb(s, d), q, 20).withColumn("sim", round(col("sim"), 3))
+    }),
+    "ann_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
+    "ann_ivf" -> ((s, d) => {
+      val e        = emb(s, d)
+      val assigned = Similarity.ivfAssign(e, 16).cache()
+      val cents = e.orderBy("vec_id").limit(16).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.ivfTopK(assigned, cents, q, 20, nprobe = 4)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
+    // ---- text analysis
+    "tx_tokens"      -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
+    "tx_quality"     -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+    "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
+    "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // ---- multimodal plumbing (decode step stubbed, Spark shape real)
+    "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
+    "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
+    "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx"))
   )
+
+  private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/embeddings.parquet")
 
   // --------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — column names must match the Spark output
@@ -158,6 +194,60 @@ object SparkEntry {
     "i_minmax"     -> temporalOracle(T1, T2, Day, "max(value)"),
     "i_count_dist" -> temporalOracle(T1, T2, Day, "count(DISTINCT user_id)", extraCols = "value, user_id"),
     "i_since"      -> temporalOracle(GraceLo, T2, Day, "count(*)"),
-    "i_last_buckets" -> temporalOracle(T1, T2, Day, "count(*)", lastN = Some(5))
+    "i_last_buckets" -> temporalOracle(T1, T2, Day, "count(*)", lastN = Some(5)),
+
+    // ---- pipeline operator oracles (documents / embeddings tables).
+    // minhash/simhash/lsh/ivf entries are intentionally omitted: their
+    // signatures use xxhash64, which DuckDB cannot reproduce → rows-only.
+    "d_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
+    "d_ngram" -> {
+      val bg = "list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1), i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+      s"""WITH w AS (SELECT doc_id, source, $bg AS bg FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(len(list_intersect(a.bg, b.bg))*1.0 / len(list_distinct(list_concat(a.bg, b.bg))), 4) AS jaccard FROM w a, w b WHERE a.source = b.source AND a.doc_id < b.doc_id) SELECT * FROM p WHERE jaccard >= 0.1 ORDER BY id_a, id_b"""
+    },
+    "d_embed" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) SELECT * FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
+    "tx_tokens" -> {
+      val w = "string_split(text, ' ')"
+      s"""SELECT doc_id, len($w) AS n_tokens, len(list_distinct($w)) AS n_distinct_tokens, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens, round(length(replace(text, ' ', ''))*1.0 / len($w), 4) AS avg_word_len FROM documents ORDER BY doc_id"""
+    },
+    "tx_quality" -> {
+      val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+      val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) SELECT doc_id, len(ws) AS n_tokens, round($hits/len(ws), 4) AS stopword_ratio, round($punct/length(text), 4) AS punct_ratio, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM t ORDER BY doc_id"""
+    },
+    "tx_langid"  -> s"SELECT doc_id, $LangCase AS predicted_lang, h_en AS en_hits FROM ($LangHits) ORDER BY doc_id",
+    "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
+    "tx_fingerprint" ->
+      "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
+    "mm_meta"  -> MmMetaSql,
+    "mm_batch" -> MmMetaSql,
+    "mm_frames" ->
+      "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx"
   )
+
+  /** per-language marker-hit subquery + argmax CASE chain, generated from
+    * [[TextAnalysis.LangMarkers]] so Spark and oracle stay in lockstep. */
+  private def LangHits: String = {
+    val hitCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst)) AS h_$lang"
+    }.mkString(", ")
+    s"SELECT doc_id, lang, $hitCols FROM documents"
+  }
+
+  private def LangCase: String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"h_$lang >= h_$l").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  private val MmMetaSql =
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, 64 + octet_length(encode(text)) % 193 AS width, 64 + (octet_length(encode(text)) * 31) % 177 AS height, 3::BIGINT AS channels FROM documents ORDER BY doc_id"
 }

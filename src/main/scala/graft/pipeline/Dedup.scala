@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed for
+ * the 100 TB path:
+ *
+ *  - exact: hash-groupBy on a digest (shuffles 16-byte keys, never the text)
+ *  - n-gram Jaccard: candidate pairs restricted by a cheap blocking key,
+ *    verified with exact set arithmetic
+ *  - MinHash+LSH: shingle → signature → band buckets → bucket join;
+ *    only near-identical docs ever meet in a shuffle
+ *  - SimHash: 64-bit sign-sum signature, banded for Hamming-radius lookup
+ *
+ * All column-only (whole-stage codegen, no UDFs). Bucket joins cap bucket
+ * width to bound worst-case skew (a degenerate key at 100 TB would
+ * otherwise produce a quadratic bucket).
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: group by content digest, keep the smallest id as the
+   * representative. Shuffles md5 digests instead of full documents —
+   * at 100 TB the shuffle payload is ~32 bytes/doc.
+   */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  // ---- shared shingling --------------------------------------------------
+
+  /** word k-shingles as strings (whole text when shorter than k words). */
+  def shingles(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k), i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** distinct xxhash64 shingle set (longs shuffle instead of strings). */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), xxhash64(_)))
+
+  /** exact Jaccard similarity of two pre-hashed shingle set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ---- n-gram Jaccard dedup ----------------------------------------------
+
+  /**
+   * Word-bigram Jaccard near-dup pairs within a blocking key (e.g. source):
+   * candidates = same block, verified by exact distinct-bigram Jaccard.
+   * The blocking key bounds the join fan-out; at scale, block on a cheap
+   * signature (e.g. the minimum shingle hash) rather than metadata.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      k: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val prepped = df.select(
+      col(idCol).as("id"),
+      col(blockCol).as("block"),
+      shingleSet(col(textCol), k).as("sh")
+    )
+    val a = prepped.alias("a")
+    val b = prepped.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  private val MhPrime = 2147483647L // 2^31 - 1: keeps a*h + b inside a long
+
+  /** deterministic permutation parameters (a_i, b_i) for the minhash family. */
+  private def mhParams(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** minhash signature (array of numHashes longs) over a hashed-shingle-set column. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    val perms = mhParams(numHashes)
+    val base  = transform(shingleHashes, h => pmod(h, lit(MhPrime)))
+    array(perms.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MhPrime))))
+    }.toIndexedSeq: _*)
+  }
+
+  /**
+   * MinHash+LSH near-dup pairs: signature banded into `bands`; docs sharing
+   * any band bucket become candidates; candidates verified with exact
+   * shingle-set Jaccard. `maxBucket` drops degenerate buckets (boilerplate
+   * explosion guard — logged nowhere, but deterministic).
+   */
+  def minhashLshPairs(
+      df: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val prepped = df
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = prepped
+      .select(
+        col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+          .as(Seq("band", "bucket"))
+      )
+
+    // cap pathological buckets before the self-join
+    val counted = banded.withColumn("bsize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+
+    val a = counted.alias("a")
+    val b = counted.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Dedup by LSH pairs: ids that have a near-duplicate with a smaller id.
+   * (Single-pass approximation of connected components — exact CC needs
+   * iteration, unnecessary for keep-one-representative semantics.)
+   */
+  def minhashLshDuplicates(df: DataFrame, threshold: Double): DataFrame =
+    minhashLshPairs(df, threshold).select(col("id_b").as("doc_id")).distinct()
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /**
+   * 64-bit SimHash signature: per bit, sign of the sum of ±1 over word
+   * hashes (bit set → +1, clear → −1). One aggregate per bit with a
+   * constant shift — stays inside whole-stage codegen.
+   */
+  def simhashSignature(hashesCol: Column): Column =
+    array((0 until 64).map { b =>
+      when(
+        aggregate(hashesCol, lit(0),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+        ) > 0, lit(1)).otherwise(lit(0))
+    }: _*)
+
+  /** distinct word hashes of a text column (input to [[simhashSignature]]). */
+  def wordHashes(text: Column): Column =
+    transform(array_distinct(split(text, " ")), xxhash64(_))
+
+  /**
+   * SimHash near-dup pairs within Hamming distance `maxHamming`, using
+   * 4×16-bit band buckets (a pair within Hamming ≤ 3 of a 64-bit signature
+   * must agree exactly on at least one of 4 bands — pigeonhole).
+   */
+  def simhashPairs(
+      df: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val prepped = df
+      .select(col(idCol).as("id"), wordHashes(col(textCol)).as("wh"))
+      .select(col("id"), simhashSignature(col("wh")).as("sig"))
+    val banded = prepped.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => concat_ws(",", slice(col("sig"), b * 16 + 1, lit(16))))).as(Seq("band", "bucket"))
+    )
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sa"), col("sb"), (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

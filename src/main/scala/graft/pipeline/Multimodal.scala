@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with typed metadata; decode / feature-extract /
+ * frame-sample are per-partition batch operations.
+ *
+ * The actual codec step is STUBBED (no image/audio libraries in this
+ * environment): `decodeBatch` derives deterministic fake dimensions from
+ * the payload bytes. Everything around it — schema, batching, partition
+ * sizing, the explode shape for frame sampling — is the real pipeline.
+ */
+object Multimodal {
+
+  /** schema of a decoded media record (what a real codec would emit). */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("channels", LongType)
+  ))
+
+  /**
+   * Attach a binary payload column (UTF-8 bytes of the text stand in for
+   * real media bytes) plus the container-level metadata a real ingest
+   * would carry.
+   */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source").as("container"),
+        octet_length(col("text")).as("n_bytes"),
+        lit("raw/v1").as("format")
+      ).as("media_meta")
+    )
+
+  /**
+   * Column-level metadata "decode": deterministic dimensions derived from
+   * payload size. STUB — a real implementation would parse the codec
+   * header; the arithmetic stands in so the pipeline shape (and its
+   * oracle) is testable end-to-end.
+   */
+  def decodeMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      (lit(64) + pmod(octet_length(col("payload")), lit(193))).cast("long").as("width"),
+      (lit(64) + pmod(octet_length(col("payload")) * 31, lit(177))).cast("long").as("height"),
+      lit(3L).as("channels")
+    )
+
+  /**
+   * Partition-batched decode: the mapPartitions/mapInPandas shape a real
+   * codec needs (amortize model/codec init per batch, bounded batch
+   * memory). The per-record decode is the same STUB arithmetic.
+   */
+  def decodeBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // >>> STUB: real codec would decode `batch` here in one native call
+        batch.map { r =>
+          val id    = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          Row(id, bytes.length.toLong, (64 + bytes.length % 193).toLong, (64 + (bytes.length * 31) % 177).toLong, 3L)
+        }
+      }
+    }
+    spark.createDataFrame(out, MediaMetaSchema)
+  }
+
+  /**
+   * Frame sampling: one row per sampled frame with its byte offset —
+   * the standard explode shape for video/audio windowing. Frame count is
+   * a deterministic function of payload size (STUB for container parsing).
+   */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, maxFrames: Int = 8): DataFrame = {
+    val nFrames = least(greatest(octet_length(col("payload")).divide(frameBytes).cast(IntegerType), lit(1)), lit(maxFrames))
+    media.select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "frame_no"))
+    ).select(
+      col("doc_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      (col("frame_idx") * frameBytes).cast("long").as("byte_offset"),
+      col("n_bytes")
+    )
+  }
+}

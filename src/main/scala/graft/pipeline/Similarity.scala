@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Three tiers:
+ *  - brute-force cosine top-k: the exact baseline; one scan, one
+ *    TakeOrdered — optimal when k is small and the corpus fits a scan
+ *  - random-hyperplane LSH: signature buckets prune the scan to
+ *    near-neighbors only — the 100 TB path for pair mining
+ *  - IVF (inverted file): coarse centroids partition the corpus; queries
+ *    probe the closest `nprobe` partitions — the 100 TB path for top-k
+ *
+ * Dot products run as codegen'd `zip_with`+`aggregate` folds (sequential,
+ * deterministic order — reproducible across runs and engines).
+ */
+object Similarity {
+
+  /** sequential-fold dot product of two array columns (cast to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---- brute force -------------------------------------------------------
+
+  /**
+   * Exact cosine top-k against a literal query vector. The scan is
+   * embarrassingly parallel; `orderBy+limit` compiles to a per-partition
+   * top-k merge (`TakeOrderedAndProject`), so no full sort ever happens.
+   */
+  def bruteForceTopK(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val q = lit(queryVec.map(_.toDouble).toArray)
+    df.select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** exact cosine near-dup pairs (quadratic — correctness baseline only). */
+  def cosinePairs(
+      df: DataFrame,
+      threshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = prepped.alias("a")
+    val b = prepped.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  // ---- random hyperplane LSH ---------------------------------------------
+
+  /** deterministic pseudo-random hyperplanes (seeded, driver-side, tiny). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bits against `planes`, packed into a long. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Multi-table random-hyperplane LSH (OR-amplification): `tables` hash
+   * tables of `planesPerTable` sign bits each; vectors agreeing on ALL bits
+   * of ANY table become candidates, then exact cosine verifies. Recall
+   * ≈ 1-(1-p^k)^L with p = 1-θ/π — tune k (precision) vs L (recall).
+   * Sub-quadratic: only bucket-mates ever meet in the join.
+   */
+  def lshCosinePairs(
+      df: DataFrame,
+      threshold: Double,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1, // -1: infer from the data (zip_with null-pads on mismatch!)
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
+    val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, d, seed = 42L + t))
+    val bucketCols = tablePlanes.map(lshBucket(col(vecCol), _))
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+    val a = prepped.alias("a")
+    val b = prepped.alias("b")
+    a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  // ---- IVF ---------------------------------------------------------------
+
+  /**
+   * IVF index: take `nlist` deterministic seed vectors as coarse centroids
+   * (a k-means step would refine them; seeds suffice for a recall-tunable
+   * index), assign every vector to its nearest centroid. Returns the
+   * assignment DataFrame — at scale this is written bucketed-by-centroid
+   * so probes touch only `nprobe` files.
+   */
+  def ivfAssign(
+      df: DataFrame,
+      nlist: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val centroids = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val withSim = df.alias("x").crossJoin(broadcast(centroids))
+      .select(col(s"x.$idCol").as("id"), col(s"x.$vecCol").as("v"), col("cid"),
+        cosine(col(s"x.$vecCol"), col("cvec")).as("csim"))
+    // nearest centroid per vector via max_by — one pass, no window sort
+    withSim.groupBy(col("id"))
+      .agg(max_by(col("cid"), col("csim")).as("centroid"), first(col("v")).as("v"))
+  }
+
+  /** IVF top-k: probe the `nprobe` centroids closest to the query. */
+  def ivfTopK(
+      assigned: DataFrame,
+      centroidVecs: Map[Long, Seq[Float]],
+      queryVec: Seq[Float],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d  = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val probed = centroidVecs.toSeq
+      .sortBy { case (_, v) => -cos(v, queryVec) }
+      .take(nprobe).map(_._1)
+    val q = lit(queryVec.map(_.toDouble).toArray)
+    assigned
+      .filter(col("centroid").isin(probed: _*)) // partition pruning at scale
+      .select(col("id"), cosine(col("v"), q).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+}

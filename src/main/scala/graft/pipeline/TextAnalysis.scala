@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, quality scoring, language identification and document
+ * fingerprinting. Everything is built from codegen'd built-in functions —
+ * no UDFs — so the operators scale to arbitrary corpus sizes with no
+ * serialization overhead and full whole-stage codegen.
+ */
+object TextAnalysis {
+
+  /** whitespace words of a text column. */
+  def words(text: Column): Column = split(text, " ")
+
+  // ---- token counting ----------------------------------------------------
+
+  /** GPT-style pre-tokenizer regex: letter runs, digit runs, punct runs. */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  /**
+   * Token statistics per document: whitespace tokens, distinct tokens,
+   * BPE-ish regex tokens, average word length.
+   */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    df.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct_tokens"),
+      // r'…' raw literal: a plain SQL string would swallow the \s escape
+      size(expr(s"regexp_extract_all($textCol, r'$BpeTokenPattern', 0)")).cast("long").as("n_bpe_tokens"),
+      round(length(regexp_replace(col(textCol), " ", "")).cast("double") / size(w), 4).as("avg_word_len")
+    )
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+  /**
+   * Heuristic quality score in [0,1]: length saturation, stopword presence,
+   * punctuation moderation — the standard cheap pre-filter shape for
+   * pretraining corpora (cf. C4/Gopher rules).
+   */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w        = words(col(textCol))
+    val nWords   = size(w).cast("double")
+    val stopHits = size(filter(w, x => array_contains(lit(Stopwords.toArray), x))).cast("double")
+    val puncts   = length(col(textCol)) - length(regexp_replace(col(textCol), "[.,!?;:]", ""))
+    val lenScore  = least(nWords / lit(64.0), lit(1.0))
+    val stopScore = least(stopHits / greatest(nWords * 0.1, lit(1.0)), lit(1.0))
+    val punctPen  = least(puncts.cast("double") / greatest(nWords, lit(1.0)), lit(1.0))
+    df.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      round(stopHits / nWords, 4).as("stopword_ratio"),
+      round(puncts.cast("double") / length(col(textCol)), 4).as("punct_ratio"),
+      round(lenScore * 0.5 + stopScore * 0.4 - punctPen * 0.1 + 0.1, 4).as("quality")
+    )
+  }
+
+  // ---- language identification -------------------------------------------
+
+  /** marker words per language (tiny public profiles; argmax with a fixed tie order). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /**
+   * N-gram/marker-word language ID: distinct-word overlap with each
+   * language profile, argmax with ties resolved in `LangMarkers` order.
+   * The same arithmetic is expressible in ANSI SQL, so the operator is
+   * oracle-checkable.
+   */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val distinctWords = array_distinct(words(col(textCol)))
+    val hits = LangMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(distinctWords, lit(markers.toArray)))
+    }
+    // argmax via a strict CASE chain: first language whose hit count is
+    // >= every later one wins (deterministic tie order)
+    val pred = hits.zipWithIndex.foldRight(lit(LangMarkers.last._1)) {
+      case (((lang, h), i), elseCol) =>
+        val laterHits = hits.drop(i + 1).map(_._2)
+        val isMax     = laterHits.foldLeft(lit(true))((acc, other) => acc && h >= other)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    df.select(
+      col("doc_id"),
+      pred.as("predicted_lang"),
+      hits.head._2.cast("long").as("en_hits")
+    )
+  }
+
+  /** corpus-level langid accuracy against a labeled column. */
+  def langIdAccuracy(df: DataFrame, labelCol: String = "lang"): DataFrame =
+    langId(df)
+      .join(df.select(col("doc_id"), col(labelCol)), "doc_id")
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("predicted_lang") === col(labelCol), 1L).otherwise(0L)).as("correct")
+      )
+      .orderBy(col(labelCol))
+
+  // ---- document fingerprinting -------------------------------------------
+
+  private val FpMod = 1000000007L
+
+  /**
+   * Order-sensitive polynomial rolling fingerprint over the word sequence:
+   * wordcode = (len(w)*131 + ascii(first char)) mod p, folded left with
+   * acc*31 + code mod p. Engine-portable (pure integer arithmetic, no
+   * platform hash), collision-tolerant for near-dup bucketing.
+   */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val codes = transform(words(col(textCol)),
+      w => (length(w) * lit(131L) + ascii(substring(w, 1, 1))) % lit(FpMod))
+    // seed with the first element to mirror a no-init reduce
+    val fp = aggregate(
+      slice(codes, lit(2), size(codes) - 1),
+      element_at(codes, 1).cast("long"),
+      (acc, x) => (acc * lit(31L) + x) % lit(FpMod)
+    )
+    df.select(col("doc_id"), fp.as("fingerprint"))
+  }
+}

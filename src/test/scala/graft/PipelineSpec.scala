@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Pipeline operator specs with planted duplicates/near-duplicates. */
+class PipelineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "src0"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far home", "en", "src0"), // near-dup of 0
+    (2L, "der schnelle braune fuchs und der faule hund sind nicht da", "de", "src0"),
+    (3L, "completely different content about spark query engines and shuffles", "en", "src1"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "src1"), // exact dup of 0
+    (5L, "el perro y el gato de la casa que corren por los campos", "es", "src1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  private lazy val vecs = {
+    val rnd  = new scala.util.Random(7)
+    def v()  = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = v()
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x } // ~parallel
+    Seq((0L, base, 0), (1L, near, 0), (2L, v(), 1), (3L, v(), 1), (4L, v(), 2))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  "Dedup.exact" should "collapse identical texts to the smallest id" in {
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSet should contain((0L, 2L)) // docs 0 and 4
+    out.length shouldBe 5                                                     // 6 docs, one dup pair
+  }
+
+  "Dedup.ngramJaccardPairs" should "score identical docs 1.0 within a block" in {
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", 0.5).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).filter(_._3 == 1.0) shouldBe empty
+    // 0 and 1 share src0 and differ by one word
+    val p01 = Dedup.ngramJaccardPairs(docs, "lang", 0.5).collect()
+      .find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    p01 should not be empty
+    p01.get.getDouble(2) should be > 0.7
+  }
+
+  "Dedup.minhashLshPairs" should "find planted near-duplicates" in {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5, shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((0L, 4L)) // exact dup always collides
+    pairs should contain((0L, 1L)) // near dup
+  }
+
+  "Dedup.minhashLshDuplicates" should "flag the larger id of each dup pair" in {
+    val dups = Dedup.minhashLshDuplicates(docs, 0.9).collect().map(_.getLong(0))
+    dups should contain(4L)
+    dups should not contain 3L
+  }
+
+  "Dedup.simhashPairs" should "give identical docs hamming 0" in {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.find(p => p._1 == 0L && p._2 == 4L).map(_._3) shouldBe Some(0)
+  }
+
+  "Similarity.bruteForceTopK" should "rank the query vector itself first" in {
+    val q   = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(vecs, q, 3).collect()
+    top.head.getLong(0) shouldBe 0L
+    top.head.getDouble(1) shouldBe 1.0 +- 1e-9
+    top(1).getLong(0) shouldBe 1L // the near-parallel vector
+    top(1).getDouble(1) should be > 0.99
+  }
+
+  "Similarity.cosinePairs and lshCosinePairs" should "agree on near-parallel vectors" in {
+    val exact = Similarity.cosinePairs(vecs, 0.99).collect().map(r => (r.getLong(0), r.getLong(1)))
+    exact shouldBe Array((0L, 1L))
+    val lsh = Similarity.lshCosinePairs(vecs, 0.99).collect().map(r => (r.getLong(0), r.getLong(1)))
+    lsh shouldBe Array((0L, 1L)) // sim≈1 ⇒ all sign bits agree ⇒ recall 1
+  }
+
+  "Similarity IVF" should "find the nearest neighbours probing a subset" in {
+    val assigned = Similarity.ivfAssign(vecs, nlist = 2)
+    val cents = vecs.orderBy("vec_id").limit(2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val q = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    // nprobe=1 would miss vec 1: it is itself the second centroid, so it
+    // lives in the other inverted list — probing both must find it
+    val top = Similarity.ivfTopK(assigned, cents, q, k = 2, nprobe = 2).collect()
+    top.head.getLong(0) shouldBe 0L
+    top(1).getLong(0) shouldBe 1L
+  }
+
+  "TextAnalysis.tokenStats" should "count whitespace and regex tokens" in {
+    val r = TextAnalysis.tokenStats(docs).filter($"doc_id" === 0).head
+    r.getLong(1) shouldBe 13L  // whitespace tokens
+    r.getLong(2) shouldBe 12L  // 'the' appears twice
+    r.getLong(3) shouldBe 13L  // all-letter words, no punctuation
+  }
+
+  "TextAnalysis.langId" should "detect marker-word languages deterministically" in {
+    val preds = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    preds(0L) shouldBe "en"
+    preds(2L) shouldBe "de"
+    preds(5L) shouldBe "es"
+  }
+
+  "TextAnalysis.fingerprint" should "be order-sensitive and stable" in {
+    val fp = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp(0L) shouldBe fp(4L)   // identical text, identical fingerprint
+    fp(0L) should not be fp(1L)
+  }
+
+  "Multimodal" should "produce identical results from the column and batched decode paths" in {
+    val media   = Multimodal.withPayload(docs)
+    val colPath = Multimodal.decodeMeta(media).orderBy("doc_id").collect()
+    val rddPath = Multimodal.decodeBatched(media, batchSize = 2).orderBy("doc_id").collect()
+    colPath.map(_.toSeq) shouldBe rddPath.map(_.toSeq)
+  }
+
+  it should "sample frames with correct offsets" in {
+    val frames = Multimodal.frameSample(Multimodal.withPayload(docs), frameBytes = 16, maxFrames = 3)
+      .filter($"doc_id" === 0).orderBy("frame_idx").collect()
+    frames.length shouldBe 3
+    frames.map(_.getLong(2)).toSeq shouldBe Seq(0L, 16L, 32L)
+  }
+}
