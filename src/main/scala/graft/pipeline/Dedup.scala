@@ -181,9 +181,12 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    // signatures are reused on both sides of the bucket join and for the
+    // final Hamming check — materialize once (at 100 TB: write to a table)
     val prepped = df
       .select(col(idCol).as("id"), wordHashes(col(textCol)).as("wh"))
       .select(col("id"), simhashSignature(col("wh")).as("sig"))
+      .cache()
     val banded = prepped.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -191,9 +194,15 @@ object Dedup {
     )
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sa"), col("b.sig").as("sb"))
+    // dedupe candidate id pairs first (cheap), then join signatures back
+    val candidates = a
+      .join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val sigs = prepped.select(col("id"), col("sig"))
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("sa"), col("sb"), (x, y) => when(x =!= y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).as("hamming"))
