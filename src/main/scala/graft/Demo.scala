@@ -51,6 +51,34 @@ object Demo {
     println("\nPLAN CHECK (pushdown):")
     engine.sql("tsdb", "prod", "select event_id from events where value > 190")
       .foreach(_.explain("formatted"))
+
+    // ---- warehouse lifecycle: insert → query → shard pruning → delete → drop
+    val root = java.nio.file.Files.createTempDirectory("graft_demo_wh_").toString
+    val whEngine = new GraftEngine(spark, root)
+    def wsql(q: String): Unit = {
+      println(s"\nWH> $q")
+      whEngine.sql("db", "ns", q) match {
+        case Right(df) => df.show(10, truncate = false)
+        case Left(err) => println(s"ERROR: $err")
+      }
+    }
+    wsql("insert into cpu ts=86400100 dim(host=web1) tags(region=eu) val=0.71")
+    wsql("insert into cpu ts=86400200 dim(host=web2) tags(region=us) val=0.42")
+    wsql("insert into cpu ts=172800300 dim(host=web1) tags(region=eu) val=0.99")
+    wsql("select * from cpu order by timestamp")
+    wsql("select sum(value) from cpu group by region order by region")
+    println("\nSHARD PRUNING CHECK (expect a single shard partition):")
+    whEngine.sql("db", "ns", "select * from cpu where timestamp in (86400000, 86500000)")
+      .foreach { df =>
+        val files = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+        println("plan reads shard=1 only: " + (files.contains("shard") && !files.contains("shard=2")))
+        df.show(5, truncate = false)
+      }
+    wsql("delete from cpu where value > 0.9")
+    wsql("select * from cpu order by timestamp")
+    whEngine.command("db", "ns", graft.sql.Ast.ShowMetrics).foreach(m => println(s"metrics: $m"))
+    wsql("drop metric cpu")
+    wsql("select * from cpu")
     spark.stop()
   }
 }

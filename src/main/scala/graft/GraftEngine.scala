@@ -18,7 +18,10 @@ import graft.sql.{Ast, SqlParser}
  * (see [[graft.catalog.Warehouse]]) or are registered in-memory views over
  * arbitrary DataFrames.
  */
-class GraftEngine(val spark: SparkSession) {
+class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.Warehouse] = None) {
+
+  def this(spark: SparkSession, warehouseRoot: String) =
+    this(spark, Some(new graft.catalog.Warehouse(spark, warehouseRoot)))
 
   private val registry = TrieMap.empty[(String, String, String), MetricRef]
 
@@ -63,30 +66,71 @@ class GraftEngine(val spark: SparkSession) {
       df   <- executeStatement(stmt)
     } yield df
 
+  /** Resolve a metric: in-memory registry first, then the warehouse catalog. */
+  private def resolve(db: String, ns: String, metric: String): Either[String, MetricRef] =
+    registry.get((db, ns, metric)).map(Right(_)).getOrElse {
+      warehouse.toRight(s"metric $metric does not exist")
+        .flatMap(_.read(graft.catalog.Coords(db, ns, metric)))
+    }
+
   def executeStatement(stmt: Ast.Statement)(implicit tc: TimeContext): Either[String, DataFrame] =
     stmt match {
       case s: Ast.SelectStatement =>
         for {
-          ref  <- registry.get((s.db, s.namespace, s.metric)).toRight(s"metric ${s.metric} does not exist")
+          ref  <- resolve(s.db, s.namespace, s.metric)
           plan <- Planner.plan(s, ref.schema)
         } yield Executor.execute(plan, ref, tc)
-      case other =>
-        Left(s"statement ${other.getClass.getSimpleName} requires a warehouse-backed engine")
+      case s: Ast.InsertStatement =>
+        warehouse.toRight("INSERT requires a warehouse-backed engine")
+          .flatMap(_.insert(s))
+          .map(n => spark.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(n)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("inserted", org.apache.spark.sql.types.LongType)))))
+      case s: Ast.DeleteStatement =>
+        warehouse.toRight("DELETE requires a warehouse-backed engine")
+          .flatMap { w =>
+            // validate the predicate against the schema before touching data
+            resolve(s.db, s.namespace, s.metric)
+              .flatMap(ref => Planner.plan(s, ref.schema))
+              .flatMap(_ => w.delete(s))
+          }
+          .map(_ => spark.emptyDataFrame)
+      case s: Ast.DropStatement =>
+        warehouse.toRight("DROP requires a warehouse-backed engine").map { w =>
+          w.drop(graft.catalog.Coords(s.db, s.namespace, s.metric))
+          registry.remove((s.db, s.namespace, s.metric))
+          spark.emptyDataFrame
+        }
+    }
+
+  /** Metadata commands (SHOW NAMESPACES / SHOW METRICS / DESCRIBE …). */
+  def command(db: String, namespace: String, cmd: Ast.Command): Either[String, Seq[Seq[String]]] =
+    cmd match {
+      case Ast.ShowDatabases =>
+        Right(warehouse.map(_.listDatabases).getOrElse(Seq.empty).map(Seq(_)))
+      case Ast.ShowNamespaces =>
+        Right(warehouse.map(_.listNamespaces(db)).getOrElse(Seq.empty).map(Seq(_)))
+      case Ast.ShowMetrics =>
+        val fromWh  = warehouse.map(_.listMetrics(db, namespace)).getOrElse(Seq.empty)
+        val fromReg = listMetrics(db, namespace)
+        Right((fromWh ++ fromReg).distinct.sorted.map(Seq(_)))
+      case Ast.DescribeMetric(m) =>
+        resolve(db, namespace, m).map { ref =>
+          ref.schema.orderedNames.map { n =>
+            val f = ref.schema.fields(n)
+            Seq(f.name, f.dataType.catalogString, f.fieldClass.name)
+          }
+        }
+      case Ast.UseNamespace(_) => Right(Seq.empty) // session-level concern of the caller
     }
 
   /** Plan without executing (validation surface for tests / error parity). */
   def plan(db: String, namespace: String, query: String)(implicit tc: TimeContext): Either[String, PlannedQuery] =
     SqlParser.parse(db, namespace, query).flatMap {
       case s: Ast.SelectStatement =>
-        registry
-          .get((s.db, s.namespace, s.metric))
-          .toRight(s"metric ${s.metric} does not exist")
-          .flatMap(ref => Planner.plan(s, ref.schema))
+        resolve(s.db, s.namespace, s.metric).flatMap(ref => Planner.plan(s, ref.schema))
       case s: Ast.DeleteStatement =>
-        registry
-          .get((s.db, s.namespace, s.metric))
-          .toRight(s"metric ${s.metric} does not exist")
-          .flatMap(ref => Planner.plan(s, ref.schema))
+        resolve(s.db, s.namespace, s.metric).flatMap(ref => Planner.plan(s, ref.schema))
       case _ => Left("only select/delete statements can be planned")
     }
 }

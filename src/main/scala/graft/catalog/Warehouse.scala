@@ -1,0 +1,235 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.exec.{Executor, MetricRef, ShardInfo}
+import graft.model.{FieldClass, MetricField, MetricSchema}
+import graft.plan.{TimeBuckets, TimeContext}
+import graft.sql.Ast
+
+/** Coordinates of a metric inside the warehouse. */
+final case class Coords(db: String, namespace: String, metric: String) {
+  def path(root: String): String = s"$root/$db/$namespace/$metric"
+}
+
+/**
+ * Parquet warehouse with natural time sharding.
+ *
+ * Layout: `<root>/<db>/<namespace>/<metric>/data/shard=<bucket>/…parquet`
+ * plus a `meta.json` sidecar holding the metric schema (with field
+ * classes), shard interval and retention — the Spark-native analogue of
+ * the reference's Location/MetricInfo metadata
+ * (`nsdb-core/.../model/Location.scala`, `MetricInfo.scala`).
+ *
+ * `shard = floor(timestamp / shardInterval)` is a Hive partition column, so
+ * time-range queries prune directories exactly like the reference's
+ * location filtering — the executor derives shard bounds from the
+ * statement's time spans (see [[graft.exec.Executor.filtered]]).
+ *
+ * Writes are serialized per JVM via a metric-level lock, mirroring the
+ * single SchemaCoordinator: concurrent schema evolution cannot interleave.
+ */
+class Warehouse(val spark: SparkSession, val root: String) {
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(c: Coords): Object = locks.computeIfAbsent(c.path(root), _ => new Object)
+
+  private def dataPath(c: Coords) = s"${c.path(root)}/data"
+  private def metaPath(c: Coords) = s"${c.path(root)}/meta.json"
+
+  // ---- metadata ----------------------------------------------------------
+
+  final case class Meta(schema: MetricSchema, shardIntervalMs: Long, retentionMs: Long)
+
+  private def writeMeta(c: Coords, m: Meta): Unit = {
+    val fields = m.schema.orderedNames.map { n =>
+      val f = m.schema.fields(n)
+      s"""{"name":"${f.name}","type":"${f.dataType.catalogString}","class":"${f.fieldClass.name}"}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"shardIntervalMs":${m.shardIntervalMs},"retentionMs":${m.retentionMs},"fields":$fields}"""
+    Files.createDirectories(Paths.get(c.path(root)))
+    Files.write(Paths.get(metaPath(c)), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readMeta(c: Coords): Option[Meta] =
+    Try {
+      val json = new String(Files.readAllBytes(Paths.get(metaPath(c))), StandardCharsets.UTF_8)
+      // minimal hand parser for the fixed shape written above
+      val shardMs = """"shardIntervalMs":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      val retMs   = """"retentionMs":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      val fieldRe = """\{"name":"([^"]+)","type":"([^"]+)","class":"([^"]+)"\}""".r
+      val fields = fieldRe.findAllMatchIn(json).map { m =>
+        val dt = CatalystSqlParser.parseDataType(m.group(2))
+        m.group(1) -> MetricField(m.group(1), dt, FieldClass.fromName(m.group(3)))
+      }.toMap
+      Meta(MetricSchema(fields), shardMs, retMs)
+    }.toOption
+
+  private object CatalystSqlParser {
+    def parseDataType(s: String): DataType = s match {
+      case "bigint"  => LongType
+      case "int"     => IntegerType
+      case "double"  => DoubleType
+      case "float"   => FloatType
+      case "string"  => StringType
+      case "boolean" => BooleanType
+      case other     => org.apache.spark.sql.types.DataType.fromDDL(other)
+    }
+  }
+
+  // ---- catalog listing ---------------------------------------------------
+
+  private def subdirs(p: String): Seq[String] = {
+    val dir = Paths.get(p)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator.asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def listDatabases: Seq[String]                = subdirs(root)
+  def listNamespaces(db: String): Seq[String]   = subdirs(s"$root/$db")
+  def listMetrics(db: String, ns: String): Seq[String] =
+    subdirs(s"$root/$db/$ns").filter(m => Files.exists(Paths.get(metaPath(Coords(db, ns, m)))))
+
+  def describe(c: Coords): Option[Seq[(String, String, String)]] =
+    readMeta(c).map(m => m.schema.orderedNames.map { n =>
+      val f = m.schema.fields(n)
+      (f.name, f.dataType.catalogString, f.fieldClass.name)
+    })
+
+  def exists(c: Coords): Boolean = readMeta(c).isDefined
+
+  // ---- write path --------------------------------------------------------
+
+  val DefaultShardIntervalMs: Long = 86400000L // 1 day
+
+  /**
+   * Append a batch of records (canonical columns: timestamp, value, dims/
+   * tags). Validates schema union against the stored schema — a field
+   * present in both must keep its exact type or the write is rejected
+   * (reference: `Schema.union`, `Schema.scala:116-129`).
+   */
+  def append(
+      c: Coords,
+      df: DataFrame,
+      tags: Set[String],
+      shardIntervalMs: Long = DefaultShardIntervalMs,
+      retentionMs: Long = 0L
+  ): Either[String, Long] = lockFor(c).synchronized {
+    val incoming = MetricSchema.fromMapping(df.schema, tags)
+    val meta = readMeta(c) match {
+      case None           => Right(Meta(incoming, shardIntervalMs, retentionMs))
+      case Some(existing) => existing.schema.union(incoming).map(u => existing.copy(schema = u))
+    }
+    meta.map { m =>
+      val sharded = df.withColumn("shard", floor(col("timestamp") / lit(m.shardIntervalMs)).cast(LongType))
+      sharded.write.partitionBy("shard").mode("append").parquet(dataPath(c))
+      writeMeta(c, m)
+      df.count()
+    }
+  }
+
+  /** Single-record INSERT statement (timestamp defaults to the context now). */
+  def insert(stmt: Ast.InsertStatement)(implicit tc: TimeContext): Either[String, Long] = {
+    val c  = Coords(stmt.db, stmt.namespace, stmt.metric)
+    val ts = stmt.timestamp.getOrElse(tc.currentTime)
+    val cols: Seq[(String, Any, DataType, FieldClass)] =
+      Seq(("timestamp", ts, LongType, FieldClass.Timestamp: FieldClass),
+          ("value", stmt.value, typeOf(stmt.value), FieldClass.Value: FieldClass)) ++
+        stmt.dimensions.toSeq.sortBy(_._1).map { case (k, v) => (k, v, typeOf(v), FieldClass.Dimension: FieldClass) } ++
+        stmt.tags.toSeq.sortBy(_._1).map { case (k, v) => (k, v, typeOf(v), FieldClass.Tag: FieldClass) }
+    val schema = StructType(cols.map { case (n, _, dt, _) => StructField(n, dt) })
+    val row    = Row.fromSeq(cols.map(_._2))
+    val df     = spark.createDataFrame(java.util.List.of(row), schema)
+    append(c, df, tags = cols.collect { case (n, _, _, FieldClass.Tag) => n }.toSet)
+  }
+
+  private def typeOf(v: Any): DataType = v match {
+    case _: Long   => LongType
+    case _: Int    => IntegerType
+    case _: Double => DoubleType
+    case _         => StringType
+  }
+
+  // ---- read path ---------------------------------------------------------
+
+  /** Open a metric for querying; the shard column is exposed to the
+    * executor for pruning but hidden from projections. */
+  def read(c: Coords): Either[String, MetricRef] =
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
+      val df = spark.read.schema(m.schema.toStruct.add("shard", LongType)).parquet(dataPath(c))
+      MetricRef(df, m.schema, Some(ShardInfo("shard", m.shardIntervalMs)))
+    }
+
+  // ---- delete / drop / retention ----------------------------------------
+
+  /**
+   * Predicate DELETE via copy-on-write partition rewrite: only shards whose
+   * time range intersects the predicate's spans are rewritten; a shard left
+   * empty is removed. Mirrors `ParsedDeleteQuery` execution + location
+   * eviction.
+   */
+  def delete(stmt: Ast.DeleteStatement)(implicit tc: TimeContext): Either[String, Unit] = {
+    val c = Coords(stmt.db, stmt.namespace, stmt.metric)
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
+      lockFor(c).synchronized {
+        val spans    = TimeBuckets.extractSpans(Some(stmt.where), tc)
+        val interval = m.shardIntervalMs
+        val allShards = subdirs(dataPath(c)).filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong)
+        val affected = if (spans.isEmpty) allShards
+        else allShards.filter { s =>
+          val lo = s * interval; val hi = (s + 1) * interval - 1
+          spans.exists(sp => sp.lo <= hi && sp.hi >= lo)
+        }
+        if (affected.nonEmpty) {
+          val pred = Executor.compile(stmt.where, tc)
+          val fs   = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          affected.foreach { s =>
+            val shardDir = s"${dataPath(c)}/shard=$s"
+            val kept     = spark.read.schema(m.schema.toStruct).parquet(shardDir).filter(!coalesce(pred, lit(false))).cache()
+            val n        = kept.count()
+            val tmp      = s"${c.path(root)}/.tmp_shard_$s"
+            if (n > 0) kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+            kept.unpersist()
+            fs.delete(new Path(shardDir), true)
+            if (n > 0) fs.rename(new Path(tmp), new Path(shardDir))
+          }
+        }
+      }
+    }
+  }
+
+  /** DROP METRIC: remove data + catalog entry. */
+  def drop(c: Coords): Unit = lockFor(c).synchronized {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(c.path(root)), true)
+  }
+
+  /**
+   * Retention eviction: drop whole shards entirely older than
+   * `now - retention` (reference: `TimeRangeManager.getLocationsToEvict`).
+   * Returns the evicted shard ids.
+   */
+  def evictExpired(c: Coords)(implicit tc: TimeContext): Either[String, Seq[Long]] =
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
+      if (m.retentionMs <= 0) Seq.empty
+      else lockFor(c).synchronized {
+        val cutoff = tc.currentTime - m.retentionMs
+        val fs     = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val evicted = subdirs(dataPath(c))
+          .filter(_.startsWith("shard="))
+          .map(_.stripPrefix("shard=").toLong)
+          .filter(s => (s + 1) * m.shardIntervalMs - 1 < cutoff)
+        evicted.foreach(s => fs.delete(new Path(s"${dataPath(c)}/shard=$s"), true))
+        evicted
+      }
+    }
+}

@@ -9,8 +9,12 @@ import graft.plan.{PlannedQuery, TimeBuckets, TimeContext}
 import graft.plan.TimeBuckets.Span
 import graft.sql.Ast._
 
-/** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema. */
-final case class MetricRef(df: DataFrame, schema: MetricSchema)
+/** Time-shard partition column metadata for a warehouse-backed metric. */
+final case class ShardInfo(colName: String, intervalMs: Long)
+
+/** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema.
+  * `shard` is present for warehouse-backed metrics and enables partition pruning. */
+final case class MetricRef(df: DataFrame, schema: MetricSchema, shard: Option[ShardInfo] = None)
 
 /**
  * Compiles [[PlannedQuery]] shapes into DataFrame pipelines.
@@ -93,8 +97,33 @@ object Executor {
   private def filtered(df: DataFrame, where: Option[Predicate], tc: TimeContext): DataFrame =
     where.fold(df)(p => df.filter(compile(p, tc)))
 
+  /**
+   * Shard pruning: derive partition-column bounds from the statement's time
+   * spans so Catalyst prunes shard directories — the Spark-native analogue
+   * of the reference's `filterLocationsThroughTime`
+   * (`ReadCoordinator.scala:210-214`).
+   */
+  def filtered(m: MetricRef, where: Option[Predicate], tc: TimeContext): DataFrame = {
+    val base = filtered(m.df, where, tc)
+    m.shard match {
+      case None => base
+      case Some(si) =>
+        val spans = TimeBuckets.extractSpans(where, tc)
+        if (spans.isEmpty) base
+        else {
+          val pred = spans.map { s =>
+            val c  = col(si.colName)
+            val lo = if (s.lo == Long.MinValue) lit(true) else c >= math.floorDiv(s.lo, si.intervalMs)
+            val hi = if (s.hi == Long.MaxValue) lit(true) else c <= math.floorDiv(s.hi, si.intervalMs)
+            lo && hi
+          }.reduce(_ || _)
+          base.filter(pred)
+        }
+    }
+  }
+
   private def executeSimple(p: PlannedQuery.Simple, m: MetricRef, tc: TimeContext): DataFrame = {
-    val base = filtered(m.df, p.where, tc)
+    val base = filtered(m, p.where, tc)
     if (p.distinct) {
       // SELECT DISTINCT f — just the distinct values of the single field
       val f   = p.fields.head.name
@@ -123,7 +152,7 @@ object Executor {
   }
 
   private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
-    val base     = filtered(m.df, p.where, tc)
+    val base     = filtered(m, p.where, tc)
     val aggPairs = p.aggs.map(aggColumn(_, p.limit))
     val aggCols  = aggPairs.map { case (n, c) => c.as(n) }
     val aggRow   = base.agg(aggCols.head, aggCols.tail: _*)
@@ -142,7 +171,7 @@ object Executor {
   }
 
   private def executeTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext): DataFrame = {
-    val base = filtered(m.df, p.where, tc)
+    val base = filtered(m, p.where, tc)
     val out = p.agg match {
       case FirstAgg(_) | LastAgg(_) =>
         val (n, c) = aggColumn(p.agg, None)
@@ -173,7 +202,7 @@ object Executor {
       if (rawSpans.nonEmpty) rawSpans
       else {
         val bounds: Array[Row] =
-          filtered(m.df, p.where, tc).agg(min(col("timestamp")), max(col("timestamp"))).collect()
+          filtered(m, p.where, tc).agg(min(col("timestamp")), max(col("timestamp"))).collect()
         bounds.headOption match {
           case Some(r) if !r.isNullAt(0) => Seq(Span(r.getLong(0), r.getLong(1)))
           case _                         => Seq.empty
@@ -188,7 +217,7 @@ object Executor {
     val valueType = m.schema.fields.get("value").map(_.dataType).getOrElse(DoubleType)
     if (spans.isEmpty) return emptyTemporalResult(m.df.sparkSession, p.agg, valueType)
 
-    val base = filtered(m.df, p.where, tc)
+    val base = filtered(m, p.where, tc)
 
     // per-span backward-anchored bucket arithmetic, fused into single
     // codegen-friendly CASE expressions

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.{Coords, Warehouse}
+import graft.plan.TimeContext
+import graft.sql.Ast
+
+/** Warehouse specs: sharded write/read, schema union, insert/delete/drop,
+  * retention, commands — the reference's write-coordinator surface. */
+class WarehouseSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private implicit val tc: TimeContext = TimeContext(10 * 86400000L) // day 10
+
+  private def freshEngine(): (GraftEngine, Warehouse, String) = {
+    val root = Files.createTempDirectory("graft_wh_").toString
+    val wh   = new Warehouse(spark, root)
+    (new GraftEngine(spark, Some(wh)), wh, root)
+  }
+
+  private val day = 86400000L
+
+  private def seed(wh: Warehouse, c: Coords): Unit = {
+    // three days of data → three shards
+    val df = Seq(
+      (0 * day + 100L, 1.0, "a", "x"),
+      (1 * day + 100L, 2.0, "b", "x"),
+      (1 * day + 200L, 3.0, "a", "y"),
+      (2 * day + 100L, 4.0, "c", "y")
+    ).toDF("timestamp", "value", "name", "grp")
+    wh.append(c, df, tags = Set("grp")).fold(fail(_), identity)
+  }
+
+  "Warehouse" should "write time shards and read them back through the engine" in {
+    val (engine, wh, _) = freshEngine()
+    val c               = Coords("db", "ns", "m1")
+    seed(wh, c)
+    val rows = engine.sql("db", "ns", "select * from m1 order by timestamp").fold(fail(_), _.collect())
+    rows.length shouldBe 4
+    rows.map(_.getAs[Double]("value")).toSeq shouldBe Seq(1.0, 2.0, 3.0, 4.0)
+    // shard layout on disk
+    wh.listMetrics("db", "ns") shouldBe Seq("m1")
+  }
+
+  it should "prune shards for time-bounded queries" in {
+    val (engine, wh, _) = freshEngine()
+    val c               = Coords("db", "ns", "m2")
+    seed(wh, c)
+    val q  = s"select * from m2 where timestamp in (${day + 1}, ${2 * day - 1}) order by timestamp"
+    val df = engine.sql("db", "ns", q).fold(fail(_), identity)
+    df.collect().map(_.getAs[Double]("value")).toSeq shouldBe Seq(2.0, 3.0)
+    // the physical plan must show partition (shard) pruning
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("shard")
+  }
+
+  it should "reject schema type conflicts on append" in {
+    val (_, wh, _) = freshEngine()
+    val c          = Coords("db", "ns", "m3")
+    seed(wh, c)
+    val bad = Seq((3 * day + 1L, 5.0, 42L, "z")).toDF("timestamp", "value", "name", "grp") // name: long now
+    wh.append(c, bad, tags = Set("grp")).isLeft shouldBe true
+  }
+
+  it should "evolve schemas by union for new fields" in {
+    val (engine, wh, _) = freshEngine()
+    val c               = Coords("db", "ns", "m4")
+    seed(wh, c)
+    val extra = Seq((3 * day + 1L, 5.0, "d", "z", 99L)).toDF("timestamp", "value", "name", "grp", "extra")
+    wh.append(c, extra, tags = Set("grp")).isRight shouldBe true
+    val rows = engine.sql("db", "ns", "select * from m4 where extra = 99").fold(fail(_), _.collect())
+    rows.length shouldBe 1
+    // old rows have null for the new field
+    engine.sql("db", "ns", "select * from m4 where extra is null").fold(fail(_), _.count()) shouldBe 4
+  }
+
+  it should "execute INSERT statements" in {
+    val (engine, _, _) = freshEngine()
+    engine.sql("db", "ns", "insert into m5 ts=1000 dim(name=alice) tags(grp=g1) val=7.5").isRight shouldBe true
+    engine.sql("db", "ns", "insert into m5 ts=2000 dim(name=bob) tags(grp=g1) val=2.5").isRight shouldBe true
+    val rows = engine.sql("db", "ns", "select sum(value) from m5 group by grp").fold(fail(_), _.collect())
+    rows.head.getAs[Double]("value") shouldBe 10.0
+  }
+
+  it should "execute DELETE with copy-on-write shard rewrite" in {
+    val (engine, wh, _) = freshEngine()
+    val c               = Coords("db", "ns", "m6")
+    seed(wh, c)
+    engine.sql("db", "ns", s"delete from m6 where timestamp in (${day}, ${2 * day - 1})").isRight shouldBe true
+    val left = engine.sql("db", "ns", "select * from m6 order by timestamp").fold(fail(_), _.collect())
+    left.map(_.getAs[Double]("value")).toSeq shouldBe Seq(1.0, 4.0)
+  }
+
+  it should "validate DELETE predicates against the schema" in {
+    val (engine, wh, _) = freshEngine()
+    val c               = Coords("db", "ns", "m7")
+    seed(wh, c)
+    engine.sql("db", "ns", "delete from m7 where nope = 1").isLeft shouldBe true
+  }
+
+  it should "drop metrics" in {
+    val (engine, wh, _) = freshEngine()
+    val c               = Coords("db", "ns", "m8")
+    seed(wh, c)
+    engine.sql("db", "ns", "drop metric m8").isRight shouldBe true
+    wh.listMetrics("db", "ns") shouldBe empty
+    engine.sql("db", "ns", "select * from m8").isLeft shouldBe true
+  }
+
+  it should "evict shards past retention" in {
+    val (_, wh, _) = freshEngine()
+    val c          = Coords("db", "ns", "m9")
+    val df = Seq((0 * day + 100L, 1.0, "a"), (9 * day + 100L, 2.0, "b")).toDF("timestamp", "value", "grp")
+    wh.append(c, df, tags = Set("grp"), retentionMs = 5 * day).fold(fail(_), identity)
+    // now = day 10, retention 5 days → shard 0 fully expired
+    val evicted = wh.evictExpired(c).fold(fail(_), identity)
+    evicted shouldBe Seq(0L)
+    wh.read(c).fold(fail(_), _.df.count()) shouldBe 1
+  }
+
+  it should "answer metadata commands" in {
+    val (engine, wh, _) = freshEngine()
+    seed(wh, Coords("db", "nsA", "mm"))
+    engine.command("db", "nsA", Ast.ShowMetrics).fold(fail(_), identity) shouldBe Seq(Seq("mm"))
+    engine.command("db", "nsA", Ast.ShowNamespaces).fold(fail(_), identity).flatten should contain("nsA")
+    val desc = engine.command("db", "nsA", Ast.DescribeMetric("mm")).fold(fail(_), identity)
+    desc should contain(Seq("timestamp", "bigint", "timestamp"))
+    desc should contain(Seq("grp", "string", "tag"))
+    desc should contain(Seq("name", "string", "dimension"))
+  }
+
+  it should "parse metadata commands from text" in {
+    import graft.sql.CommandParser
+    CommandParser.parse("SHOW METRICS") shouldBe Right(Ast.ShowMetrics)
+    CommandParser.parse("use myns") shouldBe Right(Ast.UseNamespace("myns"))
+    CommandParser.parse("describe people") shouldBe Right(Ast.DescribeMetric("people"))
+    CommandParser.parse("show namespaces") shouldBe Right(Ast.ShowNamespaces)
+    CommandParser.parse("bogus").isLeft shouldBe true
+  }
+}
