@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Native dot product over two numeric array columns (`array<float>` or
+ * `array<double>`, mixed allowed).
+ *
+ * Rationale: Spark's higher-order functions (`zip_with` + `aggregate`)
+ * evaluate their lambdas per element outside whole-stage codegen — on a
+ * 100 TB embedding corpus the similarity kernel dominates the plan. This
+ * expression compiles to a tight primitive loop in generated code (plus an
+ * equally tight interpreted fallback): the "custom Catalyst `Expression`
+ * beats UDF beats HOF" escalation path.
+ *
+ * Semantics: sequential left-to-right double sum (deterministic and
+ * reproducible — matches the portable HOF fold bit-for-bit); null elements
+ * contribute 0; a length mismatch uses the common prefix.
+ */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elementType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elementType(left).isDefined && elementType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<float|double> inputs, got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def get(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x  = a.asInstanceOf[ArrayData]
+    val y  = b.asInstanceOf[ArrayData]
+    val lt = elementType(left).get
+    val rt = elementType(right).get
+    val n  = math.min(x.numElements(), y.numElements())
+    var s  = 0.0
+    var i  = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += get(x, i, lt) * get(y, i, rt)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i    = ctx.freshName("i")
+      val n    = ctx.freshName("n")
+      val acc  = ctx.freshName("acc")
+      def getter(v: String, e: Expression) =
+        if (elementType(e).contains(FloatType)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${getter(a, left)} * ${getter(b, right)};
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native functions (session-scoped). */
+object GraftFunctions {
+
+  val registry: Seq[(String, Seq[Expression] => Expression, ExpressionInfo)] = Seq(
+    ("graft_dot",
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")),
+    ("graft_sorted_intersect",
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1)),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"))
+  )
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Column-level dot product (requires [[register]] on the session). */
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Common-element count of two sorted distinct long arrays (requires [[register]]). */
+  def sortedIntersect(a: Column, b: Column): Column = call_function("graft_sorted_intersect", a, b)
+}
+
+/**
+ * `SparkSessionExtensions` entry point: enable with
+ * `spark.sql.extensions=graft.functions.GraftSparkExtensions` to get the
+ * native functions in every session (incl. pure SQL users).
+ */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (name, builder, info) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}

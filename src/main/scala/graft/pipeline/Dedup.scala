@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * Deduplication operators for training-data pipelines, each designed for
  * the 100 TB path:
@@ -40,13 +42,21 @@ object Dedup {
       .otherwise(array(concat_ws(" ", w)))
   }
 
-  /** distinct xxhash64 shingle set (longs shuffle instead of strings). */
+  /** distinct xxhash64 shingle set, SORTED ascending (longs shuffle instead
+    * of strings; sorted so the native merge-intersect can verify pairs). */
   def shingleSet(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), xxhash64(_)))
+    sort_array(array_distinct(transform(shingles(text, k), xxhash64(_))))
 
   /** exact Jaccard similarity of two pre-hashed shingle set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** allocation-free Jaccard over SORTED distinct arrays via the native
+    * two-pointer intersect (requires GraftFunctions.register). */
+  private def fastJaccard(a: Column, b: Column): Column = {
+    val inter = GraftFunctions.sortedIntersect(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   // ---- n-gram Jaccard dedup ----------------------------------------------
 
@@ -64,6 +74,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val prepped = df.select(
       col(idCol).as("id"),
       col(blockCol).as("block"),
@@ -75,7 +86,7 @@ object Dedup {
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard")
+        round(fastJaccard(col("a.sh"), col("b.sh")), 4).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }
@@ -116,6 +127,7 @@ object Dedup {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
     val prepped = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
@@ -139,7 +151,7 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

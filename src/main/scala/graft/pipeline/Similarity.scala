@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * Similarity search over an embedding column (`array<float>`).
  *
@@ -19,10 +21,17 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** sequential-fold dot product of two array columns (cast to double). */
+  /** sequential-fold dot product of two array columns (cast to double).
+    * Portable HOF form — DataFrame-level operators below use the native
+    * codegen'd [[graft.functions.DotProduct]] instead (same semantics:
+    * sequential double sum). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** native fast path (requires GraftFunctions.register on the session). */
+  private def fdot(a: Column, b: Column): Column = GraftFunctions.dotProduct(a, b)
+  private def fnorm(a: Column): Column           = sqrt(fdot(a, a))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -42,8 +51,9 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val q = lit(queryVec.map(_.toDouble).toArray)
-    df.select(col(idCol), cosine(col(vecCol), q).as("sim"))
+    df.select(col(idCol), (fdot(col(vecCol), q) / (fnorm(col(vecCol)) * fnorm(q))).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -57,14 +67,15 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     // cast float→double once per row, not once per pair
     val vd      = transform(col(vecCol), x => x.cast("double"))
-    val prepped = df.select(col(idCol).as("id"), vd.as("v"), norm(col(vecCol)).as("n"))
+    val prepped = df.select(col(idCol).as("id"), vd.as("v"), fnorm(col(vecCol)).as("n"))
     val a = prepped.alias("a")
     val b = prepped.alias("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 4).as("sim"))
+        round(fdot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -76,7 +87,8 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id: sign bits against `planes`, packed into a long. */
+  /** LSH bucket id: sign bits against `planes`, packed into a long.
+    * Uses the portable HOF dot so it works without function registration. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -110,12 +122,13 @@ object Similarity {
       .join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    GraftFunctions.register(df.sparkSession)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+        round(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -136,9 +149,10 @@ object Similarity {
   ): DataFrame = {
     val centroids = df.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    GraftFunctions.register(df.sparkSession)
     val withSim = df.alias("x").crossJoin(broadcast(centroids))
       .select(col(s"x.$idCol").as("id"), col(s"x.$vecCol").as("v"), col("cid"),
-        cosine(col(s"x.$vecCol"), col("cvec")).as("csim"))
+        (fdot(col(s"x.$vecCol"), col("cvec")) / (fnorm(col(s"x.$vecCol")) * fnorm(col("cvec")))).as("csim"))
     // nearest centroid per vector via max_by — one pass, no window sort
     withSim.groupBy(col("id"))
       .agg(max_by(col("cid"), col("csim")).as("centroid"), first(col("v")).as("v"))
@@ -161,10 +175,11 @@ object Similarity {
     val probed = centroidVecs.toSeq
       .sortBy { case (_, v) => -cos(v, queryVec) }
       .take(nprobe).map(_._1)
+    GraftFunctions.register(assigned.sparkSession)
     val q = lit(queryVec.map(_.toDouble).toArray)
     assigned
       .filter(col("centroid").isin(probed: _*)) // partition pruning at scale
-      .select(col("id"), cosine(col("v"), q).as("sim"))
+      .select(col("id"), (fdot(col("v"), q) / (fnorm(col("v")) * fnorm(q))).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
   }
