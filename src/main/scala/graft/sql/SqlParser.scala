@@ -40,16 +40,17 @@ class SqlParser extends RegexParsers {
   private val intLit: Parser[Int]    = """-?\d+""".r ^^ (_.toInt)
   private val doubleLit: Parser[Double] = """-?\d+\.\d+""".r ^^ (_.toDouble)
 
-  // a bare string token may carry the same special chars the reference allows
-  private val wordLit: Parser[String]     = """[a-zA-Z_][a-zA-Z0-9_\-\.:~!\?]*""".r
-  private val wildcardTok: Parser[String] = """[a-zA-Z0-9_\-$\.:~!\?]+""".r
+  // a bare string token may carry the same special chars the reference
+  // allows; \p{L}/\p{N} admit unicode letters/digits (charset parity)
+  private val wordLit: Parser[String]     = """[\p{L}_][\p{L}\p{N}_\-\.:~!\?]*""".r
+  private val wildcardTok: Parser[String] = """[\p{L}\p{N}_\-$\.:~!\?]+""".r
 
-  /** bare word, or single-quoted sequence of words re-joined with single spaces. */
+  /** bare word, or single-quoted raw string (any chars except the quote). */
   private val stringLit: Parser[String] =
-    "'" ~> rep(wordLit) <~ "'" ^^ (_.mkString(" ")) | wordLit
+    "'" ~> """[^']*""".r <~ "'" | wordLit
 
   private val wildcardLit: Parser[String] =
-    "'" ~> rep1(wildcardTok) <~ "'" ^^ (_.mkString(" ")) | wildcardTok
+    "'" ~> """[^']*""".r <~ "'" | wildcardTok
 
   // ---- time measures -----------------------------------------------------
   // longest alternative first so "day" wins over "d" etc.

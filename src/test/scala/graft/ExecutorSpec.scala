@@ -154,6 +154,45 @@ class ExecutorSpec extends SparkTestBase {
     rows.map(_.getAs[Long]("value")).sum shouldBe 3L // ts 6000, 8000, 10000
   }
 
+  it should "enrich statements with API-level conditions and time ranges (P10)" in {
+    import graft.sql.{Ast, SqlParser}
+    val stmt = SqlParser.parse("db", "ns", "select * from people where value > 2") match {
+      case Right(s: Ast.SelectStatement) => s
+      case other                         => fail(other.toString)
+    }
+    // the API layer ANDs extra filters + a [from,to] range into the WHERE
+    val enriched = stmt
+      .enrichWithTimeRange("timestamp", 2000L, 8000L)
+      .addCondition(Ast.EqPred("country", Ast.AbsValue("it")))
+    val rows = engine.executeStatement(enriched).fold(fail(_), _.collect())
+    rows.map(_.getAs[Double]("value")).sorted.toSeq shouldBe Seq(2.5, 3.5, 5.5)
+  }
+
+  it should "handle unicode and special characters in values" in {
+    import org.apache.spark.sql.functions.col
+    val uni = Seq(
+      (1000L, 1.0, "città", "ελλάδα"),
+      (2000L, 2.0, "日本語", "uk"),
+      (3000L, 3.0, "plain", "uk")
+    ).toDF("timestamp", "value", "name", "country")
+    val e = new GraftEngine(spark)
+    e.registerMetric("db", "ns", "uni", uni, col("timestamp"), col("value"), tags = Set("country"))
+    e.sql("db", "ns", "select * from uni where name = 'città'").fold(fail(_), _.count()) shouldBe 1
+    e.sql("db", "ns", "select * from uni where country = 'ελλάδα'").fold(fail(_), _.count()) shouldBe 1
+    e.sql("db", "ns", "select * from uni where name like $語$").fold(fail(_), _.count()) shouldBe 1
+  }
+
+  it should "handle negative numeric comparisons" in {
+    import org.apache.spark.sql.functions.col
+    val neg = Seq((1000L, -5.5, "a"), (2000L, -1.0, "b"), (3000L, 2.0, "c"))
+      .toDF("timestamp", "value", "tagx")
+    val e = new GraftEngine(spark)
+    e.registerMetric("db", "ns", "neg", neg, col("timestamp"), col("value"), tags = Set("tagx"))
+    e.sql("db", "ns", "select * from neg where value < -1.0").fold(fail(_), _.count()) shouldBe 1
+    e.sql("db", "ns", "select * from neg where value in (-6, -1)").fold(fail(_), _.count()) shouldBe 2
+    e.sql("db", "ns", "select sum(*) from neg").fold(fail(_), _.head().getDouble(0)) shouldBe -4.5
+  }
+
   it should "execute avg per bucket" in {
     val rows = run("select avg(value) from people where timestamp in (1000, 10000) group by interval 4 s")
       .map(r => (r.getAs[Long]("upperBound"), r.getAs[Double]("value")))
