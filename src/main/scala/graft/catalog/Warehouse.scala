@@ -162,11 +162,17 @@ class Warehouse(val spark: SparkSession, val root: String) {
   // ---- read path ---------------------------------------------------------
 
   /** Open a metric for querying; the shard column is exposed to the
-    * executor for pruning but hidden from projections. */
+    * executor for pruning but hidden from projections. Live time bounds come
+    * from the shard directory names (metadata-only — the reference's
+    * `[lowerShardBound, upperShardBound]` of live locations). */
   def read(c: Coords): Either[String, MetricRef] =
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
       val df = spark.read.schema(m.schema.toStruct.add("shard", LongType)).parquet(dataPath(c))
-      MetricRef(df, m.schema, Some(ShardInfo("shard", m.shardIntervalMs)))
+      val shardIds = subdirs(dataPath(c)).filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong)
+      val bounds =
+        if (shardIds.isEmpty) None
+        else Some((shardIds.min * m.shardIntervalMs, (shardIds.max + 1) * m.shardIntervalMs - 1))
+      MetricRef(df, m.schema, Some(ShardInfo("shard", m.shardIntervalMs, bounds)))
     }
 
   // ---- delete / drop / retention ----------------------------------------

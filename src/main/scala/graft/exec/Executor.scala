@@ -9,8 +9,10 @@ import graft.plan.{PlannedQuery, TimeBuckets, TimeContext}
 import graft.plan.TimeBuckets.Span
 import graft.sql.Ast._
 
-/** Time-shard partition column metadata for a warehouse-backed metric. */
-final case class ShardInfo(colName: String, intervalMs: Long)
+/** Time-shard partition column metadata for a warehouse-backed metric.
+  * `liveBounds` are the [oldest-shard-start, newest-shard-end] millis derived
+  * from the partition directory listing — a metadata-only operation. */
+final case class ShardInfo(colName: String, intervalMs: Long, liveBounds: Option[(Long, Long)] = None)
 
 /** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema.
   * `shard` is present for warehouse-backed metrics and enables partition pruning. */
@@ -195,18 +197,21 @@ object Executor {
   private def executeTemporal(p: PlannedQuery.TemporalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
     val len = p.intervalMs
 
-    // bucket bounds: WHERE-clause time spans if present, else the data bounds
-    // (reference: `ReadCoordinator.scala:252-272`)
+    // bucket bounds: WHERE-clause time spans if present; else the live shard
+    // bounds (metadata-only, mirrors `ReadCoordinator.scala:252-272` using
+    // location bounds); else — unsharded in-memory metrics — a min/max scan
     val rawSpans = TimeBuckets.extractSpans(p.where, tc)
     val spans0 =
       if (rawSpans.nonEmpty) rawSpans
-      else {
-        val bounds: Array[Row] =
-          filtered(m, p.where, tc).agg(min(col("timestamp")), max(col("timestamp"))).collect()
-        bounds.headOption match {
-          case Some(r) if !r.isNullAt(0) => Seq(Span(r.getLong(0), r.getLong(1)))
-          case _                         => Seq.empty
-        }
+      else m.shard.flatMap(_.liveBounds) match {
+        case Some((lo, hi)) => Seq(Span(lo, hi))
+        case None =>
+          val bounds: Array[Row] =
+            filtered(m, p.where, tc).agg(min(col("timestamp")), max(col("timestamp"))).collect()
+          bounds.headOption match {
+            case Some(r) if !r.isNullAt(0) => Seq(Span(r.getLong(0), r.getLong(1)))
+            case _                         => Seq.empty
+          }
       }
     // SINCE grace period: nothing older than now - grace (reference:
     // `TimeRangeManager.scala:102-126`)
