@@ -126,12 +126,10 @@ object SparkEntry {
     }),
     "ann_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
     "ann_ivf" -> ((s, d) => {
-      val e        = emb(s, d)
-      val assigned = Similarity.ivfAssign(e, 16).cache()
-      val cents = e.orderBy("vec_id").limit(16).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
-      val q = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
-      Similarity.ivfTopK(assigned, cents, q, 20, nprobe = 4)
+      val e   = emb(s, d)
+      val idx = Similarity.ivfBuild(e, nlist = 16, refineIterations = 1)
+      val q   = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20, nprobe = 4)
         .withColumn("sim", round(col("sim"), 3))
     }),
     // ---- text analysis

@@ -134,6 +134,54 @@ object Similarity {
 
   // ---- IVF ---------------------------------------------------------------
 
+  /** An IVF index: per-vector inverted-list assignment + the centroid
+    * vectors (tiny, driver-side) used to route queries. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Map[Long, Seq[Float]])
+
+  /**
+   * Build an IVF index: seed `nlist` centroids from the data, optionally
+   * refine with Lloyd iterations (assign → per-cluster elementwise mean →
+   * reassign), then return assignments + centroid vectors. The mean step is
+   * a single explode/groupBy pipeline — fully distributed, no driver math
+   * beyond collecting `nlist` centroid vectors.
+   */
+  def ivfBuild(
+      df: DataFrame,
+      nlist: Int,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): IvfIndex = {
+    GraftFunctions.register(df.sparkSession)
+    var cents: Map[Long, Seq[Float]] = df.orderBy(col(idCol)).limit(nlist).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+
+    def assign(c: Map[Long, Seq[Float]]): DataFrame = {
+      val centDf = df.sparkSession.createDataFrame(
+        c.toSeq.map { case (cid, v) => (cid, v.toArray) }
+      ).toDF("cid", "cvec")
+      df.alias("x").crossJoin(broadcast(centDf))
+        .select(col(s"x.$idCol").as("id"), col(s"x.$vecCol").as("v"), col("cid"),
+          (fdot(col(s"x.$vecCol"), col("cvec")) / (fnorm(col(s"x.$vecCol")) * fnorm(col("cvec")))).as("csim"))
+        .groupBy(col("id"))
+        .agg(max_by(col("cid"), col("csim")).as("centroid"), first(col("v")).as("v"))
+    }
+
+    var assigned = assign(cents)
+    for (_ <- 0 until refineIterations) {
+      // per-cluster elementwise mean: explode components, average, regroup
+      val means = assigned
+        .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("centroid"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))), s => s("m").cast("float")).as("cvec"))
+      cents = means.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      assigned = assign(cents)
+    }
+    IvfIndex(assigned, cents)
+  }
+
   /**
    * IVF index: take `nlist` deterministic seed vectors as coarse centroids
    * (a k-means step would refine them; seeds suffice for a recall-tunable

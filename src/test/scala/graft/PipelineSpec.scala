@@ -78,6 +78,16 @@ class PipelineSpec extends SparkTestBase {
     lsh shouldBe Array((0L, 1L)) // sim≈1 ⇒ all sign bits agree ⇒ recall 1
   }
 
+  "Similarity.ivfBuild" should "refine centroids and keep assignments total" in {
+    val idx = Similarity.ivfBuild(vecs, nlist = 2, refineIterations = 2)
+    idx.centroids.size shouldBe 2
+    idx.assigned.count() shouldBe 5           // every vector assigned
+    idx.assigned.select("centroid").distinct().count() should be <= 2L
+    val q   = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    val top = Similarity.ivfTopK(idx.assigned, idx.centroids, q, k = 2, nprobe = 2).collect()
+    top.map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
+  }
+
   "Similarity IVF" should "find the nearest neighbours probing a subset" in {
     val assigned = Similarity.ivfAssign(vecs, nlist = 2)
     val cents = vecs.orderBy("vec_id").limit(2).collect()
