@@ -42,10 +42,24 @@ object Dedup {
       .otherwise(array(concat_ws(" ", w)))
   }
 
-  /** distinct xxhash64 shingle set, SORTED ascending (longs shuffle instead
-    * of strings; sorted so the native merge-intersect can verify pairs). */
-  def shingleSet(text: Column, k: Int): Column =
-    sort_array(array_distinct(transform(shingles(text, k), xxhash64(_))))
+  /**
+   * Distinct shingle-hash set, SORTED ascending. Each word is hashed once
+   * (`xxhash64`) and k-windows combine word hashes arithmetically — no
+   * per-shingle string building. Only set cardinalities feed the Jaccard
+   * math, so the hash family choice is free. Sorted so the native
+   * merge-intersect can verify pairs; longs shuffle instead of strings.
+   */
+  def shingleSet(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    // 32-bit word hashes: k-window products must stay inside a long under
+    // ANSI mode (Spark 4 throws on overflow rather than wrapping)
+    val wh = transform(w, x => pmod(xxhash64(x), lit(1L << 32)))
+    def windowHash(i: Column): Column =
+      (0 until k).map(j => element_at(wh, i + j + 1) * lit(1000003L * (j + 1))).reduce(_ + _)
+    val hashes = when(size(w) >= k, transform(sequence(lit(0), size(w) - k), windowHash(_)))
+      .otherwise(array(aggregate(wh, lit(0L), (acc, h) => pmod(acc * lit(31L) + h, lit(1L << 55)))))
+    sort_array(array_distinct(hashes))
+  }
 
   /** exact Jaccard similarity of two pre-hashed shingle set columns. */
   def jaccard(a: Column, b: Column): Column =
