@@ -177,6 +177,11 @@ object Dedup {
   def minhashLshDuplicates(df: DataFrame, threshold: Double): DataFrame =
     minhashLshPairs(df, threshold).select(col("id_b").as("doc_id")).distinct()
 
+  /** The deduplicated corpus: drop every doc that has a near-duplicate with
+    * a smaller id (left-anti join against the duplicate set). */
+  def deduplicated(df: DataFrame, threshold: Double, idCol: String = "doc_id"): DataFrame =
+    df.join(minhashLshDuplicates(df, threshold).withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+
   // ---- SimHash -----------------------------------------------------------
 
   /**

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -98,6 +99,37 @@ class PipelineSpec extends SparkTestBase {
     val top = Similarity.ivfTopK(assigned, cents, q, k = 2, nprobe = 2).collect()
     top.head.getLong(0) shouldBe 0L
     top(1).getLong(0) shouldBe 1L
+  }
+
+  "Dedup.deduplicated" should "drop near-duplicates keeping the smallest id" in {
+    val out = Dedup.deduplicated(docs, 0.9).select("doc_id").collect().map(_.getLong(0)).sorted
+    out should contain(0L)     // representative kept
+    out should not contain 4L  // exact dup of 0 dropped
+  }
+
+  "Skew.saltedCount and saltedSum" should "match unsalted aggregation" in {
+    import graft.pipeline.Skew
+    val expectCnt = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCnt = Skew.saltedCount(docs, Seq("source"), saltFactor = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    gotCnt shouldBe expectCnt
+
+    val base = docs.withColumn("v", F.length(F.col("text")).cast("double"))
+    val expectSum = base.groupBy("source").agg(F.sum("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotSum = Skew.saltedSum(base, Seq("source"), "v", saltFactor = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    gotSum shouldBe expectSum
+  }
+
+  "Skew.saltedJoin" should "match a plain join" in {
+    import graft.pipeline.Skew
+    val dims = Seq(("src0", "alpha"), ("src1", "beta")).toDF("source", "label")
+    val plain  = docs.join(dims, Seq("source")).select("doc_id", "label").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(docs, dims, "source", saltFactor = 4)
+      .select("doc_id", "label").collect().map(_.toSeq).toSet
+    salted shouldBe plain
   }
 
   "TextAnalysis.tokenStats" should "count whitespace and regex tokens" in {
