@@ -131,7 +131,13 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
     meta.map { m =>
       val sharded = df.withColumn("shard", floor(col("timestamp") / lit(m.shardIntervalMs)).cast(LongType))
-      sharded.write.partitionBy("shard").mode("append").parquet(dataPath(c))
+      // cluster rows by shard before writing: one file per shard per batch
+      // instead of one per (task × shard) — the small-files guard that
+      // matters most at ingest scale (raise parallelism per shard by
+      // salting the repartition key if single shards outgrow a task)
+      sharded
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("append").parquet(dataPath(c))
       writeMeta(c, m)
       df.count()
     }
