@@ -33,15 +33,20 @@ object SparkEntry {
   /** ns→ms with integer division (float division loses precision above 2^53). */
   private val TsMs = "epoch_ns(ts)//1000000"
 
-  private def engineFor(spark: SparkSession, dir: String): GraftEngine = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val e  = new GraftEngine(spark)
-    e.registerMetric("graft", "main", "events", ev,
-      expr("ts div 1000000"), col("value"),
-      tags = Set("event_type", "user_id"), drop = Set("ts"))
-    e
-  }
+  // one engine per (session, dir): registering re-reads parquet footers,
+  // no need to repeat it for each of ~50 queries in a bench run
+  private val engines = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraftEngine]()
+
+  private def engineFor(spark: SparkSession, dir: String): GraftEngine =
+    engines.computeIfAbsent((spark, dir), { case (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val e  = new GraftEngine(s)
+      e.registerMetric("graft", "main", "events", ev,
+        expr("ts div 1000000"), col("value"),
+        tags = Set("event_type", "user_id"), drop = Set("ts"))
+      e
+    })
 
   /** Run a dialect query through the full parse→plan→execute stack. */
   private def run(q: String)(spark: SparkSession, dir: String): DataFrame =
