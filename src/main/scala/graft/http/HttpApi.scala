@@ -1,0 +1,128 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.GraftEngine
+import graft.plan.TimeContext
+import graft.sql.{Ast, SqlParser}
+
+/**
+ * Minimal REST surface mirroring the reference's HTTP API
+ * (`nsdb-http/.../routes/QueryApi.scala:138-189`, `DataApi.scala:74-102`):
+ *
+ *  - `POST /query` `{db, namespace, queryString, from?, to?}` →
+ *    `{"records": [...]}` — `from`/`to` are ANDed into the statement as a
+ *    timestamp range before planning (the P10 enrichment path)
+ *  - `POST /data` `{db, namespace, metric, bit:{timestamp?, value,
+ *    dimensions?, tags?}}` → insert one record
+ *  - `GET /commands/<db>/<namespace>/metrics` → metric listing
+ *
+ * Uses only the JDK http server + the Jackson shipped with Spark — no new
+ * dependencies. Single-threaded executor: the engine call dominates, and
+ * queries fan out inside Spark anyway.
+ */
+class HttpApi(engine: GraftEngine, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query", (ex: HttpExchange) => handle(ex)(handleQuery))
+    server.createContext("/data", (ex: HttpExchange) => handle(ex)(handleData))
+    server.createContext("/commands", (ex: HttpExchange) => handle(ex)(handleCommands))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
+    val (status, body) = Try(f(ex)) match {
+      case Success(r)   => r
+      case Failure(err) => (500, s"""{"error":${mapper.writeValueAsString(err.getMessage)}}""")
+    }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def readJson(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  private def handleQuery(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
+    val req = readJson(ex)
+    val db  = req.path("db").asText("default")
+    val ns  = req.path("namespace").asText("default")
+    val q   = req.path("queryString").asText("")
+    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    SqlParser.parse(db, ns, q) match {
+      case Right(sel: Ast.SelectStatement) =>
+        // optional from/to enrichment, reference QueryEnriched semantics
+        val enriched =
+          if (req.has("from") && req.has("to"))
+            sel.enrichWithTimeRange("timestamp", req.get("from").asLong(), req.get("to").asLong())
+          else sel
+        engine.executeStatement(enriched) match {
+          case Right(df) =>
+            val records = df.toJSON.collect().mkString(",")
+            (200, s"""{"records":[$records]}""")
+          case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+        }
+      case Right(_)  => (400, """{"error":"only select statements on /query"}""")
+      case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+    }
+  }
+
+  private def handleData(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
+    val req = readJson(ex)
+    val bit = req.path("bit")
+    def fields(node: JsonNode): Map[String, Any] =
+      if (node.isMissingNode) Map.empty
+      else node.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isIntegralNumber) v.asLong() else if (v.isNumber) v.asDouble() else v.asText(): Any)
+      }.toMap
+    val value: Any =
+      if (bit.path("value").isIntegralNumber) bit.path("value").asLong() else bit.path("value").asDouble()
+    val stmt = Ast.InsertStatement(
+      req.path("db").asText("default"),
+      req.path("namespace").asText("default"),
+      req.path("metric").asText(""),
+      if (bit.has("timestamp")) Some(bit.get("timestamp").asLong()) else None,
+      fields(bit.path("dimensions")),
+      fields(bit.path("tags")),
+      value
+    )
+    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    engine.executeStatement(stmt) match {
+      case Right(_)  => (200, """{"inserted":1}""")
+      case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+    }
+  }
+
+  private def handleCommands(ex: HttpExchange): (Int, String) = {
+    // /commands/<db>/<namespace>/metrics
+    val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    parts match {
+      case Array("commands", db, ns, "metrics") =>
+        engine.command(db, ns, Ast.ShowMetrics) match {
+          case Right(rows) =>
+            (200, rows.flatten.map(mapper.writeValueAsString).mkString("""{"metrics":[""", ",", "]}"))
+          case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+        }
+      case _ => (404, """{"error":"unknown command"}""")
+    }
+  }
+}
