@@ -33,16 +33,28 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
+  /** live plain-query subscription: predicate + the open SSE exchange. */
+  private final case class LiveSub(pred: Option[graft.sql.Ast.Predicate], ex: HttpExchange)
+  private val subs = new java.util.concurrent.CopyOnWriteArrayList[LiveSub]()
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query", (ex: HttpExchange) => handle(ex)(handleQuery))
     server.createContext("/data", (ex: HttpExchange) => handle(ex)(handleData))
     server.createContext("/commands", (ex: HttpExchange) => handle(ex)(handleCommands))
+    server.createContext("/subscribe", (ex: HttpExchange) => handleSubscribe(ex))
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+    }))
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    subs.forEach(s => Try(s.ex.close()))
+    subs.clear()
+    if (server != null) server.stop(0)
+  }
 
   private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
     val (status, body) = Try(f(ex)) match {
@@ -107,8 +119,66 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
     )
     implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
     engine.executeStatement(stmt) match {
-      case Right(_)  => (200, """{"inserted":1}""")
+      case Right(_) =>
+        // fan out to live subscribers (reference: WriteCoordinator fires
+        // PublishRecord to the PublisherActor on every write)
+        publish(Map("timestamp" -> stmt.timestamp.getOrElse(tc.currentTime), "value" -> value) ++
+          stmt.dimensions ++ stmt.tags)
+        (200, """{"inserted":1}""")
       case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+    }
+  }
+
+  /**
+   * SSE pub/sub subscription (the reference's WebSocket streaming mode,
+   * `docs/Websocket.md` / `PublisherActor`): `GET /subscribe?db=..&namespace=..
+   * &q=<url-encoded select>` streams the historical result as the first
+   * event, then one event per future matching record — matching happens
+   * per write against the registered predicate, mirroring the reference's
+   * single-document `TemporaryIndex` evaluation.
+   */
+  private def handleSubscribe(ex: HttpExchange): Unit = {
+    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").collect {
+      case kv if kv.contains("=") =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+    val db = params.getOrElse("db", "default")
+    val ns = params.getOrElse("namespace", "default")
+    val q  = params.getOrElse("q", "")
+    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    SqlParser.parse(db, ns, q) match {
+      case Right(sel: Ast.SelectStatement) if sel.groupBy.isEmpty =>
+        val historical = engine.executeStatement(sel) match {
+          case Right(df) => df.toJSON.collect().mkString(",")
+          case Left(_)   => "" // metric may not exist yet — start empty
+        }
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.getResponseHeaders.set("Cache-Control", "no-cache")
+        ex.sendResponseHeaders(200, 0) // chunked
+        val out = ex.getResponseBody
+        out.write(s"""data: {"historical":[$historical]}\n\n""".getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        subs.add(LiveSub(sel.where, ex))
+      case Right(_) =>
+        handle(ex)(_ => (400, """{"error":"only plain (non-aggregated) queries can be subscribed over SSE"}"""))
+      case Left(err) =>
+        handle(ex)(_ => (400, s"""{"error":${mapper.writeValueAsString(err)}}"""))
+    }
+  }
+
+  /** push a freshly-written record to every matching live subscription. */
+  private def publish(record: Map[String, Any]): Unit = {
+    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    subs.forEach { sub =>
+      val hit = sub.pred.forall(p => graft.exec.PredicateEval.matches(p, record, tc))
+      if (hit) {
+        val json = mapper.writeValueAsString(record.asJava)
+        Try {
+          sub.ex.getResponseBody.write(s"data: $json\n\n".getBytes(StandardCharsets.UTF_8))
+          sub.ex.getResponseBody.flush()
+        }.failed.foreach(_ => subs.remove(sub)) // dead client: drop
+      }
     }
   }
 

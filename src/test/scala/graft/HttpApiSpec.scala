@@ -68,4 +68,40 @@ class HttpApiSpec extends SparkTestBase {
       bb should include("does not exist")
     } finally api.stop()
   }
+
+  it should "stream SSE subscriptions: historical first, then matching writes" in {
+    val root   = Files.createTempDirectory("graft_sse_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine)
+    val port   = api.start()
+    try {
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":1000,"value":5.0,"tags":{"k":"a"}}}""")._1 shouldBe 200
+
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val q   = java.net.URLEncoder.encode("select * from m where value > 3", "UTF-8")
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/subscribe?db=db&namespace=ns&q=$q")).GET().build()
+      client.sendAsync(req, HttpResponse.BodyHandlers.fromLineSubscriber(
+        new java.util.concurrent.Flow.Subscriber[String] {
+          def onSubscribe(s: java.util.concurrent.Flow.Subscription): Unit = s.request(Long.MaxValue)
+          def onNext(line: String): Unit = if (line.startsWith("data: ")) received.add(line.stripPrefix("data: "))
+          def onError(t: Throwable): Unit = ()
+          def onComplete(): Unit = ()
+        }))
+
+      // historical event arrives first
+      val hist = received.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+      hist should include(""""value":5.0""")
+      hist should include("historical")
+
+      // matching write is pushed, non-matching is not
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":2000,"value":9.0,"tags":{"k":"b"}}}""")._1 shouldBe 200
+      val live = received.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+      live should include(""""value":9.0""")
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":3000,"value":1.0,"tags":{"k":"c"}}}""")._1 shouldBe 200
+      received.poll(2, java.util.concurrent.TimeUnit.SECONDS) shouldBe null // filtered out
+    } finally api.stop()
+  }
 }
