@@ -160,8 +160,28 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
         out.write(s"""data: {"historical":[$historical]}\n\n""".getBytes(StandardCharsets.UTF_8))
         out.flush()
         subs.add(LiveSub(sel.where, ex))
+      case Right(_: Ast.SelectStatement) =>
+        // aggregated subscription → periodic re-execution (reference R6:
+        // group-by queries are re-run on a fixed scheduler and re-pushed)
+        val interval = params.get("refresh_ms").map(_.toLong).getOrElse(1000L)
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.getResponseHeaders.set("Cache-Control", "no-cache")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        lazy val handle: AutoCloseable = graft.streaming.Subscriptions.periodic(
+          engine, db, ns, q, interval,
+          rows => {
+            val json = rows.map(r =>
+              mapper.writeValueAsString(r.schema.fieldNames.zip(r.toSeq).toMap.asJava)).mkString(",")
+            Try {
+              out.write(s"""data: {"records":[$json]}\n\n""".getBytes(StandardCharsets.UTF_8))
+              out.flush()
+            }.failed.foreach { _ => handle.close(); Try(ex.close()) } // dead client
+          })
+        handle // materialize the scheduler
+        ()
       case Right(_) =>
-        handle(ex)(_ => (400, """{"error":"only plain (non-aggregated) queries can be subscribed over SSE"}"""))
+        handle(ex)(_ => (400, """{"error":"only select statements can be subscribed"}"""))
       case Left(err) =>
         handle(ex)(_ => (400, s"""{"error":${mapper.writeValueAsString(err)}}"""))
     }

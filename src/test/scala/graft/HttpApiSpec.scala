@@ -104,4 +104,42 @@ class HttpApiSpec extends SparkTestBase {
       received.poll(2, java.util.concurrent.TimeUnit.SECONDS) shouldBe null // filtered out
     } finally api.stop()
   }
+
+  it should "re-push aggregated subscriptions periodically" in {
+    val root   = Files.createTempDirectory("graft_sse_agg_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine)
+    val port   = api.start()
+    try {
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":1000,"value":5.0,"tags":{"k":"a"}}}""")._1 shouldBe 200
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":2000,"value":7.0,"tags":{"k":"a"}}}""")._1 shouldBe 200
+
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val q = java.net.URLEncoder.encode("select sum(value) from m group by k", "UTF-8")
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/subscribe?db=db&namespace=ns&q=$q&refresh_ms=500")).GET().build()
+      client.sendAsync(req, HttpResponse.BodyHandlers.fromLineSubscriber(
+        new java.util.concurrent.Flow.Subscriber[String] {
+          def onSubscribe(s: java.util.concurrent.Flow.Subscription): Unit = s.request(Long.MaxValue)
+          def onNext(line: String): Unit = if (line.startsWith("data: ")) received.add(line.stripPrefix("data: "))
+          def onError(t: Throwable): Unit = ()
+          def onComplete(): Unit = ()
+        }))
+
+      val first = received.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      first should include(""""value":12.0""") // 5 + 7 for tag a
+      // a new write shows up in a later re-push
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":3000,"value":3.0,"tags":{"k":"a"}}}""")._1 shouldBe 200
+      val deadline = System.currentTimeMillis() + 30000
+      var updated  = false
+      while (!updated && System.currentTimeMillis() < deadline) {
+        val ev = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        if (ev != null && ev.contains(""""value":15.0""")) updated = true
+      }
+      updated shouldBe true
+    } finally api.stop()
+  }
 }
