@@ -39,16 +39,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.W
       timestampCol: Column,
       valueCol: Column,
       tags: Set[String],
-      drop: Set[String] = Set.empty
+      drop: Set[String] = Set.empty,
+      timeMirror: Option[graft.exec.TimeMirror] = None
   ): MetricRef = {
+    val mirrorCol = timeMirror.map(_.colName).toSet
     val others = df.columns.filterNot { c =>
       // drop source columns shadowed by the canonical timestamp/value
-      timestampCol.toString == c || valueCol.toString == c || drop.contains(c)
+      timestampCol.toString == c || valueCol.toString == c || drop.contains(c) || mirrorCol.contains(c)
     }.filterNot(c => c == "timestamp" || c == "value")
+    // the raw time-mirror column rides along (hidden from the schema) so the
+    // executor can push span filters down to the parquet scan
     val canonical = df.select(
-      (timestampCol.cast(LongType).as("timestamp") +: valueCol.as("value") +: others.map(col _)): _*
+      (timestampCol.cast(LongType).as("timestamp") +: valueCol.as("value") +:
+        (others.map(col _) ++ mirrorCol.toSeq.map(col _))): _*
     )
-    val ref = MetricRef(canonical, MetricSchema.fromMapping(canonical.schema, tags))
+    val visible = org.apache.spark.sql.types.StructType(
+      canonical.schema.fields.filterNot(f => mirrorCol.contains(f.name)))
+    val ref = MetricRef(canonical, MetricSchema.fromMapping(visible, tags), timeMirror = timeMirror)
     registry.put((db, namespace, metric), ref)
     ref
   }

@@ -42,9 +42,12 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$d/events.parquet")
       val e  = new GraftEngine(s)
+      // ts rides along as a raw-time mirror: span filters reach the parquet
+      // scan (row-group skipping) despite the derived ms timestamp
       e.registerMetric("graft", "main", "events", ev,
         expr("ts div 1000000"), col("value"),
-        tags = Set("event_type", "user_id"), drop = Set("ts"))
+        tags = Set("event_type", "user_id"),
+        timeMirror = Some(graft.exec.TimeMirror("ts", 1000000L)))
       e
     })
 

@@ -14,9 +14,23 @@ import graft.sql.Ast._
   * from the partition directory listing — a metadata-only operation. */
 final case class ShardInfo(colName: String, intervalMs: Long, liveBounds: Option[(Long, Long)] = None)
 
+/**
+ * Raw-time mirror for metrics whose canonical `timestamp` is DERIVED from a
+ * source column (e.g. epoch-nanos → millis): Catalyst cannot push a filter
+ * through the arithmetic, so the executor mirrors every time span onto the
+ * raw column (`raw ∈ [lo*unitsPerMs, (hi+1)*unitsPerMs)`), which DOES reach
+ * the parquet scan and enables row-group skipping.
+ */
+final case class TimeMirror(colName: String, unitsPerMs: Long)
+
 /** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema.
-  * `shard` is present for warehouse-backed metrics and enables partition pruning. */
-final case class MetricRef(df: DataFrame, schema: MetricSchema, shard: Option[ShardInfo] = None)
+  * `shard` is present for warehouse-backed metrics and enables partition pruning;
+  * `timeMirror` lets derived-timestamp sources keep parquet row-group skipping. */
+final case class MetricRef(
+    df: DataFrame,
+    schema: MetricSchema,
+    shard: Option[ShardInfo] = None,
+    timeMirror: Option[TimeMirror] = None)
 
 /**
  * Compiles [[PlannedQuery]] shapes into DataFrame pipelines.
@@ -106,22 +120,28 @@ object Executor {
    * (`ReadCoordinator.scala:210-214`).
    */
   def filtered(m: MetricRef, where: Option[Predicate], tc: TimeContext): DataFrame = {
-    val base = filtered(m.df, where, tc)
-    m.shard match {
-      case None => base
-      case Some(si) =>
-        val spans = TimeBuckets.extractSpans(where, tc)
-        if (spans.isEmpty) base
-        else {
-          val pred = spans.map { s =>
-            val c  = col(si.colName)
-            val lo = if (s.lo == Long.MinValue) lit(true) else c >= math.floorDiv(s.lo, si.intervalMs)
-            val hi = if (s.hi == Long.MaxValue) lit(true) else c <= math.floorDiv(s.hi, si.intervalMs)
-            lo && hi
-          }.reduce(_ || _)
-          base.filter(pred)
-        }
+    val base  = filtered(m.df, where, tc)
+    val spans = TimeBuckets.extractSpans(where, tc)
+    if (spans.isEmpty) return base
+
+    val shardPred = m.shard.map { si =>
+      spans.map { s =>
+        val c  = col(si.colName)
+        val lo = if (s.lo == Long.MinValue) lit(true) else c >= math.floorDiv(s.lo, si.intervalMs)
+        val hi = if (s.hi == Long.MaxValue) lit(true) else c <= math.floorDiv(s.hi, si.intervalMs)
+        lo && hi
+      }.reduce(_ || _)
     }
+    val mirrorPred = m.timeMirror.map { tm =>
+      val u = tm.unitsPerMs
+      spans.map { s =>
+        val c  = col(tm.colName)
+        val lo = if (s.lo == Long.MinValue || s.lo < Long.MinValue / u) lit(true) else c >= s.lo * u
+        val hi = if (s.hi == Long.MaxValue || s.hi + 1 > Long.MaxValue / u) lit(true) else c < (s.hi + 1) * u
+        lo && hi
+      }.reduce(_ || _)
+    }
+    Seq(shardPred, mirrorPred).flatten.foldLeft(base)(_.filter(_))
   }
 
   private def executeSimple(p: PlannedQuery.Simple, m: MetricRef, tc: TimeContext): DataFrame = {
