@@ -123,7 +123,7 @@ object SparkEntry {
 
     // ---- training-data pipeline: deduplication
     "d_exact"   -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
-    "d_ngram"   -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), "source", 0.1).orderBy("id_a", "id_b")),
+    "d_ngram"   -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), Seq("source", "lang"), 0.1).orderBy("id_a", "id_b")),
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     "d_embed"   -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
@@ -209,7 +209,7 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
     "d_ngram" -> {
       val bg = "list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1), i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
-      s"""WITH w AS (SELECT doc_id, source, $bg AS bg FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(len(list_intersect(a.bg, b.bg))*1.0 / len(list_distinct(list_concat(a.bg, b.bg))), 4) AS jaccard FROM w a, w b WHERE a.source = b.source AND a.doc_id < b.doc_id) SELECT * FROM p WHERE jaccard >= 0.1 ORDER BY id_a, id_b"""
+      s"""WITH w AS (SELECT doc_id, source, lang, $bg AS bg FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(len(list_intersect(a.bg, b.bg))*1.0 / len(list_distinct(list_concat(a.bg, b.bg))), 4) AS jaccard FROM w a, w b WHERE a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id) SELECT * FROM p WHERE jaccard >= 0.1 ORDER BY id_a, id_b"""
     },
     "d_embed" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) SELECT * FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""",

@@ -82,16 +82,18 @@ object Dedup {
    */
   def ngramJaccardPairs(
       df: DataFrame,
-      blockCol: String,
+      blockCols: Seq[String],
       threshold: Double,
       k: Int = 2,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // the composite blocking key bounds the quadratic fan-out: tighter
+    // blocks (more columns) trade recall across blocks for join size
     val prepped = df.select(
       col(idCol).as("id"),
-      col(blockCol).as("block"),
+      concat_ws("", blockCols.map(col): _*).as("block"),
       shingleSet(col(textCol), k).as("sh")
     )
     val a = prepped.alias("a")

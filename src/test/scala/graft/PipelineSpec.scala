@@ -35,10 +35,10 @@ class PipelineSpec extends SparkTestBase {
   }
 
   "Dedup.ngramJaccardPairs" should "score identical docs 1.0 within a block" in {
-    val pairs = Dedup.ngramJaccardPairs(docs, "source", 0.5).collect()
+    val pairs = Dedup.ngramJaccardPairs(docs, Seq("source"), 0.5).collect()
     pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).filter(_._3 == 1.0) shouldBe empty
     // 0 and 1 share src0 and differ by one word
-    val p01 = Dedup.ngramJaccardPairs(docs, "lang", 0.5).collect()
+    val p01 = Dedup.ngramJaccardPairs(docs, Seq("lang"), 0.5).collect()
       .find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
     p01 should not be empty
     p01.get.getDouble(2) should be > 0.7
