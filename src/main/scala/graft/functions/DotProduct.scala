@@ -92,7 +92,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")),
     ("graft_sorted_intersect",
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1)),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"))
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect")),
+    ("graft_minhash",
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")),
+    ("graft_simhash",
+      (exprs: Seq[Expression]) => SimHashSignature(exprs.head),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"))
   )
 
   /** Idempotent per-session registration. */
@@ -107,6 +114,13 @@ object GraftFunctions {
 
   /** Common-element count of two sorted distinct long arrays (requires [[register]]). */
   def sortedIntersect(a: Column, b: Column): Column = call_function("graft_sorted_intersect", a, b)
+
+  /** MinHash signature of a hashed-shingle array (requires [[register]]). */
+  def minhash(shingleHashes: Column, numHashes: Int): Column =
+    call_function("graft_minhash", shingleHashes, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** 64-bit SimHash signature of a word-hash array (requires [[register]]). */
+  def simhash(wordHashes: Column): Column = call_function("graft_simhash", wordHashes)
 }
 
 /**

@@ -117,7 +117,9 @@ object Dedup {
     Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** minhash signature (array of numHashes longs) over a hashed-shingle-set column. */
+  /** minhash signature (array of numHashes longs) over a hashed-shingle-set
+    * column — portable HOF form; the LSH pipeline uses the value-identical
+    * native [[graft.functions.MinHashSignature]] kernel. */
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
     val perms = mhParams(numHashes)
     val base  = transform(shingleHashes, h => pmod(h, lit(MhPrime)))
@@ -147,7 +149,7 @@ object Dedup {
     val rows = numHashes / bands
     val prepped = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
 
     val banded = prepped
       .select(
@@ -214,11 +216,12 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     // signatures are reused on both sides of the bucket join and for the
     // final Hamming check — materialize once (at 100 TB: write to a table)
     val prepped = df
       .select(col(idCol).as("id"), wordHashes(col(textCol)).as("wh"))
-      .select(col("id"), simhashSignature(col("wh")).as("sig"))
+      .select(col("id"), GraftFunctions.simhash(col("wh")).as("sig"))
       .cache()
     val banded = prepped.select(
       col("id"), col("sig"),

@@ -57,6 +57,18 @@ class PipelineSpec extends SparkTestBase {
     dups should not contain 3L
   }
 
+  "native signature kernels" should "be value-identical to the portable HOF forms" in {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val sh = docs.select(Dedup.shingleSet(col("text"), 3).as("sh"), Dedup.wordHashes(col("text")).as("wh"))
+    val cmp = sh.select(
+      (GraftFunctions.minhash(col("sh"), 64) === Dedup.minhashSignature(col("sh"), 64)).as("mh_eq"),
+      (GraftFunctions.simhash(col("wh")) === Dedup.simhashSignature(col("wh"))).as("sh_eq")
+    ).collect()
+    all(cmp.map(_.getBoolean(0))) shouldBe true
+    all(cmp.map(_.getBoolean(1))) shouldBe true
+  }
+
   "Dedup.simhashPairs" should "give identical docs hamming 0" in {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
