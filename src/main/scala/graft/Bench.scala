@@ -25,13 +25,20 @@ object Bench {
     try SparkEntry.queries("g_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // min of two runs per query: absorbs one-off JIT/IO/scheduler noise
+    // (observed ±2x swings on shared hardware for the pair-join entries)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n  = try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-16s $sec%8.3f s  rows=$n")
-      name -> sec
+      var best  = Double.MaxValue
+      var rows  = -1L
+      for (_ <- 1 to runs) {
+        val t0 = System.nanoTime()
+        try { rows = fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      System.err.println(f"[bench] $name%-16s $best%8.3f s  rows=$rows")
+      name -> best
     }
     val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
