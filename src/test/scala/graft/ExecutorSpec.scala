@@ -193,6 +193,23 @@ class ExecutorSpec extends SparkTestBase {
     e.sql("db", "ns", "select sum(*) from neg").fold(fail(_), _.head().getDouble(0)) shouldBe -4.5
   }
 
+  it should "serve concurrent queries from multiple threads" in {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val queries = Seq(
+      "select count(*) from people",
+      "select sum(value) from people group by country order by country",
+      "select * from people where value > 2 order by timestamp",
+      "select count(*) from people where timestamp in (1000, 10000) group by interval 4 s",
+      "select distinct country from people order by country"
+    )
+    // HTTP/CLI hit one engine from many threads — 4 waves of all queries
+    val futures = (1 to 4).flatMap(_ => queries).map(q => Future(run(q).length))
+    val counts  = Await.result(Future.sequence(futures), 120.seconds)
+    counts.grouped(queries.size).toSeq.distinct.size shouldBe 1 // same answers every wave
+  }
+
   it should "execute avg per bucket" in {
     val rows = run("select avg(value) from people where timestamp in (1000, 10000) group by interval 4 s")
       .map(r => (r.getAs[Long]("upperBound"), r.getAs[Double]("value")))
