@@ -146,6 +146,15 @@ object SparkEntry {
     "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // ---- JSON metadata extraction over the events props column
+    "tx_json" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"))
+        .orderBy("event_type")
+    }),
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
@@ -229,6 +238,8 @@ object SparkEntry {
     "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
+    "tx_json" ->
+      """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->
