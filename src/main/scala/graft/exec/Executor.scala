@@ -193,7 +193,10 @@ object Executor {
   }
 
   private def executeTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext): DataFrame = {
-    val base = filtered(m, p.where, tc)
+    // records missing the group tag are excluded, matching the reference's
+    // facet semantics (a doc without the tag simply isn't in the taxonomy);
+    // Spark's groupBy would otherwise emit a NULL group
+    val base = filtered(m, p.where, tc).filter(col(p.tag).isNotNull)
     val out = p.agg match {
       case FirstAgg(_) | LastAgg(_) =>
         val (n, c) = aggColumn(p.agg, None)

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+import graft.plan.TimeContext
+
+/**
+ * Reference-parity spec: the reference's own fixture metrics
+ * (`nsdb-cluster/.../mockedData/MockedData.scala:22-192`) queried through
+ * this engine must reproduce the EXACT result sets asserted in the
+ * reference's ReadCoordinator specs
+ * (`ReadCoordinatorAggregatedStatementsSpec.scala`,
+ * `ReadCoordinatorTemporalAggregatedStatementsSpec.scala`).
+ *
+ * Known intentional deviations (documented in COVERAGE.md): empty temporal
+ * buckets are not emitted, and unbounded temporal queries anchor at the
+ * data/shard bounds rather than wall-clock now — so the ported temporal
+ * cases use explicit time ranges.
+ */
+class ReferenceParitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private implicit val tc: TimeContext = TimeContext(200000L)
+
+  // LongMetric (MockedData.scala:22-39): ts 1..10, values 1..6
+  private lazy val longMetric = Seq(
+    (1L, 1L, "Doe", "John"),
+    (2L, 2L, "Doe", "John"),
+    (4L, 3L, "", "J"),
+    (6L, 4L, "Doe", "Bill"),
+    (8L, 5L, "Doe", "Frank"),
+    (10L, 6L, "Doe", "Frankie")
+  ).toDF("timestamp", "value", "surname", "name")
+
+  // DoubleMetric (MockedData.scala:41-57): all values 1.5
+  private lazy val doubleMetric = Seq(
+    (2L, 1.5, "Doe", "John"),
+    (4L, 1.5, "Doe", "John"),
+    (6L, 1.5, "Doe", "Bill"),
+    (8L, 1.5, "Doe", "Frank"),
+    (10L, 1.5, "Doe", "Frankie")
+  ).toDF("timestamp", "value", "surname", "name")
+
+  // AggregationLongMetric (MockedData.scala:59-79); ts8 has no age (null)
+  private lazy val aggMetric = Seq(
+    (2L, 2L, "Doe", "John", Some(15L), 30.5),
+    (3L, 2L, "Doe", "John", Some(15L), 30.5),
+    (4L, 3L, "Doe", "John", Some(20L), 30.5),
+    (5L, 3L, "Doe", "John", Some(20L), 30.5),
+    (6L, 5L, "Doe", "Bill", Some(15L), 31.0),
+    (7L, 5L, "Doe", "Bill", Some(16L), 31.0),
+    (8L, 1L, "Doe", "Frank", None, 32.0),
+    (9L, 1L, "Doe", "Frank", Some(15L), 32.0),
+    (10L, 4L, "Doe", "Frankie", Some(15L), 32.0)
+  ).toDF("timestamp", "value", "surname", "name", "age", "height")
+
+  // TemporalLongMetric (MockedData.scala:145-162)
+  private lazy val temporalMetric = Seq(
+    (0L, 1L, "Doe", "Frankie"),
+    (30000L, 4L, "Doe", "Frank"),
+    (60000L, 7L, "Doe", "Bill"),
+    (90000L, 5L, "Doe", "John"),
+    (120000L, 3L, "Doe", "John"),
+    (150000L, 2L, "Doe", "John")
+  ).toDF("timestamp", "value", "surname", "name")
+
+  private lazy val engine: GraftEngine = {
+    val e = new GraftEngine(spark)
+    e.registerMetric("db", "ns", "longMetric", longMetric, col("timestamp"), col("value"), tags = Set("name"))
+    e.registerMetric("db", "ns", "doubleMetric", doubleMetric, col("timestamp"), col("value"), tags = Set("name"))
+    e.registerMetric("db", "ns", "aggMetric", aggMetric, col("timestamp"), col("value"), tags = Set("name", "age", "height"))
+    e.registerMetric("db", "ns", "temporalMetric", temporalMetric, col("timestamp"), col("value"), tags = Set("name"))
+    e
+  }
+
+  private def run(q: String): Seq[Row] =
+    engine.sql("db", "ns", q).fold(err => fail(err), _.collect().toSeq)
+
+  // ---- ReadCoordinatorAggregatedStatementsSpec expectations ----------------
+
+  "the engine on the reference fixtures" should "reproduce count(*) group by name (spec line 119-127)" in {
+    run("select count(*) from longMetric group by name order by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("value"))) shouldBe
+      Seq(("Bill", 1L), ("Frank", 1L), ("Frankie", 1L), ("J", 1L), ("John", 2L))
+  }
+
+  it should "reproduce sum(value) group by name (spec line 178-182)" in {
+    run("select sum(value) from longMetric group by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("value"))).toSet shouldBe
+      Set(("John", 3L), ("J", 3L), ("Frankie", 6L), ("Frank", 5L), ("Bill", 4L))
+  }
+
+  it should "reproduce sum on the double metric (spec line 203-206)" in {
+    run("select sum(value) from doubleMetric group by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Double]("value"))).toSet shouldBe
+      Set(("John", 3.0), ("Frankie", 1.5), ("Frank", 1.5), ("Bill", 1.5))
+  }
+
+  it should "reproduce count group by numeric tag age, excluding the missing-age record (spec line 337-339)" in {
+    run("select count(*) from aggMetric group by age")
+      .map(r => (r.getAs[Long]("age"), r.getAs[Long]("value"))).toSet shouldBe
+      Set((16L, 1L), (20L, 2L), (15L, 5L))
+  }
+
+  it should "reproduce sum group by age (spec line 362-364)" in {
+    run("select sum(value) from aggMetric group by age")
+      .map(r => (r.getAs[Long]("age"), r.getAs[Long]("value"))).toSet shouldBe
+      Set((15L, 14L), (16L, 5L), (20L, 6L))
+  }
+
+  it should "reproduce count and sum group by decimal tag height (spec lines 389-391, 415-417)" in {
+    run("select count(*) from aggMetric group by height")
+      .map(r => (r.getAs[Double]("height"), r.getAs[Long]("value"))).toSet shouldBe
+      Set((30.5, 4L), (32.0, 3L), (31.0, 2L))
+    run("select sum(value) from aggMetric group by height")
+      .map(r => (r.getAs[Double]("height"), r.getAs[Long]("value"))).toSet shouldBe
+      Set((30.5, 10L), (31.0, 10L), (32.0, 6L))
+  }
+
+  it should "reproduce first/last group by height (spec lines 440-442, 465-467)" in {
+    run("select first(value) from aggMetric group by height")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[Double]("height"))).toSet shouldBe
+      Set((2L, 2L, 30.5), (6L, 5L, 31.0), (8L, 1L, 32.0))
+    run("select last(value) from aggMetric group by height")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[Double]("height"))).toSet shouldBe
+      Set((5L, 3L, 30.5), (7L, 5L, 31.0), (10L, 4L, 32.0))
+  }
+
+  it should "reproduce max/min/avg group by height (spec lines 489-491, 513-515, 587-589)" in {
+    run("select max(value) from aggMetric group by height")
+      .map(r => (r.getAs[Double]("height"), r.getAs[Long]("value"))).toSet shouldBe
+      Set((30.5, 3L), (31.0, 5L), (32.0, 4L))
+    run("select min(value) from aggMetric group by height")
+      .map(r => (r.getAs[Double]("height"), r.getAs[Long]("value"))).toSet shouldBe
+      Set((30.5, 2L), (31.0, 5L), (32.0, 1L))
+    run("select avg(value) from aggMetric group by height")
+      .map(r => (r.getAs[Double]("height"), r.getAs[Double]("value"))).toSet shouldBe
+      Set((30.5, 2.5), (31.0, 5.0), (32.0, 2.0))
+  }
+
+  // ---- ReadCoordinatorTemporalAggregatedStatementsSpec (range-bounded) -----
+
+  it should "reproduce 30s-bucket counts over an explicit range (spec structure, lines 54-59)" in {
+    // range [0, 160000]: buckets anchored at 160000 going back 30s; the
+    // oldest bucket [0, 10000] absorbs the remainder — each holds one record
+    val rows = run("select count(*) from temporalMetric where timestamp in (0, 160000) group by interval 30 s")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("lowerBound"), r.getAs[Long]("upperBound"), r.getAs[Long]("value")))
+    rows shouldBe Seq(
+      (10000L, 0L, 10000L, 1L),
+      (40000L, 10000L, 40000L, 1L),
+      (70000L, 40000L, 70000L, 1L),
+      (100000L, 70000L, 100000L, 1L),
+      (130000L, 100000L, 130000L, 1L),
+      (160000L, 130000L, 160000L, 1L)
+    )
+  }
+
+  it should "reproduce 30s-bucket sums over the same range" in {
+    run("select sum(value) from temporalMetric where timestamp in (0, 160000) group by interval 30 s")
+      .map(r => (r.getAs[Long]("upperBound"), r.getAs[Long]("value"))) shouldBe
+      Seq((10000L, 1L), (40000L, 4L), (70000L, 7L), (100000L, 5L), (130000L, 3L), (160000L, 2L))
+  }
+}
