@@ -157,6 +157,60 @@ class ReferenceParitySpec extends SparkTestBase {
     )
   }
 
+  // ---- ReadCoordinatorCharsetSpec expectations -----------------------------
+
+  // CharsetMetric (MockedData.scala:164-190)
+  private lazy val charsetMetric = Seq(
+    (150000L, 2L, "Is this a question? Really", "Is this a question? Really"),
+    (120000L, 3L, "Is this an empathized question?! Or not?", "Is this an empathized question?! Or not?"),
+    (90000L, 5L, "Is this a double question??", "Is this a double question??"),
+    (60000L, 7L, "a_:m?!-e", "a_:m?!-e"),
+    (30000L, 4L, "a_:m-e", "a_:m-e"),
+    (0L, 1L, "Doe", "John")
+  ).toDF("timestamp", "value", "textDimension", "textTag")
+
+  it should "reproduce charset equality on special characters (charset spec lines 85-95)" in {
+    engine.registerMetric("db", "ns", "charsetMetric", charsetMetric,
+      col("timestamp"), col("value"), tags = Set("textTag"))
+    run("select * from charsetMetric where textTag = 'a_:m?!-e'")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"))) shouldBe Seq((60000L, 7L))
+    run("select * from charsetMetric where textTag = 'Is this an empathized question?! Or not?'")
+      .map(_.getAs[Long]("value")) shouldBe Seq(3L)
+  }
+
+  it should "reproduce LIKE with special characters (charset spec lines 196-240)" in {
+    // like $?$ — values containing a literal '?'; the fixture's '_' chars
+    // must NOT act as wildcards
+    run("select * from charsetMetric where textTag like $?$ order by timestamp")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"))) shouldBe
+      Seq((60000L, 7L), (90000L, 5L), (120000L, 3L), (150000L, 2L))
+  }
+
+  it should "reproduce LIKE AND NOT LIKE (charset spec lines 242-285)" in {
+    run("select * from charsetMetric where textTag like $?$ and not textTag like '$?!$' order by timestamp")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"))) shouldBe
+      Seq((90000L, 5L), (150000L, 2L))
+  }
+
+  it should "reproduce mixed plain fields + global count on every row (global spec lines 480-505)" in {
+    val rows = run("select name, count(*) from longMetric order by timestamp")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[String]("name"), r.getAs[Long]("count")))
+    rows.take(3) shouldBe Seq((1L, 1L, "John", 6L), (2L, 2L, "John", 6L), (4L, 3L, "J", 6L))
+    rows.map(_._4).distinct shouldBe Seq(6L) // aggregate attached to ALL rows
+  }
+
+  it should "reproduce mixed plain fields + global average (global spec lines 567-590)" in {
+    val rows = run("select name, avg(*) from longMetric order by timestamp")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[String]("name"), r.getAs[Double]("avg")))
+    rows.take(2) shouldBe Seq((1L, "John", 3.5), (2L, "John", 3.5))
+    rows.map(_._3).distinct shouldBe Seq(3.5)
+  }
+
+  it should "reproduce select distinct on the tag (distinct spec)" in {
+    run("select distinct name from longMetric order by name")
+      .map(_.getString(0)) shouldBe Seq("Bill", "Frank", "Frankie", "J", "John")
+  }
+
   it should "reproduce 30s-bucket sums over the same range" in {
     run("select sum(value) from temporalMetric where timestamp in (0, 160000) group by interval 30 s")
       .map(r => (r.getAs[Long]("upperBound"), r.getAs[Long]("value"))) shouldBe
