@@ -174,10 +174,22 @@ object Executor {
   }
 
   private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
-    val base     = filtered(m, p.where, tc)
-    val aggPairs = p.aggs.map(aggColumn(_, p.limit))
-    val aggCols  = aggPairs.map { case (n, c) => c.as(n) }
-    val aggRow   = base.agg(aggCols.head, aggCols.tail: _*)
+    val base = filtered(m, p.where, tc)
+    // empty-input parity (reference global spec): count/sum/avg/count
+    // distinct yield 0 on an empty selection; a pure min/max query yields
+    // NO row (min/max of nothing is dropped, not null)
+    val aggCols = p.aggs.map { agg =>
+      val (n, c) = aggColumn(agg, p.limit)
+      agg match {
+        case _: SumAgg | _: AvgAgg | _: CountDistinctAgg => coalesce(c, lit(0)).as(n)
+        case _                                           => c.as(n)
+      }
+    }
+    val rawAggRow = base.agg(aggCols.head, aggCols.tail: _*)
+    val aggRow =
+      if (p.aggs.forall(a => a.isInstanceOf[MinAgg] || a.isInstanceOf[MaxAgg]))
+        rawAggRow.na.drop("all")
+      else rawAggRow
     if (p.plainFields.isEmpty) aggRow
     else {
       // mixed plain fields + global aggregates: every output row carries the

@@ -192,6 +192,18 @@ class ReferenceParitySpec extends SparkTestBase {
       Seq((90000L, 5L), (150000L, 2L))
   }
 
+  it should "reproduce empty-selection aggregate semantics (global spec lines 47-95)" in {
+    // count on an empty selection → one row with 0
+    run("select count(*) from longMetric where value > 100")
+      .map(_.getAs[Long]("count")) shouldBe Seq(0L)
+    // avg on an empty selection → 0 (reference quirk, not null)
+    run("select avg(*) from longMetric where value > 100")
+      .map(_.getAs[Double]("avg")) shouldBe Seq(0.0)
+    // min/max on an empty selection → NO row
+    run("select min(*) from longMetric where value > 100") shouldBe empty
+    run("select max(*) from longMetric where value > 100") shouldBe empty
+  }
+
   it should "reproduce mixed plain fields + global count on every row (global spec lines 480-505)" in {
     val rows = run("select name, count(*) from longMetric order by timestamp")
       .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[String]("name"), r.getAs[Long]("count")))
