@@ -157,6 +157,34 @@ class ReferenceParitySpec extends SparkTestBase {
     )
   }
 
+  // ---- ReadCoordinatorSimpleStatementsSpec expectations --------------------
+
+  it should "reproduce order by timestamp desc with limit (simple spec lines 76-100)" in {
+    // LongMetric.recordsShard2.tail.reverse = ts 10 then ts 8
+    run("select * from longMetric order by timestamp desc limit 2")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[String]("name"))) shouldBe
+      Seq((10L, 6L, "Frankie"), (8L, 5L, "Frank"))
+    run("select * from longMetric order by value desc limit 2")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"))) shouldBe
+      Seq((10L, 6L), (8L, 5L))
+  }
+
+  it should "reproduce a full scan sorted by timestamp (simple spec lines 217-224)" in {
+    run("select * from longMetric order by timestamp")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[String]("surname"), r.getAs[String]("name"))) shouldBe
+      Seq((1L, 1L, "Doe", "John"), (2L, 2L, "Doe", "John"), (4L, 3L, "", "J"),
+          (6L, 4L, "Doe", "Bill"), (8L, 5L, "Doe", "Frank"), (10L, 6L, "Doe", "Frankie"))
+  }
+
+  it should "reproduce single-field projections carrying timestamp and value (simple spec lines 275-311)" in {
+    run("select surname from longMetric order by timestamp")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("value"), r.getAs[String]("surname"))) shouldBe
+      Seq((1L, 1L, "Doe"), (2L, 2L, "Doe"), (4L, 3L, ""), (6L, 4L, "Doe"), (8L, 5L, "Doe"), (10L, 6L, "Doe"))
+    run("select name from longMetric").collect { case r => r.getAs[String]("name") }
+      .groupBy(identity).view.mapValues(_.size).toMap shouldBe
+      Map("Bill" -> 1, "Frank" -> 1, "Frankie" -> 1, "J" -> 1, "John" -> 2)
+  }
+
   // ---- ReadCoordinatorCharsetSpec expectations -----------------------------
 
   // CharsetMetric (MockedData.scala:164-190)
