@@ -157,6 +157,35 @@ class ReferenceParitySpec extends SparkTestBase {
     )
   }
 
+  // ---- ReadCoordinatorNegativeSpec (negative values) -----------------------
+
+  // NegativeMetric (MockedData.scala:103-123): all values negative, signed tags
+  private lazy val negativeMetric = Seq(
+    (2L, -2.0, "Doe", "Bill", -15L, -30.5),
+    (3L, -2.0, "Doe", "John", 15L, 30.5),
+    (4L, -3.0, "Doe", "John", -20L, -30.5),
+    (5L, -3.0, "Doe", "John", 20L, 30.5),
+    (6L, -5.0, "Doe", "John", -16L, -31.0),
+    (7L, -6.0, "Doe", "Bill", 17L, -31.0),
+    (8L, -1.0, "Doe", "Frank", -17L, 32.0),
+    (9L, -1.0, "Doe", "Frank", 18L, -32.0),
+    (10L, -4.0, "Doe", "Frankie", -18L, 32.0)
+  ).toDF("timestamp", "value", "surname", "name", "age", "height")
+
+  it should "reproduce sum of negative values grouped by tag (negative spec lines 256-283)" in {
+    engine.registerMetric("db", "ns", "negativeMetric", negativeMetric,
+      col("timestamp"), col("value"), tags = Set("name", "age", "height"))
+    run("select sum(value) from negativeMetric group by name order by value desc")
+      .map(r => (r.getAs[String]("name"), r.getAs[Double]("value"))) shouldBe
+      Seq(("Frank", -2.0), ("Frankie", -4.0), ("Bill", -8.0), ("John", -13.0))
+  }
+
+  it should "reproduce min over negative values grouped by signed numeric tag (negative spec lines 286-310)" in {
+    run("select min(value) from negativeMetric group by age order by age desc")
+      .map(r => (r.getAs[Long]("age"), r.getAs[Double]("value"))).take(7) shouldBe
+      Seq((20L, -3.0), (18L, -1.0), (17L, -6.0), (15L, -2.0), (-15L, -2.0), (-16L, -5.0), (-17L, -1.0))
+  }
+
   // ---- ReadCoordinatorSimpleStatementsSpec expectations --------------------
 
   it should "reproduce order by timestamp desc with limit (simple spec lines 76-100)" in {
