@@ -1,0 +1,162 @@
+package graft
+
+import graft.functions.PortableHash
+import graft.pipeline.{Dedup, Similarity}
+
+/**
+ * DuckDB SQL generators for the signature-pipeline correctness oracles.
+ *
+ * Every dedup/similarity operator is deterministic modular or IEEE-double
+ * arithmetic over portable hashes ([[graft.functions.PortableHash]]) and
+ * sequential-fold dot products — so the ENTIRE pipeline (shingle → minhash →
+ * band buckets → verify; hyperplane signs → buckets → cosine verify; IVF
+ * seed → Lloyd mean → probe → top-k) can be replayed in DuckDB and
+ * hash-compared against the Spark result. The SQL is generated from the
+ * same Scala parameter arrays the operators use (permutation params,
+ * hyperplanes), so the two sides cannot drift.
+ *
+ * Cross-engine float parity notes:
+ *  - dot products are explicit left folds (`list_reduce` with a prepended
+ *    0.0 seed) — same operation order as the Spark kernels, so the doubles
+ *    are bit-identical, and sign tests / argmaxes agree exactly;
+ *  - Lloyd means are rounded to 6 dp before the float cast on both sides,
+ *    absorbing partial-aggregation-order noise;
+ *  - both engines round half away from zero for the reported 3-4 dp values.
+ */
+object OracleGen {
+
+  private val P = PortableHash.P31
+
+  /** per-word portable polynomial hash as a SQL lambda body over `v`. */
+  private def wordPolySql(v: String, base: Long, seed: Long): String =
+    s"list_reduce(list_prepend($seed::BIGINT, list_transform(range(1, length($v)+1), ci -> ascii(substr($v, ci::INT, 1))::BIGINT)), (a,b) -> (a*$base + b) % $P)"
+
+  /** CTEs `w` (word hashes) and `s` (sorted distinct k-shingle hashes) over
+    * the documents table — mirrors [[graft.functions.PortableHash.shingleSet]]. */
+  private def shingleCtes(k: Int): String = {
+    val window = (0 until k).map(j => s"wh[(i+$j)::INT]*${PortableHash.WindowBase * (j + 1)}").mkString(" + ")
+    s"""w AS (SELECT doc_id, list_transform(string_split(text, ' '), wd -> ${wordPolySql("wd", 131L, 7L)}) AS wh FROM documents),
+       |s AS (SELECT doc_id, list_sort(list_distinct(CASE WHEN len(wh) >= $k
+       |  THEN list_transform(range(1, len(wh)-${k - 2}), i -> $window)
+       |  ELSE [list_reduce(list_prepend(0::BIGINT, wh), (a,b) -> (a*31 + b) % ${PortableHash.FallbackMod})] END)) AS sh FROM w)""".stripMargin
+  }
+
+  /** exact Jaccard of two sorted distinct shingle-hash lists. */
+  private def jaccardSql(a: String, b: String): String =
+    s"round(len(list_intersect($a, $b))*1.0 / (len($a) + len($b) - len(list_intersect($a, $b))), 4)"
+
+  /** mirror of [[Dedup.ngramJaccardPairs]] with metadata blocking. */
+  def ngramMetaPairsSql(threshold: Double, k: Int, blockCols: Seq[String]): String = {
+    val blockEq = blockCols.map(c => s"da.$c = db.$c").mkString(" AND ")
+    s"""WITH ${shingleCtes(k)},
+       |p AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |      FROM documents da JOIN documents db ON $blockEq AND da.doc_id < db.doc_id
+       |      JOIN s sa ON sa.doc_id = da.doc_id JOIN s sb ON sb.doc_id = db.doc_id)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[Dedup.minhashLshPairs]]: signature, band buckets (capped),
+    * candidate pairs, exact-Jaccard verify. */
+  def minhashPairsSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String = {
+    require(numHashes % bands == 0)
+    val rows  = numHashes / bands
+    val perms = Dedup.mhParams(numHashes)
+    val asl   = perms.map(_._1).mkString("[", ",", "]")
+    val bsl   = perms.map(_._2).mkString("[", ",", "]")
+    s"""WITH params AS (SELECT $asl::BIGINT[] AS asl, $bsl::BIGINT[] AS bsl),
+       |${shingleCtes(shingleK)},
+       |g AS (SELECT doc_id, sh, list_transform(range(1, ${numHashes + 1}),
+       |        j -> list_min(list_transform(sh, h -> ((h % $P) * asl[j::INT] + bsl[j::INT]) % $P))) AS sig
+       |      FROM s CROSS JOIN params),
+       |bd AS (SELECT doc_id, band, list_aggregate(sig[(band*$rows+1):(band*$rows+$rows)], 'string_agg', ',') AS bucket
+       |       FROM g, (SELECT unnest(range(0, $bands)) AS band) bs),
+       |ok AS (SELECT band, bucket FROM bd GROUP BY band, bucket HAVING count(*) <= $maxBucket),
+       |bd2 AS (SELECT bd.* FROM bd JOIN ok USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bd2 a JOIN bd2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |      FROM cand JOIN s sa ON sa.doc_id = cand.id_a JOIN s sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[Dedup.simhashPairs]]: wide word hashes, 64-bit sign-sum
+    * signature, 4×16 band buckets, Hamming verify. */
+  def simhashPairsSql(maxHamming: Int): String = {
+    val wide = s"${wordPolySql("wd", 131L, 7L)} * $P + ${wordPolySql("wd", 137L, 11L)}"
+    val bits = (0 until 64).map(b =>
+      s"CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END"
+    ).mkString("[", ", ", "]")
+    s"""WITH wv AS (SELECT doc_id, list_sort(list_distinct(list_transform(string_split(text, ' '), wd -> $wide))) AS wh FROM documents),
+       |sig AS (SELECT doc_id, $bits AS sg FROM wv),
+       |bd AS (SELECT doc_id, band, list_aggregate(sg[(band*16+1):(band*16+16)], 'string_agg', ',') AS bucket
+       |       FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, list_sum(list_transform(range(1, 65),
+       |        i -> CASE WHEN sa.sg[i::INT] <> sb.sg[i::INT] THEN 1 ELSE 0 END))::BIGINT AS hamming
+       |      FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, hamming FROM v WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- embedding similarity ----------------------------------------------
+
+  /** sequential-fold dot product over dim components — bit-identical to the
+    * Spark kernels ([[graft.functions.DotProduct]] and the HOF fold). */
+  private def foldDot(a: String => String, b: String => String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), i -> ${a("i::INT")} * ${b("i::INT")})), (x,y) -> x+y)"
+
+  private def vecIdx(rel: String, colName: String)(i: String) = s"$rel.$colName[$i]::DOUBLE"
+
+  private def cosSql(aRel: String, aCol: String, bRel: String, bCol: String, dim: Int): String = {
+    val av = vecIdx(aRel, aCol) _
+    val bv = vecIdx(bRel, bCol) _
+    s"${foldDot(av, bv, dim)} / (sqrt(${foldDot(av, av, dim)}) * sqrt(${foldDot(bv, bv, dim)}))"
+  }
+
+  private def litArr(v: Seq[Double]): String = v.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** mirror of [[Similarity.lshCosinePairs]]: per-table packed sign-bit
+    * buckets against the SAME seeded hyperplanes, candidate dedup, exact
+    * cosine verify. */
+  def lshCosinePairsSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int): String = {
+    val ev = vecIdx("e", "embedding") _
+    val bucketExprs = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 42L + t)
+      planes.zipWithIndex.map { case (p, i) =>
+        val pv = (idx: String) => s"(${litArr(p.toSeq)})[$idx]"
+        s"CASE WHEN ${foldDot(ev, pv, dim)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")::BIGINT")
+    }
+    val bktCols = bucketExprs.zipWithIndex.map { case (x, t) => s"$x AS b_$t" }.mkString(", ")
+    val unioned = (0 until tables).map(t => s"SELECT vec_id, $t AS tbl, b_$t AS bucket FROM bkt").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bkt AS (SELECT e.vec_id, $bktCols FROM e),
+       |bd AS ($unioned),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bd a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS (SELECT id_a, id_b, round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) AS sim
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, sim FROM v WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[Similarity.ivfBuild]] (one Lloyd refinement) +
+    * [[Similarity.ivfTopK]] probing for the query vector `vec_id = 0`. */
+  def ivfTopKSql(nlist: Int, nprobe: Int, k: Int, dim: Int): String = {
+    def assignCte(centRel: String): String =
+      s"""SELECT id, v, cid AS centroid FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e", "embedding", "c", "cvec", dim)} DESC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN $centRel c) t WHERE rn = 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $nlist),
+       |a0 AS (${assignCte("seeds")}),
+       |m AS (SELECT centroid, ii.i, round(avg(v[ii.i::INT]::DOUBLE), 6)::FLOAT AS mv
+       |      FROM a0, (SELECT unnest(range(1, ${dim + 1})) AS i) ii GROUP BY centroid, ii.i),
+       |c1 AS (SELECT centroid AS cid, list(mv ORDER BY i) AS cvec FROM m GROUP BY centroid),
+       |a1 AS (${assignCte("c1")}),
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c1, q ORDER BY ${cosSql("c1", "cvec", "q", "qv", dim)} DESC, cid LIMIT $nprobe),
+       |r AS (SELECT id, ${cosSql("a1", "v", "q", "qv", dim)} AS s FROM a1, q WHERE a1.centroid IN (SELECT cid FROM probe))
+       |SELECT id, round(s, 3) AS sim FROM r ORDER BY s DESC, id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+}

@@ -126,7 +126,9 @@ object SparkEntry {
     "d_ngram"   -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), Seq("source", "lang"), 0.1).orderBy("id_a", "id_b")),
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
-    "d_embed"   -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
+    // near-dup mining runs the SCALABLE banded path (no cartesian join in
+    // any gate plan); cosinePairs stays a test-only brute-force baseline
+    "d_embed"   -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4, planesPerTable = 7, tables = 12).orderBy("id_a", "id_b")),
     // ---- similarity search
     "ann_topk" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
@@ -212,16 +214,18 @@ object SparkEntry {
     "i_last_buckets" -> temporalOracle(T1, T2, Day, "count(*)", lastN = Some(5)),
 
     // ---- pipeline operator oracles (documents / embeddings tables).
-    // minhash/simhash/lsh/ivf entries are intentionally omitted: their
-    // signatures use xxhash64, which DuckDB cannot reproduce → rows-only.
+    // The signature pipelines (minhash/simhash/lsh/ivf) use portable
+    // polynomial hashing and sequential-fold float arithmetic, so the
+    // WHOLE pipeline is replayed in DuckDB by [[OracleGen]] — no rows-only
+    // gates left. Embedding dim is 64 at every SF (TESTDATA.md tables).
     "d_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
-    "d_ngram" -> {
-      val bg = "list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1), i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
-      s"""WITH w AS (SELECT doc_id, source, lang, $bg AS bg FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(len(list_intersect(a.bg, b.bg))*1.0 / len(list_distinct(list_concat(a.bg, b.bg))), 4) AS jaccard FROM w a, w b WHERE a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id) SELECT * FROM p WHERE jaccard >= 0.1 ORDER BY id_a, id_b"""
-    },
-    "d_embed" ->
-      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) SELECT * FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
+    "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_simhash" -> OracleGen.simhashPairsSql(3),
+    "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
+    "ann_lsh"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "tx_tokens" -> {
@@ -239,7 +243,8 @@ object SparkEntry {
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
     "tx_json" ->
-      """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
+      // sum(BIGINT) is HUGEINT in DuckDB — cast back so the hash compare sees int64
+      """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->

@@ -99,7 +99,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")),
     ("graft_simhash",
       (exprs: Seq[Expression]) => SimHashSignature(exprs.head),
-      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"))
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash")),
+    ("graft_shingles",
+      (exprs: Seq[Expression]) => ShingleSet(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles")),
+    ("graft_word_hashes",
+      (exprs: Seq[Expression]) => WordHashSet(exprs.head),
+      new ExpressionInfo(classOf[WordHashSet].getName, "graft_word_hashes"))
   )
 
   /** Idempotent per-session registration. */
@@ -121,6 +128,13 @@ object GraftFunctions {
 
   /** 64-bit SimHash signature of a word-hash array (requires [[register]]). */
   def simhash(wordHashes: Column): Column = call_function("graft_simhash", wordHashes)
+
+  /** sorted distinct k-word shingle hashes of a text column (requires [[register]]). */
+  def shingles(text: Column, k: Int): Column =
+    call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(k))
+
+  /** sorted distinct wide word hashes of a text column (requires [[register]]). */
+  def wordHashes(text: Column): Column = call_function("graft_word_hashes", text)
 }
 
 /**

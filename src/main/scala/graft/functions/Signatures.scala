@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Native signature kernels for the dedup operators. The HOF formulations
@@ -13,6 +14,178 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
  * `numHashes × |shingles|` lambda invocations per document. These
  * expressions run the same arithmetic as tight generated loops.
  */
+
+/**
+ * Portable polynomial hashing shared by the text-dedup kernels.
+ *
+ * `poly(word) = fold over code points of (acc * base + cp) mod (2^31-1)`,
+ * seeded — plain modular arithmetic that an external SQL engine (the
+ * DuckDB correctness oracle, see [[graft.OracleGen]]) reproduces
+ * bit-for-bit, unlike xxhash64. The wide (~62-bit) variant combines two
+ * independent bases: `h131 * P + h137`, still inside a signed long.
+ *
+ * The fast path folds raw UTF-8 bytes (== code points for ASCII); a word
+ * containing a non-ASCII byte falls back to a per-code-point fold so the
+ * definition stays "code points" everywhere.
+ */
+object PortableHash extends Serializable {
+  val P31 = 2147483647L // 2^31 - 1
+  val FallbackMod = 1L << 55 // short-doc fold modulus (see shingleSet)
+  val WindowBase  = 1000003L // k-window combine coefficient base
+
+  /** polynomial fold over the code points of bytes[from, to). */
+  def wordPoly(bytes: Array[Byte], from: Int, to: Int, base: Long, seed: Long): Long = {
+    var acc   = seed
+    var i     = from
+    var ascii = true
+    while (i < to && ascii) { if (bytes(i) < 0) ascii = false else i += 1 }
+    if (ascii) {
+      i = from
+      while (i < to) { acc = (acc * base + bytes(i)) % P31; i += 1 }
+      acc
+    } else {
+      val s  = new String(bytes, from, to - from, java.nio.charset.StandardCharsets.UTF_8)
+      var ci = 0
+      acc = seed
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        acc = (acc * base + cp) % P31
+        ci += Character.charCount(cp)
+      }
+      acc
+    }
+  }
+
+  /** word boundaries of a single-space split, KEEPING empty words —
+    * matches `split(text, " ")` (Spark limit=-1) and DuckDB
+    * `string_split(text, ' ')`. Returns flat [start0,end0,start1,end1,…]. */
+  private def wordBounds(bytes: Array[Byte]): Array[Int] = {
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) n += 1; i += 1 }
+    val bounds = new Array[Int](2 * n)
+    var w      = 0
+    var start  = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) {
+        bounds(2 * w) = start; bounds(2 * w + 1) = i
+        w += 1; start = i + 1
+      }
+      i += 1
+    }
+    bounds(2 * w) = start; bounds(2 * w + 1) = bytes.length
+    bounds
+  }
+
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(a)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (i == 0 || a(i) != a(i - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+  }
+
+  /** sorted distinct k-word shingle hashes — value-identical to the HOF
+    * reference form [[graft.pipeline.Dedup.shingleSet]]. */
+  def shingleSet(text: UTF8String, k: Int): ArrayData = {
+    val bytes  = text.getBytes
+    val bounds = wordBounds(bytes)
+    val nw     = bounds.length / 2
+    val wh     = new Array[Long](nw)
+    var i      = 0
+    while (i < nw) { wh(i) = wordPoly(bytes, bounds(2 * i), bounds(2 * i + 1), 131L, 7L); i += 1 }
+    val sh =
+      if (nw >= k) {
+        val out = new Array[Long](nw - k + 1)
+        i = 0
+        while (i <= nw - k) {
+          var s = 0L
+          var j = 0
+          while (j < k) { s += wh(i + j) * (WindowBase * (j + 1)); j += 1 }
+          out(i) = s
+          i += 1
+        }
+        out
+      } else {
+        var acc = 0L
+        i = 0
+        while (i < nw) { acc = (acc * 31L + wh(i)) % FallbackMod; i += 1 }
+        Array(acc)
+      }
+    new GenericArrayData(sortedDistinct(sh))
+  }
+
+  /** sorted distinct wide (~62-bit) word hashes (simhash input) —
+    * value-identical to [[graft.pipeline.Dedup.wordHashes]]. */
+  def wordHashSet(text: UTF8String): ArrayData = {
+    val bytes  = text.getBytes
+    val bounds = wordBounds(bytes)
+    val nw     = bounds.length / 2
+    val wh     = new Array[Long](nw)
+    var i      = 0
+    while (i < nw) {
+      val h1 = wordPoly(bytes, bounds(2 * i), bounds(2 * i + 1), 131L, 7L)
+      val h2 = wordPoly(bytes, bounds(2 * i), bounds(2 * i + 1), 137L, 11L)
+      wh(i) = h1 * P31 + h2
+      i += 1
+    }
+    new GenericArrayData(sortedDistinct(wh))
+  }
+}
+
+/**
+ * Native k-word shingle-set kernel: split on single spaces, hash each word
+ * (portable polynomial, 31-bit), combine k-windows arithmetically, return
+ * the SORTED DISTINCT hash array. One tight loop per document vs the
+ * `transform`/`aggregate` HOF chain (interpreted lambda per element) — the
+ * prep stage of every text-dedup operator runs through this.
+ */
+case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_shingles requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.shingleSet(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.shingleSet($in, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native distinct wide word-hash kernel (simhash input) — see [[PortableHash.wordHashSet]]. */
+case class WordHashSet(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_word_hashes requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.wordHashSet(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.wordHashSet($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
 
 /**
  * MinHash signature over a hashed-shingle array: for each permutation i,

@@ -43,17 +43,34 @@ object Dedup {
   }
 
   /**
+   * Portable polynomial word hash: fold over code points of
+   * `(acc*base + cp) mod (2^31-1)`. Plain arithmetic both Spark and the
+   * DuckDB oracle can evaluate bit-for-bit ([[graft.OracleGen.wordPolySql]])
+   * — unlike xxhash64, which made the signature operators unverifiable.
+   * HOF reference form; operators run the value-identical native kernel
+   * [[graft.functions.PortableHash.wordPoly]].
+   */
+  def polyHash(s: Column, base: Long, seed: Long): Column =
+    when(length(s) > 0,
+      aggregate(sequence(lit(1), length(s)), lit(seed),
+        (acc, i) => pmod(acc * lit(base) + ascii(s.substr(i, lit(1))), lit(PortableHashP))))
+      .otherwise(lit(seed))
+
+  private val PortableHashP = graft.functions.PortableHash.P31
+
+  /**
    * Distinct shingle-hash set, SORTED ascending. Each word is hashed once
-   * (`xxhash64`) and k-windows combine word hashes arithmetically — no
-   * per-shingle string building. Only set cardinalities feed the Jaccard
-   * math, so the hash family choice is free. Sorted so the native
-   * merge-intersect can verify pairs; longs shuffle instead of strings.
+   * (portable polynomial, 31-bit) and k-windows combine word hashes
+   * arithmetically — no per-shingle string building; window sums stay
+   * inside a long under ANSI mode (Spark 4 throws on overflow). Sorted so
+   * the native merge-intersect can verify pairs; longs shuffle instead of
+   * strings. HOF reference form of [[graft.functions.ShingleSet]] (the
+   * native kernel the operators use) — a spec asserts they are
+   * value-identical.
    */
   def shingleSet(text: Column, k: Int): Column = {
-    val w = split(text, " ")
-    // 32-bit word hashes: k-window products must stay inside a long under
-    // ANSI mode (Spark 4 throws on overflow rather than wrapping)
-    val wh = transform(w, x => pmod(xxhash64(x), lit(1L << 32)))
+    val w  = split(text, " ")
+    val wh = transform(w, polyHash(_, 131L, 7L))
     def windowHash(i: Column): Column =
       (0 until k).map(j => element_at(wh, i + j + 1) * lit(1000003L * (j + 1))).reduce(_ + _)
     val hashes = when(size(w) >= k, transform(sequence(lit(0), size(w) - k), windowHash(_)))
@@ -90,11 +107,12 @@ object Dedup {
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // the composite blocking key bounds the quadratic fan-out: tighter
-    // blocks (more columns) trade recall across blocks for join size
+    // blocks (more columns) trade recall across blocks for join size;
+    // for a metadata-free scale path see [[ngramJaccardPairsBanded]]
     val prepped = df.select(
       col(idCol).as("id"),
       concat_ws("", blockCols.map(col): _*).as("block"),
-      shingleSet(col(textCol), k).as("sh")
+      GraftFunctions.shingles(col(textCol), k).as("sh")
     )
     val a = prepped.alias("a")
     val b = prepped.alias("b")
@@ -107,12 +125,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * n-gram Jaccard with SIGNATURE-based blocking — the 100 TB path when no
+   * trustworthy metadata blocking key exists: candidates come from banded
+   * minhash buckets over the same k-word shingles, verification is the same
+   * exact Jaccard. Sub-quadratic: only bucket-mates meet in a shuffle, and
+   * `maxBucket` caps degenerate buckets. Recall for a pair with true
+   * Jaccard J is `1-(1-J^rows)^bands` — size rows/bands to the threshold
+   * (defaults suit near-dup sweeps, J ≳ 0.5; a low-threshold sweep over a
+   * tiny-vocabulary corpus needs metadata blocking instead, because
+   * random-pair J stops being negligible and the buckets degenerate).
+   */
+  def ngramJaccardPairsBanded(
+      df: DataFrame,
+      threshold: Double,
+      k: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    minhashLshPairs(df, threshold, numHashes, bands, k, maxBucket, textCol, idCol)
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   private val MhPrime = 2147483647L // 2^31 - 1: keeps a*h + b inside a long
 
-  /** deterministic permutation parameters (a_i, b_i) for the minhash family. */
-  private def mhParams(numHashes: Int): Array[(Long, Long)] = {
+  /** deterministic permutation parameters (a_i, b_i) for the minhash family
+    * (shared with [[graft.OracleGen]], which embeds them as SQL literals). */
+  private[graft] def mhParams(numHashes: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
@@ -147,28 +189,43 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
+    // signatures and shingle sets are reused on both sides of the bucket
+    // join and in the verify — materialize once (at 100 TB: write to a table)
     val prepped = df
-      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
+      .cache()
 
+    // banded relation carries ONLY (id, band, bucket) — the shingle arrays
+    // never ride through the explode or the candidate shuffle. The bucket
+    // key is the band slice itself (equality is all that matters; string
+    // concat keeps it engine-portable for the oracle).
     val banded = prepped
       .select(
-        col("id"), col("sh"),
+        col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "bucket"))
       )
 
-    // cap pathological buckets before the self-join
-    val counted = banded.withColumn("bsize",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsize") <= maxBucket)
+    // cap pathological buckets before the self-join: aggregate + semi-join
+    // (a partial-aggregating groupBy, not a full window over every row)
+    val smallBuckets = banded.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
 
-    val a = counted.alias("a")
-    val b = counted.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    // dedupe candidate id pairs FIRST (bare longs), join shingles back after
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val candidates = a
+      .join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val sh = prepped.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -201,9 +258,16 @@ object Dedup {
         ) > 0, lit(1)).otherwise(lit(0))
     }: _*)
 
-  /** distinct word hashes of a text column (input to [[simhashSignature]]). */
+  /** sorted distinct wide (~62-bit) word hashes of a text column (input to
+    * [[simhashSignature]]): two independent portable polynomial hashes
+    * combined as `h131 * P + h137` — engine-portable, unlike xxhash64, so
+    * the oracle can replay the signature. Bits 62-63 are ~always 0 (the
+    * value is uniform below P² ≈ 2^62): those two signature positions are
+    * constant on both engines and contribute 0 to every Hamming distance.
+    * HOF reference form of the native [[graft.functions.WordHashSet]]. */
   def wordHashes(text: Column): Column =
-    transform(array_distinct(split(text, " ")), xxhash64(_))
+    sort_array(array_distinct(transform(split(text, " "),
+      w => polyHash(w, 131L, 7L) * lit(PortableHashP) + polyHash(w, 137L, 11L))))
 
   /**
    * SimHash near-dup pairs within Hamming distance `maxHamming`, using
@@ -220,7 +284,7 @@ object Dedup {
     // signatures are reused on both sides of the bucket join and for the
     // final Hamming check — materialize once (at 100 TB: write to a table)
     val prepped = df
-      .select(col(idCol).as("id"), wordHashes(col(textCol)).as("wh"))
+      .select(col(idCol).as("id"), GraftFunctions.wordHashes(col(textCol)).as("wh"))
       .select(col("id"), GraftFunctions.simhash(col("wh")).as("sig"))
       .cache()
     val banded = prepped.select(

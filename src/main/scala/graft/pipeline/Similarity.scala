@@ -110,9 +110,16 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
     val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, d, seed = 42L + t))
-    val bucketCols = tablePlanes.map(lshBucket(col(vecCol), _))
+    // native dot kernel for the 48+ sign tests per row (value-identical to
+    // the portable HOF fold in lshBucket — same sequential double sum)
+    def fastBucket(planes: Array[Array[Double]]): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(fdot(col(vecCol), lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bucketCols = tablePlanes.map(fastBucket)
     val buckets = df.select(col(idCol).as("id"),
       posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
     val a = buckets.alias("a")
@@ -122,7 +129,6 @@ object Similarity {
       .join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    GraftFunctions.register(df.sparkSession)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
@@ -145,6 +151,36 @@ object Similarity {
    * a single explode/groupBy pipeline — fully distributed, no driver math
    * beyond collecting `nlist` centroid vectors.
    */
+  /**
+   * Nearest-centroid assignment as a SINGLE PROJECTION: the centroid list
+   * is tiny and driver-resident, so each row computes an array of cosines
+   * against literal centroid vectors and takes the argmax position —
+   * zero Exchange, no crossJoin row explosion, no `groupBy(id)` shuffle of
+   * the embedding payload. (The previous shape — crossJoin(broadcast) ×
+   * nlist then groupBy — reshuffled every vector nlist times; at 100 TB
+   * that shuffle IS the job.) Ties resolve to the lowest centroid id
+   * (first max position; centroids evaluated in ascending-cid order).
+   */
+  private def assignByProjection(
+      df: DataFrame,
+      cents: Map[Long, Seq[Float]],
+      vecCol: String,
+      idCol: String
+  ): DataFrame = {
+    val entries = cents.toSeq.sortBy(_._1)
+    val cids    = entries.map(_._1).toArray
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      fnorm(col(vecCol)).as("nv"))
+    val sims = array(entries.map { case (_, cv) =>
+      val c = lit(cv.map(_.toDouble).toArray)
+      // centroid norm constant-folds (literal input → evaluated once)
+      fdot(col("v"), c) / (col("nv") * fnorm(c))
+    }: _*)
+    withNorm
+      .select(col("id"), col("v"),
+        element_at(lit(cids), array_position(sims, array_max(sims)).cast("int")).as("centroid"))
+  }
+
   def ivfBuild(
       df: DataFrame,
       nlist: Int,
@@ -156,28 +192,20 @@ object Similarity {
     var cents: Map[Long, Seq[Float]] = df.orderBy(col(idCol)).limit(nlist).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
 
-    def assign(c: Map[Long, Seq[Float]]): DataFrame = {
-      val centDf = df.sparkSession.createDataFrame(
-        c.toSeq.map { case (cid, v) => (cid, v.toArray) }
-      ).toDF("cid", "cvec")
-      df.alias("x").crossJoin(broadcast(centDf))
-        .select(col(s"x.$idCol").as("id"), col(s"x.$vecCol").as("v"), col("cid"),
-          (fdot(col(s"x.$vecCol"), col("cvec")) / (fnorm(col(s"x.$vecCol")) * fnorm(col("cvec")))).as("csim"))
-        .groupBy(col("id"))
-        .agg(max_by(col("cid"), col("csim")).as("centroid"), first(col("v")).as("v"))
-    }
-
-    var assigned = assign(cents)
+    var assigned = assignByProjection(df, cents, vecCol, idCol)
     for (_ <- 0 until refineIterations) {
-      // per-cluster elementwise mean: explode components, average, regroup
+      // per-cluster elementwise mean: explode components, average, regroup.
+      // Means are rounded to 6 dp before the float cast so the result is
+      // independent of partial-aggregation order (reproducible across
+      // partitionings and engines — the oracle replays this exactly).
       val means = assigned
         .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("centroid"), col("i"))
-        .agg(avg(col("x")).as("m"))
+        .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("centroid"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))), s => s("m").cast("float")).as("cvec"))
       cents = means.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
-      assigned = assign(cents)
+      assigned = assignByProjection(df, cents, vecCol, idCol)
     }
     IvfIndex(assigned, cents)
   }
@@ -185,9 +213,9 @@ object Similarity {
   /**
    * IVF index: take `nlist` deterministic seed vectors as coarse centroids
    * (a k-means step would refine them; seeds suffice for a recall-tunable
-   * index), assign every vector to its nearest centroid. Returns the
-   * assignment DataFrame — at scale this is written bucketed-by-centroid
-   * so probes touch only `nprobe` files.
+   * index), assign every vector to its nearest centroid in one shuffle-free
+   * projection. Returns the assignment DataFrame — at scale this is
+   * written bucketed-by-centroid so probes touch only `nprobe` files.
    */
   def ivfAssign(
       df: DataFrame,
@@ -195,15 +223,10 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
-    val centroids = df.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     GraftFunctions.register(df.sparkSession)
-    val withSim = df.alias("x").crossJoin(broadcast(centroids))
-      .select(col(s"x.$idCol").as("id"), col(s"x.$vecCol").as("v"), col("cid"),
-        (fdot(col(s"x.$vecCol"), col("cvec")) / (fnorm(col(s"x.$vecCol")) * fnorm(col("cvec")))).as("csim"))
-    // nearest centroid per vector via max_by — one pass, no window sort
-    withSim.groupBy(col("id"))
-      .agg(max_by(col("cid"), col("csim")).as("centroid"), first(col("v")).as("v"))
+    val cents: Map[Long, Seq[Float]] = df.orderBy(col(idCol)).limit(nlist).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assignByProjection(df, cents, vecCol, idCol)
   }
 
   /** IVF top-k: probe the `nprobe` centroids closest to the query. */
@@ -220,8 +243,10 @@ object Similarity {
       val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
       d / (na * nb)
     }
+    // deterministic tiebreak (cid ascending) — map iteration order must
+    // never decide which partitions get probed
     val probed = centroidVecs.toSeq
-      .sortBy { case (_, v) => -cos(v, queryVec) }
+      .sortBy { case (cid, v) => (-cos(v, queryVec), cid) }
       .take(nprobe).map(_._1)
     GraftFunctions.register(assigned.sparkSession)
     val q = lit(queryVec.map(_.toDouble).toArray)
