@@ -25,19 +25,21 @@ object Bench {
     try SparkEntry.queries("g_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // min of two runs per query: absorbs one-off JIT/IO/scheduler noise
-    // (observed ±2x swings on shared hardware for the pair-join entries)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min of three runs per query: absorbs one-off JIT/IO/scheduler noise
+    // (observed ±2-4x swings on shared hardware — a single noisy window
+    // once recorded a phantom regression, so all per-run times are printed)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best  = Double.MaxValue
-      var rows  = -1L
-      for (_ <- 1 to runs) {
+      var rows = -1L
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { rows = fn(spark, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        (System.nanoTime() - t0) / 1e9
       }
-      System.err.println(f"[bench] $name%-16s $best%8.3f s  rows=$rows")
+      val best = times.min
+      val all  = times.map(t => f"$t%.3f").mkString(",")
+      System.err.println(f"[bench] $name%-16s $best%8.3f s  rows=$rows%-8d runs=[$all]")
       name -> best
     }
     val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
