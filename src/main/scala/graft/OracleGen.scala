@@ -79,20 +79,31 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
-  /** mirror of [[Dedup.simhashPairs]]: wide word hashes, 64-bit sign-sum
-    * signature, 4×16 band buckets, Hamming verify. */
-  def simhashPairsSql(maxHamming: Int): String = {
-    val wide = s"${wordPolySql("wd", 131L, 7L)} * $P + ${wordPolySql("wd", 137L, 11L)}"
-    val bits = (0 until 64).map(b =>
-      s"CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END"
-    ).mkString("[", ", ", "]")
+  /** mirror of [[Dedup.simhashPairs]]: wide word hashes + second-lane
+    * rehash ([[PortableHash.lane2]]), 128-bit sign-sum signature, 4×32-bit
+    * band buckets (packed as BIGINTs exactly like the Spark plan's
+    * `lo & m32 / lo >> 32 / hi & m32 / hi >> 32` slices), `maxBucket` cap,
+    * Hamming verify over the 128 bit positions. */
+  def simhashPairsSql(maxHamming: Int, maxBucket: Int): String = {
+    import PortableHash.{L2A1, L2A2, L2C1, L2C2, P31b}
+    val wide  = s"${wordPolySql("wd", 131L, 7L)} * $P + ${wordPolySql("wd", 137L, 11L)}"
+    val lane2 = s"(((h % $P) * $L2A1 + $L2C1) % $P) * $P + (((h % $P31b) * $L2A2 + $L2C2) % $P)"
+    def bits(src: String): Seq[String] = (0 until 64).map(b =>
+      s"CASE WHEN list_sum(list_transform($src, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END")
+    val sg = (bits("wh") ++ bits("wb")).mkString("[", ", ", "]")
+    // band b bucket = sum_j sg[b*32+j] * 2^j — identical to the packed-long
+    // 32-bit slices on the Spark side (sign bits are never set)
+    val bucket = s"list_sum(list_transform(range(0, 32), j -> sg[(band*32 + j + 1)::INT] * (1::BIGINT << j::INT)))::BIGINT"
     s"""WITH wv AS (SELECT doc_id, list_sort(list_distinct(list_transform(string_split(text, ' '), wd -> $wide))) AS wh FROM documents),
-       |sig AS (SELECT doc_id, $bits AS sg FROM wv),
-       |bd AS (SELECT doc_id, band, list_aggregate(sg[(band*16+1):(band*16+16)], 'string_agg', ',') AS bucket
+       |w2 AS (SELECT doc_id, wh, list_transform(wh, h -> $lane2) AS wb FROM wv),
+       |sig AS (SELECT doc_id, $sg AS sg FROM w2),
+       |bd AS (SELECT doc_id, band, $bucket AS bucket
        |       FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+       |ok AS (SELECT band, bucket FROM bd GROUP BY band, bucket HAVING count(*) <= $maxBucket),
+       |bd2 AS (SELECT bd.* FROM bd JOIN ok USING (band, bucket)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |v AS (SELECT id_a, id_b, list_sum(list_transform(range(1, 65),
+       |         FROM bd2 a JOIN bd2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |v AS (SELECT id_a, id_b, list_sum(list_transform(range(1, 129),
        |        i -> CASE WHEN sa.sg[i::INT] <> sb.sg[i::INT] THEN 1 ELSE 0 END))::BIGINT AS hamming
        |      FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
        |SELECT id_a, id_b, hamming FROM v WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")

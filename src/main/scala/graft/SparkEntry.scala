@@ -222,7 +222,7 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
     "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
-    "d_simhash" -> OracleGen.simhashPairsSql(3),
+    "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "ann_lsh"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 6, tables = 8, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),

@@ -126,7 +126,8 @@ object GraftFunctions {
   def minhash(shingleHashes: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingleHashes, org.apache.spark.sql.functions.lit(numHashes))
 
-  /** 64-bit SimHash signature of a word-hash array (requires [[register]]). */
+  /** 128-bit SimHash signature of a word-hash array, packed as two
+    * non-negative longs `[lo, hi]` (requires [[register]]). */
   def simhash(wordHashes: Column): Column = call_function("graft_simhash", wordHashes)
 
   /** sorted distinct k-word shingle hashes of a text column (requires [[register]]). */

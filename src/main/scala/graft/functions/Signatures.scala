@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -30,8 +30,65 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object PortableHash extends Serializable {
   val P31 = 2147483647L // 2^31 - 1
+  val P31b = 2147483629L // 2^31 - 19 (prime) — independent reduction modulus
   val FallbackMod = 1L << 55 // short-doc fold modulus (see shingleSet)
   val WindowBase  = 1000003L // k-window combine coefficient base
+
+  // second-lane rehash constants (see lane2)
+  val L2A1 = 1000003L
+  val L2C1 = 65537L
+  val L2A2 = 1000033L
+  val L2C2 = 131071L
+
+  /**
+   * Second 64-bit lane for the 128-bit SimHash, derived from a wide
+   * (~62-bit, non-negative) word hash by two INDEPENDENT modular
+   * reductions: `h mod P31` and `h mod P31b` together determine
+   * `h mod (P31*P31b)` (CRT), so the full entropy of the input survives —
+   * then each residue is rehashed affinely and the two 31-bit results are
+   * recombined below 2^62. Plain `*`/`+`/`%` on non-negative longs: the
+   * DuckDB oracle replays it bit-for-bit, and no intermediate exceeds
+   * 2^62 (ANSI-mode safe).
+   */
+  def lane2(h: Long): Long = {
+    val g1 = ((h % P31) * L2A1 + L2C1) % P31
+    val g2 = ((h % P31b) * L2A2 + L2C2) % P31
+    g1 * P31 + g2
+  }
+
+  /**
+   * 128-bit SimHash over a wide word-hash array, packed into two
+   * NON-NEGATIVE longs: `lo` bit b = sign of the ±1 vote sum over bit b of
+   * each word hash (positions 0-63), `hi` likewise over the [[lane2]]
+   * rehash (positions 64-127). Input hashes are < 2^62, so vote positions
+   * 62/63/126/127 are always negative and bits 62-63 of both words stay 0
+   * — the packed longs never go negative on either engine.
+   */
+  def simHash128(wh: ArrayData): ArrayData = {
+    val n = wh.numElements()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < n) {
+      val a = wh.getLong(i)
+      val b = lane2(a)
+      var j = 0
+      while (j < 64) {
+        if (((a >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((b >>> j) & 1L) == 1L) votes(64 + j) += 1 else votes(64 + j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) lo |= 1L << j
+      if (votes(64 + j) > 0) hi |= 1L << j
+      j += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
 
   /** polynomial fold over the code points of bytes[from, to). */
   def wordPoly(bytes: Array[Byte], from: Int, to: Int, base: Long, seed: Long): Long = {
@@ -259,9 +316,12 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
 }
 
 /**
- * 64-bit SimHash signature over a word-hash array: bit b = 1 iff the sum
- * of ±1 (bit b of each hash set / clear) is positive — value-identical to
- * the 64-aggregate HOF version.
+ * 128-bit SimHash signature over a wide word-hash array, returned as TWO
+ * packed non-negative longs `[lo, hi]` (positions 0-63 / 64-127, see
+ * [[PortableHash.simHash128]]). Packing makes the downstream pipeline
+ * all-builtin: band buckets are 32-bit slices (`shiftright`/`&`) and the
+ * Hamming verify is `bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)` —
+ * codegen'd Spark builtins instead of a 64-element interpreted HOF fold.
  */
 case class SimHashSignature(child: Expression) extends UnaryExpression {
 
@@ -270,45 +330,16 @@ case class SimHashSignature(child: Expression) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(s"graft_simhash requires array<bigint>, got ${other.catalogString}")
   }
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_simhash"
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n   = arr.numElements()
-    val acc = new Array[Int](64)
-    var i   = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(acc.map(s => if (s > 0) 1 else 0))
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.simHash128(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, in => {
-      val i = ctx.freshName("i"); val b = ctx.freshName("b")
-      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val h = ctx.freshName("h"); val out = ctx.freshName("out")
-      s"""
-         |final int $n = $in.numElements();
-         |final int[] $acc = new int[64];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final long $h = $in.getLong($i);
-         |  for (int $b = 0; $b < 64; $b++) {
-         |    if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
-         |  }
-         |}
-         |final int[] $out = new int[64];
-         |for (int $b = 0; $b < 64; $b++) $out[$b] = $acc[$b] > 0 ? 1 : 0;
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.simHash128($in);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

@@ -14,7 +14,8 @@ import graft.functions.GraftFunctions
  *    verified with exact set arithmetic
  *  - MinHash+LSH: shingle → signature → band buckets → bucket join;
  *    only near-identical docs ever meet in a shuffle
- *  - SimHash: 64-bit sign-sum signature, banded for Hamming-radius lookup
+ *  - SimHash: 128-bit sign-sum signature (two packed longs), banded
+ *    4×32 bits for Hamming-radius lookup
  *
  * All column-only (whole-stage codegen, no UDFs). Bucket joins cap bucket
  * width to bound worst-case skew (a degenerate key at 100 TB would
@@ -111,7 +112,11 @@ object Dedup {
     // for a metadata-free scale path see [[ngramJaccardPairsBanded]]
     val prepped = df.select(
       col(idCol).as("id"),
-      concat_ws("", blockCols.map(col): _*).as("block"),
+      // "\u0001" separator (written escaped — it is invisible as a raw
+      // literal) so block values cannot collide across column boundaries
+      // (("ab","c") vs ("a","bc")), matching the oracle's per-column
+      // equality semantics
+      concat_ws("\u0001", blockCols.map(col): _*).as("block"),
       GraftFunctions.shingles(col(textCol), k).as("sh")
     )
     val a = prepped.alias("a")
@@ -190,11 +195,14 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
     // signatures and shingle sets are reused on both sides of the bucket
-    // join and in the verify — materialize once (at 100 TB: write to a table)
+    // join and in the verify — materialize once, with lineage truncated so
+    // the blocks are reclaimed by the ContextCleaner once the result is
+    // dropped (Dataset.cache would pin them in the CacheManager for the
+    // session lifetime; at 100 TB: write the signature table out instead)
     val prepped = df
       .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
-      .cache()
+      .localCheckpoint(true)
 
     // banded relation carries ONLY (id, band, bucket) — the shingle arrays
     // never ride through the explode or the candidate shuffle. The bucket
@@ -245,24 +253,40 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
+  /** second-lane word rehash — HOF mirror of
+    * [[graft.functions.PortableHash.lane2]]: two independent modular
+    * reductions (mod P, mod P31b) rehashed affinely and recombined < 2^62.
+    * `pmod == %` here because wide word hashes are non-negative. */
+  def lane2Hash(h: Column): Column = {
+    import graft.functions.{PortableHash => PH}
+    val g1 = pmod(pmod(h, lit(PH.P31)) * lit(PH.L2A1) + lit(PH.L2C1), lit(PH.P31))
+    val g2 = pmod(pmod(h, lit(PH.P31b)) * lit(PH.L2A2) + lit(PH.L2C2), lit(PH.P31))
+    g1 * lit(PH.P31) + g2
+  }
+
   /**
-   * 64-bit SimHash signature: per bit, sign of the sum of ±1 over word
-   * hashes (bit set → +1, clear → −1). One aggregate per bit with a
-   * constant shift — stays inside whole-stage codegen.
+   * 128-bit SimHash signature packed into two non-negative longs
+   * `[lo, hi]`: per position, sign of the sum of ±1 over word hashes
+   * (positions 0-63 from the wide hash bits, 64-127 from the [[lane2Hash]]
+   * rehash bits). HOF reference form of the native
+   * [[graft.functions.SimHashSignature]] — a spec asserts identity.
    */
-  def simhashSignature(hashesCol: Column): Column =
-    array((0 until 64).map { b =>
-      when(
-        aggregate(hashesCol, lit(0),
-          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
-        ) > 0, lit(1)).otherwise(lit(0))
-    }: _*)
+  def simhashSignature(hashesCol: Column): Column = {
+    def packed(hs: Column): Column =
+      (0 until 64).map { b =>
+        when(
+          aggregate(hs, lit(0),
+            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+          ) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    array(packed(hashesCol), packed(transform(hashesCol, lane2Hash(_))))
+  }
 
   /** sorted distinct wide (~62-bit) word hashes of a text column (input to
     * [[simhashSignature]]): two independent portable polynomial hashes
     * combined as `h131 * P + h137` — engine-portable, unlike xxhash64, so
     * the oracle can replay the signature. Bits 62-63 are ~always 0 (the
-    * value is uniform below P² ≈ 2^62): those two signature positions are
+    * value is uniform below P² ≈ 2^62): those signature positions are
     * constant on both engines and contribute 0 to every Hamming distance.
     * HOF reference form of the native [[graft.functions.WordHashSet]]. */
   def wordHashes(text: Column): Column =
@@ -271,41 +295,56 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs within Hamming distance `maxHamming`, using
-   * 4×16-bit band buckets (a pair within Hamming ≤ 3 of a 64-bit signature
-   * must agree exactly on at least one of 4 bands — pigeonhole).
+   * 4×32-bit band buckets over the 128-bit signature (a pair within
+   * Hamming ≤ 3 must agree exactly on at least one of 4 bands —
+   * pigeonhole). 32-bit buckets keep random collisions at ~n²/2³⁰ per
+   * band (the earlier 64-bit/4×16 layout collided at n²/2¹⁶ — quadratic
+   * noise at scale), and `maxBucket` caps what remains, same guard as
+   * [[minhashLshPairs]]. The verify is two codegen'd builtins
+   * (`bit_count(xor)`) over the packed words — no per-bit HOF fold.
    */
   def simhashPairs(
       df: DataFrame,
       maxHamming: Int = 3,
+      maxBucket: Int = 1000,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // signatures are reused on both sides of the bucket join and for the
-    // final Hamming check — materialize once (at 100 TB: write to a table)
+    // final Hamming check — materialize once, with lineage truncated so the
+    // blocks are reclaimed by the ContextCleaner once the result is dropped
+    // (at 100 TB: write the signature table out instead)
     val prepped = df
-      .select(col(idCol).as("id"), GraftFunctions.wordHashes(col(textCol)).as("wh"))
-      .select(col("id"), GraftFunctions.simhash(col("wh")).as("sig"))
-      .cache()
+      .select(col(idCol).as("id"), GraftFunctions.simhash(GraftFunctions.wordHashes(col(textCol))).as("sig"))
+      .select(col("id"), element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
+      .localCheckpoint(true)
+    val m32 = lit(4294967295L) // 2^32 - 1: low-word mask (lo/hi are non-negative)
     val banded = prepped.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => concat_ws(",", slice(col("sig"), b * 16 + 1, lit(16))))).as(Seq("band", "bucket"))
+      col("id"),
+      posexplode(array(
+        col("lo").bitwiseAND(m32), shiftright(col("lo"), 32),
+        col("hi").bitwiseAND(m32), shiftright(col("hi"), 32))).as(Seq("band", "bucket"))
     )
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    // dedupe candidate id pairs first (cheap), then join signatures back
+    // cap pathological buckets before the self-join (degenerate content —
+    // e.g. empty docs — would otherwise go quadratic)
+    val smallBuckets = banded.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    // dedupe candidate id pairs first (cheap longs), then join signatures back
     val candidates = a
       .join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sigs = prepped.select(col("id"), col("sig"))
     candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .join(prepped.select(col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a")), "id_a")
+      .join(prepped.select(col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        aggregate(zip_with(col("sa"), col("sb"), (x, y) => when(x =!= y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).as("hamming"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+         bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

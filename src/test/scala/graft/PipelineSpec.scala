@@ -60,19 +60,38 @@ class PipelineSpec extends SparkTestBase {
   "native signature kernels" should "be value-identical to the portable HOF forms" in {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
-    val sh = docs.select(Dedup.shingleSet(col("text"), 3).as("sh"), Dedup.wordHashes(col("text")).as("wh"))
-    val cmp = sh.select(
-      (GraftFunctions.minhash(col("sh"), 64) === Dedup.minhashSignature(col("sh"), 64)).as("mh_eq"),
-      (GraftFunctions.simhash(col("wh")) === Dedup.simhashSignature(col("wh"))).as("sh_eq")
+    // non-ASCII rows exercise the per-code-point fallback of the native
+    // byte-level word hash (PortableHash.wordPoly); the empty doc and the
+    // short doc exercise the k<words fallback fold
+    val hard = Seq(
+      (100L, "der schnelle fuchs läuft über die große straße — çok güzel"),
+      (101L, "emoji 🦊 and 中文 words mixed with ascii"),
+      (102L, "short"),
+      (103L, "")
+    ).toDF("doc_id", "text")
+    val all_docs = docs.select(col("doc_id"), col("text")).union(hard)
+    val cmp = all_docs.select(
+      (GraftFunctions.shingles(col("text"), 3) === Dedup.shingleSet(col("text"), 3)).as("sg_eq"),
+      (GraftFunctions.wordHashes(col("text")) === Dedup.wordHashes(col("text"))).as("wh_eq")
     ).collect()
     all(cmp.map(_.getBoolean(0))) shouldBe true
     all(cmp.map(_.getBoolean(1))) shouldBe true
+    val sh = all_docs.select(Dedup.shingleSet(col("text"), 3).as("sh"), Dedup.wordHashes(col("text")).as("wh"))
+    val cmp2 = sh.select(
+      (GraftFunctions.minhash(col("sh"), 64) === Dedup.minhashSignature(col("sh"), 64)).as("mh_eq"),
+      (GraftFunctions.simhash(col("wh")) === Dedup.simhashSignature(col("wh"))).as("sh_eq")
+    ).collect()
+    all(cmp2.map(_.getBoolean(0))) shouldBe true
+    all(cmp2.map(_.getBoolean(1))) shouldBe true
   }
 
-  "Dedup.simhashPairs" should "give identical docs hamming 0" in {
+  "Dedup.simhashPairs" should "give identical docs hamming 0 and respect the bucket cap" in {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    pairs.find(p => p._1 == 0L && p._2 == 4L).map(_._3) shouldBe Some(0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.find(p => p._1 == 0L && p._2 == 4L).map(_._3) shouldBe Some(0L)
+    // maxBucket = 1 drops every shared bucket of width ≥ 2, so even the
+    // identical pair disappears — proves the cap actually gates the join
+    Dedup.simhashPairs(docs, maxHamming = 8, maxBucket = 1).collect() shouldBe empty
   }
 
   "Similarity.bruteForceTopK" should "rank the query vector itself first" in {
