@@ -126,6 +126,17 @@ object OracleGen {
 
   private def litArr(v: Seq[Double]): String = v.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
 
+  /** mirror of [[Similarity.cosinePairs]] over the `vec_id < idMax` subset:
+    * exact brute-force cosine pairs — the INDEPENDENT cross-check for the
+    * LSH gates (those oracles mirror the bucketing algorithm itself, so a
+    * bucketing bug replicated in the generator would pass; this one shares
+    * nothing with the LSH code path beyond the fold-dot definition). */
+  def cosinePairsSql(threshold: Double, dim: Int, idMax: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $idMax),
+       |v AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${cosSql("a", "embedding", "b", "embedding", dim)}, 4) AS sim
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM v WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.lshCosinePairs]]: per-table packed sign-bit
     * buckets against the SAME seeded hyperplanes, candidate dedup, exact
     * cosine verify. */

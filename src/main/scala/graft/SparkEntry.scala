@@ -124,11 +124,20 @@ object SparkEntry {
     // ---- training-data pipeline: deduplication
     "d_exact"   -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("doc_id")),
     "d_ngram"   -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d), Seq("source", "lang"), 0.1).orderBy("id_a", "id_b")),
+    // the metadata-free scale path for ngram dedup (banded minhash buckets
+    // over the same bigram shingles) — gated separately so the 100 TB plan
+    // has its own correctness evidence, not just the blocked variant's
+    "d_ngram_banded" -> ((s, d) => Dedup.ngramJaccardPairsBanded(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // near-dup mining runs the SCALABLE banded path (no cartesian join in
-    // any gate plan); cosinePairs stays a test-only brute-force baseline
+    // any gate plan); cosinePairs stays a brute-force baseline
     "d_embed"   -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4, planesPerTable = 7, tables = 12).orderBy("id_a", "id_b")),
+    // exact cross-check over a BOUNDED id subset: unlike the LSH oracles
+    // (which mirror the bucketing algorithm), this one is independent of
+    // the LSH code path — a bucketing bug replicated into OracleGen would
+    // fail here
+    "d_embed_exact" -> ((s, d) => Similarity.cosinePairs(emb(s, d).filter(col("vec_id") < 500), 0.4).orderBy("id_a", "id_b")),
     // ---- similarity search
     "ann_topk" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
@@ -221,9 +230,11 @@ object SparkEntry {
     "d_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
     "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
+    "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
+    "d_embed_exact" -> OracleGen.cosinePairsSql(0.4, dim = 64, idMax = 500),
     "ann_lsh"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 6, tables = 8, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "ann_topk" ->

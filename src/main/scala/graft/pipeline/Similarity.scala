@@ -198,6 +198,11 @@ object Similarity {
       // Means are rounded to 6 dp before the float cast so the result is
       // independent of partial-aggregation order (reproducible across
       // partitionings and engines — the oracle replays this exactly).
+      // Known residual risk (accepted): if a mean lands within float-sum
+      // noise of a 0.5e-6 rounding boundary, the 6-dp value can still flip
+      // between partitionings/engines and cascade into different centroids;
+      // not observed at any tested SF, and recall-level behavior is covered
+      // by the PipelineSpec planted-neighbour cases either way.
       val means = assigned
         .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("centroid"), col("i"))

@@ -44,6 +44,18 @@ class PipelineSpec extends SparkTestBase {
     p01.get.getDouble(2) should be > 0.7
   }
 
+  "Dedup.ngramJaccardPairsBanded" should "find planted duplicates without metadata blocking" in {
+    // the 100 TB ngram path: banded minhash buckets over the same bigram
+    // shingles — no blocking column needed, sub-quadratic candidates
+    val pairs = Dedup.ngramJaccardPairsBanded(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((0L, 4L)) // exact dup: identical signature, always bucketed together
+    pairs should contain((0L, 1L)) // near dup: J ≈ 0.85 on bigrams, found via band collision
+    // verify stage is exact Jaccard: no false positives above threshold
+    val all = Dedup.ngramJaccardPairsBanded(docs, threshold = 0.5).collect()
+    all.map(_.getDouble(2)).foreach(_ should be >= 0.5)
+  }
+
   "Dedup.minhashLshPairs" should "find planted near-duplicates" in {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5, shingleK = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
