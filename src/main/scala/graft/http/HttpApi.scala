@@ -9,6 +9,8 @@ import scala.util.{Failure, Success, Try}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
+import org.apache.spark.sql.DataFrame
+
 import graft.GraftEngine
 import graft.plan.TimeContext
 import graft.sql.{Ast, SqlParser}
@@ -18,28 +20,41 @@ import graft.sql.{Ast, SqlParser}
  * (`nsdb-http/.../routes/QueryApi.scala:138-189`, `DataApi.scala:74-102`):
  *
  *  - `POST /query` `{db, namespace, queryString, from?, to?}` →
- *    `{"records": [...]}` — `from`/`to` are ANDed into the statement as a
- *    timestamp range before planning (the P10 enrichment path)
+ *    `{"records": [...], "truncated": bool}` — `from`/`to` are ANDed into
+ *    the statement as a timestamp range before planning (the P10
+ *    enrichment path)
  *  - `POST /data` `{db, namespace, metric, bit:{timestamp?, value,
  *    dimensions?, tags?}}` → insert one record
  *  - `GET /commands/<db>/<namespace>/metrics` → metric listing
  *
+ * Results never materialize on the driver: rows stream through
+ * `toLocalIterator` (one partition resident at a time) onto the chunked
+ * response, capped at `maxResultRows` — the serving-layer bound the
+ * reference enforces on its fetches. A `select * from events` over REST
+ * at 100 TB returns the first `maxResultRows` rows and `"truncated":true`
+ * instead of collecting the table into driver heap.
+ *
  * Uses only the JDK http server + the Jackson shipped with Spark — no new
- * dependencies. Single-threaded executor: the engine call dominates, and
- * queries fan out inside Spark anyway.
+ * dependencies.
  */
-class HttpApi(engine: GraftEngine, port: Int = 0) {
+class HttpApi(
+    engine: GraftEngine,
+    port: Int = 0,
+    maxResultRows: Int = 10000,
+    sseQueueCapacity: Int = 1000,
+    sseRefreshMs: Long = 100L
+) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
-  /** live plain-query subscription: predicate + the open SSE exchange. */
-  private final case class LiveSub(pred: Option[graft.sql.Ast.Predicate], ex: HttpExchange)
+  /** live plain-query subscription: predicate + bounded event buffer. */
+  private final case class LiveSub(pred: Option[graft.sql.Ast.Predicate], sub: SseSubscriber)
   private val subs = new java.util.concurrent.CopyOnWriteArrayList[LiveSub]()
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/query", (ex: HttpExchange) => handle(ex)(handleQuery))
+    server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
     server.createContext("/data", (ex: HttpExchange) => handle(ex)(handleData))
     server.createContext("/commands", (ex: HttpExchange) => handle(ex)(handleCommands))
     server.createContext("/subscribe", (ex: HttpExchange) => handleSubscribe(ex))
@@ -51,16 +66,12 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
   }
 
   def stop(): Unit = {
-    subs.forEach(s => Try(s.ex.close()))
+    subs.forEach(s => s.sub.close())
     subs.clear()
     if (server != null) server.stop(0)
   }
 
-  private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
-    val (status, body) = Try(f(ex)) match {
-      case Success(r)   => r
-      case Failure(err) => (500, s"""{"error":${mapper.writeValueAsString(err.getMessage)}}""")
-    }
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length)
@@ -68,31 +79,72 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
     ex.close()
   }
 
+  private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
+    val (status, body) = Try(f(ex)) match {
+      case Success(r)   => r
+      case Failure(err) => (500, s"""{"error":${mapper.writeValueAsString(err.getMessage)}}""")
+    }
+    respond(ex, status, body)
+  }
+
   private def readJson(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
-  private def handleQuery(ex: HttpExchange): (Int, String) = {
-    if (ex.getRequestMethod != "POST") return (405, """{"error":"POST required"}""")
-    val req = readJson(ex)
-    val db  = req.path("db").asText("default")
-    val ns  = req.path("namespace").asText("default")
-    val q   = req.path("queryString").asText("")
-    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
-    SqlParser.parse(db, ns, q) match {
-      case Right(sel: Ast.SelectStatement) =>
-        // optional from/to enrichment, reference QueryEnriched semantics
-        val enriched =
-          if (req.has("from") && req.has("to"))
-            sel.enrichWithTimeRange("timestamp", req.get("from").asLong(), req.get("to").asLong())
-          else sel
-        engine.executeStatement(enriched) match {
-          case Right(df) =>
-            val records = df.toJSON.collect().mkString(",")
-            (200, s"""{"records":[$records]}""")
-          case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
-        }
-      case Right(_)  => (400, """{"error":"only select statements on /query"}""")
-      case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+  /**
+   * Write `prefix + r1,r2,… + suffix(truncated)` to `out`, streaming rows
+   * from the executors via `toLocalIterator` — driver memory holds at most
+   * one partition, never the result set; `maxResultRows` bounds the
+   * response itself.
+   */
+  private def writeRecords(
+      df: DataFrame,
+      out: java.io.OutputStream,
+      prefix: String,
+      suffix: Boolean => String
+  ): Unit = {
+    out.write(prefix.getBytes(StandardCharsets.UTF_8))
+    val it    = df.toJSON.toLocalIterator()
+    var n     = 0
+    while (it.hasNext && n < maxResultRows) {
+      if (n > 0) out.write(','.toInt)
+      out.write(it.next().getBytes(StandardCharsets.UTF_8))
+      n += 1
+    }
+    out.write(suffix(it.hasNext).getBytes(StandardCharsets.UTF_8))
+    out.flush()
+  }
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST required"}"""); return }
+    Try {
+      val req = readJson(ex)
+      val db  = req.path("db").asText("default")
+      val ns  = req.path("namespace").asText("default")
+      val q   = req.path("queryString").asText("")
+      implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+      SqlParser.parse(db, ns, q) match {
+        case Right(sel: Ast.SelectStatement) =>
+          // optional from/to enrichment, reference QueryEnriched semantics
+          val enriched =
+            if (req.has("from") && req.has("to"))
+              sel.enrichWithTimeRange("timestamp", req.get("from").asLong(), req.get("to").asLong())
+            else sel
+          engine.executeStatement(enriched) match {
+            case Right(df) =>
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, 0) // chunked: size unknown up front
+              writeRecords(df, ex.getResponseBody, """{"records":[""",
+                truncated => s"""],"truncated":$truncated}""")
+              ex.close()
+            case Left(err) => respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+          }
+        case Right(_)  => respond(ex, 400, """{"error":"only select statements on /query"}""")
+        case Left(err) => respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+      }
+    }.failed.foreach { err =>
+      // headers may already be sent mid-stream — then closing is all we can do
+      Try(respond(ex, 500, s"""{"error":${mapper.writeValueAsString(err.getMessage)}}"""))
+      Try(ex.close())
     }
   }
 
@@ -135,7 +187,9 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
    * &q=<url-encoded select>` streams the historical result as the first
    * event, then one event per future matching record — matching happens
    * per write against the registered predicate, mirroring the reference's
-   * single-document `TemporaryIndex` evaluation.
+   * single-document `TemporaryIndex` evaluation. Live events go through a
+   * bounded [[SseSubscriber]] buffer (R8 parity): `publish` never blocks
+   * on a slow socket, and a client that overflows its buffer is evicted.
    */
   private def handleSubscribe(ex: HttpExchange): Unit = {
     val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").collect {
@@ -149,17 +203,24 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
     implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
     SqlParser.parse(db, ns, q) match {
       case Right(sel: Ast.SelectStatement) if sel.groupBy.isEmpty =>
-        val historical = engine.executeStatement(sel) match {
-          case Right(df) => df.toJSON.collect().mkString(",")
-          case Left(_)   => "" // metric may not exist yet — start empty
-        }
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")
         ex.getResponseHeaders.set("Cache-Control", "no-cache")
         ex.sendResponseHeaders(200, 0) // chunked
         val out = ex.getResponseBody
-        out.write(s"""data: {"historical":[$historical]}\n\n""".getBytes(StandardCharsets.UTF_8))
-        out.flush()
-        subs.add(LiveSub(sel.where, ex))
+        engine.executeStatement(sel) match {
+          case Right(df) =>
+            // historical prefix streams under the same row cap as /query
+            writeRecords(df, out, """data: {"historical":[""", t => s"""],"truncated":$t}""" + "\n\n")
+          case Left(_) => // metric may not exist yet — start empty
+            out.write("data: {\"historical\":[],\"truncated\":false}\n\n".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+        }
+        lazy val live: LiveSub = LiveSub(sel.where, new SseSubscriber(
+          write = bytes => { out.write(bytes); out.flush() },
+          onDead = () => { subs.remove(live); Try(ex.close()); () },
+          capacity = sseQueueCapacity,
+          refreshMs = sseRefreshMs))
+        subs.add(live)
       case Right(_: Ast.SelectStatement) =>
         // aggregated subscription → periodic re-execution (reference R6:
         // group-by queries are re-run on a fixed scheduler and re-pushed)
@@ -187,20 +248,20 @@ class HttpApi(engine: GraftEngine, port: Int = 0) {
     }
   }
 
-  /** push a freshly-written record to every matching live subscription. */
+  /** Enqueue a freshly-written record for every matching live subscription.
+    * Non-blocking: each subscriber's [[SseSubscriber]] buffer absorbs the
+    * event and its own flusher writes it out — a stalled client stalls
+    * only itself (and is evicted on overflow), never the write path. */
   private def publish(record: Map[String, Any]): Unit = {
     implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
-    subs.forEach { sub =>
-      val hit = sub.pred.forall(p => graft.exec.PredicateEval.matches(p, record, tc))
-      if (hit) {
-        val json = mapper.writeValueAsString(record.asJava)
-        Try {
-          sub.ex.getResponseBody.write(s"data: $json\n\n".getBytes(StandardCharsets.UTF_8))
-          sub.ex.getResponseBody.flush()
-        }.failed.foreach(_ => subs.remove(sub)) // dead client: drop
-      }
+    subs.forEach { s =>
+      if (s.pred.forall(p => graft.exec.PredicateEval.matches(p, record, tc)))
+        s.sub.offer(mapper.writeValueAsString(record.asJava))
     }
   }
+
+  /** live subscriber count (post-eviction) — observability for specs. */
+  def liveSubscriberCount: Int = subs.size()
 
   private def handleCommands(ex: HttpExchange): (Int, String) = {
     // /commands/<db>/<namespace>/metrics

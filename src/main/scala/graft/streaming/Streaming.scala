@@ -127,7 +127,11 @@ object Subscriptions {
       case Ast.MinAgg(_)             => min(col("value"))
       case Ast.MaxAgg(_)             => max(col("value"))
       case Ast.AvgAgg(_)             => avg(col("value"))
-      case Ast.CountDistinctAgg(f)   => approx_count_distinct(col(f)) // exact distinct is unsupported in streaming agg
+      // exact distinct, reference PublisherActor parity: count_distinct is
+      // unsupported in streaming aggregation, but a per-window value set is
+      // — state holds the distinct set per open window (bounded by the
+      // watermark closing windows; tag-cardinality-sized, not row-sized)
+      case Ast.CountDistinctAgg(f)   => size(collect_set(col(f))).cast("long")
       case Ast.FirstAgg(_)           => min_by(col("value"), col("timestamp"))
       case Ast.LastAgg(_)            => max_by(col("value"), col("timestamp"))
     }

@@ -105,6 +105,32 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  it should "cap and stream large query results instead of collecting them" in {
+    val engine = new GraftEngine(spark)
+    // 100k rows registered in-memory: far larger than the 7-row cap below
+    import org.apache.spark.sql.functions._
+    engine.registerMetric("db", "ns", "big",
+      spark.range(100000).select(col("id"), (col("id") % 97).cast("double").as("v")),
+      col("id"), col("v"), tags = Set.empty)
+    val api  = new HttpApi(engine, maxResultRows = 7)
+    val port = api.start()
+    try {
+      val (st, body) = post(port, "/query",
+        """{"db":"db","namespace":"ns","queryString":"select * from big order by timestamp"}""")
+      st shouldBe 200
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      tree.get("records").size() shouldBe 7 // the cap, not the 100k result
+      tree.get("truncated").asBoolean() shouldBe true
+      // a bounded result is not truncated
+      val (st2, body2) = post(port, "/query",
+        """{"db":"db","namespace":"ns","queryString":"select * from big order by timestamp limit 3"}""")
+      st2 shouldBe 200
+      val t2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body2)
+      t2.get("records").size() shouldBe 3
+      t2.get("truncated").asBoolean() shouldBe false
+    } finally api.stop()
+  }
+
   it should "re-push aggregated subscriptions periodically" in {
     val root   = Files.createTempDirectory("graft_sse_agg_").toString
     val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))

@@ -1,0 +1,52 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.http.SseSubscriber
+
+/** R8 backpressure parity (reference `StreamActor.scala:54,69-79`): the
+  * publish path must never block on a slow client, and an overflowing
+  * client is evicted instead of stalling ingest. */
+class SseSubscriberSpec extends AnyFlatSpec with Matchers {
+
+  "SseSubscriber" should "deliver offered events in batched drains" in {
+    val got   = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val sub   = new SseSubscriber(
+      write = b => got.add(new String(b, java.nio.charset.StandardCharsets.UTF_8)),
+      onDead = () => (), capacity = 100, refreshMs = 10)
+    sub.offer("""{"a":1}""")
+    sub.offer("""{"a":2}""")
+    val frame = got.poll(5, TimeUnit.SECONDS)
+    frame should not be null
+    // both events flushed, each SSE-framed
+    val all = frame + Option(got.poll(1, TimeUnit.SECONDS)).getOrElse("")
+    all should include("""data: {"a":1}""")
+    all should include("""data: {"a":2}""")
+    sub.close()
+  }
+
+  it should "never block the publisher on a stalled client and evict on overflow" in {
+    val stall  = new CountDownLatch(1)
+    val deaths = new AtomicInteger(0)
+    val sub = new SseSubscriber(
+      write = _ => stall.await(), // socket that never drains
+      onDead = () => deaths.incrementAndGet(),
+      capacity = 8, refreshMs = 5)
+    val t0 = System.nanoTime()
+    // first event gets taken by the flusher (which then stalls in write);
+    // the rest fill the 8-slot buffer; one more overflows → eviction
+    (1 to 12).foreach(i => sub.offer(s"""{"i":$i}"""))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    elapsedMs should be < 2000.0 // offers returned immediately, no write-block
+    sub.isClosed shouldBe true   // overflow evicted the subscriber
+    deaths.get() shouldBe 1      // exactly one eviction callback
+    // eviction is terminal: further offers are no-ops, no second death
+    sub.offer("""{"late":true}""")
+    deaths.get() shouldBe 1
+    stall.countDown()
+  }
+}

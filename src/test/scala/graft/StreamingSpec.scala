@@ -68,6 +68,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "compute exact windowed count distinct (not approximate)" in {
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val windowed = Subscriptions.temporalStream(
+      input.toDF(), intervalMs = 1000L, agg = graft.sql.Ast.CountDistinctAgg("kind"),
+      graceMs = Some(5000L), anchorMs = 0L)
+
+    val q = windowed.writeStream.format("memory").queryName("distinct_sub").outputMode("update").start()
+    try {
+      // bucket [0,1000): kinds a,b,a → exactly 2 distinct; [1000,2000): c → 1
+      input.addData(Ev(100L, 1.0, "a"), Ev(500L, 2.0, "b"), Ev(900L, 3.0, "a"), Ev(1100L, 4.0, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from distinct_sub").collect()
+        .map(r => (r.getAs[Long]("lowerBound"), r.getAs[Long]("value"))).toMap
+      rows(0L) shouldBe 2L
+      rows(1000L) shouldBe 1L
+    } finally q.stop()
+  }
+
   it should "re-execute standard aggregations periodically" in {
     val (engine, _) = newEngineWithHistory()
     val seen   = new java.util.concurrent.CopyOnWriteArrayList[Int]()
