@@ -131,7 +131,10 @@ object SparkEntry {
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // near-dup mining runs the SCALABLE banded path (no cartesian join in
-    // any gate plan); cosinePairs stays a brute-force baseline
+    // any gate plan); cosinePairs stays a brute-force baseline. Plane/table
+    // counts are pinned literals because OracleGen must embed the same
+    // hyperplane arrays in the DuckDB replay — real corpora derive them
+    // from n via Similarity.planesFor/tablesFor (sizing is spec-covered)
     "d_embed"   -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4, planesPerTable = 7, tables = 12).orderBy("id_a", "id_b")),
     // exact cross-check over a BOUNDED id subset: unlike the LSH oracles
     // (which mirror the bucketing algorithm), this one is independent of

@@ -94,12 +94,68 @@ object Similarity {
       when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---- scale sizing ------------------------------------------------------
+  //
+  // Fixed plane counts are small-data tuning: random sign-bit collisions
+  // produce ~L·n²/2^k candidate pairs, so any constant k goes quadratic as
+  // n grows. The rule that survives a 100× scale-up:
+  //
+  //   k = ceil(log2 n) + margin   →  buckets outnumber vectors 2^margin:1,
+  //                                  expected NOISE pairs/table ≈ n/2^(margin+1)
+  //                                  (linear in n, forever)
+  //   L = ln(1-recall)/ln(1-p^k)  →  tables re-amplified to hold recall at
+  //                                  the target similarity, p = 1-acos(s)/π
+  //
+  // Total candidate work then scales as n^(1+ρ) with ρ = log(p)/log(2)·…<1
+  // — the classic sub-quadratic LSH exponent — instead of n².
+
+  /** planes per table for a corpus of `n` vectors: `ceil(log2 n) + margin`.
+    * Every doubling of the corpus adds one sign bit, keeping expected
+    * random-bucket occupancy constant at 2^-margin. */
+  def planesFor(n: Long, margin: Int = 2): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) // ceil(log2 n)
+    math.max(4, log2n + margin)
+  }
+
+  /** tables needed so a pair at cosine `simTarget` survives with
+    * probability ≥ `recall` given `planes` sign bits per table:
+    * `1-(1-p^k)^L ≥ recall`, p = 1 - acos(s)/π (Goemans–Williamson). */
+  def tablesFor(planes: Int, simTarget: Double, recall: Double = 0.95): Int = {
+    require(simTarget > -1.0 && simTarget < 1.0 && recall > 0 && recall < 1)
+    val p  = 1.0 - math.acos(simTarget) / math.Pi
+    val pk = math.pow(p, planes)
+    math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-pk)).toInt)
+  }
+
+  /**
+   * [[lshCosinePairs]] with corpus-derived parameters: one count() sizes
+   * `planesPerTable` to the data (log2 n + margin) and `tables` to hold
+   * `recall` at `simTarget` — the similarity level whose pairs must not be
+   * missed (near-dup mining: ~0.85+), distinct from the verify `threshold`
+   * that merely filters the reported pairs.
+   */
+  def lshCosinePairsAuto(
+      df: DataFrame,
+      threshold: Double,
+      simTarget: Double = 0.85,
+      recall: Double = 0.95,
+      margin: Int = 2,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val k = planesFor(df.count(), margin)
+    lshCosinePairs(df, threshold, k, tablesFor(k, simTarget, recall), vecCol = vecCol, idCol = idCol)
+  }
+
   /**
    * Multi-table random-hyperplane LSH (OR-amplification): `tables` hash
    * tables of `planesPerTable` sign bits each; vectors agreeing on ALL bits
    * of ANY table become candidates, then exact cosine verifies. Recall
    * ≈ 1-(1-p^k)^L with p = 1-θ/π — tune k (precision) vs L (recall).
-   * Sub-quadratic: only bucket-mates ever meet in the join.
+   * Sub-quadratic: only bucket-mates ever meet in the join. Explicit
+   * plane/table counts are for oracle-lockstep gates and tests; real
+   * corpora should size them with [[planesFor]]/[[tablesFor]] (or use
+   * [[lshCosinePairsAuto]]) so candidates stay sub-quadratic in n.
    */
   def lshCosinePairs(
       df: DataFrame,

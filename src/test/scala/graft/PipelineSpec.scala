@@ -122,6 +122,36 @@ class PipelineSpec extends SparkTestBase {
     lsh shouldBe Array((0L, 1L)) // sim≈1 ⇒ all sign bits agree ⇒ recall 1
   }
 
+  "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
+    // k = ceil(log2 n) + margin: log-scaling in n
+    Similarity.planesFor(2048) shouldBe Similarity.planesFor(1024) + 1
+    Similarity.planesFor(1024 * 1024) shouldBe Similarity.planesFor(1024) + 10
+    // more planes ⇒ lower p^k ⇒ more tables needed at the same recall
+    Similarity.tablesFor(16, 0.85) should be > Similarity.tablesFor(8, 0.85)
+    // a near-identical pair (p→1, p^16≈0.8) needs almost no amplification
+    Similarity.tablesFor(16, 0.999) should be <= 2
+  }
+
+  it should "keep random-collision candidates sub-quadratic under derived plane counts" in {
+    def randomVecs(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(7)
+      (0 until n).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    // threshold -1 keeps EVERY candidate pair the buckets produce, so the
+    // count measures collision noise, not verify filtering; tables pinned
+    // so the comparison isolates the planesFor(n) effect
+    def candidates(n: Int): Long =
+      Similarity.lshCosinePairs(randomVecs(n), threshold = -1.0,
+        planesPerTable = Similarity.planesFor(n), tables = 4).count()
+    val c1 = candidates(1024)
+    val c4 = candidates(4096)
+    // constant planes would grow pairs 16x per 4x corpus (quadratic);
+    // derived planes keep expected bucket occupancy fixed ⇒ ~4x (linear)
+    c4.toDouble / c1.toDouble should be < 8.0
+    c4 should be > c1 // and the measurement is not degenerate
+  }
+
   "Similarity.ivfBuild" should "refine centroids and keep assignments total" in {
     val idx = Similarity.ivfBuild(vecs, nlist = 2, refineIterations = 2)
     idx.centroids.size shouldBe 2
