@@ -106,7 +106,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles")),
     ("graft_word_hashes",
       (exprs: Seq[Expression]) => WordHashSet(exprs.head),
-      new ExpressionInfo(classOf[WordHashSet].getName, "graft_word_hashes"))
+      new ExpressionInfo(classOf[WordHashSet].getName, "graft_word_hashes")),
+    ("graft_lsh_buckets",
+      (exprs: Seq[Expression]) => LshBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"))
   )
 
   /** Idempotent per-session registration. */
@@ -136,6 +142,17 @@ object GraftFunctions {
 
   /** sorted distinct wide word hashes of a text column (requires [[register]]). */
   def wordHashes(text: Column): Column = call_function("graft_word_hashes", text)
+
+  /** per-table LSH sign buckets of a vector column against literal
+    * hyperplane tables, one pass over the vector (requires [[register]]). */
+  def lshBuckets(vec: Column, tablePlanes: Seq[Array[Array[Double]]]): Column = {
+    val k   = tablePlanes.head.length
+    val dim = tablePlanes.head.head.length
+    val flat: Array[Double] = tablePlanes.iterator.flatMap(_.iterator.flatMap(_.iterator)).toArray
+    call_function("graft_lsh_buckets", vec,
+      org.apache.spark.sql.functions.lit(flat),
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(dim))
+  }
 }
 
 /**

@@ -169,15 +169,12 @@ object Similarity {
     GraftFunctions.register(df.sparkSession)
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
     val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, d, seed = 42L + t))
-    // native dot kernel for the 48+ sign tests per row (value-identical to
-    // the portable HOF fold in lshBucket — same sequential double sum)
-    def fastBucket(planes: Array[Array[Double]]): Column =
-      planes.zipWithIndex.map { case (p, i) =>
-        when(fdot(col(vecCol), lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val bucketCols = tablePlanes.map(fastBucket)
+    // ALL table buckets from one native kernel call: the vector is read
+    // once per row (not tables×planes times) and the plan stays a single
+    // expression regardless of how planesFor/tablesFor scale the counts —
+    // value-identical per bit to the portable HOF fold in lshBucket
     val buckets = df.select(col(idCol).as("id"),
-      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+      posexplode(GraftFunctions.lshBuckets(col(vecCol), tablePlanes)).as(Seq("table", "bucket")))
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     // dedupe candidate ids FIRST (cheap longs), join vectors back after

@@ -122,6 +122,19 @@ class PipelineSpec extends SparkTestBase {
     lsh shouldBe Array((0L, 1L)) // sim≈1 ⇒ all sign bits agree ⇒ recall 1
   }
 
+  "native LshBuckets kernel" should "be bit-identical to the portable HOF bucket fold" in {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val planes = (0 until 3).map(t => Similarity.hyperplanes(5, 8, seed = 42L + t))
+    val rnd = new scala.util.Random(11)
+    val rvecs = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cmp = rvecs.select(
+      GraftFunctions.lshBuckets(col("embedding"), planes).as("nat"),
+      array(planes.map(p => Similarity.lshBucket(col("embedding"), p)): _*).as("hof"))
+    cmp.filter(col("nat") =!= col("hof")).count() shouldBe 0L
+  }
+
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
     // k = ceil(log2 n) + margin: log-scaling in n
     Similarity.planesFor(2048) shouldBe Similarity.planesFor(1024) + 1
