@@ -112,7 +112,14 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].intValue()),
-      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"))
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets")),
+    ("graft_nearest_centroid",
+      (exprs: Seq[Expression]) => {
+        val cents = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        val norms = exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        NearestCentroid(exprs.head, cents, norms, exprs(3).eval().asInstanceOf[Number].intValue())
+      },
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"))
   )
 
   /** Idempotent per-session registration. */
@@ -142,6 +149,23 @@ object GraftFunctions {
 
   /** sorted distinct wide word hashes of a text column (requires [[register]]). */
   def wordHashes(text: Column): Column = call_function("graft_word_hashes", text)
+
+  /** 0-based index of the cosine-nearest centroid, one pass over the
+    * vector (requires [[register]]). Norms are derived here with the same
+    * sequential fold the kernel uses. */
+  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column = {
+    val dim  = cents.head.length
+    val flat = cents.iterator.flatMap(_.iterator).toArray
+    val norms = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }.toArray
+    call_function("graft_nearest_centroid", vec,
+      org.apache.spark.sql.functions.lit(flat),
+      org.apache.spark.sql.functions.lit(norms),
+      org.apache.spark.sql.functions.lit(dim))
+  }
 
   /** per-table LSH sign buckets of a vector column against literal
     * hyperplane tables, one pass over the vector (requires [[register]]). */

@@ -222,16 +222,15 @@ object Similarity {
   ): DataFrame = {
     val entries = cents.toSeq.sortBy(_._1)
     val cids    = entries.map(_._1).toArray
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      fnorm(col(vecCol)).as("nv"))
-    val sims = array(entries.map { case (_, cv) =>
-      val c = lit(cv.map(_.toDouble).toArray)
-      // centroid norm constant-folds (literal input → evaluated once)
-      fdot(col("v"), c) / (col("nv") * fnorm(c))
-    }: _*)
-    withNorm
-      .select(col("id"), col("v"),
-        element_at(lit(cids), array_position(sims, array_max(sims)).cast("int")).as("centroid"))
+    // single native kernel call: each row reads its vector once and scans
+    // all centroids over primitive locals — plan size independent of nlist
+    // (the expression form it replaces built an nlist-branch cosine array
+    // per row; at nlist ≈ √n that tree IS the plan). Arithmetic and
+    // first-max tiebreak are replicated exactly (CentroidKernel.nearest).
+    val pos = GraftFunctions.nearestCentroid(col(vecCol),
+      entries.map(_._2.map(_.toDouble).toArray))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(lit(cids), pos + 1).as("centroid"))
   }
 
   def ivfBuild(

@@ -135,6 +135,25 @@ class PipelineSpec extends SparkTestBase {
     cmp.filter(col("nat") =!= col("hof")).count() shouldBe 0L
   }
 
+  "native NearestCentroid kernel" should "pick the argmax-cosine centroid, first index on ties" in {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rnd   = new scala.util.Random(13)
+    val cents = (0 until 6).map(_ => Array.fill(8)(rnd.nextGaussian()))
+    val data = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = data.select(col("vec_id"), GraftFunctions.nearestCentroid(col("embedding"), cents).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(v: Seq[Float], c: Array[Double]): Double = {
+      val d = v.zip(c).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(v.map(x => x.toDouble * x).sum) * math.sqrt(c.map(x => x * x).sum))
+    }
+    data.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).foreach { case (id, v) =>
+      val sims = cents.map(c => cos(v, c))
+      got(id) shouldBe sims.indexOf(sims.max)
+    }
+  }
+
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
     // k = ceil(log2 n) + margin: log-scaling in n
     Similarity.planesFor(2048) shouldBe Similarity.planesFor(1024) + 1
