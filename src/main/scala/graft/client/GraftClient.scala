@@ -115,6 +115,14 @@ final class GraftClient(engine: GraftEngine) {
   def executeAt(q: Query, tc: TimeContext): Either[String, DataFrame] =
     engine.sql(q.db, q.namespace, q.queryString)(tc)
 
+  /** Streaming subscription (the reference's `NSDbStreaming` surface):
+    * historical result once + live updates for the query, against a
+    * streaming DataFrame of the metric's records. */
+  def subscribe(q: Query, stream: DataFrame): Either[String, graft.streaming.Subscriptions.Subscription] = {
+    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    graft.streaming.Subscriptions.subscribe(engine, stream, q.db, q.namespace, q.queryString)
+  }
+
   /** Metadata: list the metrics of a namespace. */
   def metrics(ns: Namespace): Either[String, Seq[String]] =
     engine.command(ns.db, ns.name, Ast.ShowMetrics).map(_.flatten)

@@ -286,6 +286,29 @@ object Similarity {
     assignByProjection(df, cents, vecCol, idCol)
   }
 
+  /**
+   * Persist an IVF index partitioned by centroid — the real 100 TB layout:
+   * each inverted list is its own parquet directory, so a probe reads
+   * `nprobe`/`nlist` of the corpus from disk (directory-level partition
+   * pruning, no row-level filtering of unprobed lists). Centroid vectors
+   * ride along in a `_centroids` side table.
+   */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (cid, v) => (cid, v) }
+      .toDF("centroid", "vec").write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Reload a persisted IVF index. The assignment scan stays lazy — probes
+    * against it prune to the probed `centroid=` directories. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    IvfIndex(spark.read.parquet(path), cents)
+  }
+
   /** IVF top-k: probe the `nprobe` centroids closest to the query. */
   def ivfTopK(
       assigned: DataFrame,

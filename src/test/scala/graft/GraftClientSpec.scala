@@ -47,6 +47,28 @@ class GraftClientSpec extends SparkTestBase {
     client.write(m.timestamp(1L)) shouldBe Left("bit for metric m has no value")
   }
 
+  it should "subscribe to a query: historical result plus live matching stream" in {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val engine = new GraftEngine(spark)
+    engine.registerMetric("db", "ns", "events",
+      Seq(Ev(100L, 1.0, "a"), Ev(200L, 5.0, "b")).toDF(),
+      org.apache.spark.sql.functions.col("timestamp"),
+      org.apache.spark.sql.functions.col("value"), tags = Set("kind"))
+    val client = GraftClient.embedded(engine)
+    val input  = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val sub = client.subscribe(
+      client.db("db").namespace("ns").query("select * from events where value > 1.5"),
+      input.toDF()).fold(fail(_), identity)
+    sub.historical.collect().map(_.getAs[Double]("value")).toSeq shouldBe Seq(5.0)
+    val q = sub.live.writeStream.format("memory").queryName("client_sub").outputMode("append").start()
+    try {
+      input.addData(Ev(300L, 0.5, "a"), Ev(400L, 9.0, "b"))
+      q.processAllAvailable()
+      spark.sql("select * from client_sub").collect().map(_.getAs[Double]("value")).toSeq shouldBe Seq(9.0)
+    } finally q.stop()
+  }
+
   it should "surface metadata through metrics and describe" in {
     val client = newClient()
     val ns     = client.db("db").namespace("ns")

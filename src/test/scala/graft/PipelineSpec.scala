@@ -194,6 +194,25 @@ class PipelineSpec extends SparkTestBase {
     top.map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
   }
 
+  "Similarity IVF persistence" should "write inverted lists as partitions and prune on probe" in {
+    val idx  = Similarity.ivfBuild(vecs, nlist = 2, refineIterations = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Similarity.ivfWrite(idx, path)
+    val reloaded = Similarity.ivfRead(spark, path)
+    reloaded.centroids shouldBe idx.centroids
+    val q = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    val top = Similarity.ivfTopK(reloaded.assigned, reloaded.centroids, q, k = 2, nprobe = 2)
+    // same answer as the in-memory index...
+    top.collect().map(_.getLong(0)).toSet shouldBe
+      Similarity.ivfTopK(idx.assigned, idx.centroids, q, k = 2, nprobe = 2).collect().map(_.getLong(0)).toSet
+    // ...and the probe filter lands on the partition column: unprobed
+    // inverted lists are skipped at the DIRECTORY level, not row-filtered
+    val plan = Similarity.ivfTopK(reloaded.assigned, reloaded.centroids, q, k = 2, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("centroid")
+  }
+
   "Similarity IVF" should "find the nearest neighbours probing a subset" in {
     val assigned = Similarity.ivfAssign(vecs, nlist = 2)
     val cents = vecs.orderBy("vec_id").limit(2).collect()
