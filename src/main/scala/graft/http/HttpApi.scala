@@ -219,7 +219,9 @@ class HttpApi(
           write = bytes => { out.write(bytes); out.flush() },
           onDead = () => { subs.remove(live); Try(ex.close()); () },
           capacity = sseQueueCapacity,
-          refreshMs = sseRefreshMs))
+          // per-subscription drain period (reference: refresh_period is a
+          // client-set subscription parameter), server default otherwise
+          refreshMs = params.get("refresh_ms").map(_.toLong).getOrElse(sseRefreshMs)))
         subs.add(live)
       case Right(_: Ast.SelectStatement) =>
         // aggregated subscription → periodic re-execution (reference R6:
