@@ -120,11 +120,28 @@ object Similarity {
   /** tables needed so a pair at cosine `simTarget` survives with
     * probability ≥ `recall` given `planes` sign bits per table:
     * `1-(1-p^k)^L ≥ recall`, p = 1 - acos(s)/π (Goemans–Williamson). */
-  def tablesFor(planes: Int, simTarget: Double, recall: Double = 0.95): Int = {
-    require(simTarget > -1.0 && simTarget < 1.0 && recall > 0 && recall < 1)
-    val p  = 1.0 - math.acos(simTarget) / math.Pi
-    val pk = math.pow(p, planes)
-    math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-pk)).toInt)
+  def tablesFor(planes: Int, simTarget: Double, recall: Double = 0.95): Int =
+    tablesFromPerTableProb(perTableProb(planes, simTarget), recall)
+
+  /** [[tablesFor]] under 1-bit multi-probe: a table also collides when
+    * exactly one sign bit disagrees, so the per-table survival probability
+    * rises to `p^k + k·p^(k-1)·(1-p)` — typically several-fold fewer
+    * tables for the same recall, at (k+1)× the per-table probe volume. */
+  def tablesForMultiProbe(planes: Int, simTarget: Double, recall: Double = 0.95): Int = {
+    val p = probAgree(simTarget)
+    val q = math.pow(p, planes) + planes * math.pow(p, planes - 1) * (1 - p)
+    tablesFromPerTableProb(q, recall)
+  }
+
+  private def probAgree(simTarget: Double): Double = {
+    require(simTarget > -1.0 && simTarget < 1.0)
+    1.0 - math.acos(simTarget) / math.Pi
+  }
+  private def perTableProb(planes: Int, simTarget: Double): Double =
+    math.pow(probAgree(simTarget), planes)
+  private def tablesFromPerTableProb(q: Double, recall: Double): Int = {
+    require(recall > 0 && recall < 1)
+    math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-q)).toInt)
   }
 
   /**
@@ -140,11 +157,13 @@ object Similarity {
       simTarget: Double = 0.85,
       recall: Double = 0.95,
       margin: Int = 2,
+      multiProbe: Boolean = false,
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
     val k = planesFor(df.count(), margin)
-    lshCosinePairs(df, threshold, k, tablesFor(k, simTarget, recall), vecCol = vecCol, idCol = idCol)
+    val l = if (multiProbe) tablesForMultiProbe(k, simTarget, recall) else tablesFor(k, simTarget, recall)
+    lshCosinePairs(df, threshold, k, l, multiProbe = multiProbe, vecCol = vecCol, idCol = idCol)
   }
 
   /**
@@ -163,6 +182,7 @@ object Similarity {
       planesPerTable: Int = 6,
       tables: Int = 8,
       dim: Int = -1, // -1: infer from the data (zip_with null-pads on mismatch!)
+      multiProbe: Boolean = false,
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
@@ -175,7 +195,21 @@ object Similarity {
     // value-identical per bit to the portable HOF fold in lshBucket
     val buckets = df.select(col(idCol).as("id"),
       posexplode(GraftFunctions.lshBuckets(col(vecCol), tablePlanes)).as(Seq("table", "bucket")))
-    val a = buckets.alias("a")
+    // 1-bit multi-probe: the probing side also visits every bucket one
+    // sign-flip away, so a pair disagreeing on a single bit of a table
+    // still collides there — one side expands (k+1)× ([[tablesForMultiProbe]]
+    // sizes L for the improved per-table probability); the other side stays
+    // at its true bucket, which finds every unordered pair exactly via its
+    // smaller-id orientation
+    val probeSide =
+      if (!multiProbe) buckets
+      else {
+        val masks = lit((0 until planesPerTable).map(j => 1L << j).toArray)
+        buckets.select(col("id"), col("table"),
+          explode(concat(array(col("bucket")),
+            transform(masks, m => col("bucket").bitwiseXOR(m)))).as("bucket"))
+      }
+    val a = probeSide.alias("a")
     val b = buckets.alias("b")
     // dedupe candidate ids FIRST (cheap longs), join vectors back after
     val candidates = a

@@ -164,6 +164,25 @@ class PipelineSpec extends SparkTestBase {
     Similarity.tablesFor(16, 0.999) should be <= 2
   }
 
+  "multi-probe LSH" should "tolerate one disagreeing sign bit and shrink the table budget" in {
+    // several-fold fewer tables at the same recall (the scale trade:
+    // (k+1)x probe volume per table vs fewer whole tables)
+    Similarity.tablesForMultiProbe(16, 0.85) should be < Similarity.tablesFor(16, 0.85)
+    // candidates are a superset of the plain buckets' at identical params
+    val rnd = new scala.util.Random(19)
+    val data = (0 until 300).map(i => (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(mp: Boolean): Set[(Long, Long)] =
+      Similarity.lshCosinePairs(data, threshold = -1.0, planesPerTable = 10, tables = 1, multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain  = pairs(mp = false)
+    val probed = pairs(mp = true)
+    probed should contain allElementsOf plain
+    // with 10 planes and ONE table, near-neighbour pairs regularly land one
+    // bit apart — multi-probe must recover strictly more candidates
+    probed.size should be > plain.size
+  }
+
   it should "keep random-collision candidates sub-quadratic under derived plane counts" in {
     def randomVecs(n: Int): org.apache.spark.sql.DataFrame = {
       val rnd = new scala.util.Random(7)
