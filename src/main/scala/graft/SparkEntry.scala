@@ -160,6 +160,10 @@ object SparkEntry {
     "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // composed curation pipeline: exact dedup + language allowlist +
+    // quality floor + token bounds in one digest shuffle + one projection
+    "tx_curate" -> ((s, d) => pipeline.Curate.curate(docs(s, d), keepLangs = Seq("en", "de"),
+      minQuality = 0.5, minTokens = 5, maxTokens = 10000).orderBy("doc_id")),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -253,6 +257,18 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) SELECT doc_id, len(ws) AS n_tokens, round($hits/len(ws), 4) AS stopword_ratio, round($punct/length(text), 4) AS punct_ratio, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM t ORDER BY doc_id"""
     },
     "tx_langid"  -> s"SELECT doc_id, $LangCase AS predicted_lang, h_en AS en_hits FROM ($LangHits) ORDER BY doc_id",
+    "tx_curate" -> {
+      val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+      val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+      s"""WITH l AS (SELECT doc_id, $LangCase AS predicted_lang FROM ($LangHits)),
+         |q AS (SELECT doc_id, len(ws) AS n_tokens, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT q.doc_id, predicted_lang, n_tokens, quality
+         |FROM q JOIN l ON q.doc_id = l.doc_id JOIN reps ON q.doc_id = reps.doc_id
+         |WHERE predicted_lang IN ('en','de') AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 10000
+         |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")
+    },
     "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",

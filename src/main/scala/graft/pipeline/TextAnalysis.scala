@@ -46,20 +46,31 @@ object TextAnalysis {
    * pretraining corpora (cf. C4/Gopher rules).
    */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val w        = words(col(textCol))
+    val (nTokens, stopRatio, punctRatio, quality) = qualityCols(col(textCol))
+    df.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      punctRatio.as("punct_ratio"),
+      quality.as("quality")
+    )
+  }
+
+  /** the quality-metric expressions `(n_tokens, stopword_ratio,
+    * punct_ratio, quality)` — reusable inside larger one-pass projections
+    * (e.g. [[Curate]]) without a metrics join. */
+  def qualityCols(text: Column): (Column, Column, Column, Column) = {
+    val w        = words(text)
     val nWords   = size(w).cast("double")
     val stopHits = size(filter(w, x => array_contains(lit(Stopwords.toArray), x))).cast("double")
-    val puncts   = length(col(textCol)) - length(regexp_replace(col(textCol), "[.,!?;:]", ""))
+    val puncts   = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
     val lenScore  = least(nWords / lit(64.0), lit(1.0))
     val stopScore = least(stopHits / greatest(nWords * 0.1, lit(1.0)), lit(1.0))
     val punctPen  = least(puncts.cast("double") / greatest(nWords, lit(1.0)), lit(1.0))
-    df.select(
-      col("doc_id"),
-      size(w).cast("long").as("n_tokens"),
-      round(stopHits / nWords, 4).as("stopword_ratio"),
-      round(puncts.cast("double") / length(col(textCol)), 4).as("punct_ratio"),
-      round(lenScore * 0.5 + stopScore * 0.4 - punctPen * 0.1 + 0.1, 4).as("quality")
-    )
+    (size(w).cast("long"),
+      round(stopHits / nWords, 4),
+      round(puncts.cast("double") / length(text), 4),
+      round(lenScore * 0.5 + stopScore * 0.4 - punctPen * 0.1 + 0.1, 4))
   }
 
   // ---- language identification -------------------------------------------
@@ -80,7 +91,18 @@ object TextAnalysis {
    * oracle-checkable.
    */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val distinctWords = array_distinct(words(col(textCol)))
+    val (pred, enHits) = langIdCols(col(textCol))
+    df.select(
+      col("doc_id"),
+      pred.as("predicted_lang"),
+      enHits.as("en_hits")
+    )
+  }
+
+  /** the `(predicted_lang, en_hits)` expressions — reusable inside larger
+    * one-pass projections (e.g. [[Curate]]). */
+  def langIdCols(text: Column): (Column, Column) = {
+    val distinctWords = array_distinct(words(text))
     val hits = LangMarkers.map { case (lang, markers) =>
       lang -> size(array_intersect(distinctWords, lit(markers.toArray)))
     }
@@ -92,11 +114,7 @@ object TextAnalysis {
         val isMax     = laterHits.foldLeft(lit(true))((acc, other) => acc && h >= other)
         when(isMax, lit(lang)).otherwise(elseCol)
     }
-    df.select(
-      col("doc_id"),
-      pred.as("predicted_lang"),
-      hits.head._2.cast("long").as("en_hits")
-    )
+    (pred, hits.head._2.cast("long"))
   }
 
   /** corpus-level langid accuracy against a labeled column. */

@@ -106,6 +106,17 @@ class PipelineSpec extends SparkTestBase {
     Dedup.simhashPairs(docs, maxHamming = 8, maxBucket = 1).collect() shouldBe empty
   }
 
+  "Curate.curate" should "drop exact dups, wrong languages and short docs in one pass" in {
+    import graft.pipeline.Curate
+    val out = Curate.curate(docs, keepLangs = Seq("en", "de"), minQuality = 0.0, minTokens = 5, maxTokens = 100)
+      .collect().map(_.getLong(0)).sorted
+    // 4 is an exact dup of 0 (dropped), 5 is Spanish (dropped); 0-3 survive
+    out shouldBe Array(0L, 1L, 2L, 3L)
+    // a token ceiling of 8 kills every fixture doc (shortest is 9 words)
+    Curate.curate(docs, keepLangs = Seq("en", "de"), minQuality = 0.0, minTokens = 5, maxTokens = 8)
+      .count() shouldBe 0L
+  }
+
   "Similarity.bruteForceTopK" should "rank the query vector itself first" in {
     val q   = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
     val top = Similarity.bruteForceTopK(vecs, q, 3).collect()
