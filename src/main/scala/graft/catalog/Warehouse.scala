@@ -219,6 +219,42 @@ class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /**
+   * Shard compaction: rewrite any shard holding more than
+   * `maxFilesPerShard` files into `ceil(bytes / targetBytes)` files.
+   * Ingest appends one file per shard per micro-batch — without periodic
+   * compaction a day-shard fed by a 1 s trigger accumulates ~86k tiny
+   * files, and at 100 TB scan-side file listing/opening dominates the
+   * query. Copy-on-write under the metric lock (write tmp → delete →
+   * rename, the DELETE swap pattern). Returns the compacted shard ids.
+   */
+  def compact(
+      c: Coords,
+      maxFilesPerShard: Int = 8,
+      targetBytes: Long = 128L << 20
+  ): Either[String, Seq[Long]] =
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
+      lockFor(c).synchronized {
+        val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        subdirs(dataPath(c)).filter(_.startsWith("shard=")).flatMap { sh =>
+          val sid      = sh.stripPrefix("shard=").toLong
+          val shardDir = new Path(s"${dataPath(c)}/$sh")
+          val files = fs.listStatus(shardDir)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          if (files.length <= maxFilesPerShard) None
+          else {
+            val k   = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+            val tmp = s"${c.path(root)}/.tmp_compact_$sid"
+            spark.read.schema(m.schema.toStruct).parquet(shardDir.toString)
+              .coalesce(k).write.mode("overwrite").parquet(tmp)
+            fs.delete(shardDir, true)
+            fs.rename(new Path(tmp), shardDir)
+            Some(sid)
+          }
+        }
+      }
+    }
+
   /** DROP METRIC: remove data + catalog entry. */
   def drop(c: Coords): Unit = lockFor(c).synchronized {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -58,6 +58,32 @@ class WarehouseSpec extends SparkTestBase {
     plan should include("shard")
   }
 
+  it should "compact many-file shards copy-on-write and keep the data intact" in {
+    val (engine, wh, root) = freshEngine()
+    val c = Coords("db", "ns", "mc")
+    // 10 micro-batch appends into the SAME day-shard → 10 files; one
+    // append into another shard stays small and must be left untouched
+    (1 to 10).foreach { i =>
+      wh.append(c, Seq((0 * day + i * 100L, i.toDouble, "g1")).toDF("timestamp", "value", "grp"),
+        tags = Set("grp")).fold(fail(_), identity)
+    }
+    wh.append(c, Seq((1 * day + 100L, 99.0, "g2")).toDF("timestamp", "value", "grp"),
+      tags = Set("grp")).fold(fail(_), identity)
+
+    def filesIn(shard: Long): Int =
+      new java.io.File(s"$root/db/ns/mc/data/shard=$shard").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    filesIn(0) shouldBe 10
+
+    wh.compact(c, maxFilesPerShard = 4).fold(fail(_), identity) shouldBe Seq(0L)
+    filesIn(0) shouldBe 1 // tiny bytes → one target file
+    filesIn(1) shouldBe 1 // under the threshold: untouched
+
+    // data identical after the rewrite
+    val rows = engine.sql("db", "ns", "select * from mc order by value").fold(fail(_), _.collect())
+    rows.map(_.getAs[Double]("value")).toSeq shouldBe ((1 to 10).map(_.toDouble) :+ 99.0)
+  }
+
   it should "reject schema type conflicts on append" in {
     val (_, wh, _) = freshEngine()
     val c          = Coords("db", "ns", "m3")
