@@ -101,6 +101,49 @@ class SqlParserSpec extends AnyFlatSpec with Matchers {
     s.grace.get.millis shouldBe 3600000L
   }
 
+  it should "parse the reference bracket-spec edge cases to exact ASTs" in {
+    // inputs from the reference's SQLStatementBracketsSpec (public test
+    // corpus — same grammar, exact AST parity)
+    parseSelect("SELECT name FROM people WHERE (timestamp IN (2,4))").where.get shouldBe
+      RangePred("timestamp", AbsValue(2L), AbsValue(4L))
+    parseSelect("SELECT name FROM people WHERE (timestamp IN (now - 2 s, now + 4 s))").where.get shouldBe
+      RangePred("timestamp", RelValue(-1, 2000L), RelValue(1, 4000L))
+    parseSelect("SELECT name FROM people WHERE (timestamp = word_word)").where.get shouldBe
+      EqPred("timestamp", AbsValue("word_word"))
+    parseSelect("SELECT name FROM people WHERE (timestamp > 2) AND (timestamp = 4)").where.get shouldBe
+      AndPred(CmpPred("timestamp", Gt, AbsValue(2L)), EqPred("timestamp", AbsValue(4L)))
+    parseSelect("SELECT name FROM people WHERE NOT (timestamp >= 2 OR NOT timestamp < 4)").where.get shouldBe
+      NotPred(OrPred(CmpPred("timestamp", Gte, AbsValue(2L)), NotPred(CmpPred("timestamp", Lt, AbsValue(4L)))))
+    parseSelect(
+      "SELECT name FROM people WHERE timestamp < now + 30d and (timestamp > now - 2h) AND (timestamp = now + 4 min)").where.get shouldBe
+      AndPred(CmpPred("timestamp", Lt, RelValue(1, 30L * 86400000L)),
+        AndPred(CmpPred("timestamp", Gt, RelValue(-1, 2L * 3600000L)),
+          EqPred("timestamp", RelValue(1, 4L * 60000L))))
+  }
+
+  it should "match the reference on value literals, LIKE charsets and clause order" in {
+    // reference SelectSQLEqExpressionSpec / SelectSQLLikeExpressionSpec /
+    // GracePeriodStatementSpec inputs, exact-AST (or exact-failure) parity
+    parseSelect("SELECT name FROM people WHERE timestamp = -10").where.get shouldBe
+      EqPred("timestamp", AbsValue(-10L))
+    parseSelect("SELECT name FROM people WHERE timestamp = -10.5").where.get shouldBe
+      EqPred("timestamp", AbsValue(-10.5))
+    parseSelect("select name from people where name = '' limit 5").where.get shouldBe
+      EqPred("name", AbsValue(""))
+    parseSelect("select name from people where name = 'a$' limit 5").where.get shouldBe
+      EqPred("name", AbsValue("a$"))
+    parseSelect("SELECT name FROM people WHERE name like $a_:m?!-e$").where.get shouldBe
+      LikePred("name", "$a_:m?!-e$")
+    parseSelect("SELECT * FROM people since 6d").grace shouldBe Some(Grace(6, "D"))
+    // clause order: SINCE belongs before LIMIT — the reference parser
+    // rejects it after (GracePeriodStatementSpec "fail if grace period is
+    // provided after the limit"), and so do we
+    SqlParser.parse("db", "ns",
+      "SELECT name FROM people WHERE surname = pippo order by name desc limit 5 since 6h").isLeft shouldBe true
+    parseSelect("SELECT name FROM people WHERE surname = pippo order by name desc since 6h limit 5")
+      .limit shouldBe Some(5)
+  }
+
   it should "parse quoted multi-word strings" in {
     val s = parseSelect("select * from m where name = 'john frank'")
     s.where.get shouldBe EqPred("name", AbsValue("john frank"))
