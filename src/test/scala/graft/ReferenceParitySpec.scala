@@ -186,6 +186,44 @@ class ReferenceParitySpec extends SparkTestBase {
       Seq((20L, -3.0), (18L, -1.0), (17L, -6.0), (15L, -2.0), (-15L, -2.0), (-16L, -5.0), (-17L, -1.0))
   }
 
+  // ---- ReadCoordinatorDistinctAggregatedStatementsSpec expectations --------
+
+  it should "reproduce count distinct value group by string tag (distinct spec lines 29-55)" in {
+    run("select count(distinct value) from longMetric group by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("value"))).toSet shouldBe
+      Set(("Bill", 1L), ("Frankie", 1L), ("J", 1L), ("John", 2L), ("Frank", 1L))
+    // with a where condition (distinct spec lines 57-87)
+    run("select count(distinct value) from aggMetric where timestamp >= 2 group by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("value"))).toSet shouldBe
+      Set(("Bill", 1L), ("Frankie", 1L), ("Frank", 1L), ("John", 2L))
+  }
+
+  it should "reproduce count distinct group by long tag ordered asc (distinct spec lines 89-113)" in {
+    val rows = run("select count(distinct value) from aggMetric group by age order by value")
+      .map(r => (r.getAs[Long]("age"), r.getAs[Long]("value")))
+    rows.map(_._2) shouldBe Seq(1L, 1L, 4L) // ascending; 15 holds {2,5,1,4}
+    rows.last._1 shouldBe 15L
+    rows.toSet shouldBe Set((20L, 1L), (16L, 1L), (15L, 4L))
+  }
+
+  it should "reproduce count distinct group by double tag ordered desc (distinct spec lines 115-141)" in {
+    val rows = run("select count(distinct value) from aggMetric group by height order by value desc")
+      .map(r => (r.getAs[Double]("height"), r.getAs[Long]("value")))
+    rows.map(_._2) shouldBe Seq(2L, 2L, 1L)
+    rows.last._1 shouldBe 31.0
+    rows.toSet shouldBe Set((32.0, 2L), (30.5, 2L), (31.0, 1L))
+  }
+
+  it should "reproduce count distinct on tag fields, nulls excluded (distinct spec lines 143-195)" in {
+    // Frank has a null age at ts 8 — distinct excludes it (1, not 2)
+    run("select count(distinct age) from aggMetric group by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("value"))).toSet shouldBe
+      Set(("Bill", 2L), ("Frankie", 1L), ("Frank", 1L), ("John", 2L))
+    run("select count(distinct height) from aggMetric group by name")
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("value"))).toSet shouldBe
+      Set(("Bill", 1L), ("Frankie", 1L), ("Frank", 1L), ("John", 1L))
+  }
+
   // ---- ReadCoordinatorSimpleStatementsSpec expectations --------------------
 
   it should "reproduce order by timestamp desc with limit (simple spec lines 76-100)" in {
