@@ -178,7 +178,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
       val bounds =
         if (shardIds.isEmpty) None
         else Some((shardIds.min * m.shardIntervalMs, (shardIds.max + 1) * m.shardIntervalMs - 1))
-      MetricRef(df, m.schema, Some(ShardInfo("shard", m.shardIntervalMs, bounds)))
+      MetricRef(df, m.schema, Some(ShardInfo("shard", m.shardIntervalMs, bounds, shardIds)))
     }
 
   // ---- delete / drop / retention ----------------------------------------

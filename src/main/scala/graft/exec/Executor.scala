@@ -11,8 +11,14 @@ import graft.sql.Ast._
 
 /** Time-shard partition column metadata for a warehouse-backed metric.
   * `liveBounds` are the [oldest-shard-start, newest-shard-end] millis derived
-  * from the partition directory listing — a metadata-only operation. */
-final case class ShardInfo(colName: String, intervalMs: Long, liveBounds: Option[(Long, Long)] = None)
+  * from the partition directory listing — a metadata-only operation.
+  * `liveIds` are the live shard ids themselves (same listing), used for
+  * early-terminating ordered iteration. */
+final case class ShardInfo(
+    colName: String,
+    intervalMs: Long,
+    liveBounds: Option[(Long, Long)] = None,
+    liveIds: Seq[Long] = Seq.empty)
 
 /**
  * Raw-time mirror for metrics whose canonical `timestamp` is DERIVED from a
@@ -162,11 +168,35 @@ object Executor {
           val requested = p.fields.map(_.name).filterNot(n => n == "timestamp" || n == "value" || n == "*")
           Seq("timestamp", "value").filter(m.schema.contains) ++ requested.distinct
         }
+      // O3, early-terminating ordered shard iteration (reference: ordered
+      // index scans stop once LIMIT rows are collected): for ORDER BY
+      // timestamp + LIMIT on a sharded metric, shard ids order the time
+      // blocks totally, so the global top-k lives in the newest (resp.
+      // oldest) shards whose cumulative matching-row count reaches k —
+      // every other shard directory is never opened. At 100 TB a
+      // "latest 100 events" query touches one shard instead of years.
+      val narrowed = (p.order, p.limit, m.shard) match {
+        case (Some(o), Some(k), Some(si)) if o.field == "timestamp" && si.liveIds.nonEmpty =>
+          val idsInOrder = if (o.desc) si.liveIds.sorted.reverse else si.liveIds.sorted
+          val used       = scala.collection.mutable.ListBuffer[Long]()
+          var acc        = 0L
+          val it         = idsInOrder.iterator
+          while (acc < k && it.hasNext) {
+            val s = it.next()
+            used += s
+            // per-shard count under the SAME filters; without a WHERE this
+            // is parquet-footer metadata, with one it scans just this shard
+            acc += base.filter(col(si.colName) === s).count()
+          }
+          if (used.size == idsInOrder.size) base
+          else base.filter(col(si.colName).isin(used.toSeq: _*))
+        case _ => base
+      }
       // sort+limit BEFORE the projection so ORDER BY may reference any schema
       // field (the reference sorts at the index scan); Catalyst fuses this
       // into a single TakeOrderedAndProject when a limit is present
-      val sorted = p.order.fold(base) { o =>
-        base.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc)
+      val sorted = p.order.fold(narrowed) { o =>
+        narrowed.orderBy(if (o.desc) col(o.field).desc else col(o.field).asc)
       }
       val limited = p.limit.fold(sorted)(sorted.limit)
       limited.select(names.map(col): _*)

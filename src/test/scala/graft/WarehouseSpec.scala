@@ -58,6 +58,30 @@ class WarehouseSpec extends SparkTestBase {
     plan should include("shard")
   }
 
+  it should "early-terminate ordered timestamp queries on the boundary shards (O3)" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "ns", "mo3")
+    seed(wh, c) // shards 0 (1 row), 1 (2 rows), 2 (1 row)
+
+    def planOf(q: String): (Seq[Double], String) = {
+      val df = engine.sql("db", "ns", q).fold(fail(_), identity)
+      (df.collect().map(_.getAs[Double]("value")).toSeq, df.queryExecution.executedPlan.toString)
+    }
+    // top-1 by time desc: only the NEWEST shard is ever opened
+    val (d1, p1) = planOf("select * from mo3 order by timestamp desc limit 1")
+    d1 shouldBe Seq(4.0)
+    p1 should include("= 2)") // single-shard isin folds to equality
+    // bottom-1 asc: only the OLDEST shard
+    val (a1, pa) = planOf("select * from mo3 order by timestamp limit 1")
+    a1 shouldBe Seq(1.0)
+    pa should include("= 0)")
+    // a limit spanning a shard boundary pulls in exactly the shards needed
+    val (d2, p2) = planOf("select * from mo3 order by timestamp desc limit 2")
+    d2 shouldBe Seq(4.0, 3.0)
+    p2 should (include("IN (2,1)") or include("IN (1,2)"))
+    p2 should not include "IN (2,1,0)"
+  }
+
   it should "compact many-file shards copy-on-write and keep the data intact" in {
     val (engine, wh, root) = freshEngine()
     val c = Coords("db", "ns", "mc")
