@@ -178,8 +178,31 @@ class Warehouse(val spark: SparkSession, val root: String) {
       val bounds =
         if (shardIds.isEmpty) None
         else Some((shardIds.min * m.shardIntervalMs, (shardIds.max + 1) * m.shardIntervalMs - 1))
-      MetricRef(df, m.schema, Some(ShardInfo("shard", m.shardIntervalMs, bounds, shardIds)))
+      MetricRef(df, m.schema,
+        Some(ShardInfo("shard", m.shardIntervalMs, bounds, shardIds, Some(shardRowCount(c, _)))))
     }
+
+  /**
+   * Metadata-only row count of one shard: the sum of the parquet footers'
+   * record counts, read driver-side. No Spark job, no data pages — a
+   * footer is a few KB regardless of shard size, which is what lets the
+   * executor's O3 narrowing stay free at 100 TB.
+   */
+  private def shardRowCount(c: Coords, sid: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir  = new Path(s"${dataPath(c)}/shard=$sid")
+    val fs   = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) 0L
+    else
+      fs.listStatus(dir)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+          val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+        .sum
+  }
 
   // ---- delete / drop / retention ----------------------------------------
 
@@ -225,8 +248,16 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * Ingest appends one file per shard per micro-batch — without periodic
    * compaction a day-shard fed by a 1 s trigger accumulates ~86k tiny
    * files, and at 100 TB scan-side file listing/opening dominates the
-   * query. Copy-on-write under the metric lock (write tmp → delete →
-   * rename, the DELETE swap pattern). Returns the compacted shard ids.
+   * query. Copy-on-write under the metric lock, swapped via rename-aside
+   * (write tmp → rename live dir to `.old_compact_<sid>` → rename tmp into
+   * place → delete the aside copy): every crash point leaves a complete
+   * copy of the shard on disk, and [[recoverCompact]] (run on entry)
+   * restores a shard whose swap died between the two renames. Concurrent
+   * READERS are not excluded by the metric lock (it serializes writers
+   * only): a scan racing the swap can transiently hit FileNotFoundException
+   * during the two-metadata-op rename window and should simply retry — the
+   * same exposure any copy-on-write swap without snapshot isolation has.
+   * Returns the compacted shard ids.
    */
   def compact(
       c: Coords,
@@ -236,6 +267,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
       lockFor(c).synchronized {
         val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverCompact(c, fs)
         subdirs(dataPath(c)).filter(_.startsWith("shard=")).flatMap { sh =>
           val sid      = sh.stripPrefix("shard=").toLong
           val shardDir = new Path(s"${dataPath(c)}/$sh")
@@ -244,16 +276,37 @@ class Warehouse(val spark: SparkSession, val root: String) {
           if (files.length <= maxFilesPerShard) None
           else {
             val k   = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-            val tmp = s"${c.path(root)}/.tmp_compact_$sid"
+            val tmp = new Path(s"${c.path(root)}/.tmp_compact_$sid")
+            val old = new Path(s"${c.path(root)}/.old_compact_$sid")
             spark.read.schema(m.schema.toStruct).parquet(shardDir.toString)
-              .coalesce(k).write.mode("overwrite").parquet(tmp)
-            fs.delete(shardDir, true)
-            fs.rename(new Path(tmp), shardDir)
+              .coalesce(k).write.mode("overwrite").parquet(tmp.toString)
+            fs.rename(shardDir, old)
+            fs.rename(tmp, shardDir)
+            fs.delete(old, true)
             Some(sid)
           }
         }
       }
     }
+
+  /**
+   * Repair half-finished compaction swaps: a leftover `.old_compact_<sid>`
+   * whose `shard=<sid>` is missing means the crash hit between the two
+   * renames — restore the aside copy; otherwise the swap completed and
+   * only the delete was lost — drop the leftover. Stale `.tmp_compact_*`
+   * output (crash during the rewrite) is always safe to delete.
+   */
+  private def recoverCompact(c: Coords, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val base = new Path(c.path(root))
+    if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".old_compact_")) {
+        val shardDir = new Path(s"${dataPath(c)}/shard=${name.stripPrefix(".old_compact_")}")
+        if (!fs.exists(shardDir)) fs.rename(st.getPath, shardDir)
+        else fs.delete(st.getPath, true)
+      } else if (name.startsWith(".tmp_compact_")) fs.delete(st.getPath, true)
+    }
+  }
 
   /** DROP METRIC: remove data + catalog entry. */
   def drop(c: Coords): Unit = lockFor(c).synchronized {

@@ -13,12 +13,16 @@ import graft.sql.Ast._
   * `liveBounds` are the [oldest-shard-start, newest-shard-end] millis derived
   * from the partition directory listing — a metadata-only operation.
   * `liveIds` are the live shard ids themselves (same listing), used for
-  * early-terminating ordered iteration. */
+  * early-terminating ordered iteration.
+  * `rowCount` is a metadata-only per-shard row counter (parquet footer
+  * record counts, read driver-side — no Spark job); absent for sources
+  * that cannot provide one cheaply. */
 final case class ShardInfo(
     colName: String,
     intervalMs: Long,
     liveBounds: Option[(Long, Long)] = None,
-    liveIds: Seq[Long] = Seq.empty)
+    liveIds: Seq[Long] = Seq.empty,
+    rowCount: Option[Long => Long] = None)
 
 /**
  * Raw-time mirror for metrics whose canonical `timestamp` is DERIVED from a
@@ -172,11 +176,19 @@ object Executor {
       // index scans stop once LIMIT rows are collected): for ORDER BY
       // timestamp + LIMIT on a sharded metric, shard ids order the time
       // blocks totally, so the global top-k lives in the newest (resp.
-      // oldest) shards whose cumulative matching-row count reaches k —
-      // every other shard directory is never opened. At 100 TB a
-      // "latest 100 events" query touches one shard instead of years.
+      // oldest) shards whose cumulative row count reaches k — every other
+      // shard directory is never opened. At 100 TB a "latest 100 events"
+      // query touches one shard instead of years. Counts come from parquet
+      // footer metadata read driver-side (ShardInfo.rowCount) — NO Spark
+      // job runs at plan-construction time, so sql()/explain stay
+      // side-effect free. With a WHERE the exact matching count would need
+      // a scan that duplicates the real query's work, so filtered queries
+      // keep the plain plan: shard pruning + TakeOrderedAndProject already
+      // read each pruned shard exactly once, in parallel.
       val narrowed = (p.order, p.limit, m.shard) match {
-        case (Some(o), Some(k), Some(si)) if o.field == "timestamp" && si.liveIds.nonEmpty =>
+        case (Some(o), Some(k), Some(si))
+            if o.field == "timestamp" && si.liveIds.nonEmpty && p.where.isEmpty && si.rowCount.isDefined =>
+          val countOf    = si.rowCount.get
           val idsInOrder = if (o.desc) si.liveIds.sorted.reverse else si.liveIds.sorted
           val used       = scala.collection.mutable.ListBuffer[Long]()
           var acc        = 0L
@@ -184,9 +196,7 @@ object Executor {
           while (acc < k && it.hasNext) {
             val s = it.next()
             used += s
-            // per-shard count under the SAME filters; without a WHERE this
-            // is parquet-footer metadata, with one it scans just this shard
-            acc += base.filter(col(si.colName) === s).count()
+            acc += countOf(s)
           }
           if (used.size == idsInOrder.size) base
           else base.filter(col(si.colName).isin(used.toSeq: _*))

@@ -13,9 +13,13 @@ object CentroidKernel extends Serializable {
    * 0-based index of the cosine-nearest centroid. Arithmetic replicates
    * the expression form it replaces exactly: sequential-fold double dots
    * ([[DotProduct]] semantics — common prefix, null elements contribute 0),
-   * `sim = dot/(|v|·|c|)`, first index wins ties (strictly-greater scan ≡
-   * `array_position(sims, array_max(sims))` under Spark's NaN-equal
-   * semantics: an all-NaN row — e.g. a zero vector — yields index 0).
+   * `sim = dot/(|v|·|c|)`, first index wins ties. NaN mirrors Spark's
+   * ordering, where NaN is GREATER than any double (`array_max` of a row
+   * containing NaN is NaN, and `array_position` then finds the first NaN):
+   * the first NaN similarity — a zero-norm vector or centroid — wins over
+   * every finite one, so an all-NaN row (zero vector) yields index 0 and a
+   * zero-norm centroid captures every row, exactly like the
+   * `array_position(sims, array_max(sims))` projection it replaces.
    */
   def nearest(vec: ArrayData, isFloat: Boolean, centsFlat: Array[Double], norms: Array[Double], dim: Int): Int = {
     val m = math.min(vec.numElements(), dim)
@@ -38,7 +42,9 @@ object CentroidKernel extends Serializable {
       i = 0
       while (i < m) { s += v(i) * centsFlat(off + i); i += 1 }
       val sim = s / (nv * norms(c))
-      if (sim > best) { best = sim; bestI = c }
+      // NaN-greatest: a NaN sim beats any finite best; once best is NaN
+      // (java.lang.Double.isNaN(best)) nothing displaces it (first NaN wins)
+      if (sim > best || (sim != sim && best == best)) { best = sim; bestI = c }
       c += 1
     }
     bestI

@@ -200,6 +200,20 @@ class HttpApi(
     val db = params.getOrElse("db", "default")
     val ns = params.getOrElse("namespace", "default")
     val q  = params.getOrElse("q", "")
+    // validate refresh_ms BEFORE any headers go out: once the 200/SSE
+    // prefix is sent there is no way to signal a 400, the connection just
+    // drops. Absent → None (server default); present → must be a positive
+    // long.
+    val refreshMsParam: Option[Long] = params.get("refresh_ms") match {
+      case None => None
+      case Some(raw) =>
+        raw.toLongOption.filter(_ > 0) match {
+          case some @ Some(_) => some
+          case None =>
+            respond(ex, 400, s"""{"error":${mapper.writeValueAsString(s"refresh_ms must be a positive integer, got '$raw'")}}""")
+            return
+        }
+    }
     implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
     SqlParser.parse(db, ns, q) match {
       case Right(sel: Ast.SelectStatement) if sel.groupBy.isEmpty =>
@@ -221,12 +235,12 @@ class HttpApi(
           capacity = sseQueueCapacity,
           // per-subscription drain period (reference: refresh_period is a
           // client-set subscription parameter), server default otherwise
-          refreshMs = params.get("refresh_ms").map(_.toLong).getOrElse(sseRefreshMs)))
+          refreshMs = refreshMsParam.getOrElse(sseRefreshMs)))
         subs.add(live)
       case Right(_: Ast.SelectStatement) =>
         // aggregated subscription → periodic re-execution (reference R6:
         // group-by queries are re-run on a fixed scheduler and re-pushed)
-        val interval = params.get("refresh_ms").map(_.toLong).getOrElse(1000L)
+        val interval = refreshMsParam.getOrElse(1000L)
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")
         ex.getResponseHeaders.set("Cache-Control", "no-cache")
         ex.sendResponseHeaders(200, 0)

@@ -23,28 +23,30 @@ final class SseSubscriber(
     refreshMs: Long
 ) {
 
-  private val queue               = new LinkedBlockingQueue[String](capacity)
-  @volatile private var closedFlg = false
+  private val queue  = new LinkedBlockingQueue[String](capacity)
+  // single-owner close state: compareAndSet decides which racing path
+  // (overflow close, explicit close, flusher write failure) gets to fire
+  // onDead(), so eviction happens exactly once
+  private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  def isClosed: Boolean = closedFlg
+  def isClosed: Boolean = closed.get
 
   /** Enqueue one JSON event. Non-blocking: a full buffer (stalled or
     * too-slow client) evicts the subscriber, reference behavior. */
   def offer(json: String): Unit =
-    if (!closedFlg && !queue.offer(json)) close()
+    if (!closed.get && !queue.offer(json)) close()
 
   def close(): Unit = {
-    val wasOpen = !closedFlg
-    closedFlg = true
+    val first = closed.compareAndSet(false, true)
     flusher.interrupt()
-    if (wasOpen) onDead()
+    if (first) onDead()
   }
 
   // one drain per refresh tick: every queued event goes out in a single
   // socket write (SSE framing per event), not one write per record
   private val flusher = new Thread(() => {
     try {
-      while (!closedFlg) {
+      while (!closed.get) {
         val first = queue.poll(refreshMs, TimeUnit.MILLISECONDS)
         if (first != null) {
           val batch = new java.util.ArrayList[String]()
@@ -59,7 +61,7 @@ final class SseSubscriber(
       case _: InterruptedException => () // close() requested
       case _: Throwable            => () // dead socket
     } finally {
-      if (!closedFlg) { closedFlg = true; onDead() }
+      if (closed.compareAndSet(false, true)) onDead()
     }
   }, "graft-sse-flusher")
   flusher.setDaemon(true)

@@ -131,6 +131,21 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  it should "reject a malformed refresh_ms with 400 before any SSE bytes go out" in {
+    val root   = Files.createTempDirectory("graft_http_refresh_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine)
+    val port   = api.start()
+    try {
+      val q = java.net.URLEncoder.encode("select * from m", "UTF-8")
+      val (s1, b1) = get(port, s"/subscribe?db=db&namespace=ns&q=$q&refresh_ms=abc")
+      s1 shouldBe 400
+      b1 should include("refresh_ms")
+      get(port, s"/subscribe?db=db&namespace=ns&q=$q&refresh_ms=0")._1 shouldBe 400
+      get(port, s"/subscribe?db=db&namespace=ns&q=$q&refresh_ms=-7")._1 shouldBe 400
+    } finally api.stop()
+  }
+
   it should "re-push aggregated subscriptions periodically" in {
     val root   = Files.createTempDirectory("graft_sse_agg_").toString
     val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))

@@ -165,6 +165,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  it should "mirror Spark's NaN-greatest ordering for zero-norm vectors and centroids" in {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // Spark parity probe: array_max treats NaN as GREATER than any double
+    // and array_position then finds the FIRST NaN — the form the kernel
+    // replaces must agree on exactly this
+    spark.sql("select array_position(a, array_max(a)) p from (select array(0.5d, sqrt(-1d), 0.9d, sqrt(-1d)) a)")
+      .head().getLong(0) shouldBe 2L
+    // a zero-norm centroid at index 1 yields sim = NaN for every row → it
+    // captures every non-zero vector (NaN-greatest, first NaN wins) …
+    val cents = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)) // … and a zero VECTOR is all-NaN → index 0
+    ).toDF("vec_id", "embedding")
+    val got = rows.select(col("vec_id"), GraftFunctions.nearestCentroid(col("embedding"), cents).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got shouldBe Map(0L -> 1, 1L -> 1, 2L -> 0)
+  }
+
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
     // k = ceil(log2 n) + margin: log-scaling in n
     Similarity.planesFor(2048) shouldBe Similarity.planesFor(1024) + 1

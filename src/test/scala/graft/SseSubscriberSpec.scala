@@ -49,4 +49,38 @@ class SseSubscriberSpec extends AnyFlatSpec with Matchers {
     deaths.get() shouldBe 1
     stall.countDown()
   }
+
+  it should "evict exactly once when a write failure and an explicit close race" in {
+    // the compareAndSet in close()/the flusher's finally is the only thing
+    // standing between these two paths and a double onDead(); exercise both
+    // orderings deterministically
+    val deaths = new AtomicInteger(0)
+    val sub = new SseSubscriber(
+      write = _ => throw new RuntimeException("dead socket"),
+      onDead = () => deaths.incrementAndGet(),
+      capacity = 8, refreshMs = 5)
+    sub.offer("""{"i":1}""")
+    // flusher hits the write failure and evicts …
+    val deadline = System.currentTimeMillis() + 5000
+    while (deaths.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    deaths.get() shouldBe 1
+    sub.isClosed shouldBe true
+    // … and an explicit close() arriving afterwards must not evict again
+    sub.close()
+    deaths.get() shouldBe 1
+
+    // reverse order: close() first, then interrupt-unwinding of a blocked
+    // write — the flusher's finally must lose the CAS
+    val stall   = new CountDownLatch(1)
+    val deaths2 = new AtomicInteger(0)
+    val sub2 = new SseSubscriber(
+      write = _ => stall.await(), // close() interrupts this await
+      onDead = () => deaths2.incrementAndGet(),
+      capacity = 8, refreshMs = 5)
+    sub2.offer("""{"i":1}""")
+    Thread.sleep(50) // let the flusher enter the blocked write
+    sub2.close()
+    Thread.sleep(200) // let the flusher unwind through its finally
+    deaths2.get() shouldBe 1
+  }
 }

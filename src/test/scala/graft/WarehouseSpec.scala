@@ -82,6 +82,37 @@ class WarehouseSpec extends SparkTestBase {
     p2 should not include "IN (2,1,0)"
   }
 
+  it should "narrow O3 from parquet footers only — zero Spark jobs at plan construction" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "ns", "mo3j")
+    seed(wh, c)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // constructing + explaining the narrowed plan must launch NO job:
+      // shard row counts come from parquet footers read driver-side
+      val df = engine.sql("db", "ns", "select * from mo3j order by timestamp desc limit 1").fold(fail(_), identity)
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("= 2)") // narrowing did happen
+      Thread.sleep(500)           // let the listener bus drain
+      jobs.get() shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // with a WHERE the exact per-shard match count needs a scan, which
+    // would duplicate the real query's work — the plan stays un-narrowed
+    // (pruning + TakeOrderedAndProject) and the result is still correct
+    val dfW = engine.sql("db", "ns", "select * from mo3j where name = a order by timestamp desc limit 1")
+      .fold(fail(_), identity)
+    dfW.collect().map(_.getAs[Double]("value")).toSeq shouldBe Seq(3.0)
+    dfW.queryExecution.executedPlan.toString should not include "= 2)"
+  }
+
   it should "compact many-file shards copy-on-write and keep the data intact" in {
     val (engine, wh, root) = freshEngine()
     val c = Coords("db", "ns", "mc")
@@ -106,6 +137,42 @@ class WarehouseSpec extends SparkTestBase {
     // data identical after the rewrite
     val rows = engine.sql("db", "ns", "select * from mc order by value").fold(fail(_), _.collect())
     rows.map(_.getAs[Double]("value")).toSeq shouldBe ((1 to 10).map(_.toDouble) :+ 99.0)
+  }
+
+  it should "recover half-finished compaction swaps (crash-safe rename-aside)" in {
+    val (engine, wh, root) = freshEngine()
+    val c = Coords("db", "ns", "mr")
+    (1 to 10).foreach { i =>
+      wh.append(c, Seq((0 * day + i * 100L, i.toDouble, "g1")).toDF("timestamp", "value", "grp"),
+        tags = Set("grp")).fold(fail(_), identity)
+    }
+    def total: Seq[Double] =
+      engine.sql("db", "ns", "select * from mr order by value").fold(fail(_), _.collect())
+        .map(_.getAs[Double]("value")).toSeq
+    val want = (1 to 10).map(_.toDouble)
+
+    val shardDir = new java.io.File(s"$root/db/ns/mr/data/shard=0")
+    // crash point A: between the two renames — the live dir is gone, the
+    // aside copy holds all the data. Next compact() must restore it.
+    val aside = new java.io.File(s"$root/db/ns/mr/.old_compact_0")
+    shardDir.renameTo(aside) shouldBe true
+    aside.exists shouldBe true
+    wh.compact(c, maxFilesPerShard = 4).fold(fail(_), identity) shouldBe Seq(0L)
+    aside.exists shouldBe false
+    total shouldBe want
+
+    // crash point B: swap finished but the aside delete was lost — the
+    // stale copy must be dropped, never restored over the live dir
+    val stale = new java.io.File(s"$root/db/ns/mr/.old_compact_0")
+    stale.mkdir() shouldBe true
+    new java.io.File(stale, "junk.parquet").createNewFile() shouldBe true
+    // crash point C: rewrite died mid-write — tmp output is garbage
+    val tmp = new java.io.File(s"$root/db/ns/mr/.tmp_compact_0")
+    tmp.mkdir() shouldBe true
+    wh.compact(c).fold(fail(_), identity) shouldBe Seq.empty
+    stale.exists shouldBe false
+    tmp.exists shouldBe false
+    total shouldBe want
   }
 
   it should "reject schema type conflicts on append" in {
