@@ -79,6 +79,39 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[Dedup.gateAgainstCorpus]] with the corpus/new split
+    * `doc_id % mod <> 0` / `= 0`: new docs surviving the LSH near-dup gate
+    * against the corpus signature index. Replays the whole pipeline —
+    * shingle → minhash → band buckets (corpus buckets capped) → candidate
+    * join → Jaccard verify → anti-select. */
+  def gateAgainstCorpusSql(
+      threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int, mod: Int): String = {
+    require(numHashes % bands == 0)
+    val rows  = numHashes / bands
+    val perms = Dedup.mhParams(numHashes)
+    val asl   = perms.map(_._1).mkString("[", ",", "]")
+    val bsl   = perms.map(_._2).mkString("[", ",", "]")
+    s"""WITH params AS (SELECT $asl::BIGINT[] AS asl, $bsl::BIGINT[] AS bsl),
+       |${shingleCtes(shingleK)},
+       |g AS (SELECT doc_id, sh, list_transform(range(1, ${numHashes + 1}),
+       |        j -> list_min(list_transform(sh, h -> ((h % $P) * asl[j::INT] + bsl[j::INT]) % $P))) AS sig
+       |      FROM s CROSS JOIN params),
+       |bd AS (SELECT doc_id, band, list_aggregate(sig[(band*$rows+1):(band*$rows+$rows)], 'string_agg', ',') AS bucket
+       |       FROM g, (SELECT unnest(range(0, $bands)) AS band) bs),
+       |bdc AS (SELECT * FROM bd WHERE doc_id % $mod <> 0),
+       |bdn AS (SELECT * FROM bd WHERE doc_id % $mod = 0),
+       |ok AS (SELECT band, bucket FROM bdc GROUP BY band, bucket HAVING count(*) <= $maxBucket),
+       |bdc2 AS (SELECT bdc.* FROM bdc JOIN ok USING (band, bucket)),
+       |cand AS (SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus
+       |         FROM bdn n JOIN bdc2 c ON n.band = c.band AND n.bucket = c.bucket),
+       |m AS (SELECT DISTINCT id_new FROM cand
+       |      JOIN s sa ON sa.doc_id = cand.id_new JOIN s sb ON sb.doc_id = cand.id_corpus
+       |      WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $threshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % $mod = 0 AND doc_id NOT IN (SELECT id_new FROM m)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Dedup.simhashPairs]]: wide word hashes + second-lane
     * rehash ([[PortableHash.lane2]]), 128-bit sign-sum signature, 4×32-bit
     * band buckets (packed as BIGINTs exactly like the Spark plan's

@@ -129,6 +129,14 @@ object SparkEntry {
     // has its own correctness evidence, not just the blocked variant's
     "d_ngram_banded" -> ((s, d) => Dedup.ngramJaccardPairsBanded(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
+    // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
+    // batch, the rest the historical corpus behind a signature index
+    "d_gate" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = Dedup.signatureIndex(all.filter(col("doc_id") % 4 =!= 0))
+      Dedup.gateAgainstCorpus(all.filter(col("doc_id") % 4 === 0), corpus, 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // near-dup mining runs the SCALABLE banded path (no cartesian join in
     // any gate plan); cosinePairs stays a brute-force baseline. Plane/table
@@ -239,6 +247,7 @@ object SparkEntry {
     "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "d_embed_exact" -> OracleGen.cosinePairsSql(0.4, dim = 64, idMax = 500),

@@ -186,22 +186,30 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * Metadata-only row count of one shard: the sum of the parquet footers'
    * record counts, read driver-side. No Spark job, no data pages — a
    * footer is a few KB regardless of shard size, which is what lets the
-   * executor's O3 narrowing stay free at 100 TB.
+   * executor's O3 narrowing stay free at 100 TB. Guarded against
+   * pathological file counts: a shard that [[compact]] has not yet visited
+   * can hold tens of thousands of micro-batch files, and footer-walking
+   * those serially would stall plan construction — past
+   * `maxFooterReadsPerShard` footers the remaining files count as 0. The
+   * result is then a LOWER bound, which is the only safe direction: O3
+   * keeps pulling in shards until the counted total reaches the limit, so
+   * under-counting can only widen the narrowed set (extra shards opened),
+   * never drop rows the query needs.
    */
   private def shardRowCount(c: Coords, sid: Long): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir  = new Path(s"${dataPath(c)}/shard=$sid")
     val fs   = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) 0L
-    else
-      fs.listStatus(dir)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        .map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-          val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }
-        .sum
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .take(Warehouse.maxFooterReadsPerShard)
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      .sum
   }
 
   // ---- delete / drop / retention ----------------------------------------
@@ -278,8 +286,15 @@ class Warehouse(val spark: SparkSession, val root: String) {
             val k   = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
             val tmp = new Path(s"${c.path(root)}/.tmp_compact_$sid")
             val old = new Path(s"${c.path(root)}/.old_compact_$sid")
+            // range-partition + sort by timestamp on the way out: output
+            // files cover disjoint time ranges and every row group gets
+            // tight timestamp min/max stats, so time predicates skip whole
+            // files/row groups inside the shard (the intra-shard analogue
+            // of the reference's time-ordered Lucene index). The shuffle is
+            // per-shard and bounded by targetBytes·k — background cost.
             spark.read.schema(m.schema.toStruct).parquet(shardDir.toString)
-              .coalesce(k).write.mode("overwrite").parquet(tmp.toString)
+              .repartitionByRange(k, col("timestamp")).sortWithinPartitions("timestamp")
+              .write.mode("overwrite").parquet(tmp.toString)
             fs.rename(shardDir, old)
             fs.rename(tmp, shardDir)
             fs.delete(old, true)
@@ -333,4 +348,10 @@ class Warehouse(val spark: SparkSession, val root: String) {
         evicted
       }
     }
+}
+
+object Warehouse {
+  /** Footer-read budget per shard for metadata row counts — bounds O3
+    * plan-construction latency on shards compaction hasn't reached yet. */
+  val maxFooterReadsPerShard: Int = 64
 }

@@ -208,13 +208,7 @@ object Dedup {
     // never ride through the explode or the candidate shuffle. The bucket
     // key is the band slice itself (equality is all that matters; string
     // concat keeps it engine-portable for the oracle).
-    val banded = prepped
-      .select(
-        col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
-          .as(Seq("band", "bucket"))
-      )
+    val banded = bandBuckets(prepped, bands, rows)
 
     // cap pathological buckets before the self-join: aggregate + semi-join
     // (a partial-aggregating groupBy, not a full window over every row)
@@ -236,6 +230,92 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** `(id, band, bucket)` LSH band relation of a signature table: bucket =
+    * the band's signature slice itself (string concat — equality is all
+    * that matters, and it stays engine-portable for the oracle). */
+  private def bandBuckets(sigRel: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigRel.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "bucket")))
+
+  // ---- corpus-gated dedup (the ingest path) ------------------------------
+
+  /**
+   * MinHash signature index of a corpus: `(id, sh, sig)`. Built once and
+   * persisted ([[writeSignatureIndex]]); every future ingest batch's
+   * near-dup gate joins against it instead of re-shingling 100 TB of
+   * history. Growing the corpus = appending the accepted batch's rows.
+   */
+  def signatureIndex(
+      df: DataFrame,
+      numHashes: Int = 64,
+      shingleK: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
+  }
+
+  def writeSignatureIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Ingest-time near-dup gate: the rows of `newDocs` with NO near-duplicate
+   * (shingle Jaccard ≥ threshold) in the corpus behind `corpusIndex` (a
+   * [[signatureIndex]]). LSH band buckets restrict the join — a new doc
+   * only ever meets corpus docs sharing a band bucket — and `maxBucket`
+   * caps degenerate CORPUS buckets, so boilerplate the corpus already
+   * holds thousands of copies of cannot quadratically amplify every
+   * future batch. Scale shape: the index is a parquet table; the batch
+   * side is micro-batch-sized, so AQE broadcasts the batch bands against
+   * the corpus bucket scan and the only wide shuffle is the corpus bucket
+   * count — itself precomputable. Candidates dedupe on bare id pairs
+   * before the shingle arrays join back for the verify
+   * (same discipline as [[minhashLshPairs]]).
+   */
+  def gateAgainstCorpus(
+      newDocs: DataFrame,
+      corpusIndex: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(newDocs.sparkSession)
+    val rows  = numHashes / bands
+    val fresh = signatureIndex(newDocs, numHashes, shingleK, textCol, idCol).localCheckpoint(true)
+
+    val freshBanded  = bandBuckets(fresh, bands, rows)
+    val corpusBanded = bandBuckets(corpusIndex, bands, rows)
+    val smallBuckets = corpusBanded.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val cappedCorpus = corpusBanded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+
+    val candidates = freshBanded.alias("n")
+      .join(cappedCorpus.alias("c"), col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+    val matched = candidates
+      .join(fresh.select(col("id").as("id_new"), col("sh").as("sh_new")), "id_new")
+      .join(corpusIndex.select(col("id").as("id_corpus"), col("sh").as("sh_corpus")), "id_corpus")
+      .filter(round(fastJaccard(col("sh_new"), col("sh_corpus")), 4) >= threshold)
+      .select(col("id_new"))
+      .distinct()
+    newDocs.join(matched.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /**

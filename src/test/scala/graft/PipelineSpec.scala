@@ -56,6 +56,24 @@ class PipelineSpec extends SparkTestBase {
     all.map(_.getDouble(2)).foreach(_ should be >= 0.5)
   }
 
+  "Dedup.gateAgainstCorpus" should "drop incoming docs that near-duplicate the corpus, keep the rest" in {
+    // corpus = docs 0,2,3; incoming batch carries an exact dup of 0, a near
+    // dup of 0, and two genuinely new docs
+    val corpus = Dedup.signatureIndex(docs.filter(col("doc_id").isin(0L, 2L, 3L)), shingleK = 2)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "srcX"), // exact dup of 0
+      (11L, "the quick brown fox jumps over the lazy dog and runs far home", "en", "srcX"), // near dup of 0
+      (12L, "an entirely novel document about watermarks and state stores", "en", "srcX"),
+      (13L, "otro documento nuevo sobre motores de consultas distribuidas", "es", "srcX")
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = Dedup.gateAgainstCorpus(batch, corpus, threshold = 0.5, shingleK = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(12L, 13L)
+    // surviving rows keep the full input schema (the gate anti-joins, it
+    // does not project)
+    Dedup.gateAgainstCorpus(batch, corpus, threshold = 0.5, shingleK = 2).columns shouldBe batch.columns
+  }
+
   "Dedup.minhashLshPairs" should "find planted near-duplicates" in {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5, shingleK = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -137,6 +137,15 @@ class WarehouseSpec extends SparkTestBase {
     // data identical after the rewrite
     val rows = engine.sql("db", "ns", "select * from mc order by value").fold(fail(_), _.collect())
     rows.map(_.getAs[Double]("value")).toSeq shouldBe ((1 to 10).map(_.toDouble) :+ 99.0)
+
+    // compaction output is time-ordered inside the file, so parquet
+    // row-group timestamp stats are tight and time predicates skip inside
+    // the shard (seed order above was by value, not time — re-read raw)
+    val file = new java.io.File(s"$root/db/ns/mc/data/shard=0").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val ts = spark.read.parquet(file.getAbsolutePath)
+      .select("timestamp").collect().map(_.getLong(0)).toSeq
+    ts shouldBe ts.sorted
   }
 
   it should "recover half-finished compaction swaps (crash-safe rename-aside)" in {
