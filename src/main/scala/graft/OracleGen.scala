@@ -79,6 +79,16 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[Sampling.stratifiedHashSample]] over the `lang` stratum:
+    * the same polynomial id hash mod 10000 against per-stratum cutoffs. */
+  def stratifiedSampleSql(rates: Seq[(String, Double)], seed: Long): String = {
+    val h = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    val keep = rates.sortBy(_._1)
+      .map { case (stratum, rate) => s"(lang = '$stratum' AND h < ${math.round(rate * 10000)})" }
+      .mkString(" OR ")
+    s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $h AS h FROM documents) WHERE $keep ORDER BY doc_id"
+  }
+
   /** mirror of [[Dedup.gateAgainstCorpus]] with the corpus/new split
     * `doc_id % mod <> 0` / `= 0`: new docs surviving the LSH near-dup gate
     * against the corpus signature index. Replays the whole pipeline —

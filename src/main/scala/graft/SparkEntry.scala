@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.plan.TimeContext
 
 /**
@@ -172,6 +172,11 @@ object SparkEntry {
     // quality floor + token bounds in one digest shuffle + one projection
     "tx_curate" -> ((s, d) => pipeline.Curate.curate(docs(s, d), keepLangs = Seq("en", "de"),
       minQuality = 0.5, minTokens = 5, maxTokens = 10000).orderBy("doc_id")),
+    // deterministic training-mix sampling: per-language hash rates
+    "tx_sample" -> ((s, d) => Sampling.stratifiedHashSample(docs(s, d), "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25)).select("doc_id", "lang").orderBy("doc_id")),
+    // token-budget selection: best-quality docs filling a fixed budget
+    "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -266,6 +271,18 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) SELECT doc_id, len(ws) AS n_tokens, round($hits/len(ws), 4) AS stopword_ratio, round($punct/length(text), 4) AS punct_ratio, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM t ORDER BY doc_id"""
     },
     "tx_langid"  -> s"SELECT doc_id, $LangCase AS predicted_lang, h_en AS en_hits FROM ($LangHits) ORDER BY doc_id",
+    "tx_sample"  -> OracleGen.stratifiedSampleSql(Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25), seed = 7L),
+    "tx_budget" -> {
+      val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+      val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+      // the oracle is the NAIVE form — one global ordered running sum —
+      // which the bucketed Spark plan must reproduce row-for-row
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |q AS (SELECT doc_id, len(ws) AS n_toks, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM t),
+         |c AS (SELECT doc_id, sum(n_toks) OVER (ORDER BY quality DESC, doc_id) AS cum FROM q)
+         |SELECT doc_id FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
     "tx_curate" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"
       val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus sampling and budget selection for training-data mixes.
+ *
+ * Everything here is DETERMINISTIC — a rerun (or a different cluster
+ * size, or a different engine replaying the recipe) produces the exact
+ * same corpus. That is the property training-data lineage needs and
+ * `rand()`/`sampleBy` cannot give: sampling decisions are pure functions
+ * of the document id, not of partition layout or RNG draw order.
+ */
+object Sampling {
+
+  /** The sampling hash: portable polynomial over the id's decimal digits,
+    * reduced mod 10000 — two engines computing it agree bit-for-bit
+    * ([[graft.OracleGen]] replays it in SQL). */
+  private[graft] def sampleHash(idCol: Column, seed: Long): Column =
+    pmod(Dedup.polyHash(idCol.cast("string"), 131L, seed), lit(10000L))
+
+  /** Keep ~`rate` of rows, chosen by id hash: a doc is in or out of the
+    * sample forever, independent of partitioning and order. */
+  def hashSample(df: DataFrame, rate: Double, seed: Long = 7L, idCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    df.filter(sampleHash(col(idCol), seed) < lit(math.round(rate * 10000)))
+  }
+
+  /**
+   * Per-stratum deterministic rates — the "training mix" primitive: e.g.
+   * `Map("en" -> 0.5, "de" -> 1.0)` keeps half the English corpus and all
+   * the German one. Strata absent from `rates` are dropped (an explicit
+   * mix is a whitelist). One scan, no shuffle: the decision is a pure
+   * row-local predicate, so at 100 TB this is a single filtered pass with
+   * full predicate pushdown on the stratum column.
+   */
+  def stratifiedHashSample(
+      df: DataFrame,
+      stratumCol: String,
+      rates: Map[String, Double],
+      seed: Long = 7L,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val h = sampleHash(col(idCol), seed)
+    val keep = rates.toSeq.sortBy(_._1).map { case (stratum, rate) =>
+      col(stratumCol) === lit(stratum) && h < lit(math.round(rate * 10000))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(keep)
+  }
+
+  /**
+   * Highest-quality docs whose cumulative token count fits `budget`,
+   * in (quality DESC, id ASC) priority order — "fill a 1T-token training
+   * budget with the best documents".
+   *
+   * Scale shape: the naive form is a running sum over a GLOBAL ordering —
+   * one partition doing all the work. Instead quality (already rounded to
+   * 4 dp) is bucketed to 2 dp: per-bucket token totals (≤ ~121 buckets)
+   * aggregate tree-style and cumulate on the driver, which pins the
+   * boundary bucket; buckets above it are kept whole with a plain filter,
+   * buckets below dropped, and only the boundary bucket's rows — one
+   * quality-centile of the corpus — pay an ordered window for the exact
+   * remainder. Semantics are EXACTLY the global prefix: floor-bucketing is
+   * order-preserving, and equal-quality rows always share a bucket, where
+   * the window applies the same (quality DESC, id ASC) order.
+   */
+  def tokenBudget(
+      df: DataFrame,
+      budget: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val (nTokens, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+    val scored = df
+      .withColumn("__toks", nTokens)
+      .withColumn("__q", quality)
+      .withColumn("__qb", floor(col("__q") * 100).cast("int"))
+
+    // ≤ ~121 rows on the driver (quality ∈ [-0.0x, 1.1] after weighting).
+    // Prefix semantics: once the running total would cross the budget the
+    // boundary is pinned; later (lower-quality) buckets can never re-enter
+    // — cumulative sums are monotone, so a crossed budget stays crossed.
+    val bucketToks = scored.groupBy(col("__qb")).agg(sum("__toks").as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    var acc = 0L
+    var boundary = Int.MinValue
+    var aboveSum = 0L
+    bucketToks.foreach { case (qb, toks) =>
+      if (boundary == Int.MinValue) {
+        if (acc + toks <= budget) acc += toks
+        else { boundary = qb; aboveSum = acc }
+      }
+    }
+    if (boundary == Int.MinValue) df // everything fits
+    else {
+      // whole buckets above the boundary: a row-local filter, NO join —
+      // the bulk of the corpus never shuffles
+      val whole = scored.filter(col("__qb") > boundary)
+      val w = Window.orderBy(col("__q").desc, col(idCol).asc)
+      val boundaryRows = scored.filter(col("__qb") === boundary)
+        .withColumn("__cum", sum(col("__toks")).over(w))
+        .filter(col("__cum") <= budget - aboveSum)
+        .drop("__cum")
+      whole.union(boundaryRows).drop("__toks", "__q", "__qb")
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Pipeline operator specs with planted duplicates/near-duplicates. */
 class PipelineSpec extends SparkTestBase {
@@ -202,6 +202,54 @@ class PipelineSpec extends SparkTestBase {
     val got = rows.select(col("vec_id"), GraftFunctions.nearestCentroid(col("embedding"), cents).as("pos"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     got shouldBe Map(0L -> 1, 1L -> 1, 2L -> 0)
+  }
+
+  "Sampling.hashSample" should "be deterministic, monotone in rate, and exact at the edges" in {
+    val corpus = (0L until 400L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val s30a = Sampling.hashSample(corpus, 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30b = Sampling.hashSample(corpus, 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    s30a shouldBe s30b // rerun ⇒ identical corpus, the lineage property
+    val s60 = Sampling.hashSample(corpus, 0.6).select("doc_id").collect().map(_.getLong(0)).toSet
+    s30a.subsetOf(s60) shouldBe true // raising the rate only ADDS docs
+    s30a.size.toDouble should (be > 400 * 0.15 and be < 400 * 0.45)
+    Sampling.hashSample(corpus, 0.0).count() shouldBe 0L
+    Sampling.hashSample(corpus, 1.0).count() shouldBe 400L
+    // a different seed draws a different (deterministic) sample
+    Sampling.hashSample(corpus, 0.3, seed = 99L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet should not be s30a
+  }
+
+  "Sampling.stratifiedHashSample" should "apply per-stratum rates and drop unlisted strata" in {
+    val corpus = (0L until 300L).map(i => (i, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val mixed = Sampling.stratifiedHashSample(corpus, "lang", Map("en" -> 0.5, "de" -> 1.0))
+      .select("doc_id", "lang").collect()
+    mixed.map(_.getString(1)).toSet shouldBe Set("en", "de") // zh not in the mix
+    mixed.count(_.getString(1) == "de") shouldBe 100         // rate 1.0 keeps every de doc
+    val en = mixed.count(_.getString(1) == "en")
+    en.toDouble should (be > 100 * 0.3 and be < 100 * 0.7)
+  }
+
+  "Sampling.tokenBudget" should "match the naive global running-sum prefix exactly" in {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 200L).map { i =>
+      val n = 3 + rnd.nextInt(40)
+      (i, (0 until n).map(j => if (rnd.nextBoolean()) "the" else s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    // naive reference: order every doc by (quality desc, id), cumulate
+    val scored = TextAnalysis.qualityScore(corpus)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    def naive(budget: Long): Set[Long] = {
+      var acc = 0L
+      scored.iterator.takeWhile { case (_, n, _) => { acc += n; acc <= budget } }.map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 500L, 2000L, 100000L)) {
+      val got = Sampling.tokenBudget(corpus, budget).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      got shouldBe naive(budget)
+    }
   }
 
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
