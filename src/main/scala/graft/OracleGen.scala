@@ -204,6 +204,34 @@ object OracleGen {
        |SELECT id_a, id_b, sim FROM v WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[Similarity.gateAgainstCorpus]] with the corpus/new split
+    * `vec_id % mod <> 0` / `= 0`: new vectors surviving the cosine
+    * near-dup gate against the corpus vector index. */
+  def vectorGateSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int, mod: Int): String = {
+    val ev = vecIdx("e", "embedding") _
+    val bucketExprs = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 42L + t)
+      planes.zipWithIndex.map { case (p, i) =>
+        val pv = (idx: String) => s"(${litArr(p.toSeq)})[$idx]"
+        s"CASE WHEN ${foldDot(ev, pv, dim)} > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")::BIGINT")
+    }
+    val bktCols = bucketExprs.zipWithIndex.map { case (x, t) => s"$x AS b_$t" }.mkString(", ")
+    val unioned = (0 until tables).map(t => s"SELECT vec_id, $t AS tbl, b_$t AS bucket FROM bkt").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bkt AS (SELECT e.vec_id, $bktCols FROM e),
+       |bd AS ($unioned),
+       |cand AS (SELECT DISTINCT f.vec_id AS id_new, c.vec_id AS id_corpus
+       |         FROM (SELECT * FROM bd WHERE vec_id % $mod = 0) f
+       |         JOIN (SELECT * FROM bd WHERE vec_id % $mod <> 0) c ON f.tbl = c.tbl AND f.bucket = c.bucket),
+       |m AS (SELECT DISTINCT id_new FROM cand
+       |      JOIN e ea ON ea.vec_id = cand.id_new JOIN e eb ON eb.vec_id = cand.id_corpus
+       |      WHERE round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) >= $threshold)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id % $mod = 0 AND vec_id NOT IN (SELECT id_new FROM m)
+       |ORDER BY vec_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Similarity.ivfBuild]] (one Lloyd refinement) +
     * [[Similarity.ivfTopK]] probing for the query vector `vec_id = 0`. */
   def ivfTopKSql(nlist: Int, nprobe: Int, k: Int, dim: Int): String = {

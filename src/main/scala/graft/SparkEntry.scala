@@ -144,6 +144,14 @@ object SparkEntry {
     // hyperplane arrays in the DuckDB replay — real corpora derive them
     // from n via Similarity.planesFor/tablesFor (sizing is spec-covered)
     "d_embed"   -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4, planesPerTable = 7, tables = 12).orderBy("id_a", "id_b")),
+    // embedding twin of d_gate: vec_id % 4 == 0 plays the incoming batch
+    // against a pre-hashed vector index of the rest
+    "d_embed_gate" -> ((s, d) => {
+      val all = emb(s, d)
+      val corpus = Similarity.vectorIndex(all.filter(col("vec_id") % 4 =!= 0), planesPerTable = 7, tables = 12)
+      Similarity.gateAgainstCorpus(all.filter(col("vec_id") % 4 === 0), corpus, 0.4,
+        planesPerTable = 7, tables = 12).select("vec_id").orderBy("vec_id")
+    }),
     // exact cross-check over a BOUNDED id subset: unlike the LSH oracles
     // (which mirror the bucketing algorithm), this one is independent of
     // the LSH code path — a bucketing bug replicated into OracleGen would
@@ -255,6 +263,7 @@ object SparkEntry {
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
+    "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),
     "d_embed_exact" -> OracleGen.cosinePairsSql(0.4, dim = 64, idMax = 500),
     "ann_lsh"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 6, tables = 8, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),

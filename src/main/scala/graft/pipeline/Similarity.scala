@@ -225,6 +225,66 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  // ---- corpus-gated embedding dedup (the ingest path) --------------------
+
+  /**
+   * LSH vector index of a corpus: `(id, v, n, buckets)` — the embedding,
+   * its norm, and the per-table sign buckets from one kernel pass. Built
+   * once and persisted as parquet; every ingest batch's near-dup gate
+   * joins against it, so the corpus is never re-hashed. Plane/table
+   * params must match the gate's (size real corpora with
+   * [[planesFor]]/[[tablesFor]]).
+   */
+  def vectorIndex(
+      df: DataFrame,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, d, seed = 42L + t))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"),
+      GraftFunctions.lshBuckets(col(vecCol), tablePlanes).as("buckets"))
+  }
+
+  /**
+   * Embedding twin of [[Dedup.gateAgainstCorpus]]: the rows of `newVecs`
+   * with NO cosine near-duplicate (sim ≥ threshold) in the corpus behind
+   * `corpusIndex` (a [[vectorIndex]]). Candidates = bucket-mates in any
+   * table (corpus buckets read pre-hashed from the index, the batch pays
+   * one kernel pass); exact cosine verifies; survivors anti-join out with
+   * the full input schema. Candidate ids dedupe before vectors join back.
+   */
+  def gateAgainstCorpus(
+      newVecs: DataFrame,
+      corpusIndex: DataFrame,
+      threshold: Double,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val fresh = vectorIndex(newVecs, planesPerTable, tables, dim, vecCol, idCol).localCheckpoint(true)
+    def explodeBuckets(ix: DataFrame) =
+      ix.select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val candidates = explodeBuckets(fresh).alias("f")
+      .join(explodeBuckets(corpusIndex).alias("c"),
+        col("f.table") === col("c.table") && col("f.bucket") === col("c.bucket"))
+      .select(col("f.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+    val matched = candidates
+      .join(fresh.select(col("id").as("id_new"), col("v").as("vn"), col("n").as("nn")), "id_new")
+      .join(corpusIndex.select(col("id").as("id_corpus"), col("v").as("vc"), col("n").as("nc")), "id_corpus")
+      .filter(round(fdot(col("vn"), col("vc")) / (col("nn") * col("nc")), 4) >= threshold)
+      .select(col("id_new"))
+      .distinct()
+    newVecs.join(matched.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   // ---- IVF ---------------------------------------------------------------
 
   /** An IVF index: per-vector inverted-list assignment + the centroid

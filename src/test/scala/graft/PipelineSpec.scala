@@ -204,6 +204,22 @@ class PipelineSpec extends SparkTestBase {
     got shouldBe Map(0L -> 1, 1L -> 1, 2L -> 0)
   }
 
+  "Similarity.gateAgainstCorpus" should "drop incoming vectors near-duplicating the corpus" in {
+    // corpus = vecs 0,2; incoming batch: near-parallel copy of 0, plus an
+    // orthogonal-ish newcomer — index round-trips through parquet
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_vec_idx_").toString + "/vindex"
+    val corpus = Similarity.vectorIndex(vecs.filter(col("vec_id").isin(0L, 2L)), planesPerTable = 5, tables = 6)
+    corpus.write.mode("overwrite").parquet(idxPath)
+    val corpusIndex = spark.read.parquet(idxPath)
+    val batchRows = vecs.filter(col("vec_id").isin(1L, 3L)) // 1 ~parallel to 0, 3 independent
+    val kept = Similarity.gateAgainstCorpus(batchRows, corpusIndex, threshold = 0.9,
+      planesPerTable = 5, tables = 6).select("vec_id").collect().map(_.getLong(0)).toSet
+    kept should contain(3L)
+    kept should not contain 1L
+    Similarity.gateAgainstCorpus(batchRows, corpusIndex, threshold = 0.9,
+      planesPerTable = 5, tables = 6).columns shouldBe batchRows.columns
+  }
+
   "Sampling.hashSample" should "be deterministic, monotone in rate, and exact at the edges" in {
     val corpus = (0L until 400L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
     val s30a = Sampling.hashSample(corpus, 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
