@@ -185,6 +185,8 @@ object SparkEntry {
       Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25)).select("doc_id", "lang").orderBy("doc_id")),
     // token-budget selection: best-quality docs filling a fixed budget
     "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
+    // sequence packing: distributed prefix sum over the corpus token stream
+    "tx_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), 256L).orderBy("doc_id")),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -292,6 +294,12 @@ object SparkEntry {
          |c AS (SELECT doc_id, sum(n_toks) OVER (ORDER BY quality DESC, doc_id) AS cum FROM q)
          |SELECT doc_id FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    // the oracle is the NAIVE global running sum the two-phase plan equals
+    "tx_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 256.0) AS BIGINT) AS seq_id
+        |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "tx_curate" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"
       val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"

@@ -67,6 +67,48 @@ object Sampling {
    * order-preserving, and equal-quality rows always share a bucket, where
    * the window applies the same (quality DESC, id ASC) order.
    */
+  /**
+   * Pack documents into fixed-size training sequences: doc `i` (in id
+   * order) starts at token offset `prefixSum(tokens before i)` and lands
+   * in `seq_id = floor(start / seqTokens)` — deterministic chunking of
+   * the corpus token stream into `seqTokens`-sized windows.
+   *
+   * The prefix sum is the textbook distributed two-phase form, NOT a
+   * global ordered window (which would serialize 100 TB through one
+   * partition): range-partition by id, per-partition running sums under a
+   * `partitionBy(pid)` window (parallel), per-partition totals cumulated
+   * on the driver (one row per partition) and broadcast back as exclusive
+   * offsets. Range boundaries may vary run to run — the result does not,
+   * because pid order follows id order and offsets are computed from the
+   * actual partition contents.
+   */
+  def packSequences(
+      df: DataFrame,
+      seqTokens: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val parted = df
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val w     = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val local = parted.withColumn("__local", sum(col("n_tokens")).over(w))
+
+    // one row per partition on the driver: exclusive prefix offsets
+    val partTotals = local.groupBy(col("__pid")).agg(max(col("__local")).as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partTotals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+    val offsetDf = local.sparkSession
+      .createDataFrame(partTotals.map(_._1).zip(offsets.map(_._2)).toSeq)
+      .toDF("__pid", "__off")
+
+    local.join(broadcast(offsetDf), "__pid")
+      .select(col(idCol), col("n_tokens"),
+        floor((col("__off") + col("__local") - col("n_tokens")) / lit(seqTokens)).as("seq_id"))
+  }
+
   def tokenBudget(
       df: DataFrame,
       budget: Long,

@@ -268,6 +268,26 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  "Sampling.packSequences" should "equal the naive global prefix-sum chunking across partitions" in {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 500L).map(i => (i, (0 until (1 + rnd.nextInt(30))).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Sampling.packSequences(corpus, 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // naive single-threaded reference
+    var acc = 0L
+    val want = corpus.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).map { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        val seq = (acc / 64L); acc += n
+        (id, n, seq)
+      }
+    got shouldBe want
+    // the plan must NOT contain a global (un-partitioned) sort-based window
+    val plan = Sampling.packSequences(corpus, 64L).queryExecution.executedPlan.toString
+    plan should include("__pid") // running sums are per-partition
+  }
+
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
     // k = ceil(log2 n) + margin: log-scaling in n
     Similarity.planesFor(2048) shouldBe Similarity.planesFor(1024) + 1
