@@ -14,7 +14,8 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("t_sum", "t_topk", "i_count", "s_star", "g_mixed", "ann_topk", "d_minhash", "d_embed", "ann_ivf")) {
+    for (q <- Seq("t_sum", "t_topk", "i_count", "s_star", "g_mixed", "ann_topk", "d_minhash", "d_embed",
+      "ann_ivf", "d_gate", "d_embed_gate", "tx_sample", "tx_budget", "tx_pack")) {
       println(s"\n================ $q ================")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -75,12 +75,16 @@ object Sampling {
    *
    * The prefix sum is the textbook distributed two-phase form, NOT a
    * global ordered window (which would serialize 100 TB through one
-   * partition): range-partition by id, per-partition running sums under a
-   * `partitionBy(pid)` window (parallel), per-partition totals cumulated
-   * on the driver (one row per partition) and broadcast back as exclusive
-   * offsets. Range boundaries may vary run to run — the result does not,
-   * because pid order follows id order and offsets are computed from the
-   * actual partition contents.
+   * partition): range-partition by id, per-partition running sums in one
+   * local pass, per-partition totals cumulated on the driver (one row per
+   * partition) and broadcast back as exclusive offsets. The local pass is
+   * a `mapPartitions` rather than a `partitionBy(pid)` window on purpose —
+   * Catalyst cannot prove `spark_partition_id()` matches the physical
+   * layout and would re-shuffle the whole corpus a second time on pid;
+   * the iterator pass reuses the range exchange's co-location for free.
+   * Range boundaries may vary run to run — the result does not, because
+   * pid order follows id order and offsets are computed from the actual
+   * partition contents.
    */
   def packSequences(
       df: DataFrame,
@@ -89,12 +93,18 @@ object Sampling {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
-    val parted = df
-      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    import df.sparkSession.implicits._
+    val local = df
+      .select(col(idCol).cast("long"), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (id, n) => acc += n; (id, n, acc) }
+      }
+      .toDF(idCol, "n_tokens", "__local")
       .withColumn("__pid", spark_partition_id())
-    val w     = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    val local = parted.withColumn("__local", sum(col("n_tokens")).over(w))
 
     // one row per partition on the driver: exclusive prefix offsets
     val partTotals = local.groupBy(col("__pid")).agg(max(col("__local")).as("total"))

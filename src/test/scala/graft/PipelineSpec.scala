@@ -283,9 +283,12 @@ class PipelineSpec extends SparkTestBase {
         (id, n, seq)
       }
     got shouldBe want
-    // the plan must NOT contain a global (un-partitioned) sort-based window
+    // the corpus must shuffle exactly once (the range exchange): no global
+    // window, and no second hash exchange on the partition id
     val plan = Sampling.packSequences(corpus, 64L).queryExecution.executedPlan.toString
-    plan should include("__pid") // running sums are per-partition
+    plan should include("__pid")
+    plan should not include "hashpartitioning(__pid"
+    plan should not include "Window"
   }
 
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
