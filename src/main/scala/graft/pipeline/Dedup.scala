@@ -269,6 +269,27 @@ object Dedup {
     spark.read.parquet(path)
 
   /**
+   * The capped corpus band relation `(id, band, bucket)` with degenerate
+   * buckets already dropped — the ONE corpus-wide aggregation the gate
+   * needs. Precompute it alongside the signature index (and persist it,
+   * e.g. parquet partitioned by `band`) so each ingest batch pays only the
+   * bucket join, never a rescan-and-count of 100 TB of corpus buckets.
+   */
+  def bandedIndex(
+      corpusIndex: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val banded = bandBuckets(corpusIndex, bands, numHashes / bands)
+    val smallBuckets = banded.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+  }
+
+  /**
    * Ingest-time near-dup gate: the rows of `newDocs` with NO near-duplicate
    * (shingle Jaccard ≥ threshold) in the corpus behind `corpusIndex` (a
    * [[signatureIndex]]). LSH band buckets restrict the join — a new doc
@@ -291,7 +312,8 @@ object Dedup {
       shingleK: Int = 3,
       maxBucket: Int = 1000,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      corpusBanded: Option[DataFrame] = None // a persisted [[bandedIndex]]
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(newDocs.sparkSession)
@@ -299,11 +321,7 @@ object Dedup {
     val fresh = signatureIndex(newDocs, numHashes, shingleK, textCol, idCol).localCheckpoint(true)
 
     val freshBanded  = bandBuckets(fresh, bands, rows)
-    val corpusBanded = bandBuckets(corpusIndex, bands, rows)
-    val smallBuckets = corpusBanded.groupBy(col("band"), col("bucket")).count()
-      .filter(col("count") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val cappedCorpus = corpusBanded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val cappedCorpus = corpusBanded.getOrElse(bandedIndex(corpusIndex, numHashes, bands, maxBucket))
 
     val candidates = freshBanded.alias("n")
       .join(cappedCorpus.alias("c"), col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))

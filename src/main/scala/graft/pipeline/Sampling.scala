@@ -52,22 +52,6 @@ object Sampling {
   }
 
   /**
-   * Highest-quality docs whose cumulative token count fits `budget`,
-   * in (quality DESC, id ASC) priority order — "fill a 1T-token training
-   * budget with the best documents".
-   *
-   * Scale shape: the naive form is a running sum over a GLOBAL ordering —
-   * one partition doing all the work. Instead quality (already rounded to
-   * 4 dp) is bucketed to 2 dp: per-bucket token totals (≤ ~121 buckets)
-   * aggregate tree-style and cumulate on the driver, which pins the
-   * boundary bucket; buckets above it are kept whole with a plain filter,
-   * buckets below dropped, and only the boundary bucket's rows — one
-   * quality-centile of the corpus — pay an ordered window for the exact
-   * remainder. Semantics are EXACTLY the global prefix: floor-bucketing is
-   * order-preserving, and equal-quality rows always share a bucket, where
-   * the window applies the same (quality DESC, id ASC) order.
-   */
-  /**
    * Pack documents into fixed-size training sequences: doc `i` (in id
    * order) starts at token offset `prefixSum(tokens before i)` and lands
    * in `seq_id = floor(start / seqTokens)` — deterministic chunking of
@@ -119,6 +103,22 @@ object Sampling {
         floor((col("__off") + col("__local") - col("n_tokens")) / lit(seqTokens)).as("seq_id"))
   }
 
+  /**
+   * Highest-quality docs whose cumulative token count fits `budget`,
+   * in (quality DESC, id ASC) priority order — "fill a 1T-token training
+   * budget with the best documents".
+   *
+   * Scale shape: the naive form is a running sum over a GLOBAL ordering —
+   * one partition doing all the work. Instead quality (already rounded to
+   * 4 dp) is bucketed to 2 dp: per-bucket token totals (≤ ~121 buckets)
+   * aggregate tree-style and cumulate on the driver, which pins the
+   * boundary bucket; buckets above it are kept whole with a plain filter,
+   * buckets below dropped, and only the boundary bucket's rows — one
+   * quality-centile of the corpus — pay an ordered window for the exact
+   * remainder. Semantics are EXACTLY the global prefix: floor-bucketing is
+   * order-preserving, and equal-quality rows always share a bucket, where
+   * the window applies the same (quality DESC, id ASC) order.
+   */
   def tokenBudget(
       df: DataFrame,
       budget: Long,

@@ -72,6 +72,15 @@ class PipelineSpec extends SparkTestBase {
     // surviving rows keep the full input schema (the gate anti-joins, it
     // does not project)
     Dedup.gateAgainstCorpus(batch, corpus, threshold = 0.5, shingleK = 2).columns shouldBe batch.columns
+
+    // a persisted banded index (the per-batch zero-aggregation path) gates
+    // identically to the inline computation
+    val bandedPath = java.nio.file.Files.createTempDirectory("graft_banded_").toString + "/banded"
+    Dedup.bandedIndex(corpus).write.mode("overwrite").parquet(bandedPath)
+    val keptPre = Dedup.gateAgainstCorpus(batch, corpus, threshold = 0.5, shingleK = 2,
+      corpusBanded = Some(spark.read.parquet(bandedPath)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    keptPre shouldBe kept
   }
 
   "Dedup.minhashLshPairs" should "find planted near-duplicates" in {
