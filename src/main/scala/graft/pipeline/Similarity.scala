@@ -33,6 +33,12 @@ object Similarity {
   private def fdot(a: Column, b: Column): Column = GraftFunctions.dotProduct(a, b)
   private def fnorm(a: Column): Column           = sqrt(fdot(a, a))
 
+  /** vector dimensionality from the first row; 1 on an EMPTY input (any
+    * plane dim works when no row is ever evaluated — an empty streaming
+    * micro-batch must flow through the gate, not throw). */
+  private def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head(1).headOption.fold(1)(_.getInt(0))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -187,7 +193,7 @@ object Similarity {
       idCol: String = "vec_id"
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
     val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, d, seed = 42L + t))
     // ALL table buckets from one native kernel call: the vector is read
     // once per row (not tables×planes times) and the plan stays a single
@@ -244,7 +250,7 @@ object Similarity {
       idCol: String = "vec_id"
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
     val tablePlanes = (0 until tables).map(t => hyperplanes(planesPerTable, d, seed = 42L + t))
     df.select(col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("n"),
       GraftFunctions.lshBuckets(col(vecCol), tablePlanes).as("buckets"))

@@ -227,6 +227,9 @@ class PipelineSpec extends SparkTestBase {
     kept should not contain 1L
     Similarity.gateAgainstCorpus(batchRows, corpusIndex, threshold = 0.9,
       planesPerTable = 5, tables = 6).columns shouldBe batchRows.columns
+    // an empty batch (idle streaming trigger) flows through, no throw
+    Similarity.gateAgainstCorpus(vecs.filter(lit(false)), corpusIndex, threshold = 0.9,
+      planesPerTable = 5, tables = 6).count() shouldBe 0L
   }
 
   "Sampling.hashSample" should "be deterministic, monotone in rate, and exact at the edges" in {
