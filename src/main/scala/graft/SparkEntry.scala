@@ -133,7 +133,9 @@ object SparkEntry {
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
       val all = docs(s, d)
-      val corpus = Dedup.signatureIndex(all.filter(col("doc_id") % 4 =!= 0))
+      // materialized like the persisted index it stands in for: the corpus
+      // is shingled once, not once per downstream reference
+      val corpus = Dedup.signatureIndex(all.filter(col("doc_id") % 4 =!= 0)).localCheckpoint(true)
       Dedup.gateAgainstCorpus(all.filter(col("doc_id") % 4 === 0), corpus, 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -149,6 +151,7 @@ object SparkEntry {
     "d_embed_gate" -> ((s, d) => {
       val all = emb(s, d)
       val corpus = Similarity.vectorIndex(all.filter(col("vec_id") % 4 =!= 0), planesPerTable = 7, tables = 12)
+        .localCheckpoint(true) // stands in for the persisted index
       Similarity.gateAgainstCorpus(all.filter(col("vec_id") % 4 === 0), corpus, 0.4,
         planesPerTable = 7, tables = 12).select("vec_id").orderBy("vec_id")
     }),
