@@ -57,13 +57,15 @@ object OracleGen {
 
   /** mirror of [[Dedup.minhashLshPairs]]: signature, band buckets (capped),
     * candidate pairs, exact-Jaccard verify. */
-  def minhashPairsSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String = {
+  /** the CTE chain `params … v` producing verified minhash candidate pairs
+    * with their jaccard — shared by the pairs, gate, and clusters oracles. */
+  private def minhashPairCtes(numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String = {
     require(numHashes % bands == 0)
     val rows  = numHashes / bands
     val perms = Dedup.mhParams(numHashes)
     val asl   = perms.map(_._1).mkString("[", ",", "]")
     val bsl   = perms.map(_._2).mkString("[", ",", "]")
-    s"""WITH params AS (SELECT $asl::BIGINT[] AS asl, $bsl::BIGINT[] AS bsl),
+    s"""params AS (SELECT $asl::BIGINT[] AS asl, $bsl::BIGINT[] AS bsl),
        |${shingleCtes(shingleK)},
        |g AS (SELECT doc_id, sh, list_transform(range(1, ${numHashes + 1}),
        |        j -> list_min(list_transform(sh, h -> ((h % $P) * asl[j::INT] + bsl[j::INT]) % $P))) AS sig
@@ -75,9 +77,29 @@ object OracleGen {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bd2 a JOIN bd2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |v AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
-       |      FROM cand JOIN s sa ON sa.doc_id = cand.id_a JOIN s sb ON sb.doc_id = cand.id_b)
-       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+       |      FROM cand JOIN s sa ON sa.doc_id = cand.id_a JOIN s sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
+
+  def minhashPairsSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)}
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+      .stripMargin.replace("\n", " ")
+
+  /** mirror of [[Dedup.duplicateClusters]]: connected components over the
+    * verified near-dup pair graph via recursive min-label propagation —
+    * the closed form of the iterative Spark loop. */
+  def ccClustersSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |lab(id, l) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, lab.l FROM lab JOIN e ON e.src = lab.id),
+       |reps AS (SELECT id, min(l) AS rep FROM lab GROUP BY id)
+       |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+       |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
+      .stripMargin.replace("\n", " ")
 
   /** mirror of [[Sampling.stratifiedHashSample]] over the `lang` stratum:
     * the same polynomial id hash mod 10000 against per-stratum cutoffs. */

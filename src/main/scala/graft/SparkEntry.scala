@@ -140,6 +140,8 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
+    // true duplicate clusters: connected components over the pair graph
+    "d_cc" -> ((s, d) => Dedup.duplicateClusters(docs(s, d), 0.5).orderBy("doc_id")),
     // near-dup mining runs the SCALABLE banded path (no cartesian join in
     // any gate plan); cosinePairs stays a brute-force baseline. Plane/table
     // counts are pinned literals because OracleGen must embed the same
@@ -266,6 +268,7 @@ object SparkEntry {
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
+    "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),

@@ -337,6 +337,63 @@ object Dedup {
   }
 
   /**
+   * TRUE duplicate clusters: connected components over the verified
+   * near-dup pair graph, every doc labeled with the smallest id in its
+   * component (`rep`) — the union-find step large corpus-dedup pipelines
+   * run after LSH pair mining, which [[minhashLshDuplicates]]'s single
+   * pass only approximates (it misses transitive chains A~B~C where A≁C).
+   *
+   * Iterative min-label propagation: each round joins labels across the
+   * EDGE set (near-dup pairs — a vanishing fraction of the corpus; the
+   * corpus itself is never re-scanned) and keeps the per-node minimum,
+   * converging in O(component diameter) rounds — near-dup clusters are
+   * near-cliques, so typically 2-4. `localCheckpoint` truncates lineage
+   * each round (no exponentially growing plan), and the fixpoint test is
+   * an `isEmpty` probe on changed labels, not a full count.
+   */
+  def duplicateClusters(
+      df: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxIters: Int = 50
+  ): DataFrame = {
+    // materialize the mined pairs BEFORE the bidirectional union — both
+    // union branches reference this plan, and unchecked they would run the
+    // whole mining pipeline twice in one job
+    val pairs = minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "__nid"), col("id_b") === col("__nid"))
+        .select(col("id_a").as("id"), col("rep"))
+      val next = fromNeighbors.union(labels)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("rep", "__prev"), "id")
+        .filter(col("rep") =!= col("__prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    // docs in no pair are their own singleton cluster
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+  }
+
+  /**
    * Dedup by LSH pairs: ids that have a near-duplicate with a smaller id.
    * (Single-pass approximation of connected components — exact CC needs
    * iteration, unnecessary for keep-one-representative semantics.)

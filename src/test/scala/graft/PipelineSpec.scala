@@ -83,6 +83,26 @@ class PipelineSpec extends SparkTestBase {
     keptPre shouldBe kept
   }
 
+  "Dedup.duplicateClusters" should "collapse transitive near-dup chains to one representative" in {
+    // 0~1 and 1~2 by bigram Jaccard 5/9 ≈ 0.56, but 0 and 2 share only
+    // 3/11 ≈ 0.27 — a chain only connected components can collapse
+    val chain = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "c d e f g h i j"),
+      (2L, "e f g h i j k l"),
+      (3L, "totally unrelated content words over here")
+    ).toDF("doc_id", "text")
+    val reps = Dedup.duplicateClusters(chain, 0.5, numHashes = 64, bands = 32, shingleK = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L)
+    // pair mining alone never links 0 and 2 — the iteration earns its keep
+    val direct = Dedup.minhashLshPairs(chain, 0.5, numHashes = 64, bands = 32, shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    direct should contain(0L -> 1L)
+    direct should contain(1L -> 2L)
+    direct should not contain (0L -> 2L)
+  }
+
   "Dedup.minhashLshPairs" should "find planted near-duplicates" in {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5, shingleK = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
