@@ -101,6 +101,19 @@ object OracleGen {
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.decontaminate]] with the corpus/eval split
+    * `doc_id % mod <> 0` / `= 0`: corpus docs sharing no k-shingle with
+    * the eval slice. */
+  def decontaminateSql(shingleK: Int, mod: Int): String =
+    s"""WITH ${shingleCtes(shingleK)},
+       |ev AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE doc_id % $mod = 0),
+       |con AS (SELECT DISTINCT doc_id
+       |        FROM (SELECT doc_id, unnest(sh) AS h FROM s WHERE doc_id % $mod <> 0) c
+       |        JOIN ev USING (h))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % $mod <> 0 AND doc_id NOT IN (SELECT doc_id FROM con)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Sampling.stratifiedHashSample]] over the `lang` stratum:
     * the same polynomial id hash mod 10000 against per-stratum cutoffs. */
   def stratifiedSampleSql(rates: Seq[(String, Double)], seed: Long): String = {

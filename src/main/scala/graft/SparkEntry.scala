@@ -142,6 +142,13 @@ object SparkEntry {
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // true duplicate clusters: connected components over the pair graph
     "d_cc" -> ((s, d) => Dedup.duplicateClusters(docs(s, d), 0.5).orderBy("doc_id")),
+    // eval-set decontamination: docs with doc_id % 10 == 0 play the
+    // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
+    "d_decon" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminate(all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0), shingleK = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // near-dup mining runs the SCALABLE banded path (no cartesian join in
     // any gate plan); cosinePairs stays a brute-force baseline. Plane/table
     // counts are pinned literals because OracleGen must embed the same
@@ -269,6 +276,7 @@ object SparkEntry {
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),

@@ -337,6 +337,36 @@ object Dedup {
   }
 
   /**
+   * Eval-set decontamination — the n-gram-collision rule: drop every
+   * corpus doc sharing ANY k-word shingle with the eval/benchmark corpus
+   * (k ≈ 13 in practice; contamination is verbatim overlap, not
+   * similarity, so this is exact collision, not LSH). Scale shape: the
+   * eval side is benchmark-sized, so its distinct shingle-hash set
+   * BROADCASTS; the corpus side is one map-side pass — explode shingles,
+   * broadcast-join, distinct contaminated ids — the corpus itself never
+   * shuffles, only the (tiny) contaminated-id set does.
+   */
+  def decontaminate(
+      df: DataFrame,
+      evalDf: DataFrame,
+      shingleK: Int = 13,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      evalTextCol: String = "text"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val evalSh = evalDf
+      .select(explode(GraftFunctions.shingles(col(evalTextCol), shingleK)).as("sh"))
+      .distinct()
+    val contaminated = df
+      .select(col(idCol), explode(GraftFunctions.shingles(col(textCol), shingleK)).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .select(col(idCol))
+      .distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * TRUE duplicate clusters: connected components over the verified
    * near-dup pair graph, every doc labeled with the smallest id in its
    * component (`rep`) — the union-find step large corpus-dedup pipelines

@@ -83,6 +83,18 @@ class PipelineSpec extends SparkTestBase {
     keptPre shouldBe kept
   }
 
+  "Dedup.decontaminate" should "drop docs sharing any k-shingle with the eval set" in {
+    val evalSet = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "some pretraining text where the secret benchmark answer is forty two exactly appears verbatim"),
+      (1L, "clean document with no overlap whatsoever in any span"),
+      (2L, "another clean one that mentions benchmark answer but never five consecutive shared words")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, evalSet, shingleK = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 2L)
+  }
+
   "Dedup.duplicateClusters" should "collapse transitive near-dup chains to one representative" in {
     // 0~1 and 1~2 by bigram Jaccard 5/9 ≈ 0.56, but 0 and 2 share only
     // 3/11 ≈ 0.27 — a chain only connected components can collapse
