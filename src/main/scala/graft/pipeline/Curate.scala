@@ -44,4 +44,46 @@ object Curate {
           col("quality") >= minQuality &&
           col("n_tokens").between(minTokens, maxTokens))
   }
+
+  /**
+   * The whole training-mix pipeline, composed end-to-end — what a corpus
+   * run chains between raw documents and the tokenizer:
+   *
+   *   1. [[curate]] membership (exact dedup + language allowlist +
+   *      quality floor + token bounds)
+   *   2. [[Dedup.decontaminate]]: drop eval-set n-gram collisions
+   *   3. [[Dedup.duplicateClusters]]: keep one representative per
+   *      near-dup connected component
+   *   4. [[Sampling.stratifiedHashSample]]: deterministic per-language mix
+   *   5. [[Sampling.packSequences]]: chunk the survivors' token stream
+   *      into training sequences
+   *
+   * Returns `(doc_id, n_tokens, seq_id)`. Every stage is individually
+   * oracle-gated (`tx_curate`, `d_decon`, `d_cc`, `tx_sample`, `tx_pack`);
+   * the composition is deterministic end to end — rerunning it (anywhere,
+   * at any parallelism) rebuilds the identical mix.
+   */
+  def trainingMix(
+      df: DataFrame,
+      evalDf: DataFrame,
+      mixRates: Map[String, Double],
+      seqTokens: Long,
+      keepLangs: Seq[String] = Seq("en", "de"),
+      minQuality: Double = 0.5,
+      nearDupThreshold: Double = 0.5,
+      deconShingleK: Int = 13,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val curated = curate(df, keepLangs, minQuality, textCol = textCol, idCol = idCol)
+      .select(col(idCol), col("predicted_lang"))
+    val survivors = df.join(curated, Seq(idCol), "left_semi")
+    val clean     = Dedup.decontaminate(survivors, evalDf, deconShingleK, textCol, idCol)
+    val reps = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)
+      .filter(col(idCol) === col("rep")).select(col(idCol))
+    val deduped  = clean.join(reps, Seq(idCol), "left_semi")
+    val withLang = deduped.join(curated, Seq(idCol))
+    val mixed    = Sampling.stratifiedHashSample(withLang, "predicted_lang", mixRates, idCol = idCol)
+    Sampling.packSequences(mixed, seqTokens, textCol, idCol)
+  }
 }

@@ -83,6 +83,35 @@ class PipelineSpec extends SparkTestBase {
     keptPre shouldBe kept
   }
 
+  "Curate.trainingMix" should "compose curate→decontaminate→cc-dedup→mix→pack deterministically" in {
+    import graft.pipeline.{Curate, Sampling}
+    val evalSet = Seq((900L, "the hidden benchmark answer is exactly forty two today and tomorrow and forever more")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // two exact copies of decent english — one representative survives
+      (0L, "the quick brown fox jumps over the lazy dog and it runs on and on for a while in the field"),
+      (1L, "the quick brown fox jumps over the lazy dog and it runs on and on for a while in the field"),
+      // contaminated: contains the eval 13-gram verbatim
+      (2L, "prefix words then the hidden benchmark answer is exactly forty two today and tomorrow and forever more for the rest of it"),
+      // clean independent english doc
+      (3L, "a completely different and reasonably long english document about the engine and the data it is processing for training runs"),
+      // non-english: dropped by the allowlist
+      (4L, "el perro y el gato de la casa que corren por los campos todos los dias del verano")
+    ).toDF("doc_id", "text")
+    val out = Curate.trainingMix(corpus, evalSet,
+      mixRates = Map("en" -> 1.0), seqTokens = 16L,
+      keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows.map(_._1) shouldBe Array(0L, 3L) // dup 1 collapsed, 2 contaminated, 4 wrong lang
+    // packing covers the surviving token stream contiguously from seq 0
+    rows.map(_._3).min shouldBe 0L
+    // deterministic end-to-end: a rerun builds the identical mix
+    val again = Curate.trainingMix(corpus, evalSet,
+      mixRates = Map("en" -> 1.0), seqTokens = 16L,
+      keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    again shouldBe rows
+  }
+
   "Dedup.decontaminate" should "drop docs sharing any k-shingle with the eval set" in {
     val evalSet = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
     val corpus = Seq(
