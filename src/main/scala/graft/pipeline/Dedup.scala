@@ -313,7 +313,10 @@ object Dedup {
       maxBucket: Int = 1000,
       textCol: String = "text",
       idCol: String = "doc_id",
-      corpusBanded: Option[DataFrame] = None // a persisted [[bandedIndex]]
+      // a persisted [[bandedIndex]] — MUST have been built with the same
+      // numHashes/bands/maxBucket as this call, or buckets silently never
+      // collide and the gate passes everything through
+      corpusBanded: Option[DataFrame] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(newDocs.sparkSession)

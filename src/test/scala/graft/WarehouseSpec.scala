@@ -80,6 +80,9 @@ class WarehouseSpec extends SparkTestBase {
     d2 shouldBe Seq(4.0, 3.0)
     p2 should (include("IN (2,1)") or include("IN (1,2)"))
     p2 should not include "IN (2,1,0)"
+    // a limit larger than the metric: every shard needed, nothing narrowed
+    val (dAll, _) = planOf("select * from mo3 order by timestamp desc limit 100")
+    dAll shouldBe Seq(4.0, 3.0, 2.0, 1.0)
   }
 
   it should "narrow O3 from parquet footers only — zero Spark jobs at plan construction" in {
