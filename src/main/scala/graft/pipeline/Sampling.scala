@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -114,10 +113,12 @@ object Sampling {
    * aggregate tree-style and cumulate on the driver, which pins the
    * boundary bucket; buckets above it are kept whole with a plain filter,
    * buckets below dropped, and only the boundary bucket's rows — one
-   * quality-centile of the corpus — pay an ordered window for the exact
-   * remainder. Semantics are EXACTLY the global prefix: floor-bucketing is
+   * quality-centile of the corpus — pay a two-phase distributed prefix
+   * sum for the exact remainder (never a single-partition window, even
+   * when a degenerate quality distribution puts everything in one
+   * bucket). Semantics are EXACTLY the global prefix: floor-bucketing is
    * order-preserving, and equal-quality rows always share a bucket, where
-   * the window applies the same (quality DESC, id ASC) order.
+   * the prefix sum applies the same (quality DESC, id ASC) order.
    */
   def tokenBudget(
       df: DataFrame,
@@ -151,11 +152,35 @@ object Sampling {
       // whole buckets above the boundary: a row-local filter, NO join —
       // the bulk of the corpus never shuffles
       val whole = scored.filter(col("__qb") > boundary)
-      val w = Window.orderBy(col("__q").desc, col(idCol).asc)
-      val boundaryRows = scored.filter(col("__qb") === boundary)
-        .withColumn("__cum", sum(col("__toks")).over(w))
-        .filter(col("__cum") <= budget - aboveSum)
-        .drop("__cum")
+      // exact remainder inside the boundary bucket via the same two-phase
+      // prefix sum [[packSequences]] uses, ordered (quality DESC, id) —
+      // NOT a single-partition global window, so even a degenerate
+      // quality distribution (the whole corpus in one bucket) stays
+      // parallel
+      import df.sparkSession.implicits._
+      val rem     = budget - aboveSum
+      val bScored = scored.filter(col("__qb") === boundary)
+      val bLocal = bScored
+        .select(col("__q"), col(idCol).cast("long").as("__id"), col("__toks"))
+        .repartitionByRange(col("__q").desc, col("__id"))
+        .sortWithinPartitions(col("__q").desc, col("__id"))
+        .as[(Double, Long, Long)]
+        .mapPartitions { it =>
+          var acc = 0L
+          it.map { case (_, id, n) => acc += n; (id, acc) }
+        }
+        .toDF("__id", "__local")
+        .withColumn("__pid", spark_partition_id())
+      val totals = bLocal.groupBy(col("__pid")).agg(max(col("__local")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offs  = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      val offDf = bScored.sparkSession
+        .createDataFrame(totals.map(_._1).zip(offs.map(_._2)).toSeq)
+        .toDF("__pid", "__off")
+      val keptIds = bLocal.join(broadcast(offDf), "__pid")
+        .filter(col("__off") + col("__local") <= rem)
+        .select(col("__id").cast("long").as(idCol))
+      val boundaryRows = bScored.join(keptIds, Seq(idCol), "left_semi")
       whole.union(boundaryRows).drop("__toks", "__q", "__qb")
     }
   }

@@ -339,6 +339,15 @@ class PipelineSpec extends SparkTestBase {
         .collect().map(_.getLong(0)).toSet
       got shouldBe naive(budget)
     }
+
+    // degenerate distribution: every doc identical quality → ONE bucket is
+    // the whole corpus; the boundary prefix sum must stay exact (id order)
+    val flat = (0L until 100L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val perDoc = 8L
+    for (budget <- Seq(0L, 7L, 40L, 41L, 800L)) {
+      val got = Sampling.tokenBudget(flat, budget).select("doc_id").collect().map(_.getLong(0)).toSet
+      got shouldBe (0L until math.min(100L, budget / perDoc)).toSet
+    }
   }
 
   "Sampling.packSequences" should "equal the naive global prefix-sum chunking across partitions" in {
