@@ -101,6 +101,15 @@ object OracleGen {
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Multimodal.embedBatched]]: per-dimension
+    * portable code-point fold normalized by P31. */
+  def embedStubSql(dim: Int): String = {
+    val cols = (0 until dim)
+      .map(j => s"${wordPolySql("text", 131L, j)} / 2147483647.0 AS e$j")
+      .mkString(", ")
+    s"SELECT doc_id, $cols FROM documents ORDER BY doc_id"
+  }
+
   /** mirror of [[Dedup.decontaminate]] with the corpus/eval split
     * `doc_id % mod <> 0` / `= 0`: corpus docs sharing no k-shingle with
     * the eval slice. */

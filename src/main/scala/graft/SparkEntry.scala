@@ -211,7 +211,18 @@ object SparkEntry {
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
-    "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx"))
+    "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx")),
+    // resize: gate compares the size/dimension arithmetic (binary payload
+    // itself is stub bytes, excluded from the oracle projection)
+    "mm_resize" -> ((s, d) => Multimodal.resizeBatched(Multimodal.withPayload(docs(s, d)))
+      .select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")),
+    // feature extraction: per-dimension portable fold, unpacked to scalar
+    // columns for the oracle compare
+    "mm_embed" -> ((s, d) => Multimodal.embedBatched(Multimodal.withPayload(docs(s, d)))
+      .select(col("doc_id"),
+        element_at(col("embedding"), 1).as("e0"), element_at(col("embedding"), 2).as("e1"),
+        element_at(col("embedding"), 3).as("e2"), element_at(col("embedding"), 4).as("e3"))
+      .orderBy("doc_id"))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
@@ -335,7 +346,10 @@ object SparkEntry {
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->
-      "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx"
+      "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx",
+    "mm_resize" ->
+      "SELECT doc_id, 64::BIGINT AS width, 64::BIGINT AS height, greatest(1, (sl * 4096) // ((64 + sl % 193) * (64 + (sl * 31) % 177)))::BIGINT AS n_bytes FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS sl FROM documents) ORDER BY doc_id",
+    "mm_embed" -> OracleGen.embedStubSql(4)
   )
 
   /** per-language marker-hit subquery + argmax CASE chain, generated from

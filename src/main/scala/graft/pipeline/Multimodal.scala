@@ -76,6 +76,75 @@ object Multimodal {
     spark.createDataFrame(out, MediaMetaSchema)
   }
 
+  /** schema of a resized media record. */
+  val ResizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_bytes", LongType)
+  ))
+
+  /**
+   * Partition-batched "resize" to target dimensions: emits a new binary
+   * payload whose size scales the source by the pixel-count ratio against
+   * the decoded dimensions (aspect math a real resampler would follow).
+   * STUB: output bytes are a deterministic function of source length; the
+   * real parts are the batching, the binary-out schema, and the size
+   * arithmetic — at 100 TB this is the shape of a recompression pass
+   * (map-only, no shuffle, bounded batch memory).
+   */
+  def resizeBatched(media: DataFrame, targetW: Int = 64, targetH: Int = 64, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // >>> STUB: real resampler would process `batch` in one native call
+        batch.map { r =>
+          val id     = r.getLong(0)
+          val srcLen = r.getAs[Array[Byte]](1).length.toLong
+          val w0     = 64 + srcLen % 193
+          val h0     = 64 + (srcLen * 31) % 177
+          val outLen = math.max(1L, srcLen * (targetW.toLong * targetH) / (w0 * h0))
+          val bytes  = Array.tabulate(outLen.toInt)(i => ((srcLen * 31 + i) % 251).toByte)
+          Row(id, bytes, targetW.toLong, targetH.toLong, outLen)
+        }
+      }
+    }
+    spark.createDataFrame(out, ResizedSchema)
+  }
+
+  /**
+   * Partition-batched feature extraction — the inference shape (encoder
+   * init amortized per partition, bounded batch memory, map-only). STUB:
+   * each embedding component is the portable polynomial code-point fold
+   * ([[graft.functions.PortableHash.wordPoly]]) at a per-dimension seed,
+   * normalized to [0,1) — deterministic, engine-portable (the DuckDB
+   * oracle replays it), and the output feeds [[Similarity]] unchanged:
+   * media → embeddings → ANN composes end to end.
+   */
+  def embedBatched(media: DataFrame, dim: Int = 4, batchSize: Int = 64): DataFrame = {
+    import graft.functions.PortableHash
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))
+    ))
+    val out = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // >>> STUB: real encoder would embed `batch` in one forward pass
+        batch.map { r =>
+          val id    = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val emb = Array.tabulate(dim) { j =>
+            PortableHash.wordPoly(bytes, 0, bytes.length, 131L, j.toLong).toDouble / PortableHash.P31
+          }
+          Row(id, emb)
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /**
    * Frame sampling: one row per sampled frame with its byte offset —
    * the standard explode shape for video/audio windowing. Frame count is

@@ -527,4 +527,37 @@ class PipelineSpec extends SparkTestBase {
     frames.length shouldBe 3
     frames.map(_.getLong(2)).toSeq shouldBe Seq(0L, 16L, 32L)
   }
+
+  it should "resize with pixel-ratio size arithmetic and emit real payload bytes" in {
+    val media = Multimodal.withPayload(docs)
+    val out = Multimodal.resizeBatched(media, targetW = 64, targetH = 64, batchSize = 2)
+      .orderBy("doc_id").collect()
+    out.length shouldBe docs.count()
+    val srcLens = media.select($"doc_id", org.apache.spark.sql.functions.octet_length($"payload"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    out.foreach { r =>
+      val sl     = srcLens(r.getLong(0))
+      val expect = math.max(1L, sl * 4096L / ((64 + sl % 193) * (64 + sl * 31 % 177)))
+      r.getLong(4) shouldBe expect                        // n_bytes follows the ratio
+      r.getAs[Array[Byte]](1).length.toLong shouldBe expect // payload is really that size
+      (r.getLong(2), r.getLong(3)) shouldBe ((64L, 64L))
+    }
+  }
+
+  it should "extract embeddings that feed the similarity operators unchanged" in {
+    val emb = Multimodal.embedBatched(Multimodal.withPayload(docs), dim = 8, batchSize = 2)
+    emb.count() shouldBe docs.count()
+    // components are deterministic and in [0,1)
+    val again = Multimodal.embedBatched(Multimodal.withPayload(docs), dim = 8, batchSize = 3)
+    emb.orderBy("doc_id").collect().map(_.getSeq[Double](1)) shouldBe
+      again.orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    // exact duplicate docs (0 and 4) embed identically → top-1 neighbor of
+    // doc 0's vector at cosine 1.0; media → embeddings → ANN composes
+    val q = emb.filter($"doc_id" === 0).head().getSeq[Double](1)
+    val top = Similarity.bruteForceTopK(
+      emb.withColumnRenamed("doc_id", "vec_id"), q.toArray.map(_.toFloat), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    top.map(_._1).toSet shouldBe Set(0L, 4L)
+    top.foreach(_._2 shouldBe 1.0 +- 1e-6)
+  }
 }
