@@ -124,7 +124,12 @@ object Sampling {
       df: DataFrame,
       budget: Long,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      // above this many boundary-bucket rows the exact remainder switches
+      // from a (bounded) single-partition window to the distributed
+      // prefix sum — 4M sorted rows in one task is fine, a degenerate
+      // whole-corpus bucket is not
+      maxWindowRows: Long = 1L << 22
   ): DataFrame = {
     val (nTokens, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
     val scored = df
@@ -136,51 +141,61 @@ object Sampling {
     // Prefix semantics: once the running total would cross the budget the
     // boundary is pinned; later (lower-quality) buckets can never re-enter
     // — cumulative sums are monotone, so a crossed budget stays crossed.
-    val bucketToks = scored.groupBy(col("__qb")).agg(sum("__toks").as("toks"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    val bucketStats = scored.groupBy(col("__qb"))
+      .agg(sum("__toks").as("toks"), count(lit(1)).as("rows"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(-_._1)
     var acc = 0L
     var boundary = Int.MinValue
     var aboveSum = 0L
-    bucketToks.foreach { case (qb, toks) =>
+    var boundaryRowCount = 0L
+    bucketStats.foreach { case (qb, toks, nRows) =>
       if (boundary == Int.MinValue) {
         if (acc + toks <= budget) acc += toks
-        else { boundary = qb; aboveSum = acc }
+        else { boundary = qb; aboveSum = acc; boundaryRowCount = nRows }
       }
     }
     if (boundary == Int.MinValue) df // everything fits
     else {
       // whole buckets above the boundary: a row-local filter, NO join —
       // the bulk of the corpus never shuffles
-      val whole = scored.filter(col("__qb") > boundary)
-      // exact remainder inside the boundary bucket via the same two-phase
-      // prefix sum [[packSequences]] uses, ordered (quality DESC, id) —
-      // NOT a single-partition global window, so even a degenerate
-      // quality distribution (the whole corpus in one bucket) stays
-      // parallel
-      import df.sparkSession.implicits._
+      val whole   = scored.filter(col("__qb") > boundary)
       val rem     = budget - aboveSum
       val bScored = scored.filter(col("__qb") === boundary)
-      val bLocal = bScored
-        .select(col("__q"), col(idCol).cast("long").as("__id"), col("__toks"))
-        .repartitionByRange(col("__q").desc, col("__id"))
-        .sortWithinPartitions(col("__q").desc, col("__id"))
-        .as[(Double, Long, Long)]
-        .mapPartitions { it =>
-          var acc = 0L
-          it.map { case (_, id, n) => acc += n; (id, acc) }
+      val boundaryRows =
+        if (boundaryRowCount <= maxWindowRows) {
+          // one quality-centile, bounded size: a single-partition ordered
+          // window is the cheapest exact plan
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("__q").desc, col(idCol).asc)
+          bScored.withColumn("__cum", sum(col("__toks")).over(w))
+            .filter(col("__cum") <= rem)
+            .drop("__cum")
+        } else {
+          // degenerate distribution (e.g. the whole corpus in one bucket):
+          // the same two-phase prefix sum [[packSequences]] uses, ordered
+          // (quality DESC, id) — stays parallel at any bucket size
+          import df.sparkSession.implicits._
+          val bLocal = bScored
+            .select(col("__q"), col(idCol).cast("long").as("__id"), col("__toks"))
+            .repartitionByRange(col("__q").desc, col("__id"))
+            .sortWithinPartitions(col("__q").desc, col("__id"))
+            .as[(Double, Long, Long)]
+            .mapPartitions { it =>
+              var racc = 0L
+              it.map { case (_, id, n) => racc += n; (id, racc) }
+            }
+            .toDF("__id", "__local")
+            .withColumn("__pid", spark_partition_id())
+          val totals = bLocal.groupBy(col("__pid")).agg(max(col("__local")).as("t"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          val offs  = totals.scanLeft((0, 0L)) { case ((_, a), (pid, t)) => (pid, a + t) }
+          val offDf = bScored.sparkSession
+            .createDataFrame(totals.map(_._1).zip(offs.map(_._2)).toSeq)
+            .toDF("__pid", "__off")
+          val keptIds = bLocal.join(broadcast(offDf), "__pid")
+            .filter(col("__off") + col("__local") <= rem)
+            .select(col("__id").cast("long").as(idCol))
+          bScored.join(keptIds, Seq(idCol), "left_semi")
         }
-        .toDF("__id", "__local")
-        .withColumn("__pid", spark_partition_id())
-      val totals = bLocal.groupBy(col("__pid")).agg(max(col("__local")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offs  = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-      val offDf = bScored.sparkSession
-        .createDataFrame(totals.map(_._1).zip(offs.map(_._2)).toSeq)
-        .toDF("__pid", "__off")
-      val keptIds = bLocal.join(broadcast(offDf), "__pid")
-        .filter(col("__off") + col("__local") <= rem)
-        .select(col("__id").cast("long").as(idCol))
-      val boundaryRows = bScored.join(keptIds, Seq(idCol), "left_semi")
       whole.union(boundaryRows).drop("__toks", "__q", "__qb")
     }
   }

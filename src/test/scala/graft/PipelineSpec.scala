@@ -341,12 +341,17 @@ class PipelineSpec extends SparkTestBase {
     }
 
     // degenerate distribution: every doc identical quality → ONE bucket is
-    // the whole corpus; the boundary prefix sum must stay exact (id order)
+    // the whole corpus; maxWindowRows = 0 forces the distributed
+    // prefix-sum path, which must stay exact in (quality desc, id) order
     val flat = (0L until 100L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
     val perDoc = 8L
     for (budget <- Seq(0L, 7L, 40L, 41L, 800L)) {
-      val got = Sampling.tokenBudget(flat, budget).select("doc_id").collect().map(_.getLong(0)).toSet
-      got shouldBe (0L until math.min(100L, budget / perDoc)).toSet
+      val expect = (0L until math.min(100L, budget / perDoc)).toSet
+      Sampling.tokenBudget(flat, budget, maxWindowRows = 0L).select("doc_id")
+        .collect().map(_.getLong(0)).toSet shouldBe expect
+      // the window path (default threshold) selects the identical set
+      Sampling.tokenBudget(flat, budget).select("doc_id")
+        .collect().map(_.getLong(0)).toSet shouldBe expect
     }
   }
 
