@@ -420,6 +420,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // exact result or loud failure — a silently non-minimal labeling would
+    // under-merge clusters (only reachable via a >maxIters-diameter chain)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — raise maxIters for ultra-long near-dup chains")
     // docs in no pair are their own singleton cluster
     df.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -67,7 +67,9 @@ object Sampling {
    * the iterator pass reuses the range exchange's co-location for free.
    * Range boundaries may vary run to run — the result does not, because
    * pid order follows id order and offsets are computed from the actual
-   * partition contents.
+   * partition contents. Ids are assumed UNIQUE (the doc-id contract):
+   * with duplicate ids the order among equal keys — and thus their seq
+   * assignment — would be partition-placement dependent.
    */
   def packSequences(
       df: DataFrame,
