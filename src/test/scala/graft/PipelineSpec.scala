@@ -378,6 +378,23 @@ class PipelineSpec extends SparkTestBase {
     plan should not include "Window"
   }
 
+  "Sampling determinism" should "be invariant under input partition layout" in {
+    // the docs promise sampling/packing decisions are pure functions of
+    // the data, not of partitioning — assert it across layouts
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 300L).map(i => (i, (0 until (1 + rnd.nextInt(20))).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def samp(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSample(df, 0.4).select("doc_id").collect().map(_.getLong(0)).toSet
+    samp(corpus.repartition(1)) shouldBe samp(corpus.repartition(13))
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, 64L).collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    pack(corpus.repartition(1)) shouldBe pack(corpus.repartition(13))
+    def budget(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudget(df, 900L).select("doc_id").collect().map(_.getLong(0)).toSet
+    budget(corpus.repartition(1)) shouldBe budget(corpus.repartition(13))
+  }
+
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
     // k = ceil(log2 n) + margin: log-scaling in n
     Similarity.planesFor(2048) shouldBe Similarity.planesFor(1024) + 1
