@@ -331,23 +331,74 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   /**
    * Retention eviction: drop whole shards entirely older than
-   * `now - retention` (reference: `TimeRangeManager.getLocationsToEvict`).
-   * Returns the evicted shard ids.
+   * `now - retention` (reference: `TimeRangeManager.getLocationsToEvict`),
+   * then PARTIALLY evict the boundary shard — a shard that straddles the
+   * cutoff keeps its live rows and sheds the expired ones via the
+   * copy-on-write delete path, mirroring the reference's
+   * `partiallyEvictPerform` (a DELETE statement against the boundary
+   * location, `MetadataCoordinator.scala:268-311`). Returns the FULLY
+   * evicted shard ids.
    */
   def evictExpired(c: Coords)(implicit tc: TimeContext): Either[String, Seq[Long]] =
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
       if (m.retentionMs <= 0) Seq.empty
-      else lockFor(c).synchronized {
+      else {
+        val evicted = lockFor(c).synchronized {
+          val cutoff = tc.currentTime - m.retentionMs
+          val fs     = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val full = subdirs(dataPath(c))
+            .filter(_.startsWith("shard="))
+            .map(_.stripPrefix("shard=").toLong)
+            .filter(s => (s + 1) * m.shardIntervalMs - 1 < cutoff)
+          full.foreach(s => fs.delete(new Path(s"${dataPath(c)}/shard=$s"), true))
+          full
+        }
         val cutoff = tc.currentTime - m.retentionMs
-        val fs     = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val evicted = subdirs(dataPath(c))
+        val straddles = subdirs(dataPath(c))
           .filter(_.startsWith("shard="))
           .map(_.stripPrefix("shard=").toLong)
-          .filter(s => (s + 1) * m.shardIntervalMs - 1 < cutoff)
-        evicted.foreach(s => fs.delete(new Path(s"${dataPath(c)}/shard=$s"), true))
+          .exists(s => s * m.shardIntervalMs < cutoff)
+        if (straddles)
+          delete(Ast.DeleteStatement(c.db, c.namespace, c.metric,
+            Ast.CmpPred("timestamp", Ast.Lt, Ast.AbsValue(cutoff))))
+            .left.foreach(err => throw new IllegalStateException(s"partial eviction failed: $err"))
         evicted
       }
     }
+}
+
+/**
+ * Background retention + compaction sweep — the reference's periodic
+ * retention check (`nsdb.retention.check.interval`,
+ * `MetadataCoordinator.scala:83-84,198`): every `intervalMs` each
+ * warehouse metric is swept — expired shards dropped, the boundary shard
+ * partially evicted, small-files shards compacted. One daemon thread;
+ * `close()` stops it.
+ */
+object Maintenance {
+
+  def runOnce(wh: Warehouse)(implicit tc: TimeContext): Unit =
+    for {
+      db <- wh.listDatabases
+      ns <- wh.listNamespaces(db)
+      m  <- wh.listMetrics(db, ns)
+    } {
+      val c = Coords(db, ns, m)
+      wh.evictExpired(c).left.foreach(_ => ())
+      wh.compact(c).left.foreach(_ => ())
+    }
+
+  def start(wh: Warehouse, intervalMs: Long = 60000L): AutoCloseable = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+    }
+    ex.scheduleWithFixedDelay(
+      () =>
+        try Maintenance.runOnce(wh)(TimeContext(System.currentTimeMillis()))
+        catch { case scala.util.control.NonFatal(_) => () },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => { ex.shutdownNow(); () }
+  }
 }
 
 object Warehouse {

@@ -251,6 +251,47 @@ class WarehouseSpec extends SparkTestBase {
     wh.read(c).fold(fail(_), _.df.count()) shouldBe 1
   }
 
+  it should "partially evict the shard straddling the retention cutoff" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "ns", "m9p")
+    // now = day 10, retention 4.5 days → cutoff = day 5.5: shard 0 fully
+    // expired, shard 5 straddles (one expired row, one live), shard 9 live
+    val half = day / 2
+    val df = Seq(
+      (0 * day + 100L, 1.0, "a"),
+      (5 * day + 100L, 2.0, "b"),        // expired inside the boundary shard
+      (5 * day + half + 100L, 3.0, "c"), // live inside the boundary shard
+      (9 * day + 100L, 4.0, "d")
+    ).toDF("timestamp", "value", "grp")
+    wh.append(c, df, tags = Set("grp"), retentionMs = 4 * day + half).fold(fail(_), identity)
+    wh.evictExpired(c).fold(fail(_), identity) shouldBe Seq(0L)
+    engine.sql("db", "ns", "select * from m9p order by value").fold(fail(_), _.collect())
+      .map(_.getAs[Double]("value")).toSeq shouldBe Seq(3.0, 4.0)
+  }
+
+  it should "sweep every metric with the maintenance loop" in {
+    val (engine, wh, root) = freshEngine()
+    val cRet = Coords("db", "ns", "mret")
+    wh.append(cRet, Seq((0 * day + 100L, 1.0, "a"), (9 * day + 100L, 2.0, "b")).toDF("timestamp", "value", "grp"),
+      tags = Set("grp"), retentionMs = 5 * day).fold(fail(_), identity)
+    val cFiles = Coords("db", "ns2", "mfiles")
+    (1 to 10).foreach { i =>
+      wh.append(cFiles, Seq((0 * day + i * 100L, i.toDouble, "g")).toDF("timestamp", "value", "grp"),
+        tags = Set("grp")).fold(fail(_), identity)
+    }
+    graft.catalog.Maintenance.runOnce(wh)
+    // retention applied to the first metric …
+    wh.read(cRet).fold(fail(_), _.df.count()) shouldBe 1
+    // … and the many-files shard of the second got compacted
+    new java.io.File(s"$root/db/ns2/mfiles/data/shard=0").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) shouldBe 1
+    engine.sql("db", "ns2", "select count(*) from mfiles").fold(fail(_), _.collect())
+      .head.getAs[Long]("count") shouldBe 10L
+    // the scheduled loop starts and stops cleanly
+    val h = graft.catalog.Maintenance.start(wh, intervalMs = 60000L)
+    h.close()
+  }
+
   it should "answer metadata commands" in {
     val (engine, wh, _) = freshEngine()
     seed(wh, Coords("db", "nsA", "mm"))
