@@ -280,13 +280,31 @@ class HttpApi(
   def liveSubscriberCount: Int = subs.size()
 
   private def handleCommands(ex: HttpExchange): (Int, String) = {
-    // /commands/<db>/<namespace>/metrics
+    // the reference CommandApi surface (`nsdb-http/.../routes/CommandApi.scala`):
+    //   GET /commands/dbs                                → databases
+    //   GET /commands/<db>/namespaces                    → namespaces
+    //   GET /commands/<db>/<namespace>/metrics           → metrics
+    //   GET /commands/<db>/<namespace>/<metric>/describe → field name/type/class
+    def listOf(key: String, cmd: Ast.Command, db: String = "", ns: String = ""): (Int, String) =
+      engine.command(db, ns, cmd) match {
+        case Right(rows) =>
+          (200, rows.flatten.map(mapper.writeValueAsString).mkString(s"""{"$key":[""", ",", "]}"))
+        case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+      }
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     parts match {
-      case Array("commands", db, ns, "metrics") =>
-        engine.command(db, ns, Ast.ShowMetrics) match {
+      case Array("commands", "dbs")             => listOf("dbs", Ast.ShowDatabases)
+      case Array("commands", db, "namespaces")  => listOf("namespaces", Ast.ShowNamespaces, db)
+      case Array("commands", db, ns, "metrics") => listOf("metrics", Ast.ShowMetrics, db, ns)
+      case Array("commands", db, ns, metric, "describe") =>
+        engine.command(db, ns, Ast.DescribeMetric(metric)) match {
           case Right(rows) =>
-            (200, rows.flatten.map(mapper.writeValueAsString).mkString("""{"metrics":[""", ",", "]}"))
+            val fields = rows.map {
+              case Seq(n, t, c) =>
+                s"""{"name":${mapper.writeValueAsString(n)},"type":${mapper.writeValueAsString(t)},"class":${mapper.writeValueAsString(c)}}"""
+              case other => mapper.writeValueAsString(other.mkString(","))
+            }
+            (200, fields.mkString("""{"fields":[""", ",", "]}"))
           case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
         }
       case _ => (404, """{"error":"unknown command"}""")

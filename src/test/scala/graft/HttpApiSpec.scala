@@ -47,6 +47,19 @@ class HttpApiSpec extends SparkTestBase {
       sc shouldBe 200
       bc should include("temps")
 
+      // full command surface: dbs, namespaces, describe
+      val (sd, bd) = get(port, "/commands/dbs")
+      sd shouldBe 200
+      bd should include(""""dbs":["db"]""")
+      val (sn, bn) = get(port, "/commands/db/namespaces")
+      sn shouldBe 200
+      bn should include(""""namespaces":["ns"]""")
+      val (sdd, bdd) = get(port, "/commands/db/ns/temps/describe")
+      sdd shouldBe 200
+      bdd should include(""""name":"timestamp"""")
+      bdd should include(""""name":"room","type":"string","class":"tag"""")
+      get(port, "/commands/db/ns/nosuch/describe")._1 shouldBe 400
+
       // query
       val (sq, bq) = post(port, "/query",
         """{"db":"db","namespace":"ns","queryString":"select sum(value) from temps group by room order by room"}""")
