@@ -1,0 +1,28 @@
+package graft
+
+/**
+ * Always-on plan-shape guards over EVERY gate query: the properties that
+ * make the plans survive a 100× scale-up must not regress silently when a
+ * gate is added or an operator is refactored.
+ */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // intentionally brute-force baselines (bounded-id oracle cross-checks)
+  private val bruteForceAllowed = Set("d_embed_exact")
+
+  "every gate query" should "plan without a cartesian product" in {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (!bruteForceAllowed(name))
+        withClue(s"$name:\n$plan\n") { plan should not include "CartesianProduct" }
+    }
+  }
+
+  it should "push predicate filters into the parquet scan" in {
+    val plan = SparkEntry.queries("p_eq")(spark, dir).queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [")
+    plan should not include "PushedFilters: []"
+  }
+}
