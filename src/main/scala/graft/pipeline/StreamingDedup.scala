@@ -41,25 +41,30 @@ object StreamingDedup {
       .drop("__digest")
 
   /**
-   * Ingest-time near-dup gating: every micro-batch is gated against the
-   * corpus signature index with [[Dedup.gateAgainstCorpus]] and the
+   * Ingest-time near-dup gating: every micro-batch is first deduplicated
+   * WITHIN itself (two near-dup copies arriving together keep one
+   * representative — [[Dedup.deduplicated]]) and then gated against the
+   * corpus signature index with [[Dedup.gateAgainstCorpus]]; the
    * surviving rows are handed to `sink` (append to the warehouse, extend
    * the index, …). Exactly-once per batch via the checkpoint, like
-   * [[graft.streaming.Ingest]].
+   * [[graft.streaming.Ingest]]. Set `dedupWithinBatch = false` when the
+   * producer already guarantees distinct batches.
    */
   def startGatedIngest(
       stream: DataFrame,
       corpusIndex: DataFrame,
       threshold: Double,
       checkpointDir: String,
-      triggerMs: Long = 1000L
+      triggerMs: Long = 1000L,
+      dedupWithinBatch: Boolean = true
   )(sink: DataFrame => Unit): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(Dedup.gateAgainstCorpus(batch, corpusIndex, threshold))
+        val internal = if (dedupWithinBatch) Dedup.deduplicated(batch, threshold) else batch
+        sink(Dedup.gateAgainstCorpus(internal, corpusIndex, threshold))
         ()
       }
       .start()

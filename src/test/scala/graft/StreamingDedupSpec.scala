@@ -66,7 +66,13 @@ class StreamingDedupSpec extends SparkTestBase {
       q.processAllAvailable()
       input.addData(SdIn(12L, "completely different content about spark query engines and shuffles")) // exact dup of corpus 1
       q.processAllAvailable()
-      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(11L)
+      // two near-dup copies of a NEW doc in one batch: intra-batch dedup
+      // keeps the smaller id, the corpus gate passes it through
+      input.addData(
+        SdIn(20L, "fresh material on watermark state stores and their checkpoint layout today"),
+        SdIn(21L, "fresh material on watermark state stores and their checkpoint layout now"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(11L, 20L)
     } finally q.stop()
   }
 }
