@@ -171,14 +171,14 @@ object SparkEntry {
     "d_embed_exact" -> ((s, d) => Similarity.cosinePairs(emb(s, d).filter(col("vec_id") < 500), 0.4).orderBy("id_a", "id_b")),
     // ---- similarity search
     "ann_topk" -> ((s, d) => {
-      val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(emb(s, d), q, 20).withColumn("sim", round(col("sim"), 3))
     }),
     "ann_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
     "ann_ivf" -> ((s, d) => {
       val e   = emb(s, d)
       val idx = Similarity.ivfBuild(e, nlist = 16, refineIterations = 1)
-      val q   = e.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      val q   = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20, nprobe = 4)
         .withColumn("sim", round(col("sim"), 3))
     }),

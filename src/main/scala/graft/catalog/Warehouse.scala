@@ -292,9 +292,12 @@ class Warehouse(val spark: SparkSession, val root: String) {
             // files/row groups inside the shard (the intra-shard analogue
             // of the reference's time-ordered Lucene index). The shuffle is
             // per-shard and bounded by targetBytes·k — background cost.
+            // Compacted (cold) data recompresses as zstd: ingest keeps the
+            // cheap default codec for write latency, the background pass
+            // buys the better ratio — at 100 TB that difference is scan IO.
             spark.read.schema(m.schema.toStruct).parquet(shardDir.toString)
               .repartitionByRange(k, col("timestamp")).sortWithinPartitions("timestamp")
-              .write.mode("overwrite").parquet(tmp.toString)
+              .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
             fs.rename(shardDir, old)
             fs.rename(tmp, shardDir)
             fs.delete(old, true)

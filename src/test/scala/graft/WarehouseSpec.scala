@@ -149,6 +149,8 @@ class WarehouseSpec extends SparkTestBase {
     val ts = spark.read.parquet(file.getAbsolutePath)
       .select("timestamp").collect().map(_.getLong(0)).toSeq
     ts shouldBe ts.sorted
+    // cold data recompressed as zstd by the background pass
+    file.getName should include(".zstd.")
   }
 
   it should "recover half-finished compaction swaps (crash-safe rename-aside)" in {
