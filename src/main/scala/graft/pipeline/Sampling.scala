@@ -67,7 +67,14 @@ object Sampling {
    * the iterator pass reuses the range exchange's co-location for free.
    * Range boundaries may vary run to run — the result does not, because
    * pid order follows id order and offsets are computed from the actual
-   * partition contents. Ids are assumed UNIQUE (the doc-id contract):
+   * partition contents. The range-partitioned frame is MATERIALIZED
+   * (localCheckpoint) before its two uses: RangePartitioner samples its
+   * boundaries with an rdd.id-derived seed, so re-evaluating the plan for
+   * the totals collect and again for the final join could place rows in
+   * different partitions between the two runs — the offsets would then be
+   * joined against a layout they were not computed from. Pinning one
+   * execution makes both reads see the same __pid→rows mapping.
+   * Ids are assumed UNIQUE (the doc-id contract):
    * with duplicate ids the order among equal keys — and thus their seq
    * assignment — would be partition-placement dependent.
    */
@@ -90,6 +97,7 @@ object Sampling {
       }
       .toDF(idCol, "n_tokens", "__local")
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin ONE range partitioning for both reads below
 
     // one row per partition on the driver: exclusive prefix offsets
     val partTotals = local.groupBy(col("__pid")).agg(max(col("__local")).as("total"))
@@ -187,6 +195,10 @@ object Sampling {
             }
             .toDF("__id", "__local")
             .withColumn("__pid", spark_partition_id())
+            // same materialization contract as [[packSequences]]: the
+            // totals collect and the offsets join must read the SAME
+            // range partitioning, not two samples of it
+            .localCheckpoint(true)
           val totals = bLocal.groupBy(col("__pid")).agg(max(col("__local")).as("t"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
           val offs  = totals.scanLeft((0, 0L)) { case ((_, a), (pid, t)) => (pid, a + t) }
