@@ -45,27 +45,80 @@ object StreamingDedup {
    * WITHIN itself (two near-dup copies arriving together keep one
    * representative — [[Dedup.deduplicated]]) and then gated against the
    * corpus signature index with [[Dedup.gateAgainstCorpus]]; the
-   * surviving rows are handed to `sink` (append to the warehouse, extend
-   * the index, …). Exactly-once per batch via the checkpoint, like
-   * [[graft.streaming.Ingest]]. Set `dedupWithinBatch = false` when the
-   * producer already guarantees distinct batches.
+   * surviving rows are handed to `sink` (append to the warehouse, …) and —
+   * this is the loop that makes the gate correct over time — their
+   * signatures are APPENDED to the index at `indexPath`, so a near-dup of
+   * a doc accepted three batches ago is caught even though that doc was
+   * never in the original corpus. The index is re-read from `indexPath`
+   * at the START of each batch (a parquet DataFrame freezes its file
+   * listing at creation, so a captured frame would never see the appends).
+   *
+   * The gate's `numHashes/bands/shingleK/maxBucket` MUST match the
+   * parameters the index at `indexPath` was built with
+   * ([[Dedup.signatureIndex]] / [[Dedup.gateAgainstCorpus]] contract) —
+   * mismatched params mean buckets never collide and everything passes.
+   * A missing/empty `indexPath` is a cold start: the first batch gates
+   * only against itself and seeds the index.
+   *
+   * Failure semantics: foreachBatch side effects are at-least-once — a
+   * crash between the index append and the checkpoint commit replays the
+   * batch, leaving duplicate `(id, sh, sig)` rows in the index. That is
+   * safe for gating (candidate pairs dedupe on bare ids before the
+   * verify) and the replayed batch's docs now match their own index rows,
+   * so the replay emits nothing downstream — the gate is idempotent.
+   * Set `dedupWithinBatch = false` when the producer already guarantees
+   * distinct batches; `extendIndex = false` restores the static-corpus
+   * gate (e.g. when a separate compaction job owns index growth).
    */
   def startGatedIngest(
       stream: DataFrame,
-      corpusIndex: DataFrame,
+      indexPath: String,
       threshold: Double,
       checkpointDir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id",
       triggerMs: Long = 1000L,
-      dedupWithinBatch: Boolean = true
+      dedupWithinBatch: Boolean = true,
+      extendIndex: Boolean = true
   )(sink: DataFrame => Unit): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark    = batch.sparkSession
         val internal = if (dedupWithinBatch) Dedup.deduplicated(batch, threshold) else batch
-        sink(Dedup.gateAgainstCorpus(internal, corpusIndex, threshold))
+        // fresh listing every batch — prior batches' appends must be visible
+        val accepted = loadIndex(spark, indexPath) match {
+          case Some(idx) =>
+            Dedup.gateAgainstCorpus(internal, idx, threshold,
+              numHashes, bands, shingleK, maxBucket, textCol, idCol)
+          case None => internal // cold start: nothing to gate against yet
+        }
+        // accepted feeds BOTH the sink and the index append — materialize
+        // once so the gate plan (bucket join + verify) doesn't run twice
+        val mat = accepted.localCheckpoint(true)
+        if (extendIndex)
+          Dedup.signatureIndex(mat, numHashes, shingleK, textCol, idCol)
+            .write.mode("append").parquet(indexPath)
+        sink(mat)
         ()
       }
       .start()
+
+  /** The index at `path`, or None when it doesn't exist yet (cold start).
+    * Existence is checked through the Hadoop FS API so any scheme the
+    * session can read works, not just local files. */
+  private def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
 }

@@ -50,13 +50,12 @@ class StreamingDedupSpec extends SparkTestBase {
     val idxPath = Files.createTempDirectory("graft_sdd_idx_").toString + "/index"
     // index params must match the gate's (defaults here on both sides)
     Dedup.writeSignatureIndex(Dedup.signatureIndex(corpusDocs), idxPath)
-    val corpusIndex = Dedup.readSignatureIndex(spark, idxPath)
 
     implicit val sqlc = spark.sqlContext
     val input    = MemoryStream[SdIn]
     val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val cp       = Files.createTempDirectory("graft_sdd_cp_").toString
-    val q = StreamingDedup.startGatedIngest(input.toDF(), corpusIndex, threshold = 0.5, cp, triggerMs = 100L) {
+    val q = StreamingDedup.startGatedIngest(input.toDF(), idxPath, threshold = 0.5, cp, triggerMs = 100L) {
       batch => batch.select(col("doc_id")).collect().foreach(r => survived.add(r.getLong(0)))
     }
     try {
@@ -73,6 +72,45 @@ class StreamingDedupSpec extends SparkTestBase {
         SdIn(21L, "fresh material on watermark state stores and their checkpoint layout now"))
       q.processAllAvailable()
       survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(11L, 20L)
+
+      // the closed loop: doc 30 is a near-dup of doc 11 — accepted TWO
+      // batches ago, never in the original corpus. The extended index
+      // catches it; an unrelated doc in the same batch still passes.
+      input.addData(
+        SdIn(30L, "a brand new document mentioning neither foxes nor engine"),
+        SdIn(31L, "entirely unrelated prose concerning tokenizer vocabularies and merges"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(11L, 20L, 31L)
+
+      // and a near-dup of doc 20 (accepted LAST batch) is also caught
+      input.addData(SdIn(40L, "fresh material on watermark state stores and their checkpoint layout here"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(11L, 20L, 31L)
     } finally q.stop()
+  }
+
+  it should "seed the index from a cold start and still catch cross-batch near-dups" in {
+    implicit val sqlc = spark.sqlContext
+    val idxPath  = Files.createTempDirectory("graft_sdd_cold_").toString + "/index"
+    val input    = MemoryStream[SdIn]
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cp       = Files.createTempDirectory("graft_sdd_cold_cp_").toString
+    val q = StreamingDedup.startGatedIngest(input.toDF(), idxPath, threshold = 0.5, cp, triggerMs = 100L) {
+      batch => batch.select(col("doc_id")).collect().foreach(r => survived.add(r.getLong(0)))
+    }
+    try {
+      // batch 1 against a NONEXISTENT index: everything passes, index seeded
+      input.addData(SdIn(1L, "the very first document this pipeline has ever seen arrives now"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(1L)
+      // batch 2's near-dup of it is gated by the seeded index
+      input.addData(SdIn(2L, "the very first document this pipeline has ever seen arrives today"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(1L)
+    } finally q.stop()
+
+    // the on-disk index now holds exactly the accepted doc
+    Dedup.readSignatureIndex(spark, idxPath)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
   }
 }
