@@ -289,6 +289,15 @@ object Dedup {
     banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
   }
 
+  /** The UNCAPPED `(id, band, bucket)` band relation of a signature table —
+    * what an ingest loop appends to a persisted [[bandedIndex]] sidecar for
+    * each accepted batch (the cap is a corpus-build-time filter, re-applied
+    * on periodic rebuilds, not per batch). */
+  def bandRelation(sigRel: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandBuckets(sigRel, bands, numHashes / bands)
+  }
+
   /**
    * Ingest-time near-dup gate: the rows of `newDocs` with NO near-duplicate
    * (shingle Jaccard ≥ threshold) in the corpus behind `corpusIndex` (a

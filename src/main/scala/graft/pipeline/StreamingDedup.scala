@@ -1,6 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,13 +14,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *  - [[exactDedup]]: declarative, per-record, state bounded by the
  *    event-time watermark (Structured Streaming owns the digest state).
  *  - [[startGatedIngest]]: per micro-batch, against the FULL historical
- *    corpus via its persisted signature index ([[Dedup.signatureIndex]]).
- *    foreachBatch because the gate is a batch plan (bucket join +
- *    anti-join); micro-batch-vs-corpus is exactly how large training
- *    pipelines run ingest dedup — the corpus index lives on disk and each
- *    batch pays one bucket-join against it, never a rescan of history.
+ *    corpus via its persisted signature index ([[Dedup.signatureIndex]])
+ *    and the persisted CAPPED band relation ([[Dedup.bandedIndex]]) kept
+ *    beside it. foreachBatch because the gate is a batch plan (bucket
+ *    join + anti-join); micro-batch-vs-corpus is exactly how large
+ *    training pipelines run ingest dedup — both indexes live on disk,
+ *    each batch pays one bucket join against the banded relation plus an
+ *    id-keyed verify join against the signature index, and NEVER a
+ *    corpus-wide aggregation: the bucket-count cap is computed once at
+ *    index build time and each accepted batch appends its own
+ *    `(id, band, bucket)` rows to the sidecar.
  */
 object StreamingDedup {
+
+  /** Where the capped band relation of the index at `indexPath` lives —
+    * one sidecar directory next to the signature index, extended in
+    * lockstep with it. */
+  def bandedPathFor(indexPath: String): String = s"${indexPath}_banded"
 
   /**
    * Exact streaming dedup: drop any record whose content digest was
@@ -47,25 +59,43 @@ object StreamingDedup {
    * corpus signature index with [[Dedup.gateAgainstCorpus]]; the
    * surviving rows are handed to `sink` (append to the warehouse, …) and —
    * this is the loop that makes the gate correct over time — their
-   * signatures are APPENDED to the index at `indexPath`, so a near-dup of
-   * a doc accepted three batches ago is caught even though that doc was
-   * never in the original corpus. The index is re-read from `indexPath`
-   * at the START of each batch (a parquet DataFrame freezes its file
-   * listing at creation, so a captured frame would never see the appends).
+   * signatures AND band buckets are APPENDED to the two index directories,
+   * so a near-dup of a doc accepted three batches ago is caught even
+   * though that doc was never in the original corpus. Both indexes are
+   * re-read from their paths at the START of each batch (a parquet
+   * DataFrame freezes its file listing at creation, so a captured frame
+   * would never see the appends).
+   *
+   * Scale shape per trigger: one bucket join of the (tiny) batch band
+   * relation against the persisted banded sidecar, one id-keyed join
+   * against the signature index for the Jaccard verify — no corpus-wide
+   * groupBy, ever. The `maxBucket` cap is enforced when the sidecar is
+   * BUILT ([[Dedup.bandedIndex]]); appended batch rows are not re-capped,
+   * so a bucket that grows hot purely from accepted batches degrades the
+   * candidate count gradually until the next rebuild — re-run
+   * [[Dedup.bandedIndex]] over the signature index periodically
+   * (compaction time) to re-apply the cap. An index created before the
+   * sidecar existed self-heals: the first batch derives the capped
+   * relation from the signature index (paying the corpus-wide bucket
+   * count once), persists it, and every later batch reads it back.
    *
    * The gate's `numHashes/bands/shingleK/maxBucket` MUST match the
-   * parameters the index at `indexPath` was built with
+   * parameters the indexes at `indexPath`/the sidecar were built with
    * ([[Dedup.signatureIndex]] / [[Dedup.gateAgainstCorpus]] contract) —
    * mismatched params mean buckets never collide and everything passes.
    * A missing/empty `indexPath` is a cold start: the first batch gates
-   * only against itself and seeds the index.
+   * only against itself and seeds both indexes.
    *
-   * Failure semantics: foreachBatch side effects are at-least-once — a
-   * crash between the index append and the checkpoint commit replays the
-   * batch, leaving duplicate `(id, sh, sig)` rows in the index. That is
-   * safe for gating (candidate pairs dedupe on bare ids before the
-   * verify) and the replayed batch's docs now match their own index rows,
-   * so the replay emits nothing downstream — the gate is idempotent.
+   * Failure semantics: foreachBatch side effects are at-least-once. The
+   * sink runs BEFORE the index appends — a crash anywhere before the
+   * checkpoint commit replays the batch, and because the gate re-reads
+   * the index, a replay whose appends already landed matches its own
+   * rows and emits nothing new downstream; a replay that crashed before
+   * the appends re-delivers the same accepted rows to the sink (dedupe
+   * downstream on id if the sink is not idempotent). Accepted docs are
+   * therefore never silently lost: downstream is at-least-once, the index
+   * at-least-once with duplicate `(id, sh, sig)` rows tolerated (candidate
+   * pairs dedupe on bare ids before the verify).
    * Set `dedupWithinBatch = false` when the producer already guarantees
    * distinct batches; `extendIndex = false` restores the static-corpus
    * gate (e.g. when a separate compaction job owns index growth).
@@ -90,35 +120,96 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark    = batch.sparkSession
-        val internal = if (dedupWithinBatch) Dedup.deduplicated(batch, threshold) else batch
-        // fresh listing every batch — prior batches' appends must be visible
-        val accepted = loadIndex(spark, indexPath) match {
-          case Some(idx) =>
-            Dedup.gateAgainstCorpus(internal, idx, threshold,
-              numHashes, bands, shingleK, maxBucket, textCol, idCol)
-          case None => internal // cold start: nothing to gate against yet
-        }
-        // accepted feeds BOTH the sink and the index append — materialize
-        // once so the gate plan (bucket join + verify) doesn't run twice
-        val mat = accepted.localCheckpoint(true)
-        if (extendIndex)
-          Dedup.signatureIndex(mat, numHashes, shingleK, textCol, idCol)
-            .write.mode("append").parquet(indexPath)
+        val mat = gateBatch(batch, indexPath, threshold,
+          numHashes, bands, shingleK, maxBucket, textCol, idCol, dedupWithinBatch)
+        // sink FIRST: downstream delivery is at-least-once even if the
+        // index appends never run (a crash here replays the batch; the
+        // gate then re-accepts the same rows because its signatures are
+        // not yet in the index)
         sink(mat)
+        if (extendIndex) extendIndexes(mat, indexPath, numHashes, bands, shingleK, textCol, idCol)
         ()
       }
       .start()
 
-  /** The index at `path`, or None when it doesn't exist yet (cold start).
-    * Existence is checked through the Hadoop FS API so any scheme the
-    * session can read works, not just local files. */
+  /**
+   * One micro-batch through the gate (exposed for plan-level tests):
+   * intra-batch dedup, then the corpus gate against the persisted
+   * signature index + banded sidecar at `indexPath`. Returns the accepted
+   * rows MATERIALIZED (`localCheckpoint`) so the caller's sink and index
+   * appends don't re-run the gate plan.
+   */
+  def gateBatch(
+      batch: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dedupWithinBatch: Boolean = true
+  ): DataFrame = {
+    val spark    = batch.sparkSession
+    val internal = if (dedupWithinBatch) Dedup.deduplicated(batch, threshold, idCol) else batch
+    // fresh listing every batch — prior batches' appends must be visible
+    val accepted = loadIndex(spark, indexPath) match {
+      case Some(idx) =>
+        // persisted capped band relation: the per-batch plan joins it
+        // directly. A legacy index without the sidecar self-heals: the
+        // capped relation is derived ONCE (the one corpus-wide bucket
+        // count), persisted, and every later batch reads it back.
+        val banded = loadIndex(spark, bandedPathFor(indexPath)).getOrElse {
+          val built = Dedup.bandedIndex(idx, numHashes, bands, maxBucket)
+          built.write.mode("overwrite").parquet(bandedPathFor(indexPath))
+          spark.read.parquet(bandedPathFor(indexPath))
+        }
+        Dedup.gateAgainstCorpus(internal, idx, threshold,
+          numHashes, bands, shingleK, maxBucket, textCol, idCol, corpusBanded = Some(banded))
+      case None => internal // cold start: nothing to gate against yet
+    }
+    // accepted feeds the sink and BOTH index appends — materialize once
+    accepted.localCheckpoint(true)
+  }
+
+  /** Append the accepted batch's signatures and band buckets to the two
+    * index directories — the closed loop that keeps future batches gated
+    * against everything accepted so far without any corpus rescan. */
+  private def extendIndexes(
+      mat: DataFrame,
+      indexPath: String,
+      numHashes: Int,
+      bands: Int,
+      shingleK: Int,
+      textCol: String,
+      idCol: String
+  ): Unit = {
+    // one signature computation feeds both writes
+    val sigs = Dedup.signatureIndex(mat, numHashes, shingleK, textCol, idCol).localCheckpoint(true)
+    sigs.write.mode("append").parquet(indexPath)
+    Dedup.bandRelation(sigs, numHashes, bands)
+      .write.mode("append").parquet(bandedPathFor(indexPath))
+  }
+
+  /** The index at `path`, or None when it doesn't exist yet (cold start)
+    * or holds no readable parquet data (e.g. only a `_temporary` left by
+    * a crashed first append — schema inference fails, which must recover
+    * as a cold start, not poison every subsequent batch). Existence is
+    * checked through the Hadoop FS API so any scheme the session can read
+    * works, not just local files. */
   private def loadIndex(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       path: String
   ): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    if (!fs.exists(p)) None
+    else
+      Try(spark.read.parquet(path)) match {
+        case Success(df)                    => Some(df)
+        case Failure(_: AnalysisException) => None // unreadable ⇒ cold start
+        case Failure(other)                 => throw other
+      }
   }
 }

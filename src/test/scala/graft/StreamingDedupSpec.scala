@@ -109,8 +109,83 @@ class StreamingDedupSpec extends SparkTestBase {
       survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(1L)
     } finally q.stop()
 
-    // the on-disk index now holds exactly the accepted doc
+    // the on-disk index now holds exactly the accepted doc, and the
+    // banded sidecar was seeded in lockstep with it
     Dedup.readSignatureIndex(spark, idxPath)
       .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+    spark.read.parquet(StreamingDedup.bandedPathFor(idxPath))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
+  it should "gate a micro-batch without any corpus-wide aggregation once the sidecar exists" in {
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (1L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("graft_sdd_plan_").toString + "/index"
+    Dedup.writeSignatureIndex(Dedup.signatureIndex(corpusDocs), idxPath)
+
+    val batch1 = Seq((10L, "the quick brown fox jumps over the lazy dog and runs far home")).toDF("doc_id", "text")
+    // first batch against a legacy index: self-heals the sidecar
+    StreamingDedup.gateBatch(batch1, idxPath, threshold = 0.5)
+    val bandedDir = new java.io.File(StreamingDedup.bandedPathFor(idxPath))
+    bandedDir.exists() shouldBe true
+
+    // second batch: the gate plan joins the persisted sidecar — no
+    // bucket-count aggregation anywhere in the plan (the recompute path
+    // would carry a `count(1)` HashAggregate over the full index). The
+    // batch is passed raw: intra-batch dedup has its own batch-sized
+    // bucket-cap count, which is not what this asserts on.
+    val batch2 = Seq((11L, "a brand new document mentioning neither foxes nor engines")).toDF("doc_id", "text")
+    val banded = spark.read.parquet(StreamingDedup.bandedPathFor(idxPath))
+    val gated = Dedup.gateAgainstCorpus(batch2, Dedup.readSignatureIndex(spark, idxPath), 0.5,
+      corpusBanded = Some(banded))
+    val plan = gated.queryExecution.executedPlan.toString
+    plan should not include "count(1)"
+    gated.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(11L)
+
+    // and the whole gateBatch path agrees (sidecar present → same result)
+    StreamingDedup.gateBatch(batch2, idxPath, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(11L)
+  }
+
+  it should "still catch corpus near-dups through the self-healed sidecar" in {
+    // regression guard for sidecar seeding: the sidecar must carry the
+    // ORIGINAL corpus band rows, not just post-seed accepted batches
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away")
+    ).toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("graft_sdd_heal_").toString + "/index"
+    Dedup.writeSignatureIndex(Dedup.signatureIndex(corpusDocs), idxPath)
+    // batch 1 seeds the sidecar (unrelated doc)
+    StreamingDedup.gateBatch(Seq((5L, "completely unrelated words about parquet footers and row groups")).toDF("doc_id", "text"),
+      idxPath, threshold = 0.5).count() shouldBe 1
+    // batch 2's near-dup of CORPUS doc 0 must be caught via the sidecar
+    StreamingDedup.gateBatch(Seq((6L, "the quick brown fox jumps over the lazy dog and runs far home")).toDF("doc_id", "text"),
+      idxPath, threshold = 0.5).count() shouldBe 0
+  }
+
+  it should "treat an unreadable index directory as a cold start" in {
+    implicit val sqlc = spark.sqlContext
+    val idxPath = Files.createTempDirectory("graft_sdd_bad_").toString + "/index"
+    // a crashed first append can leave only _temporary behind — schema
+    // inference fails; the gate must recover as a cold start, not fail
+    // every subsequent batch
+    Files.createDirectories(java.nio.file.Paths.get(s"$idxPath/_temporary"))
+    val input    = MemoryStream[SdIn]
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cp       = Files.createTempDirectory("graft_sdd_bad_cp_").toString
+    val q = StreamingDedup.startGatedIngest(input.toDF(), idxPath, threshold = 0.5, cp, triggerMs = 100L) {
+      batch => batch.select(col("doc_id")).collect().foreach(r => survived.add(r.getLong(0)))
+    }
+    try {
+      input.addData(SdIn(1L, "the very first document this pipeline has ever seen arrives now"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(1L)
+      // and the loop still closes across batches after the recovery
+      input.addData(SdIn(2L, "the very first document this pipeline has ever seen arrives today"))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(1L)
+    } finally q.stop()
   }
 }
