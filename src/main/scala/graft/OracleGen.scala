@@ -31,14 +31,15 @@ object OracleGen {
   private def wordPolySql(v: String, base: Long, seed: Long): String =
     s"list_reduce(list_prepend($seed::BIGINT, list_transform(range(1, length($v)+1), ci -> ascii(substr($v, ci::INT, 1))::BIGINT)), (a,b) -> (a*$base + b) % $P)"
 
-  /** CTEs `w` (word hashes) and `s` (sorted distinct k-shingle hashes) over
-    * the documents table — mirrors [[graft.functions.PortableHash.shingleSet]]. */
-  private def shingleCtes(k: Int): String = {
+  /** CTEs `w$sfx` (word hashes) and `s$sfx` (sorted distinct k-shingle
+    * hashes) over `rel` — mirrors [[graft.functions.PortableHash.shingleSet]].
+    * `sfx` disambiguates when one query shingles two relations (tx_mix). */
+  private def shingleCtes(k: Int, rel: String = "documents", sfx: String = ""): String = {
     val window = (0 until k).map(j => s"wh[(i+$j)::INT]*${PortableHash.WindowBase * (j + 1)}").mkString(" + ")
-    s"""w AS (SELECT doc_id, list_transform(string_split(text, ' '), wd -> ${wordPolySql("wd", 131L, 7L)}) AS wh FROM documents),
-       |s AS (SELECT doc_id, list_sort(list_distinct(CASE WHEN len(wh) >= $k
+    s"""w$sfx AS (SELECT doc_id, list_transform(string_split(text, ' '), wd -> ${wordPolySql("wd", 131L, 7L)}) AS wh FROM $rel),
+       |s$sfx AS (SELECT doc_id, list_sort(list_distinct(CASE WHEN len(wh) >= $k
        |  THEN list_transform(range(1, len(wh)-${k - 2}), i -> $window)
-       |  ELSE [list_reduce(list_prepend(0::BIGINT, wh), (a,b) -> (a*31 + b) % ${PortableHash.FallbackMod})] END)) AS sh FROM w)""".stripMargin
+       |  ELSE [list_reduce(list_prepend(0::BIGINT, wh), (a,b) -> (a*31 + b) % ${PortableHash.FallbackMod})] END)) AS sh FROM w$sfx)""".stripMargin
   }
 
   /** exact Jaccard of two sorted distinct shingle-hash lists. */
@@ -59,25 +60,27 @@ object OracleGen {
     * candidate pairs, exact-Jaccard verify. */
   /** the CTE chain `params … v` producing verified minhash candidate pairs
     * with their jaccard — shared by the pairs, gate, and clusters oracles. */
-  private def minhashPairCtes(numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String = {
+  private def minhashPairCtes(
+      numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int,
+      rel: String = "documents", sfx: String = ""): String = {
     require(numHashes % bands == 0)
     val rows  = numHashes / bands
     val perms = Dedup.mhParams(numHashes)
     val asl   = perms.map(_._1).mkString("[", ",", "]")
     val bsl   = perms.map(_._2).mkString("[", ",", "]")
-    s"""params AS (SELECT $asl::BIGINT[] AS asl, $bsl::BIGINT[] AS bsl),
-       |${shingleCtes(shingleK)},
-       |g AS (SELECT doc_id, sh, list_transform(range(1, ${numHashes + 1}),
+    s"""params$sfx AS (SELECT $asl::BIGINT[] AS asl, $bsl::BIGINT[] AS bsl),
+       |${shingleCtes(shingleK, rel, sfx)},
+       |g$sfx AS (SELECT doc_id, sh, list_transform(range(1, ${numHashes + 1}),
        |        j -> list_min(list_transform(sh, h -> ((h % $P) * asl[j::INT] + bsl[j::INT]) % $P))) AS sig
-       |      FROM s CROSS JOIN params),
-       |bd AS (SELECT doc_id, band, list_aggregate(sig[(band*$rows+1):(band*$rows+$rows)], 'string_agg', ',') AS bucket
-       |       FROM g, (SELECT unnest(range(0, $bands)) AS band) bs),
-       |ok AS (SELECT band, bucket FROM bd GROUP BY band, bucket HAVING count(*) <= $maxBucket),
-       |bd2 AS (SELECT bd.* FROM bd JOIN ok USING (band, bucket)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bd2 a JOIN bd2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |v AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
-       |      FROM cand JOIN s sa ON sa.doc_id = cand.id_a JOIN s sb ON sb.doc_id = cand.id_b)""".stripMargin
+       |      FROM s$sfx CROSS JOIN params$sfx),
+       |bd$sfx AS (SELECT doc_id, band, list_aggregate(sig[(band*$rows+1):(band*$rows+$rows)], 'string_agg', ',') AS bucket
+       |       FROM g$sfx, (SELECT unnest(range(0, $bands)) AS band) bs),
+       |ok$sfx AS (SELECT band, bucket FROM bd$sfx GROUP BY band, bucket HAVING count(*) <= $maxBucket),
+       |bd2$sfx AS (SELECT bd$sfx.* FROM bd$sfx JOIN ok$sfx USING (band, bucket)),
+       |cand$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bd2$sfx a JOIN bd2$sfx b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |v$sfx AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |      FROM cand$sfx JOIN s$sfx sa ON sa.doc_id = cand$sfx.id_a JOIN s$sfx sb ON sb.doc_id = cand$sfx.id_b)""".stripMargin
   }
 
   def minhashPairsSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
@@ -274,6 +277,95 @@ object OracleGen {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id % $mod = 0 AND vec_id NOT IN (SELECT id_new FROM m)
        |ORDER BY vec_id""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- text metrics + composed training mix -------------------------------
+
+  /** per-language marker-hit subquery over `rel`, generated from
+    * [[graft.pipeline.TextAnalysis.LangMarkers]] so Spark and oracle stay
+    * in lockstep. */
+  def langHitsSql(rel: String = "documents"): String = {
+    val hitCols = graft.pipeline.TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst)) AS h_$lang"
+    }.mkString(", ")
+    s"SELECT doc_id, lang, $hitCols FROM $rel"
+  }
+
+  /** first-wins argmax CASE chain over the `h_<lang>` hit columns. */
+  def langCaseSql: String = {
+    val langs = graft.pipeline.TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"h_$lang >= h_$l").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** `(doc_id, n_tokens, quality)` over `rel` — mirror of
+    * [[graft.pipeline.TextAnalysis.qualityCols]]. */
+  def qualityCte(rel: String = "documents"): String = {
+    val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+    val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+    val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+    s"SELECT doc_id, len(ws) AS n_tokens, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $rel)"
+  }
+
+  /**
+   * End-to-end mirror of [[graft.pipeline.Curate.trainingMix]] with the
+   * corpus/eval split `doc_id % mod <> 0` / `= 0` — the composition of the
+   * stage oracles (curate membership → n-gram decontamination → minhash CC
+   * representative dedup → stratified hash mix → sequence packing), each
+   * CTE chain replaying exactly what its Spark stage computes.
+   */
+  def trainingMixSql(
+      mixRates: Seq[(String, Double)],
+      seqTokens: Long,
+      keepLangs: Seq[String],
+      minQuality: Double,
+      nearDupThreshold: Double,
+      deconShingleK: Int,
+      mod: Int,
+      seed: Long = 7L,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000
+  ): String = {
+    val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
+    val h = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    val keep = mixRates.sortBy(_._1)
+      .map { case (st, r) => s"(predicted_lang = '$st' AND h < ${math.round(r * 10000)})" }
+      .mkString(" OR ")
+    s"""WITH RECURSIVE
+       |base AS (SELECT * FROM documents WHERE doc_id % $mod <> 0),
+       |lh AS (${langHitsSql("base")}),
+       |lq AS (SELECT doc_id, $langCaseSql AS predicted_lang FROM lh),
+       |qq AS (${qualityCte("base")}),
+       |xreps AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+       |cur AS (SELECT lq.doc_id, predicted_lang FROM lq
+       |        JOIN qq ON lq.doc_id = qq.doc_id JOIN xreps ON lq.doc_id = xreps.doc_id
+       |        WHERE predicted_lang IN ($langsIn) AND quality >= $minQuality AND n_tokens BETWEEN 5 AND 100000),
+       |surv AS (SELECT b.* FROM base b JOIN cur ON b.doc_id = cur.doc_id),
+       |${shingleCtes(deconShingleK, "surv", "_d")},
+       |evald AS (SELECT * FROM documents WHERE doc_id % $mod = 0),
+       |${shingleCtes(deconShingleK, "evald", "_e")},
+       |evh AS (SELECT DISTINCT unnest(sh) AS hh FROM s_e),
+       |con AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) AS hh FROM s_d) c JOIN evh USING (hh)),
+       |clean AS (SELECT surv.* FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM con)),
+       |${minhashPairCtes(numHashes, bands, shingleK, maxBucket, rel = "clean", sfx = "_m")},
+       |p AS (SELECT id_a, id_b FROM v_m WHERE jaccard >= $nearDupThreshold),
+       |ee AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |lab(id, l) AS (SELECT DISTINCT src, src FROM ee UNION SELECT ee.dst, lab.l FROM lab JOIN ee ON ee.src = lab.id),
+       |reps2 AS (SELECT id, min(l) AS rep FROM lab GROUP BY id),
+       |dd AS (SELECT c.doc_id FROM clean c LEFT JOIN reps2 r ON r.id = c.doc_id
+       |       WHERE coalesce(r.rep, c.doc_id) = c.doc_id),
+       |wl AS (SELECT cur.doc_id, predicted_lang FROM cur JOIN dd ON cur.doc_id = dd.doc_id),
+       |mx AS (SELECT doc_id FROM (SELECT doc_id, predicted_lang, $h AS h FROM wl) WHERE $keep),
+       |tok AS (SELECT b.doc_id, len(string_split(b.text, ' '))::BIGINT AS n_tokens FROM base b JOIN mx ON b.doc_id = mx.doc_id)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / $seqTokens.0) AS BIGINT) AS seq_id
+       |FROM tok ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[Similarity.ivfBuild]] (one Lloyd refinement) +

@@ -199,6 +199,17 @@ object SparkEntry {
     "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
     // sequence packing: distributed prefix sum over the corpus token stream
     "tx_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), 256L).orderBy("doc_id")),
+    // the WHOLE composed training-mix pipeline end-to-end: curate →
+    // decontaminate (doc_id % 10 == 0 plays the eval set) → near-dup CC
+    // representatives → stratified language mix → sequence packing
+    "tx_mix" -> ((s, d) => {
+      val all = docs(s, d)
+      pipeline.Curate.trainingMix(
+        all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0),
+        mixRates = Map("en" -> 0.5, "de" -> 1.0), seqTokens = 256L,
+        keepLangs = Seq("en", "de"), minQuality = 0.5,
+        nearDupThreshold = 0.5, deconShingleK = 5).orderBy("doc_id")
+    }),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -337,6 +348,10 @@ object SparkEntry {
          |WHERE predicted_lang IN ('en','de') AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 10000
          |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")
     },
+    "tx_mix" -> OracleGen.trainingMixSql(
+      mixRates = Seq("en" -> 0.5, "de" -> 1.0), seqTokens = 256L,
+      keepLangs = Seq("en", "de"), minQuality = 0.5,
+      nearDupThreshold = 0.5, deconShingleK = 5, mod = 10),
     "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
@@ -353,23 +368,10 @@ object SparkEntry {
   )
 
   /** per-language marker-hit subquery + argmax CASE chain, generated from
-    * [[TextAnalysis.LangMarkers]] so Spark and oracle stay in lockstep. */
-  private def LangHits: String = {
-    val hitCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
-      s"len(list_intersect(list_distinct(string_split(text, ' ')), $lst)) AS h_$lang"
-    }.mkString(", ")
-    s"SELECT doc_id, lang, $hitCols FROM documents"
-  }
-
-  private def LangCase: String = {
-    val langs = TextAnalysis.LangMarkers.map(_._1)
-    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
-      val later = langs.drop(i + 1).map(l => s"h_$lang >= h_$l").mkString(" AND ")
-      s"WHEN $later THEN '$lang'"
-    }
-    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
-  }
+    * [[TextAnalysis.LangMarkers]] so Spark and oracle stay in lockstep
+    * (shared with the composed tx_mix oracle in [[OracleGen]]). */
+  private def LangHits: String = OracleGen.langHitsSql()
+  private def LangCase: String = OracleGen.langCaseSql
 
   private val MmMetaSql =
     "SELECT doc_id, octet_length(encode(text)) AS n_bytes, 64 + octet_length(encode(text)) % 193 AS width, 64 + (octet_length(encode(text)) * 31) % 177 AS height, 3::BIGINT AS channels FROM documents ORDER BY doc_id"

@@ -75,8 +75,12 @@ object Curate {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    // curated feeds BOTH the survivors semi-join and the withLang join —
+    // materialize once so the curation subtree (digest shuffle + metric
+    // projection) doesn't execute twice per mix
     val curated = curate(df, keepLangs, minQuality, textCol = textCol, idCol = idCol)
       .select(col(idCol), col("predicted_lang"))
+      .localCheckpoint(true)
     val survivors = df.join(curated, Seq(idCol), "left_semi")
     val clean     = Dedup.decontaminate(survivors, evalDf, deconShingleK, textCol, idCol)
     val reps = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)

@@ -110,6 +110,16 @@ class PipelineSpec extends SparkTestBase {
       keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     again shouldBe rows
+
+    // the curation subtree executes ONCE per mix: `curated` is
+    // materialized before its two consumers (survivors semi-join and the
+    // withLang join), so the digest groupBy (the only md5 in the
+    // pipeline) appears NOWHERE in the composed plan — both reads hit the
+    // checkpointed result
+    Curate.trainingMix(corpus, evalSet,
+      mixRates = Map("en" -> 1.0), seqTokens = 16L,
+      keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5)
+      .queryExecution.executedPlan.toString should not include "md5"
   }
 
   "Dedup.decontaminate" should "drop docs sharing any k-shingle with the eval set" in {
