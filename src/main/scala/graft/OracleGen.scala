@@ -229,8 +229,10 @@ object OracleGen {
 
   /** mirror of [[Similarity.lshCosinePairs]]: per-table packed sign-bit
     * buckets against the SAME seeded hyperplanes, candidate dedup, exact
-    * cosine verify. */
-  def lshCosinePairsSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int): String = {
+    * cosine verify. `multiProbe` mirrors the 1-bit probe expansion: the
+    * probing side also visits every bucket one sign-flip away. */
+  def lshCosinePairsSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int,
+                        multiProbe: Boolean = false): String = {
     val ev = vecIdx("e", "embedding") _
     val bucketExprs = (0 until tables).map { t =>
       val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 42L + t)
@@ -241,14 +243,33 @@ object OracleGen {
     }
     val bktCols = bucketExprs.zipWithIndex.map { case (x, t) => s"$x AS b_$t" }.mkString(", ")
     val unioned = (0 until tables).map(t => s"SELECT vec_id, $t AS tbl, b_$t AS bucket FROM bkt").mkString(" UNION ALL ")
+    // probe side: original bucket first, then the k one-bit flips (xor)
+    val masks = (0 until planesPerTable).map(j => s"${1L << j}::BIGINT").mkString("[", ",", "]")
+    val probe =
+      if (!multiProbe) "bd"
+      else s"(SELECT vec_id, tbl, unnest(list_prepend(bucket, list_transform($masks, m -> xor(bucket, m)))) AS bucket FROM bd)"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |bkt AS (SELECT e.vec_id, $bktCols FROM e),
        |bd AS ($unioned),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |         FROM bd a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |         FROM $probe a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |v AS (SELECT id_a, id_b, round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, sim FROM v WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** [[lshCosinePairsSql]] with CORPUS-DERIVED parameters — the oracle twin
+    * of [[Similarity.lshCosinePairsAuto]]. `n` is the live corpus count
+    * (supplied by Verify from the embeddings table at the gated SF); k and L
+    * come from the same [[Similarity.planesFor]]/[[Similarity.tablesFor]]
+    * sizing the Spark side runs, so both sides stay in lockstep at every
+    * scale factor without pinning either. */
+  def lshCosinePairsAutoSql(threshold: Double, n: Long, simTarget: Double, recall: Double,
+                            margin: Int, multiProbe: Boolean, dim: Int): String = {
+    val k = Similarity.planesFor(n, margin)
+    val l = if (multiProbe) Similarity.tablesForMultiProbe(k, simTarget, recall)
+            else Similarity.tablesFor(k, simTarget, recall)
+    lshCosinePairsSql(threshold, k, l, dim, multiProbe)
   }
 
   /** mirror of [[Similarity.gateAgainstCorpus]] with the corpus/new split

@@ -175,6 +175,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, d), q, 20).withColumn("sim", round(col("sim"), 3))
     }),
     "ann_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
+    // the AUTO-SIZED path a real corpus would call: k = log2(n)+margin sign
+    // bits and L = recall-holding table count are DERIVED from the live
+    // corpus count (one count() job), not pinned — the oracle derives the
+    // same values from the same count via the same sizing functions
+    "ann_lsh_auto" -> ((s, d) => Similarity.lshCosinePairsAuto(emb(s, d), 0.4,
+      simTarget = 0.9, recall = 0.9, margin = 1).orderBy("id_a", "id_b")),
+    // same derived sizing under 1-bit multi-probe: several-fold fewer
+    // tables for the same recall (L sized by tablesForMultiProbe)
+    "ann_lsh_mp" -> ((s, d) => Similarity.lshCosinePairsAuto(emb(s, d), 0.4,
+      simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = true).orderBy("id_a", "id_b")),
     "ann_ivf" -> ((s, d) => {
       val e   = emb(s, d)
       val idx = Similarity.ivfBuild(e, nlist = 16, refineIterations = 1)
@@ -247,7 +257,13 @@ object SparkEntry {
   private val Star =
     s"""$TsMs AS "timestamp", value, event_id, event_type, props, user_id"""
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver-contract oracle map. The auto-sized LSH oracles depend on the
+    * corpus count; the default assumes the gated SF's 500-row embeddings
+    * fixture — Verify dumps [[oracleSqlFor]] with the LIVE count instead,
+    * so the derived k/L track the data at any scale factor. */
+  def oracleSql: Map[String, String] = oracleSqlFor(500L)
+
+  def oracleSqlFor(embCount: Long): Map[String, String] = Map(
     "s_star"  -> s"SELECT $Star FROM events WHERE value > 150 ORDER BY event_id LIMIT 200",
     "s_proj"  -> s"""SELECT $TsMs AS "timestamp", value, event_type FROM events WHERE user_id >= 10 ORDER BY event_id LIMIT 500""",
     "p_eq"    -> s"SELECT $Star FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 300",
@@ -304,6 +320,10 @@ object SparkEntry {
     "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),
     "d_embed_exact" -> OracleGen.cosinePairsSql(0.4, dim = 64, idMax = 500),
     "ann_lsh"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_lsh_auto" -> OracleGen.lshCosinePairsAutoSql(0.4, embCount,
+      simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = false, dim = 64),
+    "ann_lsh_mp"   -> OracleGen.lshCosinePairsAutoSql(0.4, embCount,
+      simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = true, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",

@@ -35,7 +35,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // the auto-sized LSH oracles derive k/L from the live corpus count —
+    // dump the count-aware map so they track the data at this SF
+    val embCount = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val json = SparkEntry.oracleSqlFor(embCount)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

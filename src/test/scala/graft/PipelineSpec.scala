@@ -434,6 +434,20 @@ class PipelineSpec extends SparkTestBase {
     probed.size should be > plain.size
   }
 
+  "SparkEntry.oracleSqlFor" should "derive different auto-LSH oracles for different corpus counts" in {
+    // the gate is honest only if the oracle's k/L actually respond to n:
+    // 500 → k=10, 2000 → k=12 (margin 1) — the embedded hyperplane sets
+    // and table counts must differ, while pinned-parameter gates must not
+    val at500  = graft.SparkEntry.oracleSqlFor(500L)
+    val at2000 = graft.SparkEntry.oracleSqlFor(2000L)
+    at500("ann_lsh_auto") should not be at2000("ann_lsh_auto")
+    at500("ann_lsh_mp") should not be at2000("ann_lsh_mp")
+    at500("ann_lsh") shouldBe at2000("ann_lsh")
+    // multi-probe's probe expansion is present only in the mp oracle
+    at500("ann_lsh_mp") should include("xor(bucket")
+    at500("ann_lsh_auto") should not include "xor(bucket"
+  }
+
   it should "keep random-collision candidates sub-quadratic under derived plane counts" in {
     def randomVecs(n: Int): org.apache.spark.sql.DataFrame = {
       val rnd = new scala.util.Random(7)
