@@ -35,13 +35,27 @@ final case class Coords(db: String, namespace: String, metric: String) {
  * location filtering — the executor derives shard bounds from the
  * statement's time spans (see [[graft.exec.Executor.filtered]]).
  *
- * Writes are serialized per JVM via a metric-level lock, mirroring the
- * single SchemaCoordinator: concurrent schema evolution cannot interleave.
+ * Writes are serialized per metric at TWO levels, mirroring the reference's
+ * single SchemaCoordinator (`nsdb-cluster/.../SchemaCoordinator.scala`):
+ * a JVM-wide monitor (shared across Warehouse instances on the same path,
+ * so two engines in one process cannot interleave) plus an OS advisory
+ * file lock on `<metric>/.lock`, so two DRIVER PROCESSES appending the
+ * same metric serialize their schema-union validation and shard writes
+ * cleanly. The file lock blocks until the peer releases; in-JVM overlap
+ * (which would throw `OverlappingFileLockException`) is prevented by the
+ * shared monitor taken first.
  */
 class Warehouse(val spark: SparkSession, val root: String) {
 
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(c: Coords): Object = locks.computeIfAbsent(c.path(root), _ => new Object)
+  /** monitor + advisory file lock around every mutating metric op. */
+  private def withWriteLock[A](c: Coords)(body: => A): A =
+    Warehouse.monitorFor(Paths.get(c.path(root)).toAbsolutePath.normalize.toString).synchronized {
+      Files.createDirectories(Paths.get(c.path(root)))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(c.path(root), ".lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try { val fl = ch.lock(); try body finally fl.release() } finally ch.close()
+    }
 
   private def dataPath(c: Coords) = s"${c.path(root)}/data"
   private def metaPath(c: Coords) = s"${c.path(root)}/meta.json"
@@ -123,14 +137,18 @@ class Warehouse(val spark: SparkSession, val root: String) {
       tags: Set[String],
       shardIntervalMs: Long = DefaultShardIntervalMs,
       retentionMs: Long = 0L
-  ): Either[String, Long] = lockFor(c).synchronized {
+  ): Either[String, Long] = withWriteLock(c) {
     val incoming = MetricSchema.fromMapping(df.schema, tags)
     val meta = readMeta(c) match {
       case None           => Right(Meta(incoming, shardIntervalMs, retentionMs))
       case Some(existing) => existing.schema.union(incoming).map(u => existing.copy(schema = u))
     }
     meta.map { m =>
-      val sharded = df.withColumn("shard", floor(col("timestamp") / lit(m.shardIntervalMs)).cast(LongType))
+      // the ingested-row count rides the write job as an observed metric —
+      // a post-write df.count() would re-run the whole batch plan per ingest
+      val obs = org.apache.spark.sql.Observation()
+      val sharded = df.observe(obs, count(lit(1)).as("rows"))
+        .withColumn("shard", floor(col("timestamp") / lit(m.shardIntervalMs)).cast(LongType))
       // cluster rows by shard before writing: one file per shard per batch
       // instead of one per (task × shard) — the small-files guard that
       // matters most at ingest scale (raise parallelism per shard by
@@ -139,7 +157,8 @@ class Warehouse(val spark: SparkSession, val root: String) {
         .repartition(col("shard"))
         .write.partitionBy("shard").mode("append").parquet(dataPath(c))
       writeMeta(c, m)
-      df.count()
+      // an all-empty batch can run zero tasks → no metric row at all
+      obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
     }
   }
 
@@ -196,20 +215,32 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * under-counting can only widen the narrowed set (extra shards opened),
    * never drop rows the query needs.
    */
-  private def shardRowCount(c: Coords, sid: Long): Long = {
+  private def shardRowCount(c: Coords, sid: Long): Long =
+    footerRowCount(s"${dataPath(c)}/shard=$sid", Warehouse.maxFooterReadsPerShard)
+
+  /** Sum of the parquet footers' record counts under `dirStr` (driver-side
+    * metadata only, at most `cap` footers). A file (or the whole dir) can
+    * vanish between listStatus and the footer open while racing compact's
+    * rename-aside swap — it counts as 0 (the documented lower bound, which
+    * only ever WIDENS O3's narrowed set) instead of failing plan
+    * construction with FileNotFoundException. */
+  private def footerRowCount(dirStr: String, cap: Int = Int.MaxValue): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir  = new Path(s"${dataPath(c)}/shard=$sid")
+    val dir  = new Path(dirStr)
     val fs   = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return 0L
-    fs.listStatus(dir)
+    try fs.listStatus(dir)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      .take(Warehouse.maxFooterReadsPerShard)
+      .take(cap)
       .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-        val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+          val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        } catch { case _: java.io.FileNotFoundException => 0L }
       }
       .sum
+    catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   // ---- delete / drop / retention ----------------------------------------
@@ -220,10 +251,10 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * empty is removed. Mirrors `ParsedDeleteQuery` execution + location
    * eviction.
    */
-  def delete(stmt: Ast.DeleteStatement)(implicit tc: TimeContext): Either[String, Unit] = {
+  def delete(stmt: Ast.DeleteStatement, targetBytes: Long = 128L << 20)(implicit tc: TimeContext): Either[String, Unit] = {
     val c = Coords(stmt.db, stmt.namespace, stmt.metric)
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
-      lockFor(c).synchronized {
+      withWriteLock(c) {
         val spans    = TimeBuckets.extractSpans(Some(stmt.where), tc)
         val interval = m.shardIntervalMs
         val allShards = subdirs(dataPath(c)).filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong)
@@ -237,13 +268,27 @@ class Warehouse(val spark: SparkSession, val root: String) {
           val fs   = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
           affected.foreach { s =>
             val shardDir = s"${dataPath(c)}/shard=$s"
-            val kept     = spark.read.schema(m.schema.toStruct).parquet(shardDir).filter(!coalesce(pred, lit(false))).cache()
-            val n        = kept.count()
-            val tmp      = s"${c.path(root)}/.tmp_shard_$s"
-            if (n > 0) kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-            kept.unpersist()
+            // size the rewrite like compact: ceil(shardBytes / targetBytes)
+            // range-partitioned, time-sorted output files — pre-delete bytes
+            // are an upper bound on the kept data, so files only get SMALLER
+            // than target, never a single-task rewrite of an arbitrarily
+            // large shard (the old coalesce(1) shape)
+            val bytes = fs.listStatus(new Path(shardDir))
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+              .map(_.getLen).sum
+            val k = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+            val tmp = s"${c.path(root)}/.tmp_shard_$s"
+            spark.read.schema(m.schema.toStruct).parquet(shardDir)
+              .filter(!coalesce(pred, lit(false)))
+              .repartitionByRange(k, col("timestamp")).sortWithinPartitions("timestamp")
+              .write.mode("overwrite").parquet(tmp)
+            // kept-row count from the WRITTEN files' parquet footers (driver-
+            // side metadata, no data pages) — no count() pass over the kept
+            // rows, no cache, and exact even when the rewrite is empty
+            val n = footerRowCount(tmp)
             fs.delete(new Path(shardDir), true)
             if (n > 0) fs.rename(new Path(tmp), new Path(shardDir))
+            else fs.delete(new Path(tmp), true)
           }
         }
       }
@@ -273,7 +318,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
       targetBytes: Long = 128L << 20
   ): Either[String, Seq[Long]] =
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
-      lockFor(c).synchronized {
+      withWriteLock(c) {
         val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverCompact(c, fs)
         subdirs(dataPath(c)).filter(_.startsWith("shard=")).flatMap { sh =>
@@ -327,7 +372,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** DROP METRIC: remove data + catalog entry. */
-  def drop(c: Coords): Unit = lockFor(c).synchronized {
+  def drop(c: Coords): Unit = withWriteLock(c) {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(c.path(root)), true)
   }
@@ -343,10 +388,10 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * evicted shard ids.
    */
   def evictExpired(c: Coords)(implicit tc: TimeContext): Either[String, Seq[Long]] =
-    readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
-      if (m.retentionMs <= 0) Seq.empty
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").flatMap { m =>
+      if (m.retentionMs <= 0) Right(Seq.empty)
       else {
-        val evicted = lockFor(c).synchronized {
+        val evicted = withWriteLock(c) {
           val cutoff = tc.currentTime - m.retentionMs
           val fs     = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
           val full = subdirs(dataPath(c))
@@ -361,11 +406,15 @@ class Warehouse(val spark: SparkSession, val root: String) {
           .filter(_.startsWith("shard="))
           .map(_.stripPrefix("shard=").toLong)
           .exists(s => s * m.shardIntervalMs < cutoff)
+        // partial-eviction failure propagates through the Either channel —
+        // a thrown exception here would abort the caller's whole sweep for
+        // every remaining metric instead of being reported per-metric
         if (straddles)
           delete(Ast.DeleteStatement(c.db, c.namespace, c.metric,
             Ast.CmpPred("timestamp", Ast.Lt, Ast.AbsValue(cutoff))))
-            .left.foreach(err => throw new IllegalStateException(s"partial eviction failed: $err"))
-        evicted
+            .left.map(err => s"partial eviction failed: $err")
+            .map(_ => evicted)
+        else Right(evicted)
       }
     }
 }
@@ -380,16 +429,44 @@ class Warehouse(val spark: SparkSession, val root: String) {
  */
 object Maintenance {
 
-  def runOnce(wh: Warehouse)(implicit tc: TimeContext): Unit =
+  /** Outcome of one sweep: what ran, what it did, what failed. A
+    * permanently failing eviction must be VISIBLE — errors are logged per
+    * metric and the whole report is queryable ([[lastSweep]], surfaced over
+    * the REST command API). */
+  final case class SweepReport(atMs: Long, metricsSwept: Int, evictedShards: Int,
+                               compactedShards: Int, errors: Seq[String])
+
+  @volatile private var last: Option[SweepReport] = None
+
+  /** the most recent sweep's report (scheduled or manual), if any ran. */
+  def lastSweep: Option[SweepReport] = last
+
+  def runOnce(wh: Warehouse)(implicit tc: TimeContext): SweepReport = {
+    val errors = Seq.newBuilder[String]
+    var swept = 0; var evicted = 0; var compacted = 0
     for {
       db <- wh.listDatabases
       ns <- wh.listNamespaces(db)
       m  <- wh.listMetrics(db, ns)
     } {
+      swept += 1
       val c = Coords(db, ns, m)
-      wh.evictExpired(c).left.foreach(_ => ())
-      wh.compact(c).left.foreach(_ => ())
+      // one metric's failure never aborts the sweep for the rest — Lefts
+      // (evictExpired propagates partial-eviction failure as Left for
+      // exactly this reason) AND thrown IO/corruption surprises are both
+      // recorded per metric and reported
+      try {
+        wh.evictExpired(c).fold(e => errors += s"$db.$ns.$m evict: $e", s => evicted += s.size)
+        wh.compact(c).fold(e => errors += s"$db.$ns.$m compact: $e", s => compacted += s.size)
+      } catch {
+        case scala.util.control.NonFatal(e) => errors += s"$db.$ns.$m sweep: ${e.getMessage}"
+      }
     }
+    val report = SweepReport(tc.currentTime, swept, evicted, compacted, errors.result())
+    report.errors.foreach(e => System.err.println(s"[graft-maintenance] $e"))
+    last = Some(report)
+    report
+  }
 
   def start(wh: Warehouse, intervalMs: Long = 60000L): AutoCloseable = {
     val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
@@ -397,8 +474,14 @@ object Maintenance {
     }
     ex.scheduleWithFixedDelay(
       () =>
-        try Maintenance.runOnce(wh)(TimeContext(System.currentTimeMillis()))
-        catch { case scala.util.control.NonFatal(_) => () },
+        try { Maintenance.runOnce(wh)(TimeContext(System.currentTimeMillis())); () }
+        catch {
+          // a sweep that dies outside the per-metric Either channel (e.g.
+          // catalog listing IO) is still logged and reported — never silent
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-maintenance] sweep failed: ${e.getMessage}")
+            last = Some(SweepReport(System.currentTimeMillis(), 0, 0, 0, Seq(s"sweep failed: ${e.getMessage}")))
+        },
       intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => { ex.shutdownNow(); () }
   }
@@ -408,4 +491,11 @@ object Warehouse {
   /** Footer-read budget per shard for metadata row counts — bounds O3
     * plan-construction latency on shards compaction hasn't reached yet. */
   val maxFooterReadsPerShard: Int = 64
+
+  /** JVM-wide per-metric-path monitors: two Warehouse instances on the same
+    * root share one monitor, so in-process writers serialize BEFORE the
+    * cross-process file lock is attempted (same-JVM file-lock overlap would
+    * throw instead of blocking). */
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[catalog] def monitorFor(key: String): Object = monitors.computeIfAbsent(key, _ => new Object)
 }

@@ -294,6 +294,101 @@ class WarehouseSpec extends SparkTestBase {
     h.close()
   }
 
+  it should "scan the input batch exactly once per append (observed count, no re-scan)" in {
+    val (_, wh, _) = freshEngine()
+    val c          = Coords("db", "ns", "m1scan")
+    val acc        = spark.sparkContext.longAccumulator("append-scan-rows")
+    val tick       = org.apache.spark.sql.functions.udf((t: Long) => { acc.add(1); t })
+    val df = Seq((0 * day + 100L, 1.0, "a"), (1 * day + 100L, 2.0, "b"),
+                 (1 * day + 200L, 3.0, "a"), (2 * day + 100L, 4.0, "c"))
+      .toDF("timestamp", "value", "grp")
+      .withColumn("timestamp", tick(col("timestamp")))
+    // the returned ingest count comes from the write job's observed metric;
+    // a post-write count() re-run would double the accumulator
+    wh.append(c, df, tags = Set("grp")).fold(fail(_), identity) shouldBe 4L
+    acc.value shouldBe 4L
+  }
+
+  it should "size DELETE's shard rewrite by bytes instead of coalescing to one task" in {
+    val (engine, wh, root) = freshEngine()
+    val c = Coords("db", "ns", "mdel")
+    // 8 appends into one day-shard → 8 files, a few KB total
+    (1 to 8).foreach { i =>
+      wh.append(c, Seq((0 * day + i * 100L, i.toDouble, "g")).toDF("timestamp", "value", "grp"),
+        tags = Set("grp")).fold(fail(_), identity)
+    }
+    val shardDir = new java.io.File(s"$root/db/ns/mdel/data/shard=0")
+    def dataFiles = shardDir.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val bytes = dataFiles.map(_.length).sum
+    // targetBytes ≈ a third of the shard → the rewrite must produce >1
+    // range-partitioned file (the old coalesce(1) shape produced exactly 1)
+    wh.delete(Ast.DeleteStatement("db", "ns", "mdel",
+      Ast.EqPred("timestamp", Ast.AbsValue(0 * day + 100L))), targetBytes = bytes / 3)
+      .fold(fail(_), identity)
+    dataFiles.length should be > 1
+    engine.sql("db", "ns", "select * from mdel order by value").fold(fail(_), _.collect())
+      .map(_.getAs[Double]("value")).toSeq shouldBe (2 to 8).map(_.toDouble)
+  }
+
+  it should "report per-metric sweep failures without aborting the rest" in {
+    val (_, wh, root) = freshEngine()
+    // healthy metric with retention: shard 0 must still get evicted
+    val cOk = Coords("db", "ns", "mok")
+    wh.append(cOk, Seq((0 * day + 100L, 1.0, "a"), (9 * day + 100L, 2.0, "b"))
+      .toDF("timestamp", "value", "grp"), tags = Set("grp"), retentionMs = 5 * day)
+      .fold(fail(_), identity)
+    // broken metric: a bogus shard dir that makes compact/evict blow up
+    val cBad = Coords("db", "ns", "mbad")
+    wh.append(cBad, Seq((0 * day + 100L, 1.0, "a")).toDF("timestamp", "value", "grp"),
+      tags = Set("grp"), retentionMs = 5 * day).fold(fail(_), identity)
+    new java.io.File(s"$root/db/ns/mbad/data/shard=garbage").mkdirs() shouldBe true
+
+    // listMetrics sorts: mbad sweeps BEFORE mok, so a sweep abort would
+    // lose mok's eviction — the report must show both the error and the work
+    val report = graft.catalog.Maintenance.runOnce(wh)
+    report.errors.exists(_.contains("mbad")) shouldBe true
+    report.evictedShards should be >= 1
+    wh.read(cOk).fold(fail(_), _.df.count()) shouldBe 1
+    graft.catalog.Maintenance.lastSweep shouldBe Some(report)
+  }
+
+  it should "treat a vanished footer as the documented lower bound, not a failure" in {
+    val (_, wh, root) = freshEngine()
+    val c = Coords("db", "ns", "mfnf")
+    wh.append(c, Seq((0 * day + 100L, 1.0, "a"), (0 * day + 200L, 2.0, "b"))
+      .toDF("timestamp", "value", "grp"), tags = Set("grp")).fold(fail(_), identity)
+    // a dangling symlink lists as a file but FNFs on open — the mid-swap
+    // race shape (file vanishing between listStatus and footer read)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$root/db/ns/mfnf/data/shard=0/ghost.parquet"),
+      java.nio.file.Paths.get(s"$root/db/ns/mfnf/data/shard=0/never-existed.parquet"))
+    val rowCount = wh.read(c).fold(fail(_), _.shard.get.rowCount.get)
+    rowCount(0L) shouldBe 2L // real footers counted, ghost counted as 0
+    rowCount(99L) shouldBe 0L // absent shard: 0, no throw
+  }
+
+  it should "serialize writers across Warehouse instances via the advisory file lock" in {
+    val root = Files.createTempDirectory("graft_wh_lock_").toString
+    val whA  = new Warehouse(spark, root)
+    val whB  = new Warehouse(spark, root)
+    val c    = Coords("db", "ns", "mlock")
+    // interleaved appends from two instances (the two-driver shape; in one
+    // JVM the shared monitor serializes before the file lock is attempted)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (1 to 10).map { i =>
+      val wh = if (i % 2 == 0) whA else whB
+      pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+        def call() = wh.append(c,
+          Seq((i * 1000L, i.toDouble, s"g$i")).toDF("timestamp", "value", "grp"), tags = Set("grp"))
+      })
+    }
+    futures.map(_.get()).foreach(_.fold(fail(_), identity) shouldBe 1L)
+    pool.shutdown()
+    new java.io.File(s"$root/db/ns/mlock/.lock").exists shouldBe true
+    new Warehouse(spark, root).read(c).fold(fail(_), _.df.count()) shouldBe 10L
+  }
+
   it should "answer metadata commands" in {
     val (engine, wh, _) = freshEngine()
     seed(wh, Coords("db", "nsA", "mm"))
