@@ -52,6 +52,10 @@ class HttpApi(
   private final case class LiveSub(pred: Option[graft.sql.Ast.Predicate], sub: SseSubscriber)
   private val subs = new java.util.concurrent.CopyOnWriteArrayList[LiveSub]()
 
+  /** periodic (aggregated) subscription schedulers — tracked so [[stop]]
+    * shuts them down; a dead client removes its own handle. */
+  private val periodicSubs = new java.util.concurrent.CopyOnWriteArrayList[AutoCloseable]()
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
@@ -68,6 +72,8 @@ class HttpApi(
   def stop(): Unit = {
     subs.forEach(s => s.sub.close())
     subs.clear()
+    periodicSubs.forEach(h => Try(h.close()))
+    periodicSubs.clear()
     if (server != null) server.stop(0)
   }
 
@@ -158,6 +164,10 @@ class HttpApi(
         val v = e.getValue
         e.getKey -> (if (v.isIntegralNumber) v.asLong() else if (v.isNumber) v.asDouble() else v.asText(): Any)
       }.toMap
+    // a missing/non-numeric value must 400, not silently insert 0.0
+    // (reference DataApi rejects a bit without a numeric value)
+    if (!bit.path("value").isNumber)
+      return (400, """{"error":"bit.value must be a number"}""")
     val value: Any =
       if (bit.path("value").isIntegralNumber) bit.path("value").asLong() else bit.path("value").asDouble()
     val stmt = Ast.InsertStatement(
@@ -253,9 +263,11 @@ class HttpApi(
             Try {
               out.write(s"""data: {"records":[$json]}\n\n""".getBytes(StandardCharsets.UTF_8))
               out.flush()
-            }.failed.foreach { _ => handle.close(); Try(ex.close()) } // dead client
+            }.failed.foreach { _ => // dead client: stop + untrack its scheduler
+              handle.close(); periodicSubs.remove(handle); Try(ex.close())
+            }
           })
-        handle // materialize the scheduler
+        periodicSubs.add(handle) // materialize + track for stop()
         ()
       case Right(_) =>
         handle(ex)(_ => (400, """{"error":"only select statements can be subscribed"}"""))
@@ -279,6 +291,9 @@ class HttpApi(
   /** live subscriber count (post-eviction) — observability for specs. */
   def liveSubscriberCount: Int = subs.size()
 
+  /** tracked periodic-subscription scheduler count — observability for specs. */
+  def periodicSubscriberCount: Int = periodicSubs.size()
+
   private def handleCommands(ex: HttpExchange): (Int, String) = {
     // the reference CommandApi surface (`nsdb-http/.../routes/CommandApi.scala`):
     //   GET /commands/dbs                                → databases
@@ -294,6 +309,15 @@ class HttpApi(
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     parts match {
       case Array("commands", "dbs")             => listOf("dbs", Ast.ShowDatabases)
+      // maintenance observability: the last retention/compaction sweep's
+      // report — a permanently failing eviction is visible here, not silent
+      case Array("commands", "maintenance") =>
+        graft.catalog.Maintenance.lastSweep match {
+          case None => (200, """{"lastSweep":null}""")
+          case Some(r) =>
+            val errs = r.errors.map(mapper.writeValueAsString).mkString("[", ",", "]")
+            (200, s"""{"lastSweep":{"atMs":${r.atMs},"metricsSwept":${r.metricsSwept},"evictedShards":${r.evictedShards},"compactedShards":${r.compactedShards},"errors":$errs}}""")
+        }
       case Array("commands", db, "namespaces")  => listOf("namespaces", Ast.ShowNamespaces, db)
       case Array("commands", db, ns, "metrics") => listOf("metrics", Ast.ShowMetrics, db, ns)
       case Array("commands", db, ns, metric, "describe") =>

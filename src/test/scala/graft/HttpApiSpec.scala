@@ -194,6 +194,48 @@ class HttpApiSpec extends SparkTestBase {
         if (ev != null && ev.contains(""""value":15.0""")) updated = true
       }
       updated shouldBe true
+      // the scheduler is tracked while live and closed by stop() — a leaked
+      // scheduler would keep re-running the query after shutdown
+      api.periodicSubscriberCount shouldBe 1
+    } finally api.stop()
+    api.periodicSubscriberCount shouldBe 0
+  }
+
+  it should "reject a /data bit without a numeric value" in {
+    val root   = Files.createTempDirectory("graft_http_badval_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine)
+    val port   = api.start()
+    try {
+      // missing value → 400, nothing inserted (not a silent 0.0 record)
+      val (s1, b1) = post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"mbad","bit":{"timestamp":1000,"tags":{"k":"a"}}}""")
+      s1 shouldBe 400
+      b1 should include("value")
+      // non-numeric value → 400
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"mbad","bit":{"timestamp":1000,"value":"oops"}}""")._1 shouldBe 400
+      engine.command("db", "ns", graft.sql.Ast.ShowMetrics).fold(fail(_), identity) shouldBe empty
+      // a proper bit still lands
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"mbad","bit":{"timestamp":1000,"value":4.5}}""")._1 shouldBe 200
+    } finally api.stop()
+  }
+
+  it should "expose the last maintenance sweep over /commands/maintenance" in {
+    val root   = Files.createTempDirectory("graft_http_maint_").toString
+    val wh     = new Warehouse(spark, root)
+    val engine = new GraftEngine(spark, Some(wh))
+    val api    = new HttpApi(engine)
+    val port   = api.start()
+    try {
+      post(port, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":1000,"value":1.0}}""")._1 shouldBe 200
+      graft.catalog.Maintenance.runOnce(wh)(graft.plan.TimeContext(System.currentTimeMillis()))
+      val (s, b) = get(port, "/commands/maintenance")
+      s shouldBe 200
+      b should include(""""metricsSwept":""")
+      b should include(""""errors":[]""")
     } finally api.stop()
   }
 }
