@@ -42,15 +42,16 @@ class HttpApi(
     port: Int = 0,
     maxResultRows: Int = 10000,
     sseQueueCapacity: Int = 1000,
-    sseRefreshMs: Long = 100L
+    sseRefreshMs: Long = 100L,
+    val hub: SubscriptionHub = new SubscriptionHub
 ) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
-  /** live plain-query subscription: predicate + bounded event buffer. */
-  private final case class LiveSub(pred: Option[graft.sql.Ast.Predicate], sub: SseSubscriber)
-  private val subs = new java.util.concurrent.CopyOnWriteArrayList[LiveSub]()
+  /** this transport's own registrations in the (possibly shared) hub —
+    * [[stop]] closes exactly these, never another transport's. */
+  private val ownSubs = new java.util.concurrent.CopyOnWriteArrayList[LiveSub]()
 
   /** periodic (aggregated) subscription schedulers — tracked so [[stop]]
     * shuts them down; a dead client removes its own handle. */
@@ -70,8 +71,8 @@ class HttpApi(
   }
 
   def stop(): Unit = {
-    subs.forEach(s => s.sub.close())
-    subs.clear()
+    ownSubs.forEach(s => s.sub.close())
+    ownSubs.clear()
     periodicSubs.forEach(h => Try(h.close()))
     periodicSubs.clear()
     if (server != null) server.stop(0)
@@ -241,12 +242,13 @@ class HttpApi(
         }
         lazy val live: LiveSub = LiveSub(sel.where, new SseSubscriber(
           write = bytes => { out.write(bytes); out.flush() },
-          onDead = () => { subs.remove(live); Try(ex.close()); () },
+          onDead = () => { hub.remove(live); ownSubs.remove(live); Try(ex.close()); () },
           capacity = sseQueueCapacity,
           // per-subscription drain period (reference: refresh_period is a
           // client-set subscription parameter), server default otherwise
           refreshMs = refreshMsParam.getOrElse(sseRefreshMs)))
-        subs.add(live)
+        hub.add(live)
+        ownSubs.add(live)
       case Right(_: Ast.SelectStatement) =>
         // aggregated subscription → periodic re-execution (reference R6:
         // group-by queries are re-run on a fixed scheduler and re-pushed)
@@ -276,20 +278,15 @@ class HttpApi(
     }
   }
 
-  /** Enqueue a freshly-written record for every matching live subscription.
+  /** Enqueue a freshly-written record for every matching live subscription
+    * across ALL transports sharing the [[hub]] (SSE here, WS in [[WsApi]]).
     * Non-blocking: each subscriber's [[SseSubscriber]] buffer absorbs the
     * event and its own flusher writes it out — a stalled client stalls
     * only itself (and is evicted on overflow), never the write path. */
-  private def publish(record: Map[String, Any]): Unit = {
-    implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
-    subs.forEach { s =>
-      if (s.pred.forall(p => graft.exec.PredicateEval.matches(p, record, tc)))
-        s.sub.offer(mapper.writeValueAsString(record.asJava))
-    }
-  }
+  private def publish(record: Map[String, Any]): Unit = hub.publish(record)
 
-  /** live subscriber count (post-eviction) — observability for specs. */
-  def liveSubscriberCount: Int = subs.size()
+  /** hub subscriber count (post-eviction) — observability for specs. */
+  def liveSubscriberCount: Int = hub.size
 
   /** tracked periodic-subscription scheduler count — observability for specs. */
   def periodicSubscriberCount: Int = periodicSubs.size()

@@ -20,7 +20,8 @@ final class SseSubscriber(
     write: Array[Byte] => Unit,
     onDead: () => Unit,
     capacity: Int,
-    refreshMs: Long
+    refreshMs: Long,
+    frame: String => Array[Byte] = SseSubscriber.sseFrame
 ) {
 
   private val queue  = new LinkedBlockingQueue[String](capacity)
@@ -52,9 +53,9 @@ final class SseSubscriber(
           val batch = new java.util.ArrayList[String]()
           batch.add(first)
           queue.drainTo(batch)
-          val sb = new StringBuilder
-          batch.forEach(j => sb.append("data: ").append(j).append("\n\n"))
-          write(sb.toString.getBytes(StandardCharsets.UTF_8))
+          val buf = new java.io.ByteArrayOutputStream()
+          batch.forEach(j => buf.write(frame(j)))
+          write(buf.toByteArray)
         }
       }
     } catch {
@@ -66,4 +67,11 @@ final class SseSubscriber(
   }, "graft-sse-flusher")
   flusher.setDaemon(true)
   flusher.start()
+}
+
+object SseSubscriber {
+  /** default per-event framing: SSE. The WS transport passes a text-frame
+    * encoder instead — buffer/drain/eviction semantics are shared. */
+  val sseFrame: String => Array[Byte] =
+    j => s"data: $j\n\n".getBytes(StandardCharsets.UTF_8)
 }
