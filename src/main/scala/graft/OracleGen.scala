@@ -231,8 +231,10 @@ object OracleGen {
     * buckets against the SAME seeded hyperplanes, candidate dedup, exact
     * cosine verify. `multiProbe` mirrors the 1-bit probe expansion: the
     * probing side also visits every bucket one sign-flip away. */
-  def lshCosinePairsSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int,
-                        multiProbe: Boolean = false): String = {
+  /** CTEs `e` (embeddings), `bkt` (per-table packed sign buckets) and `bd`
+    * (exploded `(vec_id, tbl, bucket)`) against the SAME seeded hyperplanes
+    * the Spark kernels use — shared by every LSH oracle. */
+  private def lshBucketCtes(planesPerTable: Int, tables: Int, dim: Int): String = {
     val ev = vecIdx("e", "embedding") _
     val bucketExprs = (0 until tables).map { t =>
       val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 42L + t)
@@ -243,20 +245,42 @@ object OracleGen {
     }
     val bktCols = bucketExprs.zipWithIndex.map { case (x, t) => s"$x AS b_$t" }.mkString(", ")
     val unioned = (0 until tables).map(t => s"SELECT vec_id, $t AS tbl, b_$t AS bucket FROM bkt").mkString(" UNION ALL ")
-    // probe side: original bucket first, then the k one-bit flips (xor)
-    val masks = (0 until planesPerTable).map(j => s"${1L << j}::BIGINT").mkString("[", ",", "]")
-    val probe =
-      if (!multiProbe) "bd"
-      else s"(SELECT vec_id, tbl, unnest(list_prepend(bucket, list_transform($masks, m -> xor(bucket, m)))) AS bucket FROM bd)"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |bkt AS (SELECT e.vec_id, $bktCols FROM e),
-       |bd AS ($unioned),
+       |bd AS ($unioned)""".stripMargin
+  }
+
+  /** the 1-bit multi-probe expansion of `bd` (original bucket + each
+    * one-sign-flip bucket), or plain `bd`. */
+  private def probeRel(planesPerTable: Int, multiProbe: Boolean): String =
+    if (!multiProbe) "bd"
+    else {
+      val masks = (0 until planesPerTable).map(j => s"${1L << j}::BIGINT").mkString("[", ",", "]")
+      s"(SELECT vec_id, tbl, unnest(list_prepend(bucket, list_transform($masks, m -> xor(bucket, m)))) AS bucket FROM bd)"
+    }
+
+  def lshCosinePairsSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int,
+                        multiProbe: Boolean = false): String =
+    s"""WITH ${lshBucketCtes(planesPerTable, tables, dim)},
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |         FROM $probe a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |         FROM ${probeRel(planesPerTable, multiProbe)} a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |v AS (SELECT id_a, id_b, round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, sim FROM v WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
-  }
+
+  /** mirror of [[Similarity.annJoin]] with queries = `vec_id % qmod = 0`
+    * against the whole corpus: bucket-collision candidates (self-matches
+    * excluded), exact cosine, per-query top-k by rank window. */
+  def annJoinSql(k: Int, qmod: Int, planesPerTable: Int, tables: Int, dim: Int,
+                 multiProbe: Boolean = false): String =
+    s"""WITH ${lshBucketCtes(planesPerTable, tables, dim)},
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+       |         FROM (SELECT * FROM ${probeRel(planesPerTable, multiProbe)} WHERE vec_id % $qmod = 0) q
+       |         JOIN bd c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |v AS (SELECT query_id, id, round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) AS sim
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.query_id JOIN e eb ON eb.vec_id = cand.id),
+       |r AS (SELECT query_id, id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)::INT AS rank FROM v)
+       |SELECT query_id, id, sim, rank FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
   /** [[lshCosinePairsSql]] with CORPUS-DERIVED parameters — the oracle twin
     * of [[Similarity.lshCosinePairsAuto]]. `n` is the live corpus count
@@ -275,20 +299,8 @@ object OracleGen {
   /** mirror of [[Similarity.gateAgainstCorpus]] with the corpus/new split
     * `vec_id % mod <> 0` / `= 0`: new vectors surviving the cosine
     * near-dup gate against the corpus vector index. */
-  def vectorGateSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int, mod: Int): String = {
-    val ev = vecIdx("e", "embedding") _
-    val bucketExprs = (0 until tables).map { t =>
-      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 42L + t)
-      planes.zipWithIndex.map { case (p, i) =>
-        val pv = (idx: String) => s"(${litArr(p.toSeq)})[$idx]"
-        s"CASE WHEN ${foldDot(ev, pv, dim)} > 0 THEN ${1L << i} ELSE 0 END"
-      }.mkString("(", " + ", ")::BIGINT")
-    }
-    val bktCols = bucketExprs.zipWithIndex.map { case (x, t) => s"$x AS b_$t" }.mkString(", ")
-    val unioned = (0 until tables).map(t => s"SELECT vec_id, $t AS tbl, b_$t AS bucket FROM bkt").mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |bkt AS (SELECT e.vec_id, $bktCols FROM e),
-       |bd AS ($unioned),
+  def vectorGateSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int, mod: Int): String =
+    s"""WITH ${lshBucketCtes(planesPerTable, tables, dim)},
        |cand AS (SELECT DISTINCT f.vec_id AS id_new, c.vec_id AS id_corpus
        |         FROM (SELECT * FROM bd WHERE vec_id % $mod = 0) f
        |         JOIN (SELECT * FROM bd WHERE vec_id % $mod <> 0) c ON f.tbl = c.tbl AND f.bucket = c.bucket),
@@ -298,7 +310,6 @@ object OracleGen {
        |SELECT vec_id FROM embeddings
        |WHERE vec_id % $mod = 0 AND vec_id NOT IN (SELECT id_new FROM m)
        |ORDER BY vec_id""".stripMargin.replace("\n", " ")
-  }
 
   // ---- text metrics + composed training mix -------------------------------
 
@@ -389,24 +400,109 @@ object OracleGen {
        |FROM tok ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
-  /** mirror of [[Similarity.ivfBuild]] (one Lloyd refinement) +
-    * [[Similarity.ivfTopK]] probing for the query vector `vec_id = 0`. */
-  def ivfTopKSql(nlist: Int, nprobe: Int, k: Int, dim: Int): String = {
+  /** CTE chain `e … a1` replaying [[Similarity.ivfBuild]] (deterministic
+    * seeds + one Lloyd refinement): `a1` holds `(id, v, centroid)` — shared
+    * by the IVF top-k and semantic-dedup oracles. */
+  private def ivfAssignCtes(nlist: Int, dim: Int): String = {
     def assignCte(centRel: String): String =
       s"""SELECT id, v, cid AS centroid FROM (
          |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e", "embedding", "c", "cvec", dim)} DESC, c.cid ASC) AS rn
          |  FROM e CROSS JOIN $centRel c) t WHERE rn = 1""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $nlist),
        |a0 AS (${assignCte("seeds")}),
        |m AS (SELECT centroid, ii.i, round(avg(v[ii.i::INT]::DOUBLE), 6)::FLOAT AS mv
        |      FROM a0, (SELECT unnest(range(1, ${dim + 1})) AS i) ii GROUP BY centroid, ii.i),
        |c1 AS (SELECT centroid AS cid, list(mv ORDER BY i) AS cvec FROM m GROUP BY centroid),
-       |a1 AS (${assignCte("c1")}),
+       |a1 AS (${assignCte("c1")})""".stripMargin
+  }
+
+  /** mirror of [[Similarity.ivfBuild]] (one Lloyd refinement) +
+    * [[Similarity.ivfTopK]] probing for the query vector `vec_id = 0`. */
+  def ivfTopKSql(nlist: Int, nprobe: Int, k: Int, dim: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)},
        |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
        |probe AS (SELECT cid FROM c1, q ORDER BY ${cosSql("c1", "cvec", "q", "qv", dim)} DESC, cid LIMIT $nprobe),
        |r AS (SELECT id, ${cosSql("a1", "v", "q", "qv", dim)} AS s FROM a1, q WHERE a1.centroid IN (SELECT cid FROM probe))
        |SELECT id, round(s, 3) AS sim FROM r ORDER BY s DESC, id LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[Similarity.semDedup]]: IVF clustering, then within-cluster
+    * pairwise cosine — a vector is dropped iff a smaller-id cluster member
+    * is ≥ tau similar. */
+  def semDedupSql(tau: Double, nlist: Int, dim: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)},
+       |drp AS (SELECT DISTINCT b.id FROM a1 a JOIN a1 b ON a.centroid = b.centroid AND a.id < b.id
+       |        WHERE round(${cosSql("a", "v", "b", "v", dim)}, 4) >= $tau)
+       |SELECT a1.id, a1.centroid, (drp.id IS NULL) AS kept
+       |FROM a1 LEFT JOIN drp ON drp.id = a1.id ORDER BY a1.id""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[Dedup.contaminationReport]] with the corpus/eval split
+    * `doc_id % mod <> 0` / `= 0`: per-doc count of distinct k-shingles
+    * shared with the eval slice, reported at `hits >= minHits`. */
+  def contaminationReportSql(shingleK: Int, minHits: Long, mod: Int): String =
+    s"""WITH ${shingleCtes(shingleK)},
+       |ev AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE doc_id % $mod = 0),
+       |hits AS (SELECT c.doc_id, count(*) AS hits
+       |         FROM (SELECT doc_id, unnest(sh) AS h FROM s WHERE doc_id % $mod <> 0) c
+       |         JOIN ev USING (h) GROUP BY c.doc_id)
+       |SELECT doc_id, hits FROM hits WHERE hits >= $minHits ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.repetitionSignals]]: per-doc
+    * duplicate-word, top-word and duplicate-bigram ratios with the Gopher
+    * reject flag. */
+  def repetitionSignalsSql(dupWordMax: Double, topWordMax: Double, dupBigramMax: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT doc_id, w,
+       |        CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i::INT] || ' ' || w[(i+1)::INT]) ELSE [] END AS bg
+       |      FROM w),
+       |r AS (SELECT doc_id,
+       |        round(1.0 - len(list_distinct(w))*1.0/len(w), 4) AS dup_word_ratio,
+       |        round(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d))))*1.0/len(w), 4) AS top_word_ratio,
+       |        CASE WHEN len(bg) > 0 THEN round(1.0 - len(list_distinct(bg))*1.0/len(bg), 4) ELSE 0.0 END AS dup_bigram_ratio
+       |      FROM b)
+       |SELECT doc_id, dup_word_ratio, top_word_ratio, dup_bigram_ratio,
+       |       (dup_word_ratio > $dupWordMax OR top_word_ratio > $topWordMax OR dup_bigram_ratio > $dupBigramMax) AS repetitive
+       |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.tokenQuantiles]]: per-group
+    * exact linear-interpolation percentiles of the token count. */
+  def tokenQuantilesSql(ps: Seq[Double], groupCol: String = "lang"): String = {
+    val aggs = ps.map(p => s"round(quantile_cont(n, $p), 4) AS p${math.round(p * 100)}_tokens").mkString(", ")
+    s"""SELECT $groupCol, $aggs
+       |FROM (SELECT $groupCol, len(string_split(text, ' '))::DOUBLE AS n FROM documents)
+       |GROUP BY $groupCol ORDER BY $groupCol""".stripMargin.replace("\n", " ")
   }
+
+  /** mirror of [[graft.pipeline.TextAnalysis.filterByTokenQuantile]]:
+    * docs at or above their group's p-th token-count percentile. */
+  def quantileFilterSql(p: Double, groupCol: String = "lang"): String =
+    s"""WITH n AS (SELECT doc_id, $groupCol, len(string_split(text, ' '))::DOUBLE AS n FROM documents),
+       |c AS (SELECT $groupCol, round(quantile_cont(n, $p), 4) AS cutoff FROM n GROUP BY $groupCol)
+       |SELECT n.doc_id, n.$groupCol FROM n JOIN c USING ($groupCol)
+       |WHERE n.n >= c.cutoff ORDER BY n.doc_id""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.scrubPii]]: the same pattern
+    * chain (from the same Scala list — no drift), stage-sequential hit
+    * counts, global replacement. */
+  def scrubPiiSql(): String = {
+    val stages = graft.pipeline.TextAnalysis.PiiPatterns.zipWithIndex.map {
+      case ((re, token), i) =>
+        s"""s${i + 1} AS (SELECT doc_id, ${(1 to i).map(j => s"h$j, ").mkString}len(regexp_extract_all(t, '$re')) AS h${i + 1},
+           |  regexp_replace(t, '$re', '$token', 'g') AS t FROM s$i)""".stripMargin
+    }
+    val n = graft.pipeline.TextAnalysis.PiiPatterns.size
+    s"""WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+       |${stages.mkString(",\n")}
+       |SELECT doc_id, t AS text, (${(1 to n).map(j => s"h$j").mkString(" + ")})::BIGINT AS pii_hits
+       |FROM s$n ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Curate.capPerGroup]]: the k highest-quality
+    * docs per source, ties broken by ascending id. */
+  def capPerGroupSql(k: Int, groupCol: String = "source"): String =
+    s"""WITH q AS (SELECT d.$groupCol, qq.* FROM (${qualityCte()}) qq JOIN documents d ON d.doc_id = qq.doc_id),
+       |r AS (SELECT doc_id, $groupCol, quality,
+       |        row_number() OVER (PARTITION BY $groupCol ORDER BY quality DESC, doc_id) AS rn FROM q)
+       |SELECT doc_id, $groupCol, quality FROM r WHERE rn <= $k ORDER BY doc_id""".stripMargin.replace("\n", " ")
 }

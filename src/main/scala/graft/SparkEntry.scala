@@ -149,6 +149,13 @@ object SparkEntry {
       Dedup.decontaminate(all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0), shingleK = 5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // audit companion of d_decon: per-doc shared-shingle counts, minHits=2
+    // guards against single common n-grams
+    "d_decon_hits" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationReport(all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0),
+        shingleK = 5, minHits = 2L).orderBy("doc_id")
+    }),
     // near-dup mining runs the SCALABLE banded path (no cartesian join in
     // any gate plan); cosinePairs stays a brute-force baseline. Plane/table
     // counts are pinned literals because OracleGen must embed the same
@@ -192,12 +199,34 @@ object SparkEntry {
       Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20, nprobe = 4)
         .withColumn("sim", round(col("sim"), 3))
     }),
+    // SemDeDup: IVF clusters bound the pairwise cosine to within-cluster
+    "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
+    // batch retrieval: per-query top-k against the pre-hashed corpus index
+    "ann_join" -> ((s, d) => {
+      val all    = emb(s, d)
+      val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 8)
+        .localCheckpoint(true) // stands in for the persisted index
+      Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
+        planesPerTable = 6, tables = 8).orderBy("query_id", "rank")
+    }),
     // ---- text analysis
     "tx_tokens"      -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "tx_quality"     -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
     "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // Gopher-style repetition signals: one row-local projection, no shuffle
+    "tx_rep" -> ((s, d) => TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
+    // per-lang exact token-count percentiles (linear interpolation)
+    "tx_quantile" -> ((s, d) => TextAnalysis.tokenQuantiles(docs(s, d)).orderBy("lang")),
+    // drop the shortest half of every language (per-group percentile floor)
+    "tx_qfilter" -> ((s, d) => TextAnalysis.filterByTokenQuantile(docs(s, d), 0.5)
+      .select("doc_id", "lang").orderBy("doc_id")),
+    // per-source quality cap: WindowGroupLimit prunes map-side before the shuffle
+    "tx_cap" -> ((s, d) => pipeline.Curate.capPerGroup(docs(s, d), 10).orderBy("doc_id")),
+    // PII scrub: chained codegen'd regexp_replace, stage-sequential hit counts
+    "tx_scrub" -> ((s, d) => TextAnalysis.scrubPii(docs(s, d))
+      .select("doc_id", "text", "pii_hits").orderBy("doc_id")),
     // composed curation pipeline: exact dedup + language allowlist +
     // quality floor + token bounds in one digest shuffle + one projection
     "tx_curate" -> ((s, d) => pipeline.Curate.curate(docs(s, d), keepLangs = Seq("en", "de"),
@@ -315,6 +344,7 @@ object SparkEntry {
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
+    "d_decon_hits" -> OracleGen.contaminationReportSql(shingleK = 5, minHits = 2L, mod = 10),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),
@@ -325,6 +355,8 @@ object SparkEntry {
     "ann_lsh_mp"   -> OracleGen.lshCosinePairsAutoSql(0.4, embCount,
       simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = true, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
+    "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
+    "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "tx_tokens" -> {
@@ -373,6 +405,11 @@ object SparkEntry {
       keepLangs = Seq("en", "de"), minQuality = 0.5,
       nearDupThreshold = 0.5, deconShingleK = 5, mod = 10),
     "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
+    "tx_rep"      -> OracleGen.repetitionSignalsSql(dupWordMax = 0.7, topWordMax = 0.2, dupBigramMax = 0.9),
+    "tx_quantile" -> OracleGen.tokenQuantilesSql(Seq(0.5, 0.9)),
+    "tx_qfilter"  -> OracleGen.quantileFilterSql(0.5),
+    "tx_cap"      -> OracleGen.capPerGroupSql(10),
+    "tx_scrub"    -> OracleGen.scrubPiiSql(),
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
     "tx_json" ->

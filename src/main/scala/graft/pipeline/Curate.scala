@@ -46,6 +46,36 @@ object Curate {
   }
 
   /**
+   * Per-source document cap: keep the `k` highest-quality documents of
+   * every source (ties broken by ascending id — fully deterministic). The
+   * standard "no single domain dominates the mix" curation rule.
+   *
+   * Plan shape at 100 TB: `row_number` over (source, quality DESC, id) is
+   * rank-limit-pushed by Spark into a `WindowGroupLimit` — every input
+   * partition pre-prunes to its local top-k PER GROUP before the single
+   * shuffle on `source`, so the exchange carries at most
+   * k × sources × partitions rows, not the corpus. A skewed giant source
+   * is already pre-shrunk map-side (the spec asserts the WindowGroupLimit
+   * is in the plan).
+   */
+  def capPerGroup(
+      df: DataFrame,
+      k: Int,
+      groupCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality").desc, col(idCol))
+    df.select(col(idCol), col(groupCol), quality.as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /**
    * The whole training-mix pipeline, composed end-to-end — what a corpus
    * run chains between raw documents and the tokenizer:
    *

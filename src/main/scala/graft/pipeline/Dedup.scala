@@ -379,6 +379,40 @@ object Dedup {
   }
 
   /**
+   * Contamination REPORT — the audit companion to [[decontaminate]]:
+   * for every corpus doc sharing at least `minHits` distinct k-word
+   * shingles with the eval corpus, the number of shared shingles.
+   * `minHits > 1` is the standard guard against single short common
+   * n-grams flagging benign docs. Scale shape is identical to
+   * [[decontaminate]]: eval shingles broadcast, the corpus explodes
+   * map-side into the broadcast join, and only matched `(id, shingle)`
+   * rows reach the count aggregation (map-side combined) — the corpus
+   * itself never shuffles.
+   */
+  def contaminationReport(
+      df: DataFrame,
+      evalDf: DataFrame,
+      shingleK: Int = 13,
+      minHits: Long = 1L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      evalTextCol: String = "text"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val evalSh = evalDf
+      .select(explode(GraftFunctions.shingles(col(evalTextCol), shingleK)).as("sh"))
+      .distinct()
+    df
+      // shingles() yields the DISTINCT shingle set per doc, so a plain
+      // count after the join is the distinct-overlap count
+      .select(col(idCol), explode(GraftFunctions.shingles(col(textCol), shingleK)).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /**
    * TRUE duplicate clusters: connected components over the verified
    * near-dup pair graph, every doc labeled with the smallest id in its
    * component (`rep`) — the union-find step large corpus-dedup pipelines

@@ -291,6 +291,62 @@ object Similarity {
     newVecs.join(matched.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /**
+   * Batch ANN retrieval JOIN — for every query vector, its top-`k` cosine
+   * neighbors in the corpus behind `corpusIndex` (a [[vectorIndex]]):
+   * the "embed a batch, retrieve context for each" shape. Returns
+   * `(query_id, id, sim, rank)` with rank 1 = nearest.
+   *
+   * Scale shape: the corpus is pre-hashed ONCE in the persisted index —
+   * a query batch pays one kernel pass over itself, bucket-joins against
+   * the index (only bucket-mates ever meet), exact-cosine-scores the
+   * deduped candidates, and takes the per-query top-k with a rank window
+   * that Spark compiles to a `WindowGroupLimit` — every partition
+   * pre-prunes to its local top-k per query BEFORE the single shuffle on
+   * `query_id`. Self-matches (same id on both sides) are excluded.
+   * `multiProbe` expands the query side to 1-bit-flip buckets —
+   * [[tablesForMultiProbe]] then holds recall with several-fold fewer
+   * tables, shrinking the persisted index proportionally.
+   */
+  def annJoin(
+      queries: DataFrame,
+      corpusIndex: DataFrame,
+      k: Int,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      multiProbe: Boolean = false,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fresh = vectorIndex(queries, planesPerTable, tables, dim, vecCol, idCol).localCheckpoint(true)
+    def explodeBuckets(ix: DataFrame) =
+      ix.select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val qBuckets = explodeBuckets(fresh)
+    val probeSide =
+      if (!multiProbe) qBuckets
+      else {
+        val masks = lit((0 until planesPerTable).map(j => 1L << j).toArray)
+        qBuckets.select(col("id"), col("table"),
+          explode(concat(array(col("bucket")),
+            transform(masks, m => col("bucket").bitwiseXOR(m)))).as("bucket"))
+      }
+    val candidates = probeSide.alias("q")
+      .join(explodeBuckets(corpusIndex).alias("c"),
+        col("q.table") === col("c.table") && col("q.bucket") === col("c.bucket") &&
+          col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("id"))
+      .distinct()
+    val scored = candidates
+      .join(fresh.select(col("id").as("query_id"), col("v").as("vq"), col("n").as("nq")), "query_id")
+      .join(corpusIndex.select(col("id"), col("v").as("vc"), col("n").as("nc")), "id")
+      .select(col("query_id"), col("id"),
+        round(fdot(col("vq"), col("vc")) / (col("nq") * col("nc")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- IVF ---------------------------------------------------------------
 
   /** An IVF index: per-vector inverted-list assignment + the centroid
@@ -435,5 +491,51 @@ object Similarity {
       .select(col("id"), (fdot(col("v"), q) / (fnorm(col("v")) * fnorm(q))).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  // ---- semantic dedup ----------------------------------------------------
+
+  /**
+   * SemDeDup-style semantic deduplication (cf. Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-cluster the embedding space ([[ivfBuild]] —
+   * deterministic seeds + Lloyd refinement), then within each cluster drop
+   * every vector whose cosine similarity to a smaller-id cluster member is
+   * ≥ `tau` — the smaller id survives as the representative. Returns every
+   * input id with its cluster and a `kept` flag.
+   *
+   * Scale shape — the embedding-space analogue of banded text dedup:
+   * pairwise cosine runs ONLY inside a cluster, so with nlist ≈ √n the
+   * quadratic term is bounded at ~n per cluster-pairing overall; the
+   * self-join shuffles each side once on `centroid` (at 100 TB the
+   * assignment is written `partitionBy(centroid)` via [[ivfWrite]], making
+   * the join co-located and shuffle-free). A pathologically dense cluster
+   * (all members mutually ≥ tau) degrades to its own size squared —
+   * exactly the condition under which almost all of it is dropped; raise
+   * `nlist` (finer clusters) rather than capping, since unlike LSH buckets
+   * a k-means cluster IS the semantic neighborhood being deduped.
+   */
+  def semDedup(
+      df: DataFrame,
+      tau: Double,
+      nlist: Int,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val assigned = ivfBuild(df, nlist, refineIterations, vecCol, idCol).assigned
+      // norms once per vector, pairs pay one dot product each
+      .select(col("id"), col("centroid"), col("v"), fnorm(col("v")).as("n"))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val dropped = a
+      .join(b, col("a.centroid") === col("b.centroid") && col("a.id") < col("b.id"))
+      .filter(round(fdot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 4) >= tau)
+      .select(col("b.id").as("id"))
+      .distinct()
+    assigned
+      .select(col("id"), col("centroid"))
+      .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("centroid"), col("dup").isNull.as("kept"))
   }
 }

@@ -128,6 +128,130 @@ object TextAnalysis {
       )
       .orderBy(col(labelCol))
 
+  // ---- repetition signals ------------------------------------------------
+
+  /**
+   * Gopher-style repetition signals per document (cf. Rae et al. 2021,
+   * "Scaling Language Models", Table A1 — repetition filters):
+   *
+   *  - `dup_word_ratio`   — 1 − distinct words / total words
+   *  - `top_word_ratio`   — occurrences of the most frequent word / total
+   *  - `dup_bigram_ratio` — 1 − distinct word bigrams / total bigrams
+   *  - `repetitive`       — the standard reject flag (any signal above its
+   *                         conventional threshold)
+   *
+   * Everything is a single row-local projection over codegen'd collection
+   * functions — per-document work is O(words × distinct words) with ~100-word
+   * documents, there is NO explode, NO shuffle, and the operator streams
+   * over a 100 TB corpus at full scan speed. The same arithmetic is
+   * expressible in ANSI SQL list functions, so the operator is
+   * oracle-checkable bit-for-bit.
+   */
+  def repetitionSignals(
+      df: DataFrame,
+      textCol: String = "text",
+      dupWordMax: Double = 0.7,
+      topWordMax: Double = 0.2,
+      dupBigramMax: Double = 0.9
+  ): DataFrame = {
+    val w       = words(col(textCol))
+    val nWords  = size(w)
+    val nDist   = size(array_distinct(w))
+    // most-frequent-word count: for each distinct word, count its
+    // occurrences in the full list, take the max (row-local argmax)
+    val topCnt  = array_max(transform(array_distinct(w), d => size(filter(w, x => x === d))))
+    // guarded: sequence(1, 0) would DESCEND for single-word docs and index 0
+    val bigrams = when(nWords >= 2,
+      transform(sequence(lit(1), nWords - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nBi     = size(bigrams)
+    val nBiDist = size(array_distinct(bigrams))
+    val dupWord   = round(lit(1.0) - nDist.cast("double") / nWords, 4)
+    val topWord   = round(topCnt.cast("double") / nWords, 4)
+    // single-word docs have zero bigrams: repetition ratio is 0 by convention
+    val dupBigram = when(nBi > 0, round(lit(1.0) - nBiDist.cast("double") / nBi, 4)).otherwise(lit(0.0))
+    df.select(
+      col("doc_id"),
+      dupWord.as("dup_word_ratio"),
+      topWord.as("top_word_ratio"),
+      dupBigram.as("dup_bigram_ratio"),
+      (dupWord > dupWordMax || topWord > topWordMax || dupBigram > dupBigramMax).as("repetitive")
+    )
+  }
+
+  // ---- PII scrubbing -----------------------------------------------------
+
+  /** redaction patterns, applied IN ORDER — emails, then IPv4, then phone
+    * numbers: the phone pattern (digits with dot/dash/space separators)
+    * would otherwise swallow dotted IPv4 strings. The regex subset used is
+    * identical under Java regex and RE2, so the oracle replays it. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
+  )
+
+  /**
+   * PII redaction over the text column: chained codegen'd `regexp_replace`
+   * (no UDF — one projection, streams at scan speed over any corpus size).
+   * Returns the input frame with `text` scrubbed and a `pii_hits` count of
+   * redacted spans. Hits are counted stage-sequentially (each pattern
+   * counts on the text AFTER the previous replacements), so an IPv4
+   * already redacted to `<IP>` is not double-counted by the phone pattern.
+   */
+  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val (scrubbed, hits) = PiiPatterns.foldLeft((col(textCol), lit(0L))) {
+      case ((c, h), (re, token)) =>
+        (regexp_replace(c, re, token),
+          h + size(regexp_extract_all(c, lit(re), lit(0))).cast("long"))
+    }
+    df.withColumn("pii_hits", hits).withColumn(textCol, scrubbed)
+  }
+
+  // ---- distribution quantiles --------------------------------------------
+
+  /**
+   * Per-group EXACT percentiles of the whitespace token count (linear
+   * interpolation — the ANSI `quantile_cont` definition, so the oracle
+   * replays it). Spark's exact `percentile` aggregate keeps a counts-map of
+   * DISTINCT values per group; token counts are small bounded integers, so
+   * state stays tiny even over a 100 TB corpus (the partial aggregation is
+   * map-side combined — only per-group value:count maps shuffle). For
+   * unbounded/continuous domains use `approx_percentile` instead (same call
+   * shape, t-digest state) — spec-compared against this one for closeness.
+   */
+  def tokenQuantiles(
+      df: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      ps: Seq[Double] = Seq(0.5, 0.9)
+  ): DataFrame = {
+    val base = df.select(col(groupCol), size(words(col(textCol))).cast("double").as("n"))
+    val aggs = ps.map(p => round(expr(s"percentile(n, $p)"), 4).as(s"p${(p * 100).round}_tokens"))
+    base.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Keep documents at or above their group's p-th token-count percentile —
+   * the "drop the shortest X% per language" curation step. The per-group
+   * cutoffs are a tiny aggregate (one row per group) broadcast back onto
+   * the corpus: one map-side-combined shuffle for the cutoffs, zero
+   * shuffle of the corpus itself.
+   */
+  def filterByTokenQuantile(
+      df: DataFrame,
+      p: Double,
+      groupCol: String = "lang",
+      textCol: String = "text"
+  ): DataFrame = {
+    val cuts = tokenQuantiles(df, groupCol, textCol, Seq(p))
+      .withColumnRenamed(s"p${(p * 100).round}_tokens", "cutoff")
+    df.join(broadcast(cuts), groupCol)
+      .filter(size(words(col(textCol))).cast("double") >= col("cutoff"))
+      .drop("cutoff")
+  }
+
   // ---- document fingerprinting -------------------------------------------
 
   private val FpMod = 1000000007L

@@ -606,4 +606,135 @@ class PipelineSpec extends SparkTestBase {
     top.map(_._1).toSet shouldBe Set(0L, 4L)
     top.foreach(_._2 shouldBe 1.0 +- 1e-6)
   }
+
+  "TextAnalysis.repetitionSignals" should "flag repetitive docs and pass diverse ones" in {
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam"),      // one word repeated
+      (1L, "a fresh sentence with entirely distinct interesting words"),
+      (2L, "single")                                                   // 1 word: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d).orderBy("doc_id").collect()
+    val spam = out(0)
+    spam.getDouble(1) shouldBe 0.9 +- 1e-9   // dup_word: 1 distinct of 10
+    spam.getDouble(2) shouldBe 1.0 +- 1e-9   // top_word: all the same
+    spam.getDouble(3) shouldBe (1.0 - 1.0 / 9) +- 1e-4
+    spam.getBoolean(4) shouldBe true
+    out(1).getBoolean(4) shouldBe false
+    out(2).getDouble(3) shouldBe 0.0         // single word: bigram ratio 0, no error
+    out(2).getDouble(2) shouldBe 1.0 +- 1e-9
+  }
+
+  it should "be a pure row-local projection (no shuffle in the plan)" in {
+    val plan = TextAnalysis.repetitionSignals(docs).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  "TextAnalysis.tokenQuantiles" should "compute exact interpolated per-group percentiles" in {
+    val d = Seq(
+      (0L, "a b", "x"), (1L, "a b c d", "x"),                    // n = 2,4 → p50 = 3
+      (2L, "a", "y"), (3L, "a b c", "y"), (4L, "a b c d e", "y") // n = 1,3,5 → p50 = 3, p90 = 4.6
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.tokenQuantiles(d).orderBy("lang").collect()
+    out(0).getDouble(1) shouldBe 3.0 +- 1e-9
+    out(1).getDouble(1) shouldBe 3.0 +- 1e-9
+    out(1).getDouble(2) shouldBe 4.6 +- 1e-9
+  }
+
+  "TextAnalysis.filterByTokenQuantile" should "keep docs at or above their group's cutoff" in {
+    val d = Seq(
+      (0L, "a b", "x"), (1L, "a b c d", "x"),
+      (2L, "a", "y"), (3L, "a b c", "y"), (4L, "a b c d e", "y")
+    ).toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.filterByTokenQuantile(d, 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 3L, 4L) // n >= 3 per group's median
+  }
+
+  "Curate.capPerGroup" should "keep the k best-quality docs per source with deterministic ties" in {
+    val out = pipeline.Curate.capPerGroup(docs, k = 1).collect()
+    out.length shouldBe 2 // two sources, one survivor each
+    out.map(_.getString(1)).toSet shouldBe Set("src0", "src1")
+    // ties on quality resolve to the smaller doc_id: doc 0 and 4 are the
+    // same text in different sources — if either wins its source, both do
+    val bySrc = out.map(r => r.getString(1) -> r.getLong(0)).toMap
+    if (bySrc("src1") == 4L) bySrc("src0") shouldBe 0L
+  }
+
+  it should "push the group limit below the shuffle (WindowGroupLimit)" in {
+    val plan = pipeline.Curate.capPerGroup(docs, k = 5).queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
+  "Dedup.contaminationReport" should "count distinct shared shingles above minHits" in {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // shares 5-shingles with eval doc
+      (2L, "totally unrelated corpus content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, eval, shingleK = 5, minHits = 2L).collect()
+    out.length shouldBe 1
+    out.head.getLong(0) shouldBe 1L
+    out.head.getLong(1) shouldBe 2L // "alpha..epsilon" and "beta..zeta"
+    // raising minHits filters the report
+    Dedup.contaminationReport(corpus, eval, shingleK = 5, minHits = 3L).collect() shouldBe empty
+  }
+
+  "TextAnalysis.scrubPii" should "redact emails, IPs and phones without double-counting" in {
+    val d = Seq(
+      (0L, "contact bob@example.com or call +1 (555) 123-4567 now"),
+      (1L, "server at 192.168.0.1 responded"),   // IP must NOT also count as a phone
+      (2L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(d).orderBy("doc_id").collect()
+    out(0).getString(1) shouldBe "contact <EMAIL> or call <PHONE> now"
+    out(0).getLong(2) shouldBe 2L
+    out(1).getString(1) shouldBe "server at <IP> responded"
+    out(1).getLong(2) shouldBe 1L // sequential counting: the redacted <IP> is not a phone hit
+    out(2).getString(1) shouldBe "nothing sensitive here at all"
+    out(2).getLong(2) shouldBe 0L
+  }
+
+  // seeds are the first `nlist` ids, so the planted twin must NOT be a seed:
+  // ids 0/1 seed the two clusters, the twin of 0 arrives later as id 3
+  private lazy val semVecs = {
+    val rnd  = new scala.util.Random(11)
+    def v()  = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = v()
+    val twin = base.map(x => x * 1.01f) // parallel: cosine 1
+    Seq((0L, base), (1L, v()), (2L, v()), (3L, twin)).toDF("vec_id", "embedding")
+  }
+
+  "Similarity.semDedup" should "drop the larger id of a near-parallel pair within a cluster" in {
+    val out = Similarity.semDedup(semVecs, tau = 0.9, nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L) // every input id present
+    out(0L) shouldBe true                    // smaller id survives
+    out(3L) shouldBe false                   // its parallel twin is dropped
+    out(1L) shouldBe true                    // random gaussians: cos far below 0.9
+    out(2L) shouldBe true
+  }
+
+  it should "keep everything at an unreachable tau" in {
+    val out = Similarity.semDedup(semVecs, tau = 1.1, nlist = 2).collect()
+    out.forall(_.getBoolean(2)) shouldBe true
+    out.length shouldBe 4
+  }
+
+  "Similarity.annJoin" should "retrieve the planted twin at rank 1 and exclude self" in {
+    val corpus = Similarity.vectorIndex(semVecs, planesPerTable = 4, tables = 4)
+    val out = Similarity.annJoin(semVecs.filter($"vec_id" === 0), corpus, k = 3,
+      planesPerTable = 4, tables = 4).orderBy("rank").collect()
+    out.head.getLong(1) shouldBe 3L        // the parallel twin of vec 0
+    out.head.getDouble(2) shouldBe 1.0 +- 1e-3
+    out.head.getInt(3) shouldBe 1
+    out.map(_.getLong(1)) should not contain 0L // self-match excluded
+    out.length should be <= 3
+  }
+
+  it should "prune the per-query top-k below the shuffle (WindowGroupLimit)" in {
+    val corpus = Similarity.vectorIndex(semVecs, planesPerTable = 4, tables = 4)
+    val plan = Similarity.annJoin(semVecs, corpus, k = 2, planesPerTable = 4, tables = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
 }
