@@ -362,15 +362,36 @@ object OracleGen {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      scrub: Boolean = false,
+      repetition: Option[(Double, Double, Double)] = None,
+      capK: Option[Int] = None
   ): String = {
     val langsIn = keepLangs.map(l => s"'$l'").mkString(", ")
     val h = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
     val keep = mixRates.sortBy(_._1)
       .map { case (st, r) => s"(predicted_lang = '$st' AND h < ${math.round(r * 10000)})" }
       .mkString(" OR ")
+    val baseText = if (scrub) s"${scrubExpr("text")} AS text" else "text"
+    // optional repetition reject: rr ratios over base, gated members only
+    val repCtes = repetition.fold("") { case (dw, tw, db) =>
+      s"""${repetitionRatioCtes("base")},
+         |repok AS (SELECT doc_id FROM rr
+         |          WHERE NOT (dup_word_ratio > $dw OR top_word_ratio > $tw OR dup_bigram_ratio > $db)),
+         |""".stripMargin
+    }
+    val s1 = if (repetition.isDefined)
+      "SELECT cur.doc_id, predicted_lang FROM cur JOIN repok ON repok.doc_id = cur.doc_id"
+    else "SELECT doc_id, predicted_lang FROM cur"
+    // optional per-source cap: k best-quality (curation-pass quality) per source
+    val s2 = capK.fold("SELECT doc_id, predicted_lang FROM s1") { k =>
+      s"""SELECT doc_id, predicted_lang FROM (
+         |  SELECT s1.doc_id, s1.predicted_lang,
+         |         row_number() OVER (PARTITION BY b.source ORDER BY qq.quality DESC, s1.doc_id) AS rn
+         |  FROM s1 JOIN base b ON b.doc_id = s1.doc_id JOIN qq ON qq.doc_id = s1.doc_id) WHERE rn <= $k""".stripMargin
+    }
     s"""WITH RECURSIVE
-       |base AS (SELECT * FROM documents WHERE doc_id % $mod <> 0),
+       |base AS (SELECT doc_id, $baseText, lang, source FROM documents WHERE doc_id % $mod <> 0),
        |lh AS (${langHitsSql("base")}),
        |lq AS (SELECT doc_id, $langCaseSql AS predicted_lang FROM lh),
        |qq AS (${qualityCte("base")}),
@@ -378,7 +399,9 @@ object OracleGen {
        |cur AS (SELECT lq.doc_id, predicted_lang FROM lq
        |        JOIN qq ON lq.doc_id = qq.doc_id JOIN xreps ON lq.doc_id = xreps.doc_id
        |        WHERE predicted_lang IN ($langsIn) AND quality >= $minQuality AND n_tokens BETWEEN 5 AND 100000),
-       |surv AS (SELECT b.* FROM base b JOIN cur ON b.doc_id = cur.doc_id),
+       |${repCtes}s1 AS ($s1),
+       |s2 AS ($s2),
+       |surv AS (SELECT b.* FROM base b JOIN s2 ON b.doc_id = s2.doc_id),
        |${shingleCtes(deconShingleK, "surv", "_d")},
        |evald AS (SELECT * FROM documents WHERE doc_id % $mod = 0),
        |${shingleCtes(deconShingleK, "evald", "_e")},
@@ -392,7 +415,7 @@ object OracleGen {
        |reps2 AS (SELECT id, min(l) AS rep FROM lab GROUP BY id),
        |dd AS (SELECT c.doc_id FROM clean c LEFT JOIN reps2 r ON r.id = c.doc_id
        |       WHERE coalesce(r.rep, c.doc_id) = c.doc_id),
-       |wl AS (SELECT cur.doc_id, predicted_lang FROM cur JOIN dd ON cur.doc_id = dd.doc_id),
+       |wl AS (SELECT s2.doc_id, predicted_lang FROM s2 JOIN dd ON s2.doc_id = dd.doc_id),
        |mx AS (SELECT doc_id FROM (SELECT doc_id, predicted_lang, $h AS h FROM wl) WHERE $keep),
        |tok AS (SELECT b.doc_id, len(string_split(b.text, ' '))::BIGINT AS n_tokens FROM base b JOIN mx ON b.doc_id = mx.doc_id)
        |SELECT doc_id, n_tokens,
@@ -448,22 +471,28 @@ object OracleGen {
        |         JOIN ev USING (h) GROUP BY c.doc_id)
        |SELECT doc_id, hits FROM hits WHERE hits >= $minHits ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** CTEs `rw`/`rb`/`rr` computing the per-doc repetition ratios over `rel`
+    * — mirror of [[graft.pipeline.TextAnalysis.repetitionCols]], shared by
+    * the signal gate and the composed-mix oracle. */
+  private def repetitionRatioCtes(rel: String): String =
+    s"""rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel),
+       |rb AS (SELECT doc_id, w,
+       |        CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i::INT] || ' ' || w[(i+1)::INT]) ELSE [] END AS bg
+       |      FROM rw),
+       |rr AS (SELECT doc_id,
+       |        round(1.0 - len(list_distinct(w))*1.0/len(w), 4) AS dup_word_ratio,
+       |        round(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d))))*1.0/len(w), 4) AS top_word_ratio,
+       |        CASE WHEN len(bg) > 0 THEN round(1.0 - len(list_distinct(bg))*1.0/len(bg), 4) ELSE 0.0 END AS dup_bigram_ratio
+       |      FROM rb)""".stripMargin
+
   /** mirror of [[graft.pipeline.TextAnalysis.repetitionSignals]]: per-doc
     * duplicate-word, top-word and duplicate-bigram ratios with the Gopher
     * reject flag. */
   def repetitionSignalsSql(dupWordMax: Double, topWordMax: Double, dupBigramMax: Double): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |b AS (SELECT doc_id, w,
-       |        CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i::INT] || ' ' || w[(i+1)::INT]) ELSE [] END AS bg
-       |      FROM w),
-       |r AS (SELECT doc_id,
-       |        round(1.0 - len(list_distinct(w))*1.0/len(w), 4) AS dup_word_ratio,
-       |        round(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d))))*1.0/len(w), 4) AS top_word_ratio,
-       |        CASE WHEN len(bg) > 0 THEN round(1.0 - len(list_distinct(bg))*1.0/len(bg), 4) ELSE 0.0 END AS dup_bigram_ratio
-       |      FROM b)
+    s"""WITH ${repetitionRatioCtes("documents")}
        |SELECT doc_id, dup_word_ratio, top_word_ratio, dup_bigram_ratio,
        |       (dup_word_ratio > $dupWordMax OR top_word_ratio > $topWordMax OR dup_bigram_ratio > $dupBigramMax) AS repetitive
-       |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+       |FROM rr ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.pipeline.TextAnalysis.tokenQuantiles]]: per-group
     * exact linear-interpolation percentiles of the token count. */
@@ -481,6 +510,14 @@ object OracleGen {
        |c AS (SELECT $groupCol, round(quantile_cont(n, $p), 4) AS cutoff FROM n GROUP BY $groupCol)
        |SELECT n.doc_id, n.$groupCol FROM n JOIN c USING ($groupCol)
        |WHERE n.n >= c.cutoff ORDER BY n.doc_id""".stripMargin.replace("\n", " ")
+
+  /** the nested global-replacement chain of [[graft.pipeline.TextAnalysis.PiiPatterns]]
+    * over a column expression (no hit counts) — shared by the scrub gate
+    * and the composed-mix oracle. */
+  private def scrubExpr(c: String): String =
+    graft.pipeline.TextAnalysis.PiiPatterns.foldLeft(c) { case (acc, (re, token)) =>
+      s"regexp_replace($acc, '$re', '$token', 'g')"
+    }
 
   /** mirror of [[graft.pipeline.TextAnalysis.scrubPii]]: the same pattern
     * chain (from the same Scala list — no drift), stage-sequential hit

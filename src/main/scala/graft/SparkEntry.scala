@@ -249,6 +249,17 @@ object SparkEntry {
         keepLangs = Seq("en", "de"), minQuality = 0.5,
         nearDupThreshold = 0.5, deconShingleK = 5).orderBy("doc_id")
     }),
+    // ... and with EVERY optional stage on: PII scrub, repetition reject,
+    // per-source quality cap — the full modern-curation composition
+    "tx_mix2" -> ((s, d) => {
+      val all = docs(s, d)
+      pipeline.Curate.trainingMix(
+        all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0),
+        mixRates = Map("en" -> 0.5, "de" -> 1.0), seqTokens = 256L,
+        keepLangs = Seq("en", "de"), minQuality = 0.5,
+        nearDupThreshold = 0.5, deconShingleK = 5,
+        scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)), perSourceCap = Some(15)).orderBy("doc_id")
+    }),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -404,6 +415,11 @@ object SparkEntry {
       mixRates = Seq("en" -> 0.5, "de" -> 1.0), seqTokens = 256L,
       keepLangs = Seq("en", "de"), minQuality = 0.5,
       nearDupThreshold = 0.5, deconShingleK = 5, mod = 10),
+    "tx_mix2" -> OracleGen.trainingMixSql(
+      mixRates = Seq("en" -> 0.5, "de" -> 1.0), seqTokens = 256L,
+      keepLangs = Seq("en", "de"), minQuality = 0.5,
+      nearDupThreshold = 0.5, deconShingleK = 5, mod = 10,
+      scrub = true, repetition = Some((0.7, 0.2, 0.9)), capK = Some(15)),
     "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
     "tx_rep"      -> OracleGen.repetitionSignalsSql(dupWordMax = 0.7, topWordMax = 0.2, dupBigramMax = 0.9),
     "tx_quantile" -> OracleGen.tokenQuantilesSql(Seq(0.5, 0.9)),

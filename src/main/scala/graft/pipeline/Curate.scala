@@ -79,19 +79,28 @@ object Curate {
    * The whole training-mix pipeline, composed end-to-end — what a corpus
    * run chains between raw documents and the tokenizer:
    *
+   *   0. (optional) [[TextAnalysis.scrubPii]]: redact emails/IPs/phones
+   *      BEFORE anything hashes or scores the text
    *   1. [[curate]] membership (exact dedup + language allowlist +
    *      quality floor + token bounds)
-   *   2. [[Dedup.decontaminate]]: drop eval-set n-gram collisions
-   *   3. [[Dedup.duplicateClusters]]: keep one representative per
+   *   2. (optional) repetition reject ([[TextAnalysis.repetitionCols]]) —
+   *      a row-local filter fused into the survivor scan, zero shuffle
+   *   3. (optional) per-source cap ([[capPerGroup]] semantics: k
+   *      best-quality docs per source, quality reused from the curation
+   *      pass — one WindowGroupLimit-pruned shuffle on `source`)
+   *   4. [[Dedup.decontaminate]]: drop eval-set n-gram collisions
+   *   5. [[Dedup.duplicateClusters]]: keep one representative per
    *      near-dup connected component
-   *   4. [[Sampling.stratifiedHashSample]]: deterministic per-language mix
-   *   5. [[Sampling.packSequences]]: chunk the survivors' token stream
+   *   6. [[Sampling.stratifiedHashSample]]: deterministic per-language mix
+   *   7. [[Sampling.packSequences]]: chunk the survivors' token stream
    *      into training sequences
    *
    * Returns `(doc_id, n_tokens, seq_id)`. Every stage is individually
-   * oracle-gated (`tx_curate`, `d_decon`, `d_cc`, `tx_sample`, `tx_pack`);
-   * the composition is deterministic end to end — rerunning it (anywhere,
-   * at any parallelism) rebuilds the identical mix.
+   * oracle-gated (`tx_scrub`, `tx_curate`, `tx_rep`, `tx_cap`, `d_decon`,
+   * `d_cc`, `tx_sample`, `tx_pack`) and the composition twice over
+   * (`tx_mix` = default stages, `tx_mix2` = all stages on); it is
+   * deterministic end to end — rerunning it (anywhere, at any
+   * parallelism) rebuilds the identical mix.
    */
   def trainingMix(
       df: DataFrame,
@@ -102,21 +111,41 @@ object Curate {
       minQuality: Double = 0.5,
       nearDupThreshold: Double = 0.5,
       deconShingleK: Int = 13,
+      scrub: Boolean = false,
+      maxRepetition: Option[(Double, Double, Double)] = None,
+      perSourceCap: Option[Int] = None,
+      sourceCol: String = "source",
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    val base = if (scrub) TextAnalysis.scrubPii(df, textCol).drop("pii_hits") else df
     // curated feeds BOTH the survivors semi-join and the withLang join —
     // materialize once so the curation subtree (digest shuffle + metric
-    // projection) doesn't execute twice per mix
-    val curated = curate(df, keepLangs, minQuality, textCol = textCol, idCol = idCol)
-      .select(col(idCol), col("predicted_lang"))
+    // projection) doesn't execute twice per mix. Quality rides along for
+    // the optional per-source cap (no recomputation, no extra scan).
+    val curated = curate(base, keepLangs, minQuality, textCol = textCol, idCol = idCol)
+      .select(col(idCol), col("predicted_lang"), col("quality"))
       .localCheckpoint(true)
-    val survivors = df.join(curated, Seq(idCol), "left_semi")
-    val clean     = Dedup.decontaminate(survivors, evalDf, deconShingleK, textCol, idCol)
+    val survivors0 = base.join(curated.select(col(idCol)), Seq(idCol), "left_semi")
+    // repetition reject fuses into the survivor scan — row-local, no shuffle
+    val survivors1 = maxRepetition.fold(survivors0) { case (dw, tw, db) =>
+      val (_, _, _, repetitive) = TextAnalysis.repetitionCols(col(textCol), dw, tw, db)
+      survivors0.filter(!repetitive)
+    }
+    val survivors = perSourceCap.fold(survivors1) { k =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(sourceCol)).orderBy(col("quality").desc, col(idCol))
+      survivors1
+        .join(curated.select(col(idCol), col("quality")), Seq(idCol))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .drop("rn", "quality")
+    }
+    val clean = Dedup.decontaminate(survivors, evalDf, deconShingleK, textCol, idCol)
     val reps = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)
       .filter(col(idCol) === col("rep")).select(col(idCol))
     val deduped  = clean.join(reps, Seq(idCol), "left_semi")
-    val withLang = deduped.join(curated, Seq(idCol))
+    val withLang = deduped.join(curated.select(col(idCol), col("predicted_lang")), Seq(idCol))
     val mixed    = Sampling.stratifiedHashSample(withLang, "predicted_lang", mixRates, idCol = idCol)
     Sampling.packSequences(mixed, seqTokens, textCol, idCol)
   }

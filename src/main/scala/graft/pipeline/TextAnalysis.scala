@@ -154,7 +154,27 @@ object TextAnalysis {
       topWordMax: Double = 0.2,
       dupBigramMax: Double = 0.9
   ): DataFrame = {
-    val w       = words(col(textCol))
+    val (dupWord, topWord, dupBigram, repetitive) =
+      repetitionCols(col(textCol), dupWordMax, topWordMax, dupBigramMax)
+    df.select(
+      col("doc_id"),
+      dupWord.as("dup_word_ratio"),
+      topWord.as("top_word_ratio"),
+      dupBigram.as("dup_bigram_ratio"),
+      repetitive.as("repetitive")
+    )
+  }
+
+  /** the repetition-signal expressions `(dup_word_ratio, top_word_ratio,
+    * dup_bigram_ratio, repetitive)` — reusable inside larger one-pass
+    * projections/filters (e.g. [[Curate.trainingMix]]) with no join. */
+  def repetitionCols(
+      text: Column,
+      dupWordMax: Double = 0.7,
+      topWordMax: Double = 0.2,
+      dupBigramMax: Double = 0.9
+  ): (Column, Column, Column, Column) = {
+    val w       = words(text)
     val nWords  = size(w)
     val nDist   = size(array_distinct(w))
     // most-frequent-word count: for each distinct word, count its
@@ -171,13 +191,8 @@ object TextAnalysis {
     val topWord   = round(topCnt.cast("double") / nWords, 4)
     // single-word docs have zero bigrams: repetition ratio is 0 by convention
     val dupBigram = when(nBi > 0, round(lit(1.0) - nBiDist.cast("double") / nBi, 4)).otherwise(lit(0.0))
-    df.select(
-      col("doc_id"),
-      dupWord.as("dup_word_ratio"),
-      topWord.as("top_word_ratio"),
-      dupBigram.as("dup_bigram_ratio"),
-      (dupWord > dupWordMax || topWord > topWordMax || dupBigram > dupBigramMax).as("repetitive")
-    )
+    (dupWord, topWord, dupBigram,
+      dupWord > dupWordMax || topWord > topWordMax || dupBigram > dupBigramMax)
   }
 
   // ---- PII scrubbing -----------------------------------------------------

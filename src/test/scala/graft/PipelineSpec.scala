@@ -122,6 +122,25 @@ class PipelineSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString should not include "md5"
   }
 
+  it should "apply scrub, repetition reject and per-source caps when enabled" in {
+    import graft.pipeline.Curate
+    val evalSet = Seq((900L, "the hidden benchmark answer is exactly forty two today and tomorrow and forever more")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and it runs on and on for a while in the field", "s0"),
+      (1L, "spam spam spam spam spam spam spam spam the spam spam spam spam spam spam", "s0"), // repetitive
+      (2L, "a completely different and reasonably long english document about the engine and the data it is processing", "s1"),
+      (3L, "write to the admin at admin@example.com for the answers to all of the questions in the set", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.trainingMix(corpus, evalSet, mixRates = Map("en" -> 1.0), seqTokens = 16L,
+      keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5,
+      scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)), perSourceCap = Some(1))
+    val ids = out.collect().map(_.getLong(0)).toSet
+    ids should not contain 1L                    // repetitive doc rejected
+    ids should contain(0L)                       // sole s0 survivor
+    ids.intersect(Set(2L, 3L)).size shouldBe 1   // cap = 1 per source
+    ids.size shouldBe 2
+  }
+
   "Dedup.decontaminate" should "drop docs sharing any k-shingle with the eval set" in {
     val evalSet = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
     val corpus = Seq(
