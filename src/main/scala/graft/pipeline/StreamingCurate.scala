@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming faces of the curation operators — the row-local filters and the
+ * windowed observability aggregate an ingest pipeline runs while documents
+ * arrive, complementing [[StreamingDedup]] (which owns the stateful dedup
+ * guarantees).
+ *
+ * [[curateStream]] is intentionally stateless: every predicate (PII scrub,
+ * language allowlist, quality floor, token bounds, repetition reject) is a
+ * pure projection/filter, so it applies to a streaming frame UNCHANGED —
+ * append mode, any sink, no watermark, no state store, and at 100 TB/day
+ * it runs at scan speed on however many cores the source partitions give
+ * it. Chain [[StreamingDedup.exactDedup]] (in-flight) and
+ * [[StreamingDedup.startGatedIngest]] (vs the historical corpus) after it
+ * for the dedup stages; filtering first means the dedup state and index
+ * appends only ever see documents worth keeping.
+ */
+object StreamingCurate {
+
+  /**
+   * The row-local curation pipeline over a (streaming or static) frame:
+   * optional [[TextAnalysis.scrubPii]], then the [[Curate.curate]]
+   * membership predicates, then the optional repetition reject — all fused
+   * into one projection + filter. Returns the input rows (text scrubbed if
+   * requested) with `predicted_lang`, `quality` and `n_tokens` appended —
+   * the columns the downstream mix/monitor stages need, computed once.
+   */
+  def curateStream(
+      stream: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5,
+      minTokens: Long = 5,
+      maxTokens: Long = 100000,
+      scrub: Boolean = false,
+      maxRepetition: Option[(Double, Double, Double)] = None,
+      textCol: String = "text"
+  ): DataFrame = {
+    val base = if (scrub) TextAnalysis.scrubPii(stream, textCol).drop("pii_hits") else stream
+    val (nTokens, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+    val (lang, _)                = TextAnalysis.langIdCols(col(textCol))
+    val kept = base
+      .withColumn("predicted_lang", lang)
+      .withColumn("quality", quality)
+      .withColumn("n_tokens", nTokens)
+      .filter(
+        col("predicted_lang").isin(keepLangs: _*) &&
+          col("quality") >= minQuality &&
+          col("n_tokens").between(minTokens, maxTokens))
+    maxRepetition.fold(kept) { case (dw, tw, db) =>
+      val (_, _, _, repetitive) = TextAnalysis.repetitionCols(col(textCol), dw, tw, db)
+      kept.filter(!repetitive)
+    }
+  }
+
+  /**
+   * Windowed ingest observability: per (event-time window, predicted
+   * language) the arriving doc count, how many pass the curation
+   * predicate, and mean quality / token count — the numbers an operator
+   * watches to catch a quality regression or a language-mix shift in the
+   * feed within minutes instead of at the next corpus audit.
+   *
+   * Watermarked tumbling windows in update mode: state is one row per
+   * (window, lang) and is evicted once the watermark passes — bounded at
+   * any ingest rate. The aggregation is map-side combined; only per-group
+   * partials shuffle.
+   */
+  def qualityMonitor(
+      stream: DataFrame,
+      tsCol: String,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "5 minutes",
+      keepLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5,
+      minTokens: Long = 5,
+      maxTokens: Long = 100000,
+      textCol: String = "text"
+  ): DataFrame = {
+    val (nTokens, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+    val (lang, _)                = TextAnalysis.langIdCols(col(textCol))
+    val accepted = lang.isin(keepLangs: _*) &&
+      quality >= minQuality && nTokens.between(minTokens, maxTokens)
+    stream
+      .select(col(tsCol), lang.as("predicted_lang"), quality.as("quality"),
+        nTokens.as("n_tokens"), accepted.cast("long").as("accepted"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("accepted")).as("accepted_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+  }
+}

@@ -659,6 +659,23 @@ class PipelineSpec extends SparkTestBase {
     out(1).getDouble(2) shouldBe 4.6 +- 1e-9
   }
 
+  it should "agree with approx_percentile (the unbounded-domain path) within tolerance" in {
+    // the real documents table: enough rows per lang for the t-digest to settle
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.tokenQuantiles(d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = d
+      .select(col("lang"), F.size(F.split(col("text"), " ")).cast("double").as("n"))
+      .groupBy("lang")
+      .agg(expr("approx_percentile(n, 0.5, 10000)").as("p50"), expr("approx_percentile(n, 0.9, 10000)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.keySet shouldBe approx.keySet
+    exact.foreach { case (lang, (p50, p90)) =>
+      approx(lang)._1 shouldBe p50 +- math.max(1.0, p50 * 0.05)
+      approx(lang)._2 shouldBe p90 +- math.max(1.0, p90 * 0.05)
+    }
+  }
+
   "TextAnalysis.filterByTokenQuantile" should "keep docs at or above their group's cutoff" in {
     val d = Seq(
       (0L, "a b", "x"), (1L, "a b c d", "x"),

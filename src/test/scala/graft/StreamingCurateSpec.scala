@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.pipeline.{StreamingCurate, TextAnalysis}
+
+case class ScDoc(ts: Timestamp, doc_id: Long, text: String)
+
+/** Streaming curation specs: the stateless row-local filter pipeline and
+  * the watermarked quality monitor. */
+class StreamingCurateSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val good  = "the quick brown fox jumps over the lazy dog and it runs on for a while in the field"
+  private val spam  = "spam spam spam spam spam spam spam spam the spam spam spam spam spam spam"
+  private val pii   = "write to the admin at admin@example.com for the answers to all of the questions in it"
+  private val es    = "el perro y el gato de la casa que corren por los campos todos los dias"
+
+  "StreamingCurate.curateStream" should "filter a stream row-locally and scrub PII" in {
+    implicit val sqlc = spark.sqlContext
+    val input  = MemoryStream[ScDoc]
+    val cp     = Files.createTempDirectory("graft_sc_").toString
+    val q = StreamingCurate.curateStream(input.toDF(),
+        keepLangs = Seq("en"), minQuality = 0.0, scrub = true,
+        maxRepetition = Some((0.7, 0.2, 0.9)))
+      .writeStream.format("memory").queryName("sc_curate").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000000L)
+      input.addData(ScDoc(t0, 0L, good), ScDoc(t0, 1L, spam), ScDoc(t0, 2L, pii), ScDoc(t0, 3L, es))
+      q.processAllAvailable()
+      val rows = spark.table("sc_curate").select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.keySet shouldBe Set(0L, 2L)          // spam rejected, spanish rejected
+      rows(2L) should include("<EMAIL>")        // scrub ran inside the stream
+      rows(2L) should not include "admin@example.com"
+    } finally q.stop()
+  }
+
+  it should "match the batch curation predicates on the same data" in {
+    // the stream filter IS the batch predicate set — same expressions, so
+    // a static frame through curateStream equals the hand-applied filters
+    val df  = Seq((0L, good), (1L, spam), (2L, pii), (3L, es)).toDF("doc_id", "text")
+    val out = StreamingCurate.curateStream(df, keepLangs = Seq("en"), minQuality = 0.0,
+      scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)))
+    out.columns should contain allOf ("predicted_lang", "quality", "n_tokens")
+    out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L)
+  }
+
+  "StreamingCurate.qualityMonitor" should "aggregate per-window per-lang acceptance and quality" in {
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[ScDoc]
+    val cp    = Files.createTempDirectory("graft_scm_").toString
+    val q = StreamingCurate.qualityMonitor(input.toDF(), "ts",
+        windowDur = "1 minute", watermarkDelay = "10 minutes",
+        keepLangs = Seq("en"), minQuality = 0.0)
+      .writeStream.format("memory").queryName("sc_mon").outputMode("update")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000000L) // all inside one 1-minute window
+      input.addData(ScDoc(t0, 0L, good), ScDoc(t0, 1L, spam), ScDoc(t0, 2L, es))
+      q.processAllAvailable()
+      val rows = spark.table("sc_mon")
+        .select("predicted_lang", "docs", "accepted_docs").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // good + spam both predict en (spam's only marker hit is "the");
+      // the monitor counts arrivals vs curation-accepted
+      rows("en")._1 shouldBe 2L
+      rows("en")._2 shouldBe 2L // repetition is NOT part of the monitor predicate
+      rows("es")._1 shouldBe 1L
+      rows("es")._2 shouldBe 0L // lang allowlist rejects es
+    } finally q.stop()
+  }
+}
