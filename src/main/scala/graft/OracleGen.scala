@@ -136,6 +136,19 @@ object OracleGen {
     s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $h AS h FROM documents) WHERE $keep ORDER BY doc_id"
   }
 
+  /** mirror of [[Sampling.temperatureSample]] over the `lang` stratum:
+    * live-count temperature rates (share ∝ count^(1/T), clamped at 1,
+    * rounded 4 dp) feeding the same polynomial-hash cutoffs. */
+  def temperatureSampleSql(temperature: Double, totalFraction: Double, seed: Long = 7L): String = {
+    val h = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    s"""WITH c AS (SELECT lang AS stratum, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+       |z AS (SELECT sum(pow(n, 1.0/$temperature)) AS z, sum(n) AS total FROM c),
+       |r AS (SELECT stratum, round(least(1.0, pow(n, 1.0/$temperature) / z * total * $totalFraction / n), 4) AS rate FROM c, z),
+       |hh AS (SELECT doc_id, lang, $h AS h FROM documents)
+       |SELECT doc_id, lang FROM hh JOIN r ON hh.lang = r.stratum
+       |WHERE hh.h < round(r.rate * 10000) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Dedup.gateAgainstCorpus]] with the corpus/new split
     * `doc_id % mod <> 0` / `= 0`: new docs surviving the LSH near-dup gate
     * against the corpus signature index. Replays the whole pipeline —

@@ -234,6 +234,9 @@ object SparkEntry {
     // deterministic training-mix sampling: per-language hash rates
     "tx_sample" -> ((s, d) => Sampling.stratifiedHashSample(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25)).select("doc_id", "lang").orderBy("doc_id")),
+    // corpus-driven temperature mix: rates from live counts, share ∝ √count
+    "tx_temp" -> ((s, d) => Sampling.temperatureSample(docs(s, d), "lang",
+      temperature = 2.0, totalFraction = 0.5).select("doc_id", "lang").orderBy("doc_id")),
     // token-budget selection: best-quality docs filling a fixed budget
     "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
     // sequence packing: distributed prefix sum over the corpus token stream
@@ -381,6 +384,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) SELECT doc_id, len(ws) AS n_tokens, round($hits/len(ws), 4) AS stopword_ratio, round($punct/length(text), 4) AS punct_ratio, round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4) AS quality FROM t ORDER BY doc_id"""
     },
     "tx_langid"  -> s"SELECT doc_id, $LangCase AS predicted_lang, h_en AS en_hits FROM ($LangHits) ORDER BY doc_id",
+    "tx_temp"    -> OracleGen.temperatureSampleSql(temperature = 2.0, totalFraction = 0.5),
     "tx_sample"  -> OracleGen.stratifiedSampleSql(Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25), seed = 7L),
     "tx_budget" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"

@@ -51,6 +51,52 @@ object Sampling {
   }
 
   /**
+   * Temperature-based mix rates from the LIVE stratum counts — the
+   * standard multilingual sampling rule: stratum share ∝ count^(1/T), so
+   * T > 1 upweights low-resource strata (T = 2 is the common choice).
+   * `totalFraction` fixes the overall kept share of the corpus; a stratum
+   * whose temperature share exceeds its size clamps at rate 1.
+   *
+   * One tiny map-side-combined count aggregation (|strata| rows to the
+   * driver); rates are rounded to 4 dp HALF_UP before the hash cutoffs so
+   * the sampled set is reproducible across engines — `pow` is not
+   * bit-identical across libm implementations, and after rounding a flip
+   * would need the unrounded rate within 5e-5 of a boundary (same
+   * accepted residual-risk class as the 6 dp Lloyd means).
+   */
+  def temperatureMixRates(
+      df: DataFrame,
+      stratumCol: String,
+      temperature: Double,
+      totalFraction: Double
+  ): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    require(totalFraction > 0 && totalFraction <= 1, "totalFraction must be in (0,1]")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1) // sorted: deterministic fold order
+    val total = counts.map(_._2).sum.toDouble
+    val pw    = counts.map { case (s, c) => (s, c, math.pow(c.toDouble, 1.0 / temperature)) }
+    val z     = pw.map(_._3).sum
+    pw.map { case (s, c, p) =>
+      val rate = math.min(1.0, p / z * total * totalFraction / c)
+      s -> BigDecimal(rate).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** [[stratifiedHashSample]] with [[temperatureMixRates]]-derived rates —
+    * corpus-driven, no hand-pinned per-language numbers. */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      temperature: Double,
+      totalFraction: Double,
+      seed: Long = 7L,
+      idCol: String = "doc_id"
+  ): DataFrame =
+    stratifiedHashSample(df, stratumCol,
+      temperatureMixRates(df, stratumCol, temperature, totalFraction), seed, idCol)
+
+  /**
    * Pack documents into fixed-size training sequences: doc `i` (in id
    * order) starts at token offset `prefixSum(tokens before i)` and lands
    * in `seq_id = floor(start / seqTokens)` — deterministic chunking of

@@ -526,6 +526,11 @@ object Similarity {
     val assigned = ivfBuild(df, nlist, refineIterations, vecCol, idCol).assigned
       // norms once per vector, pairs pay one dot product each
       .select(col("id"), col("centroid"), col("v"), fnorm(col("v")).as("n"))
+      // feeds BOTH self-join sides and the final kept-flag projection —
+      // materialize once so the scan + centroid-assignment kernel doesn't
+      // run three times (at scale, write via ivfWrite partitioned by
+      // centroid instead and the join is also co-located)
+      .localCheckpoint(true)
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     val dropped = a

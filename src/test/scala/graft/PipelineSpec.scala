@@ -686,6 +686,29 @@ class PipelineSpec extends SparkTestBase {
     kept shouldBe Set(1L, 3L, 4L) // n >= 3 per group's median
   }
 
+  "Sampling.temperatureMixRates" should "upweight low-resource strata and clamp at 1" in {
+    import graft.pipeline.Sampling
+    val d = (Seq.fill(900)("en") ++ Seq.fill(90)("de") ++ Seq.fill(10)("zh")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val r = Sampling.temperatureMixRates(d, "lang", temperature = 2.0, totalFraction = 0.5)
+    // share ∝ sqrt(count): rarer strata sample at higher rates (the two
+    // small strata clamp at 1.0 here — their √-share exceeds their size)
+    r("zh") should be >= r("de")
+    r("de") should be > r("en")
+    r("zh") shouldBe 1.0
+    r.values.foreach { v => v should be <= 1.0; v should be > 0.0 }
+    // tiny stratum's temperature share exceeds its size → clamped
+    Sampling.temperatureMixRates(d, "lang", 100.0, 0.9)("zh") shouldBe 1.0
+    // kept volume lands in the totalFraction ballpark (the deterministic
+    // id hash is not perfectly uniform over 1000 short sequential ids —
+    // exact per-stratum membership is what the tx_temp gate pins down)
+    val kept = Sampling.temperatureSample(d, "lang", 2.0, 0.5).count()
+    kept.toDouble shouldBe (450.0 +- 150.0)
+    // clamped strata are kept wholesale
+    Sampling.temperatureSample(d, "lang", 2.0, 0.5)
+      .filter($"lang" === "zh").count() shouldBe 10L
+  }
+
   "Curate.capPerGroup" should "keep the k best-quality docs per source with deterministic ties" in {
     val out = pipeline.Curate.capPerGroup(docs, k = 1).collect()
     out.length shouldBe 2 // two sources, one survivor each
