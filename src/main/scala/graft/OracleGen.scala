@@ -136,6 +136,23 @@ object OracleGen {
     s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $h AS h FROM documents) WHERE $keep ORDER BY doc_id"
   }
 
+  /** mirror of [[Dedup.repeatedSpans]]: per-span-hash document frequency
+    * at `>= minDocs` (doc-distinct shingle hashes, so count = doc freq). */
+  def repeatedSpansSql(spanK: Int, minDocs: Long): String =
+    s"""WITH ${shingleCtes(spanK)},
+       |f AS (SELECT doc_id, unnest(sh) AS span_hash FROM s)
+       |SELECT span_hash, count(*)::BIGINT AS n_docs FROM f
+       |GROUP BY span_hash HAVING count(*) >= $minDocs ORDER BY span_hash""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[Dedup.spanContaminatedDocs]]: per-doc count of its spans
+    * that are corpus-repeated (`>= minDocs` docs share them). */
+  def spanContaminatedDocsSql(spanK: Int, minDocs: Long): String =
+    s"""WITH ${shingleCtes(spanK)},
+       |f AS (SELECT doc_id, unnest(sh) AS span_hash FROM s),
+       |rep AS (SELECT span_hash FROM f GROUP BY span_hash HAVING count(*) >= $minDocs)
+       |SELECT doc_id, count(*)::BIGINT AS n_repeated_spans FROM f JOIN rep USING (span_hash)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Sampling.temperatureSample]] over the `lang` stratum:
     * live-count temperature rates (share ∝ count^(1/T), clamped at 1,
     * rounded 4 dp) feeding the same polynomial-hash cutoffs. */

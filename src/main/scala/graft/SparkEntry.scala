@@ -149,6 +149,10 @@ object SparkEntry {
       Dedup.decontaminate(all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0), shingleK = 5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Lee-et-al-style exact-substring signal: span hashes repeated across
+    // >= 2 docs, and the per-doc repeated-span counts (spanK=5 at gate SF)
+    "d_spans" -> ((s, d) => Dedup.repeatedSpans(docs(s, d), spanK = 5).orderBy("span_hash")),
+    "d_span_docs" -> ((s, d) => Dedup.spanContaminatedDocs(docs(s, d), spanK = 5).orderBy("doc_id")),
     // audit companion of d_decon: per-doc shared-shingle counts, minHits=2
     // guards against single common n-grams
     "d_decon_hits" -> ((s, d) => {
@@ -359,6 +363,8 @@ object SparkEntry {
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
     "d_decon_hits" -> OracleGen.contaminationReportSql(shingleK = 5, minHits = 2L, mod = 10),
+    "d_spans"      -> OracleGen.repeatedSpansSql(spanK = 5, minDocs = 2L),
+    "d_span_docs"  -> OracleGen.spanContaminatedDocsSql(spanK = 5, minDocs = 2L),
     "d_simhash" -> OracleGen.simhashPairsSql(3, maxBucket = 1000),
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),

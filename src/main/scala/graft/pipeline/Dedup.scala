@@ -413,6 +413,57 @@ object Dedup {
   }
 
   /**
+   * Cross-document repeated spans — the exact-substring-dedup signal
+   * (cf. Lee et al. 2021, "Deduplicating Training Data Makes Language
+   * Models Better", arXiv:2107.06499, which mines verbatim repeated
+   * sequences with a suffix array): every k-word span hash appearing in at
+   * least `minDocs` DISTINCT documents, with its document frequency.
+   * Suffix-array construction doesn't distribute; the Spark-native
+   * equivalent for a fixed span length is this shingle-hash document-
+   * frequency count: one map-side pass explodes each doc's distinct span
+   * hashes ([[shingleSet]] — distinct per doc, so a plain count IS the doc
+   * frequency), partial aggregation combines map-side, and only per-hash
+   * partial counts shuffle — the corpus text itself never moves.
+   */
+  def repeatedSpans(
+      df: DataFrame,
+      spanK: Int = 50,
+      minDocs: Long = 2L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df
+      .select(explode(GraftFunctions.shingles(col(textCol), spanK)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /**
+   * Documents containing at least one cross-document repeated span: the
+   * audit/scrub-candidate list that follows [[repeatedSpans]] — per doc,
+   * how many of its spans are corpus-repeated. The repeated-span relation
+   * is a vanishing fraction of the span universe (only hashes with
+   * `n_docs ≥ minDocs` survive), so it broadcasts back onto the one
+   * map-side span scan of the corpus.
+   */
+  def spanContaminatedDocs(
+      df: DataFrame,
+      spanK: Int = 50,
+      minDocs: Long = 2L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val repeated = repeatedSpans(df, spanK, minDocs, textCol, idCol).select(col("span_hash"))
+    df
+      .select(col(idCol), explode(GraftFunctions.shingles(col(textCol), spanK)).as("span_hash"))
+      .join(broadcast(repeated), "span_hash")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_repeated_spans"))
+  }
+
+  /**
    * TRUE duplicate clusters: connected components over the verified
    * near-dup pair graph, every doc labeled with the smallest id in its
    * component (`rep`) — the union-find step large corpus-dedup pipelines

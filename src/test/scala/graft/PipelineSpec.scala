@@ -724,6 +724,20 @@ class PipelineSpec extends SparkTestBase {
     plan should include("WindowGroupLimit")
   }
 
+  "Dedup.repeatedSpans" should "mine spans shared across documents" in {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon unique tail one"),
+      (1L, "other prefix alpha beta gamma delta epsilon distinct end"), // shares the 5-span
+      (2L, "completely unrelated words nowhere near the others at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, spanK = 5).collect()
+    spans.length shouldBe 1 // exactly "alpha beta gamma delta epsilon"
+    spans.head.getLong(1) shouldBe 2L
+    val docs = Dedup.spanContaminatedDocs(d, spanK = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs shouldBe Map(0L -> 1L, 1L -> 1L) // doc 2 clean
+  }
+
   "Dedup.contaminationReport" should "count distinct shared shingles above minHits" in {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // shares 5-shingles with eval doc
