@@ -203,6 +203,18 @@ object SparkEntry {
       Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20, nprobe = 4)
         .withColumn("sim", round(col("sim"), 3))
     }),
+    // ... and with corpus-derived sizing: nlist = ceil(sqrt n), nprobe =
+    // nlist/4 — the real 100 TB entry point, no pinned index parameters
+    "ann_ivf_auto" -> ((s, d) => {
+      val e   = emb(s, d)
+      val idx = Similarity.ivfBuildAuto(e)
+      val q   = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      // nprobe from the count-derived nlist (NOT idx.centroids.size: a
+      // Lloyd step can empty a centroid, and the oracle derives from n)
+      Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20,
+        nprobe = Similarity.nprobeFor(Similarity.nlistFor(e.count())))
+        .withColumn("sim", round(col("sim"), 3))
+    }),
     // SemDeDup: IVF clusters bound the pairwise cosine to within-cluster
     "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
     // batch retrieval: per-query top-k against the pre-hashed corpus index
@@ -375,6 +387,11 @@ object SparkEntry {
     "ann_lsh_mp"   -> OracleGen.lshCosinePairsAutoSql(0.4, embCount,
       simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = true, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
+    // derived sizing from the SAME functions the Spark side runs, applied
+    // to the live count — lockstep at every SF without pinning
+    "ann_ivf_auto" -> OracleGen.ivfTopKSql(
+      nlist = Similarity.nlistFor(embCount),
+      nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_topk" ->

@@ -389,6 +389,27 @@ object Similarity {
       element_at(lit(cids), pos + 1).as("centroid"))
   }
 
+  /** inverted lists for a corpus of `n` vectors: `ceil(sqrt n)` — the
+    * standard IVF balance point (probe cost ≈ list size ≈ √n, so query
+    * work grows as √n instead of n). sqrt is correctly rounded IEEE on
+    * every engine, so derived sizings replay exactly. */
+  def nlistFor(n: Long): Int = math.max(1, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** probes for a given `nlist`: a quarter of the lists (recall-leaning
+    * default; tune down for latency). */
+  def nprobeFor(nlist: Int): Int = math.max(1, (nlist + 3) / 4)
+
+  /** [[ivfBuild]] with corpus-derived `nlist` — one count() sizes the
+    * index to √n, the sizing that keeps per-query work sub-linear as the
+    * corpus scales. */
+  def ivfBuildAuto(
+      df: DataFrame,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): IvfIndex =
+    ivfBuild(df, nlistFor(df.count()), refineIterations, vecCol, idCol)
+
   def ivfBuild(
       df: DataFrame,
       nlist: Int,

@@ -767,6 +767,25 @@ class PipelineSpec extends SparkTestBase {
     out(2).getLong(2) shouldBe 0L
   }
 
+  "Similarity.nlistFor" should "size inverted lists at ceil(sqrt n)" in {
+    Similarity.nlistFor(0L) shouldBe 1
+    Similarity.nlistFor(1L) shouldBe 1
+    Similarity.nlistFor(500L) shouldBe 23
+    Similarity.nlistFor(1000000L) shouldBe 1000
+    Similarity.nprobeFor(23) shouldBe 6
+    Similarity.nprobeFor(1) shouldBe 1
+    // auto build uses the derived sizing on the live count
+    val idx = Similarity.ivfBuildAuto(semVecs)
+    idx.centroids.size should be <= Similarity.nlistFor(4L)
+    idx.assigned.count() shouldBe 4L
+    // the oracle derives from the same functions: different corpus count,
+    // different ann_ivf_auto SQL; pinned ann_ivf stays count-invariant
+    SparkEntry.oracleSqlFor(500L)("ann_ivf_auto") should not be
+      SparkEntry.oracleSqlFor(2000L)("ann_ivf_auto")
+    SparkEntry.oracleSqlFor(500L)("ann_ivf") shouldBe
+      SparkEntry.oracleSqlFor(2000L)("ann_ivf")
+  }
+
   // seeds are the first `nlist` ids, so the planted twin must NOT be a seed:
   // ids 0/1 seed the two clusters, the twin of 0 arrives later as id 3
   private lazy val semVecs = {
