@@ -136,6 +136,20 @@ object OracleGen {
     s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $h AS h FROM documents) WHERE $keep ORDER BY doc_id"
   }
 
+  /** mirror of [[graft.pipeline.TextAnalysis.unigramLogProb]]: corpus
+    * unigram table, top-V vocabulary (count DESC, word), mean word
+    * log-probability per doc with the count-1 OOV floor. */
+  def unigramLogProbSql(vocabSize: Int): String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |c AS (SELECT word, count(*)::DOUBLE AS c FROM w GROUP BY word),
+       |t AS (SELECT sum(c) AS total FROM c),
+       |v AS (SELECT word, c FROM c ORDER BY c DESC, word LIMIT $vocabSize),
+       |s AS (SELECT w.doc_id,
+       |        CASE WHEN v.c IS NULL THEN ln(1.0/t.total) ELSE ln(v.c/t.total) END AS logp
+       |      FROM w LEFT JOIN v USING (word) CROSS JOIN t)
+       |SELECT doc_id, round(avg(logp), 4) AS lm_score FROM s GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.repeatedSpans]]: per-span-hash document frequency
     * at `>= minDocs` (doc-distinct shingle hashes, so count = doc freq). */
   def repeatedSpansSql(spanK: Int, minDocs: Long): String =

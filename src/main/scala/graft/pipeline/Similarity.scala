@@ -545,13 +545,26 @@ object Similarity {
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val assigned = ivfBuild(df, nlist, refineIterations, vecCol, idCol).assigned
-      // norms once per vector, pairs pay one dot product each
-      .select(col("id"), col("centroid"), col("v"), fnorm(col("v")).as("n"))
       // feeds BOTH self-join sides and the final kept-flag projection —
       // materialize once so the scan + centroid-assignment kernel doesn't
-      // run three times (at scale, write via ivfWrite partitioned by
-      // centroid instead and the join is also co-located)
+      // run three times (at scale, persist via ivfWrite partitioned by
+      // centroid and run [[semDedupWith]] over the reloaded index instead:
+      // the self-join is then co-located per centroid directory)
       .localCheckpoint(true)
+    semDedupWith(assigned, tau)
+  }
+
+  /**
+   * [[semDedup]] over a PREBUILT assignment (`(id, v, centroid)` — e.g.
+   * [[ivfRead]] of a persisted, centroid-partitioned index): the 100 TB
+   * path. The index is built and written once; dedup (and re-dedup at a
+   * different tau) never re-runs k-means, and the within-cluster self-join
+   * reads co-located centroid partitions.
+   */
+  def semDedupWith(assignedIn: DataFrame, tau: Double): DataFrame = {
+    GraftFunctions.register(assignedIn.sparkSession)
+    // norms once per vector, pairs pay one dot product each
+    val assigned = assignedIn.select(col("id"), col("centroid"), col("v"), fnorm(col("v")).as("n"))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     val dropped = a

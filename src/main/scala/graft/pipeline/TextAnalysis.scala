@@ -128,6 +128,42 @@ object TextAnalysis {
       )
       .orderBy(col(labelCol))
 
+  // ---- statistical-LM quality --------------------------------------------
+
+  /**
+   * Unigram language-model score — the cheap statistical proxy for
+   * KenLM-style perplexity filtering (cf. CCNet, Wenzek et al. 2020):
+   * build the corpus unigram table once, keep the top `vocabSize` words
+   * (ties broken by word — deterministic), and score every document by
+   * the mean log-probability of its words; out-of-vocabulary words score
+   * at the count-1 floor. Low scores flag gibberish / rare-token soup,
+   * high scores flag natural in-distribution text.
+   *
+   * Scale shape: ONE map-side-combined word-count aggregation (vocab-sized
+   * shuffle, not corpus-sized), the top-V table re-broadcasts onto a
+   * second map-side pass (left join + per-doc partial mean) — corpus text
+   * never shuffles; only per-doc partials do. The count relation is
+   * materialized once (`localCheckpoint`) because the total-token scalar
+   * and the top-V table both read it.
+   */
+  def unigramLogProb(
+      df: DataFrame,
+      vocabSize: Int = 100000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val w      = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val counts = w.groupBy(col("word")).agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val total  = counts.agg(sum(col("c"))).head().getLong(0).toDouble
+    val vocab  = counts.orderBy(col("c").desc, col("word")).limit(vocabSize)
+    val logp = when(col("c").isNull, lit(math.log(1.0 / total)))
+      .otherwise(log(col("c").cast("double") / total))
+    w.join(broadcast(vocab), Seq("word"), "left_outer")
+      .select(col(idCol), logp.as("logp"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("logp")), 4).as("lm_score"))
+  }
+
   // ---- repetition signals ------------------------------------------------
 
   /**

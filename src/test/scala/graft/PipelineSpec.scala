@@ -752,6 +752,21 @@ class PipelineSpec extends SparkTestBase {
     Dedup.contaminationReport(corpus, eval, shingleK = 5, minHits = 3L).collect() shouldBe empty
   }
 
+  "TextAnalysis.unigramLogProb" should "score in-distribution text above rare-token soup" in {
+    val d = Seq(
+      (0L, "the cat sat on the mat and the cat sat again"),
+      (1L, "the cat sat on the mat and the dog stood up"),
+      (2L, "zyx qwv jkl pqr xyzzy plugh wibble wobble flob grue")  // all rare
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, vocabSize = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(0) should be > out(2) // common words score higher than OOV soup
+    out(1) should be > out(2)
+    // deterministic across reruns (top-V ties break on the word)
+    TextAnalysis.unigramLogProb(d, vocabSize = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe out
+  }
+
   "TextAnalysis.scrubPii" should "redact emails, IPs and phones without double-counting" in {
     val d = Seq(
       (0L, "contact bob@example.com or call +1 (555) 123-4567 now"),
@@ -810,6 +825,16 @@ class PipelineSpec extends SparkTestBase {
     val out = Similarity.semDedup(semVecs, tau = 1.1, nlist = 2).collect()
     out.forall(_.getBoolean(2)) shouldBe true
     out.length shouldBe 4
+  }
+
+  it should "produce the same result over a persisted, reloaded index" in {
+    val path = java.nio.file.Files.createTempDirectory("graft_semd_").toString + "/ivf"
+    Similarity.ivfWrite(Similarity.ivfBuild(semVecs, nlist = 2), path)
+    val viaIndex = Similarity.semDedupWith(Similarity.ivfRead(spark, path).assigned, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    val direct = Similarity.semDedup(semVecs, tau = 0.9, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    viaIndex shouldBe direct
   }
 
   "Similarity.annJoin" should "retrieve the planted twin at rank 1 and exclude self" in {
