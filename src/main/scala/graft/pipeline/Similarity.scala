@@ -231,6 +231,25 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding twin of [[Dedup.deduplicated]]: drop every vector with a
+    * smaller-id cosine near-duplicate (single LSH pass — pairwise, the
+    * within-batch guard; run [[semDedup]]/[[lshCosinePairs]] + connected
+    * components for corpus-wide transitive dedup). */
+  def deduplicated(
+      df: DataFrame,
+      threshold: Double,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val dropped = lshCosinePairs(df, threshold, planesPerTable, tables, dim,
+      vecCol = vecCol, idCol = idCol)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- corpus-gated embedding dedup (the ingest path) --------------------
 
   /**

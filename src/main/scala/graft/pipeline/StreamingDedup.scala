@@ -192,6 +192,80 @@ object StreamingDedup {
       .write.mode("append").parquet(bandedPathFor(indexPath))
   }
 
+  /**
+   * Embedding twin of [[startGatedIngest]]: every micro-batch of vectors
+   * is deduplicated within itself ([[Similarity.deduplicated]]), gated
+   * against the persisted LSH vector index ([[Similarity.vectorIndex]]
+   * parquet at `indexPath`) with [[Similarity.gateAgainstCorpus]], handed
+   * to `sink`, and — the closed loop — the accepted vectors' index rows
+   * are appended so a near-duplicate of a vector accepted batches ago is
+   * still caught. Cold start (missing/unreadable `indexPath`) gates the
+   * first batch only against itself and seeds the index.
+   *
+   * Contract and failure semantics mirror the text gate exactly:
+   * `planesPerTable`/`tables` (and the data's dimensionality) MUST match
+   * the index build; sink-before-append makes downstream at-least-once
+   * with duplicate index rows tolerated on replay (candidates dedupe on
+   * bare ids before the cosine verify). Per-trigger cost: one kernel pass
+   * over the batch + one bucket join against the index — never a
+   * corpus-wide aggregation (the vector index has no bucket-count cap to
+   * maintain, so no sidecar is needed).
+   */
+  def startVectorGatedIngest(
+      stream: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      checkpointDir: String,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      triggerMs: Long = 1000L,
+      dedupWithinBatch: Boolean = true,
+      extendIndex: Boolean = true
+  )(sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val mat = gateVectorBatch(batch, indexPath, threshold,
+          planesPerTable, tables, vecCol, idCol, dedupWithinBatch)
+        sink(mat) // sink FIRST: at-least-once downstream (see text gate)
+        if (extendIndex)
+          Similarity.vectorIndex(mat, planesPerTable, tables, vecCol = vecCol, idCol = idCol)
+            .write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+
+  /** One vector micro-batch through the gate (exposed for tests):
+    * intra-batch near-dup dedup, then the corpus gate against the
+    * persisted vector index. Accepted rows come back MATERIALIZED. */
+  def gateVectorBatch(
+      batch: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dedupWithinBatch: Boolean = true
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val internal =
+      if (dedupWithinBatch)
+        Similarity.deduplicated(batch, threshold, planesPerTable, tables, vecCol = vecCol, idCol = idCol)
+      else batch
+    val accepted = loadIndex(spark, indexPath) match {
+      case Some(idx) =>
+        Similarity.gateAgainstCorpus(internal, idx, threshold,
+          planesPerTable, tables, vecCol = vecCol, idCol = idCol)
+      case None => internal // cold start: nothing to gate against yet
+    }
+    accepted.localCheckpoint(true)
+  }
+
   /** The index at `path`, or None when it doesn't exist yet (cold start)
     * or holds no readable parquet data (e.g. only a `_temporary` left by
     * a crashed first append — schema inference fails, which must recover

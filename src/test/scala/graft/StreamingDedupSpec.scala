@@ -10,6 +10,7 @@ import graft.pipeline.{Dedup, StreamingDedup}
 
 case class SdDoc(ts: Timestamp, doc_id: Long, text: String)
 case class SdIn(doc_id: Long, text: String)
+case class SvIn(vec_id: Long, embedding: Array[Float])
 
 /** Streaming dedup specs: watermark-bounded exact dedup and per-batch
   * near-dup gating against a historical corpus index. */
@@ -186,6 +187,62 @@ class StreamingDedupSpec extends SparkTestBase {
       input.addData(SdIn(2L, "the very first document this pipeline has ever seen arrives today"))
       q.processAllAvailable()
       survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(1L)
+    } finally q.stop()
+  }
+
+  "StreamingDedup.startVectorGatedIngest" should "gate vector batches against the growing index" in {
+    import graft.pipeline.Similarity
+    val rnd  = new scala.util.Random(13)
+    def v()  = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def twin(a: Array[Float]) = a.map(_ * 1.01f)
+    val base0 = v(); val base1 = v(); val fresh1 = v(); val fresh2 = v()
+
+    // corpus index on disk, as at scale
+    val idxPath = Files.createTempDirectory("graft_svg_idx_").toString + "/vindex"
+    Similarity.vectorIndex(Seq((0L, base0), (1L, base1)).toDF("vec_id", "embedding"))
+      .write.parquet(idxPath)
+
+    implicit val sqlc = spark.sqlContext
+    val input    = MemoryStream[SvIn]
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cp       = Files.createTempDirectory("graft_svg_cp_").toString
+    val q = StreamingDedup.startVectorGatedIngest(input.toDF(), idxPath, threshold = 0.9, cp,
+      triggerMs = 100L) {
+      batch => batch.select(col("vec_id")).collect().foreach(r => survived.add(r.getLong(0)))
+    }
+    try {
+      input.addData(SvIn(10L, twin(base0)), SvIn(11L, fresh1)) // 10 ~ corpus, 11 new
+      q.processAllAvailable()
+      // a near-dup of a vector ACCEPTED last batch (never in the original
+      // corpus) must be caught through the extended index
+      input.addData(SvIn(12L, twin(fresh1)), SvIn(13L, fresh2))
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(11L, 13L)
+    } finally q.stop()
+  }
+
+  it should "cold-start on a missing vector index and dedupe within the batch" in {
+    import graft.pipeline.StreamingDedup
+    val rnd  = new scala.util.Random(17)
+    def v()  = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = v()
+    val idxPath = Files.createTempDirectory("graft_svg_cold_").toString + "/vindex"
+
+    implicit val sqlc = spark.sqlContext
+    val input    = MemoryStream[SvIn]
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cp       = Files.createTempDirectory("graft_svg_cold_cp_").toString
+    val q = StreamingDedup.startVectorGatedIngest(input.toDF(), idxPath, threshold = 0.9, cp,
+      triggerMs = 100L) {
+      batch => batch.select(col("vec_id")).collect().foreach(r => survived.add(r.getLong(0)))
+    }
+    try {
+      input.addData(SvIn(20L, base), SvIn(21L, base.map(_ * 1.01f))) // intra-batch twins
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(20L)
+      input.addData(SvIn(22L, base.map(_ * 0.99f))) // near-dup of the seeded 20
+      q.processAllAvailable()
+      survived.toArray.map(_.asInstanceOf[Long]).toSet shouldBe Set(20L)
     } finally q.stop()
   }
 }
