@@ -505,6 +505,30 @@ object Similarity {
     IvfIndex(spark.read.parquet(path), cents)
   }
 
+  /**
+   * Incrementally extend a persisted IVF index: assign `newVecs` to the
+   * EXISTING centroids (one shuffle-free kernel projection — k-means never
+   * re-runs) and append the rows into the centroid-partitioned layout, so
+   * each new batch lands inside the inverted lists it belongs to. The
+   * standard ingest pattern: centroids are retrained offline/periodically;
+   * between retrains, arrival batches stream into the current partitions.
+   * Returns the assignment that was appended.
+   */
+  def ivfAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val assigned = assignByProjection(newVecs, cents, vecCol, idCol).localCheckpoint(true)
+    assigned.write.partitionBy("centroid").mode("append").parquet(path)
+    assigned
+  }
+
   /** IVF top-k: probe the `nprobe` centroids closest to the query. */
   def ivfTopK(
       assigned: DataFrame,

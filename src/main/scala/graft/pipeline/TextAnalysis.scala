@@ -154,7 +154,12 @@ object TextAnalysis {
   ): DataFrame = {
     val w      = df.select(col(idCol), explode(words(col(textCol))).as("word"))
     val counts = w.groupBy(col("word")).agg(count(lit(1)).as("c")).localCheckpoint(true)
-    val total  = counts.agg(sum(col("c"))).head().getLong(0).toDouble
+    // sum over an EMPTY corpus is null — default 1.0 so the (empty) plan
+    // still builds instead of NPE-ing on the scalar collect
+    val total  = counts.agg(sum(col("c"))).head() match {
+      case r if r.isNullAt(0) => 1.0
+      case r                  => r.getLong(0).toDouble
+    }
     val vocab  = counts.orderBy(col("c").desc, col("word")).limit(vocabSize)
     val logp = when(col("c").isNull, lit(math.log(1.0 / total)))
       .otherwise(log(col("c").cast("double") / total))

@@ -837,6 +837,36 @@ class PipelineSpec extends SparkTestBase {
     viaIndex shouldBe direct
   }
 
+  "Similarity.ivfAppend" should "route new vectors into the persisted inverted lists" in {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfa_").toString + "/ivf"
+    Similarity.ivfWrite(Similarity.ivfBuild(semVecs, nlist = 2), path)
+    val before = spark.read.parquet(path).count()
+    val rnd    = new scala.util.Random(23)
+    val newVec = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val appended = Similarity.ivfAppend(spark, path,
+      Seq((100L, newVec)).toDF("vec_id", "embedding"))
+    appended.count() shouldBe 1L
+    spark.read.parquet(path).count() shouldBe before + 1
+    // the appended row is probe-able through the reloaded index
+    val idx = Similarity.ivfRead(spark, path)
+    Similarity.ivfTopK(idx.assigned, idx.centroids, newVec.toSeq, k = 1, nprobe = 2)
+      .head().getLong(0) shouldBe 100L
+  }
+
+  "pipeline operators" should "flow empty inputs through without errors" in {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    TextAnalysis.repetitionSignals(emptyDocs).count() shouldBe 0L
+    TextAnalysis.scrubPii(emptyDocs).count() shouldBe 0L
+    TextAnalysis.unigramLogProb(emptyDocs).count() shouldBe 0L
+    TextAnalysis.tokenQuantiles(emptyLang).count() shouldBe 0L
+    Dedup.repeatedSpans(emptyDocs).count() shouldBe 0L
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val corpus    = Similarity.vectorIndex(semVecs, planesPerTable = 4, tables = 4)
+    Similarity.annJoin(emptyVecs, corpus, k = 3, planesPerTable = 4, tables = 4)
+      .count() shouldBe 0L
+  }
+
   "Similarity.annJoin" should "retrieve the planted twin at rank 1 and exclude self" in {
     val corpus = Similarity.vectorIndex(semVecs, planesPerTable = 4, tables = 4)
     val out = Similarity.annJoin(semVecs.filter($"vec_id" === 0), corpus, k = 3,
