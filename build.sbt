@@ -28,4 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a bench/verify run compiles generated code for ~80 query plans; the
+  // default 240m code cache fills, the JIT shuts off, and later queries
+  // run interpreted (observed 6-10x slowdowns that worsen over a run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

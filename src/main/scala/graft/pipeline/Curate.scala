@@ -118,7 +118,16 @@ object Curate {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val base = if (scrub) TextAnalysis.scrubPii(df, textCol).drop("pii_hits") else df
+    // scrub is materialized up front: every downstream stage (digest
+    // groupBy, langid/quality/repetition projections, shingles, packing)
+    // reads the scrubbed text as a plain column. Left lazy, the 3-regex
+    // chain would be INLINED into every occurrence of the word array in
+    // the fused survivor projection — a tree big enough to fall out of
+    // whole-stage codegen, where nothing de-duplicates the repeated regex
+    // evaluation (measured 5-10x on the composed mix).
+    val base =
+      if (scrub) TextAnalysis.scrubPii(df, textCol).drop("pii_hits").localCheckpoint(true)
+      else df
     // curated feeds BOTH the survivors semi-join and the withLang join —
     // materialize once so the curation subtree (digest shuffle + metric
     // projection) doesn't execute twice per mix. Quality rides along for
@@ -141,7 +150,17 @@ object Curate {
         .filter(col("rn") <= k)
         .drop("rn", "quality")
     }
-    val clean = Dedup.decontaminate(survivors, evalDf, deconShingleK, textCol, idCol)
+    // with optional stages on, the survivor frame ends a LONG fused
+    // projection (langid + quality + repetition expressions and a window);
+    // downstream decon/CC/join would re-execute it per consumer — and a
+    // projection that big can fall out of whole-stage codegen, making
+    // each re-execution interpreted. Materialize once; the default-stage
+    // mix keeps its lean shape (a plain semi-join recomputes cheaply).
+    val survMat =
+      if (scrub || maxRepetition.isDefined || perSourceCap.isDefined) survivors.localCheckpoint(true)
+      else survivors
+    val clean = Dedup.decontaminate(survMat, evalDf, deconShingleK, textCol, idCol)
+      .localCheckpoint(true) // feeds CC mining, the reps semi-join and withLang
     val reps = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)
       .filter(col(idCol) === col("rep")).select(col(idCol))
     val deduped  = clean.join(reps, Seq(idCol), "left_semi")
