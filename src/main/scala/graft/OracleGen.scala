@@ -113,6 +113,21 @@ object OracleGen {
     s"SELECT doc_id, $cols FROM documents ORDER BY doc_id"
   }
 
+  /** mirror of the `mm_ann` composition: stub features → cosine top-k
+    * against doc 0's feature vector. The dot products are explicit
+    * parenthesized left folds, matching the Spark kernel's sequential
+    * accumulation bit for bit. */
+  def mmAnnSql(dim: Int, k: Int): String = {
+    def fold(terms: Seq[String]): String = terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+    val dotEQ = fold((0 until dim).map(j => s"e.e$j * q.e$j"))
+    val dotEE = fold((0 until dim).map(j => s"e.e$j * e.e$j"))
+    val dotQQ = fold((0 until dim).map(j => s"q.e$j * q.e$j"))
+    s"""WITH e AS (${embedStubSql(dim).replace(" ORDER BY doc_id", "")}),
+       |q AS (SELECT * FROM e WHERE doc_id = 0)
+       |SELECT e.doc_id AS vec_id, round($dotEQ / (sqrt($dotEE) * sqrt($dotQQ)), 3) AS sim
+       |FROM e, q ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Dedup.decontaminate]] with the corpus/eval split
     * `doc_id % mod <> 0` / `= 0`: corpus docs sharing no k-shingle with
     * the eval slice. */

@@ -305,6 +305,21 @@ object SparkEntry {
         element_at(col("embedding"), 1).as("e0"), element_at(col("embedding"), 2).as("e1"),
         element_at(col("embedding"), 3).as("e2"), element_at(col("embedding"), 4).as("e3"))
       .orderBy("doc_id"))
+,
+    // media -> embeddings -> retrieval, composed: the multimodal features
+    // feed the ANN operators unchanged (stub features, real plumbing)
+    "mm_ann" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.dotProduct
+      val e = Multimodal.embedBatched(Multimodal.withPayload(docs(s, d)))
+        .withColumnRenamed("doc_id", "vec_id")
+      val q  = e.filter(col("vec_id") === 0).head().getSeq[Double](1)
+      val qv = lit(q.toArray)
+      val sim = dotProduct(col("embedding"), qv) /
+        (sqrt(dotProduct(col("embedding"), col("embedding"))) * sqrt(dotProduct(qv, qv)))
+      e.select(col("vec_id"), round(sim, 3).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    })
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
@@ -467,7 +482,8 @@ object SparkEntry {
       "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx",
     "mm_resize" ->
       "SELECT doc_id, 64::BIGINT AS width, 64::BIGINT AS height, greatest(1, (sl * 4096) // ((64 + sl % 193) * (64 + (sl * 31) % 177)))::BIGINT AS n_bytes FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS sl FROM documents) ORDER BY doc_id",
-    "mm_embed" -> OracleGen.embedStubSql(4)
+    "mm_embed" -> OracleGen.embedStubSql(4),
+    "mm_ann"   -> OracleGen.mmAnnSql(dim = 4, k = 10)
   )
 
   /** per-language marker-hit subquery + argmax CASE chain, generated from
