@@ -281,6 +281,33 @@ object SparkEntry {
         nearDupThreshold = 0.5, deconShingleK = 5,
         scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)), perSourceCap = Some(15)).orderBy("doc_id")
     }),
+    // ---- relational operators Spark lacks: as-of join and range join
+    // (union+running-window / time-bucketed shapes — no inequality-only
+    // join, no per-key cartesian at any scale)
+    // timestamps compare at MICROsecond precision on both sides: DuckDB
+    // truncates the parquet nanos type to micros on read, so nano-precision
+    // comparisons could order boundary rows differently across engines
+    "ev_asof" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+      // unique (user, ts) right side: the asofJoin determinism contract
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(round(max("value"), 3).as("click_value"))
+      graft.operators.Relational.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .orderBy("event_id")
+    }),
+    "ev_range" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      graft.operators.Relational.rangeJoin(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", -3600000000L, 3600000000L) // ±1 h in us
+        .select("p_id", "c_id").orderBy("p_id", "c_id")
+    }),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -476,6 +503,22 @@ object SparkEntry {
     "tx_json" ->
       // sum(BIGINT) is HUGEINT in DuckDB — cast back so the hash compare sees int64
       """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
+    // DuckDB has a NATIVE ASOF JOIN — an independent implementation of the
+    // same semantics as the union+window Spark shape
+    "ev_asof" ->
+      """SELECT l.user_id, l.event_id, l.ts, r.click_value
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts, round(max(value), 3) AS click_value
+        |                FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)) r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+    "ev_range" ->
+      """SELECT l.event_id AS p_id, r.event_id AS c_id
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase') l
+        |JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'click') r
+        |ON l.user_id = r.user_id
+        |AND r.ts BETWEEN l.ts - 3600000000 AND l.ts + 3600000000
+        |ORDER BY p_id, c_id""".stripMargin.replace("\n", " "),
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->

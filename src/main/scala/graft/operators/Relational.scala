@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operators Spark lacks natively, re-expressed in shapes that
+ * survive scale — no inequality-only joins, no cartesian products.
+ */
+object Relational {
+
+  /**
+   * AS-OF JOIN: for every left row, the LATEST right row with
+   * `right.tsCol <= left.tsCol` within the same `keys` (the
+   * "price as of the trade", "last click before the purchase" join).
+   *
+   * Spark has no ASOF join; an inequality join would be a per-key
+   * cartesian. The scalable shape is union + running window:
+   * tag both sides, ONE shuffle on `keys`, sort each key group by
+   * `(ts, side)` with right rows first at equal ts (so a same-timestamp
+   * right row IS visible — `<=` semantics), carry the last non-null
+   * right payload forward, keep the left rows. Cost: one shuffle + one
+   * in-partition sort over |left| + |right| — the same as a plain join,
+   * at any scale.
+   *
+   * Right payload columns (everything except `keys` and `rightTsCol`)
+   * come back NULL when no prior right row exists (left-outer
+   * semantics). Determinism contract: the right side must be unique per
+   * `(keys, ts)` — pre-aggregate it otherwise (several right rows at the
+   * same instant have no defined "latest").
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String
+  ): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTsCol)
+    val leftVals  = left.columns.filterNot(keys.contains)
+    val rvStruct  = struct(rightVals.map(col): _*)
+    val rvSchema  = right.select(rightVals.map(col): _*).schema
+    val lvStruct  = struct(leftVals.map(col): _*)
+    val lvSchema  = left.select(leftVals.map(col): _*).schema
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTsCol).as("__ts"), lit(0).as("__side"),
+        rvStruct.as("__rv"), lit(null).cast(lvSchema).as("__lv")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rvSchema).as("__rv"), lvStruct.as("__lv")): _*)
+
+    // right rows (side 0) sort before left rows at the same ts: <= semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftOut  = keys.map(col) ++ leftVals.map(c => col("__lv").getField(c).as(c))
+    val rightOut = rightVals.map(c => col("__asof").getField(c).as(c))
+    carried.select(leftOut ++ rightOut: _*)
+  }
+
+  /**
+   * RANGE (interval) JOIN: all `(left, right)` pairs within the same
+   * `keys` with `right.ts` in `[left.ts + lower, left.ts + upper]`
+   * (the "events within an hour of each other" join).
+   *
+   * A plain inequality join degenerates to per-key cartesian; the
+   * scalable shape buckets time at the window width and joins on
+   * `(keys, bucket)` equality: each left row probes its own bucket and
+   * the two adjacent ones (one explode×3 on the smaller side), then the
+   * exact range predicate filters. Candidates are bounded by bucket
+   * occupancy — work scales with the true match density, not |L|×|R|
+   * per key.
+   */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      lower: Long,
+      upper: Long
+  ): DataFrame = {
+    require(upper >= lower, "upper bound must be >= lower bound")
+    val width = math.max(1L, upper - lower + 1)
+    // left probes the buckets its window [ts+lower, ts+upper] can touch
+    val lB = left
+      .withColumn("__lo", col(leftTsCol) + lower)
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__lo") / width),
+        floor((col(leftTsCol) + upper) / width))))
+      .drop("__lo")
+    val rB = right.withColumn("__bucket", floor(col(rightTsCol) / width))
+    lB.join(rB, keys :+ "__bucket")
+      .filter(col(rightTsCol).between(col(leftTsCol) + lower, col(leftTsCol) + upper))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational
+
+/** As-of / range join specs: semantics, null cases, and scale shape. */
+class RelationalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, "A", 10L), (2L, "A", 20L), (3L, "B", 5L), (4L, "B", 100L)
+  ).toDF("trade_id", "sym", "ts")
+
+  private lazy val quotes = Seq(
+    ("A", 5L, 1.0), ("A", 10L, 2.0), ("A", 15L, 3.0), ("B", 9L, 9.0)
+  ).toDF("sym", "qts", "px")
+
+  "Relational.asofJoin" should "pick the latest right row at or before each left ts" in {
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "ts", "qts")
+      .orderBy("trade_id").collect()
+    out.map(_.getLong(1)) shouldBe Array(1L, 2L, 3L, 4L)  // (sym, trade_id, ts, px)
+    out(0).getDouble(3) shouldBe 2.0 // ts=10 sees the ts=10 quote: <= semantics
+    out(1).getDouble(3) shouldBe 3.0 // ts=20 sees the latest (15), not an older one
+    out(2).isNullAt(3) shouldBe true // B at ts=5: no prior quote -> left-outer null
+    out(3).getDouble(3) shouldBe 9.0 // B at ts=100 still sees the ts=9 quote
+  }
+
+  it should "never read a right row from another key group" in {
+    val out = Relational.asofJoin(
+      trades.filter($"sym" === "B"), quotes.filter($"sym" === "A"), Seq("sym"), "ts", "qts")
+      .collect()
+    out.foreach(_.isNullAt(3) shouldBe true)
+  }
+
+  "Relational.rangeJoin" should "match the naive inequality join under asymmetric bounds" in {
+    val rnd = new scala.util.Random(29)
+    val l = (1 to 80).map(i => (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+      .toDF("l_id", "key", "l_ts")
+    val r = (1 to 80).map(i => (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+      .toDF("r_id", "key", "r_ts")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val fast = pairs(Relational.rangeJoin(l, r, Seq("key"), "l_ts", "r_ts", -50L, 20L))
+    val naive = pairs(l.join(r, "key")
+      .filter($"r_ts".between($"l_ts" - 50, $"l_ts" + 20)))
+    fast shouldBe naive
+    fast should not be empty
+  }
+
+  it should "join on bucket equality, not a cartesian" in {
+    val plan = Relational.rangeJoin(trades, quotes, Seq("sym"), "ts", "qts", -10L, 10L)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should include("__bucket")
+  }
+}
