@@ -308,6 +308,14 @@ object SparkEntry {
         "p_ts", "c_ts", -3600000000L, 3600000000L) // ±1 h in us
         .select("p_id", "c_id").orderBy("p_id", "c_id")
     }),
+    // gaps-and-islands sessionization: one shuffle, stacked windows
+    "ev_sessions" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      graft.operators.Relational.sessionStats(ev.select("user_id", "ts"),
+        Seq("user_id"), "ts", 3600000000L) // 1 h gap in us
+        .orderBy("user_id", "session_idx")
+    }),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -512,6 +520,17 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+    "ev_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+        |g AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |      FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events, min(ts) AS session_start,
+        |       max(ts) AS session_end, max(ts) - min(ts) AS duration
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin.replace("\n", " "),
     "ev_range" ->
       """SELECT l.event_id AS p_id, r.event_id AS c_id
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase') l

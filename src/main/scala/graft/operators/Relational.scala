@@ -67,6 +67,54 @@ object Relational {
   }
 
   /**
+   * SESSIONIZE: assign every row a per-key session index — a new session
+   * starts when the gap since the key's previous event exceeds
+   * `gap` (classic gaps-and-islands). Returns the input plus
+   * `session_idx` (0-based per key, in time order).
+   *
+   * Scale shape: ONE shuffle on `keys`; the lag and the running
+   * session-count windows share that partitioning, so Catalyst plans a
+   * single Exchange with two stacked in-partition window passes. State is
+   * nothing — it's a batch operator (for streams, Structured Streaming's
+   * `session_window` owns the same semantics with watermark eviction).
+   */
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gap: Long
+  ): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prev  = lag(col(tsCol), 1).over(byKey)
+    // two projections: a window function cannot nest inside another —
+    // both share the byKey partitioning, so it is still ONE Exchange
+    df.withColumn("__new", when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .drop("__new")
+  }
+
+  /**
+   * Per-session aggregate over [[sessionize]]: event count, start/end
+   * timestamps and duration per `(keys, session_idx)` — the session table
+   * an events pipeline materializes. Map-side-combinable aggregation over
+   * the sessionized frame (same single shuffle).
+   */
+  def sessionStats(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gap: Long
+  ): DataFrame =
+    sessionize(df, keys, tsCol, gap)
+      .groupBy((keys :+ "session_idx").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration"))
+
+  /**
    * RANGE (interval) JOIN: all `(left, right)` pairs within the same
    * `keys` with `right.ts` in `[left.ts + lower, left.ts + upper]`
    * (the "events within an hour of each other" join).

@@ -47,6 +47,34 @@ class RelationalSpec extends SparkTestBase {
     fast should not be empty
   }
 
+  "Relational.sessionize" should "start a new session when the gap exceeds the threshold" in {
+    val ev = Seq(
+      ("u1", 0L), ("u1", 50L), ("u1", 90L),      // session 0
+      ("u1", 300L), ("u1", 310L),                 // gap 210 > 100 -> session 1
+      ("u2", 5L),                                 // separate key
+      ("u2", 500L)                                // session 1 for u2
+    ).toDF("user", "ts")
+    val out = Relational.sessionize(ev, Seq("user"), "ts", gap = 100L)
+      .orderBy("user", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      ("u1", 0L, 0L), ("u1", 50L, 0L), ("u1", 90L, 0L),
+      ("u1", 300L, 1L), ("u1", 310L, 1L),
+      ("u2", 5L, 0L), ("u2", 500L, 1L))
+  }
+
+  it should "aggregate session stats with one exchange" in {
+    val ev = Seq(("u1", 0L), ("u1", 50L), ("u1", 300L)).toDF("user", "ts")
+    val stats = Relational.sessionStats(ev, Seq("user"), "ts", gap = 100L)
+    val rows = stats.orderBy("session_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows shouldBe Array((0L, 2L, 0L, 50L, 50L), (1L, 1L, 300L, 300L, 0L))
+    // both windows and the aggregation share the keys partitioning
+    val exchanges = "Exchange".r.findAllIn(
+      stats.queryExecution.executedPlan.toString).length
+    exchanges should be <= 2 // one for the windows/agg + at most a final gather
+  }
+
   it should "join on bucket equality, not a cartesian" in {
     val plan = Relational.rangeJoin(trades, quotes, Seq("sym"), "ts", "qts", -10L, 10L)
       .queryExecution.executedPlan.toString
