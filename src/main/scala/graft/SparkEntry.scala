@@ -308,6 +308,13 @@ object SparkEntry {
         "p_ts", "c_ts", -3600000000L, 3600000000L) // ±1 h in us
         .select("p_id", "c_id").orderBy("p_id", "c_id")
     }),
+    // outlier-robust per-type mean: clamp to [p05, p95] then average
+    "ev_winsor" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      graft.operators.Relational.winsorizedMean(ev.select("event_type", "value"),
+        Seq("event_type"), "value", 0.05, 0.95).orderBy("event_type")
+    }),
     // gaps-and-islands sessionization: one shuffle, stacked windows
     "ev_sessions" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -520,6 +527,13 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+    "ev_winsor" ->
+      """WITH c AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(avg(greatest(c.lo, least(c.hi, e.value))), 3) AS winsorized_mean
+        |FROM events e JOIN c USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin.replace("\n", " "),
     "ev_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
         |g AS (SELECT user_id, ts,

@@ -115,6 +115,36 @@ object Relational {
         (max(col(tsCol)) - min(col(tsCol))).as("duration"))
 
   /**
+   * WINSORIZED MEAN per group: clamp values to the group's [pLo, pHi]
+   * exact percentiles, then average — the standard outlier-robust
+   * aggregate. Two passes sharing one shuffle key: percentiles first
+   * (Spark's exact `percentile` keeps a per-group counts-map of distinct
+   * values — fine for bounded/discretized domains; swap in
+   * `approx_percentile` for unbounded continuous ones), cutoffs broadcast
+   * back, then a plain map-side-combined average of the clamped value.
+   */
+  def winsorizedMean(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      pLo: Double,
+      pHi: Double,
+      dp: Int = 3
+  ): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val cuts = df.groupBy(keys.map(col): _*)
+      .agg(
+        expr(s"percentile($valueCol, $pLo)").as("__lo"),
+        expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    df.join(broadcast(cuts), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(greatest(col("__lo"), least(col("__hi"), col(valueCol)))), dp)
+          .as("winsorized_mean"))
+  }
+
+  /**
    * RANGE (interval) JOIN: all `(left, right)` pairs within the same
    * `keys` with `right.ts` in `[left.ts + lower, left.ts + upper]`
    * (the "events within an hour of each other" join).

@@ -75,6 +75,15 @@ class RelationalSpec extends SparkTestBase {
     exchanges should be <= 2 // one for the windows/agg + at most a final gather
   }
 
+  "Relational.winsorizedMean" should "clamp to exact interpolated percentiles before averaging" in {
+    val d = Seq.tabulate(4)(i => ("a", (i + 1).toDouble)).toDF("k", "v")
+      .union(Seq(("a", 100.0)).toDF("k", "v"))
+    val out = Relational.winsorizedMean(d, Seq("k"), "v", 0.05, 0.95).collect().head
+    out.getLong(1) shouldBe 5L
+    // p05 = 1.2, p95 = 80.8 -> clamped (1.2, 2, 3, 4, 80.8) -> mean 18.2
+    out.getDouble(2) shouldBe 18.2 +- 1e-9
+  }
+
   it should "join on bucket equality, not a cartesian" in {
     val plan = Relational.rangeJoin(trades, quotes, Seq("sym"), "ts", "qts", -10L, 10L)
       .queryExecution.executedPlan.toString
