@@ -151,6 +151,27 @@ object OracleGen {
     s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $h AS h FROM documents) WHERE $keep ORDER BY doc_id"
   }
 
+  /** mirror of [[graft.operators.Relational.funnelCounts]] over the events
+    * table keyed by user: chained earliest-match CTEs (stage i+1 = min ts
+    * strictly after the stage-i match) — an independent algorithm with the
+    * same greedy-earliest semantics as the Spark fold. */
+  def funnelCountsSql(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"t1 AS (SELECT user_id, min(ts) AS ts FROM e WHERE event_type = '$s' GROUP BY user_id)"
+      else
+        s"""t${i + 1} AS (SELECT e.user_id, min(e.ts) AS ts FROM e
+           |  JOIN t$i ON e.user_id = t$i.user_id AND e.ts > t$i.ts
+           |  WHERE e.event_type = '$s' GROUP BY e.user_id)""".stripMargin
+    }
+    val sels = stages.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${i + 1} AS stage_idx, '$s' AS stage, (SELECT count(*) FROM t${i + 1})::BIGINT AS n_keys"
+    }
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+       |${ctes.mkString(",\n")}
+       |${sels.mkString(" UNION ALL ")} ORDER BY stage_idx""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.TextAnalysis.unigramLogProb]]: corpus
     * unigram table, top-V vocabulary (count DESC, word), mean word
     * log-probability per doc with the count-1 OOV floor. */

@@ -308,6 +308,14 @@ object SparkEntry {
         "p_ts", "c_ts", -3600000000L, 3600000000L) // ±1 h in us
         .select("p_id", "c_id").orderBy("p_id", "c_id")
     }),
+    // ordered-stage funnel: greedy-earliest matching per user
+    "ev_funnel" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      graft.operators.Relational.funnelCounts(ev.select("user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
     // outlier-robust per-type mean: clamp to [p05, p95] then average
     "ev_winsor" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -527,6 +535,7 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+    "ev_funnel" -> OracleGen.funnelCountsSql(Seq("view", "click", "purchase")),
     "ev_winsor" ->
       """WITH c AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
         |           FROM events GROUP BY event_type)

@@ -115,6 +115,61 @@ object Relational {
         (max(col(tsCol)) - min(col(tsCol))).as("duration"))
 
   /**
+   * FUNNEL: per key, the furthest stage of `stages` reached IN ORDER,
+   * each stage matched at the earliest event strictly after the previous
+   * match (greedy-earliest — the standard funnel semantics; greedy is
+   * optimal, matching a stage as early as possible never hurts later
+   * stages). Returns `(keys*, stage_reached)` with 0 = none.
+   *
+   * Scale shape: one shuffle on `keys`, events fold per key as a sorted
+   * in-memory list (bounded by per-key event count — the usual funnel
+   * assumption; cap upstream for adversarial keys).
+   */
+  def funnel(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stageCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val stagesLit = lit(stages.toArray)
+    val evs  = sort_array(collect_list(struct(col(tsCol).as("t"), col(stageCol).as("s"))))
+    val init = struct(lit(0).as("m"), lit(Long.MinValue).as("t"))
+    val reached = aggregate(evs, init, (acc, e) =>
+      when(
+        acc.getField("m") < stages.size &&
+          e.getField("s") === element_at(stagesLit, acc.getField("m") + 1) &&
+          e.getField("t") > acc.getField("t"),
+        struct((acc.getField("m") + 1).as("m"), e.getField("t").cast("long").as("t")))
+        .otherwise(acc)).getField("m")
+    df.groupBy(keys.map(col): _*).agg(reached.as("stage_reached"))
+  }
+
+  /**
+   * Funnel conversion table over [[funnel]]: for every stage, how many
+   * keys reached at least it — zero-filled so every stage always reports.
+   */
+  def funnelCounts(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stageCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reached = funnel(df, keys, tsCol, stageCol, stages)
+    val hits = reached
+      .filter(col("stage_reached") > 0)
+      .select(explode(sequence(lit(1), col("stage_reached"))).as("stage_idx"))
+      .groupBy("stage_idx").agg(count(lit(1)).as("n_keys"))
+    val all = stages.zipWithIndex.map { case (s, i) => (i + 1, s) }.toDF("stage_idx", "stage")
+    all.join(hits, Seq("stage_idx"), "left_outer")
+      .select(col("stage_idx"), col("stage"), coalesce(col("n_keys"), lit(0L)).as("n_keys"))
+  }
+
+  /**
    * WINSORIZED MEAN per group: clamp values to the group's [pLo, pHi]
    * exact percentiles, then average — the standard outlier-robust
    * aggregate. Two passes sharing one shuffle key: percentiles first

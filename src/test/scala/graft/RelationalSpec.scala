@@ -75,6 +75,21 @@ class RelationalSpec extends SparkTestBase {
     exchanges should be <= 2 // one for the windows/agg + at most a final gather
   }
 
+  "Relational.funnel" should "match stages greedily in order, strictly after the previous match" in {
+    val ev = Seq(
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 30L, "buy"),   // full funnel
+      ("u2", 10L, "click"), ("u2", 20L, "view"), ("u2", 30L, "click"), // click BEFORE view doesn't count
+      ("u3", 10L, "view"), ("u3", 10L, "click"),                        // same ts: not strictly after
+      ("u4", 50L, "buy")                                                // never starts
+    ).toDF("user", "ts", "stage")
+    val out = Relational.funnel(ev, Seq("user"), "ts", "stage", Seq("view", "click", "buy"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    out shouldBe Map("u1" -> 3, "u2" -> 2, "u3" -> 1, "u4" -> 0)
+    val counts = Relational.funnelCounts(ev, Seq("user"), "ts", "stage", Seq("view", "click", "buy"))
+      .orderBy("stage_idx").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    counts shouldBe Array((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L))
+  }
+
   "Relational.winsorizedMean" should "clamp to exact interpolated percentiles before averaging" in {
     val d = Seq.tabulate(4)(i => ("a", (i + 1).toDouble)).toDF("k", "v")
       .union(Seq(("a", 100.0)).toDF("k", "v"))

@@ -124,6 +124,10 @@ class WsApiSpec extends SparkTestBase {
     sock.sendText("""{"db":"db","namespace":"ns","queryString":"select * from m"}""", true)
     received.poll(20, TimeUnit.SECONDS) should include(""""subscribed"""")
     received.poll(20, TimeUnit.SECONDS) should include("historical")
+    // the server registers the live sub AFTER sending the historical frame
+    // (protocol order on the wire) — await the registration, don't race it
+    val addDeadline = System.currentTimeMillis() + 10000
+    while (hub.size < 1 && System.currentTimeMillis() < addDeadline) Thread.sleep(20)
     hub.size shouldBe 1
     ws.stop() // closes the WS registration in the shared hub…
     val deadline = System.currentTimeMillis() + 10000
