@@ -308,6 +308,14 @@ object SparkEntry {
         "p_ts", "c_ts", -3600000000L, 3600000000L) // ±1 h in us
         .select("p_id", "c_id").orderBy("p_id", "c_id")
     }),
+    // cohort retention triangle: first-seen week vs active week per user
+    "ev_retention" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      graft.operators.Relational.retention(ev.select("user_id", "ts"),
+        "user_id", "ts", 604800000000L) // 1 week in us
+        .orderBy("cohort", "bucket_offset")
+    }),
     // ordered-stage funnel: greedy-earliest matching per user
     "ev_funnel" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -536,6 +544,13 @@ object SparkEntry {
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "ev_funnel" -> OracleGen.funnelCountsSql(Seq("view", "click", "purchase")),
+    "ev_retention" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS fts FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.fts // 604800000000 AS cohort,
+        |        epoch_us(e.ts) // 604800000000 - f.fts // 604800000000 AS bucket_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort, bucket_offset, count(*) AS n_keys
+        |FROM a GROUP BY cohort, bucket_offset ORDER BY cohort, bucket_offset""".stripMargin.replace("\n", " "),
     "ev_winsor" ->
       """WITH c AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
         |           FROM events GROUP BY event_type)

@@ -115,6 +115,35 @@ object Relational {
         (max(col(tsCol)) - min(col(tsCol))).as("duration"))
 
   /**
+   * COHORT RETENTION: bucket time at `bucketLen`, assign every key to the
+   * bucket of its first event (its cohort), and count distinct keys
+   * active at each `(cohort, bucket_offset)` — the retention triangle.
+   *
+   * Scale shape: first-seen is one map-side-combined aggregation on the
+   * key; the join back shuffles on the same key (co-partitioned with the
+   * aggregation — no extra exchange for the probe side under AQE reuse);
+   * the distinct + final count shuffle only `(cohort, offset, key)`
+   * triples, partial-combined.
+   */
+  def retention(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucketLen: Long
+  ): DataFrame = {
+    require(bucketLen > 0, "bucketLen must be positive")
+    val firstSeen = df.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__first"))
+    df.join(firstSeen, keyCol)
+      .select(
+        col(keyCol),
+        expr(s"__first div $bucketLen").as("cohort"),
+        (expr(s"$tsCol div $bucketLen") - expr(s"__first div $bucketLen")).as("bucket_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("bucket_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /**
    * FUNNEL: per key, the furthest stage of `stages` reached IN ORDER,
    * each stage matched at the earliest event strictly after the previous
    * match (greedy-earliest — the standard funnel semantics; greedy is

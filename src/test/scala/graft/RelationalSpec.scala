@@ -90,6 +90,21 @@ class RelationalSpec extends SparkTestBase {
     counts shouldBe Array((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L))
   }
 
+  "Relational.retention" should "count distinct keys per (cohort, offset)" in {
+    val ev = Seq(
+      ("u1", 5L), ("u1", 15L), ("u1", 25L),  // cohort 0, active buckets 0,1,2
+      ("u2", 12L), ("u2", 13L), ("u2", 22L), // cohort 1, buckets 0 (twice, distinct) and 1
+      ("u3", 27L)                            // cohort 2, bucket 0
+    ).toDF("user", "ts")
+    val out = Relational.retention(ev, "user", "ts", bucketLen = 10L)
+      .orderBy("cohort", "bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 0L, 1L))
+  }
+
   "Relational.winsorizedMean" should "clamp to exact interpolated percentiles before averaging" in {
     val d = Seq.tabulate(4)(i => ("a", (i + 1).toDouble)).toDF("k", "v")
       .union(Seq(("a", 100.0)).toDF("k", "v"))
