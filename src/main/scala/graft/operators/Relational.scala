@@ -132,12 +132,15 @@ object Relational {
       bucketLen: Long
   ): DataFrame = {
     require(bucketLen > 0, "bucketLen must be positive")
+    // true floor division in long arithmetic (see rangeJoin): correct for
+    // pre-epoch timestamps, exact above 2^53
+    def floorDiv(c: String): String = s"(($c - pmod($c, ${bucketLen}L)) div ${bucketLen}L)"
     val firstSeen = df.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__first"))
     df.join(firstSeen, keyCol)
       .select(
         col(keyCol),
-        expr(s"__first div $bucketLen").as("cohort"),
-        (expr(s"$tsCol div $bucketLen") - expr(s"__first div $bucketLen")).as("bucket_offset"))
+        expr(floorDiv("__first")).as("cohort"),
+        (expr(floorDiv(tsCol)) - expr(floorDiv("__first"))).as("bucket_offset"))
       .distinct()
       .groupBy(col("cohort"), col("bucket_offset"))
       .agg(count(lit(1)).as("n_keys"))
@@ -252,14 +255,23 @@ object Relational {
   ): DataFrame = {
     require(upper >= lower, "upper bound must be >= lower bound")
     val width = math.max(1L, upper - lower + 1)
+    // exact integer floor division: pmod is always in [0, width), so the
+    // numerator is exactly divisible and `div` stays in long arithmetic.
+    // (`floor(col / width)` would double-divide — loses precision above
+    // 2^53, i.e. for nanosecond epochs — and plain `div` truncates toward
+    // zero, mis-bucketing negative `ts + lower` values.)
+    def floorDiv(c: String): String = s"(($c - pmod($c, ${width}L)) div ${width}L)"
     // left probes the buckets its window [ts+lower, ts+upper] can touch
     val lB = left
       .withColumn("__lo", col(leftTsCol) + lower)
+      .withColumn("__hi", col(leftTsCol) + upper)
       .withColumn("__bucket", explode(sequence(
-        floor(col("__lo") / width),
-        floor((col(leftTsCol) + upper) / width))))
-      .drop("__lo")
-    val rB = right.withColumn("__bucket", floor(col(rightTsCol) / width))
+        expr(floorDiv("__lo")), expr(floorDiv("__hi")))))
+      .drop("__lo", "__hi")
+    val rB = right
+      .withColumn("__rts", col(rightTsCol))
+      .withColumn("__bucket", expr(floorDiv("__rts")))
+      .drop("__rts")
     lB.join(rB, keys :+ "__bucket")
       .filter(col(rightTsCol).between(col(leftTsCol) + lower, col(leftTsCol) + upper))
       .drop("__bucket")

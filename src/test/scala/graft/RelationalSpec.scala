@@ -114,6 +114,23 @@ class RelationalSpec extends SparkTestBase {
     out.getDouble(2) shouldBe 18.2 +- 1e-9
   }
 
+  it should "bucket correctly across zero and at nanosecond magnitudes" in {
+    // negative window edge: l_ts + lower crosses below 0 — true floor
+    // semantics must still probe the right buckets
+    val l = Seq((1L, "k", 3L)).toDF("l_id", "key", "l_ts")
+    val r = Seq((1L, "k", -40L), (2L, "k", -60L), (3L, "k", 10L)).toDF("r_id", "key", "r_ts")
+    val got = Relational.rangeJoin(l, r, Seq("key"), "l_ts", "r_ts", -50L, 20L)
+      .select("r_id").collect().map(_.getLong(0)).toSet
+    got shouldBe Set(1L, 3L) // -40 and 10 in [3-50, 3+20]; -60 out
+    // nanosecond-epoch magnitudes: integer floor-div keeps exactness where
+    // double division would round (ts > 2^53)
+    val big = 1706659200000000000L
+    val l2 = Seq((1L, "k", big)).toDF("l_id", "key", "l_ts")
+    val r2 = Seq((1L, "k", big + 999L), (2L, "k", big + 2000L)).toDF("r_id", "key", "r_ts")
+    Relational.rangeJoin(l2, r2, Seq("key"), "l_ts", "r_ts", 0L, 1000L)
+      .select("r_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
   it should "join on bucket equality, not a cartesian" in {
     val plan = Relational.rangeJoin(trades, quotes, Seq("sym"), "ts", "qts", -10L, 10L)
       .queryExecution.executedPlan.toString
