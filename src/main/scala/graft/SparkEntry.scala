@@ -225,6 +225,26 @@ object SparkEntry {
       Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
         planesPerTable = 6, tables = 8).orderBy("query_id", "rank")
     }),
+    // 1-bit multi-probe retrieval: half the tables (= half the persisted
+    // index), queries probe each bucket's sign-flips instead
+    "ann_join_mp" -> ((s, d) => {
+      val all    = emb(s, d)
+      val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 4)
+        .localCheckpoint(true)
+      Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
+        planesPerTable = 6, tables = 4, multiProbe = true).orderBy("query_id", "rank")
+    }),
+    // corpus-derived retrieval sizing: planesFor/tablesFor from the live
+    // count — the parameters a real deployment runs
+    "ann_join_auto" -> ((s, d) => {
+      val all = emb(s, d)
+      val kP  = Similarity.planesFor(all.count())
+      val lT  = Similarity.tablesFor(kP, simTarget = 0.9, recall = 0.9)
+      val corpus = Similarity.vectorIndex(all, planesPerTable = kP, tables = lT)
+        .localCheckpoint(true)
+      Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
+        planesPerTable = kP, tables = lT).orderBy("query_id", "rank")
+    }),
     // ---- text analysis
     "tx_tokens"      -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "tx_quality"     -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
@@ -469,6 +489,13 @@ object SparkEntry {
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_join_mp" -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 4,
+      dim = 64, multiProbe = true),
+    "ann_join_auto" -> {
+      val kP = Similarity.planesFor(embCount)
+      OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = kP,
+        tables = Similarity.tablesFor(kP, simTarget = 0.9, recall = 0.9), dim = 64)
+    },
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "tx_tokens" -> {

@@ -799,6 +799,9 @@ class PipelineSpec extends SparkTestBase {
       SparkEntry.oracleSqlFor(2000L)("ann_ivf_auto")
     SparkEntry.oracleSqlFor(500L)("ann_ivf") shouldBe
       SparkEntry.oracleSqlFor(2000L)("ann_ivf")
+    // retrieval-join auto sizing responds to the corpus count too
+    SparkEntry.oracleSqlFor(500L)("ann_join_auto") should not be
+      SparkEntry.oracleSqlFor(2000L)("ann_join_auto")
   }
 
   // seeds are the first `nlist` ids, so the planted twin must NOT be a seed:
