@@ -51,6 +51,29 @@ class StreamingCurateSpec extends SparkTestBase {
     out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L)
   }
 
+  it should "compose with StreamingDedup.exactDedup in one streaming query" in {
+    import graft.pipeline.StreamingDedup
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[ScDoc]
+    val cp    = Files.createTempDirectory("graft_sc_pipe_").toString
+    val piped = StreamingDedup.exactDedup(
+      StreamingCurate.curateStream(input.toDF(), keepLangs = Seq("en"), minQuality = 0.0,
+        maxRepetition = Some((0.7, 0.2, 0.9))),
+      "ts", "10 minutes")
+    val q = piped.writeStream.format("memory").queryName("sc_pipe").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000000L)
+      input.addData(
+        ScDoc(t0, 0L, good), ScDoc(t0, 1L, good),  // exact dup within the batch
+        ScDoc(t0, 2L, spam), ScDoc(t0, 3L, es))    // both rejected by curation
+      q.processAllAvailable()
+      val ids = spark.table("sc_pipe").select("doc_id").collect().map(_.getLong(0)).toSet
+      ids.size shouldBe 1               // one representative of the dup pair
+      ids.subsetOf(Set(0L, 1L)) shouldBe true
+    } finally q.stop()
+  }
+
   "StreamingCurate.qualityMonitor" should "aggregate per-window per-lang acceptance and quality" in {
     implicit val sqlc = spark.sqlContext
     val input = MemoryStream[ScDoc]
