@@ -265,6 +265,9 @@ object SparkEntry {
     // PII scrub: chained codegen'd regexp_replace, stage-sequential hit counts
     "tx_scrub" -> ((s, d) => TextAnalysis.scrubPii(docs(s, d))
       .select("doc_id", "text", "pii_hits").orderBy("doc_id")),
+    // canonical normalization: lowercase / strip control / collapse spaces
+    "tx_norm" -> ((s, d) => TextAnalysis.normalizeText(docs(s, d))
+      .select("doc_id", "text", "n_chars_norm").orderBy("doc_id")),
     // composed curation pipeline: exact dedup + language allowlist +
     // quality floor + token bounds in one digest shuffle + one projection
     "tx_curate" -> ((s, d) => pipeline.Curate.curate(docs(s, d), keepLangs = Seq("en", "de"),
@@ -556,6 +559,11 @@ object SparkEntry {
     "tx_qfilter"  -> OracleGen.quantileFilterSql(0.5),
     "tx_cap"      -> OracleGen.capPerGroupSql(10),
     "tx_scrub"    -> OracleGen.scrubPiiSql(),
+    "tx_norm" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS text,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')))::BIGINT AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
     "tx_json" ->

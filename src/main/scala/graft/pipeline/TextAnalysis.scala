@@ -236,6 +236,25 @@ object TextAnalysis {
       dupWord > dupWordMax || topWord > topWordMax || dupBigram > dupBigramMax)
   }
 
+  // ---- normalization -----------------------------------------------------
+
+  /**
+   * Canonical text normalization — the step that runs BEFORE any hashing
+   * or dedup so near-identical docs differing only in case/whitespace
+   * collapse together: lowercase, strip control characters, collapse
+   * whitespace runs to single spaces, trim. Pure codegen'd string
+   * functions; the identical transform is expressible in ANSI SQL, so the
+   * operator is oracle-checkable. Returns the frame with `textCol`
+   * normalized in place plus an `n_chars_norm` length column.
+   */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\p{Cntrl}]", " "),
+      "\\s+", " "))
+    df.withColumn(textCol, norm)
+      .withColumn("n_chars_norm", length(col(textCol)).cast("long"))
+  }
+
   // ---- PII scrubbing -----------------------------------------------------
 
   /** redaction patterns, applied IN ORDER — emails, then IPv4, then phone

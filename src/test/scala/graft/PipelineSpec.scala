@@ -767,6 +767,20 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe out
   }
 
+  "TextAnalysis.normalizeText" should "lowercase, strip control chars and collapse whitespace" in {
+    val d = Seq(
+      (0L, "  The   QUICK\tBrown\nFox  "),
+      (1L, "already clean text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(d).orderBy("doc_id").collect()
+    out(0).getString(1) shouldBe "the quick brown fox"
+    out(0).getLong(2) shouldBe 19L
+    out(1).getString(1) shouldBe "already clean text"
+    // normalization makes case/spacing near-dups collapse under exact dedup
+    val dups = Seq((0L, "Hello   World"), (1L, "hello world")).toDF("doc_id", "text")
+    Dedup.exact(TextAnalysis.normalizeText(dups)).count() shouldBe 1L
+  }
+
   "TextAnalysis.scrubPii" should "redact emails, IPs and phones without double-counting" in {
     val d = Seq(
       (0L, "contact bob@example.com or call +1 (555) 123-4567 now"),
