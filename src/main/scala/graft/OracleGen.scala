@@ -348,6 +348,18 @@ object OracleGen {
        |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, sim FROM v WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.deduplicated]]: vectors with NO smaller-id
+    * cosine near-duplicate (bucket-mates verified at `>= threshold`). */
+  def vectorDeduplicatedSql(threshold: Double, planesPerTable: Int, tables: Int, dim: Int): String =
+    s"""WITH ${lshBucketCtes(planesPerTable, tables, dim)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bd a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |drp AS (SELECT DISTINCT id_b FROM cand
+       |        JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+       |        WHERE round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) >= $threshold)
+       |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM drp)
+       |ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.annJoin]] with queries = `vec_id % qmod = 0`
     * against the whole corpus: bucket-collision candidates (self-matches
     * excluded), exact cosine, per-query top-k by rank window. */

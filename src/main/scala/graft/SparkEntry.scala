@@ -180,6 +180,9 @@ object SparkEntry {
     // the LSH code path — a bucketing bug replicated into OracleGen would
     // fail here
     "d_embed_exact" -> ((s, d) => Similarity.cosinePairs(emb(s, d).filter(col("vec_id") < 500), 0.4).orderBy("id_a", "id_b")),
+    // single-pass vector dedup: keep every vector with no smaller-id near-dup
+    "d_embed_dedup" -> ((s, d) => Similarity.deduplicated(emb(s, d), 0.4,
+      planesPerTable = 7, tables = 12).select("vec_id").orderBy("vec_id")),
     // ---- similarity search
     "ann_topk" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
@@ -479,6 +482,7 @@ object SparkEntry {
     "d_embed"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "d_embed_gate" -> OracleGen.vectorGateSql(0.4, planesPerTable = 7, tables = 12, dim = 64, mod = 4),
     "d_embed_exact" -> OracleGen.cosinePairsSql(0.4, dim = 64, idMax = 500),
+    "d_embed_dedup" -> OracleGen.vectorDeduplicatedSql(0.4, planesPerTable = 7, tables = 12, dim = 64),
     "ann_lsh"   -> OracleGen.lshCosinePairsSql(0.4, planesPerTable = 6, tables = 8, dim = 64),
     "ann_lsh_auto" -> OracleGen.lshCosinePairsAutoSql(0.4, embCount,
       simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = false, dim = 64),
