@@ -30,16 +30,21 @@ class SseSubscriberSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "never block the publisher on a stalled client and evict on overflow" in {
-    val stall  = new CountDownLatch(1)
-    val deaths = new AtomicInteger(0)
+    val stall   = new CountDownLatch(1)
+    val entered = new CountDownLatch(1)
+    val deaths  = new AtomicInteger(0)
     val sub = new SseSubscriber(
-      write = _ => stall.await(), // socket that never drains
+      write = _ => { entered.countDown(); stall.await() }, // socket that never drains
       onDead = () => deaths.incrementAndGet(),
       capacity = 8, refreshMs = 5)
+    // pin the flusher INSIDE the stalled write first — otherwise its
+    // drainTo batch could absorb an arbitrary prefix of the offers below
+    // and the queue would never overflow (was a ~1-in-3 flake under load)
+    sub.offer("""{"i":0}""")
+    entered.await(10, TimeUnit.SECONDS) shouldBe true
     val t0 = System.nanoTime()
-    // first event gets taken by the flusher (which then stalls in write);
-    // the rest fill the 8-slot buffer; one more overflows → eviction
-    (1 to 12).foreach(i => sub.offer(s"""{"i":$i}"""))
+    // flusher is stalled: 8 offers fill the buffer, the 9th overflows
+    (1 to 9).foreach(i => sub.offer(s"""{"i":$i}"""))
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     elapsedMs should be < 2000.0 // offers returned immediately, no write-block
     sub.isClosed shouldBe true   // overflow evicted the subscriber
