@@ -1,9 +1,24 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
+import graft.pipeline.Checkpoints
+
 /** Per-round benchmark: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds. */
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  *
+  * Long-session health: a 90-query × 3-run session compiles hundreds of
+  * codegen'd plans and (before round 8) accumulated every pipeline
+  * checkpoint block until GC won — which intermittently collapsed
+  * late-session queries 20-50×. Two defenses here: each run's result frame
+  * is released deterministically ([[Checkpoints.free]]), and per-query JVM
+  * health (code-cache occupancy, GC time delta, live persisted-RDD count)
+  * is printed next to the timing so any recurrence is attributable from
+  * the bench log alone. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,6 +35,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- JVM health probes (diagnosis for the late-session cliff) ----
+    val codeCachePools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains("CodeHeap")) // segmented cache: profiled nmethods etc.
+    def codeCacheUsedMb: Long = codeCachePools.map(_.getUsage.getUsed).sum >> 20
+    def gcMillis: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def metaspaceUsedMb: Long = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName == "Metaspace").map(_.getUsage.getUsed).sum >> 20
+    def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+
     // untimed warmup: JVM/codegen/parquet-footer startup should not land on
     // the alphabetically-first query
     try SparkEntry.queries("g_count")(spark, sfDir).count()
@@ -27,22 +52,39 @@ object Bench {
 
     // min of three runs per query: absorbs one-off JIT/IO/scheduler noise
     // (observed ±2-4x swings on shared hardware — a single noisy window
-    // once recorded a phantom regression, so all per-run times are printed)
+    // once recorded a phantom regression, so all per-run times are printed,
+    // and max/min exposes a mid-session cliff even when min looks fine)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var rows = -1L
+      val gc0  = gcMillis
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { rows = fn(spark, sfDir).count() }
+        try {
+          val df = fn(spark, sfDir)
+          rows = df.count()
+          // release this run's checkpoint blocks NOW — pipeline queries
+          // otherwise stack ~1 dead frame per run until the ContextCleaner
+          // happens to win, which is exactly the late-session degradation
+          Checkpoints.free(df)
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      val best = times.min
-      val all  = times.map(t => f"$t%.3f").mkString(",")
-      System.err.println(f"[bench] $name%-16s $best%8.3f s  rows=$rows%-8d runs=[$all]")
-      name -> best
+      val best  = times.min
+      val worst = times.max
+      val all   = times.map(t => f"$t%.3f").mkString(",")
+      System.err.println(
+        f"[bench] $name%-16s $best%8.3f s  max=$worst%8.3f  rows=$rows%-8d runs=[$all]  " +
+          f"cc=${codeCacheUsedMb}%3dMB meta=${metaspaceUsedMb}%3dMB gc+=${gcMillis - gc0}%4dms rdds=$persistedRdds%3d")
+      (name, best, worst)
     }
-    val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // loud summary of any query whose worst run cliffed vs its best — the
+    // round-7 artifact (245 s recorded for an 11 s query) stays visible
+    results.filter { case (_, b, w) => b > 0 && w / b > 3.0 }.foreach { case (n, b, w) =>
+      System.err.println(f"[bench] UNSTABLE $n: min=$b%.3f max=$w%.3f (${w / b}%.1fx)")
+    }
+    val qs    = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

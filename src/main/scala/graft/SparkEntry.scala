@@ -603,7 +603,7 @@ object SparkEntry {
         |        CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_sess
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts,
-        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |        (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
         |      FROM g)
         |SELECT user_id, session_idx, count(*) AS n_events, min(ts) AS session_start,
         |       max(ts) AS session_end, max(ts) - min(ts) AS duration

@@ -313,7 +313,7 @@ class HttpApi(
           case None => (200, """{"lastSweep":null}""")
           case Some(r) =>
             val errs = r.errors.map(mapper.writeValueAsString).mkString("[", ",", "]")
-            (200, s"""{"lastSweep":{"atMs":${r.atMs},"metricsSwept":${r.metricsSwept},"evictedShards":${r.evictedShards},"compactedShards":${r.compactedShards},"errors":$errs}}""")
+            (200, s"""{"lastSweep":{"atMs":${r.atMs},"metricsSwept":${r.metricsSwept},"evictedShards":${r.evictedShards},"compactedShards":${r.compactedShards},"sidecarsRecapped":${r.sidecarsRecapped},"errors":$errs}}""")
         }
       case Array("commands", db, "namespaces")  => listOf("namespaces", Ast.ShowNamespaces, db)
       case Array("commands", db, ns, "metrics") => listOf("metrics", Ast.ShowMetrics, db, ns)

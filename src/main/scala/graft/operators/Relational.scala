@@ -39,6 +39,9 @@ object Relational {
   ): DataFrame = {
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTsCol)
     val leftVals  = left.columns.filterNot(keys.contains)
+    val shared    = leftVals.toSet.intersect(rightVals.toSet)
+    require(shared.isEmpty,
+      s"asofJoin payload columns must be disjoint (rename or drop on one side): ${shared.mkString(", ")}")
     val rvStruct  = struct(rightVals.map(col): _*)
     val rvSchema  = right.select(rightVals.map(col): _*).schema
     val lvStruct  = struct(leftVals.map(col): _*)
@@ -203,12 +206,18 @@ object Relational {
 
   /**
    * WINSORIZED MEAN per group: clamp values to the group's [pLo, pHi]
-   * exact percentiles, then average — the standard outlier-robust
-   * aggregate. Two passes sharing one shuffle key: percentiles first
-   * (Spark's exact `percentile` keeps a per-group counts-map of distinct
-   * values — fine for bounded/discretized domains; swap in
-   * `approx_percentile` for unbounded continuous ones), cutoffs broadcast
-   * back, then a plain map-side-combined average of the clamped value.
+   * percentiles, then average — the standard outlier-robust aggregate.
+   * Two passes sharing one shuffle key: percentiles first, cutoffs
+   * broadcast back, then a plain map-side-combined average of the clamped
+   * value.
+   *
+   * `approx = false` (default) uses Spark's exact `percentile`, which
+   * keeps a per-group counts-map of DISTINCT values — fine for bounded or
+   * discretized domains. For unbounded continuous domains at 100 TB that
+   * state grows with distinct-value count, so `approx = true` switches
+   * the SAME call shape to `approx_percentile` (fixed-size t-digest-style
+   * sketch state, rank error ≤ 1/`approxAccuracy`) — the scale path is a
+   * flag, not an edit. A spec bounds the approx-vs-exact drift.
    */
   def winsorizedMean(
       df: DataFrame,
@@ -216,13 +225,18 @@ object Relational {
       valueCol: String,
       pLo: Double,
       pHi: Double,
-      dp: Int = 3
+      dp: Int = 3,
+      approx: Boolean = false,
+      approxAccuracy: Int = 10000
   ): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    def pct(p: Double) =
+      if (approx) s"approx_percentile($valueCol, $p, $approxAccuracy)"
+      else s"percentile($valueCol, $p)"
     val cuts = df.groupBy(keys.map(col): _*)
       .agg(
-        expr(s"percentile($valueCol, $pLo)").as("__lo"),
-        expr(s"percentile($valueCol, $pHi)").as("__hi"))
+        expr(pct(pLo)).cast("double").as("__lo"),
+        expr(pct(pHi)).cast("double").as("__hi"))
     df.join(broadcast(cuts), keys)
       .groupBy(keys.map(col): _*)
       .agg(
@@ -238,11 +252,12 @@ object Relational {
    *
    * A plain inequality join degenerates to per-key cartesian; the
    * scalable shape buckets time at the window width and joins on
-   * `(keys, bucket)` equality: each left row probes its own bucket and
-   * the two adjacent ones (one explode×3 on the smaller side), then the
-   * exact range predicate filters. Candidates are bounded by bucket
-   * occupancy — work scales with the true match density, not |L|×|R|
-   * per key.
+   * `(keys, bucket)` equality: each left row probes its own bucket and,
+   * when its window straddles a boundary, the adjacent one (explode ×≤2 —
+   * the window spans `upper - lower = width - 1` ticks, so it touches at
+   * most two width-sized buckets), then the exact range predicate
+   * filters. Candidates are bounded by bucket occupancy — work scales
+   * with the true match density, not |L|×|R| per key.
    */
   def rangeJoin(
       left: DataFrame,

@@ -135,7 +135,14 @@ object Curate {
     val curated = curate(base, keepLangs, minQuality, textCol = textCol, idCol = idCol)
       .select(col(idCol), col("predicted_lang"), col("quality"))
       .localCheckpoint(true)
-    val survivors0 = base.join(curated.select(col(idCol)), Seq(idCol), "left_semi")
+    // ONE membership join carries everything the optional stages need: when
+    // the per-source cap is on, the curation-pass quality rides the same
+    // inner join that establishes membership (an extra re-join of `curated`
+    // would pay a second shuffle for a column the first join already had in
+    // hand); otherwise the cheaper left_semi keeps the column set untouched.
+    val survivors0 = perSourceCap.fold(
+      base.join(curated.select(col(idCol)), Seq(idCol), "left_semi"))(_ =>
+      base.join(curated.select(col(idCol), col("quality")), Seq(idCol)))
     // repetition reject fuses into the survivor scan — row-local, no shuffle
     val survivors1 = maxRepetition.fold(survivors0) { case (dw, tw, db) =>
       val (_, _, _, repetitive) = TextAnalysis.repetitionCols(col(textCol), dw, tw, db)
@@ -145,7 +152,6 @@ object Curate {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col(sourceCol)).orderBy(col("quality").desc, col(idCol))
       survivors1
-        .join(curated.select(col(idCol), col("quality")), Seq(idCol))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .drop("rn", "quality")
@@ -161,11 +167,23 @@ object Curate {
       else survivors
     val clean = Dedup.decontaminate(survMat, evalDf, deconShingleK, textCol, idCol)
       .localCheckpoint(true) // feeds CC mining, the reps semi-join and withLang
-    val reps = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)
-      .filter(col(idCol) === col("rep")).select(col(idCol))
+    val clusters = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)
+    val reps     = clusters.filter(col(idCol) === col("rep")).select(col(idCol))
     val deduped  = clean.join(reps, Seq(idCol), "left_semi")
     val withLang = deduped.join(curated.select(col(idCol), col("predicted_lang")), Seq(idCol))
     val mixed    = Sampling.stratifiedHashSample(withLang, "predicted_lang", mixRates, idCol = idCol)
-    Sampling.packSequences(mixed, seqTokens, textCol, idCol)
+    val packed   = Sampling.packSequences(mixed, seqTokens, textCol, idCol)
+    // packSequences pins its range-partitioned prefix frame eagerly, so the
+    // whole upstream graph has ALREADY executed by this point — the returned
+    // frame reads only that pin (plus a driver-built broadcast). Every stage
+    // materialization above is therefore dead NOW; release it
+    // deterministically instead of leaving ~6 checkpointed frames per run to
+    // GC + ContextCleaner timing (the long-session scale-killer). The caller
+    // releases the result itself with `Checkpoints.free(result)` when done.
+    Checkpoints.free(
+      Seq(clean, clusters, curated) ++
+        (if (base ne df) Seq(base) else Nil) ++
+        (if (survMat ne survivors) Seq(survMat) else Nil): _*)
+    packed
   }
 }

@@ -429,8 +429,7 @@ object Dedup {
       df: DataFrame,
       spanK: Int = 50,
       minDocs: Long = 2L,
-      textCol: String = "text",
-      idCol: String = "doc_id"
+      textCol: String = "text"
   ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df
@@ -455,7 +454,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val repeated = repeatedSpans(df, spanK, minDocs, textCol, idCol).select(col("span_hash"))
+    val repeated = repeatedSpans(df, spanK, minDocs, textCol).select(col("span_hash"))
     df
       .select(col(idCol), explode(GraftFunctions.shingles(col(textCol), spanK)).as("span_hash"))
       .join(broadcast(repeated), "span_hash")
@@ -511,14 +510,23 @@ object Dedup {
         .join(labels.withColumnRenamed("rep", "__prev"), "id")
         .filter(col("rep") =!= col("__prev"))
         .isEmpty
+      // the convergence probe was this round's last read of the previous
+      // labels — free its blocks now instead of waiting on GC (a long
+      // session otherwise accumulates one dead frame per round per call)
+      Checkpoints.free(labels)
       labels = next
       i += 1
     }
+    // the edge relation (and the pairs checkpoint beneath it) is dead once
+    // iteration stops: the result below reads only df and the final labels
+    Checkpoints.free(pairs)
     // exact result or loud failure — a silently non-minimal labeling would
     // under-merge clusters (only reachable via a >maxIters-diameter chain)
-    if (!converged)
+    if (!converged) {
+      Checkpoints.free(labels)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters rounds — raise maxIters for ultra-long near-dup chains")
+    }
     // docs in no pair are their own singleton cluster
     df.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

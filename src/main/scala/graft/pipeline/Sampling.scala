@@ -72,8 +72,13 @@ object Sampling {
   ): Map[String, Double] = {
     require(temperature > 0, "temperature must be positive")
     require(totalFraction > 0 && totalFraction <= 1, "totalFraction must be in (0,1]")
-    val counts = df.groupBy(col(stratumCol)).count().collect()
+    // null strata can't carry a rate (stratifiedHashSample matches by
+    // equality, which is never true for NULL) — exclude them up front so
+    // getString can't NPE and the temperature shares cover real strata only.
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1) // sorted: deterministic fold order
+    if (counts.isEmpty) return Map.empty // empty corpus: z = 0 would make every rate NaN
     val total = counts.map(_._2).sum.toDouble
     val pw    = counts.map { case (s, c) => (s, c, math.pow(c.toDouble, 1.0 / temperature)) }
     val z     = pw.map(_._3).sum

@@ -32,6 +32,78 @@ object StreamingDedup {
     * lockstep with it. */
   def bandedPathFor(indexPath: String): String = s"${indexPath}_banded"
 
+  /** Build parameters a gated index's sidecar was created with — what a
+    * periodic re-cap ([[compactSidecars]]) needs to rebuild it. */
+  final case class SidecarSpec(numHashes: Int, bands: Int, maxBucket: Int)
+
+  // gated indexes whose sidecars erode (accepted batches append un-capped
+  // rows) — [[startGatedIngest]] registers, [[compactSidecars]] sweeps.
+  private val capRegistry = new java.util.concurrent.ConcurrentHashMap[String, SidecarSpec]()
+
+  /** Register `indexPath` for periodic sidecar re-capping (automatic from
+    * [[startGatedIngest]] when it extends the index). Idempotent. */
+  def registerForCompaction(indexPath: String, numHashes: Int, bands: Int, maxBucket: Int): Unit =
+    capRegistry.put(indexPath, SidecarSpec(numHashes, bands, maxBucket))
+
+  /** Drop `indexPath` from the compaction sweep (e.g. after the owning
+    * stream is permanently stopped and the index archived). */
+  def unregisterFromCompaction(indexPath: String): Unit = capRegistry.remove(indexPath)
+
+  /** Paths currently registered for sidecar re-capping. */
+  def registeredForCompaction: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    capRegistry.keySet().asScala.toSeq.sorted
+  }
+
+  /**
+   * Re-apply the bucket-count cap to every registered banded sidecar —
+   * the compaction-time counterpart of the gate's per-batch appends: the
+   * cap is enforced when a sidecar is BUILT ([[Dedup.bandedIndex]]), but
+   * each accepted batch appends its own `(id, band, bucket)` rows
+   * un-capped, so a bucket that grows hot purely from accepted batches
+   * degrades candidate pruning until re-capped here. Mirrors the
+   * reference's periodic retention check
+   * (`nsdb-cluster/.../MetadataCoordinator.scala:83-84,198`): wired into
+   * `Maintenance.runOnce`, it pays the corpus-wide bucket count ONCE per
+   * sweep per index — exactly the aggregation the per-batch path must
+   * never run.
+   *
+   * The rebuilt sidecar is written to a temp directory and swapped in via
+   * FS rename, so a concurrent batch either reads the old capped relation
+   * or — in the brief swap window — finds the path missing and self-heals
+   * by deriving it from the signature index. One compactor per index at a
+   * time (Maintenance's single sweep thread satisfies this).
+   *
+   * Returns `(recappedCount, errors)`; one index's failure never aborts
+   * the sweep for the rest.
+   */
+  def compactSidecars(spark: SparkSession): (Int, Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    var ok = 0
+    val errors = Seq.newBuilder[String]
+    capRegistry.asScala.toSeq.sortBy(_._1).foreach { case (indexPath, spec) =>
+      try {
+        loadIndex(spark, indexPath) match {
+          case None => () // index gone or not yet seeded — nothing to re-cap
+          case Some(idx) =>
+            val banded = bandedPathFor(indexPath)
+            val tmp    = s"$banded._compacting"
+            Dedup.bandedIndex(idx, spec.numHashes, spec.bands, spec.maxBucket)
+              .write.mode("overwrite").parquet(tmp)
+            val fs = new org.apache.hadoop.fs.Path(banded)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(banded), true)
+            fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(banded))
+            ok += 1
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += s"sidecar re-cap $indexPath: ${e.getMessage}"
+      }
+    }
+    (ok, errors.result())
+  }
+
   /**
    * Exact streaming dedup: drop any record whose content digest was
    * already seen within the watermark delay. State (one md5 per distinct
@@ -114,7 +186,10 @@ object StreamingDedup {
       triggerMs: Long = 1000L,
       dedupWithinBatch: Boolean = true,
       extendIndex: Boolean = true
-  )(sink: DataFrame => Unit): StreamingQuery =
+  )(sink: DataFrame => Unit): StreamingQuery = {
+    // an extending gate erodes its sidecar's cap — enroll it in the
+    // periodic re-cap sweep (Maintenance.runOnce → compactSidecars)
+    if (extendIndex) registerForCompaction(indexPath, numHashes, bands, maxBucket)
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -128,9 +203,14 @@ object StreamingDedup {
         // not yet in the index)
         sink(mat)
         if (extendIndex) extendIndexes(mat, indexPath, numHashes, bands, shingleK, textCol, idCol)
+        // the batch pin is dead once sink + appends ran — free it NOW: a
+        // 24/7 stream otherwise accumulates one checkpointed frame per
+        // trigger until GC + ContextCleaner catch up
+        Checkpoints.free(mat)
         ()
       }
       .start()
+  }
 
   /**
    * One micro-batch through the gate (exposed for plan-level tests):
@@ -190,6 +270,7 @@ object StreamingDedup {
     sigs.write.mode("append").parquet(indexPath)
     Dedup.bandRelation(sigs, numHashes, bands)
       .write.mode("append").parquet(bandedPathFor(indexPath))
+    Checkpoints.free(sigs) // both writes done — release the per-batch pin
   }
 
   /**
@@ -235,6 +316,7 @@ object StreamingDedup {
         if (extendIndex)
           Similarity.vectorIndex(mat, planesPerTable, tables, vecCol = vecCol, idCol = idCol)
             .write.mode("append").parquet(indexPath)
+        Checkpoints.free(mat) // per-trigger pin released (see text gate)
         ()
       }
       .start()

@@ -287,23 +287,30 @@ object TextAnalysis {
   // ---- distribution quantiles --------------------------------------------
 
   /**
-   * Per-group EXACT percentiles of the whitespace token count (linear
-   * interpolation — the ANSI `quantile_cont` definition, so the oracle
-   * replays it). Spark's exact `percentile` aggregate keeps a counts-map of
-   * DISTINCT values per group; token counts are small bounded integers, so
-   * state stays tiny even over a 100 TB corpus (the partial aggregation is
-   * map-side combined — only per-group value:count maps shuffle). For
-   * unbounded/continuous domains use `approx_percentile` instead (same call
-   * shape, t-digest state) — spec-compared against this one for closeness.
+   * Per-group percentiles of the whitespace token count. The default is
+   * EXACT (linear interpolation — the ANSI `quantile_cont` definition, so
+   * the oracle replays it): Spark's exact `percentile` aggregate keeps a
+   * counts-map of DISTINCT values per group; token counts are small
+   * bounded integers, so state stays tiny even over a 100 TB corpus (the
+   * partial aggregation is map-side combined — only per-group value:count
+   * maps shuffle). `approx = true` switches the same call shape to
+   * `approx_percentile` (fixed-size sketch state, rank error ≤
+   * 1/`approxAccuracy`, nearest-rank rather than interpolated) for
+   * unbounded/continuous scoring domains — the 100 TB path is a flag, not
+   * an edit; a spec bounds the drift against the exact form.
    */
   def tokenQuantiles(
       df: DataFrame,
       groupCol: String = "lang",
       textCol: String = "text",
-      ps: Seq[Double] = Seq(0.5, 0.9)
+      ps: Seq[Double] = Seq(0.5, 0.9),
+      approx: Boolean = false,
+      approxAccuracy: Int = 10000
   ): DataFrame = {
     val base = df.select(col(groupCol), size(words(col(textCol))).cast("double").as("n"))
-    val aggs = ps.map(p => round(expr(s"percentile(n, $p)"), 4).as(s"p${(p * 100).round}_tokens"))
+    def pct(p: Double) =
+      if (approx) s"approx_percentile(n, $p, $approxAccuracy)" else s"percentile(n, $p)"
+    val aggs = ps.map(p => round(expr(pct(p)).cast("double"), 4).as(s"p${(p * 100).round}_tokens"))
     base.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -318,9 +325,10 @@ object TextAnalysis {
       df: DataFrame,
       p: Double,
       groupCol: String = "lang",
-      textCol: String = "text"
+      textCol: String = "text",
+      approx: Boolean = false
   ): DataFrame = {
-    val cuts = tokenQuantiles(df, groupCol, textCol, Seq(p))
+    val cuts = tokenQuantiles(df, groupCol, textCol, Seq(p), approx)
       .withColumnRenamed(s"p${(p * 100).round}_tokens", "cutoff")
     df.join(broadcast(cuts), groupCol)
       .filter(size(words(col(textCol))).cast("double") >= col("cutoff"))

@@ -141,6 +141,35 @@ class PipelineSpec extends SparkTestBase {
     ids.size shouldBe 2
   }
 
+  it should "release every intermediate materialization deterministically" in {
+    import graft.pipeline.{Checkpoints, Curate}
+    val evalSet = Seq((900L, "the hidden benchmark answer is exactly forty two today and tomorrow and forever more")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and it runs on and on for a while in the field", "s0"),
+      (1L, "the quick brown fox jumps over the lazy dog and it runs on and on for a while in the field", "s0"),
+      (2L, "a completely different and reasonably long english document about the engine and the data it is processing", "s1"),
+      (3L, "write to the admin at admin@example.com for the answers to all of the questions in the set", "s1")
+    ).toDF("doc_id", "text", "source")
+    val sc       = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet
+    // every optional stage ON: the run materializes scrub, curated,
+    // survivors, clean and the CC label rounds — all of which must be gone
+    // again by the time trainingMix returns (this is the 24/7-service
+    // guarantee: block lifetime is bounded by the call, not by GC timing)
+    val out = Curate.trainingMix(corpus, evalSet, mixRates = Map("en" -> 1.0), seqTokens = 16L,
+      keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5,
+      scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)), perSourceCap = Some(2))
+    out.count() shouldBe out.count() // stable across re-reads of the pin
+    val leftover = sc.getPersistentRDDs.keySet -- baseline
+    // only the result's own backing pin (packSequences' range-partitioned
+    // prefix frame) may survive the call
+    leftover.size should be <= 1
+    Checkpoints.free(out)
+    (sc.getPersistentRDDs.keySet -- baseline) shouldBe empty
+    // freeing is idempotent and a frame with no pins is a no-op
+    Checkpoints.free(out, corpus)
+  }
+
   "Dedup.decontaminate" should "drop docs sharing any k-shingle with the eval set" in {
     val evalSet = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
     val corpus = Seq(
@@ -659,16 +688,13 @@ class PipelineSpec extends SparkTestBase {
     out(1).getDouble(2) shouldBe 4.6 +- 1e-9
   }
 
-  it should "agree with approx_percentile (the unbounded-domain path) within tolerance" in {
-    // the real documents table: enough rows per lang for the t-digest to settle
+  it should "agree with the approx = true flag (the unbounded-domain path) within tolerance" in {
+    // the real documents table: enough rows per lang for the sketch to settle
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextAnalysis.tokenQuantiles(d).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = d
-      .select(col("lang"), F.size(F.split(col("text"), " ")).cast("double").as("n"))
-      .groupBy("lang")
-      .agg(expr("approx_percentile(n, 0.5, 10000)").as("p50"), expr("approx_percentile(n, 0.9, 10000)").as("p90"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = TextAnalysis.tokenQuantiles(d, approx = true).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     exact.keySet shouldBe approx.keySet
     exact.foreach { case (lang, (p50, p90)) =>
       approx(lang)._1 shouldBe p50 +- math.max(1.0, p50 * 0.05)

@@ -114,6 +114,19 @@ class RelationalSpec extends SparkTestBase {
     out.getDouble(2) shouldBe 18.2 +- 1e-9
   }
 
+  it should "stay close to the exact form under approx = true (the unbounded-domain flag)" in {
+    // a continuous-ish value domain big enough for the sketch to settle;
+    // approx_percentile returns an actual element (nearest rank) where the
+    // exact form interpolates, so the clamp cutoffs differ by at most one
+    // inter-element gap — the winsorized mean must track within a tight
+    // relative band
+    val d = Seq.tabulate(2000)(i => ("g", (i % 997).toDouble * 1.37)).toDF("k", "v")
+    val exact  = Relational.winsorizedMean(d, Seq("k"), "v", 0.05, 0.95, dp = 6).collect().head
+    val approx = Relational.winsorizedMean(d, Seq("k"), "v", 0.05, 0.95, dp = 6, approx = true).collect().head
+    approx.getLong(1) shouldBe exact.getLong(1)
+    approx.getDouble(2) shouldBe exact.getDouble(2) +- math.abs(exact.getDouble(2)) * 0.01
+  }
+
   it should "bucket correctly across zero and at nanosecond magnitudes" in {
     // negative window edge: l_ts + lower crosses below 0 — true floor
     // semantics must still probe the right buckets

@@ -150,6 +150,48 @@ class StreamingDedupSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(11L)
   }
 
+  it should "restore the sidecar's bucket cap on a maintenance re-cap sweep" in {
+    // the cap is applied when the sidecar is BUILT; accepted batches append
+    // un-capped rows, so a bucket hot purely from batch traffic erodes the
+    // candidate bound until compactSidecars (wired into Maintenance.runOnce)
+    // rebuilds the capped relation from the signature index
+    val maxBucket = 3
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (1L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("graft_sdd_recap_").toString + "/index"
+    Dedup.writeSignatureIndex(Dedup.signatureIndex(corpusDocs), idxPath)
+    val bandedPath = StreamingDedup.bandedPathFor(idxPath)
+    Dedup.bandedIndex(Dedup.readSignatureIndex(spark, idxPath), maxBucket = maxBucket)
+      .write.mode("overwrite").parquet(bandedPath)
+
+    // simulate the accepted-batch loop: 8 exact copies of one text appended
+    // to BOTH directories (what extendIndexes does per accepted batch) —
+    // their shared buckets now exceed the cap in the sidecar
+    val copies = (100L to 107L)
+      .map(i => (i, "an endlessly repeated boilerplate footer that every accepted batch carries along"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatureIndex(copies)
+    sigs.write.mode("append").parquet(idxPath)
+    Dedup.bandRelation(sigs).write.mode("append").parquet(bandedPath)
+    def hotBuckets(): Long = spark.read.parquet(bandedPath)
+      .groupBy("band", "bucket").count().filter(col("count") > maxBucket).count()
+    hotBuckets() should be > 0L // eroded
+
+    StreamingDedup.registerForCompaction(idxPath, numHashes = 64, bands = 16, maxBucket = maxBucket)
+    try {
+      StreamingDedup.registeredForCompaction should contain(idxPath)
+      val (recapped, errs) = StreamingDedup.compactSidecars(spark)
+      errs shouldBe empty
+      recapped should be >= 1
+      hotBuckets() shouldBe 0L // every bucket back under the cap
+      // the re-capped sidecar still carries the original corpus rows
+      spark.read.parquet(bandedPath).select("id").distinct()
+        .collect().map(_.getLong(0)).toSet should contain allOf (0L, 1L)
+    } finally StreamingDedup.unregisterFromCompaction(idxPath)
+  }
+
   it should "still catch corpus near-dups through the self-healed sidecar" in {
     // regression guard for sidecar seeding: the sidecar must carry the
     // ORIGINAL corpus band rows, not just post-seed accepted batches

@@ -8,6 +8,35 @@ import graft.catalog.{Coords, Warehouse}
 import graft.plan.TimeContext
 import graft.sql.Ast
 
+/** Second-driver probe for the cross-process lock spec: its own JVM, its
+  * own SparkSession, appending `n` single-row batches that introduce a
+  * `child_dim` column to the shared metric. Writes `<root>/.child_ready`
+  * after Spark init so the parent can overlap its own appends, and exits
+  * non-zero if any append is rejected. */
+object LockProbeMain {
+  def main(args: Array[String]): Unit = {
+    val Array(root, metric, nStr) = args
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val wh = new Warehouse(spark, root)
+    val c  = Coords("db", "ns", metric)
+    Files.write(java.nio.file.Paths.get(root, ".child_ready"), Array.emptyByteArray)
+    var failures = 0
+    (1 to nStr.toInt).foreach { i =>
+      wh.append(c,
+        Seq((1000000L + i * 1000L, i.toDouble, s"c$i")).toDF("timestamp", "value", "child_dim"),
+        tags = Set.empty)
+        .left.foreach { e => failures += 1; System.err.println(s"[lock-probe] append $i rejected: $e") }
+    }
+    spark.stop()
+    sys.exit(if (failures > 0) 1 else 0)
+  }
+}
+
 /** Warehouse specs: sharded write/read, schema union, insert/delete/drop,
   * retention, commands — the reference's write-coordinator surface. */
 class WarehouseSpec extends SparkTestBase {
@@ -387,6 +416,62 @@ class WarehouseSpec extends SparkTestBase {
     pool.shutdown()
     new java.io.File(s"$root/db/ns/mlock/.lock").exists shouldBe true
     new Warehouse(spark, root).read(c).fold(fail(_), _.df.count()) shouldBe 10L
+  }
+
+  it should "serialize schema-union validation across two driver PROCESSES" in {
+    // the genuinely-two-JVM shape the advisory file lock exists for
+    // (reference guarantee: one SchemaCoordinator validates every schema
+    // mutation, SchemaCoordinator.scala): a forked second driver appends
+    // batches carrying its own `child_dim` column while this JVM appends
+    // batches carrying `parent_dim`. Serialized read-union-write on
+    // meta.json means NO lost update: the final schema holds both columns
+    // and every row from both writers is readable.
+    val root   = Files.createTempDirectory("graft_wh_2proc_").toString
+    val metric = "m2proc"
+    val c      = Coords("db", "ns", metric)
+    val n      = 6
+
+    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val childLog = new java.io.File(s"$root/child.log")
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-cp", sys.props("java.class.path"),
+        "graft.LockProbeMain", root, metric, n.toString)): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(childLog)
+    val child = pb.start()
+    try {
+      // overlap the writers: wait until the child's session is up
+      val ready    = java.nio.file.Paths.get(root, ".child_ready")
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (!Files.exists(ready) && child.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      Files.exists(ready) shouldBe true
+      val wh = new Warehouse(spark, root)
+      (1 to n).foreach { i =>
+        wh.append(c,
+          Seq((2000000L + i * 1000L, i.toDouble, s"p$i")).toDF("timestamp", "value", "parent_dim"),
+          tags = Set.empty).fold(e => fail(s"parent append rejected: $e"), identity) shouldBe 1L
+      }
+      child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      withClue(s"child log:\n${new String(Files.readAllBytes(childLog.toPath)).takeRight(2000)}\n") {
+        child.exitValue() shouldBe 0
+      }
+      val ref = wh.read(c).fold(fail(_), identity)
+      // no lost schema update: the union carries BOTH writers' columns
+      ref.schema.orderedNames should contain allOf ("child_dim", "parent_dim")
+      ref.df.count() shouldBe (2L * n)
+      ref.df.filter(col("child_dim").isNotNull).count() shouldBe n.toLong
+      ref.df.filter(col("parent_dim").isNotNull).count() shouldBe n.toLong
+    } finally if (child.isAlive) child.destroyForcibly()
   }
 
   it should "answer metadata commands" in {
