@@ -48,4 +48,39 @@ object Checkpoints {
     frames.flatMap(roots)
       .groupBy(_.id).map(_._2.head)
       .foreach(_.unpersist(blocking = false))
+
+  // ---- pin attribution -------------------------------------------------
+  // The shared test/session SparkContext makes `getPersistentRDDs` diffs
+  // racy (any concurrent caller pins blocks too), so lifecycle guarantees
+  // are stated per CALL instead: every pipeline-internal checkpoint goes
+  // through [[pin]], and [[scoped]] hands back exactly the pins the wrapped
+  // call created on this thread — auditable regardless of what the rest of
+  // the session is doing.
+
+  private val scopes = new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[RDD[_]]]] {
+    override def initialValue(): List[scala.collection.mutable.ArrayBuffer[RDD[_]]] = Nil
+  }
+
+  /** `localCheckpoint(eager)` + record the new pin in every active [[scoped]]
+    * block on this thread (free-standing calls record nothing). */
+  def pin(df: DataFrame): DataFrame = {
+    val c  = df.localCheckpoint(true)
+    val rs = roots(c)
+    scopes.get().foreach(_ ++= rs)
+    c
+  }
+
+  /** Run `body`, returning its result plus every RDD [[pin]]ned by this
+    * thread during it (whether or not since unpersisted). Nests. */
+  def scoped[T](body: => T): (T, Seq[RDD[_]]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    scopes.set(buf :: scopes.get())
+    try { val r = body; (r, buf.toSeq) }
+    finally scopes.set(scopes.get().filterNot(_ eq buf))
+  }
+
+  /** chain-position sugar: `df.transform(...).pinned` ≡ `pin(df.transform(...))`. */
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    def pinned: DataFrame = pin(df)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -126,7 +127,7 @@ object Curate {
     // whole-stage codegen, where nothing de-duplicates the repeated regex
     // evaluation (measured 5-10x on the composed mix).
     val base =
-      if (scrub) TextAnalysis.scrubPii(df, textCol).drop("pii_hits").localCheckpoint(true)
+      if (scrub) TextAnalysis.scrubPii(df, textCol).drop("pii_hits").pinned
       else df
     // curated feeds BOTH the survivors semi-join and the withLang join —
     // materialize once so the curation subtree (digest shuffle + metric
@@ -134,7 +135,7 @@ object Curate {
     // the optional per-source cap (no recomputation, no extra scan).
     val curated = curate(base, keepLangs, minQuality, textCol = textCol, idCol = idCol)
       .select(col(idCol), col("predicted_lang"), col("quality"))
-      .localCheckpoint(true)
+      .pinned
     // ONE membership join carries everything the optional stages need: when
     // the per-source cap is on, the curation-pass quality rides the same
     // inner join that establishes membership (an extra re-join of `curated`
@@ -163,10 +164,10 @@ object Curate {
     // each re-execution interpreted. Materialize once; the default-stage
     // mix keeps its lean shape (a plain semi-join recomputes cheaply).
     val survMat =
-      if (scrub || maxRepetition.isDefined || perSourceCap.isDefined) survivors.localCheckpoint(true)
+      if (scrub || maxRepetition.isDefined || perSourceCap.isDefined) survivors.pinned
       else survivors
     val clean = Dedup.decontaminate(survMat, evalDf, deconShingleK, textCol, idCol)
-      .localCheckpoint(true) // feeds CC mining, the reps semi-join and withLang
+      .pinned // feeds CC mining, the reps semi-join and withLang
     val clusters = Dedup.duplicateClusters(clean, nearDupThreshold, textCol = textCol, idCol = idCol)
     val reps     = clusters.filter(col(idCol) === col("rep")).select(col(idCol))
     val deduped  = clean.join(reps, Seq(idCol), "left_semi")

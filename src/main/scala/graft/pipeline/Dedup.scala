@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -202,7 +203,7 @@ object Dedup {
     val prepped = df
       .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
-      .localCheckpoint(true)
+      .pinned
 
     // banded relation carries ONLY (id, band, bucket) — the shingle arrays
     // never ride through the explode or the candidate shuffle. The bucket
@@ -330,7 +331,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(newDocs.sparkSession)
     val rows  = numHashes / bands
-    val fresh = signatureIndex(newDocs, numHashes, shingleK, textCol, idCol).localCheckpoint(true)
+    val fresh = signatureIndex(newDocs, numHashes, shingleK, textCol, idCol).pinned
 
     val freshBanded  = bandBuckets(fresh, bands, rows)
     val cappedCorpus = corpusBanded.getOrElse(bandedIndex(corpusIndex, numHashes, bands, maxBucket))
@@ -491,12 +492,16 @@ object Dedup {
     // materialize the mined pairs BEFORE the bidirectional union — both
     // union branches reference this plan, and unchecked they would run the
     // whole mining pipeline twice in one job
-    val pairs = minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+    val pairsLazy = minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+    val pairs = pairsLazy.pinned
+    // the pin truncated lineage, so the mining pipeline's own signature
+    // materialization is dead now — and invisible to any later free of the
+    // result (the checkpoint boundary hides it). Release it here.
+    Checkpoints.free(pairsLazy)
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))
     var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+      .withColumn("rep", col("id")).pinned
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -505,7 +510,7 @@ object Dedup {
         .select(col("id_a").as("id"), col("rep"))
       val next = fromNeighbors.union(labels)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+        .pinned
       converged = next
         .join(labels.withColumnRenamed("rep", "__prev"), "id")
         .filter(col("rep") =!= col("__prev"))
@@ -613,7 +618,7 @@ object Dedup {
     val prepped = df
       .select(col(idCol).as("id"), GraftFunctions.simhash(GraftFunctions.wordHashes(col(textCol))).as("sig"))
       .select(col("id"), element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
-      .localCheckpoint(true)
+      .pinned
     val m32 = lit(4294967295L) // 2^32 - 1: low-word mask (lo/hi are non-negative)
     val banded = prepped.select(
       col("id"),

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -148,7 +149,7 @@ object Sampling {
       }
       .toDF(idCol, "n_tokens", "__local")
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // pin ONE range partitioning for both reads below
+      .pinned // pin ONE range partitioning for both reads below
 
     // one row per partition on the driver: exclusive prefix offsets
     val partTotals = local.groupBy(col("__pid")).agg(max(col("__local")).as("total"))
@@ -249,7 +250,7 @@ object Sampling {
             // same materialization contract as [[packSequences]]: the
             // totals collect and the offsets join must read the SAME
             // range partitioning, not two samples of it
-            .localCheckpoint(true)
+            .pinned
           val totals = bLocal.groupBy(col("__pid")).agg(max(col("__local")).as("t"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
           val offs  = totals.scanLeft((0, 0L)) { case ((_, a), (pid, t)) => (pid, a + t) }

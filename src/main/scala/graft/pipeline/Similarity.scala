@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -293,7 +294,7 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"
   ): DataFrame = {
-    val fresh = vectorIndex(newVecs, planesPerTable, tables, dim, vecCol, idCol).localCheckpoint(true)
+    val fresh = vectorIndex(newVecs, planesPerTable, tables, dim, vecCol, idCol).pinned
     def explodeBuckets(ix: DataFrame) =
       ix.select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
     val candidates = explodeBuckets(fresh).alias("f")
@@ -339,7 +340,7 @@ object Similarity {
       idCol: String = "vec_id"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fresh = vectorIndex(queries, planesPerTable, tables, dim, vecCol, idCol).localCheckpoint(true)
+    val fresh = vectorIndex(queries, planesPerTable, tables, dim, vecCol, idCol).pinned
     def explodeBuckets(ix: DataFrame) =
       ix.select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
     val qBuckets = explodeBuckets(fresh)
@@ -524,7 +525,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$path/_centroids").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
-    val assigned = assignByProjection(newVecs, cents, vecCol, idCol).localCheckpoint(true)
+    val assigned = assignByProjection(newVecs, cents, vecCol, idCol).pinned
     assigned.write.partitionBy("centroid").mode("append").parquet(path)
     assigned
   }
@@ -593,7 +594,7 @@ object Similarity {
       // run three times (at scale, persist via ivfWrite partitioned by
       // centroid and run [[semDedupWith]] over the reloaded index instead:
       // the self-join is then co-located per centroid directory)
-      .localCheckpoint(true)
+      .pinned
     semDedupWith(assigned, tau)
   }
 

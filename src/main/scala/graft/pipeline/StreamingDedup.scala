@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.PinOps
 import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
@@ -250,7 +251,7 @@ object StreamingDedup {
       case None => internal // cold start: nothing to gate against yet
     }
     // accepted feeds the sink and BOTH index appends — materialize once
-    accepted.localCheckpoint(true)
+    accepted.pinned
   }
 
   /** Append the accepted batch's signatures and band buckets to the two
@@ -266,7 +267,7 @@ object StreamingDedup {
       idCol: String
   ): Unit = {
     // one signature computation feeds both writes
-    val sigs = Dedup.signatureIndex(mat, numHashes, shingleK, textCol, idCol).localCheckpoint(true)
+    val sigs = Dedup.signatureIndex(mat, numHashes, shingleK, textCol, idCol).pinned
     sigs.write.mode("append").parquet(indexPath)
     Dedup.bandRelation(sigs, numHashes, bands)
       .write.mode("append").parquet(bandedPathFor(indexPath))
@@ -345,7 +346,7 @@ object StreamingDedup {
           planesPerTable, tables, vecCol = vecCol, idCol = idCol)
       case None => internal // cold start: nothing to gate against yet
     }
-    accepted.localCheckpoint(true)
+    accepted.pinned
   }
 
   /** The index at `path`, or None when it doesn't exist yet (cold start)

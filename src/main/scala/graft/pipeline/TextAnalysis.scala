@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -153,7 +154,7 @@ object TextAnalysis {
       idCol: String = "doc_id"
   ): DataFrame = {
     val w      = df.select(col(idCol), explode(words(col(textCol))).as("word"))
-    val counts = w.groupBy(col("word")).agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val counts = w.groupBy(col("word")).agg(count(lit(1)).as("c")).pinned
     // sum over an EMPTY corpus is null — default 1.0 so the (empty) plan
     // still builds instead of NPE-ing on the scalar collect
     val total  = counts.agg(sum(col("c"))).head() match {

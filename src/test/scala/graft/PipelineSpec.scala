@@ -150,22 +150,26 @@ class PipelineSpec extends SparkTestBase {
       (2L, "a completely different and reasonably long english document about the engine and the data it is processing", "s1"),
       (3L, "write to the admin at admin@example.com for the answers to all of the questions in the set", "s1")
     ).toDF("doc_id", "text", "source")
-    val sc       = spark.sparkContext
-    val baseline = sc.getPersistentRDDs.keySet
+    import org.apache.spark.storage.StorageLevel
     // every optional stage ON: the run materializes scrub, curated,
     // survivors, clean and the CC label rounds — all of which must be gone
     // again by the time trainingMix returns (this is the 24/7-service
-    // guarantee: block lifetime is bounded by the call, not by GC timing)
-    val out = Curate.trainingMix(corpus, evalSet, mixRates = Map("en" -> 1.0), seqTokens = 16L,
-      keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5,
-      scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)), perSourceCap = Some(2))
+    // guarantee: block lifetime is bounded by the call, not by GC timing).
+    // Pins are attributed via Checkpoints.scoped, NOT a getPersistentRDDs
+    // diff: the session is shared, so concurrent suites pin blocks too.
+    val (out, pins) = Checkpoints.scoped {
+      Curate.trainingMix(corpus, evalSet, mixRates = Map("en" -> 1.0), seqTokens = 16L,
+        keepLangs = Seq("en"), minQuality = 0.0, nearDupThreshold = 0.5,
+        scrub = true, maxRepetition = Some((0.7, 0.2, 0.9)), perSourceCap = Some(2))
+    }
     out.count() shouldBe out.count() // stable across re-reads of the pin
-    val leftover = sc.getPersistentRDDs.keySet -- baseline
+    pins.size should be >= 5 // scrub, curated, survivors, clean, CC rounds...
+    def live = pins.filter(_.getStorageLevel != StorageLevel.NONE)
     // only the result's own backing pin (packSequences' range-partitioned
     // prefix frame) may survive the call
-    leftover.size should be <= 1
+    live.size should be <= 1
     Checkpoints.free(out)
-    (sc.getPersistentRDDs.keySet -- baseline) shouldBe empty
+    live shouldBe empty
     // freeing is idempotent and a frame with no pins is a no-op
     Checkpoints.free(out, corpus)
   }
