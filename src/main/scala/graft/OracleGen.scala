@@ -634,4 +634,57 @@ object OracleGen {
        |r AS (SELECT doc_id, $groupCol, quality,
        |        row_number() OVER (PARTITION BY $groupCol ORDER BY quality DESC, doc_id) AS rn FROM q)
        |SELECT doc_id, $groupCol, quality FROM r WHERE rn <= $k ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ---- keyword retrieval ---------------------------------------------
+
+  /** CTEs replaying [[graft.pipeline.Retrieval.bm25Scores]]: whitespace
+    * tokens, per-doc length, corpus `n`/`avgdl`, tf/df over the query
+    * terms, and the per-term Okapi weight written with the EXACT operation
+    * order of the Spark column expression — the constants are spelled as
+    * the same source literals (`$$k1 + 1`, `1.0 - $$b`), both engines fold
+    * them with the same IEEE arithmetic, and the per-doc score is a sum of
+    * ≤|terms| weights (commutative for the ≤2-term gates), so scores are
+    * bit-identical and top-k selection on the UNROUNDED score agrees
+    * without tolerance. */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE term IN $termList GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |wts AS (SELECT tf.doc_id,
+       |          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ($k1 + 1)) / (tf + $k1 * (1.0 - $b + $b * dl / avgdl)) AS wt
+       |        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |sc AS (SELECT doc_id, sum(wt) AS score FROM wts GROUP BY doc_id)""".stripMargin
+  }
+
+  /** mirror of [[graft.pipeline.Retrieval.bm25TopK]]: order by the
+    * unrounded score (ties by id), round only the reported value. */
+  def bm25TopKSql(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75, dp: Int = 4): String =
+    s"""WITH ${bm25Ctes(terms, k1, b)}
+       |SELECT doc_id, round(sc.score, $dp) AS score FROM sc
+       |ORDER BY sc.score DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.Retrieval.hybridTopK]]: BM25 top-`n` ranks
+    * fused with exact-cosine top-`n` ranks (query = embedding of vec_id 0)
+    * by reciprocal rank — ranks are integers and the cosine reuses the
+    * sequential fold-dot, so the fused scores are bit-identical. */
+  def hybridTopKSql(terms: Seq[String], k: Int, n: Int, rrfK: Int = 60, dim: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val rk = rrfK.toDouble
+    s"""WITH ${bm25Ctes(terms, k1, b)},
+       |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY sc.score DESC, doc_id) AS r_bm25
+       |          FROM sc ORDER BY sc.score DESC, doc_id LIMIT $n),
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cs AS (SELECT vec_id, ${cosSql("e", "embedding", "q", "embedding", dim)} AS sim
+       |       FROM embeddings e CROSS JOIN qv q),
+       |ctop AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cos
+       |         FROM cs ORDER BY sim DESC, vec_id LIMIT $n),
+       |f AS (SELECT coalesce(bm.doc_id, ct.vec_id) AS doc_id, r_bm25, r_cos,
+       |        coalesce(1.0 / ($rk + r_bm25), 0.0) + coalesce(1.0 / ($rk + r_cos), 0.0) AS rrf
+       |      FROM bmtop bm FULL OUTER JOIN ctop ct ON bm.doc_id = ct.vec_id)
+       |SELECT doc_id, r_bm25, r_cos, round(f.rrf, 6) AS rrf FROM f
+       |ORDER BY f.rrf DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
 }

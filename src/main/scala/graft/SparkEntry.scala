@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.TimeSeries
+import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.plan.TimeContext
 
 /**
@@ -365,6 +366,39 @@ object SparkEntry {
         Seq("user_id"), "ts", 3600000000L) // 1 h gap in us
         .orderBy("user_id", "session_idx")
     }),
+    // ---- time-series analytics (operators/TimeSeries): grid resample,
+    // gap-fill interpolation, counter rates, rolling range aggregates and
+    // z-score outliers — per-key windowed, one-or-two-shuffle shapes
+    "ts_resample" -> ((s, d) =>
+      TimeSeries.resample(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type", "ts")),
+    // resample→gap-fill composed: the hourly grid has ~5-7% holes per type
+    "ts_gapfill" -> ((s, d) => {
+      val grid = TimeSeries.resample(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+      TimeSeries.gapFill(grid, Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type", "ts")
+    }),
+    // monotonic-counter semantics over the value series (resets detected)
+    "ts_rate" -> ((s, d) =>
+      TimeSeries.counterRate(evUs(s, d), Seq("event_type"), "ts", "value")
+        .orderBy("event_type")),
+    // trailing 1 h RANGE frame per type: count + average, tie-peer inclusive
+    "ts_roll" -> ((s, d) =>
+      TimeSeries.rolling(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type", "ts")),
+    // per-type z-score anomaly flags (threshold 3.0: every |z| at both SFs
+    // clears the boundary by >= 2e-4, far beyond cross-engine float noise)
+    "ts_zscore" -> ((s, d) =>
+      TimeSeries.zscoreOutliers(evUs(s, d), Seq("event_type"), "value", 3.0)
+        .orderBy("event_type", "ts")),
+    // ---- keyword retrieval (pipeline/Retrieval): BM25 and hybrid RRF.
+    // Two query terms keep the per-doc weight sum commutative, so scores
+    // are bit-identical across engines and unrounded-top-k selection agrees
+    "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    "rt_hybrid" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Retrieval.hybridTopK(docs(s, d), emb(s, d), Seq("spark", "join"), q, k = 10, n = 50)
+    }),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -408,6 +442,15 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
   private def emb(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/embeddings.parquet")
+
+  private val HourUs = 3600000000L
+
+  /** events as `(event_type, ts µs, value)` — the time-series gate input. */
+  private def evUs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .select(col("event_type"), expr("ts div 1000").as("ts"), col("value"))
+  }
 
   // --------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — column names must match the Spark output
@@ -615,6 +658,50 @@ object SparkEntry {
         |ON l.user_id = r.user_id
         |AND r.ts BETWEEN l.ts - 3600000000 AND l.ts + 3600000000
         |ORDER BY p_id, c_id""".stripMargin.replace("\n", " "),
+    // ---- time-series oracles: the grid floor `ts - ts % step` equals the
+    // engine's pmod/div floor for the (always positive) epoch-µs domain
+    "ts_resample" ->
+      s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(avg(value), 6) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // gap enumeration: DuckDB range(ts, nt, step) is end-exclusive = the
+    // engine's sequence(ts, nt - step, step) on a step-aligned grid; the
+    // interpolation fraction is a ratio of exact longs and the grid values
+    // arrive 6dp-snapped, so the unrounded doubles are bit-identical
+    "ts_gapfill" ->
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(avg(value), 6) AS value
+         |           FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, ts, value, lead(ts) OVER pw AS nt, lead(value) OVER pw AS nv
+         |      FROM r WINDOW pw AS (PARTITION BY event_type ORDER BY ts)),
+         |x AS (SELECT event_type, ts AS t0, value AS v0, nt, nv,
+         |        unnest(CASE WHEN nt IS NOT NULL THEN range(ts, nt, $HourUs) ELSE [ts] END) AS t FROM w)
+         |SELECT event_type, t AS ts,
+         |  CASE WHEN t = t0 THEN v0 ELSE v0 + (nv - v0) * ((t - t0) / (nt - t0)) END AS value,
+         |  t <> t0 AS filled
+         |FROM x ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
+    "ts_rate" ->
+      """WITH w AS (SELECT event_type, epoch_us(ts) AS ts, value,
+        |             lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS pv FROM events),
+        |d AS (SELECT event_type, ts,
+        |        CASE WHEN pv IS NULL THEN 0.0 WHEN value >= pv THEN value - pv ELSE value END AS dd FROM w)
+        |SELECT event_type, count(*) AS n_samples, round(sum(dd), 3) AS increase,
+        |  round(CASE WHEN max(ts) > min(ts) THEN sum(dd) / ((max(ts) - min(ts)) / 1000000.0) END, 6) AS rate_per_s
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
+    // roll_avg = round(frame sum, 6) / frame count — see TimeSeries.rolling
+    "ts_roll" ->
+      s"""SELECT event_type, epoch_us(ts) AS ts, value,
+         |  count(*) OVER w AS roll_n, round(sum(value) OVER w, 6) / count(*) OVER w AS roll_avg
+         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
+    "ts_zscore" ->
+      """WITH s AS (SELECT event_type, epoch_us(ts) AS ts, value,
+        |             avg(value) OVER tw AS m, stddev_samp(value) OVER tw AS sd
+        |           FROM events WINDOW tw AS (PARTITION BY event_type))
+        |SELECT event_type, ts, value, round((value - m) / sd, 3) AS z
+        |FROM s WHERE sd > 0 AND abs((value - m) / sd) > 3.0 ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
+    // ---- keyword retrieval oracles
+    "rt_bm25"   -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    "rt_hybrid" -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->

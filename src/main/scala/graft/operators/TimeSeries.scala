@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series analytics beyond the reference's dialect (its temporal surface
+ * stops at backward-anchored bucket aggregates —
+ * `nsdb-core/.../statement/StatementParser.scala` temporal grouping): grid
+ * resampling, gap-fill with interpolation, counter-reset-aware rates,
+ * time-range rolling aggregates and z-score outlier flagging — the ops a
+ * monitoring/feature pipeline runs over an events table.
+ *
+ * Every shape is one-or-two-shuffle and per-key windowed; nothing touches
+ * the driver, nothing is quadratic, nothing generates a global time grid
+ * (gaps are enumerated per consecutive-observation pair, so output size is
+ * `observed + filled`, never `keys × full-span`).
+ */
+object TimeSeries {
+
+  /** exact integer floor division in long arithmetic (see
+    * [[Relational.rangeJoin]]): correct pre-epoch, exact above 2^53. */
+  private def floorDiv(c: String, w: Long): String = s"(($c - pmod($c, ${w}L)) div ${w}L)"
+
+  /**
+   * RESAMPLE to a fixed grid: floor each timestamp to its `step` bucket and
+   * average the values per `(keys, bucket)`. Returns `(keys*, tsCol,
+   * valueCol)` with `tsCol` on the grid (bucket lower edge). One map-side-
+   * combined aggregation — the standard downsampling primitive.
+   *
+   * `dp`: the bucket average is rounded so downstream interpolation starts
+   * from engine-portable values (float sum order is not associative).
+   */
+  def resample(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      dp: Int = 6
+  ): DataFrame = {
+    require(step > 0, "step must be positive")
+    df.groupBy(keys.map(col) :+ (expr(floorDiv(tsCol, step)) * step).as(tsCol): _*)
+      .agg(round(avg(col(valueCol)), dp).as(valueCol))
+  }
+
+  /**
+   * GAP-FILL a gridded series (e.g. the output of [[resample]]): emit one
+   * row per `step` tick between each key's first and last observation,
+   * synthesizing the missing ticks. `mode`:
+   *  - `"linear"` — interpolate between the surrounding observations
+   *  - `"locf"`   — last observation carried forward
+   * A `filled` boolean marks synthesized rows.
+   *
+   * `maxGap`: gaps longer than this are NOT filled (the PromQL "don't
+   * connect across outages" rule) — the surrounding observations still
+   * appear, the interior ticks don't.
+   *
+   * Scale shape: ONE shuffle on `keys` for the lead window, then a
+   * per-row `sequence` explode bounded by that row's own gap length —
+   * output is `observed + filled` rows, no key ever materializes the full
+   * time span, and no driver-side grid exists.
+   *
+   * The output is deliberately NOT rounded: the interpolation fraction
+   * `(t - t0) / (t1 - t0)` is a ratio of exact longs and the surrounding
+   * observations come in rounded (e.g. from [[resample]]), so the whole
+   * chain is bit-identical across engines as-is — whereas re-rounding a
+   * lattice-valued input (2 dp readings averaged over 2 or 4 samples)
+   * lands EXACTLY on decimal halves, where string-based (Spark) and
+   * binary (C engines) round() legitimately disagree.
+   */
+  def gapFill(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      mode: String = "linear",
+      maxGap: Option[Long] = None
+  ): DataFrame = {
+    require(step > 0, "step must be positive")
+    require(mode == "linear" || mode == "locf", s"unknown gap-fill mode: $mode")
+    val w  = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    // materialize the lead columns first: a window expression cannot ride
+    // inside the generator
+    val nt = col("__nt")
+    val fillable = nt.isNotNull && maxGap.fold(lit(true))(g => nt - col(tsCol) <= g)
+    val ticks = when(fillable, sequence(col(tsCol), nt - step, lit(step)))
+      .otherwise(array(col(tsCol)))
+    val g = df
+      .withColumn("__nt", lead(col(tsCol), 1).over(w))
+      .withColumn("__nv", lead(col(valueCol), 1).over(w))
+      .withColumn("__t", explode(ticks))
+    val frac = (col("__t") - col(tsCol)) / (col("__nt") - col(tsCol))
+    val interp = mode match {
+      case "linear" => col(valueCol) + (col("__nv") - col(valueCol)) * frac
+      case "locf"   => col(valueCol)
+    }
+    g.select(
+      keys.map(col) ++ Seq(
+        col("__t").as(tsCol),
+        when(col("__t") === col(tsCol), col(valueCol)).otherwise(interp).as(valueCol),
+        (col("__t") =!= col(tsCol)).as("filled")): _*)
+  }
+
+  /**
+   * COUNTER RATE with reset detection (the monitoring-counter semantic):
+   * per key in time order, the sample-to-sample delta is `value - prev`,
+   * except a decrease means the counter reset and the delta is the raw
+   * `value`. Returns per key: sample count, total `increase` and
+   * `rate_per_s` (increase over the observed span; null for keys with a
+   * single sample). `tsCol` is microseconds.
+   *
+   * ONE shuffle on `keys`: the lag window and the final aggregation share
+   * the partitioning, and the aggregation is map-side combinable.
+   */
+  def counterRate(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      dpIncrease: Int = 3,
+      dpRate: Int = 6
+  ): DataFrame = {
+    val w     = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prev  = lag(col(valueCol), 1).over(w)
+    val delta = when(prev.isNull, lit(0.0))
+      .when(col(valueCol) >= prev, col(valueCol) - prev)
+      .otherwise(col(valueCol)) // reset: the counter restarted below prev
+    df.withColumn("__d", delta)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(sum(col("__d")), dpIncrease).as("increase"),
+        round(
+          when(max(col(tsCol)) > min(col(tsCol)),
+            sum(col("__d")) / ((max(col(tsCol)) - min(col(tsCol))) / lit(1000000.0))),
+          dpRate).as("rate_per_s"))
+  }
+
+  /**
+   * ROLLING time-range aggregate: for every row, the count and average of
+   * `valueCol` over the trailing `window` (inclusive of the current row)
+   * within the same key — `RANGE BETWEEN window PRECEDING AND CURRENT ROW`.
+   * Rows at equal timestamps are frame peers (both included), so the
+   * result is deterministic under timestamp ties.
+   *
+   * ONE shuffle on `keys`; the range frame is evaluated with a sliding
+   * cursor inside each sorted partition — no self-join, no per-row rescan.
+   *
+   * `roll_avg` is `round(frame sum, sumDp) / frame count` rather than a
+   * rounded `avg`: the sum snap absorbs summation-order noise (engines
+   * disagree at ~1 ulp — segment-tree vs sequential folds) WITHOUT ever
+   * sitting on a decimal half (inputs on a lattice coarser than
+   * 10^-sumDp, e.g. 2 dp readings, can't produce one at 6 dp), and the
+   * division is then one exact IEEE op — bit-identical across engines,
+   * where `round(avg, 3)` of a 2-or-4-sample frame of 2 dp readings lands
+   * exactly on `x.xxx5` and string-based vs binary round() split.
+   */
+  def rolling(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      window: Long,
+      sumDp: Int = 6
+  ): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol)).rangeBetween(-window, 0)
+    df.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_avg", round(sum(col(valueCol)).over(w), sumDp) / count(lit(1)).over(w))
+  }
+
+  /**
+   * Z-SCORE OUTLIERS: rows whose value deviates from their key's mean by
+   * more than `threshold` sample standard deviations. Constant series
+   * (stddev 0 or a single row) produce no outliers. Returns the flagged
+   * rows plus a rounded `z` column.
+   *
+   * ONE shuffle on `keys`: mean and stddev ride an unbounded window over
+   * the same partitioning (no join back), then a plain filter — at 100 TB
+   * this is a window aggregate + scan, nothing else.
+   */
+  def zscoreOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      threshold: Double,
+      dp: Int = 3
+  ): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val w  = Window.partitionBy(keys.map(col): _*)
+    val m  = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    val z: Column = (col(valueCol) - m) / sd
+    df.withColumn("__z", when(sd > 0, z))
+      .filter(abs(col("__z")) > threshold)
+      .withColumn("z", round(col("__z"), dp))
+      .drop("__z")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.Retrieval
+
+/** BM25 scoring and reciprocal-rank-fusion semantics. */
+class RetrievalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark shuffle join spark spark"), // tf(spark)=3, dl=5
+    (1L, "spark window"),                   // tf(spark)=1, dl=2
+    (2L, "window window sort"),             // no query term
+    (3L, "sort merge join sort")            // no query term
+  ).toDF("doc_id", "text")
+
+  "Retrieval.bm25Scores" should "match a hand-computed BM25 score" in {
+    val out = Retrieval.bm25Scores(docs, Seq("spark")).orderBy("doc_id").collect()
+    out.map(_.getLong(0)) shouldBe Array(0L, 1L) // docs without the term are absent
+    // N=4, df=2, avgdl=14/4=3.5; idf = ln(1 + 2.5/2.5) = ln 2
+    val idf = math.log(2.0)
+    def w(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.5))
+    out(0).getDouble(1) shouldBe w(3, 5) +- 1e-9
+    out(1).getDouble(1) shouldBe w(1, 2) +- 1e-9
+  }
+
+  it should "rank higher-tf docs first at equal length" in {
+    val d = Seq((0L, "x y z"), (1L, "x x z")).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(d, Seq("x"), k = 2).collect()
+    top.map(_.getLong(0)) shouldBe Array(1L, 0L)
+  }
+
+  "Retrieval.hybridTopK" should "fuse lexical and vector ranks reciprocally" in {
+    // vectors: doc 2 is the query's nearest neighbor, doc 0 second, doc 1 far
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(-1.0f, 0.2f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridTopK(docs, emb, Seq("spark"), Seq(1.0f, 0.0f),
+      k = 4, n = 3, rrfK = 60).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toMap
+    // bm25 list: 0 (rank 1), 1 (rank 2); cosine top-3: 2, 3, 0
+    byId(0L)._1 shouldBe Some(1L)
+    byId(0L)._2 shouldBe Some(3L)
+    byId(2L)._1 shouldBe None
+    byId(2L)._2 shouldBe Some(1L)
+    byId(2L)._3 shouldBe (1.0 / 61) +- 1e-6
+    byId(1L)._1 shouldBe Some(2L)
+    // doc 0 fuses two lists: 1/61 + 1/63 beats any single-list score
+    out.head.getLong(0) shouldBe 0L
+  }
+
+  it should "bound both rank lists at n" in {
+    val emb = (0L to 3L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridTopK(docs, emb, Seq("spark"), Seq(1.0f, 0.0f),
+      k = 1, n = 1).collect()
+    out should have length 1
+    // only rank-1 entries exist on each side
+    Option(out.head.get(1)).foreach(_ shouldBe 1L)
+    Option(out.head.get(2)).foreach(_ shouldBe 1L)
+  }
+}

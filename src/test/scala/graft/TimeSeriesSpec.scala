@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.TimeSeries
+
+/** Grid resample / gap-fill / counter rate / rolling / z-score semantics. */
+class TimeSeriesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  "TimeSeries.resample" should "floor to the grid and average per bucket" in {
+    val df = Seq(("a", 5L, 2.0), ("a", 9L, 4.0), ("a", 25L, 7.0), ("b", 12L, 1.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.resample(df, Seq("k"), "ts", "v", step = 10L)
+      .orderBy("k", "ts").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe
+      Array(("a", 0L, 3.0), ("a", 20L, 7.0), ("b", 10L, 1.0))
+  }
+
+  private lazy val grid = Seq( // key a: observations at 0, 30, 40 (gap 10..20)
+    ("a", 0L, 1.0), ("a", 30L, 4.0), ("a", 40L, 10.0),
+    ("b", 100L, 5.0) // single observation: nothing to fill
+  ).toDF("k", "ts", "v")
+
+  "TimeSeries.gapFill" should "linearly interpolate interior ticks" in {
+    val out = TimeSeries.gapFill(grid, Seq("k"), "ts", "v", step = 10L)
+      .orderBy("k", "ts").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))) shouldBe
+      Array(
+        ("a", 0L, 1.0, false), ("a", 10L, 2.0, true), ("a", 20L, 3.0, true),
+        ("a", 30L, 4.0, false), ("a", 40L, 10.0, false),
+        ("b", 100L, 5.0, false))
+  }
+
+  it should "carry the last observation forward in locf mode" in {
+    val out = TimeSeries.gapFill(grid, Seq("k"), "ts", "v", step = 10L, mode = "locf")
+      .filter($"filled").orderBy("ts").collect()
+    out.map(r => (r.getLong(1), r.getDouble(2))) shouldBe Array((10L, 1.0), (20L, 1.0))
+  }
+
+  it should "not fill across gaps longer than maxGap" in {
+    val out = TimeSeries.gapFill(grid, Seq("k"), "ts", "v", step = 10L,
+      maxGap = Some(20L)).orderBy("k", "ts").collect()
+    // the 0->30 gap (30 ticks) stays open; 30->40 is adjacent (no interior)
+    out.map(_.getLong(1)) shouldBe Array(0L, 30L, 40L, 100L)
+    out.map(_.getBoolean(3)) shouldBe Array(false, false, false, false)
+  }
+
+  "TimeSeries.counterRate" should "sum deltas and restart on resets" in {
+    // 10 -> 25 (+15) -> 5 (reset: +5) -> 11 (+6) over 30 s
+    val df = Seq(("c", 0L, 10.0), ("c", 10000000L, 25.0),
+      ("c", 20000000L, 5.0), ("c", 30000000L, 11.0)).toDF("k", "ts", "v")
+    val r = TimeSeries.counterRate(df, Seq("k"), "ts", "v").head()
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe 26.0
+    r.getDouble(3) shouldBe (26.0 / 30.0) +- 1e-6
+  }
+
+  it should "report a null rate for a single-sample key" in {
+    val r = TimeSeries.counterRate(Seq(("x", 5L, 3.0)).toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v").head()
+    r.getDouble(2) shouldBe 0.0
+    r.isNullAt(3) shouldBe true
+  }
+
+  "TimeSeries.rolling" should "aggregate the trailing time range inclusive of ties" in {
+    val df = Seq(("a", 0L, 1.0), ("a", 5L, 3.0), ("a", 5L, 5.0), ("a", 20L, 7.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.rolling(df, Seq("k"), "ts", "v", window = 10L)
+      .orderBy("ts", "v").collect()
+    // ts=5 rows are frame peers: both see {1,3,5}; ts=20 sees only itself
+    out.map(r => (r.getLong(1), r.getLong(3), r.getDouble(4))) shouldBe
+      Array((0L, 1L, 1.0), (5L, 3L, 3.0), (5L, 3L, 3.0), (20L, 1L, 7.0))
+  }
+
+  "TimeSeries.zscoreOutliers" should "flag only beyond-threshold rows and skip constant series" in {
+    val a = (1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 100.0)) // one outlier
+    val b = (1 to 5).map(_ => ("b", 2.0))                         // constant: sd = 0
+    val out = TimeSeries.zscoreOutliers((a ++ b).toDF("k", "v"), Seq("k"), "v", 2.0)
+      .collect()
+    out.map(r => (r.getString(0), r.getDouble(1))) shouldBe Array(("a", 100.0))
+    out.head.getDouble(2) should be > 2.0
+  }
+}
