@@ -642,10 +642,10 @@ object OracleGen {
     * terms, and the per-term Okapi weight written with the EXACT operation
     * order of the Spark column expression — the constants are spelled as
     * the same source literals (`$$k1 + 1`, `1.0 - $$b`), both engines fold
-    * them with the same IEEE arithmetic, and the per-doc score is a sum of
-    * ≤|terms| weights (commutative for the ≤2-term gates), so scores are
-    * bit-identical and top-k selection on the UNROUNDED score agrees
-    * without tolerance. */
+    * them with the same IEEE arithmetic, and the per-doc score is an
+    * ascending-sorted left fold of the per-term weights (mirroring
+    * `Retrieval.foldSum`), so scores are bit-identical for ANY term count
+    * and top-k selection on the UNROUNDED score agrees without tolerance. */
   private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
     val termList = terms.map(t => s"'$t'").mkString("(", ",", ")")
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -656,8 +656,12 @@ object OracleGen {
        |wts AS (SELECT tf.doc_id,
        |          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ($k1 + 1)) / (tf + $k1 * (1.0 - $b + $b * dl / avgdl)) AS wt
        |        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
-       |sc AS (SELECT doc_id, sum(wt) AS score FROM wts GROUP BY doc_id)""".stripMargin
+       |sc AS (SELECT doc_id, $foldSumSql AS score FROM wts GROUP BY doc_id)""".stripMargin
   }
+
+  /** mirror of `Retrieval.foldSum`: ascending sort + seeded left fold. */
+  private val foldSumSql =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(wt))), (a, b) -> a + b)"
 
   /** mirror of [[graft.pipeline.Retrieval.bm25TopK]]: order by the
     * unrounded score (ties by id), round only the reported value. */
@@ -665,6 +669,29 @@ object OracleGen {
     s"""WITH ${bm25Ctes(terms, k1, b)}
        |SELECT doc_id, round(sc.score, $dp) AS score FROM sc
        |ORDER BY sc.score DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.Retrieval.bm25Join]] with queries derived
+    * from the corpus (`doc_id % qmod == 0`, terms = the doc's first
+    * `qTerms` whitespace tokens, set semantics): per-(query, doc) sorted-
+    * fold BM25 scores, per-query rank ≤ k. */
+  def bm25JoinSql(k: Int, qmod: Int, qTerms: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |p AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY term, doc_id),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+       |q AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')[1:$qTerms]) AS term
+       |      FROM documents WHERE doc_id % $qmod = 0),
+       |dfq AS (SELECT p.term, count(*)::DOUBLE AS df FROM p
+       |        JOIN (SELECT DISTINCT term FROM q) u USING (term) GROUP BY p.term),
+       |wts AS (SELECT q.query_id, p.doc_id,
+       |          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ($k1 + 1)) / (tf + $k1 * (1.0 - $b + $b * dl.dl / avgdl)) AS wt
+       |        FROM q JOIN p USING (term) JOIN dfq ON dfq.term = q.term
+       |        JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats),
+       |s AS (SELECT query_id, doc_id, $foldSumSql AS score FROM wts GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)
+       |SELECT query_id, doc_id, round(r.score, 4) AS score, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.pipeline.Retrieval.hybridTopK]]: BM25 top-`n` ranks
     * fused with exact-cosine top-`n` ranks (query = embedding of vec_id 0)

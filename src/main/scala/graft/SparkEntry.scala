@@ -395,6 +395,24 @@ object SparkEntry {
     // Two query terms keep the per-doc weight sum commutative, so scores
     // are bit-identical across engines and unrounded-top-k selection agrees
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    // the same query through the prebuilt inverted index (tokenize-once
+    // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
+    "rt_bm25_idx" -> ((s, d) => {
+      val ix = Retrieval.termIndex(docs(s, d))
+      // stand in for the persisted postings/doclens (writeTermIndex)
+      Retrieval.bm25TopKIndexed(
+        ix.copy(postings = ix.postings.localCheckpoint(true),
+          doclens = ix.doclens.localCheckpoint(true)),
+        Seq("spark", "join"), k = 20)
+    }),
+    // batch lexical retrieval: every 100th doc's first 3 tokens play a
+    // query; per-query top-5 against the index (the lexical ann_join)
+    "rt_bm25_join" -> ((s, d) => {
+      val queries = docs(s, d).filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), slice(split(col("text"), " "), 1, 3).as("terms"))
+      Retrieval.bm25Join(queries, Retrieval.termIndex(docs(s, d)), k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "rt_hybrid" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Retrieval.hybridTopK(docs(s, d), emb(s, d), Seq("spark", "join"), q, k = 10, n = 50)
@@ -659,16 +677,17 @@ object SparkEntry {
         |AND r.ts BETWEEN l.ts - 3600000000 AND l.ts + 3600000000
         |ORDER BY p_id, c_id""".stripMargin.replace("\n", " "),
     // ---- time-series oracles: the grid floor `ts - ts % step` equals the
-    // engine's pmod/div floor for the (always positive) epoch-µs domain
+    // engine's pmod/div floor for the (always positive) epoch-µs domain;
+    // bucket value = round(sum, 6) / count — see TimeSeries.resample
     "ts_resample" ->
-      s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(avg(value), 6) AS value
+      s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     // gap enumeration: DuckDB range(ts, nt, step) is end-exclusive = the
     // engine's sequence(ts, nt - step, step) on a step-aligned grid; the
     // interpolation fraction is a ratio of exact longs and the grid values
     // arrive 6dp-snapped, so the unrounded doubles are bit-identical
     "ts_gapfill" ->
-      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(avg(value), 6) AS value
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
          |           FROM events GROUP BY 1, 2),
          |w AS (SELECT event_type, ts, value, lead(ts) OVER pw AS nt, lead(value) OVER pw AS nv
          |      FROM r WINDOW pw AS (PARTITION BY event_type ORDER BY ts)),
@@ -699,9 +718,12 @@ object SparkEntry {
         |           FROM events WINDOW tw AS (PARTITION BY event_type))
         |SELECT event_type, ts, value, round((value - m) / sd, 3) AS z
         |FROM s WHERE sd > 0 AND abs((value - m) / sd) > 3.0 ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
-    // ---- keyword retrieval oracles
-    "rt_bm25"   -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
-    "rt_hybrid" -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
+    // ---- keyword retrieval oracles (rt_bm25_idx shares rt_bm25's SQL:
+    // the index path must reproduce the corpus-scan result exactly)
+    "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
+    "rt_hybrid"    -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->

@@ -29,8 +29,13 @@ object TimeSeries {
    * valueCol)` with `tsCol` on the grid (bucket lower edge). One map-side-
    * combined aggregation — the standard downsampling primitive.
    *
-   * `dp`: the bucket average is rounded so downstream interpolation starts
-   * from engine-portable values (float sum order is not associative).
+   * The bucket average is `round(bucket sum, sumDp) / bucket count`, not a
+   * rounded `avg`: the sum snap absorbs summation-order noise without ever
+   * sitting on a decimal half (a 2 dp lattice input can't produce one at
+   * 6 dp), and the division is one exact IEEE op — whereas `round(avg, 6)`
+   * of e.g. a 16-sample bucket of 2 dp readings lands exactly on
+   * `x.xxxxx5`, where a 1-ulp summation difference decides the rounding
+   * side and engines split.
    */
   def resample(
       df: DataFrame,
@@ -38,11 +43,11 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      dp: Int = 6
+      sumDp: Int = 6
   ): DataFrame = {
     require(step > 0, "step must be positive")
     df.groupBy(keys.map(col) :+ (expr(floorDiv(tsCol, step)) * step).as(tsCol): _*)
-      .agg(round(avg(col(valueCol)), dp).as(valueCol))
+      .agg((round(sum(col(valueCol)), sumDp) / count(lit(1))).as(valueCol))
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,11 +21,47 @@ import org.apache.spark.sql.functions._
  *    frequencies are a ≤|terms|-row broadcast. Document length and the
  *    corpus-wide `avgdl` come from one map-side-combined count (two scalar
  *    values to the driver — bounded, like the ANN auto-sizing counts).
+ *  - At 100 TB the corpus is tokenized ONCE into a persisted [[TermIndex]]
+ *    (postings laid out by term for row-group pruning — the lexical
+ *    [[Similarity.vectorIndex]]); queries and [[bm25Join]] batches read
+ *    postings for their terms only, never the text.
  *  - Fusion ranks only the bounded top-`n` candidate lists (TakeOrdered on
  *    each side), so the rank windows run over ≤n rows — never a global
  *    single-partition window over the corpus.
+ *  - Per-candidate scores are ascending-sorted sequential folds of the
+ *    per-term weights ([[foldSum]]), so they are bit-identical across
+ *    engines and summation orders for ANY number of query terms.
  */
 object Retrieval {
+
+  /** ascending-sorted sequential fold — the order-insensitive double sum
+    * (each weight is itself a fixed IEEE op chain, so sorting + left fold
+    * pins the one remaining source of cross-engine drift). */
+  private def foldSum(xs: Column): Column =
+    aggregate(array_sort(xs), lit(0.0), (acc, x) => acc + x)
+
+  /** shared Okapi scoring over hit relations: `tf` = (idCol, __term, __tf),
+    * `dfreq` = (__term, __df), `dl` = (idCol, __dl). Both the corpus-scan
+    * and index paths fund the SAME expression tree, so their scores (and
+    * the DuckDB oracle replay) are bit-identical. */
+  private def scoreHits(
+      tf: DataFrame,
+      dfreq: DataFrame,
+      dl: DataFrame,
+      n: Long,
+      avgdl: Double,
+      k1: Double,
+      b: Double,
+      idCol: String
+  ): DataFrame = {
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
+    val wt  = col("__idf") * (col("__tf") * (k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / avgdl))
+    tf.join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
+      .join(dl, idCol)
+      .groupBy(col(idCol))
+      .agg(foldSum(collect_list(wt)).as("score"))
+  }
 
   /**
    * BM25 score per document over `terms` (documents matching no term are
@@ -33,9 +69,9 @@ object Retrieval {
    * matching the corpus convention ([[TextAnalysis.words]]).
    *
    * Arithmetic is shaped for cross-engine determinism: tf/df/dl/N are
-   * exact integers, `avgdl = sum(dl)/N` is one exact division, and each
-   * term's weight is a fixed multiply/divide chain — only the final
-   * per-document sum is order-sensitive (rounded at the caller).
+   * exact integers, `avgdl = sum(dl)/N` is one exact division, each term's
+   * weight is a fixed multiply/divide chain, and the per-document sum is a
+   * sorted fold ([[foldSum]]) — bit-identical end to end.
    */
   def bm25Scores(
       docs: DataFrame,
@@ -51,17 +87,137 @@ object Retrieval {
     val Array(n, sumDl) = dl.agg(count(lit(1)), sum(col("__dl"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     require(n > 0, "empty corpus")
-    val avgdl = sumDl.toDouble / n
     val tf = toks.filter(col("__term").isin(terms: _*))
       .groupBy(col(idCol), col("__term")).agg(count(lit(1)).cast("double").as("__tf"))
     val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
-    val idf   = log(lit(1.0) + (lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
-    val wt    = col("__idf") * (col("__tf") * (k1 + 1)) /
+    scoreHits(tf, dfreq, dl, n, sumDl.toDouble / n, k1, b, idCol)
+  }
+
+  // ---- persisted inverted index (the tokenize-once 100 TB path) --------
+
+  /** Inverted-index relations: `postings` = (term, idCol, tf), `doclens` =
+    * (idCol, dl), plus the two corpus scalars BM25 needs. Build once with
+    * [[termIndex]], persist with [[writeTermIndex]], query forever without
+    * touching the text again. */
+  case class TermIndex(postings: DataFrame, doclens: DataFrame, n: Long, sumDl: Long)
+
+  /** Tokenize the corpus once into [[TermIndex]] relations (two map-side-
+    * combined aggregations over the token stream; the scalars are one
+    * 2-value collect). */
+  def termIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): TermIndex = {
+    val toks     = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val postings = toks.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val doclens  = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val Array(n, sumDl) = doclens.agg(count(lit(1)), sum(col("dl"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    TermIndex(postings, doclens, n, sumDl)
+  }
+
+  /** Persist the index under `path`: postings are repartitioned by term and
+    * sorted within partitions, so a query's `term IN (...)` prunes parquet
+    * row groups by min/max stats instead of scanning the postings table. */
+  def writeTermIndex(
+      docs: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Unit = {
+    val ix = termIndex(docs, textCol, idCol)
+    ix.postings.repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    ix.doclens.write.mode("overwrite").parquet(s"$path/doclens")
+    docs.sparkSession.createDataFrame(Seq((ix.n, ix.sumDl))).toDF("n", "sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readTermIndex(spark: org.apache.spark.sql.SparkSession, path: String): TermIndex = {
+    val s = spark.read.parquet(s"$path/stats").head()
+    TermIndex(spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/doclens"),
+      s.getLong(0), s.getLong(1))
+  }
+
+  /** [[bm25Scores]] against a prebuilt [[TermIndex]] — identical arithmetic
+    * (the `rt_bm25_idx` gate shares the corpus-scan oracle), but reads only
+    * the matched postings, never the text. */
+  def bm25ScoresIndexed(
+      ix: TermIndex,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(ix.n > 0, "empty corpus")
+    val tf = ix.postings.filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("term").as("__term"), col("tf").cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    val dl    = ix.doclens.select(col(idCol), col("dl").as("__dl"))
+    scoreHits(tf, dfreq, dl, ix.n, ix.sumDl.toDouble / ix.n, k1, b, idCol)
+  }
+
+  /** [[bm25TopK]] over the index path. */
+  def bm25TopKIndexed(
+      ix: TermIndex,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame =
+    bm25ScoresIndexed(ix, terms, k1, b, idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score"), dp).as("score"))
+
+  /**
+   * BATCH retrieval join — the lexical [[Similarity.annJoin]]: for every
+   * query row `(qidCol, termsCol array)`, the top-`k` documents by BM25
+   * against the prebuilt index. Repeated terms within one query count once
+   * (set semantics, deterministic under any term order).
+   *
+   * Scale shape: the query set broadcasts (it is the small side by
+   * definition); postings are read for the queries' DISTINCT terms only;
+   * the one data-sized shuffle groups `(query, doc)` hits; and the
+   * per-query rank window is `WindowGroupLimit`-pruned map-side to `k`
+   * before its exchange, so a common term never funnels a corpus-sized
+   * candidate list through one partition.
+   */
+  def bm25Join(
+      queries: DataFrame,
+      ix: TermIndex,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      qidCol: String = "query_id",
+      termsCol: String = "terms",
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(ix.n > 0, "empty corpus")
+    val avgdl = ix.sumDl.toDouble / ix.n
+    val qt = queries.select(col(qidCol), explode(col(termsCol)).as("__term")).distinct()
+    val dfreq = ix.postings
+      .join(broadcast(qt.select(col("__term")).distinct()), col("term") === col("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) + (lit(ix.n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
+    val wt  = col("__idf") * (col("__tf") * (k1 + 1)) /
       (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / avgdl))
-    tf.join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
-      .join(dl, idCol)
-      .groupBy(col(idCol))
-      .agg(sum(wt).as("score"))
+    val hits = ix.postings.join(broadcast(qt), col("term") === col("__term"))
+      .select(col(qidCol), col(idCol), col("__term"), col("tf").cast("double").as("__tf"))
+    val scored = hits
+      .join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
+      .join(ix.doclens.select(col(idCol), col("dl").as("__dl")), idCol)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(foldSum(collect_list(wt)).as("score"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("score", round(col("score"), dp))
   }
 
   /** Top-`k` documents by [[bm25Scores]], ties broken by id; the score is

@@ -62,4 +62,36 @@ class RetrievalSpec extends SparkTestBase {
     Option(out.head.get(1)).foreach(_ shouldBe 1L)
     Option(out.head.get(2)).foreach(_ shouldBe 1L)
   }
+
+  "Retrieval.termIndex" should "score identically to the corpus scan through a persisted round-trip" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-termindex").toString
+    try {
+      Retrieval.writeTermIndex(docs, dir)
+      val ix = Retrieval.readTermIndex(spark, dir)
+      ix.n shouldBe 4L
+      ix.sumDl shouldBe 14L
+      val direct  = Retrieval.bm25TopK(docs, Seq("spark", "sort"), k = 4).collect()
+      val indexed = Retrieval.bm25TopKIndexed(ix, Seq("spark", "sort"), k = 4).collect()
+      indexed.map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+        direct.map(r => (r.getLong(0), r.getDouble(1)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  "Retrieval.bm25Join" should "rank per query with set-semantics terms" in {
+    val queries = Seq(
+      (10L, Seq("spark", "spark")), // duplicate term counts once
+      (20L, Seq("sort", "merge"))
+    ).toDF("query_id", "terms")
+    val out = Retrieval.bm25Join(queries, Retrieval.termIndex(docs), k = 2)
+      .orderBy("query_id", "rank").collect()
+    // q10 matches docs 0,1 (term spark); q20 matches 3 (sort+merge) and 2 (sort)
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) shouldBe
+      Array((10L, 0L, 1L), (10L, 1L, 2L), (20L, 3L, 1L), (20L, 2L, 2L))
+    // the duplicated query term contributes once: q10/doc0 equals the
+    // single-term top-k score
+    val single = Retrieval.bm25TopK(docs, Seq("spark"), k = 1).head().getDouble(1)
+    out.head.getDouble(2) shouldBe single
+  }
 }
