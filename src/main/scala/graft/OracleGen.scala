@@ -693,6 +693,69 @@ object OracleGen {
        |SELECT query_id, doc_id, round(r.score, 4) AS score, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Retrieval.topTfIdfTerms]]: per-doc top-k
+    * terms by `tf * ln(N/df)`, ties by term — one exact multiply, no
+    * tolerance needed. */
+  def topTfIdfTermsSql(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |p AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |s AS (SELECT doc_id, p.term, tf * ln(n / df) AS score FROM p JOIN dfq USING (term) CROSS JOIN nn),
+       |r AS (SELECT doc_id, term, score,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+       |SELECT doc_id, term, round(r.score, 4) AS score, rank FROM r WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.operators.TimeSeries.madOutliers]]: stacked
+    * per-type median windows (DuckDB `median` = `quantile_cont(0.5)`,
+    * the same `lo + (hi−lo)·frac` interpolation Spark's exact
+    * `percentile` uses), exact deviation compare, rounded robust-z. */
+  def madOutliersSql(threshold: Double): String =
+    s"""WITH s AS (SELECT event_type, epoch_us(ts) AS ts, value,
+       |             median(value) OVER (PARTITION BY event_type) AS med FROM events),
+       |t AS (SELECT event_type, ts, value, abs(value - med) AS ad,
+       |        median(abs(value - med)) OVER (PARTITION BY event_type) AS mad FROM s)
+       |SELECT event_type, ts, value, round(ad / mad, 3) AS rz
+       |FROM t WHERE mad > 0 AND ad > $threshold * mad
+       |ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.operators.TimeSeries.largestDeltas]]: lag delta in
+    * time order, per-type rank by delta desc / ts asc, top-`k`. */
+  def largestDeltasSql(k: Int): String =
+    s"""WITH w AS (SELECT event_type, epoch_us(ts) AS ts, value,
+       |             abs(value - lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts))) AS delta
+       |           FROM events),
+       |r AS (SELECT event_type, ts, value, delta,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY delta DESC, ts) AS rank
+       |      FROM w WHERE delta IS NOT NULL)
+       |SELECT event_type, ts, value, delta, rank FROM r WHERE rank <= $k
+       |ORDER BY event_type, rank""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.topNgrams]]: shifted-index
+    * gram build over the 1-indexed token list, integer counts, top-`k`
+    * by count desc / gram asc. */
+  def topNgramsSql(n: Int, k: Int): String = {
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(w) - ${n - 2}), i -> $gram)) AS ngram FROM t),
+       |c AS (SELECT ngram, count(*)::BIGINT AS n FROM g GROUP BY ngram)
+       |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Sampling.holdoutSplit]]: the sampling id
+    * hash against cumulative 10000-lattice cutoffs. */
+  def holdoutSplitSql(weights: Seq[(String, Double)], seed: Long): String = {
+    val h    = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail
+    val cases = weights.init.zip(cuts.init)
+      .map { case ((name, _), cut) => s"WHEN h < $cut THEN '$name'" }
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split
+       |FROM (SELECT doc_id, $h AS h FROM documents)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Retrieval.hybridTopK]]: BM25 top-`n` ranks
     * fused with exact-cosine top-`n` ranks (query = embedding of vec_id 0)
     * by reciprocal rank — ranks are integers and the cosine reuses the

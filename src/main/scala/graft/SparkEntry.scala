@@ -391,6 +391,17 @@ object SparkEntry {
     "ts_zscore" -> ((s, d) =>
       TimeSeries.zscoreOutliers(evUs(s, d), Seq("event_type"), "value", 3.0)
         .orderBy("event_type", "ts")),
+    // robust (median/MAD) anomaly flags — the Hampel test. Threshold 3.75:
+    // the 2 dp value lattice puts deviations EXACTLY on t×MAD for many
+    // round t (measured margin ~1e-16 at 3.0-3.6 at sf0.1); at 3.75 every
+    // point clears the boundary by >= 8e-5 relative at both SFs
+    "ts_mad" -> ((s, d) =>
+      TimeSeries.madOutliers(evUs(s, d), Seq("event_type"), "value", 3.75)
+        .orderBy("event_type", "ts")),
+    // top-5 largest sample-to-sample jumps per type (exact deltas)
+    "ts_delta" -> ((s, d) =>
+      TimeSeries.largestDeltas(evUs(s, d), Seq("event_type"), "ts", "value", k = 5)
+        .orderBy("event_type", "rank")),
     // ---- keyword retrieval (pipeline/Retrieval): BM25 and hybrid RRF.
     // Two query terms keep the per-doc weight sum commutative, so scores
     // are bit-identical across engines and unrounded-top-k selection agrees
@@ -417,6 +428,14 @@ object SparkEntry {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Retrieval.hybridTopK(docs(s, d), emb(s, d), Seq("spark", "join"), q, k = 10, n = 50)
     }),
+    // per-doc tf-idf keyword extraction (top-3 salient terms)
+    "rt_keywords" -> ((s, d) => Retrieval.topTfIdfTerms(docs(s, d), k = 3).orderBy("doc_id", "rank")),
+    // corpus top-20 bigrams (boilerplate/template mining; integer counts)
+    "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
+    // deterministic 80/10/10 holdout split by portable id hash
+    "tx_split" -> ((s, d) =>
+      Sampling.holdoutSplit(docs(s, d), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -724,6 +743,12 @@ object SparkEntry {
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_hybrid"    -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
+    "rt_keywords"  -> OracleGen.topTfIdfTermsSql(k = 3),
+    "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
+    "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
+    "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
+    "tx_split" -> OracleGen.holdoutSplitSql(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L),
     "mm_meta"  -> MmMetaSql,
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->

@@ -16,7 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the dump (and
+    // the oracle json) to the named queries; unset = full gate, as the
+    // driver runs it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(name: String) = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -45,6 +50,7 @@ object Verify {
     // dump the count-aware map so they track the data at this SF
     val embCount = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val json = SparkEntry.oracleSqlFor(embCount)
+      .filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -205,4 +205,75 @@ object TimeSeries {
       .withColumn("z", round(col("__z"), dp))
       .drop("__z")
   }
+
+  /**
+   * MAD OUTLIERS — the robust sibling of [[zscoreOutliers]]: rows whose
+   * absolute deviation from their key's MEDIAN exceeds `threshold` times
+   * the key's median-absolute-deviation (the Hampel/robust-z test, the
+   * standard choice when the series itself contains the spikes you are
+   * hunting — mean and stddev are dragged by outliers, median and MAD are
+   * not). Constant series (MAD 0) produce no outliers. Returns the flagged
+   * rows plus a rounded `rz` robust-z column (`|x − med| / mad`).
+   *
+   * ONE shuffle on `keys`: both exact medians ride unbounded windows over
+   * the same partitioning (the second stacks on the first — same
+   * Exchange, two Window nodes), then a plain filter. Exact `percentile`
+   * holds per-key sorted state, which is fine for per-key monitoring
+   * cardinalities; an unbounded value domain at 100 TB would switch to
+   * `approx_percentile` — same plan shape.
+   *
+   * Float portability: the even-count median interpolates the two middle
+   * lattice values with one multiply-add (both engines use
+   * `lo + (hi−lo)·frac`), deviations are exact IEEE subtracts of those,
+   * and the threshold compare multiplies exact doubles — no rounding sits
+   * on a decision boundary. Callers gate with a threshold the data clears
+   * by a wide margin (see the `ts_mad` entry note).
+   */
+  def madOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      threshold: Double,
+      dp: Int = 3
+  ): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val w   = Window.partitionBy(keys.map(col): _*)
+    val med = percentile(col(valueCol), lit(0.5)).over(w)
+    df.withColumn("__ad", abs(col(valueCol) - med))
+      .withColumn("__mad", percentile(col("__ad"), lit(0.5)).over(w))
+      .filter(col("__mad") > 0 && col("__ad") > lit(threshold) * col("__mad"))
+      .withColumn("rz", round(col("__ad") / col("__mad"), dp))
+      .drop("__ad", "__mad")
+  }
+
+  /**
+   * LARGEST DELTAS — the `k` biggest sample-to-sample jumps per key:
+   * `|value − lag(value)|` in time order, ranked descending (ties broken
+   * by timestamp). The "what moved most" screen over a metric family —
+   * deploy-impact triage, level-shift detection, top-movers dashboards.
+   *
+   * ONE shuffle on `keys`: the lag window and the rank window share the
+   * partitioning (one Exchange, stacked Window nodes), and the rank
+   * filter is `WindowGroupLimit`-pruned to `k` map-side, so a hot key
+   * never funnels its full history through the rank.
+   *
+   * Deltas of lattice-valued inputs (e.g. 2 dp readings) are exact IEEE
+   * subtracts — no rounding anywhere, bit-identical across engines.
+   */
+  def largestDeltas(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wt = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val wr = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("delta").desc, col(tsCol))
+    df.withColumn("delta", abs(col(valueCol) - lag(col(valueCol), 1).over(wt)))
+      .filter(col("delta").isNotNull)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -238,6 +238,41 @@ object Retrieval {
       .select(col(idCol), round(col("score"), dp).as("score"))
 
   /**
+   * KEYWORD EXTRACTION — the `k` most salient terms per document by
+   * tf·idf (smooth `ln(N/df)` idf; ties broken by term, so the ranking is
+   * total and deterministic). The standard corpus-analysis primitive for
+   * topic labeling and index-term selection.
+   *
+   * Scale shape: two map-side-combined aggregations over the token stream
+   * (postings + document frequencies), a broadcast of the df relation is
+   * NOT possible (it is term-cardinality-sized), so the join shuffles on
+   * `term` — the natural key; the per-doc rank window is
+   * `WindowGroupLimit`-pruned to `k` map-side. Scores are one multiply of
+   * exact-integer-derived doubles — bit-identical across engines.
+   */
+  def topTfIdfTerms(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = docs.count()
+    require(n > 0, "empty corpus")
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val score = col("__tf") * log(lit(n.toDouble) / col("__df"))
+    val w     = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("score", round(col("score"), dp))
+  }
+
+  /**
    * HYBRID RETRIEVAL — reciprocal rank fusion of the BM25 lexical list and
    * the exact-cosine vector list: each candidate scores
    * `Σ 1/(rrfK + rank)` over the lists it appears in (rank 1-based within

@@ -89,6 +89,40 @@ object Sampling {
     }.toMap
   }
 
+  /**
+   * DETERMINISTIC HOLDOUT SPLIT — label every row `train`/`val`/`test`
+   * (any names) by the id hash against cumulative weight cutoffs: weights
+   * `[("train",0.8),("val",0.1),("test",0.1)]` send hash values
+   * `[0,8000)/[8000,9000)/[9000,10000)` to the three splits. The property
+   * a training pipeline needs from its split — membership is a pure
+   * function of the id, so a document NEVER migrates between train and
+   * test across reruns, cluster sizes, or engines, and adding documents
+   * never reassigns existing ones (the re-shuffle leakage bug in
+   * `randomSplit`-style splitting).
+   *
+   * Zero shuffle: one row-local codegen'd predicate chain per row —
+   * at 100 TB this is a mapped scan. Weights must sum to 1 (±1e-9) so
+   * every row lands in exactly one split.
+   */
+  def holdoutSplit(
+      df: DataFrame,
+      weights: Seq[(String, Double)],
+      seed: Long = 7L,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val h = sampleHash(col(idCol), seed)
+    // cumulative integer cutoffs on the same 10000-lattice as the hash;
+    // the last split takes the remainder so rounding can't orphan a row
+    val cuts  = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail
+    val label = weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), rest) => when(h < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** [[stratifiedHashSample]] with [[temperatureMixRates]]-derived rates —
     * corpus-driven, no hand-pinned per-language numbers. */
   def temperatureSample(

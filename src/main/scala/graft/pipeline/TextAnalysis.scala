@@ -357,4 +357,41 @@ object TextAnalysis {
     )
     df.select(col("doc_id"), fp.as("fingerprint"))
   }
+
+  /**
+   * CORPUS TOP-K N-GRAMS — the `k` most frequent word `n`-grams across the
+   * whole corpus (ties broken by the gram text). The corpus-statistics
+   * primitive behind boilerplate detection, template mining and
+   * vocabulary/BPE seeding.
+   *
+   * Scale shape: per-doc gram lists come from an array `zip_with` of
+   * shifted `slice`s (pure codegen, no self-join, docs shorter than `n`
+   * contribute nothing), the count is ONE map-side-combined aggregation
+   * on the gram, and the global top-k is `TakeOrderedAndProject` — never
+   * a single-partition rank window over the full vocabulary. Counts are
+   * integers; nothing to round.
+   */
+  def topNgrams(
+      df: DataFrame,
+      n: Int,
+      k: Int,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(n >= 2, "n must be at least 2 (use tokenStats for unigrams)")
+    require(k > 0, "k must be positive")
+    val toks  = words(col(textCol))
+    // docs shorter than n tokens yield an empty gram list (slice rejects
+    // negative lengths, so clamp at zero — explode then drops the row)
+    val glen  = greatest(size(toks) - (n - 1), lit(0))
+    // gram i = tokens[i..i+n-1]: fold zip_with over the n-1 shifted views
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), glen)) {
+      case (acc, off) => zip_with(acc, slice(toks, lit(off), glen),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    df.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
 }

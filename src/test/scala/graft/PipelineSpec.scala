@@ -381,6 +381,28 @@ class PipelineSpec extends SparkTestBase {
     en.toDouble should (be > 100 * 0.3 and be < 100 * 0.7)
   }
 
+  "Sampling.holdoutSplit" should "partition every row deterministically by the id hash" in {
+    val corpus = (0L until 400L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val splits = Sampling.holdoutSplit(corpus, w)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    splits.length shouldBe 400 // total: every row labeled, none dropped
+    val byLabel = splits.groupBy(_._2).view.mapValues(_.length).toMap
+    byLabel.keySet shouldBe Set("train", "val", "test")
+    byLabel("train").toDouble should (be > 400 * 0.7 and be < 400 * 0.9)
+    // rerun ⇒ identical assignment (the no-leakage property)
+    Sampling.holdoutSplit(corpus, w).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)) shouldBe splits
+    // membership is id-local: a subset corpus assigns identically
+    val sub = Sampling.holdoutSplit(corpus.filter($"doc_id" < 100), w)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    splits.filter(_._1 < 100).foreach { case (id, s) => sub(id) shouldBe s }
+    // the train split IS the rate-0.8 hash sample: one consistent lattice
+    val train = splits.filter(_._2 == "train").map(_._1).toSet
+    Sampling.hashSample(corpus, 0.8).select("doc_id").collect()
+      .map(_.getLong(0)).toSet shouldBe train
+  }
+
   "Sampling.tokenBudget" should "match the naive global running-sum prefix exactly" in {
     val rnd = new scala.util.Random(23)
     val corpus = (0L until 200L).map { i =>
@@ -604,6 +626,25 @@ class PipelineSpec extends SparkTestBase {
     preds(0L) shouldBe "en"
     preds(2L) shouldBe "de"
     preds(5L) shouldBe "es"
+  }
+
+  "TextAnalysis.topNgrams" should "count shifted-window grams and rank ties by text" in {
+    val corpus = Seq(
+      (0L, "a b c a b"), // bigrams: "a b"×2, "b c", "c a"
+      (1L, "a b"),       // "a b"
+      (2L, "x")          // shorter than n: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(corpus, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("a b", 3L), ("b c", 1L), ("c a", 1L))
+    // trigrams ride the same fold
+    TextAnalysis.topNgrams(corpus, n = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a b c", 1L), ("b c a", 1L))
+    // global top-k must be TakeOrderedAndProject, not a rank window
+    val plan = TextAnalysis.topNgrams(corpus, n = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("TakeOrderedAndProject") }
   }
 
   "TextAnalysis.fingerprint" should "be order-sensitive and stable" in {

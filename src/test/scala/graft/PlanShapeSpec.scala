@@ -25,4 +25,11 @@ class PlanShapeSpec extends SparkTestBase {
     plan should include("PushedFilters: [")
     plan should not include "PushedFilters: []"
   }
+
+  it should "prune per-group rank windows map-side (WindowGroupLimit)" in {
+    // a corpus-common query term must not funnel a corpus-sized candidate
+    // list through one partition of the per-query rank exchange
+    val plan = SparkEntry.queries("rt_bm25_join")(spark, dir).queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("WindowGroupLimit") }
+  }
 }

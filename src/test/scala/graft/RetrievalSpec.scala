@@ -79,6 +79,19 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  "Retrieval.topTfIdfTerms" should "surface each doc's distinctive terms first" in {
+    val out = Retrieval.topTfIdfTerms(docs, k = 2).orderBy("doc_id", "rank").collect()
+    out.length shouldBe 8 // every doc has >= 2 distinct terms
+    // doc 0: spark (tf 3, df 2) far outranks shuffle/join (tf 1)
+    out(0).getString(1) shouldBe "spark"
+    out(0).getDouble(2) shouldBe 3.0 * math.log(4.0 / 2.0) +- 5e-5 // score is rounded to 4 dp
+    // doc 2: window (tf 2, df 2) beats sort (tf 1, df 2)
+    out.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq shouldBe Seq("window", "sort")
+    // rank-limit pushdown: the per-doc window prunes map-side
+    Retrieval.topTfIdfTerms(docs, k = 2).queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
+  }
+
   "Retrieval.bm25Join" should "rank per query with set-semantics terms" in {
     val queries = Seq(
       (10L, Seq("spark", "spark")), // duplicate term counts once

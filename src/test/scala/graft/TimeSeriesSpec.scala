@@ -80,4 +80,42 @@ class TimeSeriesSpec extends SparkTestBase {
     out.map(r => (r.getString(0), r.getDouble(1))) shouldBe Array(("a", 100.0))
     out.head.getDouble(2) should be > 2.0
   }
+
+  "TimeSeries.madOutliers" should "flag by median deviation and ignore constant series" in {
+    // key a: median of {1..9, 100} = 5.5, |dev| sorted =
+    // {0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5} → MAD 2.5; only 100
+    // clears 3.5 × 2.5 = 8.75 (the mean/stddev would have been dragged)
+    val a = (1 to 9).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 10L, 100.0))
+    val b = (1 to 5).map(i => ("b", i.toLong, 2.0)) // constant: MAD = 0
+    val out = TimeSeries.madOutliers((a ++ b).toDF("k", "ts", "v"), Seq("k"), "v", 3.5)
+      .collect()
+    out.map(r => (r.getString(0), r.getDouble(2))) shouldBe Array(("a", 100.0))
+    out.head.getDouble(3) shouldBe 37.8 // |100 − 5.5| / 2.5
+  }
+
+  it should "share one exchange between the two median windows" in {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 9.0)).toDF("k", "ts", "v")
+    val plan = TimeSeries.madOutliers(df, Seq("k"), "v", 3.5)
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    }
+  }
+
+  "TimeSeries.largestDeltas" should "rank per-key jumps with timestamp tie-break" in {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 5.0), ("a", 20L, 4.0), ("a", 30L, 8.0), // deltas 4,1,4
+      ("b", 0L, 2.0), ("b", 10L, 2.0)                                    // delta 0
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.largestDeltas(df, Seq("k"), "ts", "v", k = 2)
+      .orderBy("k", "rank").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4))) shouldBe
+      Array(("a", 10L, 4.0, 1L), ("a", 30L, 4.0, 2L), ("b", 10L, 0.0, 1L))
+  }
+
+  it should "prune the rank window map-side" in {
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 5.0)).toDF("k", "ts", "v")
+    TimeSeries.largestDeltas(df, Seq("k"), "ts", "v", k = 1)
+      .queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
 }
