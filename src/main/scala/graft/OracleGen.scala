@@ -363,16 +363,35 @@ object OracleGen {
   /** mirror of [[Similarity.annJoin]] with queries = `vec_id % qmod = 0`
     * against the whole corpus: bucket-collision candidates (self-matches
     * excluded), exact cosine, per-query top-k by rank window. */
-  def annJoinSql(k: Int, qmod: Int, planesPerTable: Int, tables: Int, dim: Int,
-                 multiProbe: Boolean = false): String =
-    s"""WITH ${lshBucketCtes(planesPerTable, tables, dim)},
+  /** the shared retrieval CTE chain (through the per-query rank `r`)
+    * behind [[annJoinSql]] and [[knnClassifySql]]. */
+  private def annJoinCtes(qmod: Int, planesPerTable: Int, tables: Int, dim: Int,
+                          multiProbe: Boolean): String =
+    s"""${lshBucketCtes(planesPerTable, tables, dim)},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
        |         FROM (SELECT * FROM ${probeRel(planesPerTable, multiProbe)} WHERE vec_id % $qmod = 0) q
        |         JOIN bd c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
        |v AS (SELECT query_id, id, round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.query_id JOIN e eb ON eb.vec_id = cand.id),
-       |r AS (SELECT query_id, id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)::INT AS rank FROM v)
+       |r AS (SELECT query_id, id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)::INT AS rank FROM v)""".stripMargin
+
+  def annJoinSql(k: Int, qmod: Int, planesPerTable: Int, tables: Int, dim: Int,
+                 multiProbe: Boolean = false): String =
+    s"""WITH ${annJoinCtes(qmod, planesPerTable, tables, dim, multiProbe)}
        |SELECT query_id, id, sim, rank FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[Similarity.knnClassify]]: the [[annJoinSql]] retrieval
+    * chain, labels joined on the neighbor id (cast BIGINT so the hash
+    * compare sees int64 — storage is int32), majority vote with
+    * smaller-label tie-break. */
+  def knnClassifySql(k: Int, qmod: Int, planesPerTable: Int, tables: Int, dim: Int,
+                     multiProbe: Boolean = false): String =
+    s"""WITH ${annJoinCtes(qmod, planesPerTable, tables, dim, multiProbe)},
+       |vt AS (SELECT query_id, el.label::BIGINT AS label, count(*)::BIGINT AS votes
+       |       FROM r JOIN embeddings el ON el.vec_id = r.id WHERE rank <= $k GROUP BY 1, 2),
+       |rv AS (SELECT query_id, label, votes,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM vt)
+       |SELECT query_id, label, votes FROM rv WHERE vr = 1 ORDER BY query_id""".stripMargin.replace("\n", " ")
 
   /** [[lshCosinePairsSql]] with CORPUS-DERIVED parameters — the oracle twin
     * of [[Similarity.lshCosinePairsAuto]]. `n` is the live corpus count

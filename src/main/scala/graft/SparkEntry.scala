@@ -249,6 +249,15 @@ object SparkEntry {
       Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
         planesPerTable = kP, tables = lT).orderBy("query_id", "rank")
     }),
+    // k-NN label propagation: majority vote over the ann_join neighbor
+    // list (weak supervision / auto-labeling over the labeled corpus)
+    "ann_knn" -> ((s, d) => {
+      val all    = emb(s, d)
+      val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 8)
+        .localCheckpoint(true)
+      Similarity.knnClassify(all.filter(col("vec_id") % 50 === 0), corpus, all, k = 10,
+        planesPerTable = 6, tables = 8).orderBy("query_id")
+    }),
     // ---- text analysis
     "tx_tokens"      -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "tx_quality"     -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
@@ -576,6 +585,7 @@ object SparkEntry {
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_knn"   -> OracleGen.knnClassifySql(k = 10, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_join_mp" -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 4,
       dim = 64, multiProbe = true),
     "ann_join_auto" -> {

@@ -367,6 +367,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * K-NN LABEL PROPAGATION — predict a label for every query vector by
+   * MAJORITY VOTE over its `k` approximate nearest neighbors (ties broken
+   * by the smaller label, so the prediction is total and deterministic).
+   * The weak-supervision primitive: spread a small labeled seed set over
+   * an unlabeled corpus, auto-label evaluation pools, sanity-check
+   * embedding quality against known classes.
+   *
+   * Rides [[annJoin]] unchanged for retrieval (persisted LSH index,
+   * optional multi-probe), then one shuffle join of the |queries|·k
+   * neighbor list against the label relation on the neighbor id (AQE
+   * broadcasts the neighbor side when the query batch is small), one
+   * map-side-combined vote count, and a `WindowGroupLimit`-pruned
+   * rank-1 window. Votes are integers — nothing to round.
+   *
+   * Labels are cast to long on the way in so the output type is stable
+   * regardless of the storage width (the parquet label is int32).
+   */
+  def knnClassify(
+      queries: DataFrame,
+      corpusIndex: DataFrame,
+      labels: DataFrame,
+      k: Int,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      multiProbe: Boolean = false,
+      labelCol: String = "label",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = annJoin(queries, corpusIndex, k, planesPerTable, tables, dim, multiProbe,
+      idCol = idCol)
+    val votes = nn
+      .join(labels.select(col(idCol).as("id"), col(labelCol).cast("long").as("label")), "id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1).drop("__r")
+  }
+
   // ---- IVF ---------------------------------------------------------------
 
   /** An IVF index: per-vector inverted-list assignment + the centroid

@@ -972,4 +972,27 @@ class PipelineSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     plan should include("WindowGroupLimit")
   }
+
+  "Similarity.knnClassify" should "vote the neighborhood label with smaller-label tie-break" in {
+    // labels: twin pair {0,3} = class 7; {1,2} = class 9. Query 0's
+    // neighborhood at k=3 is {3, 1or2...}: label 7 from the twin plus up
+    // to two 9-votes — at k=1 the twin decides alone
+    val labels = Seq((0L, 7), (1L, 9), (2L, 9), (3L, 7)).toDF("vec_id", "label")
+    val corpus = Similarity.vectorIndex(semVecs, planesPerTable = 4, tables = 4)
+    val top1 = Similarity.knnClassify(semVecs.filter($"vec_id" === 0), corpus, labels,
+      k = 1, planesPerTable = 4, tables = 4).collect()
+    top1.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe Array((0L, 7L, 1L))
+    // k=3: votes 7×1 vs 9×2 → majority flips to 9 (1 and 2 are closer to
+    // each other than to 0, but both still land in 0's candidate set only
+    // if buckets collide — so assert on whatever the vote says, against a
+    // hand-recount of the annJoin neighbor list)
+    val nn = Similarity.annJoin(semVecs.filter($"vec_id" === 0), corpus, k = 3,
+      planesPerTable = 4, tables = 4).collect().map(_.getLong(1))
+    val lbl = Map(0L -> 7L, 1L -> 9L, 2L -> 9L, 3L -> 7L)
+    val expect = nn.map(lbl).groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (l, n) => (-n, l) }.head
+    val got = Similarity.knnClassify(semVecs.filter($"vec_id" === 0), corpus, labels,
+      k = 3, planesPerTable = 4, tables = 4).head
+    (got.getLong(1), got.getLong(2).toInt) shouldBe expect
+  }
 }
