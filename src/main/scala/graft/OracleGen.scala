@@ -141,6 +141,22 @@ object OracleGen {
        |WHERE doc_id % $mod <> 0 AND doc_id NOT IN (SELECT doc_id FROM con)
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** mirror of the [[Sampling.holdoutSplit]] → [[Dedup.decontaminate]]
+    * composition: train docs (id hash < `trainCut`) surviving shingle
+    * decontamination against the test split (id hash >= `testLo`). */
+  def splitDeconSql(shingleK: Int, trainCut: Long, testLo: Long, seed: Long): String = {
+    val h = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    s"""WITH hh AS (SELECT doc_id, $h AS h FROM documents),
+       |${shingleCtes(shingleK)},
+       |ev AS (SELECT DISTINCT unnest(sh) AS sh_h FROM s JOIN hh USING (doc_id) WHERE hh.h >= $testLo),
+       |con AS (SELECT DISTINCT doc_id
+       |        FROM (SELECT s.doc_id, unnest(sh) AS sh_h FROM s JOIN hh USING (doc_id) WHERE hh.h < $trainCut) c
+       |        JOIN ev USING (sh_h))
+       |SELECT doc_id FROM hh
+       |WHERE h < $trainCut AND doc_id NOT IN (SELECT doc_id FROM con)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Sampling.stratifiedHashSample]] over the `lang` stratum:
     * the same polynomial id hash mod 10000 against per-stratum cutoffs. */
   def stratifiedSampleSql(rates: Seq[(String, Double)], seed: Long): String = {

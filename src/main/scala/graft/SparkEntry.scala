@@ -152,6 +152,17 @@ object SparkEntry {
     }),
     // Lee-et-al-style exact-substring signal: span hashes repeated across
     // >= 2 docs, and the per-doc repeated-span counts (spanK=5 at gate SF)
+    // end-to-end split integrity: holdout split, then scrub every train
+    // doc sharing a shingle with the TEST split (no eval leakage survives
+    // the composed lineage — the guarantee a training pipeline ships)
+    "d_split_decon" -> ((s, d) => {
+      val split = Sampling.holdoutSplit(docs(s, d),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.decontaminate(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"), shingleK = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "d_spans" -> ((s, d) => Dedup.repeatedSpans(docs(s, d), spanK = 5).orderBy("span_hash")),
     "d_span_docs" -> ((s, d) => Dedup.spanContaminatedDocs(docs(s, d), spanK = 5).orderBy("doc_id")),
     // audit companion of d_decon: per-doc shared-shingle counts, minHits=2
@@ -441,6 +452,8 @@ object SparkEntry {
     "rt_keywords" -> ((s, d) => Retrieval.topTfIdfTerms(docs(s, d), k = 3).orderBy("doc_id", "rank")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
+    // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
+    "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
     // deterministic 80/10/10 holdout split by portable id hash
     "tx_split" -> ((s, d) =>
       Sampling.holdoutSplit(docs(s, d), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -564,6 +577,7 @@ object SparkEntry {
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
+    "d_split_decon" -> OracleGen.splitDeconSql(shingleK = 5, trainCut = 8000, testLo = 9000, seed = 7L),
     "d_decon_hits" -> OracleGen.contaminationReportSql(shingleK = 5, minHits = 2L, mod = 10),
     "d_spans"      -> OracleGen.repeatedSpansSql(spanK = 5, minDocs = 2L),
     "d_span_docs"  -> OracleGen.spanContaminatedDocsSql(spanK = 5, minDocs = 2L),
@@ -757,6 +771,12 @@ object SparkEntry {
     "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
     "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
+    "tx_vocab" ->
+      """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS total_tokens,
+        |  count(DISTINCT tok)::BIGINT AS vocab,
+        |  ((count(DISTINCT tok) * 1000000) // count(*))::BIGINT AS ttr_ppm
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "tx_split" -> OracleGen.holdoutSplitSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L),
     "mm_meta"  -> MmMetaSql,

@@ -359,6 +359,40 @@ object TextAnalysis {
   }
 
   /**
+   * VOCABULARY STATS per group — document count, token count, distinct
+   * vocabulary size and the type-token ratio: the corpus-health panel
+   * behind diversity monitoring (a collapsing TTR flags boilerplate
+   * flooding a language/source).
+   *
+   * TTR is emitted as integer parts-per-million (`vocab·10⁶ div total`) —
+   * pure int64 arithmetic, bit-identical across engines, no float
+   * rounding anywhere (a 6 dp rounded ratio of two counts CAN sit exactly
+   * on a decimal half, where string-based and binary round() split).
+   *
+   * ONE shuffle of the token stream: the two distincts (doc ids, tokens)
+   * partial-aggregate map-side under Expand. Exact distincts keep the
+   * oracle replayable; at an unbounded 100 TB vocabulary the same call
+   * shape switches to `approx_count_distinct` via `approx = true`.
+   */
+  def vocabStats(
+      df: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      approx: Boolean = false
+  ): DataFrame = {
+    val toks = df.select(col(groupCol), col(idCol), explode(words(col(textCol))).as("tok"))
+    def dist(c: String) =
+      if (approx) approx_count_distinct(col(c)) else count_distinct(col(c))
+    toks.groupBy(col(groupCol))
+      .agg(
+        dist(idCol).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        dist("tok").as("vocab"))
+      .withColumn("ttr_ppm", expr("(vocab * 1000000L) div total_tokens"))
+  }
+
+  /**
    * CORPUS TOP-K N-GRAMS — the `k` most frequent word `n`-grams across the
    * whole corpus (ties broken by the gram text). The corpus-statistics
    * primitive behind boilerplate detection, template mining and

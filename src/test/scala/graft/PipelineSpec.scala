@@ -628,6 +628,19 @@ class PipelineSpec extends SparkTestBase {
     preds(5L) shouldBe "es"
   }
 
+  "TextAnalysis.vocabStats" should "count docs, tokens and vocab in pure int64" in {
+    val corpus = Seq(
+      (0L, "a b a", "en"), (1L, "a c", "en"), // en: 2 docs, 5 tokens, vocab {a,b,c}
+      (2L, "x x x x", "de")                   // de: 1 doc, 4 tokens, vocab {x}
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.vocabStats(corpus).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out shouldBe Array(("de", 1L, 4L, 1L, 250000L), ("en", 2L, 5L, 3L, 600000L))
+    // the approx flag keeps the exact counts at toy cardinalities
+    val ap = TextAnalysis.vocabStats(corpus, approx = true).orderBy("lang").collect()
+    ap.map(r => r.getLong(2)) shouldBe Array(4L, 5L)
+  }
+
   "TextAnalysis.topNgrams" should "count shifted-window grams and rank ties by text" in {
     val corpus = Seq(
       (0L, "a b c a b"), // bigrams: "a b"×2, "b c", "c a"
