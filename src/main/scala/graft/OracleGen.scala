@@ -778,6 +778,24 @@ object OracleGen {
        |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT $k""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.TextAnalysis.pmiCollocations]]: bigram and
+    * unigram counts, token/bigram totals, and the SAME left-associated
+    * ratio chain into `ln` (DuckDB `log` is log10 — must be `ln`). */
+  def pmiCollocationsSql(k: Int, minCount: Long): String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |tot AS (SELECT sum(len(w))::BIGINT AS T, sum(greatest(len(w) - 1, 0))::BIGINT AS N FROM d),
+       |uc AS (SELECT wd, count(*)::BIGINT AS n_w FROM (SELECT unnest(w) AS wd FROM d) GROUP BY wd),
+       |g AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram FROM d),
+       |bc AS (SELECT ngram, count(*)::BIGINT AS n_ab FROM g GROUP BY ngram),
+       |f AS (SELECT ngram, split_part(ngram, ' ', 1) AS w1, split_part(ngram, ' ', 2) AS w2, n_ab
+       |      FROM bc WHERE n_ab >= $minCount),
+       |j AS (SELECT ngram, n_ab, a.n_w AS n_a, b.n_w AS n_b
+       |      FROM f JOIN uc a ON a.wd = f.w1 JOIN uc b ON b.wd = f.w2),
+       |p AS (SELECT ngram, n_ab,
+       |        round(ln(((CAST(n_ab AS DOUBLE) * T) * T) / ((CAST(N AS DOUBLE) * n_a) * n_b)), 4) AS pmi
+       |      FROM j CROSS JOIN tot)
+       |SELECT ngram, n_ab, pmi FROM p ORDER BY pmi DESC, ngram LIMIT $k""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.pipeline.Sampling.holdoutSplit]]: the sampling id
     * hash against cumulative 10000-lattice cutoffs. */
   def holdoutSplitSql(weights: Seq[(String, Double)], seed: Long): String = {

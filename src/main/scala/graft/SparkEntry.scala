@@ -454,6 +454,8 @@ object SparkEntry {
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
     "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
+    // top-20 PMI collocations (min bigram count 5 guards rare-pair noise)
+    "tx_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d), k = 20)),
     // deterministic 80/10/10 holdout split by portable id hash
     "tx_split" -> ((s, d) =>
       Sampling.holdoutSplit(docs(s, d), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -771,6 +773,7 @@ object SparkEntry {
     "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
     "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
+    "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     "tx_vocab" ->
       """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS total_tokens,

@@ -359,6 +359,57 @@ object TextAnalysis {
   }
 
   /**
+   * PMI COLLOCATIONS — the `k` strongest two-word collocations by
+   * pointwise mutual information, `ln(p(ab) / (p(a)·p(b)))` with unigram
+   * probabilities over the token total `T` and bigram probability over
+   * the bigram total `N`: the classic collocation/multi-word-expression
+   * miner (raw bigram counts surface "of the"; PMI surfaces "machine
+   * learning"). `minCount` drops the rare-pair noise PMI is famously
+   * fragile to. Ties after 4 dp rounding break by the gram text.
+   *
+   * Scale shape: bigram counts are ONE map-side-combined aggregation
+   * (same shifted-`zip_with` build as [[topNgrams]]); the two unigram
+   * joins shuffle on the word — the natural key; `T` and `N` are one
+   * row-local doc-level aggregate broadcast in; the global top-k is
+   * `TakeOrderedAndProject`. The PMI ratio is a fixed left-associated
+   * chain of IEEE ops over exact integer-valued doubles, so both engines
+   * compute identical bits into the final `ln` (`ln`/`round` at 4 dp is
+   * the same accepted-residual class as the BM25/tf-idf gates).
+   */
+  def pmiCollocations(
+      df: DataFrame,
+      k: Int,
+      minCount: Long = 5L,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks  = words(col(textCol))
+    val glen  = greatest(size(toks) - 1, lit(0))
+    val grams = zip_with(slice(toks, lit(1), glen), slice(toks, lit(2), glen),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // T (tokens) and N (bigrams) from one row-local doc aggregate
+    val totals = df.select(size(toks).cast("long").as("t"), glen.cast("long").as("g"))
+      .agg(sum(col("t")).as("T"), sum(col("g")).as("N"))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val big = df.select(explode(grams).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    // fixed evaluation order: (((n_ab * T) * T) / ((N * n_a) * n_b))
+    val ratio = (col("n_ab").cast("double") * col("T") * col("T")) /
+      (col("N").cast("double") * col("n_a") * col("n_b"))
+    big
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("ngram"), col("n_ab"),
+        round(log(ratio), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /**
    * VOCABULARY STATS per group — document count, token count, distinct
    * vocabulary size and the type-token ratio: the corpus-health panel
    * behind diversity monitoring (a collapsing TTR flags boilerplate

@@ -628,6 +628,22 @@ class PipelineSpec extends SparkTestBase {
     preds(5L) shouldBe "es"
   }
 
+  "TextAnalysis.pmiCollocations" should "rank exclusive pairs above frequent-word pairs" in {
+    // every bigram occurs 6× — PMI separates pairs of exclusive words
+    // (n_w = 6) from pairs touching the ubiquitous "the" (n_w = 18)
+    val rows = (0 until 6).map(i => (i.toLong, "x y the cat and the dog sat on the mat"))
+    val out = TextAnalysis.pmiCollocations(rows.toDF("doc_id", "text"), k = 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the four exclusive pairs outrank every 'the' pair despite equal counts
+    out.take(4).map(_._1).toSet shouldBe Set("cat and", "dog sat", "sat on", "x y")
+    out.head._1 shouldBe "cat and" // equal-PMI ties break by gram text
+    // pmi: n_ab=6, n_a=n_b=6, T=66, N=60 → ln(((6·66)·66)/((60·6)·6))
+    out.head._3 shouldBe math.log(6.0 * 66 * 66 / (60.0 * 36)) +- 5e-5
+    // global top-k stays TakeOrderedAndProject
+    TextAnalysis.pmiCollocations(rows.toDF("doc_id", "text"), k = 3)
+      .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
   "TextAnalysis.vocabStats" should "count docs, tokens and vocab in pure int64" in {
     val corpus = Seq(
       (0L, "a b a", "en"), (1L, "a c", "en"), // en: 2 docs, 5 tokens, vocab {a,b,c}
