@@ -728,6 +728,22 @@ object OracleGen {
        |SELECT query_id, doc_id, round(r.score, 4) AS score, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Retrieval.phraseMatches]]: per-term
+    * positional postings, consecutive-position equi-joins, per-doc
+    * (overlapping) occurrence counts. */
+  def phraseMatchesSql(phrase: Seq[String]): String = {
+    require(phrase.size >= 2)
+    val sides = phrase.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, pos - $i AS pos FROM p WHERE term = '$t')"
+    }
+    val joins = (1 until phrase.size).map(i => s"JOIN p$i USING (doc_id, pos)").mkString(" ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, u AS pos, w[u + 1] AS term FROM d, unnest(range(0, len(w))) AS t(u)),
+       |${sides.mkString(", ")}
+       |SELECT doc_id, count(*)::BIGINT AS n_matches FROM p0 $joins
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Retrieval.topTfIdfTerms]]: per-doc top-k
     * terms by `tf * ln(N/df)`, ties by term — one exact multiply, no
     * tolerance needed. */

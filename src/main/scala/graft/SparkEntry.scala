@@ -450,6 +450,10 @@ object SparkEntry {
     }),
     // per-doc tf-idf keyword extraction (top-3 salient terms)
     "rt_keywords" -> ((s, d) => Retrieval.topTfIdfTerms(docs(s, d), k = 3).orderBy("doc_id", "rank")),
+    // exact consecutive-phrase match over positional postings
+    "rt_phrase" -> ((s, d) =>
+      Retrieval.phraseMatches(Retrieval.positionalPostings(docs(s, d)), Seq("table", "hash"))
+        .orderBy("doc_id")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
@@ -770,6 +774,7 @@ object SparkEntry {
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_hybrid"    -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
     "rt_keywords"  -> OracleGen.topTfIdfTermsSql(k = 3),
+    "rt_phrase"    -> OracleGen.phraseMatchesSql(Seq("table", "hash")),
     "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
     "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),

@@ -238,6 +238,48 @@ object Retrieval {
       .select(col(idCol), round(col("score"), dp).as("score"))
 
   /**
+   * POSITIONAL POSTINGS — the `(term, doc_id, pos)` relation behind exact
+   * phrase search: one `posexplode` scan of the corpus. Persist it
+   * partitioned by term (like [[writeTermIndex]]) and phrase queries
+   * never rescan the corpus; the relation is also the building block for
+   * proximity scoring and span queries.
+   */
+  def positionalPostings(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col(idCol), col("pos"))
+
+  /**
+   * EXACT PHRASE MATCH — documents containing the words of `phrase`
+   * CONSECUTIVELY, with the number of (overlapping) occurrences. The
+   * lexical primitive BM25's bag-of-words scoring cannot express.
+   *
+   * Shape: each phrase term selects its postings (a term-pushdown scan —
+   * against a term-partitioned persisted relation this reads only the
+   * phrase's partitions), then an equi-join per additional term on
+   * `(doc_id, pos − offset)` aligns consecutive positions — never an
+   * inequality join, never a corpus rescan; the per-doc count is
+   * map-side combined. Counts are integers.
+   */
+  def phraseMatches(
+      postings: DataFrame,
+      phrase: Seq[String],
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(phrase.size >= 2, "phrase must have at least two terms")
+    def side(t: String, off: Int) =
+      postings.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - off).as("pos"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(side(phrase.head, 0)) {
+      case (acc, (t, i)) => acc.join(side(t, i), Seq(idCol, "pos"))
+    }
+    aligned.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /**
    * KEYWORD EXTRACTION — the `k` most salient terms per document by
    * tf·idf (smooth `ln(N/df)` idf; ties broken by term, so the ranking is
    * total and deterministic). The standard corpus-analysis primitive for

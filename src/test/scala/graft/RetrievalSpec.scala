@@ -79,6 +79,24 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  "Retrieval.phraseMatches" should "count overlapping consecutive occurrences only" in {
+    val corpus = Seq(
+      (0L, "a b a b a"),   // "a b a": positions 0 and 2 (overlapping) → 2
+      (1L, "a c b a x"),   // a and b present but never consecutive as "a b a"
+      (2L, "b a b")        // contains "a b" once, "a b a" never
+    ).toDF("doc_id", "text")
+    val p = Retrieval.positionalPostings(corpus)
+    Retrieval.phraseMatches(p, Seq("a", "b", "a")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 2L))
+    Retrieval.phraseMatches(p, Seq("a", "b")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 2L), (2L, 1L))
+    // the term filter must reach the postings scan (pushdown at a
+    // term-partitioned persisted relation = partition pruning)
+    val plan = Retrieval.phraseMatches(p, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("Filter") }
+  }
+
   "Retrieval.topTfIdfTerms" should "surface each doc's distinctive terms first" in {
     val out = Retrieval.topTfIdfTerms(docs, k = 2).orderBy("doc_id", "rank").collect()
     out.length shouldBe 8 // every doc has >= 2 distinct terms
