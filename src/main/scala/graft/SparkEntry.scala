@@ -422,6 +422,18 @@ object SparkEntry {
     "ts_delta" -> ((s, d) =>
       TimeSeries.largestDeltas(evUs(s, d), Seq("event_type"), "ts", "value", k = 5)
         .orderBy("event_type", "rank")),
+    // hour-of-day seasonal baseline per type (bounded |keys|x24 result)
+    "ts_profile" -> ((s, d) =>
+      TimeSeries.seasonalProfile(evUs(s, d), Seq("event_type"), "ts", "value",
+        width = HourUs, period = 24).orderBy("event_type", "phase")),
+    // per-user consecutive-event transition matrix (empirical Markov chain)
+    "ev_trans" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+      graft.operators.Relational.transitionCounts(ev, Seq("user_id"), "ts", "event_type")
+        .orderBy("from_state", "to_state")
+    }),
     // ---- keyword retrieval (pipeline/Retrieval): BM25 and hybrid RRF.
     // Two query terms keep the per-doc weight sum commutative, so scores
     // are bit-identical across engines and unrounded-top-k selection agrees
@@ -777,6 +789,16 @@ object SparkEntry {
     "rt_phrase"    -> OracleGen.phraseMatchesSql(Seq("table", "hash")),
     "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
     "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
+    // phase floor and avg = round(sum, 6) / count — see TimeSeries.seasonalProfile
+    "ts_profile" ->
+      s"""SELECT event_type, (epoch_us(ts) // $HourUs) % 24 AS phase, count(*)::BIGINT AS n,
+         |  round(sum(value), 6) / count(*) AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "ev_trans" ->
+      """WITH w AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |           FROM events)
+        |SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
+        |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     "tx_vocab" ->

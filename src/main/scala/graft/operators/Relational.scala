@@ -291,4 +291,28 @@ object Relational {
       .filter(col(rightTsCol).between(col(leftTsCol) + lower, col(leftTsCol) + upper))
       .drop("__bucket")
   }
+
+  /**
+   * TRANSITION MATRIX — per-key consecutive event pairs counted by
+   * `(from_state, to_state)`: the empirical Markov chain behind
+   * user-pathing analytics ("after a view, what happens next?") and
+   * funnel discovery.
+   *
+   * ONE shuffle on `keys` for the lead window; the pair count is
+   * map-side combined over at most `|states|²` groups. Requires unique
+   * `(keys, tsCol)` rows for a deterministic successor (holds for event
+   * streams with point timestamps); counts are integers.
+   */
+  def transitionCounts(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stateCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -207,6 +207,35 @@ object TimeSeries {
   }
 
   /**
+   * SEASONAL PROFILE — the per-key average value by cyclic phase (e.g.
+   * hour-of-day with `period = 24 h buckets of width 1 h`): the baseline
+   * a seasonality-aware monitor compares live traffic against. Returns
+   * `(keys*, phase, n, avg_value)` where `phase = (ts div width) mod
+   * period`.
+   *
+   * ONE map-side-combined aggregation over `keys × period` groups — a
+   * bounded-cardinality result at any corpus size. The average is
+   * `round(sum, sumDp) / count` (see [[resample]] for why this and not
+   * a rounded `avg`); phase arithmetic is pure int64.
+   */
+  def seasonalProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      width: Long,
+      period: Int,
+      sumDp: Int = 6
+  ): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(period > 0, "period must be positive")
+    df.groupBy(keys.map(col) :+ expr(s"($tsCol div ${width}L) % $period").as("phase"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (round(sum(col(valueCol)), sumDp) / count(lit(1))).as("avg_value"))
+  }
+
+  /**
    * MAD OUTLIERS — the robust sibling of [[zscoreOutliers]]: rows whose
    * absolute deviation from their key's MEDIAN exceeds `threshold` times
    * the key's median-absolute-deviation (the Hampel/robust-z test, the

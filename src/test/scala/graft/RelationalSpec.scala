@@ -150,4 +150,17 @@ class RelationalSpec extends SparkTestBase {
     plan should not include "CartesianProduct"
     plan should include("__bucket")
   }
+
+  "Relational.transitionCounts" should "count per-key consecutive state pairs" in {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "view"), (1L, 30L, "click"),
+      (2L, 5L, "view"), (2L, 15L, "click"), (2L, 25L, "buy"),
+      (3L, 0L, "view") // single event: no transition
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.transitionCounts(ev, Seq("user_id"), "ts", "event_type")
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array(
+      ("click", "buy", 1L), ("click", "view", 1L), ("view", "click", 3L))
+  }
 }

@@ -81,6 +81,16 @@ class TimeSeriesSpec extends SparkTestBase {
     out.head.getDouble(2) should be > 2.0
   }
 
+  "TimeSeries.seasonalProfile" should "fold timestamps onto the cyclic phase" in {
+    // width 10, period 3: ts 0,5 → phase 0; 10 → 1; 35,65 → phase 0/0? 35 div 10 = 3 % 3 = 0; 65 div 10 = 6 % 3 = 0
+    val df = Seq(("a", 0L, 1.0), ("a", 5L, 3.0), ("a", 10L, 5.0), ("a", 35L, 7.0), ("a", 65L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.seasonalProfile(df, Seq("k"), "ts", "v", width = 10L, period = 3)
+      .orderBy("phase").collect()
+    out.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))) shouldBe
+      Array((0L, 4L, 5.0), (1L, 1L, 5.0)) // phase 0: {1,3,7,9} avg 5; phase 1: {5}
+  }
+
   "TimeSeries.madOutliers" should "flag by median deviation and ignore constant series" in {
     // key a: median of {1..9, 100} = 5.5, |dev| sorted =
     // {0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5} → MAD 2.5; only 100
