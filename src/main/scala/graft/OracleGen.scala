@@ -744,6 +744,17 @@ object OracleGen {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Retrieval.nearMatches]]: pairs where the
+    * second term sits 1..slop positions after the first. */
+  def nearMatchesSql(first: String, second: String, slop: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, u AS pos, w[u + 1] AS term FROM d, unnest(range(0, len(w))) AS t(u)),
+       |pa AS (SELECT doc_id, pos FROM p WHERE term = '$first'),
+       |pb AS (SELECT doc_id, pos FROM p WHERE term = '$second')
+       |SELECT pa.doc_id, count(*)::BIGINT AS n_matches
+       |FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos - pa.pos BETWEEN 1 AND $slop
+       |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.pipeline.Retrieval.topTfIdfTerms]]: per-doc top-k
     * terms by `tf * ln(N/df)`, ties by term — one exact multiply, no
     * tolerance needed. */

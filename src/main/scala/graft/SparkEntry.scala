@@ -466,6 +466,10 @@ object SparkEntry {
     "rt_phrase" -> ((s, d) =>
       Retrieval.phraseMatches(Retrieval.positionalPostings(docs(s, d)), Seq("table", "hash"))
         .orderBy("doc_id")),
+    // proximity: "hash" within 3 positions after "table" (span-near)
+    "rt_near" -> ((s, d) =>
+      Retrieval.nearMatches(Retrieval.positionalPostings(docs(s, d)), "table", "hash", slop = 3)
+        .orderBy("doc_id")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
@@ -787,6 +791,7 @@ object SparkEntry {
     "rt_hybrid"    -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
     "rt_keywords"  -> OracleGen.topTfIdfTermsSql(k = 3),
     "rt_phrase"    -> OracleGen.phraseMatchesSql(Seq("table", "hash")),
+    "rt_near"      -> OracleGen.nearMatchesSql("table", "hash", slop = 3),
     "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
     "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
     // phase floor and avg = round(sum, 6) / count — see TimeSeries.seasonalProfile

@@ -280,6 +280,33 @@ object Retrieval {
   }
 
   /**
+   * PROXIMITY MATCH (span-near) — documents where `second` occurs within
+   * `slop` positions AFTER `first`, with the pair count. Generalizes
+   * [[phraseMatches]] (`slop = 1` with two terms is the exact bigram);
+   * the standard "terms near each other" relevance primitive.
+   *
+   * The position window is an EQUI-join: the second term's postings
+   * explode over the `slop` offsets (`pos − 1 … pos − slop`) and join on
+   * `(doc_id, pos)` — never an inequality join, and output is bounded by
+   * `slop × |postings(second)|`. Counts are integers.
+   */
+  def nearMatches(
+      postings: DataFrame,
+      first: String,
+      second: String,
+      slop: Int,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(slop >= 1, "slop must be at least 1")
+    val pa = postings.filter(col("term") === first).select(col(idCol), col("pos"))
+    val pb = postings.filter(col("term") === second)
+      .select(col(idCol), explode(sequence(lit(1), lit(slop))).as("__d"), col("pos"))
+      .select(col(idCol), (col("pos") - col("__d")).as("pos"))
+    pa.join(pb, Seq(idCol, "pos"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /**
    * KEYWORD EXTRACTION — the `k` most salient terms per document by
    * tf·idf (smooth `ln(N/df)` idf; ties broken by term, so the ranking is
    * total and deterministic). The standard corpus-analysis primitive for

@@ -97,6 +97,19 @@ class RetrievalSpec extends SparkTestBase {
     withClue(plan) { plan should include("Filter") }
   }
 
+  "Retrieval.nearMatches" should "match within slop, ordered, counting pairs" in {
+    val corpus = Seq(
+      (0L, "a x x b"),   // b is 3 after a: slop 3 hits, slop 2 misses
+      (1L, "b x a"),     // b BEFORE a: ordered near must not match
+      (2L, "a b x a x b") // pairs within slop 3: (0,1), (3,5); (0,5) is 5 apart
+    ).toDF("doc_id", "text")
+    val p = Retrieval.positionalPostings(corpus)
+    Retrieval.nearMatches(p, "a", "b", slop = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L), (2L, 2L))
+    Retrieval.nearMatches(p, "a", "b", slop = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((2L, 2L))
+  }
+
   "Retrieval.topTfIdfTerms" should "surface each doc's distinctive terms first" in {
     val out = Retrieval.topTfIdfTerms(docs, k = 2).orderBy("doc_id", "rank").collect()
     out.length shouldBe 8 // every doc has >= 2 distinct terms
