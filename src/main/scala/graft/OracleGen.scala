@@ -104,6 +104,16 @@ object OracleGen {
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Dedup.clusterSizeHistogram]] over the
+    * [[ccClustersSql]] labeling. */
+  def clusterHistogramSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                          maxBucket: Int): String =
+    s"""SELECT cluster_size, count(*)::BIGINT AS n_clusters
+       |FROM (SELECT rep, count(*)::BIGINT AS cluster_size
+       |      FROM (${ccClustersSql(threshold, numHashes, bands, shingleK, maxBucket)})
+       |      GROUP BY rep)
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.pipeline.Multimodal.embedBatched]]: per-dimension
     * portable code-point fold normalized by P31. */
   def embedStubSql(dim: Int): String = {

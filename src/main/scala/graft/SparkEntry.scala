@@ -143,6 +143,10 @@ object SparkEntry {
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // true duplicate clusters: connected components over the pair graph
     "d_cc" -> ((s, d) => Dedup.duplicateClusters(docs(s, d), 0.5).orderBy("doc_id")),
+    // dedup health report: cluster-size histogram over the CC labeling
+    "d_cc_hist" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(Dedup.duplicateClusters(docs(s, d), 0.5))
+        .orderBy("cluster_size")),
     // eval-set decontamination: docs with doc_id % 10 == 0 play the
     // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
     "d_decon" -> ((s, d) => {
@@ -598,6 +602,7 @@ object SparkEntry {
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
     "d_split_decon" -> OracleGen.splitDeconSql(shingleK = 5, trainCut = 8000, testLo = 9000, seed = 7L),
     "d_decon_hits" -> OracleGen.contaminationReportSql(shingleK = 5, minHits = 2L, mod = 10),

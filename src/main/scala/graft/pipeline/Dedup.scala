@@ -539,6 +539,17 @@ object Dedup {
   }
 
   /**
+   * Cluster-size HISTOGRAM over a [[duplicateClusters]] labeling — the
+   * dedup health report ("how much of the corpus is singletons vs
+   * near-dup families, and how big do families get"): `(cluster_size,
+   * n_clusters)`. Two map-side-combined aggregations over id-sized
+   * relations; pure integers.
+   */
+  def clusterSizeHistogram(clusters: DataFrame, repCol: String = "rep"): DataFrame =
+    clusters.groupBy(col(repCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /**
    * Dedup by LSH pairs: ids that have a near-duplicate with a smaller id.
    * (Single-pass approximation of connected components — exact CC needs
    * iteration, unnecessary for keep-one-representative semantics.)

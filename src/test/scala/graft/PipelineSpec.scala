@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Pipeline operator specs with planted duplicates/near-duplicates. */
 class PipelineSpec extends SparkTestBase {
@@ -172,6 +172,14 @@ class PipelineSpec extends SparkTestBase {
     live shouldBe empty
     // freeing is idempotent and a frame with no pins is a no-op
     Checkpoints.free(out, corpus)
+  }
+
+  "Dedup.clusterSizeHistogram" should "bucket the CC labeling by family size" in {
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("doc_id", "rep") // one pair, one singleton, one triple
+    Dedup.clusterSizeHistogram(clusters).orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((1L, 1L), (2L, 1L), (3L, 1L))
   }
 
   "Dedup.decontaminate" should "drop docs sharing any k-shingle with the eval set" in {
@@ -477,6 +485,25 @@ class PipelineSpec extends SparkTestBase {
     def budget(df: org.apache.spark.sql.DataFrame) =
       Sampling.tokenBudget(df, 900L).select("doc_id").collect().map(_.getLong(0)).toSet
     budget(corpus.repartition(1)) shouldBe budget(corpus.repartition(13))
+  }
+
+  "Round-8 operators" should "be invariant under input partition layout" in {
+    val rnd = new scala.util.Random(43)
+    val corpus = (0L until 200L).map { i =>
+      (i, (0 until (2 + rnd.nextInt(15))).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def across[A](f: org.apache.spark.sql.DataFrame => A): Unit =
+      f(corpus.repartition(1)) shouldBe f(corpus.repartition(13))
+    across(df => TextAnalysis.topNgrams(df, n = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    across(df => TextAnalysis.pmiCollocations(df, k = 10, minCount = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+    across(df => Sampling.holdoutSplit(df, Seq("a" -> 0.7, "b" -> 0.3)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap)
+    across(df => Retrieval.phraseMatches(Retrieval.positionalPostings(df), Seq("w1", "w2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    across(df => Retrieval.nearMatches(Retrieval.positionalPostings(df), "w1", "w2", slop = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   "Similarity LSH sizing" should "add one plane per corpus doubling and re-amplify tables for recall" in {
