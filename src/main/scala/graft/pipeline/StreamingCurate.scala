@@ -94,4 +94,33 @@ object StreamingCurate {
         round(avg(col("quality")), 4).as("avg_quality"),
         round(avg(col("n_tokens")), 2).as("avg_tokens"))
   }
+
+  /**
+   * TRENDING-TERM monitor — per (event-time window, term) occurrence
+   * counts for terms crossing `minCount`: the heavy-hitters feed behind
+   * "what vocabulary is suddenly flooding the stream" alerts (spam bursts
+   * and template floods surface here before any dedup pass sees them).
+   *
+   * Watermarked tumbling windows in update mode; the token explode is
+   * row-local, the count map-side combined, and state is one row per
+   * (window, term) evicted at the watermark. The `minCount` cut is a
+   * stateless filter ON the aggregate (streaming-legal), keeping the
+   * emitted set to the heavy tail — a per-window TOP-K rank would not be
+   * (no window functions over streaming aggregates); rank downstream on
+   * the emitted rows if k-bounded output is needed.
+   */
+  def termTrendMonitor(
+      stream: DataFrame,
+      tsCol: String,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "5 minutes",
+      minCount: Long = 10L,
+      textCol: String = "text"
+  ): DataFrame =
+    stream
+      .select(col(tsCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
 }

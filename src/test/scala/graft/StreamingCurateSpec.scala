@@ -98,4 +98,26 @@ class StreamingCurateSpec extends SparkTestBase {
       rows("es")._2 shouldBe 0L // lang allowlist rejects es
     } finally q.stop()
   }
+
+  "StreamingCurate.termTrendMonitor" should "surface only terms crossing the heavy-hitter cut" in {
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[ScDoc]
+    val cp    = Files.createTempDirectory("graft_sct_").toString
+    val q = StreamingCurate.termTrendMonitor(input.toDF(), "ts",
+        windowDur = "1 minute", watermarkDelay = "10 minutes", minCount = 3L)
+      .writeStream.format("memory").queryName("sc_trend").outputMode("update")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000000L)
+      input.addData(
+        ScDoc(t0, 0L, "buy buy buy now"),
+        ScDoc(t0, 1L, "buy now or later"))
+      q.processAllAvailable()
+      val counts = spark.table("sc_trend").select("term", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts("buy") shouldBe 4L // 3 + 1 across docs in the window
+      counts should not contain key("now") // 2 < minCount
+      counts should not contain key("later")
+    } finally q.stop()
+  }
 }
