@@ -280,6 +280,26 @@ object Retrieval {
   }
 
   /**
+   * Persist [[positionalPostings]] term-partitioned and term-sorted (the
+   * [[writeTermIndex]] layout): a phrase/near query then reads ONLY its
+   * terms' row groups (min/max pruning on the sorted term column) — at
+   * 100 TB a phrase query touches megabytes of postings, never the
+   * corpus.
+   */
+  def writePositionalIndex(
+      docs: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Unit =
+    positionalPostings(docs, textCol, idCol)
+      .repartition(col("term")).sortWithinPartitions(col("term"), col(idCol), col("pos"))
+      .write.mode("overwrite").parquet(path)
+
+  def readPositionalIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
    * PROXIMITY MATCH (span-near) — documents where `second` occurs within
    * `slop` positions AFTER `first`, with the pair count. Generalizes
    * [[phraseMatches]] (`slop = 1` with two terms is the exact bigram);

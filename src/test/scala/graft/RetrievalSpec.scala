@@ -97,6 +97,24 @@ class RetrievalSpec extends SparkTestBase {
     withClue(plan) { plan should include("Filter") }
   }
 
+  "Retrieval positional index persistence" should "reproduce live results with term pushdown" in {
+    val corpus = Seq((0L, "a b a b a"), (1L, "a c b a x"), (2L, "b a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_posix_").toString
+    Retrieval.writePositionalIndex(corpus, dir)
+    val persisted = Retrieval.readPositionalIndex(spark, dir)
+    val live = Retrieval.phraseMatches(Retrieval.positionalPostings(corpus), Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Retrieval.phraseMatches(persisted, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe live
+    // the term selection must reach the parquet scan
+    val plan = Retrieval.phraseMatches(persisted, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("PushedFilters: [")
+      plan should not include "PushedFilters: []"
+    }
+  }
+
   "Retrieval.nearMatches" should "match within slop, ordered, counting pairs" in {
     val corpus = Seq(
       (0L, "a x x b"),   // b is 3 after a: slop 3 hits, slop 2 misses
