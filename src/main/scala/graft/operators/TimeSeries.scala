@@ -90,7 +90,11 @@ object TimeSeries {
     // materialize the lead columns first: a window expression cannot ride
     // inside the generator
     val nt = col("__nt")
-    val fillable = nt.isNotNull && maxGap.fold(lit(true))(g => nt - col(tsCol) <= g)
+    // `nt − ts >= step` guards off-grid input: a successor closer than one
+    // step (duplicate or sub-step timestamps) has no interior ticks, and
+    // sequence(ts, nt − step) would throw on its inverted boundaries
+    val fillable = nt.isNotNull && nt - col(tsCol) >= step &&
+      maxGap.fold(lit(true))(g => nt - col(tsCol) <= g)
     val ticks = when(fillable, sequence(col(tsCol), nt - step, lit(step)))
       .otherwise(array(col(tsCol)))
     val g = df
@@ -115,7 +119,9 @@ object TimeSeries {
    * except a decrease means the counter reset and the delta is the raw
    * `value`. Returns per key: sample count, total `increase` and
    * `rate_per_s` (increase over the observed span; null for keys with a
-   * single sample). `tsCol` is microseconds.
+   * single sample). `tsCol` is microseconds. Requires unique
+   * `(keys, tsCol)` rows — with timestamp ties the lag predecessor (and
+   * so the reset detection) is not deterministic.
    *
    * ONE shuffle on `keys`: the lag window and the final aggregation share
    * the partitioning, and the aggregation is map-side combinable.
@@ -288,6 +294,8 @@ object TimeSeries {
    *
    * Deltas of lattice-valued inputs (e.g. 2 dp readings) are exact IEEE
    * subtracts — no rounding anywhere, bit-identical across engines.
+   * Requires unique `(keys, tsCol)` rows for a deterministic predecessor
+   * (see [[counterRate]]).
    */
   def largestDeltas(
       df: DataFrame,

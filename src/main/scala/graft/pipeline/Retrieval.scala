@@ -40,10 +40,11 @@ object Retrieval {
   private def foldSum(xs: Column): Column =
     aggregate(array_sort(xs), lit(0.0), (acc, x) => acc + x)
 
-  /** shared Okapi scoring over hit relations: `tf` = (idCol, __term, __tf),
-    * `dfreq` = (__term, __df), `dl` = (idCol, __dl). Both the corpus-scan
-    * and index paths fund the SAME expression tree, so their scores (and
-    * the DuckDB oracle replay) are bit-identical. */
+  /** shared Okapi scoring over hit relations: `tf` = (extraGroupCols*,
+    * idCol, __term, __tf), `dfreq` = (__term, __df), `dl` = (idCol, __dl).
+    * Every scoring path — corpus scan, index, batch join (which groups by
+    * the extra query id) — funds the SAME expression tree, so their
+    * scores (and the DuckDB oracle replay) are bit-identical. */
   private def scoreHits(
       tf: DataFrame,
       dfreq: DataFrame,
@@ -52,14 +53,15 @@ object Retrieval {
       avgdl: Double,
       k1: Double,
       b: Double,
-      idCol: String
+      idCol: String,
+      extraGroupCols: Seq[String] = Nil
   ): DataFrame = {
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
     val wt  = col("__idf") * (col("__tf") * (k1 + 1)) /
       (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / avgdl))
     tf.join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
       .join(dl, idCol)
-      .groupBy(col(idCol))
+      .groupBy((extraGroupCols :+ idCol).map(col): _*)
       .agg(foldSum(collect_list(wt)).as("score"))
   }
 
@@ -82,7 +84,7 @@ object Retrieval {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("__term"))
+    val toks = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__term"))
     val dl   = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
     val Array(n, sumDl) = dl.agg(count(lit(1)), sum(col("__dl"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
@@ -101,17 +103,21 @@ object Retrieval {
     * touching the text again. */
   case class TermIndex(postings: DataFrame, doclens: DataFrame, n: Long, sumDl: Long)
 
-  /** Tokenize the corpus once into [[TermIndex]] relations (two map-side-
-    * combined aggregations over the token stream; the scalars are one
-    * 2-value collect). */
+  /** Tokenize the corpus into [[TermIndex]] relations. Doclens derive from
+    * the postings (`dl = Σ tf`), so only ONE aggregation reads the token
+    * stream; the scalars are one 2-value collect through it. The returned
+    * frames are lazy — pin or persist `postings` (the gates use
+    * [[graft.pipeline.Checkpoints.pin]]; [[writeTermIndex]] writes it)
+    * before fanning multiple queries over them, or each materialization
+    * re-tokenizes. */
   def termIndex(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): TermIndex = {
-    val toks     = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val toks     = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
     val postings = toks.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
-    val doclens  = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val doclens  = postings.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val Array(n, sumDl) = doclens.agg(count(lit(1)), sum(col("dl"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     TermIndex(postings, doclens, n, sumDl)
@@ -119,19 +125,25 @@ object Retrieval {
 
   /** Persist the index under `path`: postings are repartitioned by term and
     * sorted within partitions, so a query's `term IN (...)` prunes parquet
-    * row groups by min/max stats instead of scanning the postings table. */
+    * row groups by min/max stats instead of scanning the postings table.
+    * TRUE tokenize-once: the corpus is read exactly one time (the postings
+    * write); doclens and the scalars aggregate the written postings. */
   def writeTermIndex(
       docs: DataFrame,
       path: String,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): Unit = {
-    val ix = termIndex(docs, textCol, idCol)
-    ix.postings.repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
+    docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite").parquet(s"$path/postings")
-    ix.doclens.write.mode("overwrite").parquet(s"$path/doclens")
-    docs.sparkSession.createDataFrame(Seq((ix.n, ix.sumDl))).toDF("n", "sum_dl")
-      .write.mode("overwrite").parquet(s"$path/stats")
+    val doclens = docs.sparkSession.read.parquet(s"$path/postings")
+      .groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    doclens.write.mode("overwrite").parquet(s"$path/doclens")
+    val s = docs.sparkSession.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    s.write.mode("overwrite").parquet(s"$path/stats")
   }
 
   def readTermIndex(spark: org.apache.spark.sql.SparkSession, path: String): TermIndex = {
@@ -204,16 +216,11 @@ object Retrieval {
     val dfreq = ix.postings
       .join(broadcast(qt.select(col("__term")).distinct()), col("term") === col("__term"))
       .groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
-    val idf = log(lit(1.0) + (lit(ix.n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
-    val wt  = col("__idf") * (col("__tf") * (k1 + 1)) /
-      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / avgdl))
     val hits = ix.postings.join(broadcast(qt), col("term") === col("__term"))
       .select(col(qidCol), col(idCol), col("__term"), col("tf").cast("double").as("__tf"))
-    val scored = hits
-      .join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
-      .join(ix.doclens.select(col(idCol), col("dl").as("__dl")), idCol)
-      .groupBy(col(qidCol), col(idCol))
-      .agg(foldSum(collect_list(wt)).as("score"))
+    val scored = scoreHits(hits, dfreq,
+      ix.doclens.select(col(idCol), col("dl").as("__dl")),
+      ix.n, avgdl, k1, b, idCol, extraGroupCols = Seq(qidCol))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -249,7 +256,7 @@ object Retrieval {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame =
-    docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    docs.select(col(idCol), posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term")))
       .select(col("term"), col(idCol), col("pos"))
 
   /**
@@ -349,7 +356,7 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val n = docs.count()
     require(n > 0, "empty corpus")
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val toks = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
     val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("__tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
     val score = col("__tf") * log(lit(n.toDouble) / col("__df"))

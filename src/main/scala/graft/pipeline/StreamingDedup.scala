@@ -41,6 +41,22 @@ object StreamingDedup {
   // rows) — [[startGatedIngest]] registers, [[compactSidecars]] sweeps.
   private val capRegistry = new java.util.concurrent.ConcurrentHashMap[String, SidecarSpec]()
 
+  // serializes a sidecar's per-batch appends against its compaction swap
+  // IN THIS JVM (the single-driver deployment model: the stream's
+  // micro-batches and the Maintenance sweep share the driver). Without it
+  // a batch appending between the compactor's snapshot read and its
+  // delete+rename loses those rows — near-dups of that batch would pass
+  // the gate until the next sweep. Cross-JVM compaction coordination is
+  // out of scope (run Maintenance in the ingesting driver).
+  private val sidecarLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def sidecarLock(indexPath: String): Object =
+    sidecarLocks.computeIfAbsent(indexPath, _ => new Object)
+
+  // (file count, total bytes) of each banded dir at its last re-cap: an
+  // unchanged summary means no batch appended since — skip the
+  // corpus-wide rebuild instead of paying it forever for stopped streams.
+  private val lastCompacted = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** Register `indexPath` for periodic sidecar re-capping (automatic from
     * [[startGatedIngest]] when it extends the index). Idempotent. */
   def registerForCompaction(indexPath: String, numHashes: Int, bands: Int, maxBucket: Int): Unit =
@@ -70,10 +86,15 @@ object StreamingDedup {
    * never run.
    *
    * The rebuilt sidecar is written to a temp directory and swapped in via
-   * FS rename, so a concurrent batch either reads the old capped relation
-   * or — in the brief swap window — finds the path missing and self-heals
-   * by deriving it from the signature index. One compactor per index at a
-   * time (Maintenance's single sweep thread satisfies this).
+   * FS rename; the per-index lock (see `sidecarLocks`) serializes the
+   * whole snapshot→rebuild→swap against the stream's per-batch appends,
+   * so no accepted batch's band rows can land between the snapshot and
+   * the swap and be silently discarded. Readers outside the lock either
+   * see the old capped relation or — in the brief swap window — find the
+   * path missing and self-heal from the signature index. A sidecar whose
+   * file summary is unchanged since its last re-cap is skipped, so a
+   * stopped stream stops costing corpus-wide rebuilds. One compactor per
+   * index at a time (Maintenance's single sweep thread satisfies this).
    *
    * Returns `(recappedCount, errors)`; one index's failure never aborts
    * the sweep for the rest.
@@ -84,18 +105,31 @@ object StreamingDedup {
     val errors = Seq.newBuilder[String]
     capRegistry.asScala.toSeq.sortBy(_._1).foreach { case (indexPath, spec) =>
       try {
-        loadIndex(spark, indexPath) match {
-          case None => () // index gone or not yet seeded — nothing to re-cap
-          case Some(idx) =>
-            val banded = bandedPathFor(indexPath)
-            val tmp    = s"$banded._compacting"
-            Dedup.bandedIndex(idx, spec.numHashes, spec.bands, spec.maxBucket)
-              .write.mode("overwrite").parquet(tmp)
-            val fs = new org.apache.hadoop.fs.Path(banded)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.delete(new org.apache.hadoop.fs.Path(banded), true)
-            fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(banded))
-            ok += 1
+        // the lock pins out concurrent extendIndexes appends for the whole
+        // snapshot-read → rebuild → swap sequence (see sidecarLocks)
+        sidecarLock(indexPath).synchronized {
+          loadIndex(spark, indexPath) match {
+            case None => () // index gone or not yet seeded — nothing to re-cap
+            case Some(idx) =>
+              val banded  = bandedPathFor(indexPath)
+              val bPath   = new org.apache.hadoop.fs.Path(banded)
+              val fs      = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              def summary: (Long, Long) =
+                if (!fs.exists(bPath)) (0L, 0L)
+                else { val s = fs.getContentSummary(bPath); (s.getFileCount, s.getLength) }
+              if (lastCompacted.get(indexPath) == summary) () // no appends since last re-cap
+              else {
+                val tmp = s"$banded._compacting"
+                Dedup.bandedIndex(idx, spec.numHashes, spec.bands, spec.maxBucket)
+                  .write.mode("overwrite").parquet(tmp)
+                fs.delete(bPath, true)
+                if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), bPath))
+                  throw new java.io.IOException(
+                    s"rename $tmp -> $banded failed; sidecar left for self-heal")
+                lastCompacted.put(indexPath, summary)
+                ok += 1
+              }
+          }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -268,9 +302,13 @@ object StreamingDedup {
   ): Unit = {
     // one signature computation feeds both writes
     val sigs = Dedup.signatureIndex(mat, numHashes, shingleK, textCol, idCol).pinned
-    sigs.write.mode("append").parquet(indexPath)
-    Dedup.bandRelation(sigs, numHashes, bands)
-      .write.mode("append").parquet(bandedPathFor(indexPath))
+    // both appends ride the sidecar lock so a concurrent compaction swap
+    // can never discard this batch's band rows (see sidecarLocks)
+    sidecarLock(indexPath).synchronized {
+      sigs.write.mode("append").parquet(indexPath)
+      Dedup.bandRelation(sigs, numHashes, bands)
+        .write.mode("append").parquet(bandedPathFor(indexPath))
+    }
     Checkpoints.free(sigs) // both writes done — release the per-batch pin
   }
 

@@ -31,6 +31,19 @@ class TimeSeriesSpec extends SparkTestBase {
         ("b", 100L, 5.0, false))
   }
 
+  it should "pass sub-step and duplicate timestamps through without filling" in {
+    // off-grid input: successors closer than one step have no interior
+    // ticks (and must not hit sequence's inverted-boundary error)
+    val df = Seq(("a", 0L, 1.0), ("a", 5L, 2.0), ("a", 5L, 3.0), ("a", 30L, 4.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.gapFill(df, Seq("k"), "ts", "v", step = 10L)
+      .orderBy("ts", "v").collect()
+    // only the 5→30 pair has room for an interior tick (at 15); the 0→5
+    // and 5→5 pairs are sub-step and pass through unfilled
+    out.count(_.getBoolean(3)) shouldBe 1
+    out.length shouldBe 5
+  }
+
   it should "carry the last observation forward in locf mode" in {
     val out = TimeSeries.gapFill(grid, Seq("k"), "ts", "v", step = 10L, mode = "locf")
       .filter($"filled").orderBy("ts").collect()
