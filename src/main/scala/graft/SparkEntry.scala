@@ -480,6 +480,8 @@ object SparkEntry {
     "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
     // top-20 PMI collocations (min bigram count 5 guards rare-pair noise)
     "tx_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d), k = 20)),
+    // per-doc token-distribution entropy (gibberish/boilerplate signal)
+    "tx_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(docs(s, d)).orderBy("doc_id")),
     // deterministic 80/10/10 holdout split by portable id hash
     "tx_split" -> ((s, d) =>
       Sampling.holdoutSplit(docs(s, d), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -811,6 +813,15 @@ object SparkEntry {
         |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
+    // per-doc sum is the same ascending sorted fold as the BM25 oracles
+    "tx_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM t GROUP BY 1, 2),
+        |e AS (SELECT doc_id, (c / sum(c) OVER pw) * ln(c / sum(c) OVER pw) AS v
+        |      FROM c WINDOW pw AS (PARTITION BY doc_id))
+        |SELECT doc_id,
+        |  round(-list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(v))), (a, b) -> a + b), 4) AS entropy
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "tx_vocab" ->
       """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS total_tokens,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -356,6 +357,37 @@ object TextAnalysis {
       (acc, x) => (acc * lit(31L) + x) % lit(FpMod)
     )
     df.select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  /**
+   * TOKEN ENTROPY — per-document Shannon entropy of the token
+   * distribution, `−Σ p·ln p` in nats: the classic gibberish/boilerplate
+   * signal (repeated-template docs score near 0, natural prose sits in a
+   * narrow band, random token soup scores near `ln(vocab)`); pairs with
+   * [[repetitionSignals]] in a quality filter.
+   *
+   * ONE shuffle on the doc id: per-term counts and the per-doc total ride
+   * the same partitioning (window over the grouped counts — no join
+   * back). Portability: `n` is an exact integer sum, each `p·ln p` is a
+   * fixed IEEE chain, and the per-doc sum is an ascending-sorted fold
+   * (the [[graft.pipeline.Retrieval]] BM25 idiom) so summation order is
+   * pinned across engines; the single `ln` + 4 dp round is the accepted
+   * BM25/tf-idf residual class.
+   */
+  def tokenEntropy(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("__c"))
+    val n = sum(col("__c")).over(Window.partitionBy(col(idCol)))
+    val plnp = (col("__c") / n) * log(col("__c") / n)
+    tf.withColumn("__e", plnp)
+      .groupBy(col(idCol))
+      .agg(round(-aggregate(array_sort(collect_list(col("__e"))), lit(0.0),
+        (acc, x) => acc + x), dp).as("entropy"))
   }
 
   /**

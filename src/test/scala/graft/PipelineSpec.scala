@@ -655,6 +655,19 @@ class PipelineSpec extends SparkTestBase {
     preds(5L) shouldBe "es"
   }
 
+  "TextAnalysis.tokenEntropy" should "score uniform text high and repeated text zero" in {
+    val corpus = Seq(
+      (0L, "a b c d"),   // uniform over 4: ln 4
+      (1L, "x x x x"),   // single token: 0
+      (2L, "a a b b")    // uniform over 2: ln 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(corpus).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(0L) shouldBe math.log(4.0) +- 5e-5
+    out(1L) shouldBe 0.0 +- 1e-12 // -0.0 after rounding is fine
+    out(2L) shouldBe math.log(2.0) +- 5e-5
+  }
+
   "TextAnalysis.pmiCollocations" should "rank exclusive pairs above frequent-word pairs" in {
     // every bigram occurs 6× — PMI separates pairs of exclusive words
     // (n_w = 6) from pairs touching the ubiquitous "the" (n_w = 18)
