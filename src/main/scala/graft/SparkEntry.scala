@@ -430,6 +430,21 @@ object SparkEntry {
     "ts_profile" -> ((s, d) =>
       TimeSeries.seasonalProfile(evUs(s, d), Seq("event_type"), "ts", "value",
         width = HourUs, period = 24).orderBy("event_type", "phase")),
+    // EWMA smoothing scan over the hourly grid (sequential per-key fold;
+    // alpha=0.25 spelled identically in both engines -> bit-identical)
+    "ts_ewma" -> ((s, d) =>
+      TimeSeries.ewmaScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        alpha = 0.25).orderBy("event_type", "ts")),
+    // Page's CUSUM change statistic over the hourly grid (two-sided),
+    // mean + scans all ts-ordered folds -> bit-identical unrounded doubles
+    "ts_cusum" -> ((s, d) =>
+      TimeSeries.cusumScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        slack = 0.5).orderBy("event_type", "ts")),
+    // sample autocorrelation at lags 1..6 per type (wide |keys|x8 profile;
+    // every statistic a ts-ordered fold -> bit-identical unrounded)
+    "ts_acf" -> ((s, d) =>
+      TimeSeries.acfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        maxLag = 6).orderBy("event_type")),
     // per-user consecutive-event transition matrix (empirical Markov chain)
     "ev_trans" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -784,6 +799,58 @@ object SparkEntry {
          |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
          |  RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
+    // ACF: mean, denominator and each lag numerator are folds over the SAME
+    // ts-ordered list as the engine's aggregate() folds (indexed-lambda
+    // transform mirrors the engine's slice+zip_with term order), then one
+    // division each -> bit-identical unrounded. Guards (len > k, den > 0)
+    // are exact comparisons.
+    "ts_acf" -> {
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val lags = (1 to 6).map { k =>
+        s"""CASE WHEN len(vs) > $k AND den > $zero THEN
+           |  list_reduce(list_prepend($zero, list_transform(vs[:len(vs)-$k],
+           |    (x, i) -> (x - mu) * (vs[i+$k] - mu))), (a, b) -> a + b) / den
+           |END AS acf_$k""".stripMargin
+      }.mkString(", ")
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |m AS (SELECT event_type, vs, list_reduce(list_prepend($zero, vs), (a, b) -> a + b) / len(vs) AS mu FROM g),
+         |d AS (SELECT event_type, vs, mu,
+         |        list_reduce(list_prepend($zero, list_transform(vs, x -> (x - mu) * (x - mu))), (a, b) -> a + b) AS den
+         |      FROM m)
+         |SELECT event_type, len(vs)::BIGINT AS n, $lags
+         |FROM d ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // EWMA/CUSUM scans: list_reduce folds the SAME ts-ordered list with the
+    // SAME literals as the engine's aggregate() fold -> every intermediate
+    // double is the same IEEE op sequence; emitted unrounded on purpose.
+    // The [x]-wrapping makes the accumulator a list so the fold is a scan;
+    // CUSUM prepends a [0.0] sentinel (s0 = 0) and slices it off.
+    "ts_ewma" ->
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |s AS (SELECT event_type, tss, vs,
+         |        list_reduce(list_transform(vs, x -> [x]),
+         |          (a, b) -> list_append(a, 0.25::DOUBLE * b[1] + (CAST(1.0 AS DOUBLE) - 0.25::DOUBLE) * a[-1])) AS sm
+         |      FROM g)
+         |SELECT event_type, unnest(tss) AS ts, unnest(vs) AS value, unnest(sm) AS ewma
+         |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
+    "ts_cusum" ->
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |m AS (SELECT event_type, tss, vs,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs), (a, b) -> a + b) / len(vs) AS mu FROM g),
+         |s AS (SELECT event_type, tss, vs,
+         |        (list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], list_transform(vs, x -> [x])),
+         |          (a, b) -> list_append(a, greatest(CAST(0.0 AS DOUBLE), a[-1] + b[1] - mu - 0.5::DOUBLE))))[2:] AS hi,
+         |        (list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], list_transform(vs, x -> [x])),
+         |          (a, b) -> list_append(a, greatest(CAST(0.0 AS DOUBLE), a[-1] + mu - b[1] - 0.5::DOUBLE))))[2:] AS lo
+         |      FROM m)
+         |SELECT event_type, unnest(tss) AS ts, unnest(vs) AS value, unnest(hi) AS cusum_hi, unnest(lo) AS cusum_lo
+         |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
     "ts_zscore" ->
       """WITH s AS (SELECT event_type, epoch_us(ts) AS ts, value,
         |             avg(value) OVER tw AS m, stddev_samp(value) OVER tw AS sd

@@ -313,4 +313,176 @@ object TimeSeries {
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** [[resample]] to the `step` grid, then collect each key's series as one
+    * ts-sorted struct array — the shared front half of the scan operators
+    * ([[ewmaScan]], [[cusumScan]]). Two shuffles total (resample agg +
+    * per-key collect); the collected array is the DOWNSAMPLED grid, whose
+    * length is span/step per key (hours-in-a-year ≈ 8.8k entries), not the
+    * raw sample count — so a key's series stays executor-sized even when
+    * its raw history does not. `(keys, ts)` is unique post-resample, so the
+    * struct sort is a deterministic total order. */
+  private def gridSeries(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long
+  ): DataFrame =
+    resample(df, keys, tsCol, valueCol, step)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(tsCol), col(valueCol)))).as("__pts"))
+
+  /** explode `(pts, scans*)` arrays back to one output row per grid tick. */
+  private def explodeScan(
+      grid: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      scanCols: Seq[String]
+  ): DataFrame = {
+    val zipped = grid.withColumn("__e",
+      explode(arrays_zip(col("__pts") +: scanCols.map(col): _*)))
+    zipped.select(keys.map(col) ++ Seq(
+      col(s"__e.__pts.$tsCol").as(tsCol),
+      col(s"__e.__pts.$valueCol").as(valueCol)) ++
+      scanCols.map(c => col(s"__e.$c").as(c.stripPrefix("__"))): _*)
+  }
+
+  /**
+   * EWMA SCAN — exponentially weighted moving average over the [[resample]]d
+   * grid: per key, in time order, `s1 = x1` and
+   * `si = alpha*xi + (1-alpha)*s(i-1)` (Hunter's EWMA control-chart
+   * recurrence). The standard smoothing/trend-extraction primitive a
+   * monitoring pipeline runs after downsampling.
+   *
+   * The recurrence is inherently sequential PER KEY, so the distributed
+   * shape is: downsample first (map-side-combined agg), then one fold over
+   * each key's own grid array — a codegen'd `aggregate` higher-order
+   * function, no UDF, no window-per-row O(n^2), no driver involvement.
+   * Keys scan in parallel; a 1000-executor cluster runs 1000 series at a
+   * time.
+   *
+   * Float portability: the scan is emitted UNROUNDED. The grid values
+   * arrive 6 dp-snapped from [[resample]] and both engines fold the SAME
+   * ts-ordered list with the SAME literal (`CAST(alpha AS DOUBLE)` here,
+   * `alpha::DOUBLE` in the oracle), so every intermediate is the same IEEE
+   * op sequence — bit-identical by construction, per the sorted-fold rule
+   * (see `MEMORY`: oracle-float-portability). `alpha` must round-trip its
+   * decimal literal (any Scala double literal does).
+   */
+  def ewmaScan(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      alpha: Double = 0.25
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val a = s"CAST($alpha AS DOUBLE)"
+    val scan =
+      s"""aggregate(slice(__pts, 2, size(__pts) - 1),
+         |  array(__pts[0].$valueCol),
+         |  (acc, x) -> array_append(acc,
+         |    $a * x.$valueCol + (CAST(1.0 AS DOUBLE) - $a) * element_at(acc, -1)))""".stripMargin
+    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__ewma", expr(scan))
+    explodeScan(grid, keys, tsCol, valueCol, Seq("__ewma"))
+  }
+
+  /**
+   * CUSUM SCAN — Page's cumulative-sum change-point statistic over the
+   * [[resample]]d grid: per key, with `mu` = the key's grid mean and
+   * `slack` the per-step allowance,
+   * `hi(i) = max(0, hi(i-1) + xi - mu - slack)` (upward shifts) and
+   * `lo(i) = max(0, lo(i-1) + mu - xi - slack)` (downward shifts), both
+   * from `hi(0) = lo(0) = 0`. A sustained level shift grows one side
+   * linearly while noise keeps resetting it to ~0 — the classic
+   * change-detection complement to the pointwise [[zscoreOutliers]] /
+   * [[madOutliers]] flags.
+   *
+   * Same distributed shape as [[ewmaScan]]: downsample, then one codegen'd
+   * fold per key. `mu` is itself a fold over the SAME ts-sorted list (not
+   * a separate shuffled `avg`) so its summation order — and therefore its
+   * low-order bits — is reproducible across engines; the scan uses a `0.0`
+   * sentinel head (CUSUM's s0 = 0) that is sliced off afterwards. No
+   * rounding anywhere: every emitted double is the same IEEE op sequence
+   * in both engines. The statistic is emitted WITHOUT an alarm threshold
+   * on purpose — thresholding a float statistic is the caller's call (and
+   * a cross-engine hash trap; see madOutliers' margin note).
+   */
+  def cusumScan(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      slack: Double = 0.5
+  ): DataFrame = {
+    require(slack >= 0.0, "slack must be non-negative")
+    val kk   = s"CAST($slack AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val mu   = s"aggregate(__pts, $zero, (a, x) -> a + x.$valueCol) / size(__pts)"
+    def scan(stepExpr: String) =
+      s"""slice(aggregate(__pts, array($zero),
+         |  (acc, x) -> array_append(acc, greatest($zero, $stepExpr))),
+         |  2, size(__pts))""".stripMargin
+    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__mu", expr(mu))
+      .withColumn("__cusum_hi",
+        expr(scan(s"element_at(acc, -1) + x.$valueCol - __mu - $kk")))
+      .withColumn("__cusum_lo",
+        expr(scan(s"element_at(acc, -1) + __mu - x.$valueCol - $kk")))
+    explodeScan(grid, keys, tsCol, valueCol, Seq("__cusum_hi", "__cusum_lo"))
+  }
+
+  /**
+   * ACF PROFILE — sample autocorrelation of each key's [[resample]]d grid
+   * at lags `1..maxLag`: `acf_k = sum_i (x_i - mu)(x_(i+k) - mu) /
+   * sum_i (x_i - mu)^2` (the standard biased estimator; Box-Jenkins
+   * identification). High `acf_24` on an hourly grid = daily seasonality;
+   * fast decay = short memory — the numeric companion to
+   * [[seasonalProfile]]'s per-phase means.
+   *
+   * Output is WIDE — one row per key with `n` (grid length) and
+   * `acf_1..acf_maxLag` — a bounded `|keys| x (maxLag+2)` profile table.
+   * Same distributed shape as [[ewmaScan]]: all lags are folds over the
+   * key's own ts-sorted array, codegen'd, no second shuffle, keys in
+   * parallel. Lags with fewer than `k+1` grid points, and constant series
+   * (zero denominator — an EXACT comparison, not an epsilon), yield null.
+   *
+   * Float portability: mean, denominator and every lag numerator are
+   * ts-ordered folds spelled identically in the DuckDB oracle, then ONE
+   * division each — bit-identical unrounded, per the sorted-fold rule.
+   */
+  def acfProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      maxLag: Int = 6
+  ): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val foldSum = (terms: String) =>
+      s"aggregate($terms, $zero, (a, x) -> a + x)"
+    val base = gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__vs", expr(s"transform(__pts, p -> p.$valueCol)"))
+      .withColumn("__mu", expr(s"${foldSum(s"__vs")} / size(__vs)"))
+      .withColumn("__den",
+        expr(foldSum("transform(__vs, x -> (x - __mu) * (x - __mu))")))
+    val withLags = (1 to maxLag).foldLeft(base) { (acc, k) =>
+      val num = foldSum(
+        s"""zip_with(slice(__vs, 1, size(__vs) - $k),
+           |         slice(__vs, 1 + $k, size(__vs) - $k),
+           |         (p, q) -> (p - __mu) * (q - __mu))""".stripMargin)
+      acc.withColumn(s"acf_$k", expr(
+        s"CASE WHEN size(__vs) > $k AND __den > $zero THEN $num / __den END"))
+    }
+    withLags.select(keys.map(col) ++
+      (expr("size(__vs)").cast("long").as("n") +:
+        (1 to maxLag).map(k => col(s"acf_$k"))): _*)
+  }
 }

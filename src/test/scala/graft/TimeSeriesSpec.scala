@@ -141,4 +141,65 @@ class TimeSeriesSpec extends SparkTestBase {
     TimeSeries.largestDeltas(df, Seq("k"), "ts", "v", k = 1)
       .queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
+
+  "TimeSeries.ewmaScan" should "seed with the first grid value and apply the recurrence" in {
+    // grid (step 10): a -> [2.0, 4.0, 8.0]; alpha 0.5:
+    // s1 = 2, s2 = .5*4 + .5*2 = 3, s3 = .5*8 + .5*3 = 5.5
+    val df = Seq(("a", 0L, 2.0), ("a", 10L, 4.0), ("a", 20L, 8.0), ("b", 0L, 7.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.ewmaScan(df, Seq("k"), "ts", "v", step = 10L, alpha = 0.5)
+      .orderBy("k", "ts").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))) shouldBe
+      Array(("a", 0L, 2.0, 2.0), ("a", 10L, 4.0, 3.0), ("a", 20L, 8.0, 5.5),
+        ("b", 0L, 7.0, 7.0)) // single-tick key: ewma = value
+  }
+
+  it should "average within buckets before smoothing" in {
+    // two samples in bucket 0 average to 3.0 first, then the scan runs
+    val df = Seq(("a", 0L, 2.0), ("a", 5L, 4.0), ("a", 10L, 5.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.ewmaScan(df, Seq("k"), "ts", "v", step = 10L, alpha = 0.5)
+      .orderBy("ts").collect()
+    out.map(_.getDouble(3)) shouldBe Array(3.0, 4.0)
+  }
+
+  "TimeSeries.cusumScan" should "accumulate a level shift on one side and reset on noise" in {
+    // grid mean mu = (1+1+1+5+5+5)/6 = 3, slack 0.5:
+    //   hi: max(0, prev + x - 3.5) -> 0,0,0 then 1.5, 3.0, 4.5 (ramps)
+    //   lo: max(0, prev + 2.5 - x) -> 1.5, 3.0, 4.5 then decays by 2.5/step
+    val df = (0 until 6).map(i => ("a", i.toLong * 10, if (i < 3) 1.0 else 5.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.cusumScan(df, Seq("k"), "ts", "v", step = 10L, slack = 0.5)
+      .orderBy("ts").collect()
+    out.map(_.getDouble(3)) shouldBe Array(0.0, 0.0, 0.0, 1.5, 3.0, 4.5)
+    out.map(_.getDouble(4)) shouldBe Array(1.5, 3.0, 4.5, 2.0, 0.0, 0.0)
+  }
+
+  it should "stay at zero for a constant series" in {
+    val df = (0 until 4).map(i => ("a", i.toLong * 10, 2.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.cusumScan(df, Seq("k"), "ts", "v", step = 10L, slack = 0.5)
+      .collect()
+    out.map(_.getDouble(3)).sum shouldBe 0.0
+    out.map(_.getDouble(4)).sum shouldBe 0.0
+  }
+
+  "TimeSeries.acfProfile" should "compute lag correlations and null out-of-range lags" in {
+    // alternating series 1,3,1,3: mu = 2, den = 4,
+    // acf_1 = ((−1)(1)+(1)(−1)+(−1)(1))/4 = −0.75, acf_2 = ((−1)(−1)+(1)(1))/4 = 0.5,
+    // acf_3 = (−1)(1)/4 = −0.25; lags 4+ have no pairs -> null
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 3.0), ("a", 20L, 1.0), ("a", 30L, 3.0))
+      .toDF("k", "ts", "v")
+    val r = TimeSeries.acfProfile(df, Seq("k"), "ts", "v", step = 10L, maxLag = 4).head()
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe -0.75
+    r.getDouble(3) shouldBe 0.5
+    r.getDouble(4) shouldBe -0.25
+    r.isNullAt(5) shouldBe true
+  }
+
+  it should "null every lag of a constant series (zero denominator)" in {
+    val df = (0 until 5).map(i => ("a", i.toLong * 10, 2.0)).toDF("k", "ts", "v")
+    val r = TimeSeries.acfProfile(df, Seq("k"), "ts", "v", step = 10L, maxLag = 2).head()
+    r.isNullAt(2) shouldBe true
+    r.isNullAt(3) shouldBe true
+  }
 }
