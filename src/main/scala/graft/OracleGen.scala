@@ -754,6 +754,36 @@ object OracleGen {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Retrieval.prfTopK]]: seed top-`nSeed` by
+    * BM25 (reusing [[bm25Ctes]]'s relations), expansion terms by
+    * `Σtf × ln(N/df)` with ties by term, then the same Okapi scoring over
+    * the UNION query. Σtf and df are exact integers; each weight is one
+    * ln + multiply; per-doc scores are the shared sorted fold — so the
+    * expansion set and final ranking replay bit-identically. */
+  def prfTopKSql(terms: Seq[String], k: Int, nSeed: Int, nExpand: Int,
+                 k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ",", ")")
+    val termRows = terms.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH ${bm25Ctes(terms, k1, b)},
+       |seed AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id LIMIT $nSeed),
+       |p AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+       |stf AS (SELECT term, sum(tf) AS stf FROM p JOIN seed USING (doc_id) GROUP BY term),
+       |dfa AS (SELECT p.term, count(*)::BIGINT AS df FROM p
+       |        JOIN (SELECT DISTINCT term FROM stf) u ON u.term = p.term GROUP BY p.term),
+       |ex AS (SELECT stf.term FROM stf JOIN dfa ON dfa.term = stf.term CROSS JOIN stats
+       |       WHERE stf.term NOT IN $termList
+       |       ORDER BY stf::DOUBLE * ln(n / df::DOUBLE) DESC, stf.term LIMIT $nExpand),
+       |q AS (SELECT term FROM ex UNION SELECT unnest($termRows) AS term),
+       |tf2 AS (SELECT p.doc_id, p.term, p.tf FROM p JOIN q ON q.term = p.term),
+       |dfq2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term),
+       |wts2 AS (SELECT tf2.doc_id,
+       |          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * ($k1 + 1)) / (tf + $k1 * (1.0 - $b + $b * dl / avgdl)) AS wt
+       |        FROM tf2 JOIN dfq2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |sc2 AS (SELECT doc_id, $foldSumSql AS score FROM wts2 GROUP BY doc_id)
+       |SELECT doc_id, round(sc2.score, 4) AS score FROM sc2
+       |ORDER BY sc2.score DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Retrieval.nearMatches]]: pairs where the
     * second term sits 1..slop positions after the first. */
   def nearMatchesSql(first: String, second: String, slop: Int): String =

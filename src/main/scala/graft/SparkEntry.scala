@@ -467,6 +467,16 @@ object SparkEntry {
           doclens = ix.doclens.localCheckpoint(true)),
         Seq("spark", "join"), k = 20)
     }),
+    // pseudo-relevance-feedback expansion: top-10 seed docs mine 5
+    // expansion terms (sum-tf x ln(N/df), ties by term); the union query
+    // re-ranks through the index — two index passes, no corpus rescan
+    "rt_prf" -> ((s, d) => {
+      val ix = Retrieval.termIndex(docs(s, d))
+      Retrieval.prfTopK(
+        ix.copy(postings = graft.pipeline.Checkpoints.pin(ix.postings),
+          doclens = graft.pipeline.Checkpoints.pin(ix.doclens)),
+        Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5)
+    }),
     // batch lexical retrieval: every 100th doc's first 3 tokens play a
     // query; per-query top-5 against the index (the lexical ann_join)
     "rt_bm25_join" -> ((s, d) => {
@@ -862,6 +872,7 @@ object SparkEntry {
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
+    "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     "rt_hybrid"    -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
     "rt_keywords"  -> OracleGen.topTfIdfTermsSql(k = 3),
     "rt_phrase"    -> OracleGen.phraseMatchesSql(Seq("table", "hash")),

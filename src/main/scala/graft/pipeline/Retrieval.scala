@@ -369,6 +369,84 @@ object Retrieval {
   }
 
   /**
+   * PRF EXPANSION TERMS — pseudo-relevance feedback term mining (the text
+   * half of Rocchio): run the original query, assume its top `nSeed` hits
+   * are relevant, and rank the terms they contain by
+   * `(Σ tf over seed docs) × ln(N / df)` — frequent in the feedback set,
+   * rare in the corpus. Returns the `nExpand` best terms (original query
+   * terms excluded) with their weights.
+   *
+   * Scale shape: everything runs off the prebuilt [[TermIndex]] — the
+   * corpus text is never touched. The seed list (`nSeed` ids) and its
+   * term set (`nSeed` docs' vocabulary) broadcast; the only data-sized
+   * work is the postings semi-join computing df for the candidate terms.
+   *
+   * Determinism: Σtf and df are exact integers, the weight is one
+   * `ln` + one multiply per term, and the top-`nExpand` cut breaks ties
+   * by term — so the selected set is stable across engines (the oracle
+   * replays the same arithmetic).
+   */
+  def prfExpansionTerms(
+      ix: TermIndex,
+      terms: Seq[String],
+      nSeed: Int = 10,
+      nExpand: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(nSeed > 0 && nExpand > 0, "nSeed and nExpand must be positive")
+    val seed = bm25ScoresIndexed(ix, terms, k1, b, idCol)
+      .orderBy(col("score").desc, col(idCol)).limit(nSeed)
+      .select(col(idCol))
+    val stf = ix.postings.join(broadcast(seed), idCol)
+      .groupBy(col("term")).agg(sum(col("tf")).as("__stf"))
+    val dfa = ix.postings.join(broadcast(stf.select(col("term"))), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    stf.join(dfa, "term")
+      .filter(!col("term").isin(terms: _*))
+      .withColumn("__w",
+        col("__stf").cast("double") * log(lit(ix.n.toDouble) / col("__df").cast("double")))
+      .orderBy(col("__w").desc, col("term")).limit(nExpand)
+      .select(col("term"), round(col("__w"), dp).as("weight"))
+  }
+
+  /**
+   * PRF TOP-K — BM25 retrieval with pseudo-relevance-feedback query
+   * expansion: the final ranking runs the original terms UNION the
+   * [[prfExpansionTerms]] against the index. The classic recall lever for
+   * short queries — documents discussing the topic in the feedback set's
+   * vocabulary surface even when they share no term with the original
+   * query. Two index passes (seed + final), zero corpus scans.
+   */
+  def prfTopK(
+      ix: TermIndex,
+      terms: Seq[String],
+      k: Int,
+      nSeed: Int = 10,
+      nExpand: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = ix.postings.sparkSession
+    val orig  = spark.createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    val qterms = prfExpansionTerms(ix, terms, nSeed, nExpand, k1, b, idCol)
+      .select(col("term")).union(orig).distinct()
+    val tf = ix.postings.join(broadcast(qterms), "term")
+      .select(col(idCol), col("term").as("__term"), col("tf").cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    val dl    = ix.doclens.select(col(idCol), col("dl").as("__dl"))
+    scoreHits(tf, dfreq, dl, ix.n, ix.sumDl.toDouble / ix.n, k1, b, idCol)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .select(col(idCol), round(col("score"), dp).as("score"))
+  }
+
+  /**
    * HYBRID RETRIEVAL — reciprocal rank fusion of the BM25 lexical list and
    * the exact-cosine vector list: each candidate scores
    * `Σ 1/(rrfK + rank)` over the lists it appears in (rank 1-based within

@@ -156,4 +156,28 @@ class RetrievalSpec extends SparkTestBase {
     val single = Retrieval.bm25TopK(docs, Seq("spark"), k = 1).head().getDouble(1)
     out.head.getDouble(2) shouldBe single
   }
+
+  "Retrieval.prfExpansionTerms" should "mine feedback-set terms excluding the query" in {
+    // query 'spark' -> seed (nSeed=2) = docs 0,1; their vocabulary is
+    // {spark, shuffle, join, window}; 'spark' is excluded as a query term,
+    // 'window' scores 1*ln(4/2), 'shuffle' and 'join' 1*ln(4/2) and
+    // 1*ln(4/2)... weights: shuffle stf=1 df=1 -> ln4; join stf=1 df=2 ->
+    // ln2; window stf=1 df=2 -> ln2 (tie with join broken by term)
+    val ix = Retrieval.termIndex(docs)
+    val out = Retrieval.prfExpansionTerms(ix, Seq("spark"), nSeed = 2, nExpand = 3)
+      .collect()
+    out.map(_.getString(0)) shouldBe Array("shuffle", "join", "window")
+    out.head.getDouble(1) shouldBe math.log(4.0) +- 1e-4
+  }
+
+  "Retrieval.prfTopK" should "surface docs that only match expansion terms" in {
+    // doc 3 shares no term with the query 'spark', but the expansion
+    // (shuffle/join from the seed docs) reaches it through 'join'
+    val ix = Retrieval.termIndex(docs)
+    val ids = Retrieval.prfTopK(ix, Seq("spark"), k = 4, nSeed = 2, nExpand = 2)
+      .collect().map(_.getLong(0)).toSet
+    ids should contain(3L)
+    // doc 2 (window window sort) matches neither query nor expansion terms
+    ids should not contain 2L
+  }
 }
