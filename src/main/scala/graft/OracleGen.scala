@@ -138,6 +138,35 @@ object OracleGen {
        |FROM e, q ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Similarity.pqBuild]]+[[graft.pipeline.Similarity.pqTopK]]:
+    * sub-centroids = subspace slices of the first `kpq` vectors by id;
+    * codes = per-(vector, subspace) argmin of the ascending-dim squared-L2
+    * fold, ties to the smallest centroid index; ADC = the query's distance
+    * table summed over subspaces in order. Every fold replays the kernel's
+    * accumulation order, so the distances — and the top-k cut — are
+    * bit-identical. */
+  def pqTopKSql(m: Int, kpq: Int, dim: Int, k: Int, qid: Long = 0L): String = {
+    require(dim % m == 0)
+    val dsub = dim / m
+    val zero = "CAST(0.0 AS DOUBLE)"
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend($zero, list_transform(range(1, ${dsub + 1}),
+         |  i -> ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE) * ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kpq)),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
+       |js AS (SELECT unnest(range(0, $m)) AS j),
+       |tbl AS (SELECT j, c, ${l2("qe", "ce")} AS d FROM q, seeds, js),
+       |vd AS (SELECT vec_id, j, c, ${l2("embedding", "ce")} AS d FROM embeddings, seeds, js),
+       |code AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM vd) WHERE rn = 1),
+       |ad AS (SELECT vec_id, list_reduce(list_prepend($zero, list(d ORDER BY j)), (x, y) -> x + y) AS adist
+       |       FROM code JOIN tbl USING (j, c) GROUP BY vec_id)
+       |SELECT vec_id AS id, round(adist, 4) AS adist FROM ad
+       |ORDER BY ad.adist, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Dedup.decontaminate]] with the corpus/eval split
     * `doc_id % mod <> 0` / `= 0`: corpus docs sharing no k-shingle with
     * the eval slice. */

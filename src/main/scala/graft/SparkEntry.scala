@@ -222,6 +222,15 @@ object SparkEntry {
       Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20, nprobe = 4)
         .withColumn("sim", round(col("sim"), 3))
     }),
+    // product quantization: 8 subspaces x 16 sub-centroids (seeds-suffice
+    // codebook), ADC top-20 — the compressed-domain ANN (codes are 32x
+    // smaller than raw vectors; no vector is decoded at query time)
+    "ann_pq" -> ((s, d) => {
+      val e  = emb(s, d)
+      val ix = Similarity.pqBuild(e, m = 8, kpq = 16)
+      val q  = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.pqTopK(ix, q, k = 20)
+    }),
     // ... and with corpus-derived sizing: nlist = ceil(sqrt n), nprobe =
     // nlist/4 — the real 100 TB entry point, no pinned index parameters
     "ann_ivf_auto" -> ((s, d) => {
@@ -646,6 +655,7 @@ object SparkEntry {
     "ann_lsh_mp"   -> OracleGen.lshCosinePairsAutoSql(0.4, embCount,
       simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = true, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
+    "ann_pq"    -> OracleGen.pqTopKSql(m = 8, kpq = 16, dim = 64, k = 20),
     // derived sizing from the SAME functions the Spark side runs, applied
     // to the live count — lockstep at every SF without pinning
     "ann_ivf_auto" -> OracleGen.ivfTopKSql(

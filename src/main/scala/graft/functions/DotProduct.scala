@@ -119,7 +119,16 @@ object GraftFunctions {
         val norms = exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         NearestCentroid(exprs.head, cents, norms, exprs(3).eval().asInstanceOf[Number].intValue())
       },
-      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"))
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid")),
+    ("graft_pq_encode",
+      (exprs: Seq[Expression]) => {
+        val cents = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        PqEncode(exprs.head, cents,
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue(),
+          exprs(4).eval().asInstanceOf[Number].intValue())
+      },
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"))
   )
 
   /** Idempotent per-session registration. */
@@ -166,6 +175,16 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(norms),
       org.apache.spark.sql.functions.lit(dim))
   }
+
+  /** `m` PQ sub-codes (L2-nearest sub-centroid per subspace) of a vector
+    * column against a literal subspace-major codebook, one pass over the
+    * vector (requires [[register]]). `centsFlat(((j*kpq)+c)*dsub + i)`. */
+  def pqEncode(vec: Column, centsFlat: Array[Double], m: Int, dsub: Int, kpq: Int): Column =
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.lit(centsFlat),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(dsub),
+      org.apache.spark.sql.functions.lit(kpq))
 
   /** per-table LSH sign buckets of a vector column against literal
     * hyperplane tables, one pass over the vector (requires [[register]]). */

@@ -599,6 +599,97 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- product quantization ----------------------------------------------
+
+  /** PQ codebook + encoded corpus: `codes` = (`id`, `codes` array<int> of
+    * `m` sub-codes); `cents(j)(c)` = sub-centroid `c` of subspace `j`
+    * (`dsub` floats each). */
+  final case class PqIndex(codes: DataFrame, cents: Array[Array[Array[Float]]],
+                           m: Int, dsub: Int, kpq: Int)
+
+  /**
+   * PRODUCT QUANTIZATION index (Jégou et al. 2011, TPAMI "Product
+   * quantization for nearest neighbor search"): split the `m*dsub`-dim
+   * space into `m` subspaces, quantize each subspace to `kpq` sub-centroids,
+   * and store each vector as `m` small codes — `m*log2(kpq)` bits instead
+   * of `4*dim` bytes (this configuration: 8 ints vs 256 bytes of floats;
+   * packed, 4 bytes). The compression is what lets a 100 TB embedding
+   * corpus's index live in cluster RAM while IVF/LSH still scan raw
+   * vectors from disk.
+   *
+   * Codebook: the sub-vectors of the first `kpq` vectors by id — the same
+   * deterministic seeds-suffice choice as [[ivfAssign]] (a Lloyd pass per
+   * subspace would tighten cells; seeds keep the build one scan and the
+   * oracle replayable). The codebook is `m*kpq*dsub` floats — driver-side
+   * by construction (a bounded `kpq`-row collect), broadcast as an
+   * expression literal. Encoding is ONE kernel pass per row
+   * ([[graft.functions.PqEncode]]), plan size independent of the codebook.
+   */
+  def pqBuild(
+      df: DataFrame,
+      m: Int = 8,
+      kpq: Int = 16,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): PqIndex = {
+    val dim = inferDim(df, vecCol)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub  = dim / m
+    val seeds = df.orderBy(col(idCol)).limit(kpq)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length == kpq, s"corpus has ${seeds.length} < kpq=$kpq vectors")
+    val cents = Array.tabulate(m, kpq, dsub)((j, c, i) => seeds(c)(j * dsub + i))
+    val flat  = new Array[Double](m * kpq * dsub)
+    for (j <- 0 until m; c <- 0 until kpq; i <- 0 until dsub)
+      flat((j * kpq + c) * dsub + i) = cents(j)(c)(i).toDouble
+    GraftFunctions.register(df.sparkSession)
+    val codes = df.select(col(idCol).as("id"),
+      GraftFunctions.pqEncode(col(vecCol), flat, m, dsub, kpq).as("codes"))
+    PqIndex(codes, cents, m, dsub, kpq)
+  }
+
+  /**
+   * PQ top-k by asymmetric distance computation (ADC): precompute the
+   * `m × kpq` table of squared L2 distances from the RAW query sub-vectors
+   * to every sub-centroid (driver-side — it is codebook-sized), then each
+   * candidate's approximate distance is `m` table lookups summed in
+   * subspace order — no vector is ever decoded. Returns the `k` smallest
+   * `(id, adist)`.
+   *
+   * The lookup-sum is a codegen'd fold over the code array against the
+   * broadcast table literal; ties break by id. Table entries and the
+   * ascending-subspace sum are fixed IEEE op chains, so the DuckDB oracle
+   * replays them bit-identically ([[graft.OracleGen.pqTopKSql]]).
+   */
+  def pqTopK(
+      ix: PqIndex,
+      queryVec: Seq[Float],
+      k: Int,
+      dp: Int = 4
+  ): DataFrame = {
+    require(queryVec.length == ix.m * ix.dsub,
+      s"query dim ${queryVec.length} != ${ix.m * ix.dsub}")
+    val tbl = new Array[Double](ix.m * ix.kpq)
+    for (j <- 0 until ix.m; c <- 0 until ix.kpq) {
+      var d = 0.0
+      var i = 0
+      while (i < ix.dsub) {
+        val t = queryVec(j * ix.dsub + i).toDouble - ix.cents(j)(c)(i).toDouble
+        d += t * t
+        i += 1
+      }
+      tbl(j * ix.kpq + c) = d
+    }
+    val lut = lit(tbl)
+    val adist = aggregate(
+      transform(col("codes"), (c, j) => element_at(lut, j * ix.kpq + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    ix.codes.select(col("id"), adist.as("adist"))
+      .orderBy(col("adist").asc, col("id"))
+      .limit(k)
+      .select(col("id"), round(col("adist"), dp).as("adist"))
+  }
+
   // ---- semantic dedup ----------------------------------------------------
 
   /**

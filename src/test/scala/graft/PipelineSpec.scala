@@ -598,6 +598,32 @@ class PipelineSpec extends SparkTestBase {
     plan should include("centroid")
   }
 
+  "Similarity.pqBuild" should "encode seeds to their own codes with first-min ties" in {
+    val ix = Similarity.pqBuild(vecs, m = 4, kpq = 4)
+    val codes = ix.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.size shouldBe 5
+    codes.values.foreach(_.length shouldBe 4)
+    // vec 0 is seed 0: distance 0 in every subspace -> all codes 0
+    codes(0L) shouldBe Seq(0, 0, 0, 0)
+    // vec 1 differs from vec 0 only in dim 0: subspace 0 picks its own
+    // sub-centroid (1), subspaces 1-3 TIE with seed 0 -> first-min keeps 0
+    codes(1L) shouldBe Seq(1, 0, 0, 0)
+  }
+
+  it should "reject a kpq larger than the corpus" in {
+    an[IllegalArgumentException] should be thrownBy Similarity.pqBuild(vecs, m = 4, kpq = 16)
+  }
+
+  "Similarity.pqTopK" should "rank by asymmetric distance with the query's own code at zero" in {
+    val ix = Similarity.pqBuild(vecs, m = 4, kpq = 4)
+    val q  = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    val top = Similarity.pqTopK(ix, q, k = 3).collect()
+    top.head.getLong(0) shouldBe 0L
+    top.head.getDouble(1) shouldBe 0.0 // ADC of the query against itself
+    top(1).getLong(0) shouldBe 1L      // near-duplicate: one tiny subspace term
+    top(1).getDouble(1) should be < 0.001
+  }
+
   "Similarity IVF" should "find the nearest neighbours probing a subset" in {
     val assigned = Similarity.ivfAssign(vecs, nlist = 2)
     val cents = vecs.orderBy("vec_id").limit(2).collect()
