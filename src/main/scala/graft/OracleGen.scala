@@ -145,26 +145,54 @@ object OracleGen {
     * table summed over subspaces in order. Every fold replays the kernel's
     * accumulation order, so the distances — and the top-k cut — are
     * bit-identical. */
+  private val pqZero = "CAST(0.0 AS DOUBLE)"
+
+  /** per-(row, subspace `j`) squared-L2 to sub-centroid slice `b` — the
+    * ascending-dim fold [[graft.functions.PqKernel.encode]] accumulates. */
+  private def pqL2Sql(a: String, b: String, dsub: Int): String =
+    s"""list_reduce(list_prepend($pqZero, list_transform(range(1, ${dsub + 1}),
+       |  i -> ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE) * ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** shared tail of the PQ oracles over a candidate relation `(id, v)`:
+    * distance table for the query `qe`, per-candidate argmin codes
+    * (first-min ties), ADC sum in subspace order, top-`k`. */
+  private def pqAdcCtes(m: Int, kpq: Int, dsub: Int, k: Int): String =
+    s"""pseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kpq)),
+       |js AS (SELECT unnest(range(0, $m)) AS j),
+       |tbl AS (SELECT j, c, ${pqL2Sql("qe", "ce", dsub)} AS d FROM q, pseeds, js),
+       |vd AS (SELECT id, j, c, ${pqL2Sql("v", "ce", dsub)} AS d FROM cand, pseeds, js),
+       |code AS (SELECT id, j, c FROM (SELECT id, j, c,
+       |           row_number() OVER (PARTITION BY id, j ORDER BY d, c) AS rn FROM vd) WHERE rn = 1),
+       |ad AS (SELECT id, list_reduce(list_prepend($pqZero, list(d ORDER BY j)), (x, y) -> x + y) AS adist
+       |       FROM code JOIN tbl USING (j, c) GROUP BY id)
+       |SELECT id, round(adist, 4) AS adist FROM ad
+       |ORDER BY ad.adist, id LIMIT $k""".stripMargin
+
   def pqTopKSql(m: Int, kpq: Int, dim: Int, k: Int, qid: Long = 0L): String = {
     require(dim % m == 0)
-    val dsub = dim / m
-    val zero = "CAST(0.0 AS DOUBLE)"
-    def l2(a: String, b: String): String =
-      s"""list_reduce(list_prepend($zero, list_transform(range(1, ${dsub + 1}),
-         |  i -> ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE) * ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE))),
-         |  (x, y) -> x + y)""".stripMargin
-    s"""WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
-       |               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kpq)),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
-       |js AS (SELECT unnest(range(0, $m)) AS j),
-       |tbl AS (SELECT j, c, ${l2("qe", "ce")} AS d FROM q, seeds, js),
-       |vd AS (SELECT vec_id, j, c, ${l2("embedding", "ce")} AS d FROM embeddings, seeds, js),
-       |code AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
-       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM vd) WHERE rn = 1),
-       |ad AS (SELECT vec_id, list_reduce(list_prepend($zero, list(d ORDER BY j)), (x, y) -> x + y) AS adist
-       |       FROM code JOIN tbl USING (j, c) GROUP BY vec_id)
-       |SELECT vec_id AS id, round(adist, 4) AS adist FROM ad
-       |ORDER BY ad.adist, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
+       |cand AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |${pqAdcCtes(m, kpq, dim / m, k)}""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Similarity.ivfPqTopK]]: seed coarse
+    * centroids, cosine-ranked probe list (ties by cid), candidates =
+    * probed lists' members, then the shared PQ ADC tail. */
+  def ivfPqTopKSql(nlist: Int, nprobe: Int, m: Int, kpq: Int, dim: Int, k: Int,
+                   qid: Long = 0L): String = {
+    require(dim % m == 0)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $nlist),
+       |a0 AS (SELECT id, v, cid AS centroid FROM (
+       |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e", "embedding", "c", "cvec", dim)} DESC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN seeds c) t WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = $qid),
+       |probe AS (SELECT cid FROM seeds, q ORDER BY ${cosSql("seeds", "cvec", "q", "qe", dim)} DESC, cid LIMIT $nprobe),
+       |cand AS (SELECT id, v FROM a0 WHERE centroid IN (SELECT cid FROM probe)),
+       |${pqAdcCtes(m, kpq, dim / m, k)}""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[Dedup.decontaminate]] with the corpus/eval split

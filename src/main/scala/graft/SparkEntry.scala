@@ -231,6 +231,13 @@ object SparkEntry {
       val q  = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.pqTopK(ix, q, k = 20)
     }),
+    // IVF-PQ: coarse seed lists prune to nprobe/nlist of the corpus, ADC
+    // ranks only the probed lists — the production compressed-ANN shape
+    "ann_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.ivfPqTopK(e, q, k = 20, nlist = 16, nprobe = 4, m = 8, kpq = 16)
+    }),
     // ... and with corpus-derived sizing: nlist = ceil(sqrt n), nprobe =
     // nlist/4 — the real 100 TB entry point, no pinned index parameters
     "ann_ivf_auto" -> ((s, d) => {
@@ -656,6 +663,7 @@ object SparkEntry {
       simTarget = 0.9, recall = 0.9, margin = 1, multiProbe = true, dim = 64),
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "ann_pq"    -> OracleGen.pqTopKSql(m = 8, kpq = 16, dim = 64, k = 20),
+    "ann_ivfpq" -> OracleGen.ivfPqTopKSql(nlist = 16, nprobe = 4, m = 8, kpq = 16, dim = 64, k = 20),
     // derived sizing from the SAME functions the Spark side runs, applied
     // to the live count — lockstep at every SF without pinning
     "ann_ivf_auto" -> OracleGen.ivfTopKSql(

@@ -571,6 +571,23 @@ object Similarity {
     assigned
   }
 
+  /** driver-side cosine with the same left-to-right dim-order folds the
+    * SQL oracle replays (`.sum` = foldLeft) — probe selection must agree
+    * bit-for-bit across engines. */
+  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    val d  = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    d / (na * nb)
+  }
+
+  /** the `nprobe` centroid ids cosine-closest to the query, ties by cid
+    * ascending — map iteration order must never decide which partitions
+    * get probed. */
+  private def probeList(cents: Map[Long, Seq[Float]], queryVec: Seq[Float], nprobe: Int): Seq[Long] =
+    cents.toSeq.sortBy { case (cid, v) => (-cosSeq(v, queryVec), cid) }
+      .take(nprobe).map(_._1)
+
   /** IVF top-k: probe the `nprobe` centroids closest to the query. */
   def ivfTopK(
       assigned: DataFrame,
@@ -579,17 +596,7 @@ object Similarity {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val d  = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
-      d / (na * nb)
-    }
-    // deterministic tiebreak (cid ascending) — map iteration order must
-    // never decide which partitions get probed
-    val probed = centroidVecs.toSeq
-      .sortBy { case (cid, v) => (-cos(v, queryVec), cid) }
-      .take(nprobe).map(_._1)
+    val probed = probeList(centroidVecs, queryVec, nprobe)
     GraftFunctions.register(assigned.sparkSession)
     val q = lit(queryVec.map(_.toDouble).toArray)
     assigned
@@ -661,12 +668,9 @@ object Similarity {
    * ascending-subspace sum are fixed IEEE op chains, so the DuckDB oracle
    * replays them bit-identically ([[graft.OracleGen.pqTopKSql]]).
    */
-  def pqTopK(
-      ix: PqIndex,
-      queryVec: Seq[Float],
-      k: Int,
-      dp: Int = 4
-  ): DataFrame = {
+  /** the query's `m × kpq` squared-L2 distance table (ascending-dim
+    * accumulation per entry — the order the oracle replays). */
+  private def adcTable(ix: PqIndex, queryVec: Seq[Float]): Array[Double] = {
     require(queryVec.length == ix.m * ix.dsub,
       s"query dim ${queryVec.length} != ${ix.m * ix.dsub}")
     val tbl = new Array[Double](ix.m * ix.kpq)
@@ -680,11 +684,73 @@ object Similarity {
       }
       tbl(j * ix.kpq + c) = d
     }
+    tbl
+  }
+
+  /** ADC of a code-array column against the broadcast table literal:
+    * `m` lookups summed in subspace order (codegen'd fold). */
+  private def adcDistance(codes: Column, tbl: Array[Double], kpq: Int): Column = {
     val lut = lit(tbl)
-    val adist = aggregate(
-      transform(col("codes"), (c, j) => element_at(lut, j * ix.kpq + c + 1)),
+    aggregate(
+      transform(codes, (c, j) => element_at(lut, j * kpq + c + 1)),
       lit(0.0), (acc, x) => acc + x)
+  }
+
+  def pqTopK(
+      ix: PqIndex,
+      queryVec: Seq[Float],
+      k: Int,
+      dp: Int = 4
+  ): DataFrame = {
+    val adist = adcDistance(col("codes"), adcTable(ix, queryVec), ix.kpq)
     ix.codes.select(col("id"), adist.as("adist"))
+      .orderBy(col("adist").asc, col("id"))
+      .limit(k)
+      .select(col("id"), round(col("adist"), dp).as("adist"))
+  }
+
+  /**
+   * IVF-PQ — the production ANN composition (FAISS's IVFPQ / the Jégou
+   * et al. 2011 IVFADC system): a coarse quantizer ([[ivfAssign]]'s
+   * deterministic seed centroids) prunes the corpus to the `nprobe`
+   * cosine-closest inverted lists, and PQ ADC ranks ONLY those lists'
+   * members — per query: `nprobe/nlist` of the data touched, `m` table
+   * lookups per candidate, no vector decoded.
+   *
+   * Shape: one corpus scan (coarse-assign kernel → probed-list filter →
+   * PQ-encode kernel → ADC fold, all in one codegen stage) + one
+   * TakeOrdered. At 100 TB the assignment+codes are precomputed and
+   * persisted `partitionBy(centroid)` ([[ivfWrite]]'s layout, codes in
+   * place of raw vectors), so the filter becomes directory-level partition
+   * pruning and the scan reads `nprobe` lists of 4-byte codes; the
+   * query-time arithmetic here is identical either way.
+   */
+  def ivfPqTopK(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      kpq: Int = 16,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 4
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val cents: Map[Long, Seq[Float]] = df.orderBy(col(idCol)).limit(nlist).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val probed = probeList(cents, queryVec, nprobe)
+    val ix     = pqBuild(df, m, kpq, vecCol, idCol)
+    val flat   = new Array[Double](ix.m * ix.kpq * ix.dsub)
+    for (j <- 0 until ix.m; c <- 0 until ix.kpq; i <- 0 until ix.dsub)
+      flat((j * ix.kpq + c) * ix.dsub + i) = ix.cents(j)(c)(i).toDouble
+    val tbl = adcTable(ix, queryVec)
+    assignByProjection(df, cents, vecCol, idCol)
+      .filter(col("centroid").isin(probed: _*))
+      .select(col("id"),
+        adcDistance(GraftFunctions.pqEncode(col("v"), flat, ix.m, ix.dsub, ix.kpq),
+          tbl, ix.kpq).as("adist"))
       .orderBy(col("adist").asc, col("id"))
       .limit(k)
       .select(col("id"), round(col("adist"), dp).as("adist"))

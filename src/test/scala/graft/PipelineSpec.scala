@@ -624,6 +624,24 @@ class PipelineSpec extends SparkTestBase {
     top(1).getDouble(1) should be < 0.001
   }
 
+  "Similarity.ivfPqTopK" should "rank probed-list members like full PQ and skip the rest" in {
+    val q = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    // nprobe = nlist: candidates = whole corpus -> must equal full-PQ ADC
+    val all = Similarity.ivfPqTopK(vecs, q, k = 5, nlist = 2, nprobe = 2, m = 4, kpq = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.pqTopK(Similarity.pqBuild(vecs, m = 4, kpq = 4), q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    all shouldBe full
+    // nprobe = 1: only the query's own coarse list is ranked — a strict
+    // subset led by the query; vec 1 is itself the OTHER coarse seed, so
+    // it lives in the unprobed list and must be absent (pruning is real)
+    val one = Similarity.ivfPqTopK(vecs, q, k = 5, nlist = 2, nprobe = 1, m = 4, kpq = 4)
+      .collect().map(_.getLong(0))
+    one.length should be < 5
+    one.head shouldBe 0L
+    one should not contain 1L
+  }
+
   "Similarity IVF" should "find the nearest neighbours probing a subset" in {
     val assigned = Similarity.ivfAssign(vecs, nlist = 2)
     val cents = vecs.orderBy("vec_id").limit(2).collect()
