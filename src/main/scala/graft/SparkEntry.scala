@@ -469,6 +469,14 @@ object SparkEntry {
       graft.operators.Relational.transitionCounts(ev, Seq("user_id"), "ts", "event_type")
         .orderBy("from_state", "to_state")
     }),
+    // most common first-5-event journeys across users (funnel discovery)
+    "ev_paths" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+      graft.operators.Relational.topPaths(ev, Seq("user_id"), "ts", "event_type",
+        pathLen = 5, k = 20)
+    }),
     // ---- keyword retrieval (pipeline/Retrieval): BM25 and hybrid RRF.
     // Two query terms keep the per-doc weight sum commutative, so scores
     // are bit-identical across engines and unrounded-top-k selection agrees
@@ -907,6 +915,14 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
         |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // path = first-5 states in (ts, state) order — the struct sort's state
+    // tiebreak is mirrored in the list() ORDER BY
+    "ev_paths" ->
+      """WITH o AS (SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_type) AS seq
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT user_id, list_aggregate(seq[1:5], 'string_agg', '>') AS path FROM o)
+        |SELECT path, count(*)::BIGINT AS n_keys FROM p GROUP BY path
+        |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin.replace("\n", " "),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     // per-doc sum is the same ascending sorted fold as the BM25 oracles

@@ -315,4 +315,35 @@ object Relational {
       .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /**
+   * TOP PATHS — the most common early journeys: each key's first `pathLen`
+   * states in time order joined into one `a>b>c` path string, counted
+   * across keys, top-`k` by frequency (ties by path). The funnel-DISCOVERY
+   * complement to [[funnel]], which checks one KNOWN sequence; this
+   * surfaces which sequences exist — onboarding-flow and drop-off triage.
+   *
+   * One shuffle on `keys` (map-side-combined collect of a bounded-prefix
+   * list), one on the path string (count), then TakeOrdered — no windows,
+   * no joins. Ties in `tsCol` order deterministically by state (the
+   * collected structs sort totally), so the path string is reproducible
+   * under any partitioning.
+   */
+  def topPaths(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stateCol: String,
+      pathLen: Int = 5,
+      k: Int = 20
+  ): DataFrame = {
+    require(pathLen > 0 && k > 0, "pathLen and k must be positive")
+    df.groupBy(keys.map(col): _*)
+      .agg(array_join(
+        slice(transform(array_sort(collect_list(struct(col(tsCol), col(stateCol)))),
+          s => s(stateCol)), 1, pathLen), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -163,4 +163,26 @@ class RelationalSpec extends SparkTestBase {
     out shouldBe Array(
       ("click", "buy", 1L), ("click", "view", 1L), ("view", "click", 3L))
   }
+
+  "Relational.topPaths" should "count truncated per-key journeys with deterministic ranking" in {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "buy"),
+      (2L, 5L, "view"), (2L, 15L, "click"), (2L, 25L, "buy"),
+      (3L, 0L, "view"), (3L, 10L, "click"),
+      (4L, 0L, "view") // prefix shorter than pathLen: kept as-is
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.topPaths(ev, Seq("user_id"), "ts", "event_type",
+      pathLen = 3, k = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(
+      ("view>click>buy", 2L), ("view", 1L), ("view>click", 1L))
+  }
+
+  it should "truncate at pathLen and break timestamp ties by state" in {
+    val ev = Seq(
+      (1L, 0L, "b"), (1L, 0L, "a"), // same ts: state order -> a>b
+      (1L, 10L, "c"), (1L, 20L, "d")
+    ).toDF("user_id", "ts", "event_type")
+    Relational.topPaths(ev, Seq("user_id"), "ts", "event_type", pathLen = 3, k = 1)
+      .head().getString(0) shouldBe "a>b>c"
+  }
 }
