@@ -269,6 +269,23 @@ object OracleGen {
        |SELECT doc_id, round(avg(logp), 4) AS lm_score FROM s GROUP BY doc_id ORDER BY doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.TextAnalysis.bigramLogProb]]: add-one-
+    * smoothed bigram log-likelihoods, per-doc mean as the ascending sorted
+    * fold over the doc's bigram logps divided by their count. */
+  def bigramLogProbSql(): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws[i::INT] AS w1, ws[(i+1)::INT] AS w2
+       |      FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+       |u AS (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+       |uc AS (SELECT w1, count(*)::BIGINT AS c1 FROM u GROUP BY w1),
+       |vv AS (SELECT count(*)::BIGINT AS v FROM uc),
+       |bc AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b GROUP BY w1, w2),
+       |lp AS (SELECT doc_id, ln((c2::DOUBLE + 1.0) / (c1::DOUBLE + v::DOUBLE)) AS lp
+       |       FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv)
+       |SELECT doc_id,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(lp))), (a, x) -> a + x) / count(*), 4) AS lm2_score
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.repeatedSpans]]: per-span-hash document frequency
     * at `>= minDocs` (doc-distinct shingle hashes, so count = doc freq). */
   def repeatedSpansSql(spanK: Int, minDocs: Long): String =

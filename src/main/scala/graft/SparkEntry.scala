@@ -299,6 +299,9 @@ object SparkEntry {
     "tx_rep" -> ((s, d) => TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
     // unigram-LM score: vocabSize=20 < the corpus vocab, so OOV floor is live
     "tx_lm" -> ((s, d) => TextAnalysis.unigramLogProb(docs(s, d), vocabSize = 20).orderBy("doc_id")),
+    // add-one-smoothed bigram LM mean log-likelihood (fluency signal);
+    // per-doc mean = sorted fold / count, bit-identical across engines
+    "tx_lm2" -> ((s, d) => TextAnalysis.bigramLogProb(docs(s, d)).orderBy("doc_id")),
     // per-lang exact token-count percentiles (linear interpolation)
     "tx_quantile" -> ((s, d) => TextAnalysis.tokenQuantiles(docs(s, d)).orderBy("lang")),
     // drop the shortest half of every language (per-group percentile floor)
@@ -743,6 +746,7 @@ object SparkEntry {
     "tx_langacc" -> s"WITH p AS (SELECT doc_id, lang, $LangCase AS predicted_lang FROM ($LangHits)) SELECT lang, count(*) AS n, sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)::BIGINT AS correct FROM p GROUP BY lang ORDER BY lang",
     "tx_rep"      -> OracleGen.repetitionSignalsSql(dupWordMax = 0.7, topWordMax = 0.2, dupBigramMax = 0.9),
     "tx_lm"       -> OracleGen.unigramLogProbSql(vocabSize = 20),
+    "tx_lm2"      -> OracleGen.bigramLogProbSql(),
     "tx_quantile" -> OracleGen.tokenQuantilesSql(Seq(0.5, 0.9)),
     "tx_qfilter"  -> OracleGen.quantileFilterSql(0.5),
     "tx_cap"      -> OracleGen.capPerGroupSql(10),

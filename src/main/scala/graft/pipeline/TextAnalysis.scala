@@ -171,6 +171,49 @@ object TextAnalysis {
       .agg(round(avg(col("logp")), 4).as("lm_score"))
   }
 
+  /**
+   * BIGRAM LM SCORE — per-document mean log-likelihood under an add-one-
+   * smoothed corpus bigram model: `P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)`,
+   * score = mean over the document's bigrams of `ln P`. The context-aware
+   * upgrade of [[unigramLogProb]] (word-salad documents score low even
+   * when every WORD is common — the fluency signal CCNet-style pipelines
+   * threshold on).
+   *
+   * Scale shape: the bigram count table is corpus-sized, so the doc-bigram
+   * ↔ corpus-bigram join is an honest data-sized shuffle on the bigram key
+   * (NOT broadcastable — this is the one LM op that pays a real join);
+   * unigram counts ride the same rows, V is one scalar count. Per-doc
+   * means are ascending-sorted folds divided by the bigram count —
+   * bit-identical across engines per the sorted-fold rule.
+   */
+  def bigramLogProb(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    val w = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val bg = w.filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))")).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val uni = df.select(explode(words(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1")).pinned
+    val v   = uni.count().toDouble
+    val bc  = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val lp  = log((col("__c2").cast("double") + lit(1.0)) /
+      (col("__c1").cast("double") + lit(v)))
+    // uni stays pinned (the count above materialized it; the join below
+    // reads it lazily) — it remains a leaf of the returned plan, so the
+    // caller's Checkpoints.free(result) releases it after the last action
+    bg.join(bc, Seq("w1", "w2")).join(uni, "w1")
+      .select(col(idCol), lp.as("__lp"))
+      .groupBy(col(idCol))
+      .agg(round(
+        aggregate(array_sort(collect_list(col("__lp"))), lit(0.0), (a, x) => a + x) /
+          count(lit(1)), dp).as("lm2_score"))
+  }
+
   // ---- repetition signals ------------------------------------------------
 
   /**

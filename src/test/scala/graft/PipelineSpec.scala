@@ -951,6 +951,29 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe out
   }
 
+  "TextAnalysis.bigramLogProb" should "match hand-computed add-one bigram likelihoods" in {
+    // unigrams: a=3 b=3 c=1 -> V=3; bigrams: (a,b)=3, (b,a)=1
+    // P(b|a) = (3+1)/(3+3), P(a|b) = (1+1)/(3+3)
+    val d = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.keySet shouldBe Set(0L, 1L) // the bigram-less doc is absent
+    val lpAB = math.log(4.0 / 6.0)
+    val lpBA = math.log(2.0 / 6.0)
+    out(0L) shouldBe ((2 * lpAB + lpBA) / 3) +- 1e-3
+    out(1L) shouldBe lpAB +- 1e-3
+  }
+
+  it should "rank repeated fluent text above shuffled word salad" in {
+    val fluent = "the cat sat on the mat"
+    val salad  = "mat the on sat cat the"
+    val d = (0L to 4L).map(i => (i, fluent)).toDF("doc_id", "text")
+      .union(Seq((5L, salad)).toDF("doc_id", "text"))
+    val out = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(0L) should be > out(5L) // corpus-frequent transitions score higher
+  }
+
   "TextAnalysis.normalizeText" should "lowercase, strip control chars and collapse whitespace" in {
     val d = Seq(
       (0L, "  The   QUICK\tBrown\nFox  "),
