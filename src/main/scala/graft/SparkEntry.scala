@@ -464,6 +464,11 @@ object SparkEntry {
     "ts_acf" -> ((s, d) =>
       TimeSeries.acfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         maxLag = 6).orderBy("event_type")),
+    // Holt linear-trend smoothing + one-step forecast (coupled struct
+    // recurrence; level spelled inside trend identically in both engines)
+    "ts_holt" -> ((s, d) =>
+      TimeSeries.holtScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        alpha = 0.5, beta = 0.25).orderBy("event_type", "ts")),
     // per-user consecutive-event transition matrix (empirical Markov chain)
     "ev_trans" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -861,6 +866,30 @@ object SparkEntry {
          |      FROM m)
          |SELECT event_type, len(vs)::BIGINT AS n, $lags
          |FROM d ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // Holt: the struct scan's level expression is spelled out INSIDE the
+    // trend expression on both sides (same op sequence), init {x1, 0.0},
+    // sentinel-free (first element is the seed state)
+    "ts_holt" -> {
+      val a    = "CAST(0.5 AS DOUBLE)"
+      val b    = "CAST(0.25 AS DOUBLE)"
+      val one  = "CAST(1.0 AS DOUBLE)"
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val lNew = s"$a * e[1].l + ($one - $a) * (a[-1].l + a[-1].b)"
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |s AS (SELECT event_type, tss, vs,
+         |        list_reduce(
+         |          list_prepend([{'l': vs[1], 'b': $zero}], list_transform(vs[2:], x -> [{'l': x, 'b': $zero}])),
+         |          (a, e) -> list_append(a, {'l': $lNew,
+         |                                    'b': $b * (($lNew) - a[-1].l) + ($one - $b) * a[-1].b})) AS hs
+         |      FROM g)
+         |SELECT event_type, unnest(tss) AS ts, unnest(vs) AS value,
+         |  unnest(list_transform(hs, h -> h.l)) AS level,
+         |  unnest(list_transform(hs, h -> h.b)) AS trend,
+         |  unnest(list_transform(hs, h -> h.l + h.b)) AS forecast
+         |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
     // EWMA/CUSUM scans: list_reduce folds the SAME ts-ordered list with the
     // SAME literals as the engine's aggregate() fold -> every intermediate

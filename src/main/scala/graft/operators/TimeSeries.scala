@@ -438,6 +438,56 @@ object TimeSeries {
   }
 
   /**
+   * HOLT SCAN — double exponential smoothing (Holt's linear-trend method)
+   * over the [[resample]]d grid: per key, in time order,
+   * `level = alpha*x + (1-alpha)*(level' + trend')` and
+   * `trend = beta*(level - level') + (1-beta)*trend'`, seeded
+   * `level1 = x1, trend1 = 0`. Emits `level`, `trend` and the one-step
+   * forecast `level + trend` per tick — the forecasting upgrade of
+   * [[ewmaScan]] (EWMA lags a trending series; Holt tracks it).
+   *
+   * Same distributed shape as [[ewmaScan]]: downsample, then one codegen'd
+   * fold per key with a struct accumulator. Float portability: the coupled
+   * recurrence means `level` appears INSIDE the `trend` expression — it is
+   * spelled out twice (not bound to a variable) in BOTH engines, so the op
+   * sequence stays identical; alpha/beta default to exactly-representable
+   * binary fractions and everything is emitted unrounded.
+   */
+  def holtScan(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      alpha: Double = 0.5,
+      beta: Double = 0.25
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    val a    = s"CAST($alpha AS DOUBLE)"
+    val b    = s"CAST($beta AS DOUBLE)"
+    val one  = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val prev = "element_at(acc, -1)"
+    val lNew = s"$a * x.$valueCol + ($one - $a) * ($prev.l + $prev.b)"
+    val scan =
+      s"""aggregate(slice(__pts, 2, size(__pts) - 1),
+         |  array(named_struct('l', CAST(__pts[0].$valueCol AS DOUBLE), 'b', $zero)),
+         |  (acc, x) -> array_append(acc, named_struct(
+         |    'l', $lNew,
+         |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
+    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__hs", expr(scan))
+      .withColumn("__e", explode(arrays_zip(col("__pts"), col("__hs"))))
+    grid.select(keys.map(col) ++ Seq(
+      col(s"__e.__pts.$tsCol").as(tsCol),
+      col(s"__e.__pts.$valueCol").as(valueCol),
+      col("__e.__hs.l").as("level"),
+      col("__e.__hs.b").as("trend"),
+      (col("__e.__hs.l") + col("__e.__hs.b")).as("forecast")): _*)
+  }
+
+  /**
    * ACF PROFILE — sample autocorrelation of each key's [[resample]]d grid
    * at lags `1..maxLag`: `acf_k = sum_i (x_i - mu)(x_(i+k) - mu) /
    * sum_i (x_i - mu)^2` (the standard biased estimator; Box-Jenkins

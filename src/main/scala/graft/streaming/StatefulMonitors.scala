@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** carried EWMA state per key: samples seen and the current smoothed level. */
+final case class EwmaState(n: Long, ewma: Double)
+
+/** one emitted anomaly: the observation and the level it violated. */
+final case class EwmaAnomaly(key: String, ts: Long, value: Double,
+                             ewma: Double, deviation: Double)
+
+/**
+ * Arbitrary-stateful streaming monitors (`flatMapGroupsWithState`) — state
+ * beyond what windowed aggregation can carry: a recurrence whose value
+ * depends on the ENTIRE history of the key, kept as O(1) state per key.
+ *
+ * The reference's streaming surface stops at windowed re-push
+ * (`nsdb-cluster/.../PublisherActor.scala` — per-query periodic aggregates);
+ * this goes beyond parity the same way the batch scan operators do
+ * ([[graft.operators.TimeSeries.ewmaScan]] is the batch face of the same
+ * recurrence, and the spec pins the two to each other).
+ */
+object StatefulMonitors {
+
+  /**
+   * STREAMING EWMA ANOMALY MONITOR — per key, maintain the EWMA of the
+   * value stream (`s1 = x1`, `si = alpha*xi + (1-alpha)*s(i-1)`; the
+   * [[graft.operators.TimeSeries.ewmaScan]] recurrence) across micro-
+   * batches, and emit an [[EwmaAnomaly]] whenever an arriving value
+   * deviates from the CURRENT level by more than `band` — level-shift
+   * alerting with per-key adaptive baselines, in the stream.
+   *
+   * Scale shape: state is ONE (n, ewma) pair per key — O(keys), not
+   * O(history); keys process in parallel across executors; within a
+   * micro-batch a key's rows sort by `(ts, value)` so replay order (and
+   * therefore the recurrence) is deterministic under any shuffle. Batch
+   * memory per key is that key's batch slice only.
+   *
+   * Keys are metric names (a bounded domain, like the reference's metric
+   * streams), so state needs no eviction — `NoTimeout`. For unbounded key
+   * domains add a timeout in the caller's fork; dropping state merely
+   * re-seeds the baseline.
+   *
+   * Input columns: `(key string, ts long, value double)`. Append mode.
+   */
+  def ewmaAnomalies(
+      stream: DataFrame,
+      alpha: Double = 0.25,
+      band: Double = 2.0,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): Dataset[EwmaAnomaly] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(band > 0.0, "band must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .selectExpr(s"$keyCol AS _1", s"CAST($tsCol AS LONG) AS _2",
+        s"CAST($valueCol AS DOUBLE) AS _3")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st  = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          val out = Seq.newBuilder[EwmaAnomaly]
+          sorted.foreach { case (_, ts, v) =>
+            if (st.n > 0L && math.abs(v - st.ewma) > band)
+              out += EwmaAnomaly(key, ts, v, st.ewma, v - st.ewma)
+            val next = if (st.n == 0L) v else alpha * v + (1.0 - alpha) * st.ewma
+            st = EwmaState(st.n + 1L, next)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

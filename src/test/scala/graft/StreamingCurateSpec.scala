@@ -120,4 +120,59 @@ class StreamingCurateSpec extends SparkTestBase {
       counts should not contain key("later")
     } finally q.stop()
   }
+
+  "StatefulMonitors.ewmaAnomalies" should "carry the EWMA across micro-batches and flag deviations" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val cp    = Files.createTempDirectory("graft_ewma_mon_").toString
+    val q = StatefulMonitors.ewmaAnomalies(
+        input.toDF().toDF("event_type", "ts", "value"), alpha = 0.5, band = 2.0)
+      .writeStream.format("memory").queryName("ewma_mon").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      // batch 1: seed 10, then 11 (|11-10|=1 <= band, no alarm);
+      // ewma after batch: 0.5*11 + 0.5*10 = 10.5
+      input.addData(("m", 0L, 10.0), ("m", 1L, 11.0))
+      q.processAllAvailable()
+      spark.table("ewma_mon").count() shouldBe 0L
+      // batch 2: 14 deviates from the CARRIED 10.5 by 3.5 > 2 -> alarm
+      // (state survived the batch boundary); then |13.5 - 12.25| <= 2
+      input.addData(("m", 2L, 14.0), ("m", 3L, 13.5))
+      q.processAllAvailable()
+      val alarms = spark.table("ewma_mon").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      alarms shouldBe Array(("m", 2L, 14.0, 10.5))
+      // independent key: its own baseline, first sample never alarms
+      input.addData(("other", 0L, 99.0))
+      q.processAllAvailable()
+      spark.table("ewma_mon").count() shouldBe 1L
+    } finally q.stop()
+  }
+
+  it should "replay a single batch exactly like the batch ewmaScan recurrence" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    // values on a fixed grid; alpha 0.5; band tiny so every post-seed
+    // sample alarms and exposes its pre-update ewma (the scan's s_{i-1})
+    val xs = Seq(2.0, 4.0, 8.0, 1.0)
+    val input = MemoryStream[(String, Long, Double)]
+    val cp    = Files.createTempDirectory("graft_ewma_par_").toString
+    val q = StatefulMonitors.ewmaAnomalies(
+        input.toDF().toDF("event_type", "ts", "value"), alpha = 0.5, band = 1e-9)
+      .writeStream.format("memory").queryName("ewma_par").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      input.addData(xs.zipWithIndex.map { case (v, i) => ("k", i.toLong * 10L, v) }: _*)
+      q.processAllAvailable()
+      val pre = spark.table("ewma_par").orderBy("ts").collect().map(_.getDouble(3))
+      // batch scan over the same grid: ewma = [2, 3, 5.5, 3.25]; the
+      // monitor's pre-update levels are the scan shifted by one
+      val scan = graft.operators.TimeSeries.ewmaScan(
+        xs.zipWithIndex.map { case (v, i) => ("k", i.toLong * 10L, v) }
+          .toDF("k", "ts", "v"), Seq("k"), "ts", "v", step = 10L, alpha = 0.5)
+        .orderBy("ts").collect().map(_.getDouble(3))
+      pre shouldBe scan.dropRight(1)
+    } finally q.stop()
+  }
 }

@@ -182,6 +182,25 @@ class TimeSeriesSpec extends SparkTestBase {
     out.map(_.getDouble(4)).sum shouldBe 0.0
   }
 
+  "TimeSeries.holtScan" should "track level and trend through the coupled recurrence" in {
+    // x = [2, 4, 8], alpha 0.5, beta 0.25:
+    // t1: l=2, b=0; t2: l=.5*4+.5*2=3, b=.25*1=0.25
+    // t3: l=.5*8+.5*3.25=5.625, b=.25*2.625+.75*.25=0.84375
+    val df = Seq(("a", 0L, 2.0), ("a", 10L, 4.0), ("a", 20L, 8.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.holtScan(df, Seq("k"), "ts", "v", step = 10L).orderBy("ts")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    out shouldBe Array((2.0, 0.0, 2.0), (3.0, 0.25, 3.25), (5.625, 0.84375, 6.46875))
+  }
+
+  it should "hold a linear series' trend once locked on" in {
+    // after convergence on x_t = 5t the forecast tracks within the ramp
+    val df = (0 until 30).map(i => ("a", i.toLong * 10, i * 5.0)).toDF("k", "ts", "v")
+    val last = TimeSeries.holtScan(df, Seq("k"), "ts", "v", step = 10L)
+      .orderBy($"ts".desc).head()
+    last.getDouble(4) shouldBe 5.0 +- 0.5        // trend ~ slope
+    last.getDouble(5) shouldBe (29 * 5.0 + 5.0) +- 2.0 // forecast ~ next point
+  }
+
   "TimeSeries.acfProfile" should "compute lag correlations and null out-of-range lags" in {
     // alternating series 1,3,1,3: mu = 2, den = 4,
     // acf_1 = ((−1)(1)+(1)(−1)+(−1)(1))/4 = −0.75, acf_2 = ((−1)(−1)+(1)(1))/4 = 0.5,
