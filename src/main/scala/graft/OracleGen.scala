@@ -154,10 +154,11 @@ object OracleGen {
        |  i -> ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE) * ($a[j*$dsub + i]::DOUBLE - $b[j*$dsub + i]::DOUBLE))),
        |  (x, y) -> x + y)""".stripMargin
 
-  /** shared tail of the PQ oracles over a candidate relation `(id, v)`:
+  /** shared CTEs of the PQ oracles over a candidate relation `(id, v)`:
     * distance table for the query `qe`, per-candidate argmin codes
-    * (first-min ties), ADC sum in subspace order, top-`k`. */
-  private def pqAdcCtes(m: Int, kpq: Int, dsub: Int, k: Int): String =
+    * (first-min ties), ADC sum in subspace order — ends at `ad(id, adist)`
+    * so callers can top-`k` it or feed a re-rank stage. */
+  private def pqAdcCtes(m: Int, kpq: Int, dsub: Int): String =
     s"""pseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kpq)),
        |js AS (SELECT unnest(range(0, $m)) AS j),
@@ -166,15 +167,32 @@ object OracleGen {
        |code AS (SELECT id, j, c FROM (SELECT id, j, c,
        |           row_number() OVER (PARTITION BY id, j ORDER BY d, c) AS rn FROM vd) WHERE rn = 1),
        |ad AS (SELECT id, list_reduce(list_prepend($pqZero, list(d ORDER BY j)), (x, y) -> x + y) AS adist
-       |       FROM code JOIN tbl USING (j, c) GROUP BY id)
-       |SELECT id, round(adist, 4) AS adist FROM ad
+       |       FROM code JOIN tbl USING (j, c) GROUP BY id)""".stripMargin
+
+  private def pqTopKTail(k: Int): String =
+    s"""SELECT id, round(adist, 4) AS adist FROM ad
        |ORDER BY ad.adist, id LIMIT $k""".stripMargin
 
   def pqTopKSql(m: Int, kpq: Int, dim: Int, k: Int, qid: Long = 0L): String = {
     require(dim % m == 0)
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
        |cand AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-       |${pqAdcCtes(m, kpq, dim / m, k)}""".stripMargin.replace("\n", " ")
+       |${pqAdcCtes(m, kpq, dim / m)}
+       |${pqTopKTail(k)}""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Similarity.pqTopKRerank]]: ADC selects the
+    * `nCand` compressed-domain candidates, exact cosine re-ranks them —
+    * the re-rank stage shares `ann_topk`'s proven cosine/round spelling. */
+  def pqRerankSql(m: Int, kpq: Int, dim: Int, k: Int, nCand: Int, qid: Long = 0L): String = {
+    require(dim % m == 0)
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
+       |cand AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |${pqAdcCtes(m, kpq, dim / m)},
+       |cd AS (SELECT id FROM ad ORDER BY ad.adist, id LIMIT $nCand),
+       |rr AS (SELECT e2.vec_id, list_cosine_similarity(e2.embedding::DOUBLE[], (SELECT qe::DOUBLE[] FROM q)) AS s
+       |       FROM embeddings e2 JOIN cd ON cd.id = e2.vec_id)
+       |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[graft.pipeline.Similarity.ivfPqTopK]]: seed coarse
@@ -192,7 +210,8 @@ object OracleGen {
        |q AS (SELECT embedding AS qe FROM e WHERE vec_id = $qid),
        |probe AS (SELECT cid FROM seeds, q ORDER BY ${cosSql("seeds", "cvec", "q", "qe", dim)} DESC, cid LIMIT $nprobe),
        |cand AS (SELECT id, v FROM a0 WHERE centroid IN (SELECT cid FROM probe)),
-       |${pqAdcCtes(m, kpq, dim / m, k)}""".stripMargin.replace("\n", " ")
+       |${pqAdcCtes(m, kpq, dim / m)}
+       |${pqTopKTail(k)}""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[Dedup.decontaminate]] with the corpus/eval split

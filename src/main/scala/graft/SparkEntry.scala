@@ -231,6 +231,14 @@ object SparkEntry {
       val q  = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.pqTopK(ix, q, k = 20)
     }),
+    // two-stage retrieval: ADC shortlists 60 compressed-domain candidates,
+    // exact cosine re-ranks the shortlist's raw vectors to the final 20
+    "ann_pq_rerank" -> ((s, d) => {
+      val e  = emb(s, d)
+      val ix = Similarity.pqBuild(e, m = 8, kpq = 16)
+      val q  = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.pqTopKRerank(ix, e, q, k = 20, nCand = 60)
+    }),
     // IVF-PQ: coarse seed lists prune to nprobe/nlist of the corpus, ADC
     // ranks only the probed lists — the production compressed-ANN shape
     "ann_ivfpq" -> ((s, d) => {
@@ -680,6 +688,7 @@ object SparkEntry {
     "ann_ivf"   -> OracleGen.ivfTopKSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "ann_pq"    -> OracleGen.pqTopKSql(m = 8, kpq = 16, dim = 64, k = 20),
     "ann_ivfpq" -> OracleGen.ivfPqTopKSql(nlist = 16, nprobe = 4, m = 8, kpq = 16, dim = 64, k = 20),
+    "ann_pq_rerank" -> OracleGen.pqRerankSql(m = 8, kpq = 16, dim = 64, k = 20, nCand = 60),
     // derived sizing from the SAME functions the Spark side runs, applied
     // to the live count — lockstep at every SF without pinning
     "ann_ivf_auto" -> OracleGen.ivfTopKSql(

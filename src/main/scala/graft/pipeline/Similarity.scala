@@ -710,6 +710,36 @@ object Similarity {
   }
 
   /**
+   * PQ + EXACT RE-RANK — the standard two-stage retrieval: ADC over the
+   * compressed codes selects `nCand` candidates (cheap, whole corpus),
+   * then exact cosine against the RAW vectors of only those candidates
+   * picks the final `k` — quantization error capped at the re-rank
+   * boundary instead of the result list. The candidate id list broadcasts
+   * (it is `nCand` rows by construction); only the candidates' vectors are
+   * re-read.
+   */
+  def pqTopKRerank(
+      ix: PqIndex,
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      nCand: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 3
+  ): DataFrame = {
+    require(nCand >= k, "nCand must be >= k")
+    GraftFunctions.register(df.sparkSession)
+    val cand = pqTopK(ix, queryVec, nCand).select(col("id"))
+    val q    = lit(queryVec.map(_.toDouble).toArray)
+    df.join(broadcast(cand), df(idCol) === cand("id"))
+      .select(col(idCol), (fdot(col(vecCol), q) / (fnorm(col(vecCol)) * fnorm(q))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), dp).as("sim"))
+  }
+
+  /**
    * IVF-PQ — the production ANN composition (FAISS's IVFPQ / the Jégou
    * et al. 2011 IVFADC system): a coarse quantizer ([[ivfAssign]]'s
    * deterministic seed centroids) prunes the corpus to the `nprobe`

@@ -624,6 +624,19 @@ class PipelineSpec extends SparkTestBase {
     top(1).getDouble(1) should be < 0.001
   }
 
+  "Similarity.pqTopKRerank" should "order the ADC shortlist by exact cosine" in {
+    val q = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+    val ix = Similarity.pqBuild(vecs, m = 4, kpq = 4)
+    // nCand = corpus: re-rank must equal brute force exactly
+    val rr = Similarity.pqTopKRerank(ix, vecs, q, k = 3, nCand = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bf = Similarity.bruteForceTopK(vecs, q, 3)
+      .withColumn("sim", org.apache.spark.sql.functions.round($"sim", 3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    rr shouldBe bf
+    rr.head._1 shouldBe 0L // the query itself leads at sim 1.0
+  }
+
   "Similarity.ivfPqTopK" should "rank probed-list members like full PQ and skip the rest" in {
     val q = vecs.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
     // nprobe = nlist: candidates = whole corpus -> must equal full-PQ ADC
