@@ -507,6 +507,10 @@ object SparkEntry {
           doclens = ix.doclens.localCheckpoint(true)),
         Seq("spark", "join"), k = 20)
     }),
+    // typo-tolerant term retrieval: vocab scan under levenshtein <= 1,
+    // variants broadcast into the postings join — all-integer output
+    "rt_fuzzy" -> ((s, d) =>
+      Retrieval.fuzzyMatches(docs(s, d), "spark", maxDist = 1).orderBy("doc_id")),
     // pseudo-relevance-feedback expansion: top-10 seed docs mine 5
     // expansion terms (sum-tf x ln(N/df), ties by term); the union query
     // re-ranks through the index — two index passes, no corpus rescan
@@ -941,6 +945,12 @@ object SparkEntry {
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
+    // levenshtein is the same DP distance in both engines; counts are ints
+    "rt_fuzzy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |v AS (SELECT DISTINCT term FROM t WHERE levenshtein(term, 'spark') <= 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_matches, count(DISTINCT term)::BIGINT AS n_variants
+        |FROM t JOIN v USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "rt_hybrid"    -> OracleGen.hybridTopKSql(Seq("spark", "join"), k = 10, n = 50),
     "rt_keywords"  -> OracleGen.topTfIdfTermsSql(k = 3),
     "rt_phrase"    -> OracleGen.phraseMatchesSql(Seq("table", "hash")),

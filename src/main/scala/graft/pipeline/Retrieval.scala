@@ -369,6 +369,46 @@ object Retrieval {
   }
 
   /**
+   * FUZZY TERM MATCH — typo-tolerant retrieval: documents containing any
+   * corpus term within Levenshtein distance `maxDist` of the query term,
+   * with the per-doc hit count (occurrences of all matching variants).
+   * The recall net under misspellings that exact/BM25 matching drops.
+   *
+   * Scale shape: the DISTINCT corpus vocabulary (orders of magnitude
+   * smaller than the corpus) is scanned once with the codegen'd
+   * `levenshtein` — never the corpus text; the surviving variant terms
+   * broadcast into a postings join. With a persisted [[TermIndex]] the
+   * vocab scan is `SELECT DISTINCT term FROM postings` — no corpus read
+   * at all ([[fuzzyMatchesIndexed]]).
+   *
+   * All-integer arithmetic (distances, counts) — nothing to drift.
+   */
+  def fuzzyMatchesIndexed(
+      ix: TermIndex,
+      term: String,
+      maxDist: Int = 1,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val variants = ix.postings.select(col("term")).distinct()
+      .filter(levenshtein(col("term"), lit(term)) <= maxDist)
+    ix.postings.join(broadcast(variants), "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_matches"),
+        count(lit(1)).cast("long").as("n_variants"))
+  }
+
+  /** [[fuzzyMatchesIndexed]] over a raw corpus (tokenizes once). */
+  def fuzzyMatches(
+      docs: DataFrame,
+      term: String,
+      maxDist: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    fuzzyMatchesIndexed(termIndex(docs, textCol, idCol), term, maxDist, idCol)
+
+  /**
    * PRF EXPANSION TERMS — pseudo-relevance feedback term mining (the text
    * half of Rocchio): run the original query, assume its top `nSeed` hits
    * are relevant, and rank the terms they contain by

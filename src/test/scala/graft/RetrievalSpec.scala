@@ -157,6 +157,17 @@ class RetrievalSpec extends SparkTestBase {
     out.head.getDouble(2) shouldBe single
   }
 
+  "Retrieval.fuzzyMatches" should "count occurrences of all edit-distance variants" in {
+    val d = Seq(
+      (0L, "spark sparks spork x"), // spark(0), sparks(1), spork(1) all match
+      (1L, "sprk and nothing"),     // sprk is distance 1 (deletion)
+      (2L, "stork swam away")       // stork is distance 2: excluded
+    ).toDF("doc_id", "text")
+    val out = Retrieval.fuzzyMatches(d, "spark", maxDist = 1).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((0L, 3L, 3L), (1L, 1L, 1L))
+  }
+
   "Retrieval.prfExpansionTerms" should "mine feedback-set terms excluding the query" in {
     // query 'spark' -> seed (nSeed=2) = docs 0,1; their vocabulary is
     // {spark, shuffle, join, window}; 'spark' is excluded as a query term,
