@@ -44,6 +44,42 @@ object StatefulMonitors {
    *
    * Input columns: `(key string, ts long, value double)`. Append mode.
    */
+  /**
+   * STREAMING SESSION WINDOWS — per-key activity sessions with a `gap`
+   * inactivity timeout, computed IN the stream via Spark's native
+   * `session_window` (state = one open window per key, merged as events
+   * arrive, emitted when the watermark closes it). The streaming face of
+   * [[graft.operators.Relational.sessionStats]] (same gap semantics) —
+   * the reference has no session windows at all (its dialect stops at
+   * fixed-width temporal buckets).
+   *
+   * Returns `(key, session_start, session_end, n_events, sum_value)` per
+   * closed session. Watermark bounds the state store: late events beyond
+   * `watermarkDelay` are dropped, and a session's state is evicted once
+   * the watermark passes its end + gap.
+   *
+   * Input: `keyCol` string, `tsCol` TIMESTAMP event time, `valueCol`
+   * numeric.
+   */
+  def sessionWindows(
+      stream: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes",
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   def ewmaAnomalies(
       stream: DataFrame,
       alpha: Double = 0.25,

@@ -150,6 +150,29 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StatefulMonitors.sessionWindows" should "merge within-gap events and split across the gap" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val cp    = Files.createTempDirectory("graft_sess_").toString
+    val q = StatefulMonitors.sessionWindows(
+        input.toDF().toDF("user_id", "ts", "value"),
+        gap = "10 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_win").outputMode("complete")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000L)
+      // u1: events at 0s and 5s chain (gap 10s); 30s starts a new session
+      input.addData(("u1", t(0), 1.0), ("u1", t(5), 2.0), ("u1", t(30), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .selectExpr("user_id", "unix_timestamp(session_start)", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2))
+      rows shouldBe Array(("u1", 0L, 2L, 3.0), ("u1", 30L, 1L, 4.0))
+    } finally q.stop()
+  }
+
   it should "replay a single batch exactly like the batch ewmaScan recurrence" in {
     import graft.streaming.StatefulMonitors
     implicit val sqlc = spark.sqlContext
