@@ -32,4 +32,46 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = SparkEntry.queries("rt_bm25_join")(spark, dir).queryExecution.executedPlan.toString
     withClue(plan) { plan should include("WindowGroupLimit") }
   }
+
+  private def exchanges(plan: String): Int =
+    plan.sliding("Exchange".length).count(_ == "Exchange")
+
+  "the grid scan operators" should "pay exactly two shuffles (resample + per-key collect)" in {
+    // the recurrence folds (EWMA/CUSUM/Holt/ACF) must stay inside the
+    // collected array — a third Exchange would mean a window or join crept in
+    // (the GATES add one more Exchange for their deterministic output sort,
+    // so assert on the operators directly)
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("b", 0L, 3.0)).toDF("k", "ts", "v")
+    val shapes = Seq(
+      "ewma"  -> TimeSeries.ewmaScan(df, Seq("k"), "ts", "v", 10L),
+      "cusum" -> TimeSeries.cusumScan(df, Seq("k"), "ts", "v", 10L),
+      "holt"  -> TimeSeries.holtScan(df, Seq("k"), "ts", "v", 10L),
+      "acf"   -> TimeSeries.acfProfile(df, Seq("k"), "ts", "v", 10L, maxLag = 2))
+    shapes.foreach { case (name, out) =>
+      val plan = out.queryExecution.executedPlan.toString
+      withClue(s"$name:\n$plan\n") { exchanges(plan) shouldBe 2 }
+    }
+  }
+
+  "the PQ operators" should "encode via the one-pass kernel, not an expression tree" in {
+    val plan = SparkEntry.queries("ann_pq")(spark, dir).queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("graft_pq_encode") }
+    // IVF-PQ: assign + filter + encode + ADC fuse into one scan — the only
+    // Exchange left is the TakeOrdered's singlePartition collect
+    val ivfpq = SparkEntry.queries("ann_ivfpq")(spark, dir).queryExecution.executedPlan.toString
+    withClue(ivfpq) {
+      ivfpq should include("graft_pq_encode")
+      ivfpq should not include "SortMergeJoin"
+    }
+  }
+
+  "fuzzy retrieval" should "broadcast the variant terms, never sort-merge the postings" in {
+    val plan = SparkEntry.queries("rt_fuzzy")(spark, dir).queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+    }
+  }
 }
