@@ -488,6 +488,72 @@ object TimeSeries {
   }
 
   /**
+   * SEASONAL DECOMPOSITION — classical additive decomposition of each
+   * key's [[resample]]d grid with period `p` (hourly grid, `p`=24 → daily
+   * seasonality): `value = trend + seasonal + resid`, where
+   *
+   *  - `trend` is the centered 2×`p` moving average (half weights at the
+   *    window edges — the standard even-period centering), defined only
+   *    where the full window fits;
+   *  - `seasonal` is the per-phase mean of the detrended series
+   *    (`phase = (ts/step) mod p`);
+   *  - `resid` is the remainder — the de-seasonalized anomaly signal that
+   *    a plain z-score misses when the metric has a daily cycle.
+   *
+   * Same shape as [[acfProfile]]: everything folds over the key's own grid
+   * array — the trend window, the per-phase sums and the subtraction all
+   * run inside one codegen'd projection; no window functions, no joins,
+   * two shuffles total. Per-element work is O(p + n) inner-fold steps.
+   *
+   * Float portability: the trend's middle sum and the phase sums are
+   * ascending folds (non-matching positions contribute an EXACT `+ 0.0`),
+   * every literal is spelled identically in the oracle, and the outputs
+   * are emitted unrounded — bit-identical per the sorted-fold rule.
+   */
+  def decompose(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      period: Int = 24
+  ): DataFrame = {
+    require(period >= 2 && period % 2 == 0, "period must be even and >= 2")
+    val h    = period / 2
+    val half = "CAST(0.5 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val p    = s"CAST($period.0 AS DOUBLE)"
+    val trend =
+      s"""transform(__vs, (x, i) -> CASE WHEN i >= $h AND i < size(__vs) - $h THEN
+         |  ($half * element_at(__vs, i - $h + 1)
+         |   + aggregate(slice(__vs, i - $h + 2, ${period - 1}), $zero, (a, b) -> a + b)
+         |   + $half * element_at(__vs, i + $h + 1)) / $p
+         |END)""".stripMargin
+    def phase(i: String) = s"pmod(element_at(__tss, $i) div ${step}L, $period)"
+    val seasonal =
+      s"""transform(sequence(0, ${period - 1}), j -> CASE WHEN
+         |  size(filter(sequence(1, size(__vs)), i -> ${phase("i")} = j AND element_at(__tr, i) IS NOT NULL)) > 0 THEN
+         |  aggregate(sequence(1, size(__vs)), $zero,
+         |    (a, i) -> a + CASE WHEN ${phase("i")} = j AND element_at(__tr, i) IS NOT NULL
+         |              THEN element_at(__vs, i) - element_at(__tr, i) ELSE $zero END)
+         |  / size(filter(sequence(1, size(__vs)), i -> ${phase("i")} = j AND element_at(__tr, i) IS NOT NULL))
+         |END)""".stripMargin
+    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__tss", expr(s"transform(__pts, s -> s.$tsCol)"))
+      .withColumn("__vs", expr(s"transform(__pts, s -> s.$valueCol)"))
+      .withColumn("__tr", expr(trend))
+      .withColumn("__sm", expr(seasonal))
+      .withColumn("__e", explode(arrays_zip(col("__pts"), col("__tr"))))
+    grid.select(keys.map(col) ++ Seq(
+      col(s"__e.__pts.$tsCol").as(tsCol),
+      col(s"__e.__pts.$valueCol").as(valueCol),
+      col("__e.__tr").as("trend"),
+      expr(s"element_at(__sm, CAST(pmod(__e.__pts.$tsCol div ${step}L, $period) AS INT) + 1)").as("seasonal"),
+      (col(s"__e.__pts.$valueCol") - col("__e.__tr") -
+        expr(s"element_at(__sm, CAST(pmod(__e.__pts.$tsCol div ${step}L, $period) AS INT) + 1)")).as("resid")): _*)
+  }
+
+  /**
    * ACF PROFILE — sample autocorrelation of each key's [[resample]]d grid
    * at lags `1..maxLag`: `acf_k = sum_i (x_i - mu)(x_(i+k) - mu) /
    * sum_i (x_i - mu)^2` (the standard biased estimator; Box-Jenkins

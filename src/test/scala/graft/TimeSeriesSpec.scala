@@ -201,6 +201,35 @@ class TimeSeriesSpec extends SparkTestBase {
     last.getDouble(5) shouldBe (29 * 5.0 + 5.0) +- 2.0 // forecast ~ next point
   }
 
+  "TimeSeries.decompose" should "recover a planted cycle on a flat trend" in {
+    // period 4 (h=2): x = 10 + cycle(+2,0,-2,0) on a constant base —
+    // trend recovers 10 (the centered window spans one full cycle),
+    // seasonal recovers the cycle, residual vanishes
+    val cycle = Seq(2.0, 0.0, -2.0, 0.0)
+    val df = (0 until 16).map(i => ("a", i.toLong * 10, 10.0 + cycle(i % 4)))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.decompose(df, Seq("k"), "ts", "v", step = 10L, period = 4)
+      .orderBy("ts").collect()
+    out.length shouldBe 16
+    // interior points (full window): trend 10, seasonal = cycle, resid 0
+    val interior = out.filter(r => !r.isNullAt(3))
+    interior.length shouldBe 16 - 4 // h=2 lost at each end
+    interior.foreach { r =>
+      r.getDouble(3) shouldBe 10.0 +- 1e-9
+      r.getDouble(4) shouldBe cycle((r.getLong(1) / 10 % 4).toInt) +- 1e-9
+      r.getDouble(5) shouldBe 0.0 +- 1e-9
+    }
+    // edge points: no trend -> no seasonal-resid chain, value preserved
+    out.take(2).foreach { r => r.isNullAt(3) shouldBe true; r.isNullAt(5) shouldBe true }
+  }
+
+  it should "null everything for a series shorter than one window" in {
+    val df = (0 until 3).map(i => ("a", i.toLong * 10, 1.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.decompose(df, Seq("k"), "ts", "v", step = 10L, period = 4).collect()
+    out.length shouldBe 3
+    out.foreach { r => r.isNullAt(3) shouldBe true; r.isNullAt(4) shouldBe true }
+  }
+
   "TimeSeries.acfProfile" should "compute lag correlations and null out-of-range lags" in {
     // alternating series 1,3,1,3: mu = 2, den = 4,
     // acf_1 = ((−1)(1)+(1)(−1)+(−1)(1))/4 = −0.75, acf_2 = ((−1)(−1)+(1)(1))/4 = 0.5,
