@@ -88,6 +88,18 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.editDistancePairs]]: the same LSH candidate CTEs,
+    * verified with DuckDB's independent `levenshtein` over the raw texts
+    * (the jaccard-verify CTE `v` goes unused and is pruned by the
+    * planner). */
+  def levPairsSql(maxDist: Int, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)}
+       |SELECT id_a, id_b, levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+       |  round(1.0 - levenshtein(da.text, db.text)*1.0 / greatest(length(da.text), length(db.text)), 4) AS sim
+       |FROM cand JOIN documents da ON da.doc_id = cand.id_a JOIN documents db ON db.doc_id = cand.id_b
+       |WHERE levenshtein(da.text, db.text) <= $maxDist ORDER BY id_a, id_b"""
+      .stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.duplicateClusters]]: connected components over the
     * verified near-dup pair graph via recursive min-label propagation —
     * the closed form of the iterative Spark loop. */

@@ -130,6 +130,9 @@ object SparkEntry {
     // has its own correctness evidence, not just the blocked variant's
     "d_ngram_banded" -> ((s, d) => Dedup.ngramJaccardPairsBanded(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
+    // edit-distance near-dup: LSH candidates verified with exact levenshtein
+    // (DuckDB's independent levenshtein implementation is the oracle)
+    "d_lev" -> ((s, d) => Dedup.editDistancePairs(docs(s, d), 20).orderBy("id_a", "id_b")),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -299,6 +302,8 @@ object SparkEntry {
     }),
     // ---- text analysis
     "tx_tokens"      -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
+    // sliding-window chunking: 32-token chunks every 24 tokens (8 overlap)
+    "tx_chunk"       -> ((s, d) => TextAnalysis.chunkDocuments(docs(s, d), 32, 24).orderBy("doc_id", "chunk_idx")),
     "tx_quality"     -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
     "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
@@ -676,6 +681,7 @@ object SparkEntry {
     "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
@@ -719,6 +725,13 @@ object SparkEntry {
       val w = "string_split(text, ' ')"
       s"""SELECT doc_id, len($w) AS n_tokens, len(list_distinct($w)) AS n_distinct_tokens, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens, round(length(replace(text, ' ', ''))*1.0 / len($w), 4) AS avg_word_len FROM documents ORDER BY doc_id"""
     },
+    "tx_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start FROM t)
+        |SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+        |  array_to_string(list_slice(ws, (start+1)::INT, (start+32)::INT), ' ') AS chunk_text,
+        |  least(len(ws) - start, 32)::BIGINT AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
     "tx_quality" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"
       val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"

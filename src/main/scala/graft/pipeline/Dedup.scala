@@ -205,32 +205,76 @@ object Dedup {
       .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
       .pinned
 
-    // banded relation carries ONLY (id, band, bucket) — the shingle arrays
-    // never ride through the explode or the candidate shuffle. The bucket
-    // key is the band slice itself (equality is all that matters; string
-    // concat keeps it engine-portable for the oracle).
-    val banded = bandBuckets(prepped, bands, rows)
-
-    // cap pathological buckets before the self-join: aggregate + semi-join
-    // (a partial-aggregating groupBy, not a full window over every row)
-    val smallBuckets = banded.groupBy(col("band"), col("bucket")).count()
-      .filter(col("count") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
-
     // dedupe candidate id pairs FIRST (bare longs), join shingles back after
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val candidates = a
-      .join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(prepped, bands, rows, maxBucket)
     val sh = prepped.select(col("id"), col("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Distinct candidate id pairs `(id_a, id_b)`, `id_a < id_b`, of a
+    * signature relation `(id, sig, ...)`: band the signatures, cap
+    * pathological buckets, self-join on the bucket key. The banded relation
+    * carries ONLY `(id, band, bucket)` — payloads never ride through the
+    * explode or the candidate shuffle; the bucket cap is an aggregate +
+    * semi-join (a partial-aggregating groupBy, not a full window over every
+    * row). Shared by every LSH-mined pair family (Jaccard, edit-distance). */
+  private def lshCandidatePairs(
+      sigRel: DataFrame, bands: Int, rows: Int, maxBucket: Int): DataFrame = {
+    val banded = bandBuckets(sigRel, bands, rows)
+    val smallBuckets = banded.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Edit-distance-verified near-dup pairs: LSH candidate mining (shingle →
+   * minhash → capped band buckets — the same sub-quadratic shape as
+   * [[minhashLshPairs]]) followed by an exact `levenshtein` verify on the
+   * raw texts. The classic "same doc, few edits" detector: character-level
+   * edits barely move word-shingle Jaccard, so high-similarity pairs
+   * survive banding, and the quadratic-cost exact distance runs only on
+   * the mined candidates (bare id pairs; texts join back after the
+   * distinct). Emits `(id_a, id_b, edit_dist, sim)` with
+   * `sim = 1 - dist / max(len_a, len_b)` rounded to 4 dp.
+   */
+  def editDistancePairs(
+      df: DataFrame,
+      maxDist: Int,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleK: Int = 2,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
+    val rows = numHashes / bands
+    val prepped = df
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        GraftFunctions.minhash(GraftFunctions.shingles(col(textCol), shingleK), numHashes).as("sig"))
+      .pinned
+    val candidates = lshCandidatePairs(prepped.select(col("id"), col("sig")), bands, rows, maxBucket)
+    val t   = prepped.select(col("id"), col("txt"))
+    val lev = levenshtein(col("t_a"), col("t_b"))
+    candidates
+      .join(t.select(col("id").as("id_a"), col("txt").as("t_a")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("txt").as("t_b")), "id_b")
+      .filter(lev <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        lev.cast("long").as("edit_dist"),
+        round(lit(1.0) - lev.cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))).cast("double"), 4).as("sim"))
   }
 
   /** `(id, band, bucket)` LSH band relation of a signature table: bucket =

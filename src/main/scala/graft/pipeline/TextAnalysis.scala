@@ -38,6 +38,39 @@ object TextAnalysis {
     )
   }
 
+  // ---- document chunking -------------------------------------------------
+
+  /**
+   * Sliding-window document chunking: each document becomes overlapping
+   * chunks of `chunkSize` whitespace tokens starting every `stride` tokens
+   * (stride < chunkSize ⇒ overlap of `chunkSize - stride`) — the standard
+   * pre-tokenization step that turns variable-length documents into
+   * model-window-sized training sequences (feed the result to
+   * [[Sampling.packSequences]]). Emits `(doc_id, chunk_idx, chunk_text,
+   * n_tokens)`; the final chunk per doc may be shorter than `chunkSize`.
+   *
+   * Scale shape: one generator projection (explode of the per-doc start
+   * offsets) — map-side only, zero shuffles, fan-out ≈ tokens/stride per
+   * row, and everything stays inside whole-stage codegen.
+   */
+  def chunkDocuments(
+      df: DataFrame,
+      chunkSize: Int,
+      stride: Int,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize, "stride must be in [1, chunkSize]")
+    df.select(col("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"), col("start") + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(size(col("ws")) - col("start"), lit(chunkSize)).cast("long").as("n_tokens"))
+  }
+
   // ---- quality scoring ---------------------------------------------------
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")

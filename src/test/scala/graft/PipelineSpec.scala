@@ -221,6 +221,30 @@ class PipelineSpec extends SparkTestBase {
     pairs should contain((0L, 1L)) // near dup
   }
 
+  "Dedup.editDistancePairs" should "find LSH candidates within the edit budget" in {
+    val near = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumped over the lazy dog again and again"), // 2 edits
+      (2L, "completely different words that share nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(near, maxDist = 5, bands = 16, numHashes = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.keySet shouldBe Set(0L -> 1L)
+    pairs(0L -> 1L) shouldBe 2L // "jumps" -> "jumped": one substitution + one insertion
+  }
+
+  "TextAnalysis.chunkDocuments" should "emit overlapping windows with a short tail" in {
+    val one = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(one, chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    chunks shouldBe Array(
+      (0L, "w1 w2 w3 w4", 4L),
+      (1L, "w4 w5 w6 w7", 4L),
+      (2L, "w7 w8 w9 w10", 4L),
+      (3L, "w10", 1L)) // start=9 < 10 tokens: the tail chunk is emitted, truncated
+  }
+
   "Dedup.minhashLshDuplicates" should "flag the larger id of each dup pair" in {
     val dups = Dedup.minhashLshDuplicates(docs, 0.9).collect().map(_.getLong(0))
     dups should contain(4L)
