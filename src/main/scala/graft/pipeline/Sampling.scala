@@ -29,6 +29,36 @@ object Sampling {
   }
 
   /**
+   * Weight-proportional deterministic sampling: a row is kept with
+   * probability `fraction * w / max(w)` (so the heaviest row is kept with
+   * probability `fraction`, the rest pro-rata), decided by the same
+   * id-hash as [[hashSample]] — in or out of the sample forever,
+   * independent of partitioning and order. The standard "sample by size"
+   * primitive (token-weighted corpus subsampling). One 1-row max
+   * aggregation, then a single filtered pass — no shuffle, full pushdown.
+   *
+   * The per-row threshold `round(10000·fraction·w / maxW)` is computed
+   * with the identical IEEE operation order in the DuckDB oracle, so the
+   * kept set is engine-portable (both engines round half away from zero
+   * for positives).
+   */
+  def weightedHashSample(
+      df: DataFrame,
+      fraction: Double,
+      weightCol: String,
+      seed: Long = 7L,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val maxRow = df.agg(max(col(weightCol)).cast("double")).collect()(0)
+    if (maxRow.isNullAt(0)) return df.filter(lit(false)) // empty / all-null weights
+    val maxW = maxRow.getDouble(0)
+    require(maxW > 0, s"$weightCol must have a positive maximum, got $maxW")
+    df.filter(sampleHash(col(idCol), seed) <
+      round(lit(10000.0 * fraction) * col(weightCol).cast("double") / lit(maxW), 0))
+  }
+
+  /**
    * Per-stratum deterministic rates — the "training mix" primitive: e.g.
    * `Map("en" -> 0.5, "de" -> 1.0)` keeps half the English corpus and all
    * the German one. Strata absent from `rates` are dropped (an explicit

@@ -402,6 +402,35 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet should not be s30a
   }
 
+  "Sampling.weightedHashSample" should "keep heavy rows at the full fraction and scale the rest" in {
+    val corpus = (0L until 400L).map(i => (i, s"doc $i", 1L + i % 100)).toDF("doc_id", "text", "w")
+    val a = Sampling.weightedHashSample(corpus, 0.5, "w").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedHashSample(corpus, 0.5, "w").select("doc_id").collect().map(_.getLong(0)).toSet
+    a shouldBe b // deterministic
+    // fraction 1 keeps EVERY max-weight row (threshold = 10000 beats any hash)
+    val full = Sampling.weightedHashSample(corpus, 1.0, "w")
+    full.filter($"w" === 100L).count() shouldBe corpus.filter($"w" === 100L).count()
+    Sampling.weightedHashSample(corpus, 0.0, "w").count() shouldBe 0L
+    // heavier strata are sampled at a higher rate than lighter ones
+    val kept = Sampling.weightedHashSample(corpus, 0.5, "w")
+      .groupBy(($"w" > 50).as("heavy")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    kept(true).toDouble should be > kept(false).toDouble
+    // empty input short-circuits instead of NPE on the null max
+    Sampling.weightedHashSample(corpus.filter(lit(false)), 0.5, "w").count() shouldBe 0L
+  }
+
+  "Multimodal.contentDedup" should "group byte-identical payloads under the smallest id" in {
+    val media = Multimodal.withPayload(Seq(
+      (10L, "same bytes", "en", "a", 10L),
+      (3L, "same bytes", "en", "b", 10L),
+      (7L, "different bytes", "en", "a", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Multimodal.contentDedup(media).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out shouldBe Array((3L, 2L, 10L), (7L, 1L, 15L))
+  }
+
   "Sampling.stratifiedHashSample" should "apply per-stratum rates and drop unlisted strata" in {
     val corpus = (0L until 300L).map(i => (i, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
       .toDF("doc_id", "text", "lang")

@@ -105,6 +105,18 @@ class RelationalSpec extends SparkTestBase {
       (2L, 0L, 1L))
   }
 
+  "Relational.lastTouchAttribution" should "credit the latest prior touch, else 'direct'" in {
+    val ev = Seq(
+      ("u1", 1L, "view", 0.0), ("u1", 3L, "click", 0.0), ("u1", 5L, "purchase", 10.0), // click
+      ("u1", 2L, "purchase", 4.0),  // view@1 is the only prior touch
+      ("u2", 9L, "purchase", 1.5),  // no touches at all: direct
+      ("u3", 7L, "click", 0.0)      // touch without conversion: no credit row
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Relational.lastTouchAttribution(ev, Seq("view", "click"), "purchase")
+      .orderBy("touch").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(("click", 1L, 10.0), ("direct", 1L, 1.5), ("view", 1L, 4.0))
+  }
+
   "Relational.winsorizedMean" should "clamp to exact interpolated percentiles before averaging" in {
     val d = Seq.tabulate(4)(i => ("a", (i + 1).toDouble)).toDF("k", "v")
       .union(Seq(("a", 100.0)).toDF("k", "v"))
