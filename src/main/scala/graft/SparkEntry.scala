@@ -304,6 +304,15 @@ object SparkEntry {
     "tx_tokens"      -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     // sliding-window chunking: 32-token chunks every 24 tokens (8 overlap)
     "tx_chunk"       -> ((s, d) => TextAnalysis.chunkDocuments(docs(s, d), 32, 24).orderBy("doc_id", "chunk_idx")),
+    // one-pass CUBE dashboard: per (lang×source), per lang, per source, total
+    "tx_rollup"      -> ((s, d) => TextAnalysis.corpusReport(docs(s, d)).orderBy("gid", "lang", "source")),
+    // scale-free quality normalization: percentile within each language
+    "tx_qnorm" -> ((s, d) => {
+      val quality = TextAnalysis.qualityCols(col("text"))._4
+      graft.operators.Relational.percentRankWithin(
+        docs(s, d).select(col("doc_id"), col("lang"), quality.as("quality")),
+        Seq("lang"), "quality").orderBy("doc_id")
+    }),
     "tx_quality"     -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
     "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
@@ -736,6 +745,29 @@ object SparkEntry {
     "tx_tokens" -> {
       val w = "string_split(text, ' ')"
       s"""SELECT doc_id, len($w) AS n_tokens, len(list_distinct($w)) AS n_distinct_tokens, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens, round(length(replace(text, ' ', ''))*1.0 / len($w), 4) AS avg_word_len FROM documents ORDER BY doc_id"""
+    },
+    "tx_rollup" -> {
+      val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+      val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+      val q     = s"round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4)"
+      s"""WITH t AS (SELECT lang, source, len(ws)::BIGINT AS n_toks, $q AS q
+         |  FROM (SELECT lang, source, text, string_split(text, ' ') AS ws FROM documents))
+         |SELECT lang, source, GROUPING(lang, source)::BIGINT AS gid, count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  round(sum(round(q*10000)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 10000.0), 6) AS avg_quality
+         |FROM t GROUP BY CUBE (lang, source) ORDER BY gid, lang, source""".stripMargin.replace("\n", " ")
+    },
+    "tx_qnorm" -> {
+      val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+      val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+      val q     = s"round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4)"
+      s"""WITH t AS (SELECT doc_id, lang, $q AS quality
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents))
+         |SELECT doc_id, lang, quality,
+         |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 4) AS pct_rank
+         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
     "tx_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -205,6 +205,25 @@ object Relational {
   }
 
   /**
+   * PERCENT-RANK NORMALIZATION within groups: each row's value becomes its
+   * empirical percentile `(rank - 1) / (n - 1)` among its group (0 for a
+   * singleton group) — the scale-free normalization that makes thresholds
+   * comparable across heterogeneous strata (quality scores across sources,
+   * latencies across endpoints). One shuffle on the group key; the rank is
+   * a sort within each partition group, no global sort. The value is a
+   * ratio of small integers, so it is bit-identical across engines.
+   */
+  def percentRankWithin(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      outCol: String = "pct_rank"
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    df.withColumn(outCol, round(percent_rank().over(w), 4))
+  }
+
+  /**
    * LAST-TOUCH ATTRIBUTION: credit each conversion event to the most
    * recent preceding touch event of the same user (the classic marketing
    * attribution model), then aggregate conversions and value per touch

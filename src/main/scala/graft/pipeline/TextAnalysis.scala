@@ -108,6 +108,36 @@ object TextAnalysis {
       round(lenScore * 0.5 + stopScore * 0.4 - punctPen * 0.1 + 0.1, 4))
   }
 
+  // ---- corpus rollup report ----------------------------------------------
+
+  /**
+   * Corpus report over every CUBE grouping of `lang` × `source`: doc
+   * count, token sum and mean quality per (lang, source), per lang, per
+   * source, and the grand total, tagged with `grouping_id` — the one-pass
+   * dashboard aggregate (Spark expands the cube with a single shuffle and
+   * partial aggregation; no per-grouping re-scan of the corpus).
+   *
+   * The mean quality uses snap-then-divide: the 4-dp quality is scaled to
+   * an integer (`round(q·10000)::long` — the explicit round recovers the
+   * intended integer from the ±1-ulp representation of the 4-dp value;
+   * a bare cast would truncate in Spark but round in DuckDB), summed
+   * exactly, and divided once at the end — so the group mean is
+   * bit-identical across engines regardless of summation order.
+   */
+  def corpusReport(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val (nTokens, _, _, quality) = qualityCols(col(textCol))
+    df.select(col("lang"), col("source"), nTokens.as("n_toks"), quality.as("q"))
+      .cube(col("lang"), col("source"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(round(col("q") * 10000, 0).cast("long")).as("__sq"))
+      .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("n_tokens"),
+        round(col("__sq").cast("double") / (col("n_docs").cast("double") * lit(10000.0)), 6)
+          .as("avg_quality"))
+  }
+
   // ---- language identification -------------------------------------------
 
   /** marker words per language (tiny public profiles; argmax with a fixed tie order). */

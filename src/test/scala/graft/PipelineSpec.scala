@@ -420,6 +420,21 @@ class PipelineSpec extends SparkTestBase {
     Sampling.weightedHashSample(corpus.filter(lit(false)), 0.5, "w").count() shouldBe 0L
   }
 
+  "TextAnalysis.corpusReport" should "emit every cube grouping with exact counts" in {
+    val d = Seq(
+      (0L, "one two three", "en", "s1"), (1L, "four five", "en", "s2"),
+      (2L, "sechs sieben", "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.corpusReport(d).collect()
+      .map(r => ((Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    rows.size shouldBe (3 + 2 + 2 + 1) // pairs + langs + sources + total
+    rows((Some("en"), Some("s1"), 0L)) shouldBe ((1L, 3L))
+    rows((Some("en"), None, 1L)) shouldBe ((2L, 5L))       // source rolled up
+    rows((None, Some("s1"), 2L)) shouldBe ((2L, 5L))       // lang rolled up
+    rows((None, None, 3L)) shouldBe ((3L, 7L))             // grand total
+  }
+
   "Multimodal.contentDedup" should "group byte-identical payloads under the smallest id" in {
     val media = Multimodal.withPayload(Seq(
       (10L, "same bytes", "en", "a", 10L),

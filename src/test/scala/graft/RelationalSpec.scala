@@ -105,6 +105,15 @@ class RelationalSpec extends SparkTestBase {
       (2L, 0L, 1L))
   }
 
+  "Relational.percentRankWithin" should "rank within each group, 0 for singletons" in {
+    val d = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 20.0), ("b", 99.0))
+      .toDF("k", "v")
+    val out = Relational.percentRankWithin(d, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // rank over 4 rows: 10→0/3, ties 20→1/3 both, 30→3/3; singleton b → 0
+    out shouldBe Set(("a", 10.0, 0.0), ("a", 20.0, 0.3333), ("a", 30.0, 1.0), ("b", 99.0, 0.0))
+  }
+
   "Relational.lastTouchAttribution" should "credit the latest prior touch, else 'direct'" in {
     val ev = Seq(
       ("u1", 1L, "view", 0.0), ("u1", 3L, "click", 0.0), ("u1", 5L, "purchase", 10.0), // click
