@@ -6,6 +6,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** carried EWMA state per key: samples seen and the current smoothed level. */
 final case class EwmaState(n: Long, ewma: Double)
 
+/** carried funnel state per key: stages completed and the ts of the last match. */
+final case class FunnelState(stage: Int, ts: Long)
+
+/** one emitted funnel advance: `key` reached `stage` (1-based) at `ts`. */
+final case class FunnelAdvance(key: String, stage_idx: Int, stage: String, ts: Long)
+
 /** one emitted anomaly: the observation and the level it violated. */
 final case class EwmaAnomaly(key: String, ts: Long, value: Double,
                              ewma: Double, deviation: Double)
@@ -78,6 +84,63 @@ object StatefulMonitors {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
+  }
+
+  /**
+   * STREAMING FUNNEL MONITOR — per key, track progress through an ordered
+   * stage sequence IN the stream and emit a [[FunnelAdvance]] the moment a
+   * key completes its next stage. The streaming face of
+   * [[graft.operators.Relational.funnel]] with identical greedy-earliest
+   * semantics: stage `i+1` counts only STRICTLY after the stage-`i` match
+   * (same-timestamp events do not advance), so replaying a stream through
+   * this monitor reaches exactly the batch `stage_reached` per key — the
+   * spec pins the two to each other.
+   *
+   * Scale shape: state is ONE (stage, ts) pair per key — O(keys), not
+   * O(events); a completed funnel's state is cleared, so a converting key
+   * frees its slot and a later pass counts as a FRESH conversion (batch
+   * parity holds per pass). Within a micro-batch a key's slice sorts by
+   * `(ts, stage)` so the fold is deterministic under any shuffle; parity
+   * with the batch operator assumes event-time-ordered arrival across
+   * batches (an unmatched later-stage event is skipped, never buffered).
+   * Add a timeout in a fork if keys can stall mid-funnel forever.
+   *
+   * Input columns: `(key string, ts long, stage string)`. Append mode.
+   */
+  def funnelProgress(
+      stream: DataFrame,
+      stages: Seq[String],
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      stageCol: String = "event_type"
+  ): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stageArr = stages.toArray
+    stream
+      .selectExpr(s"CAST($keyCol AS STRING) AS _1", s"CAST($tsCol AS LONG) AS _2",
+        s"CAST($stageCol AS STRING) AS _3")
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st  = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { case (_, ts, stage) =>
+            if (st.stage < stageArr.length && stage == stageArr(st.stage) &&
+                (st.stage == 0 || ts > st.ts)) {
+              st = FunnelState(st.stage + 1, ts)
+              out += FunnelAdvance(key, st.stage, stage, ts)
+            }
+          }
+          if (st.stage >= stageArr.length) state.remove() // funnel done: free the key
+          else state.update(st)
+          out.result().iterator
+      }
   }
 
   def ewmaAnomalies(

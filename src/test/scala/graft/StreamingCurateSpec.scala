@@ -173,6 +173,41 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StatefulMonitors.funnelProgress" should "advance per key across batches with batch-funnel semantics" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val cp    = Files.createTempDirectory("graft_funnel_").toString
+    val q = StatefulMonitors.funnelProgress(
+        input.toDF().toDF("user_id", "ts", "event_type"), Seq("view", "click", "buy"))
+      .writeStream.format("memory").queryName("funnel_mon").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      def rows() = spark.table("funnel_mon").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      // u1 view@10 advances; click@10 is NOT strictly after (no advance);
+      // u2's click before any view does nothing
+      input.addData(("u1", 10L, "view"), ("u1", 10L, "click"), ("u2", 5L, "click"))
+      q.processAllAvailable()
+      rows() shouldBe Set(("u1", 1, "view", 10L))
+      // state carried: click@20 then buy@30 complete the funnel in batch 2
+      input.addData(("u1", 20L, "click"), ("u1", 30L, "buy"))
+      q.processAllAvailable()
+      rows() shouldBe Set(("u1", 1, "view", 10L), ("u1", 2, "click", 20L), ("u1", 3, "buy", 30L))
+      // parity with the batch operator over the same replayed events
+      val batch = graft.operators.Relational.funnel(
+        Seq(("u1", 10L, "view"), ("u1", 10L, "click"), ("u2", 5L, "click"),
+          ("u1", 20L, "click"), ("u1", 30L, "buy")).toDF("user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_type", Seq("view", "click", "buy"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      batch shouldBe Map("u1" -> 3, "u2" -> 0) // max emitted stage per key matches
+      // completion cleared u1's state: a later view starts a FRESH pass
+      input.addData(("u1", 40L, "view"))
+      q.processAllAvailable()
+      rows() should contain(("u1", 1, "view", 40L))
+    } finally q.stop()
+  }
+
   it should "replay a single batch exactly like the batch ewmaScan recurrence" in {
     import graft.streaming.StatefulMonitors
     implicit val sqlc = spark.sqlContext
