@@ -116,6 +116,32 @@ object OracleGen {
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Graph.pageRank]] over the minhash
+    * near-dup pair graph: the iterative Spark loop unrolls into one CTE
+    * per round (`r0 … rN`), each snapping to the same 6 dp the Spark side
+    * does, so the recurrence inputs stay engine-identical. The `1-d` base
+    * interpolates from the SAME Scala double the Spark side uses (17 sig
+    * digits forces DuckDB to parse it as DOUBLE, not DECIMAL). */
+  def pageRankSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                  maxBucket: Int, iterations: Int, damping: Double): String = {
+    val base = s"${1.0 - damping}"
+    val iterCtes = (1 to iterations).map { t =>
+      s"""r$t AS (SELECT n.doc_id, round($base + $damping * coalesce(s.c, 0), 6) AS r
+         |  FROM n LEFT JOIN (SELECT e.dst, sum(rr.r / deg.deg) AS c
+         |    FROM e JOIN r${t - 1} rr ON rr.doc_id = e.src JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+       |n AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, 1.0::DOUBLE AS r FROM n),
+       |$iterCtes
+       |SELECT doc_id, r AS rank FROM r$iterations ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Dedup.clusterSizeHistogram]] over the
     * [[ccClustersSql]] labeling. */
   def clusterHistogramSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,

@@ -133,6 +133,13 @@ object SparkEntry {
     // edit-distance near-dup: LSH candidates verified with exact levenshtein
     // (DuckDB's independent levenshtein implementation is the oracle)
     "d_lev" -> ((s, d) => Dedup.editDistancePairs(docs(s, d), 20).orderBy("id_a", "id_b")),
+    // PageRank centrality over the near-dup graph: hub/template docs outrank
+    // their copies (what connected components alone cannot tell apart)
+    "d_pagerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Graph.pageRank(
+        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd).orderBy("doc_id")
+    }),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -703,6 +710,8 @@ object SparkEntry {
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
+    "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
+      maxBucket = 1000, iterations = 5, damping = 0.85),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

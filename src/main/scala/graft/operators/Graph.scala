@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.pipeline.Checkpoints
+import graft.pipeline.Checkpoints.PinOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over plain edge-list DataFrames — no graph library, just
+ * join+aggregate rounds with deterministic checkpoint lifecycle (the same
+ * iteration shape as [[graft.pipeline.Dedup.duplicateClusters]]).
+ *
+ * The motivating corpus use: centrality over the near-dup pair graph.
+ * PageRank on "document A is a near-duplicate of document B" edges surfaces
+ * the template/boilerplate documents whose content radiates through a crawl
+ * — a ranking connected components cannot give (every member of a clique
+ * gets the same component, but the hub outranks its copies).
+ */
+object Graph {
+
+  /**
+   * PAGERANK, unnormalized per-node form with a fixed iteration count:
+   * `r_0 = 1`, `r_{t+1}(v) = (1-d) + d * Σ_{u~v} r_t(u)/deg(u)` over the
+   * UNDIRECTED edge set (each input pair contributes both directions).
+   * Nodes absent from every edge keep the floor rank `1-d`.
+   *
+   * Scale shape: per iteration ONE join of the rank frame into the edge
+   * relation (shuffle on node id) and one partial-aggregated `groupBy(dst)`
+   * — O(edges) per round, no adjacency materialization, no driver-side
+   * graph. The edge relation and degree table pin once; each round's rank
+   * frame pins and the previous frees ([[Checkpoints]]), so a long session
+   * holds exactly one live rank frame. The INPUT edge frame is consumed:
+   * its backing checkpoint blocks (e.g. the minhash signature pin under a
+   * [[graft.pipeline.Dedup.minhashLshPairs]] edge list) are released once
+   * the symmetrized relation is pinned.
+   *
+   * Engine-portable determinism: every iteration's rank snaps to 6 dp, so
+   * the next round's input is a short exact decimal in both engines and
+   * per-group summation-order noise (~1e-16) cannot compound across
+   * rounds (same accepted residual-risk class as the 6 dp Lloyd means).
+   */
+  def pageRank(
+      edges: DataFrame,
+      nodes: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val sym = edges.toDF("src", "dst")
+    val und = sym.union(sym.select(col("dst"), col("src"))).pinned
+    Checkpoints.free(edges) // input consumed: release any pins beneath it
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
+    val ids = nodes.select(col(idCol).as("id"))
+    var ranks = ids.withColumn("r", lit(1.0)).pinned
+    for (_ <- 1 to iterations) {
+      val contrib = und
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
+      val next = ids
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          round(lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)), 6).as("r"))
+        .pinned
+      Checkpoints.free(ranks)
+      ranks = next
+    }
+    Checkpoints.free(und, deg)
+    ranks.select(col("id").as(idCol), col("r").as("rank"))
+  }
+}

@@ -105,6 +105,29 @@ class RelationalSpec extends SparkTestBase {
       (2L, 0L, 1L))
   }
 
+  "Graph.pageRank" should "rank hubs above leaves, floor isolated nodes, and free its pins" in {
+    import graft.pipeline.Checkpoints
+    import org.apache.spark.storage.StorageLevel
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("doc_id")
+    val (out, pins) = Checkpoints.scoped {
+      graft.operators.Graph.pageRank(edges, nodes, iterations = 1)
+    }
+    val r = out.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // one round by hand on the star: hub gets 0.15 + 0.85·(1+1+1) = 2.7,
+    // each leaf 0.15 + 0.85·(1/3) = 0.433333, isolated 9 floors at 1-d
+    r(0L) shouldBe 2.7
+    r(1L) shouldBe 0.433333
+    r(2L) shouldBe 0.433333
+    r(9L) shouldBe 0.15
+    // edge relation, degree table and superseded rank rounds are freed by
+    // the call; only the returned rank frame's own pin may live
+    def live = pins.filter(_.getStorageLevel != StorageLevel.NONE)
+    live.size should be <= 1
+    Checkpoints.free(out)
+    live shouldBe empty
+  }
+
   "Relational.percentRankWithin" should "rank within each group, 0 for singletons" in {
     val d = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 20.0), ("b", 99.0))
       .toDF("k", "v")
