@@ -420,6 +420,39 @@ class PipelineSpec extends SparkTestBase {
     Sampling.weightedHashSample(corpus.filter(lit(false)), 0.5, "w").count() shouldBe 0L
   }
 
+  "Layout.zValue" should "interleave bits (Morton order)" in {
+    import graft.pipeline.Layout
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b").as("z")).collect().map(_.getLong(0))
+    // morton(a,b): a-bits at odd positions, b-bits at even
+    out shouldBe Array(0L, 2L, 1L, 27L, 0xFFFFFFFFL)
+  }
+
+  "Layout.writeZOrdered" should "prune files on EITHER axis where a sort prunes only one" in {
+    import graft.pipeline.Layout
+    val dir  = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)).toDF("x", "y")
+    Layout.writeZOrdered(grid, s"$dir/z", "x", "y", numFiles = 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.parquet(s"$dir/by_x") // the single-column layout a compaction gives
+    // files whose [min,max] span of `c` intersects [lo,hi] — the same
+    // per-row-group stats parquet pruning consults at scale
+    def matching(path: String, c: String, lo: Long, hi: Long): Int =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min(c), org.apache.spark.sql.functions.max(c))
+          .collect()(0)
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+    // z-order: a narrow range on either axis touches a strip of blocks
+    matching(s"$dir/z", "x", 0, 7) should be <= 6
+    matching(s"$dir/z", "y", 0, 7) should be <= 6
+    // x-sort: perfect on x, hopeless on y (every file spans all of y)
+    matching(s"$dir/by_x", "x", 0, 7) should be <= 3
+    matching(s"$dir/by_x", "y", 0, 7) shouldBe 16
+  }
+
   "TextAnalysis.corpusReport" should "emit every cube grouping with exact counts" in {
     val d = Seq(
       (0L, "one two three", "en", "s1"), (1L, "four five", "en", "s2"),
