@@ -513,6 +513,10 @@ object SparkEntry {
     "ts_decomp" -> ((s, d) =>
       TimeSeries.decompose(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         period = 24).orderBy("event_type", "ts")),
+    // de-seasonalized alarms: residual channel cut at k x per-key RMS
+    "ts_sanom" -> ((s, d) =>
+      TimeSeries.seasonalAnomalies(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        period = 24, k = 2.0).orderBy("event_type", "ts")),
     // per-user consecutive-event transition matrix (empirical Markov chain)
     "ev_trans" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -993,6 +997,42 @@ object SparkEntry {
          |  unnest(list_transform(range(1, len(vs) + 1), i -> sm[${ph("i")}::INT + 1])) AS seasonal,
          |  unnest(list_transform(range(1, len(vs) + 1), i -> vs[i] - tr[i] - sm[${ph("i")}::INT + 1])) AS resid
          |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
+    },
+    // seasonal anomalies: the decompose chain plus a ts-ordered RMS fold
+    // over the non-null residuals and an unrounded |resid| > k*rms cut
+    "ts_sanom" -> {
+      val h    = 12
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val half = "0.5::DOUBLE"
+      def ph(i: String) = s"((tss[$i] // $HourUs) % 24)"
+      val cond = (i: String) => s"${ph(i)} = j AND tr[$i] IS NOT NULL"
+      val trend =
+        s"""list_transform(vs, (x, i) -> CASE WHEN i > $h AND i <= len(vs) - $h THEN
+           |  ($half * vs[i - $h]
+           |   + list_reduce(list_prepend($zero, vs[i - $h + 1 : i + $h - 1]), (a, b) -> a + b)
+           |   + $half * vs[i + $h]) / CAST(24.0 AS DOUBLE)
+           |END)""".stripMargin
+      val seasonal =
+        s"""list_transform(range(0, 24), j -> CASE WHEN
+           |  len(list_filter(range(1, len(vs) + 1), i -> ${cond("i")})) > 0 THEN
+           |  list_reduce(list_prepend($zero, list_transform(range(1, len(vs) + 1),
+           |    i -> CASE WHEN ${cond("i")} THEN vs[i] - tr[i] ELSE $zero END)), (a, b) -> a + b)
+           |  / len(list_filter(range(1, len(vs) + 1), i -> ${cond("i")}))
+           |END)""".stripMargin
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |t AS (SELECT event_type, tss, vs, $trend AS tr FROM g),
+         |s AS (SELECT event_type, tss, vs, tr, $seasonal AS sm FROM t),
+         |rl AS (SELECT event_type, tss, vs,
+         |  list_transform(range(1, len(vs) + 1), i -> vs[i] - tr[i] - sm[${ph("i")}::INT + 1]) AS rs FROM s),
+         |m AS (SELECT event_type, sqrt(
+         |  list_reduce(list_prepend($zero, list_transform(list_filter(rs, x -> x IS NOT NULL), x -> x * x)), (a, b) -> a + b)
+         |  / len(list_filter(rs, x -> x IS NOT NULL))) AS rms FROM rl),
+         |u AS (SELECT event_type, unnest(tss) AS ts, unnest(vs) AS value, unnest(rs) AS resid FROM rl)
+         |SELECT u.event_type, ts, value, resid, rms
+         |FROM u JOIN m ON u.event_type = m.event_type
+         |WHERE abs(resid) > 2.0 * rms ORDER BY u.event_type, ts""".stripMargin.replace("\n", " ")
     },
     // Holt: the struct scan's level expression is spelled out INSIDE the
     // trend expression on both sides (same op sequence), init {x1, 0.0},

@@ -554,6 +554,41 @@ object TimeSeries {
   }
 
   /**
+   * SEASONAL ANOMALIES — [[decompose]]'s residual channel turned into an
+   * alarm: flag grid points whose residual exceeds `k` times the key's
+   * residual RMS. The de-seasonalized counterpart of [[zscoreOutliers]]:
+   * a nightly dip that is NORMAL for the metric's daily cycle no longer
+   * alarms, while the same dip at noon does.
+   *
+   * The per-key RMS is a ts-sorted array fold over the non-null residuals
+   * (`collect_list` re-sorted by ts, squares summed ascending, one
+   * division, one IEEE sqrt) — bit-identical across engines per the
+   * sorted-fold rule, so the `|resid| > k·rms` cut needs no rounding at
+   * all. The RMS table is |keys| rows and broadcast-joins back.
+   */
+  def seasonalAnomalies(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      period: Int = 24,
+      k: Double = 3.0
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dec = decompose(df, keys, tsCol, valueCol, step, period)
+    val rms = dec.filter(col("resid").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"array_sort(collect_list(struct($tsCol AS t, resid AS r)))").as("__rs"))
+      .select(keys.map(col) :+
+        sqrt(expr("aggregate(transform(__rs, s -> s.r * s.r), CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+          / size(col("__rs"))).as("rms"): _*)
+    dec.join(broadcast(rms), keys)
+      .filter(abs(col("resid")) > lit(k) * col("rms"))
+      .select(keys.map(col) ++ Seq(col(tsCol), col(valueCol), col("resid"), col("rms")): _*)
+  }
+
+  /**
    * ACF PROFILE — sample autocorrelation of each key's [[resample]]d grid
    * at lags `1..maxLag`: `acf_k = sum_i (x_i - mu)(x_(i+k) - mu) /
    * sum_i (x_i - mu)^2` (the standard biased estimator; Box-Jenkins

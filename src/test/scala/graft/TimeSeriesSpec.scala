@@ -223,6 +223,22 @@ class TimeSeriesSpec extends SparkTestBase {
     out.take(2).foreach { r => r.isNullAt(3) shouldBe true; r.isNullAt(5) shouldBe true }
   }
 
+  "TimeSeries.seasonalAnomalies" should "flag a planted spike but not the normal cycle" in {
+    // the decompose fixture (clean cycle ⇒ residual ≈ 0 everywhere) plus
+    // one corrupted interior point: only the spike's residual survives the
+    // k·rms cut — a plain z-score would also have flagged the cycle's own
+    // troughs, which is exactly what deseasonalization prevents
+    val cycle = Seq(2.0, 0.0, -2.0, 0.0)
+    val df = (0 until 24).map { i =>
+      val spike = if (i == 13) 6.0 else 0.0
+      ("a", i.toLong * 10, 10.0 + cycle(i % 4) + spike)
+    }.toDF("k", "ts", "v")
+    val out = TimeSeries.seasonalAnomalies(df, Seq("k"), "ts", "v", step = 10L,
+      period = 4, k = 3.0).collect()
+    out.map(_.getLong(1)) shouldBe Array(130L)
+    out.head.getDouble(3) should be > 3.0 // residual carries most of the +6 spike
+  }
+
   it should "null everything for a series shorter than one window" in {
     val df = (0 until 3).map(i => ("a", i.toLong * 10, 1.0)).toDF("k", "ts", "v")
     val out = TimeSeries.decompose(df, Seq("k"), "ts", "v", step = 10L, period = 4).collect()
