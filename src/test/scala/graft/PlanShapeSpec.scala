@@ -67,6 +67,29 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  "the round-8 additions" should "keep their prescribed shuffle shapes" in {
+    import graft.pipeline.{Multimodal, Sampling, TextAnalysis}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // chunking is a pure generator projection: fan-out with ZERO shuffles
+    val chunk = TextAnalysis.chunkDocuments(docs, 32, 24).queryExecution.executedPlan.toString
+    withClue(chunk) { exchanges(chunk) shouldBe 0 }
+    // weighted sampling decides per-row: a single filtered scan
+    val ws = Sampling.weightedHashSample(docs, 0.5, "n_chars")
+      .queryExecution.executedPlan.toString
+    withClue(ws) { exchanges(ws) shouldBe 0 }
+    // content dedup shuffles ONCE, on the 32-byte digest (partial agg map-side)
+    val hd = Multimodal.contentDedup(Multimodal.withPayload(docs))
+      .queryExecution.executedPlan.toString
+    withClue(hd) { exchanges(hd) shouldBe 1 }
+    // attribution rides the asof union+window shape: never a nested-loop or
+    // per-key cartesian fallback
+    val at = SparkEntry.queries("ev_attr")(spark, dir).queryExecution.executedPlan.toString
+    withClue(at) {
+      at should not include "BroadcastNestedLoopJoin"
+      at should not include "CartesianProduct"
+    }
+  }
+
   "fuzzy retrieval" should "broadcast the variant terms, never sort-merge the postings" in {
     val plan = SparkEntry.queries("rt_fuzzy")(spark, dir).queryExecution.executedPlan.toString
     withClue(plan) {
