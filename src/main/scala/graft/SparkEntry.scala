@@ -426,6 +426,12 @@ object SparkEntry {
         Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("stage_idx")
     }),
+    // arrival-cadence panel: p50/p90 inter-event gaps per type
+    "ev_gaps" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      graft.operators.Relational.interEventGaps(ev).orderBy("event_type")
+    }),
     // last-touch attribution: asofJoin composition, credit per touch type
     "ev_attr" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -865,6 +871,14 @@ object SparkEntry {
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "ev_funnel" -> OracleGen.funnelCountsSql(Seq("view", "click", "purchase")),
+    // interpolated percentiles over integer gaps: quantile_cont matches
+    // Spark's exact percentile per the interpolated-median rule
+    "ev_gaps" ->
+      """WITH g AS (SELECT event_type, ts - lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS gap
+        |FROM (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events))
+        |SELECT event_type, count(gap)::BIGINT AS n_gaps,
+        |  quantile_cont(gap, 0.5) AS p50_gap, quantile_cont(gap, 0.9) AS p90_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     // DuckDB's native ASOF JOIN again — independent of the Spark union+window
     "ev_attr" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events WHERE event_type = 'purchase'),

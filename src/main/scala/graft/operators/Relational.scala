@@ -205,6 +205,42 @@ object Relational {
   }
 
   /**
+   * INTER-EVENT GAP PROFILE: per event type, the median and p90 of the
+   * gaps between a user's consecutive events of that type — the arrival-
+   * cadence panel (billing heartbeats, crawler politeness, bot detection).
+   * One window shuffle on `(user, type)` to difference the timestamps,
+   * then a bounded `|types|`-row aggregate. Ties in `ts` leave the gap
+   * MULTISET unchanged (consecutive differences of a sorted multiset), so
+   * the result is deterministic under any tie order. Exact interpolated
+   * percentiles over integer gaps — engine-portable per the interpolated-
+   * median rule; for unbounded continuous domains at 100 TB flip
+   * `approx = true` (same call shape, `approx_percentile` sketch state).
+   */
+  def interEventGaps(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      approx: Boolean = false,
+      approxAccuracy: Int = 10000
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol)).orderBy(col(tsCol))
+    // the double cast keeps the schema stable across the approx flag
+    // (approx_percentile returns its INPUT type, exact percentile a double)
+    def pct(p: Double) =
+      if (approx) s"approx_percentile(__gap, $p, $approxAccuracy)"
+      else s"percentile(__gap, $p)"
+    events
+      .withColumn("__gap", (col(tsCol) - lag(col(tsCol), 1).over(w)).cast("double"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr(pct(0.5)).as("p50_gap"),
+        expr(pct(0.9)).as("p90_gap"))
+  }
+
+  /**
    * PERCENT-RANK NORMALIZATION within groups: each row's value becomes its
    * empirical percentile `(rank - 1) / (n - 1)` among its group (0 for a
    * singleton group) — the scale-free normalization that makes thresholds

@@ -105,6 +105,25 @@ class RelationalSpec extends SparkTestBase {
       (2L, 0L, 1L))
   }
 
+  "Relational.interEventGaps" should "profile per-type gaps, ties and users kept apart" in {
+    val ev = Seq(
+      ("u1", 0L, "view"), ("u1", 10L, "view"), ("u1", 40L, "view"),   // gaps 10, 30
+      ("u2", 100L, "view"), ("u2", 110L, "view"),                     // gap 10 (u1's ts never differenced)
+      ("u1", 0L, "click"), ("u1", 0L, "click"), ("u1", 5L, "click"),  // tie: gaps 0, 5
+      ("u3", 7L, "buy")                                               // single event: no gap
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.interEventGaps(ev)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set("view", "click") // buy never has two events
+    out("view")._1 shouldBe 3L
+    out("view")._2 shouldBe 10.0  // median of (10, 30, 10)
+    out("click") shouldBe ((2L, 2.5, 4.5)) // gaps (0,5): p50 interpolates 2.5, p90 4.5
+    // the 100 TB flag: sketch percentiles stay within the accuracy bound
+    val approx = Relational.interEventGaps(ev, approx = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    approx("view").toDouble shouldBe 10.0 +- 1.0
+  }
+
   "Graph.pageRank" should "rank hubs above leaves, floor isolated nodes, and free its pins" in {
     import graft.pipeline.Checkpoints
     import org.apache.spark.storage.StorageLevel
