@@ -313,6 +313,8 @@ object SparkEntry {
     "tx_chunk"       -> ((s, d) => TextAnalysis.chunkDocuments(docs(s, d), 32, 24).orderBy("doc_id", "chunk_idx")),
     // one-pass CUBE dashboard: per (lang×source), per lang, per source, total
     "tx_rollup"      -> ((s, d) => TextAnalysis.corpusReport(docs(s, d)).orderBy("gid", "lang", "source")),
+    // distribution-shift alarm: per-source unigram KL vs the corpus mix
+    "tx_drift"       -> ((s, d) => TextAnalysis.sourceDrift(docs(s, d)).orderBy("source")),
     // scale-free quality normalization: percentile within each language
     "tx_qnorm" -> ((s, d) => {
       val quality = TextAnalysis.qualityCols(col("text"))._4
@@ -777,6 +779,19 @@ object SparkEntry {
          |  round(sum(round(q*10000)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 10000.0), 6) AS avg_quality
          |FROM t GROUP BY CUBE (lang, source) ORDER BY gid, lang, source""".stripMargin.replace("\n", " ")
     },
+    // KL terms fold in token order (list(... ORDER BY w)); identical term
+    // spelling, one ln per term, one 6-dp snap at the end
+    "tx_drift" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sw AS (SELECT source, w, count(*)::DOUBLE AS c_sw FROM w GROUP BY 1, 2),
+        |wt AS (SELECT w, count(*)::DOUBLE AS c_w FROM w GROUP BY 1),
+        |st AS (SELECT source, count(*)::DOUBLE AS n_s FROM w GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM w),
+        |t AS (SELECT sw.source, sw.w, (c_sw / n_s) * ln((c_sw / n_s) / (c_w / n.n)) AS term
+        |      FROM sw JOIN wt USING (w) JOIN st USING (source), n)
+        |SELECT source, count(*)::BIGINT AS n_terms,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY w)), (a, b) -> a + b), 6) AS kl
+        |FROM t GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     "tx_qnorm" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"
       val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"

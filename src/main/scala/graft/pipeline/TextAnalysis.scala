@@ -138,6 +138,40 @@ object TextAnalysis {
           .as("avg_quality"))
   }
 
+  // ---- distribution drift ------------------------------------------------
+
+  /**
+   * SOURCE DRIFT — KL divergence of each source's unigram distribution
+   * from the whole corpus's: `KL(p_s ‖ q) = Σ_w p_s(w)·ln(p_s(w)/q(w))`
+   * (0 = indistinguishable from the corpus mix; large = the source speaks
+   * its own language — the standard distribution-shift alarm for a
+   * pipeline ingesting from many feeds).
+   *
+   * Scale shape: two token-count aggregations (per `(source, word)` and
+   * per word) and a broadcast of the |sources|-row totals; the per-source
+   * KL folds over a VOCABULARY-bounded term array (token-sorted — not
+   * corpus-size-bounded state, the [[tokenQuantiles]] class). Portability:
+   * the fold runs in token order with identically-spelled terms on both
+   * sides, one `ln` per term (agreeing across engines on this data, the
+   * `tx_lm`/`tx_pmi` precedent), snapped to 6 dp once at the end.
+   */
+  def sourceDrift(df: DataFrame, textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    val toks = df.select(col(groupCol), explode(words(col(textCol))).as("w"))
+    val sw   = toks.groupBy(col(groupCol), col("w")).agg(count(lit(1)).cast("double").as("c_sw"))
+    val wt   = toks.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c_w"))
+    val st   = toks.groupBy(col(groupCol)).agg(count(lit(1)).cast("double").as("n_s"))
+    val n    = toks.count().toDouble // one 1-row count job
+    val term = (col("c_sw") / col("n_s")) *
+      log((col("c_sw") / col("n_s")) / (col("c_w") / lit(n)))
+    sw.join(wt, "w").join(broadcast(st), groupCol)
+      .select(col(groupCol), struct(col("w"), term.as("t")).as("wt"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("wt"))).as("__ts"), count(lit(1)).as("n_terms"))
+      .select(col(groupCol), col("n_terms"),
+        round(expr("aggregate(transform(__ts, s -> s.t), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"), 6)
+          .as("kl"))
+  }
+
   // ---- language identification -------------------------------------------
 
   /** marker words per language (tiny public profiles; argmax with a fixed tie order). */

@@ -453,6 +453,19 @@ class PipelineSpec extends SparkTestBase {
     matching(s"$dir/by_x", "y", 0, 7) shouldBe 16
   }
 
+  "TextAnalysis.sourceDrift" should "score divergence from the corpus mix" in {
+    val d = Seq(
+      (0L, "a b", "s1"), (1L, "a b", "s2"), (2L, "z z", "s3")
+    ).toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceDrift(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // corpus q = {a:1/3, b:1/3, z:1/3}; s1/s2 p = {a:.5, b:.5} ⇒ ln(1.5);
+    // s3 p = {z:1} ⇒ ln(3) — the odd source scores highest
+    kl("s1") shouldBe 0.405465
+    kl("s2") shouldBe 0.405465
+    kl("s3") shouldBe 1.098612
+  }
+
   "TextAnalysis.corpusReport" should "emit every cube grouping with exact counts" in {
     val d = Seq(
       (0L, "one two three", "en", "s1"), (1L, "four five", "en", "s2"),
