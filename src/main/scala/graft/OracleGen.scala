@@ -897,6 +897,24 @@ object OracleGen {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Retrieval.bestSnippets]]: bucketed hit
+    * counts over the positional postings, per-doc top-1 by
+    * (hits, distinct terms, earliest), snippet sliced from the word list. */
+  def snippetsSql(queryTerms: Seq[String], width: Int): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, u AS pos, w[u + 1] AS term FROM d, unnest(range(0, len(w))) AS t(u)),
+       |h AS (SELECT doc_id, pos // $width AS bucket, term FROM p WHERE term IN $termList),
+       |s AS (SELECT doc_id, bucket, count(*)::BIGINT AS n_hits,
+       |      count(DISTINCT term)::BIGINT AS n_terms FROM h GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n_hits DESC, n_terms DESC, bucket) AS rn FROM s)
+       |SELECT r.doc_id, (bucket * $width)::BIGINT AS snippet_start, n_hits, n_terms,
+       |  array_to_string(list_slice(w, (bucket * $width + 1)::INT, (bucket * $width + $width)::INT), ' ') AS snippet
+       |FROM r JOIN d ON d.doc_id = r.doc_id WHERE rn = 1 ORDER BY r.doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Retrieval.prfTopK]]: seed top-`nSeed` by
     * BM25 (reusing [[bm25Ctes]]'s relations), expansion terms by
     * `Σtf × ln(N/df)` with ties by term, then the same Okapi scoring over

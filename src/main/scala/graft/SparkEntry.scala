@@ -591,6 +591,10 @@ object SparkEntry {
     "rt_near" -> ((s, d) =>
       Retrieval.nearMatches(Retrieval.positionalPostings(docs(s, d)), "table", "hash", slop = 3)
         .orderBy("doc_id")),
+    // result-page highlight: densest 16-token window per matching doc
+    "rt_snippets" -> ((s, d) =>
+      Retrieval.bestSnippets(docs(s, d), Seq("table", "hash", "data"), width = 16)
+        .orderBy("doc_id")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
@@ -1138,6 +1142,7 @@ object SparkEntry {
     "rt_keywords"  -> OracleGen.topTfIdfTermsSql(k = 3),
     "rt_phrase"    -> OracleGen.phraseMatchesSql(Seq("table", "hash")),
     "rt_near"      -> OracleGen.nearMatchesSql("table", "hash", slop = 3),
+    "rt_snippets"  -> OracleGen.snippetsSql(Seq("table", "hash", "data"), width = 16),
     "ts_mad"   -> OracleGen.madOutliersSql(threshold = 3.75),
     "ts_delta" -> OracleGen.largestDeltasSql(k = 5),
     // phase floor and avg = round(sum, 6) / count — see TimeSeries.seasonalProfile

@@ -260,6 +260,42 @@ object Retrieval {
       .select(col("term"), col(idCol), col("pos"))
 
   /**
+   * BEST SNIPPET per document: the `width`-token window holding the most
+   * query-term hits (ties: more DISTINCT terms, then the earliest window)
+   * — the result-page highlight extractor, and the "show me where it
+   * matched" face of the positional-postings family.
+   *
+   * Windows are fixed `pos div width` buckets, so scoring is a plain
+   * partial-aggregated count per `(doc, bucket)` — no self-join over
+   * positions — and the per-doc top-1 rides a `WindowGroupLimit`-pruned
+   * rank. The snippet text itself is sliced from the word array at the
+   * end, only for the single winning bucket per doc.
+   */
+  def bestSnippets(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      width: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(width >= 1, "width must be >= 1")
+    val scored = positionalPostings(docs, textCol, idCol)
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumn("bucket", expr(s"pos div $width").cast("long"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("term")).as("n_terms"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n_hits").desc, col("n_terms").desc, col("bucket"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws")), idCol)
+      .select(col(idCol), (col("bucket") * width).as("snippet_start"),
+        col("n_hits"), col("n_terms"),
+        array_join(slice(col("__ws"), (col("bucket") * width + 1).cast("int"), lit(width)), " ")
+          .as("snippet"))
+  }
+
+  /**
    * EXACT PHRASE MATCH — documents containing the words of `phrase`
    * CONSECUTIVELY, with the number of (overlapping) occurrences. The
    * lexical primitive BM25's bag-of-words scoring cannot express.

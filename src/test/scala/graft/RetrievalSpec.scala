@@ -97,6 +97,22 @@ class RetrievalSpec extends SparkTestBase {
     withClue(plan) { plan should include("Filter") }
   }
 
+  "Retrieval.bestSnippets" should "pick the densest window with deterministic ties" in {
+    val corpus = Seq(
+      // window [0,3): one 'q'; window [3,6): 'q z q' → 2 hits wins, starts at 3
+      (0L, "q x y q z q"),
+      // equal hit counts (1 each): earliest window wins
+      (1L, "q a b c q d"),
+      (2L, "nothing matches here")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bestSnippets(corpus, Seq("q", "z"), width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    out shouldBe Array(
+      (0L, 3L, 3L, "q z q"),   // 2 q's + 1 z in the second window
+      (1L, 0L, 1L, "q a b"))   // tie on hits → earliest bucket; doc 2 absent
+  }
+
   "Retrieval positional index persistence" should "reproduce live results with term pushdown" in {
     val corpus = Seq((0L, "a b a b a"), (1L, "a c b a x"), (2L, "b a b")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_posix_").toString
