@@ -116,6 +116,29 @@ object OracleGen {
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.cdcOverlapPairs]]: positional word hashes,
+    * content-defined boundary positions (sorted-distinct, final word
+    * appended), per-span polynomial fold, distinct per-doc chunk set,
+    * capped self-join counting shared chunks. */
+  def cdcPairsSql(divisor: Int, minWords: Int, minShared: Long, maxBucket: Int): String =
+    s"""WITH w AS (SELECT doc_id, list_transform(string_split(text, ' '),
+       |       wd -> ${wordPolySql("wd", 131L, 7L)}) AS wh FROM documents),
+       |e AS (SELECT doc_id, wh, list_sort(list_distinct(list_append(
+       |       list_filter(range(1, len(wh) + 1), i -> wh[i] % $divisor = 0), len(wh)))) AS ends FROM w),
+       |c AS (SELECT doc_id, wh, unnest(list_transform(ends, (en, j) ->
+       |       {'s': CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END, 'e': en})) AS se FROM e),
+       |h AS (SELECT doc_id,
+       |       list_reduce(list_prepend(CAST(7 AS BIGINT), wh[se.s : se.e]),
+       |         (a, b) -> (a * 131 + b) % $P) AS chunk_hash,
+       |       se.e - se.s + 1 AS n_words FROM c),
+       |d2 AS (SELECT DISTINCT doc_id, chunk_hash FROM h WHERE n_words >= $minWords),
+       |ok AS (SELECT chunk_hash FROM d2 GROUP BY 1 HAVING count(*) <= $maxBucket),
+       |d3 AS (SELECT d2.* FROM d2 JOIN ok USING (chunk_hash))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |FROM d3 a JOIN d3 b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.operators.Graph.pageRank]] over the minhash
     * near-dup pair graph: the iterative Spark loop unrolls into one CTE
     * per round (`r0 … rN`), each snapping to the same 6 dp the Spark side

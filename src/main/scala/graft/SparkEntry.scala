@@ -133,6 +133,9 @@ object SparkEntry {
     // edit-distance near-dup: LSH candidates verified with exact levenshtein
     // (DuckDB's independent levenshtein implementation is the oracle)
     "d_lev" -> ((s, d) => Dedup.editDistancePairs(docs(s, d), 20).orderBy("id_a", "id_b")),
+    // content-defined chunking: partial-overlap/containment pairs that
+    // whole-document Jaccard dilutes below any threshold
+    "d_cdc" -> ((s, d) => Dedup.cdcOverlapPairs(docs(s, d)).orderBy("id_a", "id_b")),
     // PageRank centrality over the near-dup graph: hub/template docs outrank
     // their copies (what connected components alone cannot tell apart)
     "d_pagerank" -> ((s, d) => {
@@ -728,6 +731,7 @@ object SparkEntry {
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, iterations = 5, damping = 0.85),
+    "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

@@ -277,6 +277,79 @@ object Dedup {
           greatest(length(col("t_a")), length(col("t_b"))).cast("double"), 4).as("sim"))
   }
 
+  // ---- content-defined chunking ------------------------------------------
+
+  /**
+   * CONTENT-DEFINED CHUNKS: split each document at positions where the
+   * word's rolling hash ≡ 0 (mod `divisor`) — boundaries move WITH the
+   * content, so an insertion early in a document shifts every fixed-window
+   * chunk but leaves all content-defined chunks after the edit identical
+   * (the rsync/backup-dedup principle, applied at word granularity).
+   * Expected chunk length ≈ `divisor` words. Emits `(doc_id, chunk_idx,
+   * chunk_hash, n_words)`; the chunk hash is a polynomial fold of the
+   * span's word hashes. One generator projection, zero shuffles.
+   */
+  def cdcChunks(
+      df: DataFrame,
+      divisor: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    val wh = transform(split(col(textCol), " "), w => polyHash(w, 131L, 7L))
+    val n  = size(col("__wh"))
+    df.select(col(idCol).as("id"), wh.as("__wh"))
+      .withColumn("__ends",
+        array_sort(array_distinct(concat(
+          filter(sequence(lit(1), n),
+            i => pmod(element_at(col("__wh"), i), lit(divisor.toLong)) === 0),
+          array(n)))))
+      .select(col("id"), col("__wh"),
+        posexplode(expr(
+          """transform(__ends, (e, j) -> struct(
+            |  CASE WHEN j = 0 THEN 1 ELSE element_at(__ends, j) + 1 END AS s, e AS e))"""
+            .stripMargin)).as(Seq("chunk_idx", "se")))
+      .select(
+        col("id").as(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"aggregate(slice(__wh, se.s, se.e - se.s + 1), CAST(7 AS BIGINT), " +
+          s"(a, b) -> pmod(a * 131 + b, ${PortableHashP}L))").as("chunk_hash"),
+        (col("se.e") - col("se.s") + 1).cast("long").as("n_words"))
+  }
+
+  /**
+   * PARTIAL-OVERLAP PAIRS over content-defined chunks: documents sharing
+   * `minShared`+ chunks of `minWords`+ words. Catches CONTAINMENT and
+   * splice reuse (a paragraph lifted into an otherwise-different document)
+   * that whole-document Jaccard dilutes below any practical threshold.
+   * Same scale shape as the LSH miners: per-doc DISTINCT bare
+   * `(id, chunk_hash)` pairs, degenerate buckets capped BEFORE the
+   * self-join, shuffle carries ids and 8-byte hashes only.
+   */
+  def cdcOverlapPairs(
+      df: DataFrame,
+      divisor: Int = 8,
+      minWords: Int = 3,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val chunks = cdcChunks(df, divisor, textCol, idCol)
+      .filter(col("n_words") >= minWords)
+      .select(col(idCol).as("id"), col("chunk_hash"))
+      .distinct()
+    val small = chunks.groupBy("chunk_hash").count()
+      .filter(col("count") <= maxBucket).select("chunk_hash")
+    val capped = chunks.join(small, Seq("chunk_hash"), "left_semi")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.chunk_hash") === col("b.chunk_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** `(id, band, bucket)` LSH band relation of a signature table: bucket =
     * the band's signature slice itself (string concat — equality is all
     * that matters, and it stays engine-portable for the oracle). */

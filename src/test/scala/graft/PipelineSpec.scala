@@ -245,6 +245,24 @@ class PipelineSpec extends SparkTestBase {
       (3L, "w10", 1L)) // start=9 < 10 tokens: the tail chunk is emitted, truncated
   }
 
+  "Dedup.cdcOverlapPairs" should "survive a prefix insertion that shifts every fixed window" in {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, base),
+      (1L, "inserted " + base), // every fixed-offset window shifts; CDC chunks after the edit do not
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // content-defined boundaries: the suffix chunk hashes of 0 and 1 coincide
+    val chunks = Dedup.cdcChunks(d, divisor = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val shared = chunks(0L).intersect(chunks(1L))
+    shared.size should be >= 2 // the edit invalidates at most the first chunk
+    chunks(0L).intersect(chunks(2L)) shouldBe empty
+    val pairs = Dedup.cdcOverlapPairs(d, divisor = 4, minWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((0L, 1L))
+  }
+
   "Dedup.minhashLshDuplicates" should "flag the larger id of each dup pair" in {
     val dups = Dedup.minhashLshDuplicates(docs, 0.9).collect().map(_.getLong(0))
     dups should contain(4L)
