@@ -40,15 +40,21 @@ object SparkEntry {
 
   private def engineFor(spark: SparkSession, dir: String): GraftEngine =
     engines.computeIfAbsent((spark, dir), { case (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = evRaw(s, d)
       val e  = new GraftEngine(s)
       // ts rides along as a raw-time mirror: span filters reach the parquet
       // scan (row-group skipping) despite the derived ms timestamp
+      val (tsMsExpr, mirror) = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // int64 epoch-nanos
+          (expr("ts div 1000000"), graft.exec.TimeMirror("ts", 1000000L))
+        case dt => // µs-precision timestamp (NTZ for tz-less parquet)
+          (unix_millis(col("ts").cast("timestamp")),
+            graft.exec.TimeMirror("ts", 1000L, tsType = Some(dt)))
+      }
       e.registerMetric("graft", "main", "events", ev,
-        expr("ts div 1000000"), col("value"),
+        tsMsExpr, col("value"),
         tags = Set("event_type", "user_id"),
-        timeMirror = Some(graft.exec.TimeMirror("ts", 1000000L)))
+        timeMirror = Some(mirror))
       e
     })
 

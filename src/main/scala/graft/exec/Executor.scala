@@ -30,8 +30,31 @@ final case class ShardInfo(
  * through the arithmetic, so the executor mirrors every time span onto the
  * raw column (`raw ∈ [lo*unitsPerMs, (hi+1)*unitsPerMs)`), which DOES reach
  * the parquet scan and enables row-group skipping.
+ *
+ * `tsType` handles a raw column that is itself a (µs-precision) timestamp
+ * rather than an integer: bounds then compare as timestamp literals of the
+ * matching flavor (NTZ vs LTZ — a mismatched flavor would block pushdown),
+ * with `unitsPerMs` = 1000 (µs per ms).
  */
-final case class TimeMirror(colName: String, unitsPerMs: Long)
+final case class TimeMirror(
+    colName: String,
+    unitsPerMs: Long,
+    tsType: Option[DataType] = None) {
+
+  /** literal comparable (and parquet-pushable) against the raw column. */
+  def boundLit(rawUnits: Long): Column = tsType match {
+    case None => lit(rawUnits)
+    case Some(TimestampNTZType) =>
+      lit(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(rawUnits, 1000000L),
+        (Math.floorMod(rawUnits, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+    case Some(_) =>
+      lit(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(rawUnits, 1000000L),
+        Math.floorMod(rawUnits, 1000000L) * 1000L))
+  }
+}
 
 /** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema.
   * `shard` is present for warehouse-backed metrics and enables partition pruning;
@@ -146,8 +169,8 @@ object Executor {
       val u = tm.unitsPerMs
       spans.map { s =>
         val c  = col(tm.colName)
-        val lo = if (s.lo == Long.MinValue || s.lo < Long.MinValue / u) lit(true) else c >= s.lo * u
-        val hi = if (s.hi == Long.MaxValue || s.hi + 1 > Long.MaxValue / u) lit(true) else c < (s.hi + 1) * u
+        val lo = if (s.lo == Long.MinValue || s.lo < Long.MinValue / u) lit(true) else c >= tm.boundLit(s.lo * u)
+        val hi = if (s.hi == Long.MaxValue || s.hi + 1 > Long.MaxValue / u) lit(true) else c < tm.boundLit((s.hi + 1) * u)
         lo && hi
       }.reduce(_ || _)
     }
