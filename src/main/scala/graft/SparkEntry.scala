@@ -38,6 +38,33 @@ object SparkEntry {
   // no need to repeat it for each of ~50 queries in a bench run
   private val engines = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraftEngine]()
 
+  /** raw events. Older driver testdata typed `ts` int64 epoch-nanos (the
+    * legacy conf keeps that LongType; set before the read so it holds
+    * regardless of query order); current testdata types it timestamp[us]
+    * NTZ. Downstream derives time via [[tsUsCol]], so both flavors work. */
+  private def evRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+  }
+
+  /** epoch-µs expression for `ts`, whatever its physical parquet type. The
+    * NTZ→LTZ cast interprets the wall clock in the session timezone (UTC on
+    * every graft session), matching DuckDB's epoch_us on naive timestamps. */
+  private def tsUsCol(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case dt => sys.error(s"events.ts: unsupported type $dt (expected int64 nanos or timestamp)")
+    }
+
+  /** events with `ts` replaced by epoch-µs — the relational-operator input. */
+  private def evUsAll(s: SparkSession, d: String): DataFrame = {
+    val ev = evRaw(s, d)
+    ev.withColumn("ts", tsUsCol(ev))
+  }
+
   private def engineFor(spark: SparkSession, dir: String): GraftEngine =
     engines.computeIfAbsent((spark, dir), { case (s, d) =>
       val ev = evRaw(s, d)
@@ -47,9 +74,15 @@ object SparkEntry {
       val (tsMsExpr, mirror) = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // int64 epoch-nanos
           (expr("ts div 1000000"), graft.exec.TimeMirror("ts", 1000000L))
-        case dt => // µs-precision timestamp (NTZ for tz-less parquet)
+        case dt @ (org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType) =>
+          // µs-precision timestamp (NTZ for tz-less parquet). unix_millis of
+          // the NTZ→LTZ cast uses the SESSION timezone, so the mirror bound
+          // literal must be built in that same zone (TimeMirror.boundLit).
           (unix_millis(col("ts").cast("timestamp")),
             graft.exec.TimeMirror("ts", 1000L, tsType = Some(dt)))
+        case dt =>
+          sys.error(s"events.ts: unsupported type $dt (expected int64 nanos or timestamp)")
       }
       e.registerMetric("graft", "main", "events", ev,
         tsMsExpr, col("value"),
@@ -401,8 +434,7 @@ object SparkEntry {
     // truncates the parquet nanos type to micros on read, so nano-precision
     // comparisons could order boundary rows differently across engines
     "ev_asof" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
       // unique (user, ts) right side: the asofJoin determinism contract
       val clicks = ev.filter(col("event_type") === "click")
@@ -411,8 +443,7 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "ev_range" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -423,44 +454,38 @@ object SparkEntry {
     }),
     // cohort retention triangle: first-seen week vs active week per user
     "ev_retention" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       graft.operators.Relational.retention(ev.select("user_id", "ts"),
         "user_id", "ts", 604800000000L) // 1 week in us
         .orderBy("cohort", "bucket_offset")
     }),
     // ordered-stage funnel: greedy-earliest matching per user
     "ev_funnel" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       graft.operators.Relational.funnelCounts(ev.select("user_id", "ts", "event_type"),
         Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("stage_idx")
     }),
     // arrival-cadence panel: p50/p90 inter-event gaps per type
     "ev_gaps" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       graft.operators.Relational.interEventGaps(ev).orderBy("event_type")
     }),
     // last-touch attribution: asofJoin composition, credit per touch type
     "ev_attr" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       graft.operators.Relational.lastTouchAttribution(ev,
         Seq("click", "signup", "view"), "purchase").orderBy("touch")
     }),
     // outlier-robust per-type mean: clamp to [p05, p95] then average
     "ev_winsor" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = evRaw(s, d)
       graft.operators.Relational.winsorizedMean(ev.select("event_type", "value"),
         Seq("event_type"), "value", 0.05, 0.95).orderBy("event_type")
     }),
     // gaps-and-islands sessionization: one shuffle, stacked windows
     "ev_sessions" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").withColumn("ts", expr("ts div 1000"))
+      val ev = evUsAll(s, d)
       graft.operators.Relational.sessionStats(ev.select("user_id", "ts"),
         Seq("user_id"), "ts", 3600000000L) // 1 h gap in us
         .orderBy("user_id", "session_idx")
@@ -536,17 +561,13 @@ object SparkEntry {
         period = 24, k = 2.0).orderBy("event_type", "ts")),
     // per-user consecutive-event transition matrix (empirical Markov chain)
     "ev_trans" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+      val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
       graft.operators.Relational.transitionCounts(ev, Seq("user_id"), "ts", "event_type")
         .orderBy("from_state", "to_state")
     }),
     // most common first-5-event journeys across users (funnel discovery)
     "ev_paths" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+      val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
       graft.operators.Relational.topPaths(ev, Seq("user_id"), "ts", "event_type",
         pathLen = 5, k = 20)
     }),
@@ -618,8 +639,7 @@ object SparkEntry {
         .select("doc_id", "split").orderBy("doc_id")),
     // ---- JSON metadata extraction over the events props column
     "tx_json" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet")
+      evRaw(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"))
@@ -665,11 +685,8 @@ object SparkEntry {
   private val HourUs = 3600000000L
 
   /** events as `(event_type, ts µs, value)` — the time-series gate input. */
-  private def evUs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .select(col("event_type"), expr("ts div 1000").as("ts"), col("value"))
-  }
+  private def evUs(s: SparkSession, d: String): DataFrame =
+    evUsAll(s, d).select("event_type", "ts", "value")
 
   // --------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — column names must match the Spark output

@@ -41,14 +41,21 @@ final case class TimeMirror(
     unitsPerMs: Long,
     tsType: Option[DataType] = None) {
 
-  /** literal comparable (and parquet-pushable) against the raw column. */
+  /** literal comparable (and parquet-pushable) against the raw column.
+    * NTZ bounds render the instant in the SESSION timezone: the derived-ms
+    * expression (`unix_millis(cast(ntz as timestamp))`) interprets the wall
+    * clock in that zone, so the mirror must use the same zone or the ANDed
+    * raw filter would be offset-shifted under a non-UTC session timezone. */
   def boundLit(rawUnits: Long): Column = tsType match {
     case None => lit(rawUnits)
     case Some(TimestampNTZType) =>
-      lit(java.time.LocalDateTime.ofEpochSecond(
-        Math.floorDiv(rawUnits, 1000000L),
-        (Math.floorMod(rawUnits, 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC))
+      val zone = java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      lit(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(rawUnits, 1000000L),
+          Math.floorMod(rawUnits, 1000000L) * 1000L),
+        zone))
     case Some(_) =>
       lit(java.time.Instant.ofEpochSecond(
         Math.floorDiv(rawUnits, 1000000L),
