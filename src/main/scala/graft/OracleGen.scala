@@ -88,6 +88,23 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.containmentPairs]]: capped shingle inverted index,
+    * per-pair match count as the intersect size, asymmetric containment in
+    * both directions. Threshold compares the UNROUNDED ratios, exactly
+    * like the Spark side. */
+  def containmentPairsSql(threshold: Double, shingleK: Int, minShared: Long, maxBucket: Int): String =
+    s"""WITH ${shingleCtes(shingleK)},
+       |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |ok AS (SELECT h FROM e GROUP BY h HAVING count(*) <= $maxBucket),
+       |e2 AS (SELECT e.* FROM e JOIN ok USING (h)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS shared
+       |      FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT id_a, id_b, round(shared/len(sa.sh), 4) AS contain_a, round(shared/len(sb.sh), 4) AS contain_b
+       |FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+       |WHERE greatest(shared/len(sa.sh), shared/len(sb.sh)) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.editDistancePairs]]: the same LSH candidate CTEs,
     * verified with DuckDB's independent `levenshtein` over the raw texts
     * (the jaccard-verify CTE `v` goes unused and is pruned by the
@@ -303,6 +320,24 @@ object OracleGen {
        |WHERE h < $trainCut AND doc_id NOT IN (SELECT doc_id FROM con)
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
+
+  /** mirror of [[graft.pipeline.TextAnalysis.importanceWeights]] with the
+    * target slice `documents WHERE targetWhere`: add-one-smoothed unigram
+    * log-ratio per vocab entry, per-doc token-ordered fold, mean, 6-dp
+    * snap. All totals are integer-valued doubles (exact below 2^53), so
+    * the only FP sensitivity is the fold order — pinned on both sides. */
+  def importanceWeightsSql(targetWhere: String): String =
+    s"""WITH sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tw AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE $targetWhere),
+       |sc AS (SELECT w, count(*)::DOUBLE AS c_s FROM sw GROUP BY 1),
+       |tc AS (SELECT w, count(*)::DOUBLE AS c_t FROM tw GROUP BY 1),
+       |v AS (SELECT coalesce(sc.w, tc.w) AS w, coalesce(c_s, 0.0) AS c_s, coalesce(c_t, 0.0) AS c_t
+       |      FROM sc FULL OUTER JOIN tc ON sc.w = tc.w),
+       |tot AS (SELECT count(*)::DOUBLE AS nv, sum(c_s) AS ts, sum(c_t) AS tt FROM v),
+       |lr AS (SELECT w, ln((c_t + 1.0)/(tt + nv)) - ln((c_s + 1.0)/(ts + nv)) AS lr FROM v, tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list(lr ORDER BY w)), (a, b) -> a + b) / count(*), 6) AS weight
+       |FROM sw JOIN lr USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** mirror of [[Sampling.stratifiedHashSample]] over the `lang` stratum:
     * the same polynomial id hash mod 10000 against per-stratum cutoffs. */

@@ -169,6 +169,9 @@ object SparkEntry {
     // has its own correctness evidence, not just the blocked variant's
     "d_ngram_banded" -> ((s, d) => Dedup.ngramJaccardPairsBanded(docs(s, d), 0.5).orderBy("id_a", "id_b")),
     "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
+    // asymmetric containment over the capped shingle inverted index:
+    // catches short-doc-inside-long-doc subset duplication Jaccard misses
+    "d_contain" -> ((s, d) => Dedup.containmentPairs(docs(s, d), 0.8).orderBy("id_a", "id_b")),
     // edit-distance near-dup: LSH candidates verified with exact levenshtein
     // (DuckDB's independent levenshtein implementation is the oracle)
     "d_lev" -> ((s, d) => Dedup.editDistancePairs(docs(s, d), 20).orderBy("id_a", "id_b")),
@@ -204,6 +207,14 @@ object SparkEntry {
     "d_decon" -> ((s, d) => {
       val all = docs(s, d)
       Dedup.decontaminate(all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0), shingleK = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // Bloom-prefiltered twin of d_decon (SAME oracle SQL): bloom admits no
+    // false negatives and the exact confirm join kills false positives, so
+    // the green shared gate proves prefilter+confirm ≡ exact, cross-engine
+    "d_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminateBloom(all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0), shingleK = 5)
         .select("doc_id").orderBy("doc_id")
     }),
     // Lee-et-al-style exact-substring signal: span hashes repeated across
@@ -357,6 +368,11 @@ object SparkEntry {
     "tx_rollup"      -> ((s, d) => TextAnalysis.corpusReport(docs(s, d)).orderBy("gid", "lang", "source")),
     // distribution-shift alarm: per-source unigram KL vs the corpus mix
     "tx_drift"       -> ((s, d) => TextAnalysis.sourceDrift(docs(s, d)).orderBy("source")),
+    // DSIR importance weights: src0 docs play the curated target domain
+    "tx_dsir" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.importanceWeights(all, all.filter(col("source") === "src0")).orderBy("doc_id")
+    }),
     // scale-free quality normalization: percentile within each language
     "tx_qnorm" -> ((s, d) => {
       val quality = TextAnalysis.qualityCols(col("text"))._4
@@ -751,6 +767,7 @@ object SparkEntry {
     "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_contain" -> OracleGen.containmentPairsSql(0.8, shingleK = 3, minShared = 2L, maxBucket = 1000),
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, iterations = 5, damping = 0.85),
@@ -759,6 +776,9 @@ object SparkEntry {
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
+    // d_bloom deliberately SHARES d_decon's oracle: the bloom path must be
+    // row-identical to the exact path (no false negatives + exact confirm)
+    "d_bloom"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
     "d_split_decon" -> OracleGen.splitDeconSql(shingleK = 5, trainCut = 8000, testLo = 9000, seed = 7L),
     "d_decon_hits" -> OracleGen.contaminationReportSql(shingleK = 5, minHits = 2L, mod = 10),
     "d_spans"      -> OracleGen.repeatedSpansSql(spanK = 5, minDocs = 2L),
@@ -812,6 +832,7 @@ object SparkEntry {
     },
     // KL terms fold in token order (list(... ORDER BY w)); identical term
     // spelling, one ln per term, one 6-dp snap at the end
+    "tx_dsir" -> OracleGen.importanceWeightsSql("source = 'src0'"),
     "tx_drift" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |sw AS (SELECT source, w, count(*)::DOUBLE AS c_sw FROM w GROUP BY 1, 2),

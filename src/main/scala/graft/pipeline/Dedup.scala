@@ -497,6 +497,103 @@ object Dedup {
   }
 
   /**
+   * Bloom-prefiltered exact decontamination — the same contract as
+   * [[decontaminate]] (corpus docs sharing NO k-shingle with the eval set
+   * survive), shaped for the scale where even the broadcast eval-shingle
+   * hash join is the corpus-side bottleneck: a Bloom filter over the eval
+   * shingles (~10 bits/element at fpp 1% vs 8 bytes/hash for the exact
+   * set) rides to every task and discards almost every corpus shingle
+   * BEFORE any join, so only probable hits reach the exact confirm.
+   * Bloom filters admit false positives but never false negatives, and
+   * each prefilter survivor is re-checked by the exact broadcast join —
+   * the result is row-identical to [[decontaminate]]: gate `d_bloom`
+   * shares `d_decon`'s oracle SQL, proving the equivalence cross-engine.
+   *
+   * The `mightContainLong` probe is a Scala UDF (Spark's native
+   * BloomFilterMightContain expression is internal to runtime-filter
+   * injection); it is a cheap long→bool on already-hashed shingles and
+   * sits before the explode's shuffle boundary, so the non-codegen hop
+   * costs far less than the join traffic it removes.
+   */
+  def decontaminateBloom(
+      df: DataFrame,
+      evalDf: DataFrame,
+      shingleK: Int = 13,
+      fpp: Double = 0.01,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      evalTextCol: String = "text"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    // read twice (bloom build + confirm join): pin, release with the result
+    val evalSh = evalDf
+      .select(explode(GraftFunctions.shingles(col(evalTextCol), shingleK)).as("sh"))
+      .distinct()
+      .pinned
+    val expected = math.max(1L, evalSh.count())
+    val bloom    = evalSh.stat.bloomFilter("sh", expected, fpp)
+    val bc       = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val contaminated = df
+      .select(col(idCol), explode(GraftFunctions.shingles(col(textCol), shingleK)).as("sh"))
+      .filter(mightContain(col("sh"))) // map-side: ~all clean shingles die here
+      .join(broadcast(evalSh), "sh")   // exact confirm: false positives die here
+      .select(col(idCol))
+      .distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Containment near-dup pairs: ASYMMETRIC containment |A∩B|/|A| (and
+   * |A∩B|/|B|) instead of Jaccard. Catches subset duplication — a short
+   * doc pasted inside a much longer one scores low on Jaccard (the union
+   * is dominated by the long side) but ~1.0 on the short side's
+   * containment. Minhash banding is the WRONG candidate miner here (a
+   * band agrees with probability ~J^rows, and subset pairs have low J by
+   * construction), so candidates come from the capped shingle inverted
+   * index, like [[cdcOverlapPairs]]: explode distinct shingle hashes, drop
+   * buckets above `maxBucket` (boilerplate guard — capped shingles are
+   * excluded from the intersect, deterministically on both engines), and
+   * the per-pair match count of the bucket self-join IS |A∩B| — no
+   * second verify pass. `minShared` prunes the pair aggregation's long
+   * single-shared-shingle tail before the size join. Emits every pair
+   * where EITHER direction reaches `threshold`, with both fractions.
+   */
+  def containmentPairs(
+      df: DataFrame,
+      threshold: Double,
+      shingleK: Int = 3,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    // read three times (inverted index + the two size joins): pin once
+    val sh = df
+      .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
+      .pinned
+    val sizes = sh.select(col("id"), size(col("sh")).cast("double").as("n"))
+    val e     = sh.select(col("id"), explode(col("sh")).as("h"))
+    val small = e.groupBy(col("h")).count().filter(col("count") <= maxBucket).select(col("h"))
+    val capped = e.join(small, Seq("h"), "left_semi")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val shared = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("double").as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("ca", col("shared") / col("n_a"))
+      .withColumn("cb", col("shared") / col("n_b"))
+      .filter(greatest(col("ca"), col("cb")) >= threshold) // unrounded, like the oracle
+      .select(col("id_a"), col("id_b"),
+        round(col("ca"), 4).as("contain_a"), round(col("cb"), 4).as("contain_b"))
+  }
+
+  /**
    * Contamination REPORT — the audit companion to [[decontaminate]]:
    * for every corpus doc sharing at least `minHits` distinct k-word
    * shingles with the eval corpus, the number of shared shingles.

@@ -172,6 +172,59 @@ object TextAnalysis {
           .as("kl"))
   }
 
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): how much more likely each
+   * doc's unigrams are under a TARGET corpus's distribution than under the
+   * candidate corpus's own — the per-doc mean over its words of
+   * `ln P̂_target(w) − ln P̂_source(w)`, add-one-smoothed over the union
+   * vocabulary so words unseen on one side stay finite. High scores look
+   * like the target domain; feed the weights to
+   * [[Sampling.weightedHashSample]] for the resampling half, tilting a
+   * raw crawl toward a curated target mix.
+   *
+   * Scale shape: two word-count aggregations (map-side combined), one
+   * vocabulary-sized full-outer join producing a BROADCAST log-ratio
+   * table joined map-side onto the exploded corpus, then one per-doc
+   * aggregation — corpus rows never shuffle on anything but their own
+   * doc id, and driver state is three scalars. Portability: per-doc terms
+   * fold in token order (the [[sourceDrift]] fold), one `ln` pair per
+   * vocab entry, a single 6-dp snap at the end; all totals are
+   * integer-valued doubles, exact well below 2^53.
+   */
+  def importanceWeights(
+      df: DataFrame,
+      targetDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import graft.pipeline.Checkpoints.PinOps
+    val srcW = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val tgtW = targetDf.select(explode(words(col(textCol))).as("w"))
+    val sc   = srcW.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c_s"))
+    val tc   = tgtW.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c_t"))
+    val vocab = sc.join(tc, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("c_s"), lit(0.0)).as("c_s"),
+        coalesce(col("c_t"), lit(0.0)).as("c_t"))
+      .pinned // read twice: totals + log-ratio projection
+    val totals = vocab.agg(
+      count(lit(1)).cast("double"), sum(col("c_s")), sum(col("c_t"))).head()
+    val (nv, ts, tt) =
+      if (totals.isNullAt(1)) (1.0, 0.0, 0.0) // empty corpora: plan still builds
+      else (totals.getDouble(0), totals.getDouble(1), totals.getDouble(2))
+    val lr = vocab.select(col("w"),
+      (log((col("c_t") + lit(1.0)) / lit(tt + nv)) -
+       log((col("c_s") + lit(1.0)) / lit(ts + nv))).as("lr"))
+    srcW.join(broadcast(lr), "w")
+      .select(col(idCol), struct(col("w"), col("lr")).as("wt"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("wt"))).as("__ts"), count(lit(1)).as("n_words"))
+      .select(col(idCol), col("n_words"),
+        round(expr("aggregate(transform(__ts, s -> s.lr), CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+          / col("n_words"), 6).as("weight"))
+  }
+
   // ---- language identification -------------------------------------------
 
   /** marker words per language (tiny public profiles; argmax with a fixed tie order). */

@@ -194,6 +194,61 @@ class PipelineSpec extends SparkTestBase {
     kept shouldBe Set(1L, 2L)
   }
 
+  "Dedup.decontaminateBloom" should "match the exact path row-for-row (no false negatives survive)" in {
+    val evalSet = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "some pretraining text where the secret benchmark answer is forty two exactly appears verbatim"),
+      (1L, "clean document with no overlap whatsoever in any span"),
+      (2L, "another clean one that mentions benchmark answer but never five consecutive shared words")
+    ).toDF("doc_id", "text")
+    val bloomKept = Dedup.decontaminateBloom(corpus, evalSet, shingleK = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKept = Dedup.decontaminate(corpus, evalSet, shingleK = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    bloomKept shouldBe exactKept
+    bloomKept shouldBe Set(1L, 2L)
+    // and on the real fixture: both paths agree doc-for-doc
+    val all  = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val c    = all.filter(col("doc_id") % 10 =!= 0)
+    val e    = all.filter(col("doc_id") % 10 === 0)
+    val b    = Dedup.decontaminateBloom(c, e, shingleK = 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val x    = Dedup.decontaminate(c, e, shingleK = 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    b shouldBe x
+  }
+
+  "Dedup.containmentPairs" should "flag subset duplication that Jaccard misses" in {
+    // doc 11 is doc 10's text verbatim plus a long tail: word-trigram
+    // containment of 11-in-10 side is ~1.0 while Jaccard stays low
+    val subset = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta one two three four five six " +
+            "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen " +
+            "seventeen eighteen nineteen twenty twentyone twentytwo twentythree twentyfour"),
+      (12L, "entirely unrelated text about query engines and shuffle planning")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(subset, threshold = 0.9, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    pairs.map(p => (p._1, p._2)) should contain((10L, 11L))
+    val p = pairs.find(x => x._1 == 10L && x._2 == 11L).get
+    p._3 shouldBe 1.0 // all of 10's shingles appear in 11
+    p._4 should be < 0.2
+    // while Jaccard on the same pair stays under any useful threshold
+    val j = Dedup.minhashLshPairs(subset, threshold = 0.5, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    j should not contain ((10L, 11L))
+  }
+
+  "TextAnalysis.importanceWeights" should "rank target-looking docs above off-target ones" in {
+    val target = docs.filter(col("source") === "src0") // en/de fox corpus
+    val w = TextAnalysis.importanceWeights(docs, target)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // doc 0/1 (verbatim target-domain text) must outscore doc 3/5 (off-domain)
+    w(0L) should be > w(3L)
+    w(0L) should be > w(5L)
+    // weights are finite for every doc, including words unseen in target
+    w.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
+  }
+
   "Dedup.duplicateClusters" should "collapse transitive near-dup chains to one representative" in {
     // 0~1 and 1~2 by bigram Jaccard 5/9 ≈ 0.56, but 0 and 2 share only
     // 3/11 ≈ 0.27 — a chain only connected components can collapse
