@@ -326,18 +326,33 @@ object OracleGen {
     * log-ratio per vocab entry, per-doc token-ordered fold, mean, 6-dp
     * snap. All totals are integer-valued doubles (exact below 2^53), so
     * the only FP sensitivity is the fold order — pinned on both sides. */
-  def importanceWeightsSql(targetWhere: String): String =
-    s"""WITH sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  private def importanceWeightsCtes(targetWhere: String): String =
+    s"""sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |tw AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE $targetWhere),
        |sc AS (SELECT w, count(*)::DOUBLE AS c_s FROM sw GROUP BY 1),
        |tc AS (SELECT w, count(*)::DOUBLE AS c_t FROM tw GROUP BY 1),
        |v AS (SELECT coalesce(sc.w, tc.w) AS w, coalesce(c_s, 0.0) AS c_s, coalesce(c_t, 0.0) AS c_t
        |      FROM sc FULL OUTER JOIN tc ON sc.w = tc.w),
        |tot AS (SELECT count(*)::DOUBLE AS nv, sum(c_s) AS ts, sum(c_t) AS tt FROM v),
-       |lr AS (SELECT w, ln((c_t + 1.0)/(tt + nv)) - ln((c_s + 1.0)/(ts + nv)) AS lr FROM v, tot)
-       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |lr AS (SELECT w, ln((c_t + 1.0)/(tt + nv)) - ln((c_s + 1.0)/(ts + nv)) AS lr FROM v, tot),
+       |iw AS (SELECT doc_id, count(*)::BIGINT AS n_words,
        |  round(list_reduce(list_prepend(0.0::DOUBLE, list(lr ORDER BY w)), (a, b) -> a + b) / count(*), 6) AS weight
-       |FROM sw JOIN lr USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+       |  FROM sw JOIN lr USING (w) GROUP BY doc_id)""".stripMargin
+
+  def importanceWeightsSql(targetWhere: String): String =
+    s"""WITH ${importanceWeightsCtes(targetWhere)}
+       |SELECT doc_id, n_words, weight FROM iw ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** mirror of the [[graft.pipeline.TextAnalysis.importanceWeights]] →
+    * [[graft.pipeline.Sampling.topFractionBy]] composition: the
+    * ceil(fraction·n) highest-weight docs, ties by doc_id. The ordering
+    * key is the 6-dp-snapped weight on both sides. */
+  def dsirTopSql(targetWhere: String, fraction: Double): String =
+    s"""WITH ${importanceWeightsCtes(targetWhere)},
+       |r AS (SELECT iw.*, row_number() OVER (ORDER BY weight DESC, doc_id) AS rn FROM iw)
+       |SELECT doc_id, n_words, weight FROM r
+       |WHERE rn <= ceil($fraction * (SELECT count(*) FROM documents))
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** mirror of [[Sampling.stratifiedHashSample]] over the `lang` stratum:
     * the same polynomial id hash mod 10000 against per-stratum cutoffs. */

@@ -373,6 +373,13 @@ object SparkEntry {
       val all = docs(s, d)
       TextAnalysis.importanceWeights(all, all.filter(col("source") === "src0")).orderBy("doc_id")
     }),
+    // the composed resampling half: top-quarter slice by DSIR weight
+    // (TakeOrderedAndProject — per-partition top-k, no global sort)
+    "tx_dsir_top" -> ((s, d) => {
+      val all = docs(s, d)
+      val w = TextAnalysis.importanceWeights(all, all.filter(col("source") === "src0"))
+      Sampling.topFractionBy(w, 0.25, "weight").orderBy("doc_id")
+    }),
     // scale-free quality normalization: percentile within each language
     "tx_qnorm" -> ((s, d) => {
       val quality = TextAnalysis.qualityCols(col("text"))._4
@@ -833,6 +840,7 @@ object SparkEntry {
     // KL terms fold in token order (list(... ORDER BY w)); identical term
     // spelling, one ln per term, one 6-dp snap at the end
     "tx_dsir" -> OracleGen.importanceWeightsSql("source = 'src0'"),
+    "tx_dsir_top" -> OracleGen.dsirTopSql("source = 'src0'", 0.25),
     "tx_drift" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |sw AS (SELECT source, w, count(*)::DOUBLE AS c_sw FROM w GROUP BY 1, 2),

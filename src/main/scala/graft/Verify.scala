@@ -21,7 +21,22 @@ object Verify {
     // driver runs it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String) = only.forall(_.contains(name))
+    // same per-query JVM health probes as Bench (code cache, GC delta,
+    // live persisted RDDs): a 100+-plan single-JVM sweep is exactly the
+    // session shape that once collapsed late queries 20-50x — if it ever
+    // recurs here, the verify log attributes it without a rerun
+    val ccPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+    def ccUsedMb: Long = {
+      var s = 0L; ccPools.forEach(p => if (p.getName.contains("CodeHeap")) s += p.getUsage.getUsed); s >> 20
+    }
+    def gcMs: Long = {
+      var s = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.forEach(g => s += g.getCollectionTime)
+      s
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      val t0  = System.nanoTime()
+      val gc0 = gcMs
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -29,6 +44,8 @@ object Verify {
         // pipeline checkpoint blocks so the correctness gate can't slide
         // into the late-session degradation either
         graft.pipeline.Checkpoints.free(df)
+        System.err.println(f"[verify] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+          f"cc=${ccUsedMb}%3dMB gc+=${gcMs - gc0}%4dms rdds=${spark.sparkContext.getPersistentRDDs.size}%3d")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -134,6 +134,27 @@ object Sampling {
    * at 100 TB this is a mapped scan. Weights must sum to 1 (±1e-9) so
    * every row lands in exactly one split.
    */
+  /**
+   * Deterministic top-fraction selection: the `ceil(fraction·n)` rows with
+   * the highest `orderCol`, ties broken by `tieCol` — the selection half
+   * of importance resampling ([[TextAnalysis.importanceWeights]] scores,
+   * this picks the target-looking slice). `orderBy.limit` compiles to
+   * TakeOrderedAndProject: per-partition top-k then a single k-row merge
+   * on the driver — no global sort materializes at any scale. Keep
+   * `orderCol` pre-rounded (the weights come 6-dp-snapped) so the ordering
+   * agrees across engines.
+   */
+  def topFractionBy(
+      df: DataFrame,
+      fraction: Double,
+      orderCol: String,
+      tieCol: String = "doc_id"
+  ): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val k = math.ceil(fraction * df.count()).toInt
+    df.orderBy(col(orderCol).desc, col(tieCol)).limit(k)
+  }
+
   def holdoutSplit(
       df: DataFrame,
       weights: Seq[(String, Double)],

@@ -249,6 +249,16 @@ class PipelineSpec extends SparkTestBase {
     w.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "Sampling.topFractionBy" should "keep the ceil(f*n) highest-weight rows with doc_id ties" in {
+    val scored = Seq((0L, 0.5), (1L, 0.9), (2L, 0.9), (3L, 0.1), (4L, 0.7))
+      .toDF("doc_id", "weight")
+    val top = Sampling.topFractionBy(scored, 0.5, "weight")
+      .collect().map(_.getLong(0)).toSet
+    top shouldBe Set(1L, 2L, 4L) // ceil(2.5)=3 rows; 0.9,0.9,0.7; tie 1<2 kept both
+    Sampling.topFractionBy(scored, 0.0, "weight").count() shouldBe 0L
+    Sampling.topFractionBy(scored, 1.0, "weight").count() shouldBe 5L
+  }
+
   "Dedup.duplicateClusters" should "collapse transitive near-dup chains to one representative" in {
     // 0~1 and 1~2 by bigram Jaccard 5/9 ≈ 0.56, but 0 and 2 share only
     // 3/11 ≈ 0.27 — a chain only connected components can collapse
