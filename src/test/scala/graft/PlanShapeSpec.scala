@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /**
  * Always-on plan-shape guards over EVERY gate query: the properties that
  * make the plans survive a 100× scale-up must not regress silently when a
@@ -65,6 +67,41 @@ class PlanShapeSpec extends SparkTestBase {
       ivfpq should include("graft_pq_encode")
       ivfpq should not include "SortMergeJoin"
     }
+  }
+
+  "the round-9 additions" should "keep their prescribed shuffle shapes" in {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // bloom decon: the eval-shingle confirm join broadcasts onto the
+    // corpus-side explode (the id anti-join at the end is AQE's call —
+    // statically SMJ, broadcast at runtime once the tiny hit set is sized)
+    val bl = Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0), shingleK = 5)
+      .queryExecution.executedPlan.toString
+    withClue(bl) {
+      bl should include("BroadcastHashJoin")
+      bl should not include "CartesianProduct"
+    }
+    // containment: inverted-index self-join + pair agg + two size joins —
+    // never a cartesian/nested-loop fallback
+    val cp = Dedup.containmentPairs(docs, 0.8).queryExecution.executedPlan.toString
+    withClue(cp) {
+      cp should not include "CartesianProduct"
+      cp should not include "BroadcastNestedLoopJoin"
+    }
+    // DSIR: the vocabulary log-ratio table broadcasts onto the exploded
+    // corpus — the corpus-side explode shuffles only on doc_id (final agg)
+    val dw = TextAnalysis.importanceWeights(docs, docs.filter(col("source") === "src0"))
+      .queryExecution.executedPlan.toString
+    withClue(dw) {
+      dw should include("BroadcastHashJoin")
+      dw should not include "CartesianProduct"
+    }
+    // top-fraction selection is TakeOrderedAndProject, not a global Sort
+    val tf = graft.pipeline.Sampling.topFractionBy(
+      docs.withColumn("weight", col("n_chars").cast("double")), 0.25, "weight")
+      .queryExecution.executedPlan.toString
+    withClue(tf) { tf should include("TakeOrderedAndProject") }
   }
 
   "the round-8 additions" should "keep their prescribed shuffle shapes" in {
