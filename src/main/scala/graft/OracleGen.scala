@@ -622,6 +622,19 @@ object OracleGen {
     s"""WITH ${annJoinCtes(qmod, planesPerTable, tables, dim, multiProbe)}
        |SELECT query_id, id, sim, rank FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.hardNegatives]]: the [[annJoinSql]] retrieval
+    * chain, near-duplicates (4-dp sim at or above `dupCut`) dropped,
+    * remainder re-ranked per query, top `m` kept. */
+  def hardNegativesSql(m: Int, dupCut: Double, searchK: Int, qmod: Int,
+                       planesPerTable: Int, tables: Int, dim: Int,
+                       multiProbe: Boolean = false): String =
+    s"""WITH ${annJoinCtes(qmod, planesPerTable, tables, dim, multiProbe)},
+       |hn AS (SELECT query_id, id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS neg_rank
+       |       FROM r WHERE rank <= $searchK AND sim < $dupCut)
+       |SELECT query_id, id, sim, neg_rank FROM hn WHERE neg_rank <= $m
+       |ORDER BY query_id, neg_rank""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.knnClassify]]: the [[annJoinSql]] retrieval
     * chain, labels joined on the neighbor id (cast BIGINT so the hash
     * compare sees int64 — storage is int32), majority vote with

@@ -331,6 +331,16 @@ object SparkEntry {
       Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
         planesPerTable = 6, tables = 8).orderBy("query_id", "rank")
     }),
+    // contrastive hard negatives: top-10 retrieval, near-dups (sim >= .95)
+    // dropped as unlabeled positives, top-5 kept per query
+    "ann_negatives" -> ((s, d) => {
+      val all    = emb(s, d)
+      val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 8)
+        .localCheckpoint(true)
+      Similarity.hardNegatives(all.filter(col("vec_id") % 50 === 0), corpus,
+        m = 5, dupCut = 0.95, searchK = 10, planesPerTable = 6, tables = 8)
+        .orderBy("query_id", "neg_rank")
+    }),
     // 1-bit multi-probe retrieval: half the tables (= half the persisted
     // index), queries probe each bucket's sign-flips instead
     "ann_join_mp" -> ((s, d) => {
@@ -811,6 +821,8 @@ object SparkEntry {
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_negatives" -> OracleGen.hardNegativesSql(m = 5, dupCut = 0.95, searchK = 10, qmod = 50,
+      planesPerTable = 6, tables = 8, dim = 64),
     "ann_knn"   -> OracleGen.knnClassifySql(k = 10, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_join_mp" -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 4,
       dim = 64, multiProbe = true),

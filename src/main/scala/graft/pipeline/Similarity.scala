@@ -385,6 +385,40 @@ object Similarity {
    * Labels are cast to long on the way in so the output type is stable
    * regardless of the storage width (the parquet label is int32).
    */
+  /**
+   * Hard-negative mining for contrastive training: each query's ANN
+   * neighbors BELOW a near-duplicate cutoff — similar enough to make the
+   * training signal hard, not so similar they are unlabeled positives
+   * (the classic false-negative trap in contrastive batches). Retrieval
+   * is the [[annJoin]] chain (bucketed LSH probe, per-query top-`searchK`
+   * window); mining drops neighbors at `sim >= dupCut` (on the 4-dp
+   * rounded score, so both engines agree at the boundary), re-ranks the
+   * remainder per query, and keeps `m`. The second window shares the
+   * first's `query_id` partitioning — no extra exchange — and
+   * WindowGroupLimit prunes both map-side.
+   */
+  def hardNegatives(
+      queries: DataFrame,
+      corpusIndex: DataFrame,
+      m: Int,
+      dupCut: Double,
+      searchK: Int,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      multiProbe: Boolean = false,
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = annJoin(queries, corpusIndex, searchK, planesPerTable, tables, dim, multiProbe,
+      idCol = idCol)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    nn.filter(col("sim") < dupCut)
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= m)
+      .select(col("query_id"), col("id"), col("sim"), col("neg_rank"))
+  }
+
   def knnClassify(
       queries: DataFrame,
       corpusIndex: DataFrame,

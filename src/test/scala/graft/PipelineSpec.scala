@@ -249,6 +249,18 @@ class PipelineSpec extends SparkTestBase {
     w.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "Similarity.hardNegatives" should "exclude near-duplicate neighbors as unlabeled positives" in {
+    val corpus = Similarity.vectorIndex(vecs, planesPerTable = 2, tables = 8)
+    val qs     = vecs.filter(col("vec_id") === 0L) // base vector; vec 1 is ~parallel
+    val negs = Similarity.hardNegatives(qs, corpus, m = 3, dupCut = 0.95, searchK = 5,
+      planesPerTable = 2, tables = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    negs.map(_._1) should not contain 1L     // the planted near-dup is filtered
+    negs.foreach(_._2 should be < 0.95)      // every negative is below the cutoff
+    negs.map(_._3).sorted shouldBe (1 to negs.length).toArray // dense re-rank
+    negs.length should be <= 3
+  }
+
   "Sampling.topFractionBy" should "keep the ceil(f*n) highest-weight rows with doc_id ties" in {
     val scored = Seq((0L, 0.5), (1L, 0.9), (2L, 0.9), (3L, 0.1), (4L, 0.7))
       .toDF("doc_id", "weight")
