@@ -326,6 +326,26 @@ object OracleGen {
     * log-ratio per vocab entry, per-doc token-ordered fold, mean, 6-dp
     * snap. All totals are integer-valued doubles (exact below 2^53), so
     * the only FP sensitivity is the fold order — pinned on both sides. */
+  /** mirror of [[graft.pipeline.TextAnalysis.crossBigramScore]] with the
+    * target slice `documents WHERE targetWhere`: add-one-smoothed target
+    * bigram LM, unseen words/bigrams coalesced to zero, per-doc
+    * sorted-value fold, 4-dp snap. */
+  def crossBigramScoreSql(targetWhere: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws[i::INT] AS w1, ws[(i+1)::INT] AS w2
+       |      FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+       |tw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE $targetWhere),
+       |b2 AS (SELECT ws[i::INT] AS w1, ws[(i+1)::INT] AS w2
+       |       FROM tw, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+       |uc AS (SELECT w1, count(*)::BIGINT AS c1 FROM (SELECT unnest(ws) AS w1 FROM tw) GROUP BY w1),
+       |vv AS (SELECT count(*)::BIGINT AS v FROM uc),
+       |bc AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b2 GROUP BY 1, 2),
+       |lp AS (SELECT doc_id, ln((coalesce(c2, 0)::DOUBLE + 1.0) / (coalesce(c1, 0)::DOUBLE + v::DOUBLE)) AS lp
+       |       FROM b LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN vv)
+       |SELECT doc_id,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(lp))), (a, x) -> a + x) / count(*), 4) AS xent_score
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   private def importanceWeightsCtes(targetWhere: String): String =
     s"""sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |tw AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE $targetWhere),

@@ -383,6 +383,11 @@ object SparkEntry {
       val all = docs(s, d)
       TextAnalysis.importanceWeights(all, all.filter(col("source") === "src0")).orderBy("doc_id")
     }),
+    // CCNet-style cross-perplexity: score every doc under the src0 bigram LM
+    "tx_xent" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.crossBigramScore(all, all.filter(col("source") === "src0")).orderBy("doc_id")
+    }),
     // the composed resampling half: top-quarter slice by DSIR weight
     // (TakeOrderedAndProject — per-partition top-k, no global sort)
     "tx_dsir_top" -> ((s, d) => {
@@ -853,6 +858,7 @@ object SparkEntry {
     // spelling, one ln per term, one 6-dp snap at the end
     "tx_dsir" -> OracleGen.importanceWeightsSql("source = 'src0'"),
     "tx_dsir_top" -> OracleGen.dsirTopSql("source = 'src0'", 0.25),
+    "tx_xent" -> OracleGen.crossBigramScoreSql("source = 'src0'"),
     "tx_drift" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |sw AS (SELECT source, w, count(*)::DOUBLE AS c_sw FROM w GROUP BY 1, 2),

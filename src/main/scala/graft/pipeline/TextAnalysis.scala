@@ -173,6 +173,51 @@ object TextAnalysis {
   }
 
   /**
+   * Cross-corpus bigram scoring — the CCNet-style perplexity filter
+   * (Wenzek et al. 2020): score every candidate doc under a bigram LM
+   * trained on a TARGET corpus (add-one smoothing over the target
+   * vocabulary; unseen words/bigrams coalesce to zero counts). Low scores
+   * read as "unlike the target domain" — the standard cut for noisy crawl
+   * slices. Differs from [[bigramLogProb]] (self-corpus fluency) in that
+   * the model corpus and the scored corpus are decoupled, and from
+   * [[importanceWeights]] in modeling word ORDER, not just unigram mix.
+   *
+   * Scale shape: the target unigram table broadcasts; the target bigram
+   * table joins un-hinted (vocab²-bounded, AQE broadcasts it while it
+   * fits); candidate rows shuffle only on their own doc id. The per-doc
+   * fold sorts the log-prob VALUES ([[bigramLogProb]]'s portability
+   * trick), one `ln` per joined row, 4-dp snap at the end.
+   */
+  def crossBigramScore(
+      df: DataFrame,
+      targetDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    import graft.pipeline.Checkpoints.PinOps
+    def bigrams(src: DataFrame, cols: Column*) = src
+      .select(cols :+ words(col(textCol)).as("__ws"): _*)
+      .filter(size(col("__ws")) >= 2)
+      .select(cols :+ explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))")).as("__b"): _*)
+      .select(cols :+ col("__b.w1").as("w1") :+ col("__b.w2").as("w2"): _*)
+    val bg   = bigrams(df, col(idCol))
+    val tUni = targetDf.select(explode(words(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1")).pinned
+    val v    = tUni.count().toDouble
+    val tBi  = bigrams(targetDf).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val lp = log((coalesce(col("__c2"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("__c1"), lit(0L)).cast("double") + lit(v)))
+    bg.join(tBi, Seq("w1", "w2"), "left_outer").join(broadcast(tUni), Seq("w1"), "left_outer")
+      .select(col(idCol), lp.as("__lp"))
+      .groupBy(col(idCol))
+      .agg(round(
+        aggregate(array_sort(collect_list(col("__lp"))), lit(0.0), (a, x) => a + x) /
+          count(lit(1)), dp).as("xent_score"))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): how much more likely each
    * doc's unigrams are under a TARGET corpus's distribution than under the

@@ -249,6 +249,15 @@ class PipelineSpec extends SparkTestBase {
     w.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "TextAnalysis.crossBigramScore" should "score target-domain docs above off-domain ones" in {
+    val target = docs.filter(col("source") === "src0")
+    val s = TextAnalysis.crossBigramScore(docs, target)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    s(4L) should be > s(3L) // verbatim target text vs off-domain doc
+    s(4L) shouldBe s(0L)    // identical text, identical score
+    s.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
+  }
+
   "Similarity.hardNegatives" should "exclude near-duplicate neighbors as unlabeled positives" in {
     val corpus = Similarity.vectorIndex(vecs, planesPerTable = 2, tables = 8)
     val qs     = vecs.filter(col("vec_id") === 0L) // base vector; vec 1 is ~parallel
