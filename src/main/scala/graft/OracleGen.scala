@@ -120,18 +120,35 @@ object OracleGen {
   /** mirror of [[Dedup.duplicateClusters]]: connected components over the
     * verified near-dup pair graph via recursive min-label propagation —
     * the closed form of the iterative Spark loop. */
-  def ccClustersSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
-    s"""WITH RECURSIVE ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+  /** recursive min-label closure over the minhash pair graph: `reps(id,
+    * rep)` — shared by the clusters, histogram and per-source report
+    * oracles. */
+  private def ccLabelCtes(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
        |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
        |lab(id, l) AS (
        |  SELECT DISTINCT src, src FROM e
        |  UNION
        |  SELECT e.dst, lab.l FROM lab JOIN e ON e.src = lab.id),
-       |reps AS (SELECT id, min(l) AS rep FROM lab GROUP BY id)
+       |reps AS (SELECT id, min(l) AS rep FROM lab GROUP BY id)""".stripMargin
+
+  def ccClustersSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${ccLabelCtes(threshold, numHashes, bands, shingleK, maxBucket)}
        |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
+
+  /** mirror of [[Dedup.dedupReport]]: per-source doc counts, non-representative
+    * counts, and the 4-dp duplicate rate over the CC labeling. */
+  def dedupReportSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${ccLabelCtes(threshold, numHashes, bands, shingleK, maxBucket)},
+       |cl AS (SELECT d.doc_id, d.source, coalesce(r.rep, d.doc_id) AS rep
+       |       FROM documents d LEFT JOIN reps r ON r.id = d.doc_id)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN doc_id = rep THEN 0 ELSE 1 END)::BIGINT AS n_dups,
+       |  round(sum(CASE WHEN doc_id = rep THEN 0 ELSE 1 END)::DOUBLE / count(*)::DOUBLE, 4) AS dup_rate
+       |FROM cl GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   /** mirror of [[Dedup.cdcOverlapPairs]]: positional word hashes,
     * content-defined boundary positions (sorted-distinct, final word

@@ -594,6 +594,36 @@ object Dedup {
   }
 
   /**
+   * Per-source dedup health report: doc count, duplicate count (docs that
+   * are NOT their cluster's representative) and the duplicate rate for
+   * each source — the dashboard number for "how much of this feed is
+   * redundant", fed by [[duplicateClusters]]'s CC labeling. One metadata
+   * join + one |sources|-row aggregation on top of the labeling; the
+   * division is double-cast on both engines before the 4-dp snap.
+   */
+  def dedupReport(
+      df: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val clusters = duplicateClusters(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+    df.select(col(idCol), col(sourceCol))
+      .join(clusters, idCol)
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(idCol) === col("rep"), 0L).otherwise(1L)).as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 4))
+  }
+
+  /**
    * Contamination REPORT — the audit companion to [[decontaminate]]:
    * for every corpus doc sharing at least `minHits` distinct k-word
    * shingles with the eval corpus, the number of shared shingles.
