@@ -96,6 +96,42 @@ object StreamingCurate {
   }
 
   /**
+   * Streaming face of [[TextAnalysis.importanceWeights]] — DSIR scoring of
+   * documents AS THEY ARRIVE, against a target-domain snapshot. The
+   * vocabulary→log-ratio table ([[TextAnalysis.importanceLogRatios]],
+   * built batch-side — the distribution estimates must come from a corpus
+   * snapshot regardless) is collected ONCE into a `map_from_arrays`
+   * literal, so per-row scoring is pure codegen'd expression work:
+   * `element_at` lookups folded over the doc's own words — no UDF, no
+   * stream-static join, no state store, append mode at scan speed.
+   * Out-of-vocabulary words contribute 0 (they appear in neither corpus —
+   * the ratio carries no signal). Driver/plan footprint is vocab-bounded;
+   * at web scale trim the snapshot to the top-K vocabulary by combined
+   * count before passing it in (the tail's ratios are ~0 anyway).
+   *
+   * Per-doc fold order is the document's own word order (row-local, no
+   * sort) — FP-equal to the batch operator's sorted fold only up to
+   * summation order; the spec bounds the drift at 1e-9.
+   */
+  def importanceScoreStream(
+      stream: DataFrame,
+      logRatios: DataFrame,
+      minWeight: Option[Double] = None,
+      textCol: String = "text"
+  ): DataFrame = {
+    val rows  = logRatios.select(col("w"), col("lr")).collect()
+    val lrMap = map_from_arrays(
+      typedlit(rows.map(_.getString(0)).toSeq),
+      typedlit(rows.map(_.getDouble(1)).toSeq))
+    val ws = TextAnalysis.words(col(textCol))
+    val weight = round(
+      aggregate(transform(ws, w => coalesce(element_at(lrMap, w), lit(0.0))),
+        lit(0.0), (a, x) => a + x) / size(ws), 6)
+    val scored = stream.withColumn("weight", weight)
+    minWeight.fold(scored)(t => scored.filter(col("weight") >= t))
+  }
+
+  /**
    * TRENDING-TERM monitor — per (event-time window, term) occurrence
    * counts for terms crossing `minCount`: the heavy-hitters feed behind
    * "what vocabulary is suddenly flooding the stream" alerts (spam bursts

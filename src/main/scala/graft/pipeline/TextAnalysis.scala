@@ -237,14 +237,18 @@ object TextAnalysis {
    * vocab entry, a single 6-dp snap at the end; all totals are
    * integer-valued doubles, exact well below 2^53.
    */
-  def importanceWeights(
+  /** The vocabulary→log-ratio table behind [[importanceWeights]]:
+    * `(w, lr)` with `lr = ln P̂_target(w) − ln P̂_source(w)`, add-one
+    * smoothed over the union vocabulary. Exposed so a streaming scorer can
+    * snapshot it once and apply it row-locally per micro-batch
+    * ([[StreamingCurate.importanceScoreStream]]). */
+  def importanceLogRatios(
       df: DataFrame,
       targetDf: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id"
+      textCol: String = "text"
   ): DataFrame = {
     import graft.pipeline.Checkpoints.PinOps
-    val srcW = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val srcW = df.select(explode(words(col(textCol))).as("w"))
     val tgtW = targetDf.select(explode(words(col(textCol))).as("w"))
     val sc   = srcW.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c_s"))
     val tc   = tgtW.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c_t"))
@@ -258,9 +262,19 @@ object TextAnalysis {
     val (nv, ts, tt) =
       if (totals.isNullAt(1)) (1.0, 0.0, 0.0) // empty corpora: plan still builds
       else (totals.getDouble(0), totals.getDouble(1), totals.getDouble(2))
-    val lr = vocab.select(col("w"),
+    vocab.select(col("w"),
       (log((col("c_t") + lit(1.0)) / lit(tt + nv)) -
        log((col("c_s") + lit(1.0)) / lit(ts + nv))).as("lr"))
+  }
+
+  def importanceWeights(
+      df: DataFrame,
+      targetDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val srcW = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val lr   = importanceLogRatios(df, targetDf, textCol)
     srcW.join(broadcast(lr), "w")
       .select(col(idCol), struct(col("w"), col("lr")).as("wt"))
       .groupBy(col(idCol))

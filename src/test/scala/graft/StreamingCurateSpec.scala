@@ -41,6 +41,36 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StreamingCurate.importanceScoreStream" should "score a live stream within 1e-9 of the batch operator" in {
+    implicit val sqlc = spark.sqlContext
+    val corpus = Seq((0L, good), (1L, spam), (2L, pii), (3L, es)).toDF("doc_id", "text")
+    val lr     = TextAnalysis.importanceLogRatios(corpus, corpus.filter($"doc_id" <= 0L))
+    val batch  = TextAnalysis.importanceWeights(corpus, corpus.filter($"doc_id" <= 0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val input = MemoryStream[ScDoc]
+    val cp    = Files.createTempDirectory("graft_sc_dsir_").toString
+    val q = StreamingCurate.importanceScoreStream(input.toDF(), lr)
+      .writeStream.format("memory").queryName("sc_dsir").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000000L)
+      input.addData(ScDoc(t0, 0L, good), ScDoc(t0, 1L, spam), ScDoc(t0, 2L, pii), ScDoc(t0, 3L, es))
+      q.processAllAvailable()
+      val streamed = spark.table("sc_dsir").select("doc_id", "weight").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      streamed.keySet shouldBe Set(0L, 1L, 2L, 3L)
+      // row-local doc-order fold vs the batch sorted fold: FP-equal to ~ulps
+      streamed.foreach { case (id, w) => w shouldBe batch(id) +- 1e-9 }
+      // the target-domain doc outranks the off-domain ones, as in batch
+      streamed(0L) should be > streamed(3L)
+    } finally q.stop()
+    // threshold filtering stays streaming-legal (stateless filter)
+    val kept = StreamingCurate.importanceScoreStream(corpus, lr, minWeight = Some(0.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept should contain(0L)
+    kept should not contain 3L
+  }
+
   it should "match the batch curation predicates on the same data" in {
     // the stream filter IS the batch predicate set — same expressions, so
     // a static frame through curateStream equals the hand-applied filters
