@@ -279,6 +279,18 @@ object OracleGen {
   /** mirror of [[graft.pipeline.Similarity.pqTopKRerank]]: ADC selects the
     * `nCand` compressed-domain candidates, exact cosine re-ranks them —
     * the re-rank stage shares `ann_topk`'s proven cosine/round spelling. */
+  /** mirror of [[Similarity.matryoshkaTopK]]: prefix-dimension cosine
+    * shortlist (the same component fold stopped at `dPrefix`), exact
+    * full-dimension re-rank of the `nCand` candidates. */
+  def matryoshkaTopKSql(dPrefix: Int, nCand: Int, k: Int, dim: Int, qid: Long = 0L): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = $qid),
+       |cd AS (SELECT e.vec_id AS id FROM e, q
+       |       ORDER BY ${cosSql("e", "embedding", "q", "qe", dPrefix)} DESC, e.vec_id LIMIT $nCand),
+       |rr AS (SELECT e2.vec_id, list_cosine_similarity(e2.embedding::DOUBLE[], (SELECT qe::DOUBLE[] FROM q)) AS s
+       |       FROM e e2 JOIN cd ON cd.id = e2.vec_id)
+       |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+
   def pqRerankSql(m: Int, kpq: Int, dim: Int, k: Int, nCand: Int, qid: Long = 0L): String = {
     require(dim % m == 0)
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),

@@ -774,6 +774,47 @@ object Similarity {
   }
 
   /**
+   * Matryoshka / prefix-dimension progressive retrieval (Kusupati et al.
+   * 2022, "Matryoshka Representation Learning"): MRL-trained embeddings
+   * pack coarse semantics into their leading dimensions, so the shortlist
+   * scores cosine over only the first `dPrefix` components — a
+   * `dPrefix/dim` fraction of the flops, and of the BYTES when the prefix
+   * is stored as its own column/file (the production layout; here the
+   * slice of the full vector keeps the gate honest about arithmetic, not
+   * storage). Exact full-dimension cosine then re-ranks the `nCand`
+   * shortlist. Same two-stage shape as [[pqTopKRerank]]: one fused
+   * scan + TakeOrdered for the shortlist, a broadcast semi-join touching
+   * `nCand` raw vectors for the re-rank.
+   */
+  def matryoshkaTopK(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      nCand: Int,
+      dPrefix: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 3
+  ): DataFrame = {
+    require(nCand >= k, "nCand must be >= k")
+    require(dPrefix > 0 && dPrefix <= queryVec.length, "dPrefix must be in [1, dim]")
+    GraftFunctions.register(df.sparkSession)
+    val qPre = lit(queryVec.take(dPrefix).map(_.toDouble).toArray)
+    val pre  = slice(col(vecCol), 1, dPrefix)
+    val cand = df
+      .select(col(idCol).as("id"), (fdot(pre, qPre) / (fnorm(pre) * fnorm(qPre))).as("psim"))
+      .orderBy(col("psim").desc, col("id"))
+      .limit(nCand)
+      .select(col("id"))
+    val q = lit(queryVec.map(_.toDouble).toArray)
+    df.join(broadcast(cand), df(idCol) === cand("id"))
+      .select(col(idCol), (fdot(col(vecCol), q) / (fnorm(col(vecCol)) * fnorm(q))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), dp).as("sim"))
+  }
+
+  /**
    * IVF-PQ — the production ANN composition (FAISS's IVFPQ / the Jégou
    * et al. 2011 IVFADC system): a coarse quantizer ([[ivfAssign]]'s
    * deterministic seed centroids) prunes the corpus to the `nprobe`

@@ -258,6 +258,19 @@ class PipelineSpec extends SparkTestBase {
     s.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "Similarity.matryoshkaTopK" should "reduce to exact brute force at dPrefix = dim" in {
+    val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val full  = Similarity.matryoshkaTopK(vecs, q, k = 3, nCand = 5, dPrefix = q.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    full shouldBe brute
+    // and the planted near-parallel vector survives a quarter-dim shortlist
+    val pre = Similarity.matryoshkaTopK(vecs, q, k = 2, nCand = 3, dPrefix = 4)
+      .collect().map(_.getLong(0))
+    pre should contain(1L)
+  }
+
   "Similarity.hardNegatives" should "exclude near-duplicate neighbors as unlabeled positives" in {
     val corpus = Similarity.vectorIndex(vecs, planesPerTable = 2, tables = 8)
     val qs     = vecs.filter(col("vec_id") === 0L) // base vector; vec 1 is ~parallel
