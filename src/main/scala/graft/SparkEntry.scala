@@ -628,6 +628,18 @@ object SparkEntry {
     // ---- keyword retrieval (pipeline/Retrieval): BM25 and hybrid RRF.
     // Two query terms keep the per-doc weight sum commutative, so scores
     // are bit-identical across engines and unrounded-top-k selection agrees
+    // ---- star-schema analytics (operators/Star): the general-OLAP face
+    // over the TPC-H-shaped tables — broadcast-dim joins, exact-cent sums
+    "st_pricing" -> ((s, d) =>
+      graft.operators.Star.pricingSummary(tbl(s, d, "lineitem"),
+        java.time.LocalDateTime.of(2000, 12, 1, 0, 0))),
+    "st_shipprio" -> ((s, d) =>
+      graft.operators.Star.shippingPriority(tbl(s, d, "customer"), tbl(s, d, "orders"),
+        tbl(s, d, "lineitem"), "BUILDING", java.time.LocalDateTime.of(1998, 6, 30, 0, 0))),
+    "st_localrev" -> ((s, d) =>
+      graft.operators.Star.localSupplierRevenue(tbl(s, d, "region"), tbl(s, d, "nation"),
+        tbl(s, d, "customer"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), tbl(s, d, "supplier"),
+        "ASIA", java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1998, 1, 1, 0, 0))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // the same query through the prebuilt inverted index (tokenize-once
     // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
@@ -735,6 +747,7 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
   private def emb(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/embeddings.parquet")
+  private def tbl(s: SparkSession, d: String, name: String): DataFrame = s.read.parquet(s"$d/$name.parquet")
 
   private val HourUs = 3600000000L
 
@@ -1221,6 +1234,40 @@ object SparkEntry {
         |FROM s WHERE sd > 0 AND abs((value - m) / sd) > 3.0 ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
     // ---- keyword retrieval oracles (rt_bm25_idx shares rt_bm25's SQL:
     // the index path must reproduce the corpus-scan result exactly)
+    // star-schema gates: every money sum is exact integer cents, cast
+    // ::BIGINT (DuckDB's sum(BIGINT) is HUGEINT — the tx_json trap), and
+    // derived doubles divide the exact sum once, in the same order as Spark
+    "st_pricing" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus, round(l_quantity)::BIGINT AS q,
+        |  round(l_extendedprice*100)::BIGINT AS ep, round(l_discount*100)::BIGINT AS d, round(l_tax*100)::BIGINT AS t
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus, sum(q)::BIGINT AS sum_qty,
+        |  sum(ep)::BIGINT::DOUBLE / 100.0 AS sum_base_price,
+        |  sum(ep*(100-d))::BIGINT::DOUBLE / 10000.0 AS sum_disc_price,
+        |  sum(ep*(100-d)*(100+t))::BIGINT::DOUBLE / 1000000.0 AS sum_charge,
+        |  sum(q)::BIGINT::DOUBLE / count(*)::DOUBLE AS avg_qty,
+        |  sum(ep)::BIGINT::DOUBLE / 100.0 / count(*)::DOUBLE AS avg_price,
+        |  count(*)::BIGINT AS count_order
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "st_shipprio" ->
+      """WITH li AS (SELECT l_orderkey, round(l_extendedprice*100)::BIGINT AS ep, round(l_discount*100)::BIGINT AS d
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-30 00:00:00')
+        |SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(ep*(100-d))::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM li JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+    "st_localrev" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, round(l_extendedprice*100)::BIGINT AS ep, round(l_discount*100)::BIGINT AS d
+        |  FROM lineitem)
+        |SELECT n_name, sum(ep*(100-d))::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),

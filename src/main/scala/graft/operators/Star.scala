@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Classic star-schema analytics over the TPC-H-shaped tables the harness
+ * ships (`lineitem`/`orders`/`customer`/`supplier`/`nation`/`region`) —
+ * the general-OLAP face of the engine next to the metric dialect: wide
+ * fact scans, broadcast dimension joins, partial aggregation.
+ *
+ * Money arithmetic is EXACT integer cents: prices/discounts/taxes are
+ * 2-dp-grained, so `round(x*100)` recovers exact BIGINT cents and every
+ * aggregate is an integer sum (map-side combined, engine-portable with no
+ * FP summation-order sensitivity — a parallel double sum over 6e8 rows
+ * agrees with a serial one only to ~1e-11 relative, which is exactly the
+ * flakiness class the DuckDB hash-compare would surface). Derived money
+ * columns divide the exact sum ONCE at the end. Overflow headroom: the
+ * widest per-row term (`cents × pct × pct`) is < 2^38; int64 sums carry
+ * ~2^25 such rows per group — beyond that, swap the sums to DECIMAL(38,0)
+ * (the shapes are otherwise unchanged).
+ *
+ * Date columns are TimestampNTZ; bounds are `LocalDateTime` literals so
+ * the comparison never routes through the session timezone.
+ */
+object Star {
+
+  private val epCents = round(col("l_extendedprice") * 100, 0).cast("long")
+  private val dPct    = round(col("l_discount") * 100, 0).cast("long")
+  private val tPct    = round(col("l_tax") * 100, 0).cast("long")
+  /** revenue numerator in cent·pct units: exact int, ÷1e4 at the end. */
+  private val revNum  = col("__ep") * (lit(100L) - col("__d"))
+
+  /**
+   * TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) the
+   * quantity/price/discounted/charged sums, averages and row count over
+   * lineitems shipped before `cutoff`. One scan, one 6-group aggregation;
+   * every sum is map-side partial.
+   */
+  def pricingSummary(lineitem: DataFrame, cutoff: LocalDateTime): DataFrame =
+    lineitem.filter(col("l_shipdate") <= lit(cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity"), 0).cast("long").as("__q"),
+        epCents.as("__ep"), dPct.as("__d"), tPct.as("__t"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("__q")).as("sum_qty"),
+        (sum(col("__ep")).cast("double") / 100.0).as("sum_base_price"),
+        (sum(revNum).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(revNum * (lit(100L) + col("__t"))).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(col("__q")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(col("__ep")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /**
+   * TPC-H Q3-shaped shipping priority: the 10 highest-revenue orders from
+   * one market segment, ordered before / shipped after `cut`. The segment
+   * slice of `customer` broadcasts (dimension side, explicitly hinted);
+   * the orders↔lineitem join shuffles on the order key; the final top-10
+   * is TakeOrdered on the exact-integer-derived revenue.
+   */
+  def shippingPriority(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String, cut: LocalDateTime): DataFrame =
+    lineitem.filter(col("l_shipdate") > lit(cut))
+      .select(col("l_orderkey"), epCents.as("__ep"), dPct.as("__d"))
+      .join(orders.filter(col("o_orderdate") < lit(cut))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(revNum).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /**
+   * TPC-H Q5-shaped local supplier revenue: per nation of one region, the
+   * revenue from orders in `[lo, hi)` where the supplying and ordering
+   * nations match. All three dimensions (`supplier`, `nation`, the
+   * region-filtered `region`) broadcast; the only shuffles are the
+   * fact-fact order-key join and the |nations|-row aggregation. The
+   * customer join is equi on (custkey, nationkey) — the nation-match
+   * rides the hash key, never a post-join filter over a wider product.
+   */
+  def localSupplierRevenue(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+      regionName: String, lo: LocalDateTime, hi: LocalDateTime): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), epCents.as("__ep"), dPct.as("__d"))
+      .join(orders.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(revNum).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+}

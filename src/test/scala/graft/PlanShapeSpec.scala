@@ -104,6 +104,27 @@ class PlanShapeSpec extends SparkTestBase {
     withClue(tf) { tf should include("TakeOrderedAndProject") }
   }
 
+  "the star-schema gates" should "broadcast every dimension side" in {
+    // q3/q5: dims (customer slice, supplier, nation, region) broadcast;
+    // only the fact-fact order-key join may shuffle. If a dim ever falls
+    // back to sort-merge, the 100 TB plan pays a fact-sized exchange.
+    Seq("st_shipprio", "st_localrev").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"$name:\n$plan") {
+        plan should include("BroadcastHashJoin")
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // q1: a single partial-aggregated scan — two exchanges total (the
+    // 6-group final agg + the 6-row output sort), no join anywhere
+    val q1 = SparkEntry.queries("st_pricing")(spark, dir).queryExecution.executedPlan.toString
+    withClue(q1) {
+      q1 should not include "Join"
+      exchanges(q1) shouldBe 2
+    }
+  }
+
   "the round-8 additions" should "keep their prescribed shuffle shapes" in {
     import graft.pipeline.{Multimodal, Sampling, TextAnalysis}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
