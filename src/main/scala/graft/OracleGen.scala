@@ -885,6 +885,18 @@ object OracleGen {
   /** mirror of [[Similarity.semDedup]]: IVF clustering, then within-cluster
     * pairwise cosine — a vector is dropped iff a smaller-id cluster member
     * is ≥ tau similar. */
+  /** mirror of [[Similarity.clusterBalancedSample]]: refined assignment,
+    * per-cluster prototypicality rank (cosine to the 6-dp-snapped mean
+    * centroid, id tiebreak), top `perCluster` kept. */
+  def clusterBalancedSampleSql(nlist: Int, perCluster: Int, dim: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)},
+       |r AS (SELECT a1.id, a1.centroid, ${cosSql("a1", "v", "c", "cvec", dim)} AS proto,
+       |        row_number() OVER (PARTITION BY a1.centroid
+       |          ORDER BY ${cosSql("a1", "v", "c", "cvec", dim)} DESC, a1.id) AS rn
+       |      FROM a1 JOIN c1 c ON c.cid = a1.centroid)
+       |SELECT id, centroid, round(proto, 4) AS proto_sim FROM r WHERE rn <= $perCluster
+       |ORDER BY id""".stripMargin.replace("\n", " ")
+
   def semDedupSql(tau: Double, nlist: Int, dim: Int): String =
     s"""WITH ${ivfAssignCtes(nlist, dim)},
        |drp AS (SELECT DISTINCT b.id FROM a1 a JOIN a1 b ON a.centroid = b.centroid AND a.id < b.id

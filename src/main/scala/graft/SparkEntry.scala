@@ -339,6 +339,10 @@ object SparkEntry {
     }),
     // SemDeDup: IVF clusters bound the pairwise cosine to within-cluster
     "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
+    // diversity complement of SemDeDup: cap each semantic cluster's
+    // contribution, keeping the most prototypical members
+    "sem_balance" -> ((s, d) =>
+      Similarity.clusterBalancedSample(emb(s, d), nlist = 16, perCluster = 10).orderBy("id")),
     // batch retrieval: per-query top-k against the pre-hashed corpus index
     "ann_join" -> ((s, d) => {
       val all    = emb(s, d)
@@ -857,6 +861,7 @@ object SparkEntry {
       nlist = Similarity.nlistFor(embCount),
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
+    "sem_balance" -> OracleGen.clusterBalancedSampleSql(nlist = 16, perCluster = 10, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_negatives" -> OracleGen.hardNegativesSql(m = 5, dupCut = 0.95, searchK = 10, qmod = 50,
       planesPerTable = 6, tables = 8, dim = 64),

@@ -925,6 +925,43 @@ object Similarity {
    * `nlist` (finer clusters) rather than capping, since unlike LSH buckets
    * a k-means cluster IS the semantic neighborhood being deduped.
    */
+  /**
+   * Cluster-balanced (diversity) selection — the composition complement
+   * of [[semDedup]]: assign every vector to its nearest (once-refined)
+   * centroid, rank within each cluster by PROTOTYPICALITY (cosine to the
+   * cluster centroid, id tiebreak) and keep the top `perCluster` — caps
+   * any one semantic region's contribution to a training mix, the
+   * cluster-balanced subset selection used to diversify web-crawl slices.
+   * The per-cluster rank is WindowGroupLimit-pruned map-side; driver
+   * state is the `nlist` centroid vectors (6-dp-snapped means, so both
+   * engines rank against identical floats).
+   */
+  def clusterBalancedSample(
+      df: DataFrame,
+      nlist: Int,
+      perCluster: Int,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val ix = ivfBuild(df, nlist, refineIterations, vecCol, idCol)
+    val seedRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(ix.centroids.toSeq.sortBy(_._1).map { case (cid, v) =>
+        org.apache.spark.sql.Row(cid, v.map(_.toDouble))
+      }: _*)
+    val seeds = df.sparkSession.createDataFrame(seedRows,
+      StructType(Seq(StructField("centroid", LongType), StructField("cv", ArrayType(DoubleType)))))
+    val proto = fdot(col("v"), col("cv")) / (fnorm(col("v")) * fnorm(col("cv")))
+    val w = Window.partitionBy(col("centroid")).orderBy(col("proto").desc, col("id"))
+    ix.assigned.join(broadcast(seeds), "centroid")
+      .withColumn("proto", proto)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCluster)
+      .select(col("id"), col("centroid"), round(col("proto"), 4).as("proto_sim"))
+  }
+
   def semDedup(
       df: DataFrame,
       tau: Double,

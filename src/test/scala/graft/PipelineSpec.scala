@@ -271,6 +271,16 @@ class PipelineSpec extends SparkTestBase {
     pre should contain(1L)
   }
 
+  "Similarity.clusterBalancedSample" should "cap every cluster at perCluster members" in {
+    val kept = Similarity.clusterBalancedSample(vecs, nlist = 2, perCluster = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    kept.groupBy(_._2).values.foreach(_.length shouldBe 1)     // hard cap
+    kept.map(_._2).distinct.length shouldBe kept.length        // one row per cluster
+    kept.foreach(_._3 should be <= 1.0001)                     // cosine-valued
+    // no cap: every vector survives
+    Similarity.clusterBalancedSample(vecs, nlist = 2, perCluster = 100).count() shouldBe 5L
+  }
+
   "Similarity.int8TopKRerank" should "recover the exact top-k through the quantized shortlist" in {
     val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
     // shortlist = whole corpus => re-rank IS exact brute force
