@@ -530,7 +530,9 @@ object Dedup {
       .select(explode(GraftFunctions.shingles(col(evalTextCol), shingleK)).as("sh"))
       .distinct()
       .pinned
-    val expected = math.max(1L, evalSh.count())
+    val expected = evalSh.count()
+    if (expected == 0L) return df // empty eval set: nothing can be contaminated
+                                  // (and Spark's bloom_filter_agg NPEs on zero rows)
     val bloom    = evalSh.stat.bloomFilter("sh", expected, fpp)
     val bc       = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))

@@ -216,6 +216,13 @@ class PipelineSpec extends SparkTestBase {
     b shouldBe x
   }
 
+  it should "pass everything through against an empty eval set, like the exact path" in {
+    val corpus = Seq((0L, "some text here"), (1L, "other text there")).toDF("doc_id", "text")
+    val emptyEval = corpus.filter(col("doc_id") < 0)
+    Dedup.decontaminateBloom(corpus, emptyEval, shingleK = 3).count() shouldBe 2L
+    Dedup.decontaminate(corpus, emptyEval, shingleK = 3).count() shouldBe 2L
+  }
+
   "Dedup.containmentPairs" should "flag subset duplication that Jaccard misses" in {
     // doc 11 is doc 10's text verbatim plus a long tail: word-trigram
     // containment of 11-in-10 side is ~1.0 while Jaccard stays low
@@ -305,6 +312,18 @@ class PipelineSpec extends SparkTestBase {
     negs.foreach(_._2 should be < 0.95)      // every negative is below the cutoff
     negs.map(_._3).sorted shouldBe (1 to negs.length).toArray // dense re-rank
     negs.length should be <= 3
+  }
+
+  it should "treat sub-k-word docs through the whole-text fallback shingle" in {
+    // two identical 2-word docs (< shingleK words): the fallback hash makes
+    // them a full-containment pair; an unrelated short doc pairs with nothing
+    val shorts = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other thing"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(shorts, threshold = 0.9, shingleK = 3, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    pairs.map(p => (p._1, p._2)) shouldBe Array((0L, 1L))
+    pairs.head._3 shouldBe 1.0
+    pairs.head._4 shouldBe 1.0
   }
 
   "Sampling.topFractionBy" should "keep the ceil(f*n) highest-weight rows with doc_id ties" in {
