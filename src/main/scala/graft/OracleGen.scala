@@ -372,6 +372,27 @@ object OracleGen {
     * log-ratio per vocab entry, per-doc token-ordered fold, mean, 6-dp
     * snap. All totals are integer-valued doubles (exact below 2^53), so
     * the only FP sensitivity is the fold order — pinned on both sides. */
+  /** mirror of [[graft.pipeline.TextAnalysis.gopherRules]]: the per-doc
+    * metrics, per-rule flags and composite keep, with the rule compares on
+    * the UNROUNDED exact-integer-derived doubles like the Spark side. */
+  def gopherRulesSql(minWords: Long, maxWords: Long, minMeanLen: Double, maxMeanLen: Double,
+                     maxSymbolRatio: Double, minStopHits: Long): String = {
+    val stops = "['the','a','of','and','to','in','is','on','for','it']"
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |m AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+       |  (length(text)::DOUBLE - (len(ws)::DOUBLE - 1.0)) / len(ws)::DOUBLE AS ml,
+       |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS sr,
+       |  len(list_intersect(list_distinct(ws), $stops))::BIGINT AS stop_hits FROM t)
+       |SELECT doc_id, n_words, round(ml, 4) AS mean_word_len, round(sr, 4) AS symbol_ratio, stop_hits,
+       |  (n_words BETWEEN $minWords AND $maxWords) AS words_ok,
+       |  (ml BETWEEN $minMeanLen AND $maxMeanLen) AS len_ok,
+       |  (sr <= $maxSymbolRatio) AS symbol_ok,
+       |  (stop_hits >= $minStopHits) AS stop_ok,
+       |  ((n_words BETWEEN $minWords AND $maxWords) AND (ml BETWEEN $minMeanLen AND $maxMeanLen)
+       |    AND sr <= $maxSymbolRatio AND stop_hits >= $minStopHits) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.TextAnalysis.crossBigramScore]] with the
     * target slice `documents WHERE targetWhere`: add-one-smoothed target
     * bigram LM, unseen words/bigrams coalesced to zero, per-doc

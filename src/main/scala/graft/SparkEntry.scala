@@ -403,6 +403,9 @@ object SparkEntry {
       val all = docs(s, d)
       TextAnalysis.importanceWeights(all, all.filter(col("source") === "src0")).orderBy("doc_id")
     }),
+    // Gopher rule panel: per-rule flags + composite keep over word count,
+    // mean word length, symbol ratio and distinct-stopword presence
+    "tx_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
     // CCNet-style cross-perplexity: score every doc under the src0 bigram LM
     "tx_xent" -> ((s, d) => {
       val all = docs(s, d)
@@ -896,6 +899,8 @@ object SparkEntry {
     "tx_dsir" -> OracleGen.importanceWeightsSql("source = 'src0'"),
     "tx_dsir_top" -> OracleGen.dsirTopSql("source = 'src0'", 0.25),
     "tx_xent" -> OracleGen.crossBigramScoreSql("source = 'src0'"),
+    "tx_gopher" -> OracleGen.gopherRulesSql(minWords = 30, maxWords = 100000,
+      minMeanLen = 3.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1, minStopHits = 2),
     "tx_drift" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
         |sw AS (SELECT source, w, count(*)::DOUBLE AS c_sw FROM w GROUP BY 1, 2),

@@ -173,6 +173,48 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style document quality rule panel (Rae et al. 2021, Gopher
+   * appendix A1.1, adapted to this corpus's single-space plain text):
+   * word count within `[minWords, maxWords]`, mean word length within
+   * `[minMeanLen, maxMeanLen]`, symbol character ratio at most
+   * `maxSymbolRatio`, and at least `minStopHits` DISTINCT stopwords
+   * present (the "real prose" signal). Emits the per-doc metrics, one
+   * flag per rule, and the composite `keep` — so a pipeline can both
+   * filter on `keep` and report per-rule rejection counts. Everything is
+   * a row-local codegen'd projection: mean word length is exact integer
+   * arithmetic over the single-space contract (`(chars − (n−1)) / n`),
+   * ratios snap to 4 dp once.
+   */
+  def gopherRules(
+      df: DataFrame,
+      minWords: Long = 30,
+      maxWords: Long = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopHits: Long = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val w        = words(col(textCol))
+    val n        = size(w).cast("long")
+    val meanLen  = (length(col(textCol)).cast("double") - (n.cast("double") - lit(1.0))) / n.cast("double")
+    val symbols  = length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", "")) // chars LEFT after removing word/space chars
+    val symRatio = symbols.cast("double") / length(col(textCol)).cast("double")
+    val stopHits = size(array_intersect(w, lit(Stopwords.toArray))).cast("long")
+    val wordsOk  = n.between(minWords, maxWords)
+    val lenOk    = meanLen.between(minMeanLen, maxMeanLen)
+    val symOk    = symRatio <= maxSymbolRatio
+    val stopOk   = stopHits >= minStopHits
+    df.select(col(idCol), n.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      stopHits.as("stop_hits"),
+      wordsOk.as("words_ok"), lenOk.as("len_ok"), symOk.as("symbol_ok"), stopOk.as("stop_ok"),
+      (wordsOk && lenOk && symOk && stopOk).as("keep"))
+  }
+
+  /**
    * Cross-corpus bigram scoring — the CCNet-style perplexity filter
    * (Wenzek et al. 2020): score every candidate doc under a bigram LM
    * trained on a TARGET corpus (add-one smoothing over the target

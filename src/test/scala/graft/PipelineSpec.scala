@@ -256,6 +256,24 @@ class PipelineSpec extends SparkTestBase {
     w.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "TextAnalysis.gopherRules" should "reject on exactly the violated rule" in {
+    val fixture = Seq(
+      (0L, ("the quick brown fox and the lazy dog run on in a field " * 3).trim), // passes all
+      (1L, "too short for the panel"),                                            // words_ok false
+      (2L, ("pneumonoultramicroscopicsilicovolcanoconiosis " * 31).trim),          // len_ok (and stop) fail
+      (3L, ("@# $% ^& *! (the) a of and to in is on for it " * 4).trim),           // symbol_ok false
+      (4L, ("zebra quartz viny jumps wolf pack mountain river stone cloud " * 4).trim) // stop_ok false
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(fixture, minWords = 10)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))).toMap
+    out(0L)._5 shouldBe true                  // composite keep
+    out(1L)._1 shouldBe false                 // word count
+    out(2L)._2 shouldBe false                 // mean word length
+    out(3L)._3 shouldBe false                 // symbol ratio
+    out(4L)._4 shouldBe false                 // stopword presence
+    out(4L)._5 shouldBe false                 // any violation kills keep
+  }
+
   "TextAnalysis.crossBigramScore" should "score target-domain docs above off-domain ones" in {
     val target = docs.filter(col("source") === "src0")
     val s = TextAnalysis.crossBigramScore(docs, target)
