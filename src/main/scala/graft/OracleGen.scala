@@ -291,6 +291,19 @@ object OracleGen {
        |       FROM e e2 JOIN cd ON cd.id = e2.vec_id)
        |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.oneBitTopKRerank]]: per-dimension sign
+    * mismatch count (exact integers), Hamming-ascending shortlist, exact
+    * full-precision re-rank. */
+  def oneBitRerankSql(nCand: Int, k: Int, dim: Int, qid: Long = 0L): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = $qid),
+       |cd AS (SELECT e.vec_id AS id FROM e, q
+       |       ORDER BY len(list_filter(range(1, ${dim + 1}),
+       |         i -> (e.embedding[i::INT] >= 0) <> (q.qe[i::INT] >= 0))) ASC, e.vec_id LIMIT $nCand),
+       |rr AS (SELECT e2.vec_id, list_cosine_similarity(e2.embedding::DOUBLE[], (SELECT qe::DOUBLE[] FROM q)) AS s
+       |       FROM e e2 JOIN cd ON cd.id = e2.vec_id)
+       |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.int8TopKRerank]]: per-vector symmetric int8
     * quantization (integral-valued doubles — exact), quantized-cosine
     * shortlist, exact full-precision re-rank. */

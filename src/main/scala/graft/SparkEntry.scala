@@ -304,6 +304,13 @@ object SparkEntry {
       val q  = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.pqTopKRerank(ix, e, q, k = 20, nCand = 60)
     }),
+    // 1-bit sign quantization: Hamming shortlist (32x smaller packed),
+    // exact fp re-rank — the far end of the compression spectrum
+    "ann_1bit" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.oneBitTopKRerank(e, q, k = 20, nCand = 60)
+    }),
     // int8 scalar quantization: integer-dot shortlist (4x smaller stored
     // form, codebook-free), exact fp re-rank of 60 candidates
     "ann_int8" -> ((s, d) => {
@@ -858,6 +865,7 @@ object SparkEntry {
     "ann_pq_rerank" -> OracleGen.pqRerankSql(m = 8, kpq = 16, dim = 64, k = 20, nCand = 60),
     "ann_mrl" -> OracleGen.matryoshkaTopKSql(dPrefix = 16, nCand = 60, k = 20, dim = 64),
     "ann_int8" -> OracleGen.int8RerankSql(nCand = 60, k = 20, dim = 64),
+    "ann_1bit" -> OracleGen.oneBitRerankSql(nCand = 60, k = 20, dim = 64),
     // derived sizing from the SAME functions the Spark side runs, applied
     // to the live count — lockstep at every SF without pinning
     "ann_ivf_auto" -> OracleGen.ivfTopKSql(

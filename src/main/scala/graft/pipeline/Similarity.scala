@@ -815,6 +815,45 @@ object Similarity {
   }
 
   /**
+   * 1-bit (sign) quantized two-stage retrieval — the far end of the
+   * compression spectrum after int8 and PQ: each dimension keeps only its
+   * sign (32× smaller than fp32 stored packed), the shortlist ranks by
+   * HAMMING distance between sign patterns (for mean-centered embeddings,
+   * sign agreement is a monotone proxy for cosine — the same fact
+   * hyperplane LSH exploits with random projections), and exact fp cosine
+   * re-ranks the `nCand` candidates. The sign-mismatch count is pure
+   * integer arithmetic (`zip_with` + `filter` + `size`, all codegen'd) —
+   * bit-for-bit portable across engines with no rounding pinning. At
+   * 100 TB pack the signs into `ceil(dim/64)` longs and XOR/bit_count;
+   * the gate checks the semantics on the unpacked form.
+   */
+  def oneBitTopKRerank(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      nCand: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 3
+  ): DataFrame = {
+    require(nCand >= k, "nCand must be >= k")
+    GraftFunctions.register(df.sparkSession)
+    val q   = lit(queryVec.map(_.toDouble).toArray)
+    val ham = size(filter(
+      zip_with(col(vecCol), q, (x, y) => (x >= 0) =!= (y >= 0)), b => b))
+    val cand = df
+      .select(col(idCol).as("id"), ham.as("ham"))
+      .orderBy(col("ham").asc, col("id"))
+      .limit(nCand)
+      .select(col("id"))
+    df.join(broadcast(cand), df(idCol) === cand("id"))
+      .select(col(idCol), (fdot(col(vecCol), q) / (fnorm(col(vecCol)) * fnorm(q))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), dp).as("sim"))
+  }
+
+  /**
    * Scalar-quantized (int8) two-stage retrieval — the other standard
    * compression point next to PQ: per-vector symmetric quantization
    * (`scale = 127/max|x_i|`, one byte per dimension stored at scale =

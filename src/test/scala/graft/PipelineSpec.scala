@@ -306,6 +306,18 @@ class PipelineSpec extends SparkTestBase {
     Similarity.clusterBalancedSample(vecs, nlist = 2, perCluster = 100).count() shouldBe 5L
   }
 
+  "Similarity.oneBitTopKRerank" should "recover the exact top-k through the sign-pattern shortlist" in {
+    val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val viaBits = Similarity.oneBitTopKRerank(vecs, q, k = 3, nCand = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    viaBits shouldBe brute
+    // the near-parallel vector has Hamming ~0 to the query: survives any shortlist
+    val tight = Similarity.oneBitTopKRerank(vecs, q, k = 2, nCand = 2).collect().map(_.getLong(0))
+    tight should contain(1L)
+  }
+
   "Similarity.int8TopKRerank" should "recover the exact top-k through the quantized shortlist" in {
     val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
     // shortlist = whole corpus => re-rank IS exact brute force
