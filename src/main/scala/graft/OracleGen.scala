@@ -88,6 +88,17 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.noveltyScores]]: shingle document frequencies,
+    * per-doc shared-fraction complement, 4-dp snap on the single divide. */
+  def noveltyScoresSql(shingleK: Int): String =
+    s"""WITH ${shingleCtes(shingleK)},
+       |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |f AS (SELECT h, count(*)::BIGINT AS docs FROM e GROUP BY h)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::BIGINT AS shared_shingles,
+       |  round(1.0 - sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS novelty
+       |FROM e JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.containmentPairs]]: capped shingle inverted index,
     * per-pair match count as the intersect size, asymmetric containment in
     * both directions. Threshold compares the UNROUNDED ratios, exactly

@@ -204,6 +204,8 @@ object SparkEntry {
         .orderBy("cluster_size")),
     // per-source duplicate-rate dashboard over the same labeling
     "d_report" -> ((s, d) => Dedup.dedupReport(docs(s, d), 0.5).orderBy("source")),
+    // boilerplate detector: per-doc fraction of shingles unique to the doc
+    "d_novelty" -> ((s, d) => Dedup.noveltyScores(docs(s, d)).orderBy("doc_id")),
     // eval-set decontamination: docs with doc_id % 10 == 0 play the
     // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
     "d_decon" -> ((s, d) => {
@@ -841,6 +843,7 @@ object SparkEntry {
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_report"  -> OracleGen.dedupReportSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_novelty" -> OracleGen.noveltyScoresSql(shingleK = 3),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
     // d_bloom deliberately SHARES d_decon's oracle: the bloom path must be
     // row-identical to the exact path (no false negatives + exact confirm)

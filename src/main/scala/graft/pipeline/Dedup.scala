@@ -596,6 +596,38 @@ object Dedup {
   }
 
   /**
+   * Per-doc NOVELTY score — the boilerplate detector: the fraction of a
+   * doc's distinct k-shingles that appear in NO other document
+   * (`novelty = 1 − shared/total`; 0 = pure template text, 1 = fully
+   * original). Complements the pairwise dedup family with a rankable
+   * per-doc signal — filter at a novelty floor to drop mirror/template
+   * pages without mining a single pair. Shape: one shingle explode, one
+   * count-docs-per-shingle aggregation (map-side combined, bare hashes),
+   * one join back, one per-doc aggregation — no self-join, no pair blowup,
+   * all counts exact integers.
+   */
+  def noveltyScores(
+      df: DataFrame,
+      shingleK: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val e = df
+      .select(col(idCol), explode(GraftFunctions.shingles(col(textCol), shingleK)).as("h"))
+      .pinned // read twice: the shingle-frequency agg and the join back
+    val freq = e.groupBy(col("h")).agg(count(lit(1)).as("__docs"))
+    val out = e.join(freq, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__docs") > 1L, 1L).otherwise(0L)).as("shared_shingles"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("shared_shingles").cast("double") / col("n_shingles").cast("double"), 4))
+    out
+  }
+
+  /**
    * Per-source dedup health report: doc count, duplicate count (docs that
    * are NOT their cluster's representative) and the duplicate rate for
    * each source — the dashboard number for "how much of this feed is

@@ -223,6 +223,19 @@ class PipelineSpec extends SparkTestBase {
     Dedup.decontaminate(corpus, emptyEval, shingleK = 3).count() shouldBe 2L
   }
 
+  "Dedup.noveltyScores" should "score template text 0 and unique text 1" in {
+    val corpus = Seq(
+      (0L, "common template words repeated here"),
+      (1L, "common template words repeated here"),          // exact copy of 0
+      (2L, "entirely unique content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val nv = Dedup.noveltyScores(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    nv(0L) shouldBe 0.0 // every shingle shared with the copy
+    nv(1L) shouldBe 0.0
+    nv(2L) shouldBe 1.0 // no shingle appears elsewhere
+  }
+
   "Dedup.containmentPairs" should "flag subset duplication that Jaccard misses" in {
     // doc 11 is doc 10's text verbatim plus a long tail: word-trigram
     // containment of 11-in-10 side is ~1.0 while Jaccard stays low
