@@ -720,9 +720,15 @@ object OracleGen {
     * behind [[annJoinSql]] and [[knnClassifySql]]. */
   private def annJoinCtes(qmod: Int, planesPerTable: Int, tables: Int, dim: Int,
                           multiProbe: Boolean): String =
+    annJoinCtesWhere(s"vec_id % $qmod = 0", planesPerTable, tables, dim, multiProbe)
+
+  /** [[annJoinCtes]] with an arbitrary query-set predicate (e.g. an IN
+    * subquery) instead of the modulo slice. */
+  private def annJoinCtesWhere(queryWhere: String, planesPerTable: Int, tables: Int, dim: Int,
+                               multiProbe: Boolean): String =
     s"""${lshBucketCtes(planesPerTable, tables, dim)},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
-       |         FROM (SELECT * FROM ${probeRel(planesPerTable, multiProbe)} WHERE vec_id % $qmod = 0) q
+       |         FROM (SELECT * FROM ${probeRel(planesPerTable, multiProbe)} WHERE $queryWhere) q
        |         JOIN bd c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
        |v AS (SELECT query_id, id, round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.query_id JOIN e eb ON eb.vec_id = cand.id),
@@ -745,6 +751,24 @@ object OracleGen {
        |       FROM r WHERE rank <= $searchK AND sim < $dupCut)
        |SELECT query_id, id, sim, neg_rank FROM hn WHERE neg_rank <= $m
        |ORDER BY query_id, neg_rank""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[Similarity.contrastiveTriplets]]: minhash near-dup pairs
+    * (suffixed CTEs) pick each anchor's positive (min paired id); the
+    * retrieval chain runs with queries = the anchor set; negatives exclude
+    * the positive BEFORE the re-rank, exactly like the Spark side. */
+  def contrastiveTripletsSql(jaccardThreshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                             maxBucket: Int, m: Int, dupCut: Double, searchK: Int,
+                             planesPerTable: Int, tables: Int, dim: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket, sfx = "m")},
+       |pos AS (SELECT id_a, min(id_b) AS positive_id FROM vm WHERE jaccard >= $jaccardThreshold GROUP BY id_a),
+       |${annJoinCtesWhere("vec_id IN (SELECT id_a FROM pos)", planesPerTable, tables, dim, multiProbe = false)},
+       |hn AS (SELECT r.query_id, r.id, r.sim,
+       |         row_number() OVER (PARTITION BY r.query_id ORDER BY r.sim DESC, r.id) AS neg_rank
+       |       FROM r JOIN pos ON pos.id_a = r.query_id
+       |       WHERE r.rank <= $searchK AND r.sim < $dupCut AND r.id <> pos.positive_id)
+       |SELECT hn.query_id AS anchor_id, pos.positive_id, hn.id AS negative_id, hn.sim, hn.neg_rank
+       |FROM hn JOIN pos ON pos.id_a = hn.query_id WHERE hn.neg_rank <= $m
+       |ORDER BY anchor_id, neg_rank""".stripMargin.replace("\n", " ")
 
   /** mirror of [[Similarity.knnClassify]]: the [[annJoinSql]] retrieval
     * chain, labels joined on the neighbor id (cast BIGINT so the hash

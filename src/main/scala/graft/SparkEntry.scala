@@ -360,6 +360,12 @@ object SparkEntry {
       Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
         planesPerTable = 6, tables = 8).orderBy("query_id", "rank")
     }),
+    // full contrastive-triplet composition: text near-dup positives
+    // (minhash), embedding hard negatives, positive excluded pre-rank
+    "ann_triplets" -> ((s, d) =>
+      Similarity.contrastiveTriplets(docs(s, d), emb(s, d),
+        jaccardThreshold = 0.5, m = 3, dupCut = 0.95, searchK = 10)
+        .orderBy("anchor_id", "neg_rank")),
     // contrastive hard negatives: top-10 retrieval, near-dups (sim >= .95)
     // dropped as unlabeled positives, top-5 kept per query
     "ann_negatives" -> ((s, d) => {
@@ -879,6 +885,9 @@ object SparkEntry {
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_negatives" -> OracleGen.hardNegativesSql(m = 5, dupCut = 0.95, searchK = 10, qmod = 50,
       planesPerTable = 6, tables = 8, dim = 64),
+    "ann_triplets" -> OracleGen.contrastiveTripletsSql(jaccardThreshold = 0.5,
+      numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000,
+      m = 3, dupCut = 0.95, searchK = 10, planesPerTable = 6, tables = 8, dim = 64),
     "ann_knn"   -> OracleGen.knnClassifySql(k = 10, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_join_mp" -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 4,
       dim = 64, multiProbe = true),

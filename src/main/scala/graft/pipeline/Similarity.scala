@@ -419,6 +419,46 @@ object Similarity {
       .select(col("query_id"), col("id"), col("sim"), col("neg_rank"))
   }
 
+  /**
+   * Contrastive training triplets — the end-to-end composition tying the
+   * text-dedup and vector-retrieval families together: anchors are the
+   * docs that HAVE a text near-duplicate ([[Dedup.minhashLshPairs]]; the
+   * positive is the smallest paired id — deterministic), negatives are
+   * the anchor embedding's hard negatives (the [[annJoin]] chain, with
+   * neighbors at `sim >= dupCut` AND the positive itself excluded BEFORE
+   * the re-rank — the positive is by construction an unlabeled positive).
+   * Emits `(anchor_id, positive_id, negative_id, sim, neg_rank)` rows
+   * ready for a bi-encoder trainer. Assumes doc ids and vector ids align
+   * (the corpus embedding contract).
+   */
+  def contrastiveTriplets(
+      docsDf: DataFrame,
+      embDf: DataFrame,
+      jaccardThreshold: Double,
+      m: Int,
+      dupCut: Double,
+      searchK: Int,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Dedup.minhashLshPairs(docsDf, jaccardThreshold, idCol = docIdCol)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("positive_id"))
+      .pinned // read twice: the anchor semi-join and the positive-exclusion join
+    val anchors = embDf.join(pos.select(col("id_a").as(vecIdCol)), Seq(vecIdCol), "left_semi")
+    val corpus  = vectorIndex(embDf, planesPerTable, tables).pinned
+    val nn = annJoin(anchors, corpus, searchK, planesPerTable, tables, idCol = vecIdCol)
+    val w  = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    nn.join(broadcast(pos.withColumnRenamed("id_a", "query_id")), "query_id")
+      .filter(col("sim") < dupCut && col("id") =!= col("positive_id"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= m)
+      .select(col("query_id").as("anchor_id"), col("positive_id"),
+        col("id").as("negative_id"), col("sim"), col("neg_rank"))
+  }
+
   def knnClassify(
       queries: DataFrame,
       corpusIndex: DataFrame,

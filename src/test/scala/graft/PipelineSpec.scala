@@ -345,6 +345,22 @@ class PipelineSpec extends SparkTestBase {
     tight should contain(1L) // rank 1 is the self-match; rank 2 the planted near-dup
   }
 
+  "Similarity.contrastiveTriplets" should "pair text-dup anchors with non-positive negatives" in {
+    // docs 0/1 near-dup and 0/4 exact-dup (bigram jaccard >= 0.5): anchors
+    // with positives exist; vecs ids align with doc ids 0..4
+    val t = Similarity.contrastiveTriplets(docs, vecs,
+      jaccardThreshold = 0.5, m = 2, dupCut = 0.95, searchK = 4,
+      planesPerTable = 2, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    t should not be empty
+    t.foreach { case (a, p, n, _) =>
+      n should not be a // never the anchor itself
+      n should not be p // never the positive
+    }
+    // dense per-anchor re-rank starting at 1
+    t.groupBy(_._1).values.foreach(g => g.map(_._4).sorted shouldBe (1 to g.length).toArray)
+  }
+
   "Similarity.hardNegatives" should "exclude near-duplicate neighbors as unlabeled positives" in {
     val corpus = Similarity.vectorIndex(vecs, planesPerTable = 2, tables = 8)
     val qs     = vecs.filter(col("vec_id") === 0L) // base vector; vec 1 is ~parallel
