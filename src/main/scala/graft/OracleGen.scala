@@ -99,6 +99,25 @@ object OracleGen {
        |  round(1.0 - sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS novelty
        |FROM e JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.segmentDedup]]: non-overlapping `segWords`-word
+    * segments, boilerplate = exact segment content in >= `minDocs` distinct
+    * docs, per-doc reassembly of survivors in segment order. The compare is
+    * on segment TEXT here where Spark anti-joins on md5(text) — identical
+    * results absent an md5 collision. */
+  def segmentDedupSql(segWords: Int, minDocs: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |u AS (SELECT doc_id, ws, unnest(range(0, len(ws), $segWords)) AS st FROM t),
+       |s AS (SELECT doc_id, (st // $segWords)::BIGINT AS seg_idx,
+       |  array_to_string(list_slice(ws, (st+1)::INT, (st+$segWords)::INT), ' ') AS seg FROM u),
+       |b AS (SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= $minDocs),
+       |k AS (SELECT s.* FROM s ANTI JOIN b USING (seg)),
+       |p AS (SELECT doc_id, count(*)::BIGINT AS n_segments FROM s GROUP BY doc_id),
+       |r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+       |  count(*)::BIGINT AS n_kept FROM k GROUP BY doc_id)
+       |SELECT p.doc_id, coalesce(r.clean_text, '') AS clean_text, p.n_segments,
+       |  (p.n_segments - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+       |FROM p LEFT JOIN r USING (doc_id) ORDER BY p.doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.containmentPairs]]: capped shingle inverted index,
     * per-pair match count as the intersect size, asymmetric containment in
     * both directions. Threshold compares the UNROUNDED ratios, exactly

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TimeSeries
+import graft.operators.{Rollup, TimeSeries}
 import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.plan.TimeContext
 
@@ -206,6 +206,9 @@ object SparkEntry {
     "d_report" -> ((s, d) => Dedup.dedupReport(docs(s, d), 0.5).orderBy("source")),
     // boilerplate detector: per-doc fraction of shingles unique to the doc
     "d_novelty" -> ((s, d) => Dedup.noveltyScores(docs(s, d)).orderBy("doc_id")),
+    // corpus-wide line/segment dedup: drop 4-word segments repeated across
+    // >= 2 docs, reassemble surviving text per doc (CCNet/RefinedWeb pass)
+    "d_lines" -> ((s, d) => Dedup.segmentDedup(docs(s, d), segWords = 4, minDocs = 2).orderBy("doc_id")),
     // eval-set decontamination: docs with doc_id % 10 == 0 play the
     // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
     "d_decon" -> ((s, d) => {
@@ -635,6 +638,21 @@ object SparkEntry {
     "ts_sanom" -> ((s, d) =>
       TimeSeries.seasonalAnomalies(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         period = 24, k = 2.0).orderBy("event_type", "ts")),
+    // incrementally-maintained rollup: stats built on two disjoint event
+    // slices then MERGED must equal a full recompute (proven cross-engine
+    // against DuckDB's direct aggregation over all events)
+    "roll_maint" -> ((s, d) => {
+      val ev = evUsAll(s, d).select("event_id", "event_type", "ts", "value")
+      val base  = Rollup.build(ev.filter(col("event_id") % 5 =!= 0), Seq("event_type"), "ts", "value", HourUs)
+      val delta = Rollup.build(ev.filter(col("event_id") % 5 === 0), Seq("event_type"), "ts", "value", HourUs)
+      Rollup.serve(Rollup.merge(base, delta)).orderBy("event_type", "bucket")
+    }),
+    // hourly → daily re-grain without touching raw events: coarser serving
+    // aggregates derived from the stats table alone
+    "roll_regrain" -> ((s, d) => {
+      val hourly = Rollup.build(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+      Rollup.serve(Rollup.regrain(hourly, 24 * HourUs)).orderBy("event_type", "bucket")
+    }),
     // per-user consecutive-event transition matrix (empirical Markov chain)
     "ev_trans" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
@@ -850,6 +868,7 @@ object SparkEntry {
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_report"  -> OracleGen.dedupReportSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_novelty" -> OracleGen.noveltyScoresSql(shingleK = 3),
+    "d_lines"   -> OracleGen.segmentDedupSql(segWords = 4, minDocs = 2),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
     // d_bloom deliberately SHARES d_decon's oracle: the bloom path must be
     // row-identical to the exact path (no false negatives + exact confirm)
@@ -1203,6 +1222,20 @@ object SparkEntry {
          |FROM u JOIN m ON u.event_type = m.event_type
          |WHERE abs(resid) > 2.0 * rms ORDER BY u.event_type, ts""".stripMargin.replace("\n", " ")
     },
+    // incremental rollup: the merged stats table must equal DuckDB's full
+    // direct aggregation (sum snap round(,3); mean divides the 6-dp snap)
+    "roll_maint" ->
+      s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS bucket,
+         |  count(*)::BIGINT AS n, round(sum(value), 3) AS total,
+         |  min(value) AS vmin, max(value) AS vmax,
+         |  round(sum(value), 6) / count(*) AS mean
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "roll_regrain" ->
+      s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % ${24 * HourUs} AS bucket,
+         |  count(*)::BIGINT AS n, round(sum(value), 3) AS total,
+         |  min(value) AS vmin, max(value) AS vmax,
+         |  round(sum(value), 6) / count(*) AS mean
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     // Holt: the struct scan's level expression is spelled out INSIDE the
     // trend expression on both sides (same op sequence), init {x1, 0.0},
     // sentinel-free (first element is the seed state)

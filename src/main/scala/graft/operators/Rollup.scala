@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained pre-aggregated rollups — the Spark-native
+ * analogue of the reference's write-time facet indexes (NSDb maintains
+ * count/sum taxonomy facets per shard as data arrives,
+ * `nsdb-core/src/main/scala/io/radicalbit/nsdb/index/AllFacetIndexes.scala:147-169`,
+ * so serving-layer aggregations never rescan raw points). Here the rollup
+ * is a SUFFICIENT-STATISTICS table `(keys…, bucket, n, vsum, vmin, vmax)`:
+ * every serving aggregate (count/sum/avg/min/max, any coarser time grain)
+ * derives from it, and appending a new batch of raw events never touches
+ * the already-rolled history — [[build]] the delta, [[merge]] two stats
+ * tables. Merge is associative/commutative, so maintenance parallelizes
+ * and re-orders freely (the property NSDb's per-shard facet merge relies
+ * on, `post_proc/package.scala:261-321`).
+ *
+ * 100 TB shape: [[build]] is one map-side-combined aggregation (the only
+ * shuffle carries pre-aggregated `(key, bucket)` rows, not events);
+ * [[merge]] unions two already-tiny stats tables and re-aggregates — at
+ * 1000 executors the rollup of a 100 TB day is MBs, so serving queries on
+ * it are interactive while the raw table stays cold.
+ */
+object Rollup {
+
+  /** exact long floor-to-bucket (correct pre-epoch, exact above 2^53). */
+  private def bucketExpr(tsCol: String, step: Long) =
+    expr(s"(($tsCol - pmod($tsCol, ${step}L)) div ${step}L) * ${step}L")
+
+  /**
+   * Roll raw events up to `(keys…, bucket)` sufficient statistics. `step`
+   * is the bucket width in `tsCol` units; `bucket` is the bucket's lower
+   * edge in the same units.
+   */
+  def build(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long
+  ): DataFrame = {
+    require(step > 0, "step must be positive")
+    df.groupBy(keys.map(col) :+ bucketExpr(tsCol, step).as("bucket"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("vsum"),
+        min(col(valueCol)).as("vmin"),
+        max(col(valueCol)).as("vmax"))
+  }
+
+  /**
+   * Merge two sufficient-statistics tables (same keys + bucket grain):
+   * the incremental-maintenance step. `merge(build(a), build(b)) ==
+   * build(a ∪ b)` up to float-sum ordering — the gate proves it against
+   * a full recompute in a different engine.
+   */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    val groupCols = a.columns.filterNot(Set("n", "vsum", "vmin", "vmax")).toSeq
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
+  }
+
+  /**
+   * Serving view over a stats table: the five standard aggregates with the
+   * float sums snapped to a decimal lattice (`round(sum, sumDp)` absorbs
+   * summation-order noise; the avg divides the snapped sum — one exact
+   * IEEE op, cross-engine stable, see [[TimeSeries.resample]]).
+   */
+  def serve(rollup: DataFrame, sumDp: Int = 3): DataFrame = {
+    val groupCols = rollup.columns.filterNot(Set("n", "vsum", "vmin", "vmax")).toSeq
+    rollup.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        round(col("vsum"), sumDp).as("total"),
+        col("vmin"),
+        col("vmax"),
+        (round(col("vsum"), 6) / col("n")).as("mean")): _*)
+  }
+
+  /**
+   * Re-grain a stats table to a coarser bucket (e.g. hourly → daily)
+   * without touching raw data — `coarseStep` must be a multiple of the
+   * built step for exact containment.
+   */
+  def regrain(rollup: DataFrame, coarseStep: Long): DataFrame = {
+    require(coarseStep > 0, "coarseStep must be positive")
+    val groupCols = rollup.columns.filterNot(Set("bucket", "n", "vsum", "vmin", "vmax")).toSeq
+    rollup
+      .withColumn("bucket", bucketExpr("bucket", coarseStep))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
+  }
+}

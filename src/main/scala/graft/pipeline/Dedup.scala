@@ -936,4 +936,67 @@ object Dedup {
          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Segment-level boilerplate removal — the corpus-wide "line dedup" pass
+   * of web-crawl curation (CCNet removes duplicated paragraphs, RefinedWeb
+   * duplicated lines, before any document-level dedup runs), adapted to
+   * newline-less corpora: the dedup unit is a fixed `segWords`-word
+   * non-overlapping segment. A segment whose exact content appears in at
+   * least `minDocs` DISTINCT documents is boilerplate (headers, nav bars,
+   * license blocks); every occurrence is dropped and each document's text
+   * is reassembled from its surviving segments in order.
+   *
+   * Output: `(doc_id, clean_text, n_segments, n_removed)` — one row per
+   * input document (fully-boilerplate docs keep a row with empty text, so
+   * the caller can filter or count them).
+   *
+   * 100 TB shape: segments shuffle as 16-byte md5 digests, never text
+   * (`freq` groups on the digest; the boilerplate-key semi-join carries
+   * digests only). The reassembly groups each doc's surviving segments —
+   * the same `doc_id`-keyed shuffle the explode produced, no extra
+   * exchange beyond the frequency aggregation. The boilerplate key set is
+   * tiny relative to the corpus (repeated content only), so AQE turns the
+   * anti-join into a broadcast at runtime.
+   */
+  def segmentDedup(
+      df: DataFrame,
+      segWords: Int = 4,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would drop every segment)")
+    val ws = split(col(textCol), " ")
+    val segs = df
+      .select(col(idCol), ws.as("ws"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(segWords))).as(Seq("seg_idx", "st")),
+        col("ws"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(slice(col("ws"), col("st") + 1, lit(segWords)), " ").as("seg"))
+      .withColumn("digest", md5(col("seg")))
+      .pinned // read twice: frequency agg + anti-join back
+    val boiler = segs
+      .groupBy(col("digest"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("digest")
+    val kept = segs.join(boiler, Seq("digest"), "left_anti")
+    val perDoc = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segments"))
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(array_sort(collect_list(struct(col("seg_idx"), col("seg")))) // sorts by seg_idx
+          .getField("seg"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    perDoc
+      .join(reassembled, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -236,6 +236,33 @@ class PipelineSpec extends SparkTestBase {
     nv(2L) shouldBe 1.0 // no shingle appears elsewhere
   }
 
+  "Dedup.segmentDedup" should "strip repeated segments and reassemble survivors in order" in {
+    // 2-word segments; "nav bar" opens docs 0 and 1 (boilerplate), the
+    // tails are unique; doc 2 is pure boilerplate and must survive as a
+    // row with empty text
+    val corpus = Seq(
+      (0L, "nav bar alpha beta gamma delta"),
+      (1L, "nav bar epsilon zeta eta theta"),
+      (2L, "nav bar")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, segWords = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    out(0L) shouldBe (("alpha beta gamma delta", 3L, 1L))
+    out(1L) shouldBe (("epsilon zeta eta theta", 3L, 1L))
+    out(2L) shouldBe (("", 1L, 1L))
+  }
+
+  it should "keep segments repeated within ONE doc (minDocs counts distinct docs)" in {
+    val corpus = Seq(
+      (0L, "spam spam spam spam"),
+      (1L, "fresh words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, segWords = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(0L) shouldBe "spam spam spam spam" // intra-doc repeat is not corpus boilerplate
+    out(1L) shouldBe "fresh words only here"
+  }
+
   "Dedup.containmentPairs" should "flag subset duplication that Jaccard misses" in {
     // doc 11 is doc 10's text verbatim plus a long tail: word-trigram
     // containment of 11-in-10 side is ~1.0 while Jaccard stays low

@@ -266,4 +266,35 @@ class TimeSeriesSpec extends SparkTestBase {
     r.isNullAt(2) shouldBe true
     r.isNullAt(3) shouldBe true
   }
+
+  "Rollup" should "make merge(build(a), build(b)) equal build(a union b)" in {
+    import graft.operators.Rollup
+    val a = Seq(("x", 5L, 2.0), ("x", 9L, 4.0), ("y", 25L, 7.0)).toDF("k", "ts", "v")
+    val b = Seq(("x", 7L, 6.0), ("y", 12L, 1.0)).toDF("k", "ts", "v")
+    val merged = Rollup.serve(Rollup.merge(
+      Rollup.build(a, Seq("k"), "ts", "v", 10L),
+      Rollup.build(b, Seq("k"), "ts", "v", 10L))).orderBy("k", "bucket").collect()
+    val full = Rollup.serve(Rollup.build(a.unionByName(b), Seq("k"), "ts", "v", 10L))
+      .orderBy("k", "bucket").collect()
+    merged.map(_.toSeq) shouldBe full.map(_.toSeq)
+    // spot-check the stats: bucket 0 of x holds 2.0, 4.0, 6.0
+    val x0 = merged.find(r => r.getString(0) == "x" && r.getLong(1) == 0L).get
+    x0.getLong(2) shouldBe 3L
+    x0.getDouble(3) shouldBe 12.0
+    x0.getDouble(4) shouldBe 2.0
+    x0.getDouble(5) shouldBe 6.0
+    x0.getDouble(6) shouldBe 4.0
+  }
+
+  it should "regrain hourly stats to a coarser bucket exactly" in {
+    import graft.operators.Rollup
+    val ev = Seq(("x", 0L, 1.0), ("x", 15L, 3.0), ("x", 25L, 5.0)).toDF("k", "ts", "v")
+    val fine   = Rollup.build(ev, Seq("k"), "ts", "v", 10L)  // buckets 0, 10, 20
+    val coarse = Rollup.serve(Rollup.regrain(fine, 30L)).collect()
+    coarse.length shouldBe 1
+    coarse.head.getLong(2) shouldBe 3L       // n
+    coarse.head.getDouble(3) shouldBe 9.0    // total
+    coarse.head.getDouble(4) shouldBe 1.0    // vmin
+    coarse.head.getDouble(5) shouldBe 5.0    // vmax
+  }
 }
