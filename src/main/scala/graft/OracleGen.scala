@@ -440,8 +440,8 @@ object OracleGen {
     * target slice `documents WHERE targetWhere`: add-one-smoothed target
     * bigram LM, unseen words/bigrams coalesced to zero, per-doc
     * sorted-value fold, 4-dp snap. */
-  def crossBigramScoreSql(targetWhere: String): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def crossBigramCtes(targetWhere: String): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |b AS (SELECT doc_id, ws[i::INT] AS w1, ws[(i+1)::INT] AS w2
        |      FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
        |tw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE $targetWhere),
@@ -451,10 +451,23 @@ object OracleGen {
        |vv AS (SELECT count(*)::BIGINT AS v FROM uc),
        |bc AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b2 GROUP BY 1, 2),
        |lp AS (SELECT doc_id, ln((coalesce(c2, 0)::DOUBLE + 1.0) / (coalesce(c1, 0)::DOUBLE + v::DOUBLE)) AS lp
-       |       FROM b LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN vv)
-       |SELECT doc_id,
+       |       FROM b LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN vv),
+       |xs AS (SELECT doc_id,
        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(lp))), (a, x) -> a + x) / count(*), 4) AS xent_score
-       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
+  def crossBigramScoreSql(targetWhere: String): String =
+    s"""WITH ${crossBigramCtes(targetWhere)}
+       |SELECT doc_id, xent_score FROM xs ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[TextAnalysis.perplexityBuckets]]: CCNet-style
+    * head/middle/tail thirds by target-LM score, ntile(3) over the total
+    * order (score DESC, doc_id) on the 4-dp-snapped score. */
+  def perplexityBucketsSql(targetWhere: String): String =
+    s"""WITH ${crossBigramCtes(targetWhere)}
+       |SELECT doc_id, xent_score,
+       |  (['head', 'middle', 'tail'])[ntile(3) OVER (ORDER BY xent_score DESC, doc_id)] AS ppl_bucket
+       |FROM xs ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   private def importanceWeightsCtes(targetWhere: String): String =
     s"""sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

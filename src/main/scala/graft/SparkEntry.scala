@@ -429,6 +429,11 @@ object SparkEntry {
       val all = docs(s, d)
       TextAnalysis.crossBigramScore(all, all.filter(col("source") === "src0")).orderBy("doc_id")
     }),
+    // CCNet head/middle/tail thirds over the same target-LM scores
+    "tx_pplbucket" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.perplexityBuckets(all, all.filter(col("source") === "src0")).orderBy("doc_id")
+    }),
     // the composed resampling half: top-quarter slice by DSIR weight
     // (TakeOrderedAndProject — per-partition top-k, no global sort)
     "tx_dsir_top" -> ((s, d) => {
@@ -653,6 +658,11 @@ object SparkEntry {
       val hourly = Rollup.build(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
       Rollup.serve(Rollup.regrain(hourly, 24 * HourUs)).orderBy("event_type", "bucket")
     }),
+    // RFM customer-value quintiles; now pinned to the query TimeContext
+    "ev_rfm" -> ((s, d) => {
+      val ev = evUsAll(s, d).select("user_id", "ts", "value")
+      graft.operators.Relational.rfmScores(ev, Now * 1000L).orderBy("user_id")
+    }),
     // per-user consecutive-event transition matrix (empirical Markov chain)
     "ev_trans" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
@@ -680,6 +690,16 @@ object SparkEntry {
       graft.operators.Star.localSupplierRevenue(tbl(s, d, "region"), tbl(s, d, "nation"),
         tbl(s, d, "customer"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), tbl(s, d, "supplier"),
         "ASIA", java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1998, 1, 1, 0, 0))),
+    "st_custdist" -> ((s, d) =>
+      graft.operators.Star.customerDistribution(tbl(s, d, "customer"), tbl(s, d, "orders"))),
+    "st_mktshare" -> ((s, d) =>
+      graft.operators.Star.marketShare(tbl(s, d, "region"), tbl(s, d, "nation"),
+        tbl(s, d, "customer"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), tbl(s, d, "supplier"),
+        "ASIA", "NATION_7",
+        java.time.LocalDateTime.of(1995, 1, 1, 0, 0), java.time.LocalDateTime.of(1999, 1, 1, 0, 0))),
+    "st_dormant" -> ((s, d) =>
+      graft.operators.Star.dormantHighBalance(tbl(s, d, "customer"), tbl(s, d, "orders"),
+        tbl(s, d, "nation"))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // the same query through the prebuilt inverted index (tokenize-once
     // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
@@ -938,6 +958,7 @@ object SparkEntry {
     "tx_dsir" -> OracleGen.importanceWeightsSql("source = 'src0'"),
     "tx_dsir_top" -> OracleGen.dsirTopSql("source = 'src0'", 0.25),
     "tx_xent" -> OracleGen.crossBigramScoreSql("source = 'src0'"),
+    "tx_pplbucket" -> OracleGen.perplexityBucketsSql("source = 'src0'"),
     "tx_gopher" -> OracleGen.gopherRulesSql(minWords = 30, maxWords = 100000,
       minMeanLen = 3.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1, minStopHits = 2),
     "tx_drift" ->
@@ -1331,6 +1352,37 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " "),
+    "st_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "),
+    // market share: numerator and denominator are exact cent·pct integer
+    // sums; the one division happens after both snaps on both engines
+    "st_mktshare" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, round(l_extendedprice*100)::BIGINT AS ep, round(l_discount*100)::BIGINT AS d
+        |  FROM lineitem),
+        |j AS (SELECT year(o_orderdate)::BIGINT AS o_year, ep*(100-d) AS rev, sn.n_name AS s_nation
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT o_year, round(sum(CASE WHEN s_nation = 'NATION_7' THEN rev ELSE 0 END)::DOUBLE
+        |  / sum(rev)::DOUBLE, 6) AS mkt_share
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", " "),
+    // dormant high-balance: bal*n > total is the exact cross-multiplied
+    // integer form of bal > avg — no float boundary on either engine
+    "st_dormant" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, round(c_acctbal*100)::BIGINT AS bal FROM customer),
+        |t AS (SELECT sum(bal)::BIGINT AS total, count(*)::BIGINT AS n FROM c WHERE bal > 0),
+        |f AS (SELECT c.* FROM c, t WHERE bal * n > total),
+        |nf AS (SELECT f.* FROM f ANTI JOIN orders ON f.c_custkey = orders.o_custkey)
+        |SELECT n_name, count(*)::BIGINT AS numcust, sum(bal)::DOUBLE / 100.0 AS totacctbal
+        |FROM nf JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
@@ -1353,6 +1405,19 @@ object SparkEntry {
       s"""SELECT event_type, (epoch_us(ts) // $HourUs) % 24 AS phase, count(*)::BIGINT AS n,
          |  round(sum(value), 6) / count(*) AS avg_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // RFM: ntile over a TOTAL order (metric desc, user asc) — standard
+    // equal-size-±1 buckets, so assignment matches Spark's ntile exactly;
+    // monetary snaps to cents before ordering
+    "ev_rfm" ->
+      s"""WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_ts, count(*)::BIGINT AS frequency,
+         |  round(sum(value), 2) AS monetary FROM events GROUP BY user_id),
+         |sc AS (SELECT user_id, (${Now}000 - last_ts) AS recency, frequency, monetary,
+         |  (6 - ntile(5) OVER (ORDER BY last_ts DESC, user_id))::BIGINT AS r_score,
+         |  (6 - ntile(5) OVER (ORDER BY frequency DESC, user_id))::BIGINT AS f_score,
+         |  (6 - ntile(5) OVER (ORDER BY monetary DESC, user_id))::BIGINT AS m_score FROM per)
+         |SELECT user_id, recency, frequency, monetary, r_score, f_score, m_score,
+         |  (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+         |FROM sc ORDER BY user_id""".stripMargin.replace("\n", " "),
     "ev_trans" ->
       """WITH w AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
         |           FROM events)

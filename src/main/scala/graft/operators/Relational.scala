@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -433,5 +433,47 @@ object Relational {
       .groupBy(col("path")).agg(count(lit(1)).as("n_keys"))
       .orderBy(col("n_keys").desc, col("path"))
       .limit(k)
+  }
+
+  /**
+   * RFM SCORING: per-user Recency / Frequency / Monetary quintiles — the
+   * classic customer-value segmentation. Each user gets three 1–5 scores
+   * (5 = best: most recent, most frequent, highest spend) assigned by
+   * `ntile(5)` over a TOTAL order (metric, then user id as tie-break), so
+   * bucket assignment is identical across engines; `monetary` is snapped
+   * to 2 dp BEFORE ordering so float-sum ulps can never flip the order.
+   *
+   * Scale shape: events collapse to one row per user in a single
+   * map-side-combined aggregation; the three ntile windows then run over
+   * the |users| table — orders of magnitude smaller than the event log,
+   * but still a single-partition sort per window. Exact quintiles need a
+   * total order by definition; beyond ~4M users, switch the ntile to
+   * percentile-threshold scoring (the [[winsorizedMean]]-style
+   * `approx_percentile` cutoff pattern) and accept boundary ties landing
+   * in one bucket.
+   */
+  def rfmScores(
+      events: DataFrame,
+      nowTs: Long,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val per = events
+      .groupBy(col(userCol))
+      .agg(
+        max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol)), 2).as("monetary"))
+    def score(order: Column*): Column =
+      (lit(6) - ntile(5).over(Window.orderBy(order: _*))).cast("long")
+    per
+      .withColumn("recency", lit(nowTs) - col("last_ts"))
+      .withColumn("r_score", score(col("last_ts").desc, col(userCol).asc))
+      .withColumn("f_score", score(col("frequency").desc, col(userCol).asc))
+      .withColumn("m_score", score(col("monetary").desc, col(userCol).asc))
+      .select(col(userCol), col("recency"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
 }

@@ -106,4 +106,83 @@ object Star {
       .groupBy(col("n_name"))
       .agg((sum(revNum).cast("double") / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+
+  /**
+   * TPC-H Q13-shaped customer distribution: how many customers placed
+   * exactly k orders, INCLUDING the zero-order customers (the left outer
+   * join is the point of the query). Two aggregations: per-customer order
+   * count (shuffles on custkey — both sides are "fact"-sized, no
+   * broadcast), then a |distinct-k|-row histogram.
+   */
+  def customerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /**
+   * TPC-H Q8-shaped market share: per order year, the fraction of one
+   * region's order revenue supplied by one nation. Numerator and
+   * denominator are both exact cent·pct integer sums, so the single final
+   * division is engine-portable bit-for-bit. Dimension joins broadcast;
+   * the one real shuffle is lineitem↔orders on the order key.
+   */
+  def marketShare(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+      regionName: String, supplierNation: String,
+      lo: LocalDateTime, hi: LocalDateTime): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), epCents.as("__ep"), dPct.as("__d"))
+      .join(orders.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("s_nation") === supplierNation, revNum).otherwise(lit(0L))).as("__num"),
+        sum(revNum).as("__den"))
+      .select(col("o_year"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+
+  /**
+   * TPC-H Q22-shaped dormant high-balance customers: per nation, count
+   * and total balance of customers whose balance exceeds the positive-
+   * balance average AND who never ordered. The average never materializes
+   * as a float: `bal_cents * n > total_cents` is an exact integer
+   * comparison (cross-multiplied), so no engine can disagree on the
+   * boundary. The order-key exclusion is a left anti join; the 2-scalar
+   * global aggregate broadcasts as literals.
+   */
+  def dormantHighBalance(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
+    val balCents = round(col("c_acctbal") * 100, 0).cast("long")
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"), balCents.as("__bal"))
+    // one row, two exact ints: the positive-balance sum and count
+    val Array(total, n) = cust.filter(col("__bal") > 0L)
+      .agg(sum(col("__bal")), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    cust
+      .filter(col("__bal") * lit(n) > lit(total)) // __bal > total/n, exactly
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        (sum(col("__bal")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -260,6 +260,29 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+   * doc against a target-corpus LM ([[crossBigramScore]]) and split the
+   * corpus into `head` / `middle` / `tail` thirds — head reads most like
+   * the target (highest log-prob), tail least; CCNet keeps head+middle
+   * and drops or down-weights tail. Assignment is `ntile(3)` over the
+   * TOTAL order (4-dp-snapped score DESC, doc id), so buckets are
+   * engine-identical. The ntile sorts the |docs| score table in one
+   * partition — fine to ~4M docs; beyond that, cut by approximate score
+   * terciles instead (boundary ties then land in one bucket).
+   */
+  def perplexityBuckets(
+      df: DataFrame,
+      targetDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val scored = crossBigramScore(df, targetDf, textCol, idCol)
+    val w = Window.orderBy(col("xent_score").desc, col(idCol).asc)
+    scored.withColumn("ppl_bucket",
+      element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): how much more likely each
    * doc's unigrams are under a TARGET corpus's distribution than under the

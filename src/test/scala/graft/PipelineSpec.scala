@@ -323,6 +323,19 @@ class PipelineSpec extends SparkTestBase {
     s.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "TextAnalysis.perplexityBuckets" should "split scored docs into head/middle/tail thirds" in {
+    val target = docs.filter(col("source") === "src0")
+    val out = TextAnalysis.perplexityBuckets(docs, target).collect()
+    val byBucket = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    byBucket.keySet shouldBe Set("head", "middle", "tail")
+    // ntile thirds: sizes differ by at most one
+    (byBucket.values.max - byBucket.values.min) should be <= 1
+    // every head score >= every tail score (buckets follow the score order)
+    val minHead = out.filter(_.getString(2) == "head").map(_.getDouble(1)).min
+    val maxTail = out.filter(_.getString(2) == "tail").map(_.getDouble(1)).max
+    minHead should be >= maxTail
+  }
+
   "Similarity.matryoshkaTopK" should "reduce to exact brute force at dPrefix = dim" in {
     val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
     val full  = Similarity.matryoshkaTopK(vecs, q, k = 3, nCand = 5, dPrefix = q.length)

@@ -108,10 +108,19 @@ class PlanShapeSpec extends SparkTestBase {
     // q3/q5: dims (customer slice, supplier, nation, region) broadcast;
     // only the fact-fact order-key join may shuffle. If a dim ever falls
     // back to sort-merge, the 100 TB plan pays a fact-sized exchange.
-    Seq("st_shipprio", "st_localrev").foreach { name =>
+    Seq("st_shipprio", "st_localrev", "st_mktshare").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       withClue(s"$name:\n$plan") {
         plan should include("BroadcastHashJoin")
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // q13/q22: the outer/anti order join may shuffle (both sides fact-
+    // sized), but nothing may degrade to a nested-loop product
+    Seq("st_custdist", "st_dormant").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"$name:\n$plan") {
         plan should not include "CartesianProduct"
         plan should not include "BroadcastNestedLoopJoin"
       }

@@ -156,6 +156,18 @@ class RelationalSpec extends SparkTestBase {
     out shouldBe Set(("a", 10.0, 0.0), ("a", 20.0, 0.3333), ("a", 30.0, 1.0), ("b", 99.0, 0.0))
   }
 
+  "Relational.rfmScores" should "assign 1-5 quintiles with 5 = best on every axis" in {
+    // five users, strictly ordered on all three axes: user i has last event
+    // at t=i0, i events, spend 10*i — so user 5 is 5/5/5, user 1 is 1/1/1
+    val ev = (1 to 5).flatMap(u => (1 to u).map(e => (s"u$u", u.toLong * 10, 10.0 * u / u)))
+      .toDF("user_id", "ts", "value")
+    val out = Relational.rfmScores(ev, nowTs = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    out("u5") shouldBe ((50L, 5L, 5L, 5L, 555L)) // recency 100-50, all-best
+    out("u1") shouldBe ((90L, 1L, 1L, 1L, 111L))
+    out("u3")._4 shouldBe 3L // middle monetary quintile
+  }
+
   "Relational.lastTouchAttribution" should "credit the latest prior touch, else 'direct'" in {
     val ev = Seq(
       ("u1", 1L, "view", 0.0), ("u1", 3L, "click", 0.0), ("u1", 5L, "purchase", 10.0), // click
