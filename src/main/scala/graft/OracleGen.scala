@@ -88,6 +88,14 @@ object OracleGen {
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.similarityHistogram]]: 0.1-wide jaccard bins over
+    * the open (threshold-free) verified candidate set. Both engines floor
+    * the SAME 4-dp-snapped jaccard, so the binning is bit-identical. */
+  def similarityHistogramSql(numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)}
+       |SELECT least(floor(jaccard * 10), 9)::BIGINT AS sim_bin, count(*)::BIGINT AS n_pairs
+       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.noveltyScores]]: shingle document frequencies,
     * per-doc shared-fraction complement, 4-dp snap on the single divide. */
   def noveltyScoresSql(shingleK: Int): String =

@@ -209,6 +209,8 @@ object SparkEntry {
     // corpus-wide line/segment dedup: drop 4-word segments repeated across
     // >= 2 docs, reassemble surviving text per doc (CCNet/RefinedWeb pass)
     "d_lines" -> ((s, d) => Dedup.segmentDedup(docs(s, d), segWords = 4, minDocs = 2).orderBy("doc_id")),
+    // threshold-tuning report: jaccard histogram over open LSH candidates
+    "d_simcurve" -> ((s, d) => Dedup.similarityHistogram(docs(s, d)).orderBy("sim_bin")),
     // eval-set decontamination: docs with doc_id % 10 == 0 play the
     // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
     "d_decon" -> ((s, d) => {
@@ -489,6 +491,10 @@ object SparkEntry {
     "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
     // sequence packing: distributed prefix sum over the corpus token stream
     "tx_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), 256L).orderBy("doc_id")),
+    // balanced training-shard deal: round-robin over the size-sorted stream
+    "tx_shards" -> ((s, d) => Sampling.assignShards(docs(s, d), nShards = 8).orderBy("doc_id")),
+    "tx_shardbal" -> ((s, d) =>
+      Sampling.shardBalance(Sampling.assignShards(docs(s, d), nShards = 8)).orderBy("shard")),
     // the WHOLE composed training-mix pipeline end-to-end: curate →
     // decontaminate (doc_id % 10 == 0 plays the eval set) → near-dup CC
     // representatives → stratified language mix → sequence packing
@@ -700,6 +706,9 @@ object SparkEntry {
     "st_dormant" -> ((s, d) =>
       graft.operators.Star.dormantHighBalance(tbl(s, d, "customer"), tbl(s, d, "orders"),
         tbl(s, d, "nation"))),
+    "st_topsupp" -> ((s, d) =>
+      graft.operators.Star.topSupplier(tbl(s, d, "supplier"), tbl(s, d, "lineitem"),
+        java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1996, 4, 1, 0, 0))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // the same query through the prebuilt inverted index (tokenize-once
     // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
@@ -878,6 +887,7 @@ object SparkEntry {
     "d_ngram"   -> OracleGen.ngramMetaPairsSql(0.1, 2, Seq("source", "lang")),
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_simcurve" -> OracleGen.similarityHistogramSql(numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_contain" -> OracleGen.containmentPairsSql(0.8, shingleK = 3, minShared = 2L, maxBucket = 1000),
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
@@ -1017,6 +1027,23 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 256.0) AS BIGINT) AS seq_id
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // shard deal: snake position over the same (tokens DESC, id) total
+    // order — pos < n keeps pos, else reflects to 2n-1-pos
+    "tx_shards" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |  ((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 16) AS pos FROM t)
+        |SELECT doc_id, n_tokens,
+        |  (CASE WHEN pos < 8 THEN pos ELSE 15 - pos END)::BIGINT AS shard
+        |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "tx_shardbal" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |  ((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 16) AS pos FROM t),
+        |a AS (SELECT doc_id, n_tokens,
+        |  (CASE WHEN pos < 8 THEN pos ELSE 15 - pos END)::BIGINT AS shard FROM p)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " "),
     "tx_curate" -> {
       val sw    = "['the','a','of','and','to','in','is','on','for','it']"
       val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
@@ -1383,6 +1410,15 @@ object SparkEntry {
         |SELECT n_name, count(*)::BIGINT AS numcust, sum(bal)::DOUBLE / 100.0 AS totacctbal
         |FROM nf JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+    // top supplier: exact-cent revenue, max-equality returns all ties
+    "st_topsupp" ->
+      """WITH r AS (SELECT l_suppkey, sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev::DOUBLE / 10000.0 AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),

@@ -160,6 +160,30 @@ object Star {
       .orderBy(col("o_year"))
 
   /**
+   * TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+   * revenue over a ship-date window. Revenue is the exact cent·pct sum,
+   * so the max and the equality against it are integer comparisons; ties
+   * (all maximal suppliers) are returned, as in the reference query. The
+   * scalar max collects one row; the supplier dimension broadcasts.
+   */
+  def topSupplier(
+      supplier: DataFrame, lineitem: DataFrame,
+      lo: LocalDateTime, hi: LocalDateTime): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_suppkey"), epCents.as("__ep"), dPct.as("__d"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revNum).as("__rev"))
+    val mx = rev.agg(max(col("__rev"))).head().getLong(0)
+    rev.filter(col("__rev") === mx)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("__rev").cast("double") / 10000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /**
    * TPC-H Q22-shaped dormant high-balance customers: per nation, count
    * and total balance of customers whose balance exceeds the positive-
    * balance average AND who never ordered. The average never materializes

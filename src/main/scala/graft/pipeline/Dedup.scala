@@ -938,6 +938,29 @@ object Dedup {
   }
 
   /**
+   * SIMILARITY HISTOGRAM: the distribution of exact Jaccard over the LSH
+   * candidate pairs, in 0.1-wide bins (`sim_bin` = 0 ⇒ [0, 0.1), …, 9 ⇒
+   * [0.9, 1.0]) — the tuning report that answers "where should the dedup
+   * threshold sit for THIS corpus" before committing to a full pass.
+   * Exactly [[minhashLshPairs]]'s mining shape (capped buckets, bare-id
+   * candidates, verify join) with the threshold open and a |bins|-row
+   * aggregation on top; both engines bin the SAME 4-dp-snapped jaccard,
+   * so floor can never disagree.
+   */
+  def similarityHistogram(
+      df: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    minhashLshPairs(df, 0.0, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+      .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long").as("sim_bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /**
    * Segment-level boilerplate removal — the corpus-wide "line dedup" pass
    * of web-crawl curation (CCNet removes duplicated paragraphs, RefinedWeb
    * duplicated lines, before any document-level dedup runs), adapted to

@@ -350,4 +350,43 @@ object Sampling {
       whole.union(boundaryRows).drop("__toks", "__q", "__qb")
     }
   }
+
+  /**
+   * TRAINING-SHARD ASSIGNMENT: deal documents into `nShards` output shards
+   * so per-shard token totals balance — the final step before a training
+   * run writes its data files. Longest-processing-time-first intuition in
+   * deterministic form: docs are dealt SNAKE-wise (0,1,…,n-1,n-1,…,1,0)
+   * in (token count DESC, doc id) order, so each shard pairs a large doc
+   * with a small one every two passes — plain round-robin systematically
+   * overloads shard 0 with every pass's largest doc, the snake cancels it.
+   * Returns `(doc_id, n_tokens, shard)`.
+   *
+   * The round-robin needs a global rank over |docs|; `row_number` over an
+   * unpartitioned window is the exact plan (fine to ~4M docs — the
+   * |docs| table, not the corpus bytes). Beyond that, the two-phase
+   * per-partition rank offset scheme of [[packSequences]] swaps in
+   * without changing the assignment (rank order is total and engine-free).
+   */
+  def assignShards(
+      df: DataFrame,
+      nShards: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__toks").desc, col(idCol).asc)
+    val pos = (row_number().over(w) - 1) % (2 * nShards)
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__toks"))
+      .withColumn("__pos", pos)
+      .withColumn("shard",
+        when(col("__pos") < nShards, col("__pos")).otherwise(lit(2 * nShards - 1) - col("__pos")))
+      .select(col(idCol), col("__toks").as("n_tokens"), col("shard").cast("long").as("shard"))
+  }
+
+  /** Per-shard balance report over [[assignShards]]: doc count and token
+    * total per shard — the check that the deal actually balanced. */
+  def shardBalance(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 }

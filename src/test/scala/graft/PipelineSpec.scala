@@ -323,6 +323,29 @@ class PipelineSpec extends SparkTestBase {
     s.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  "Sampling.assignShards" should "deal round-robin so shard token totals balance" in {
+    // 8 docs of 1..8 words into 4 shards: size-desc deal pairs (8,4), (7,3),
+    // (6,2), (5,1) → every shard totals 12 words, 2 docs
+    val d = (1 to 8).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "))).toDF("doc_id", "text")
+    val bal = graft.pipeline.Sampling.shardBalance(
+      graft.pipeline.Sampling.assignShards(d, nShards = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    bal.length shouldBe 4
+    bal.foreach { case (_, nDocs, toks) => nDocs shouldBe 2L; toks shouldBe 9L }
+  }
+
+  "Dedup.similarityHistogram" should "bin exact pairs at 9 and disjoint pairs low" in {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),          // jaccard 1.0 with 0
+      (2L, "alpha beta gamma delta epsilon eta")            // high overlap with 0/1
+    ).toDF("doc_id", "text")
+    val bins = Dedup.similarityHistogram(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bins(9L) shouldBe 1L          // the exact pair (0,1)
+    bins.values.sum shouldBe 3L   // all three candidate pairs binned somewhere
+  }
+
   "TextAnalysis.perplexityBuckets" should "split scored docs into head/middle/tail thirds" in {
     val target = docs.filter(col("source") === "src0")
     val out = TextAnalysis.perplexityBuckets(docs, target).collect()

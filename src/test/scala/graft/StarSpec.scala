@@ -1,0 +1,51 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Star
+
+/** Behavior specs for the star-schema operators (plan shapes are asserted
+  * in PlanShapeSpec; cross-engine values by the st_* oracle gates). */
+class StarSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val t0 = LocalDateTime.of(2000, 1, 1, 0, 0)
+
+  "Star.customerDistribution" should "count zero-order customers in the k=0 bucket" in {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val out = Star.customerDistribution(customer, orders)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(2L -> 1L, 1L -> 1L, 0L -> 1L) // cust 3 never ordered
+  }
+
+  "Star.topSupplier" should "return every supplier tied at the max revenue" in {
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
+    // suppliers 1 and 2 both earn exactly 100.00 * (1 - 0.00); 3 earns less
+    val li = Seq(
+      (1L, 100.0, 0.0), (2L, 100.0, 0.0), (3L, 50.0, 0.0)
+    ).map { case (sk, p, d) => (sk, p, d, 0.0, java.sql.Timestamp.valueOf("2000-02-01 00:00:00")) }
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val out = Star.topSupplier(supplier, li, t0, LocalDateTime.of(2001, 1, 1, 0, 0))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    out shouldBe Array((1L, 100.0), (2L, 100.0))
+  }
+
+  "Star.dormantHighBalance" should "compare against the positive-balance average exactly" in {
+    // positive balances 10.00, 20.00, 30.00 → avg 20.00; only cust 3 (30)
+    // exceeds it; cust 4 (-5) is excluded from the average; cust 3 has no
+    // orders so it survives the anti join
+    val customer = Seq(
+      (1L, 0L, 10.0), (2L, 0L, 20.0), (3L, 1L, 30.0), (4L, 1L, -5.0)
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq((100L, 1L)).toDF("o_orderkey", "o_custkey")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val nation = Seq((0L, "N0"), (1L, "N1")).toDF("n_nationkey", "n_name")
+    val out = Star.dormantHighBalance(customer, orders, nation)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(("N1", 1L, 30.0))
+  }
+}
