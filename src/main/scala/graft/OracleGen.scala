@@ -1131,6 +1131,40 @@ object OracleGen {
        |SELECT doc_id, round(sc.score, $dp) AS score FROM sc
        |ORDER BY sc.score DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Retrieval.mmrRerank]]: BM25 shortlist on
+    * the unrounded score, word-set jaccard sims (4-dp snapped, like the
+    * 4-dp rel), then the k greedy picks UNROLLED as one CTE per step —
+    * each picks the argmax of `λ·rel − (1−λ)·max-sim-to-selected` (ties
+    * by doc id) from the not-yet-selected shortlist. The λ constants are
+    * the same source literals on both sides, so every compare happens on
+    * bit-identical doubles. */
+  def mmrRerankSql(terms: Seq[String], k: Int, kCand: Int, lambda: Double,
+                   k1: Double = 1.2, b: Double = 0.75): String = {
+    // DECIMAL-literal trap: bare `0.7` is DECIMAL in DuckDB, so `1.0-0.7`
+    // folds EXACTLY to 0.3 where Java computes the IEEE 0.30000000000000004
+    // — every λ term must be a DOUBLE literal for the compares to agree
+    val lam = s"$lambda::DOUBLE"
+    val steps = (2 to k).map { i =>
+      s"""c$i AS (SELECT sh.doc_id, sh.rel, max(sm.sv) AS ms FROM short sh
+         |  JOIN sim sm ON sm.ida = sh.doc_id AND sm.idb IN (SELECT doc_id FROM u${i - 1})
+         |  WHERE sh.doc_id NOT IN (SELECT doc_id FROM u${i - 1}) GROUP BY 1, 2),
+         |s$i AS (SELECT $i::BIGINT AS rank, doc_id, $lam * rel - (1.0::DOUBLE - $lam) * ms AS mmr
+         |  FROM c$i ORDER BY mmr DESC, doc_id LIMIT 1),
+         |u$i AS (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bm25Ctes(terms, k1, b)},
+       |short AS (SELECT doc_id, round(sc.score, 4) AS rel FROM sc ORDER BY sc.score DESC, doc_id LIMIT $kCand),
+       |ws AS (SELECT sh.doc_id, list_distinct(string_split(d.text, ' ')) AS w
+       |       FROM short sh JOIN documents d USING (doc_id)),
+       |sim AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(list_concat(a.w, b.w)))::DOUBLE, 4) AS sv
+       |  FROM ws a JOIN ws b ON a.doc_id != b.doc_id),
+       |s1 AS (SELECT 1::BIGINT AS rank, doc_id, $lambda::DOUBLE * rel AS mmr FROM short ORDER BY mmr DESC, doc_id LIMIT 1),
+       |u1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT rank, doc_id, round(mmr, 4) AS mmr_score FROM u$k ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Retrieval.bm25Join]] with queries derived
     * from the corpus (`doc_id % qmod == 0`, terms = the doc's first
     * `qTerms` whitespace tokens, set semantics): per-(query, doc) sorted-

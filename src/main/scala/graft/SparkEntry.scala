@@ -710,6 +710,9 @@ object SparkEntry {
       graft.operators.Star.topSupplier(tbl(s, d, "supplier"), tbl(s, d, "lineitem"),
         java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1996, 4, 1, 0, 0))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
+    "rt_mmr" -> ((s, d) =>
+      Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7)),
     // the same query through the prebuilt inverted index (tokenize-once
     // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
     "rt_bm25_idx" -> ((s, d) => {
@@ -1421,6 +1424,7 @@ object SparkEntry {
         |WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     // levenshtein is the same DP distance in both engines; counts are ints

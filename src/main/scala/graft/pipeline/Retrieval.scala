@@ -564,4 +564,60 @@ object Retrieval {
       .limit(k)
       .withColumn("rrf", round(col("rrf"), 6))
   }
+
+  /**
+   * MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein 1998): greedily pick
+   * `k` results from a BM25 shortlist maximizing
+   * `λ·rel − (1−λ)·max_{s∈selected} sim(d, s)` — relevance traded against
+   * redundancy with what is already shown, the standard fix for a results
+   * page of near-identical hits. `sim` is word-set Jaccard (deterministic,
+   * engine-portable); `rel` is the 4-dp-snapped BM25 score.
+   *
+   * Scale shape: the corpus-wide work is the BM25 scoring scan; the greedy
+   * loop runs driver-side over the `kCand`-row shortlist (≤ ~100 rows,
+   * O(kCand²) sims) — by construction bounded, the same class as
+   * [[graft.pipeline.Sampling.tokenBudget]]'s bucket scan. Every float
+   * compare happens on arithmetic both engines perform on identical
+   * inputs (`λ·rel − (1−λ)·sim` with 4-dp-snapped rel/sim), so selection
+   * order is reproducible bit-for-bit; ties break on doc id.
+   *
+   * Returns `(rank, doc_id, mmr_score)` with rank 1..k in pick order.
+   */
+  def mmrRerank(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 5,
+      kCand: Int = 20,
+      lambda: Double = 0.7,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k > 0 && kCand >= k, "need 0 < k <= kCand")
+    val spark = docs.sparkSession
+    def round4(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val short = bm25TopK(docs, terms, kCand, textCol = textCol, idCol = idCol)
+      .join(docs.select(col(idCol), array_distinct(split(col(textCol), " ")).as("__w")), idCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[String](2).toSet))
+    val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    def simOf(a: (Long, Double, Set[String]), b: (Long, Double, Set[String])): Double =
+      sim.getOrElseUpdate((a._1, b._1),
+        round4((a._3 & b._3).size.toDouble / (a._3 | b._3).size.toDouble))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var remaining = short.toList
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      val scoredCands = remaining.map { c =>
+        val ms = if (selected.isEmpty) 0.0
+                 else selected.map(s => simOf(c, short.find(_._1 == s._2).get)).max
+        (c, lambda * c._2 - (1.0 - lambda) * ms)
+      }
+      val (best, mmr) = scoredCands.minBy { case (c, m) => (-m, c._1) }
+      selected += ((rank, best._1, round4(mmr)))
+      remaining = remaining.filterNot(_._1 == best._1)
+      rank += 1
+    }
+    spark.createDataFrame(selected.toSeq).toDF("rank", idCol, "mmr_score")
+  }
 }

@@ -197,6 +197,28 @@ class RetrievalSpec extends SparkTestBase {
     out.head.getDouble(1) shouldBe math.log(4.0) +- 1e-4
   }
 
+  "Retrieval.mmrRerank" should "demote a near-duplicate of an already-selected result" in {
+    // docs 10/11 are identical (sim 1.0) and most relevant; pure relevance
+    // order would put them 1-2, MMR must interleave the distinct doc 12
+    val dup = Seq(
+      (10L, "spark shuffle join spark"),
+      (11L, "spark shuffle join spark"),
+      (12L, "spark window sort"),
+      (13L, "merge sort window")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.mmrRerank(dup, Seq("spark", "join"), k = 3, kCand = 4, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.map(_._2).take(2) shouldBe Array(10L, 12L) // 11 pushed below the distinct doc
+    out.map(_._2) should contain(11L)              // but still surfaces at rank 3
+  }
+
+  it should "reduce to pure relevance order at lambda = 1" in {
+    val byRel = Retrieval.bm25TopK(docs, Seq("spark"), k = 3).collect().map(_.getLong(0))
+    val mmr   = Retrieval.mmrRerank(docs, Seq("spark"), k = 3, kCand = 4, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1))
+    mmr shouldBe byRel
+  }
+
   "Retrieval.prfTopK" should "surface docs that only match expansion terms" in {
     // doc 3 shares no term with the query 'spark', but the expansion
     // (shuffle/join from the seed docs) reaches it through 'join'
