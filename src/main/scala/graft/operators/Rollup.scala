@@ -56,9 +56,15 @@ object Rollup {
    * build(a ∪ b)` up to float-sum ordering — the gate proves it against
    * a full recompute in a different engine.
    */
-  def merge(a: DataFrame, b: DataFrame): DataFrame = {
-    val groupCols = a.columns.filterNot(Set("n", "vsum", "vmin", "vmax")).toSeq
-    a.unionByName(b)
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    coalesceStats(a.unionByName(b))
+
+  /** Re-aggregate a stats table that holds several segments per group
+    * (the single-frame half of [[merge]]; also the merge-at-read step of
+    * [[graft.streaming.StreamingRollup]]'s segment log). */
+  def coalesceStats(stats: DataFrame): DataFrame = {
+    val groupCols = stats.columns.filterNot(Set("n", "vsum", "vmin", "vmax")).toSeq
+    stats
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col("n")).as("n"),

@@ -176,4 +176,41 @@ object StatefulMonitors {
           out.result().iterator
       }
   }
+
+  /**
+   * WATERMARKED STREAM-STREAM INTERVAL JOIN — enrich each left event with
+   * the right-stream events of the same key that happened within
+   * `[left.ts - lookbackMs, left.ts]` (attribution joins: conversions ×
+   * recent touches, errors × recent deploys). The reference has no
+   * stream-stream joins at all (R7 n/a); this is the Structured-Streaming-
+   * native shape: BOTH sides watermarked, the join condition carries the
+   * time bound, so Spark buffers each side only `watermark + lookback`
+   * deep and evicts state as the watermark advances — bounded state at any
+   * input rate, the only viable shape at 100 TB/day.
+   *
+   * Input: both frames `(keyCol, tsCol TIMESTAMP, ...)`. Inner join;
+   * append mode downstream.
+   */
+  def enrichWithin(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      lookbackMs: Long,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lookbackMs > 0, "lookbackMs must be positive")
+    val l = leftDf.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__lts"),
+        struct(leftDf.columns.map(col).toSeq: _*).as("left_row"))
+    val r = rightDf.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("__rk"), col(tsCol).as("__rts"),
+        struct(rightDf.columns.map(col).toSeq: _*).as("right_row"))
+    l.join(r,
+      col("__k") === col("__rk") &&
+        col("__rts") <= col("__lts") &&
+        col("__rts") >= col("__lts") - expr(s"INTERVAL $lookbackMs MILLISECONDS"))
+      .select(col("__k").as(keyCol), col("left_row"), col("right_row"))
+  }
 }
