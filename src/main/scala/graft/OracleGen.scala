@@ -994,6 +994,17 @@ object OracleGen {
   /** mirror of [[Similarity.semDedup]]: IVF clustering, then within-cluster
     * pairwise cosine — a vector is dropped iff a smaller-id cluster member
     * is ≥ tau similar. */
+  /** mirror of [[Similarity.clusterReport]]: refined assignment, cosine of
+    * each member to its centroid snapped to 1e-6 fixed point, exact
+    * integer per-cluster sum, one final division. */
+  def clusterReportSql(nlist: Int, dim: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)}
+       |SELECT a1.centroid, count(*)::BIGINT AS n_vectors,
+       |  round(sum(round(${cosSql("a1", "v", "c1", "cvec", dim)} * 1000000.0)::BIGINT)::DOUBLE
+       |    / (count(*)::DOUBLE * 1000000.0), 6) AS cohesion
+       |FROM a1 JOIN c1 ON a1.centroid = c1.cid
+       |GROUP BY a1.centroid ORDER BY a1.centroid""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.clusterBalancedSample]]: refined assignment,
     * per-cluster prototypicality rank (cosine to the 6-dp-snapped mean
     * centroid, id tiebreak), top `perCluster` kept. */

@@ -353,6 +353,8 @@ object SparkEntry {
     }),
     // SemDeDup: IVF clusters bound the pairwise cosine to within-cluster
     "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
+    // cluster cohesion panel over the same k-means assignment
+    "sem_report" -> ((s, d) => Similarity.clusterReport(emb(s, d), nlist = 16).orderBy("centroid")),
     // diversity complement of SemDeDup: cap each semantic cluster's
     // contribution, keeping the most prototypical members
     "sem_balance" -> ((s, d) =>
@@ -933,6 +935,7 @@ object SparkEntry {
       nlist = Similarity.nlistFor(embCount),
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
+    "sem_report" -> OracleGen.clusterReportSql(nlist = 16, dim = 64),
     "sem_balance" -> OracleGen.clusterBalancedSampleSql(nlist = 16, perCluster = 10, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_negatives" -> OracleGen.hardNegativesSql(m = 5, dupCut = 0.95, searchK = 10, qmod = 50,

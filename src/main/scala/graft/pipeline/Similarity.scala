@@ -1041,6 +1041,45 @@ object Similarity {
       .select(col("id"), col("centroid"), round(col("proto"), 4).as("proto_sim"))
   }
 
+  /**
+   * CLUSTER-QUALITY REPORT: per k-means cluster (the [[ivfBuild]]
+   * assignment), its member count and COHESION — the mean cosine of the
+   * members to their refined centroid. The inspection panel behind
+   * [[semDedup]]/[[clusterBalancedSample]] threshold choices: low-cohesion
+   * clusters are where semantic dedup over- or under-fires.
+   *
+   * The mean is fixed-point portable: each cosine snaps to an integer at
+   * 1e-6 (`round(sim·10⁶)::long`), the per-cluster sum is exact integer
+   * arithmetic (order-free), and ONE final division produces the 6-dp
+   * cohesion — no float-summation-order sensitivity on either engine.
+   * One broadcast join + one |nlist|-row aggregation on top of the
+   * assignment scan.
+   */
+  def clusterReport(
+      df: DataFrame,
+      nlist: Int,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ix = ivfBuild(df, nlist, refineIterations, vecCol, idCol)
+    val seedRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(ix.centroids.toSeq.sortBy(_._1).map { case (cid, v) =>
+        org.apache.spark.sql.Row(cid, v.map(_.toDouble))
+      }: _*)
+    val seeds = df.sparkSession.createDataFrame(seedRows,
+      StructType(Seq(StructField("centroid", LongType), StructField("cv", ArrayType(DoubleType)))))
+    val sim = fdot(col("v"), col("cv")) / (fnorm(col("v")) * fnorm(col("cv")))
+    ix.assigned.join(broadcast(seeds), "centroid")
+      .select(col("centroid"), round(sim * lit(1000000.0)).cast("long").as("__s6"))
+      .groupBy(col("centroid"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("__s6")).cast("double") / (count(lit(1)).cast("double") * 1000000.0), 6)
+          .as("cohesion"))
+  }
+
   def semDedup(
       df: DataFrame,
       tau: Double,

@@ -359,6 +359,20 @@ class PipelineSpec extends SparkTestBase {
     minHead should be >= maxTail
   }
 
+  "Similarity.clusterReport" should "score a tight cluster 1.0 and count members" in {
+    // two well-separated directions, duplicated: clusters are exact rays,
+    // so every member's cosine to its centroid is 1.0 (ids 0/1 seed the
+    // two clusters, so they must point different ways)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)), (3L, Array(0f, 3f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val rep = Similarity.clusterReport(vecs, nlist = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    rep.length shouldBe 2
+    rep.foreach { case (n, coh) => n shouldBe 2L; coh shouldBe 1.0 }
+  }
+
   "Similarity.matryoshkaTopK" should "reduce to exact brute force at dPrefix = dim" in {
     val q = vecs.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
     val full  = Similarity.matryoshkaTopK(vecs, q, k = 3, nCand = 5, dPrefix = q.length)
