@@ -994,6 +994,21 @@ object OracleGen {
   /** mirror of [[Similarity.semDedup]]: IVF clustering, then within-cluster
     * pairwise cosine — a vector is dropped iff a smaller-id cluster member
     * is ≥ tau similar. */
+  /** mirror of [[Similarity.recallAtK]] over (IVF nprobe retrieval, brute
+    * force) for query `vec_id = 0`: both top-k chains with the SAME cosine
+    * fold, left-joined on id. */
+  def annRecallSql(nlist: Int, nprobe: Int, k: Int, dim: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)},
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM c1, q ORDER BY ${cosSql("c1", "cvec", "q", "qv", dim)} DESC, cid LIMIT $nprobe),
+       |iv AS (SELECT id FROM (SELECT id, ${cosSql("a1", "v", "q", "qv", dim)} AS s FROM a1, q
+       |       WHERE a1.centroid IN (SELECT cid FROM probe)) ORDER BY s DESC, id LIMIT $k),
+       |br AS (SELECT vec_id AS id FROM (SELECT e.vec_id, ${cosSql("e", "embedding", "q", "qv", dim)} AS s FROM e, q)
+       |       ORDER BY s DESC, id LIMIT $k)
+       |SELECT count(*)::BIGINT AS k, count(iv.id)::BIGINT AS hits,
+       |  round(count(iv.id)::DOUBLE / count(*)::DOUBLE, 4) AS recall
+       |FROM br LEFT JOIN iv USING (id)""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.clusterReport]]: refined assignment, cosine of
     * each member to its centroid snapped to 1e-6 fixed point, exact
     * integer per-cluster sum, one final division. */

@@ -355,6 +355,15 @@ object SparkEntry {
     "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
     // cluster cohesion panel over the same k-means assignment
     "sem_report" -> ((s, d) => Similarity.clusterReport(emb(s, d), nlist = 16).orderBy("centroid")),
+    // index-health harness: recall@20 of the probed IVF vs brute force
+    "ann_recall" -> ((s, d) => {
+      val e   = emb(s, d)
+      val idx = Similarity.ivfBuild(e, nlist = 16, refineIterations = 1)
+      val q   = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(idx.assigned, idx.centroids, q, 20, nprobe = 4),
+        Similarity.bruteForceTopK(e, q, 20).select(col("vec_id").as("id")))
+    }),
     // diversity complement of SemDeDup: cap each semantic cluster's
     // contribution, keeping the most prototypical members
     "sem_balance" -> ((s, d) =>
@@ -936,6 +945,7 @@ object SparkEntry {
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "sem_report" -> OracleGen.clusterReportSql(nlist = 16, dim = 64),
+    "ann_recall" -> OracleGen.annRecallSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "sem_balance" -> OracleGen.clusterBalancedSampleSql(nlist = 16, perCluster = 10, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_negatives" -> OracleGen.hardNegativesSql(m = 5, dupCut = 0.95, searchK = 10, qmod = 50,

@@ -1042,6 +1042,26 @@ object Similarity {
   }
 
   /**
+   * RECALL@K EVALUATION: how much of the exact top-k an approximate
+   * retrieval found — `(k, hits, recall)` in one row. The evaluation
+   * harness every ANN deployment runs before trusting an index: feed it
+   * any `(approx, exact)` result pair (IVF vs brute force, LSH vs brute
+   * force, a quantized shortlist vs its float baseline). Declarative —
+   * a left join + one aggregation, no driver collect — so it composes
+   * into scheduled index-health checks over persisted indexes.
+   */
+  def recallAtK(
+      approx: DataFrame,
+      exact: DataFrame,
+      idCol: String = "id"
+  ): DataFrame =
+    exact.select(col(idCol))
+      .join(approx.select(col(idCol).as("__a")), col(idCol) === col("__a"), "left_outer")
+      .agg(count(lit(1)).as("k"), count(col("__a")).as("hits"))
+      .select(col("k"), col("hits"),
+        round(col("hits").cast("double") / col("k").cast("double"), 4).as("recall"))
+
+  /**
    * CLUSTER-QUALITY REPORT: per k-means cluster (the [[ivfBuild]]
    * assignment), its member count and COHESION — the mean cosine of the
    * members to their refined centroid. The inspection panel behind

@@ -359,6 +359,13 @@ class PipelineSpec extends SparkTestBase {
     minHead should be >= maxTail
   }
 
+  "Similarity.recallAtK" should "count approximate hits against the exact top-k" in {
+    val exact  = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val approx = Seq(2L, 4L, 9L).toDF("id")
+    val r = Similarity.recallAtK(approx, exact).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((4L, 2L, 0.5))
+  }
+
   "Similarity.clusterReport" should "score a tight cluster 1.0 and count members" in {
     // two well-separated directions, duplicated: clusters are exact rays,
     // so every member's cosine to its centroid is 1.0 (ids 0/1 seed the
