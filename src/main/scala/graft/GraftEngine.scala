@@ -63,6 +63,25 @@ class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.W
   def metricRef(db: String, namespace: String, metric: String): Option[MetricRef] =
     registry.get((db, namespace, metric))
 
+  /**
+   * Attach a maintained sufficient-statistics rollup
+   * ([[graft.operators.Rollup.buildForServing]] grain, `stepMs` cells) to
+   * a registered metric: eligible temporal aggregations are then served
+   * from the stats table instead of scanning raw points — the engine's
+   * facet-index read path (see [[graft.exec.RollupRef]]). The caller owns
+   * freshness: rebuild or stream-maintain the stats
+   * ([[graft.streaming.StreamingRollup]]) as the metric grows.
+   */
+  def attachRollup(db: String, namespace: String, metric: String,
+                   stats: DataFrame, stepMs: Long): Either[String, Unit] =
+    registry.get((db, namespace, metric))
+      .toRight(s"metric $metric is not registered")
+      .map { ref =>
+        registry.put((db, namespace, metric),
+          ref.copy(rollup = Some(graft.exec.RollupRef(stats, stepMs))))
+        ()
+      }
+
   def listMetrics(db: String, namespace: String): Seq[String] =
     registry.keys.collect { case (d, n, m) if d == db && n == namespace => m }.toSeq.sorted
 

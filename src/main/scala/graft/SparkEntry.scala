@@ -28,6 +28,11 @@ object SparkEntry {
   private val T1   = 1704500000000L
   private val T2   = 1706500000000L
   private val Day  = 86400000L
+  private val HourMs = 3600000L
+  // hour-aligned bounds for the rollup-served gates: span (T1r, T2r] has
+  // lo-1 = T1r and hi = T2r both on the hourly grain, len = 1 d = 24 cells
+  private val T1r  = 1704499200000L // 473472 * 3600000
+  private val T2r  = 1706500800000L // 474028 * 3600000
   private val NowMinus7d  = Now - 7 * Day
   private val GraceLo     = Now - 10 * Day // SINCE 10 d cutoff, > T1
 
@@ -88,6 +93,24 @@ object SparkEntry {
         tsMsExpr, col("value"),
         tags = Set("event_type", "user_id"),
         timeMirror = Some(mirror))
+      // twin metric with an attached hourly rollup: the i_roll_* gates
+      // prove the facet-style serving path against the same DuckDB oracle
+      e.registerMetric("graft", "main", "events_rolled", ev,
+        tsMsExpr, col("value"),
+        tags = Set("event_type", "user_id"),
+        timeMirror = Some(mirror))
+      val canonical = e.metricRef("graft", "main", "events_rolled").get.df
+      // materialized ONCE per testdata dir as real parquet (the production
+      // shape — StreamingRollup.maintain writes the same stats table): the
+      // served gates read a precomputed table, never a lazy re-derivation,
+      // and the harness's per-query Checkpoints.free can't evict it
+      val statsPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rollup_${Integer.toHexString(d.hashCode)}").getPath
+      if (!new java.io.File(statsPath).exists())
+        graft.operators.Rollup.buildForServing(canonical, Seq.empty, "timestamp", "value", HourMs)
+          .write.mode("overwrite").parquet(statsPath)
+      e.attachRollup("graft", "main", "events_rolled", s.read.parquet(statsPath), HourMs)
+        .left.foreach(err => sys.error(err))
       e
     })
 
@@ -156,6 +179,12 @@ object SparkEntry {
     "i_count"      -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
     "i_sum"        -> ((s, d) => roundValue(3)(run(s"select sum(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d))),
     "i_avg"        -> ((s, d) => roundValue(4)(run(s"select avg(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d))),
+    // the SAME dialect queries on the rollup-attached twin metric: served
+    // from hourly sufficient stats, never scanning raw points — and held
+    // to the same raw-scan DuckDB oracle
+    "i_roll_count" -> ((s, d) => run(s"select count(*) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d)),
+    "i_roll_sum"   -> ((s, d) => roundValue(3)(run(s"select sum(value) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d))),
+    "i_roll_avg"   -> ((s, d) => roundValue(4)(run(s"select avg(value) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d))),
     "i_minmax"     -> ((s, d) => run(s"select max(value) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
     "i_count_dist" -> ((s, d) => run(s"select count(distinct user_id) from events where timestamp in ($T1, $T2) group by interval 1 d")(s, d)),
     "i_since"      -> ((s, d) => run(s"select count(*) from events where timestamp in ($T1, $T2) group by interval 1 d since 10 d")(s, d)),
@@ -886,6 +915,9 @@ object SparkEntry {
     "i_count"      -> temporalOracle(T1, T2, Day, "count(*)"),
     "i_sum"        -> temporalOracle(T1, T2, Day, "sum(value)", wrap = a => s"round($a, 3)"),
     "i_avg"        -> temporalOracle(T1, T2, Day, "avg(value)", wrap = a => s"round($a, 4)"),
+    "i_roll_count" -> temporalOracle(T1r + 1, T2r, Day, "count(*)::BIGINT"),
+    "i_roll_sum"   -> temporalOracle(T1r + 1, T2r, Day, "sum(value)", wrap = a => s"round($a, 3)"),
+    "i_roll_avg"   -> temporalOracle(T1r + 1, T2r, Day, "avg(value)", wrap = a => s"round($a, 4)"),
     "i_minmax"     -> temporalOracle(T1, T2, Day, "max(value)"),
     "i_count_dist" -> temporalOracle(T1, T2, Day, "count(DISTINCT user_id)", extraCols = "value, user_id"),
     "i_since"      -> temporalOracle(GraceLo, T2, Day, "count(*)"),

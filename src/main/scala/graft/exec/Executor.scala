@@ -66,11 +66,19 @@ final case class TimeMirror(
 /** A queryable metric: its DataFrame (canonical columns `timestamp`, `value`, dims/tags) + schema.
   * `shard` is present for warehouse-backed metrics and enables partition pruning;
   * `timeMirror` lets derived-timestamp sources keep parquet row-group skipping. */
+/** A maintained sufficient-statistics rollup attached to a metric
+  * ([[graft.operators.Rollup.buildForServing]] grain: cells `(U-step, U]`
+  * keyed by upper edge): the engine's analogue of the reference's
+  * write-time facet indexes (`AllFacetIndexes.scala:147-169`) — eligible
+  * temporal aggregations are served from it without scanning raw points. */
+final case class RollupRef(stats: DataFrame, stepMs: Long)
+
 final case class MetricRef(
     df: DataFrame,
     schema: MetricSchema,
     shard: Option[ShardInfo] = None,
-    timeMirror: Option[TimeMirror] = None)
+    timeMirror: Option[TimeMirror] = None,
+    rollup: Option[RollupRef] = None)
 
 /**
  * Compiles [[PlannedQuery]] shapes into DataFrame pipelines.
@@ -327,32 +335,67 @@ object Executor {
     val valueType = m.schema.fields.get("value").map(_.dataType).getOrElse(DoubleType)
     if (spans.isEmpty) return emptyTemporalResult(m.df.sparkSession, p.agg, valueType)
 
-    val base = filtered(m, p.where, tc)
+    val grouped = rollupServable(m, p, spans, len) match {
+      case Some((r, rollupAgg)) =>
+        // FAST PATH — serve from the maintained sufficient-statistics
+        // rollup (reference analogue: facet-index reads,
+        // `ShardReaderActor.scala:259-332`). Cells are `(U-step, U]` keyed
+        // by upper edge U; eligibility (rollupServable) guarantees every
+        // cell tiles exactly one query bucket, so the bucket id derives
+        // from U with exact long arithmetic and the aggregates fold from
+        // the cell stats — raw points are never scanned.
+        val step = r.stepMs
+        def cellIn(s: Span) =
+          col("bucket") <= lit(s.hi) && (col("bucket") - lit(step)) >= lit(s.lo - 1)
+        def upperOfCell(s: Span): Column = {
+          val nB = TimeBuckets.bucketCount(s, len)
+          val k  = least(expr(s"(${s.hi}L - bucket) div ${len}L"), lit(nB - 1))
+          lit(s.hi) - k * lit(len)
+        }
+        val cellFilter = spans.map(cellIn).reduce(_ || _)
+        val upperCol = spans.tail.foldLeft(when(cellIn(spans.head), upperOfCell(spans.head))) {
+          (acc, s) => acc.when(cellIn(s), upperOfCell(s))
+        }
+        val lowerCol = spans.tail.foldLeft(
+          when(cellIn(spans.head), greatest(lit(spans.head.lo), upperOfCell(spans.head) - lit(len)))) {
+          (acc, s) => acc.when(cellIn(s), greatest(lit(s.lo), upperOfCell(s) - lit(len)))
+        }
+        r.stats
+          .filter(cellFilter)
+          .withColumn("upperBound", upperCol)
+          .withColumn("lowerBound", lowerCol)
+          .groupBy(col("lowerBound"), col("upperBound"))
+          .agg(rollupAgg.as("value"))
+          .select(col("upperBound").as("timestamp"), col("lowerBound"), col("upperBound"), col("value"))
 
-    // per-span backward-anchored bucket arithmetic, fused into single
-    // codegen-friendly CASE expressions
-    def inSpan(s: Span)  = col("timestamp").between(lit(s.lo), lit(s.hi))
-    def upperExpr(s: Span): Column = {
-      val nB = TimeBuckets.bucketCount(s, len)
-      val k  = least(floor((lit(s.hi) - col("timestamp")).cast(DoubleType) / lit(len.toDouble)).cast(LongType), lit(nB - 1))
-      lit(s.hi) - k * lit(len)
-    }
-    val spanFilter = spans.map(inSpan).reduce(_ || _)
-    val upperCol = spans.tail.foldLeft(when(inSpan(spans.head), upperExpr(spans.head))) { (acc, s) =>
-      acc.when(inSpan(s), upperExpr(s))
-    }
-    val lowerCol = spans.tail.foldLeft(when(inSpan(spans.head), greatest(lit(spans.head.lo), upperExpr(spans.head) - lit(len)))) {
-      (acc, s) => acc.when(inSpan(s), greatest(lit(s.lo), upperExpr(s) - lit(len)))
-    }
+      case None =>
+        val base = filtered(m, p.where, tc)
 
-    val (_, aggCol) = aggColumn(p.agg, None)
-    val grouped = base
-      .filter(spanFilter)
-      .withColumn("upperBound", upperCol)
-      .withColumn("lowerBound", lowerCol)
-      .groupBy(col("lowerBound"), col("upperBound"))
-      .agg(aggCol.as("value"))
-      .select(col("upperBound").as("timestamp"), col("lowerBound"), col("upperBound"), col("value"))
+        // per-span backward-anchored bucket arithmetic, fused into single
+        // codegen-friendly CASE expressions
+        def inSpan(s: Span)  = col("timestamp").between(lit(s.lo), lit(s.hi))
+        def upperExpr(s: Span): Column = {
+          val nB = TimeBuckets.bucketCount(s, len)
+          val k  = least(floor((lit(s.hi) - col("timestamp")).cast(DoubleType) / lit(len.toDouble)).cast(LongType), lit(nB - 1))
+          lit(s.hi) - k * lit(len)
+        }
+        val spanFilter = spans.map(inSpan).reduce(_ || _)
+        val upperCol = spans.tail.foldLeft(when(inSpan(spans.head), upperExpr(spans.head))) { (acc, s) =>
+          acc.when(inSpan(s), upperExpr(s))
+        }
+        val lowerCol = spans.tail.foldLeft(when(inSpan(spans.head), greatest(lit(spans.head.lo), upperExpr(spans.head) - lit(len)))) {
+          (acc, s) => acc.when(inSpan(s), greatest(lit(s.lo), upperExpr(s) - lit(len)))
+        }
+
+        val (_, aggCol) = aggColumn(p.agg, None)
+        base
+          .filter(spanFilter)
+          .withColumn("upperBound", upperCol)
+          .withColumn("lowerBound", lowerCol)
+          .groupBy(col("lowerBound"), col("upperBound"))
+          .agg(aggCol.as("value"))
+          .select(col("upperBound").as("timestamp"), col("lowerBound"), col("upperBound"), col("value"))
+    }
 
     // default ordering is timestamp asc; LIMIT without explicit order keeps
     // the LAST v buckets (reference: `post_proc.applyOrderingWithLimit:56-94`)
@@ -364,6 +407,39 @@ object Executor {
       case (None, d)       => grouped.orderBy(if (d) col("timestamp").desc else col("timestamp").asc)
     }
   }
+
+  /**
+   * Rollup-serving eligibility for a temporal aggregation: the metric has
+   * an attached [[RollupRef]]; the aggregate folds from sufficient stats
+   * (count-of-rows, sum, min, max, avg — NOT count-distinct or first/last);
+   * the WHERE constrains only the timestamp (a tag/dimension filter needs
+   * raw rows); and every (post-grace) span tiles exactly on the rollup
+   * grain — `len % step == 0`, `hi % step == 0`, `(lo-1) % step == 0`, so
+   * no cell straddles a bucket or the span edge. Anything else falls back
+   * to the raw scan; results are identical either way (the eligibility
+   * test is about exactness, not approximation).
+   */
+  private def rollupServable(
+      m: MetricRef, p: PlannedQuery.TemporalAgg, spans: Seq[Span], len: Long
+  ): Option[(RollupRef, Column)] =
+    m.rollup.flatMap { r =>
+      val step = r.stepMs
+      val aggOk: Option[Column] = p.agg match {
+        case CountAgg(f) if f == "value" || f == "*" => Some(sum(col("n")))
+        case SumAgg("value")                         => Some(sum(col("vsum")))
+        case MinAgg("value")                         => Some(min(col("vmin")))
+        case MaxAgg("value")                         => Some(max(col("vmax")))
+        case AvgAgg("value") => Some(sum(col("vsum")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+        case _               => None
+      }
+      val whereOk = p.where.forall(TimeBuckets.isTimeOnly(_))
+      val spansOk = spans.nonEmpty && spans.forall { s =>
+        len % step == 0 &&
+          s.hi != Long.MaxValue && s.lo != Long.MinValue &&
+          Math.floorMod(s.hi, step) == 0 && Math.floorMod(s.lo - 1, step) == 0
+      }
+      if (whereOk && spansOk) aggOk.map(a => (r, a)) else None
+    }
 
   private def emptyTemporalResult(spark: SparkSession, agg: Agg, valueType: DataType): DataFrame = {
     val vt = agg match {

@@ -51,6 +51,31 @@ object Rollup {
   }
 
   /**
+   * [[build]] with EXCLUSIVE-LOWER / INCLUSIVE-UPPER cells `(U-step, U]`,
+   * keyed by the upper edge `U` — the grain the engine's temporal serving
+   * path needs: dialect buckets are `(upper-len, upper]` (reference
+   * anchoring, `TimeRangeManager.scala:83-89`), so only upper-keyed cells
+   * tile them exactly. Plain [[build]] keeps the conventional `[b, b+step)`
+   * floor cells for analytics use.
+   */
+  def buildForServing(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long
+  ): DataFrame = {
+    require(step > 0, "step must be positive")
+    val u = expr(s"((($tsCol - 1) - pmod($tsCol - 1, ${step}L)) div ${step}L) * ${step}L + ${step}L")
+    df.groupBy(keys.map(col) :+ u.as("bucket"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("vsum"),
+        min(col(valueCol)).as("vmin"),
+        max(col(valueCol)).as("vmax"))
+  }
+
+  /**
    * Merge two sufficient-statistics tables (same keys + bucket grain):
    * the incremental-maintenance step. `merge(build(a), build(b)) ==
    * build(a ∪ b)` up to float-sum ordering — the gate proves it against

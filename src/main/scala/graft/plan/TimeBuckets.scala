@@ -68,6 +68,19 @@ object TimeBuckets {
     case _ => Seq(Full) // predicate not on the timestamp: unconstrained
   }
 
+  /** True iff the predicate constrains ONLY the timestamp field — the
+    * eligibility test for serving a temporal aggregation from a rollup
+    * (any dimension/tag condition needs the raw rows). */
+  def isTimeOnly(p: Predicate, timestampField: String = "timestamp"): Boolean = p match {
+    case EqPred(f, _)       => f == timestampField
+    case CmpPred(f, _, _)   => f == timestampField
+    case RangePred(f, _, _) => f == timestampField
+    case AndPred(l, r)      => isTimeOnly(l, timestampField) && isTimeOnly(r, timestampField)
+    case OrPred(l, r)       => isTimeOnly(l, timestampField) && isTimeOnly(r, timestampField)
+    case NotPred(i)         => isTimeOnly(i, timestampField)
+    case _                  => false
+  }
+
   private def longOf(v: CompValue, tc: TimeContext): Option[Long] = v.resolve(tc.currentTime) match {
     case l: Long   => Some(l)
     case i: Int    => Some(i.toLong)

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Rollup
+import graft.plan.TimeContext
+
+/** Temporal aggregations served from an attached sufficient-statistics
+  * rollup: eligible queries must return exactly what the raw scan returns,
+  * ineligible ones must fall back. The poisoned-stats cases prove WHICH
+  * path ran from results alone (a served query reads the poison, a
+  * fallback never touches it). */
+class RollupServeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private implicit val tc: TimeContext = TimeContext(20001L)
+
+  // 1 s rollup grain; values chosen so every aggregate differs per bucket
+  private val Step = 1000L
+  private lazy val events = Seq(
+    (1200L, 2.0, "a"), (1800L, 4.0, "a"), (2500L, 6.0, "b"),
+    (4100L, 1.0, "a"), (5900L, 9.0, "b"), (8000L, 3.0, "a"),
+    (9999L, 7.0, "b"), (10000L, 5.0, "a")
+  ).toDF("timestamp", "value", "kind")
+
+  private def freshEngine(): GraftEngine = {
+    val e = new GraftEngine(spark)
+    e.registerMetric("db", "ns", "ev", events, col("timestamp"), col("value"), tags = Set("kind"))
+    e
+  }
+
+  private def run(e: GraftEngine, q: String): Seq[Row] =
+    e.sql("db", "ns", q).fold(err => fail(err), _.collect().toSeq)
+
+  private val aligned  = "where timestamp > 1000 and timestamp <= 10000 group by interval 3 s"
+  private val queries = Seq(
+    s"select count(*) from ev $aligned",
+    s"select sum(*) from ev $aligned",
+    s"select min(*) from ev $aligned",
+    s"select max(*) from ev $aligned",
+    s"select avg(*) from ev $aligned")
+
+  "rollup serving" should "return exactly the raw-scan result for every eligible aggregate" in {
+    val raw    = freshEngine()
+    val rolled = freshEngine()
+    rolled.attachRollup("db", "ns", "ev",
+      Rollup.buildForServing(events, Seq.empty, "timestamp", "value", Step), Step)
+      .fold(fail(_), identity)
+    queries.foreach { q =>
+      withClue(q) { run(rolled, q).map(_.toSeq) shouldBe run(raw, q).map(_.toSeq) }
+    }
+  }
+
+  it should "actually serve from the stats (poison is visible) and fall back when ineligible" in {
+    val e = freshEngine()
+    // poison: every cell count doubled, sums tripled
+    val poison = Rollup.buildForServing(events, Seq.empty, "timestamp", "value", Step)
+      .withColumn("n", col("n") * 2).withColumn("vsum", col("vsum") * 3)
+    e.attachRollup("db", "ns", "ev", poison, Step).fold(fail(_), identity)
+    val raw = freshEngine()
+
+    // aligned count: served → sees the doubled n
+    val served = run(e, s"select count(*) from ev $aligned").map(_.getLong(3)).sum
+    val truth  = run(raw, s"select count(*) from ev $aligned").map(_.getLong(3)).sum
+    served shouldBe truth * 2
+
+    // misaligned span (hi not on the grain) → fallback, poison invisible
+    val mis = "where timestamp > 1000 and timestamp <= 9999 group by interval 3 s"
+    run(e, s"select count(*) from ev $mis").map(_.toSeq) shouldBe
+      run(raw, s"select count(*) from ev $mis").map(_.toSeq)
+
+    // tag-filtered WHERE → fallback (rollup has no per-tag stats)
+    val tagged = s"select count(*) from ev where kind = 'a' and timestamp > 1000 and timestamp <= 10000 group by interval 3 s"
+    run(e, tagged).map(_.toSeq) shouldBe run(raw, tagged).map(_.toSeq)
+
+    // count distinct → fallback (not derivable from sufficient stats)
+    val cd = s"select count(distinct value) from ev $aligned"
+    run(e, cd).map(_.toSeq) shouldBe run(raw, cd).map(_.toSeq)
+
+    // interval not a multiple of the grain → fallback
+    val odd = "where timestamp > 1000 and timestamp <= 10000 group by interval 2500 ms"
+    if (freshEngine().sql("db", "ns", s"select count(*) from ev $odd").isRight)
+      run(e, s"select count(*) from ev $odd").map(_.toSeq) shouldBe
+        run(raw, s"select count(*) from ev $odd").map(_.toSeq)
+  }
+
+  it should "serve SINCE-grace queries only when the grace-trimmed span stays aligned" in {
+    val e = freshEngine()
+    val poison = Rollup.buildForServing(events, Seq.empty, "timestamp", "value", Step)
+      .withColumn("n", col("n") * 2)
+    e.attachRollup("db", "ns", "ev", poison, Step).fold(fail(_), identity)
+    val raw = freshEngine()
+    // now = 20001; since 19 s trims lo to 1001 → (lo-1) = 1000 aligned → served
+    val q = "select count(*) from ev where timestamp > 0 and timestamp <= 10000 group by interval 3 s since 19 s"
+    val served = run(e, q).map(_.getLong(3)).sum
+    served shouldBe run(raw, q).map(_.getLong(3)).sum * 2
+  }
+}
