@@ -164,4 +164,29 @@ class PlanShapeSpec extends SparkTestBase {
       plan should not include "SortMergeJoin"
     }
   }
+
+  "the rollup/segment additions" should "keep their prescribed shuffle shapes" in {
+    import graft.operators.Rollup
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    // rollup build: ONE shuffle (the partial-aggregated group), no joins
+    val rb = Rollup.build(
+      events.selectExpr("event_type", "unix_micros(ts::timestamp) AS ts", "value"),
+      Seq("event_type"), "ts", "value", 3600000000L).queryExecution.executedPlan.toString
+    withClue(rb) { exchanges(rb) shouldBe 1; rb should not include "Join" }
+    // segment dedup: digests shuffle, never a nested-loop/cartesian product
+    val sd = graft.pipeline.Dedup.segmentDedup(docs).queryExecution.executedPlan.toString
+    withClue(sd) {
+      sd should not include "CartesianProduct"
+      sd should not include "BroadcastNestedLoopJoin"
+    }
+    // rollup-served temporal gate: the plan aggregates the stats table,
+    // never the raw event scan (no mirror-column filter, tiny input)
+    val served = SparkEntry.queries("i_roll_count")(spark, dir)
+      .queryExecution.executedPlan.toString
+    withClue(served) {
+      served should include("bucket") // cell arithmetic, not per-row timestamps
+      served should not include "unix_millis" // raw-path derived-ts marker
+    }
+  }
 }
