@@ -18,7 +18,8 @@ import graft.sql.{Ast, SqlParser}
  * (see [[graft.catalog.Warehouse]]) or are registered in-memory views over
  * arbitrary DataFrames.
  */
-class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.Warehouse] = None) {
+class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.Warehouse] = None,
+                  val execConfig: graft.exec.ExecConfig = graft.exec.ExecConfig()) {
 
   def this(spark: SparkSession, warehouseRoot: String) =
     this(spark, Some(new graft.catalog.Warehouse(spark, warehouseRoot)))
@@ -105,7 +106,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.W
         for {
           ref  <- resolve(s.db, s.namespace, s.metric)
           plan <- Planner.plan(s, ref.schema)
-        } yield Executor.execute(plan, ref, tc)
+        } yield Executor.execute(plan, ref, tc, execConfig)
       case s: Ast.InsertStatement =>
         warehouse.toRight("INSERT requires a warehouse-backed engine")
           .flatMap(_.insert(s))

@@ -217,6 +217,28 @@ object OracleGen {
     * does, so the recurrence inputs stay engine-identical. The `1-d` base
     * interpolates from the SAME Scala double the Spark side uses (17 sig
     * digits forces DuckDB to parse it as DOUBLE, not DECIMAL). */
+  /** CTEs `tri` enumerating triangles `a<b<c` over the thresholded minhash
+    * pair graph — shared by the triangles and per-doc-count oracles. */
+  private def triangleCtes(threshold: Double, numHashes: Int, bands: Int,
+                           shingleK: Int, maxBucket: Int): String =
+    s"""${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS (SELECT DISTINCT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |tri AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+       |  FROM p ab JOIN p bc ON ab.id_b = bc.id_a
+       |  JOIN p ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b)""".stripMargin
+
+  /** mirror of [[graft.operators.Graph.triangles]]. */
+  def trianglesSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${triangleCtes(threshold, numHashes, bands, shingleK, maxBucket)}
+       |SELECT a, b, c FROM tri ORDER BY a, b, c""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.operators.Graph.triangleCounts]]. */
+  def triangleCountsSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${triangleCtes(threshold, numHashes, bands, shingleK, maxBucket)},
+       |m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT id AS doc_id, count(*)::BIGINT AS n_triangles
+       |FROM m GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   def pageRankSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
                   maxBucket: Int, iterations: Int, damping: Double): String = {
     val base = s"${1.0 - damping}"

@@ -214,6 +214,14 @@ object SparkEntry {
       graft.operators.Graph.pageRank(
         Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd).orderBy("doc_id")
     }),
+    // clique structure of the near-dup graph: triangle triples + per-doc
+    // participation counts (template-family detection beyond CC chains)
+    "d_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangles(Dedup.minhashLshPairs(docs(s, d), 0.5))
+        .orderBy("a", "b", "c")),
+    "d_tricount" -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(Dedup.minhashLshPairs(docs(s, d), 0.5))
+        .orderBy("doc_id")),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -938,6 +946,8 @@ object SparkEntry {
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, iterations = 5, damping = 0.85),
+    "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

@@ -90,6 +90,13 @@ final case class MetricRef(
  * limit-clamped global count, backward-anchored temporal buckets and the
  * "last v buckets" temporal limit.
  */
+/** Executor-level knobs. `approxDistinctRsd`: when set, COUNT DISTINCT
+  * runs as `approx_count_distinct` (HyperLogLog++, relative sd = the
+  * value) instead of the exact shuffle-heavy form — the documented 100 TB
+  * opt-in (SURVEY §7.4: the reference is exact via per-shard sets; exact
+  * stays the default for parity). */
+final case class ExecConfig(approxDistinctRsd: Option[Double] = None)
+
 object Executor {
 
   // ---- predicate compilation ---------------------------------------------
@@ -132,13 +139,15 @@ object Executor {
   // ---- aggregation columns -----------------------------------------------
 
   /** Aggregate column + its canonical output name. */
-  private def aggColumn(agg: Agg, limit: Option[Int]): (String, Column) = agg match {
+  private def aggColumn(agg: Agg, limit: Option[Int])(implicit cfg: ExecConfig): (String, Column) = agg match {
     case CountAgg(f) =>
       // the reference clamps a global/grouped count at LIMIT if present
       // (`post_proc/package.scala:343-347`)
       val c = if (f == "value" || f == "*") count(lit(1)) else count(col(f))
       "count" -> limit.fold(c)(l => least(c, lit(l.toLong)))
-    case CountDistinctAgg(f) => "count_distinct" -> count_distinct(col(f))
+    case CountDistinctAgg(f) =>
+      "count_distinct" -> cfg.approxDistinctRsd.fold(count_distinct(col(f)))(rsd =>
+        approx_count_distinct(col(f), rsd))
     case SumAgg(f)           => "sum"            -> sum(col(f))
     case MinAgg(f)           => "min"            -> min(col(f))
     case MaxAgg(f)           => "max"            -> max(col(f))
@@ -149,13 +158,19 @@ object Executor {
 
   // ---- plan execution ----------------------------------------------------
 
-  def execute(plan: PlannedQuery, metric: MetricRef, tc: TimeContext): DataFrame = plan match {
-    case p: PlannedQuery.Simple      => executeSimple(p, metric, tc)
-    case p: PlannedQuery.GlobalAgg   => executeGlobal(p, metric, tc)
-    case p: PlannedQuery.TagAgg      => executeTagAgg(p, metric, tc)
-    case p: PlannedQuery.TemporalAgg => executeTemporal(p, metric, tc)
-    case _: PlannedQuery.Delete =>
-      throw new IllegalArgumentException("DELETE must be executed through the warehouse")
+  def execute(plan: PlannedQuery, metric: MetricRef, tc: TimeContext): DataFrame =
+    execute(plan, metric, tc, ExecConfig())
+
+  def execute(plan: PlannedQuery, metric: MetricRef, tc: TimeContext, cfg: ExecConfig): DataFrame = {
+    implicit val c: ExecConfig = cfg
+    plan match {
+      case p: PlannedQuery.Simple      => executeSimple(p, metric, tc)
+      case p: PlannedQuery.GlobalAgg   => executeGlobal(p, metric, tc)
+      case p: PlannedQuery.TagAgg      => executeTagAgg(p, metric, tc)
+      case p: PlannedQuery.TemporalAgg => executeTemporal(p, metric, tc)
+      case _: PlannedQuery.Delete =>
+        throw new IllegalArgumentException("DELETE must be executed through the warehouse")
+    }
   }
 
   private def filtered(df: DataFrame, where: Option[Predicate], tc: TimeContext): DataFrame =
@@ -251,7 +266,7 @@ object Executor {
     }
   }
 
-  private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
+  private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext)(implicit cfg: ExecConfig): DataFrame = {
     val base = filtered(m, p.where, tc)
     // empty-input parity (reference global spec): count/sum/avg/count
     // distinct yield 0 on an empty selection; a pure min/max query yields
@@ -282,7 +297,7 @@ object Executor {
     }
   }
 
-  private def executeTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext): DataFrame = {
+  private def executeTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext)(implicit cfg: ExecConfig): DataFrame = {
     // records missing the group tag are excluded, matching the reference's
     // facet semantics (a doc without the tag simply isn't in the taxonomy);
     // Spark's groupBy would otherwise emit a NULL group
@@ -307,7 +322,7 @@ object Executor {
     p.limit.fold(sorted)(sorted.limit)
   }
 
-  private def executeTemporal(p: PlannedQuery.TemporalAgg, m: MetricRef, tc: TimeContext): DataFrame = {
+  private def executeTemporal(p: PlannedQuery.TemporalAgg, m: MetricRef, tc: TimeContext)(implicit cfg: ExecConfig): DataFrame = {
     val len = p.intervalMs
 
     // bucket bounds: WHERE-clause time spans if present; else the live shard

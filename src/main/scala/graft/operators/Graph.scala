@@ -70,4 +70,38 @@ object Graph {
     Checkpoints.free(und, deg)
     ranks.select(col("id").as(idCol), col("r").as("rank"))
   }
+
+  /**
+   * TRIANGLE ENUMERATION over an undirected edge list `(id_a, id_b)` with
+   * `id_a < id_b`: every triple `(a, b, c)` with all three edges present,
+   * `a < b < c`. On the near-dup graph a triangle means three documents
+   * pairwise similar — clique-ish template families, as opposed to the
+   * chains that connected components cannot tell apart; `a_b ⋈ b_c ⋈ a_c`
+   * is the standard two-join enumeration and the `a<b<c` orientation
+   * counts each triangle exactly once.
+   *
+   * Scale shape: two equi-joins on node ids (bare longs). The classic
+   * skew hazard — one high-degree hub exploding the first join — is the
+   * same degenerate-bucket risk the pair MINING already caps
+   * (`maxBucket`); feed this capped pairs, and per-node degree is bounded
+   * by construction.
+   */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a"), col("id_b")).distinct()
+    e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+      .join(e.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Per-node triangle participation count over [[triangles]] — the local
+    * clustering signal (how embedded in a template family each doc is). */
+  def triangleCounts(pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val t = triangles(pairs)
+    t.select(col("a").as("id"))
+      .unionAll(t.select(col("b").as("id")))
+      .unionAll(t.select(col("c").as("id")))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -359,6 +359,16 @@ class PipelineSpec extends SparkTestBase {
     minHead should be >= maxTail
   }
 
+  "Graph.triangles" should "enumerate each planted triangle once, oriented a<b<c" in {
+    import graft.operators.Graph
+    // triangle {1,2,3} + a dangling chain 3-4: one triangle, no more
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    Graph.triangles(pairs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 2L, 3L))
+    val counts = Graph.triangleCounts(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    counts shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L) // 4 is in no triangle
+  }
+
   "Similarity.recallAtK" should "count approximate hits against the exact top-k" in {
     val exact  = Seq(1L, 2L, 3L, 4L).toDF("id")
     val approx = Seq(2L, 4L, 9L).toDF("id")

@@ -86,6 +86,21 @@ class RollupServeSpec extends SparkTestBase {
         run(raw, s"select count(*) from ev $odd").map(_.toSeq)
   }
 
+  "the approx-count-distinct opt-in" should "stay exact by default and approximate under the flag" in {
+    val exact = freshEngine()
+    val approx = {
+      val e = new GraftEngine(spark, None, graft.exec.ExecConfig(approxDistinctRsd = Some(0.05)))
+      e.registerMetric("db", "ns", "ev", events, col("timestamp"), col("value"), tags = Set("kind"))
+      e
+    }
+    val q = "select count(distinct value) from ev"
+    val ex = run(exact, q).head.getLong(0)
+    ex shouldBe 8L // all values distinct: the default path is exact
+    val ap = run(approx, q).head.getLong(0)
+    // HLL++ at rsd 0.05 on 8 values lands within a tight band of the truth
+    ap.toDouble shouldBe 8.0 +- 2.0
+  }
+
   it should "serve SINCE-grace queries only when the grace-trimmed span stays aligned" in {
     val e = freshEngine()
     val poison = Rollup.buildForServing(events, Seq.empty, "timestamp", "value", Step)
