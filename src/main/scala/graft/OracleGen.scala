@@ -570,6 +570,27 @@ object OracleGen {
        |${sels.mkString(" UNION ALL ")} ORDER BY stage_idx""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.operators.Relational.funnelCountsWithin]]: greedy
+    * per-stage min chaining under the stage-1-anchored deadline
+    * (`t1.ts + window` carried through every later stage). */
+  def funnelCountsWithinSql(stages: Seq[String], windowUs: Long): String = {
+    val ctes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""t1 AS (SELECT user_id, min(ts) AS ts, min(ts) + $windowUs AS dl
+           |  FROM e WHERE event_type = '$s' GROUP BY user_id)""".stripMargin
+      else
+        s"""t${i + 1} AS (SELECT e.user_id, min(e.ts) AS ts, dl FROM e
+           |  JOIN t$i ON e.user_id = t$i.user_id AND e.ts > t$i.ts AND e.ts <= t$i.dl
+           |  WHERE e.event_type = '$s' GROUP BY e.user_id, dl)""".stripMargin
+    }
+    val sels = stages.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${i + 1} AS stage_idx, '$s' AS stage, (SELECT count(*) FROM t${i + 1})::BIGINT AS n_keys"
+    }
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+       |${ctes.mkString(",\n")}
+       |${sels.mkString(" UNION ALL ")} ORDER BY stage_idx""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.TextAnalysis.unigramLogProb]]: corpus
     * unigram table, top-V vocabulary (count DESC, word), mean word
     * log-probability per doc with the count-1 OOV floor. */

@@ -604,6 +604,14 @@ object SparkEntry {
         Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("stage_idx")
     }),
+    // the same funnel time-boxed: convert within 3 days of the first view
+    "ev_wfunnel" -> ((s, d) => {
+      val ev = evUsAll(s, d)
+      graft.operators.Relational.funnelCountsWithin(ev.select("user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_type", Seq("view", "click", "purchase"),
+        windowTs = 3L * 86400000000L)
+        .orderBy("stage_idx")
+    }),
     // arrival-cadence panel: p50/p90 inter-event gaps per type
     "ev_gaps" -> ((s, d) => {
       val ev = evUsAll(s, d)
@@ -1151,6 +1159,7 @@ object SparkEntry {
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "ev_funnel" -> OracleGen.funnelCountsSql(Seq("view", "click", "purchase")),
+    "ev_wfunnel" -> OracleGen.funnelCountsWithinSql(Seq("view", "click", "purchase"), 3L * 86400000000L),
     // interpolated percentiles over integer gaps: quantile_cont matches
     // Spark's exact percentile per the interpolated-median rule
     "ev_gaps" ->

@@ -182,6 +182,64 @@ object Relational {
   }
 
   /**
+   * TIME-BOXED FUNNEL: like [[funnel]], but every stage must complete
+   * within `windowTs` of the key's FIRST stage-1 event (the conversion-
+   * window semantics of product funnels: "purchased within 3 days of the
+   * first view"). Anchor = the earliest stage-1 event; within a fixed
+   * anchor, taking the earliest eligible event per stage is optimal (it
+   * maximizes the remaining window), so the greedy fold is exact. Same
+   * one-shuffle collect-and-fold shape as [[funnel]].
+   */
+  def funnelWithin(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stageCol: String,
+      stages: Seq[String],
+      windowTs: Long
+  ): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(windowTs > 0, "windowTs must be positive")
+    val stagesLit = lit(stages.toArray)
+    val evs  = sort_array(collect_list(struct(col(tsCol).as("t"), col(stageCol).as("s"))))
+    val init = struct(lit(0).as("m"), lit(Long.MinValue).as("t"), lit(Long.MinValue).as("dl"))
+    val reached = aggregate(evs, init, (acc, e) =>
+      when(
+        acc.getField("m") === 0 && e.getField("s") === element_at(stagesLit, 1),
+        struct(lit(1).as("m"), e.getField("t").cast("long").as("t"),
+          (e.getField("t") + windowTs).cast("long").as("dl")))
+        .when(
+          acc.getField("m") > 0 && acc.getField("m") < stages.size &&
+            e.getField("s") === element_at(stagesLit, acc.getField("m") + 1) &&
+            e.getField("t") > acc.getField("t") && e.getField("t") <= acc.getField("dl"),
+          struct((acc.getField("m") + 1).as("m"), e.getField("t").cast("long").as("t"),
+            acc.getField("dl").cast("long").as("dl")))
+        .otherwise(acc)).getField("m")
+    df.groupBy(keys.map(col): _*).agg(reached.as("stage_reached"))
+  }
+
+  /** [[funnelCounts]] over the time-boxed [[funnelWithin]]. */
+  def funnelCountsWithin(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stageCol: String,
+      stages: Seq[String],
+      windowTs: Long
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reached = funnelWithin(df, keys, tsCol, stageCol, stages, windowTs)
+    val hits = reached
+      .filter(col("stage_reached") > 0)
+      .select(explode(sequence(lit(1), col("stage_reached"))).as("stage_idx"))
+      .groupBy("stage_idx").agg(count(lit(1)).as("n_keys"))
+    val all = stages.zipWithIndex.map { case (s, i) => (i + 1, s) }.toDF("stage_idx", "stage")
+    all.join(hits, Seq("stage_idx"), "left_outer")
+      .select(col("stage_idx"), col("stage"), coalesce(col("n_keys"), lit(0L)).as("n_keys"))
+  }
+
+  /**
    * Funnel conversion table over [[funnel]]: for every stage, how many
    * keys reached at least it — zero-filled so every stage always reports.
    */

@@ -156,6 +156,22 @@ class RelationalSpec extends SparkTestBase {
     out shouldBe Set(("a", 10.0, 0.0), ("a", 20.0, 0.3333), ("a", 30.0, 1.0), ("b", 99.0, 0.0))
   }
 
+  "Relational.funnelWithin" should "anchor at the first stage-1 event and enforce the deadline" in {
+    val stages = Seq("a", "b", "c")
+    val ev = Seq(
+      // u1: completes inside the window (anchor 10, deadline 10+100)
+      ("u1", 10L, "a"), ("u1", 50L, "b"), ("u1", 90L, "c"),
+      // u2: stage c arrives past the deadline → stuck at 2
+      ("u2", 10L, "a"), ("u2", 50L, "b"), ("u2", 200L, "c"),
+      // u3: a LATER anchor would work (a@150, c@200), but the first "a" at
+      // 10 anchors the window — documented earliest-anchor semantics
+      ("u3", 10L, "a"), ("u3", 150L, "a"), ("u3", 160L, "b"), ("u3", 200L, "c")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnelWithin(ev, Seq("user_id"), "ts", "event_type", stages, windowTs = 100L)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    out shouldBe Map("u1" -> 3, "u2" -> 2, "u3" -> 1)
+  }
+
   "Relational.rfmScores" should "assign 1-5 quintiles with 5 = best on every axis" in {
     // five users, strictly ordered on all three axes: user i has last event
     // at t=i0, i events, spend 10*i — so user 5 is 5/5/5, user 1 is 1/1/1
