@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.exec.{Executor, MetricRef, ShardInfo}
+import graft.exec.{Executor, MetricRef, RollupRef, ShardInfo}
 import graft.model.{FieldClass, MetricField, MetricSchema}
 import graft.plan.{TimeBuckets, TimeContext}
 import graft.sql.Ast
@@ -59,6 +59,8 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   private def dataPath(c: Coords) = s"${c.path(root)}/data"
   private def metaPath(c: Coords) = s"${c.path(root)}/meta.json"
+  private def rollupDir(c: Coords) = s"${c.path(root)}/rollup"
+  private def rollupCfgPath(c: Coords) = s"${c.path(root)}/rollup.json"
 
   // ---- metadata ----------------------------------------------------------
 
@@ -157,6 +159,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
         .repartition(col("shard"))
         .write.partitionBy("shard").mode("append").parquet(dataPath(c))
       writeMeta(c, m)
+      // write-time rollup maintenance: this batch's stats segment appends
+      // to the log (reference: facet update per accumulated batch)
+      rollupStep(c).foreach(step => appendRollupSegment(c, df, step))
       // an all-empty batch can run zero tasks → no metric row at all
       obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
     }
@@ -198,7 +203,8 @@ class Warehouse(val spark: SparkSession, val root: String) {
         if (shardIds.isEmpty) None
         else Some((shardIds.min * m.shardIntervalMs, (shardIds.max + 1) * m.shardIntervalMs - 1))
       MetricRef(df, m.schema,
-        Some(ShardInfo("shard", m.shardIntervalMs, bounds, shardIds, Some(shardRowCount(c, _)))))
+        Some(ShardInfo("shard", m.shardIntervalMs, bounds, shardIds, Some(shardRowCount(c, _)))),
+        rollup = rollupRef(c))
     }
 
   /**
@@ -290,6 +296,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
             if (n > 0) fs.rename(new Path(tmp), new Path(shardDir))
             else fs.delete(new Path(tmp), true)
           }
+          // deleted rows invalidate the stats segments: rebuild from the
+          // surviving data (one aggregation job over the rewritten shards)
+          rollupStep(c).foreach(step => rebuildRollupLocked(c, m, step))
         }
       }
     }
@@ -387,6 +396,78 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * location, `MetadataCoordinator.scala:268-311`). Returns the FULLY
    * evicted shard ids.
    */
+  // ---- maintained rollups (facet-index analogue) -------------------------
+
+  /**
+   * Enable write-time rollup maintenance for a metric: a sufficient-
+   * statistics segment log ([[graft.operators.Rollup.buildForServing]]
+   * grain, `stepMs` cells) kept current by [[append]] and rebuilt by
+   * [[delete]]/eviction — the warehouse face of the reference's facet
+   * indexes (`AllFacetIndexes.scala:147-169`: every accumulated batch
+   * updates the pre-aggregated structures at write time). [[read]] attaches
+   * it, so eligible temporal dialect queries serve from stats without
+   * scanning raw shards.
+   */
+  def enableRollup(c: Coords, stepMs: Long): Either[String, Unit] = {
+    require(stepMs > 0, "stepMs must be positive")
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
+      withWriteLock(c) {
+        Files.write(Paths.get(rollupCfgPath(c)),
+          s"""{"stepMs":$stepMs}""".getBytes(StandardCharsets.UTF_8))
+        rebuildRollupLocked(c, m, stepMs)
+      }
+    }
+  }
+
+  /** The configured rollup grain, if rollup maintenance is enabled. */
+  def rollupStep(c: Coords): Option[Long] =
+    Try {
+      val json = new String(Files.readAllBytes(Paths.get(rollupCfgPath(c))), StandardCharsets.UTF_8)
+      """"stepMs"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    }.toOption.flatten
+
+  /** Rebuild the segment log from the current data (also the compaction:
+    * the log re-collapses to one segment). Crash-safe rename-aside swap. */
+  def rebuildRollup(c: Coords): Either[String, Unit] =
+    readMeta(c).toRight(s"metric ${c.metric} does not exist").flatMap { m =>
+      rollupStep(c).toRight(s"rollup not enabled for ${c.metric}").map { step =>
+        withWriteLock(c) { rebuildRollupLocked(c, m, step) }
+      }
+    }
+
+  private def rebuildRollupLocked(c: Coords, m: Meta, stepMs: Long): Unit = {
+    val fs  = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(rollupDir(c))
+    if (!fs.exists(new Path(dataPath(c)))) { fs.delete(dir, true); () }
+    else {
+      val tmp = new Path(rollupDir(c) + ".tmp")
+      val df  = spark.read.schema(m.schema.toStruct.add("shard", LongType)).parquet(dataPath(c))
+      graft.operators.Rollup
+        .buildForServing(df, Seq.empty, "timestamp", "value", stepMs)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+      ()
+    }
+  }
+
+  /** Append one batch's stats segment (called under [[append]]'s lock). */
+  private def appendRollupSegment(c: Coords, batch: DataFrame, stepMs: Long): Unit = {
+    graft.operators.Rollup
+      .buildForServing(batch, Seq.empty, "timestamp", "value", stepMs)
+      .write.mode("append").parquet(rollupDir(c))
+    ()
+  }
+
+  /** The merged serving view over the segment log, if enabled and built. */
+  private def rollupRef(c: Coords): Option[RollupRef] =
+    rollupStep(c).filter { _ =>
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(rollupDir(c)))
+    }.map { step =>
+      RollupRef(graft.operators.Rollup.coalesceStats(spark.read.parquet(rollupDir(c))), step)
+    }
+
   def evictExpired(c: Coords)(implicit tc: TimeContext): Either[String, Seq[Long]] =
     readMeta(c).toRight(s"metric ${c.metric} does not exist").flatMap { m =>
       if (m.retentionMs <= 0) Right(Seq.empty)
@@ -399,6 +480,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
             .map(_.stripPrefix("shard=").toLong)
             .filter(s => (s + 1) * m.shardIntervalMs - 1 < cutoff)
           full.foreach(s => fs.delete(new Path(s"${dataPath(c)}/shard=$s"), true))
+          if (full.nonEmpty) rollupStep(c).foreach(step => rebuildRollupLocked(c, m, step))
           full
         }
         val cutoff = tc.currentTime - m.retentionMs

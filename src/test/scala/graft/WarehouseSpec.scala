@@ -493,4 +493,30 @@ class WarehouseSpec extends SparkTestBase {
     CommandParser.parse("show namespaces") shouldBe Right(Ast.ShowNamespaces)
     CommandParser.parse("bogus").isLeft shouldBe true
   }
+
+  "warehouse rollup maintenance" should "serve temporal queries and stay exact through append and delete" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "roll", "ev")
+    seed(wh, c)
+    wh.enableRollup(c, stepMs = 1000L).fold(fail(_), identity)
+    // span (0, 2 days]: lo-1 = 0 and hi are on the 1 s grain; len 1 d
+    val q = s"select sum(value) from ev where timestamp > 0 and timestamp <= ${2 * day} group by interval 1 d"
+    def run(query: String) = engine.sql("db", "roll", query).fold(fail(_), _.collect().toSeq)
+    val noRoll = {
+      val (e2, wh2, _) = freshEngine(); seed(wh2, Coords("db", "roll", "ev"))
+      e2.sql("db", "roll", q).fold(fail(_), _.collect().toSeq)
+    }
+    run(q) shouldBe noRoll
+    // the read path actually attached the stats
+    wh.read(c).toOption.flatMap(_.rollup).map(_.stepMs) shouldBe Some(1000L)
+
+    // append keeps the segment log current
+    wh.append(c, Seq((1 * day + 300L, 10.0, "z", "x")).toDF("timestamp", "value", "name", "grp"),
+      tags = Set("grp")).fold(fail(_), identity)
+    run(q).map(_.getDouble(3)).sum shouldBe 16.0 // 1+2+3+10 (the 4.0 row is past the span)
+
+    // delete rebuilds the stats from survivors
+    engine.sql("db", "roll", "delete from ev where value = 10.0")(tc).fold(fail(_), identity)
+    run(q).map(_.getDouble(3)).sum shouldBe 6.0
+  }
 }
