@@ -107,6 +107,18 @@ object OracleGen {
        |  round(1.0 - sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS novelty
        |FROM e JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.minhashErrorReport]]: signature-agreement estimate
+    * vs exact jaccard per candidate pair, both 4-dp snapped before the
+    * error subtraction. */
+  def minhashErrorReportSql(numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |er AS (SELECT id_a, id_b,
+       |  round(len(list_filter(range(1, ${numHashes + 1}), i -> ga.sig[i::INT] = gb.sig[i::INT]))::DOUBLE / $numHashes, 4) AS est_jaccard,
+       |  round(jaccard, 4) AS jaccard
+       |  FROM v JOIN g ga ON ga.doc_id = v.id_a JOIN g gb ON gb.doc_id = v.id_b)
+       |SELECT id_a, id_b, est_jaccard, jaccard, round(abs(est_jaccard - jaccard), 4) AS abs_err
+       |FROM er ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.segmentDedup]]: non-overlapping `segWords`-word
     * segments, boilerplate = exact segment content in >= `minDocs` distinct
     * docs, per-doc reassembly of survivors in segment order. The compare is

@@ -248,6 +248,8 @@ object SparkEntry {
     "d_lines" -> ((s, d) => Dedup.segmentDedup(docs(s, d), segWords = 4, minDocs = 2).orderBy("doc_id")),
     // threshold-tuning report: jaccard histogram over open LSH candidates
     "d_simcurve" -> ((s, d) => Dedup.similarityHistogram(docs(s, d)).orderBy("sim_bin")),
+    // signature-quality report: estimated vs exact jaccard per candidate
+    "d_esterr" -> ((s, d) => Dedup.minhashErrorReport(docs(s, d)).orderBy("id_a", "id_b")),
     // eval-set decontamination: docs with doc_id % 10 == 0 play the
     // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
     "d_decon" -> ((s, d) => {
@@ -720,6 +722,12 @@ object SparkEntry {
       val hourly = Rollup.build(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
       Rollup.serve(Rollup.regrain(hourly, 24 * HourUs)).orderBy("event_type", "bucket")
     }),
+    // weekly-cohort LTV curves (cumulative revenue per cohort member)
+    "ev_ltv" -> ((s, d) => {
+      val ev = evUsAll(s, d).select("user_id", "ts", "value")
+      graft.operators.Relational.cohortLtv(ev, periodTs = 7L * 86400000000L)
+        .orderBy("cohort", "age")
+    }),
     // RFM customer-value quintiles; now pinned to the query TimeContext
     "ev_rfm" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "ts", "value")
@@ -950,6 +958,7 @@ object SparkEntry {
     "d_ngram_banded" -> OracleGen.minhashPairsSql(0.5, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_minhash" -> OracleGen.minhashPairsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_simcurve" -> OracleGen.similarityHistogramSql(numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_esterr"   -> OracleGen.minhashErrorReportSql(numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_contain" -> OracleGen.containmentPairsSql(0.8, shingleK = 3, minShared = 2L, maxBucket = 1000),
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
@@ -1509,6 +1518,24 @@ object SparkEntry {
       s"""SELECT event_type, (epoch_us(ts) // $HourUs) % 24 AS phase, count(*)::BIGINT AS n,
          |  round(sum(value), 6) / count(*) AS avg_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // LTV: cumulative window over the 2-dp-snapped period revenue in age
+    // order — both engines add the same numbers in the same order
+    "ev_ltv" -> {
+      val W = 7L * 86400000000L
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events),
+         |f AS (SELECT user_id, min(ts) AS first_ts FROM e GROUP BY user_id),
+         |fc AS (SELECT user_id, ((first_ts - first_ts % $W) // $W) * $W AS cohort FROM f),
+         |cs AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM fc GROUP BY cohort),
+         |a AS (SELECT e.user_id, fc.cohort, ((e.ts - fc.cohort) - (e.ts - fc.cohort) % $W) // $W AS age, e.value
+         |      FROM e JOIN fc ON e.user_id = fc.user_id),
+         |p AS (SELECT cohort, age, count(DISTINCT user_id)::BIGINT AS active_users,
+         |      round(sum(value), 2) AS period_rev FROM a GROUP BY cohort, age),
+         |c AS (SELECT cohort, age, active_users, period_rev,
+         |      round(sum(period_rev) OVER (PARTITION BY cohort ORDER BY age), 2) AS cum_rev FROM p)
+         |SELECT c.cohort, age, active_users, period_rev, cum_rev,
+         |  round(cum_rev / cohort_size::DOUBLE, 4) AS ltv_per_user
+         |FROM c JOIN cs ON c.cohort = cs.cohort ORDER BY c.cohort, age""".stripMargin.replace("\n", " ")
+    },
     // RFM: ntile over a TOTAL order (metric desc, user asc) — standard
     // equal-size-±1 buckets, so assignment matches Spark's ntile exactly;
     // monetary snaps to cents before ordering

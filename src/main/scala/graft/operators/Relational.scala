@@ -494,6 +494,49 @@ object Relational {
   }
 
   /**
+   * COHORT LTV CURVES: group users by first-seen period ("cohort"), then
+   * for each cohort age (periods since the cohort started) report active
+   * users, period revenue, cumulative revenue and cumulative revenue per
+   * cohort member — the lifetime-value table behind retention economics.
+   *
+   * Engine-portable arithmetic: period revenue snaps to 2 dp; the
+   * cumulative sum runs over the SNAPPED values in age order (a total
+   * order per cohort), so both engines perform the identical addition
+   * sequence; the per-user division divides two already-identical numbers.
+   * Shuffle shape: one user-grain aggregation (first event), one
+   * (cohort, age) aggregation, a broadcast of the |cohorts|-row size
+   * table, and a per-cohort window — each key-bounded.
+   */
+  def cohortLtv(
+      events: DataFrame,
+      periodTs: Long,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      valueCol: String = "value"
+  ): DataFrame = {
+    require(periodTs > 0, "periodTs must be positive")
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .withColumn("cohort",
+        expr(s"((__first - pmod(__first, ${periodTs}L)) div ${periodTs}L) * ${periodTs}L"))
+    val cohortSizes = firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val aged = events.join(firsts.select(col(userCol), col("cohort")), userCol)
+      .withColumn("age", expr(s"(($tsCol - cohort) - pmod($tsCol - cohort, ${periodTs}L)) div ${periodTs}L"))
+    val per = aged.groupBy(col("cohort"), col("age"))
+      .agg(
+        count_distinct(col(userCol)).as("active_users"),
+        round(sum(col(valueCol)), 2).as("period_rev"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+    per
+      .withColumn("cum_rev", round(sum(col("period_rev")).over(w), 2))
+      .join(broadcast(cohortSizes), "cohort")
+      .select(col("cohort"), col("age"), col("active_users"), col("period_rev"),
+        col("cum_rev"),
+        round(col("cum_rev") / col("cohort_size").cast("double"), 4).as("ltv_per_user"))
+  }
+
+  /**
    * RFM SCORING: per-user Recency / Frequency / Monetary quintiles — the
    * classic customer-value segmentation. Each user gets three 1–5 scores
    * (5 = best: most recent, most frequent, highest spend) assigned by

@@ -938,6 +938,45 @@ object Dedup {
   }
 
   /**
+   * MINHASH ESTIMATION-ERROR REPORT: per LSH candidate pair, the Jaccard
+   * the SIGNATURES estimate (fraction of agreeing minhash positions)
+   * against the exact set Jaccard, with the absolute error — the
+   * index-quality check that tells you whether `numHashes` is sized right
+   * for the threshold you run dedup at (mean error ~ 1/√numHashes). Same
+   * mining shape as [[minhashLshPairs]]; one extra signature comparison
+   * per surviving pair.
+   */
+  def minhashErrorReport(
+      df: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
+    val rows = numHashes / bands
+    val prepped = df
+      .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
+      .pinned
+    val candidates = lshCandidatePairs(prepped, bands, rows, maxBucket)
+    val side = prepped.select(col("id"), col("sh"), col("sig"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    candidates
+      .join(side.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(est, 4).as("est_jaccard"),
+        round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+  }
+
+  /**
    * SIMILARITY HISTOGRAM: the distribution of exact Jaccard over the LSH
    * candidate pairs, in 0.1-wide bins (`sim_bin` = 0 ⇒ [0, 0.1), …, 9 ⇒
    * [0.9, 1.0]) — the tuning report that answers "where should the dedup

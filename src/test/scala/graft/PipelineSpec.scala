@@ -359,6 +359,19 @@ class PipelineSpec extends SparkTestBase {
     minHead should be >= maxTail
   }
 
+  "Dedup.minhashErrorReport" should "estimate 1.0 with zero error for identical docs" in {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.minhashErrorReport(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    rep((0L, 1L)) shouldBe ((1.0, 1.0, 0.0)) // identical: perfect estimate
+    // near-dup pairs: the estimate stays within the 1/sqrt(64) noise band
+    rep.values.foreach { case (_, _, err) => err should be <= 0.25 }
+  }
+
   "Graph.triangles" should "enumerate each planted triangle once, oriented a<b<c" in {
     import graft.operators.Graph
     // triangle {1,2,3} + a dangling chain 3-4: one triangle, no more

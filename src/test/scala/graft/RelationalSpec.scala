@@ -156,6 +156,22 @@ class RelationalSpec extends SparkTestBase {
     out shouldBe Set(("a", 10.0, 0.0), ("a", 20.0, 0.3333), ("a", 30.0, 1.0), ("b", 99.0, 0.0))
   }
 
+  "Relational.cohortLtv" should "accumulate per-cohort revenue by age with per-member division" in {
+    // cohort 0 (users u1@t0, u2@t5): period 10 → u1 spends 2 at age 0 and
+    // 4 at age 1 (ts 12: (12-0)/10 = 1); u2 spends 6 at age 0 (ts 5)
+    // cohort 10 (u3@t15): 8 at age 0
+    val ev = Seq(
+      ("u1", 0L, 2.0), ("u1", 12L, 4.0),
+      ("u2", 5L, 6.0),
+      ("u3", 15L, 8.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Relational.cohortLtv(ev, periodTs = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    out((0L, 0L)) shouldBe ((2L, 8.0, 8.0, 4.0))   // both users active, 8 total, /2 members
+    out((0L, 1L)) shouldBe ((1L, 4.0, 12.0, 6.0))  // cumulative 12, /2
+    out((10L, 0L)) shouldBe ((1L, 8.0, 8.0, 8.0))
+  }
+
   "Relational.funnelWithin" should "anchor at the first stage-1 event and enforce the deadline" in {
     val stages = Seq("a", "b", "c")
     val ev = Seq(
