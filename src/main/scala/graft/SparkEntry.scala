@@ -707,6 +707,10 @@ object SparkEntry {
     "ts_sanom" -> ((s, d) =>
       TimeSeries.seasonalAnomalies(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         period = 24, k = 2.0).orderBy("event_type", "ts")),
+    // per-type OLS trend on the hourly grid, forecast one day out
+    "ts_trend" -> ((s, d) =>
+      TimeSeries.trendForecast(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        horizon = 24).orderBy("event_type")),
     // incrementally-maintained rollup: stats built on two disjoint event
     // slices then MERGED must equal a full recompute (proven cross-engine
     // against DuckDB's direct aggregation over all events)
@@ -1345,6 +1349,28 @@ object SparkEntry {
          |SELECT u.event_type, ts, value, resid, rms
          |FROM u JOIN m ON u.event_type = m.event_type
          |WHERE abs(resid) > 2.0 * rms ORDER BY u.event_type, ts""".stripMargin.replace("\n", " ")
+    },
+    // OLS trend: all four sufficient sums are exact integer-lattice sums
+    // (grid index × 1e-6-snapped value), so slope/intercept/forecast divide
+    // identical doubles; the slope expression is spelled twice (rounded
+    // column + inline inside intercept) exactly as the Spark agg does
+    "ts_trend" -> {
+      val h = 24
+      val slopeE = "CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 ELSE (n*sxy - sx*sy)/(n*sxx - sx*sx) END"
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, min(ts) AS t0 FROM r GROUP BY 1),
+         |xy AS (SELECT r.event_type, (r.ts - t0) // $HourUs AS x, round(value * 1000000.0)::BIGINT AS y6, r.ts
+         |       FROM r JOIN m USING (event_type)),
+         |a AS (SELECT event_type, count(*)::BIGINT AS n_points, max(x) AS xmax, max(ts) AS tmax,
+         |       count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx, sum(y6)::DOUBLE/1000000.0 AS sy,
+         |       sum(x*y6)::DOUBLE/1000000.0 AS sxy, sum(x*x)::DOUBLE AS sxx FROM xy GROUP BY event_type),
+         |b AS (SELECT event_type, n_points, xmax, tmax, round($slopeE, 6) AS slope,
+         |       round((sy - ($slopeE)*sx)/n, 6) AS intercept FROM a)
+         |SELECT event_type, n_points, slope, intercept,
+         |  (tmax + $h * $HourUs)::BIGINT AS forecast_ts,
+         |  round(intercept + slope * (xmax + $h)::DOUBLE, 6) AS forecast
+         |FROM b ORDER BY event_type""".stripMargin.replace("\n", " ")
     },
     // incremental rollup: the merged stats table must equal DuckDB's full
     // direct aggregation (sum snap round(,3); mean divides the 6-dp snap)

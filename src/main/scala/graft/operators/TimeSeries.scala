@@ -24,6 +24,60 @@ object TimeSeries {
   private def floorDiv(c: String, w: Long): String = s"(($c - pmod($c, ${w}L)) div ${w}L)"
 
   /**
+   * OLS TREND + FORECAST per key, fit on the [[resample]] grid: slope and
+   * intercept of value over grid index, plus the extrapolated value
+   * `horizon` steps past each key's last observation — the cheapest
+   * capacity-planning forecast (Holt without smoothing state).
+   *
+   * Engine-portable closed form: the regressors are small integers (grid
+   * index from the key's first bucket) and the responses snap to a 1e-6
+   * lattice, so every Σx, Σy, Σxy, Σx² is an EXACT integer sum (order-free
+   * at any parallelism — magnitudes stay far below 2^53); slope and
+   * intercept then divide identical numbers on both engines. Keys with a
+   * single grid point report a flat forecast (slope 0).
+   *
+   * Scale shape: the resample's one map-side-combined aggregation, a
+   * per-key min-bucket broadcast-back, and one |keys|-row aggregation.
+   */
+  def trendForecast(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      horizon: Int = 1
+  ): DataFrame = {
+    require(horizon >= 0, "horizon must be non-negative")
+    val grid = resample(df, keys, tsCol, valueCol, step)
+    val kc   = keys.map(col)
+    val mins = grid.groupBy(kc: _*).agg(min(col(tsCol)).as("__t0"))
+    val xy = grid.join(mins, keys)
+      .withColumn("__x", expr(s"($tsCol - __t0) div ${step}L")) // small int
+      .withColumn("__y6", round(col(valueCol) * 1000000.0).cast("long")) // 1e-6 lattice
+    val n   = count(lit(1)).cast("double")
+    val sx  = sum(col("__x")).cast("double")
+    val sy  = sum(col("__y6")).cast("double") / 1000000.0
+    val sxy = sum(col("__x") * col("__y6")).cast("double") / 1000000.0
+    val sxx = sum(col("__x") * col("__x")).cast("double")
+    val den = n * sxx - sx * sx
+    val slope     = when(den === 0.0, 0.0).otherwise((n * sxy - sx * sy) / den)
+    val intercept = (sy - slope * sx) / n
+    xy.groupBy(kc: _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        max(col("__x")).as("__xmax"),
+        max(col(tsCol)).as("__tmax"),
+        round(slope, 6).as("slope"),
+        round(intercept, 6).as("intercept"))
+      .select(kc ++ Seq(
+        col("n_points"),
+        col("slope"), col("intercept"),
+        (col("__tmax") + lit(horizon) * lit(step)).as("forecast_ts"),
+        round(col("intercept") + col("slope") * (col("__xmax") + lit(horizon)).cast("double"), 6)
+          .as("forecast")): _*)
+  }
+
+  /**
    * RESAMPLE to a fixed grid: floor each timestamp to its `step` bucket and
    * average the values per `(keys, bucket)`. Returns `(keys*, tsCol,
    * valueCol)` with `tsCol` on the grid (bucket lower edge). One map-side-

@@ -267,6 +267,24 @@ class TimeSeriesSpec extends SparkTestBase {
     r.isNullAt(3) shouldBe true
   }
 
+  "TimeSeries.trendForecast" should "recover an exact linear trend and extrapolate it" in {
+    // y = 2x + 1 on a 10-unit grid: slope 2, intercept 1, forecast at x=5
+    val df = (0 to 3).map(i => ("a", i.toLong * 10, 2.0 * i + 1.0)).toDF("k", "ts", "v")
+    val r = TimeSeries.trendForecast(df, Seq("k"), "ts", "v", step = 10L, horizon = 2).head()
+    r.getLong(1) shouldBe 4L        // n_points
+    r.getDouble(2) shouldBe 2.0     // slope
+    r.getDouble(3) shouldBe 1.0     // intercept
+    r.getLong(4) shouldBe 50L       // forecast_ts = last grid ts + 2 steps
+    r.getDouble(5) shouldBe 11.0    // y at x = 5
+  }
+
+  it should "report a flat forecast for a single-point key" in {
+    val df = Seq(("a", 0L, 7.0)).toDF("k", "ts", "v")
+    val r = TimeSeries.trendForecast(df, Seq("k"), "ts", "v", step = 10L, horizon = 3).head()
+    r.getDouble(2) shouldBe 0.0
+    r.getDouble(5) shouldBe 7.0
+  }
+
   "Rollup" should "make merge(build(a), build(b)) equal build(a union b)" in {
     import graft.operators.Rollup
     val a = Seq(("x", 5L, 2.0), ("x", 9L, 4.0), ("y", 25L, 7.0)).toDF("k", "ts", "v")
