@@ -182,6 +182,10 @@ object SparkEntry {
     // the SAME dialect queries on the rollup-attached twin metric: served
     // from hourly sufficient stats, never scanning raw points — and held
     // to the same raw-scan DuckDB oracle
+    // global aggregations served from the same stats: unconstrained (all
+    // cells) and time-bounded (aligned span) forms
+    "g_roll_count" -> ((s, d) => run("select count(*) from events_rolled")(s, d)),
+    "g_roll_sum"   -> ((s, d) => roundValue(3)(run(s"select sum(*) from events_rolled where timestamp > $T1r and timestamp <= $T2r")(s, d).withColumnRenamed("sum", "value"))),
     "i_roll_count" -> ((s, d) => run(s"select count(*) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d)),
     "i_roll_sum"   -> ((s, d) => roundValue(3)(run(s"select sum(value) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d))),
     "i_roll_avg"   -> ((s, d) => roundValue(4)(run(s"select avg(value) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d))),
@@ -943,6 +947,9 @@ object SparkEntry {
     "i_count"      -> temporalOracle(T1, T2, Day, "count(*)"),
     "i_sum"        -> temporalOracle(T1, T2, Day, "sum(value)", wrap = a => s"round($a, 3)"),
     "i_avg"        -> temporalOracle(T1, T2, Day, "avg(value)", wrap = a => s"round($a, 4)"),
+    "g_roll_count" -> """SELECT count(*) AS "count" FROM events""",
+    "g_roll_sum" ->
+      s"""SELECT round(sum(value), 3) AS "value" FROM events WHERE $TsMs > $T1r AND $TsMs <= $T2r""",
     "i_roll_count" -> temporalOracle(T1r + 1, T2r, Day, "count(*)::BIGINT"),
     "i_roll_sum"   -> temporalOracle(T1r + 1, T2r, Day, "sum(value)", wrap = a => s"round($a, 3)"),
     "i_roll_avg"   -> temporalOracle(T1r + 1, T2r, Day, "avg(value)", wrap = a => s"round($a, 4)"),

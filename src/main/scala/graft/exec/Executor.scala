@@ -266,7 +266,32 @@ object Executor {
     }
   }
 
-  private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext)(implicit cfg: ExecConfig): DataFrame = {
+  /** GLOBAL aggregations from the stats table: pure-aggregate queries
+    * (no plain fields) whose WHERE is absent (serve ALL cells) or
+    * time-only with grain-aligned spans — the dashboard-count fast path. */
+  private def rollupGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext): Option[DataFrame] =
+    m.rollup.flatMap { r =>
+      val spans   = TimeBuckets.extractSpans(p.where, tc)
+      val whereOk = p.where.forall(TimeBuckets.isTimeOnly(_))
+      val spansOk = p.where.isEmpty || (spans.nonEmpty && spans.forall(spanAligned(_, r.stepMs)))
+      val cols    = p.aggs.map(a => statsAgg(a, p.limit).map(c => (a, c)))
+      if (p.plainFields.nonEmpty || !whereOk || !spansOk || cols.exists(_.isEmpty)) None
+      else {
+        val cells = if (p.where.isEmpty) r.stats else r.stats.filter(cellFilter(spans, r.stepMs))
+        val named = cols.flatten.map { case (a, c) =>
+          a match {
+            case _: SumAgg | _: AvgAgg => coalesce(c, lit(0)).as(a.keyword)
+            case _                     => c.as(a.keyword)
+          }
+        }
+        val row = cells.agg(named.head, named.tail: _*)
+        Some(
+          if (p.aggs.forall(a => a.isInstanceOf[MinAgg] || a.isInstanceOf[MaxAgg])) row.na.drop("all")
+          else row)
+      }
+    }
+
+  private def executeGlobal(p: PlannedQuery.GlobalAgg, m: MetricRef, tc: TimeContext)(implicit cfg: ExecConfig): DataFrame = rollupGlobal(p, m, tc).getOrElse {
     val base = filtered(m, p.where, tc)
     // empty-input parity (reference global spec): count/sum/avg/count
     // distinct yield 0 on an empty selection; a pure min/max query yields
@@ -423,37 +448,50 @@ object Executor {
     }
   }
 
+  /** A span tiles exactly on the rollup grain: cells `(U-step, U]` can
+    * cover `[lo, hi]` with no straddler iff both edges land on the grain. */
+  private def spanAligned(s: Span, step: Long): Boolean =
+    s.hi != Long.MaxValue && s.lo != Long.MinValue &&
+      Math.floorMod(s.hi, step) == 0 && Math.floorMod(s.lo - 1, step) == 0
+
+  /** Keep exactly the cells inside the (aligned) spans. */
+  private def cellFilter(spans: Seq[Span], step: Long): Column =
+    spans.map(s => col("bucket") <= lit(s.hi) && (col("bucket") - lit(step)) >= lit(s.lo - 1))
+      .reduce(_ || _)
+
+  /** The stats-table fold equivalent to `agg` over raw rows, when one
+    * exists (count-of-rows, sum, min, max, avg on `value` — NOT
+    * count-distinct or first/last). Count keeps the reference's limit
+    * clamp, coalesced BEFORE the clamp so an empty cell set clamps 0. */
+  private def statsAgg(agg: Agg, limit: Option[Int]): Option[Column] = agg match {
+    case CountAgg(f) if f == "value" || f == "*" =>
+      val c = coalesce(sum(col("n")), lit(0L))
+      Some(limit.fold(c)(l => least(c, lit(l.toLong))))
+    case SumAgg("value") => Some(sum(col("vsum")))
+    case MinAgg("value") => Some(min(col("vmin")))
+    case MaxAgg("value") => Some(max(col("vmax")))
+    case AvgAgg("value") => Some(sum(col("vsum")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+    case _               => None
+  }
+
   /**
    * Rollup-serving eligibility for a temporal aggregation: the metric has
-   * an attached [[RollupRef]]; the aggregate folds from sufficient stats
-   * (count-of-rows, sum, min, max, avg — NOT count-distinct or first/last);
+   * an attached [[RollupRef]]; the aggregate folds from sufficient stats;
    * the WHERE constrains only the timestamp (a tag/dimension filter needs
    * raw rows); and every (post-grace) span tiles exactly on the rollup
-   * grain — `len % step == 0`, `hi % step == 0`, `(lo-1) % step == 0`, so
-   * no cell straddles a bucket or the span edge. Anything else falls back
-   * to the raw scan; results are identical either way (the eligibility
-   * test is about exactness, not approximation).
+   * grain — `len % step == 0` plus [[spanAligned]], so no cell straddles a
+   * bucket or the span edge. Anything else falls back to the raw scan;
+   * results are identical either way (the eligibility test is about
+   * exactness, not approximation).
    */
   private def rollupServable(
       m: MetricRef, p: PlannedQuery.TemporalAgg, spans: Seq[Span], len: Long
   ): Option[(RollupRef, Column)] =
     m.rollup.flatMap { r =>
-      val step = r.stepMs
-      val aggOk: Option[Column] = p.agg match {
-        case CountAgg(f) if f == "value" || f == "*" => Some(sum(col("n")))
-        case SumAgg("value")                         => Some(sum(col("vsum")))
-        case MinAgg("value")                         => Some(min(col("vmin")))
-        case MaxAgg("value")                         => Some(max(col("vmax")))
-        case AvgAgg("value") => Some(sum(col("vsum")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
-        case _               => None
-      }
+      val step    = r.stepMs
       val whereOk = p.where.forall(TimeBuckets.isTimeOnly(_))
-      val spansOk = spans.nonEmpty && spans.forall { s =>
-        len % step == 0 &&
-          s.hi != Long.MaxValue && s.lo != Long.MinValue &&
-          Math.floorMod(s.hi, step) == 0 && Math.floorMod(s.lo - 1, step) == 0
-      }
-      if (whereOk && spansOk) aggOk.map(a => (r, a)) else None
+      val spansOk = spans.nonEmpty && len % step == 0 && spans.forall(spanAligned(_, step))
+      if (whereOk && spansOk) statsAgg(p.agg, None).map(a => (r, a)) else None
     }
 
   private def emptyTemporalResult(spark: SparkSession, agg: Agg, valueType: DataType): DataFrame = {

@@ -86,6 +86,33 @@ class RollupServeSpec extends SparkTestBase {
         run(raw, s"select count(*) from ev $odd").map(_.toSeq)
   }
 
+  "global rollup serving" should "serve pure aggregates and fall back on plain fields or tags" in {
+    val e = freshEngine()
+    val poison = Rollup.buildForServing(events, Seq.empty, "timestamp", "value", Step)
+      .withColumn("n", col("n") * 2)
+    e.attachRollup("db", "ns", "ev", poison, Step).fold(fail(_), identity)
+    val raw = freshEngine()
+
+    // unconstrained global count: served (poison visible)
+    run(e, "select count(*) from ev").head.getLong(0) shouldBe
+      run(raw, "select count(*) from ev").head.getLong(0) * 2
+    // aligned time-bounded count: served
+    run(e, "select count(*) from ev where timestamp > 1000 and timestamp <= 10000").head.getLong(0) shouldBe
+      run(raw, "select count(*) from ev where timestamp > 1000 and timestamp <= 10000").head.getLong(0) * 2
+    // misaligned bound → fallback
+    run(e, "select count(*) from ev where timestamp > 1000 and timestamp <= 9999").map(_.toSeq) shouldBe
+      run(raw, "select count(*) from ev where timestamp > 1000 and timestamp <= 9999").map(_.toSeq)
+    // mixed plain fields → fallback (stats cannot carry per-row columns)
+    run(e, "select kind, count(*) from ev").map(_.toSeq) shouldBe
+      run(raw, "select kind, count(*) from ev").map(_.toSeq)
+    // tag filter → fallback
+    run(e, "select sum(*) from ev where kind = 'a'").map(_.toSeq) shouldBe
+      run(raw, "select sum(*) from ev where kind = 'a'").map(_.toSeq)
+    // min/max (poison leaves vmin/vmax untouched) and the count clamp
+    run(e, "select min(*) from ev").map(_.toSeq) shouldBe run(raw, "select min(*) from ev").map(_.toSeq)
+    run(e, "select count(*) from ev limit 3").head.getLong(0) shouldBe 3L // served, clamped
+  }
+
   "the approx-count-distinct opt-in" should "stay exact by default and approximate under the flag" in {
     val exact = freshEngine()
     val approx = {
