@@ -104,10 +104,12 @@ object SparkEntry {
       // shape — StreamingRollup.maintain writes the same stats table): the
       // served gates read a precomputed table, never a lazy re-derivation,
       // and the harness's per-query Checkpoints.free can't evict it
+      // v2: keyed by event_type (path versioned so a schema change can
+      // never silently reuse a stale stats table from a prior build)
       val statsPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_rollup_${Integer.toHexString(d.hashCode)}").getPath
+        s"graft_rollup_v2_${Integer.toHexString(d.hashCode)}").getPath
       if (!new java.io.File(statsPath).exists())
-        graft.operators.Rollup.buildForServing(canonical, Seq.empty, "timestamp", "value", HourMs)
+        graft.operators.Rollup.buildForServing(canonical, Seq("event_type"), "timestamp", "value", HourMs)
           .write.mode("overwrite").parquet(statsPath)
       e.attachRollup("graft", "main", "events_rolled", s.read.parquet(statsPath), HourMs)
         .left.foreach(err => sys.error(err))
@@ -185,6 +187,8 @@ object SparkEntry {
     // global aggregations served from the same stats: unconstrained (all
     // cells) and time-bounded (aligned span) forms
     "g_roll_count" -> ((s, d) => run("select count(*) from events_rolled")(s, d)),
+    "t_roll_count" -> ((s, d) => run("select count(*) from events_rolled group by event_type order by event_type")(s, d)),
+    "t_roll_sum"   -> ((s, d) => roundValue(3)(run("select sum(value) from events_rolled group by event_type order by event_type")(s, d))),
     "g_roll_sum"   -> ((s, d) => roundValue(3)(run(s"select sum(*) from events_rolled where timestamp > $T1r and timestamp <= $T2r")(s, d).withColumnRenamed("sum", "value"))),
     "i_roll_count" -> ((s, d) => run(s"select count(*) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d)),
     "i_roll_sum"   -> ((s, d) => roundValue(3)(run(s"select sum(value) from events_rolled where timestamp in (${T1r + 1}, $T2r) group by interval 1 d")(s, d))),
@@ -948,6 +952,8 @@ object SparkEntry {
     "i_sum"        -> temporalOracle(T1, T2, Day, "sum(value)", wrap = a => s"round($a, 3)"),
     "i_avg"        -> temporalOracle(T1, T2, Day, "avg(value)", wrap = a => s"round($a, 4)"),
     "g_roll_count" -> """SELECT count(*) AS "count" FROM events""",
+    "t_roll_count" -> """SELECT event_type, count(*) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
+    "t_roll_sum"   -> """SELECT event_type, round(sum(value), 3) AS "value" FROM events GROUP BY event_type ORDER BY event_type""",
     "g_roll_sum" ->
       s"""SELECT round(sum(value), 3) AS "value" FROM events WHERE $TsMs > $T1r AND $TsMs <= $T2r""",
     "i_roll_count" -> temporalOracle(T1r + 1, T2r, Day, "count(*)::BIGINT"),

@@ -408,23 +408,32 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * it, so eligible temporal dialect queries serve from stats without
    * scanning raw shards.
    */
-  def enableRollup(c: Coords, stepMs: Long): Either[String, Unit] = {
+  def enableRollup(c: Coords, stepMs: Long, keys: Seq[String] = Seq.empty): Either[String, Unit] = {
     require(stepMs > 0, "stepMs must be positive")
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
       withWriteLock(c) {
+        val keyJson = keys.map(k => "\"" + k + "\"").mkString("[", ",", "]")
         Files.write(Paths.get(rollupCfgPath(c)),
-          s"""{"stepMs":$stepMs}""".getBytes(StandardCharsets.UTF_8))
+          s"""{"stepMs":$stepMs,"keys":$keyJson}""".getBytes(StandardCharsets.UTF_8))
         rebuildRollupLocked(c, m, stepMs)
       }
     }
   }
 
-  /** The configured rollup grain, if rollup maintenance is enabled. */
-  def rollupStep(c: Coords): Option[Long] =
+  /** The configured rollup grain (+ key columns), if enabled. */
+  def rollupCfg(c: Coords): Option[(Long, Seq[String])] =
     Try {
       val json = new String(Files.readAllBytes(Paths.get(rollupCfgPath(c))), StandardCharsets.UTF_8)
-      """"stepMs"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      """"stepMs"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map { mm =>
+        val keys = """"keys"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+          .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        (mm.group(1).toLong, keys)
+      }
     }.toOption.flatten
+
+  /** The configured rollup grain, if rollup maintenance is enabled. */
+  def rollupStep(c: Coords): Option[Long] = rollupCfg(c).map(_._1)
 
   /** Rebuild the segment log from the current data (also the compaction:
     * the log re-collapses to one segment). Crash-safe rename-aside swap. */
@@ -443,7 +452,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
       val tmp = new Path(rollupDir(c) + ".tmp")
       val df  = spark.read.schema(m.schema.toStruct.add("shard", LongType)).parquet(dataPath(c))
       graft.operators.Rollup
-        .buildForServing(df, Seq.empty, "timestamp", "value", stepMs)
+        .buildForServing(df, rollupCfg(c).map(_._2).getOrElse(Seq.empty), "timestamp", "value", stepMs)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(dir, true)
       fs.rename(tmp, dir)
@@ -454,7 +463,7 @@ class Warehouse(val spark: SparkSession, val root: String) {
   /** Append one batch's stats segment (called under [[append]]'s lock). */
   private def appendRollupSegment(c: Coords, batch: DataFrame, stepMs: Long): Unit = {
     graft.operators.Rollup
-      .buildForServing(batch, Seq.empty, "timestamp", "value", stepMs)
+      .buildForServing(batch, rollupCfg(c).map(_._2).getOrElse(Seq.empty), "timestamp", "value", stepMs)
       .write.mode("append").parquet(rollupDir(c))
     ()
   }

@@ -322,12 +322,29 @@ object Executor {
     }
   }
 
+  /** TAG-grouped aggregations from a stats table KEYED by (at least) the
+    * group tag: the per-tag facet read. Same eligibility as
+    * [[rollupGlobal]] plus the tag column present in the stats. */
+  private def rollupTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext): Option[DataFrame] =
+    m.rollup.flatMap { r =>
+      val spans   = TimeBuckets.extractSpans(p.where, tc)
+      val whereOk = p.where.forall(TimeBuckets.isTimeOnly(_))
+      val spansOk = p.where.isEmpty || (spans.nonEmpty && spans.forall(spanAligned(_, r.stepMs)))
+      val tagOk   = r.stats.columns.contains(p.tag)
+      statsAgg(p.agg, None) match {
+        case Some(c) if whereOk && spansOk && tagOk =>
+          val cells = if (p.where.isEmpty) r.stats else r.stats.filter(cellFilter(spans, r.stepMs))
+          Some(cells.filter(col(p.tag).isNotNull).groupBy(col(p.tag)).agg(c.as("value")))
+        case _ => None
+      }
+    }
+
   private def executeTagAgg(p: PlannedQuery.TagAgg, m: MetricRef, tc: TimeContext)(implicit cfg: ExecConfig): DataFrame = {
     // records missing the group tag are excluded, matching the reference's
     // facet semantics (a doc without the tag simply isn't in the taxonomy);
     // Spark's groupBy would otherwise emit a NULL group
-    val base = filtered(m, p.where, tc).filter(col(p.tag).isNotNull)
-    val out = p.agg match {
+    lazy val base = filtered(m, p.where, tc).filter(col(p.tag).isNotNull)
+    val out = rollupTagAgg(p, m, tc).getOrElse(p.agg match {
       case FirstAgg(_) | LastAgg(_) =>
         val (n, c) = aggColumn(p.agg, None)
         base
@@ -339,7 +356,7 @@ object Executor {
         // clamp the count itself (clamping is global-count-only)
         val (_, c) = aggColumn(agg, None)
         base.groupBy(col(p.tag)).agg(c.as("value"))
-    }
+    })
     val sorted = p.order.fold(out) { o =>
       val key = if (o.field == "*" || o.field == "value") col("value") else col(o.field)
       out.orderBy(if (o.desc) key.desc else key.asc)

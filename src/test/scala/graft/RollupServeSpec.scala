@@ -113,6 +113,23 @@ class RollupServeSpec extends SparkTestBase {
     run(e, "select count(*) from ev limit 3").head.getLong(0) shouldBe 3L // served, clamped
   }
 
+  "tag rollup serving" should "serve group-by-tag from keyed stats and fall back for unkeyed tags" in {
+    val e = freshEngine()
+    val poison = Rollup.buildForServing(events, Seq("kind"), "timestamp", "value", Step)
+      .withColumn("n", col("n") * 2)
+    e.attachRollup("db", "ns", "ev", poison, Step).fold(fail(_), identity)
+    val raw = freshEngine()
+    // keyed tag: served (poison visible per group)
+    val served = run(e, "select count(*) from ev group by kind order by kind").map(r => (r.getString(0), r.getLong(1)))
+    val truth  = run(raw, "select count(*) from ev group by kind order by kind").map(r => (r.getString(0), r.getLong(1)))
+    served shouldBe truth.map { case (k, n) => (k, n * 2) }
+    // keyed stats still serve GLOBAL queries (re-aggregated over the key)
+    run(e, "select count(*) from ev").head.getLong(0) shouldBe truth.map(_._2).sum * 2
+    // first/last cannot fold from stats → fallback
+    run(e, "select first(value) from ev group by kind").map(_.toSeq) shouldBe
+      run(raw, "select first(value) from ev group by kind").map(_.toSeq)
+  }
+
   "the approx-count-distinct opt-in" should "stay exact by default and approximate under the flag" in {
     val exact = freshEngine()
     val approx = {

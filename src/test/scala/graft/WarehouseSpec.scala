@@ -519,4 +519,21 @@ class WarehouseSpec extends SparkTestBase {
     engine.sql("db", "roll", "delete from ev where value = 10.0")(tc).fold(fail(_), identity)
     run(q).map(_.getDouble(3)).sum shouldBe 6.0
   }
+
+  it should "persist rollup keys and serve group-by-tag from the keyed log" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "rollk", "ev")
+    seed(wh, c)
+    wh.enableRollup(c, stepMs = 1000L, keys = Seq("grp")).fold(fail(_), identity)
+    wh.rollupCfg(c) shouldBe Some((1000L, Seq("grp")))
+    def run(q: String) = engine.sql("db", "rollk", q).fold(fail(_), _.collect().toSeq)
+    val byTag = run("select sum(value) from ev group by grp order by grp")
+      .map(r => (r.getString(0), r.getDouble(1)))
+    byTag shouldBe Seq(("x", 3.0), ("y", 7.0))
+    // appended batches keep the keyed segments consistent
+    wh.append(c, Seq((1 * day + 400L, 5.0, "q", "y")).toDF("timestamp", "value", "name", "grp"),
+      tags = Set("grp")).fold(fail(_), identity)
+    run("select sum(value) from ev group by grp order by grp")
+      .map(r => (r.getString(0), r.getDouble(1))) shouldBe Seq(("x", 3.0), ("y", 12.0))
+  }
 }
