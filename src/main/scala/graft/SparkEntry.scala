@@ -785,6 +785,40 @@ object SparkEntry {
     "st_topsupp" -> ((s, d) =>
       graft.operators.Star.topSupplier(tbl(s, d, "supplier"), tbl(s, d, "lineitem"),
         java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1996, 4, 1, 0, 0))),
+    // Q6-shaped: one pushed-down scan, one scalar — the cheapest plan class
+    "st_revchange" -> ((s, d) =>
+      graft.operators.Star.revenueChange(tbl(s, d, "lineitem"),
+        java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1997, 1, 1, 0, 0),
+        discPctLo = 5, discPctHi = 7, qtyLt = 24)),
+    // Q7-shaped: nation-pair shipping volume, both orientations, per year
+    "st_volume" -> ((s, d) =>
+      graft.operators.Star.volumeShipping(tbl(s, d, "nation"), tbl(s, d, "customer"),
+        tbl(s, d, "orders"), tbl(s, d, "lineitem"), tbl(s, d, "supplier"),
+        "NATION_1", "NATION_2",
+        java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1998, 1, 1, 0, 0))),
+    // Q10-shaped: top-20 customers by returned revenue in one quarter
+    "st_returned" -> ((s, d) =>
+      graft.operators.Star.returnedItems(tbl(s, d, "customer"), tbl(s, d, "orders"),
+        tbl(s, d, "lineitem"), tbl(s, d, "nation"),
+        java.time.LocalDateTime.of(1996, 10, 1, 0, 0), java.time.LocalDateTime.of(1997, 1, 1, 0, 0),
+        k = 20)),
+    // Q14-shaped: promo share of one ship-month's revenue
+    "st_promo" -> ((s, d) =>
+      graft.operators.Star.promoEffect(tbl(s, d, "part"), tbl(s, d, "lineitem"), "PROMO",
+        java.time.LocalDateTime.of(1996, 9, 1, 0, 0), java.time.LocalDateTime.of(1996, 10, 1, 0, 0))),
+    // Q17-shaped: revenue of below-20%-of-part-average quantity orders
+    "st_smallqty" -> ((s, d) =>
+      graft.operators.Star.smallQuantityRevenue(tbl(s, d, "part"), tbl(s, d, "lineitem"), "Brand#13")),
+    // Q18-shaped: top-10 orders above a total-quantity threshold
+    "st_bigorders" -> ((s, d) =>
+      graft.operators.Star.largeVolumeCustomers(tbl(s, d, "customer"), tbl(s, d, "orders"),
+        tbl(s, d, "lineitem"), qtyThreshold = 250, k = 10)),
+    // Q19-shaped: OR-of-(brand, size, qty) discounted revenue, single pass
+    "st_discrev" -> ((s, d) =>
+      graft.operators.Star.discountedRevenue(tbl(s, d, "part"), tbl(s, d, "lineitem"), Seq(
+        graft.operators.Star.DiscountBand("Brand#12", 1, 5, 1, 11),
+        graft.operators.Star.DiscountBand("Brand#20", 1, 10, 10, 20),
+        graft.operators.Star.DiscountBand("Brand#24", 1, 15, 20, 30)))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
@@ -1534,6 +1568,66 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, rev::DOUBLE / 10000.0 AS total_revenue
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
+    // Q6-shaped: exact cent·pct integer product summed, one final division
+    "st_revchange" ->
+      """SELECT sum(round(l_extendedprice*100)::BIGINT * round(l_discount*100)::BIGINT)::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND round(l_discount*100)::BIGINT BETWEEN 5 AND 7
+        |  AND round(l_quantity)::BIGINT < 24""".stripMargin.replace("\n", " "),
+    "st_volume" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, year(l_shipdate)::BIGINT AS l_year,
+        |  round(l_extendedprice*100)::BIGINT AS ep, round(l_discount*100)::BIGINT AS d
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, l_year,
+        |  sum(ep*(100-d))::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM li JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "),
+    // Q10-shaped: revenue ties break on the customer key, so the LIMIT
+    // boundary is deterministic on both engines
+    "st_returned" ->
+      """WITH r AS (SELECT o_custkey, sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, rev::DOUBLE / 10000.0 AS revenue, c_acctbal, n_name
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "),
+    "st_promo" ->
+      """WITH j AS (SELECT round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT::DOUBLE
+        |  / sum(rev)::BIGINT::DOUBLE, 6) AS promo_revenue_pct FROM j""".stripMargin.replace("\n", " "),
+    // Q17-shaped: 20%-of-average as the exact integer cross-product 5·q·n < Σq
+    "st_smallqty" ->
+      """WITH s AS (SELECT round(l_quantity)::BIGINT AS q, round(l_extendedprice*100)::BIGINT AS ep,
+        |  sum(round(l_quantity)::BIGINT) OVER (PARTITION BY l_partkey)::BIGINT AS sumq,
+        |  count(*) OVER (PARTITION BY l_partkey)::BIGINT AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#13')
+        |SELECT sum(ep)::BIGINT::DOUBLE / 100.0 / 7.0 AS avg_yearly
+        |FROM s WHERE q * 5 * n < sumq""".stripMargin.replace("\n", " "),
+    "st_bigorders" ->
+      """WITH big AS (SELECT l_orderkey, sum(round(l_quantity)::BIGINT)::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(round(l_quantity)::BIGINT) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+    "st_discrev" ->
+      """SELECT sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND round(l_quantity)::BIGINT BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND round(l_quantity)::BIGINT BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND round(l_quantity)::BIGINT BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),

@@ -192,6 +192,188 @@ object Star {
    * boundary. The order-key exclusion is a left anti join; the 2-scalar
    * global aggregate broadcasts as literals.
    */
+  /**
+   * TPC-H Q6-shaped revenue-change forecast: the revenue that would have
+   * been lost without small discounts — `sum(extendedprice * discount)`
+   * over one ship-year, a discount band and a quantity cap. The cheapest
+   * possible plan: one filtered scan (all three predicates push to
+   * parquet), one scalar aggregation of an exact cent·pct integer.
+   */
+  def revenueChange(
+      lineitem: DataFrame, lo: LocalDateTime, hi: LocalDateTime,
+      discPctLo: Long, discPctHi: Long, qtyLt: Long): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(epCents.as("__ep"), dPct.as("__d"),
+        round(col("l_quantity"), 0).cast("long").as("__q"))
+      .filter(col("__d") >= discPctLo && col("__d") <= discPctHi && col("__q") < qtyLt)
+      .agg((sum(col("__ep") * col("__d")).cast("double") / 10000.0).as("revenue"))
+
+  /**
+   * TPC-H Q7-shaped volume shipping: revenue shipped between two specific
+   * nations (both directions), per supplier-nation / customer-nation /
+   * ship-year. Supplier and customer pre-join their (broadcast) nation
+   * dims so the two fact-side joins carry the nation NAME as a 1-of-2
+   * filtered attribute; the only real shuffles are lineitem↔orders on the
+   * order key and the ≤ 2×|years| row final aggregation. The nation-pair
+   * disjunction is applied on the joined row — both orientations survive
+   * to one aggregation, as in the reference query.
+   */
+  def volumeShipping(
+      nation: DataFrame, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame,
+      nationA: String, nationB: String,
+      lo: LocalDateTime, hi: LocalDateTime): DataFrame = {
+    val nat = nation.filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        epCents.as("__ep"), dPct.as("__d"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(revNum).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /**
+   * TPC-H Q10-shaped returned-item reporting: the `k` customers who
+   * returned the most revenue in one order quarter. The quarter slice of
+   * `orders` joins lineitems filtered to `l_returnflag = 'R'` on the
+   * order key (the one fact-fact shuffle); customer and nation attach as
+   * broadcast dims AFTER the per-customer aggregation, so the wide name/
+   * balance attributes never ride the big shuffle. Top-k is TakeOrdered
+   * on the exact-integer revenue with the customer key as tiebreak.
+   */
+  def returnedItems(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, lo: LocalDateTime, hi: LocalDateTime, k: Int): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), epCents.as("__ep"), dPct.as("__d"))
+      .join(orders.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(revNum).as("__rev"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        (col("__rev").cast("double") / 10000.0).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /**
+   * TPC-H Q14-shaped promotion effect: the percentage of one ship-month's
+   * revenue that came from promo-type parts. `part` is the only dimension
+   * (broadcast); numerator and denominator are exact cent·pct integer
+   * sums of the SAME aggregation (a conditional sum, not two scans), and
+   * the single percentage division happens once at the end.
+   */
+  def promoEffect(
+      part: DataFrame, lineitem: DataFrame,
+      promoType: String, lo: LocalDateTime, hi: LocalDateTime): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_partkey"), epCents.as("__ep"), dPct.as("__d"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === promoType, revNum).otherwise(lit(0L))).as("__num"),
+        sum(revNum).as("__den"))
+      .select(round(lit(100.0) * col("__num").cast("double") / col("__den").cast("double"), 6)
+        .as("promo_revenue_pct"))
+
+  /**
+   * TPC-H Q17-shaped small-quantity-order revenue: average yearly revenue
+   * lost if orders below 20% of a part's average quantity were not taken,
+   * for one brand. The brand slice of `part` broadcasts into the fact
+   * scan; the per-part average rides a window over the (tiny, ~0.1%)
+   * surviving slice — ONE shuffle of the slice, never a second lineitem
+   * scan and never a self-join. The 20%-of-average comparison is the
+   * exact cross-multiplied integer form `5·q·n < Σq` — no float boundary.
+   */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame, brand: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = lineitem
+      .select(col("l_partkey"), round(col("l_quantity"), 0).cast("long").as("__q"),
+        epCents.as("__ep"))
+      .join(broadcast(part.filter(col("p_brand") === brand).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    slice
+      .withColumn("__sumq", sum(col("__q")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__q") * 5L * col("__n") < col("__sumq"))
+      .agg((sum(col("__ep")).cast("double") / 100.0 / 7.0).as("avg_yearly"))
+  }
+
+  /**
+   * TPC-H Q18-shaped large-volume customers: the `k` biggest orders whose
+   * total quantity exceeds `qtyThreshold`. The per-order quantity sum is
+   * the only fact aggregation; its HAVING-filtered survivor set is tiny
+   * and broadcasts into `orders`, so the wide order/customer attributes
+   * join AFTER the reduction (never shuffled at fact size). Quantities
+   * are exact integers end-to-end.
+   */
+  def largeVolumeCustomers(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      qtyThreshold: Long, k: Int): DataFrame = {
+    val big = lineitem
+      .select(col("l_orderkey"), round(col("l_quantity"), 0).cast("long").as("__q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("__q")).as("total_qty"))
+      .filter(col("total_qty") > qtyThreshold)
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** One Q19 disjunct: brand + inclusive size band + inclusive quantity band. */
+  final case class DiscountBand(brand: String, sizeLo: Long, sizeHi: Long, qtyLo: Long, qtyHi: Long)
+
+  /**
+   * TPC-H Q19-shaped discounted revenue: total discounted revenue from
+   * lineitems matching ANY of the given (brand, size-band, quantity-band)
+   * combinations. `part` broadcasts; the OR-of-ANDs predicate evaluates
+   * on the joined row inside one codegen stage (each disjunct alone would
+   * scan the fact once — the single-pass disjunction is the point). The
+   * fact-side quantity bound (`q ≤ max hi`) pre-filters before the join.
+   */
+  def discountedRevenue(part: DataFrame, lineitem: DataFrame, bands: Seq[DiscountBand]): DataFrame = {
+    val maxQty = bands.map(_.qtyHi).max
+    val pred = bands.map { b =>
+      col("p_brand") === b.brand &&
+        col("p_size").between(b.sizeLo, b.sizeHi) &&
+        col("__q").between(b.qtyLo, b.qtyHi)
+    }.reduce(_ || _)
+    lineitem
+      .select(col("l_partkey"), round(col("l_quantity"), 0).cast("long").as("__q"),
+        epCents.as("__ep"), dPct.as("__d"))
+      .filter(col("__q") <= maxQty)
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg((sum(revNum).cast("double") / 10000.0).as("revenue"))
+  }
+
   def dormantHighBalance(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
     val balCents = round(col("c_acctbal") * 100, 0).cast("long")
     val cust = customer.select(col("c_custkey"), col("c_nationkey"), balCents.as("__bal"))

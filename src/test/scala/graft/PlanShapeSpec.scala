@@ -134,6 +134,32 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  "the round-9 star additions" should "keep their prescribed shuffle shapes" in {
+    // q7/q10/q14/q17/q19: part/nation-tagged dims broadcast; only the
+    // fact-fact order-key join (q7/q10) or the slice window (q17) shuffles
+    Seq("st_volume", "st_returned", "st_promo", "st_smallqty", "st_discrev").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"$name:\n$plan") {
+        plan should include("BroadcastHashJoin")
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // q18: the HAVING-reduced big-order set must broadcast into orders —
+    // a sort-merge there would shuffle orders at fact size
+    val q18 = SparkEntry.queries("st_bigorders")(spark, dir).queryExecution.executedPlan.toString
+    withClue(q18) {
+      q18 should include("BroadcastHashJoin")
+      q18 should not include "CartesianProduct"
+    }
+    // q6: single filtered scan + scalar agg — no join, filters pushed
+    val q6 = SparkEntry.queries("st_revchange")(spark, dir).queryExecution.executedPlan.toString
+    withClue(q6) {
+      q6 should not include "Join"
+      q6 should include("PushedFilters: [IsNotNull(l_shipdate)")
+    }
+  }
+
   "the round-8 additions" should "keep their prescribed shuffle shapes" in {
     import graft.pipeline.{Multimodal, Sampling, TextAnalysis}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
