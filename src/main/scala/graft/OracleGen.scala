@@ -251,6 +251,18 @@ object OracleGen {
        |SELECT id AS doc_id, count(*)::BIGINT AS n_triangles
        |FROM m GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Graph.localClusteringCoefficient]]. */
+  def lccSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${triangleCtes(threshold, numHashes, bands, shingleK, maxBucket)},
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT src AS id, count(*)::BIGINT AS degree FROM e GROUP BY src),
+       |m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |tc AS (SELECT id, count(*)::BIGINT AS n_triangles FROM m GROUP BY id)
+       |SELECT deg.id AS doc_id, degree, coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+       |  CASE WHEN degree >= 2 THEN round(2.0 * coalesce(n_triangles, 0)::DOUBLE
+       |    / (degree * (degree - 1))::DOUBLE, 6) ELSE 0.0 END AS lcc
+       |FROM deg LEFT JOIN tc ON deg.id = tc.id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   def pageRankSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
                   maxBucket: Int, iterations: Int, damping: Double): String = {
     val base = s"${1.0 - damping}"

@@ -230,6 +230,11 @@ object SparkEntry {
     "d_tricount" -> ((s, d) =>
       graft.operators.Graph.triangleCounts(Dedup.minhashLshPairs(docs(s, d), 0.5))
         .orderBy("doc_id")),
+    // per-doc local clustering coefficient: clique-family (lcc→1) vs
+    // shared-fragment-hub (lcc→0) topology over the same near-dup graph
+    "d_lcc" -> ((s, d) =>
+      graft.operators.Graph.localClusteringCoefficient(Dedup.minhashLshPairs(docs(s, d), 0.5))
+        .orderBy("doc_id")),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -701,6 +706,11 @@ object SparkEntry {
     "ts_acf" -> ((s, d) =>
       TimeSeries.acfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         maxLag = 6).orderBy("event_type")),
+    // lagged cross-correlation click→error on the shared hourly grid (one
+    // conditional-agg pass; every statistic a ts-ordered fold)
+    "ts_xcorr" -> ((s, d) =>
+      TimeSeries.crossCorrelation(evUs(s, d), "event_type", "ts", "value", HourUs,
+        "click", "error", maxLag = 6)),
     // Holt linear-trend smoothing + one-step forecast (coupled struct
     // recurrence; level spelled inside trend identically in both engines)
     "ts_holt" -> ((s, d) =>
@@ -1016,6 +1026,7 @@ object SparkEntry {
       maxBucket = 1000, iterations = 5, damping = 0.85),
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
@@ -1328,6 +1339,34 @@ object SparkEntry {
          |      FROM m)
          |SELECT event_type, len(vs)::BIGINT AS n, $lags
          |FROM d ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // cross-correlation: the paired grid, means, denominators and lag
+    // numerators replay the engine's ts-ordered folds (indexed-lambda
+    // transform mirrors slice+zip_with term order); one sqrt of an exact
+    // product normalizes each lag -> bit-identical unrounded
+    "ts_xcorr" -> {
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val lags = (0 to 6).map { k =>
+        s"""CASE WHEN len(vas) > $k AND dena > $zero AND denb > $zero THEN
+           |  list_reduce(list_prepend($zero, list_transform(vas[:len(vas)-$k],
+           |    (x, i) -> (x - mua) * (vbs[i+$k] - mub))), (a, b) -> a + b) / sqrt(dena * denb)
+           |END AS xcorr_$k""".stripMargin
+      }.mkString(", ")
+      s"""WITH p AS (SELECT epoch_us(ts) - epoch_us(ts) % $HourUs AS ts,
+         |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) / count(CASE WHEN event_type = 'click' THEN 1 END) AS va,
+         |  round(sum(CASE WHEN event_type = 'error' THEN value END), 6) / count(CASE WHEN event_type = 'error' THEN 1 END) AS vb
+         |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+         |j AS (SELECT ts, va, vb FROM p WHERE va IS NOT NULL AND vb IS NOT NULL),
+         |g AS (SELECT list(va ORDER BY ts) AS vas, list(vb ORDER BY ts) AS vbs FROM j),
+         |m AS (SELECT vas, vbs,
+         |        list_reduce(list_prepend($zero, vas), (a, b) -> a + b) / len(vas) AS mua,
+         |        list_reduce(list_prepend($zero, vbs), (a, b) -> a + b) / len(vbs) AS mub
+         |      FROM g),
+         |d AS (SELECT vas, vbs, mua, mub,
+         |        list_reduce(list_prepend($zero, list_transform(vas, x -> (x - mua) * (x - mua))), (a, b) -> a + b) AS dena,
+         |        list_reduce(list_prepend($zero, list_transform(vbs, x -> (x - mub) * (x - mub))), (a, b) -> a + b) AS denb
+         |      FROM m)
+         |SELECT len(vas)::BIGINT AS n, $lags FROM d""".stripMargin.replace("\n", " ")
     },
     // decomposition: trend/seasonal/resid replay the engine's in-array
     // folds — non-matching phase positions add an exact 0.0, so the fold

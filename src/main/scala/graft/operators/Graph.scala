@@ -104,4 +104,35 @@ object Graph {
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * LOCAL CLUSTERING COEFFICIENT per node of the undirected pair graph:
+   * `lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))` — 1.0 inside a perfect
+   * clique (a verbatim template family), → 0 for a hub whose neighbors
+   * are mutually unrelated (shared boilerplate fragments, not copies).
+   * Together with [[pageRank]] this separates the two template topologies
+   * that near-dup mining surfaces.
+   *
+   * Scale shape: degree is one partial-aggregated groupBy over the
+   * symmetrized edges; triangles reuse the [[triangles]] two-join
+   * enumeration; the final assembly joins two node-keyed frames (ids
+   * only). Both numerator and denominator are exact int64 counts, so the
+   * single division (snapped to 6 dp) is engine-portable. Nodes of degree
+   * 1 get lcc = 0 (no possible triangle), matching the usual convention.
+   */
+  def localClusteringCoefficient(pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val e = pairs.select(col("id_a"), col("id_b")).distinct()
+    val deg = e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tc = triangleCounts(e, "id")
+    deg.join(tc, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2L,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

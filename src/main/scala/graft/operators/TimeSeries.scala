@@ -690,4 +690,66 @@ object TimeSeries {
       (expr("size(__vs)").cast("long").as("n") +:
         (1 to maxLag).map(k => col(s"acf_$k"))): _*)
   }
+
+  /**
+   * LAGGED CROSS-CORRELATION between two series of one keyed table (does
+   * `error` follow `click` by k hours?): both series [[resample]] onto the
+   * shared grid in ONE pass (conditional aggregation, not two scans), only
+   * ticks where BOTH observed survive, and
+   * `xcorr_k = Σ (a_i − μ_a)(b_{i+k} − μ_b) / √(Σ(a−μ_a)² · Σ(b−μ_b)²)`
+   * for k = 0..maxLag — positive k means `b` LAGS `a` by k steps.
+   *
+   * Scale shape: one map-side-combined groupBy(tick) over the two-key
+   * slice, then a single collect into one (per-pair) ts-sorted array pair —
+   * the array length is the grid size (bounded by span/step, not row
+   * count), the same per-key state bound every scan operator here accepts.
+   * Every statistic is a fold over that sorted array (codegen'd
+   * higher-order functions, no UDF, no window), so the unrounded doubles
+   * are bit-identical across engines per the sorted-fold rule; the final
+   * normalization is one IEEE sqrt of an exact product on both sides.
+   */
+  def crossCorrelation(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      seriesA: String,
+      seriesB: String,
+      maxLag: Int = 6
+  ): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val foldSum = (terms: String) => s"aggregate($terms, $zero, (a, x) -> a + x)"
+    val tick = (expr(floorDiv(tsCol, step)) * step).as(tsCol)
+    // one pass: per tick, the rounded per-series resample means side by side
+    val paired = df.filter(col(keyCol).isin(seriesA, seriesB))
+      .groupBy(tick)
+      .agg(
+        (round(sum(when(col(keyCol) === seriesA, col(valueCol))), 6)
+          / count(when(col(keyCol) === seriesA, lit(1)))).as("__va"),
+        (round(sum(when(col(keyCol) === seriesB, col(valueCol))), 6)
+          / count(when(col(keyCol) === seriesB, lit(1)))).as("__vb"))
+      .filter(col("__va").isNotNull && col("__vb").isNotNull)
+    val base = paired
+      .agg(array_sort(collect_list(struct(col(tsCol), col("__va"), col("__vb")))).as("__pts"))
+      .withColumn("__vas", expr("transform(__pts, p -> p.__va)"))
+      .withColumn("__vbs", expr("transform(__pts, p -> p.__vb)"))
+      .withColumn("__mua", expr(s"${foldSum("__vas")} / size(__vas)"))
+      .withColumn("__mub", expr(s"${foldSum("__vbs")} / size(__vbs)"))
+      .withColumn("__dena", expr(foldSum("transform(__vas, x -> (x - __mua) * (x - __mua))")))
+      .withColumn("__denb", expr(foldSum("transform(__vbs, x -> (x - __mub) * (x - __mub))")))
+    val withLags = (0 to maxLag).foldLeft(base) { (acc, k) =>
+      val num = foldSum(
+        s"""zip_with(slice(__vas, 1, size(__vas) - $k),
+           |         slice(__vbs, 1 + $k, size(__vbs) - $k),
+           |         (p, q) -> (p - __mua) * (q - __mub))""".stripMargin)
+      acc.withColumn(s"xcorr_$k", expr(
+        s"CASE WHEN size(__vas) > $k AND __dena > $zero AND __denb > $zero " +
+          s"THEN $num / sqrt(__dena * __denb) END"))
+    }
+    withLags.select(
+      expr("size(__vas)").cast("long").as("n") +:
+        (0 to maxLag).map(k => col(s"xcorr_$k")): _*)
+  }
 }

@@ -382,6 +382,18 @@ class PipelineSpec extends SparkTestBase {
     counts shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L) // 4 is in no triangle
   }
 
+  "Graph.localClusteringCoefficient" should "score clique members 1.0 and degree-1 leaves 0.0" in {
+    import graft.operators.Graph
+    // triangle {1,2,3} + leaf 4 on node 3: lcc(1)=lcc(2)=1 (deg 2, 1 tri),
+    // lcc(3)=1/3 (deg 3, 1 of 3 possible), lcc(4)=0 (deg 1)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val lcc = Graph.localClusteringCoefficient(pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    lcc shouldBe Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0)))
+  }
+
   "Similarity.recallAtK" should "count approximate hits against the exact top-k" in {
     val exact  = Seq(1L, 2L, 3L, 4L).toDF("id")
     val approx = Seq(2L, 4L, 9L).toDF("id")

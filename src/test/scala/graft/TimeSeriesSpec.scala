@@ -267,6 +267,30 @@ class TimeSeriesSpec extends SparkTestBase {
     r.isNullAt(3) shouldBe true
   }
 
+  "TimeSeries.crossCorrelation" should "peak at the true lag of a shifted copy" in {
+    // over the shared ticks 10..40, a = [3,1,3,1] and b = [6,8,6,8] (a
+    // delayed one step, +5 level). Full-series denominators (the acf
+    // estimator convention): xcorr_0 = −4/4 = −1 (anti-phase), and the
+    // lag-1 window keeps 3 of 4 terms → xcorr_1 = 3/4, the lag-k ceiling
+    val rows = Seq(1.0, 3.0, 1.0, 3.0, 1.0).zipWithIndex.flatMap { case (v, i) =>
+      Seq(("a", i.toLong * 10, v)) ++
+        (if (i >= 1) Seq(("b", i.toLong * 10, Seq(1.0, 3.0, 1.0, 3.0, 1.0)(i - 1) + 5.0)) else Nil)
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val r = TimeSeries.crossCorrelation(df, "k", "ts", "v", step = 10L, "a", "b", maxLag = 2).head()
+    r.getLong(0) shouldBe 4L                  // ticks 10..40 shared
+    r.getDouble(1) shouldBe -1.0 +- 1e-12     // xcorr_0: anti-phase
+    r.getDouble(2) shouldBe 0.75 +- 1e-12     // xcorr_1: shifted copy, 3/4 terms
+  }
+
+  it should "null every lag when one side is constant" in {
+    val rows = (0 until 4).flatMap(i => Seq(("a", i.toLong * 10, 2.0), ("b", i.toLong * 10, i.toDouble)))
+    val df = rows.toDF("k", "ts", "v")
+    val r = TimeSeries.crossCorrelation(df, "k", "ts", "v", step = 10L, "a", "b", maxLag = 1).head()
+    r.isNullAt(1) shouldBe true
+    r.isNullAt(2) shouldBe true
+  }
+
   "TimeSeries.trendForecast" should "recover an exact linear trend and extrapolate it" in {
     // y = 2x + 1 on a 10-unit grid: slope 2, intercept 1, forecast at x=5
     val df = (0 to 3).map(i => ("a", i.toLong * 10, 2.0 * i + 1.0)).toDF("k", "ts", "v")
