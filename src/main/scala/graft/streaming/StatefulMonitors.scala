@@ -16,6 +16,15 @@ final case class FunnelAdvance(key: String, stage_idx: Int, stage: String, ts: L
 final case class EwmaAnomaly(key: String, ts: Long, value: Double,
                              ewma: Double, deviation: Double)
 
+/** carried Space-Saving summary per group: one bounded counter table.
+  * `counts(item)` may OVERCOUNT by at most `overs(item)` (the evicted
+  * count the item inherited), never undercount. */
+final case class TopKState(counts: Map[String, Long], overs: Map[String, Long])
+
+/** one current heavy hitter: true count ∈ [count - overcount, count]. */
+final case class HeavyHitter(group: String, item: String, count: Long,
+                             overcount: Long, rank: Int)
+
 /**
  * Arbitrary-stateful streaming monitors (`flatMapGroupsWithState`) — state
  * beyond what windowed aggregation can carry: a recurrence whose value
@@ -174,6 +183,74 @@ object StatefulMonitors {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /**
+   * STREAMING HEAVY HITTERS — per group, the current top-`k` most frequent
+   * items of an UNBOUNDED item domain (top user_ids per event type, top
+   * crawl hosts per language), maintained across micro-batches with the
+   * Space-Saving summary (Metwally et al. 2005, "Efficient computation of
+   * frequent and top-k elements in data streams"): at most `capacity`
+   * counters per group; a new item under pressure EVICTS the minimum
+   * counter and inherits its count as its `overcount` bound. Guarantees:
+   * reported `count` never undercounts the true count, exceeds it by at
+   * most `overcount` ≤ N/capacity, and any item with true frequency >
+   * N/capacity is IN the summary — exactly the bound a monitoring surface
+   * needs ("is anything above 1/capacity of traffic?").
+   *
+   * An exact streaming groupBy(item) would carry O(distinct items) state —
+   * unbounded on id-valued columns; this carries O(groups × capacity),
+   * fixed at deployment time. Each trigger emits the group's CURRENT
+   * top-k ranking (Update mode semantics: downstream sinks upsert by
+   * (group, rank)).
+   *
+   * Determinism: within a micro-batch a group's rows fold in (item) sorted
+   * order, min-counter eviction ties break on the item string, and the
+   * emitted ranking orders by (count desc, item) — replays reproduce.
+   *
+   * Input columns: `(groupCol string, itemCol string)`. Update mode.
+   */
+  def heavyHitters(
+      stream: DataFrame,
+      k: Int,
+      capacity: Int,
+      groupCol: String = "event_type",
+      itemCol: String = "user_id"
+  ): Dataset[HeavyHitter] = {
+    require(k > 0, "k must be positive")
+    require(capacity >= k, "capacity must be >= k (the summary must hold the answer)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .selectExpr(s"CAST($groupCol AS STRING) AS _1", s"CAST($itemCol AS STRING) AS _2")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, String)],
+         state: GroupState[TopKState]) =>
+          var st = state.getOption.getOrElse(TopKState(Map.empty, Map.empty))
+          rows.map(_._2).toSeq.sorted.foreach { item =>
+            st.counts.get(item) match {
+              case Some(c) => st = st.copy(counts = st.counts.updated(item, c + 1L))
+              case None if st.counts.size < capacity =>
+                st = TopKState(st.counts.updated(item, 1L), st.overs.updated(item, 0L))
+              case None =>
+                val (evict, m) = st.counts.minBy { case (i, c) => (c, i) }
+                st = TopKState(
+                  st.counts - evict + (item -> (m + 1L)),
+                  st.overs - evict + (item -> m))
+            }
+          }
+          state.update(st)
+          st.counts.toSeq
+            .sortBy { case (i, c) => (-c, i) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((item, c), r) =>
+              HeavyHitter(group, item, c, st.overs(item), r + 1)
+            }
+            .iterator
       }
   }
 

@@ -180,6 +180,41 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StatefulMonitors.heavyHitters" should "carry counts across batches and bound eviction overcount" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val cp    = Files.createTempDirectory("graft_hh_mon_").toString
+    val q = StatefulMonitors.heavyHitters(
+        input.toDF().toDF("event_type", "user_id"), k = 2, capacity = 3)
+      .writeStream.format("memory").queryName("hh_mon").outputMode("update")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      // batch 1: a×3, b×2, c×1 fit within capacity 3 -> exact counts
+      input.addData(Seq("a", "a", "a", "b", "b", "c").map(("click", _)): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("hh_mon").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      b1.toSet shouldBe Set(("a", 3L, 0L, 1), ("b", 2L, 0L, 2))
+      // batch 2: d arrives under pressure -> evicts the min counter (c, 1)
+      // and inherits count 1 as overcount: d reports 3 with overcount 1
+      // (true count 2); a's exact 3 carried from batch 1 ranks by tiebreak
+      input.addData(("click", "d"), ("click", "d"))
+      q.processAllAvailable()
+      val b2 = spark.table("hh_mon").collect()
+      // memory sink in update mode appends; take the latest emission per rank
+      val latest = b2.grouped(2).toSeq.last // 2 rows per trigger (k = 2)
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+      latest shouldBe Set(("a", 3L, 0L, 1), ("d", 3L, 1L, 2))
+      // independent group: its own summary
+      input.addData(("view", "z"))
+      q.processAllAvailable()
+      val views = spark.table("hh_mon").collect().filter(_.getString(0) == "view")
+        .map(r => (r.getString(1), r.getLong(2)))
+      views shouldBe Array(("z", 1L))
+    } finally q.stop()
+  }
+
   "StatefulMonitors.sessionWindows" should "merge within-gap events and split across the gap" in {
     import graft.streaming.StatefulMonitors
     implicit val sqlc = spark.sqlContext
