@@ -761,6 +761,11 @@ object SparkEntry {
       graft.operators.Relational.transitionCounts(ev, Seq("user_id"), "ts", "event_type")
         .orderBy("from_state", "to_state")
     }),
+    // id-parity A/B split: purchase-revenue-per-user lift + Welch t
+    "ev_abtest" -> ((s, d) => {
+      val ev = evUsAll(s, d).select("user_id", "event_type", "value")
+      graft.operators.Relational.abTestReport(ev, "purchase")
+    }),
     // most common first-5-event journeys across users (funnel discovery)
     "ev_paths" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
@@ -885,6 +890,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
+    // BPE trainer round: corpus-wide adjacent char-pair counts, top 50
+    "tx_bpe" -> ((s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
     "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
     // top-20 PMI collocations (min bigram count 5 guards rare-pair noise)
@@ -1726,6 +1733,28 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
         |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // A/B Welch t: per-user revenue snaps 2 dp, arm sums 6 dp; the
+    // mean/var/t projection mirrors the engine's operation order exactly
+    "ev_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS m,
+        |  user_id % 2 AS arm FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |  round(sum(CASE WHEN arm = 0 THEN m ELSE 0.0 END), 6) AS sa,
+        |  round(sum(CASE WHEN arm = 1 THEN m ELSE 0.0 END), 6) AS sb,
+        |  round(sum(CASE WHEN arm = 0 THEN m * m ELSE 0.0 END), 6) AS qa,
+        |  round(sum(CASE WHEN arm = 1 THEN m * m ELSE 0.0 END), 6) AS qb
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  sa / n_a::DOUBLE AS mean_a,
+        |  sb / n_b::DOUBLE AS mean_b,
+        |  sb / n_b::DOUBLE - sa / n_a::DOUBLE AS lift,
+        |  (sb / n_b::DOUBLE - sa / n_a::DOUBLE)
+        |    / sqrt(((qa - sa * sa / n_a::DOUBLE) / (n_a - 1)::DOUBLE) / n_a::DOUBLE
+        |         + ((qb - sb * sb / n_b::DOUBLE) / (n_b - 1)::DOUBLE) / n_b::DOUBLE) AS t_stat
+        |FROM a""".stripMargin.replace("\n", " "),
     // path = first-5 states in (ts, state) order — the struct sort's state
     // tiebreak is mirrored in the list() ORDER BY
     "ev_paths" ->
@@ -1735,6 +1764,13 @@ object SparkEntry {
         |SELECT path, count(*)::BIGINT AS n_keys FROM p GROUP BY path
         |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin.replace("\n", " "),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
+    // BPE pair counts: 1-based 2-char slices inside whitespace words
+    "tx_bpe" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(wd)), i -> wd[i:i+1])) AS pair
+        |      FROM w WHERE length(wd) >= 2)
+        |SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " "),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     // per-doc sum is the same ascending sorted fold as the BM25 oracles
     "tx_entropy" ->

@@ -577,4 +577,59 @@ object Relational {
         col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
+
+  /**
+   * A/B TEST REPORT — Welch two-sample t-test of per-user metric value
+   * (revenue per user) between two deterministically-assigned variants:
+   * users with `userCol % 2 = 0` are arm A, `= 1` arm B (an id-parity
+   * split, stable across engines and reruns — a hash split would need the
+   * same hash function on both sides), and a user's metric is their total
+   * `valueCol` over `metricEvent` events (0.0 for users who never emit
+   * it — the per-USER unit keeps the test valid under per-user event-count
+   * skew, and a mean metric can't saturate the way a binary conversion
+   * flag does on a heavy-usage corpus). Emits one row per arm pair:
+   * `t = (μ_b − μ_a) / √(s²_a/n_a + s²_b/n_b)`.
+   *
+   * Scale shape: one map-side-combined per-user aggregation, then a
+   * 2-group reduction carrying (n, Σm, Σm²); no window, no join, no
+   * driver math. Float portability: the per-user total snaps to 2 dp (its
+   * input lattice) and the arm-level Σm/Σm² snap to 6 dp, so parallel
+   * summation-order noise never reaches the emitted doubles; mean/var/t
+   * then derive in one projection whose operation order the oracle
+   * mirrors exactly.
+   */
+  def abTestReport(
+      events: DataFrame,
+      metricEvent: String,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(round(sum(when(col(typeCol) === metricEvent, col(valueCol)).otherwise(0.0)), 2)
+        .as("__m"))
+      .withColumn("__arm", pmod(col(userCol), lit(2L)))
+    val arms = perUser
+      .groupBy()
+      .agg(
+        sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        round(sum(when(col("__arm") === 0L, col("__m")).otherwise(0.0)), 6).as("__sa"),
+        round(sum(when(col("__arm") === 1L, col("__m")).otherwise(0.0)), 6).as("__sb"),
+        round(sum(when(col("__arm") === 0L, col("__m") * col("__m")).otherwise(0.0)), 6).as("__qa"),
+        round(sum(when(col("__arm") === 1L, col("__m") * col("__m")).otherwise(0.0)), 6).as("__qb"))
+    def mean(s: Column, n: Column)              = s / n.cast("double")
+    def variance(q: Column, s: Column, n: Column) =
+      (q - s * s / n.cast("double")) / (n - 1L).cast("double")
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val ma = mean(col("__sa"), na); val mb = mean(col("__sb"), nb)
+    val va = variance(col("__qa"), col("__sa"), na)
+    val vb = variance(col("__qb"), col("__sb"), nb)
+    arms.select(
+      na, nb,
+      ma.as("mean_a"), mb.as("mean_b"),
+      (mb - ma).as("lift"),
+      ((mb - ma) / sqrt(va / na.cast("double") + vb / nb.cast("double"))).as("t_stat"))
+  }
 }

@@ -828,4 +828,34 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
   }
+
+  /**
+   * BPE FIRST-MERGE PAIR COUNTS — the corpus statistic a byte-pair-
+   * encoding tokenizer trainer computes each merge round (Sennrich et al.
+   * 2016, "Neural Machine Translation of Rare Words with Subword Units"):
+   * the frequency of every ADJACENT CHARACTER PAIR inside whitespace
+   * words, over the whole corpus. The top pair is the first merge; a
+   * trainer loop re-runs this on the re-segmented corpus (driver-side
+   * iteration, one such aggregation per round — this op is that round).
+   *
+   * Scale shape: per row, one `transform(sequence(...))` builds the
+   * word's length−1 pairs in place (codegen, no UDF); the only shuffle is
+   * the map-side-combined pair count — the same bounded-key aggregation
+   * as [[topNgrams]] (the pair domain is ≤ |alphabet|², tiny). Top-k
+   * orders by `(count desc, pair)` so the cut is deterministic.
+   */
+  def bpePairCounts(
+      df: DataFrame,
+      k: Int = 50,
+      textCol: String = "text"
+  ): DataFrame =
+    df
+      .select(explode(words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
 }
