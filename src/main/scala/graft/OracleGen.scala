@@ -251,6 +251,29 @@ object OracleGen {
        |SELECT id AS doc_id, count(*)::BIGINT AS n_triangles
        |FROM m GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Graph.kCore]]: the same FIXED round count
+    * unrolled as CTEs — round t keeps nodes with ≥ k neighbors in round
+    * t−1's survivor set; the tail re-derives degree within the final set. */
+  def kCoreSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+               maxBucket: Int, k: Int, rounds: Int): String = {
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference; each round
+    // references the previous twice, so without the hint the (expensive)
+    // minhash chain would replicate 2^rounds times and never finish
+    val roundCtes = (1 to rounds).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT src AS id FROM (SELECT e.src, count(*) AS c FROM e
+         |  JOIN c${t - 1} a ON e.src = a.id JOIN c${t - 1} b ON e.dst = b.id
+         |  GROUP BY e.src) WHERE c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |pp AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pp UNION ALL SELECT id_b, id_a FROM pp),
+       |c0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |$roundCtes
+       |SELECT e.src AS doc_id, count(*)::BIGINT AS core_degree
+       |FROM e JOIN c$rounds a ON e.src = a.id JOIN c$rounds b ON e.dst = b.id
+       |GROUP BY e.src ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.operators.Graph.localClusteringCoefficient]]. */
   def lccSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
     s"""WITH ${triangleCtes(threshold, numHashes, bands, shingleK, maxBucket)},

@@ -235,6 +235,11 @@ object SparkEntry {
     "d_lcc" -> ((s, d) =>
       graft.operators.Graph.localClusteringCoefficient(Dedup.minhashLshPairs(docs(s, d), 0.5))
         .orderBy("doc_id")),
+    // 2-core of the near-dup graph: strips dangling chain links before
+    // community analysis (fixed 6-round peel, oracle unrolls the same)
+    "d_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCore(Dedup.minhashLshPairs(docs(s, d), 0.5), k = 2, rounds = 6)
+        .orderBy("doc_id")),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -1034,6 +1039,7 @@ object SparkEntry {
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

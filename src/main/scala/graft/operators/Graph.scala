@@ -120,6 +120,49 @@ object Graph {
    * single division (snapped to 6 dp) is engine-portable. Nodes of degree
    * 1 get lcc = 0 (no possible triangle), matching the usual convention.
    */
+  /**
+   * BOUNDED-ROUND K-CORE PEEL — the subgraph left after `rounds`
+   * iterations of "drop every node with fewer than k neighbors among the
+   * survivors", plus each survivor's within-core degree. On the near-dup
+   * graph the 2-core strips dangling chain links (docs tied in by one
+   * borrowed fragment) from the densely-copied template mass that
+   * triangles/LCC score — the standard peel before community analysis.
+   *
+   * Like [[pageRank]], the round count is FIXED (both the engine and the
+   * oracle run exactly `rounds`; peeling converges in ≤ diameter rounds on
+   * bucket-capped pair graphs — raise `rounds` for deeper chains; the
+   * fixpoint check would be one more isEmpty probe per round). Per round:
+   * two semi-joins restrict the edge list to the survivor set and one
+   * partial-aggregated degree count — O(edges) a round, no adjacency
+   * materialization. Membership frames pin per round and free the
+   * previous ([[Checkpoints]]); exact int counts end to end.
+   */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val p = pairs.select(col("id_a"), col("id_b")).distinct()
+    val edges = p.union(p.select(col("id_b"), col("id_a")).toDF("id_a", "id_b")).pinned
+    Checkpoints.free(pairs)
+    def degreesIn(members: DataFrame): DataFrame = edges
+      .join(members.withColumnRenamed("id", "__ma"), col("id_a") === col("__ma"), "left_semi")
+      .join(members.withColumnRenamed("id", "__mb"), col("id_b") === col("__mb"), "left_semi")
+      .groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    var members = edges.select(col("id_a").as("id")).distinct().pinned
+    (1 to rounds).foreach { _ =>
+      val next = degreesIn(members).filter(col("degree") >= k).select(col("id")).pinned
+      Checkpoints.free(members)
+      members = next
+    }
+    // pin the result (forcing the last degree pass) BEFORE releasing the
+    // edge/membership pins it reads — the returned frame must not depend
+    // on freed blocks; the caller releases it with Checkpoints.free(out)
+    val out = degreesIn(members)
+      .select(col("id").as(idCol), col("degree").as("core_degree")).pinned
+    Checkpoints.free(edges, members)
+    out
+  }
+
   def localClusteringCoefficient(pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val e = pairs.select(col("id_a"), col("id_b")).distinct()
     val deg = e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))

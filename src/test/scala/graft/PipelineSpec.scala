@@ -382,6 +382,17 @@ class PipelineSpec extends SparkTestBase {
     counts shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L) // 4 is in no triangle
   }
 
+  "Graph.kCore" should "peel chains transitively and keep the clique" in {
+    import graft.operators.Graph
+    // triangle {1,2,3} + chain 3-4-5: removing leaf 5 drops 4 to degree 1,
+    // so the 2-core is exactly the triangle — a one-round peel would
+    // wrongly keep 4 (degree 2 before 5 left). Within-core degrees are 2.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val core = Graph.kCore(pairs, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
   "Graph.localClusteringCoefficient" should "score clique members 1.0 and degree-1 leaves 0.0" in {
     import graft.operators.Graph
     // triangle {1,2,3} + leaf 4 on node 3: lcc(1)=lcc(2)=1 (deg 2, 1 tri),
