@@ -200,6 +200,18 @@ object OracleGen {
        |  round(sum(CASE WHEN doc_id = rep THEN 0 ELSE 1 END)::DOUBLE / count(*)::DOUBLE, 4) AS dup_rate
        |FROM cl GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.crossSourceDuplicates]]: distinct mined pairs,
+    * each side resolves its source, least/greatest collapse the pair. */
+  def crossSourceDuplicatesSql(threshold: Double, numHashes: Int, bands: Int,
+                               shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |pp AS (SELECT DISTINCT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |j AS (SELECT least(sa.source, sb.source) AS source_a, greatest(sa.source, sb.source) AS source_b
+       |      FROM pp JOIN documents sa ON pp.id_a = sa.doc_id
+       |              JOIN documents sb ON pp.id_b = sb.doc_id)
+       |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.cdcOverlapPairs]]: positional word hashes,
     * content-defined boundary positions (sorted-distinct, final word
     * appended), per-span polynomial fold, distinct per-doc chunk set,

@@ -259,6 +259,10 @@ object SparkEntry {
         .orderBy("cluster_size")),
     // per-source duplicate-rate dashboard over the same labeling
     "d_report" -> ((s, d) => Dedup.dedupReport(docs(s, d), 0.5).orderBy("source")),
+    // which sources copy from each other: near-dup pair counts per
+    // unordered source pair (diagonal = within-source duplication)
+    "d_crossdup" -> ((s, d) =>
+      Dedup.crossSourceDuplicates(docs(s, d), 0.5).orderBy("source_a", "source_b")),
     // boilerplate detector: per-doc fraction of shingles unique to the doc
     "d_novelty" -> ((s, d) => Dedup.noveltyScores(docs(s, d)).orderBy("doc_id")),
     // corpus-wide line/segment dedup: drop 4-word segments repeated across
@@ -839,6 +843,9 @@ object SparkEntry {
         graft.operators.Star.DiscountBand("Brand#12", 1, 5, 1, 11),
         graft.operators.Star.DiscountBand("Brand#20", 1, 10, 10, 20),
         graft.operators.Star.DiscountBand("Brand#24", 1, 15, 20, 30)))),
+    // windowed trend over the month rollup: cumulative + trailing-3 MA
+    "st_monthly" -> ((s, d) =>
+      graft.operators.Star.monthlyRevenue(tbl(s, d, "lineitem"))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
@@ -1045,6 +1052,7 @@ object SparkEntry {
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_report"  -> OracleGen.dedupReportSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_crossdup" -> OracleGen.crossSourceDuplicatesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_novelty" -> OracleGen.noveltyScoresSql(shingleK = 3),
     "d_lines"   -> OracleGen.segmentDedupSql(segWords = 4, minDocs = 2),
     "d_decon"   -> OracleGen.decontaminateSql(shingleK = 5, mod = 10),
@@ -1680,6 +1688,20 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND round(l_quantity)::BIGINT BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND round(l_quantity)::BIGINT BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND round(l_quantity)::BIGINT BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "),
+    // month rollup first (exact cents), window over the tiny month frame;
+    // divisions mirror the engine's order: (s3/n3)/1e4
+    "st_monthly" ->
+      """WITH m AS (SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ym,
+        |  sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS rev
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT ym, rev,
+        |  sum(rev) OVER (ORDER BY ym)::BIGINT AS cum,
+        |  sum(rev) OVER (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS s3,
+        |  count(*) OVER (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS n3
+        |  FROM m)
+        |SELECT ym, rev::DOUBLE / 10000.0 AS revenue, cum::DOUBLE / 10000.0 AS cum_revenue,
+        |  (s3::DOUBLE / n3::DOUBLE) / 10000.0 AS ma3_revenue
+        |FROM w ORDER BY ym""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),

@@ -346,6 +346,37 @@ object Star {
       .limit(k)
   }
 
+  /**
+   * MONTHLY REVENUE TREND — per ship-month revenue with the running
+   * cumulative and a trailing 3-month moving average: the windowed-
+   * analytics face of the star schema (no TPC-H counterpart; every BI
+   * deployment runs this shape). Aggregate FIRST (exact-cent month sums,
+   * map-side combined), window over the tiny month frame after — the
+   * window never sees fact-sized data, so the single-partition window
+   * frame (|months| rows) is safe at any corpus size. Cumulative sums
+   * stay exact integers; each division happens once, in oracle-mirrored
+   * order.
+   */
+  def monthlyRevenue(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = lineitem
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
+        epCents.as("__ep"), dPct.as("__d"))
+      .groupBy(col("ym"))
+      .agg(sum(revNum).as("__rev"))
+    val w   = Window.orderBy(col("ym"))
+    val w3  = w.rowsBetween(-2, 0)
+    monthly
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .withColumn("__s3", sum(col("__rev")).over(w3))
+      .withColumn("__n3", count(lit(1)).over(w3))
+      .select(col("ym"),
+        (col("__rev").cast("double") / 10000.0).as("revenue"),
+        (col("__cum").cast("double") / 10000.0).as("cum_revenue"),
+        ((col("__s3").cast("double") / col("__n3").cast("double")) / 10000.0).as("ma3_revenue"))
+      .orderBy(col("ym"))
+  }
+
   /** One Q19 disjunct: brand + inclusive size band + inclusive quantity band. */
   final case class DiscountBand(brand: String, sizeLo: Long, sizeHi: Long, qtyLo: Long, qtyHi: Long)
 

@@ -658,6 +658,43 @@ object Dedup {
   }
 
   /**
+   * CROSS-SOURCE DUPLICATE FLOW — the near-dup pair counts per (unordered)
+   * source pair: which crawls/feeds copy from each other, and how much of
+   * each source's duplication is internal (the diagonal). The routing
+   * report a multi-source ingest consults before deciding which feed to
+   * drop; [[dedupReport]] gives the per-source rate, this gives the
+   * between-source structure.
+   *
+   * Scale shape: the mined pair list (bare ids, bucket-capped) joins the
+   * `(id, source)` projection twice on the id — two key joins at pair
+   * cardinality, never doc×doc; the final matrix is ≤ |sources|² rows.
+   * `least/greatest` collapse the unordered pair so A→B and B→A count as
+   * one cell.
+   */
+  def crossSourceDuplicates(
+      df: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val pairs = minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+      .select(col("id_a"), col("id_b")).distinct()
+    val src = df.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.toDF("id_a", "__sa"), "id_a")
+      .join(src.toDF("id_b", "__sb"), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Contamination REPORT — the audit companion to [[decontaminate]]:
    * for every corpus doc sharing at least `minHits` distinct k-word
    * shingles with the eval corpus, the number of shared shingles.
