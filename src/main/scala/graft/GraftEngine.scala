@@ -149,6 +149,36 @@ class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.W
           }
         }
       case Ast.UseNamespace(_) => Right(Seq.empty) // session-level concern of the caller
+      case Ast.Explain(q) =>
+        // EXPLAIN (beyond the reference surface): the planner's verdict as
+        // (property, value) rows — shape, projection, predicate, ordering —
+        // without touching data. NOW resolves against the wall clock, as a
+        // directly-executed statement would.
+        implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+        def opt[T](o: Option[T]): String = o.map(_.toString).getOrElse("-")
+        plan(db, namespace, q).map {
+          case PlannedQuery.Simple(fields, distinct, where, order, limit) => Seq(
+            Seq("plan", "Scan"),
+            Seq("fields", if (fields.isEmpty) "*" else fields.mkString(", ")),
+            Seq("distinct", distinct.toString),
+            Seq("where", opt(where)), Seq("order", opt(order)), Seq("limit", opt(limit)))
+          case PlannedQuery.GlobalAgg(plainFields, aggs, where, order, limit) => Seq(
+            Seq("plan", "GlobalAggregate"),
+            Seq("aggregations", aggs.mkString(", ")),
+            Seq("plain_fields", if (plainFields.isEmpty) "-" else plainFields.mkString(", ")),
+            Seq("where", opt(where)), Seq("order", opt(order)), Seq("limit", opt(limit)))
+          case PlannedQuery.TagAgg(tag, agg, where, order, limit) => Seq(
+            Seq("plan", "GroupByTag"),
+            Seq("tag", tag), Seq("aggregation", agg.toString),
+            Seq("where", opt(where)), Seq("order", opt(order)), Seq("limit", opt(limit)))
+          case PlannedQuery.TemporalAgg(intervalMs, agg, where, graceMs, order, limit) => Seq(
+            Seq("plan", "GroupByInterval"),
+            Seq("interval_ms", intervalMs.toString), Seq("aggregation", agg.toString),
+            Seq("grace_ms", opt(graceMs)),
+            Seq("where", opt(where)), Seq("order", opt(order)), Seq("limit", opt(limit)))
+          case PlannedQuery.Delete(where) => Seq(
+            Seq("plan", "Delete"), Seq("where", where.toString))
+        }
     }
 
   /** Plan without executing (validation surface for tests / error parity). */

@@ -151,4 +151,6 @@ object Ast {
   final case class UseNamespace(namespace: String) extends Command
   case object ShowMetrics                         extends Command
   final case class DescribeMetric(metric: String) extends Command
+  /** beyond-reference diagnostic: plan a SELECT/DELETE without running it. */
+  final case class Explain(query: String)         extends Command
 }

@@ -18,7 +18,8 @@ object CommandParser extends RegexParsers {
       kw("show namespaces") ^^^ ShowNamespaces |
       kw("show metrics") ^^^ ShowMetrics |
       kw("use") ~> ident ^^ (UseNamespace(_)) |
-      (kw("describe") | kw("desc")) ~> ident ^^ (DescribeMetric(_))
+      (kw("describe") | kw("desc")) ~> ident ^^ (DescribeMetric(_)) |
+      kw("explain") ~> """.+""".r ^^ (q => Explain(q.trim))
 
   def parse(input: String): Either[String, Command] =
     parseAll(command, input.trim.stripSuffix(";")) match {

@@ -491,7 +491,28 @@ class WarehouseSpec extends SparkTestBase {
     CommandParser.parse("use myns") shouldBe Right(Ast.UseNamespace("myns"))
     CommandParser.parse("describe people") shouldBe Right(Ast.DescribeMetric("people"))
     CommandParser.parse("show namespaces") shouldBe Right(Ast.ShowNamespaces)
+    CommandParser.parse("EXPLAIN select * from m") shouldBe Right(Ast.Explain("select * from m"))
     CommandParser.parse("bogus").isLeft shouldBe true
+  }
+
+  it should "explain a statement's plan without executing it" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "nsA", "mm")
+    seed(wh, c)
+    def explain(q: String) =
+      engine.command("db", "nsA", Ast.Explain(q)).fold(fail(_), identity).map(r => r(0) -> r(1)).toMap
+    val scan = explain("select name from mm where value > 3 limit 7")
+    scan("plan") shouldBe "Scan"
+    scan("limit") shouldBe "7"
+    scan("where") should include("value")
+    val tag = explain("select count(*) from mm group by grp")
+    tag("plan") shouldBe "GroupByTag"
+    tag("tag") shouldBe "grp"
+    val temporal = explain("select sum(value) from mm group by interval 1 h")
+    temporal("plan") shouldBe "GroupByInterval"
+    temporal("interval_ms") shouldBe "3600000"
+    // plan errors surface, data untouched
+    engine.command("db", "nsA", Ast.Explain("select nope() from mm")).isLeft shouldBe true
   }
 
   "warehouse rollup maintenance" should "serve temporal queries and stay exact through append and delete" in {
