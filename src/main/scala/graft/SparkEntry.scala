@@ -775,6 +775,10 @@ object SparkEntry {
       val ev = evUsAll(s, d).select("user_id", "event_type", "value")
       graft.operators.Relational.abTestReport(ev, "purchase")
     }),
+    // Pareto concentration: share of events from the top 20% of users
+    "ev_powerusers" -> ((s, d) =>
+      graft.operators.Relational.powerUserConcentration(
+        evUsAll(s, d).select("user_id"), frac = 0.2)),
     // most common first-5-event journeys across users (funnel discovery)
     "ev_paths" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
@@ -846,6 +850,9 @@ object SparkEntry {
     // windowed trend over the month rollup: cumulative + trailing-3 MA
     "st_monthly" -> ((s, d) =>
       graft.operators.Star.monthlyRevenue(tbl(s, d, "lineitem"))),
+    // YoY growth: month rollup key-joined to itself on ym - 100
+    "st_yoy" -> ((s, d) =>
+      graft.operators.Star.yoyGrowth(tbl(s, d, "lineitem"))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
@@ -904,6 +911,8 @@ object SparkEntry {
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
     // BPE trainer round: corpus-wide adjacent char-pair counts, top 50
     "tx_bpe" -> ((s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50)),
+    // Zipf slope/intercept over the top-100 term frequencies
+    "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d), n = 100)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
     "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
     // top-20 PMI collocations (min bigram count 5 guards rare-pair noise)
@@ -1702,6 +1711,15 @@ object SparkEntry {
         |SELECT ym, rev::DOUBLE / 10000.0 AS revenue, cum::DOUBLE / 10000.0 AS cum_revenue,
         |  (s3::DOUBLE / n3::DOUBLE) / 10000.0 AS ma3_revenue
         |FROM w ORDER BY ym""".stripMargin.replace("\n", " "),
+    // YoY: key join on ym - 100 (never a row-offset lag)
+    "st_yoy" ->
+      """WITH m AS (SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ym,
+        |  sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.ym, a.rev::DOUBLE / 10000.0 AS revenue, b.rev::DOUBLE / 10000.0 AS prev_revenue,
+        |  round((a.rev - b.rev)::DOUBLE / b.rev::DOUBLE, 6) AS yoy_growth
+        |FROM m a LEFT JOIN m b ON a.ym = b.ym + 100
+        |ORDER BY a.ym""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
@@ -1783,6 +1801,17 @@ object SparkEntry {
         |    / sqrt(((qa - sa * sa / n_a::DOUBLE) / (n_a - 1)::DOUBLE) / n_a::DOUBLE
         |         + ((qb - sb * sb / n_b::DOUBLE) / (n_b - 1)::DOUBLE) / n_b::DOUBLE) AS t_stat
         |FROM a""".stripMargin.replace("\n", " "),
+    // Pareto share: k = ceil(0.2 * n) via the same IEEE product; rank-
+    // select mirrors the engine's (count desc, user) TakeOrdered cut
+    "ev_powerusers" ->
+      """WITH per AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id),
+        |t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS total FROM per),
+        |j AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn FROM per)
+        |SELECT t.n AS n_users, ceil(0.2 * t.n::DOUBLE)::BIGINT AS top_users,
+        |  sum(j.c)::BIGINT AS top_events, t.total AS total_events,
+        |  sum(j.c)::BIGINT::DOUBLE / t.total::DOUBLE AS top_share
+        |FROM j, t WHERE j.rn <= ceil(0.2 * t.n::DOUBLE)
+        |GROUP BY t.n, t.total""".stripMargin.replace("\n", " "),
     // path = first-5 states in (ts, state) order — the struct sort's state
     // tiebreak is mirrored in the list() ORDER BY
     "ev_paths" ->
@@ -1792,6 +1821,25 @@ object SparkEntry {
         |SELECT path, count(*)::BIGINT AS n_keys FROM p GROUP BY path
         |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin.replace("\n", " "),
     "tx_ngrams" -> OracleGen.topNgramsSql(n = 2, k = 20),
+    // Zipf: every OLS sum an ordered in-array fold over the same
+    // (count desc, term) top-100, so the ln-term addition order matches
+    "tx_zipf" -> {
+      val zero = "CAST(0.0 AS DOUBLE)"
+      def f(terms: String) = s"list_reduce(list_prepend($zero, $terms), (a, b) -> a + b)"
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |c AS (SELECT term, count(*)::BIGINT AS n FROM t WHERE length(term) > 0 GROUP BY term),
+         |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100),
+         |g AS (SELECT list(n ORDER BY n DESC, term) AS ns FROM top),
+         |s AS (SELECT len(ns)::DOUBLE AS l,
+         |  ${f("list_transform(ns, (v, i) -> ln(i))")} AS sx,
+         |  ${f("list_transform(ns, v -> ln(v))")} AS sy,
+         |  ${f("list_transform(ns, (v, i) -> ln(i) * ln(v))")} AS sxy,
+         |  ${f("list_transform(ns, (v, i) -> ln(i) * ln(i))")} AS sxx
+         |  FROM g),
+         |o AS (SELECT l, sx, sy, (l * sxy - sx * sy) / (l * sxx - sx * sx) AS slope FROM s)
+         |SELECT l::BIGINT AS n_terms, round(slope, 6) AS slope,
+         |  round((sy - slope * sx) / l, 6) AS intercept FROM o""".stripMargin.replace("\n", " ")
+    },
     // BPE pair counts: 1-based 2-char slices inside whitespace words
     "tx_bpe" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),

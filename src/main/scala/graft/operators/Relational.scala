@@ -579,6 +579,40 @@ object Relational {
   }
 
   /**
+   * POWER-USER CONCENTRATION — the Pareto question every usage report
+   * opens with: what share of all events comes from the top `frac` of
+   * users (by event count)? One per-user aggregation; the top slice is
+   * selected with `orderBy(...).limit(k)` — Spark's distributed
+   * TakeOrdered, per-partition top-k then a k-row merge, NEVER a global
+   * single-partition row_number window over the user frame (the classic
+   * scale trap at 10⁹ users; for k beyond driver memory, switch to a
+   * count-threshold filter from `approx_percentile`). `k = ceil(frac·n)`
+   * uses the same IEEE product both engines compute, so the boundary row
+   * is identical; ties on the count break by user id.
+   */
+  def powerUserConcentration(
+      events: DataFrame,
+      frac: Double = 0.2,
+      userCol: String = "user_id"
+  ): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val spark = events.sparkSession
+    val per = events.groupBy(col(userCol)).agg(count(lit(1)).as("__c"))
+    val row = per.agg(count(lit(1)), sum(col("__c"))).head()
+    val (nUsers, total) = (row.getLong(0), row.getLong(1))
+    val k = math.ceil(frac * nUsers.toDouble).toLong
+    per.orderBy(col("__c").desc, col(userCol))
+      .limit(k.toInt)
+      .agg(sum(col("__c")).as("top_events"))
+      .select(
+        lit(nUsers).as("n_users"),
+        lit(k).as("top_users"),
+        col("top_events"),
+        lit(total).as("total_events"),
+        (col("top_events").cast("double") / lit(total).cast("double")).as("top_share"))
+  }
+
+  /**
    * A/B TEST REPORT — Welch two-sample t-test of per-user metric value
    * (revenue per user) between two deterministically-assigned variants:
    * users with `userCol % 2 = 0` are arm A, `= 1` arm B (an id-parity

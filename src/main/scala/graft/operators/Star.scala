@@ -377,6 +377,32 @@ object Star {
       .orderBy(col("ym"))
   }
 
+  /**
+   * YEAR-OVER-YEAR GROWTH per ship-month: each month's revenue against the
+   * same month one year earlier (a key join on `ym − 100`, exact on the
+   * yyyymm encoding — never a row-offset lag, which silently misaligns
+   * when a month is absent). Same aggregate-first shape as
+   * [[monthlyRevenue]]: the join sees only the tiny month frame. Growth is
+   * the one division, over exact integer cents; months without a prior
+   * year emit NULL growth.
+   */
+  def yoyGrowth(lineitem: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
+        epCents.as("__ep"), dPct.as("__d"))
+      .groupBy(col("ym"))
+      .agg(sum(revNum).as("__rev"))
+    monthly
+      .join(monthly.select(col("ym").as("__pym"), col("__rev").as("__prev")),
+        col("ym") === col("__pym") + 100L, "left_outer")
+      .select(col("ym"),
+        (col("__rev").cast("double") / 10000.0).as("revenue"),
+        (col("__prev").cast("double") / 10000.0).as("prev_revenue"),
+        round((col("__rev") - col("__prev")).cast("double") / col("__prev").cast("double"), 6)
+          .as("yoy_growth"))
+      .orderBy(col("ym"))
+  }
+
   /** One Q19 disjunct: brand + inclusive size band + inclusive quantity band. */
   final case class DiscountBand(brand: String, sizeLo: Long, sizeHi: Long, qtyLo: Long, qtyHi: Long)
 

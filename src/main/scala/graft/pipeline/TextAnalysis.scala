@@ -844,6 +844,52 @@ object TextAnalysis {
    * as [[topNgrams]] (the pair domain is ≤ |alphabet|², tiny). Top-k
    * orders by `(count desc, pair)` so the cut is deterministic.
    */
+  /**
+   * ZIPF FIT — the log-log OLS line through the top-`n` term frequencies
+   * (`ln(freq) ≈ intercept + slope·ln(rank)`): natural corpora sit near
+   * slope ≈ −1 (Zipf's law); a badly skewed or synthetic corpus drifts
+   * off it, so the slope is a one-number corpus-health signal next to
+   * [[vocabulary]] coverage.
+   *
+   * Scale shape: one map-side-combined term count, a distributed top-n
+   * (TakeOrdered — never a global rank window), then ALL float work
+   * happens inside one collected n-row array: ranks assign by sorted
+   * position and every OLS sum is an ordered in-array fold, so both
+   * engines add the same ln terms in the same order (the sorted-fold
+   * portability rule) and the slope/intercept doubles agree exactly
+   * before the final 6 dp snap.
+   */
+  def zipfFit(
+      df: DataFrame,
+      n: Int = 100,
+      textCol: String = "text"
+  ): DataFrame = {
+    val zero = "CAST(0.0 AS DOUBLE)"
+    def foldSum(terms: String) = s"aggregate($terms, $zero, (a, x) -> a + x)"
+    df.select(explode(words(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__t"))
+      .limit(n)
+      // negated count in the sort key: array_sort ascending == count desc
+      .agg(array_sort(collect_list(struct((-col("__n")).as("__neg"), col("__t"), col("__n"))))
+        .as("__top"))
+      .withColumn("__ns", expr("transform(__top, p -> p.__n)"))
+      .withColumn("__len", size(col("__ns")).cast("double"))
+      // Spark lambda index is 0-based: rank = i + 1
+      .withColumn("__sx", expr(foldSum("transform(__ns, (v, i) -> ln(i + 1))")))
+      .withColumn("__sy", expr(foldSum("transform(__ns, v -> ln(v))")))
+      .withColumn("__sxy", expr(foldSum("transform(__ns, (v, i) -> ln(i + 1) * ln(v))")))
+      .withColumn("__sxx", expr(foldSum("transform(__ns, (v, i) -> ln(i + 1) * ln(i + 1))")))
+      .withColumn("__slope", expr(
+        "(__len * __sxy - __sx * __sy) / (__len * __sxx - __sx * __sx)"))
+      .select(
+        col("__len").cast("long").as("n_terms"),
+        round(col("__slope"), 6).as("slope"),
+        round(expr("(__sy - __slope * __sx) / __len"), 6).as("intercept"))
+  }
+
   def bpePairCounts(
       df: DataFrame,
       k: Int = 50,
