@@ -738,6 +738,10 @@ object SparkEntry {
     "ts_trend" -> ((s, d) =>
       TimeSeries.trendForecast(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         horizon = 24).orderBy("event_type")),
+    // LTTB: 24-point visual downsample of each type's hourly grid
+    "ts_lttb" -> ((s, d) =>
+      TimeSeries.lttb(evUs(s, d), Seq("event_type"), "ts", "value", HourUs, nOut = 24)
+        .orderBy("event_type", "ts")),
     // incrementally-maintained rollup: stats built on two disjoint event
     // slices then MERGED must equal a full recompute (proven cross-engine
     // against DuckDB's direct aggregation over all events)
@@ -1369,6 +1373,57 @@ object SparkEntry {
          |      FROM m)
          |SELECT event_type, len(vs)::BIGINT AS n, $lags
          |FROM d ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // LTTB: bucket bounds are exact integer index arithmetic (1-based here,
+    // 0-based in the engine — same buckets), bucket averages are ordered
+    // folds, and the sequential selection UNROLLS as one CTE per bucket
+    // (kCore-style). Unrolled — NOT a nested list_reduce — because DuckDB
+    // 1.0 mis-evaluates lambdas that capture an OUTER lambda variable when
+    // the vector carries multiple groups (verified: same query, one group
+    // correct, five groups wrong); lambdas here capture only columns, the
+    // shape every other ts_* oracle already relies on. Argmax keeps the
+    // FIRST maximal candidate (list_position of the max), matching the
+    // engine's strict-`>` fold.
+    "ts_lttb" -> {
+      val nOut = 24; val m = nOut - 2
+      // area of candidate c (lambda var) in 0-based bucket b, prev = sel[-1]
+      def area(b: Int) = {
+        val px = "tss[sel[-1]]::DOUBLE"
+        val py = "vs[sel[-1]]"
+        val nx = if (b == m - 1) "tss[n]::DOUBLE" else s"bax[${b + 2}]"
+        val ny = if (b == m - 1) "vs[n]" else s"bay[${b + 2}]"
+        s"abs((($px) - ($nx)) * ((vs[c]) - ($py)) - (($px) - (tss[c]::DOUBLE)) * (($ny) - ($py)))"
+      }
+      def bavg(arr: String) =
+        s"""CASE WHEN n > $nOut THEN list_transform(range(0, $m), q ->
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(bs[q+1], be[q+1]), i -> $arr[i]::DOUBLE)), (x, y) -> x + y)
+           |  / (be[q+1] - bs[q+1])::DOUBLE) ELSE []::DOUBLE[] END""".stripMargin
+      val rounds = (1 to m).map { t =>
+        val b = t - 1
+        s"""s$t AS (SELECT event_type, tss, vs, n, bs, be, bax, bay,
+           |  CASE WHEN n <= $nOut THEN sel ELSE list_append(sel,
+           |    bs[${b + 1}] + list_position(
+           |      list_transform(range(bs[${b + 1}], be[${b + 1}]), c -> ${area(b)}),
+           |      list_aggregate(list_transform(range(bs[${b + 1}], be[${b + 1}]), c -> ${area(b)}), 'max')) - 1)
+           |  END AS sel FROM s${t - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |bb AS (SELECT event_type, tss, vs, len(vs) AS n,
+         |  list_transform(range(0, $m), q -> 2 + (q * (len(vs) - 2)) // $m) AS bs,
+         |  list_transform(range(0, $m), q -> 2 + ((q + 1) * (len(vs) - 2)) // $m) AS be
+         |  FROM g),
+         |aa AS (SELECT event_type, tss, vs, n, bs, be, ${bavg("tss")} AS bax, ${bavg("vs")} AS bay FROM bb),
+         |s0 AS (SELECT *, [1::BIGINT] AS sel FROM aa),
+         |$rounds,
+         |sf AS (SELECT event_type, tss, vs,
+         |  CASE WHEN n <= $nOut THEN range(1, n + 1) ELSE list_append(sel, n) END AS sel
+         |  FROM s$m)
+         |SELECT event_type, unnest(list_transform(sel, i -> tss[i])) AS ts,
+         |  unnest(list_transform(sel, i -> vs[i])) AS value
+         |FROM sf ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
     // cross-correlation: the paired grid, means, denominators and lag
     // numerators replay the engine's ts-ordered folds (indexed-lambda

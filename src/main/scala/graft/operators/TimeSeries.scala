@@ -692,6 +692,92 @@ object TimeSeries {
   }
 
   /**
+   * LTTB DOWNSAMPLING — Largest-Triangle-Three-Buckets (Steinarsson 2013,
+   * "Downsampling Time Series for Visual Representation"): reduce each
+   * key's grid to `nOut` points keeping the visual shape — first and last
+   * points fixed, the middle split into `nOut−2` equal-index buckets, and
+   * from each bucket the point forming the largest triangle with the
+   * PREVIOUSLY SELECTED point and the NEXT bucket's average. The standard
+   * dashboard-serving reduction (render 50k points from 50M) that naive
+   * striding or per-bucket max both distort.
+   *
+   * The selection is sequential per key (each pick depends on the last),
+   * so like [[ewmaScan]]/[[holtScan]] it runs as ONE in-array fold over
+   * the key's own grid: bucket bounds and bucket averages precompute as
+   * small arrays (exact integer index arithmetic + ordered double folds),
+   * then a fold over bucket ids carries the selected-index list. Keys
+   * scan in parallel; per-key state is the grid array (the accepted
+   * resample-family bound). Keys with ≤ `nOut` grid points pass through
+   * whole.
+   *
+   * Float portability: triangle areas multiply/subtract the same snapped
+   * grid doubles in the same order on both engines, argmax keeps the
+   * FIRST maximal candidate (strict `>`), and bucket averages are
+   * ordered folds — selections are bit-identical, per the sorted-fold
+   * rule.
+   */
+  def lttb(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      nOut: Int
+  ): DataFrame = {
+    require(nOut >= 3, "nOut must be >= 3 (first + last + at least one middle point)")
+    val m    = nOut - 2
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val n    = "size(__pts)"
+    def pts(i: String)  = s"element_at(__pts, ($i) + 1)" // 0-based index
+    def bAt(a: String, b: String) = s"element_at($a, ($b) + 1)"
+    // candidate area vs (prev selected, next-bucket average); c/b/acc are
+    // lambda-bound. The LAST middle bucket's "next" is the final point.
+    def area(c: String, b: String, prev: String) = {
+      val px = s"CAST(${pts(prev)}.$tsCol AS DOUBLE)"
+      val py = s"${pts(prev)}.$valueCol"
+      val nx = s"CASE WHEN $b = $m - 1 THEN CAST(${pts(s"$n - 1")}.$tsCol AS DOUBLE) ELSE ${bAt("__bax", s"$b + 1")} END"
+      val ny = s"CASE WHEN $b = $m - 1 THEN ${pts(s"$n - 1")}.$valueCol ELSE ${bAt("__bay", s"$b + 1")} END"
+      val cx = s"CAST(${pts(c)}.$tsCol AS DOUBLE)"
+      val cy = s"${pts(c)}.$valueCol"
+      s"abs((($px) - ($nx)) * (($cy) - ($py)) - (($px) - ($cx)) * (($ny) - ($py)))"
+    }
+    val argmax =
+      s"""aggregate(sequence(${bAt("__bs", "b")}, ${bAt("__be", "b")} - 1),
+         |  named_struct('bi', -1, 'ba', CAST(-1.0 AS DOUBLE)),
+         |  (a2, c) -> CASE WHEN ${area("c", "b", "element_at(acc, -1)")} > a2.ba
+         |    THEN named_struct('bi', c, 'ba', ${area("c", "b", "element_at(acc, -1)")})
+         |    ELSE a2 END).bi""".stripMargin
+    // guarded behind n > nOut: a pass-through key has empty buckets whose
+    // zero-width average would trip the ANSI divide-by-zero check
+    def bucketAvg(field: String, cast: Boolean) = {
+      val term = if (cast) s"CAST(${pts("i")}.$field AS DOUBLE)" else s"${pts("i")}.$field"
+      s"""CASE WHEN $n > $nOut THEN transform(sequence(0, $m - 1), b ->
+         |  aggregate(sequence(${bAt("__bs", "b")}, ${bAt("__be", "b")} - 1), $zero,
+         |    (a, i) -> a + $term)
+         |  / CAST(${bAt("__be", "b")} - ${bAt("__bs", "b")} AS DOUBLE))
+         |ELSE array() END""".stripMargin
+    }
+    val sel =
+      s"""CASE WHEN $n <= $nOut THEN sequence(0, $n - 1)
+         |ELSE array_append(
+         |  aggregate(sequence(0, $m - 1), array(0),
+         |    (acc, b) -> array_append(acc, $argmax)),
+         |  $n - 1) END""".stripMargin
+    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__bs", expr(
+        s"transform(sequence(0, $m - 1), b -> CAST(1 + (b * ($n - 2)) div $m AS INT))"))
+      .withColumn("__be", expr(
+        s"transform(sequence(0, $m - 1), b -> CAST(1 + ((b + 1) * ($n - 2)) div $m AS INT))"))
+      .withColumn("__bax", expr(bucketAvg(tsCol, cast = true)))
+      .withColumn("__bay", expr(bucketAvg(valueCol, cast = false)))
+      .withColumn("__sel", expr(sel))
+      .withColumn("__i", explode(col("__sel")))
+    grid.select(keys.map(col) ++ Seq(
+      expr(s"${pts("__i")}.$tsCol").as(tsCol),
+      expr(s"${pts("__i")}.$valueCol").as(valueCol)): _*)
+  }
+
+  /**
    * LAGGED CROSS-CORRELATION between two series of one keyed table (does
    * `error` follow `click` by k hours?): both series [[resample]] onto the
    * shared grid in ONE pass (conditional aggregation, not two scans), only

@@ -291,6 +291,22 @@ class TimeSeriesSpec extends SparkTestBase {
     r.isNullAt(2) shouldBe true
   }
 
+  "TimeSeries.lttb" should "keep endpoints and pick the largest-triangle point per bucket" in {
+    // n=7, nOut=4 -> middle buckets {1,2} and {3,4,5}; the spike at idx 2
+    // wins bucket 1 (area 4*10 vs 0); in bucket 2 (all zero values, prev =
+    // the spike, next = last point) idx 3 has the largest area (30 > 20 > 10)
+    val df = Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("k", "ts", "v")
+    val out = TimeSeries.lttb(df, Seq("k"), "ts", "v", step = 1L, nOut = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    out shouldBe Array((0L, 0.0), (2L, 10.0), (3L, 0.0), (6L, 0.0))
+  }
+
+  it should "pass short series through whole" in {
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 3.0)).toDF("k", "ts", "v")
+    TimeSeries.lttb(df, Seq("k"), "ts", "v", step = 10L, nOut = 5).count() shouldBe 3L
+  }
+
   "TimeSeries.trendForecast" should "recover an exact linear trend and extrapolate it" in {
     // y = 2x + 1 on a 10-unit grid: slope 2, intercept 1, forecast at x=5
     val df = (0 to 3).map(i => ("a", i.toLong * 10, 2.0 * i + 1.0)).toDF("k", "ts", "v")
