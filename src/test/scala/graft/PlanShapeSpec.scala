@@ -160,6 +160,31 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  "the round-9 tail additions" should "keep their prescribed shuffle shapes" in {
+    // windowed star rollups: the window/self-join runs AFTER the month
+    // reduction — aggregated input, never fact-sized through a window
+    Seq("st_monthly", "st_yoy").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"$name:\n$plan") {
+        plan should include("HashAggregate")
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // power users: the top-frac cut is a distributed TakeOrdered, never a
+    // global single-partition rank window over the user frame
+    val pu = SparkEntry.queries("ev_powerusers")(spark, dir).queryExecution.executedPlan.toString
+    withClue(pu) {
+      pu should include("TakeOrderedAndProject")
+      pu should not include "Window"
+    }
+    // A/B report: two aggregations, nothing else — no join, no window
+    val ab = SparkEntry.queries("ev_abtest")(spark, dir).queryExecution.executedPlan.toString
+    withClue(ab) {
+      ab should not include "Join"
+      ab should not include "Window"
+    }
+  }
+
   "the round-8 additions" should "keep their prescribed shuffle shapes" in {
     import graft.pipeline.{Multimodal, Sampling, TextAnalysis}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
