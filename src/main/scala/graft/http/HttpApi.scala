@@ -328,6 +328,28 @@ class HttpApi(
             (200, fields.mkString("""{"fields":[""", ",", "]}"))
           case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
         }
+      // beyond the reference surface: the planner's verdict without
+      // execution — GET /commands/<db>/<ns>/explain?q=<urlencoded query>
+      case Array("commands", db, ns, "explain") =>
+        val q = Option(ex.getRequestURI.getRawQuery).toSeq
+          .flatMap(_.split("&")).collectFirst {
+            case p if p.startsWith("q=") =>
+              java.net.URLDecoder.decode(p.drop(2), "UTF-8")
+          }
+        q match {
+          case None => (400, """{"error":"missing q parameter"}""")
+          case Some(sql) =>
+            engine.command(db, ns, Ast.Explain(sql)) match {
+              case Right(rows) =>
+                val props = rows.map {
+                  case Seq(k, v) =>
+                    s"""{"property":${mapper.writeValueAsString(k)},"value":${mapper.writeValueAsString(v)}}"""
+                  case other => mapper.writeValueAsString(other.mkString(","))
+                }
+                (200, props.mkString("""{"plan":[""", ",", "]}"))
+              case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+            }
+        }
       case _ => (404, """{"error":"unknown command"}""")
     }
   }

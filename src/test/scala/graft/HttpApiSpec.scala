@@ -60,6 +60,15 @@ class HttpApiSpec extends SparkTestBase {
       bdd should include(""""name":"room","type":"string","class":"tag"""")
       get(port, "/commands/db/ns/nosuch/describe")._1 shouldBe 400
 
+      // explain: planner verdict as (property, value) rows, no execution
+      val enc = java.net.URLEncoder.encode("select sum(value) from temps group by room", "UTF-8")
+      val (sxp, bxp) = get(port, s"/commands/db/ns/explain?q=$enc")
+      sxp shouldBe 200
+      bxp should include(""""property":"plan","value":"GroupByTag"""")
+      bxp should include(""""property":"tag","value":"room"""")
+      get(port, s"/commands/db/ns/explain?q=${java.net.URLEncoder.encode("select nope() from temps", "UTF-8")}")._1 shouldBe 400
+      get(port, "/commands/db/ns/explain")._1 shouldBe 400
+
       // query
       val (sq, bq) = post(port, "/query",
         """{"db":"db","namespace":"ns","queryString":"select sum(value) from temps group by room order by room"}""")
