@@ -408,17 +408,39 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * it, so eligible temporal dialect queries serve from stats without
    * scanning raw shards.
    */
-  def enableRollup(c: Coords, stepMs: Long, keys: Seq[String] = Seq.empty): Either[String, Unit] = {
+  /**
+   * Enable write-maintained rollup stats at `stepMs` grain (optionally
+   * keyed). `keepOnEvict = true` turns the rollup into a TIERED-RETENTION
+   * record (the RRD/downsampling pattern): retention eviction then deletes
+   * raw shards but PRESERVES their rollup cells, so rollup-eligible
+   * temporal aggregations keep answering over the evicted span while raw
+   * scans age out. With the flag on, retention rounds down to the shard
+   * grain (whole shards only — a partial boundary delete would silently
+   * desync raw and cells), and an explicit DELETE still rebuilds stats
+   * from the remaining raw (dropping the downsampled tier for that
+   * metric) — the tier is maintained by the retention sweep, not by
+   * manual deletes.
+   */
+  def enableRollup(c: Coords, stepMs: Long, keys: Seq[String] = Seq.empty,
+                   keepOnEvict: Boolean = false): Either[String, Unit] = {
     require(stepMs > 0, "stepMs must be positive")
     readMeta(c).toRight(s"metric ${c.metric} does not exist").map { m =>
       withWriteLock(c) {
         val keyJson = keys.map(k => "\"" + k + "\"").mkString("[", ",", "]")
         Files.write(Paths.get(rollupCfgPath(c)),
-          s"""{"stepMs":$stepMs,"keys":$keyJson}""".getBytes(StandardCharsets.UTF_8))
+          s"""{"stepMs":$stepMs,"keys":$keyJson,"keepOnEvict":$keepOnEvict}"""
+            .getBytes(StandardCharsets.UTF_8))
         rebuildRollupLocked(c, m, stepMs)
       }
     }
   }
+
+  /** Whether the rollup is a tiered-retention record (see [[enableRollup]]). */
+  def rollupKeepOnEvict(c: Coords): Boolean =
+    Try {
+      val json = new String(Files.readAllBytes(Paths.get(rollupCfgPath(c))), StandardCharsets.UTF_8)
+      """"keepOnEvict"\s*:\s*true""".r.findFirstIn(json).isDefined
+    }.getOrElse(false)
 
   /** The configured rollup grain (+ key columns), if enabled. */
   def rollupCfg(c: Coords): Option[(Long, Seq[String])] =
@@ -481,6 +503,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
     readMeta(c).toRight(s"metric ${c.metric} does not exist").flatMap { m =>
       if (m.retentionMs <= 0) Right(Seq.empty)
       else {
+        // tiered retention: with keepOnEvict the rollup is the lasting
+        // record for evicted spans — raw shards go, their cells stay
+        val keepTier = rollupStep(c).isDefined && rollupKeepOnEvict(c)
         val evicted = withWriteLock(c) {
           val cutoff = tc.currentTime - m.retentionMs
           val fs     = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -489,23 +514,27 @@ class Warehouse(val spark: SparkSession, val root: String) {
             .map(_.stripPrefix("shard=").toLong)
             .filter(s => (s + 1) * m.shardIntervalMs - 1 < cutoff)
           full.foreach(s => fs.delete(new Path(s"${dataPath(c)}/shard=$s"), true))
-          if (full.nonEmpty) rollupStep(c).foreach(step => rebuildRollupLocked(c, m, step))
+          if (full.nonEmpty && !keepTier)
+            rollupStep(c).foreach(step => rebuildRollupLocked(c, m, step))
           full
         }
-        val cutoff = tc.currentTime - m.retentionMs
-        val straddles = subdirs(dataPath(c))
-          .filter(_.startsWith("shard="))
-          .map(_.stripPrefix("shard=").toLong)
-          .exists(s => s * m.shardIntervalMs < cutoff)
-        // partial-eviction failure propagates through the Either channel —
-        // a thrown exception here would abort the caller's whole sweep for
-        // every remaining metric instead of being reported per-metric
-        if (straddles)
-          delete(Ast.DeleteStatement(c.db, c.namespace, c.metric,
-            Ast.CmpPred("timestamp", Ast.Lt, Ast.AbsValue(cutoff))))
-            .left.map(err => s"partial eviction failed: $err")
-            .map(_ => evicted)
-        else Right(evicted)
+        if (keepTier) Right(evicted) // whole-shard grain; boundary shard stays raw
+        else {
+          val cutoff = tc.currentTime - m.retentionMs
+          val straddles = subdirs(dataPath(c))
+            .filter(_.startsWith("shard="))
+            .map(_.stripPrefix("shard=").toLong)
+            .exists(s => s * m.shardIntervalMs < cutoff)
+          // partial-eviction failure propagates through the Either channel —
+          // a thrown exception here would abort the caller's whole sweep for
+          // every remaining metric instead of being reported per-metric
+          if (straddles)
+            delete(Ast.DeleteStatement(c.db, c.namespace, c.metric,
+              Ast.CmpPred("timestamp", Ast.Lt, Ast.AbsValue(cutoff))))
+              .left.map(err => s"partial eviction failed: $err")
+              .map(_ => evicted)
+          else Right(evicted)
+        }
       }
     }
 }

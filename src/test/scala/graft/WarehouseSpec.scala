@@ -541,6 +541,36 @@ class WarehouseSpec extends SparkTestBase {
     run(q).map(_.getDouble(3)).sum shouldBe 6.0
   }
 
+  it should "keep rollup cells for evicted shards under tiered retention (keepOnEvict)" in {
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "tier", "ev")
+    // retention 1 day from "now" = day 2.5: cutoff = day 1.5 — the day-0
+    // shard expires whole, day-1 straddles (and must stay whole — shard
+    // grain under the tier), day-2 is live
+    wh.append(c, Seq(
+      (0 * day + 100L, 1.0, "a", "x"),
+      (1 * day + 100L, 2.0, "b", "x"),
+      (2 * day + 100L, 4.0, "c", "y")
+    ).toDF("timestamp", "value", "name", "grp"), tags = Set("grp"),
+      retentionMs = day).fold(fail(_), identity)
+    wh.enableRollup(c, stepMs = 1000L, keepOnEvict = true).fold(fail(_), identity)
+
+    val now = (2.5 * day).toLong
+    val report = graft.catalog.Maintenance.runOnce(wh)(TimeContext(now))
+    report.errors shouldBe empty
+    report.evictedShards shouldBe 1 // day-0 raw gone
+
+    // rollup-eligible temporal aggregation still answers over the evicted
+    // span (the 1.0 point lives only in the stats tier now)...
+    val q = s"select sum(value) from ev where timestamp > 0 and timestamp <= ${3 * day} group by interval 1 d"
+    engine.sql("db", "tier", q)(TimeContext(now))
+      .fold(fail(_), _.collect().toSeq).map(_.getDouble(3)).sum shouldBe 7.0
+    // ...while the raw scan has aged the point out (and kept the
+    // straddling day-1 shard whole — no partial delete under the tier)
+    engine.sql("db", "tier", "select * from ev")(TimeContext(now))
+      .fold(fail(_), _.collect().toSeq).map(_.getDouble(1)).sorted shouldBe Seq(2.0, 4.0)
+  }
+
   it should "persist rollup keys and serve group-by-tag from the keyed log" in {
     val (engine, wh, _) = freshEngine()
     val c = Coords("db", "rollk", "ev")
