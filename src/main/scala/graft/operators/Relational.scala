@@ -601,6 +601,8 @@ object Relational {
     val row = per.agg(count(lit(1)), sum(col("__c"))).head()
     val (nUsers, total) = (row.getLong(0), row.getLong(1))
     val k = math.ceil(frac * nUsers.toDouble).toLong
+    require(k <= Int.MaxValue,
+      s"top slice of $k users exceeds the TakeOrdered path — use an approx_percentile count threshold at this scale")
     per.orderBy(col("__c").desc, col(userCol))
       .limit(k.toInt)
       .agg(sum(col("__c")).as("top_events"))

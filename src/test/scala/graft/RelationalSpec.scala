@@ -292,4 +292,30 @@ class RelationalSpec extends SparkTestBase {
     Relational.topPaths(ev, Seq("user_id"), "ts", "event_type", pathLen = 3, k = 1)
       .head().getString(0) shouldBe "a>b>c"
   }
+
+  "Relational.abTestReport" should "split by id parity and compute the Welch t on per-user revenue" in {
+    // arm A (even ids 0,2): totals 10, 20 -> mean 15, var 50
+    // arm B (odd ids 1,3):  totals 30, 50 -> mean 40, var 200
+    // t = 25 / sqrt(50/2 + 200/2) = 25 / sqrt(125)
+    val ev = Seq(
+      (0L, "purchase", 10.0), (2L, "purchase", 15.0), (2L, "purchase", 5.0),
+      (1L, "purchase", 30.0), (3L, "purchase", 50.0),
+      (0L, "view", 999.0) // non-metric events contribute 0
+    ).toDF("user_id", "event_type", "value")
+    val r = Relational.abTestReport(ev, "purchase").head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((2L, 2L))
+    r.getDouble(2) shouldBe 15.0
+    r.getDouble(3) shouldBe 40.0
+    r.getDouble(4) shouldBe 25.0
+    r.getDouble(5) shouldBe (25.0 / math.sqrt(125.0)) +- 1e-12
+  }
+
+  "Relational.powerUserConcentration" should "report the top-fraction share with ceil sizing" in {
+    // 4 users with 10/5/3/2 events: frac 0.5 -> top 2 users, 15 of 20 events
+    val ev = (Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(2)(4L))
+      .toDF("user_id")
+    val r = Relational.powerUserConcentration(ev, frac = 0.5).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((4L, 2L, 15L, 20L))
+    r.getDouble(4) shouldBe 0.75
+  }
 }
