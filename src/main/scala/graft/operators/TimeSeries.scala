@@ -732,21 +732,30 @@ object TimeSeries {
     def bAt(a: String, b: String) = s"element_at($a, ($b) + 1)"
     // candidate area vs (prev selected, next-bucket average); c/b/acc are
     // lambda-bound. The LAST middle bucket's "next" is the final point.
+    // bucket averages read acc.bax/acc.bay — FIELDS of the fold state, not
+    // projection aliases: Catalyst inlines deterministic Project aliases
+    // into the (interpreted) fold, so a __bax COLUMN would re-derive the
+    // whole bucket-average array per area term (measured ~n× slowdown);
+    // state fields evaluate once per row at fold init.
     def area(c: String, b: String, prev: String) = {
       val px = s"CAST(${pts(prev)}.$tsCol AS DOUBLE)"
       val py = s"${pts(prev)}.$valueCol"
-      val nx = s"CASE WHEN $b = $m - 1 THEN CAST(${pts(s"$n - 1")}.$tsCol AS DOUBLE) ELSE ${bAt("__bax", s"$b + 1")} END"
-      val ny = s"CASE WHEN $b = $m - 1 THEN ${pts(s"$n - 1")}.$valueCol ELSE ${bAt("__bay", s"$b + 1")} END"
+      val nx = s"CASE WHEN $b = $m - 1 THEN CAST(${pts(s"$n - 1")}.$tsCol AS DOUBLE) ELSE ${bAt("acc.bax", s"$b + 1")} END"
+      val ny = s"CASE WHEN $b = $m - 1 THEN ${pts(s"$n - 1")}.$valueCol ELSE ${bAt("acc.bay", s"$b + 1")} END"
       val cx = s"CAST(${pts(c)}.$tsCol AS DOUBLE)"
       val cy = s"${pts(c)}.$valueCol"
       s"abs((($px) - ($nx)) * (($cy) - ($py)) - (($px) - ($cx)) * (($ny) - ($py)))"
     }
+    // areas materialize ONCE per candidate in the transform; the fold then
+    // compares plain struct fields (the interpreted HOF would otherwise
+    // re-evaluate the area expression per comparison). Strict `>` keeps
+    // the FIRST maximal candidate, as the oracle's list_position does.
     val argmax =
-      s"""aggregate(sequence(${bAt("__bs", "b")}, ${bAt("__be", "b")} - 1),
+      s"""aggregate(
+         |  transform(sequence(${bAt("__bs", "b")}, ${bAt("__be", "b")} - 1),
+         |    c -> named_struct('bi', c, 'ba', ${area("c", "b", "element_at(acc.sel, -1)")})),
          |  named_struct('bi', -1, 'ba', CAST(-1.0 AS DOUBLE)),
-         |  (a2, c) -> CASE WHEN ${area("c", "b", "element_at(acc, -1)")} > a2.ba
-         |    THEN named_struct('bi', c, 'ba', ${area("c", "b", "element_at(acc, -1)")})
-         |    ELSE a2 END).bi""".stripMargin
+         |  (a2, x) -> CASE WHEN x.ba > a2.ba THEN x ELSE a2 END).bi""".stripMargin
     // guarded behind n > nOut: a pass-through key has empty buckets whose
     // zero-width average would trip the ANSI divide-by-zero check
     def bucketAvg(field: String, cast: Boolean) = {
@@ -760,16 +769,18 @@ object TimeSeries {
     val sel =
       s"""CASE WHEN $n <= $nOut THEN sequence(0, $n - 1)
          |ELSE array_append(
-         |  aggregate(sequence(0, $m - 1), array(0),
-         |    (acc, b) -> array_append(acc, $argmax)),
+         |  aggregate(sequence(0, $m - 1),
+         |    named_struct('sel', array(0),
+         |      'bax', ${bucketAvg(tsCol, cast = true)},
+         |      'bay', ${bucketAvg(valueCol, cast = false)}),
+         |    (acc, b) -> named_struct('sel', array_append(acc.sel, $argmax),
+         |      'bax', acc.bax, 'bay', acc.bay)).sel,
          |  $n - 1) END""".stripMargin
     val grid = gridSeries(df, keys, tsCol, valueCol, step)
       .withColumn("__bs", expr(
         s"transform(sequence(0, $m - 1), b -> CAST(1 + (b * ($n - 2)) div $m AS INT))"))
       .withColumn("__be", expr(
         s"transform(sequence(0, $m - 1), b -> CAST(1 + ((b + 1) * ($n - 2)) div $m AS INT))"))
-      .withColumn("__bax", expr(bucketAvg(tsCol, cast = true)))
-      .withColumn("__bay", expr(bucketAvg(valueCol, cast = false)))
       .withColumn("__sel", expr(sel))
       .withColumn("__i", explode(col("__sel")))
     grid.select(keys.map(col) ++ Seq(
