@@ -337,6 +337,15 @@ object SparkEntry {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(emb(s, d), q, 20).withColumn("sim", round(col("sim"), 3))
     }),
+    // FILTERED vector search (the vector-DB "metadata pre-filter" shape):
+    // the predicate pushes into the scan BEFORE scoring, so a selective
+    // filter shrinks the candidate set instead of post-filtering top-k —
+    // at IVF scale the same predicate rides the centroid-partitioned scan
+    "ann_filter" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb(s, d).filter(col("label") === 3), q, 10)
+        .withColumn("sim", round(col("sim"), 3))
+    }),
     "ann_lsh" -> ((s, d) => Similarity.lshCosinePairs(emb(s, d), 0.4).orderBy("id_a", "id_b")),
     // the AUTO-SIZED path a real corpus would call: k = log2(n)+margin sign
     // bits and L = recall-holding table count are DERIVED from the live
@@ -783,6 +792,13 @@ object SparkEntry {
     "ev_powerusers" -> ((s, d) =>
       graft.operators.Relational.powerUserConcentration(
         evUsAll(s, d).select("user_id"), frac = 0.2)),
+    // Sankey input: per journey position, the from→to flow counts of each
+    // user's first 5 moves
+    "ev_sankey" -> ((s, d) => {
+      val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
+      graft.operators.Relational.stepTransitions(ev, Seq("user_id"), "ts", "event_type",
+        maxStep = 5).orderBy("step", "from_state", "to_state")
+    }),
     // most common first-5-event journeys across users (funnel discovery)
     "ev_paths" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "ts", "event_type")
@@ -1118,6 +1134,8 @@ object SparkEntry {
     },
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
+    "ann_filter" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings WHERE label = 3) ORDER BY s DESC, vec_id LIMIT 10""",
     "tx_tokens" -> {
       val w = "string_split(text, ' ')"
       s"""SELECT doc_id, len($w) AS n_tokens, len(list_distinct($w)) AS n_distinct_tokens, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens, round(length(replace(text, ' ', ''))*1.0 / len($w), 4) AS avg_word_len FROM documents ORDER BY doc_id"""
@@ -1834,6 +1852,14 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
         |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "ev_sankey" ->
+      """WITH w AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS step
+        |  FROM events)
+        |SELECT step::BIGINT AS step, event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
+        |FROM w WHERE nxt IS NOT NULL AND step <= 5
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "),
     // A/B Welch t: per-user revenue snaps 2 dp, arm sums 6 dp; the
     // mean/var/t projection mirrors the engine's operation order exactly
     "ev_abtest" ->

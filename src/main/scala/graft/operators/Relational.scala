@@ -463,6 +463,34 @@ object Relational {
   }
 
   /**
+   * STEP-INDEXED TRANSITIONS — [[transitionCounts]] broken out by journey
+   * position: how many keys went `from → to` as their step-1 move, their
+   * step-2 move, … up to `maxStep`. The Sankey/flow-diagram input (what
+   * the first N hops of the user journey look like in aggregate), and the
+   * per-position drop-off complement to [[topPaths]]' whole-prefix counts.
+   *
+   * Same scale shape as [[transitionCounts]]: one per-key window (lead +
+   * row_number ride the same sort), then a ≤ `maxStep·|states|²`-row
+   * count aggregation.
+   */
+  def stepTransitions(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      stateCol: String,
+      maxStep: Int = 5
+  ): DataFrame = {
+    require(maxStep >= 1, "maxStep must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("__next", lead(col(stateCol), 1).over(w))
+      .withColumn("__step", row_number().over(w).cast("long"))
+      .filter(col("__next").isNotNull && col("__step") <= maxStep)
+      .groupBy(col("__step").as("step"), col(stateCol).as("from_state"),
+        col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
    * TOP PATHS — the most common early journeys: each key's first `pathLen`
    * states in time order joined into one `a>b>c` path string, counted
    * across keys, top-`k` by frequency (ties by path). The funnel-DISCOVERY
