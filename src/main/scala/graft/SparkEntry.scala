@@ -694,6 +694,11 @@ object SparkEntry {
     "ts_zscore" -> ((s, d) =>
       TimeSeries.zscoreOutliers(evUs(s, d), Seq("event_type"), "value", 3.0)
         .orderBy("event_type", "ts")),
+    // anomaly EPISODES: the hourly-grid z flags island-merged on the exact
+    // integer anchor ts − step·row_number (one row per alert episode)
+    "ts_anomint" -> ((s, d) =>
+      TimeSeries.anomalyIntervals(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        threshold = 2.5).orderBy("event_type", "start_ts")),
     // robust (median/MAD) anomaly flags — the Hampel test. Threshold 3.75:
     // the 2 dp value lattice puts deviations EXACTLY on t×MAD for many
     // round t (measured margin ~1e-16 at 3.0-3.6 at sf0.1); at 3.75 every
@@ -792,6 +797,10 @@ object SparkEntry {
     "ev_powerusers" -> ((s, d) =>
       graft.operators.Relational.powerUserConcentration(
         evUsAll(s, d).select("user_id"), frac = 0.2)),
+    // DAU / trailing-7d WAU engagement ratio per day
+    "ev_stickiness" -> ((s, d) =>
+      graft.operators.Relational.stickiness(evUsAll(s, d).select("user_id", "ts"))
+        .orderBy("day")),
     // Sankey input: per journey position, the from→to flow counts of each
     // user's first 5 moves
     "ev_sankey" -> ((s, d) => {
@@ -1634,6 +1643,21 @@ object SparkEntry {
         |           FROM events WINDOW tw AS (PARTITION BY event_type))
         |SELECT event_type, ts, value, round((value - m) / sd, 3) AS z
         |FROM s WHERE sd > 0 AND abs((value - m) / sd) > 3.0 ORDER BY event_type, ts""".stripMargin.replace("\n", " "),
+    // anomaly episodes: grid z flags, exact-integer island anchor, merge
+    "ts_anomint" ->
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, ts, value,
+         |        avg(value) OVER tw AS m, stddev_samp(value) OVER tw AS sd
+         |      FROM r WINDOW tw AS (PARTITION BY event_type)),
+         |f AS (SELECT event_type, ts, round((value - m) / sd, 3) AS z
+         |      FROM s WHERE sd > 0 AND abs((value - m) / sd) > 2.5),
+         |i AS (SELECT event_type, ts, z,
+         |        ts - $HourUs * row_number() OVER (PARTITION BY event_type ORDER BY ts) AS anchor
+         |      FROM f)
+         |SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+         |  count(*)::BIGINT AS n_ticks, max(abs(z)) AS peak_z
+         |FROM i GROUP BY event_type, anchor ORDER BY event_type, start_ts""".stripMargin.replace("\n", " "),
     // ---- keyword retrieval oracles (rt_bm25_idx shares rt_bm25's SQL:
     // the index path must reproduce the corpus-scan result exactly)
     // star-schema gates: every money sum is exact integer cents, cast
@@ -1852,6 +1876,16 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
         |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // DAU/WAU: the (user, day) pairs explode to the 7 obs days each
+    // supports; both distinct counts are exact ints, one final division
+    "ev_stickiness" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM p GROUP BY day),
+        |e AS (SELECT DISTINCT user_id, day + o AS obs
+        |      FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o)),
+        |wau AS (SELECT obs, count(*)::BIGINT AS wau FROM e GROUP BY obs)
+        |SELECT day, dau, wau, dau::DOUBLE / wau::DOUBLE AS stickiness
+        |FROM dau JOIN wau ON day = obs ORDER BY day""".stripMargin.replace("\n", " "),
     "ev_sankey" ->
       """WITH w AS (SELECT event_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt,

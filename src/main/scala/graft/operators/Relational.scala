@@ -607,6 +607,38 @@ object Relational {
   }
 
   /**
+   * STICKINESS (DAU/WAU) — per day: distinct active users that day, the
+   * trailing-7-day distinct actives, and their ratio (the standard
+   * engagement metric; 1.0 = every weekly user shows up daily). The
+   * trailing-window distinct NEVER re-scans events per day: the distinct
+   * `(user, day)` pairs explode to the ≤7 observation days each supports
+   * (`day + 0..6` — activity at `day` lies within those days' trailing
+   * windows) and a second distinct count collapses multi-day users. Both
+   * aggregations are map-side-combined shuffles on bounded keys; the
+   * explode multiplies only the PAIRS frame (users×days, already
+   * deduplicated), never the raw stream.
+   */
+  def stickiness(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      dayUs: Long = 86400000000L
+  ): DataFrame = {
+    val pairs = events
+      .select(col(userCol), expr(s"$tsCol div ${dayUs}L").as("__day"))
+      .distinct()
+    val dau = pairs.groupBy(col("__day")).agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .withColumn("__o", explode(sequence(lit(0L), lit(6L))))
+      .select(col(userCol), (col("__day") + col("__o")).as("__obs"))
+      .distinct()
+      .groupBy(col("__obs")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("__day") === col("__obs"))
+      .select(col("__day").as("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  /**
    * POWER-USER CONCENTRATION — the Pareto question every usage report
    * opens with: what share of all events comes from the top `frac` of
    * users (by event count)? One per-user aggregation; the top slice is

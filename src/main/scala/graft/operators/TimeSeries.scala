@@ -267,6 +267,40 @@ object TimeSeries {
   }
 
   /**
+   * ANOMALY INTERVALS — [[zscoreOutliers]] over the [[resample]]d grid,
+   * then consecutive flagged ticks merged into islands (`start_ts`,
+   * `end_ts`, tick count, peak |z|): what a paging system actually wants —
+   * one alert per EPISODE, not one per tick. The classic gaps-and-islands
+   * anchor (`ts − step·row_number`) groups step-adjacent ticks exactly:
+   * both terms are exact longs, so island identity is engine-portable.
+   *
+   * Scale shape: the resample's map-side-combined aggregation, the per-key
+   * z window, then one window + one aggregation over only the FLAGGED
+   * ticks (a tail of the grid, not the raw stream).
+   */
+  def anomalyIntervals(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      threshold: Double,
+      dp: Int = 3
+  ): DataFrame = {
+    val flagged = zscoreOutliers(resample(df, keys, tsCol, valueCol, step), keys, valueCol, threshold, dp)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    flagged
+      .withColumn("__anchor", col(tsCol) - lit(step) * row_number().over(w))
+      .groupBy(keys.map(col) :+ col("__anchor"): _*)
+      .agg(
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_ticks"),
+        max(abs(col("z"))).as("peak_z"))
+      .select(keys.map(col) ++ Seq(col("start_ts"), col("end_ts"), col("n_ticks"), col("peak_z")): _*)
+  }
+
+  /**
    * SEASONAL PROFILE — the per-key average value by cyclic phase (e.g.
    * hour-of-day with `period = 24 h buckets of width 1 h`): the baseline
    * a seasonality-aware monitor compares live traffic against. Returns
