@@ -310,6 +310,32 @@ class RelationalSpec extends SparkTestBase {
     r.getDouble(5) shouldBe (25.0 / math.sqrt(125.0)) +- 1e-12
   }
 
+  "Relational.stepTransitions" should "count from→to per journey position" in {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "buy"),
+      (2L, 0L, "view"), (2L, 10L, "click"),
+      (3L, 0L, "click"), (3L, 10L, "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.stepTransitions(ev, Seq("user_id"), "ts", "event_type", maxStep = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    out shouldBe Map(
+      (1L, "view", "click") -> 2L,  // users 1 and 2, first move
+      (1L, "click", "buy")  -> 1L,  // user 3, first move
+      (2L, "click", "buy")  -> 1L)  // user 1, second move
+  }
+
+  "Relational.stickiness" should "count trailing-7-day distinct actives per day" in {
+    val dayUs = 86400000000L
+    // user 1 active days 0 and 3 (counts once in both windows); user 2 day 3
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 3 * dayUs), (2L, 3 * dayUs + 5L))
+      .toDF("user_id", "ts")
+    val out = Relational.stickiness(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out shouldBe Map(
+      0L -> ((1L, 1L, 1.0)),       // day 0: only user 1 in window
+      3L -> ((2L, 2L, 1.0)))       // day 3: both active, both in trailing 7d
+  }
+
   "Relational.powerUserConcentration" should "report the top-fraction share with ceil sizing" in {
     // 4 users with 10/5/3/2 events: frac 0.5 -> top 2 users, 15 of 20 events
     val ev = (Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(2)(4L))

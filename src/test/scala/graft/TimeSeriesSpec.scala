@@ -291,6 +291,17 @@ class TimeSeriesSpec extends SparkTestBase {
     r.isNullAt(2) shouldBe true
   }
 
+  "TimeSeries.anomalyIntervals" should "merge step-adjacent flags into one episode" in {
+    // ticks 30 and 40 both spike: one island (30..40, 2 ticks); tick 70
+    // spikes alone: its own island — baseline ticks keep sd sane
+    val vals = Map(30L -> 100.0, 40L -> 100.0, 70L -> 100.0).withDefaultValue(1.0)
+    val df = (0 until 10).map(i => ("a", i * 10L, vals(i * 10L))).toDF("k", "ts", "v")
+    val out = TimeSeries.anomalyIntervals(df, Seq("k"), "ts", "v", step = 10L, threshold = 1.0)
+      .orderBy("start_ts").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array((30L, 40L, 2L), (70L, 70L, 1L))
+  }
+
   "TimeSeries.lttb" should "keep endpoints and pick the largest-triangle point per bucket" in {
     // n=7, nOut=4 -> middle buckets {1,2} and {3,4,5}; the spike at idx 2
     // wins bucket 1 (area 4*10 vs 0); in bucket 2 (all zero values, prev =
