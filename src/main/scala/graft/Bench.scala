@@ -55,7 +55,11 @@ object Bench {
     // once recorded a phantom regression, so all per-run times are printed,
     // and max/min exposes a mid-session cliff even when min looks fine)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // targeted iteration (mirrors Verify): unset = full sweep, as the driver runs it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var rows = -1L
       val gc0  = gcMillis
       val times = (1 to runs).map { _ =>
@@ -86,7 +90,13 @@ object Bench {
     }
     val qs    = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the line can exceed what a log-tail capture keeps (200 queries wide),
+    // so persist it too: one identical JSON line, overwritten per run
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1909,12 +1909,14 @@ object SparkEntry {
         |  round(sum(CASE WHEN arm = 1 THEN m * m ELSE 0.0 END), 6) AS qb
         |  FROM u)
         |SELECT n_a, n_b,
-        |  sa / n_a::DOUBLE AS mean_a,
-        |  sb / n_b::DOUBLE AS mean_b,
-        |  sb / n_b::DOUBLE - sa / n_a::DOUBLE AS lift,
+        |  CASE WHEN n_a > 0 THEN sa / n_a::DOUBLE ELSE NULL END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN sb / n_b::DOUBLE ELSE NULL END AS mean_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN sb / n_b::DOUBLE - sa / n_a::DOUBLE ELSE NULL END AS lift,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN
         |  (sb / n_b::DOUBLE - sa / n_a::DOUBLE)
         |    / sqrt(((qa - sa * sa / n_a::DOUBLE) / (n_a - 1)::DOUBLE) / n_a::DOUBLE
-        |         + ((qb - sb * sb / n_b::DOUBLE) / (n_b - 1)::DOUBLE) / n_b::DOUBLE) AS t_stat
+        |         + ((qb - sb * sb / n_b::DOUBLE) / (n_b - 1)::DOUBLE) / n_b::DOUBLE)
+        |  ELSE NULL END AS t_stat
         |FROM a""".stripMargin.replace("\n", " "),
     // Pareto share: k = ceil(0.2 * n) via the same IEEE product; rank-
     // select mirrors the engine's (count desc, user) TakeOrdered cut

@@ -504,9 +504,12 @@ class Warehouse(val spark: SparkSession, val root: String) {
       if (m.retentionMs <= 0) Right(Seq.empty)
       else {
         // tiered retention: with keepOnEvict the rollup is the lasting
-        // record for evicted spans — raw shards go, their cells stay
-        val keepTier = rollupStep(c).isDefined && rollupKeepOnEvict(c)
-        val evicted = withWriteLock(c) {
+        // record for evicted spans — raw shards go, their cells stay.
+        // keepTier is read INSIDE the write lock so a concurrent
+        // enableRollup toggling keepOnEvict can't race the sweep into
+        // rebuilding the rollup after the shards it preserved are gone.
+        val (keepTier, evicted) = withWriteLock(c) {
+          val keep   = rollupStep(c).isDefined && rollupKeepOnEvict(c)
           val cutoff = tc.currentTime - m.retentionMs
           val fs     = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
           val full = subdirs(dataPath(c))
@@ -514,9 +517,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
             .map(_.stripPrefix("shard=").toLong)
             .filter(s => (s + 1) * m.shardIntervalMs - 1 < cutoff)
           full.foreach(s => fs.delete(new Path(s"${dataPath(c)}/shard=$s"), true))
-          if (full.nonEmpty && !keepTier)
+          if (full.nonEmpty && !keep)
             rollupStep(c).foreach(step => rebuildRollupLocked(c, m, step))
-          full
+          (keep, full)
         }
         if (keepTier) Right(evicted) // whole-shard grain; boundary shard stays raw
         else {

@@ -573,20 +573,28 @@ object Relational {
    * to 2 dp BEFORE ordering so float-sum ulps can never flip the order.
    *
    * Scale shape: events collapse to one row per user in a single
-   * map-side-combined aggregation; the three ntile windows then run over
-   * the |users| table — orders of magnitude smaller than the event log,
-   * but still a single-partition sort per window. Exact quintiles need a
-   * total order by definition; beyond ~4M users, switch the ntile to
-   * percentile-threshold scoring (the [[winsorizedMean]]-style
-   * `approx_percentile` cutoff pattern) and accept boundary ties landing
-   * in one bucket.
+   * map-side-combined aggregation; with `approx = false` (default, exact)
+   * the three ntile windows then run over the |users| table — orders of
+   * magnitude smaller than the event log, but still a single-partition
+   * sort per window, since exact quintiles need a total order by
+   * definition. Beyond ~4M users set `approx = true`: quintile CUTOFFS
+   * come from one `approx_percentile` reduction (fixed-size sketch state,
+   * map-side combined, rank error ≤ 1/`approxAccuracy`), broadcast back
+   * as a single row, and each user scores row-locally by threshold
+   * comparison — no window, no sort, fully partitioned. The semantic
+   * difference is only at bucket boundaries: ntile splits ties across
+   * buckets by user id to equalize sizes; thresholds land all ties of a
+   * boundary value in one bucket (a spec pins the two paths equal
+   * everywhere off those boundary values).
    */
   def rfmScores(
       events: DataFrame,
       nowTs: Long,
       tsCol: String = "ts",
       userCol: String = "user_id",
-      valueCol: String = "value"
+      valueCol: String = "value",
+      approx: Boolean = false,
+      approxAccuracy: Int = 10000
   ): DataFrame = {
     val per = events
       .groupBy(col(userCol))
@@ -594,13 +602,32 @@ object Relational {
         max(col(tsCol)).as("last_ts"),
         count(lit(1)).as("frequency"),
         round(sum(col(valueCol)), 2).as("monetary"))
-    def score(order: Column*): Column =
-      (lit(6) - ntile(5).over(Window.orderBy(order: _*))).cast("long")
-    per
+    val scored =
+      if (!approx) {
+        def score(order: Column*): Column =
+          (lit(6) - ntile(5).over(Window.orderBy(order: _*))).cast("long")
+        per
+          .withColumn("r_score", score(col("last_ts").desc, col(userCol).asc))
+          .withColumn("f_score", score(col("frequency").desc, col(userCol).asc))
+          .withColumn("m_score", score(col("monetary").desc, col(userCol).asc))
+      } else {
+        // one reduction carrying three 4-cutoff sketches, broadcast back
+        def cuts(c: String) =
+          expr(s"approx_percentile($c, array(0.2, 0.4, 0.6, 0.8), $approxAccuracy)")
+        val cutRow = per.agg(
+          cuts("last_ts").as("__rc"), cuts("frequency").as("__fc"), cuts("monetary").as("__mc"))
+        // higher metric = better: 1 + number of strictly-exceeded cutoffs
+        def score(v: Column, cutsCol: String): Column =
+          (1 to 4).map(i => when(v > element_at(col(cutsCol), i), 1L).otherwise(0L))
+            .reduce(_ + _) + lit(1L)
+        per.crossJoin(broadcast(cutRow))
+          .withColumn("r_score", score(col("last_ts"), "__rc"))
+          .withColumn("f_score", score(col("frequency"), "__fc"))
+          .withColumn("m_score", score(col("monetary"), "__mc"))
+          .drop("__rc", "__fc", "__mc")
+      }
+    scored
       .withColumn("recency", lit(nowTs) - col("last_ts"))
-      .withColumn("r_score", score(col("last_ts").desc, col(userCol).asc))
-      .withColumn("f_score", score(col("frequency").desc, col(userCol).asc))
-      .withColumn("m_score", score(col("monetary").desc, col(userCol).asc))
       .select(col(userCol), col("recency"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
@@ -659,7 +686,15 @@ object Relational {
     val spark = events.sparkSession
     val per = events.groupBy(col(userCol)).agg(count(lit(1)).as("__c"))
     val row = per.agg(count(lit(1)), sum(col("__c"))).head()
-    val (nUsers, total) = (row.getLong(0), row.getLong(1))
+    val nUsers = row.getLong(0)
+    // empty input: sum(__c) is NULL and every share is undefined — return
+    // the zeroed one-row report instead of tripping getLong on a null
+    if (nUsers == 0L)
+      return spark.range(1).select(
+        lit(0L).as("n_users"), lit(0L).as("top_users"),
+        lit(null).cast("long").as("top_events"), lit(0L).as("total_events"),
+        lit(null).cast("double").as("top_share"))
+    val total = row.getLong(1)
     val k = math.ceil(frac * nUsers.toDouble).toLong
     require(k <= Int.MaxValue,
       s"top slice of $k users exceeds the TakeOrdered path — use an approx_percentile count threshold at this scale")
@@ -724,8 +759,13 @@ object Relational {
     val vb = variance(col("__qb"), col("__sb"), nb)
     arms.select(
       na, nb,
-      ma.as("mean_a"), mb.as("mean_b"),
-      (mb - ma).as("lift"),
-      ((mb - ma) / sqrt(va / na.cast("double") + vb / nb.cast("double"))).as("t_stat"))
+      // degenerate arms: an empty arm has no mean (ANSI divide-by-zero),
+      // an n <= 1 arm no sample variance — emit NULL rather than an
+      // engine-divergent inf/NaN (the oracle mirrors each CASE guard)
+      when(na > 0L, ma).as("mean_a"), when(nb > 0L, mb).as("mean_b"),
+      when(na > 0L && nb > 0L, mb - ma).as("lift"),
+      when(na > 1L && nb > 1L,
+        (mb - ma) / sqrt(va / na.cast("double") + vb / nb.cast("double")))
+        .as("t_stat"))
   }
 }

@@ -195,15 +195,23 @@ object Star {
   /**
    * TPC-H Q6-shaped revenue-change forecast: the revenue that would have
    * been lost without small discounts — `sum(extendedprice * discount)`
-   * over one ship-year, a discount band and a quantity cap. The cheapest
-   * possible plan: one filtered scan (all three predicates push to
-   * parquet), one scalar aggregation of an exact cent·pct integer.
+   * over one ship-year, a discount band and a quantity cap. One filtered
+   * scan, one scalar aggregation of an exact cent·pct integer. The
+   * shipdate bounds push to parquet directly; the discount-band and
+   * quantity predicates are defined on ROUNDED derived columns (so the
+   * boundary is engine-exact), which can't push — instead conservative
+   * raw-column supersets of those bands (`round(x·100) ∈ [lo,hi]` implies
+   * `x ∈ [(lo−1)/100, (hi+1)/100]`; `round(q) < n` implies `q < n`) push
+   * to the scan, and the exact rounded predicates re-apply post-scan.
    */
   def revenueChange(
       lineitem: DataFrame, lo: LocalDateTime, hi: LocalDateTime,
       discPctLo: Long, discPctHi: Long, qtyLt: Long): DataFrame =
     lineitem
-      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+        col("l_discount") >= (discPctLo - 1).toDouble / 100.0 &&
+        col("l_discount") <= (discPctHi + 1).toDouble / 100.0 &&
+        col("l_quantity") < qtyLt.toDouble)
       .select(epCents.as("__ep"), dPct.as("__d"),
         round(col("l_quantity"), 0).cast("long").as("__q"))
       .filter(col("__d") >= discPctLo && col("__d") <= discPctHi && col("__q") < qtyLt)

@@ -87,8 +87,9 @@ object Curate {
    *   2. (optional) repetition reject ([[TextAnalysis.repetitionCols]]) —
    *      a row-local filter fused into the survivor scan, zero shuffle
    *   3. (optional) per-source cap ([[capPerGroup]] semantics: k
-   *      best-quality docs per source, quality reused from the curation
-   *      pass — one WindowGroupLimit-pruned shuffle on `source`)
+   *      best-quality docs per source, quality recomputed row-locally in
+   *      the same fused projection as the repetition reject — one
+   *      WindowGroupLimit-pruned shuffle on `source`, no extra join)
    *   4. [[Dedup.decontaminate]]: drop eval-set n-gram collisions
    *   5. [[Dedup.duplicateClusters]]: keep one representative per
    *      near-dup connected component
@@ -131,19 +132,17 @@ object Curate {
       else df
     // curated feeds BOTH the survivors semi-join and the withLang join —
     // materialize once so the curation subtree (digest shuffle + metric
-    // projection) doesn't execute twice per mix. Quality rides along for
-    // the optional per-source cap (no recomputation, no extra scan).
+    // projection) doesn't execute twice per mix.
     val curated = curate(base, keepLangs, minQuality, textCol = textCol, idCol = idCol)
-      .select(col(idCol), col("predicted_lang"), col("quality"))
+      .select(col(idCol), col("predicted_lang"))
       .pinned
-    // ONE membership join carries everything the optional stages need: when
-    // the per-source cap is on, the curation-pass quality rides the same
-    // inner join that establishes membership (an extra re-join of `curated`
-    // would pay a second shuffle for a column the first join already had in
-    // hand); otherwise the cheaper left_semi keeps the column set untouched.
-    val survivors0 = perSourceCap.fold(
-      base.join(curated.select(col(idCol)), Seq(idCol), "left_semi"))(_ =>
-      base.join(curated.select(col(idCol), col("quality")), Seq(idCol)))
+    // membership is always the cheap left_semi; the optional repetition
+    // reject and per-source cap share ONE fused projection over the
+    // survivor scan — the cap's quality recomputes row-locally there
+    // (quality is a pure function of the text, so the value is identical
+    // to the curation pass's), instead of riding a wide inner join that
+    // would shuffle the text a second time just to carry one column back.
+    val survivors0 = base.join(curated.select(col(idCol)), Seq(idCol), "left_semi")
     // repetition reject fuses into the survivor scan — row-local, no shuffle
     val survivors1 = maxRepetition.fold(survivors0) { case (dw, tw, db) =>
       val (_, _, _, repetitive) = TextAnalysis.repetitionCols(col(textCol), dw, tw, db)
@@ -151,11 +150,13 @@ object Curate {
     }
     val survivors = perSourceCap.fold(survivors1) { k =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col(sourceCol)).orderBy(col("quality").desc, col(idCol))
+      val (_, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+      val w = Window.partitionBy(col(sourceCol)).orderBy(col("__q").desc, col(idCol))
       survivors1
+        .withColumn("__q", quality)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
-        .drop("rn", "quality")
+        .drop("rn", "__q")
     }
     // with optional stages on, the survivor frame ends a LONG fused
     // projection (langid + quality + repetition expressions and a window);

@@ -264,22 +264,43 @@ object TextAnalysis {
    * doc against a target-corpus LM ([[crossBigramScore]]) and split the
    * corpus into `head` / `middle` / `tail` thirds — head reads most like
    * the target (highest log-prob), tail least; CCNet keeps head+middle
-   * and drops or down-weights tail. Assignment is `ntile(3)` over the
-   * TOTAL order (4-dp-snapped score DESC, doc id), so buckets are
-   * engine-identical. The ntile sorts the |docs| score table in one
-   * partition — fine to ~4M docs; beyond that, cut by approximate score
-   * terciles instead (boundary ties then land in one bucket).
+   * and drops or down-weights tail.
+   *
+   * `approx = false` (default): assignment is `ntile(3)` over the TOTAL
+   * order (4-dp-snapped score DESC, doc id), so buckets are
+   * engine-identical — but the ntile sorts the |docs| score table in one
+   * partition, fine to ~4M docs. Beyond that set `approx = true`: the two
+   * tercile CUTOFFS come from one `approx_percentile` reduction
+   * (fixed-size sketch, map-side combined), broadcast back, and each doc
+   * buckets row-locally by threshold — no window, no global sort.
+   * Boundary ties then land together in the lower bucket instead of being
+   * split by doc id to equalize sizes (a spec pins the two paths equal
+   * off those boundary score values).
    */
   def perplexityBuckets(
       df: DataFrame,
       targetDf: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      approx: Boolean = false,
+      approxAccuracy: Int = 10000
   ): DataFrame = {
     val scored = crossBigramScore(df, targetDf, textCol, idCol)
-    val w = Window.orderBy(col("xent_score").desc, col(idCol).asc)
-    scored.withColumn("ppl_bucket",
-      element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+    if (!approx) {
+      val w = Window.orderBy(col("xent_score").desc, col(idCol).asc)
+      scored.withColumn("ppl_bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+    } else {
+      val cutRow = scored.agg(expr(
+        s"approx_percentile(xent_score, array(${1.0 / 3}, ${2.0 / 3}), $approxAccuracy)")
+        .as("__cuts"))
+      scored.crossJoin(broadcast(cutRow))
+        .withColumn("ppl_bucket",
+          when(col("xent_score") > element_at(col("__cuts"), 2), "head")
+            .when(col("xent_score") > element_at(col("__cuts"), 1), "middle")
+            .otherwise("tail"))
+        .drop("__cuts")
+    }
   }
 
   /**
@@ -537,13 +558,27 @@ object TextAnalysis {
     val w       = words(text)
     val nWords  = size(w)
     val nDist   = size(array_distinct(w))
-    // most-frequent-word count: for each distinct word, count its
-    // occurrences in the full list, take the max (row-local argmax)
-    val topCnt  = array_max(transform(array_distinct(w), d => size(filter(w, x => x === d))))
-    // guarded: sequence(1, 0) would DESCEND for single-word docs and index 0
+    // most-frequent-word count = the longest equal-run in the SORTED word
+    // list — one O(n log n) pass. (The naive shape, transform(distinct,
+    // d -> count of d in w), is O(distinct × words) per row through two
+    // nested lambda evaluations; it measured as the single hottest
+    // expression of the composed curation mix.)
+    val topCnt  = aggregate(
+      array_sort(w),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    // guarded: zero-length slices for single-word docs. zip_with over two
+    // shifted slices, NOT transform(sequence, i -> element_at(w, i)): a
+    // lambda body referencing the outer `w` alias re-inlines the split()
+    // per element — O(words²) per row, the measured hot spot of the
+    // composed mix — while slice/zip_with evaluate the array once.
     val bigrams = when(nWords >= 2,
-      transform(sequence(lit(1), nWords - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      zip_with(slice(w, lit(1), nWords - 1), slice(w, lit(2), nWords - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     val nBi     = size(bigrams)
     val nBiDist = size(array_distinct(bigrams))

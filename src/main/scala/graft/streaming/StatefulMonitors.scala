@@ -208,6 +208,11 @@ object StatefulMonitors {
    * Determinism: within a micro-batch a group's rows fold in (item) sorted
    * order, min-counter eviction ties break on the item string, and the
    * emitted ranking orders by (count desc, item) — replays reproduce.
+   * That sort buffers the group's rows for ONE trigger, so per-trigger
+   * memory is O(rows per group per batch) even though the CARRIED state
+   * stays O(capacity); on a hot group, bound the trigger interval /
+   * maxOffsetsPerTrigger accordingly (folding in iterator order would
+   * drop the buffer but make replay determinism depend on batch order).
    *
    * Input columns: `(groupCol string, itemCol string)`. Update mode.
    */

@@ -359,6 +359,29 @@ class PipelineSpec extends SparkTestBase {
     minHead should be >= maxTail
   }
 
+  it should "agree with the exact terciles off cutoff boundaries under approx = true, with no global sort" in {
+    val target = docs.filter(col("source") === "src0")
+    val approxDf = TextAnalysis.perplexityBuckets(docs, target, approx = true)
+    // the scale contract: no unpartitioned window anywhere in the approx plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    approxDf.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    } shouldBe empty
+    val ex = TextAnalysis.perplexityBuckets(docs, target).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val ap = approxDf.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the tercile cutoffs the approx path used (same call shape)
+    val cuts = ex.values.map(_._1).toSeq.toDF("s")
+      .selectExpr(s"approx_percentile(s, array(${1.0 / 3}, ${2.0 / 3}), 10000) AS q")
+      .head.getSeq[Double](0).toSet
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    ex.foreach { case (id, (score, bucket)) =>
+      if (!cuts(score)) ap(id) shouldBe bucket
+      // boundary-tied scores may land one bucket lower, never further
+      else math.abs(order(ap(id)) - order(bucket)) should be <= 1
+    }
+  }
+
   "Dedup.minhashErrorReport" should "estimate 1.0 with zero error for identical docs" in {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),

@@ -200,6 +200,40 @@ class RelationalSpec extends SparkTestBase {
     out("u3")._4 shouldBe 3L // middle monetary quintile
   }
 
+  it should "agree with the exact quintiles off cutoff boundaries under approx = true, with no global sort" in {
+    // 50 users, every axis strictly distinct (user i: last event at i*10,
+    // i events, spend 1.5*i) so only threshold-boundary values can differ
+    val ev = (1 to 50).flatMap(u => (1 to u).map(e => (u.toLong, u.toLong * 10, 1.5 * u / u)))
+      .toDF("user_id", "ts", "value")
+    val exactDf  = Relational.rfmScores(ev, nowTs = 1000L)
+    val approxDf = Relational.rfmScores(ev, nowTs = 1000L, approx = true)
+    // the scale contract: the approx plan has NO unpartitioned window
+    // (no single-partition total-order sort anywhere)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    approxDf.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    } shouldBe empty
+    def byUser(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((1000L - r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val ex = byUser(exactDf); val ap = byUser(approxDf)
+    // the approx cutoffs each axis actually used (same call shape)
+    val per  = ex.values.map(v => (v._1, v._2, v._3)).toSeq.toDF("last_ts", "frequency", "monetary")
+    def cuts(c: String) = per
+      .selectExpr(s"approx_percentile($c, array(0.2, 0.4, 0.6, 0.8), 10000) AS q")
+      .head.getSeq[Any](0).map(x => x.toString.toDouble).toSet
+    val (rc, fc, mc) = (cuts("last_ts"), cuts("frequency"), cuts("monetary"))
+    ex.keys.foreach { u =>
+      val (lts, f, m, er, ef, em) = ex(u)
+      val (_, _, _, ar, af, am)   = ap(u)
+      // off-boundary: scores are identical; at a boundary the threshold
+      // path may land ties one bucket lower — never further than 1
+      if (!rc(lts.toDouble)) ar shouldBe er else math.abs(ar - er) should be <= 1L
+      if (!fc(f.toDouble)) af shouldBe ef else math.abs(af - ef) should be <= 1L
+      if (!mc(m)) am shouldBe em else math.abs(am - em) should be <= 1L
+    }
+  }
+
   "Relational.lastTouchAttribution" should "credit the latest prior touch, else 'direct'" in {
     val ev = Seq(
       ("u1", 1L, "view", 0.0), ("u1", 3L, "click", 0.0), ("u1", 5L, "purchase", 10.0), // click
@@ -343,5 +377,21 @@ class RelationalSpec extends SparkTestBase {
     val r = Relational.powerUserConcentration(ev, frac = 0.5).head()
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((4L, 2L, 15L, 20L))
     r.getDouble(4) shouldBe 0.75
+  }
+
+  it should "return the zeroed report on empty input instead of tripping on a NULL sum" in {
+    val r = Relational.powerUserConcentration(
+      Seq.empty[Long].toDF("user_id"), frac = 0.2).head()
+    (r.getLong(0), r.getLong(1), r.getLong(3)) shouldBe ((0L, 0L, 0L))
+    r.isNullAt(2) shouldBe true
+    r.isNullAt(4) shouldBe true
+  }
+
+  "Relational.abTestReport" should "null the t statistic when an arm is degenerate (n <= 1)" in {
+    // only odd ids: arm A is empty, arm B has one user — no sample variance
+    val ev = Seq((1L, "purchase", 30.0)).toDF("user_id", "event_type", "value")
+    val r = Relational.abTestReport(ev, "purchase").head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((0L, 1L))
+    r.isNullAt(5) shouldBe true
   }
 }
