@@ -1,0 +1,162 @@
+package graft.client
+
+import java.util.concurrent.CompletableFuture
+
+import graft.GraftEngine
+import graft.plan.TimeContext
+import graft.sql.Ast
+
+/**
+ * Java-friendly client facade — the reference's Java fluent API
+ * (`nsdb-java-api/.../NSDB.java:57-515`) re-expressed over the embedded
+ * engine: the same `db → namespace → bit/query` builder chain with BOXED
+ * Java overloads (`java.lang.Long/Integer/Double`, `BigDecimal`), every
+ * verb answering a `CompletableFuture` of a result object that carries
+ * success/failure IN the result (`isCompletedSuccessfully`/`getReason`),
+ * never a failed future — exactly the reference's contract, so a Java
+ * caller needs no Scala types anywhere:
+ *
+ * {{{
+ *   GraftJavaClient nsdb = GraftJavaClient.connect(engine).get();
+ *   GraftJavaClient.Bit bit = nsdb.db("root").namespace("registry").bit("people")
+ *       .timestamp(1000L).value(13L).dimension("city", "Mouseton").tag("country", "IT");
+ *   InsertResult ins = nsdb.write(bit).get();
+ *   QueryResult res = nsdb.executeStatement(
+ *       nsdb.db("root").namespace("registry").metric("people").query("select * from people")).get();
+ *   List<Map<String, Object>> records = res.getRecords();
+ * }}}
+ *
+ * Results come back as `java.util.List<java.util.Map<String, Object>>`
+ * rows (field name → boxed value) instead of the reference's protobuf
+ * bits, capped at `maxResultRows` like the HTTP surface — a client
+ * `getRecords` is a materializing call by contract; unbounded reads
+ * belong on the DataFrame API ([[GraftClient]]).
+ */
+object GraftJavaClient {
+
+  /** Async connect (reference `NSDB.connect(host, port)` shape) — the
+    * embedded engine stands in for the remote endpoint. */
+  def connect(engine: GraftEngine): CompletableFuture[GraftJavaClient] =
+    CompletableFuture.supplyAsync(() => new GraftJavaClient(engine))
+
+  final class Db private[client] (db: String) {
+    def namespace(namespace: String): Namespace = new Namespace(db, namespace)
+  }
+
+  final class Namespace private[client] (db: String, namespace: String) {
+    def metric(metric: String): Metric = new Metric(db, namespace, metric)
+    def bit(metric: String): Bit       = new Bit(GraftClient.Bit(db, namespace, metric))
+  }
+
+  final class Metric private[client] (db: String, namespace: String, metric: String) {
+    def query(queryString: String): SQLStatement = new SQLStatement(db, namespace, queryString)
+  }
+
+  final class SQLStatement private[client] (
+      private[client] val db: String,
+      private[client] val namespace: String,
+      private[client] val queryString: String)
+
+  /** Immutable bit builder over [[GraftClient.Bit]], boxed-overload
+    * surface (`Long`/`Integer`/`Double`/`BigDecimal`) per the reference. */
+  final class Bit private[client] (private[client] val underlying: GraftClient.Bit) {
+    private def next(b: GraftClient.Bit): Bit = new Bit(b)
+
+    def timestamp(v: java.lang.Long): Bit = next(underlying.timestamp(v))
+
+    def value(v: java.lang.Long): Bit       = next(underlying.value(v.longValue()))
+    def value(v: java.lang.Integer): Bit    = next(underlying.value(v.intValue()))
+    def value(v: java.lang.Double): Bit     = next(underlying.value(v.doubleValue()))
+    def value(v: java.math.BigDecimal): Bit = next(underlying.value(v))
+
+    def dimension(k: String, v: java.lang.Long): Bit    = next(underlying.dimension(k, v.longValue()))
+    def dimension(k: String, v: java.lang.Integer): Bit = next(underlying.dimension(k, v.longValue()))
+    def dimension(k: String, v: java.lang.Double): Bit  = next(underlying.dimension(k, v.doubleValue()))
+    def dimension(k: String, v: String): Bit            = next(underlying.dimension(k, v))
+    def dimension(k: String, v: java.math.BigDecimal): Bit =
+      if (v.scale() > 0) next(underlying.dimension(k, v.doubleValue()))
+      else next(underlying.dimension(k, v.longValue()))
+
+    def tag(k: String, v: java.lang.Long): Bit    = next(underlying.tag(k, v.longValue()))
+    def tag(k: String, v: java.lang.Integer): Bit = next(underlying.tag(k, v.longValue()))
+    def tag(k: String, v: java.lang.Double): Bit  = next(underlying.tag(k, v.doubleValue()))
+    def tag(k: String, v: String): Bit            = next(underlying.tag(k, v))
+    def tag(k: String, v: java.math.BigDecimal): Bit =
+      if (v.scale() > 0) next(underlying.tag(k, v.doubleValue()))
+      else next(underlying.tag(k, v.longValue()))
+  }
+
+  /** Write outcome (reference `InsertResult.java`): success flag + errors. */
+  final class InsertResult private[client] (ok: Boolean, errors: String) {
+    def isCompletedSuccessfully: Boolean = ok
+    def getErrors: String                = errors
+  }
+
+  /** Read outcome (reference `QueryResult.java`): success flag, reason on
+    * failure, records as Java row maps on success. */
+  final class QueryResult private[client] (
+      db: String,
+      namespace: String,
+      ok: Boolean,
+      reason: String,
+      records: java.util.List[java.util.Map[String, Object]]) {
+    def getDb: String                    = db
+    def getNamespace: String             = namespace
+    def isCompletedSuccessfully: Boolean = ok
+    def getReason: String                = reason
+    def getRecords: java.util.List[java.util.Map[String, Object]] = records
+  }
+}
+
+final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
+  import GraftJavaClient._
+
+  private[client] def this(engine: GraftEngine) = this(engine, 10000)
+
+  private val scalaClient = GraftClient.embedded(engine)
+
+  def db(name: String): Db = new Db(name)
+
+  /** Write one bit; a failure (missing value, schema conflict) lands in
+    * the result object, the future itself always completes. */
+  def write(bit: Bit): CompletableFuture[InsertResult] =
+    CompletableFuture.supplyAsync { () =>
+      scalaClient.write(bit.underlying) match {
+        case Right(_)  => new InsertResult(true, "")
+        case Left(err) => new InsertResult(false, err)
+      }
+    }
+
+  /** Execute a dialect statement; rows materialize (capped) as
+    * `List<Map<String, Object>>`. */
+  def executeStatement(stmt: SQLStatement): CompletableFuture[QueryResult] =
+    CompletableFuture.supplyAsync { () =>
+      implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+      engine.sql(stmt.db, stmt.namespace, stmt.queryString) match {
+        case Left(err) => new QueryResult(stmt.db, stmt.namespace, false, err, java.util.List.of())
+        case Right(df) =>
+          val out = new java.util.ArrayList[java.util.Map[String, Object]]()
+          val it  = df.toLocalIterator()
+          var n   = 0
+          while (it.hasNext && n < maxResultRows) {
+            val row = it.next()
+            val m   = new java.util.LinkedHashMap[String, Object]()
+            row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+              m.put(f, if (row.isNullAt(i)) null else row.get(i).asInstanceOf[Object])
+            }
+            out.add(m)
+            n += 1
+          }
+          new QueryResult(stmt.db, stmt.namespace, true, "", out)
+      }
+    }
+
+  /** Metadata: the metrics of a namespace, as a Java list. */
+  def showMetrics(db: String, namespace: String): CompletableFuture[java.util.List[String]] =
+    CompletableFuture.supplyAsync { () =>
+      engine.command(db, namespace, Ast.ShowMetrics) match {
+        case Right(rows) => java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(rows.flatten).asJava)
+        case Left(_)     => java.util.List.of()
+      }
+    }
+}

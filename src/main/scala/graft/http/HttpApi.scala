@@ -13,6 +13,7 @@ import org.apache.spark.sql.DataFrame
 
 import graft.GraftEngine
 import graft.plan.TimeContext
+import graft.security.{AuthResult, GraftAuthProvider}
 import graft.sql.{Ast, SqlParser}
 
 /**
@@ -36,6 +37,13 @@ import graft.sql.{Ast, SqlParser}
  *
  * Uses only the JDK http server + the Jackson shipped with Spark — no new
  * dependencies.
+ *
+ * Authorization: every route runs its scope's [[GraftAuthProvider]] check
+ * before doing any work (reference `NSDbHttpSecurityDirective.scala:45-104`
+ * semantics — metric scope on /query, /data and /subscribe, db/namespace/
+ * metric scope on the /commands listings); a deny short-circuits with
+ * `403 {"error":"not authorized <reason>"}`. The default [[GraftAuthProvider.AllowAll]]
+ * passes everything.
  */
 class HttpApi(
     engine: GraftEngine,
@@ -43,7 +51,8 @@ class HttpApi(
     maxResultRows: Int = 10000,
     sseQueueCapacity: Int = 1000,
     sseRefreshMs: Long = 100L,
-    val hub: SubscriptionHub = new SubscriptionHub
+    val hub: SubscriptionHub = new SubscriptionHub,
+    auth: GraftAuthProvider = GraftAuthProvider.AllowAll
 ) {
 
   private val mapper = new ObjectMapper()
@@ -97,6 +106,20 @@ class HttpApi(
   private def readJson(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
+  /** this request's security payload, as the provider distills it from the
+    * headers (lower-cased names, first value per header). */
+  private def securityPayload(ex: HttpExchange): String =
+    auth.extractHttpSecurityPayload(
+      ex.getRequestHeaders.entrySet().asScala.collect {
+        case e if !e.getValue.isEmpty => e.getKey.toLowerCase -> e.getValue.get(0)
+      }.toMap)
+
+  /** `Some(403 response)` when `check` denies, `None` when it passes. */
+  private def forbid(check: AuthResult): Option[(Int, String)] =
+    if (check.isDenied)
+      Some((403, s"""{"error":${mapper.writeValueAsString(s"not authorized ${check.failReason}".trim)}}"""))
+    else None
+
   /**
    * Write `prefix + r1,r2,… + suffix(truncated)` to `out`, streaming rows
    * from the executors via `toLocalIterator` — driver memory holds at most
@@ -131,19 +154,26 @@ class HttpApi(
       implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
       SqlParser.parse(db, ns, q) match {
         case Right(sel: Ast.SelectStatement) =>
-          // optional from/to enrichment, reference QueryEnriched semantics
-          val enriched =
-            if (req.has("from") && req.has("to"))
-              sel.enrichWithTimeRange("timestamp", req.get("from").asLong(), req.get("to").asLong())
-            else sel
-          engine.executeStatement(enriched) match {
-            case Right(df) =>
-              ex.getResponseHeaders.set("Content-Type", "application/json")
-              ex.sendResponseHeaders(200, 0) // chunked: size unknown up front
-              writeRecords(df, ex.getResponseBody, """{"records":[""",
-                truncated => s"""],"truncated":$truncated}""")
-              ex.close()
-            case Left(err) => respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+          // metric-scope read authorization before any planning/execution
+          // (reference QueryApi.scala:143-147; the metric comes from the
+          // parsed statement — this surface has no separate metric field)
+          forbid(auth.checkMetricAuth(db, ns, sel.metric, securityPayload(ex), writePermission = false)) match {
+            case Some((status, body)) => respond(ex, status, body)
+            case None =>
+              // optional from/to enrichment, reference QueryEnriched semantics
+              val enriched =
+                if (req.has("from") && req.has("to"))
+                  sel.enrichWithTimeRange("timestamp", req.get("from").asLong(), req.get("to").asLong())
+                else sel
+              engine.executeStatement(enriched) match {
+                case Right(df) =>
+                  ex.getResponseHeaders.set("Content-Type", "application/json")
+                  ex.sendResponseHeaders(200, 0) // chunked: size unknown up front
+                  writeRecords(df, ex.getResponseBody, """{"records":[""",
+                    truncated => s"""],"truncated":$truncated}""")
+                  ex.close()
+                case Left(err) => respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+              }
           }
         case Right(_)  => respond(ex, 400, """{"error":"only select statements on /query"}""")
         case Left(err) => respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
@@ -165,6 +195,12 @@ class HttpApi(
         val v = e.getValue
         e.getKey -> (if (v.isIntegralNumber) v.asLong() else if (v.isNumber) v.asDouble() else v.asText(): Any)
       }.toMap
+    // metric-scope WRITE authorization before any parsing side effects
+    // (reference DataApi.scala:79-83: withMetricAuthorization(write = true))
+    forbid(auth.checkMetricAuth(
+      req.path("db").asText("default"), req.path("namespace").asText("default"),
+      req.path("metric").asText(""), securityPayload(ex), writePermission = true))
+      .foreach(r => return r)
     // a missing/non-numeric value must 400, not silently insert 0.0
     // (reference DataApi rejects a bit without a numeric value)
     if (!bit.path("value").isNumber)
@@ -226,7 +262,16 @@ class HttpApi(
         }
     }
     implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    // metric-scope read authorization BEFORE the SSE prefix goes out (the
+    // one place a 403 can still be written); reference WsResources.scala:89
+    // runs the same metric-scope check on subscription registration
+    def denied(sel: Ast.SelectStatement): Boolean =
+      forbid(auth.checkMetricAuth(db, ns, sel.metric, securityPayload(ex), writePermission = false)) match {
+        case Some((status, body)) => respond(ex, status, body); true
+        case None                 => false
+      }
     SqlParser.parse(db, ns, q) match {
+      case Right(sel: Ast.SelectStatement) if denied(sel) => ()
       case Right(sel: Ast.SelectStatement) if sel.groupBy.isEmpty =>
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")
         ex.getResponseHeaders.set("Cache-Control", "no-cache")
@@ -303,6 +348,12 @@ class HttpApi(
           (200, rows.flatten.map(mapper.writeValueAsString).mkString(s"""{"$key":[""", ",", "]}"))
         case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
       }
+    // scope checks mirror the reference CommandApi (db scope on the
+    // namespace listing, namespace scope on the metric listing, metric
+    // scope on describe; explain — beyond the reference — namespace scope)
+    def guarded(check: AuthResult)(route: => (Int, String)): (Int, String) =
+      forbid(check).getOrElse(route)
+    val payload = securityPayload(ex)
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     parts match {
       case Array("commands", "dbs")             => listOf("dbs", Ast.ShowDatabases)
@@ -315,18 +366,24 @@ class HttpApi(
             val errs = r.errors.map(mapper.writeValueAsString).mkString("[", ",", "]")
             (200, s"""{"lastSweep":{"atMs":${r.atMs},"metricsSwept":${r.metricsSwept},"evictedShards":${r.evictedShards},"compactedShards":${r.compactedShards},"sidecarsRecapped":${r.sidecarsRecapped},"errors":$errs}}""")
         }
-      case Array("commands", db, "namespaces")  => listOf("namespaces", Ast.ShowNamespaces, db)
-      case Array("commands", db, ns, "metrics") => listOf("metrics", Ast.ShowMetrics, db, ns)
+      case Array("commands", db, "namespaces") =>
+        guarded(auth.checkDbAuth(db, payload, writePermission = false))(
+          listOf("namespaces", Ast.ShowNamespaces, db))
+      case Array("commands", db, ns, "metrics") =>
+        guarded(auth.checkNamespaceAuth(db, ns, payload, writePermission = false))(
+          listOf("metrics", Ast.ShowMetrics, db, ns))
       case Array("commands", db, ns, metric, "describe") =>
-        engine.command(db, ns, Ast.DescribeMetric(metric)) match {
-          case Right(rows) =>
-            val fields = rows.map {
-              case Seq(n, t, c) =>
-                s"""{"name":${mapper.writeValueAsString(n)},"type":${mapper.writeValueAsString(t)},"class":${mapper.writeValueAsString(c)}}"""
-              case other => mapper.writeValueAsString(other.mkString(","))
-            }
-            (200, fields.mkString("""{"fields":[""", ",", "]}"))
-          case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+        guarded(auth.checkMetricAuth(db, ns, metric, payload, writePermission = false)) {
+          engine.command(db, ns, Ast.DescribeMetric(metric)) match {
+            case Right(rows) =>
+              val fields = rows.map {
+                case Seq(n, t, c) =>
+                  s"""{"name":${mapper.writeValueAsString(n)},"type":${mapper.writeValueAsString(t)},"class":${mapper.writeValueAsString(c)}}"""
+                case other => mapper.writeValueAsString(other.mkString(","))
+              }
+              (200, fields.mkString("""{"fields":[""", ",", "]}"))
+            case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+          }
         }
       // beyond the reference surface: the planner's verdict without
       // execution — GET /commands/<db>/<ns>/explain?q=<urlencoded query>
@@ -339,15 +396,17 @@ class HttpApi(
         q match {
           case None => (400, """{"error":"missing q parameter"}""")
           case Some(sql) =>
-            engine.command(db, ns, Ast.Explain(sql)) match {
-              case Right(rows) =>
-                val props = rows.map {
-                  case Seq(k, v) =>
-                    s"""{"property":${mapper.writeValueAsString(k)},"value":${mapper.writeValueAsString(v)}}"""
-                  case other => mapper.writeValueAsString(other.mkString(","))
-                }
-                (200, props.mkString("""{"plan":[""", ",", "]}"))
-              case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+            guarded(auth.checkNamespaceAuth(db, ns, payload, writePermission = false)) {
+              engine.command(db, ns, Ast.Explain(sql)) match {
+                case Right(rows) =>
+                  val props = rows.map {
+                    case Seq(k, v) =>
+                      s"""{"property":${mapper.writeValueAsString(k)},"value":${mapper.writeValueAsString(v)}}"""
+                    case other => mapper.writeValueAsString(other.mkString(","))
+                  }
+                  (200, props.mkString("""{"plan":[""", ",", "]}"))
+                case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+              }
             }
         }
       case _ => (404, """{"error":"unknown command"}""")

@@ -11,6 +11,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.GraftEngine
 import graft.plan.TimeContext
+import graft.security.GraftAuthProvider
 import graft.sql.{Ast, SqlParser}
 
 /**
@@ -36,6 +37,18 @@ import graft.sql.{Ast, SqlParser}
  * The server is a plain loopback socket loop (RFC 6455 handshake +
  * server-side frame codec, text/ping/close opcodes) — the JDK has a WS
  * client but no WS server, and this stays dependency-free.
+ *
+ * Authorization: a register message runs the metric-scope
+ * [[GraftAuthProvider]] check first, with the security payload distilled
+ * from the handshake's offered subprotocols (the reference's
+ * token-in-`Sec-WebSocket-Protocol` convention, `WsResources.scala:89-101`);
+ * a deny answers `{"error":"not authorized …"}` and registers nothing —
+ * after the upgrade there is no 403 to send.
+ *
+ * Beyond subscriptions, a text message `{"db":…,"namespace":…,
+ * "explain":"select …"}` answers with the planner's verdict
+ * (`{"plan":[{"property":…,"value":…},…]}`) without executing — the same
+ * EXPLAIN surface the REST commands route serves.
  */
 class WsApi(
     engine: GraftEngine,
@@ -43,7 +56,8 @@ class WsApi(
     port: Int = 0,
     maxResultRows: Int = 10000,
     queueCapacity: Int = 1000,
-    defaultRefreshMs: Long = 100L
+    defaultRefreshMs: Long = 100L,
+    auth: GraftAuthProvider = GraftAuthProvider.AllowAll
 ) {
 
   private val mapper = new ObjectMapper()
@@ -102,7 +116,10 @@ class WsApi(
     }
 
     try {
-      if (!handshake(in, out)) { Try(sock.close()); return }
+      val subProtocols = handshake(in, out) match {
+        case None        => Try(sock.close()); return
+        case Some(protos) => protos
+      }
       val sockCloser: AutoCloseable = () => Try(sock.close())
       owned.add(sockCloser); mine.add(sockCloser)
       var open = true
@@ -114,19 +131,24 @@ class WsApi(
             open = false
           case Some((0x9, payload)) => rawWrite(WsApi.frame(0xA, payload)) // ping → pong
           case Some((0x1, payload)) =>
-            subscribe(new String(payload, StandardCharsets.UTF_8), sendText, rawWrite, closeConn, mine)
+            subscribe(new String(payload, StandardCharsets.UTF_8), sendText, rawWrite, closeConn, mine,
+              subProtocols)
           case Some(_) => () // binary/pong/continuation: ignored
         }
     } catch { case _: Throwable => () } // dead socket
     finally closeConn()
   }
 
-  /** RFC 6455 opening handshake: HTTP/1.1 Upgrade on any path. */
-  private def handshake(in: DataInputStream, out: OutputStream): Boolean = {
+  /** RFC 6455 opening handshake: HTTP/1.1 Upgrade on any path. Returns the
+    * client's offered subprotocols (`Sec-WebSocket-Protocol`, the auth
+    * payload channel) on success, `None` on a failed handshake. The first
+    * offered subprotocol is echoed as accepted — required by RFC 6455 §4.2.2
+    * for the browser client to keep the connection open. */
+  private def handshake(in: DataInputStream, out: OutputStream): Option[List[String]] = {
     val head = new java.lang.StringBuilder
     while (head.length < 4 || head.substring(head.length - 4) != "\r\n\r\n") {
       val b = in.read()
-      if (b < 0 || head.length > 16384) return false
+      if (b < 0 || head.length > 16384) return None
       head.append(b.toChar)
     }
     val headers = head.toString.split("\r\n").drop(1).collect {
@@ -138,16 +160,20 @@ class WsApi(
     if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket")) || key.isEmpty) {
       out.write("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n".getBytes(StandardCharsets.UTF_8))
       out.flush()
-      false
+      None
     } else {
+      val protos = headers.get("sec-websocket-protocol").toList
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       val accept = Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-1")
           .digest((key.get + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(StandardCharsets.UTF_8)))
       out.write(
         ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
-          s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(StandardCharsets.UTF_8))
+          s"Sec-WebSocket-Accept: $accept\r\n" +
+          protos.headOption.fold("")(p => s"Sec-WebSocket-Protocol: $p\r\n") +
+          "\r\n").getBytes(StandardCharsets.UTF_8))
       out.flush()
-      true
+      Some(protos)
     }
   }
 
@@ -158,17 +184,41 @@ class WsApi(
       sendText: String => Unit,
       rawWrite: Array[Byte] => Unit,
       closeConn: () => Unit,
-      mine: java.util.concurrent.CopyOnWriteArrayList[AutoCloseable]
+      mine: java.util.concurrent.CopyOnWriteArrayList[AutoCloseable],
+      subProtocols: List[String]
   ): Unit = {
     def err(msg: String): Unit = sendText(s"""{"error":${mapper.writeValueAsString(msg)}}""")
     val req = Try(mapper.readTree(json)).getOrElse { err("malformed subscription"); return }
     val db  = req.path("db").asText("default")
     val ns  = req.path("namespace").asText("default")
+    // EXPLAIN message: the planner's verdict, no execution, no registration
+    // (REST-commands parity; namespace scope like the REST route)
+    if (req.has("explain")) {
+      if (auth.checkNamespaceAuth(db, ns, auth.extractWsSecurityPayload(subProtocols),
+          writePermission = false).isDenied) { err("not authorized"); return }
+      engine.command(db, ns, Ast.Explain(req.get("explain").asText(""))) match {
+        case Right(rows) =>
+          val props = rows.collect { case Seq(k, v) =>
+            s"""{"property":${mapper.writeValueAsString(k)},"value":${mapper.writeValueAsString(v)}}"""
+          }
+          sendText(props.mkString("""{"plan":[""", ",", "]}"))
+        case Left(error) => err(error)
+      }
+      return
+    }
     val q   = req.path("queryString").asText("")
     val refreshMs = if (req.has("refreshMs")) Some(req.get("refreshMs").asLong()) else None
     if (refreshMs.exists(_ <= 0)) { err("refreshMs must be a positive integer"); return }
     implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
+    // metric-scope check before any registration (reference WsResources
+    // semantics: a denied register answers a failure message, no sub)
+    def denied(sel: Ast.SelectStatement): Boolean = {
+      val check = auth.checkMetricAuth(db, ns, sel.metric,
+        auth.extractWsSecurityPayload(subProtocols), writePermission = false)
+      if (check.isDenied) { err(s"not authorized ${check.failReason}".trim); true } else false
+    }
     SqlParser.parse(db, ns, q) match {
+      case Right(sel: Ast.SelectStatement) if denied(sel) => ()
       case Right(sel: Ast.SelectStatement) if sel.groupBy.isEmpty =>
         sendText(s"""{"subscribed":${mapper.writeValueAsString(q)}}""")
         sendText(historicalJson(sel))

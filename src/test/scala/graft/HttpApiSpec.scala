@@ -231,6 +231,52 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  it should "enforce the pluggable authorization provider per scope with 403s" in {
+    val root   = Files.createTempDirectory("graft_http_auth_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine, auth = new TestAuthProvider)
+    val port   = api.start()
+    def postAuthed(path: String, body: String, token: Option[String]): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json")
+      token.foreach(b.header("X-Auth-Token", _)) // mixed case: names lower-case on extract
+      val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (res.statusCode(), res.body())
+    }
+    try {
+      // /data write denied at metric scope — nothing inserted
+      val ins = """{"db":"db","namespace":"ns","metric":"secret_m","bit":{"timestamp":1000,"value":1.5}}"""
+      val (sw, bw) = postAuthed("/data", ins, None)
+      sw shouldBe 403
+      bw should include("not authorized")
+      bw should include("metric secret_m")
+      engine.command("db", "ns", graft.sql.Ast.ShowMetrics).fold(fail(_), identity) shouldBe empty
+      // with credentials the same write lands
+      postAuthed("/data", ins, Some("token"))._1 shouldBe 200
+      // /query denied at metric scope; authorized with the token
+      val q = """{"db":"db","namespace":"ns","queryString":"select * from secret_m"}"""
+      val (sq, bq) = postAuthed("/query", q, None)
+      sq shouldBe 403
+      bq should include("not authorized")
+      postAuthed("/query", q, Some("token"))._1 shouldBe 200
+      // /subscribe denied BEFORE any SSE prefix: a clean 403 response
+      val enc = java.net.URLEncoder.encode("select * from secret_m", "UTF-8")
+      val (ss, bs) = get(port, s"/subscribe?db=db&namespace=ns&q=$enc")
+      ss shouldBe 403
+      bs should include("not authorized")
+      api.liveSubscriberCount shouldBe 0
+      // commands: db scope (namespace listing), namespace scope (metric
+      // listing), metric scope (describe), namespace scope (explain)
+      get(port, "/commands/secret_db/namespaces")._1 shouldBe 403
+      get(port, "/commands/db/secret_ns/metrics")._1 shouldBe 403
+      get(port, "/commands/db/ns/secret_m/describe")._1 shouldBe 403
+      get(port, s"/commands/db/secret_ns/explain?q=$enc")._1 shouldBe 403
+      // open scopes stay open with no credentials at all
+      get(port, "/commands/db/ns/metrics")._1 shouldBe 200
+    } finally api.stop()
+  }
+
   it should "expose the last maintenance sweep over /commands/maintenance" in {
     val root   = Files.createTempDirectory("graft_http_maint_").toString
     val wh     = new Warehouse(spark, root)

@@ -108,6 +108,79 @@ class WsApiSpec extends SparkTestBase {
     } finally { ws.stop(); api.stop() }
   }
 
+  it should "enforce the authorization provider on register, with the token as a subprotocol" in {
+    val root   = Files.createTempDirectory("graft_ws_auth_").toString
+    val hub    = new SubscriptionHub
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine, hub = hub, auth = new TestAuthProvider)
+    val ws     = new WsApi(engine, hub, auth = new TestAuthProvider)
+    val httpPort = api.start()
+    val wsPort   = ws.start()
+    try {
+      // seed through the authorized HTTP path
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$httpPort/data"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"db":"db","namespace":"ns","metric":"secret_m","bit":{"timestamp":1000,"value":5.0}}"""))
+        .header("Content-Type", "application/json").header("X-Auth-Token", "token").build()
+      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() shouldBe 200
+
+      // no subprotocol → no payload → denied: error message, no registration
+      val deniedQ = new LinkedBlockingQueue[String]()
+      val denied  = connect(wsPort, deniedQ)
+      denied.sendText("""{"db":"db","namespace":"ns","queryString":"select * from secret_m"}""", true)
+      val msg = deniedQ.poll(20, TimeUnit.SECONDS)
+      msg should include(""""error"""")
+      msg should include("not authorized")
+      hub.size shouldBe 0
+      denied.abort()
+
+      // the token offered as a WS subprotocol authorizes the same register
+      val okQ = new LinkedBlockingQueue[String]()
+      val ok = client.newWebSocketBuilder().subprotocols("token").buildAsync(
+        URI.create(s"ws://127.0.0.1:$wsPort/ws-stream"),
+        new WebSocket.Listener {
+          private val sb = new java.lang.StringBuilder
+          override def onText(s: WebSocket, data: CharSequence, last: Boolean): CompletionStage[_] = {
+            sb.append(data)
+            if (last) { okQ.add(sb.toString); sb.setLength(0) }
+            s.request(1)
+            null
+          }
+        }).get(20, TimeUnit.SECONDS)
+      ok.sendText("""{"db":"db","namespace":"ns","queryString":"select * from secret_m"}""", true)
+      okQ.poll(20, TimeUnit.SECONDS) should include(""""subscribed"""")
+      val hist = okQ.poll(20, TimeUnit.SECONDS)
+      hist should include("historical")
+      hist should include(""""value":5.0""")
+      ok.abort()
+    } finally { ws.stop(); api.stop() }
+  }
+
+  it should "serve EXPLAIN over the WS surface without executing" in {
+    val root   = Files.createTempDirectory("graft_ws_explain_").toString
+    val hub    = new SubscriptionHub
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine, hub = hub)
+    val ws     = new WsApi(engine, hub)
+    val httpPort = api.start()
+    val wsPort   = ws.start()
+    try {
+      post(httpPort, "/data",
+        """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":1000,"value":5.0,"tags":{"k":"a"}}}""")._1 shouldBe 200
+      val received = new LinkedBlockingQueue[String]()
+      val sock = connect(wsPort, received)
+      sock.sendText("""{"db":"db","namespace":"ns","explain":"select sum(value) from m group by k"}""", true)
+      val plan = received.poll(20, TimeUnit.SECONDS)
+      plan should include(""""plan"""")
+      plan should include(""""property":"plan","value":"GroupByTag"""")
+      plan should include(""""property":"tag","value":"k"""")
+      // an invalid statement answers an in-protocol error, not a close
+      sock.sendText("""{"db":"db","namespace":"ns","explain":"select nope from m"}""", true)
+      received.poll(20, TimeUnit.SECONDS) should include(""""error"""")
+      sock.abort()
+    } finally { ws.stop(); api.stop() }
+  }
+
   it should "shut down its subscribers and schedulers on stop without touching the SSE transport's" in {
     val root   = Files.createTempDirectory("graft_ws_stop_").toString
     val hub    = new SubscriptionHub
