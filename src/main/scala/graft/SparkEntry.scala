@@ -896,6 +896,20 @@ object SparkEntry {
           doclens = ix.doclens.localCheckpoint(true)),
         Seq("spark", "join"), k = 20)
     }),
+    // MMR through the prebuilt index: shortlist from postings, word sets
+    // for the Jaccard sims from postings too — the text is never read;
+    // shares rt_mmr's oracle, proving corpus-scan/index parity
+    "rt_mmr_idx" -> ((s, d) => {
+      val ix     = Retrieval.termIndex(docs(s, d))
+      val pinned = ix.postings.localCheckpoint(true)
+      val out = Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20,
+        lambda = 0.7, ix = Some(ix.copy(postings = pinned)))
+      // the greedy pick collects inside mmrRerank, so the result is a local
+      // relation with no lineage to the pin — release it here, not via the
+      // caller's Checkpoints.free(result)
+      graft.pipeline.Checkpoints.free(pinned)
+      out
+    }),
     // typo-tolerant term retrieval: vocab scan under levenshtein <= 1,
     // variants broadcast into the postings join — all-integer output
     "rt_fuzzy" -> ((s, d) =>
@@ -1820,6 +1834,7 @@ object SparkEntry {
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
+    "rt_mmr_idx"   -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     // levenshtein is the same DP distance in both engines; counts are ints

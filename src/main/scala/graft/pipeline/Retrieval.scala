@@ -573,13 +573,19 @@ object Retrieval {
    * page of near-identical hits. `sim` is word-set Jaccard (deterministic,
    * engine-portable); `rel` is the 4-dp-snapped BM25 score.
    *
-   * Scale shape: the corpus-wide work is the BM25 scoring scan; the greedy
+   * Scale shape: the corpus-wide work is the BM25 scoring scan — UNLESS a
+   * prebuilt [[TermIndex]] is passed (`ix`), in which case the shortlist
+   * scores through the postings ([[bm25TopKIndexed]]) and the word sets
+   * for the Jaccard sims come from the shortlist docs' postings rows (a
+   * doc's distinct-term set IS its posting terms — same `split(text," ")`
+   * tokenizer both sides), so the TEXT is never read at all. The greedy
    * loop runs driver-side over the `kCand`-row shortlist (≤ ~100 rows,
    * O(kCand²) sims) — by construction bounded, the same class as
    * [[graft.pipeline.Sampling.tokenBudget]]'s bucket scan. Every float
    * compare happens on arithmetic both engines perform on identical
    * inputs (`λ·rel − (1−λ)·sim` with 4-dp-snapped rel/sim), so selection
-   * order is reproducible bit-for-bit; ties break on doc id.
+   * order is reproducible bit-for-bit; ties break on doc id. The two
+   * paths share one oracle (the `rt_mmr` / `rt_mmr_idx` gates).
    *
    * Returns `(rank, doc_id, mmr_score)` with rank 1..k in pick order.
    */
@@ -590,16 +596,31 @@ object Retrieval {
       kCand: Int = 20,
       lambda: Double = 0.7,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      ix: Option[TermIndex] = None
   ): DataFrame = {
     require(k > 0 && kCand >= k, "need 0 < k <= kCand")
     val spark = docs.sparkSession
     def round4(x: Double): Double =
       BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
-    val short = bm25TopK(docs, terms, kCand, textCol = textCol, idCol = idCol)
-      .join(docs.select(col(idCol), array_distinct(split(col(textCol), " ")).as("__w")), idCol)
-      .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[String](2).toSet))
+    val short = ix match {
+      case None =>
+        bm25TopK(docs, terms, kCand, textCol = textCol, idCol = idCol)
+          .join(docs.select(col(idCol), array_distinct(split(col(textCol), " ")).as("__w")), idCol)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[String](2).toSet))
+      case Some(index) =>
+        // one scoring job for the ≤ kCand shortlist, then one postings
+        // pass with the ids as a pushed-down IN filter for the word sets
+        val shortRows = bm25TopKIndexed(index, terms, kCand, idCol = idCol).collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val wordSets = index.postings
+          .filter(col(idCol).isin(shortRows.map(_._1): _*))
+          .groupBy(col(idCol)).agg(collect_set(col("term")).as("__w"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+        shortRows.map { case (id, score) => (id, score, wordSets(id)) }
+    }
     val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
     def simOf(a: (Long, Double, Set[String]), b: (Long, Double, Set[String])): Double =
       sim.getOrElseUpdate((a._1, b._1),

@@ -212,6 +212,25 @@ class RetrievalSpec extends SparkTestBase {
     out.map(_._2) should contain(11L)              // but still surfaces at rank 3
   }
 
+  it should "produce the identical ranking through the prebuilt index without reading text" in {
+    val dup = Seq(
+      (10L, "spark shuffle join spark"),
+      (11L, "spark shuffle join spark"),
+      (12L, "spark window sort"),
+      (13L, "merge sort window")
+    ).toDF("doc_id", "text")
+    val scan = Retrieval.mmrRerank(dup, Seq("spark", "join"), k = 3, kCand = 4, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ix = Retrieval.termIndex(dup)
+    // only the index relations go in — the text never feeds the ix path
+    // (the docs frame is still required for the signature's corpus handle)
+    import org.apache.spark.sql.functions.{col, lit}
+    val idx = Retrieval.mmrRerank(dup.select(col("doc_id"), lit("").as("text")),
+        Seq("spark", "join"), k = 3, kCand = 4, lambda = 0.5, ix = Some(ix))
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    idx shouldBe scan
+  }
+
   it should "reduce to pure relevance order at lambda = 1" in {
     val byRel = Retrieval.bm25TopK(docs, Seq("spark"), k = 3).collect().map(_.getLong(0))
     val mmr   = Retrieval.mmrRerank(docs, Seq("spark"), k = 3, kCand = 4, lambda = 1.0)
