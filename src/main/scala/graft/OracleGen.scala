@@ -894,6 +894,37 @@ object OracleGen {
        |SELECT query_id, id, sim, neg_rank FROM hn WHERE neg_rank <= $m
        |ORDER BY query_id, neg_rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.marginPairs]] with the gate's parity split
+    * (A = even vec_ids, B = odd): LSH cross-set bucket candidates, cosines
+    * on the 1e-4 integer lattice, exact BIGINT neighborhood sums, ratio
+    * margin, mutual-argmax + threshold. Every double op replays the Spark
+    * expression order on identical integer inputs. */
+  def marginPairsSql(k: Int, threshold: Double, planesPerTable: Int, tables: Int, dim: Int): String =
+    s"""WITH ${lshBucketCtes(planesPerTable, tables, dim)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bd a JOIN bd b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |v AS (SELECT id_a, id_b,
+       |        CAST(round(round(${cosSql("ea", "embedding", "eb", "embedding", dim)}, 4) * 10000, 0) AS BIGINT) AS s
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b),
+       |rk AS (SELECT id_a, id_b, s,
+       |         row_number() OVER (PARTITION BY id_a ORDER BY s DESC, id_b) AS ra,
+       |         row_number() OVER (PARTITION BY id_b ORDER BY s DESC, id_a) AS rb
+       |       FROM v),
+       |aa AS (SELECT id_a, sum(s)::BIGINT AS sa, count(*)::BIGINT AS ca FROM rk WHERE ra <= $k GROUP BY 1),
+       |ab AS (SELECT id_b, sum(s)::BIGINT AS sb, count(*)::BIGINT AS cb FROM rk WHERE rb <= $k GROUP BY 1),
+       |m AS (SELECT rk.id_a, rk.id_b, rk.s,
+       |        rk.s / ((sa / ca + sb / cb) / 2.0) AS mg
+       |      FROM rk JOIN aa ON aa.id_a = rk.id_a JOIN ab ON ab.id_b = rk.id_b
+       |      WHERE ((sa / ca + sb / cb) / 2.0) > 0.0),
+       |mm AS (SELECT id_a, id_b, s, mg,
+       |         row_number() OVER (PARTITION BY id_a ORDER BY mg DESC, id_b) AS ma,
+       |         row_number() OVER (PARTITION BY id_b ORDER BY mg DESC, id_a) AS mb
+       |       FROM m)
+       |SELECT id_a, id_b, s / 10000.0 AS sim, round(mg, 4) AS margin
+       |FROM mm WHERE ma = 1 AND mb = 1 AND round(mg, 4) >= $threshold
+       |ORDER BY id_a""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.contrastiveTriplets]]: minhash near-dup pairs
     * (suffixed CTEs) pick each anchor's positive (min paired id); the
     * retrieval chain runs with queries = the anchor set; negatives exclude

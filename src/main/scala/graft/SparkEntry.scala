@@ -462,6 +462,14 @@ object SparkEntry {
         m = 5, dupCut = 0.95, searchK = 10, planesPerTable = 6, tables = 8)
         .orderBy("query_id", "neg_rank")
     }),
+    // margin-based pair mining between the even/odd vector halves: ratio
+    // margin over LSH cross-set candidates, mutual argmax, threshold
+    "ann_margin" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.marginPairs(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        k = 4, threshold = 1.0).orderBy("id_a")
+    }),
     // 1-bit multi-probe retrieval: half the tables (= half the persisted
     // index), queries probe each bucket's sign-flips instead
     "ann_join_mp" -> ((s, d) => {
@@ -1142,6 +1150,7 @@ object SparkEntry {
     "ann_recall" -> OracleGen.annRecallSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "sem_balance" -> OracleGen.clusterBalancedSampleSql(nlist = 16, perCluster = 10, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_margin" -> OracleGen.marginPairsSql(k = 4, threshold = 1.0, planesPerTable = 6, tables = 8, dim = 64),
     "ann_negatives" -> OracleGen.hardNegativesSql(m = 5, dupCut = 0.95, searchK = 10, qmod = 50,
       planesPerTable = 6, tables = 8, dim = 64),
     "ann_triplets" -> OracleGen.contrastiveTripletsSql(jaccardThreshold = 0.5,

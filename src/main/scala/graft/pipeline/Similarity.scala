@@ -420,6 +420,84 @@ object Similarity {
   }
 
   /**
+   * MARGIN-BASED PAIR MINING — mutual best matches between two vector
+   * sets under the ratio margin of Artetxe & Schwenk 2019 ("Margin-based
+   * Parallel Corpus Mining with Multilingual Sentence Embeddings"): the
+   * paired-data curation primitive (bitext mining, caption↔image pairing,
+   * query↔doc alignment). Plain cosine thresholds fail on hubs — vectors
+   * similar to EVERYTHING; the margin rescales each candidate pair's
+   * cosine by the mean cosine of both endpoints' `k` nearest candidates,
+   * `margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)`, so a hub's
+   * inflated neighborhood deflates its own pairs. A pair survives iff it
+   * is the margin-argmax of BOTH endpoints (mutual best) and the margin
+   * clears `threshold`.
+   *
+   * Scale shape: candidates come from the shared LSH bucket join (never
+   * all-pairs; only cross-set bucket-mates), carrying `(id_a, id_b, sim)`
+   * only. Cosines snap to an integer 1e-4 lattice, so the top-`k`
+   * neighborhood sums are exact BIGINT arithmetic — margins are then
+   * bit-identical on any engine and any fold order (the oracle replays
+   * them in SQL). Two rank windows + two map-side-combined sum
+   * aggregations over the candidate relation; nothing corpus-sized ever
+   * shuffles with a payload.
+   */
+  def marginPairs(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      planesPerTable: Int = 6,
+      tables: Int = 8,
+      dim: Int = -1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "need k > 0 neighborhood size")
+    val ixA = vectorIndex(a, planesPerTable, tables, dim, vecCol, idCol).pinned
+    val ixB = vectorIndex(b, planesPerTable, tables, dim, vecCol, idCol).pinned
+    def explodeBuckets(ix: DataFrame) =
+      ix.select(col("id"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val cand = explodeBuckets(ixA).alias("qa")
+      .join(explodeBuckets(ixB).alias("qb"),
+        col("qa.table") === col("qb.table") && col("qa.bucket") === col("qb.bucket"))
+      .select(col("qa.id").as("id_a"), col("qb.id").as("id_b"))
+      .distinct()
+    // integer 1e-4 cosine lattice: round to 4 dp first (the family's
+    // engine-portable snap), then scale — sums over the lattice are exact
+    val sims = cand
+      .join(ixA.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(ixB.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(round(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4) * 10000, 0)
+          .cast("long").as("__s"))
+    val wa = Window.partitionBy(col("id_a")).orderBy(col("__s").desc, col("id_b"))
+    val wb = Window.partitionBy(col("id_b")).orderBy(col("__s").desc, col("id_a"))
+    val ranked = sims
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+      .pinned // the candidate relation feeds both neighborhood sums + the margin join
+    val aggA = ranked.filter(col("__ra") <= k).groupBy(col("id_a"))
+      .agg(sum(col("__s")).as("__sa"), count(lit(1)).as("__ca"))
+    val aggB = ranked.filter(col("__rb") <= k).groupBy(col("id_b"))
+      .agg(sum(col("__s")).as("__sb"), count(lit(1)).as("__cb"))
+    val denom = (col("__sa") / col("__ca") + col("__sb") / col("__cb")) / lit(2.0)
+    val margins = ranked.join(aggA, "id_a").join(aggB, "id_b")
+      .filter(denom > 0.0) // degenerate all-negative neighborhoods drop out
+      .withColumn("__m", col("__s") / denom)
+    val wma = Window.partitionBy(col("id_a")).orderBy(col("__m").desc, col("id_b"))
+    val wmb = Window.partitionBy(col("id_b")).orderBy(col("__m").desc, col("id_a"))
+    margins
+      .withColumn("__ma", row_number().over(wma))
+      .withColumn("__mb", row_number().over(wmb))
+      .filter(col("__ma") === 1 && col("__mb") === 1)
+      .select(col("id_a"), col("id_b"),
+        (col("__s") / 10000.0).as("sim"),
+        round(col("__m"), 4).as("margin"))
+      .filter(col("margin") >= threshold)
+  }
+
+  /**
    * Contrastive training triplets — the end-to-end composition tying the
    * text-dedup and vector-retrieval families together: anchors are the
    * docs that HAVE a text near-duplicate ([[Dedup.minhashLshPairs]]; the

@@ -435,6 +435,43 @@ class PipelineSpec extends SparkTestBase {
     (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((4L, 2L, 0.5))
   }
 
+  "Similarity.marginPairs" should "mine mutual best matches and leave the hub unpaired" in {
+    // two aligned cluster pairs (a0~b0 on e1, a1~b1 on e2) plus a hub in A
+    // equally similar to both B vectors: mutual-argmax pairs the clusters,
+    // the hub loses both argmax contests (its ratio margin is deflated by
+    // its own inflated neighborhood) and must not appear
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val a = Seq(
+      (0L, v(1, 0.01, 0, 0, 0, 0.01, 0, 0)),   // a0 ~ e1
+      (2L, v(0.01, 1, 0, 0, 0.01, 0, 0, 0)),   // a1 ~ e2
+      (4L, v(0.7, 0.7, 0.01, 0, 0, 0, 0.01, 0)) // hub
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (1L, v(1, 0.02, 0, 0.01, 0, 0, 0, 0)),   // b0 ~ e1
+      (3L, v(0.02, 1, 0.01, 0, 0, 0, 0, 0))    // b1 ~ e2
+    ).toDF("vec_id", "embedding")
+    val df = Similarity.marginPairs(a, b, k = 4, threshold = 1.0)
+    // scale contract: bucketed candidates (no cartesian/nested-loop join),
+    // every window partitioned (no global sort)
+    val physical = df.queryExecution.executedPlan.toString
+    physical should not include "CartesianProduct"
+    physical should not include "BroadcastNestedLoop"
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    } shouldBe empty
+    val out = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out.map(p => (p._1, p._2)).toSet shouldBe Set((0L, 1L), (2L, 3L))
+    out.foreach { case (_, _, sim, margin) =>
+      sim should be > 0.99
+      margin should be >= 1.0 // the threshold contract
+    }
+    // mutuality invariant: every endpoint at most once
+    out.map(_._1).distinct.length shouldBe out.length
+    out.map(_._2).distinct.length shouldBe out.length
+  }
+
   "Similarity.clusterReport" should "score a tight cluster 1.0 and count members" in {
     // two well-separated directions, duplicated: clusters are exact rays,
     // so every member's cosine to its centroid is 1.0 (ids 0/1 seed the
