@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Rollup, TimeSeries}
-import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Chat, Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.plan.TimeContext
 
 /**
@@ -982,6 +982,25 @@ object SparkEntry {
         .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"))
         .orderBy("event_type")
     }),
+    // ---- SFT / chat-structured curation (synthetic turns, see chatTurns) --
+    // structural schema gate: alternation, user opener, assistant presence
+    "sft_valid" -> ((s, d) => Chat.validate(chatTurns(s, d)).orderBy("conv_id")),
+    // loss-mask share: the fraction of each conversation that trains
+    "sft_mask" -> ((s, d) => Chat.maskStats(chatTurns(s, d)).orderBy("conv_id")),
+    // context-window truncation to the longest whole-turn suffix
+    "sft_trim" -> ((s, d) =>
+      Chat.trimToBudget(chatTurns(s, d), maxTokens = 600).orderBy("conv_id", "turn_idx")),
+    // JSON interchange round-trip: conversations serialize per conv and
+    // parse back to the identical turns relation (each engine builds AND
+    // parses its own JSON — escaping is exercised, not compared)
+    "sft_parse" -> ((s, d) => {
+      val conv = chatTurns(s, d).groupBy("conv_id").agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
+          t => struct(t.getField("role").as("role"), t.getField("content").as("content"))))
+          .as("conversation"))
+      Chat.parseTurns(conv).orderBy("conv_id", "turn_idx")
+    }),
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     // byte-identical asset dedup by SHA-256 (runs before any decode)
@@ -1017,6 +1036,32 @@ object SparkEntry {
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
+
+  /** Synthetic TURNS relation for the sft_* gates, derived deterministically
+    * from `documents` (the multimodal-gate pattern: plumbing real, input
+    * synthesized from driver tables): conversations group docs by
+    * `doc_id % 997`, messages order by doc_id, roles cycle
+    * user/assistant/user by `doc_id div 997` — so alternation violations,
+    * openers, and assistant shares all vary per conversation. The oracle
+    * rebuilds the identical relation as its `turns` CTE. */
+  private def chatTurns(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))
+    docs(s, d).select(
+      (col("doc_id") % 997).as("conv_id"),
+      col("doc_id"),
+      when(expr("doc_id div 997") % 3 === 1, "assistant").otherwise("user").as("role"),
+      col("text").as("content"))
+      .withColumn("turn_idx", row_number().over(w).cast("long"))
+      .drop("doc_id")
+  }
+
+  /** the oracle twin of [[chatTurns]]. */
+  private val chatTurnsCte: String =
+    """turns AS (SELECT doc_id % 997 AS conv_id,
+      |  row_number() OVER (PARTITION BY doc_id % 997 ORDER BY doc_id) AS turn_idx,
+      |  CASE WHEN (doc_id // 997) % 3 = 1 THEN 'assistant' ELSE 'user' END AS role,
+      |  text AS content FROM documents)""".stripMargin
   private def emb(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/embeddings.parquet")
   private def tbl(s: SparkSession, d: String, name: String): DataFrame = s.read.parquet(s"$d/$name.parquet")
 
@@ -1304,6 +1349,48 @@ object SparkEntry {
     "tx_json" ->
       // sum(BIGINT) is HUGEINT in DuckDB — cast back so the hash compare sees int64
       """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
+    "sft_valid" ->
+      s"""WITH $chatTurnsCte,
+         |v AS (SELECT conv_id, turn_idx, role,
+         |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev FROM turns),
+         |a AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+         |        max(CASE WHEN turn_idx = 1 THEN role END) AS first_role,
+         |        sum(CASE WHEN role = prev THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+         |        max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS has_assistant
+         |      FROM v GROUP BY conv_id)
+         |SELECT conv_id, n_turns, first_role, n_violations, has_assistant,
+         |  (CASE WHEN first_role = 'user' AND n_violations = 0 AND has_assistant = 1 THEN 1 ELSE 0 END)::BIGINT AS valid
+         |FROM a ORDER BY conv_id""".stripMargin.replace("\n", " "),
+    "sft_mask" ->
+      s"""WITH $chatTurnsCte,
+         |a AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+         |        sum(len(string_split(content, ' ')))::BIGINT AS total_tokens,
+         |        sum(CASE WHEN role = 'assistant' THEN len(string_split(content, ' ')) ELSE 0 END)::BIGINT AS assistant_tokens
+         |      FROM turns GROUP BY conv_id)
+         |SELECT conv_id, n_turns, total_tokens, assistant_tokens,
+         |  round(assistant_tokens / total_tokens, 6) AS mask_ratio
+         |FROM a ORDER BY conv_id""".stripMargin.replace("\n", " "),
+    "sft_trim" ->
+      s"""WITH $chatTurnsCte,
+         |t AS (SELECT conv_id, turn_idx, role, len(string_split(content, ' '))::BIGINT AS n_tokens FROM turns),
+         |r AS (SELECT conv_id, turn_idx, role, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev FROM t)
+         |SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, n_tokens
+         |FROM r WHERE rev <= 600 ORDER BY conv_id, turn_idx""".stripMargin.replace("\n", " "),
+    "sft_parse" ->
+      s"""WITH $chatTurnsCte,
+         |conv AS (SELECT conv_id,
+         |           to_json(list_transform(
+         |             list_sort(list(struct_pack(turn_idx := turn_idx, role := role, content := content))),
+         |             t -> struct_pack(role := t.role, content := t.content))) AS j
+         |         FROM turns GROUP BY conv_id),
+         |p AS (SELECT conv_id, from_json(j::VARCHAR, '["json"]') AS l FROM conv),
+         |x AS (SELECT conv_id, unnest(generate_series(1, len(l))) AS turn_idx, l FROM p)
+         |SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+         |  json_extract_string(l[turn_idx], '$$.role') AS role,
+         |  json_extract_string(l[turn_idx], '$$.content') AS content
+         |FROM x ORDER BY conv_id, turn_idx""".stripMargin.replace("\n", " "),
     // DuckDB has a NATIVE ASOF JOIN — an independent implementation of the
     // same semantics as the union+window Spark shape
     "ev_asof" ->

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/**
+ * Instruction / SFT conversation curation — the chat-structured face of
+ * the corpus pipeline. Conversations travel either as a JSON column
+ * (`[{"role":…,"content":…}, …]`, the interchange format of every public
+ * SFT dataset) or as an exploded TURNS relation
+ * `(conv_id, turn_idx, role, content)` with `turn_idx` dense from 1 —
+ * [[parseTurns]] converts the former into the latter, everything else
+ * operates on turns.
+ *
+ * Scale shape: every operator is one map-side-combined aggregation or one
+ * `conv_id`-partitioned window over the turns relation — no unpartitioned
+ * window, no join, nothing corpus-sized on the driver. Token counts are
+ * whitespace tokens (the suite's convention, [[TextAnalysis]]); all
+ * emitted numerics are BIGINT or 6-dp-rounded ratios of BIGINT sums, so
+ * the DuckDB oracle replays them exactly.
+ */
+object Chat {
+
+  private val turnSchema: ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+
+  /** whitespace tokens; `split("", " ")` = one empty token, both engines. */
+  private def nTokens(content: Column): Column = size(split(content, " ")).cast("long")
+
+  /**
+   * Explode a JSON conversation column into the turns relation.
+   * Malformed JSON parses to NULL → zero turns for that row (the
+   * conversation simply disappears; count inputs vs distinct output convs
+   * to audit). `turn_idx` is 1-based message order.
+   */
+  def parseTurns(
+      df: DataFrame,
+      convCol: String = "conversation",
+      idCol: String = "conv_id"
+  ): DataFrame =
+    df.select(col(idCol), posexplode(from_json(col(convCol), turnSchema)).as(Seq("__i", "__t")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("turn_idx"),
+        col("__t.role").as("role"), col("__t.content").as("content"))
+
+  /**
+   * Structural validation per conversation — the schema gate SFT trainers
+   * assume and raw data violates constantly: role alternation (no two
+   * consecutive turns from the same role), a `user` opener, at least one
+   * `assistant` turn. Emits one row per conversation:
+   * `(conv_id, n_turns, first_role, n_violations, has_assistant, valid)`
+   * with the flags as BIGINT 0/1 (portable hashing).
+   *
+   * One `conv_id` window (lag) feeding one aggregation on the same key —
+   * a single exchange.
+   */
+  def validate(turns: DataFrame, idCol: String = "conv_id"): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+    turns
+      .withColumn("__prev", lag(col("role"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        max(when(col("turn_idx") === 1, col("role"))).as("first_role"),
+        sum(when(col("role") === col("__prev"), 1L).otherwise(0L)).as("n_violations"),
+        max(when(col("role") === "assistant", 1L).otherwise(0L)).as("has_assistant"))
+      .withColumn("valid",
+        when(col("first_role") === "user" && col("n_violations") === 0 &&
+          col("has_assistant") === 1, 1L).otherwise(0L))
+  }
+
+  /**
+   * Loss-mask statistics per conversation: SFT loss runs over assistant
+   * tokens only, so the assistant-token share IS the fraction of each
+   * sequence that trains — too low and the batch is mostly masked
+   * padding-equivalent, a data-efficiency metric every SFT mix tracks.
+   * `(conv_id, n_turns, total_tokens, assistant_tokens, mask_ratio)`;
+   * the ratio divides two exact BIGINT sums (6 dp).
+   */
+  def maskStats(turns: DataFrame, idCol: String = "conv_id"): DataFrame =
+    turns
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(nTokens(col("content"))).as("total_tokens"),
+        sum(when(col("role") === "assistant", nTokens(col("content"))).otherwise(0L))
+          .as("assistant_tokens"))
+      .withColumn("mask_ratio",
+        round(col("assistant_tokens") / col("total_tokens"), 6))
+
+  /**
+   * Context-window trim: keep the longest SUFFIX of whole turns whose
+   * token total fits `maxTokens` — the standard chat-history truncation
+   * (recent turns matter most; a turn is kept whole or not at all). A
+   * single turn longer than the budget drops out entirely, like every
+   * chat template's truncation does.
+   *
+   * One reverse-ordered running sum per conversation (exact integer
+   * window math), one filter. Emits the kept turns as
+   * `(conv_id, turn_idx, role, n_tokens)`.
+   */
+  def trimToBudget(
+      turns: DataFrame,
+      maxTokens: Long,
+      idCol: String = "conv_id"
+  ): DataFrame = {
+    require(maxTokens > 0, "need a positive token budget")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("__nt", nTokens(col("content")))
+      .withColumn("__rev", sum(col("__nt")).over(w))
+      .filter(col("__rev") <= maxTokens)
+      .select(col(idCol), col("turn_idx"), col("role"), col("__nt").as("n_tokens"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Chat
+
+/** SFT conversation curation: JSON turn parsing, structural validation,
+  * loss-mask stats, context-window trimming. */
+class ChatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val turns = Seq(
+    // conv 1: valid (user opener, alternating, has assistant)
+    (1L, 1L, "user", "hi there"),
+    (1L, 2L, "assistant", "hello friend of mine"),
+    (1L, 3L, "user", "bye"),
+    // conv 2: assistant opener + a user-user violation, no assistant after
+    (2L, 1L, "assistant", "unprompted"),
+    (2L, 2L, "user", "a b"),
+    (2L, 3L, "user", "c"),
+    // conv 3: user only — no assistant turn at all
+    (3L, 1L, "user", "anyone?")
+  ).toDF("conv_id", "turn_idx", "role", "content")
+
+  "Chat.parseTurns" should "explode role/content arrays 1-based and drop malformed JSON" in {
+    val df = Seq(
+      (1L, """[{"role":"user","content":"a \"quoted\" ask"},{"role":"assistant","content":"ok"}]"""),
+      (2L, """not json at all""")
+    ).toDF("conv_id", "conversation")
+    val out = Chat.parseTurns(df).orderBy("conv_id", "turn_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    out shouldBe Array(
+      (1L, 1L, "user", """a "quoted" ask"""),
+      (1L, 2L, "assistant", "ok")) // conv 2 parses to NULL → zero turns
+  }
+
+  "Chat.validate" should "flag alternation violations, wrong openers and missing assistants" in {
+    val v = Chat.validate(turns).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    v(1L) shouldBe ((3L, "user", 0L, 1L, 1L))      // valid
+    v(2L) shouldBe ((3L, "assistant", 1L, 1L, 0L)) // opener + violation
+    v(3L) shouldBe ((1L, "user", 0L, 0L, 0L))      // no assistant
+  }
+
+  "Chat.maskStats" should "ratio assistant tokens over exact integer sums" in {
+    val m = Chat.maskStats(turns).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    m(1L) shouldBe ((7L, 4L, 0.571429)) // 2 + 4 + 1 tokens, assistant 4
+    m(2L) shouldBe ((4L, 1L, 0.25))
+    m(3L) shouldBe ((1L, 0L, 0.0))
+  }
+
+  "Chat.trimToBudget" should "keep the longest whole-turn suffix within budget" in {
+    // conv 1 token counts by turn: 2, 4, 1 → reverse cums 1, 5, 7
+    val kept = Chat.trimToBudget(turns.filter(col("conv_id") === 1L), maxTokens = 5)
+      .orderBy("turn_idx").collect().map(r => (r.getLong(1), r.getLong(3)))
+    kept shouldBe Array((2L, 4L), (3L, 1L)) // turn 1 overflows the suffix
+    // a final turn alone over budget empties the conversation
+    Chat.trimToBudget(turns.filter(col("conv_id") === 1L), maxTokens = 0L + 1)
+      .filter(col("turn_idx") === 2L).count() shouldBe 0L
+  }
+}
