@@ -990,6 +990,15 @@ object SparkEntry {
     // context-window truncation to the longest whole-turn suffix
     "sft_trim" -> ((s, d) =>
       Chat.trimToBudget(chatTurns(s, d), maxTokens = 600).orderBy("conv_id", "turn_idx")),
+    // canned-reply mining: assistant contents repeated across convs
+    // (duplicate docs in the corpus surface as repeated replies)
+    "sft_dedup" -> ((s, d) =>
+      Chat.cannedReplies(chatTurns(s, d), minCopies = 2L).orderBy("digest")),
+    // transcript render → the shared sequence packer (module composition:
+    // chat conversations flow into the same packing as plain documents)
+    "sft_pack" -> ((s, d) =>
+      Sampling.packSequences(Chat.render(chatTurns(s, d)), 512L, idCol = "conv_id")
+        .orderBy("conv_id")),
     // JSON interchange round-trip: conversations serialize per conv and
     // parse back to the identical turns relation (each engine builds AND
     // parses its own JSON — escaping is exercised, not compared)
@@ -1378,6 +1387,19 @@ object SparkEntry {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev FROM t)
          |SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, n_tokens
          |FROM r WHERE rev <= 600 ORDER BY conv_id, turn_idx""".stripMargin.replace("\n", " "),
+    "sft_dedup" ->
+      s"""WITH $chatTurnsCte
+         |SELECT md5(content) AS digest, count(*)::BIGINT AS n_copies, min(conv_id) AS first_conv
+         |FROM turns WHERE role = 'assistant'
+         |GROUP BY md5(content) HAVING count(*) >= 2 ORDER BY digest""".stripMargin.replace("\n", " "),
+    "sft_pack" ->
+      s"""WITH $chatTurnsCte,
+         |rend AS (SELECT conv_id, string_agg(role || ': ' || content, chr(10) ORDER BY turn_idx) AS text
+         |         FROM turns GROUP BY conv_id),
+         |t AS (SELECT conv_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM rend)
+         |SELECT conv_id, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (ORDER BY conv_id) - n_tokens) / 512.0) AS BIGINT) AS seq_id
+         |FROM t ORDER BY conv_id""".stripMargin.replace("\n", " "),
     "sft_parse" ->
       s"""WITH $chatTurnsCte,
          |conv AS (SELECT conv_id,

@@ -91,6 +91,39 @@ object Chat {
         round(col("assistant_tokens") / col("total_tokens"), 6))
 
   /**
+   * Render each conversation to its canonical transcript
+   * (`role: content` lines, newline-joined in turn order) — the bridge
+   * into every text-keyed operator: transcript-level exact/near dedup
+   * ([[Dedup]]), sequence packing ([[Sampling.packSequences]] with
+   * `idCol = "conv_id"`), quality scoring. One map-side-combined
+   * aggregation; ordering comes from sorting the collected struct list
+   * (turn_idx leads), not from any global sort.
+   */
+  def render(turns: DataFrame, idCol: String = "conv_id"): DataFrame =
+    turns.groupBy(col(idCol)).agg(
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
+        t => concat(t.getField("role"), lit(": "), t.getField("content")))).as("text"))
+
+  /**
+   * Canned-reply mining: assistant contents repeated across `minCopies`+
+   * conversations — template/boilerplate responses that collapse an SFT
+   * mix's diversity (the chat-modality face of exact dedup). Groups by
+   * content digest like [[Dedup.exact]], so the shuffle carries 32-char
+   * digests, never transcripts. Emits
+   * `(digest, n_copies, first_conv)` per repeated reply.
+   */
+  def cannedReplies(
+      turns: DataFrame,
+      minCopies: Long = 2L,
+      idCol: String = "conv_id"
+  ): DataFrame =
+    turns.filter(col("role") === "assistant")
+      .groupBy(md5(col("content")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("first_conv"))
+      .filter(col("n_copies") >= minCopies)
+
+  /**
    * Context-window trim: keep the longest SUFFIX of whole turns whose
    * token total fits `maxTokens` — the standard chat-history truncation
    * (recent turns matter most; a turn is kept whole or not at all). A

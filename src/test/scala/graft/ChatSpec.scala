@@ -51,6 +51,22 @@ class ChatSpec extends SparkTestBase {
     m(3L) shouldBe ((1L, 0L, 0.0))
   }
 
+  "Chat.render" should "produce the canonical transcript in turn order" in {
+    val t = Chat.render(turns).filter(col("conv_id") === 1L).head().getString(1)
+    t shouldBe "user: hi there\nassistant: hello friend of mine\nuser: bye"
+  }
+
+  "Chat.cannedReplies" should "surface assistant contents repeated across conversations" in {
+    val withCanned = turns.union(Seq(
+      (4L, 1L, "user", "q1"), (4L, 2L, "assistant", "canned reply"),
+      (5L, 1L, "user", "q2"), (5L, 2L, "assistant", "canned reply"),
+      (6L, 1L, "user", "canned reply") // user turns never count
+    ).toDF("conv_id", "turn_idx", "role", "content"))
+    val out = Chat.cannedReplies(withCanned).collect()
+    out.length shouldBe 1
+    (out.head.getLong(1), out.head.getLong(2)) shouldBe ((2L, 4L))
+  }
+
   "Chat.trimToBudget" should "keep the longest whole-turn suffix within budget" in {
     // conv 1 token counts by turn: 2, 4, 1 → reverse cums 1, 5, 7
     val kept = Chat.trimToBudget(turns.filter(col("conv_id") === 1L), maxTokens = 5)
