@@ -1010,6 +1010,17 @@ object SparkEntry {
           .as("conversation"))
       Chat.parseTurns(conv).orderBy("conv_id", "turn_idx")
     }),
+    // the stateless row-local ingest gate (streaming face run as batch):
+    // parse → HOF validation → mask-share filter, no window anywhere
+    "sft_gate" -> ((s, d) => {
+      val conv = chatTurns(s, d).groupBy("conv_id").agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
+          t => struct(t.getField("role").as("role"), t.getField("content").as("content"))))
+          .as("conversation"))
+      Chat.chatGateStream(conv, minMaskRatio = 0.2)
+        .select("conv_id", "n_turns", "mask_ratio").orderBy("conv_id")
+    }),
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     // byte-identical asset dedup by SHA-256 (runs before any decode)
@@ -1049,17 +1060,23 @@ object SparkEntry {
   /** Synthetic TURNS relation for the sft_* gates, derived deterministically
     * from `documents` (the multimodal-gate pattern: plumbing real, input
     * synthesized from driver tables): conversations group docs by
-    * `doc_id % 997`, messages order by doc_id, roles cycle
-    * user/assistant/user by `doc_id div 997` — so alternation violations,
-    * openers, and assistant shares all vary per conversation. The oracle
-    * rebuilds the identical relation as its `turns` CTE. */
+    * `doc_id % 997`, messages order by doc_id. Roles make the population
+    * heterogeneous — most conversations alternate perfectly with the
+    * opener decided by conv parity (half valid, half assistant-opened),
+    * and every 7th conversation runs a user/assistant/user cycle that
+    * plants alternation violations — so the validation/gating operators
+    * see all three classes at every SF. The oracle rebuilds the identical
+    * relation as its `turns` CTE. */
   private def chatTurns(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))
+    val t = expr("doc_id div 997")
+    val c = col("doc_id") % 997
     docs(s, d).select(
-      (col("doc_id") % 997).as("conv_id"),
+      c.as("conv_id"),
       col("doc_id"),
-      when(expr("doc_id div 997") % 3 === 1, "assistant").otherwise("user").as("role"),
+      when(c % 7 === 0, when(t % 3 === 1, "assistant").otherwise("user"))
+        .otherwise(when((t + c) % 2 === 1, "assistant").otherwise("user")).as("role"),
       col("text").as("content"))
       .withColumn("turn_idx", row_number().over(w).cast("long"))
       .drop("doc_id")
@@ -1069,7 +1086,10 @@ object SparkEntry {
   private val chatTurnsCte: String =
     """turns AS (SELECT doc_id % 997 AS conv_id,
       |  row_number() OVER (PARTITION BY doc_id % 997 ORDER BY doc_id) AS turn_idx,
-      |  CASE WHEN (doc_id // 997) % 3 = 1 THEN 'assistant' ELSE 'user' END AS role,
+      |  CASE WHEN doc_id % 997 % 7 = 0
+      |    THEN (CASE WHEN (doc_id // 997) % 3 = 1 THEN 'assistant' ELSE 'user' END)
+      |    ELSE (CASE WHEN ((doc_id // 997) + doc_id % 997) % 2 = 1 THEN 'assistant' ELSE 'user' END)
+      |  END AS role,
       |  text AS content FROM documents)""".stripMargin
   private def emb(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/embeddings.parquet")
   private def tbl(s: SparkSession, d: String, name: String): DataFrame = s.read.parquet(s"$d/$name.parquet")
@@ -1387,6 +1407,21 @@ object SparkEntry {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev FROM t)
          |SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, n_tokens
          |FROM r WHERE rev <= 600 ORDER BY conv_id, turn_idx""".stripMargin.replace("\n", " "),
+    "sft_gate" ->
+      s"""WITH $chatTurnsCte,
+         |v AS (SELECT conv_id, turn_idx, role, content,
+         |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev FROM turns),
+         |a AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+         |        max(CASE WHEN turn_idx = 1 THEN role END) AS first_role,
+         |        sum(CASE WHEN role = prev THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+         |        max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS has_assistant,
+         |        sum(len(string_split(content, ' ')))::BIGINT AS total_tokens,
+         |        sum(CASE WHEN role = 'assistant' THEN len(string_split(content, ' ')) ELSE 0 END)::BIGINT AS assistant_tokens
+         |      FROM v GROUP BY conv_id)
+         |SELECT conv_id, n_turns, round(assistant_tokens / total_tokens, 6) AS mask_ratio
+         |FROM a WHERE first_role = 'user' AND n_violations = 0 AND has_assistant = 1
+         |  AND round(assistant_tokens / total_tokens, 6) >= 0.2
+         |ORDER BY conv_id""".stripMargin.replace("\n", " "),
     "sft_dedup" ->
       s"""WITH $chatTurnsCte
          |SELECT md5(content) AS digest, count(*)::BIGINT AS n_copies, min(conv_id) AS first_conv

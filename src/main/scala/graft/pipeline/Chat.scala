@@ -91,6 +91,71 @@ object Chat {
         round(col("assistant_tokens") / col("total_tokens"), 6))
 
   /**
+   * ROW-LOCAL conversation analysis over a PARSED turns array column —
+   * the streaming-safe face of [[validate]] + [[maskStats]]: every
+   * signal (turn count, opener, alternation violations, assistant
+   * presence/tokens) is a pure higher-order-function projection on the
+   * in-row array, so the whole gate is stateless — append mode, no
+   * window, no shuffle, scan speed on a 100 TB/day ingest stream. A spec
+   * pins it signal-for-signal equal to the exploded-relation operators.
+   *
+   * Pass a PARSED ATTRIBUTE (`withColumn("t", from_json(…))` then
+   * `col("t")`), not the `from_json` expression inline — Catalyst inlines
+   * aliased expressions into each consumer, so an inline expression would
+   * re-parse the JSON once per signal (the same alias-inlining trap
+   * [[TextAnalysis.qualityCols]] documents for its fold state).
+   *
+   * Returns one struct column: `n_turns, first_role, n_violations,
+   * has_assistant, valid` (BIGINT flags) and the two token sums. NULL
+   * turns (malformed JSON) yield NULL fields → `valid` is 0.
+   */
+  def conversationCols(turns: Column): Column = {
+    val n = size(turns)
+    def tok(t: Column) = size(split(t.getField("content"), " ")).cast("long")
+    // adjacent-pair role equality via shifted slices (one array traversal)
+    val pairs = zip_with(slice(turns, lit(1), n - 1), slice(turns, lit(2), n - 1),
+      (a, b) => a.getField("role") === b.getField("role"))
+    val nViol        = size(filter(pairs, x => x)).cast("long")
+    val firstRole    = element_at(turns, 1).getField("role")
+    val hasAssistant = exists(turns, t => t.getField("role") === lit("assistant"))
+    struct(
+      n.cast("long").as("n_turns"),
+      firstRole.as("first_role"),
+      nViol.as("n_violations"),
+      when(hasAssistant, 1L).otherwise(0L).as("has_assistant"),
+      when(firstRole === "user" && nViol === 0 && hasAssistant, 1L).otherwise(0L).as("valid"),
+      aggregate(turns, lit(0L), (acc, t) => acc + tok(t)).as("total_tokens"),
+      aggregate(turns, lit(0L),
+        (acc, t) => acc + when(t.getField("role") === "assistant", tok(t)).otherwise(0L))
+        .as("assistant_tokens"))
+  }
+
+  /**
+   * Stateless ingest gate for a stream of complete conversation-JSON
+   * rows: parse once, keep structurally valid conversations whose
+   * loss-mask share clears `minMaskRatio`, emit the row with `n_turns`
+   * and the 6-dp `mask_ratio` appended. Works identically on a static
+   * frame (the oracle gate) and a streaming one (append mode, no state) —
+   * chain [[StreamingCurate]] / [[StreamingDedup]] stages after it.
+   */
+  def chatGateStream(
+      stream: DataFrame,
+      convCol: String = "conversation",
+      idCol: String = "conv_id",
+      minMaskRatio: Double = 0.0
+  ): DataFrame = {
+    val parsed = stream
+      .withColumn("__turns", from_json(col(convCol), turnSchema))
+      .withColumn("__c", conversationCols(col("__turns")))
+    parsed
+      .filter(col("__c.valid") === 1L &&
+        round(col("__c.assistant_tokens") / col("__c.total_tokens"), 6) >= minMaskRatio)
+      .select(col(idCol), col(convCol),
+        col("__c.n_turns").as("n_turns"),
+        round(col("__c.assistant_tokens") / col("__c.total_tokens"), 6).as("mask_ratio"))
+  }
+
+  /**
    * Render each conversation to its canonical transcript
    * (`role: content` lines, newline-joined in turn order) — the bridge
    * into every text-keyed operator: transcript-level exact/near dedup

@@ -1,8 +1,13 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Chat
+
+case class ChatConv(conv_id: Long, conversation: String)
 
 /** SFT conversation curation: JSON turn parsing, structural validation,
   * loss-mask stats, context-window trimming. */
@@ -49,6 +54,56 @@ class ChatSpec extends SparkTestBase {
     m(1L) shouldBe ((7L, 4L, 0.571429)) // 2 + 4 + 1 tokens, assistant 4
     m(2L) shouldBe ((4L, 1L, 0.25))
     m(3L) shouldBe ((1L, 0L, 0.0))
+  }
+
+  "Chat.conversationCols" should "match the exploded-relation validate/maskStats signal for signal" in {
+    // rebuild each spec conversation as JSON, analyse row-locally, compare
+    val conv = turns.groupBy("conv_id").agg(
+      to_json(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
+        t => struct(t.getField("role").as("role"), t.getField("content").as("content"))))
+        .as("conversation"))
+    val rowLocal = conv
+      .withColumn("__t", from_json(col("conversation"),
+        org.apache.spark.sql.types.DataType.fromDDL("array<struct<role:string,content:string>>")))
+      .select(col("conv_id"), Chat.conversationCols(col("__t")).as("c"))
+      .select("conv_id", "c.n_turns", "c.first_role", "c.n_violations", "c.has_assistant",
+        "c.valid", "c.total_tokens", "c.assistant_tokens")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val v = Chat.validate(turns).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val m = Chat.maskStats(turns).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    rowLocal.keySet shouldBe v.keySet
+    rowLocal.foreach { case (id, Seq(n, fr, nv, ha, va, tt, at)) =>
+      (n, fr, nv, ha, va) shouldBe v(id)
+      (tt, at) shouldBe m(id)
+    }
+  }
+
+  "Chat.chatGateStream" should "gate a live stream exactly like the static frame" in {
+    implicit val sqlc = spark.sqlContext
+    val valid    = ChatConv(1L, """[{"role":"user","content":"a b"},{"role":"assistant","content":"c d e"}]""")
+    val badOpen  = ChatConv(2L, """[{"role":"assistant","content":"x"},{"role":"user","content":"y"}]""")
+    val lowMask  = ChatConv(3L, """[{"role":"user","content":"a b c d e f g h i"},{"role":"assistant","content":"k"}]""")
+    val garbage  = ChatConv(4L, """nope""")
+    val input = MemoryStream[ChatConv]
+    val cp    = Files.createTempDirectory("graft_chat_gate_").toString
+    val q = Chat.chatGateStream(input.toDF(), minMaskRatio = 0.2)
+      .writeStream.format("memory").queryName("chat_gate").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      input.addData(valid, badOpen, lowMask, garbage)
+      q.processAllAvailable()
+      val streamed = spark.table("chat_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      streamed shouldBe Array((1L, 2L, 0.6))
+      // identical verdicts on the same data as a static frame
+      val static = Chat.chatGateStream(
+        Seq(valid, badOpen, lowMask, garbage).toDF(), minMaskRatio = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      static shouldBe streamed
+    } finally q.stop()
   }
 
   "Chat.render" should "produce the canonical transcript in turn order" in {
