@@ -61,6 +61,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.W
     ref
   }
 
+  /** Create a warehouse metric ahead of any data — shard interval and
+    * retention fixed at birth (the reference's InitMetric rpc/API). */
+  def initMetric(
+      db: String,
+      namespace: String,
+      metric: String,
+      shardIntervalMs: Long,
+      retentionMs: Long = 0L
+  ): Either[String, Unit] =
+    warehouse.toRight("no warehouse attached — initMetric needs the persistent catalog")
+      .flatMap(_.initMetric(graft.catalog.Coords(db, namespace, metric), shardIntervalMs, retentionMs))
+
   def metricRef(db: String, namespace: String, metric: String): Option[MetricRef] =
     registry.get((db, namespace, metric))
 

@@ -128,6 +128,34 @@ class Warehouse(val spark: SparkSession, val root: String) {
   val DefaultShardIntervalMs: Long = 86400000L // 1 day
 
   /**
+   * Create a metric's metadata AHEAD of any data — the reference's
+   * InitMetric surface (`nsdb-rpc/.../init.proto:40`, java-api
+   * `NSDB.initMetric`): shard interval and retention are fixed at birth
+   * and the first [[append]] unions its derived schema into the empty
+   * one (per-write interval arguments are ignored once meta exists, as
+   * always). Idempotent when re-initialized with identical settings;
+   * conflicting settings reject — an existing metric's sharding cannot
+   * be rewritten under its data.
+   */
+  def initMetric(
+      c: Coords,
+      shardIntervalMs: Long = DefaultShardIntervalMs,
+      retentionMs: Long = 0L
+  ): Either[String, Unit] = withWriteLock(c) {
+    require(shardIntervalMs > 0, "shardIntervalMs must be positive")
+    readMeta(c) match {
+      case Some(m) if m.shardIntervalMs == shardIntervalMs && m.retentionMs == retentionMs =>
+        Right(())
+      case Some(m) =>
+        Left(s"metric ${c.metric} already exists with shardIntervalMs=${m.shardIntervalMs}, " +
+          s"retentionMs=${m.retentionMs}")
+      case None =>
+        writeMeta(c, Meta(MetricSchema(Map.empty), shardIntervalMs, retentionMs))
+        Right(())
+    }
+  }
+
+  /**
    * Append a batch of records (canonical columns: timestamp, value, dims/
    * tags). Validates schema union against the stored schema — a field
    * present in both must keep its exact type or the write is rejected

@@ -123,6 +123,17 @@ final class GraftClient(engine: GraftEngine) {
     graft.streaming.Subscriptions.subscribe(engine, stream, q.db, q.namespace, q.queryString)
   }
 
+  /** Create a metric ahead of data with explicit sharding/retention (the
+    * reference's init-metric surface; durations in millis here — the Java
+    * facade accepts the reference's "1d"/"2h" duration strings). */
+  def initMetric(
+      ns: Namespace,
+      metric: String,
+      shardIntervalMs: Long,
+      retentionMs: Long = 0L
+  ): Either[String, Unit] =
+    engine.initMetric(ns.db, ns.name, metric, shardIntervalMs, retentionMs)
+
   /** Metadata: list the metrics of a namespace. */
   def metrics(ns: Namespace): Either[String, Seq[String]] =
     engine.command(ns.db, ns.name, Ast.ShowMetrics).map(_.flatten)

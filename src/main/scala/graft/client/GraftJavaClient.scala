@@ -50,7 +50,42 @@ object GraftJavaClient {
 
   final class Metric private[client] (db: String, namespace: String, metric: String) {
     def query(queryString: String): SQLStatement = new SQLStatement(db, namespace, queryString)
+    def shardInterval(interval: String): MetricInfo =
+      new MetricInfo(db, namespace, metric, interval, "")
+    def retention(retention: String): MetricInfo =
+      new MetricInfo(db, namespace, metric, "", retention)
   }
+
+  /** Metric-initialization builder (reference `NSDB.MetricInfo`): shard
+    * interval and retention as the reference's duration-semantic strings
+    * (`1d`, `2h`, `30m`, `45s`; empty = default/none). */
+  final class MetricInfo private[client] (
+      private[client] val db: String,
+      private[client] val namespace: String,
+      private[client] val metric: String,
+      private[client] val interval: String,
+      private[client] val retentionStr: String) {
+    def shardInterval(interval: String): MetricInfo =
+      new MetricInfo(db, namespace, metric, interval, retentionStr)
+    def retention(retention: String): MetricInfo =
+      new MetricInfo(db, namespace, metric, interval, retention)
+  }
+
+  /** parse the reference's duration semantic (`1d`, `2h`, `30m`, `45s`);
+    * empty → `fallbackMs`. */
+  private[client] def durationMs(s: String, fallbackMs: Long): Either[String, Long] =
+    if (s == null || s.trim.isEmpty) Right(fallbackMs)
+    else "^(\\d+)\\s*([a-zA-Z]+)$".r.findFirstMatchIn(s.trim) match {
+      case None => Left(s"malformed duration '$s'")
+      case Some(m) =>
+        (m.group(2).toLowerCase match {
+          case "d" | "day" | "days"                => Right(86400000L)
+          case "h" | "hour" | "hours"              => Right(3600000L)
+          case "m" | "min" | "minute" | "minutes"  => Right(60000L)
+          case "s" | "sec" | "second" | "seconds"  => Right(1000L)
+          case other                               => Left(s"unknown duration unit '$other' in '$s'")
+        }).map(_ * m.group(1).toLong)
+    }
 
   final class SQLStatement private[client] (
       private[client] val db: String,
@@ -148,6 +183,23 @@ final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
             n += 1
           }
           new QueryResult(stmt.db, stmt.namespace, true, "", out)
+      }
+    }
+
+  /** Initialize a metric ahead of data (reference `NSDB.initMetric`):
+    * duration strings parse client-side, the warehouse fixes the settings
+    * at birth; failures (bad duration, conflicting re-init) land in the
+    * result object like every other verb. */
+  def initMetric(info: MetricInfo): CompletableFuture[InsertResult] =
+    CompletableFuture.supplyAsync { () =>
+      val parsed = for {
+        ms  <- durationMs(info.interval, fallbackMs = 86400000L)
+        ret <- durationMs(info.retentionStr, fallbackMs = 0L)
+        _   <- engine.initMetric(info.db, info.namespace, info.metric, ms, ret)
+      } yield ()
+      parsed match {
+        case Right(_)  => new InsertResult(true, "")
+        case Left(err) => new InsertResult(false, err)
       }
     }
 

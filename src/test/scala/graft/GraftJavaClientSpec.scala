@@ -71,11 +71,33 @@ class GraftJavaClientSpec extends SparkTestBase {
     res.getRecords.isEmpty shouldBe true
   }
 
+  it should "init metrics from duration-semantic strings, reference MetricInfo-style" in {
+    val nsdb = newClient()
+    val info = nsdb.db("root").namespace("registry").metric("sensors")
+      .shardInterval("1h").retention("2d")
+    nsdb.initMetric(info).get(60, TimeUnit.SECONDS).isCompletedSuccessfully shouldBe true
+    nsdb.showMetrics("root", "registry").get(60, TimeUnit.SECONDS) shouldBe java.util.List.of("sensors")
+    // a write lands in the pre-initialized metric
+    nsdb.write(nsdb.db("root").namespace("registry").bit("sensors")
+      .timestamp(java.lang.Long.valueOf(1L)).value(java.lang.Double.valueOf(0.5)))
+      .get(60, TimeUnit.SECONDS).isCompletedSuccessfully shouldBe true
+    // malformed duration: failure in the result object, future completes
+    val bad = nsdb.initMetric(
+      nsdb.db("root").namespace("registry").metric("m2").shardInterval("soon"))
+      .get(60, TimeUnit.SECONDS)
+    bad.isCompletedSuccessfully shouldBe false
+    bad.getErrors should include("soon")
+    // conflicting re-init is rejected too
+    nsdb.initMetric(nsdb.db("root").namespace("registry").metric("sensors").shardInterval("2h"))
+      .get(60, TimeUnit.SECONDS).isCompletedSuccessfully shouldBe false
+  }
+
   it should "expose a Java-clean public surface (futures and java.util types only)" in {
     // reflective sweep: no public method of the facade or its result types
     // mentions a scala.* type — the Java-compatibility contract itself
     val classes = Seq(
       classOf[GraftJavaClient], classOf[GraftJavaClient.Bit],
+      classOf[GraftJavaClient.MetricInfo],
       classOf[GraftJavaClient.InsertResult], classOf[GraftJavaClient.QueryResult])
     for {
       c <- classes

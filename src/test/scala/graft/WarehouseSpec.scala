@@ -238,6 +238,29 @@ class WarehouseSpec extends SparkTestBase {
     engine.sql("db", "ns", "select * from m4 where extra is null").fold(fail(_), _.count()) shouldBe 4
   }
 
+  it should "fix sharding and retention at initMetric time, ahead of any data" in {
+    val (engine, wh, root) = freshEngine()
+    val c = Coords("db", "ns", "minit")
+    wh.initMetric(c, shardIntervalMs = 1000L, retentionMs = 0L) shouldBe Right(())
+    // the initialized metric is visible with an empty field list
+    engine.command("db", "ns", Ast.ShowMetrics).fold(fail(_), _.flatten) should contain("minit")
+    wh.describe(c) shouldBe Some(Seq.empty)
+    // re-init with the same settings is idempotent; conflicting rejects
+    wh.initMetric(c, 1000L, 0L) shouldBe Right(())
+    wh.initMetric(c, 2000L, 0L).isLeft shouldBe true
+    // the FIRST append unions its schema in but keeps the birth interval
+    // (1 s shards, not the per-append/default 1 day)
+    wh.append(c, Seq((0L, 1.0, "a"), (5000L, 2.0, "b")).toDF("timestamp", "value", "grp"),
+      tags = Set("grp")).fold(fail(_), identity)
+    new java.io.File(s"$root/db/ns/minit/data/shard=0").exists() shouldBe true
+    new java.io.File(s"$root/db/ns/minit/data/shard=5").exists() shouldBe true
+    engine.sql("db", "ns", "select * from minit").fold(fail(_), _.count()) shouldBe 2L
+    // init AFTER data exists with different settings rejects too
+    val c2 = Coords("db", "ns", "mdata")
+    seed(wh, c2)
+    wh.initMetric(c2, 1000L, 0L).isLeft shouldBe true
+  }
+
   it should "execute INSERT statements" in {
     val (engine, _, _) = freshEngine()
     engine.sql("db", "ns", "insert into m5 ts=1000 dim(name=alice) tags(grp=g1) val=7.5").isRight shouldBe true
