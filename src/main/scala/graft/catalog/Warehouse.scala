@@ -128,6 +128,55 @@ class Warehouse(val spark: SparkSession, val root: String) {
   val DefaultShardIntervalMs: Long = 86400000L // 1 day
 
   /**
+   * Restore metric trees from a backup of a warehouse root — the
+   * reference's Restore surface (`nsdb-rpc/.../restore.proto:32`). The
+   * warehouse directory layout IS the backup format (shard parquet +
+   * meta.json per metric), so restore is validation + copy: every
+   * `db/ns/metric` under `backupRoot` that carries a `meta.json` is
+   * copied in under this root. All-or-nothing: if ANY target metric
+   * already exists here, nothing is restored and the clashes are
+   * reported — a backup never silently overwrites or merges into live
+   * data. Each metric copies under its own write lock. Returns the
+   * restored coords.
+   */
+  def restore(backupRoot: String): Either[String, Seq[Coords]] = {
+    def dirsOf(p: String): Seq[String] = subdirs(p)
+    val coords = for {
+      db <- dirsOf(backupRoot)
+      ns <- dirsOf(s"$backupRoot/$db")
+      m  <- dirsOf(s"$backupRoot/$db/$ns")
+      if Files.exists(Paths.get(s"$backupRoot/$db/$ns/$m/meta.json"))
+    } yield Coords(db, ns, m)
+    if (coords.isEmpty) Left(s"no metrics found under backup root $backupRoot")
+    else {
+      val clashes = coords.filter(exists)
+      if (clashes.nonEmpty)
+        Left(s"restore refused — metrics already exist: ${clashes.map(_.metric).sorted.mkString(",")}")
+      else {
+        coords.foreach { c =>
+          withWriteLock(c) {
+            val src = Paths.get(s"$backupRoot/${c.db}/${c.namespace}/${c.metric}")
+            val dst = Paths.get(c.path(root))
+            Files.walk(src).iterator.asScala
+              // the backup may carry a stale advisory .lock — never copy it
+              // over the lock file THIS copy is holding
+              .filterNot(_.getFileName.toString == ".lock")
+              .foreach { p =>
+                val target = dst.resolve(src.relativize(p))
+                if (Files.isDirectory(p)) Files.createDirectories(target)
+                else {
+                  Files.createDirectories(target.getParent)
+                  Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                }
+              }
+          }
+        }
+        Right(coords)
+      }
+    }
+  }
+
+  /**
    * Create a metric's metadata AHEAD of any data — the reference's
    * InitMetric surface (`nsdb-rpc/.../init.proto:40`, java-api
    * `NSDB.initMetric`): shard interval and retention are fixed at birth

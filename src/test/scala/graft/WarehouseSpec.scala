@@ -261,6 +261,31 @@ class WarehouseSpec extends SparkTestBase {
     wh.initMetric(c2, 1000L, 0L).isLeft shouldBe true
   }
 
+  it should "restore metric trees from a warehouse backup, refusing clashes all-or-nothing" in {
+    val (engine1, wh1, root1) = freshEngine()
+    seed(wh1, Coords("db", "ns", "mr1"))
+    seed(wh1, Coords("db", "ns", "mr2"))
+    // the layout IS the backup format: restore a copy of root1 elsewhere
+    val (engine2, wh2, _) = freshEngine()
+    seed(wh2, Coords("db", "other", "mkeep"))
+    val restored = wh2.restore(root1).fold(fail(_), identity)
+    restored.map(_.metric).sorted shouldBe Seq("mr1", "mr2")
+    engine2.sql("db", "ns", "select * from mr1").fold(fail(_), _.count()) shouldBe 4L
+    engine2.sql("db", "ns", "select sum(value) from mr2 group by grp order by grp")
+      .fold(fail(_), _.collect().map(_.getDouble(1)).toSeq) shouldBe
+      engine1.sql("db", "ns", "select sum(value) from mr2 group by grp order by grp")
+        .fold(fail(_), _.collect().map(_.getDouble(1)).toSeq)
+    // pre-existing metrics in the target are untouched
+    engine2.sql("db", "other", "select * from mkeep").fold(fail(_), _.count()) shouldBe 4L
+    // a clash refuses the WHOLE restore, including non-clashing metrics
+    val (engine3, wh3, _) = freshEngine()
+    seed(wh3, Coords("db", "ns", "mr1"))
+    wh3.restore(root1).isLeft shouldBe true
+    engine3.sql("db", "ns", "select * from mr2").isLeft shouldBe true // mr2 NOT restored
+    // empty backup root is an error, not a silent no-op
+    wh2.restore(Files.createTempDirectory("graft_empty_").toString).isLeft shouldBe true
+  }
+
   it should "execute INSERT statements" in {
     val (engine, _, _) = freshEngine()
     engine.sql("db", "ns", "insert into m5 ts=1000 dim(name=alice) tags(grp=g1) val=7.5").isRight shouldBe true
