@@ -990,6 +990,13 @@ object SparkEntry {
     // context-window truncation to the longest whole-turn suffix
     "sft_trim" -> ((s, d) =>
       Chat.trimToBudget(chatTurns(s, d), maxTokens = 600).orderBy("conv_id", "turn_idx")),
+    // DPO preference pairs: per prompt (= user), best/worst-scored
+    // candidate events with a real margin; one aggregation, no window
+    "sft_prefs" -> ((s, d) =>
+      Chat.preferencePairs(
+        evRaw(s, d).select(col("user_id").as("prompt_id"), col("event_id").as("cand_id"),
+          round(col("value"), 2).as("score")),
+        minMargin = 1.0).orderBy("prompt_id")),
     // canned-reply mining: assistant contents repeated across convs
     // (duplicate docs in the corpus surface as repeated replies)
     "sft_dedup" -> ((s, d) =>
@@ -1422,6 +1429,19 @@ object SparkEntry {
          |FROM a WHERE first_role = 'user' AND n_violations = 0 AND has_assistant = 1
          |  AND round(assistant_tokens / total_tokens, 6) >= 0.2
          |ORDER BY conv_id""".stripMargin.replace("\n", " "),
+    // independent window formulation of the same preference semantics
+    "sft_prefs" ->
+      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
+        |r AS (SELECT prompt_id, cand_id, score,
+        |        row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, cand_id) AS rb,
+        |        row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, cand_id) AS rw,
+        |        count(*) OVER (PARTITION BY prompt_id) AS n FROM c),
+        |b AS (SELECT prompt_id, cand_id AS chosen_id, score AS bs, n FROM r WHERE rb = 1),
+        |w AS (SELECT prompt_id, cand_id AS rejected_id, score AS ws FROM r WHERE rw = 1)
+        |SELECT b.prompt_id, b.n::BIGINT AS n_cands, b.chosen_id, w.rejected_id, b.bs - w.ws AS margin
+        |FROM b JOIN w ON b.prompt_id = w.prompt_id
+        |WHERE b.chosen_id <> w.rejected_id AND b.bs - w.ws >= 1.0
+        |ORDER BY b.prompt_id""".stripMargin.replace("\n", " "),
     "sft_dedup" ->
       s"""WITH $chatTurnsCte
          |SELECT md5(content) AS digest, count(*)::BIGINT AS n_copies, min(conv_id) AS first_conv

@@ -156,6 +156,37 @@ object Chat {
   }
 
   /**
+   * Preference-pair construction for DPO/RLHF-style training: per prompt,
+   * the best- and worst-scored candidate become the `(chosen, rejected)`
+   * pair, kept only when a real preference exists (distinct candidates,
+   * score margin ≥ `minMargin`). Scores should arrive pre-snapped (e.g.
+   * 2 dp) so boundary ties are engine-exact.
+   *
+   * One map-side-combined aggregation: chosen/rejected fall out of
+   * `min(struct(...))` orderings (max score tie-broken by smaller
+   * candidate id, min score likewise), so a prompt's candidates never
+   * need a window or a self-join. Prompts where every candidate scores
+   * equal have no preference and drop out (chosen = rejected).
+   */
+  def preferencePairs(
+      cands: DataFrame,
+      promptCol: String = "prompt_id",
+      candCol: String = "cand_id",
+      scoreCol: String = "score",
+      minMargin: Double = 0.0
+  ): DataFrame =
+    cands
+      .groupBy(col(promptCol))
+      .agg(
+        min(struct((-col(scoreCol)).as("s"), col(candCol).as("c"))).as("__best"),
+        min(struct(col(scoreCol).as("s"), col(candCol).as("c"))).as("__worst"),
+        count(lit(1)).as("n_cands"))
+      .select(col(promptCol), col("n_cands"),
+        col("__best.c").as("chosen_id"), col("__worst.c").as("rejected_id"),
+        (-col("__best.s") - col("__worst.s")).as("margin"))
+      .filter(col("chosen_id") =!= col("rejected_id") && col("margin") >= minMargin)
+
+  /**
    * Render each conversation to its canonical transcript
    * (`role: content` lines, newline-joined in turn order) — the bridge
    * into every text-keyed operator: transcript-level exact/near dedup

@@ -106,6 +106,22 @@ class ChatSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "Chat.preferencePairs" should "pair best and worst candidates, dropping no-preference prompts" in {
+    val cands = Seq(
+      (1L, 10L, 3.0), (1L, 11L, 1.0), (1L, 12L, 2.0), // clear preference
+      (2L, 20L, 5.0), (2L, 21L, 5.0),                  // all equal → no pair
+      (3L, 30L, 2.0),                                  // single candidate → no pair
+      (4L, 40L, 2.0), (4L, 41L, 1.5)                   // margin 0.5 below the gate
+    ).toDF("prompt_id", "cand_id", "score")
+    val out = Chat.preferencePairs(cands, minMargin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    out shouldBe Array((1L, 3L, 10L, 11L, 2.0))
+    // ties on score break to the smaller candidate id on both ends
+    val tied = Seq((1L, 10L, 2.0), (1L, 11L, 2.0), (1L, 12L, 1.0)).toDF("prompt_id", "cand_id", "score")
+    val t = Chat.preferencePairs(tied).head()
+    (t.getLong(2), t.getLong(3)) shouldBe ((10L, 12L))
+  }
+
   "Chat.render" should "produce the canonical transcript in turn order" in {
     val t = Chat.render(turns).filter(col("conv_id") === 1L).head().getString(1)
     t shouldBe "user: hi there\nassistant: hello friend of mine\nuser: bye"
