@@ -1009,25 +1009,13 @@ object SparkEntry {
     // JSON interchange round-trip: conversations serialize per conv and
     // parse back to the identical turns relation (each engine builds AND
     // parses its own JSON — escaping is exercised, not compared)
-    "sft_parse" -> ((s, d) => {
-      val conv = chatTurns(s, d).groupBy("conv_id").agg(
-        to_json(transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
-          t => struct(t.getField("role").as("role"), t.getField("content").as("content"))))
-          .as("conversation"))
-      Chat.parseTurns(conv).orderBy("conv_id", "turn_idx")
-    }),
+    "sft_parse" -> ((s, d) =>
+      Chat.parseTurns(chatConvs(s, d)).orderBy("conv_id", "turn_idx")),
     // the stateless row-local ingest gate (streaming face run as batch):
     // parse → HOF validation → mask-share filter, no window anywhere
-    "sft_gate" -> ((s, d) => {
-      val conv = chatTurns(s, d).groupBy("conv_id").agg(
-        to_json(transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
-          t => struct(t.getField("role").as("role"), t.getField("content").as("content"))))
-          .as("conversation"))
-      Chat.chatGateStream(conv, minMaskRatio = 0.2)
-        .select("conv_id", "n_turns", "mask_ratio").orderBy("conv_id")
-    }),
+    "sft_gate" -> ((s, d) =>
+      Chat.chatGateStream(chatConvs(s, d), minMaskRatio = 0.2)
+        .select("conv_id", "n_turns", "mask_ratio").orderBy("conv_id")),
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     // byte-identical asset dedup by SHA-256 (runs before any decode)
@@ -1088,6 +1076,16 @@ object SparkEntry {
       .withColumn("turn_idx", row_number().over(w).cast("long"))
       .drop("doc_id")
   }
+
+  /** [[chatTurns]] serialized to the JSON interchange format, one
+    * conversation row per conv — the shared input of the parse/gate
+    * round-trip gates. */
+  private def chatConvs(s: SparkSession, d: String): DataFrame =
+    chatTurns(s, d).groupBy("conv_id").agg(
+      to_json(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("role"), col("content")))),
+        t => struct(t.getField("role").as("role"), t.getField("content").as("content"))))
+        .as("conversation"))
 
   /** the oracle twin of [[chatTurns]]. */
   private val chatTurnsCte: String =

@@ -157,18 +157,21 @@ class Warehouse(val spark: SparkSession, val root: String) {
           withWriteLock(c) {
             val src = Paths.get(s"$backupRoot/${c.db}/${c.namespace}/${c.metric}")
             val dst = Paths.get(c.path(root))
-            Files.walk(src).iterator.asScala
-              // the backup may carry a stale advisory .lock — never copy it
-              // over the lock file THIS copy is holding
-              .filterNot(_.getFileName.toString == ".lock")
-              .foreach { p =>
-                val target = dst.resolve(src.relativize(p))
-                if (Files.isDirectory(p)) Files.createDirectories(target)
-                else {
-                  Files.createDirectories(target.getParent)
-                  Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            val walk = Files.walk(src)
+            try
+              walk.iterator.asScala
+                // the backup may carry a stale advisory .lock — never copy it
+                // over the lock file THIS copy is holding
+                .filterNot(_.getFileName.toString == ".lock")
+                .foreach { p =>
+                  val target = dst.resolve(src.relativize(p))
+                  if (Files.isDirectory(p)) Files.createDirectories(target)
+                  else {
+                    Files.createDirectories(target.getParent)
+                    Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  }
                 }
-              }
+            finally walk.close() // the walk holds open directory handles
           }
         }
         Right(coords)
@@ -190,17 +193,23 @@ class Warehouse(val spark: SparkSession, val root: String) {
       c: Coords,
       shardIntervalMs: Long = DefaultShardIntervalMs,
       retentionMs: Long = 0L
-  ): Either[String, Unit] = withWriteLock(c) {
-    require(shardIntervalMs > 0, "shardIntervalMs must be positive")
-    readMeta(c) match {
-      case Some(m) if m.shardIntervalMs == shardIntervalMs && m.retentionMs == retentionMs =>
-        Right(())
-      case Some(m) =>
-        Left(s"metric ${c.metric} already exists with shardIntervalMs=${m.shardIntervalMs}, " +
-          s"retentionMs=${m.retentionMs}")
-      case None =>
-        writeMeta(c, Meta(MetricSchema(Map.empty), shardIntervalMs, retentionMs))
-        Right(())
+  ): Either[String, Unit] = {
+    // validated BEFORE the lock: Left, not throw (the client facades
+    // carry failures in result objects), and no empty metric dir + .lock
+    // left behind by an invalid call
+    if (shardIntervalMs <= 0)
+      return Left(s"shardIntervalMs must be positive, got $shardIntervalMs")
+    withWriteLock(c) {
+      readMeta(c) match {
+        case Some(m) if m.shardIntervalMs == shardIntervalMs && m.retentionMs == retentionMs =>
+          Right(())
+        case Some(m) =>
+          Left(s"metric ${c.metric} already exists with shardIntervalMs=${m.shardIntervalMs}, " +
+            s"retentionMs=${m.retentionMs}")
+        case None =>
+          writeMeta(c, Meta(MetricSchema(Map.empty), shardIntervalMs, retentionMs))
+          Right(())
+      }
     }
   }
 

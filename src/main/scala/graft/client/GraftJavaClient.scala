@@ -78,13 +78,18 @@ object GraftJavaClient {
     else "^(\\d+)\\s*([a-zA-Z]+)$".r.findFirstMatchIn(s.trim) match {
       case None => Left(s"malformed duration '$s'")
       case Some(m) =>
-        (m.group(2).toLowerCase match {
+        (m.group(2).toLowerCase(java.util.Locale.ROOT) match {
           case "d" | "day" | "days"                => Right(86400000L)
           case "h" | "hour" | "hours"              => Right(3600000L)
           case "m" | "min" | "minute" | "minutes"  => Right(60000L)
           case "s" | "sec" | "second" | "seconds"  => Right(1000L)
           case other                               => Left(s"unknown duration unit '$other' in '$s'")
-        }).map(_ * m.group(1).toLong)
+        }).flatMap { unit =>
+          // a 300-digit quantity must be a Left, never a thrown
+          // NumberFormatException through the result-object contract
+          m.group(1).toLongOption.filter(q => q <= Long.MaxValue / unit)
+            .toRight(s"duration quantity out of range in '$s'").map(_ * unit)
+        }
     }
 
   final class SQLStatement private[client] (
@@ -152,11 +157,16 @@ final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
 
   def db(name: String): Db = new Db(name)
 
+  /** flatten unexpected throws into the Either so every verb's future
+    * completes normally (the reference's result-object contract). */
+  private def safely[A](body: => Either[String, A]): Either[String, A] =
+    scala.util.Try(body).toEither.left.map(e => String.valueOf(e.getMessage)).flatten
+
   /** Write one bit; a failure (missing value, schema conflict) lands in
     * the result object, the future itself always completes. */
   def write(bit: Bit): CompletableFuture[InsertResult] =
     CompletableFuture.supplyAsync { () =>
-      scalaClient.write(bit.underlying) match {
+      safely(scalaClient.write(bit.underlying)) match {
         case Right(_)  => new InsertResult(true, "")
         case Left(err) => new InsertResult(false, err)
       }
@@ -167,9 +177,8 @@ final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
   def executeStatement(stmt: SQLStatement): CompletableFuture[QueryResult] =
     CompletableFuture.supplyAsync { () =>
       implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
-      engine.sql(stmt.db, stmt.namespace, stmt.queryString) match {
-        case Left(err) => new QueryResult(stmt.db, stmt.namespace, false, err, java.util.List.of())
-        case Right(df) =>
+      safely {
+        engine.sql(stmt.db, stmt.namespace, stmt.queryString).map { df =>
           val out = new java.util.ArrayList[java.util.Map[String, Object]]()
           val it  = df.toLocalIterator()
           var n   = 0
@@ -182,7 +191,11 @@ final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
             out.add(m)
             n += 1
           }
-          new QueryResult(stmt.db, stmt.namespace, true, "", out)
+          out
+        }
+      } match {
+        case Left(err)  => new QueryResult(stmt.db, stmt.namespace, false, err, java.util.List.of())
+        case Right(out) => new QueryResult(stmt.db, stmt.namespace, true, "", out)
       }
     }
 
@@ -192,11 +205,11 @@ final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
     * result object like every other verb. */
   def initMetric(info: MetricInfo): CompletableFuture[InsertResult] =
     CompletableFuture.supplyAsync { () =>
-      val parsed = for {
+      val parsed = safely(for {
         ms  <- durationMs(info.interval, fallbackMs = 86400000L)
         ret <- durationMs(info.retentionStr, fallbackMs = 0L)
         _   <- engine.initMetric(info.db, info.namespace, info.metric, ms, ret)
-      } yield ()
+      } yield ())
       parsed match {
         case Right(_)  => new InsertResult(true, "")
         case Left(err) => new InsertResult(false, err)

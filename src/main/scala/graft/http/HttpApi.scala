@@ -111,7 +111,10 @@ class HttpApi(
   private def securityPayload(ex: HttpExchange): String =
     auth.extractHttpSecurityPayload(
       ex.getRequestHeaders.entrySet().asScala.collect {
-        case e if !e.getValue.isEmpty => e.getKey.toLowerCase -> e.getValue.get(0)
+        // ROOT locale: default-locale lowering (e.g. Turkish dotless i)
+        // would break provider lookups of names like "x-auth-id"
+        case e if !e.getValue.isEmpty =>
+          e.getKey.toLowerCase(java.util.Locale.ROOT) -> e.getValue.get(0)
       }.toMap)
 
   /** `Some(403 response)` when `check` denies, `None` when it passes. */

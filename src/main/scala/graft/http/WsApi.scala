@@ -154,7 +154,9 @@ class WsApi(
     val headers = head.toString.split("\r\n").drop(1).collect {
       case l if l.contains(":") =>
         val Array(k, v) = l.split(":", 2)
-        k.trim.toLowerCase -> v.trim
+        // ROOT locale, like the REST surface: locale-sensitive lowering
+        // would corrupt header names on e.g. Turkish-locale JVMs
+        k.trim.toLowerCase(java.util.Locale.ROOT) -> v.trim
     }.toMap
     val key = headers.get("sec-websocket-key")
     if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket")) || key.isEmpty) {
@@ -194,8 +196,9 @@ class WsApi(
     // EXPLAIN message: the planner's verdict, no execution, no registration
     // (REST-commands parity; namespace scope like the REST route)
     if (req.has("explain")) {
-      if (auth.checkNamespaceAuth(db, ns, auth.extractWsSecurityPayload(subProtocols),
-          writePermission = false).isDenied) { err("not authorized"); return }
+      val check = auth.checkNamespaceAuth(db, ns, auth.extractWsSecurityPayload(subProtocols),
+        writePermission = false)
+      if (check.isDenied) { err(s"not authorized ${check.failReason}".trim); return }
       engine.command(db, ns, Ast.Explain(req.get("explain").asText(""))) match {
         case Right(rows) =>
           val props = rows.collect { case Seq(k, v) =>

@@ -27,8 +27,11 @@ object Chat {
     ArrayType(StructType(Seq(
       StructField("role", StringType), StructField("content", StringType))))
 
-  /** whitespace tokens; `split("", " ")` = one empty token, both engines. */
-  private def nTokens(content: Column): Column = size(split(content, " ")).cast("long")
+  /** whitespace tokens; `split("", " ")` = one empty token, both engines.
+    * NULL content counts 0 — the same net effect as an aggregate skipping
+    * the NULL, so exploded and row-local shapes agree. */
+  private def nTokens(content: Column): Column =
+    coalesce(size(split(content, " ")).cast("long"), lit(0L))
 
   /**
    * Explode a JSON conversation column into the turns relation.
@@ -111,12 +114,18 @@ object Chat {
    */
   def conversationCols(turns: Column): Column = {
     val n = size(turns)
-    def tok(t: Column) = size(split(t.getField("content"), " ")).cast("long")
-    // adjacent-pair role equality via shifted slices (one array traversal)
-    val pairs = zip_with(slice(turns, lit(1), n - 1), slice(turns, lit(2), n - 1),
-      (a, b) => a.getField("role") === b.getField("role"))
+    def tok(t: Column) = nTokens(t.getField("content"))
+    // adjacent-pair role equality via shifted slices (one array traversal);
+    // guarded: slice length would be -1 on a zero-turn array ("[]" parses
+    // to an EMPTY array, not NULL, and must flow through, not throw)
+    val pairs = when(n >= 2,
+      zip_with(slice(turns, lit(1), n - 1), slice(turns, lit(2), n - 1),
+        (a, b) => a.getField("role") === b.getField("role")))
+      .otherwise(array().cast("array<boolean>"))
     val nViol        = size(filter(pairs, x => x)).cast("long")
-    val firstRole    = element_at(turns, 1).getField("role")
+    // get(), not element_at(): ANSI mode throws on index-into-empty, a
+    // zero-turn conversation must yield NULL opener (→ valid = 0)
+    val firstRole    = get(turns, lit(0)).getField("role")
     val hasAssistant = exists(turns, t => t.getField("role") === lit("assistant"))
     struct(
       n.cast("long").as("n_turns"),
@@ -166,7 +175,10 @@ object Chat {
    * `min(struct(...))` orderings (max score tie-broken by smaller
    * candidate id, min score likewise), so a prompt's candidates never
    * need a window or a self-join. Prompts where every candidate scores
-   * equal have no preference and drop out (chosen = rejected).
+   * equal have no preference and drop out (chosen = rejected). NULL
+   * scores carry no preference signal and are dropped up front (struct
+   * ordering would otherwise rank a NULL field FIRST and poison the
+   * whole prompt's margin).
    */
   def preferencePairs(
       cands: DataFrame,
@@ -176,6 +188,7 @@ object Chat {
       minMargin: Double = 0.0
   ): DataFrame =
     cands
+      .filter(col(scoreCol).isNotNull)
       .groupBy(col(promptCol))
       .agg(
         min(struct((-col(scoreCol)).as("s"), col(candCol).as("c"))).as("__best"),

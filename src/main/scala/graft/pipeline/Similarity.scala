@@ -477,6 +477,11 @@ object Similarity {
       .withColumn("__ra", row_number().over(wa))
       .withColumn("__rb", row_number().over(wb))
       .pinned // the candidate relation feeds both neighborhood sums + the margin join
+    // ranked is materialized (pin is an eager checkpoint) and everything
+    // downstream reads ONLY ranked — release the two index pins here, or
+    // they outlive the call (the result's lineage can't reach them, so a
+    // caller-side free never would)
+    Checkpoints.free(ixA, ixB)
     val aggA = ranked.filter(col("__ra") <= k).groupBy(col("id_a"))
       .agg(sum(col("__s")).as("__sa"), count(lit(1)).as("__ca"))
     val aggB = ranked.filter(col("__rb") <= k).groupBy(col("id_b"))

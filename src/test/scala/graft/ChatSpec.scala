@@ -87,22 +87,29 @@ class ChatSpec extends SparkTestBase {
     val badOpen  = ChatConv(2L, """[{"role":"assistant","content":"x"},{"role":"user","content":"y"}]""")
     val lowMask  = ChatConv(3L, """[{"role":"user","content":"a b c d e f g h i"},{"role":"assistant","content":"k"}]""")
     val garbage  = ChatConv(4L, """nope""")
+    val empty    = ChatConv(5L, """[]""") // valid JSON, zero turns — must flow, not throw
+    val noContent = ChatConv(6L, """[{"role":"user","content":"q"},{"role":"assistant"}]""")
     val input = MemoryStream[ChatConv]
     val cp    = Files.createTempDirectory("graft_chat_gate_").toString
     val q = Chat.chatGateStream(input.toDF(), minMaskRatio = 0.2)
       .writeStream.format("memory").queryName("chat_gate").outputMode("append")
       .option("checkpointLocation", s"$cp/cp").start()
     try {
-      input.addData(valid, badOpen, lowMask, garbage)
+      input.addData(valid, badOpen, lowMask, garbage, empty, noContent)
       q.processAllAvailable()
       val streamed = spark.table("chat_gate")
         .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      // conv 6: NULL content counts 0 tokens (not NULL-poisoned) → ratio 0 < 0.2
       streamed shouldBe Array((1L, 2L, 0.6))
       // identical verdicts on the same data as a static frame
       val static = Chat.chatGateStream(
-        Seq(valid, badOpen, lowMask, garbage).toDF(), minMaskRatio = 0.2)
+        Seq(valid, badOpen, lowMask, garbage, empty, noContent).toDF(), minMaskRatio = 0.2)
         .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
       static shouldBe streamed
+      // the NULL-content conversation is structurally valid and visible at
+      // mask 0.0 — dropped above only by the ratio gate, not by a NULL sum
+      Chat.chatGateStream(Seq(noContent).toDF(), minMaskRatio = 0.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))) shouldBe Array((6L, 0.0))
     } finally q.stop()
   }
 
@@ -120,6 +127,12 @@ class ChatSpec extends SparkTestBase {
     val tied = Seq((1L, 10L, 2.0), (1L, 11L, 2.0), (1L, 12L, 1.0)).toDF("prompt_id", "cand_id", "score")
     val t = Chat.preferencePairs(tied).head()
     (t.getLong(2), t.getLong(3)) shouldBe ((10L, 12L))
+    // a NULL score carries no signal: dropped up front, the rest still pair
+    // (NOT ranked first by struct ordering, which would poison the margin)
+    val withNull = Seq((1L, 10L, Some(3.0)), (1L, 11L, None), (1L, 12L, Some(1.0)))
+      .toDF("prompt_id", "cand_id", "score")
+    val n = Chat.preferencePairs(withNull).head()
+    (n.getLong(1), n.getLong(2), n.getLong(3), n.getDouble(4)) shouldBe ((2L, 10L, 12L, 2.0))
   }
 
   "Chat.render" should "produce the canonical transcript in turn order" in {

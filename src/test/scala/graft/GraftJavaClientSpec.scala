@@ -90,6 +90,13 @@ class GraftJavaClientSpec extends SparkTestBase {
     // conflicting re-init is rejected too
     nsdb.initMetric(nsdb.db("root").namespace("registry").metric("sensors").shardInterval("2h"))
       .get(60, TimeUnit.SECONDS).isCompletedSuccessfully shouldBe false
+    // zero/overflowing durations also land in the result object — the
+    // future never completes exceptionally
+    nsdb.initMetric(nsdb.db("root").namespace("registry").metric("m3").shardInterval("0s"))
+      .get(60, TimeUnit.SECONDS).isCompletedSuccessfully shouldBe false
+    nsdb.initMetric(nsdb.db("root").namespace("registry").metric("m3")
+      .shardInterval("99999999999999999999999999d"))
+      .get(60, TimeUnit.SECONDS).isCompletedSuccessfully shouldBe false
   }
 
   it should "expose a Java-clean public surface (futures and java.util types only)" in {
