@@ -580,6 +580,9 @@ object SparkEntry {
     "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
     // sequence packing: distributed prefix sum over the corpus token stream
     "tx_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), 256L).orderBy("doc_id")),
+    // packing-efficiency report: per-sequence fill, waste and overflow
+    "tx_packwaste" -> ((s, d) =>
+      Sampling.packingReport(Sampling.packSequences(docs(s, d), 256L), 256L).orderBy("seq_id")),
     // balanced training-shard deal: round-robin over the size-sorted stream
     "tx_shards" -> ((s, d) => Sampling.assignShards(docs(s, d), nShards = 8).orderBy("doc_id")),
     "tx_shardbal" -> ((s, d) =>
@@ -997,6 +1000,13 @@ object SparkEntry {
         evRaw(s, d).select(col("user_id").as("prompt_id"), col("event_id").as("cand_id"),
           round(col("value"), 2).as("score")),
         minMargin = 1.0).orderBy("prompt_id")),
+    // GRPO group-relative advantages: per-prompt z-scores over exact
+    // integer cent sums — one aggregation, no window
+    "sft_adv" -> ((s, d) =>
+      Chat.groupAdvantages(
+        evRaw(s, d).select(col("user_id").as("prompt_id"), col("event_id").as("cand_id"),
+          round(col("value"), 2).as("score")))
+        .orderBy("prompt_id", "cand_id")),
     // canned-reply mining: assistant contents repeated across convs
     // (duplicate docs in the corpus surface as repeated replies)
     "sft_dedup" -> ((s, d) =>
@@ -1427,6 +1437,25 @@ object SparkEntry {
          |FROM a WHERE first_role = 'user' AND n_violations = 0 AND has_assistant = 1
          |  AND round(assistant_tokens / total_tokens, 6) >= 0.2
          |ORDER BY conv_id""".stripMargin.replace("\n", " "),
+    "sft_adv" ->
+      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
+        |k AS (SELECT prompt_id, cand_id, score, CAST(round(score * 100, 0) AS BIGINT) AS cents FROM c),
+        |st AS (SELECT prompt_id, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s1, sum(cents * cents)::BIGINT AS s2
+        |       FROM k GROUP BY prompt_id)
+        |SELECT k.prompt_id, k.cand_id, k.score,
+        |  round((k.score - s1 / (n * 100.0))
+        |    / (sqrt(greatest(s2 / (n * 10000.0) - (s1 / (n * 100.0)) * (s1 / (n * 100.0)), 0.0)) + 1e-6), 6) AS advantage
+        |FROM k JOIN st ON st.prompt_id = k.prompt_id
+        |ORDER BY k.prompt_id, k.cand_id""".stripMargin.replace("\n", " "),
+    "tx_packwaste" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 256.0) AS BIGINT) AS seq_id FROM t),
+        |a AS (SELECT seq_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS used_tokens FROM p GROUP BY seq_id)
+        |SELECT seq_id, n_docs, used_tokens,
+        |  greatest(256 - used_tokens, 0)::BIGINT AS waste,
+        |  greatest(used_tokens - 256, 0)::BIGINT AS overflow
+        |FROM a ORDER BY seq_id""".stripMargin.replace("\n", " "),
     // independent window formulation of the same preference semantics
     "sft_prefs" ->
       """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),

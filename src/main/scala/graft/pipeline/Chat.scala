@@ -200,6 +200,42 @@ object Chat {
       .filter(col("chosen_id") =!= col("rejected_id") && col("margin") >= minMargin)
 
   /**
+   * Group-relative advantages (the GRPO normalization): per prompt,
+   * candidates' scores standardize against their OWN group —
+   * `(score − mean) / (std + eps)` with the population std — so reward
+   * scales cancel per prompt and a trainer consumes comparable
+   * advantages across prompts. Degenerate groups (one candidate, or all
+   * scores equal) yield advantage 0 through the eps floor.
+   *
+   * Engine-portable by construction: scores must arrive 2-dp-snapped;
+   * they scale to exact BIGINT cents, so the per-group sum and
+   * sum-of-squares are order-independent integers and every double op
+   * after them replays identically in the oracle. One map-side-combined
+   * aggregation + one broadcast-friendly join back; no window.
+   */
+  def groupAdvantages(
+      cands: DataFrame,
+      promptCol: String = "prompt_id",
+      candCol: String = "cand_id",
+      scoreCol: String = "score",
+      eps: Double = 1e-6
+  ): DataFrame = {
+    val cents = round(col(scoreCol) * 100, 0).cast("long")
+    val stats = cands
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("__n"), sum(cents).as("__s1"), sum(cents * cents).as("__s2"))
+    val mean = col("__s1") / (col("__n") * lit(100.0))
+    val varP = greatest(
+      col("__s2") / (col("__n") * lit(10000.0)) - mean * mean, lit(0.0)) // clamp float residue
+    cands
+      .filter(col(scoreCol).isNotNull)
+      .join(stats, promptCol)
+      .select(col(promptCol), col(candCol), col(scoreCol),
+        round((col(scoreCol) - mean) / (sqrt(varP) + lit(eps)), 6).as("advantage"))
+  }
+
+  /**
    * Render each conversation to its canonical transcript
    * (`role: content` lines, newline-joined in turn order) — the bridge
    * into every text-keyed operator: transcript-level exact/near dedup

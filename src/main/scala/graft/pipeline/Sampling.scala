@@ -250,6 +250,24 @@ object Sampling {
   }
 
   /**
+   * Packing-efficiency report over a [[packSequences]] result: per
+   * training sequence, how many documents landed, how many tokens they
+   * carry, and the two inefficiencies a packing run tracks — `waste`
+   * (capacity the sequence leaves unfilled) and `overflow` (tokens past
+   * capacity when a document STARTS in this sequence but runs over its
+   * end; [[packSequences]] assigns a doc to the sequence where it
+   * starts, so long docs spill). Pure integer arithmetic over one
+   * map-side-combined aggregation.
+   */
+  def packingReport(packed: DataFrame, seqTokens: Long): DataFrame =
+    packed
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("used_tokens"))
+      .select(col("seq_id"), col("n_docs"), col("used_tokens"),
+        greatest(lit(seqTokens) - col("used_tokens"), lit(0L)).as("waste"),
+        greatest(col("used_tokens") - lit(seqTokens), lit(0L)).as("overflow"))
+
+  /**
    * Highest-quality docs whose cumulative token count fits `budget`,
    * in (quality DESC, id ASC) priority order — "fill a 1T-token training
    * budget with the best documents".

@@ -135,6 +135,23 @@ class ChatSpec extends SparkTestBase {
     (n.getLong(1), n.getLong(2), n.getLong(3), n.getDouble(4)) shouldBe ((2L, 10L, 12L, 2.0))
   }
 
+  "Chat.groupAdvantages" should "standardize within each prompt and zero out degenerate groups" in {
+    val cands = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0), // mean 2, popstd sqrt(2/3)
+      (2L, 20L, 5.0), (2L, 21L, 5.0),                  // all equal → 0 via eps floor
+      (3L, 30L, 7.0)                                   // single candidate → 0
+    ).toDF("prompt_id", "cand_id", "score")
+    val out = Chat.groupAdvantages(cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val sd = math.sqrt(2.0 / 3.0)
+    out((1L, 10L)) shouldBe (-1.0 / sd) +- 1e-4
+    out((1L, 12L)) shouldBe (1.0 / sd) +- 1e-4
+    out((1L, 10L)) + out((1L, 11L)) + out((1L, 12L)) shouldBe 0.0 +- 1e-5
+    out((2L, 20L)) shouldBe 0.0
+    out((2L, 21L)) shouldBe 0.0
+    out((3L, 30L)) shouldBe 0.0
+  }
+
   "Chat.render" should "produce the canonical transcript in turn order" in {
     val t = Chat.render(turns).filter(col("conv_id") === 1L).head().getString(1)
     t shouldBe "user: hi there\nassistant: hello friend of mine\nuser: bye"

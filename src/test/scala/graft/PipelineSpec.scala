@@ -993,6 +993,21 @@ class PipelineSpec extends SparkTestBase {
     plan should not include "Window"
   }
 
+  "Sampling.packingReport" should "account waste and overflow per sequence exactly" in {
+    // capacity 10: docs of 4+4 fill seq 0 to 8 (waste 2); a 15-token doc
+    // starts in seq 1 at offset 8... recompute: prefixes 0,4,8,23 →
+    // seqs 0,0,0(start 8 < 10? floor(8/10)=0!),...
+    val corpus = Seq(
+      (0L, "a b c d"), (1L, "a b c d"),          // start 0, 4 → seq 0 (8 tokens)
+      (2L, (1 to 15).map(_ => "w").mkString(" ")), // start 8 → seq 0, overflows
+      (3L, "a b")                                  // start 23 → seq 2
+    ).toDF("doc_id", "text")
+    val rep = Sampling.packingReport(Sampling.packSequences(corpus, 10L), 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    rep(0L) shouldBe ((3L, 23L, 0L, 13L)) // 8 + the overflowing starter
+    rep(2L) shouldBe ((1L, 2L, 8L, 0L))   // tail sequence mostly empty
+  }
+
   "Sampling determinism" should "be invariant under input partition layout" in {
     // the docs promise sampling/packing decisions are pure functions of
     // the data, not of partitioning — assert it across layouts
