@@ -45,11 +45,6 @@ object Bench {
       .filter(_.getName == "Metaspace").map(_.getUsage.getUsed).sum >> 20
     def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
 
-    // untimed warmup: JVM/codegen/parquet-footer startup should not land on
-    // the alphabetically-first query
-    try SparkEntry.queries("g_count")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-
     // min of three runs per query: absorbs one-off JIT/IO/scheduler noise
     // (observed ±2-4x swings on shared hardware — a single noisy window
     // once recorded a phantom regression, so all per-run times are printed,
@@ -57,8 +52,20 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // targeted iteration (mirrors Verify): unset = full sweep, as the driver runs it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    // untimed warmup: JVM/codegen/parquet-footer startup should not land on
+    // the first timed query — warm the general engine path (g_count) AND
+    // the first query in sweep order, which otherwise still absorbed the
+    // residual one-time costs and tripped the UNSTABLE flag on its run 1
+    (Seq("g_count" -> SparkEntry.queries("g_count")) ++ selected.headOption).foreach {
+      case (_, fn) =>
+        try { val df = fn(spark, sfDir); df.count(); Checkpoints.free(df) }
+        catch { case _: Throwable => () }
+    }
+
+    val results = selected
       .map { case (name, fn) =>
       var rows = -1L
       val gc0  = gcMillis
