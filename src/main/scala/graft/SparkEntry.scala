@@ -1000,6 +1000,12 @@ object SparkEntry {
         evRaw(s, d).select(col("user_id").as("prompt_id"), col("event_id").as("cand_id"),
           round(col("value"), 2).as("score")),
         minMargin = 1.0).orderBy("prompt_id")),
+    // unbiased pass@k estimator (HumanEval): product form, fold order
+    // mirrored operation-for-operation in the oracle
+    "sft_passk" -> ((s, d) =>
+      Chat.passAtK(
+        evRaw(s, d).select(col("user_id").as("prompt_id"), (col("value") >= 50.0).as("passed")),
+        k = 3).orderBy("prompt_id")),
     // GRPO group-relative advantages: per-prompt z-scores over exact
     // integer cent sums — one aggregation, no window
     "sft_adv" -> ((s, d) =>
@@ -1437,6 +1443,20 @@ object SparkEntry {
          |FROM a WHERE first_role = 'user' AND n_violations = 0 AND has_assistant = 1
          |  AND round(assistant_tokens / total_tokens, 6) >= 0.2
          |ORDER BY conv_id""".stripMargin.replace("\n", " "),
+    "sft_passk" ->
+      """WITH s AS (SELECT user_id AS prompt_id, (value >= 50.0) AS passed FROM events),
+        |a AS (SELECT prompt_id, count(*)::BIGINT AS n_samples,
+        |        sum(CASE WHEN passed THEN 1 ELSE 0 END)::BIGINT AS n_passed
+        |      FROM s GROUP BY prompt_id)
+        |SELECT prompt_id, n_samples, n_passed,
+        |  CASE WHEN n_passed = 0 THEN 0.0
+        |       WHEN n_samples - n_passed < 3 THEN 1.0
+        |       ELSE round(1.0 - list_reduce(
+        |              list_transform(range(0, 3),
+        |                i -> (n_samples::DOUBLE - n_passed::DOUBLE - i) / (n_samples::DOUBLE - i)),
+        |              (x, y) -> x * y), 6)
+        |  END AS pass_at_k
+        |FROM a WHERE n_samples >= 3 ORDER BY prompt_id""".stripMargin.replace("\n", " "),
     "sft_adv" ->
       """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
         |k AS (SELECT prompt_id, cand_id, score, CAST(round(score * 100, 0) AS BIGINT) AS cents FROM c),

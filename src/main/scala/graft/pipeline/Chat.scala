@@ -200,6 +200,46 @@ object Chat {
       .filter(col("chosen_id") =!= col("rejected_id") && col("margin") >= minMargin)
 
   /**
+   * Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
+   * prompt with `n` samples of which `c` passed,
+   * `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability at least one of
+   * `k` drawn samples passes, computed without enumerating draws. The
+   * eval-harness aggregate every sampled-code/gen benchmark reports.
+   *
+   * Computed in product form `1 − Π_{i<k} (n−c−i)/(n−i)` as a sequential
+   * fold over exactly `k` factors, so both engines evaluate the same
+   * double ops in the same order (no factorials, no overflow). Prompts
+   * with fewer than `k` samples can't support the estimator and are
+   * dropped (count inputs vs outputs to audit); `c = 0` is exactly 0 and
+   * `n − c < k` exactly 1 without touching the product. One map-side-
+   * combined aggregation; emits `(prompt_id, n_samples, n_passed,
+   * pass_at_k)` with the estimate at 6 dp.
+   */
+  def passAtK(
+      samples: DataFrame,
+      k: Int,
+      promptCol: String = "prompt_id",
+      passedCol: String = "passed"
+  ): DataFrame = {
+    require(k > 0, "need k > 0")
+    val agg = samples
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(passedCol), 1L).otherwise(0L)).as("n_passed"))
+      .filter(col("n_samples") >= k)
+    val n = col("n_samples").cast("double")
+    val c = col("n_passed").cast("double")
+    // factor parenthesized: acc * ((n−c−i)/(n−i)), so the oracle's
+    // transform-then-reduce shape performs the IDENTICAL double ops
+    val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+      (acc, i) => acc * ((n - c - i) / (n - i)))
+    agg.withColumn("pass_at_k",
+      when(col("n_passed") === 0L, 0.0)
+        .when(col("n_samples") - col("n_passed") < k, 1.0)
+        .otherwise(round(lit(1.0) - prod, 6)))
+  }
+
+  /**
    * Group-relative advantages (the GRPO normalization): per prompt,
    * candidates' scores standardize against their OWN group —
    * `(score − mean) / (std + eps)` with the population std — so reward

@@ -135,6 +135,24 @@ class ChatSpec extends SparkTestBase {
     (n.getLong(1), n.getLong(2), n.getLong(3), n.getDouble(4)) shouldBe ((2L, 10L, 12L, 2.0))
   }
 
+  "Chat.passAtK" should "match the closed-form estimator and handle the exact branches" in {
+    // prompt 1: n=5, c=2 → pass@3 = 1 - C(3,3)/C(5,3) = 1 - 1/10 = 0.9
+    // prompt 2: n=4, c=0 → exactly 0; prompt 3: n=3, c=2 (n-c<k) → exactly 1
+    // prompt 4: n=2 < k → dropped
+    val samples = (
+      Seq.fill(2)((1L, true)) ++ Seq.fill(3)((1L, false)) ++
+      Seq.fill(4)((2L, false)) ++
+      Seq.fill(2)((3L, true)) ++ Seq((3L, false)) ++
+      Seq.fill(2)((4L, true))
+    ).toDF("prompt_id", "passed")
+    val out = Chat.passAtK(samples, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((5L, 2L, 0.9))
+    out(2L) shouldBe ((4L, 0L, 0.0))
+    out(3L) shouldBe ((3L, 2L, 1.0))
+  }
+
   "Chat.groupAdvantages" should "standardize within each prompt and zero out degenerate groups" in {
     val cands = Seq(
       (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0), // mean 2, popstd sqrt(2/3)
