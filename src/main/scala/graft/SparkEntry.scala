@@ -1458,7 +1458,8 @@ object SparkEntry {
         |  END AS pass_at_k
         |FROM a WHERE n_samples >= 3 ORDER BY prompt_id""".stripMargin.replace("\n", " "),
     "sft_adv" ->
-      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
+      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score
+        |            FROM events WHERE value IS NOT NULL),
         |k AS (SELECT prompt_id, cand_id, score, CAST(round(score * 100, 0) AS BIGINT) AS cents FROM c),
         |st AS (SELECT prompt_id, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s1, sum(cents * cents)::BIGINT AS s2
         |       FROM k GROUP BY prompt_id)

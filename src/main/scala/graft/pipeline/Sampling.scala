@@ -250,14 +250,22 @@ object Sampling {
   }
 
   /**
-   * Packing-efficiency report over a [[packSequences]] result: per
-   * training sequence, how many documents landed, how many tokens they
-   * carry, and the two inefficiencies a packing run tracks — `waste`
-   * (capacity the sequence leaves unfilled) and `overflow` (tokens past
-   * capacity when a document STARTS in this sequence but runs over its
-   * end; [[packSequences]] assigns a doc to the sequence where it
-   * starts, so long docs spill). Pure integer arithmetic over one
-   * map-side-combined aggregation.
+   * Packing-efficiency report over a [[packSequences]] result, graded
+   * under the TRUNCATE-AT-BOUNDARY consumption model: each sequence is
+   * fed exactly the documents that START in it ([[packSequences]]
+   * assigns by start offset) and is cut at `seqTokens`. Per sequence:
+   * how many documents start there, the tokens they carry
+   * (`used_tokens`, which may exceed capacity before the cut), `waste`
+   * (pad tokens after the cut: capacity minus starting-doc tokens,
+   * floored at 0) and `overflow` (starting-doc tokens dropped by the
+   * cut). Summing `waste`/`overflow` gives corpus-level pad and
+   * truncation loss for that consumption mode. NOTE: under the
+   * spill-continuation reading of the packed stream (a boundary-crossing
+   * doc keeps filling the next sequence) every interior sequence is
+   * exactly full by construction and sequences covered entirely by
+   * spill carry no starting doc — so they have no row here; this report
+   * is only meaningful for the truncation mode. Pure integer arithmetic
+   * over one map-side-combined aggregation.
    */
   def packingReport(packed: DataFrame, seqTokens: Long): DataFrame =
     packed

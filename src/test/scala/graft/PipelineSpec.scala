@@ -994,9 +994,9 @@ class PipelineSpec extends SparkTestBase {
   }
 
   "Sampling.packingReport" should "account waste and overflow per sequence exactly" in {
-    // capacity 10: docs of 4+4 fill seq 0 to 8 (waste 2); a 15-token doc
-    // starts in seq 1 at offset 8... recompute: prefixes 0,4,8,23 →
-    // seqs 0,0,0(start 8 < 10? floor(8/10)=0!),...
+    // capacity 10, start offsets 0,4,8,23: docs 0-2 all START in seq 0
+    // (8+15=23 tokens → 13 dropped at the cut), doc 3 starts in seq 2
+    // (2 tokens, 8 pad); no doc starts in seq 1, so it has no row.
     val corpus = Seq(
       (0L, "a b c d"), (1L, "a b c d"),          // start 0, 4 → seq 0 (8 tokens)
       (2L, (1 to 15).map(_ => "w").mkString(" ")), // start 8 → seq 0, overflows
