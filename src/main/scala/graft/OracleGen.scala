@@ -318,6 +318,61 @@ object OracleGen {
       .stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.operators.Graph.labelPropagation]] over the mined
+    * near-dup pair graph: `rounds` synchronous rounds of "adopt the most
+    * frequent neighbor label, ties to the smallest label"; docs in no
+    * pair are their own singleton community. */
+  def labelPropagationSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                          maxBucket: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { t =>
+      s"""l$t AS (SELECT id, lbl FROM (
+         |  SELECT e.dst AS id, lp.lbl,
+         |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lp.lbl) AS rn
+         |  FROM e JOIN l${t - 1} lp ON lp.id = e.src GROUP BY e.dst, lp.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |$iterCtes
+       |SELECT d.doc_id, coalesce(ll.lbl, d.doc_id) AS community
+       |FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id ORDER BY d.doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Sampling.domainReweight]]: per-lang mean
+    * quality deficit from exact 4-dp-lattice integer sums, then `rounds`
+    * linearized multiplicative-weights steps over the lang-ordered weight
+    * list — every fold list_reduce's the same sorted order the driver
+    * loop uses, so each IEEE intermediate is bit-identical. */
+  def domainReweightSql(rounds: Int, lr: Double, smoothing: Double): String = {
+    val sw    = "['the','a','of','and','to','in','is','on','for','it']"
+    val hits  = s"len(list_filter(ws, x -> list_contains($sw, x)))*1.0"
+    val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))*1.0"
+    val qual  = s"round(least(len(ws)/64.0, 1.0)*0.5 + least($hits/greatest(len(ws)*0.1, 1.0), 1.0)*0.4 - least($punct/greatest(len(ws)*1.0, 1.0), 1.0)*0.1 + 0.1, 4)"
+    val roundCtes = (1 to rounds).map { t =>
+      s"""m$t AS (SELECT *, list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(range(1, d + 1), i -> ws[i::INT] * ls[i::INT])), (a, b) -> a + b) AS m FROM w${t - 1}),
+         |u$t AS (SELECT langs, ns, ls, d, list_transform(range(1, d + 1),
+         |          i -> ws[i::INT] * (1.0::DOUBLE + $lr::DOUBLE * (ls[i::INT] - m))) AS ws FROM m$t),
+         |s$t AS (SELECT *, list_reduce(list_prepend(0.0::DOUBLE, ws), (a, b) -> a + b) AS sw FROM u$t),
+         |w$t AS (SELECT langs, ns, ls, d, list_transform(ws, x -> x / sw) AS ws FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT lang, CAST(round($qual * 10000) AS BIGINT) AS qi
+       |           FROM (SELECT lang, text, string_split(text, ' ') AS ws FROM documents)
+       |           WHERE lang IS NOT NULL),
+       |a AS (SELECT lang, count(*)::BIGINT AS n, sum(qi)::BIGINT AS s FROM q GROUP BY lang),
+       |l AS (SELECT lang, n, 1.0::DOUBLE - s::DOUBLE / (10000.0::DOUBLE * n::DOUBLE) AS loss FROM a),
+       |g AS (SELECT list(lang ORDER BY lang) AS langs, list(n ORDER BY lang) AS ns,
+       |             list(loss ORDER BY lang) AS ls, count(*)::BIGINT AS d FROM l),
+       |w0 AS (SELECT langs, ns, ls, d, list_transform(ls, x -> 1.0::DOUBLE / d) AS ws FROM g),
+       |$roundCtes
+       |SELECT unnest(langs) AS domain, unnest(ns) AS n_docs, round(unnest(ls), 6) AS loss,
+       |  round(unnest(list_transform(ws,
+       |    x -> ${1.0 - smoothing}::DOUBLE * x + $smoothing::DOUBLE / d::DOUBLE)), 6) AS weight
+       |FROM w$rounds ORDER BY domain""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Dedup.clusterSizeHistogram]] over the
     * [[ccClustersSql]] labeling. */
   def clusterHistogramSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,

@@ -240,6 +240,14 @@ object SparkEntry {
     "d_kcore" -> ((s, d) =>
       graft.operators.Graph.kCore(Dedup.minhashLshPairs(docs(s, d), 0.5), k = 2, rounds = 6)
         .orderBy("doc_id")),
+    // synchronous label-propagation communities over the same pair graph:
+    // the finer structure underneath d_cc (a single bridge doc never
+    // outvotes a family's internal edges)
+    "d_labelprop" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Graph.labelPropagation(
+        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
+    }),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -576,6 +584,9 @@ object SparkEntry {
     // corpus-driven temperature mix: rates from live counts, share ∝ √count
     "tx_temp" -> ((s, d) => Sampling.temperatureSample(docs(s, d), "lang",
       temperature = 2.0, totalFraction = 0.5).select("doc_id", "lang").orderBy("doc_id")),
+    // DoReMi-style domain reweighting: multiplicative-weights tilt toward
+    // high-deficit languages, exp-free so the oracle replays it exactly
+    "tx_doremi" -> ((s, d) => Sampling.domainReweight(docs(s, d)).orderBy("domain")),
     // token-budget selection: best-quality docs filling a fixed budget
     "tx_budget" -> ((s, d) => Sampling.tokenBudget(docs(s, d), 15000L).select("doc_id").orderBy("doc_id")),
     // sequence packing: distributed prefix sum over the corpus token stream
@@ -1198,6 +1209,8 @@ object SparkEntry {
     "d_lev"     -> OracleGen.levPairsSql(20, numHashes = 32, bands = 8, shingleK = 2, maxBucket = 1000),
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, iterations = 5, damping = 0.85),
+    "d_labelprop" -> OracleGen.labelPropagationSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
+      maxBucket = 1000, rounds = 4),
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
@@ -1324,6 +1337,7 @@ object SparkEntry {
     },
     "tx_langid"  -> s"SELECT doc_id, $LangCase AS predicted_lang, h_en AS en_hits FROM ($LangHits) ORDER BY doc_id",
     "tx_temp"    -> OracleGen.temperatureSampleSql(temperature = 2.0, totalFraction = 0.5),
+    "tx_doremi"  -> OracleGen.domainReweightSql(rounds = 3, lr = 0.5, smoothing = 0.1),
     "tx_sample"  -> OracleGen.stratifiedSampleSql(Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25), seed = 7L),
     "tx_wsample" -> OracleGen.weightedSampleSql(fraction = 0.5, weightCol = "n_chars"),
     "tx_budget" -> {

@@ -72,6 +72,61 @@ object Graph {
   }
 
   /**
+   * SYNCHRONOUS LABEL PROPAGATION communities (Raghavan et al. 2007) in
+   * the deterministic fixed-round form: labels start as node ids; each
+   * round every node adopts the label most frequent among its NEIGHBORS
+   * over the undirected edge set, ties broken toward the SMALLEST label;
+   * nodes in no edge keep their own id. The round count is the contract
+   * (both engine and oracle run exactly `rounds`): synchronous LPA can
+   * oscillate two-cycle on bipartite-ish structures, so "state after K
+   * synchronous rounds" is the only replayable definition — there is no
+   * fixpoint to probe for.
+   *
+   * Contrast with [[graft.pipeline.Dedup.duplicateClusters]]: CC merges
+   * everything reachable, so one shared boilerplate doc chains two
+   * template families into one cluster; LPA keeps weakly-bridged families
+   * apart because a single bridge edge never outvotes a family's internal
+   * edges. Run it on the same mined pair list to get the finer community
+   * structure underneath the CC clusters.
+   *
+   * Scale shape: per round ONE join of the label frame into the edge
+   * relation (shuffle on node id), one partial-aggregated count on
+   * (node, label), one argmin — O(edges) per round, no adjacency
+   * materialization. Label frames pin per round and free the previous
+   * ([[Checkpoints]]), same lifecycle as [[pageRank]]; the tie-break is
+   * `min(struct(-count, label))` — exact int64s, no floats anywhere.
+   */
+  def labelPropagation(
+      edges: DataFrame,
+      nodes: DataFrame,
+      rounds: Int = 4,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val sym = edges.toDF("src", "dst")
+    val und = sym.union(sym.select(col("dst"), col("src"))).pinned
+    Checkpoints.free(edges) // input consumed: release any pins beneath it
+    val ids = nodes.select(col(idCol).as("id"))
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).pinned
+    for (_ <- 1 to rounds) {
+      val next = und
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("lbl"))
+        .pinned
+      Checkpoints.free(labels)
+      labels = next
+    }
+    Checkpoints.free(und)
+    // docs in no pair are their own singleton community
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("community"))
+  }
+
+  /**
    * TRIANGLE ENUMERATION over an undirected edge list `(id_a, id_b)` with
    * `id_a < id_b`: every triple `(a, b, c)` with all three edges present,
    * `a < b < c`. On the near-dup graph a triangle means three documents

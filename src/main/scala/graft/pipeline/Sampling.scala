@@ -276,6 +276,82 @@ object Sampling {
         greatest(col("used_tokens") - lit(seqTokens), lit(0L)).as("overflow"))
 
   /**
+   * DOMAIN-MIXTURE REWEIGHTING in the spirit of DoReMi (Xie et al. 2023,
+   * "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+   * Pretraining"): start from uniform domain weights and repeatedly tilt
+   * the mixture toward domains with EXCESS LOSS — here the per-domain
+   * mean quality deficit `loss_d = 1 − mean(quality)` stands in for the
+   * proxy-model excess loss. Each of `rounds` steps computes the
+   * mixture-weighted mean loss `m = Σ w_d·loss_d`, applies the
+   * multiplicative update `w_d ← w_d · (1 + lr·(loss_d − m))` and
+   * renormalizes; the final weights are smoothed with the uniform
+   * distribution (`(1−s)·w + s/D`) exactly as the paper regularizes its
+   * learned mixture. The update is deliberately EXP-FREE (the linearized
+   * multiplicative-weights rule, not `exp(lr·excess)`): +,−,×,÷ are
+   * IEEE-exact and engine-portable, `exp` is not — so a DuckDB oracle
+   * replaying the identical op sequence gets bit-identical weights.
+   *
+   * Scale shape: ONE map-side-combined aggregation over the corpus
+   * produces D domain rows (quality snapped to its 4-dp integer lattice,
+   * summed as exact int64 — the snap-then-divide pattern); the
+   * `rounds`·D-step loop runs on the driver over that bounded list
+   * (domains, not documents — the same bounded-collect class as
+   * [[tokenBudget]]'s bucket table), with every fold in sorted-domain
+   * order so the oracle's ordered list_reduce matches bit-for-bit.
+   */
+  def domainReweight(
+      df: DataFrame,
+      domainCol: String = "lang",
+      textCol: String = "text",
+      rounds: Int = 3,
+      lr: Double = 0.5,
+      smoothing: Double = 0.1
+  ): DataFrame = {
+    require(rounds >= 0 && rounds <= 64, "rounds must be in [0,64]")
+    require(lr > 0.0 && lr <= 1.0, "lr must be in (0,1]")
+    require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+    val qInt = round(quality * 10000, 0).cast("long")
+    val agg = df
+      .filter(col(domainCol).isNotNull)
+      .select(col(domainCol).cast("string").as("domain"), qInt.as("__q"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val d = agg.length
+    if (d == 0)
+      return Seq.empty[(String, Long, Double, Double)]
+        .toDF("domain", "n_docs", "loss", "weight")
+    // one division + one subtraction from exact integers: both engines
+    // perform the identical IEEE op sequence on identical inputs
+    val loss = agg.map { case (_, n, s) => 1.0 - s.toDouble / (10000.0 * n) }
+    val w = Array.fill(d)(1.0 / d)
+    for (_ <- 1 to rounds) {
+      var m = 0.0
+      var i = 0
+      while (i < d) { m += w(i) * loss(i); i += 1 } // sorted-domain fold
+      i = 0
+      while (i < d) { w(i) = w(i) * (1.0 + lr * (loss(i) - m)); i += 1 }
+      var sw = 0.0
+      i = 0
+      while (i < d) { sw += w(i); i += 1 }          // sorted-domain fold
+      i = 0
+      while (i < d) { w(i) = w(i) / sw; i += 1 }
+    }
+    // smoothing + the 6-dp snap happen as Spark column ops so the rounding
+    // semantics are the same ROUND_HALF_UP both engines apply elsewhere
+    agg.indices.map { i => (agg(i)._1, agg(i)._2, loss(i), w(i)) }
+      .toDF("domain", "n_docs", "__loss", "__w")
+      .select(col("domain"), col("n_docs"),
+        round(col("__loss"), 6).as("loss"),
+        round(lit(1.0 - smoothing) * col("__w") + lit(smoothing / d), 6).as("weight"))
+  }
+
+  /**
    * Highest-quality docs whose cumulative token count fits `budget`,
    * in (quality DESC, id ASC) priority order — "fill a 1T-token training
    * budget with the best documents".

@@ -1225,4 +1225,155 @@ object Similarity {
       .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left_outer")
       .select(col("id"), col("centroid"), col("dup").isNull.as("kept"))
   }
+
+  // ---- PCA (fixed-round power iteration over a lattice covariance) -------
+
+  /** DuckDB-round-compatible 6-dp snap (HALF_UP = half away from zero),
+    * for driver-side iteration state the oracle replays with round(x, 6). */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Covariance + top-k eigenpairs of the embedding cloud; shared core of
+    * [[pcaProject]] / [[pcaVarianceReport]]. Returns None on empty input.
+    *
+    * Engine-portable determinism, end to end:
+    *  1. coordinates snap to the 1e-4 integer lattice (`round(x·10⁴)::long`)
+    *     so the d dim sums and d² pair-product sums are EXACT int64
+    *     aggregations — order-free; int64 holds them to ~10¹⁰ vectors at
+    *     |x| ≤ 3.
+    *  2. the covariance (in snapped-int space — eigenvectors are scale
+    *     invariant) derives from those integer sums by one spelled-out
+    *     IEEE op sequence: `Sij/n − (Si/n)·(Sj/n)`.
+    *  3. `iters` power-iteration rounds run over the d×d matrix ON THE
+    *     DRIVER (d² doubles — the bounded-collect class, like
+    *     [[Sampling.tokenBudget]]'s bucket table), every matvec / norm /
+    *     Rayleigh fold in ascending dimension order, the vector snapped
+    *     to 6 dp each round and the eigenvalue before deflation
+    *     (`C ← C − λ·v·vᵀ`), so the oracle's unrolled-round CTEs over
+    *     dim-ordered list folds reproduce every bit, sign included. A
+    *     fixed round count is the contract (cf. [[graft.operators.Graph
+    *     .pageRank]]): near-degenerate eigengaps slow convergence but
+    *     never determinism.
+    *
+    * Scale shape: ONE pipelined explode of the d² per-row products into a
+    * partial aggregation — the shuffle carries d² partial sums PER
+    * PARTITION (at d=64: 4096 longs), never per row. The explode could
+    * halve via symmetry; full d² keeps the index arithmetic trivial.
+    */
+  private def pcaCore(
+      df: DataFrame, k: Int, iters: Int, idCol: String, vecCol: String
+  ): Option[(DataFrame, Array[Double], Array[Array[Double]], Array[Double], Double)] = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1 && iters <= 256, "iters must be in [1,256]")
+    val d = inferDim(df, vecCol)
+    require(k <= d, s"k=$k exceeds embedding dim $d")
+    val snapped = df.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * lit(10000.0), 0).cast("long")).as("q"))
+      .pinned // materialize the snap: the d² explode must read a stored
+              // column, not re-evaluate the transform per product
+    val dimRows = snapped.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(count(lit(1)).as("c"), sum("qi").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    if (dimRows.isEmpty) { Checkpoints.free(snapped); return None }
+    val nD = dimRows.head._2.toDouble
+    val si = dimRows.map(_._3)
+    val prods = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(lit(0), lit(d - 1)), j =>
+        element_at(col("q"), i + lit(1)) * element_at(col("q"), j + lit(1)))))
+    val ps = snapped.select(posexplode(prods).as(Seq("ij", "p")))
+      .groupBy("ij").agg(sum("p").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = Array.tabulate(d, d)((i, j) =>
+      ps(i * d + j).toDouble / nD - (si(i).toDouble / nD) * (si(j).toDouble / nD))
+    var trace = 0.0
+    { var i = 0; while (i < d) { trace += c(i)(i); i += 1 } } // pre-deflation
+    val comps = Array.ofDim[Array[Double]](k)
+    val lams  = Array.ofDim[Double](k)
+    for (ci <- 0 until k) {
+      var v = Array.fill(d)(1.0)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d) { i =>
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var nn = 0.0
+        { var i = 0; while (i < d) { nn += w(i) * w(i); i += 1 } }
+        val nrm = math.max(math.sqrt(nn), 1e-12) // zero-matrix guard
+        v = w.map(x => r6(x / nrm))
+      }
+      val mv = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var lam = 0.0
+      { var i = 0; while (i < d) { lam += v(i) * mv(i); i += 1 } }
+      val lamR = r6(lam)
+      comps(ci) = v
+      lams(ci) = lamR
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) = c(i)(j) - (lamR * v(i)) * v(j)
+    }
+    Some((snapped, si.map(_.toDouble / nD), comps, lams, trace))
+  }
+
+  /**
+   * Per-vector coordinates along the top-k principal components of the
+   * embedding cloud, in ORIGINAL units (the lattice scale divides back
+   * out), snapped to 6 dp — `(idCol, pc1..pck)`. This is the portable
+   * core of PCA reduction before ANN indexing: project to the top
+   * directions, index the small vectors ([[pcaCore]] documents the
+   * determinism and scale story). The projection is one codegen'd
+   * ordered fold per component over the pinned snapped column.
+   */
+  def pcaProject(
+      df: DataFrame,
+      k: Int = 2,
+      iters: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = pcaCore(df, k, iters, idCol, vecCol) match {
+    case None =>
+      df.limit(0).select(col(idCol) +: (1 to k).map(i => lit(0.0).as(s"pc$i")): _*)
+    case Some((snapped, means, comps, _, _)) =>
+      val mLit = array(means.map(lit): _*)
+      val cols = comps.zipWithIndex.map { case (v, ci) =>
+        val vLit = array(v.map(lit): _*)
+        val fold = aggregate(sequence(lit(0), lit(means.length - 1)), lit(0.0), (acc, i) =>
+          acc + element_at(vLit, i + lit(1)) *
+            (element_at(col("q"), i + lit(1)).cast("double") - element_at(mLit, i + lit(1))))
+        round(fold / lit(10000.0), 6).as(s"pc${ci + 1}")
+      }
+      snapped.select(col(idCol) +: cols.toSeq: _*)
+  }
+
+  /**
+   * Spectrum summary of [[pcaProject]]'s components — `(component,
+   * eigenvalue, explained_ratio)`: the eigenvalue back in original units
+   * (int-space λ / 1e8) and its share of TOTAL variance (the
+   * pre-deflation trace; scale cancels). The k-component cutoff this
+   * reports is the dimensionality-reduction decision itself: how much of
+   * the cloud's variance the reduced index preserves.
+   */
+  def pcaVarianceReport(
+      df: DataFrame,
+      k: Int = 2,
+      iters: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pcaCore(df, k, iters, idCol, vecCol) match {
+      case None =>
+        Seq.empty[(Long, Double, Double)].toDF("component", "eigenvalue", "explained_ratio")
+      case Some((snapped, _, _, lams, trace)) =>
+        Checkpoints.free(snapped) // the report never reads the vectors again
+        lams.zipWithIndex.map { case (l, i) => ((i + 1).toLong, l, trace) }.toSeq
+          .toDF("component", "__lam", "__tr")
+          .select(col("component"),
+            round(col("__lam") / lit(100000000.0), 6).as("eigenvalue"),
+            round(col("__lam") / col("__tr"), 6).as("explained_ratio"))
+    }
+  }
 }

@@ -1444,6 +1444,32 @@ class PipelineSpec extends SparkTestBase {
       .filter($"lang" === "zh").count() shouldBe 10L
   }
 
+  "Sampling.domainReweight" should "tilt weights toward the high-deficit domain and normalize" in {
+    val good = "the cat sat on the mat and the dog lay in the sun for it was warm and the day was long"
+    val d = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", good) else (i.toLong, "zz", "x y")
+    }.toDF("doc_id", "lang", "text")
+    val out = Sampling.domainReweight(d, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out.map(_._1).toSeq shouldBe Seq("en", "zz") // sorted domain order
+    out.foreach(_._2 shouldBe 20L)
+    val byLang = out.map(x => x._1 -> x).toMap
+    // the two-token docs carry a far larger quality deficit
+    byLang("zz")._3 should be > byLang("en")._3
+    // multiplicative weights tilt toward the lossy domain, past uniform
+    byLang("zz")._4 should be > 0.5
+    byLang("en")._4 should be < 0.5
+    // weights stay a distribution: smoothing keeps the total at 1
+    out.map(_._4).sum shouldBe 1.0 +- 3e-6
+    // zero rounds → the smoothed uniform mixture exactly
+    Sampling.domainReweight(d, rounds = 0)
+      .collect().foreach(_.getDouble(3) shouldBe 0.5)
+    // empty input → empty frame, schema intact
+    val empty = Sampling.domainReweight(d.filter(lit(false)))
+    empty.columns.toSeq shouldBe Seq("domain", "n_docs", "loss", "weight")
+    empty.count() shouldBe 0L
+  }
+
   "Curate.capPerGroup" should "keep the k best-quality docs per source with deterministic ties" in {
     val out = pipeline.Curate.capPerGroup(docs, k = 1).collect()
     out.length shouldBe 2 // two sources, one survivor each

@@ -147,6 +147,29 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Graph.labelPropagation" should "split bridged triangles into two communities and free its pins" in {
+    import graft.pipeline.Checkpoints
+    import org.apache.spark.storage.StorageLevel
+    // two triangles joined by ONE bridge edge (3-11): connected components
+    // would merge everything; LPA keeps the families apart because the
+    // bridge never outvotes a triangle's internal edges
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L, 99L).toDF("doc_id")
+    val (out, pins) = Checkpoints.scoped {
+      graft.operators.Graph.labelPropagation(edges, nodes, rounds = 4)
+    }
+    val lbl = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced 4 synchronous rounds (most-frequent neighbor label,
+    // ties to smallest): left triangle settles on 1, right on 3 (the
+    // label leaks over the bridge in round 1 but the PARTITION is stable)
+    lbl shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 11L -> 3L, 12L -> 3L, 13L -> 3L, 99L -> 99L)
+    def live = pins.filter(_.getStorageLevel != StorageLevel.NONE)
+    live.size should be <= 1 // only the returned label frame's own pin
+    Checkpoints.free(out)
+    live shouldBe empty
+  }
+
   "Relational.percentRankWithin" should "rank within each group, 0 for singletons" in {
     val d = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 20.0), ("b", 99.0))
       .toDF("k", "v")
