@@ -383,6 +383,80 @@ object OracleGen {
        |      GROUP BY rep)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")
 
+  /** shared CTE chain mirroring [[graft.pipeline.Similarity.pcaCore]]:
+    * 1e-4-lattice snap → exact int64 dim/pair-product sums → covariance
+    * by the spelled-out op sequence `Sij/n − (Si/n)·(Sj/n)` → per
+    * component `iters` unrolled power-iteration rounds (dim-ordered list
+    * folds, 6-dp snap per round) with deflation between components.
+    * Leaves in scope: `qt(vec_id, q)`, `mzl(m)` (means list), and per
+    * component c: `v${c}_$iters(v)`, `lam$c(lam)`, plus `cv1` (the
+    * pre-deflation covariance table). */
+  private def pcaCtes(dim: Int, k: Int, iters: Int): String = {
+    val fold = "(a, b) -> a + b"
+    val comps = (1 to k).map { cN =>
+      val rounds = (1 to iters).map { t =>
+        s"""w${cN}_$t AS MATERIALIZED (SELECT cr.i, list_reduce(list_prepend(0.0::DOUBLE,
+           |    list_transform(generate_series(1, $dim), jj -> cr.cr[jj::INT] * v.v[jj::INT])), $fold) AS w
+           |  FROM cr$cN cr CROSS JOIN v${cN}_${t - 1} v),
+           |v${cN}_$t AS MATERIALIZED (SELECT list_transform(wl, x -> round(x / nrm, 6)) AS v FROM (
+           |  SELECT wl, greatest(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(wl, x -> x * x)), $fold)), 1e-12) AS nrm
+           |  FROM (SELECT list(w ORDER BY i) AS wl FROM w${cN}_$t)))""".stripMargin
+      }.mkString(",\n")
+      val deflate = if (cN < k)
+        s""",
+           |cv${cN + 1} AS MATERIALIZED (SELECT cv.i, cv.j, cv.c - (l.lam * v.v[cv.i::INT + 1]) * v.v[cv.j::INT + 1] AS c
+           |  FROM cv$cN cv CROSS JOIN lam$cN l CROSS JOIN v${cN}_$iters v),
+           |cr${cN + 1} AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr FROM cv${cN + 1} GROUP BY i)""".stripMargin
+      else ""
+      s"""v${cN}_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, $dim), x -> 1.0::DOUBLE) AS v),
+         |$rounds,
+         |mv$cN AS MATERIALIZED (SELECT cr.i, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, $dim), jj -> cr.cr[jj::INT] * v.v[jj::INT])), $fold) AS w
+         |  FROM cr$cN cr CROSS JOIN v${cN}_$iters v),
+         |lam$cN AS MATERIALIZED (SELECT round(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, $dim), ii -> v.v[ii::INT] * ml.m[ii::INT])), $fold), 6) AS lam
+         |  FROM (SELECT list(w ORDER BY i) AS m FROM mv$cN) ml CROSS JOIN v${cN}_$iters v)$deflate""".stripMargin
+    }.mkString(",\n")
+    s"""qt AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 10000.0) AS BIGINT)) AS q FROM embeddings),
+       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM qt),
+       |ds AS MATERIALIZED (SELECT i, sum(q[i::INT])::BIGINT AS s FROM (SELECT q, unnest(generate_series(1, $dim)) AS i FROM qt) GROUP BY i),
+       |ps AS MATERIALIZED (SELECT ij, sum(q[(ij // $dim)::INT + 1] * q[(ij % $dim)::INT + 1])::BIGINT AS s
+       |  FROM (SELECT q, unnest(generate_series(0, ${dim * dim - 1})) AS ij FROM qt) GROUP BY ij),
+       |cv1 AS MATERIALIZED (SELECT (ps.ij // $dim)::INT AS i, (ps.ij % $dim)::INT AS j,
+       |    ps.s::DOUBLE / nn.n::DOUBLE - (dsi.s::DOUBLE / nn.n::DOUBLE) * (dsj.s::DOUBLE / nn.n::DOUBLE) AS c
+       |  FROM ps CROSS JOIN nn JOIN ds dsi ON dsi.i = (ps.ij // $dim) + 1 JOIN ds dsj ON dsj.i = (ps.ij % $dim) + 1),
+       |cr1 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr FROM cv1 GROUP BY i),
+       |mzl AS MATERIALIZED (SELECT list(ds.s::DOUBLE / nn.n::DOUBLE ORDER BY ds.i) AS m FROM ds CROSS JOIN nn),
+       |$comps""".stripMargin
+  }
+
+  /** mirror of [[graft.pipeline.Similarity.pcaProject]]: per-vector top-k
+    * principal coordinates in original units, 6-dp. */
+  def pcaProjectSql(dim: Int, k: Int, iters: Int): String = {
+    val pcCols = (1 to k).map { cN =>
+      s"""round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim),
+         |  ii -> v$cN.v[ii::INT] * (qt.q[ii::INT]::DOUBLE - mz.m[ii::INT]))), (a, b) -> a + b) / 10000.0, 6) AS pc$cN""".stripMargin
+    }.mkString(", ")
+    val joins = (1 to k).map(cN => s"CROSS JOIN v${cN}_$iters v$cN").mkString(" ")
+    s"""WITH ${pcaCtes(dim, k, iters)}
+       |SELECT qt.vec_id, $pcCols
+       |FROM qt $joins CROSS JOIN mzl mz
+       |ORDER BY qt.vec_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Similarity.pcaVarianceReport]]:
+    * per-component eigenvalue (original units) + share of the
+    * pre-deflation trace. */
+  def pcaVarianceSql(dim: Int, k: Int, iters: Int): String = {
+    val rows = (1 to k).map { cN =>
+      s"SELECT ${cN}::BIGINT AS component, round(l$cN.lam / 100000000.0, 6) AS eigenvalue, round(l$cN.lam / tr.t, 6) AS explained_ratio FROM lam$cN l$cN CROSS JOIN tr"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${pcaCtes(dim, k, iters)},
+       |tr AS MATERIALIZED (SELECT list_reduce(list_prepend(0.0::DOUBLE, dl), (a, b) -> a + b) AS t
+       |  FROM (SELECT list(c ORDER BY i) AS dl FROM cv1 WHERE i = j))
+       |SELECT * FROM ($rows) ORDER BY component""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Multimodal.embedBatched]]: per-dimension
     * portable code-point fold normalized by P31. */
   def embedStubSql(dim: Int): String = {

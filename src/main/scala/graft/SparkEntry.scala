@@ -345,6 +345,12 @@ object SparkEntry {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(emb(s, d), q, 20).withColumn("sim", round(col("sim"), 3))
     }),
+    // PCA by deterministic power iteration: top-2 coordinates per vector
+    // (reduce-then-index) and the explained-variance spectrum report
+    "ann_pca" -> ((s, d) =>
+      Similarity.pcaProject(emb(s, d), k = 2, iters = 12).orderBy("vec_id")),
+    "ann_pcavar" -> ((s, d) =>
+      Similarity.pcaVarianceReport(emb(s, d), k = 2, iters = 12).orderBy("component")),
     // FILTERED vector search (the vector-DB "metadata pre-filter" shape):
     // the predicate pushes into the scan BEFORE scoring, so a selective
     // filter shrinks the candidate set instead of post-filtering top-k —
@@ -1272,6 +1278,8 @@ object SparkEntry {
       OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = kP,
         tables = Similarity.tablesFor(kP, simTarget = 0.9, recall = 0.9), dim = 64)
     },
+    "ann_pca"    -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12),
+    "ann_pcavar" -> OracleGen.pcaVarianceSql(dim = 64, k = 2, iters = 12),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "ann_filter" ->

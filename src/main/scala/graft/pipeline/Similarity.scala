@@ -1265,8 +1265,6 @@ object Similarity {
   ): Option[(DataFrame, Array[Double], Array[Array[Double]], Array[Double], Double)] = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1 && iters <= 256, "iters must be in [1,256]")
-    val d = inferDim(df, vecCol)
-    require(k <= d, s"k=$k exceeds embedding dim $d")
     val snapped = df.select(col(idCol),
       transform(col(vecCol), x => round(x.cast("double") * lit(10000.0), 0).cast("long")).as("q"))
       .pinned // materialize the snap: the d² explode must read a stored
@@ -1275,6 +1273,8 @@ object Similarity {
       .groupBy("i").agg(count(lit(1)).as("c"), sum("qi").as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     if (dimRows.isEmpty) { Checkpoints.free(snapped); return None }
+    val d = dimRows.length
+    require(k <= d, s"k=$k exceeds embedding dim $d")
     val nD = dimRows.head._2.toDouble
     val si = dimRows.map(_._3)
     val prods = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
@@ -1286,7 +1286,7 @@ object Similarity {
     val c = Array.tabulate(d, d)((i, j) =>
       ps(i * d + j).toDouble / nD - (si(i).toDouble / nD) * (si(j).toDouble / nD))
     var trace = 0.0
-    { var i = 0; while (i < d) { trace += c(i)(i); i += 1 } } // pre-deflation
+    locally { var i = 0; while (i < d) { trace += c(i)(i); i += 1 } } // pre-deflation
     val comps = Array.ofDim[Array[Double]](k)
     val lams  = Array.ofDim[Double](k)
     for (ci <- 0 until k) {
@@ -1298,7 +1298,7 @@ object Similarity {
           acc
         }
         var nn = 0.0
-        { var i = 0; while (i < d) { nn += w(i) * w(i); i += 1 } }
+        locally { var i = 0; while (i < d) { nn += w(i) * w(i); i += 1 } }
         val nrm = math.max(math.sqrt(nn), 1e-12) // zero-matrix guard
         v = w.map(x => r6(x / nrm))
       }
@@ -1308,7 +1308,7 @@ object Similarity {
         acc
       }
       var lam = 0.0
-      { var i = 0; while (i < d) { lam += v(i) * mv(i); i += 1 } }
+      locally { var i = 0; while (i < d) { lam += v(i) * mv(i); i += 1 } }
       val lamR = r6(lam)
       comps(ci) = v
       lams(ci) = lamR

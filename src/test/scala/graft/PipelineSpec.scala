@@ -428,6 +428,40 @@ class PipelineSpec extends SparkTestBase {
       3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0)))
   }
 
+  "Similarity.pcaProject" should "recover the dominant axis and order the spectrum" in {
+    // variance concentrated on axis 1, a little on axis 2, none on axis 3
+    val vecs = Seq(
+      (0L, Seq(4.0f, 0.1f, 0.5f)), (1L, Seq(-4.0f, -0.1f, 0.5f)),
+      (2L, Seq(2.0f, 0.3f, 0.5f)), (3L, Seq(-2.0f, -0.3f, 0.5f)),
+      (4L, Seq(3.0f, -0.2f, 0.5f)), (5L, Seq(-3.0f, 0.2f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pc = Similarity.pcaProject(vecs, k = 2, iters = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // pc1 ≈ the (mean-centered) axis-1 coordinate, up to a global sign
+    val s = math.signum(pc(0L)._1)
+    pc(0L)._1 * s shouldBe 4.0 +- 0.05
+    pc(1L)._1 * s shouldBe -4.0 +- 0.05
+    pc(2L)._1 * s shouldBe 2.0 +- 0.05
+    // pc2 carries far less spread than pc1
+    def spread(xs: Iterable[Double]) = xs.max - xs.min
+    spread(pc.values.map(_._2)) should be < spread(pc.values.map(_._1)) / 5
+    val rep = Similarity.pcaVarianceReport(vecs, k = 3, iters = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    rep.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    // eigenvalues descend; axis 3 is constant → its component is ~zero
+    rep(0)._2 should be > rep(1)._2
+    rep(1)._2 should be > rep(2)._2
+    rep(2)._2 shouldBe 0.0 +- 1e-4
+    // explained ratios form a (near-)partition of total variance
+    rep.map(_._3).sum shouldBe 1.0 +- 1e-3
+    rep(0)._3 should be > 0.95
+    // empty input → empty frames, schemas intact
+    val e = vecs.filter(lit(false))
+    Similarity.pcaProject(e, k = 2).columns.toSeq shouldBe Seq("vec_id", "pc1", "pc2")
+    Similarity.pcaProject(e, k = 2).count() shouldBe 0L
+    Similarity.pcaVarianceReport(e).count() shouldBe 0L
+  }
+
   "Similarity.recallAtK" should "count approximate hits against the exact top-k" in {
     val exact  = Seq(1L, 2L, 3L, 4L).toDF("id")
     val approx = Seq(2L, 4L, 9L).toDF("id")
