@@ -322,23 +322,57 @@ object OracleGen {
     * near-dup pair graph: `rounds` synchronous rounds of "adopt the most
     * frequent neighbor label, ties to the smallest label"; docs in no
     * pair are their own singleton community. */
-  def labelPropagationSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
-                          maxBucket: Int, rounds: Int): String = {
+  /** shared LPA CTE chain (mined pairs `p`, undirected edges `e`,
+    * synchronous rounds `l1..l$rounds`, full labeling `lab(id, c)` with
+    * singleton fallbacks) — base of [[labelPropagationSql]] /
+    * [[modularitySql]]. */
+  private def lpCtes(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                     maxBucket: Int, rounds: Int): String = {
     val iterCtes = (1 to rounds).map { t =>
       s"""l$t AS (SELECT id, lbl FROM (
          |  SELECT e.dst AS id, lp.lbl,
          |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lp.lbl) AS rn
          |  FROM e JOIN l${t - 1} lp ON lp.id = e.src GROUP BY e.dst, lp.lbl) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+    s"""${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
        |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-       |$iterCtes
-       |SELECT d.doc_id, coalesce(ll.lbl, d.doc_id) AS community
-       |FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id ORDER BY d.doc_id"""
-      .stripMargin.replace("\n", " ")
+       |$iterCtes,
+       |lab AS (SELECT d.doc_id AS id, coalesce(ll.lbl, d.doc_id) AS c
+       |        FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id)""".stripMargin
   }
+
+  def labelPropagationSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                          maxBucket: Int, rounds: Int): String =
+    s"""WITH ${lpCtes(threshold, numHashes, bands, shingleK, maxBucket, rounds)}
+       |SELECT id AS doc_id, c AS community FROM lab ORDER BY id"""
+      .stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.operators.Graph.modularity]] over the
+    * [[labelPropagationSql]] labeling of the mined pair graph. */
+  def modularitySql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                    maxBucket: Int, rounds: Int): String =
+    s"""WITH ${lpCtes(threshold, numHashes, bands, shingleK, maxBucket, rounds)},
+       |mm AS (SELECT count(*)::BIGINT AS m FROM p),
+       |inte AS (SELECT la.c AS community, count(*)::BIGINT AS l_in
+       |         FROM p JOIN lab la ON la.id = p.id_a JOIN lab lb ON lb.id = p.id_b
+       |         WHERE la.c = lb.c GROUP BY la.c),
+       |dg AS (SELECT src, count(*)::BIGINT AS dgr FROM e GROUP BY src),
+       |cd AS (SELECT la.c AS community, sum(dg.dgr)::BIGINT AS d_sum
+       |       FROM dg JOIN lab la ON la.id = dg.src GROUP BY la.c),
+       |nc AS (SELECT c AS community, count(*)::BIGINT AS n_nodes FROM lab GROUP BY c)
+       |SELECT nc.community, nc.n_nodes,
+       |  coalesce(inte.l_in, 0)::BIGINT AS l_in,
+       |  coalesce(cd.d_sum, 0)::BIGINT AS d_sum,
+       |  CASE WHEN mm.m = 0 THEN 0.0::DOUBLE ELSE
+       |    round(coalesce(inte.l_in, 0)::DOUBLE / mm.m::DOUBLE -
+       |      (coalesce(cd.d_sum, 0)::DOUBLE / (2.0 * mm.m::DOUBLE)) *
+       |      (coalesce(cd.d_sum, 0)::DOUBLE / (2.0 * mm.m::DOUBLE)), 6) END AS contrib
+       |FROM nc LEFT JOIN inte ON inte.community = nc.community
+       |        LEFT JOIN cd ON cd.community = nc.community
+       |        CROSS JOIN mm
+       |ORDER BY nc.community""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.pipeline.Sampling.domainReweight]]: per-lang mean
     * quality deficit from exact 4-dp-lattice integer sums, then `rounds`
@@ -432,12 +466,15 @@ object OracleGen {
 
   /** mirror of [[graft.pipeline.Similarity.pcaProject]]: per-vector top-k
     * principal coordinates in original units, 6-dp. */
-  def pcaProjectSql(dim: Int, k: Int, iters: Int): String = {
+  def pcaProjectSql(dim: Int, k: Int, iters: Int, whiten: Boolean = false): String = {
     val pcCols = (1 to k).map { cN =>
+      val scale =
+        if (whiten) s" / sqrt(greatest(l$cN.lam / 100000000.0, 1e-12))" else ""
       s"""round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim),
-         |  ii -> v$cN.v[ii::INT] * (qt.q[ii::INT]::DOUBLE - mz.m[ii::INT]))), (a, b) -> a + b) / 10000.0, 6) AS pc$cN""".stripMargin
+         |  ii -> v$cN.v[ii::INT] * (qt.q[ii::INT]::DOUBLE - mz.m[ii::INT]))), (a, b) -> a + b) / 10000.0$scale, 6) AS pc$cN""".stripMargin
     }.mkString(", ")
-    val joins = (1 to k).map(cN => s"CROSS JOIN v${cN}_$iters v$cN").mkString(" ")
+    val joins = (1 to k).map(cN =>
+      s"CROSS JOIN v${cN}_$iters v$cN" + (if (whiten) s" CROSS JOIN lam$cN l$cN" else "")).mkString(" ")
     s"""WITH ${pcaCtes(dim, k, iters)}
        |SELECT qt.vec_id, $pcCols
        |FROM qt $joins CROSS JOIN mzl mz

@@ -248,6 +248,14 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(
         Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
     }),
+    // Newman modularity of the LPA partition, decomposed per community
+    "d_modularity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val labels = graft.operators.Graph.labelPropagation(
+        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4)
+      graft.operators.Graph.modularity(
+        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), labels).orderBy("community")
+    }),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index
     "d_gate" -> ((s, d) => {
@@ -351,6 +359,8 @@ object SparkEntry {
       Similarity.pcaProject(emb(s, d), k = 2, iters = 12).orderBy("vec_id")),
     "ann_pcavar" -> ((s, d) =>
       Similarity.pcaVarianceReport(emb(s, d), k = 2, iters = 12).orderBy("component")),
+    "ann_whiten" -> ((s, d) =>
+      Similarity.pcaProject(emb(s, d), k = 2, iters = 12, whiten = true).orderBy("vec_id")),
     // FILTERED vector search (the vector-DB "metadata pre-filter" shape):
     // the predicate pushes into the scan BEFORE scoring, so a selective
     // filter shrinks the candidate set instead of post-filtering top-k —
@@ -1217,6 +1227,8 @@ object SparkEntry {
       maxBucket = 1000, iterations = 5, damping = 0.85),
     "d_labelprop" -> OracleGen.labelPropagationSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, rounds = 4),
+    "d_modularity" -> OracleGen.modularitySql(0.5, numHashes = 64, bands = 16, shingleK = 3,
+      maxBucket = 1000, rounds = 4),
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
@@ -1280,6 +1292,7 @@ object SparkEntry {
     },
     "ann_pca"    -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12),
     "ann_pcavar" -> OracleGen.pcaVarianceSql(dim = 64, k = 2, iters = 12),
+    "ann_whiten" -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12, whiten = true),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "ann_filter" ->

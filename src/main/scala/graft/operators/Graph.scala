@@ -127,6 +127,62 @@ object Graph {
   }
 
   /**
+   * NEWMAN MODULARITY decomposed per community — the quality score of a
+   * graph partition (e.g. a [[labelPropagation]] labeling over the
+   * near-dup pair graph): `contrib_c = L_c/m − (D_c/2m)²` where `L_c` is
+   * the community's internal edge count, `D_c` its degree sum and `m`
+   * the total undirected edge count; total modularity Q is the column
+   * sum. High-contrib communities are genuinely dense template families;
+   * a partition whose Q collapses toward 0 is chaining unrelated docs
+   * (the CC-through-a-bridge failure mode this quantifies).
+   *
+   * `pairs` is one row per undirected edge; `labels` maps EVERY node
+   * (singletons included — they contribute exact zeros). Both inputs are
+   * CONSUMED ([[Checkpoints.free]]) after being re-pinned internally:
+   * each is read by several aggregations below, and an unpinned mining
+   * pipeline would re-run per read.
+   *
+   * Scale shape: three partial-aggregated groupBys (internal edges,
+   * degree sums, node counts) + one id-keyed join each — O(edges), no
+   * per-pair shuffle amplification. All counts are exact int64; the two
+   * divisions and one multiply are the only float ops, spelled in the
+   * oracle's exact order, snapped to 6 dp.
+   */
+  def modularity(
+      pairs: DataFrame,
+      labels: DataFrame,
+      idCol: String = "doc_id",
+      commCol: String = "community"
+  ): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).pinned
+    Checkpoints.free(pairs)
+    val lab = labels.select(col(idCol).as("__id"), col(commCol).as("__c")).pinned
+    Checkpoints.free(labels)
+    val m = p.count()
+    val internal = p
+      .join(lab.select(col("__id").as("id_a"), col("__c").as("__ca")), "id_a")
+      .join(lab.select(col("__id").as("id_b"), col("__c").as("__cb")), "id_b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community")).agg(count(lit(1)).as("l_in"))
+    val und = p.union(p.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))
+    val deg  = und.groupBy(col("id_a").as("__id")).agg(count(lit(1)).as("__dg"))
+    val csum = deg.join(lab, "__id").groupBy(col("__c").as("community")).agg(sum("__dg").as("d_sum"))
+    val nodes = lab.groupBy(col("__c").as("community")).agg(count(lit(1)).as("n_nodes"))
+    val contrib =
+      if (m == 0L) lit(0.0) // an edgeless graph has no modularity to score
+      else round(col("l_in").cast("double") / lit(m.toDouble) -
+        (col("d_sum").cast("double") / lit(2.0 * m)) *
+          (col("d_sum").cast("double") / lit(2.0 * m)), 6)
+    nodes
+      .join(internal, Seq("community"), "left")
+      .join(csum, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("l_in"), lit(0L)).as("l_in"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"))
+      .withColumn("contrib", contrib)
+  }
+
+  /**
    * TRIANGLE ENUMERATION over an undirected edge list `(id_a, id_b)` with
    * `id_a < id_b`: every triple `(a, b, c)` with all three edges present,
    * `a < b < c`. On the near-dup graph a triangle means three documents

@@ -1331,18 +1331,24 @@ object Similarity {
       k: Int = 2,
       iters: Int = 12,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      whiten: Boolean = false
   ): DataFrame = pcaCore(df, k, iters, idCol, vecCol) match {
     case None =>
       df.limit(0).select(col(idCol) +: (1 to k).map(i => lit(0.0).as(s"pc$i")): _*)
-    case Some((snapped, means, comps, _, _)) =>
+    case Some((snapped, means, comps, lams, _)) =>
       val mLit = array(means.map(lit): _*)
       val cols = comps.zipWithIndex.map { case (v, ci) =>
         val vLit = array(v.map(lit): _*)
         val fold = aggregate(sequence(lit(0), lit(means.length - 1)), lit(0.0), (acc, i) =>
           acc + element_at(vLit, i + lit(1)) *
             (element_at(col("q"), i + lit(1)).cast("double") - element_at(mLit, i + lit(1))))
-        round(fold / lit(10000.0), 6).as(s"pc${ci + 1}")
+        val proj = fold / lit(10000.0)
+        // whitening rescales each axis to unit variance (÷√λ in original
+        // units, floored against degenerate flat axes) — the standard
+        // preconditioning before cosine/L2 indexing of the reduced vectors
+        val out = if (whiten) proj / lit(math.sqrt(math.max(lams(ci) / 1.0e8, 1e-12))) else proj
+        round(out, 6).as(s"pc${ci + 1}")
       }
       snapped.select(col(idCol) +: cols.toSeq: _*)
   }

@@ -455,6 +455,13 @@ class PipelineSpec extends SparkTestBase {
     // explained ratios form a (near-)partition of total variance
     rep.map(_._3).sum shouldBe 1.0 +- 1e-3
     rep(0)._3 should be > 0.95
+    // whitening rescales each axis toward unit variance: the dominant
+    // axis shrinks relative to its raw projection, and both whitened
+    // axes end up with comparable spread
+    val wh = Similarity.pcaProject(vecs, k = 2, iters = 20, whiten = true)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val s1 = spread(wh.map(_._1)); val s2 = spread(wh.map(_._2))
+    (s1 / s2) should (be > 0.3 and be < 3.0)
     // empty input → empty frames, schemas intact
     val e = vecs.filter(lit(false))
     Similarity.pcaProject(e, k = 2).columns.toSeq shouldBe Seq("vec_id", "pc1", "pc2")

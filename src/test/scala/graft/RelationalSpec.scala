@@ -170,6 +170,25 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Graph.modularity" should "score the bridged-triangle partition by hand-checked contributions" in {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 11L -> 3L, 12L -> 3L, 13L -> 3L, 99L -> 99L)
+      .toDF("doc_id", "community")
+    val out = graft.operators.Graph.modularity(edges, labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // m = 7; each triangle: 3 internal edges, degree sum 7 (2+2+3 with the
+    // bridge endpoint) → 3/7 − (7/14)² = 0.178571; the isolated node is an
+    // exact-zero singleton row
+    out(1L) shouldBe ((3L, 3L, 7L, 0.178571))
+    out(3L) shouldBe ((3L, 3L, 7L, 0.178571))
+    out(99L) shouldBe ((1L, 0L, 0L, 0.0)) // exact-zero singleton row
+    // an edgeless graph scores zero instead of dividing by zero
+    val none = graft.operators.Graph.modularity(edges.limit(0), labels)
+      .collect().map(_.getDouble(4))
+    none.foreach(_ shouldBe 0.0)
+  }
+
   "Relational.percentRankWithin" should "rank within each group, 0 for singletons" in {
     val d = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 20.0), ("b", 99.0))
       .toDF("k", "v")
