@@ -249,12 +249,12 @@ object SparkEntry {
         Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
     }),
     // Newman modularity of the LPA partition, decomposed per community
+    // (one shared materialization of the mined pair graph)
     "d_modularity" -> ((s, d) => {
       val dd = docs(s, d)
-      val labels = graft.operators.Graph.labelPropagation(
+      graft.operators.Graph.labelPropagationModularity(
         Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4)
-      graft.operators.Graph.modularity(
-        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), labels).orderBy("community")
+        .orderBy("community")
     }),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
     // batch, the rest the historical corpus behind a signature index

@@ -101,11 +101,22 @@ object Graph {
       nodes: DataFrame,
       rounds: Int = 4,
       idCol: String = "doc_id"
+  ): DataFrame = lpCore(edges, nodes, rounds, idCol, consume = true)
+
+  /** [[labelPropagation]] body; `consume = false` leaves the caller's
+    * pins under `edges` alive (shared-edge compositions like
+    * [[labelPropagationModularity]]). */
+  private def lpCore(
+      edges: DataFrame,
+      nodes: DataFrame,
+      rounds: Int,
+      idCol: String,
+      consume: Boolean
   ): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val sym = edges.toDF("src", "dst")
     val und = sym.union(sym.select(col("dst"), col("src"))).pinned
-    Checkpoints.free(edges) // input consumed: release any pins beneath it
+    if (consume) Checkpoints.free(edges) // input consumed: release pins beneath it
     val ids = nodes.select(col(idCol).as("id"))
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).pinned
@@ -148,6 +159,21 @@ object Graph {
    * divisions and one multiply are the only float ops, spelled in the
    * oracle's exact order, snapped to 6 dp.
    */
+  /** [[labelPropagation]] + [[modularity]] over ONE materialization of
+    * the edge list — the composed gate shape (mining the pair graph is
+    * the dominant cost; two independent calls would mine it twice). */
+  def labelPropagationModularity(
+      edges: DataFrame,
+      nodes: DataFrame,
+      rounds: Int = 4,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val pairs = edges.toDF("id_a", "id_b").pinned
+    Checkpoints.free(edges)
+    val labels = lpCore(pairs, nodes, rounds, idCol, consume = false)
+    modularity(pairs, labels, idCol)
+  }
+
   def modularity(
       pairs: DataFrame,
       labels: DataFrame,
