@@ -132,6 +132,39 @@ object StreamingCurate {
   }
 
   /**
+   * STREAMING DOMAIN-MIX MONITOR — the streaming face of
+   * [[Sampling.domainReweight]]: per event-time window and domain
+   * (language), the doc count and the 6-dp mean quality deficit that
+   * drives the DoReMi-style reweighting, as a watermarked windowed
+   * aggregate (update mode; state = one row per (window, domain),
+   * evicted at the watermark; the quality expressions are row-local
+   * codegen, the deficit mean snap-then-divide over exact lattice ints
+   * exactly like the batch operator). Cross-domain weight normalization
+   * spans groups, which a streaming aggregate cannot do — derive weights
+   * per emitted window downstream with [[Sampling.mixWeightsOf]]
+   * (foreachBatch, or the live rollup a mix dashboard reads).
+   */
+  def domainMixMonitor(
+      stream: DataFrame,
+      tsCol: String,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "5 minutes",
+      domainCol: String = "lang",
+      textCol: String = "text"
+  ): DataFrame = {
+    val (_, _, _, quality) = TextAnalysis.qualityCols(col(textCol))
+    val qInt = round(quality * 10000, 0).cast("long")
+    stream
+      .filter(col(domainCol).isNotNull)
+      .select(col(tsCol), col(domainCol).cast("string").as("domain"), qInt.as("__q"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1.0) - sum(col("__q")).cast("double") /
+          (lit(10000.0) * count(lit(1)).cast("double")), 6).as("loss"))
+  }
+
+  /**
    * TRENDING-TERM monitor — per (event-time window, term) occurrence
    * counts for terms crossing `minCount`: the heavy-hitters feed behind
    * "what vocabulary is suddenly flooding the stream" alerts (spam bursts

@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.pipeline.{StreamingCurate, TextAnalysis}
 
 case class ScDoc(ts: Timestamp, doc_id: Long, text: String)
+case class ScLangDoc(ts: Timestamp, doc_id: Long, lang: String, text: String)
 
 /** Streaming curation specs: the stateless row-local filter pipeline and
   * the watermarked quality monitor. */
@@ -101,6 +102,39 @@ class StreamingCurateSpec extends SparkTestBase {
       val ids = spark.table("sc_pipe").select("doc_id").collect().map(_.getLong(0)).toSet
       ids.size shouldBe 1               // one representative of the dup pair
       ids.subsetOf(Set(0L, 1L)) shouldBe true
+    } finally q.stop()
+  }
+
+  "StreamingCurate.domainMixMonitor" should "emit batch-parity window losses feeding live mix weights" in {
+    import graft.pipeline.Sampling
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[ScLangDoc]
+    val cp = Files.createTempDirectory("graft_sc_").toString
+    val q = StreamingCurate.domainMixMonitor(input.toDF(), "ts", windowDur = "1 minute")
+      .writeStream.format("memory").queryName("sc_mix").outputMode("update")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(60000L)
+      input.addData(
+        ScLangDoc(t0, 0L, "en", good), ScLangDoc(t0, 1L, "en", good),
+        ScLangDoc(t0, 2L, "zz", "x y"), ScLangDoc(t0, 3L, "zz", "x y"))
+      q.processAllAvailable()
+      val win = spark.table("sc_mix").select("domain", "n_docs", "loss")
+      val batch = Sampling.domainReweight(
+        Seq((0L, "en", good), (1L, "en", good), (2L, "zz", "x y"), (3L, "zz", "x y"))
+          .toDF("doc_id", "lang", "text"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val live = win.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // identical snap-then-divide → the emitted loss equals the batch loss exactly
+      live("en") shouldBe ((batch("en")._1, batch("en")._2))
+      live("zz") shouldBe ((batch("zz")._1, batch("zz")._2))
+      // weights derived from the emitted window track the batch operator
+      // (loss arrives 6-dp-snapped, so agreement is to ~1e-4, not bitwise)
+      val w = Sampling.mixWeightsOf(win).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      w("zz") shouldBe batch("zz")._3 +- 1e-4
+      w("en") shouldBe batch("en")._3 +- 1e-4
+      (w("en") + w("zz")) shouldBe 1.0 +- 3e-6
+      w("zz") should be > w("en") // the tilt survives the streaming path
     } finally q.stop()
   }
 
