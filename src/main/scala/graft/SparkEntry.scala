@@ -869,6 +869,9 @@ object SparkEntry {
         "ASIA", java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1998, 1, 1, 0, 0))),
     "st_custdist" -> ((s, d) =>
       graft.operators.Star.customerDistribution(tbl(s, d, "customer"), tbl(s, d, "orders"))),
+    // market-basket: top co-ordered part pairs with exact-count lift
+    "st_basket" -> ((s, d) =>
+      graft.operators.Star.coPurchasePairs(tbl(s, d, "lineitem"), minSupport = 2L, topK = 50)),
     "st_mktshare" -> ((s, d) =>
       graft.operators.Star.marketShare(tbl(s, d, "region"), tbl(s, d, "nation"),
         tbl(s, d, "customer"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), tbl(s, d, "supplier"),
@@ -1969,6 +1972,17 @@ object SparkEntry {
         |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "),
+    "st_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok)::BIGINT AS n FROM li),
+        |pc AS (SELECT pk, count(*)::BIGINT AS c FROM li GROUP BY pk),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS support
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |f AS (SELECT part_a, part_b, support FROM pr WHERE support >= 2)
+        |SELECT part_a, part_b, support,
+        |  round((support::DOUBLE * n.n::DOUBLE) / (ca.c::DOUBLE * cb.c::DOUBLE), 6) AS lift
+        |FROM f JOIN pc ca ON ca.pk = part_a JOIN pc cb ON cb.pk = part_b CROSS JOIN n
+        |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin.replace("\n", " "),
     // market share: numerator and denominator are exact cent·pct integer
     // sums; the one division happens after both snaps on both engines
     "st_mktshare" ->

@@ -456,4 +456,49 @@ object Star {
         (sum(col("__bal")).cast("double") / 100.0).as("totacctbal"))
       .orderBy(col("n_name"))
   }
+
+  /**
+   * MARKET-BASKET co-occurrence: the top-k part pairs ordered together in
+   * the most orders, with the LIFT of each pair (how much more often the
+   * two parts co-occur than independence predicts:
+   * `support·N / (count_a·count_b)` over order counts — all exact int64,
+   * one division at the end). The cut is deterministic: support DESC,
+   * then (part_a, part_b).
+   *
+   * Scale shape: the per-order self-join shuffles on the order key and
+   * fans out C(items-per-order, 2) pairs per order — a BOUNDED per-row
+   * blowup (order size is bounded by the business, not the corpus), then
+   * a partial-aggregated pair count. The basket relation pins once and
+   * feeds the pair join, the per-part counts and the order count; top-k
+   * runs as TakeOrdered, never a global sort.
+   */
+  def coPurchasePairs(
+      lineitem: DataFrame,
+      minSupport: Long = 2L,
+      topK: Int = 50
+  ): DataFrame = {
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    require(minSupport >= 1, "minSupport must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().pinned
+    val nOrders = li.select(col("ok")).distinct().count()
+    val pc = li.groupBy(col("pk")).agg(count(lit(1)).as("__c"))
+    val pairs = li.toDF("ok", "pa")
+      .join(li.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val out = pairs
+      .join(pc.select(col("pk").as("pa"), col("__c").as("__ca")), "pa")
+      .join(pc.select(col("pk").as("pb"), col("__c").as("__cb")), "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("support"),
+        round((col("support").cast("double") * lit(nOrders.toDouble)) /
+          (col("__ca").cast("double") * col("__cb").cast("double")), 6).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+    Checkpoints.free(lineitem) // input consumed (often a filtered scan — no pins is a no-op)
+    out
+  }
 }

@@ -134,6 +134,33 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  "the round-10 additions" should "keep their prescribed shuffle shapes" in {
+    import spark.implicits._
+    // PCA projection: per-row folds over the pinned snapped column — ZERO
+    // exchanges in the returned frame (all cross-row work happened inside
+    // the bounded collected-sums pass)
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 2.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pca = graft.pipeline.Similarity.pcaProject(vecs, k = 1, iters = 2)
+    val pcaPlan = pca.queryExecution.executedPlan.toString
+    withClue(pcaPlan) { exchanges(pcaPlan) shouldBe 0 }
+    // LPA and modularity: join + partial-aggregate rounds only — no
+    // window function may creep into either (the argmin is min(struct))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val lpPlan = graft.operators.Graph.labelPropagation(edges, nodes, rounds = 2)
+      .queryExecution.executedPlan.toString
+    withClue(lpPlan) { lpPlan should not include "Window" }
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L).toDF("doc_id", "community")
+    val mPlan = graft.operators.Graph
+      .modularity(Seq((1L, 2L)).toDF("id_a", "id_b"), labels)
+      .queryExecution.executedPlan.toString
+    withClue(mPlan) {
+      mPlan should not include "Window"
+      mPlan should not include "CartesianProduct"
+    }
+  }
+
   "the round-9 star additions" should "keep their prescribed shuffle shapes" in {
     // q7/q10/q14/q17/q19: part/nation-tagged dims broadcast; only the
     // fact-fact order-key join (q7/q10) or the slice window (q17) shuffles

@@ -48,4 +48,20 @@ class StarSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     out shouldBe Array(("N1", 1L, 30.0))
   }
+
+  "Star.coPurchasePairs" should "count pair support once per order and lift against independence" in {
+    // baskets: {1,2,3}, {1,2}, {1,3} — pair (1,2) and (1,3) co-occur
+    // twice, (2,3) once (cut by minSupport); the duplicate lineitem for
+    // part 1 in order 10 must not double-count
+    val li = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Star.coPurchasePairs(li, minSupport = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // n=3 orders; counts: part1→3, part2→2, part3→2
+    // lift(1,2) = 2·3/(3·2) = 1.0, lift(1,3) = 1.0
+    out shouldBe Array((1L, 2L, 2L, 1.0), (1L, 3L, 2L, 1.0))
+  }
 }
