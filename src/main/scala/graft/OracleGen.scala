@@ -417,6 +417,34 @@ object OracleGen {
        |      GROUP BY rep)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.TextAnalysis.bpeTrain]]: word histogram →
+    * char tokens → `merges` unrolled MATERIALIZED rounds of (weighted
+    * adjacent-pair count, deterministic argmax, greedy left-to-right
+    * list_reduce merge). */
+  def bpeTrainSql(merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      s"""pr$r AS MATERIALIZED (SELECT toks[i::INT] AS l, toks[i::INT + 1] AS r, sum(cnt)::BIGINT AS n
+         |  FROM (SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM v${r - 1} WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |tp$r AS MATERIALIZED (SELECT l, r, n FROM pr$r ORDER BY n DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT list_reduce(list_transform(toks, t -> [t]),
+         |    (a, b) -> CASE WHEN a[-1] = tp$r.l AND b[1] = tp$r.r
+         |                     THEN list_append(a[1:len(a) - 1], tp$r.l || tp$r.r)
+         |                   ELSE list_append(a, b[1]) END) AS toks, cnt
+         |  FROM v${r - 1} CROSS JOIN tp$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to merges)
+      .map(r => s"SELECT $r::BIGINT AS step, l AS lhs, r AS rhs, n AS pair_count FROM tp$r")
+      .mkString(" UNION ALL ")
+    s"""WITH wh AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1 GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, length(w)), i -> substring(w, i::INT, 1)) AS toks, cnt FROM wh),
+       |$rounds
+       |SELECT * FROM ($sel) ORDER BY step""".stripMargin.replace("\n", " ")
+  }
+
   /** shared CTE chain mirroring [[graft.pipeline.Similarity.pcaCore]]:
     * 1e-4-lattice snap → exact int64 dim/pair-product sums → covariance
     * by the spelled-out op sequence `Sij/n − (Si/n)·(Sj/n)` → per

@@ -995,6 +995,8 @@ object SparkEntry {
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
     // BPE trainer round: corpus-wide adjacent char-pair counts, top 50
     "tx_bpe" -> ((s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50)),
+    // full BPE merge training over the word histogram: the learned rules
+    "tx_bpemerge" -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")),
     // Zipf slope/intercept over the top-100 term frequencies
     "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d), n = 100)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
@@ -2249,6 +2251,7 @@ object SparkEntry {
         |      FROM w WHERE length(wd) >= 2)
         |SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " "),
+    "tx_bpemerge" -> OracleGen.bpeTrainSql(merges = 8),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     // per-doc sum is the same ascending sorted fold as the BM25 oracles
     "tx_entropy" ->

@@ -939,4 +939,73 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /**
+   * BPE MERGE TRAINING (Sennrich et al. 2016, "Neural Machine Translation
+   * of Rare Words with Subword Units"): starting from character tokens,
+   * repeatedly merge the corpus-wide most frequent adjacent token pair —
+   * `merges` rounds, ties to the lexicographically smallest (lhs, rhs).
+   * Returns the learned merge table `(step, lhs, rhs, pair_count)` — the
+   * tokenizer artifact itself ([[bpePairCounts]] is just round 1's
+   * histogram). Merging is the standard greedy left-to-right
+   * non-overlapping scan within word boundaries.
+   *
+   * Scale shape: training runs over the WORD HISTOGRAM, never the corpus
+   * — the classic BPE optimization: ONE corpus explode+count builds
+   * `(word, cnt)`, and each merge round then costs one pair explode +
+   * partial-aggregated weighted count over DISTINCT word forms
+   * (vocabulary-sized, corpus-size-independent) plus a TakeOrdered(1).
+   * Per-round vocab frames pin and free like the other bounded
+   * iterations. Counts are exact int64 and the tie-break total, so the
+   * oracle's unrolled MATERIALIZED rounds reproduce the exact merge
+   * sequence; the greedy merge itself is a sequential fold (`aggregate`
+   * HOF here, `list_reduce` there) over identical token lists.
+   */
+  def bpeTrain(df: DataFrame, merges: Int = 8, textCol: String = "text"): DataFrame = {
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    require(merges >= 1 && merges <= 64, "merges must be in [1,64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wh = df.select(explode(words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 1)
+      .groupBy(col("__w")).agg(count(lit(1)).as("cnt"))
+    var vocab = wh.select(
+      expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))").as("toks"),
+      col("cnt")).pinned
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= merges && !dry) {
+      val top = vocab.filter(size(col("toks")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))")).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) dry = true // every word fully merged: no pair left to learn
+      else {
+        val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, x, y, n))
+        // greedy scan: carry the last pending token; a (x,y) adjacency
+        // fuses into the pending slot (so it can pair again NEXT round,
+        // never within this one); "" is the no-pending sentinel
+        val zero = struct(array().cast("array<string>").as("out"), lit("").as("prev"))
+        val mergeFold = aggregate(col("toks"), zero,
+          (acc, t) => when(acc.getField("prev") === lit(x) && t === lit(y),
+              struct(acc.getField("out").as("out"), lit(x + y).as("prev")))
+            .when(acc.getField("prev") === lit(""),
+              struct(acc.getField("out").as("out"), t.as("prev")))
+            .otherwise(struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
+              t.as("prev"))),
+          acc => concat(acc.getField("out"), array(acc.getField("prev"))))
+        val next = vocab.select(mergeFold.as("toks"), col("cnt")).pinned
+        Checkpoints.free(vocab)
+        vocab = next
+      }
+      step += 1
+    }
+    Checkpoints.free(vocab) // the merge table below no longer reads it
+    learned.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
 }

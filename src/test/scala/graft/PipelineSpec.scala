@@ -1320,6 +1320,21 @@ class PipelineSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
   }
 
+  "TextAnalysis.bpeTrain" should "learn the hand-computed merge sequence and stop when dry" in {
+    // word histogram: aaa ×3 — pairs (a,a) at two positions ×3 = 6
+    val d1 = Seq((0L, "aaa"), (1L, "aaa"), (2L, "aaa")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.bpeTrain(d1, merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // greedy merge of [a,a,a] → [aa,a]; then (aa,a) ×3; then [aaa] is dry
+    m1 shouldBe Array((1L, "a", "a", 6L), (2L, "aa", "a", 3L))
+    // ties break to the lexicographically smallest pair: (a,b) and (c,d)
+    // both occur twice → (a,b) learned first
+    val d2 = Seq((0L, "ab cd"), (1L, "ab cd")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(d2, merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    m2 shouldBe Array(("a", "b", 2L))
+  }
+
   "TextAnalysis.vocabStats" should "count docs, tokens and vocab in pure int64" in {
     val corpus = Seq(
       (0L, "a b a", "en"), (1L, "a c", "en"), // en: 2 docs, 5 tokens, vocab {a,b,c}
