@@ -1137,6 +1137,32 @@ object OracleGen {
        |FROM hn JOIN pos ON pos.id_a = hn.query_id WHERE hn.neg_rank <= $m
        |ORDER BY anchor_id, neg_rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.rankEval]] over the [[annJoinSql]] retrieval
+    * chain: per-query ln-discount DCG / nDCG / MRR / P@k against label
+    * relevance, every fold ascending-rank. */
+  def rankEvalSql(k: Int, qmod: Int, planesPerTable: Int, tables: Int, dim: Int): String = {
+    val dcg = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(rr, e2 -> e2.rel::DOUBLE / ln(e2.rank::DOUBLE + 1.0))), (a, b) -> a + b)"
+    s"""WITH ${annJoinCtes(qmod, planesPerTable, tables, dim, multiProbe = false)},
+       |nb AS (SELECT query_id, id, rank FROM r WHERE rank <= $k),
+       |rl AS (SELECT nb.query_id, nb.rank,
+       |         (CASE WHEN lq.label = ln2.label THEN 1 ELSE 0 END)::BIGINT AS rel
+       |       FROM nb JOIN embeddings lq ON lq.vec_id = nb.query_id
+       |               JOIN embeddings ln2 ON ln2.vec_id = nb.id),
+       |g AS (SELECT query_id,
+       |        list_sort(list(struct_pack(rank := rank, rel := rel))) AS rr,
+       |        sum(rel)::BIGINT AS n_rel,
+       |        min(CASE WHEN rel = 1 THEN rank END) AS frank
+       |      FROM rl GROUP BY query_id)
+       |SELECT query_id, n_rel,
+       |  round($dcg, 6) AS dcg,
+       |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+       |    round($dcg / list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, least(n_rel, $k)), i -> 1.0::DOUBLE / ln(i::DOUBLE + 1.0))), (a, b) -> a + b), 6) END AS ndcg,
+       |  CASE WHEN frank IS NULL THEN 0.0::DOUBLE ELSE round(1.0::DOUBLE / frank::DOUBLE, 6) END AS mrr,
+       |  round(n_rel::DOUBLE / ${k}.0, 6) AS p_at_k
+       |FROM g ORDER BY query_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Similarity.knnClassify]]: the [[annJoinSql]] retrieval
     * chain, labels joined on the neighbor id (cast BIGINT so the hash
     * compare sees int64 — storage is int32), majority vote with

@@ -516,6 +516,16 @@ object SparkEntry {
     }),
     // k-NN label propagation: majority vote over the ann_join neighbor
     // list (weak supervision / auto-labeling over the labeled corpus)
+    // order-sensitive retrieval eval: nDCG/MRR/P@k of the ANN top-k
+    // against label relevance
+    "ann_ndcg" -> ((s, d) => {
+      val all    = emb(s, d)
+      val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 8)
+        .localCheckpoint(true)
+      val nn = Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 10,
+        planesPerTable = 6, tables = 8)
+      Similarity.rankEval(nn, all, k = 10).orderBy("query_id")
+    }),
     "ann_knn" -> ((s, d) => {
       val all    = emb(s, d)
       val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 8)
@@ -1288,6 +1298,7 @@ object SparkEntry {
       numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000,
       m = 3, dupCut = 0.95, searchK = 10, planesPerTable = 6, tables = 8, dim = 64),
     "ann_knn"   -> OracleGen.knnClassifySql(k = 10, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
+    "ann_ndcg"  -> OracleGen.rankEvalSql(k = 10, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
     "ann_join_mp" -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 4,
       dim = 64, multiProbe = true),
     "ann_join_auto" -> {

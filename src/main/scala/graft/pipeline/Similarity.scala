@@ -1226,6 +1226,58 @@ object Similarity {
       .select(col("id"), col("centroid"), col("dup").isNull.as("kept"))
   }
 
+  /**
+   * RANKING-QUALITY EVALUATION of a retrieval result against label
+   * relevance — per query: ln-discount DCG, nDCG, MRR and precision@k.
+   * The order-sensitive half of the eval harness ([[recallAtK]] grades
+   * set overlap with the exact top-k; this grades ORDER against ground
+   * truth: are same-class vectors ranked first?).
+   *
+   * `neighbors` is any `(query_id, id, rank)` frame ([[annJoin]], an IVF
+   * probe, a brute-force baseline); `labels` maps ids to classes; a
+   * neighbor is relevant iff its label equals the query's. DCG uses the
+   * `1/ln(rank+1)` discount — the conventional log2 rescales numerator
+   * and denominator alike, so nDCG is unchanged and ln is the
+   * engine-portable primitive; the ideal DCG fills the first
+   * min(#relevant, k) ranks. Queries with no relevant neighbor score 0
+   * across the board (never NULL); queries with no candidates at all
+   * emit no row.
+   *
+   * Scale shape: two id-keyed label joins, one groupBy(query) with
+   * k-bounded sorted-list folds — every fold ascending-rank so the
+   * oracle replays the identical IEEE sequence.
+   */
+  def rankEval(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).cast("long").as("__l"))
+    val rel = neighbors
+      .join(lab.select(col("__id").as("query_id"), col("__l").as("__ql")), "query_id")
+      .join(lab.select(col("__id").as("id"), col("__l").as("__nl")), "id")
+      .select(col("query_id"), col("rank"),
+        (col("__ql") === col("__nl")).cast("long").as("rel"))
+    val dcgOf = (rr: Column) => aggregate(rr, lit(0.0), (a, e) =>
+      a + e.getField("rel").cast("double") / log(e.getField("rank").cast("double") + lit(1.0)))
+    rel.groupBy(col("query_id")).agg(
+        sort_array(collect_list(struct(col("rank"), col("rel")))).as("rr"),
+        sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("__frank"))
+      .select(col("query_id"), col("n_rel"),
+        round(dcgOf(col("rr")), 6).as("dcg"),
+        when(col("n_rel") === 0, lit(0.0)).otherwise(
+          round(dcgOf(col("rr")) /
+            aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))), lit(0.0),
+              (a, i) => a + lit(1.0) / log(i.cast("double") + lit(1.0))), 6)).as("ndcg"),
+        when(col("__frank").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__frank").cast("double"), 6)).as("mrr"),
+        round(col("n_rel").cast("double") / lit(k.toDouble), 6).as("p_at_k"))
+  }
+
   // ---- PCA (fixed-round power iteration over a lattice covariance) -------
 
   /** DuckDB-round-compatible 6-dp snap (HALF_UP = half away from zero),

@@ -476,6 +476,22 @@ class PipelineSpec extends SparkTestBase {
     (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((4L, 2L, 0.5))
   }
 
+  "Similarity.rankEval" should "score hand-computed nDCG, MRR and P@k per query" in {
+    // query 100 (label 5): neighbors ranked 5(rel), 6(not), 7(rel)
+    // query 200 (label 9): no relevant neighbor at all
+    val nn = Seq((100L, 5L, 1), (100L, 6L, 2), (100L, 7L, 3), (200L, 5L, 1))
+      .toDF("query_id", "id", "rank")
+    val labels = Seq((100L, 5), (200L, 9), (5L, 5), (6L, 0), (7L, 5)).toDF("vec_id", "label")
+    val out = Similarity.rankEval(nn, labels, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg  = 1.0 / math.log(2.0) + 1.0 / math.log(4.0)
+    val idcg = 1.0 / math.log(2.0) + 1.0 / math.log(3.0)
+    out(100L) shouldBe ((2L, r6(dcg), r6(dcg / idcg), 1.0, r6(2.0 / 3.0)))
+    out(200L) shouldBe ((0L, 0.0, 0.0, 0.0, 0.0))
+  }
+
   "Similarity.marginPairs" should "mine mutual best matches and leave the hub unpaired" in {
     // two aligned cluster pairs (a0~b0 on e1, a1~b1 on e2) plus a hub in A
     // equally similar to both B vectors: mutual-argmax pairs the clusters,
