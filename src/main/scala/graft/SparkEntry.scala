@@ -849,6 +849,10 @@ object SparkEntry {
     "ev_stickiness" -> ((s, d) =>
       graft.operators.Relational.stickiness(evUsAll(s, d).select("user_id", "ts"))
         .orderBy("day")),
+    // Kaplan-Meier churn curve: day-bucketed lifetimes, 7-day censoring
+    "ev_survival" -> ((s, d) =>
+      graft.operators.Relational.survivalCurve(evUsAll(s, d).select("user_id", "ts"),
+        bucketUs = 86400000000L, horizonUs = 7L * 86400000000L).orderBy("t")),
     // Sankey input: per journey position, the from→to flow counts of each
     // user's first 5 moves
     "ev_sankey" -> ((s, d) => {
@@ -1603,6 +1607,30 @@ object SparkEntry {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort, bucket_offset, count(*) AS n_keys
         |FROM a GROUP BY cohort, bucket_offset ORDER BY cohort, bucket_offset""".stripMargin.replace("\n", " "),
+    // Kaplan-Meier: exact int64 risk/death counts over day-bucketed
+    // lifetimes; the survival scan is the [x]-wrapped prefix-product fold
+    // (ts_ewma pattern) in ascending lifetime order
+    "ev_survival" ->
+      """WITH per AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l FROM events GROUP BY user_id),
+        |mx AS (SELECT max(l) AS m FROM per),
+        |u AS (SELECT (l - f) // 86400000000 AS t,
+        |        (CASE WHEN (m - l) > 604800000000 THEN 1 ELSE 0 END)::BIGINT AS churn
+        |      FROM per CROSS JOIN mx),
+        |c AS (SELECT t, sum(churn)::BIGINT AS d, count(*)::BIGINT AS tot FROM u GROUP BY t),
+        |tt AS (SELECT sum(tot)::BIGINT AS n FROM c),
+        |o AS (SELECT t, d, tot, sum(tot) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM c),
+        |r AS (SELECT t, d, (n - cum + tot)::BIGINT AS n_risk FROM o CROSS JOIN tt),
+        |g AS (SELECT list(t ORDER BY t) AS ts_, list(d ORDER BY t) AS ds, list(n_risk ORDER BY t) AS ns
+        |      FROM r WHERE d > 0),
+        |s AS (SELECT ts_, ds, ns,
+        |        (list_reduce(list_prepend([1.0::DOUBLE],
+        |           list_transform(generate_series(1, len(ts_)),
+        |             i -> [1.0::DOUBLE - ds[i::INT]::DOUBLE / ns[i::INT]::DOUBLE])),
+        |           (a, b) -> list_append(a, a[-1] * b[1])))[2:] AS surv
+        |      FROM g WHERE len(ts_) > 0)
+        |SELECT unnest(ts_) AS t, unnest(ns) AS n_risk, unnest(ds) AS n_churned,
+        |  round(unnest(surv), 6) AS survival
+        |FROM s ORDER BY t""".stripMargin.replace("\n", " "),
     "ev_winsor" ->
       """WITH c AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
         |           FROM events GROUP BY event_type)

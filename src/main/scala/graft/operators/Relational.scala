@@ -768,4 +768,75 @@ object Relational {
         (mb - ma) / sqrt(va / na.cast("double") + vb / nb.cast("double")))
         .as("t_stat"))
   }
+
+  /**
+   * KAPLAN–MEIER SURVIVAL CURVE of user lifetimes with right-censoring —
+   * the churn-analysis face of the event log. A user's lifetime is
+   * last-seen − first-seen, floored to `bucketUs` buckets; users still
+   * active within `horizonUs` of the corpus' latest event are CENSORED:
+   * their lifetime is only a lower bound, so dropping them would bias
+   * survival down and counting them as churned would bias it up — KM is
+   * the standard estimator that uses both correctly (censored users
+   * leave the risk set at their observed lifetime without counting as
+   * deaths). One row per lifetime with ≥1 churn:
+   * `(t, n_risk, n_churned, survival)` where
+   * `S(t) = Π_{s≤t} (1 − d_s/n_s)`.
+   *
+   * Scale shape: one per-user min/max aggregation (map-side combined),
+   * then a bounded `(lifetime, censored)` count table — distinct
+   * lifetimes ≤ span/bucket (hundreds for years of days) — cumulated on
+   * the driver like [[graft.pipeline.Sampling.tokenBudget]]'s bucket
+   * pass; suffix at-risk counts and the ascending-lifetime product fold
+   * run over that bounded list, never a corpus-wide window. Counts are
+   * exact int64; the per-step `1 − d/n` and running product are the
+   * identical IEEE sequence the oracle's list scan replays.
+   */
+  def survivalCurve(
+      events: DataFrame,
+      bucketUs: Long,
+      horizonUs: Long,
+      idCol: String = "user_id",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(horizonUs >= 0, "horizonUs must be >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    val per = events.groupBy(col(idCol))
+      .agg(min(col(tsCol)).as("__f"), max(col(tsCol)).as("__l"))
+      .pinned // read twice (corpus horizon + lifetime counts)
+    val mxRow = per.agg(max(col("__l"))).head(1) // driver scalar, never a global window
+    if (mxRow.isEmpty || mxRow(0).isNullAt(0)) { // empty input → NULL max
+      Checkpoints.free(per)
+      return Seq.empty[(Long, Long, Long, Double)].toDF("t", "n_risk", "n_churned", "survival")
+    }
+    val mx = mxRow(0).getLong(0)
+    val counts = per
+      .select(expr(s"(__l - __f) div $bucketUs").as("t"),
+        (lit(mx) - col("__l") > lit(horizonUs)).cast("long").as("churn"))
+      .groupBy(col("t"), col("churn")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Checkpoints.free(per)
+    if (counts.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)].toDF("t", "n_risk", "n_churned", "survival")
+    val byT = counts.groupBy(_._1).map { case (t, rs) =>
+      (t, rs.filter(_._2 == 1L).map(_._3).sum, rs.map(_._3).sum)
+    }.toArray.sortBy(_._1) // (t, deaths, total) ascending
+    val n = byT.map(_._3).sum
+    var cum = 0L
+    var s = 1.0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    byT.foreach { case (t, d, tot) =>
+      cum += tot
+      val nRisk = n - cum + tot
+      if (d > 0) {
+        s = s * (1.0 - d.toDouble / nRisk.toDouble)
+        out += ((t, nRisk, d, s))
+      }
+    }
+    out.toSeq.toDF("t", "n_risk", "n_churned", "__s")
+      .select(col("t"), col("n_risk"), col("n_churned"), round(col("__s"), 6).as("survival"))
+  }
 }

@@ -170,6 +170,25 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Relational.survivalCurve" should "estimate hand-computed KM survival with censoring" in {
+    // bucket 10, horizon 5; corpus max ts = 30
+    // u5: lifetime 2 (t=0), churned; u2/u3: t=1, churned;
+    // u1: t=2, still active at 25 (censored); u4: t=3, active (censored)
+    val ev = Seq(
+      ("u1", 0L), ("u1", 25L), ("u2", 0L), ("u2", 10L), ("u3", 0L), ("u3", 12L),
+      ("u4", 0L), ("u4", 30L), ("u5", 0L), ("u5", 2L)
+    ).toDF("user_id", "ts")
+    val out = Relational.survivalCurve(ev, bucketUs = 10L, horizonUs = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // t=0: risk 5, 1 death → S=0.8; t=1: risk 4, 2 deaths → S=0.8·0.5=0.4;
+    // censored lifetimes 2 and 3 emit no row but shrank the risk set
+    out shouldBe Array((0L, 5L, 1L, 0.8), (1L, 4L, 2L, 0.4))
+    // empty input → empty frame with schema
+    val e = Relational.survivalCurve(ev.filter($"user_id" === "nope"), 10L, 5L)
+    e.columns.toSeq shouldBe Seq("t", "n_risk", "n_churned", "survival")
+    e.count() shouldBe 0L
+  }
+
   "Graph.modularity" should "score the bridged-triangle partition by hand-checked contributions" in {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
       .toDF("id_a", "id_b")
