@@ -1137,6 +1137,41 @@ object OracleGen {
        |FROM hn JOIN pos ON pos.id_a = hn.query_id WHERE hn.neg_rank <= $m
        |ORDER BY anchor_id, neg_rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Relational.markovSteadyState]]: the
+    * ev_trans window counts → full S×S stochastic matrix (dangling rows
+    * self-loop) → `rounds` MATERIALIZED mat-vec rounds with per-round
+    * renormalize + 6-dp snap, every fold ascending-state. */
+  def markovSteadySql(rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT cr.j, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, sl.ns), i2 -> cr.cl[i2::INT] * v.pi[i2::INT])), (a, b) -> a + b) AS w
+         |  FROM crj cr CROSS JOIN p${t - 1} v CROSS JOIN sl),
+         |p$t AS MATERIALIZED (SELECT list_transform(wl, x -> round(x / sw, 6)) AS pi FROM (
+         |  SELECT wl, list_reduce(list_prepend(0.0::DOUBLE, wl), (a, b) -> a + b) AS sw
+         |  FROM (SELECT list(w ORDER BY j) AS wl FROM w$t)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tc AS MATERIALIZED (SELECT event_type AS f, nxt AS t, count(*)::BIGINT AS n FROM (
+       |    SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt FROM events)
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |sl AS MATERIALIZED (SELECT list(s ORDER BY s) AS sts, count(*)::BIGINT AS ns FROM
+       |  (SELECT f AS s FROM tc UNION SELECT t AS s FROM tc)),
+       |ij AS MATERIALIZED (SELECT a.i, b.i AS j FROM
+       |  (SELECT unnest(generate_series(1, ns)) AS i FROM sl) a,
+       |  (SELECT unnest(generate_series(1, ns)) AS i FROM sl) b),
+       |cij AS MATERIALIZED (SELECT ij.i, ij.j, coalesce(tc.n, 0)::BIGINT AS n
+       |  FROM ij CROSS JOIN sl LEFT JOIN tc ON tc.f = sl.sts[ij.i::INT] AND tc.t = sl.sts[ij.j::INT]),
+       |rs AS MATERIALIZED (SELECT i, sum(n)::BIGINT AS r FROM cij GROUP BY i),
+       |pij AS MATERIALIZED (SELECT cij.i, cij.j,
+       |    CASE WHEN rs.r = 0 THEN (CASE WHEN cij.i = cij.j THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+       |         ELSE cij.n::DOUBLE / rs.r::DOUBLE END AS p
+       |  FROM cij JOIN rs ON rs.i = cij.i),
+       |crj AS MATERIALIZED (SELECT j, list(p ORDER BY i) AS cl FROM pij GROUP BY j),
+       |p0 AS MATERIALIZED (SELECT list_transform(generate_series(1, ns), x -> 1.0::DOUBLE / ns) AS pi FROM sl),
+       |$iterCtes
+       |SELECT unnest(sl.sts) AS state, unnest(p.pi) AS steady_prob
+       |FROM sl CROSS JOIN p$rounds p ORDER BY state""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Similarity.rankEval]] over the [[annJoinSql]] retrieval
     * chain: per-query ln-discount DCG / nDCG / MRR / P@k against label
     * relevance, every fold ascending-rank. */

@@ -836,6 +836,10 @@ object SparkEntry {
       graft.operators.Relational.transitionCounts(ev, Seq("user_id"), "ts", "event_type")
         .orderBy("from_state", "to_state")
     }),
+    // stationary distribution of the journey chain (fixed-round power iteration)
+    "ev_markov" -> ((s, d) =>
+      graft.operators.Relational.markovSteadyState(
+        evUsAll(s, d).select("user_id", "ts", "event_type"), rounds = 8).orderBy("state")),
     // id-parity A/B split: purchase-revenue-per-user lift + Welch t
     "ev_abtest" -> ((s, d) => {
       val ev = evUsAll(s, d).select("user_id", "event_type", "value")
@@ -2202,6 +2206,7 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type AS from_state, nxt AS to_state, count(*)::BIGINT AS n
         |FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "ev_markov" -> OracleGen.markovSteadySql(rounds = 8),
     // DAU/WAU: the (user, day) pairs explode to the 7 obs days each
     // supports; both distinct counts are exact ints, one final division
     "ev_stickiness" ->

@@ -770,6 +770,61 @@ object Relational {
   }
 
   /**
+   * MARKOV STEADY STATE of the event-type chain — where the user journey
+   * spends its time in the long run. The transition matrix row-normalizes
+   * [[transitionCounts]] (dangling states — no outgoing transition —
+   * self-loop, the standard fix that keeps the matrix stochastic); the
+   * stationary distribution comes from `rounds` synchronous power-
+   * iteration steps `π ← πP` from uniform, renormalized and snapped to
+   * 6 dp each round (the [[graft.pipeline.Sampling.domainReweight]]
+   * determinism recipe — a fixed round count IS the contract, cf.
+   * [[Graph.pageRank]]).
+   *
+   * Scale shape: one corpus pass builds the S×S count table (S = event
+   * types, single digits); the iteration runs on the driver over that
+   * bounded matrix, every fold in ascending state order so the oracle's
+   * relational mat-vec rounds replay the identical IEEE sequence.
+   */
+  def markovSteadyState(
+      events: DataFrame,
+      rounds: Int = 8,
+      idCol: String = "user_id",
+      tsCol: String = "ts",
+      stateCol: String = "event_type"
+  ): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1,64]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tc = transitionCounts(events, Seq(idCol), tsCol, stateCol)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (tc.isEmpty)
+      return Seq.empty[(String, Double)].toDF("state", "steady_prob")
+    val states = (tc.map(_._1) ++ tc.map(_._2)).distinct.sorted
+    val s = states.length
+    val idx = states.zipWithIndex.toMap
+    val c = Array.ofDim[Long](s, s)
+    tc.foreach { case (f, t, n) => c(idx(f))(idx(t)) = n }
+    val rsum = c.map(_.sum)
+    val p = Array.tabulate(s, s)((i, j) =>
+      if (rsum(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else c(i)(j).toDouble / rsum(i).toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pi = Array.fill(s)(1.0 / s)
+    for (_ <- 1 to rounds) {
+      val nx = Array.tabulate(s) { j =>
+        var a = 0.0; var i = 0
+        while (i < s) { a += p(i)(j) * pi(i); i += 1 } // ascending-state fold
+        a
+      }
+      var sw = 0.0
+      var j = 0
+      while (j < s) { sw += nx(j); j += 1 }
+      pi = nx.map(x => r6(x / sw))
+    }
+    states.zip(pi).toSeq.toDF("state", "steady_prob")
+  }
+
+  /**
    * KAPLAN–MEIER SURVIVAL CURVE of user lifetimes with right-censoring —
    * the churn-analysis face of the event log. A user's lifetime is
    * last-seen − first-seen, floored to `bucketUs` buckets; users still

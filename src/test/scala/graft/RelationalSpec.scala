@@ -170,6 +170,27 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Relational.markovSteadyState" should "converge toward the stationary distribution" in {
+    // A→B always; B→A or B→B evenly → π = (1/3, 2/3)
+    val ev = Seq(
+      ("u1", 0L, "A"), ("u1", 1L, "B"), ("u1", 2L, "A"), ("u1", 3L, "B"),
+      ("u2", 0L, "B"), ("u2", 1L, "B")
+    ).toDF("user_id", "ts", "event_type")
+    val pi = Relational.markovSteadyState(ev, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    pi.keySet shouldBe Set("A", "B")
+    pi("A") shouldBe (1.0 / 3.0) +- 0.005
+    pi("B") shouldBe (2.0 / 3.0) +- 0.005
+    pi.values.sum shouldBe 1.0 +- 3e-6
+    // a dangling state self-loops (absorbs) instead of losing mass
+    val ev2 = ev.union(Seq(("u3", 0L, "A"), ("u3", 1L, "C")).toDF("user_id", "ts", "event_type"))
+    val pi2 = Relational.markovSteadyState(ev2, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    pi2.keySet shouldBe Set("A", "B", "C")
+    pi2("C") should be > 0.2 // absorbing: mass accumulates
+    pi2.values.sum shouldBe 1.0 +- 1e-5
+  }
+
   "Relational.survivalCurve" should "estimate hand-computed KM survival with censoring" in {
     // bucket 10, horizon 5; corpus max ts = 30
     // u5: lifetime 2 (t=0), churned; u2/u3: t=1, churned;
