@@ -787,6 +787,10 @@ object SparkEntry {
     "ts_holt" -> ((s, d) =>
       TimeSeries.holtScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         alpha = 0.5, beta = 0.25).orderBy("event_type", "ts")),
+    // walk-forward forecast eval: one-step-ahead MAE/RMSE of the Holt scan
+    "ts_backtest" -> ((s, d) =>
+      TimeSeries.holtBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        alpha = 0.5, beta = 0.25).orderBy("event_type")),
     // classical additive decomposition: centered 2x24 MA trend, per-phase
     // seasonal means of the detrended grid, residual — all in-array folds
     "ts_decomp" -> ((s, d) =>
@@ -954,6 +958,15 @@ object SparkEntry {
         ix.copy(postings = ix.postings.localCheckpoint(true),
           doclens = ix.doclens.localCheckpoint(true)),
         Seq("spark", "join"), k = 20)
+    }),
+    // incremental maintenance: base index + appended batch ≡ full rebuild
+    // (the oracle stays the whole-corpus scan)
+    "rt_bm25_app" -> ((s, d) => {
+      val all  = docs(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_ixapp_").toString
+      Retrieval.writeTermIndex(all.filter(col("doc_id") % 4 =!= 0), path)
+      Retrieval.appendToTermIndex(all.filter(col("doc_id") % 4 === 0), path)
+      Retrieval.bm25TopKIndexed(Retrieval.readTermIndex(s, path), Seq("spark", "join"), k = 20)
     }),
     // MMR through the prebuilt index: shortlist from postings, word sets
     // for the Jaccard sims from postings too — the text is never read;
@@ -1926,6 +1939,33 @@ object SparkEntry {
          |  unnest(list_transform(hs, h -> h.l + h.b)) AS forecast
          |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
+    // walk-forward Holt eval: the ts_holt state fold verbatim, then the
+    // one-step errors and their abs/square ascending folds, one division
+    // each, sqrt — every op mirrored, snapped at 6 dp
+    "ts_backtest" -> {
+      val a    = "CAST(0.5 AS DOUBLE)"
+      val b    = "CAST(0.25 AS DOUBLE)"
+      val one  = "CAST(1.0 AS DOUBLE)"
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val lNew = s"$a * e[1].l + ($one - $a) * (a[-1].l + a[-1].b)"
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |s AS (SELECT event_type, vs,
+         |        list_reduce(
+         |          list_prepend([{'l': vs[1], 'b': $zero}], list_transform(vs[2:], x -> [{'l': x, 'b': $zero}])),
+         |          (a, e) -> list_append(a, {'l': $lNew,
+         |                                    'b': $b * (($lNew) - a[-1].l) + ($one - $b) * a[-1].b})) AS hs
+         |      FROM g WHERE len(vs) >= 2),
+         |er AS (SELECT event_type, len(vs)::BIGINT - 1 AS nf,
+         |         list_transform(generate_series(2, len(vs)),
+         |           i -> vs[i::INT] - (hs[(i - 1)::INT].l + hs[(i - 1)::INT].b)) AS errs
+         |       FROM s)
+         |SELECT event_type, nf AS n_forecasts,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(errs, x -> abs(x))), (a2, b2) -> a2 + b2) / nf::DOUBLE, 6) AS mae,
+         |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(errs, x -> x * x)), (a2, b2) -> a2 + b2) / nf::DOUBLE), 6) AS rmse
+         |FROM er ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
     // EWMA/CUSUM scans: list_reduce folds the SAME ts-ordered list with the
     // SAME literals as the engine's aggregate() fold -> every intermediate
     // double is the same IEEE op sequence; emitted unrounded on purpose.
@@ -2148,6 +2188,7 @@ object SparkEntry {
         |ORDER BY a.ym""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    "rt_bm25_app"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_mmr_idx"   -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),

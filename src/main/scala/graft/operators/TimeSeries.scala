@@ -576,6 +576,63 @@ object TimeSeries {
   }
 
   /**
+   * ONE-STEP-AHEAD BACKTEST of the [[holtScan]] forecaster — per key, the
+   * MAE and RMSE of predicting each grid point from the state at the
+   * PREVIOUS point (`forecastᵢ₋₁ = lᵢ₋₁ + bᵢ₋₁` vs `valueᵢ`): the
+   * standard walk-forward evaluation that answers "how good is this
+   * smoother as a forecaster on this metric", without holding out data
+   * (every point after the first is an out-of-sample one-step target).
+   * Keys whose grid has a single point have nothing to forecast and emit
+   * no row.
+   *
+   * Same shape as [[holtScan]] (whose state scan it reuses verbatim):
+   * everything folds over the key's own grid array inside one codegen'd
+   * projection — errors, their absolute/squared ascending folds, the two
+   * final divisions and the sqrt; no window functions, no joins, the
+   * [[gridSeries]] two-shuffle budget unchanged. abs/sqrt/÷ are portable
+   * single IEEE ops, so the 6-dp outputs hash-match the oracle's replay.
+   */
+  def holtBacktest(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      alpha: Double = 0.5,
+      beta: Double = 0.25
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    val a    = s"CAST($alpha AS DOUBLE)"
+    val b    = s"CAST($beta AS DOUBLE)"
+    val one  = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val prev = "element_at(acc, -1)"
+    val lNew = s"$a * x.$valueCol + ($one - $a) * ($prev.l + $prev.b)"
+    val scan =
+      s"""aggregate(slice(__pts, 2, size(__pts) - 1),
+         |  array(named_struct('l', CAST(__pts[0].$valueCol AS DOUBLE), 'b', $zero)),
+         |  (acc, x) -> array_append(acc, named_struct(
+         |    'l', $lNew,
+         |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
+    val errs =
+      s"""transform(sequence(2, size(__pts)), i ->
+         |  CAST(element_at(__pts, i).$valueCol AS DOUBLE)
+         |    - (element_at(__hs, i - 1).l + element_at(__hs, i - 1).b))""".stripMargin
+    gridSeries(df, keys, tsCol, valueCol, step)
+      .filter(size(col("__pts")) >= 2)
+      .withColumn("__hs", expr(scan))
+      .withColumn("__errs", expr(errs))
+      .withColumn("__nf", (size(col("__pts")) - 1).cast("long"))
+      .select(keys.map(col) ++ Seq(
+        col("__nf").as("n_forecasts"),
+        round(expr("aggregate(__errs, CAST(0.0 AS DOUBLE), (a2, x) -> a2 + abs(x))")
+          / col("__nf").cast("double"), 6).as("mae"),
+        round(sqrt(expr("aggregate(__errs, CAST(0.0 AS DOUBLE), (a2, x) -> a2 + x * x)")
+          / col("__nf").cast("double")), 6).as("rmse")): _*)
+  }
+
+  /**
    * SEASONAL DECOMPOSITION — classical additive decomposition of each
    * key's [[resample]]d grid with period `p` (hourly grid, `p`=24 → daily
    * seasonality): `value = trend + seasonal + resid`, where

@@ -152,6 +152,55 @@ object Retrieval {
       s.getLong(0), s.getLong(1))
   }
 
+  /**
+   * INCREMENTAL INDEX MAINTENANCE: append a new document batch to a
+   * persisted [[writeTermIndex]] layout without touching the indexed
+   * corpus — the ingest-time posture at 100 TB, where re-tokenizing the
+   * archive per arriving batch is the thing an index exists to avoid.
+   * Batch postings append as new term-partitioned, term-sorted parquet
+   * files (row-group pruning holds per file); batch doclens are one
+   * projection (`dl = size(words)` — identical to the base build's
+   * `Σ tf`); the two corpus scalars are read, bumped by the batch's own
+   * aggregate, and rewritten. No rebuild is needed for correctness:
+   * [[bm25ScoresIndexed]] derives document frequencies from the matched
+   * postings at QUERY time and takes n/avgdl from the refreshed stats,
+   * so an appended index scores identically to a from-scratch rebuild
+   * (spec-asserted; the `rt_bm25_app` gate's oracle is the plain
+   * whole-corpus scan).
+   *
+   * CONTRACT: batch ids must be NEW — an id already indexed would
+   * double-count its doclen and postings. The append is not
+   * crash-atomic: stats rewrite LAST, so a failure between the appends
+   * leaves postings over-complete and scalars stale — rebuild with
+   * [[writeTermIndex]] on any doubt (the same recovery posture as an
+   * interrupted compaction rewrite).
+   */
+  def appendToTermIndex(
+      docs: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Unit = {
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("append").parquet(s"$path/postings")
+    val batchDoclens = docs
+      .select(col(idCol), size(TextAnalysis.words(col(textCol))).cast("long").as("dl"))
+      .pinned // read twice: the doclens append + the scalar bump
+    batchDoclens.write.mode("append").parquet(s"$path/doclens")
+    val b = batchDoclens.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    Checkpoints.free(batchDoclens)
+    val s = spark.read.parquet(s"$path/stats").head()
+    Seq((s.getLong(0) + b.getLong(0), s.getLong(1) + b.getLong(1)))
+      .toDF("n", "sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** [[bm25Scores]] against a prebuilt [[TermIndex]] — identical arithmetic
     * (the `rt_bm25_idx` gate shares the corpus-scan oracle), but reads only
     * the matched postings, never the text. */

@@ -79,6 +79,28 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  "Retrieval.appendToTermIndex" should "score identically to a full rebuild after the batch append" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixappend").toString
+    try {
+      Retrieval.writeTermIndex(docs.filter($"doc_id" <= 1L), dir)
+      Retrieval.appendToTermIndex(docs.filter($"doc_id" > 1L), dir)
+      val ix = Retrieval.readTermIndex(spark, dir)
+      // refreshed scalars equal the full corpus'
+      ix.n shouldBe 4L
+      ix.sumDl shouldBe 14L
+      // appended index ≡ from-scratch scan, scores included
+      val direct   = Retrieval.bm25TopK(docs, Seq("spark", "sort"), k = 4).collect()
+      val appended = Retrieval.bm25TopKIndexed(ix, Seq("spark", "sort"), k = 4).collect()
+      appended.map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+        direct.map(r => (r.getLong(0), r.getDouble(1)))
+      // an empty batch is a no-op on the scalars
+      Retrieval.appendToTermIndex(docs.filter($"doc_id" < 0L), dir)
+      Retrieval.readTermIndex(spark, dir).n shouldBe 4L
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   "Retrieval.phraseMatches" should "count overlapping consecutive occurrences only" in {
     val corpus = Seq(
       (0L, "a b a b a"),   // "a b a": positions 0 and 2 (overlapping) → 2

@@ -192,6 +192,18 @@ class TimeSeriesSpec extends SparkTestBase {
     out shouldBe Array((2.0, 0.0, 2.0), (3.0, 0.25, 3.25), (5.625, 0.84375, 6.46875))
   }
 
+  "TimeSeries.holtBacktest" should "score one-step-ahead errors and skip single-point keys" in {
+    // x = [2, 4, 8] (holtScan fixture): forecasts 2 → err 2, 3.25 → err 4.75
+    // mae = (2 + 4.75)/2 = 3.375; rmse = sqrt((4 + 22.5625)/2)
+    val df = Seq(("a", 0L, 2.0), ("a", 10L, 4.0), ("a", 20L, 8.0), ("b", 0L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.holtBacktest(df, Seq("k"), "ts", "v", step = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.keySet shouldBe Set("a") // key b has one point: nothing to forecast
+    out("a") shouldBe ((2L, 3.375, r6(math.sqrt((4.0 + 22.5625) / 2.0))))
+  }
+
   it should "hold a linear series' trend once locked on" in {
     // after convergence on x_t = 5t the forecast tracks within the ramp
     val df = (0 until 30).map(i => ("a", i.toLong * 10, i * 5.0)).toDF("k", "ts", "v")
