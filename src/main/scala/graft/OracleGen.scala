@@ -318,10 +318,6 @@ object OracleGen {
       .stripMargin.replace("\n", " ")
   }
 
-  /** mirror of [[graft.operators.Graph.labelPropagation]] over the mined
-    * near-dup pair graph: `rounds` synchronous rounds of "adopt the most
-    * frequent neighbor label, ties to the smallest label"; docs in no
-    * pair are their own singleton community. */
   /** shared LPA CTE chain (mined pairs `p`, undirected edges `e`,
     * synchronous rounds `l1..l$rounds`, full labeling `lab(id, c)` with
     * singleton fallbacks) — base of [[labelPropagationSql]] /
@@ -343,6 +339,10 @@ object OracleGen {
        |        FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id)""".stripMargin
   }
 
+  /** mirror of [[graft.operators.Graph.labelPropagation]] over the mined
+    * near-dup pair graph: `rounds` synchronous rounds of "adopt the most
+    * frequent neighbor label, ties to the smallest label"; docs in no
+    * pair are their own singleton community. */
   def labelPropagationSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
                           maxBucket: Int, rounds: Int): String =
     s"""WITH ${lpCtes(threshold, numHashes, bands, shingleK, maxBucket, rounds)}
@@ -392,6 +392,9 @@ object OracleGen {
          |s$t AS (SELECT *, list_reduce(list_prepend(0.0::DOUBLE, ws), (a, b) -> a + b) AS sw FROM u$t),
          |w$t AS (SELECT langs, ns, ls, d, list_transform(ws, x -> x / sw) AS ws FROM s$t)""".stripMargin
     }.mkString(",\n")
+    // rounds = 0 is legal on the Spark side (smoothed uniform): emit no
+    // round CTEs and read straight from w0
+    val roundBlock = if (rounds == 0) "" else ",\n" + roundCtes
     s"""WITH q AS (SELECT lang, CAST(round($qual * 10000) AS BIGINT) AS qi
        |           FROM (SELECT lang, text, string_split(text, ' ') AS ws FROM documents)
        |           WHERE lang IS NOT NULL),
@@ -399,8 +402,7 @@ object OracleGen {
        |l AS (SELECT lang, n, 1.0::DOUBLE - s::DOUBLE / (10000.0::DOUBLE * n::DOUBLE) AS loss FROM a),
        |g AS (SELECT list(lang ORDER BY lang) AS langs, list(n ORDER BY lang) AS ns,
        |             list(loss ORDER BY lang) AS ls, count(*)::BIGINT AS d FROM l),
-       |w0 AS (SELECT langs, ns, ls, d, list_transform(ls, x -> 1.0::DOUBLE / d) AS ws FROM g),
-       |$roundCtes
+       |w0 AS (SELECT langs, ns, ls, d, list_transform(ls, x -> 1.0::DOUBLE / d) AS ws FROM g)$roundBlock
        |SELECT unnest(langs) AS domain, unnest(ns) AS n_docs, round(unnest(ls), 6) AS loss,
        |  round(unnest(list_transform(ws,
        |    x -> ${1.0 - smoothing}::DOUBLE * x + $smoothing::DOUBLE / d::DOUBLE)), 6) AS weight

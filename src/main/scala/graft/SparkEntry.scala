@@ -514,10 +514,9 @@ object SparkEntry {
       Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
         planesPerTable = kP, tables = lT).orderBy("query_id", "rank")
     }),
-    // k-NN label propagation: majority vote over the ann_join neighbor
-    // list (weak supervision / auto-labeling over the labeled corpus)
-    // order-sensitive retrieval eval: nDCG/MRR/P@k of the ANN top-k
-    // against label relevance
+    // order-sensitive retrieval eval (nDCG/MRR/P@k of the ANN top-k
+    // against label relevance); ann_knn below is k-NN label propagation
+    // (majority vote over the same neighbor lists)
     "ann_ndcg" -> ((s, d) => {
       val all    = emb(s, d)
       val corpus = Similarity.vectorIndex(all, planesPerTable = 6, tables = 8)
@@ -963,7 +962,9 @@ object SparkEntry {
     // (the oracle stays the whole-corpus scan)
     "rt_bm25_app" -> ((s, d) => {
       val all  = docs(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_ixapp_").toString
+      // fixed per-JVM path, rerun-safe (base write is mode=overwrite, so a
+      // repeat sweep rebuilds cleanly) — no temp-dir accumulation per run
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_ixapp_gate").toString
       Retrieval.writeTermIndex(all.filter(col("doc_id") % 4 =!= 0), path)
       Retrieval.appendToTermIndex(all.filter(col("doc_id") % 4 === 0), path)
       Retrieval.bm25TopKIndexed(Retrieval.readTermIndex(s, path), Seq("spark", "join"), k = 20)

@@ -137,6 +137,21 @@ object Graph {
       .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("community"))
   }
 
+  /** [[labelPropagation]] + [[modularity]] over ONE materialization of
+    * the edge list — the composed gate shape (mining the pair graph is
+    * the dominant cost; two independent calls would mine it twice). */
+  def labelPropagationModularity(
+      edges: DataFrame,
+      nodes: DataFrame,
+      rounds: Int = 4,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val pairs = edges.toDF("id_a", "id_b").pinned
+    Checkpoints.free(edges)
+    val labels = lpCore(pairs, nodes, rounds, idCol, consume = false)
+    modularity(pairs, labels, idCol)
+  }
+
   /**
    * NEWMAN MODULARITY decomposed per community — the quality score of a
    * graph partition (e.g. a [[labelPropagation]] labeling over the
@@ -159,21 +174,6 @@ object Graph {
    * divisions and one multiply are the only float ops, spelled in the
    * oracle's exact order, snapped to 6 dp.
    */
-  /** [[labelPropagation]] + [[modularity]] over ONE materialization of
-    * the edge list — the composed gate shape (mining the pair graph is
-    * the dominant cost; two independent calls would mine it twice). */
-  def labelPropagationModularity(
-      edges: DataFrame,
-      nodes: DataFrame,
-      rounds: Int = 4,
-      idCol: String = "doc_id"
-  ): DataFrame = {
-    val pairs = edges.toDF("id_a", "id_b").pinned
-    Checkpoints.free(edges)
-    val labels = lpCore(pairs, nodes, rounds, idCol, consume = false)
-    modularity(pairs, labels, idCol)
-  }
-
   def modularity(
       pairs: DataFrame,
       labels: DataFrame,

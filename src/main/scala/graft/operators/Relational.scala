@@ -799,7 +799,8 @@ object Relational {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     if (tc.isEmpty)
       return Seq.empty[(String, Double)].toDF("state", "steady_prob")
-    val states = (tc.map(_._1) ++ tc.map(_._2)).distinct.sorted
+    val states = (tc.map(_._1) ++ tc.map(_._2)).distinct
+      .sorted(graft.pipeline.OracleCompat.utf8Ordering) // the oracle's ORDER BY is UTF-8 bytes
     val s = states.length
     val idx = states.zipWithIndex.toMap
     val c = Array.ofDim[Long](s, s)
@@ -808,7 +809,7 @@ object Relational {
     val p = Array.tabulate(s, s)((i, j) =>
       if (rsum(i) == 0L) { if (i == j) 1.0 else 0.0 }
       else c(i)(j).toDouble / rsum(i).toDouble)
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import graft.pipeline.OracleCompat.r6
     var pi = Array.fill(s)(1.0 / s)
     for (_ <- 1 to rounds) {
       val nx = Array.tabulate(s) { j =>

@@ -541,6 +541,23 @@ object TimeSeries {
    * sequence stays identical; alpha/beta default to exactly-representable
    * binary fractions and everything is emitted unrounded.
    */
+  /** The Holt state-scan expression — the ONE source of the recurrence,
+    * shared by [[holtScan]] and [[holtBacktest]] (whose whole contract is
+    * scoring exactly this scan's forecasts). */
+  private def holtStateScanExpr(valueCol: String, alpha: Double, beta: Double): String = {
+    val a    = s"CAST($alpha AS DOUBLE)"
+    val b    = s"CAST($beta AS DOUBLE)"
+    val one  = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val prev = "element_at(acc, -1)"
+    val lNew = s"$a * x.$valueCol + ($one - $a) * ($prev.l + $prev.b)"
+    s"""aggregate(slice(__pts, 2, size(__pts) - 1),
+       |  array(named_struct('l', CAST(__pts[0].$valueCol AS DOUBLE), 'b', $zero)),
+       |  (acc, x) -> array_append(acc, named_struct(
+       |    'l', $lNew,
+       |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
+  }
+
   def holtScan(
       df: DataFrame,
       keys: Seq[String],
@@ -552,18 +569,7 @@ object TimeSeries {
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
-    val a    = s"CAST($alpha AS DOUBLE)"
-    val b    = s"CAST($beta AS DOUBLE)"
-    val one  = "CAST(1.0 AS DOUBLE)"
-    val zero = "CAST(0.0 AS DOUBLE)"
-    val prev = "element_at(acc, -1)"
-    val lNew = s"$a * x.$valueCol + ($one - $a) * ($prev.l + $prev.b)"
-    val scan =
-      s"""aggregate(slice(__pts, 2, size(__pts) - 1),
-         |  array(named_struct('l', CAST(__pts[0].$valueCol AS DOUBLE), 'b', $zero)),
-         |  (acc, x) -> array_append(acc, named_struct(
-         |    'l', $lNew,
-         |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
+    val scan = holtStateScanExpr(valueCol, alpha, beta)
     val grid = gridSeries(df, keys, tsCol, valueCol, step)
       .withColumn("__hs", expr(scan))
       .withColumn("__e", explode(arrays_zip(col("__pts"), col("__hs"))))
@@ -603,18 +609,7 @@ object TimeSeries {
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
-    val a    = s"CAST($alpha AS DOUBLE)"
-    val b    = s"CAST($beta AS DOUBLE)"
-    val one  = "CAST(1.0 AS DOUBLE)"
-    val zero = "CAST(0.0 AS DOUBLE)"
-    val prev = "element_at(acc, -1)"
-    val lNew = s"$a * x.$valueCol + ($one - $a) * ($prev.l + $prev.b)"
-    val scan =
-      s"""aggregate(slice(__pts, 2, size(__pts) - 1),
-         |  array(named_struct('l', CAST(__pts[0].$valueCol AS DOUBLE), 'b', $zero)),
-         |  (acc, x) -> array_append(acc, named_struct(
-         |    'l', $lNew,
-         |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
+    val scan = holtStateScanExpr(valueCol, alpha, beta)
     val errs =
       s"""transform(sequence(2, size(__pts)), i ->
          |  CAST(element_at(__pts, i).$valueCol AS DOUBLE)

@@ -123,6 +123,14 @@ object Retrieval {
     TermIndex(postings, doclens, n, sumDl)
   }
 
+  /** the persisted-postings projection shared by [[writeTermIndex]] and
+    * [[appendToTermIndex]] — term-partitioned, term-sorted for row-group
+    * pruning; one source of the tokenization. */
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
+
   /** Persist the index under `path`: postings are repartitioned by term and
     * sorted within partitions, so a query's `term IN (...)` prunes parquet
     * row groups by min/max stats instead of scanning the postings table.
@@ -134,9 +142,7 @@ object Retrieval {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): Unit = {
-    docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
-      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
-      .repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
+    postingsOf(docs, textCol, idCol)
       .write.mode("overwrite").parquet(s"$path/postings")
     val doclens = docs.sparkSession.read.parquet(s"$path/postings")
       .groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
@@ -158,9 +164,9 @@ object Retrieval {
    * corpus — the ingest-time posture at 100 TB, where re-tokenizing the
    * archive per arriving batch is the thing an index exists to avoid.
    * Batch postings append as new term-partitioned, term-sorted parquet
-   * files (row-group pruning holds per file); batch doclens are one
-   * projection (`dl = size(words)` — identical to the base build's
-   * `Σ tf`); the two corpus scalars are read, bumped by the batch's own
+   * files (row-group pruning holds per file); batch doclens aggregate
+   * the same pinned batch postings the append writes (`Σ tf`, the base
+   * build's own formula); the two corpus scalars are read, bumped by the batch's own
    * aggregate, and rewritten. No rebuild is needed for correctness:
    * [[bm25ScoresIndexed]] derives document frequencies from the matched
    * postings at QUERY time and takes n/avgdl from the refreshed stats,
@@ -185,16 +191,15 @@ object Retrieval {
     import graft.pipeline.Checkpoints.PinOps
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
-      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
-      .repartition(col("term")).sortWithinPartitions(col("term"), col(idCol))
-      .write.mode("append").parquet(s"$path/postings")
-    val batchDoclens = docs
-      .select(col(idCol), size(TextAnalysis.words(col(textCol))).cast("long").as("dl"))
-      .pinned // read twice: the doclens append + the scalar bump
+    // one tokenization: the pinned batch postings feed the postings
+    // append, the doclens (the base build's own Σ tf formula), and the
+    // scalar bump
+    val batchPostings = postingsOf(docs, textCol, idCol).pinned
+    batchPostings.write.mode("append").parquet(s"$path/postings")
+    val batchDoclens = batchPostings.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     batchDoclens.write.mode("append").parquet(s"$path/doclens")
     val b = batchDoclens.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    Checkpoints.free(batchDoclens)
+    Checkpoints.free(batchPostings)
     val s = spark.read.parquet(s"$path/stats").head()
     Seq((s.getLong(0) + b.getLong(0), s.getLong(1) + b.getLong(1)))
       .toDF("n", "sum_dl")

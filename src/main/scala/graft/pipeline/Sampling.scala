@@ -321,7 +321,7 @@ object Sampling {
       .agg(count(lit(1)).as("n"), sum(col("__q")).as("s"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+      .sortBy(_._1)(OracleCompat.utf8Ordering) // the oracle folds in UTF-8 byte order
     val d = agg.length
     if (d == 0)
       return Seq.empty[(String, Long, Double, Double)]
@@ -384,7 +384,8 @@ object Sampling {
     import spark.implicits._
     val agg = perDomain
       .select(col("domain").cast("string"), col("n_docs").cast("long"), col("loss").cast("double"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)(OracleCompat.utf8Ordering)
     val d = agg.length
     if (d == 0)
       return Seq.empty[(String, Long, Double, Double)]

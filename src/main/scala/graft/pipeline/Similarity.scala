@@ -1280,10 +1280,7 @@ object Similarity {
 
   // ---- PCA (fixed-round power iteration over a lattice covariance) -------
 
-  /** DuckDB-round-compatible 6-dp snap (HALF_UP = half away from zero),
-    * for driver-side iteration state the oracle replays with round(x, 6). */
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = OracleCompat.r6(x)
 
   /** Covariance + top-k eigenpairs of the embedding cloud; shared core of
     * [[pcaProject]] / [[pcaVarianceReport]]. Returns None on empty input.
