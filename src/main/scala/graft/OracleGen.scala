@@ -484,11 +484,17 @@ object OracleGen {
     s"""qt AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 10000.0) AS BIGINT)) AS q FROM embeddings),
        |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM qt),
        |ds AS MATERIALIZED (SELECT i, sum(q[i::INT])::BIGINT AS s FROM (SELECT q, unnest(generate_series(1, $dim)) AS i FROM qt) GROUP BY i),
+       |trik AS MATERIALIZED (SELECT list(k ORDER BY k) AS ks FROM
+       |  (SELECT unnest(generate_series(0, ${dim * dim - 1})) AS k) WHERE k % $dim >= k // $dim),
        |ps AS MATERIALIZED (SELECT ij, sum(q[(ij // $dim)::INT + 1] * q[(ij % $dim)::INT + 1])::BIGINT AS s
-       |  FROM (SELECT q, unnest(generate_series(0, ${dim * dim - 1})) AS ij FROM qt) GROUP BY ij),
-       |cv1 AS MATERIALIZED (SELECT (ps.ij // $dim)::INT AS i, (ps.ij % $dim)::INT AS j,
+       |  FROM (SELECT q, unnest(trik.ks) AS ij FROM qt CROSS JOIN trik) GROUP BY ij),
+       |irange AS MATERIALIZED (SELECT unnest(generate_series(0, ${dim - 1})) AS i),
+       |cv1 AS MATERIALIZED (SELECT t.i::INT AS i, t.j::INT AS j,
        |    ps.s::DOUBLE / nn.n::DOUBLE - (dsi.s::DOUBLE / nn.n::DOUBLE) * (dsj.s::DOUBLE / nn.n::DOUBLE) AS c
-       |  FROM ps CROSS JOIN nn JOIN ds dsi ON dsi.i = (ps.ij // $dim) + 1 JOIN ds dsj ON dsj.i = (ps.ij % $dim) + 1),
+       |  FROM (SELECT a.i AS i, b.i AS j FROM irange a, irange b) t
+       |  CROSS JOIN nn
+       |  JOIN ps ON ps.ij = least(t.i, t.j) * $dim + greatest(t.i, t.j)
+       |  JOIN ds dsi ON dsi.i = t.i + 1 JOIN ds dsj ON dsj.i = t.j + 1),
        |cr1 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr FROM cv1 GROUP BY i),
        |mzl AS MATERIALIZED (SELECT list(ds.s::DOUBLE / nn.n::DOUBLE ORDER BY ds.i) AS m FROM ds CROSS JOIN nn),
        |$comps""".stripMargin

@@ -1326,14 +1326,20 @@ object Similarity {
     require(k <= d, s"k=$k exceeds embedding dim $d")
     val nD = dimRows.head._2.toDouble
     val si = dimRows.map(_._3)
+    // upper triangle only — the covariance is symmetric, so the dominant
+    // explode halves to d(d+1)/2 products per row; keys stay in full-matrix
+    // space (i*d+j), and the driver mirrors (j,i) from (i,j). Exact integer
+    // sums mean the halved pass produces bit-identical covariance values.
     val prods = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-      transform(sequence(lit(0), lit(d - 1)), j =>
-        element_at(col("q"), i + lit(1)) * element_at(col("q"), j + lit(1)))))
-    val ps = snapped.select(posexplode(prods).as(Seq("ij", "p")))
-      .groupBy("ij").agg(sum("p").as("s"))
+      transform(sequence(i, lit(d - 1)), j =>
+        struct((i * lit(d) + j).as("ij"),
+          (element_at(col("q"), i + lit(1)) * element_at(col("q"), j + lit(1))).as("p")))))
+    val ps = snapped.select(explode(prods).as("e"))
+      .groupBy(col("e.ij").as("ij")).agg(sum(col("e.p")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val c = Array.tabulate(d, d)((i, j) =>
-      ps(i * d + j).toDouble / nD - (si(i).toDouble / nD) * (si(j).toDouble / nD))
+      ps(math.min(i, j) * d + math.max(i, j)).toDouble / nD -
+        (si(i).toDouble / nD) * (si(j).toDouble / nD))
     var trace = 0.0
     locally { var i = 0; while (i < d) { trace += c(i)(i); i += 1 } } // pre-deflation
     val comps = Array.ofDim[Array[Double]](k)
