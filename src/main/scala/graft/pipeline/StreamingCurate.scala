@@ -178,6 +178,63 @@ object StreamingCurate {
    * (no window functions over streaming aggregates); rank downstream on
    * the emitted rows if k-bounded output is needed.
    */
+  /**
+   * STREAMING BM25 ROUTER — score and route documents AS THEY ARRIVE
+   * against a set of named term queries, using corpus statistics from a
+   * prebuilt [[Retrieval.TermIndex]] ("which topic bucket does this new
+   * doc belong to", in the stream). Per query, the Okapi weight chain is
+   * EXACTLY [[Retrieval.bm25ScoresIndexed]]'s: idf from the index's
+   * postings (collected once per query term — bounded), tf and dl from
+   * the arriving document's own words (row-local), n/avgdl from the
+   * index scalars. The winning route maximizes score with ties to the
+   * smaller query name; rows below `minScore` drop.
+   *
+   * Scale shape: after the one bounded idf collect, scoring is PURE
+   * row-local codegen'd expression work — no state store, no
+   * stream-static join, no shuffle; append mode at scan speed (the
+   * [[importanceScoreStream]] pattern). Per-query fold order is the
+   * sorted term list, so scores replay deterministically; they agree
+   * with the batch operator to summation-order noise (the spec bounds it
+   * at 1e-9 — batch folds sort by weight, this folds by term).
+   */
+  def bm25RouteStream(
+      stream: DataFrame,
+      ix: Retrieval.TermIndex,
+      queries: Map[String, Seq[String]],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      minScore: Double = 0.0,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(ix.n > 0, "empty corpus index")
+    val allTerms = queries.values.flatten.toSeq.distinct
+    val dfs = ix.postings.filter(col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nD    = ix.n.toDouble
+    val avgdl = ix.sumDl.toDouble / ix.n
+    val ws = TextAnalysis.words(col(textCol))
+    val dl = size(ws).cast("double")
+    def scoreOf(terms: Seq[String]) =
+      terms.distinct.sorted.map { t =>
+        val df2 = dfs.getOrElse(t, 0.0)
+        val idf = math.log(1.0 + (nD - df2 + 0.5) / (df2 + 0.5))
+        val tf  = size(filter(ws, w => w === lit(t))).cast("double")
+        lit(idf) * (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
+      }.reduce(_ + _)
+    // argmax with smaller-name ties: sort (−score, name) ascending, take head
+    val ranked = sort_array(array(queries.toSeq.sortBy(_._1).map { case (name, terms) =>
+      struct((-scoreOf(terms)).as("ns"), lit(name).as("q"))
+    }: _*))
+    stream
+      .withColumn("__best", element_at(ranked, 1))
+      .withColumn("route", col("__best.q"))
+      .withColumn("score", -col("__best.ns"))
+      .drop("__best")
+      .filter(col("score") >= minScore)
+  }
+
   def termTrendMonitor(
       stream: DataFrame,
       tsCol: String,

@@ -138,6 +138,37 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StreamingCurate.bm25RouteStream" should "route live docs by corpus-stat BM25 within 1e-9 of batch" in {
+    import graft.pipeline.{Retrieval, Sampling => _}
+    implicit val sqlc = spark.sqlContext
+    val corpus = Seq((0L, good), (1L, spam), (2L, pii), (3L, es)).toDF("doc_id", "text")
+    val ixRaw  = Retrieval.termIndex(corpus)
+    val ix     = ixRaw.copy(postings = ixRaw.postings.localCheckpoint(true))
+    val queries = Map("q_spam" -> Seq("spam"), "q_the" -> Seq("the", "dog"))
+    val input = MemoryStream[ScDoc]
+    val cp = Files.createTempDirectory("graft_sc_").toString
+    val q = StreamingCurate.bm25RouteStream(input.toDF(), ix, queries)
+      .select("doc_id", "route", "score")
+      .writeStream.format("memory").queryName("sc_route").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000L)
+      input.addData(ScDoc(t0, 0L, good), ScDoc(t0, 1L, spam), ScDoc(t0, 2L, pii), ScDoc(t0, 3L, es))
+      q.processAllAvailable()
+      val out = spark.table("sc_route").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      out(1L)._1 shouldBe "q_spam" // the spam doc routes to the spam query
+      out(0L)._1 shouldBe "q_the"  // the english doc routes to the stopword query
+      // live scores match the batch scorer to summation-order noise
+      val batch = Retrieval.bm25Scores(corpus, Seq("the", "dog"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      out(0L)._2 shouldBe batch(0L) +- 1e-9
+      // a doc matching no query term scores an exact 0 on every route and
+      // survives only because minScore defaults to 0
+      out(3L)._2 shouldBe 0.0
+    } finally q.stop()
+  }
+
   "StreamingCurate.qualityMonitor" should "aggregate per-window per-lang acceptance and quality" in {
     implicit val sqlc = spark.sqlContext
     val input = MemoryStream[ScDoc]
