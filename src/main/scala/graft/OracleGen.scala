@@ -1145,6 +1145,51 @@ object OracleGen {
        |FROM hn JOIN pos ON pos.id_a = hn.query_id WHERE hn.neg_rank <= $m
        |ORDER BY anchor_id, neg_rank""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Graph.partitionAgreement]] between the
+    * CC labeling (recursive min-label CTE) and the LPA labeling
+    * (`rounds` synchronous rounds) over ONE shared mined pair chain:
+    * contingency pair counts are exact int64; the final ARI ratio spells
+    * the Spark operand order (`S_a·S_b` as a double — int64 overflows at
+    * corpus scale). */
+  def ariSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+             maxBucket: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { t =>
+      s"""l$t AS (SELECT id, lbl FROM (
+         |  SELECT e.dst AS id, lp.lbl,
+         |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lp.lbl) AS rn
+         |  FROM e JOIN l${t - 1} lp ON lp.id = e.src GROUP BY e.dst, lp.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |lab(id, l) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, lab.l FROM lab JOIN e ON e.src = lab.id),
+       |reps AS (SELECT id, min(l) AS rep FROM lab GROUP BY id),
+       |ca AS (SELECT d.doc_id AS id, coalesce(r.rep, d.doc_id) AS c
+       |       FROM documents d LEFT JOIN reps r ON r.id = d.doc_id),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |$iterCtes,
+       |cb AS (SELECT d.doc_id AS id, coalesce(ll.lbl, d.doc_id) AS c
+       |       FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id),
+       |ct AS (SELECT ca.c AS x, cb.c AS y, count(*)::BIGINT AS nij
+       |       FROM ca JOIN cb USING (id) GROUP BY 1, 2),
+       |sc AS (SELECT sum(nij * (nij - 1) // 2)::BIGINT AS sij, sum(nij)::BIGINT AS n FROM ct),
+       |sa AS (SELECT sum(ai * (ai - 1) // 2)::BIGINT AS s FROM
+       |  (SELECT sum(nij)::BIGINT AS ai FROM ct GROUP BY x)),
+       |sb AS (SELECT sum(bj * (bj - 1) // 2)::BIGINT AS s FROM
+       |  (SELECT sum(nij)::BIGINT AS bj FROM ct GROUP BY y))
+       |SELECT sc.n AS n_docs, sc.sij AS pairs_both, sa.s AS pairs_a, sb.s AS pairs_b,
+       |  CASE WHEN sc.n * (sc.n - 1) // 2 = 0 THEN 1.0::DOUBLE
+       |       WHEN (sa.s::DOUBLE + sb.s::DOUBLE) / 2.0
+       |              - (sa.s::DOUBLE * sb.s::DOUBLE) / (sc.n * (sc.n - 1) // 2)::DOUBLE = 0.0 THEN 1.0::DOUBLE
+       |       ELSE round((sc.sij::DOUBLE - (sa.s::DOUBLE * sb.s::DOUBLE) / (sc.n * (sc.n - 1) // 2)::DOUBLE)
+       |              / ((sa.s::DOUBLE + sb.s::DOUBLE) / 2.0
+       |                 - (sa.s::DOUBLE * sb.s::DOUBLE) / (sc.n * (sc.n - 1) // 2)::DOUBLE), 6) END AS ari
+       |FROM sc CROSS JOIN sa CROSS JOIN sb""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.operators.Relational.markovSteadyState]]: the
     * ev_trans window counts → full S×S stochastic matrix (dangling rows
     * self-loop) → `rounds` MATERIALIZED mat-vec rounds with per-round

@@ -248,6 +248,15 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(
         Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
     }),
+    // adjusted Rand index: how far the LPA communities differ from the
+    // CC clusters over the same mined pair graph
+    "d_ari" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cc = Dedup.duplicateClusters(dd, 0.5)
+      val lp = graft.operators.Graph.labelPropagation(
+        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4)
+      graft.operators.Graph.partitionAgreement(cc, lp, "rep", "community")
+    }),
     // Newman modularity of the LPA partition, decomposed per community
     // (one shared materialization of the mined pair graph)
     "d_modularity" -> ((s, d) => {
@@ -1265,6 +1274,8 @@ object SparkEntry {
     "d_labelprop" -> OracleGen.labelPropagationSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, rounds = 4),
     "d_modularity" -> OracleGen.modularitySql(0.5, numHashes = 64, bands = 16, shingleK = 3,
+      maxBucket = 1000, rounds = 4),
+    "d_ari" -> OracleGen.ariSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, rounds = 4),
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

@@ -137,6 +137,68 @@ object Graph {
       .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("community"))
   }
 
+  /**
+   * ADJUSTED RAND INDEX between two labelings of the same id universe —
+   * the standard partition-agreement score (1 = identical partitions,
+   * ~0 = chance-level agreement): with `S_ij = Σ C(n_ij, 2)` over the
+   * contingency table and `S_a/S_b` its row/column-marginal pair sums,
+   * `ARI = (S_ij − S_a·S_b/T) / ((S_a+S_b)/2 − S_a·S_b/T)`, `T = C(n,2)`.
+   * The eval harness for the dedup clusterings: "how much does the LPA
+   * community structure actually differ from the CC clusters" as one
+   * number instead of eyeballing labels.
+   *
+   * Scale shape: one id-keyed join builds the contingency counts
+   * (partial-aggregated; rows bounded by real cluster overlaps, not n²),
+   * then three bounded aggregations over it. Both labeling inputs are
+   * CONSUMED ([[Checkpoints.free]]) once the contingency table is
+   * pinned. All pair counts are exact
+   * int64 (`k·(k−1) div 2`); only the final ratio is float, in spelled
+   * operand order (`S_a·S_b` exceeds int64 at corpus scale, so the
+   * product is a double — exact to 2^53 and identically rounded beyond).
+   * A zero denominator (both partitions degenerate the same way) scores
+   * an exact 1.0 by convention.
+   */
+  def partitionAgreement(
+      a: DataFrame,
+      b: DataFrame,
+      labelColA: String,
+      labelColB: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ct = a.select(col(idCol), col(labelColA).as("__x"))
+      .join(b.select(col(idCol), col(labelColB).as("__y")), idCol)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("nij"))
+      .pinned // three bounded aggregations read it
+    Checkpoints.free(a, b) // inputs consumed: release pins under the labelings
+    def pairsOf(c: String) = sum(expr(s"$c * ($c - 1) div 2"))
+    val sijRow = ct.agg(pairsOf("nij"), sum(col("nij"))).head(1)
+    if (sijRow.isEmpty || sijRow(0).isNullAt(0)) {
+      Checkpoints.free(ct)
+      return Seq((0L, 0L, 0L, 0L, 1.0))
+        .toDF("n_docs", "pairs_both", "pairs_a", "pairs_b", "ari").limit(0)
+    }
+    val sij = sijRow(0).getLong(0)
+    val n   = sijRow(0).getLong(1)
+    val sa  = ct.groupBy(col("__x")).agg(sum(col("nij")).as("ai"))
+      .agg(pairsOf("ai")).head().getLong(0)
+    val sb  = ct.groupBy(col("__y")).agg(sum(col("nij")).as("bj"))
+      .agg(pairsOf("bj")).head().getLong(0)
+    Checkpoints.free(ct)
+    val t   = n * (n - 1) / 2
+    val ari =
+      if (t == 0L) 1.0 // a single id: one possible partition
+      else {
+        val exp = (sa.toDouble * sb.toDouble) / t.toDouble
+        val den = (sa.toDouble + sb.toDouble) / 2.0 - exp
+        if (den == 0.0) 1.0 else (sij.toDouble - exp) / den
+      }
+    Seq((n, sij, sa, sb, ari)).toDF("n_docs", "pairs_both", "pairs_a", "pairs_b", "__ari")
+      .select(col("n_docs"), col("pairs_both"), col("pairs_a"), col("pairs_b"),
+        round(col("__ari"), 6).as("ari"))
+  }
+
   /** [[labelPropagation]] + [[modularity]] over ONE materialization of
     * the edge list — the composed gate shape (mining the pair graph is
     * the dominant cost; two independent calls would mine it twice). */

@@ -229,6 +229,21 @@ class RelationalSpec extends SparkTestBase {
     none.foreach(_ shouldBe 0.0)
   }
 
+  "Graph.partitionAgreement" should "score hand-computed ARI" in {
+    // A = {1,2}{3,4}; B = {1,2,3}{4}: contingency (1,1)=2,(3,1)=1,(3,4)=1
+    // → S_ij=1, S_a=2, S_b=3, n=4, T=6 → expected 1.0, max 2.5 → ARI 0
+    val a = Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L).toDF("doc_id", "rep")
+    val b = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L).toDF("doc_id", "community")
+    val r = graft.operators.Graph.partitionAgreement(a, b, "rep", "community").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) shouldBe
+      ((4L, 1L, 2L, 3L, 0.0))
+    // identical partitions score an exact 1
+    val a2 = Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L).toDF("doc_id", "rep")
+    graft.operators.Graph.partitionAgreement(
+      a2, a2.withColumnRenamed("rep", "community"), "rep", "community")
+      .head().getDouble(4) shouldBe 1.0
+  }
+
   "Relational.percentRankWithin" should "rank within each group, 0 for singletons" in {
     val d = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 20.0), ("b", 99.0))
       .toDF("k", "v")
