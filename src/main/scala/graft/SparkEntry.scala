@@ -252,9 +252,13 @@ object SparkEntry {
     // CC clusters over the same mined pair graph
     "d_ari" -> ((s, d) => {
       val dd = docs(s, d)
-      val cc = Dedup.duplicateClusters(dd, 0.5)
-      val lp = graft.operators.Graph.labelPropagation(
-        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4)
+      // ONE mining run; each labeling consumes its own checkpointed handle
+      val lazyPairs = Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b")
+      val p1 = lazyPairs.localCheckpoint(true)
+      graft.pipeline.Checkpoints.free(lazyPairs)
+      val p2 = p1.localCheckpoint(true)
+      val cc = Dedup.duplicateClustersFromPairs(p1, dd)
+      val lp = graft.operators.Graph.labelPropagation(p2, dd, rounds = 4)
       graft.operators.Graph.partitionAgreement(cc, lp, "rep", "community")
     }),
     // Newman modularity of the LPA partition, decomposed per community

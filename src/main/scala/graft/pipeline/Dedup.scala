@@ -814,6 +814,21 @@ object Dedup {
     // materialization is dead now — and invisible to any later free of the
     // result (the checkpoint boundary hides it). Release it here.
     Checkpoints.free(pairsLazy)
+    duplicateClustersFromPairs(pairs, df, idCol, maxIters)
+  }
+
+  /** [[duplicateClusters]]' labeling loop over PREBUILT near-dup pairs
+    * (consumed) — the shared-mining path for compositions that need the
+    * same pair list twice (e.g. CC vs LPA agreement scoring): mine once,
+    * checkpoint, hand each consumer its own pinned handle. */
+  def duplicateClustersFromPairs(
+      pairsIn: DataFrame,
+      df: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 50
+  ): DataFrame = {
+    val pairs = pairsIn.select(col("id_a"), col("id_b")).pinned
+    Checkpoints.free(pairsIn) // input consumed: release the caller's handle
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("rep", col("id")).pinned
