@@ -1461,6 +1461,20 @@ object OracleGen {
        |FROM a1 JOIN c1 ON a1.centroid = c1.cid
        |GROUP BY a1.centroid ORDER BY a1.centroid""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.clusterPurity]]: refined assignment joined to
+    * labels, per-cluster majority share with smaller-label ties. */
+  def clusterPuritySql(nlist: Int, dim: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)},
+       |lc AS (SELECT a1.centroid, e2.label::BIGINT AS label, count(*)::BIGINT AS c
+       |       FROM a1 JOIN embeddings e2 ON e2.vec_id = a1.id GROUP BY 1, 2),
+       |tp AS (SELECT centroid, label, c,
+       |         row_number() OVER (PARTITION BY centroid ORDER BY c DESC, label) AS rn FROM lc),
+       |nc AS (SELECT centroid, sum(c)::BIGINT AS n FROM lc GROUP BY centroid)
+       |SELECT nc.centroid, nc.n AS n_vectors, tp.label AS top_label, tp.c AS top_count,
+       |  round(tp.c::DOUBLE / nc.n::DOUBLE, 6) AS purity
+       |FROM nc JOIN tp ON tp.centroid = nc.centroid AND tp.rn = 1
+       |ORDER BY nc.centroid""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.clusterBalancedSample]]: refined assignment,
     * per-cluster prototypicality rank (cosine to the 6-dp-snapped mean
     * centroid, id tiebreak), top `perCluster` kept. */

@@ -462,6 +462,8 @@ object SparkEntry {
     "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
     // cluster cohesion panel over the same k-means assignment
     "sem_report" -> ((s, d) => Similarity.clusterReport(emb(s, d), nlist = 16).orderBy("centroid")),
+    // label-side health: per-cluster majority-label share
+    "sem_purity" -> ((s, d) => Similarity.clusterPurity(emb(s, d), nlist = 16).orderBy("centroid")),
     // index-health harness: recall@20 of the probed IVF vs brute force
     "ann_recall" -> ((s, d) => {
       val e   = emb(s, d)
@@ -1325,6 +1327,7 @@ object SparkEntry {
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "sem_report" -> OracleGen.clusterReportSql(nlist = 16, dim = 64),
+    "sem_purity" -> OracleGen.clusterPuritySql(nlist = 16, dim = 64),
     "ann_recall" -> OracleGen.annRecallSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "sem_balance" -> OracleGen.clusterBalancedSampleSql(nlist = 16, perCluster = 10, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),

@@ -1183,6 +1183,40 @@ object Similarity {
           .as("cohesion"))
   }
 
+  /**
+   * CLUSTER PURITY against ground-truth labels — per k-means cluster, the
+   * majority label's share: the label-side health check of the IVF/
+   * SemDeDup clustering ([[clusterReport]] scores geometric cohesion;
+   * this scores semantic coherence — a cluster mixing labels dilutes
+   * [[semDedup]]'s within-cluster comparisons and [[clusterBalancedSample]]'s
+   * coverage). Ties on the majority count resolve to the smaller label.
+   * All counts exact int64; one division per cluster, snapped to 6 dp.
+   *
+   * Scale shape: the [[ivfBuild]] assignment (its own bounded paths) +
+   * one id-keyed label join + two partial-aggregated groupBys — the
+   * argmax is `min(struct(-count, label))`, never a window.
+   */
+  def clusterPurity(
+      df: DataFrame,
+      nlist: Int,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val ix  = ivfBuild(df, nlist, refineIterations, vecCol, idCol)
+    val lab = df.select(col(idCol).as("id"), col(labelCol).cast("long").as("__l"))
+    ix.assigned.join(lab, "id")
+      .groupBy(col("centroid"), col("__l")).agg(count(lit(1)).as("c"))
+      .groupBy(col("centroid"))
+      .agg(
+        sum(col("c")).as("n_vectors"),
+        min(struct((-col("c")).as("nc"), col("__l").as("l"))).as("m"))
+      .select(col("centroid"), col("n_vectors"),
+        col("m.l").as("top_label"), (-col("m.nc")).as("top_count"),
+        round((-col("m.nc")).cast("double") / col("n_vectors").cast("double"), 6).as("purity"))
+  }
+
   def semDedup(
       df: DataFrame,
       tau: Double,

@@ -469,6 +469,16 @@ class PipelineSpec extends SparkTestBase {
     Similarity.pcaVarianceReport(e).count() shouldBe 0L
   }
 
+  "Similarity.clusterPurity" should "score majority-label share per cluster" in {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f), 7), (1L, Seq(0.99f, 0.0f), 7), (2L, Seq(1.0f, 0.0f), 9),
+      (3L, Seq(0.0f, 1.0f), 5), (4L, Seq(0.01f, 0.99f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(vecs, nlist = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    out shouldBe Set((3L, 7L, 2L, 0.666667), (2L, 5L, 2L, 1.0))
+  }
+
   "Similarity.recallAtK" should "count approximate hits against the exact top-k" in {
     val exact  = Seq(1L, 2L, 3L, 4L).toDF("id")
     val approx = Seq(2L, 4L, 9L).toDF("id")
