@@ -173,15 +173,30 @@ object OracleGen {
   /** recursive min-label closure over the minhash pair graph: `reps(id,
     * rep)` — shared by the clusters, histogram and per-source report
     * oracles. */
-  private def ccLabelCtes(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
-    s"""${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
-       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
-       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-       |lab(id, l) AS (
+  /** recursive min-label CC closure over the `e` edge relation — the ONE
+    * source of the d_cc labeling, shared by [[ccLabelCtes]] / [[ariSql]]. */
+  private def ccClosureCtes: String =
+    s"""lab(id, l) AS (
        |  SELECT DISTINCT src, src FROM e
        |  UNION
        |  SELECT e.dst, lab.l FROM lab JOIN e ON e.src = lab.id),
        |reps AS (SELECT id, min(l) AS rep FROM lab GROUP BY id)""".stripMargin
+
+  /** the LPA synchronous-round CTEs `l1..l$rounds` over `e` — the ONE
+    * source of the d_labelprop rounds, shared by [[lpCtes]] / [[ariSql]]. */
+  private def lpaRoundCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""l$t AS (SELECT id, lbl FROM (
+         |  SELECT e.dst AS id, lp.lbl,
+         |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lp.lbl) AS rn
+         |  FROM e JOIN l${t - 1} lp ON lp.id = e.src GROUP BY e.dst, lp.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  private def ccLabelCtes(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
+    s"""${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |$ccClosureCtes""".stripMargin
 
   def ccClustersSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
     s"""WITH RECURSIVE ${ccLabelCtes(threshold, numHashes, bands, shingleK, maxBucket)}
@@ -323,21 +338,14 @@ object OracleGen {
     * singleton fallbacks) — base of [[labelPropagationSql]] /
     * [[modularitySql]]. */
   private def lpCtes(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
-                     maxBucket: Int, rounds: Int): String = {
-    val iterCtes = (1 to rounds).map { t =>
-      s"""l$t AS (SELECT id, lbl FROM (
-         |  SELECT e.dst AS id, lp.lbl,
-         |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lp.lbl) AS rn
-         |  FROM e JOIN l${t - 1} lp ON lp.id = e.src GROUP BY e.dst, lp.lbl) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+                     maxBucket: Int, rounds: Int): String =
     s"""${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
        |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-       |$iterCtes,
+       |${lpaRoundCtes(rounds)},
        |lab AS (SELECT d.doc_id AS id, coalesce(ll.lbl, d.doc_id) AS c
        |        FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id)""".stripMargin
-  }
 
   /** mirror of [[graft.operators.Graph.labelPropagation]] over the mined
     * near-dup pair graph: `rounds` synchronous rounds of "adopt the most
@@ -1153,24 +1161,14 @@ object OracleGen {
     * corpus scale). */
   def ariSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
              maxBucket: Int, rounds: Int): String = {
-    val iterCtes = (1 to rounds).map { t =>
-      s"""l$t AS (SELECT id, lbl FROM (
-         |  SELECT e.dst AS id, lp.lbl,
-         |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lp.lbl) AS rn
-         |  FROM e JOIN l${t - 1} lp ON lp.id = e.src GROUP BY e.dst, lp.lbl) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
     s"""WITH RECURSIVE ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
        |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-       |lab(id, l) AS (
-       |  SELECT DISTINCT src, src FROM e
-       |  UNION
-       |  SELECT e.dst, lab.l FROM lab JOIN e ON e.src = lab.id),
-       |reps AS (SELECT id, min(l) AS rep FROM lab GROUP BY id),
+       |$ccClosureCtes,
        |ca AS (SELECT d.doc_id AS id, coalesce(r.rep, d.doc_id) AS c
        |       FROM documents d LEFT JOIN reps r ON r.id = d.doc_id),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-       |$iterCtes,
+       |${lpaRoundCtes(rounds)},
        |cb AS (SELECT d.doc_id AS id, coalesce(ll.lbl, d.doc_id) AS c
        |       FROM documents d LEFT JOIN l$rounds ll ON ll.id = d.doc_id),
        |ct AS (SELECT ca.c AS x, cb.c AS y, count(*)::BIGINT AS nij

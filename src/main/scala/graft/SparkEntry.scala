@@ -977,9 +977,11 @@ object SparkEntry {
     // (the oracle stays the whole-corpus scan)
     "rt_bm25_app" -> ((s, d) => {
       val all  = docs(s, d)
-      // fixed per-JVM path, rerun-safe (base write is mode=overwrite, so a
-      // repeat sweep rebuilds cleanly) — no temp-dir accumulation per run
-      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_ixapp_gate").toString
+      // per-PROCESS path, rerun-safe (base write is mode=overwrite, so a
+      // repeat sweep rebuilds cleanly): one dir per JVM instead of one per
+      // run, and concurrent graft processes never share an index
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ixapp_gate_${ProcessHandle.current().pid()}").toString
       Retrieval.writeTermIndex(all.filter(col("doc_id") % 4 =!= 0), path)
       Retrieval.appendToTermIndex(all.filter(col("doc_id") % 4 === 0), path)
       Retrieval.bm25TopKIndexed(Retrieval.readTermIndex(s, path), Seq("spark", "join"), k = 20)

@@ -525,22 +525,6 @@ object TimeSeries {
     explodeScan(grid, keys, tsCol, valueCol, Seq("__cusum_hi", "__cusum_lo"))
   }
 
-  /**
-   * HOLT SCAN — double exponential smoothing (Holt's linear-trend method)
-   * over the [[resample]]d grid: per key, in time order,
-   * `level = alpha*x + (1-alpha)*(level' + trend')` and
-   * `trend = beta*(level - level') + (1-beta)*trend'`, seeded
-   * `level1 = x1, trend1 = 0`. Emits `level`, `trend` and the one-step
-   * forecast `level + trend` per tick — the forecasting upgrade of
-   * [[ewmaScan]] (EWMA lags a trending series; Holt tracks it).
-   *
-   * Same distributed shape as [[ewmaScan]]: downsample, then one codegen'd
-   * fold per key with a struct accumulator. Float portability: the coupled
-   * recurrence means `level` appears INSIDE the `trend` expression — it is
-   * spelled out twice (not bound to a variable) in BOTH engines, so the op
-   * sequence stays identical; alpha/beta default to exactly-representable
-   * binary fractions and everything is emitted unrounded.
-   */
   /** The Holt state-scan expression — the ONE source of the recurrence,
     * shared by [[holtScan]] and [[holtBacktest]] (whose whole contract is
     * scoring exactly this scan's forecasts). */
@@ -558,6 +542,22 @@ object TimeSeries {
        |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
   }
 
+  /**
+   * HOLT SCAN — double exponential smoothing (Holt's linear-trend method)
+   * over the [[resample]]d grid: per key, in time order,
+   * `level = alpha*x + (1-alpha)*(level' + trend')` and
+   * `trend = beta*(level - level') + (1-beta)*trend'`, seeded
+   * `level1 = x1, trend1 = 0`. Emits `level`, `trend` and the one-step
+   * forecast `level + trend` per tick — the forecasting upgrade of
+   * [[ewmaScan]] (EWMA lags a trending series; Holt tracks it).
+   *
+   * Same distributed shape as [[ewmaScan]]: downsample, then one codegen'd
+   * fold per key with a struct accumulator. Float portability: the coupled
+   * recurrence means `level` appears INSIDE the `trend` expression — it is
+   * spelled out twice (not bound to a variable) in BOTH engines, so the op
+   * sequence stays identical; alpha/beta default to exactly-representable
+   * binary fractions and everything is emitted unrounded.
+   */
   def holtScan(
       df: DataFrame,
       keys: Seq[String],

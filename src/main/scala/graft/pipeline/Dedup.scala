@@ -804,17 +804,10 @@ object Dedup {
       idCol: String = "doc_id",
       maxIters: Int = 50
   ): DataFrame = {
-    // materialize the mined pairs BEFORE the bidirectional union — both
-    // union branches reference this plan, and unchecked they would run the
-    // whole mining pipeline twice in one job
-    val pairsLazy = minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
-      .select(col("id_a"), col("id_b"))
-    val pairs = pairsLazy.pinned
-    // the pin truncated lineage, so the mining pipeline's own signature
-    // materialization is dead now — and invisible to any later free of the
-    // result (the checkpoint boundary hides it). Release it here.
-    Checkpoints.free(pairsLazy)
-    duplicateClustersFromPairs(pairs, df, idCol, maxIters)
+    duplicateClustersFromPairs(
+      minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+        .select(col("id_a"), col("id_b")),
+      df, idCol, maxIters)
   }
 
   /** [[duplicateClusters]]' labeling loop over PREBUILT near-dup pairs
@@ -827,6 +820,10 @@ object Dedup {
       idCol: String = "doc_id",
       maxIters: Int = 50
   ): DataFrame = {
+    // materialize the pairs BEFORE the bidirectional union — both union
+    // branches reference this plan, and unchecked a lazy mining pipeline
+    // would run twice in one job; the pin truncates lineage, so freeing
+    // the input handle releases any mining pins beneath it
     val pairs = pairsIn.select(col("id_a"), col("id_b")).pinned
     Checkpoints.free(pairsIn) // input consumed: release the caller's handle
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))

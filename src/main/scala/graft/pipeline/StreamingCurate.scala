@@ -207,6 +207,8 @@ object StreamingCurate {
       textCol: String = "text"
   ): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
+    queries.foreach { case (name, ts) =>
+      require(ts.nonEmpty, s"query '$name' has no terms") }
     require(ix.n > 0, "empty corpus index")
     val allTerms = queries.values.flatten.toSeq.distinct
     val dfs = ix.postings.filter(col("term").isin(allTerms: _*))

@@ -14,6 +14,11 @@ class PlanShapeSpec extends SparkTestBase {
   // intentionally brute-force baselines (bounded-id oracle cross-checks)
   private val bruteForceAllowed = Set("d_embed_exact")
 
+  // NOTE: gates whose closure computes eagerly on the driver (bounded
+  // collects — tx_doremi, ev_markov, d_ari, pca, ...) return literal
+  // frames here, so this guard covers only their FINAL plan; their real
+  // join shapes are asserted by the operator-level cases below and in
+  // RelationalSpec/PipelineSpec.
   "every gate query" should "plan without a cartesian product" in {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
