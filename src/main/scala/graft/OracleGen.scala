@@ -1223,6 +1223,36 @@ object OracleGen {
        |FROM sl CROSS JOIN p$rounds p ORDER BY state""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[Similarity.embeddingDrift]] with the gate's parity
+    * split: per-side exact lattice dim sums → means → ascending-dim
+    * dot/norm/diff folds → cosine (denominator floored) + L2 shift. */
+  def embeddingDriftSql(dim: Int): String = {
+    val fold = "(a, b) -> a + b"
+    def side(name: String, pred: String): String =
+      s"""d$name AS MATERIALIZED (SELECT i, count(*)::BIGINT AS n, sum(q[i::INT])::BIGINT AS s
+         |  FROM (SELECT list_transform(embedding, x -> CAST(round(x::DOUBLE * 10000.0) AS BIGINT)) AS q,
+         |               unnest(generate_series(1, $dim)) AS i
+         |        FROM embeddings WHERE $pred) GROUP BY i),
+         |g$name AS MATERIALIZED (SELECT list(s::DOUBLE / (10000.0 * n::DOUBLE) ORDER BY i) AS m,
+         |  max(n)::BIGINT AS n FROM d$name)""".stripMargin
+    s"""WITH ${side("a", "vec_id % 2 = 0")},
+       |${side("b", "vec_id % 2 = 1")},
+       |f AS (SELECT ga.n AS n_a, gb.n AS n_b,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim),
+       |    i -> ga.m[i::INT] * gb.m[i::INT])), $fold) AS num,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim),
+       |    i -> ga.m[i::INT] * ga.m[i::INT])), $fold) AS qa2,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim),
+       |    i -> gb.m[i::INT] * gb.m[i::INT])), $fold) AS qb2,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dim),
+       |    i -> (ga.m[i::INT] - gb.m[i::INT]) * (ga.m[i::INT] - gb.m[i::INT]))), $fold) AS d2
+       |  FROM ga CROSS JOIN gb)
+       |SELECT n_a, n_b,
+       |  round(num / greatest(sqrt(qa2) * sqrt(qb2), 1e-12), 6) AS mean_cosine,
+       |  round(sqrt(d2), 6) AS mean_l2_shift
+       |FROM f""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Similarity.rankEval]] over the [[annJoinSql]] retrieval
     * chain: per-query ln-discount DCG / nDCG / MRR / P@k against label
     * relevance, every fold ascending-rank. */

@@ -374,6 +374,11 @@ object SparkEntry {
       Similarity.pcaVarianceReport(emb(s, d), k = 2, iters = 12).orderBy("component")),
     "ann_whiten" -> ((s, d) =>
       Similarity.pcaProject(emb(s, d), k = 2, iters = 12, whiten = true).orderBy("vec_id")),
+    // embedding distribution drift between the parity halves of the corpus
+    "ann_drift" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.embeddingDrift(e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+    }),
     // FILTERED vector search (the vector-DB "metadata pre-filter" shape):
     // the predicate pushes into the scan BEFORE scoring, so a selective
     // filter shrinks the candidate set instead of post-filtering top-k —
@@ -1351,6 +1356,7 @@ object SparkEntry {
     "ann_pca"    -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12),
     "ann_pcavar" -> OracleGen.pcaVarianceSql(dim = 64, k = 2, iters = 12),
     "ann_whiten" -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12, whiten = true),
+    "ann_drift"  -> OracleGen.embeddingDriftSql(dim = 64),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "ann_filter" ->

@@ -1312,6 +1312,58 @@ object Similarity {
         round(col("n_rel").cast("double") / lit(k.toDouble), 6).as("p_at_k"))
   }
 
+  /**
+   * EMBEDDING DISTRIBUTION DRIFT between two vector sets (yesterday's
+   * corpus vs today's batch, model v1 vs v2 re-embeds): the cosine
+   * between the two MEAN vectors and the L2 distance between them — the
+   * one-row health check that catches an encoder swap, a domain shift or
+   * a pipeline bug (zeroed dims) before an index rebuild bakes it in.
+   * [[graft.pipeline.TextAnalysis]] `tx_drift` is the token-side twin.
+   *
+   * Determinism: coordinates snap to the 1e-4 lattice so each side's
+   * per-dim sums are exact int64 (one pipelined explode + partial
+   * aggregation per side — d rows to the driver, the bounded-collect
+   * class); the means, the ascending-dim dot/norm folds, and the final
+   * divisions/sqrt are the identical IEEE sequence the oracle replays.
+   * Degenerate zero-mean sides floor the cosine denominator at 1e-12.
+   */
+  def embeddingDrift(
+      a: DataFrame,
+      b: DataFrame,
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def sums(df: DataFrame): Array[(Int, Long, Long)] = df
+      .select(transform(col(vecCol), x => round(x.cast("double") * lit(10000.0), 0).cast("long")).as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(count(lit(1)).as("n"), sum("qi").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val sa = sums(a)
+    val sb = sums(b)
+    if (sa.isEmpty || sb.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("n_a", "n_b", "mean_cosine", "mean_l2_shift")
+    require(sa.length == sb.length, s"dim mismatch: ${sa.length} vs ${sb.length}")
+    val nA = sa.head._2; val nB = sb.head._2
+    val ma = sa.map(t => t._3.toDouble / (10000.0 * nA))
+    val mb = sb.map(t => t._3.toDouble / (10000.0 * nB))
+    var num = 0.0; var qa2 = 0.0; var qb2 = 0.0; var d2 = 0.0
+    var i = 0
+    while (i < ma.length) { // ascending-dim folds, mirrored in the oracle
+      num += ma(i) * mb(i)
+      qa2 += ma(i) * ma(i)
+      qb2 += mb(i) * mb(i)
+      d2  += (ma(i) - mb(i)) * (ma(i) - mb(i))
+      i += 1
+    }
+    val cos = num / math.max(math.sqrt(qa2) * math.sqrt(qb2), 1e-12)
+    Seq((nA, nB, cos, math.sqrt(d2))).toDF("n_a", "n_b", "__c", "__l")
+      .select(col("n_a"), col("n_b"),
+        round(col("__c"), 6).as("mean_cosine"),
+        round(col("__l"), 6).as("mean_l2_shift"))
+  }
+
   // ---- PCA (fixed-round power iteration over a lattice covariance) -------
 
   private def r6(x: Double): Double = OracleCompat.r6(x)

@@ -469,6 +469,21 @@ class PipelineSpec extends SparkTestBase {
     Similarity.pcaVarianceReport(e).count() shouldBe 0L
   }
 
+  "Similarity.embeddingDrift" should "score identical sets 1/0 and orthogonal means 0" in {
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val same = Similarity.embeddingDrift(a, a).head()
+    (same.getLong(0), same.getLong(1), same.getDouble(2), same.getDouble(3)) shouldBe
+      ((2L, 2L, 1.0, 0.0))
+    val b = Seq((2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val orth = Similarity.embeddingDrift(a, b).head()
+    orth.getDouble(2) shouldBe 0.0 // orthogonal mean vectors
+    // mean(a)=(0.75,0), mean(b)=(0,0.75) → L2 = 0.75·√2
+    orth.getDouble(3) shouldBe BigDecimal(0.75 * math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // empty side → empty frame
+    Similarity.embeddingDrift(a, a.filter($"vec_id" < 0)).count() shouldBe 0L
+  }
+
   "Similarity.clusterPurity" should "score majority-label share per cluster" in {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.01f), 7), (1L, Seq(0.99f, 0.0f), 7), (2L, Seq(1.0f, 0.0f), 9),
