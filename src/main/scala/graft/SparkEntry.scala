@@ -880,6 +880,9 @@ object SparkEntry {
     "ev_survival" -> ((s, d) =>
       graft.operators.Relational.survivalCurve(evUsAll(s, d).select("user_id", "ts"),
         bucketUs = 86400000000L, horizonUs = 7L * 86400000000L).orderBy("t")),
+    // activity concentration: exact Gini over per-user event counts
+    "ev_gini" -> ((s, d) =>
+      graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
     // Sankey input: per journey position, the from→to flow counts of each
     // user's first 5 moves
     "ev_sankey" -> ((s, d) => {
@@ -1651,6 +1654,18 @@ object SparkEntry {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort, bucket_offset, count(*) AS n_keys
         |FROM a GROUP BY cohort, bucket_offset ORDER BY cohort, bucket_offset""".stripMargin.replace("\n", " "),
+    // Gini over count-of-count buckets: the rank-weighted sum per bucket
+    // is c·(m·r + m(m+1)//2) with r the cumulative keys below — pure
+    // integer arithmetic until the two final divisions
+    "ev_gini" ->
+      """WITH k AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id),
+        |b AS (SELECT c, count(*)::BIGINT AS m FROM k GROUP BY c),
+        |w AS (SELECT c, m, (sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m)::BIGINT AS r FROM b),
+        |a AS (SELECT sum(m)::BIGINT AS n, sum(c * m)::BIGINT AS s,
+        |             sum(c * (m * r + m * (m + 1) // 2))::BIGINT AS t FROM w)
+        |SELECT n AS n_keys, s AS n_events,
+        |  round((2.0 * t::DOUBLE) / (n * s)::DOUBLE - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+        |FROM a""".stripMargin.replace("\n", " "),
     // Kaplan-Meier: exact int64 risk/death counts over day-bucketed
     // lifetimes; the survival scan is the [x]-wrapped prefix-product fold
     // (ts_ewma pattern) in ascending lifetime order

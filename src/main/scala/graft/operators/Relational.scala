@@ -770,6 +770,47 @@ object Relational {
   }
 
   /**
+   * GINI COEFFICIENT of per-key activity — the standard concentration
+   * measure over the event log (0 = everyone equally active, → 1 = all
+   * activity from one key), the summary number behind
+   * [[powerUserConcentration]]'s top-share slice. EXACT integer
+   * combinatorics end to end: per-key counts bucket by VALUE (distinct
+   * activity levels, not keys), and within a bucket of `m` keys at count
+   * `c` holding ranks `r+1..r+m`, the rank-weighted sum contributes
+   * `c·(m·r + m(m+1)/2)` — so
+   * `G = 2·T/(n·S) − (n+1)/n` needs no per-key sort, ever.
+   *
+   * Scale shape: one map-side-combined per-key count, one (tiny) count-
+   * of-counts aggregation, cumulated on the driver in ascending count
+   * order ([[graft.pipeline.Sampling.tokenBudget]]'s bucket pass) —
+   * distinct activity levels are bounded by the max count, never by key
+   * cardinality. Two divisions and one subtraction are the only float
+   * ops, in the oracle's spelled order.
+   */
+  def giniConcentration(
+      events: DataFrame,
+      keyCol: String = "user_id"
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val buckets = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (buckets.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("n_keys", "n_events", "gini")
+    var n = 0L; var s = 0L; var t = 0L; var r = 0L
+    buckets.foreach { case (c, m) =>
+      n += m
+      s += c * m
+      t += c * (m * r + m * (m + 1) / 2)
+      r += m
+    }
+    val gini = (2.0 * t.toDouble) / (n * s).toDouble - (n + 1).toDouble / n.toDouble
+    Seq((n, s, gini)).toDF("n_keys", "n_events", "__g")
+      .select(col("n_keys"), col("n_events"), round(col("__g"), 6).as("gini"))
+  }
+
+  /**
    * MARKOV STEADY STATE of the event-type chain — where the user journey
    * spends its time in the long run. The transition matrix row-normalizes
    * [[transitionCounts]] (dangling states — no outgoing transition —

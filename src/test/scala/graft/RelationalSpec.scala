@@ -170,6 +170,18 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Relational.giniConcentration" should "match hand-computed Gini and zero out uniform activity" in {
+    // counts (1,1,2): n=3, S=4, T=1·1+1·2+2·3=9 → G = 18/12 − 4/3 = 1/6
+    val ev = Seq("a", "b", "c", "c").toDF("user_id")
+    val r = Relational.giniConcentration(ev).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((3L, 4L, 0.166667))
+    // perfectly uniform activity scores an exact 0
+    val u = Seq("a", "a", "b", "b").toDF("user_id")
+    Relational.giniConcentration(u).head().getDouble(2) shouldBe 0.0
+    // empty input → empty frame
+    Relational.giniConcentration(ev.filter($"user_id" === "z")).count() shouldBe 0L
+  }
+
   "Relational.markovSteadyState" should "converge toward the stationary distribution" in {
     // A→B always; B→A or B→B evenly → π = (1/3, 2/3)
     val ev = Seq(
