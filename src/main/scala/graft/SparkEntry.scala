@@ -810,6 +810,10 @@ object SparkEntry {
     "ts_backtest" -> ((s, d) =>
       TimeSeries.holtBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         alpha = 0.5, beta = 0.25).orderBy("event_type")),
+    // CUSUM-argmax changepoint: the most likely level-shift hour per key
+    "ts_cpt" -> ((s, d) =>
+      TimeSeries.changePoint(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type")),
     // classical additive decomposition: centered 2x24 MA trend, per-phase
     // seasonal means of the detrended grid, residual — all in-array folds
     "ts_decomp" -> ((s, d) =>
@@ -1981,6 +1985,23 @@ object SparkEntry {
          |  unnest(list_transform(hs, h -> h.l + h.b)) AS forecast
          |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
+    // CUSUM location: the ts_cusum mean + a zero-seeded prefix scan, then
+    // a relational (|S| DESC, k ASC) rank instead of a fold argmax (the
+    // struct-accumulator fold is the DuckDB shape that loses state)
+    "ts_cpt" ->
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |m AS (SELECT event_type, tss, vs,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs), (a, b) -> a + b) / len(vs) AS mu FROM g),
+         |s AS (SELECT event_type, tss,
+         |        (list_reduce(list_prepend([CAST(0.0 AS DOUBLE)], list_transform(vs, x -> [x])),
+         |          (a, b) -> list_append(a, a[-1] + (b[1] - mu))))[2:] AS ss FROM m),
+         |u AS (SELECT event_type, tss, ss, unnest(generate_series(1, len(ss))) AS i FROM s),
+         |am AS (SELECT event_type, tss, i, abs(ss[i::INT]) AS mg,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY abs(ss[i::INT]) DESC, i) AS rn FROM u)
+         |SELECT event_type, tss[i::INT] AS cp_ts, len(tss)::BIGINT AS n_points, round(mg, 6) AS magnitude
+         |FROM am WHERE rn = 1 ORDER BY event_type""".stripMargin.replace("\n", " "),
     // walk-forward Holt eval: the ts_holt state fold verbatim, then the
     // one-step errors and their abs/square ascending folds, one division
     // each, sqrt — every op mirrored, snapped at 6 dp

@@ -525,6 +525,48 @@ object TimeSeries {
     explodeScan(grid, keys, tsCol, valueCol, Seq("__cusum_hi", "__cusum_lo"))
   }
 
+  /**
+   * CHANGEPOINT ESTIMATE per key — the classic CUSUM location statistic:
+   * the grid index maximizing `|Σ_{i≤k}(x_i − x̄)|` marks the most
+   * likely single level-shift point (ties → earliest). One row per key:
+   * `(keys*, cp_ts, n_points, magnitude)` with the |S| peak as the
+   * magnitude (0 = dead flat). [[cusumScan]] ALARMS on drift in stream
+   * order; this LOCATES the break after the fact — the segmentation
+   * seed for "when did this metric change regime".
+   *
+   * Same shape as the other grid scans (folds over the key's own array,
+   * the [[gridSeries]] two-shuffle budget); the argmax fold keeps the
+   * FIRST maximum (strict >), mirrored by the oracle's
+   * (|S| DESC, k ASC) rank over identical doubles.
+   */
+  def changePoint(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long
+  ): DataFrame = {
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val mu   = s"aggregate(__pts, $zero, (a, x) -> a + x.$valueCol) / size(__pts)"
+    val scan =
+      s"""slice(aggregate(__pts, array($zero),
+         |  (acc, x) -> array_append(acc, element_at(acc, -1) + (x.$valueCol - __mu))),
+         |  2, size(__pts))""".stripMargin
+    val am =
+      s"""aggregate(sequence(1, size(__ss)),
+         |  named_struct('i', 0, 'm', CAST(-1.0 AS DOUBLE)),
+         |  (acc, k) -> IF(abs(element_at(__ss, k)) > acc.m,
+         |    named_struct('i', CAST(k AS INT), 'm', abs(element_at(__ss, k))), acc))""".stripMargin
+    gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__mu", expr(mu))
+      .withColumn("__ss", expr(scan))
+      .withColumn("__am", expr(am))
+      .select(keys.map(col) ++ Seq(
+        expr(s"element_at(__pts, __am.i).$tsCol").as("cp_ts"),
+        size(col("__pts")).cast("long").as("n_points"),
+        round(col("__am.m"), 6).as("magnitude")): _*)
+  }
+
   /** The Holt state-scan expression — the ONE source of the recurrence,
     * shared by [[holtScan]] and [[holtBacktest]] (whose whole contract is
     * scoring exactly this scan's forecasts). */

@@ -192,6 +192,19 @@ class TimeSeriesSpec extends SparkTestBase {
     out shouldBe Array((2.0, 0.0, 2.0), (3.0, 0.25, 3.25), (5.625, 0.84375, 6.46875))
   }
 
+  "TimeSeries.changePoint" should "locate a planted level shift and tie flat series to the start" in {
+    // a: 0,0,0 → 10,10,10; mean 5, prefix sums -5,-10,-15,-10,-5,0 →
+    // |S| peaks at 15 on the last pre-shift point (ts 20)
+    val df = ((0 until 3).map(i => ("a", i * 10L, 0.0)) ++
+      (3 until 6).map(i => ("a", i * 10L, 10.0)) ++
+      (0 until 4).map(i => ("b", i * 10L, 7.0))).toDF("k", "ts", "v")
+    val out = TimeSeries.changePoint(df, Seq("k"), "ts", "v", step = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("a") shouldBe ((20L, 6L, 15.0))
+    // dead-flat series: every |S| is 0, ties resolve to the earliest point
+    out("b") shouldBe ((0L, 4L, 0.0))
+  }
+
   "TimeSeries.holtBacktest" should "score one-step-ahead errors and skip single-point keys" in {
     // x = [2, 4, 8] (holtScan fixture): forecasts 2 → err 2, 3.25 → err 4.75
     // mae = (2 + 4.75)/2 = 3.375; rmse = sqrt((4 + 22.5625)/2)
