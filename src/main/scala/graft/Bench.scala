@@ -50,6 +50,16 @@ object Bench {
     // once recorded a phantom regression, so all per-run times are printed,
     // and max/min exposes a mid-session cliff even when min looks fine)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // ...but 3 runs is NOT always the floor: the round-10 "retrieval
+    // regression" (rt_bm25_join 1.74->2.73 s) bisected to measurement, not
+    // code — no commit touched those paths, and a 10-run probe converged to
+    // 1.57 s (BETTER than round 9). JIT-heavy queries (bm25Join's
+    // broadcast-term joins compile ~10 codegen stages) keep improving past
+    // run 3 when hundreds of other plans compete for the code cache. So:
+    // after the base runs, keep re-running while the latest run still
+    // improves the floor, up to a cap — stable queries stop at `runs`
+    // (latest run no longer best), converging ones walk down to their floor.
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "10").toInt.max(runs)
     // targeted iteration (mirrors Verify): unset = full sweep, as the driver runs it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -69,7 +79,7 @@ object Bench {
       .map { case (name, fn) =>
       var rows = -1L
       val gc0  = gcMillis
-      val times = (1 to runs).map { _ =>
+      def oneRun(): Double = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -81,6 +91,15 @@ object Bench {
         }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
+      }
+      val times = {
+        val buf = scala.collection.mutable.ArrayBuffer.fill(runs)(0.0)
+        for (i <- 0 until runs) buf(i) = oneRun()
+        // extend while still converging: the floor was set within the last
+        // two runs (patience 2 rides out a single noisy plateau run)
+        def floorAge = buf.length - 1 - buf.indexOf(buf.min)
+        while (buf.length < maxRuns && floorAge < 2) buf += oneRun()
+        buf.toSeq
       }
       val best  = times.min
       val worst = times.max
