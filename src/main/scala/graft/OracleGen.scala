@@ -427,11 +427,13 @@ object OracleGen {
        |      GROUP BY rep)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")
 
-  /** mirror of [[graft.pipeline.TextAnalysis.bpeTrain]]: word histogram →
-    * char tokens → `merges` unrolled MATERIALIZED rounds of (weighted
-    * adjacent-pair count, deterministic argmax, greedy left-to-right
-    * list_reduce merge). */
-  def bpeTrainSql(merges: Int): String = {
+  /** shared CTE chain mirroring [[graft.pipeline.TextAnalysis.bpeTrain]]:
+    * word histogram → char tokens → `merges` unrolled MATERIALIZED rounds
+    * of (weighted adjacent-pair count, deterministic argmax, greedy
+    * left-to-right list_reduce merge). Each round's vocab `v$r` carries the
+    * word form `w`, so [[bpeEncodeSql]] can join the final tokenizations
+    * back to the corpus; [[bpeTrainSql]] reads only the `tp$r` argmaxes. */
+  private def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""pr$r AS MATERIALIZED (SELECT toks[i::INT] AS l, toks[i::INT + 1] AS r, sum(cnt)::BIGINT AS n
          |  FROM (SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
@@ -439,21 +441,41 @@ object OracleGen {
          |  GROUP BY 1, 2),
          |tp$r AS MATERIALIZED (SELECT l, r, n FROM pr$r ORDER BY n DESC, l, r LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT list_reduce(list_transform(toks, t -> [t]),
+         |  SELECT w, list_reduce(list_transform(toks, t -> [t]),
          |    (a, b) -> CASE WHEN a[-1] = tp$r.l AND b[1] = tp$r.r
          |                     THEN list_append(a[1:len(a) - 1], tp$r.l || tp$r.r)
          |                   ELSE list_append(a, b[1]) END) AS toks, cnt
          |  FROM v${r - 1} CROSS JOIN tp$r)""".stripMargin
     }.mkString(",\n")
+    s"""wh AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1 GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT w, list_transform(generate_series(1, length(w)), i -> substring(w, i::INT, 1)) AS toks, cnt FROM wh),
+       |$rounds""".stripMargin
+  }
+
+  /** mirror of [[graft.pipeline.TextAnalysis.bpeTrain]]: the learned merge
+    * table, one row per unrolled round's argmax. */
+  def bpeTrainSql(merges: Int): String = {
     val sel = (1 to merges)
       .map(r => s"SELECT $r::BIGINT AS step, l AS lhs, r AS rhs, n AS pair_count FROM tp$r")
       .mkString(" UNION ALL ")
-    s"""WITH wh AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1 GROUP BY w),
-       |v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, length(w)), i -> substring(w, i::INT, 1)) AS toks, cnt FROM wh),
-       |$rounds
+    s"""WITH ${bpeCtes(merges)}
        |SELECT * FROM ($sel) ORDER BY step""".stripMargin.replace("\n", " ")
   }
+
+  /** mirror of [[graft.pipeline.TextAnalysis.bpeEncode]] over a
+    * freshly-trained merge table: the final round's vocab IS each word
+    * form's tokenization after all merges (training applies each learned
+    * merge to the vocab as it goes — exactly the sequence encode replays
+    * from scratch), so per-document BPE token counts are one corpus word
+    * explode joined to `len(v$merges.toks)`. */
+  def bpeEncodeSql(merges: Int): String =
+    s"""WITH ${bpeCtes(merges)},
+       |wl AS MATERIALIZED (SELECT w, len(toks)::BIGINT AS wt FROM v$merges),
+       |dw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_words, sum(wt)::BIGINT AS n_tokens
+       |FROM dw JOIN wl USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** shared CTE chain mirroring [[graft.pipeline.Similarity.pcaCore]]:
     * 1e-4-lattice snap → exact int64 dim/pair-product sums → covariance

@@ -1058,6 +1058,13 @@ object SparkEntry {
     "tx_bpe" -> ((s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50)),
     // full BPE merge training over the word histogram: the learned rules
     "tx_bpemerge" -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")),
+    // the tokenizer loop closed: train 8 merges, replay them over the
+    // vocab, per-doc REAL-BPE token counts (vs whitespace tx_tokens)
+    "tx_bpeapply" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), m).orderBy("doc_id")
+    }),
     // Zipf slope/intercept over the top-100 term frequencies
     "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d), n = 100)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
@@ -2400,6 +2407,7 @@ object SparkEntry {
         |SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " "),
     "tx_bpemerge" -> OracleGen.bpeTrainSql(merges = 8),
+    "tx_bpeapply" -> OracleGen.bpeEncodeSql(merges = 8),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     // per-doc sum is the same ascending sorted fold as the BM25 oracles
     "tx_entropy" ->

@@ -780,31 +780,75 @@ object Relational {
    * `c·(m·r + m(m+1)/2)` — so
    * `G = 2·T/(n·S) − (n+1)/n` needs no per-key sort, ever.
    *
-   * Scale shape: one map-side-combined per-key count, one (tiny) count-
-   * of-counts aggregation, cumulated on the driver in ascending count
-   * order ([[graft.pipeline.Sampling.tokenBudget]]'s bucket pass) —
-   * distinct activity levels are bounded by the max count, never by key
-   * cardinality. Two divisions and one subtraction are the only float
-   * ops, in the oracle's spelled order.
+   * Scale shape: one map-side-combined per-key count, one count-of-counts
+   * aggregation. Distinct activity levels are SMALL for any Zipfian
+   * activity log (bounded by the max count) — that histogram cumulates on
+   * the driver in ascending count order. But they are NOT bounded in
+   * adversarial distributions (near-distinct counts → one bucket per key),
+   * so above `maxDriverBuckets` the same integer combinatorics run as a
+   * distributed two-phase prefix sum instead
+   * ([[graft.pipeline.Sampling.tokenBudget]]'s degenerate-bucket shape):
+   * per-partition local folds in ascending-count range partitions, then
+   * one ≤ #partitions-row collect of (t_local, Σc·m, Σm) composes the
+   * global rank offsets. Both paths are pure integer arithmetic until the
+   * final two divisions, so they agree bit-for-bit. Two divisions and one
+   * subtraction are the only float ops, in the oracle's spelled order.
    */
   def giniConcentration(
       events: DataFrame,
-      keyCol: String = "user_id"
+      keyCol: String = "user_id",
+      maxDriverBuckets: Long = 1L << 20
   ): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val buckets = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val hist = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    if (buckets.isEmpty)
+    val nBuckets = hist.agg(count(lit(1))).head().getLong(0)
+    if (nBuckets == 0L)
       return Seq.empty[(Long, Long, Double)].toDF("n_keys", "n_events", "gini")
-    var n = 0L; var s = 0L; var t = 0L; var r = 0L
-    buckets.foreach { case (c, m) =>
-      n += m
-      s += c * m
-      t += c * (m * r + m * (m + 1) / 2)
-      r += m
-    }
+    val (n, s, t) =
+      if (nBuckets <= maxDriverBuckets) {
+        val buckets = hist.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var n = 0L; var s = 0L; var t = 0L; var r = 0L
+        buckets.foreach { case (c, m) =>
+          n += m
+          s += c * m
+          t += c * (m * r + m * (m + 1) / 2)
+          r += m
+        }
+        (n, s, t)
+      } else {
+        // near-distinct counts: fold each ascending-count range partition
+        // locally — t needs only the partition's STARTING rank, which is
+        // the prefix sum of earlier partitions' key masses (Σm), composed
+        // from a ≤ #partitions-row collect. c values are distinct by
+        // construction (they're group keys), so range boundaries never
+        // split a bucket.
+        val parts = hist
+          .repartitionByRange(col("__c"))
+          .sortWithinPartitions(col("__c"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            var lr = 0L; var tLoc = 0L; var cm = 0L
+            it.foreach { case (c, m) =>
+              tLoc += c * (m * lr + m * (m + 1) / 2)
+              cm += c * m
+              lr += m
+            }
+            Iterator.single((tLoc, cm, lr))
+          }
+          .toDF("__t", "__cm", "__m")
+          .withColumn("__pid", spark_partition_id())
+          .collect().map(r => (r.getInt(3), r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1) // pid order IS ascending-count order under range partitioning
+        var n = 0L; var s = 0L; var t = 0L
+        parts.foreach { case (_, tLoc, cm, m) =>
+          t += tLoc + cm * n // global rank offset = key mass of earlier partitions
+          s += cm
+          n += m
+        }
+        (n, s, t)
+      }
     val gini = (2.0 * t.toDouble) / (n * s).toDouble - (n + 1).toDouble / n.toDouble
     Seq((n, s, gini)).toDF("n_keys", "n_events", "__g")
       .select(col("n_keys"), col("n_events"), round(col("__g"), 6).as("gini"))
@@ -824,18 +868,30 @@ object Relational {
    * Scale shape: one corpus pass builds the S×S count table (S = event
    * types, single digits); the iteration runs on the driver over that
    * bounded matrix, every fold in ascending state order so the oracle's
-   * relational mat-vec rounds replay the identical IEEE sequence.
+   * relational mat-vec rounds replay the identical IEEE sequence. The
+   * bound is ENFORCED: `maxStates` is checked against the live distinct
+   * count before anything is collected, so a mistakenly high-cardinality
+   * `stateCol` fails loud instead of materializing an S² driver array.
    */
   def markovSteadyState(
       events: DataFrame,
       rounds: Int = 8,
       idCol: String = "user_id",
       tsCol: String = "ts",
-      stateCol: String = "event_type"
+      stateCol: String = "event_type",
+      maxStates: Int = 1000
   ): DataFrame = {
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1,64]")
     val spark = events.sparkSession
     import spark.implicits._
+    // the S×S matrix is a DRIVER structure: guard the cardinality BEFORE
+    // collecting the transitions, so a high-cardinality stateCol (user ids
+    // passed by mistake) fails loud instead of OOMing the driver
+    val nStates = events.agg(countDistinct(col(stateCol))).head().getLong(0)
+    require(nStates <= maxStates,
+      s"markovSteadyState: $nStates distinct '$stateCol' states exceed maxStates=$maxStates — " +
+        "the steady state is a driver-side S×S power iteration; pass a low-cardinality state " +
+        "column (event types, not ids), or raise maxStates if S^2 doubles genuinely fit in driver memory")
     val tc = transitionCounts(events, Seq(idCol), tsCol, stateCol)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     if (tc.isEmpty)

@@ -987,19 +987,7 @@ object TextAnalysis {
       else {
         val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step.toLong, x, y, n))
-        // greedy scan: carry the last pending token; a (x,y) adjacency
-        // fuses into the pending slot (so it can pair again NEXT round,
-        // never within this one); "" is the no-pending sentinel
-        val zero = struct(array().cast("array<string>").as("out"), lit("").as("prev"))
-        val mergeFold = aggregate(col("toks"), zero,
-          (acc, t) => when(acc.getField("prev") === lit(x) && t === lit(y),
-              struct(acc.getField("out").as("out"), lit(x + y).as("prev")))
-            .when(acc.getField("prev") === lit(""),
-              struct(acc.getField("out").as("out"), t.as("prev")))
-            .otherwise(struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
-              t.as("prev"))),
-          acc => concat(acc.getField("out"), array(acc.getField("prev"))))
-        val next = vocab.select(mergeFold.as("toks"), col("cnt")).pinned
+        val next = vocab.select(greedyMergeFold(col("toks"), x, y).as("toks"), col("cnt")).pinned
         Checkpoints.free(vocab)
         vocab = next
       }
@@ -1007,5 +995,65 @@ object TextAnalysis {
     }
     Checkpoints.free(vocab) // the merge table below no longer reads it
     learned.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass of the pair (x, y)
+    * over a token array — the scan [[bpeTrain]] applies per learned merge
+    * and [[bpeEncode]] replays at tokenization time. Carries the last
+    * pending token; an (x, y) adjacency fuses into the pending slot (so the
+    * fused token can pair again on the NEXT pass, never within this one);
+    * "" is the no-pending sentinel. */
+  private def greedyMergeFold(toks: Column, x: String, y: String): Column = {
+    val zero = struct(array().cast("array<string>").as("out"), lit("").as("prev"))
+    aggregate(toks, zero,
+      (acc, t) => when(acc.getField("prev") === lit(x) && t === lit(y),
+          struct(acc.getField("out").as("out"), lit(x + y).as("prev")))
+        .when(acc.getField("prev") === lit(""),
+          struct(acc.getField("out").as("out"), t.as("prev")))
+        .otherwise(struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
+          t.as("prev"))),
+      acc => concat(acc.getField("out"), array(acc.getField("prev"))))
+  }
+
+  /**
+   * BPE ENCODE — apply a learned [[bpeTrain]] merge table to tokenize the
+   * corpus, completing the tokenizer loop (train → encode): token counts
+   * become REAL subword-BPE counts instead of whitespace words. Each merge
+   * applies in learned order with the identical greedy left-to-right
+   * non-overlapping scan training used, so a word's final tokenization is
+   * exactly the training vocabulary's end state for that word form.
+   * Emits one row per document: `(doc_id, n_words, n_tokens)`.
+   *
+   * Scale shape: the merge replay runs over the DISTINCT word forms
+   * (vocabulary-sized, corpus-size-independent — the same histogram trick
+   * training uses), one bounded pinned frame per merge; the corpus is
+   * touched exactly once, by the word explode that joins each occurrence
+   * to its form's token length (AQE broadcasts the vocab side when it
+   * fits) and map-side-combines the per-document sum. All-integer output.
+   */
+  def bpeEncode(
+      df: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    require(merges.nonEmpty && merges.size <= 64, "need 1..64 learned merges")
+    val corpusWords = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 1)
+    var vocab = corpusWords.select(col("__w")).distinct()
+      .withColumn("toks",
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
+      .pinned
+    merges.foreach { case (x, y) =>
+      val next = vocab.select(col("__w"), greedyMergeFold(col("toks"), x, y).as("toks")).pinned
+      Checkpoints.free(vocab)
+      vocab = next
+    }
+    corpusWords
+      .join(vocab.select(col("__w"), size(col("toks")).cast("long").as("__wt")), "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__wt")).as("n_tokens"))
   }
 }

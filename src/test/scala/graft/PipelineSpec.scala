@@ -1376,6 +1376,26 @@ class PipelineSpec extends SparkTestBase {
     m2 shouldBe Array(("a", "b", 2L))
   }
 
+  "TextAnalysis.bpeEncode" should "replay learned merges to per-doc subword token counts" in {
+    // corpus: "abab" dominates → merges learn (a,b) then (ab,ab)
+    val d = Seq((0L, "abab abab"), (1L, "abab ax"), (2L, "ba")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(d, merges = 2).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    learned shouldBe Seq(("a", "b"), ("ab", "ab"))
+    val out = TextAnalysis.bpeEncode(d, learned).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // abab → [a,b,a,b] → [ab,ab] → [abab]: 1 token
+    // ax   → [a,x] (no merge fires after round 1? (a,b) no; ax stays [a,x]): 2
+    // ba   → [b,a]: 2
+    out shouldBe Array((0L, 2L, 2L), (1L, 2L, 3L), (2L, 1L, 2L))
+    // encode ≡ training's end-state vocab: counting tokens through a fresh
+    // whitespace pass must match summing the trained forms per doc
+    val direct = TextAnalysis.bpeEncode(d, learned.take(1)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // one merge only: abab → [ab,ab] (2), ax → 2, ba → 2
+    direct shouldBe Array((0L, 4L), (1L, 4L), (2L, 2L))
+  }
+
   "TextAnalysis.vocabStats" should "count docs, tokens and vocab in pure int64" in {
     val corpus = Seq(
       (0L, "a b a", "en"), (1L, "a c", "en"), // en: 2 docs, 5 tokens, vocab {a,b,c}

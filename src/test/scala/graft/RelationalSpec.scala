@@ -182,6 +182,22 @@ class RelationalSpec extends SparkTestBase {
     Relational.giniConcentration(ev.filter($"user_id" === "z")).count() shouldBe 0L
   }
 
+  it should "agree with the driver path through the distributed fallback on near-distinct counts" in {
+    // adversarial for the driver histogram: every key has a UNIQUE count
+    // (one bucket per key), the shape that motivated maxDriverBuckets —
+    // key k appears k times, k = 1..40
+    val ev = (1 to 40).flatMap(k => Seq.fill(k)(s"u$k")).toDF("user_id")
+    val exact    = Relational.giniConcentration(ev).head()
+    val fallback = Relational.giniConcentration(ev, maxDriverBuckets = 4L).head()
+    // both paths are integer-exact until the same two final divisions
+    (fallback.getLong(0), fallback.getLong(1), fallback.getDouble(2)) shouldBe
+      ((exact.getLong(0), exact.getLong(1), exact.getDouble(2)))
+    exact.getLong(0) shouldBe 40L
+    exact.getLong(1) shouldBe 820L
+    // counts 1..40: T = Σ k·rank = Σ k², G = 2T/(nS) − (n+1)/n = 2·22140/32800 − 41/40
+    exact.getDouble(2) shouldBe 0.325 +- 1e-9
+  }
+
   "Relational.markovSteadyState" should "converge toward the stationary distribution" in {
     // A→B always; B→A or B→B evenly → π = (1/3, 2/3)
     val ev = Seq(
@@ -201,6 +217,18 @@ class RelationalSpec extends SparkTestBase {
     pi2.keySet shouldBe Set("A", "B", "C")
     pi2("C") should be > 0.2 // absorbing: mass accumulates
     pi2.values.sum shouldBe 1.0 +- 1e-5
+  }
+
+  it should "fail loud when stateCol cardinality exceeds maxStates (driver S×S guard)" in {
+    // a user-id column passed as the state by mistake: the S×S driver
+    // matrix must be refused BEFORE any collect
+    val ev = (1 to 50).map(i => ("u", i.toLong, s"state$i")).toDF("user_id", "ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Relational.markovSteadyState(ev, maxStates = 10)
+    }
+    e.getMessage should include("exceed maxStates=10")
+    // at exactly the cap it runs
+    Relational.markovSteadyState(ev, maxStates = 50).count() shouldBe 50L
   }
 
   "Relational.survivalCurve" should "estimate hand-computed KM survival with censoring" in {
