@@ -72,6 +72,7 @@ class HttpApi(
     server.createContext("/data", (ex: HttpExchange) => handle(ex)(handleData))
     server.createContext("/commands", (ex: HttpExchange) => handle(ex)(handleCommands))
     server.createContext("/subscribe", (ex: HttpExchange) => handleSubscribe(ex))
+    server.createContext("/health", (ex: HttpExchange) => handle(ex)(handleHealth))
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-http"); t.setDaemon(true); t
     }))
@@ -339,6 +340,38 @@ class HttpApi(
   /** tracked periodic-subscription scheduler count — observability for specs. */
   def periodicSubscriberCount: Int = periodicSubs.size()
 
+  /** GET /health — the reference's health surface
+    * (`nsdb-rpc/src/main/protobuf/health.proto:35`, `rpc Check` returning
+    * SERVING/NOT_SERVING), HTTP-shaped since grpc-java is absent here.
+    * SERVING requires a live SparkContext AND (when a warehouse is
+    * attached) a reachable warehouse root; anything else answers 503
+    * NOT_SERVING with the reason — what a load balancer needs to rotate a
+    * bad node out. Deliberately unauthenticated (health probes run before
+    * credentials exist), and it leaks no names — only up/down facts. */
+  private def handleHealth(ex: HttpExchange): (Int, String) = {
+    val sparkUp = !engine.spark.sparkContext.isStopped
+    val wh: Either[String, String] = engine.warehouse match {
+      case None => Right("none")
+      case Some(w) =>
+        Try {
+          val p = new org.apache.hadoop.fs.Path(w.root)
+          p.getFileSystem(engine.spark.sessionState.newHadoopConf()).exists(p)
+        } match {
+          case Success(true)  => Right("reachable")
+          case Success(false) => Left(s"warehouse root missing: ${w.root}")
+          case Failure(e)     => Left(s"warehouse unreachable: ${e.getMessage}")
+        }
+    }
+    (sparkUp, wh) match {
+      case (true, Right(whStatus)) =>
+        (200, s"""{"status":"SERVING","spark":true,"warehouse":${mapper.writeValueAsString(whStatus)}}""")
+      case (false, _) =>
+        (503, """{"status":"NOT_SERVING","spark":false,"reason":"SparkContext stopped"}""")
+      case (true, Left(reason)) =>
+        (503, s"""{"status":"NOT_SERVING","spark":true,"reason":${mapper.writeValueAsString(reason)}}""")
+    }
+  }
+
   private def handleCommands(ex: HttpExchange): (Int, String) = {
     // the reference CommandApi surface (`nsdb-http/.../routes/CommandApi.scala`):
     //   GET /commands/dbs                                → databases
@@ -359,7 +392,19 @@ class HttpApi(
     val payload = securityPayload(ex)
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     parts match {
-      case Array("commands", "dbs")             => listOf("dbs", Ast.ShowDatabases)
+      // the db listing is scope-FILTERED rather than all-or-nothing: a
+      // payload sees exactly the databases it can read, so a restrictive
+      // provider never leaks the full deployment's db names through the
+      // one route that used to skip the seam (the other listings guard
+      // their single scope; this one has one check per candidate db)
+      case Array("commands", "dbs") =>
+        engine.command("", "", Ast.ShowDatabases) match {
+          case Right(rows) =>
+            val visible = rows.flatten
+              .filter(db => auth.checkDbAuth(db, payload, writePermission = false).success)
+            (200, visible.map(mapper.writeValueAsString).mkString("""{"dbs":[""", ",", "]}"))
+          case Left(err) => (400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+        }
       // maintenance observability: the last retention/compaction sweep's
       // report — a permanently failing eviction is visible here, not silent
       case Array("commands", "maintenance") =>
