@@ -96,9 +96,18 @@ object Bench {
         val buf = scala.collection.mutable.ArrayBuffer.fill(runs)(0.0)
         for (i <- 0 until runs) buf(i) = oneRun()
         // extend while still converging: the floor was set within the last
-        // two runs (patience 2 rides out a single noisy plateau run)
-        def floorAge = buf.length - 1 - buf.indexOf(buf.min)
-        while (buf.length < maxRuns && floorAge < 2) buf += oneRun()
+        // `patience` runs. Round-11 data: expensive JIT-heavy queries
+        // (d_lev, ts_sanom, rt_bm25_join) improve monotonically through
+        // run 8+ in ISOLATION, but in a full sweep a 2-run noisy plateau
+        // stopped the extension 30-90% above their converged floors. So
+        // queries still above 0.4 s get a guaranteed 8 runs and patience 3;
+        // cheap stable queries keep stopping at `runs` (floor already old).
+        def floorAge  = buf.length - 1 - buf.indexOf(buf.min)
+        def expensive = buf.min > 0.4
+        def wanted    = if (expensive) 8.min(maxRuns) else runs
+        def patience  = if (expensive) 3 else 2
+        while (buf.length < maxRuns && (buf.length < wanted || floorAge < patience))
+          buf += oneRun()
         buf.toSeq
       }
       val best  = times.min
@@ -107,16 +116,21 @@ object Bench {
       System.err.println(
         f"[bench] $name%-16s $best%8.3f s  max=$worst%8.3f  rows=$rows%-8d runs=[$all]  " +
           f"cc=${codeCacheUsedMb}%3dMB meta=${metaspaceUsedMb}%3dMB gc+=${gcMillis - gc0}%4dms rdds=$persistedRdds%3d")
-      (name, best, worst)
+      (name, best, worst, times.length)
     }
     // loud summary of any query whose worst run cliffed vs its best — the
     // round-7 artifact (245 s recorded for an 11 s query) stays visible
-    results.filter { case (_, b, w) => b > 0 && w / b > 3.0 }.foreach { case (n, b, w) =>
+    results.filter { case (_, b, w, _) => b > 0 && w / b > 3.0 }.foreach { case (n, b, w, _) =>
       System.err.println(f"[bench] UNSTABLE $n: min=$b%.3f max=$w%.3f (${w / b}%.1fx)")
     }
-    val qs    = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs    = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // per-query run counts: adaptive extension means floors come from
+    // differing run counts — record them so round-over-round diffs can
+    // tell "regressed" from "measured with fewer runs" mechanically
+    val rc    = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line  =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}"""
     println(line)
     // the line can exceed what a log-tail capture keeps (200 queries wide),
     // so persist it too: one identical JSON line, overwritten per run

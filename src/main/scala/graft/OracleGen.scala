@@ -433,6 +433,11 @@ object OracleGen {
     * left-to-right list_reduce merge). Each round's vocab `v$r` carries the
     * word form `w`, so [[bpeEncodeSql]] can join the final tokenizations
     * back to the corpus; [[bpeTrainSql]] reads only the `tp$r` argmaxes. */
+  // dry-round guard: a degenerate corpus can exhaust its mergeable pairs
+  // before `merges` rounds — pr$r (and so tp$r) goes empty. The vocab
+  // round joins LEFT ... ON TRUE, so an empty tp$r yields NULL l/r, every
+  // fold comparison falls to the identity ELSE branch, and v$r = v$(r-1)
+  // — exactly Spark bpeTrain's early stop, with the SAME final vocab.
   private def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""pr$r AS MATERIALIZED (SELECT toks[i::INT] AS l, toks[i::INT + 1] AS r, sum(cnt)::BIGINT AS n
@@ -445,7 +450,7 @@ object OracleGen {
          |    (a, b) -> CASE WHEN a[-1] = tp$r.l AND b[1] = tp$r.r
          |                     THEN list_append(a[1:len(a) - 1], tp$r.l || tp$r.r)
          |                   ELSE list_append(a, b[1]) END) AS toks, cnt
-         |  FROM v${r - 1} CROSS JOIN tp$r)""".stripMargin
+         |  FROM v${r - 1} LEFT JOIN tp$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wh AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1 GROUP BY w),

@@ -977,14 +977,11 @@ object SparkEntry {
       Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7)),
     // the same query through the prebuilt inverted index (tokenize-once
     // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
-    "rt_bm25_idx" -> ((s, d) => {
-      val ix = Retrieval.termIndex(docs(s, d))
-      // stand in for the persisted postings/doclens (writeTermIndex)
-      Retrieval.bm25TopKIndexed(
-        ix.copy(postings = ix.postings.localCheckpoint(true),
-          doclens = ix.doclens.localCheckpoint(true)),
-        Seq("spark", "join"), k = 20)
-    }),
+    "rt_bm25_idx" -> ((s, d) =>
+      // stand in for the persisted postings/doclens (writeTermIndex):
+      // the pinned build tokenizes ONCE and the query reads the pins
+      Retrieval.bm25TopKIndexed(Retrieval.termIndexPinned(docs(s, d)),
+        Seq("spark", "join"), k = 20)),
     // incremental maintenance: base index + appended batch ≡ full rebuild
     // (the oracle stays the whole-corpus scan)
     "rt_bm25_app" -> ((s, d) => {
@@ -1002,14 +999,13 @@ object SparkEntry {
     // for the Jaccard sims from postings too — the text is never read;
     // shares rt_mmr's oracle, proving corpus-scan/index parity
     "rt_mmr_idx" -> ((s, d) => {
-      val ix     = Retrieval.termIndex(docs(s, d))
-      val pinned = ix.postings.localCheckpoint(true)
+      val ix = Retrieval.termIndexPinned(docs(s, d))
       val out = Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20,
-        lambda = 0.7, ix = Some(ix.copy(postings = pinned)))
+        lambda = 0.7, ix = Some(ix))
       // the greedy pick collects inside mmrRerank, so the result is a local
-      // relation with no lineage to the pin — release it here, not via the
-      // caller's Checkpoints.free(result)
-      graft.pipeline.Checkpoints.free(pinned)
+      // relation with no lineage to the pins — release them here, not via
+      // the caller's Checkpoints.free(result)
+      graft.pipeline.Checkpoints.free(ix.postings, ix.doclens)
       out
     }),
     // typo-tolerant term retrieval: vocab scan under levenshtein <= 1,
@@ -1019,19 +1015,15 @@ object SparkEntry {
     // pseudo-relevance-feedback expansion: top-10 seed docs mine 5
     // expansion terms (sum-tf x ln(N/df), ties by term); the union query
     // re-ranks through the index — two index passes, no corpus rescan
-    "rt_prf" -> ((s, d) => {
-      val ix = Retrieval.termIndex(docs(s, d))
-      Retrieval.prfTopK(
-        ix.copy(postings = graft.pipeline.Checkpoints.pin(ix.postings),
-          doclens = graft.pipeline.Checkpoints.pin(ix.doclens)),
-        Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5)
-    }),
+    "rt_prf" -> ((s, d) =>
+      Retrieval.prfTopK(Retrieval.termIndexPinned(docs(s, d)),
+        Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5)),
     // batch lexical retrieval: every 100th doc's first 3 tokens play a
     // query; per-query top-5 against the index (the lexical ann_join)
     "rt_bm25_join" -> ((s, d) => {
       val queries = docs(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"), slice(split(col("text"), " "), 1, 3).as("terms"))
-      Retrieval.bm25Join(queries, Retrieval.termIndex(docs(s, d)), k = 5)
+      Retrieval.bm25Join(queries, Retrieval.termIndexPinned(docs(s, d)), k = 5)
         .orderBy("query_id", "rank")
     }),
     "rt_hybrid" -> ((s, d) => {
@@ -1059,7 +1051,12 @@ object SparkEntry {
     // full BPE merge training over the word histogram: the learned rules
     "tx_bpemerge" -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")),
     // the tokenizer loop closed: train 8 merges, replay them over the
-    // vocab, per-doc REAL-BPE token counts (vs whitespace tx_tokens)
+    // vocab, per-doc REAL-BPE token counts (vs whitespace tx_tokens).
+    // BENCH NOTE: unlike every other entry this lambda EAGERLY runs the
+    // training collect before returning the encode plan, so a timed run
+    // pays train + encode — deliberately, the closed loop IS the unit a
+    // tokenizer pipeline pays; bisect regressions against tx_bpemerge
+    // (train alone), which brackets the training half
     "tx_bpeapply" -> ((s, d) => {
       val m = TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
@@ -1592,7 +1589,8 @@ object SparkEntry {
         |FROM a ORDER BY seq_id""".stripMargin.replace("\n", " "),
     // independent window formulation of the same preference semantics
     "sft_prefs" ->
-      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
+      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score
+        |            FROM events WHERE value IS NOT NULL),
         |r AS (SELECT prompt_id, cand_id, score,
         |        row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, cand_id) AS rb,
         |        row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, cand_id) AS rw,

@@ -107,7 +107,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
   private def subdirs(p: String): Seq[String] = {
     val dir = Paths.get(p)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else Files.list(dir).iterator.asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      // dot-dirs are warehouse-internal (restore staging), never catalog
+      .filterNot(_.startsWith(".")).toSeq.sorted
   }
 
   def listDatabases: Seq[String]                = subdirs(root)
@@ -133,11 +135,19 @@ class Warehouse(val spark: SparkSession, val root: String) {
    * warehouse directory layout IS the backup format (shard parquet +
    * meta.json per metric), so restore is validation + copy: every
    * `db/ns/metric` under `backupRoot` that carries a `meta.json` is
-   * copied in under this root. All-or-nothing: if ANY target metric
-   * already exists here, nothing is restored and the clashes are
+   * copied in under this root. Clash-validated up front: if ANY target
+   * metric already exists here, nothing is restored and the clashes are
    * reported — a backup never silently overwrites or merges into live
-   * data. Each metric copies under its own write lock. Returns the
-   * restored coords.
+   * data.
+   *
+   * ATOMICITY is per metric: each tree stages into a hidden
+   * `.restore-tmp` dir under this root (invisible to the catalog — dot
+   * dirs never list) and then RENAMES into place, one atomic move per
+   * metric, so a metric is either fully present or fully absent — a
+   * mid-copy crash leaves no partial metric a query could see. A
+   * failure between metrics leaves the earlier ones restored and
+   * complete; the error says exactly which, so the caller can resume
+   * with the remainder or drop what landed. Returns the restored coords.
    */
   def restore(backupRoot: String): Either[String, Seq[Coords]] = {
     def dirsOf(p: String): Seq[String] = subdirs(p)
@@ -153,28 +163,64 @@ class Warehouse(val spark: SparkSession, val root: String) {
       if (clashes.nonEmpty)
         Left(s"restore refused — metrics already exist: ${clashes.map(_.metric).sorted.mkString(",")}")
       else {
-        coords.foreach { c =>
-          withWriteLock(c) {
+        val tmpBase = Paths.get(root, ".restore-tmp", java.util.UUID.randomUUID().toString)
+        val done    = scala.collection.mutable.ArrayBuffer.empty[Coords]
+        try {
+          coords.foreach { c =>
             val src = Paths.get(s"$backupRoot/${c.db}/${c.namespace}/${c.metric}")
-            val dst = Paths.get(c.path(root))
+            val tmp = tmpBase.resolve(s"${c.db}__${c.namespace}__${c.metric}")
             val walk = Files.walk(src)
             try
               walk.iterator.asScala
-                // the backup may carry a stale advisory .lock — never copy it
-                // over the lock file THIS copy is holding
+                // the backup may carry a stale advisory .lock — never
+                // resurrect it in the restored tree
                 .filterNot(_.getFileName.toString == ".lock")
                 .foreach { p =>
-                  val target = dst.resolve(src.relativize(p))
+                  val target = tmp.resolve(src.relativize(p).toString)
                   if (Files.isDirectory(p)) Files.createDirectories(target)
                   else {
                     Files.createDirectories(target.getParent)
-                    Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                    Files.copy(p, target)
                   }
                 }
             finally walk.close() // the walk holds open directory handles
+            val dst = Paths.get(c.path(root))
+            Files.createDirectories(dst.getParent)
+            // serialize vs in-process writers WITHOUT withWriteLock — that
+            // would create dst/.lock and defeat the atomic rename; the
+            // rename itself refuses an existing dst, so a metric that
+            // appeared since the clash check fails loud, never overwrites
+            Warehouse.monitorFor(dst.toAbsolutePath.normalize.toString).synchronized {
+              try Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException |
+                    _: java.nio.file.DirectoryNotEmptyException =>
+                  throw new IllegalStateException(
+                    s"metric ${c.metric} appeared during restore — refusing to overwrite")
+              }
+            }
+            done += c
           }
+          Right(coords)
+        } catch {
+          case e: Throwable =>
+            val landed = if (done.isEmpty) "none"
+              else done.map(c => s"${c.db}/${c.namespace}/${c.metric}").mkString(",")
+            Left(s"restore failed after ${done.size}/${coords.size} metrics " +
+              s"(fully restored: $landed; per-metric renames are atomic, nothing partial is " +
+              s"visible): ${e.getMessage}")
+        } finally {
+          // staged leftovers from a failure are catalog-invisible; still,
+          // sweep them so the root carries no dead bytes
+          if (Files.exists(tmpBase)) {
+            val w = Files.walk(tmpBase)
+            try w.iterator.asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+            finally w.close()
+          }
+          try Files.deleteIfExists(Paths.get(root, ".restore-tmp")) // if now empty
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () } // a peer restore's staging
+          ()
         }
-        Right(coords)
       }
     }
   }

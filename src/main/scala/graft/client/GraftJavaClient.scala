@@ -146,6 +146,18 @@ object GraftJavaClient {
     def getReason: String                = reason
     def getRecords: java.util.List[java.util.Map[String, Object]] = records
   }
+
+  /** Metadata outcome: like every other verb, failure surfaces IN the
+    * result (`isCompletedSuccessfully`/`getReason`) — never as an empty
+    * list a caller can't distinguish from "namespace has no metrics". */
+  final class MetricsResult private[client] (
+      ok: Boolean,
+      reason: String,
+      metrics: java.util.List[String]) {
+    def isCompletedSuccessfully: Boolean    = ok
+    def getReason: String                   = reason
+    def getMetrics: java.util.List[String]  = metrics
+  }
 }
 
 final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
@@ -216,12 +228,16 @@ final class GraftJavaClient private (engine: GraftEngine, maxResultRows: Int) {
       }
     }
 
-  /** Metadata: the metrics of a namespace, as a Java list. */
-  def showMetrics(db: String, namespace: String): CompletableFuture[java.util.List[String]] =
+  /** Metadata: the metrics of a namespace. Failure (bad db/namespace,
+    * unreachable warehouse) lands in the result object — an empty metric
+    * list is reserved for a real, reachable, empty namespace. */
+  def showMetrics(db: String, namespace: String): CompletableFuture[MetricsResult] =
     CompletableFuture.supplyAsync { () =>
-      engine.command(db, namespace, Ast.ShowMetrics) match {
-        case Right(rows) => java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(rows.flatten).asJava)
-        case Left(_)     => java.util.List.of()
+      safely(engine.command(db, namespace, Ast.ShowMetrics)) match {
+        case Right(rows) =>
+          new MetricsResult(true, "",
+            java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(rows.flatten).asJava))
+        case Left(err) => new MetricsResult(false, err, java.util.List.of())
       }
     }
 }

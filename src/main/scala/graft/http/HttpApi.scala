@@ -340,6 +340,44 @@ class HttpApi(
   /** tracked periodic-subscription scheduler count — observability for specs. */
   def periodicSubscriberCount: Int = periodicSubs.size()
 
+  // the warehouse reachability probe is a Hadoop FileSystem exists() — a
+  // BLOCKING call with no timeout of its own. A stalled NFS/S3 mount must
+  // answer NOT_SERVING promptly, not hang the handler thread (misleading
+  // the load balancer AND pinning shared pool threads). So the probe runs
+  // on one dedicated daemon thread with a bounded wait; while a stalled
+  // probe is still in flight, later health checks answer NOT_SERVING
+  // immediately instead of stacking more blocked threads behind it.
+  private val healthProbeExec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-health-probe"); t.setDaemon(true); t
+  })
+  private[graft] val healthProbeBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val healthProbeTimeoutMs: Long =
+    sys.env.getOrElse("GRAFT_HEALTH_PROBE_TIMEOUT_MS", "500").toLong
+
+  private def probeWarehouse(w: graft.catalog.Warehouse): Either[String, String] =
+    if (!healthProbeBusy.compareAndSet(false, true))
+      Left("warehouse probe still in flight: filesystem stalled")
+    else {
+      val fut = healthProbeExec.submit(new java.util.concurrent.Callable[Either[String, String]] {
+        def call(): Either[String, String] =
+          try Try {
+            val p = new org.apache.hadoop.fs.Path(w.root)
+            p.getFileSystem(engine.spark.sessionState.newHadoopConf()).exists(p)
+          } match {
+            case Success(true)  => Right("reachable")
+            case Success(false) => Left(s"warehouse root missing: ${w.root}")
+            case Failure(e)     => Left(s"warehouse unreachable: ${e.getMessage}")
+          } finally healthProbeBusy.set(false)
+      })
+      try fut.get(healthProbeTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          // leave the probe running: it clears `busy` when the FS unsticks
+          Left(s"warehouse probe timed out after ${healthProbeTimeoutMs}ms: filesystem stalled")
+        case e: Throwable => Left(s"warehouse probe failed: ${e.getMessage}")
+      }
+    }
+
   /** GET /health — the reference's health surface
     * (`nsdb-rpc/src/main/protobuf/health.proto:35`, `rpc Check` returning
     * SERVING/NOT_SERVING), HTTP-shaped since grpc-java is absent here.
@@ -351,16 +389,8 @@ class HttpApi(
   private def handleHealth(ex: HttpExchange): (Int, String) = {
     val sparkUp = !engine.spark.sparkContext.isStopped
     val wh: Either[String, String] = engine.warehouse match {
-      case None => Right("none")
-      case Some(w) =>
-        Try {
-          val p = new org.apache.hadoop.fs.Path(w.root)
-          p.getFileSystem(engine.spark.sessionState.newHadoopConf()).exists(p)
-        } match {
-          case Success(true)  => Right("reachable")
-          case Success(false) => Left(s"warehouse root missing: ${w.root}")
-          case Failure(e)     => Left(s"warehouse unreachable: ${e.getMessage}")
-        }
+      case None    => Right("none")
+      case Some(w) => probeWarehouse(w)
     }
     (sparkUp, wh) match {
       case (true, Right(whStatus)) =>

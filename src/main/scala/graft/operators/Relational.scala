@@ -803,12 +803,17 @@ object Relational {
     import spark.implicits._
     val hist = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
-    val nBuckets = hist.agg(count(lit(1))).head().getLong(0)
-    if (nBuckets == 0L)
+    // size-probe AND driver fetch in ONE scan: head(limit+1) collects at
+    // most one row past the cap — when the histogram fits (the common,
+    // Zipfian case) those rows ARE the buckets, no second aggregation;
+    // only an over-cap histogram pays a second (distributed-path) scan
+    val probeLimit = math.min(maxDriverBuckets, Int.MaxValue.toLong - 1L).toInt
+    val probe = hist.head(probeLimit + 1)
+    if (probe.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("n_keys", "n_events", "gini")
     val (n, s, t) =
-      if (nBuckets <= maxDriverBuckets) {
-        val buckets = hist.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      if (probe.length <= probeLimit) {
+        val buckets = probe.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         var n = 0L; var s = 0L; var t = 0L; var r = 0L
         buckets.foreach { case (c, m) =>
           n += m
@@ -886,14 +891,22 @@ object Relational {
     import spark.implicits._
     // the S×S matrix is a DRIVER structure: guard the cardinality BEFORE
     // collecting the transitions, so a high-cardinality stateCol (user ids
-    // passed by mistake) fails loud instead of OOMing the driver
-    val nStates = events.agg(countDistinct(col(stateCol))).head().getLong(0)
-    require(nStates <= maxStates,
-      s"markovSteadyState: $nStates distinct '$stateCol' states exceed maxStates=$maxStates — " +
-        "the steady state is a driver-side S×S power iteration; pass a low-cardinality state " +
-        "column (event types, not ids), or raise maxStates if S^2 doubles genuinely fit in driver memory")
-    val tc = transitionCounts(events, Seq(idCol), tsCol, stateCol)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // passed by mistake) fails loud instead of OOMing the driver. The
+    // count comes from the already-needed transition table (persisted
+    // around the probe), NOT a second full scan of `events` — the matrix
+    // is built from tc's from/to states, so that is also the exact bound.
+    val tcDf = transitionCounts(events, Seq(idCol), tsCol, stateCol).persist()
+    val tc =
+      try {
+        val nStates = tcDf.select(col("from_state").as("s"))
+          .union(tcDf.select(col("to_state").as("s")))
+          .agg(countDistinct(col("s"))).head().getLong(0)
+        require(nStates <= maxStates,
+          s"markovSteadyState: $nStates distinct '$stateCol' states exceed maxStates=$maxStates — " +
+            "the steady state is a driver-side S×S power iteration; pass a low-cardinality state " +
+            "column (event types, not ids), or raise maxStates if S^2 doubles genuinely fit in driver memory")
+        tcDf.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      } finally tcDf.unpersist()
     if (tc.isEmpty)
       return Seq.empty[(String, Double)].toDF("state", "steady_prob")
     val states = (tc.map(_._1) ++ tc.map(_._2)).distinct

@@ -123,6 +123,53 @@ object Retrieval {
     TermIndex(postings, doclens, n, sumDl)
   }
 
+  /** [[termIndex]] with the postings PINNED (eager local checkpoint)
+    * before anything reads them: the corpus is tokenized exactly once,
+    * and the doclens, the two scalars, and every downstream query run
+    * against the one materialization. [[termIndex]] by contrast computes
+    * its scalars through a lazy postings frame, so a caller who pins
+    * AFTERWARDS has already paid one throwaway tokenization — the gates
+    * that fan several passes over one ad-hoc index belong here. The pins
+    * release through [[Checkpoints.free]] on any frame derived from the
+    * index (they sit in its lineage), or [[Checkpoints.scoped]]. */
+  def termIndexPinned(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): TermIndex = {
+    import graft.pipeline.Checkpoints.PinOps
+    val toks     = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+    val postings = toks.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf")).pinned
+    val doclens  = postings.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).pinned
+    val Array(n, sumDl) = doclens.agg(count(lit(1)), sum(col("dl"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    TermIndex(postings, doclens, n, sumDl)
+  }
+
+  /** serializes [[appendToTermIndex]] writers on one index: JVM monitor
+    * per normalized path (two engines in-process), plus an advisory file
+    * lock on `path/.lock` when the path is a plain local one (two driver
+    * PROCESSES) — the [[graft.catalog.Warehouse]] write-lock pattern.
+    * Scheme-qualified URIs get the monitor only; see the
+    * [[appendToTermIndex]] contract. */
+  private val indexMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withIndexLock[A](path: String)(body: => A): A = {
+    val local = !path.contains("://")
+    val key =
+      if (local) java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString else path
+    indexMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!local) body
+      else {
+        val dir = java.nio.file.Paths.get(key)
+        java.nio.file.Files.createDirectories(dir)
+        val ch = java.nio.channels.FileChannel.open(
+          dir.resolve(".lock"),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        try { val fl = ch.lock(); try body finally fl.release() } finally ch.close()
+      }
+    }
+  }
+
   /** the persisted-postings projection shared by [[writeTermIndex]] and
     * [[appendToTermIndex]] — term-partitioned, term-sorted for row-group
     * pruning; one source of the tokenization. */
@@ -180,13 +227,24 @@ object Retrieval {
    * leaves postings over-complete and scalars stale — rebuild with
    * [[writeTermIndex]] on any doubt (the same recovery posture as an
    * interrupted compaction rewrite).
+   *
+   * CONCURRENCY: the whole append (postings → doclens → stats
+   * read-bump-rewrite) runs under the warehouse write-lock pattern — a
+   * JVM monitor keyed by the normalized index path plus, for local
+   * paths, an OS advisory lock on `$$path/.lock` — so two drivers
+   * appending the same index serialize and their stats bumps SUM instead
+   * of last-writer-wins clobbering one batch's counts. On object-store
+   * URIs (s3://, hdfs://) no file lock exists; there the monitor covers
+   * one JVM and cross-process appends remain the caller's single-writer
+   * contract (exactly the posture of a streaming sink's one owning
+   * query).
    */
   def appendToTermIndex(
       docs: DataFrame,
       path: String,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): Unit = {
+  ): Unit = withIndexLock(path) {
     import graft.pipeline.Checkpoints
     import graft.pipeline.Checkpoints.PinOps
     val spark = docs.sparkSession

@@ -1039,7 +1039,10 @@ object TextAnalysis {
   ): DataFrame = {
     import graft.pipeline.Checkpoints
     import graft.pipeline.Checkpoints.PinOps
-    require(merges.nonEmpty && merges.size <= 64, "need 1..64 learned merges")
+    // zero merges is legal: a corpus whose training dried immediately (all
+    // single-char words) encodes as plain character tokenization — the
+    // identity replay, matching the oracle's dry-round vocab fallback
+    require(merges.size <= 64, "need 0..64 learned merges")
     val corpusWords = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
       .filter(length(col("__w")) >= 1)
     var vocab = corpusWords.select(col("__w")).distinct()

@@ -205,14 +205,19 @@ object StatefulMonitors {
    * top-k ranking (Update mode semantics: downstream sinks upsert by
    * (group, rank)).
    *
-   * Determinism: within a micro-batch a group's rows fold in (item) sorted
-   * order, min-counter eviction ties break on the item string, and the
-   * emitted ranking orders by (count desc, item) — replays reproduce.
-   * That sort buffers the group's rows for ONE trigger, so per-trigger
-   * memory is O(rows per group per batch) even though the CARRIED state
-   * stays O(capacity); on a hot group, bound the trigger interval /
-   * maxOffsetsPerTrigger accordingly (folding in iterator order would
-   * drop the buffer but make replay determinism depend on batch order).
+   * Determinism: with `deterministic = true` (default) a group's rows
+   * fold in (item) sorted order within each micro-batch, min-counter
+   * eviction ties break on the item string, and the emitted ranking
+   * orders by (count desc, item) — replays reproduce. That sort buffers
+   * the group's rows for ONE trigger, so per-trigger memory is
+   * O(rows per group per batch) even though the CARRIED state stays
+   * O(capacity). `deterministic = false` folds in ITERATOR order — O(1)
+   * per row, no per-batch buffer, the right posture for a hot group
+   * whose single-trigger row volume is itself a memory concern. The
+   * Space-Saving guarantees (no undercount, overcount ≤ N/capacity,
+   * total counted mass) hold identically either way; only which item a
+   * TIED min-counter eviction picks — and therefore replay determinism —
+   * depends on arrival order.
    *
    * Input columns: `(groupCol string, itemCol string)`. Update mode.
    */
@@ -221,7 +226,8 @@ object StatefulMonitors {
       k: Int,
       capacity: Int,
       groupCol: String = "event_type",
-      itemCol: String = "user_id"
+      itemCol: String = "user_id",
+      deterministic: Boolean = true
   ): Dataset[HeavyHitter] = {
     require(k > 0, "k must be positive")
     require(capacity >= k, "capacity must be >= k (the summary must hold the answer)")
@@ -235,7 +241,9 @@ object StatefulMonitors {
         (group: String, rows: Iterator[(String, String)],
          state: GroupState[TopKState]) =>
           var st = state.getOption.getOrElse(TopKState(Map.empty, Map.empty))
-          rows.map(_._2).toSeq.sorted.foreach { item =>
+          val itemsInOrder =
+            if (deterministic) rows.map(_._2).toSeq.sorted.iterator else rows.map(_._2)
+          itemsInOrder.foreach { item =>
             st.counts.get(item) match {
               case Some(c) => st = st.copy(counts = st.counts.updated(item, c + 1L))
               case None if st.counts.size < capacity =>

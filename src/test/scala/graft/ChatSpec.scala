@@ -135,6 +135,36 @@ class ChatSpec extends SparkTestBase {
     (n.getLong(1), n.getLong(2), n.getLong(3), n.getDouble(4)) shouldBe ((2L, 10L, 12L, 2.0))
   }
 
+  it should "agree with the oracle's window formulation when NULL scores exist" in {
+    // the sft_prefs DuckDB oracle filters NULLs up front then ranks via
+    // row_number windows; run that exact formulation here (Spark SQL) on a
+    // fixture WITH NULLs and assert it matches preferencePairs row-for-row
+    val cands = Seq(
+      (1L, 10L, Some(3.0)), (1L, 11L, None), (1L, 12L, Some(1.0)),
+      (2L, 20L, Some(5.0)), (2L, 21L, None), // one real score → no pair
+      (3L, 30L, None), (3L, 31L, None),      // all NULL → prompt vanishes
+      (4L, 40L, Some(4.0)), (4L, 41L, Some(1.5)), (4L, 42L, None)
+    ).toDF("prompt_id", "cand_id", "score")
+    cands.createOrReplaceTempView("prefs_null_fixture")
+    val oracle = spark.sql(
+      """WITH c AS (SELECT prompt_id, cand_id, score FROM prefs_null_fixture WHERE score IS NOT NULL),
+        |r AS (SELECT prompt_id, cand_id, score,
+        |        row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, cand_id) AS rb,
+        |        row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, cand_id) AS rw,
+        |        count(*) OVER (PARTITION BY prompt_id) AS n FROM c),
+        |b AS (SELECT prompt_id, cand_id AS chosen_id, score AS bs, n FROM r WHERE rb = 1),
+        |w AS (SELECT prompt_id, cand_id AS rejected_id, score AS ws FROM r WHERE rw = 1)
+        |SELECT b.prompt_id, b.n AS n_cands, b.chosen_id, w.rejected_id, b.bs - w.ws AS margin
+        |FROM b JOIN w ON b.prompt_id = w.prompt_id
+        |WHERE b.chosen_id <> w.rejected_id AND b.bs - w.ws >= 1.0
+        |ORDER BY b.prompt_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val engine = Chat.preferencePairs(cands, minMargin = 1.0).orderBy("prompt_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    engine shouldBe oracle
+    engine.map(_._1) shouldBe Array(1L, 4L) // prompts 2 and 3 dropped by NULL semantics
+  }
+
   "Chat.passAtK" should "match the closed-form estimator and handle the exact branches" in {
     // prompt 1: n=5, c=2 → pass@3 = 1 - C(3,3)/C(5,3) = 1 - 1/10 = 0.9
     // prompt 2: n=4, c=0 → exactly 0; prompt 3: n=3, c=2 (n-c<k) → exactly 1

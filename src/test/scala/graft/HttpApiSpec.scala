@@ -153,6 +153,35 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  it should "answer /health with SERVING up and NOT_SERVING down, never hanging on a stalled probe" in {
+    val root   = Files.createTempDirectory("graft_health_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new HttpApi(engine)
+    val port   = api.start()
+    try {
+      // healthy: live SparkContext + reachable warehouse root
+      val (s1, b1) = get(port, "/health")
+      s1 shouldBe 200
+      b1 should include(""""status":"SERVING"""")
+      b1 should include(""""warehouse":"reachable"""")
+      // a probe already in flight (stalled filesystem) answers 503 at once
+      // instead of stacking another blocked handler thread behind it
+      api.healthProbeBusy.set(true)
+      val (s2, b2) = get(port, "/health")
+      s2 shouldBe 503
+      b2 should include(""""status":"NOT_SERVING"""")
+      b2 should include("still in flight")
+      api.healthProbeBusy.set(false)
+      // a vanished warehouse root flips to NOT_SERVING with the reason
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      val (s3, b3) = get(port, "/health")
+      s3 shouldBe 503
+      b3 should include("warehouse root missing")
+    } finally api.stop()
+  }
+
   it should "reject a malformed refresh_ms with 400 before any SSE bytes go out" in {
     val root   = Files.createTempDirectory("graft_http_refresh_").toString
     val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))

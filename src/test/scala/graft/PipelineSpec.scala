@@ -1396,6 +1396,25 @@ class PipelineSpec extends SparkTestBase {
     direct shouldBe Array((0L, 4L), (1L, 4L), (2L, 2L))
   }
 
+  it should "encode the dry-training degenerate corpus as character tokens (zero merges)" in {
+    // every word is a single char: training dries at round 1, learns NOTHING
+    val d = Seq((0L, "a b a"), (1L, "c")).toDF("doc_id", "text")
+    TextAnalysis.bpeTrain(d, merges = 8).count() shouldBe 0L
+    // the encode replay of an empty merge table is character tokenization —
+    // mirrors the oracle's dry-round vocab fallback (v$r = v$(r-1))
+    val out = TextAnalysis.bpeEncode(d, Seq.empty).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((0L, 3L, 3L), (1L, 1L, 1L))
+    // partial dry: "aa" corpus learns 1 of 8 asked merges; the encode of
+    // what WAS learned still answers (train never pads with empty rounds)
+    val d2 = Seq((0L, "aa aa"), (1L, "aa")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(d2, merges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    learned shouldBe Seq(("a", "a"))
+    TextAnalysis.bpeEncode(d2, learned).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))) shouldBe Array((0L, 2L), (1L, 1L))
+  }
+
   "TextAnalysis.vocabStats" should "count docs, tokens and vocab in pure int64" in {
     val corpus = Seq(
       (0L, "a b a", "en"), (1L, "a c", "en"), // en: 2 docs, 5 tokens, vocab {a,b,c}

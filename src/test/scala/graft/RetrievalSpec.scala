@@ -101,6 +101,38 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  it should "serialize concurrent appends so the stats bumps sum (index write-lock)" in {
+    // two threads appending disjoint batches at once: without the lock the
+    // stats read-bump-rewrite races and one batch's counts vanish
+    // (last-writer-wins); under it the final scalars are the exact sums
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixlock").toString
+    try {
+      Retrieval.writeTermIndex(docs.filter($"doc_id" === 0L), dir)
+      val batches = Seq(docs.filter($"doc_id" === 1L),
+        docs.filter($"doc_id" === 2L), docs.filter($"doc_id" === 3L))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] = batches.map { b =>
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = Retrieval.appendToTermIndex(b, dir)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // rethrows failures
+      } finally pool.shutdown()
+      val ix = Retrieval.readTermIndex(spark, dir)
+      ix.n shouldBe 4L      // 1 base + 3 appended, none clobbered
+      ix.sumDl shouldBe 14L // the full corpus' token mass
+      // and the index still scores exactly like the from-scratch scan
+      val direct   = Retrieval.bm25TopK(docs, Seq("spark", "sort"), k = 4).collect()
+      val appended = Retrieval.bm25TopKIndexed(ix, Seq("spark", "sort"), k = 4).collect()
+      appended.map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+        direct.map(r => (r.getLong(0), r.getDouble(1)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   "Retrieval.phraseMatches" should "count overlapping consecutive occurrences only" in {
     val corpus = Seq(
       (0L, "a b a b a"),   // "a b a": positions 0 and 2 (overlapping) → 2

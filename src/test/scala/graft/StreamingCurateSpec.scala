@@ -280,6 +280,35 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "report identical counts in iterator-order mode (deterministic = false)" in {
+    // Space-Saving totals are order-independent: the no-buffer fold must
+    // land the same per-item counts on the same data — only TIED min
+    // evictions (none here: the evicted min is unique) depend on order
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val cp    = Files.createTempDirectory("graft_hh_iter_").toString
+    val q = StatefulMonitors.heavyHitters(
+        input.toDF().toDF("event_type", "user_id"), k = 2, capacity = 3,
+        deterministic = false)
+      .writeStream.format("memory").queryName("hh_iter").outputMode("update")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      input.addData(Seq("a", "a", "a", "b", "b", "c").map(("click", _)): _*)
+      q.processAllAvailable()
+      spark.table("hh_iter").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet shouldBe Set(("a", 3L, 0L, 1), ("b", 2L, 0L, 2))
+      // pressure batch: the min counter (c, 1) is UNIQUE, so iterator
+      // order evicts exactly what sorted order does — counts identical
+      input.addData(("click", "d"), ("click", "d"))
+      q.processAllAvailable()
+      val latest = spark.table("hh_iter").collect().grouped(2).toSeq.last
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+      latest shouldBe Set(("a", 3L, 0L, 1), ("d", 3L, 1L, 2))
+    } finally q.stop()
+  }
+
   "StatefulMonitors.sessionWindows" should "merge within-gap events and split across the gap" in {
     import graft.streaming.StatefulMonitors
     implicit val sqlc = spark.sqlContext

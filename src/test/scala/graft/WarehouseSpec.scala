@@ -286,6 +286,30 @@ class WarehouseSpec extends SparkTestBase {
     wh2.restore(Files.createTempDirectory("graft_empty_").toString).isLeft shouldBe true
   }
 
+  it should "keep per-metric atomicity through a mid-copy restore failure" in {
+    // backup with two metrics: 'a_ok' restores clean; 'b_bad' carries a
+    // dangling symlink whose copy throws MID-restore (after a_ok landed)
+    val (engineB, whB, backupRoot) = freshEngine()
+    seed(whB, Coords("db", "ns", "a_ok"))
+    seed(whB, Coords("db", "ns", "b_bad"))
+    Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$backupRoot/db/ns/b_bad/data/dangling.parquet"),
+      java.nio.file.Paths.get(s"$backupRoot/db/ns/b_bad/no_such_target"))
+    val (engine2, wh2, root2) = freshEngine()
+    val err = wh2.restore(backupRoot).swap.getOrElse(fail("restore must report the failure"))
+    // the error names what landed, completely
+    err should include("restore failed after 1/2")
+    err should include("db/ns/a_ok")
+    // a_ok is fully present and queryable; b_bad fully ABSENT — the rename
+    // never exposed a partial tree, and the staging area swept itself
+    engine2.sql("db", "ns", "select * from a_ok").fold(fail(_), _.count()) shouldBe 4L
+    wh2.exists(Coords("db", "ns", "b_bad")) shouldBe false
+    new java.io.File(s"$root2/db/ns/b_bad").exists() shouldBe false
+    new java.io.File(s"$root2/.restore-tmp").exists() shouldBe false
+    // the staging dir is catalog-invisible by construction anyway
+    wh2.listDatabases should not contain ".restore-tmp"
+  }
+
   it should "execute INSERT statements" in {
     val (engine, _, _) = freshEngine()
     engine.sql("db", "ns", "insert into m5 ts=1000 dim(name=alice) tags(grp=g1) val=7.5").isRight shouldBe true
