@@ -31,6 +31,14 @@ object Bench {
       // small SF files: split finer so all cores participate
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // small-SF shuffles: AQE's default 1m floor coalesces a few-MB
+      // relation to ONE partition, and a pin (localCheckpoint) then
+      // freezes that for every downstream scan — rt_bm25_join's scoring
+      // stage ran 0.9s single-threaded on a 16-way box. Locally, favor
+      // parallelism over partition size; a real cluster at 100TB keeps
+      // the 64m default (its relations never coalesce this small).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

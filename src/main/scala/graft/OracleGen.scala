@@ -468,6 +468,75 @@ object OracleGen {
        |SELECT * FROM ($sel) ORDER BY step""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.TextAnalysis.nbModel]]: per-(label, term)
+    * token counts under the whitespace convention (empty tokens dropped),
+    * top `topK` per label by count desc / term asc — all-integer. */
+  def nbModelSql(topK: Int): String =
+    s"""WITH tk AS (SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE length(term) >= 1),
+       |cnt AS (SELECT d.lang, t.term, count(*)::BIGINT AS n
+       |        FROM tk t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |r AS (SELECT lang, term, n,
+       |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank FROM cnt)
+       |SELECT lang, term, n, rank::BIGINT AS rank FROM r WHERE rank <= $topK
+       |ORDER BY lang, rank""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.nbConfusion]]: Laplace-1
+    * multinomial NB self-prediction rolled to a confusion matrix. Every ln
+    * argument is an exact int64, the per-term weight is one fixed
+    * multiply, the per-(doc,label) sum is the ascending-sorted fold, and
+    * prior + fold compose left-to-right — mirroring the engine op for op;
+    * argmax ties break by label asc on the unrounded score. */
+  def nbConfusionSql: String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE length(term) >= 1),
+       |cnt AS MATERIALIZED (SELECT d.lang AS lab, t.term, count(*)::BIGINT AS c
+       |        FROM tk t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT lab, sum(c)::BIGINT AS tot FROM cnt GROUP BY lab),
+       |nd  AS (SELECT lang AS lab, count(*)::BIGINT AS nd FROM documents GROUP BY lang),
+       |gl  AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |vv  AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tk),
+       |dtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+       |x AS (SELECT dtf.doc_id, l.lab, dtf.tf, COALESCE(c.c, 0)::BIGINT AS cc, l.tot
+       |      FROM dtf CROSS JOIN tot l LEFT JOIN cnt c ON c.lab = l.lab AND c.term = dtf.term),
+       |wts AS (SELECT doc_id, lab,
+       |          tf::DOUBLE * (ln((cc + 1)::DOUBLE) - ln((tot + v)::DOUBLE)) AS wt
+       |        FROM x CROSS JOIN vv),
+       |sc AS (SELECT w.doc_id, w.lab,
+       |         ln(nd.nd::DOUBLE) - ln(gl.n::DOUBLE) + list_reduce(
+       |           list_prepend(0.0::DOUBLE, list_sort(list(wt))), (a, b) -> a + b) AS score
+       |       FROM wts w JOIN nd ON nd.lab = w.lab CROSS JOIN gl
+       |       GROUP BY w.doc_id, w.lab, nd.nd, gl.n),
+       |pred AS (SELECT doc_id, lab AS pred,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS r FROM sc)
+       |SELECT d.lang, p.pred, count(*)::BIGINT AS n
+       |FROM pred p JOIN documents d USING (doc_id) WHERE p.r = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.readability]]: per-word
+    * vowel-group syllables (min 1), terminal-punct sentence count (min 1),
+    * one mirrored float expression at the end. The engine counts vowel
+    * groups over the whole lowered text plus the vowel-less-word count;
+    * the oracle sums `greatest(groups, 1)` per word — equal because vowel
+    * runs cannot span the space separator. */
+  def readabilitySql: String =
+    s"""WITH w AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1),
+       |s AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+       |        sum(greatest(length(regexp_replace(w, '[aeiouy]+', 'V', 'g'))
+       |          - length(regexp_replace(w, '[aeiouy]+', '', 'g')), 1))::BIGINT AS n_syll
+       |      FROM w GROUP BY doc_id),
+       |d AS (SELECT doc_id,
+       |        greatest(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')), 1)::BIGINT AS n_sents
+       |      FROM documents)
+       |SELECT s.doc_id, s.n_words, d.n_sents, s.n_syll,
+       |  round(206.835 - 1.015 * (s.n_words::DOUBLE / d.n_sents::DOUBLE)
+       |    - 84.6 * (s.n_syll::DOUBLE / s.n_words::DOUBLE), 4) AS flesch
+       |FROM s JOIN d USING (doc_id) ORDER BY s.doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.pipeline.TextAnalysis.bpeEncode]] over a
     * freshly-trained merge table: the final round's vocab IS each word
     * form's tokenization after all merges (training applies each learned
@@ -481,6 +550,60 @@ object OracleGen {
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1)
        |SELECT doc_id, count(*)::BIGINT AS n_words, sum(wt)::BIGINT AS n_tokens
        |FROM dw JOIN wl USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.Dedup.winnowPairs]]: char-k-gram hashes
+    * spelled as ONE flat polynomial per position (the fold's per-step mod
+    * equals the sum mod, and powers reduce mod P up front so every term
+    * stays in int64 — no nested lambdas, which DuckDB miscompiles across
+    * groups), window minima via a position→window-start explode with the
+    * rightmost-tie argmax join, then the capped distinct-fingerprint pair
+    * count. */
+  def winnowPairsSql(
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000
+  ): String = {
+    val P        = 2147483647L
+    def pw(e: Int): Long = BigInt(31).pow(e).mod(BigInt(P)).toLong
+    val seedTerm = (BigInt(7) * BigInt(31).pow(k)).mod(BigInt(P)).toLong
+    // ::BIGINT before the multiply: ascii() is INT32 and DuckDB would
+    // otherwise overflow INT32 on code·power before widening
+    val terms = (0 until k).map(j => s"cs[(p + $j)::INT]::BIGINT * ${pw(k - 1 - j)}").mkString(" + ")
+    s"""WITH co AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i::INT, 1))) AS cs,
+       |    (length(text) - ${k - 1})::BIGINT AS g
+       |  FROM documents WHERE length(text) >= $k),
+       |hg AS MATERIALIZED (SELECT doc_id, g, p, ($seedTerm + $terms) % $P AS fp
+       |  FROM co, unnest(generate_series(1, g)) AS t(p)),
+       |win AS (SELECT doc_id, s, min(fp) AS mfp
+       |  FROM hg, unnest(generate_series(greatest(p - ${w - 1}, 1), least(p, g - ${w - 1}))) AS t(s)
+       |  GROUP BY doc_id, s),
+       |pick AS (SELECT w.doc_id, w.s, w.mfp AS fp, max(h.p) AS pos
+       |  FROM win w JOIN hg h ON h.doc_id = w.doc_id AND h.fp = w.mfp AND h.p BETWEEN w.s AND w.s + ${w - 1}
+       |  GROUP BY 1, 2, 3),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM pick),
+       |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxBucket)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id JOIN ok ON ok.fp = a.fp
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of the per-language BPE fertility panel: [[bpeCtes]]' final
+    * vocab joins the corpus word explode, doc token counts roll up by the
+    * document's language — tokens-per-word is the ONE float division,
+    * spelled identically on both engines. */
+  def bpeFertilitySql(merges: Int): String =
+    s"""WITH ${bpeCtes(merges)},
+       |wl AS MATERIALIZED (SELECT w, len(toks)::BIGINT AS wt FROM v$merges),
+       |dw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS nw, sum(wt)::BIGINT AS nt
+       |       FROM dw JOIN wl USING (w) GROUP BY doc_id)
+       |SELECT d.lang, sum(nw)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens,
+       |  round(sum(nt)::DOUBLE / sum(nw), 6) AS fertility
+       |FROM dl JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang""".stripMargin
+      .replace("\n", " ")
 
   /** shared CTE chain mirroring [[graft.pipeline.Similarity.pcaCore]]:
     * 1e-4-lattice snap → exact int64 dim/pair-product sums → covariance

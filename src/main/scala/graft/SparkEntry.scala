@@ -215,6 +215,11 @@ object SparkEntry {
     // content-defined chunking: partial-overlap/containment pairs that
     // whole-document Jaccard dilutes below any threshold
     "d_cdc" -> ((s, d) => Dedup.cdcOverlapPairs(docs(s, d)).orderBy("id_a", "id_b")),
+    // MOSS winnowing: char-8-gram hashes, 4-window rightmost-min selection;
+    // pairs sharing >= 2 distinct fingerprints (span-level splice catcher)
+    "d_winnow" -> ((s, d) =>
+      Dedup.winnowPairs(docs(s, d), k = 8, w = 4, minShared = 2L, maxBucket = 1000)
+        .orderBy("id_a", "id_b")),
     // PageRank centrality over the near-dup graph: hub/template docs outrank
     // their copies (what connected components alone cannot tell apart)
     "d_pagerank" -> ((s, d) => {
@@ -1062,10 +1067,30 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs(s, d), m).orderBy("doc_id")
     }),
+    // tokenizer fertility panel: BPE tokens-per-word by language — the
+    // standard "how well does this tokenizer fit each language" report
+    // (same eager-train bench note as tx_bpeapply applies)
+    "tx_fert" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), m)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
+        .withColumn("fertility", round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
+    }),
     // Zipf slope/intercept over the top-100 term frequencies
     "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d), n = 100)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
     "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
+    // multinomial NB model head: top-20 terms per language label
+    "tx_nbmodel" -> ((s, d) =>
+      TextAnalysis.nbModel(docs(s, d), topK = 20).orderBy("lang", "rank")),
+    // NB self-prediction confusion matrix (Laplace-1, argmax ties by label)
+    "tx_nbconf" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred")),
+    // Flesch reading-ease panel (vowel-group syllables, terminal-punct sentences)
+    "tx_read" -> ((s, d) => TextAnalysis.readability(docs(s, d)).orderBy("doc_id")),
     // top-20 PMI collocations (min bigram count 5 guards rare-pair noise)
     "tx_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d), k = 20)),
     // per-doc token-distribution entropy (gibberish/boilerplate signal)
@@ -1306,6 +1331,7 @@ object SparkEntry {
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
+    "d_winnow"   -> OracleGen.winnowPairsSql(k = 8, w = 4, minShared = 2L, maxBucket = 1000),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
@@ -2406,6 +2432,10 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " "),
     "tx_bpemerge" -> OracleGen.bpeTrainSql(merges = 8),
     "tx_bpeapply" -> OracleGen.bpeEncodeSql(merges = 8),
+    "tx_fert"     -> OracleGen.bpeFertilitySql(merges = 8),
+    "tx_nbmodel"  -> OracleGen.nbModelSql(topK = 20),
+    "tx_nbconf"   -> OracleGen.nbConfusionSql,
+    "tx_read"     -> OracleGen.readabilitySql,
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     // per-doc sum is the same ascending sorted fold as the BM25 oracles
     "tx_entropy" ->

@@ -176,6 +176,63 @@ object PortableHash extends Serializable {
     new GenericArrayData(sortedDistinct(sh))
   }
 
+  /**
+   * Winnowing selection (Schleimer, Wilkerson & Aiken 2003) over char
+   * `k`-grams in ONE O(n) pass: rolling polynomial gram hashes (seed 7,
+   * base 31, mod 2^31−1 over code points — the same fold every portable
+   * hash here uses) + a monotonic-deque sliding-window minimum with the
+   * RIGHTMOST tie rule (an equal later hash evicts the earlier one, so
+   * the deque front among tied minima is the rightmost). Returns the
+   * selected fingerprints as packed longs `pos·2^32 + fp` (1-based pos;
+   * both halves < 2^31), in increasing position, each selected position
+   * exactly once (a repeated pick across adjacent windows emits once —
+   * identical to DISTINCT over per-window argmins, since a position can
+   * only win in consecutive windows). Value-identical to the HOF
+   * reference form [[graft.pipeline.Dedup.winnowFingerprintsHof]].
+   */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray // = length()/ascii() semantics
+    val n   = cps.length
+    val g   = n - k + 1
+    if (g < w) return new GenericArrayData(Array.empty[Long])
+    val P     = P31
+    val pow   = { var x = 1L; var e = 0; while (e < k - 1) { x = x * 31L % P; e += 1 }; x }
+    val seedK = { var x = 7L; var e = 0; while (e < k) { x = x * 31L % P; e += 1 }; x }
+    val hs    = new Array[Long](g)
+    var h     = 7L
+    var i     = 0
+    while (i < k) { h = (h * 31L + cps(i)) % P; i += 1 }
+    hs(0) = h
+    var p = 1
+    while (p < g) {
+      // roll: strip the seed term, drop c_{p−1}·31^{k−1}, shift, add c_{p+k−1}
+      var t = (h - seedK + P) % P
+      t = (t - cps(p - 1) * pow % P + P) % P
+      h = (t * 31L + cps(p + k - 1) + seedK) % P
+      hs(p) = h
+      p += 1
+    }
+    val deque = new Array[Int](g)
+    var head  = 0
+    var tail  = 0 // exclusive
+    val out   = new Array[Long](g - w + 1)
+    var m     = 0
+    var last  = -1
+    i = 0
+    while (i < g) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val s = i - w + 1 // window start whose last slot is i
+      if (s >= 0) {
+        while (deque(head) < s) head += 1
+        val f = deque(head)
+        if (f != last) { out(m) = ((f + 1).toLong << 32) + hs(f); m += 1; last = f }
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
   /** sorted distinct wide (~62-bit) word hashes (simhash input) —
     * value-identical to [[graft.pipeline.Dedup.wordHashes]]. */
   def wordHashSet(text: UTF8String): ArrayData = {
@@ -217,6 +274,29 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
     nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.shingleSet($in, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native winnowing-fingerprint kernel (char k-grams, w-window rightmost
+  * minima, packed `pos·2^32+fp` longs) — see [[PortableHash.winnow]]. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_winnow requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.winnow($in, $k, $w);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)

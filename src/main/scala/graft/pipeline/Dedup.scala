@@ -350,6 +350,111 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003,
+   * "Winnowing: local algorithms for document fingerprinting" — the MOSS
+   * selection rule): hash every char `k`-gram with the portable
+   * polynomial, then each window of `w` consecutive gram positions
+   * records its MINIMUM hash, rightmost position on ties. The guarantee
+   * fixed-stride sampling can't give: any substring match of at least
+   * `w + k − 1` chars shares at least one fingerprint, at an expected
+   * density of only 2/(w+1) positions — and unlike whole-document
+   * MinHash, a single lifted paragraph still collides (the span-level
+   * complement to [[cdcOverlapPairs]]' word-chunk containment).
+   *
+   * Emits `(idCol, pos, fp)` — one row per SELECTED gram position.
+   * Scale shape: ONE native O(len) pass per document (rolling hash +
+   * monotonic-deque window minimum, [[graft.functions.PortableHash
+   * .winnow]]) emits packed `pos·2^32+fp` longs; the explode/unpack is
+   * the only relational work and the text never shuffles. The HOF
+   * reference form [[winnowFingerprintsHof]] (interpreted nested folds +
+   * a per-doc window pass) states the same semantics declaratively;
+   * a spec asserts value-identity.
+   */
+  def winnowFingerprints(
+      df: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k >= 2 && k <= 32, "gram size k must be in [2,32]")
+    require(w >= 2 && w <= 64, "window w must be in [2,64]")
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), explode(GraftFunctions.winnow(col(textCol), k, w)).as("__pk"))
+      .select(col(idCol), shiftright(col("__pk"), 32).as("pos"),
+        col("__pk").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
+  }
+
+  /** HOF reference form of [[winnowFingerprints]] — the declarative
+    * spelling of the same selection (per-position polynomial fold, window
+    * min-struct with negated-position rightmost ties), kept for the
+    * kernel-parity spec. BMP-only: `split(text, "")` separates UTF-16
+    * units, so astral chars diverge from the code-point kernel/oracle. */
+  private[graft] def winnowFingerprintsHof(
+      df: DataFrame,
+      k: Int,
+      w: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = transform(split(col(textCol), ""), c => ascii(c))
+    // gram hash = the [[polyHash]] fold over the k char codes at p —
+    // seed 7, base 31, mod 2^31−1, mirrored literally in the oracle
+    val hashes = when(col("__g") >= 1,
+      transform(sequence(lit(1), col("__g")),
+        p => aggregate(sequence(p, p + (k - 1)), lit(7L),
+          (acc, i) => pmod(acc * lit(31L) + element_at(col("__cs"), i), lit(PortableHashP)))))
+      .otherwise(array().cast("array<bigint>"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    df.select(col(idCol).as("id"), codes.as("__cs"),
+        // gram count from length(), NOT size(codes): regex split("") may
+        // emit a trailing empty element (code 0) that must never gram
+        (length(col(textCol)) - (k - 1)).as("__g"))
+      .select(col("id"), col("__g"), posexplode(hashes).as(Seq("__p0", "__fp")))
+      .select(col("id"), col("__g"), (col("__p0") + 1).cast("long").as("pos"), col("__fp"))
+      // window start s = pos: min struct picks (smallest fp, then the
+      // LARGEST pos — negated — exactly the rightmost-tie rule); only
+      // COMPLETE windows select (a short tail window is not a window)
+      .withColumn("__pick", min(struct(col("__fp").as("f"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") <= col("__g") - (w - 1))
+      .select(col("id").as(idCol), (-col("__pick.np")).as("pos"), col("__pick.f").as("fp"))
+      .distinct()
+  }
+
+  /**
+   * Document pairs sharing `minShared`+ DISTINCT winnowing fingerprints —
+   * the MOSS match surface: catches splice reuse and containment at
+   * character granularity, with the [[winnowFingerprints]] guarantee that
+   * any ≥ `w + k − 1`-char common substring contributes. Same scale shape
+   * as every LSH miner here: bare `(id, fp)` rows, degenerate fingerprint
+   * buckets (boilerplate grams everywhere) capped BEFORE the self-join,
+   * the shuffle carries ids and 8-byte hashes only.
+   */
+  def winnowPairs(
+      df: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val fps = winnowFingerprints(df, k, w, textCol, idCol)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val small = fps.groupBy("fp").count()
+      .filter(col("count") <= maxBucket).select("fp")
+    val capped = fps.join(small, Seq("fp"), "left_semi")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** `(id, band, bucket)` LSH band relation of a signature table: bucket =
     * the band's signature slice itself (string concat — equality is all
     * that matters, and it stays engine-portable for the oracle). */

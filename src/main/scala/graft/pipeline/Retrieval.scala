@@ -36,9 +36,18 @@ object Retrieval {
 
   /** ascending-sorted sequential fold — the order-insensitive double sum
     * (each weight is itself a fixed IEEE op chain, so sorting + left fold
-    * pins the one remaining source of cross-engine drift). */
-  private def foldSum(xs: Column): Column =
-    aggregate(array_sort(xs), lit(0.0), (acc, x) => acc + x)
+    * pins the one remaining source of cross-engine drift). Runs as the
+    * native codegen'd kernel [[graft.functions.SortedFoldSum]]
+    * (value-identical to `aggregate(array_sort(xs), 0.0, _+_)`): the
+    * interpreted HOF form single-threaded AQE-coalesced scoring stages. */
+  private def foldSum(xs: Column): Column = graft.functions.GraftFunctions.foldSum(xs)
+
+  /** every scoring path funnels through [[foldSum]] → the native function
+    * registry must be session-registered before plan analysis. */
+  private def withKernels(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df
+  }
 
   /** shared Okapi scoring over hit relations: `tf` = (extraGroupCols*,
     * idCol, __term, __tf), `dfreq` = (__term, __df), `dl` = (idCol, __dl).
@@ -59,7 +68,7 @@ object Retrieval {
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
     val wt  = col("__idf") * (col("__tf") * (k1 + 1)) /
       (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / avgdl))
-    tf.join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
+    withKernels(tf).join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
       .join(dl, idCol)
       .groupBy((extraGroupCols :+ idCol).map(col): _*)
       .agg(foldSum(collect_list(wt)).as("score"))
@@ -125,13 +134,20 @@ object Retrieval {
 
   /** [[termIndex]] with the postings PINNED (eager local checkpoint)
     * before anything reads them: the corpus is tokenized exactly once,
-    * and the doclens, the two scalars, and every downstream query run
-    * against the one materialization. [[termIndex]] by contrast computes
-    * its scalars through a lazy postings frame, so a caller who pins
-    * AFTERWARDS has already paid one throwaway tokenization — the gates
-    * that fan several passes over one ad-hoc index belong here. The pins
-    * release through [[Checkpoints.free]] on any frame derived from the
-    * index (they sit in its lineage), or [[Checkpoints.scoped]]. */
+    * and every downstream query runs against the one materialization.
+    * Doclens do NOT aggregate the postings: `dl = Σ tf` is just the doc's
+    * token count, so they come from a second NARROW corpus scan
+    * (`size(words(text))` — no explode, no shuffle), which beats
+    * re-shuffling the full term×doc postings relation by a wide margin.
+    * The equality holds row-for-row: `explode` drops null arrays exactly
+    * as the `isNotNull` filter does, and `split` emits every token
+    * (empties included) that the postings count. [[termIndex]] by
+    * contrast computes its scalars through a lazy postings frame, so a
+    * caller who pins AFTERWARDS has already paid one throwaway
+    * tokenization — the gates that fan several passes over one ad-hoc
+    * index belong here. The pins release through [[Checkpoints.free]] on
+    * any frame derived from the index (they sit in its lineage), or
+    * [[Checkpoints.scoped]]. */
   def termIndexPinned(
       docs: DataFrame,
       textCol: String = "text",
@@ -140,7 +156,8 @@ object Retrieval {
     import graft.pipeline.Checkpoints.PinOps
     val toks     = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
     val postings = toks.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf")).pinned
-    val doclens  = postings.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).pinned
+    val doclens  = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(TextAnalysis.words(col(textCol))).cast("long").as("dl")).pinned
     val Array(n, sumDl) = doclens.agg(count(lit(1)), sum(col("dl"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     TermIndex(postings, doclens, n, sumDl)
@@ -306,10 +323,13 @@ object Retrieval {
    *
    * Scale shape: the query set broadcasts (it is the small side by
    * definition); postings are read for the queries' DISTINCT terms only;
-   * the one data-sized shuffle groups `(query, doc)` hits; and the
-   * per-query rank window is `WindowGroupLimit`-pruned map-side to `k`
-   * before its exchange, so a common term never funnels a corpus-sized
-   * candidate list through one partition.
+   * the Okapi weight is query-INDEPENDENT per `(term, doc)`, so the
+   * doclens join and the weight arithmetic run on the un-expanded
+   * posting subset — the query fan-out is a broadcast join that feeds
+   * straight into the one data-sized `(query, doc)` grouping shuffle;
+   * and the per-query rank window is `WindowGroupLimit`-pruned map-side
+   * to `k` before its exchange, so a common term never funnels a
+   * corpus-sized candidate list through one partition.
    */
   def bm25Join(
       queries: DataFrame,
@@ -324,15 +344,26 @@ object Retrieval {
   ): DataFrame = {
     require(ix.n > 0, "empty corpus")
     val avgdl = ix.sumDl.toDouble / ix.n
-    val qt = queries.select(col(qidCol), explode(col(termsCol)).as("__term")).distinct()
-    val dfreq = ix.postings
-      .join(broadcast(qt.select(col("__term")).distinct()), col("term") === col("__term"))
-      .groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
-    val hits = ix.postings.join(broadcast(qt), col("term") === col("__term"))
-      .select(col(qidCol), col(idCol), col("__term"), col("tf").cast("double").as("__tf"))
-    val scored = scoreHits(hits, dfreq,
-      ix.doclens.select(col(idCol), col("dl").as("__dl")),
-      ix.n, avgdl, k1, b, idCol, extraGroupCols = Seq(qidCol))
+    val qt     = queries.select(col(qidCol), explode(col(termsCol)).as("__term")).distinct()
+    val qterms = qt.select(col("__term")).distinct()
+    // postings restricted to the query vocabulary — the pre-expansion
+    // relation both df-counting and scoring read
+    val tpost = ix.postings.join(broadcast(qterms), col("term") === col("__term"))
+      .select(col("__term"), col(idCol), col("tf").cast("double").as("__tf"))
+    val dfreq = tpost.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    // the SAME idf/wt expression trees scoreHits builds — kept literally
+    // identical so batch-join scores stay bit-equal to the single-query
+    // paths and the oracle replay
+    val idf = log(lit(1.0) + (lit(ix.n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5))
+    val wt = col("__idf") * (col("__tf") * (k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / avgdl))
+    val wts = tpost
+      .join(broadcast(dfreq.withColumn("__idf", idf)), "__term")
+      .join(ix.doclens.select(col(idCol), col("dl").as("__dl")), idCol)
+      .select(col("__term"), col(idCol), wt.as("__wt"))
+    val scored = withKernels(wts).join(broadcast(qt), "__term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(foldSum(collect_list(col("__wt"))).as("score"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -1059,4 +1059,154 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__wt")).as("n_tokens"))
   }
+
+  // ---- multinomial Naive Bayes (the corpus-scale linear classifier) -----
+
+  /** `(doc_id, term)` token relation under the whitespace convention,
+    * empty tokens dropped — the shared input of the NB family. */
+  private def nbToks(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("__term"))
+      .filter(length(col("__term")) >= 1)
+
+  /**
+   * MULTINOMIAL NAIVE BAYES — train per-label token counts from a labeled
+   * column (`lang`, a quality flag, a source tag, ...): the classic cheap
+   * linear classifier behind corpus-scale language/quality routing (cf.
+   * the fastText gates of CCNet/CC-MultiLingual pipelines; NB is its
+   * aggregation-only cousin — ONE groupBy trains it). Returns the top
+   * `topK` highest-count terms per label (count desc, term asc — the
+   * inspectable head of the model); the full count relation feeds
+   * [[nbConfusion]] internally.
+   *
+   * Scale shape: one map-side-combined `(label, term)` count — shuffle is
+   * vocab×labels-sized, never corpus-sized; the top-K is a
+   * `WindowGroupLimit`-pruned rank per label.
+   */
+  def nbModel(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 20
+  ): DataFrame = {
+    val cnt = nbToks(df, textCol, idCol)
+      .join(df.select(col(idCol), col(labelCol)), idCol)
+      .groupBy(col(labelCol), col("__term").as("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("n").desc, col("term"))
+    cnt.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(labelCol), col("term"), col("n"), col("rank"))
+  }
+
+  /**
+   * NB self-prediction confusion matrix: train on the labeled corpus,
+   * score every document against every label with Laplace-1 smoothing,
+   * and roll up `(true label, argmax label, n)` — the model-quality
+   * readout (the diagonal is the self-consistency of the labeling; heavy
+   * off-diagonal cells flag confusable label pairs or mislabeled slices).
+   *
+   * `score(d, l) = ln(nd_l) − ln(N) + Σ_t tf_t · (ln(c_{l,t}+1) − ln(tot_l+V))`
+   *
+   * Arithmetic is cross-engine-portable: every ln argument is an exact
+   * int64, the per-term weight is one fixed multiply, and the per-(doc,
+   * label) sum is the ascending-sorted fold ([[graft.functions
+   * .GraftFunctions.foldSum]]); argmax ties break by label asc on the
+   * UNROUNDED score.
+   *
+   * Scale shape: the per-label stats (`tot`, `nd`) and the label list are
+   * tiny broadcasts; doc term-frequencies join the count relation on
+   * `(term, label)` — a vocab-keyed shuffle of skinny int rows. The only
+   * driver values are the two corpus scalars (N docs, V vocab). Labels
+   * must be low-cardinality (it is a CLASSIFIER — guarded).
+   */
+  def nbConfusion(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxLabels: Int = 100
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lab = df.select(col(idCol), col(labelCol).as("__lab"))
+    val tk  = nbToks(df, textCol, idCol)
+    val cnt = tk.join(lab, idCol)
+      .groupBy(col("__lab"), col("__term")).agg(count(lit(1)).as("__c"))
+      .pinned
+    // per-label totals + doc counts: tiny (≤ labels rows); N and V are the
+    // two bounded driver scalars
+    val tot = cnt.groupBy(col("__lab")).agg(sum(col("__c")).as("__tot"))
+    val nd  = df.groupBy(col(labelCol).as("__lab")).agg(count(lit(1)).as("__nd"))
+    val stats = tot.join(nd, "__lab").pinned
+    require(stats.count() <= maxLabels,
+      s"nbConfusion: label cardinality exceeds $maxLabels — not a classification column")
+    val nDocs = df.count()
+    val vocab = tk.agg(countDistinct(col("__term"))).head().getLong(0)
+    val dtf = tk.groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    // doc terms × labels (broadcast), counts left-joined with 0 default —
+    // the smoothed weight needs absent (label, term) cells too
+    val x = dtf.crossJoin(broadcast(stats))
+      .join(cnt, Seq("__lab", "__term"), "left")
+      .withColumn("__cc", coalesce(col("__c"), lit(0L)))
+    val wt = col("__tf").cast("double") *
+      (log((col("__cc") + lit(1L)).cast("double")) - log((col("__tot") + lit(vocab)).cast("double")))
+    val scored = x
+      .groupBy(col(idCol), col("__lab"), col("__nd"))
+      .agg(graft.functions.GraftFunctions.foldSum(collect_list(wt)).as("__fold"))
+      .withColumn("__score",
+        log(col("__nd").cast("double")) - log(lit(nDocs.toDouble)) + col("__fold"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
+    val pred = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col("__lab").as("pred"))
+    // the pins (cnt, stats) stay in the result's lineage — the caller
+    // releases them via Checkpoints.free(result) after its last action
+    pred.join(lab, idCol)
+      .groupBy(col("__lab").as(labelCol), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---- readability ------------------------------------------------------
+
+  /**
+   * FLESCH READING EASE panel per document — the classic readability
+   * screen (`206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`),
+   * with the standard cheap proxies: sentences = terminal-punctuation
+   * count (min 1), syllables = vowel-group runs `[aeiouy]+` per lowercased
+   * word (min 1 per word). Complements [[qualityScore]]/[[gopherRules]]:
+   * those catch boilerplate and gibberish, this grades prose complexity
+   * (a low-readability slice is jargon/code-soup; an implausibly high one
+   * is listicle/menu text).
+   *
+   * Scale shape: fully row-local — two `regexp_replace` passes over the
+   * lowered text count total vowel groups (vowel runs cannot span the
+   * space separator, so the full-text count equals the per-word sum), a
+   * filtered word array counts the vowel-less words (each contributes its
+   * `min 1`), and the one float expression is computed at the end from
+   * exact int64 counts. No shuffle, no explode.
+   */
+  def readability(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val lowered = lower(col(textCol))
+    val toksF   = filter(split(lowered, " "), w => length(w) >= 1)
+    val nw      = size(toksF).cast("long")
+    val grp = (length(regexp_replace(lowered, "[aeiouy]+", "V")) -
+      length(regexp_replace(lowered, "[aeiouy]+", ""))).cast("long")
+    val novowel = size(filter(toksF, w => !w.rlike("[aeiouy]"))).cast("long")
+    val nsents  = greatest(
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[.!?]", ""))).cast("long"),
+      lit(1L))
+    df.select(
+        col(idCol),
+        nw.as("n_words"),
+        nsents.as("n_sents"),
+        (grp + novowel).as("n_syll"))
+      .filter(col("n_words") >= 1)
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double")) -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")), 4))
+  }
 }

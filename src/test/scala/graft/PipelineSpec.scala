@@ -736,6 +736,34 @@ class PipelineSpec extends SparkTestBase {
     pairs shouldBe Array((0L, 1L))
   }
 
+  "Dedup.winnowFingerprints" should "select window minima with the rightmost tie rule" in {
+    // "abcabcab", k=3, w=2: gram hashes repeat (abc,bca,cab,abc,bca,cab) =
+    // (304891,305881,306781,...); hand-walked windows pick positions
+    // 1,2,4,5 (MOSS selection) — values verified against the fold by hand
+    val fp = Dedup.winnowFingerprints(Seq((0L, "abcabcab")).toDF("doc_id", "text"), k = 3, w = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    fp shouldBe Array((1L, 304891L), (2L, 305881L), (4L, 304891L), (5L, 305881L))
+    // all-equal hashes: ties go RIGHT, so every window picks its last slot
+    val ties = Dedup.winnowFingerprints(Seq((0L, "aaaa")).toDF("doc_id", "text"), k = 2, w = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ties shouldBe Array((2L, 9831L), (3L, 9831L))
+    // too short for one complete window → no fingerprints (not a partial window)
+    Dedup.winnowFingerprints(Seq((0L, "abc")).toDF("doc_id", "text"), k = 3, w = 2)
+      .count() shouldBe 0L
+  }
+
+  "Dedup.winnowPairs" should "guarantee a shared fingerprint for a >= w+k-1 char span" in {
+    // docs 0/1 share " hello world " (13 chars >= 4+8-1): the winnowing
+    // theorem promises at least one common SELECTED fingerprint
+    val d = Seq(
+      (0L, "xxxx hello world yyyy"),
+      (1L, "zzzz hello world qqqq"),
+      (2L, "completely different!")
+    ).toDF("doc_id", "text")
+    Dedup.winnowPairs(d, k = 8, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
+  }
+
   "Dedup.minhashLshDuplicates" should "flag the larger id of each dup pair" in {
     val dups = Dedup.minhashLshDuplicates(docs, 0.9).collect().map(_.getLong(0))
     dups should contain(4L)
@@ -768,6 +796,18 @@ class PipelineSpec extends SparkTestBase {
     ).collect()
     all(cmp2.map(_.getBoolean(0))) shouldBe true
     all(cmp2.map(_.getBoolean(1))) shouldBe true
+    // winnowing: the native rolling-hash + deque kernel against the HOF
+    // window-min spelling, row-for-row (BMP docs only — the HOF form's
+    // split("") separates UTF-16 units, see winnowFingerprintsHof)
+    val bmp = docs.select(col("doc_id"), col("text"))
+      .union(Seq((102L, "short"), (103L, ""), (104L, "abcabcab"), (105L, "aaaaaaaaaaaa"))
+        .toDF("doc_id", "text"))
+    val kern = Dedup.winnowFingerprints(bmp, k = 5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val hof = Dedup.winnowFingerprintsHof(bmp, k = 5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    kern shouldBe hof
+    kern.nonEmpty shouldBe true
   }
 
   "Dedup.simhashPairs" should "give identical docs hamming 0 and respect the bucket cap" in {
@@ -1343,6 +1383,57 @@ class PipelineSpec extends SparkTestBase {
     out(0L) shouldBe math.log(4.0) +- 5e-5
     out(1L) shouldBe 0.0 +- 1e-12 // -0.0 after rounding is fine
     out(2L) shouldBe math.log(2.0) +- 5e-5
+  }
+
+  "TextAnalysis.nbModel" should "rank per-label terms by count with term tie-break" in {
+    val top = TextAnalysis.nbModel(docs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en: "the" appears 2x in each of docs 0/1/4 -> 6, clear top
+    top.filter(t => t._1 == "en" && t._4 == 1L) shouldBe Array(("en", "the", 6L, 1L))
+    // de: "der" 2x leads
+    top.filter(t => t._1 == "de" && t._4 == 1L) shouldBe Array(("de", "der", 2L, 1L))
+    all(top.map(_._4)) should be <= 3L
+  }
+
+  "TextAnalysis.nbConfusion" should "self-predict a separable corpus on the diagonal" in {
+    val m = TextAnalysis.nbConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    m(("en", "en")) shouldBe 4L
+    m(("de", "de")) shouldBe 1L
+    m(("es", "es")) shouldBe 1L
+    m.values.sum shouldBe 6L // every doc predicted exactly once
+    // label-cardinality guard: doc_id as "label" is not a classifier input
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.nbConfusion(docs.withColumn("big", $"doc_id".cast("string")),
+        labelCol = "big", maxLabels = 3).collect()
+  }
+
+  "TextAnalysis.readability" should "count syllables as vowel groups (min 1) and drop empty docs" in {
+    val corpus = Seq(
+      (0L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 one-group syllables
+      (1L, "hmm pfft grr"),              // vowel-less words still count 1 each; no punct -> 1 sent
+      (2L, ""),                          // no words -> dropped
+      (3L, "beautiful")                  // eau / i / u -> 3 groups
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    out.map(_._1) shouldBe Array(0L, 1L, 3L)
+    out(0) shouldBe ((0L, 6L, 2L, 6L,
+      BigDecimal(206.835 - 1.015 * 3.0 - 84.6 * 1.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    out(1)._2 shouldBe 3L; out(1)._3 shouldBe 1L; out(1)._4 shouldBe 3L
+    out(2)._4 shouldBe 3L
+  }
+
+  "GraftFunctions.foldSum" should "match the interpreted sorted-fold bit for bit" in {
+    graft.functions.GraftFunctions.register(spark)
+    val xs = Seq(Tuple1(Array(0.3, 0.1, 1e-17, 0.2)), Tuple1(Array.empty[Double]))
+      .toDF("xs")
+    val cmp = xs.select(
+      graft.functions.GraftFunctions.foldSum($"xs").as("native"),
+      expr("aggregate(array_sort(xs), 0.0d, (a, x) -> a + x)").as("hof")
+    ).collect()
+    cmp.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+    cmp(1).getDouble(0) shouldBe 0.0
   }
 
   "TextAnalysis.pmiCollocations" should "rank exclusive pairs above frequent-word pairs" in {
