@@ -483,11 +483,12 @@ object OracleGen {
        |ORDER BY lang, rank""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.pipeline.TextAnalysis.nbConfusion]]: Laplace-1
-    * multinomial NB self-prediction rolled to a confusion matrix. Every ln
-    * argument is an exact int64, the per-term weight is one fixed
-    * multiply, the per-(doc,label) sum is the ascending-sorted fold, and
-    * prior + fold compose left-to-right — mirroring the engine op for op;
-    * argmax ties break by label asc on the unrounded score. */
+    * multinomial NB self-prediction rolled to a confusion matrix, in the
+    * engine's DECOMPOSED spelling — only non-zero (label, term) cells
+    * fold (`tf·ln(c+1)`, ascending-sorted), and the smoothing denominator
+    * enters once as `dl·ln(tot+V)`; prior, fold and length terms compose
+    * left-to-right exactly as the engine writes them. Argmax ties break
+    * by label asc on the unrounded score. */
   def nbConfusionSql: String =
     s"""WITH tk AS MATERIALIZED (SELECT doc_id, term FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
@@ -498,22 +499,54 @@ object OracleGen {
        |nd  AS (SELECT lang AS lab, count(*)::BIGINT AS nd FROM documents GROUP BY lang),
        |gl  AS (SELECT count(*)::BIGINT AS n FROM documents),
        |vv  AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tk),
-       |dtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-       |x AS (SELECT dtf.doc_id, l.lab, dtf.tf, COALESCE(c.c, 0)::BIGINT AS cc, l.tot
-       |      FROM dtf CROSS JOIN tot l LEFT JOIN cnt c ON c.lab = l.lab AND c.term = dtf.term),
-       |wts AS (SELECT doc_id, lab,
-       |          tf::DOUBLE * (ln((cc + 1)::DOUBLE) - ln((tot + v)::DOUBLE)) AS wt
-       |        FROM x CROSS JOIN vv),
-       |sc AS (SELECT w.doc_id, w.lab,
-       |         ln(nd.nd::DOUBLE) - ln(gl.n::DOUBLE) + list_reduce(
-       |           list_prepend(0.0::DOUBLE, list_sort(list(wt))), (a, b) -> a + b) AS score
-       |       FROM wts w JOIN nd ON nd.lab = w.lab CROSS JOIN gl
-       |       GROUP BY w.doc_id, w.lab, nd.nd, gl.n),
+       |dtf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+       |hits AS (SELECT dtf.doc_id, c.lab, list_reduce(
+       |           list_prepend(0.0::DOUBLE, list_sort(list(tf::DOUBLE * ln((c.c + 1)::DOUBLE)))),
+       |           (a, b) -> a + b) AS fold
+       |         FROM dtf JOIN cnt c ON c.term = dtf.term GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM dtf GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id, l.lab,
+       |         ln(nd.nd::DOUBLE) - ln(gl.n::DOUBLE) + COALESCE(h.fold, 0.0)
+       |           - d.dl::DOUBLE * ln((l.tot + v)::DOUBLE) AS score
+       |       FROM dls d CROSS JOIN tot l JOIN nd ON nd.lab = l.lab CROSS JOIN gl CROSS JOIN vv
+       |       LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lab = l.lab),
        |pred AS (SELECT doc_id, lab AS pred,
        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS r FROM sc)
        |SELECT d.lang, p.pred, count(*)::BIGINT AS n
        |FROM pred p JOIN documents d USING (doc_id) WHERE p.r = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.textRankKeywords]]: the
+    * bounded co-occurrence graph (adjacent pairs, count-thresholded, top
+    * `maxEdges` by count desc/pair asc), then [[pageRankSql]]'s unrolled
+    * rounds — each snapping to the same 6 dp — over it. */
+  def textRankSql(minCount: Long, maxEdges: Int, iterations: Int,
+                  damping: Double, k: Int): String = {
+    val base = s"${1.0 - damping}"
+    val iterCtes = (1 to iterations).map { t =>
+      s"""r$t AS (SELECT n.term, round($base + $damping * coalesce(s.c, 0), 6) AS r
+         |  FROM n LEFT JOIN (SELECT e.dst, sum(rr.r / deg.deg) AS c
+         |    FROM e JOIN r${t - 1} rr ON rr.term = e.src JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.term)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT least(x, y) AS lo, greatest(x, y) AS hi FROM (
+       |    SELECT w[i::INT] AS x, w[(i + 1)::INT] AS y
+       |    FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+       |    WHERE len(w) >= 2)
+       |  WHERE length(x) >= 1 AND length(y) >= 1 AND x <> y),
+       |eg AS MATERIALIZED (SELECT lo, hi FROM (
+       |    SELECT lo, hi, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2
+       |    HAVING count(*) >= $minCount ORDER BY n DESC, lo, hi LIMIT $maxEdges)),
+       |e AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM eg UNION ALL SELECT hi, lo FROM eg),
+       |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS term FROM e),
+       |r0 AS (SELECT term, 1.0::DOUBLE AS r FROM n),
+       |$iterCtes,
+       |top AS (SELECT term, r AS rank FROM r$iterations ORDER BY rank DESC, term LIMIT $k)
+       |SELECT term, rank, row_number() OVER (ORDER BY rank DESC, term)::BIGINT AS pos
+       |FROM top ORDER BY pos""".stripMargin.replace("\n", " ")
+  }
 
   /** mirror of [[graft.pipeline.TextAnalysis.readability]]: per-word
     * vowel-group syllables (min 1), terminal-punct sentence count (min 1),

@@ -215,10 +215,13 @@ object SparkEntry {
     // content-defined chunking: partial-overlap/containment pairs that
     // whole-document Jaccard dilutes below any threshold
     "d_cdc" -> ((s, d) => Dedup.cdcOverlapPairs(docs(s, d)).orderBy("id_a", "id_b")),
-    // MOSS winnowing: char-8-gram hashes, 4-window rightmost-min selection;
-    // pairs sharing >= 2 distinct fingerprints (span-level splice catcher)
+    // MOSS winnowing: char-16-gram hashes, 8-window rightmost-min selection;
+    // pairs sharing >= 2 distinct fingerprints (any >= 23-char common span
+    // guarantees one). Short grams (k=8) are degenerate on prose — common
+    // words alone made 76% of ALL doc pairs "share" fingerprints — so the
+    // gate runs at span-length grams with a tight boilerplate bucket cap.
     "d_winnow" -> ((s, d) =>
-      Dedup.winnowPairs(docs(s, d), k = 8, w = 4, minShared = 2L, maxBucket = 1000)
+      Dedup.winnowPairs(docs(s, d), k = 16, w = 8, minShared = 2L, maxBucket = 200)
         .orderBy("id_a", "id_b")),
     // PageRank centrality over the near-dup graph: hub/template docs outrank
     // their copies (what connected components alone cannot tell apart)
@@ -892,6 +895,9 @@ object SparkEntry {
     // activity concentration: exact Gini over per-user event counts
     "ev_gini" -> ((s, d) =>
       graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
+    // Benford first-digit audit of event values (organic-vs-synthetic screen)
+    "ev_benford" -> ((s, d) =>
+      graft.operators.Relational.benfordDigits(evRaw(s, d).select("value")).orderBy("digit")),
     // Sankey input: per journey position, the from→to flow counts of each
     // user's first 5 moves
     "ev_sankey" -> ((s, d) => {
@@ -1091,6 +1097,10 @@ object SparkEntry {
     "tx_nbconf" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred")),
     // Flesch reading-ease panel (vowel-group syllables, terminal-punct sentences)
     "tx_read" -> ((s, d) => TextAnalysis.readability(docs(s, d)).orderBy("doc_id")),
+    // TextRank corpus keywords: PageRank over the bounded co-occurrence graph
+    "tx_textrank" -> ((s, d) =>
+      TextAnalysis.textRankKeywords(docs(s, d), minCount = 5L, maxEdges = 300,
+        iterations = 10, k = 30).orderBy("pos")),
     // top-20 PMI collocations (min bigram count 5 guards rare-pair noise)
     "tx_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d), k = 20)),
     // per-doc token-distribution entropy (gibberish/boilerplate signal)
@@ -1331,7 +1341,7 @@ object SparkEntry {
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
-    "d_winnow"   -> OracleGen.winnowPairsSql(k = 8, w = 4, minShared = 2L, maxBucket = 1000),
+    "d_winnow"   -> OracleGen.winnowPairsSql(k = 16, w = 8, minShared = 2L, maxBucket = 200),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
@@ -1692,6 +1702,17 @@ object SparkEntry {
     // Gini over count-of-count buckets: the rank-weighted sum per bucket
     // is c·(m·r + m(m+1)//2) with r the cumulative keys below — pure
     // integer arithmetic until the two final divisions
+    // leading digit read from the exact cent lattice's decimal string —
+    // no float log10 anywhere near the digit boundary
+    "ev_benford" ->
+      """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM events WHERE value IS NOT NULL AND value > 0),
+        |d AS (SELECT CAST(substring(cents::VARCHAR, 1, 1) AS BIGINT) AS digit FROM c WHERE cents >= 1),
+        |a AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n)::BIGINT AS tot FROM a)
+        |SELECT digit, n, round(n::DOUBLE / tot::DOUBLE, 6) AS pct,
+        |  round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0), 6) AS benford
+        |FROM a CROSS JOIN t ORDER BY digit""".stripMargin.replace("\n", " "),
     "ev_gini" ->
       """WITH k AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id),
         |b AS (SELECT c, count(*)::BIGINT AS m FROM k GROUP BY c),
@@ -2436,6 +2457,8 @@ object SparkEntry {
     "tx_nbmodel"  -> OracleGen.nbModelSql(topK = 20),
     "tx_nbconf"   -> OracleGen.nbConfusionSql,
     "tx_read"     -> OracleGen.readabilitySql,
+    "tx_textrank" -> OracleGen.textRankSql(minCount = 5L, maxEdges = 300,
+      iterations = 10, damping = 0.85, k = 30),
     "tx_pmi" -> OracleGen.pmiCollocationsSql(k = 20, minCount = 5L),
     // per-doc sum is the same ascending sorted fold as the BM25 oracles
     "tx_entropy" ->

@@ -178,6 +178,11 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow")),
+    ("graft_winnow_fps",
+      (exprs: Seq[Expression]) => WinnowFpSet(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[WinnowFpSet].getName, "graft_winnow_fps")),
     ("graft_lsh_buckets",
       (exprs: Seq[Expression]) => LshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
@@ -238,6 +243,12 @@ object GraftFunctions {
     * longs (requires [[register]]). */
   def winnow(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+
+  /** sorted DISTINCT winnowing fingerprint values of a text column
+    * (requires [[register]]). */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow_fps", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 
   /** 0-based index of the cosine-nearest centroid, one pass over the

@@ -233,6 +233,20 @@ object PortableHash extends Serializable {
     new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** SORTED DISTINCT winnowing fingerprint VALUES — [[winnow]] with the
+    * positions dropped and the per-document dedup done inside the kernel,
+    * so a pair miner explodes distinct `(doc, fp)` rows directly and
+    * never shuffles a corpus of positional picks through a relational
+    * DISTINCT. */
+  def winnowFpSet(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val packed = winnow(text, k, w)
+    val m      = packed.numElements()
+    val fps    = new Array[Long](m)
+    var i      = 0
+    while (i < m) { fps(i) = packed.getLong(i) & 0xFFFFFFFFL; i += 1 }
+    new GenericArrayData(sortedDistinct(fps))
+  }
+
   /** sorted distinct wide (~62-bit) word hashes (simhash input) —
     * value-identical to [[graft.pipeline.Dedup.wordHashes]]. */
   def wordHashSet(text: UTF8String): ArrayData = {
@@ -297,6 +311,29 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
     nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.winnow($in, $k, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native sorted-distinct winnowing fingerprint-VALUE kernel — see
+  * [[PortableHash.winnowFpSet]]. */
+case class WinnowFpSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_winnow_fps requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.winnowFpSet(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.winnowFpSet($in, $k, $w);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)

@@ -1005,4 +1005,33 @@ object Relational {
     out.toSeq.toDF("t", "n_risk", "n_churned", "__s")
       .select(col("t"), col("n_risk"), col("n_churned"), round(col("__s"), 6).as("survival"))
   }
+
+  /**
+   * BENFORD first-digit audit of a positive value column — the classic
+   * organic-vs-synthetic screen: naturally-generated magnitudes follow
+   * `P(d) = log10(1 + 1/d)`; flat or spiky digit histograms flag
+   * fabricated/defaulted/capped values feeding the pipeline. Values snap
+   * to the engine's exact cent lattice first, and the leading digit is
+   * read from the INTEGER's decimal string — no float log10 at the digit
+   * boundary, so the histogram is bit-portable by construction.
+   *
+   * Returns `(digit 1-9, n, pct, benford)` with the observed and ideal
+   * shares side by side. Scale shape: one row-local projection, one
+   * 9-row aggregation; the total re-joins as a 1-row broadcast.
+   */
+  def benfordDigits(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val agg = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(round(col(valueCol) * 100, 0).cast("long").as("__cents"))
+      .filter(col("__cents") >= 1)
+      .select(substring(col("__cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    agg.crossJoin(broadcast(agg.agg(sum(col("n")).as("__tot"))))
+      .select(
+        col("digit"),
+        col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6).as("pct"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6)
+          .as("benford"))
+  }
 }

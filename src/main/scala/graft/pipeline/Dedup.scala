@@ -442,8 +442,14 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val fps = winnowFingerprints(df, k, w, textCol, idCol)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+    require(k >= 2 && k <= 32, "gram size k must be in [2,32]")
+    require(w >= 2 && w <= 64, "window w must be in [2,64]")
+    // per-doc dedup happens INSIDE the kernel (sorted-distinct fp values),
+    // so the explode emits distinct (id, fp) rows directly — no relational
+    // DISTINCT shuffle over the corpus-sized positional picks
+    GraftFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+      explode(GraftFunctions.winnowFps(col(textCol), k, w)).as("fp"))
     val small = fps.groupBy("fp").count()
       .filter(col("count") <= maxBucket).select("fp")
     val capped = fps.join(small, Seq("fp"), "left_semi")

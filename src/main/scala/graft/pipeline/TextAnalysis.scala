@@ -1106,19 +1106,28 @@ object TextAnalysis {
    * readout (the diagonal is the self-consistency of the labeling; heavy
    * off-diagonal cells flag confusable label pairs or mislabeled slices).
    *
-   * `score(d, l) = ln(nd_l) − ln(N) + Σ_t tf_t · (ln(c_{l,t}+1) − ln(tot_l+V))`
+   * The smoothed log-likelihood is computed in its DECOMPOSED form —
+   * absent `(label, term)` cells contribute `ln(0+1) = 0` to the count
+   * part, and the smoothing denominator factors out of the term sum:
+   *
+   * `score(d, l) = ln(nd_l) − ln(N) + Σ_{t: c_{l,t}>0} tf_t·ln(c_{l,t}+1)
+   *                − dl_d · ln(tot_l + V)`
+   *
+   * so only NON-ZERO model cells are ever materialized: doc term
+   * frequencies inner-join the count relation (a vocab-keyed shuffle of
+   * skinny int rows), and the doc×label grid appears only as per-doc
+   * lengths crossed with the tiny label-stats broadcast. A naive
+   * `dtf × labels LEFT JOIN counts` grid is |dtf|·L rows of mostly
+   * smoothing-only cells — this shape skips them entirely.
    *
    * Arithmetic is cross-engine-portable: every ln argument is an exact
-   * int64, the per-term weight is one fixed multiply, and the per-(doc,
-   * label) sum is the ascending-sorted fold ([[graft.functions
-   * .GraftFunctions.foldSum]]); argmax ties break by label asc on the
-   * UNROUNDED score.
-   *
-   * Scale shape: the per-label stats (`tot`, `nd`) and the label list are
-   * tiny broadcasts; doc term-frequencies join the count relation on
-   * `(term, label)` — a vocab-keyed shuffle of skinny int rows. The only
-   * driver values are the two corpus scalars (N docs, V vocab). Labels
-   * must be low-cardinality (it is a CLASSIFIER — guarded).
+   * int64, the per-term weight is one fixed multiply, the per-(doc,
+   * label) count sum is the ascending-sorted fold ([[graft.functions
+   * .GraftFunctions.foldSum]]), and the prior/length terms compose
+   * left-to-right after it; argmax ties break by label asc on the
+   * UNROUNDED score. Labels must be low-cardinality (it is a
+   * CLASSIFIER — guarded); the only driver values are the two corpus
+   * scalars (N docs, V vocab).
    */
   def nbConfusion(
       df: DataFrame,
@@ -1143,18 +1152,22 @@ object TextAnalysis {
     val nDocs = df.count()
     val vocab = tk.agg(countDistinct(col("__term"))).head().getLong(0)
     val dtf = tk.groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
-    // doc terms × labels (broadcast), counts left-joined with 0 default —
-    // the smoothed weight needs absent (label, term) cells too
-    val x = dtf.crossJoin(broadcast(stats))
-      .join(cnt, Seq("__lab", "__term"), "left")
-      .withColumn("__cc", coalesce(col("__c"), lit(0L)))
-    val wt = col("__tf").cast("double") *
-      (log((col("__cc") + lit(1L)).cast("double")) - log((col("__tot") + lit(vocab)).cast("double")))
-    val scored = x
-      .groupBy(col(idCol), col("__lab"), col("__nd"))
+    // count part: only non-zero (label, term) cells — an INNER join on
+    // term (absent cells contribute ln(1) = 0), folded per (doc, label)
+    val wt = col("__tf").cast("double") * log((col("__c") + lit(1L)).cast("double"))
+    val hits = dtf.join(cnt, "__term")
+      .groupBy(col(idCol), col("__lab"))
       .agg(graft.functions.GraftFunctions.foldSum(collect_list(wt)).as("__fold"))
+    // full doc × label grid: per-doc token length crossed with the tiny
+    // stats broadcast; a label with no term hits still gets its prior and
+    // smoothing-denominator terms (fold defaults to 0.0 — the empty fold)
+    val dl = dtf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    val scored = dl.crossJoin(broadcast(stats))
+      .join(hits, Seq(idCol, "__lab"), "left")
       .withColumn("__score",
-        log(col("__nd").cast("double")) - log(lit(nDocs.toDouble)) + col("__fold"))
+        log(col("__nd").cast("double")) - log(lit(nDocs.toDouble)) +
+          coalesce(col("__fold"), lit(0.0)) -
+          col("__dl").cast("double") * log((col("__tot") + lit(vocab)).cast("double")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
     val pred = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col(idCol), col("__lab").as("pred"))
@@ -1163,6 +1176,57 @@ object TextAnalysis {
     pred.join(lab, idCol)
       .groupBy(col("__lab").as(labelCol), col("pred"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * TEXTRANK corpus keywords (Mihalcea & Tarau 2004): PageRank over the
+   * word co-occurrence graph — adjacent-token pairs, undirected,
+   * frequency-thresholded — surfaces the corpus's structurally central
+   * vocabulary (terms that co-occur with many other frequent terms),
+   * which raw counts and tf-idf both miss. The graph is BOUNDED by
+   * construction: edges need `minCount`+ occurrences and only the top
+   * `maxEdges` by (count desc, pair) enter the walk, so the PageRank
+   * iteration runs on a ≤`maxEdges` local relation no matter the corpus
+   * size.
+   *
+   * Scale shape: ONE corpus pass builds row-local adjacent pairs (no
+   * shuffle until the pair count), one map-side-combined count, a global
+   * top-`maxEdges` TakeOrdered; the kept edges (a bounded model, like a
+   * trained BPE merge table) collect to a local relation and
+   * [[graft.operators.Graph.pageRank]] iterates over that. Returns the
+   * top `k` terms as `(term, rank, pos)`.
+   */
+  def textRankKeywords(
+      df: DataFrame,
+      minCount: Long = 5L,
+      maxEdges: Int = 300,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      k: Int = 30,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(maxEdges >= 1 && maxEdges <= 100000, "maxEdges must be in [1, 100000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kept = df.select(words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(element_at(__ws, i) AS a, element_at(__ws, i + 1) AS b))"))
+        .as("__bg"))
+      .select(col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .filter(length(col("a")) >= 1 && length(col("b")) >= 1 && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("lo"), col("hi")).limit(maxEdges)
+      .select(col("lo"), col("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val edges = kept.toDF("lo", "hi")
+    val nodes = (kept.map(_._1) ++ kept.map(_._2)).distinct.toDF("term")
+    val pr = graft.operators.Graph.pageRank(edges, nodes, iterations, damping, idCol = "term")
+    val top = pr.orderBy(col("rank").desc, col("term")).limit(k)
+    top.withColumn("pos",
+      row_number().over(Window.orderBy(col("rank").desc, col("term"))).cast("long"))
   }
 
   // ---- readability ------------------------------------------------------

@@ -808,6 +808,12 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     kern shouldBe hof
     kern.nonEmpty shouldBe true
+    // the in-kernel distinct-fp variant == DISTINCT over the positional picks
+    graft.functions.GraftFunctions.register(spark)
+    val viaSet = bmp.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnowFps(col("text"), 5, 3)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    viaSet shouldBe kern.map(t => (t._1, t._3)).distinct.sorted
   }
 
   "Dedup.simhashPairs" should "give identical docs hamming 0 and respect the bucket cap" in {
@@ -1434,6 +1440,19 @@ class PipelineSpec extends SparkTestBase {
     ).collect()
     cmp.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
     cmp(1).getDouble(0) shouldBe 0.0
+  }
+
+  "TextAnalysis.textRankKeywords" should "rank the co-occurrence hub first" in {
+    // "spark" neighbors 3 distinct terms; each satellite neighbors only
+    // "spark" -> the hub collects rank from all three every iteration
+    val corpus = (0 until 6).map(i => (i.toLong, "spark shuffle spark join spark plan"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(corpus, minCount = 2L, maxEdges = 10, k = 10)
+      .orderBy("pos").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    out.head._1 shouldBe "spark"
+    out.map(_._3) shouldBe (1L to out.length).toArray
+    out.map(_._2).toSeq shouldBe out.map(_._2).sorted.reverse.toSeq // rank desc
+    out.map(_._1).toSet shouldBe Set("spark", "shuffle", "join", "plan")
   }
 
   "TextAnalysis.pmiCollocations" should "rank exclusive pairs above frequent-word pairs" in {

@@ -170,6 +170,20 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Relational.benfordDigits" should "bucket by cent-lattice leading digit and mirror the ideal share" in {
+    // 1.50 -> 150 (digit 1), 0.02 -> 2, 25.0 -> 2500 (2), 9.99 -> 999 (9),
+    // 0.004 -> 0 cents (dropped), -3.0 and null dropped
+    val ev = Seq(Some(1.50), Some(0.02), Some(25.0), Some(9.99), Some(0.004), Some(-3.0), None)
+      .toDF("value")
+    val out = Relational.benfordDigits(ev).orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out.map(t => t._1 -> t._2).toMap shouldBe Map(1L -> 1L, 2L -> 2L, 9L -> 1L)
+    out.map(_._2).sum shouldBe 4L
+    out.find(_._1 == 2L).get._3 shouldBe 0.5
+    out.find(_._1 == 1L).get._4 shouldBe
+      BigDecimal(math.log(2.0) / math.log(10.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   "Relational.giniConcentration" should "match hand-computed Gini and zero out uniform activity" in {
     // counts (1,1,2): n=3, S=4, T=1·1+1·2+2·3=9 → G = 18/12 − 4/3 = 1/6
     val ev = Seq("a", "b", "c", "c").toDF("user_id")
