@@ -1823,6 +1823,30 @@ object OracleGen {
        |SELECT doc_id, round(sc.score, $dp) AS score FROM sc
        |ORDER BY sc.score DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Retrieval.qlTopK]]: Dirichlet-smoothed
+    * query likelihood — tf/cf/dl/|C| exact int64s, the weight spelled
+    * with the engine's operation order, per-doc sorted fold, top-k on the
+    * unrounded score (ties by id), rounding applied after. Terms absent
+    * from the corpus drop out via the cf inner derivation, matching the
+    * engine's documented contract. */
+  def qlTopKSql(terms: Seq[String], k: Int, mu: Double = 2000.0, dp: Int = 4): String = {
+    val termList = terms.distinct.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+       |cs AS (SELECT sum(dl)::BIGINT AS c FROM dl),
+       |cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks WHERE term IN $termList GROUP BY term),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks WHERE term IN $termList GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT doc_id FROM tf),
+       |g AS (SELECT cand.doc_id, cf.term, cf.cf, dl.dl, COALESCE(tf.tf, 0)::BIGINT AS tf
+       |      FROM cand CROSS JOIN cf JOIN dl USING (doc_id)
+       |      LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term),
+       |w AS (SELECT doc_id, ln((tf::DOUBLE + $mu * cf::DOUBLE / c::DOUBLE) / (dl::DOUBLE + $mu)) AS wt
+       |      FROM g CROSS JOIN cs),
+       |sc AS (SELECT doc_id, $foldSumSql AS score FROM w GROUP BY doc_id)
+       |SELECT doc_id, round(sc.score, $dp) AS score FROM sc
+       |ORDER BY sc.score DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Retrieval.mmrRerank]]: BM25 shortlist on
     * the unrounded score, word-set jaccard sims (4-dp snapped, like the
     * 4-dp rel), then the k greedy picks UNROLLED as one CTE per step —

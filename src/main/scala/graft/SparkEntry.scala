@@ -983,6 +983,8 @@ object SparkEntry {
     "st_yoy" -> ((s, d) =>
       graft.operators.Star.yoyGrowth(tbl(s, d, "lineitem"))),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    // Dirichlet query-likelihood: the LM scorer next to BM25 (mu=2000)
+    "rt_ql" -> ((s, d) => Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
       Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7)),
@@ -2302,6 +2304,7 @@ object SparkEntry {
         |FROM m a LEFT JOIN m b ON a.ym = b.ym + 100
         |ORDER BY a.ym""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    "rt_ql"        -> OracleGen.qlTopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_app"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),

@@ -403,6 +403,65 @@ object Retrieval {
       .select(col("term"), col(idCol), col("pos"))
 
   /**
+   * QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai & Lafferty
+   * 2004) — the language-model scorer next to [[bm25TopK]]'s tf-idf one;
+   * the two disagree most exactly where LM smoothing matters (short docs,
+   * common terms), which makes the pair a useful fusion/diagnostic set:
+   *
+   *   `score(d) = Σ_t ln( (tf_{d,t} + μ·cf_t/|C|) / (dl_d + μ) )`
+   *
+   * over the DISTINCT query terms present in the corpus (a term with zero
+   * corpus frequency has no defined smoothed probability and no
+   * discriminating power — dropped, documented contract). Only documents
+   * matching at least one term rank (the standard candidate rule); their
+   * missing terms still contribute the smoothing-only component.
+   *
+   * Arithmetic is cross-engine-portable exactly like BM25's: tf/cf/dl/|C|
+   * are exact int64s, the weight is one fixed multiply/divide/ln chain,
+   * the per-doc sum is the ascending-sorted fold, and the top-k orders on
+   * the UNROUNDED score (ties by id) with rounding applied after.
+   *
+   * Scale shape: one tokenize pass for the per-term stats (map-side
+   * combined, vocab-sized shuffles), a narrow scan for doclens, the
+   * candidate×term grid is candidates × |terms| rows (terms broadcast),
+   * and the global top-k is a TakeOrdered — no corpus-wide window.
+   */
+  def qlTopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      mu: Double = 2000.0,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(mu > 0.0, "Dirichlet mu must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ts   = terms.distinct
+    val toks = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__term"))
+    val dl   = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(TextAnalysis.words(col(textCol))).cast("long").as("__dl"))
+    val totC = dl.agg(sum(col("__dl"))).head().getLong(0)
+    require(totC > 0, "empty corpus")
+    val qtoks = toks.filter(col("__term").isin(ts: _*))
+    val cf    = qtoks.groupBy(col("__term")).agg(count(lit(1)).as("__cf"))
+    val tf    = qtoks.groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val wt = log((coalesce(col("__tf"), lit(0L)).cast("double") +
+        lit(mu) * col("__cf").cast("double") / lit(totC.toDouble)) /
+      (col("__dl").cast("double") + lit(mu)))
+    val scored = tf.select(col(idCol)).distinct()
+      .join(dl, idCol)
+      .crossJoin(broadcast(cf))
+      .join(tf, Seq(idCol, "__term"), "left")
+      .groupBy(col(idCol))
+      .agg(graft.functions.GraftFunctions.foldSum(collect_list(wt)).as("score"))
+    scored.orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score"), dp).as("score"))
+  }
+
+  /**
    * BEST SNIPPET per document: the `width`-token window holding the most
    * query-term hits (ties: more DISTINCT terms, then the earliest window)
    * — the result-page highlight extractor, and the "show me where it

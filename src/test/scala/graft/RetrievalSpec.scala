@@ -31,6 +31,23 @@ class RetrievalSpec extends SparkTestBase {
     top.map(_.getLong(0)) shouldBe Array(1L, 0L)
   }
 
+  "Retrieval.qlTopK" should "match hand-computed Dirichlet query likelihood" in {
+    // corpus |C|=14; cf(spark)=4, cf(join)=2; candidates = docs 0,1,3
+    val mu = 10.0
+    def p(tf: Double, cf: Double, dl: Double) = math.log((tf + mu * cf / 14.0) / (dl + mu))
+    val out = Retrieval.qlTopK(docs, Seq("spark", "join"), k = 4, mu = mu, dp = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.keySet shouldBe Set(0L, 1L, 3L) // doc 2 matches no term -> not a candidate
+    def snap(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(0L) shouldBe snap(p(3, 4, 5) + p(1, 2, 5)) +- 1e-9   // both terms present
+    out(1L) shouldBe snap(p(1, 4, 2) + p(0, 2, 2)) +- 1e-9   // join smoothing-only
+    out(3L) shouldBe snap(p(0, 4, 4) + p(1, 2, 4)) +- 1e-9
+    // a term absent from the whole corpus is dropped, not -inf
+    val same = Retrieval.qlTopK(docs, Seq("spark", "join", "zzz"), k = 4, mu = mu, dp = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    same shouldBe out
+  }
+
   "Retrieval.hybridTopK" should "fuse lexical and vector ranks reciprocally" in {
     // vectors: doc 2 is the query's nearest neighbor, doc 0 second, doc 1 far
     val emb = Seq(
