@@ -109,6 +109,37 @@ class PlanShapeSpec extends SparkTestBase {
     withClue(tf) { tf should include("TakeOrderedAndProject") }
   }
 
+  "the round-12 additions" should "keep their prescribed shuffle shapes" in {
+    import graft.pipeline.{Dedup, Retrieval}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // QL retrieval: global top-k is a TakeOrdered, the per-term stats
+    // broadcast, and the score fold runs the native kernel (an interpreted
+    // HOF here would single-thread the AQE-coalesced scoring stage)
+    val qlQe = Retrieval.qlTopK(docs, Seq("spark", "join"), k = 20).queryExecution
+    val ql   = qlQe.executedPlan.toString
+    withClue(ql) {
+      ql should include("TakeOrderedAndProject")
+      ql should not include "CartesianProduct"
+      // the kernel lives in TakeOrdered's (unprinted) project list — assert
+      // on the optimized plan, where the expression tree is spelled out
+      qlQe.optimizedPlan.toString should include("graft_fold_sum")
+    }
+    // winnow pairs: fingerprints come distinct from the one native pass —
+    // no relational Distinct before the bucket-capped self-join
+    val wp = Dedup.winnowPairs(docs, k = 16, w = 8).queryExecution.executedPlan.toString
+    withClue(wp) {
+      wp should include("graft_winnow_fps")
+      wp should not include "CartesianProduct"
+    }
+    // NB confusion: the only nested-loop is the intended tiny
+    // stats-broadcast cross join; the count-cell join hashes
+    val nbQe = graft.pipeline.TextAnalysis.nbConfusion(docs).queryExecution
+    withClue(nbQe.executedPlan.toString) {
+      nbQe.executedPlan.toString should not include "CartesianProduct"
+      nbQe.optimizedPlan.toString should include("graft_fold_sum")
+    }
+  }
+
   "the star-schema gates" should "broadcast every dimension side" in {
     // q3/q5: dims (customer slice, supplier, nation, region) broadcast;
     // only the fact-fact order-key join may shuffle. If a dim ever falls
