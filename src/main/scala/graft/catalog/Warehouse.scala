@@ -76,6 +76,12 @@ class Warehouse(val spark: SparkSession, val root: String) {
     Files.write(Paths.get(metaPath(c)), json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** shard interval + retention for a registered metric — the
+    * DescribeMetricResponse.MetricInfo surface (reference
+    * `responseCommand.proto:46-49`). */
+  def metricInfo(c: Coords): Option[(Long, Long)] =
+    readMeta(c).map(m => (m.shardIntervalMs, m.retentionMs))
+
   private def readMeta(c: Coords): Option[Meta] =
     Try {
       val json = new String(Files.readAllBytes(Paths.get(metaPath(c))), StandardCharsets.UTF_8)
