@@ -537,7 +537,8 @@ object OracleGen {
        |  WHERE length(x) >= 1 AND length(y) >= 1 AND x <> y),
        |eg AS MATERIALIZED (SELECT lo, hi FROM (
        |    SELECT lo, hi, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2
-       |    HAVING count(*) >= $minCount ORDER BY n DESC, lo, hi LIMIT $maxEdges)),
+       |    HAVING count(*) >= $minCount
+       |    ORDER BY n DESC, lo || ' ' || hi LIMIT $maxEdges)),
        |e AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM eg UNION ALL SELECT hi, lo FROM eg),
        |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
        |n AS MATERIALIZED (SELECT DISTINCT src AS term FROM e),

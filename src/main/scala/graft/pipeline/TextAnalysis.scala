@@ -1191,10 +1191,14 @@ object TextAnalysis {
    *
    * Scale shape: ONE corpus pass builds row-local adjacent pairs (no
    * shuffle until the pair count), one map-side-combined count, a global
-   * top-`maxEdges` TakeOrdered; the kept edges (a bounded model, like a
-   * trained BPE merge table) collect to a local relation and
-   * [[graft.operators.Graph.pageRank]] iterates over that. Returns the
-   * top `k` terms as `(term, rank, pos)`.
+   * top-`maxEdges` TakeOrdered. The kept edges are a BOUNDED model (like
+   * a trained BPE merge table), so the PageRank recurrence runs as a
+   * driver fold over the collected graph — the same per-round arithmetic
+   * as [[graft.operators.Graph.pageRank]] (`round((1−d) + d·Σ r/deg, 6)`
+   * per node per round, the 6-dp snap bridging summation orders exactly
+   * as the distributed/oracle pair does) without 10 rounds × 2 Spark
+   * jobs of 300-row frames. Returns the top `k` terms as
+   * `(term, rank, pos)`.
    */
   def textRankKeywords(
       df: DataFrame,
@@ -1208,25 +1212,39 @@ object TextAnalysis {
     require(maxEdges >= 1 && maxEdges <= 100000, "maxEdges must be in [1, 100000]")
     val spark = df.sparkSession
     import spark.implicits._
-    val kept = df.select(words(col(textCol)).as("__ws"))
-      .filter(size(col("__ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(__ws) - 1), i -> struct(element_at(__ws, i) AS a, element_at(__ws, i + 1) AS b))"))
-        .as("__bg"))
-      .select(col("__bg.a").as("a"), col("__bg.b").as("b"))
-      .filter(length(col("a")) >= 1 && length(col("b")) >= 1 && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
-      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("n"))
+    // undirected edges as canonical "lo hi" strings built in-place with
+    // the [[topNgrams]] zip_with idiom (invalid pairs — empties,
+    // self-loops — null out inside the lambda and drop post-explode);
+    // tie-break on the canonical string, mirrored by the oracle
+    val toks = words(col(textCol))
+    val glen = greatest(size(toks) - 1, lit(0))
+    val es = zip_with(slice(toks, lit(1), glen), slice(toks, lit(2), glen),
+      (a, b) => when(length(a) >= 1 && length(b) >= 1 && a =!= b,
+        when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))))
+    val kept = df.select(explode(es).as("e"))
+      .filter(col("e").isNotNull)
+      .groupBy(col("e")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("lo"), col("hi")).limit(maxEdges)
-      .select(col("lo"), col("hi"))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val edges = kept.toDF("lo", "hi")
-    val nodes = (kept.map(_._1) ++ kept.map(_._2)).distinct.toDF("term")
-    val pr = graft.operators.Graph.pageRank(edges, nodes, iterations, damping, idCol = "term")
-    val top = pr.orderBy(col("rank").desc, col("term")).limit(k)
-    top.withColumn("pos",
-      row_number().over(Window.orderBy(col("rank").desc, col("term"))).cast("long"))
+      .orderBy(col("n").desc, col("e")).limit(maxEdges)
+      .select(col("e"))
+      .collect().map { r =>
+        val s = r.getString(0); val i = s.indexOf(' ')
+        (s.substring(0, i), s.substring(i + 1))
+      }.toSeq
+    val und     = kept.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg     = und.groupBy(_._1).map { case (n, es) => n -> es.size.toDouble }
+    val nodes   = und.map(_._1).distinct.sorted
+    val inbound = und.groupBy(_._2).map { case (v, es) => v -> es.map(_._1).sorted }
+    def snap6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iterations)
+      rank = nodes.map { v =>
+        val c = inbound.getOrElse(v, Nil).foldLeft(0.0)((acc, u) => acc + rank(u) / deg(u))
+        v -> snap6(1.0 - damping + damping * c)
+      }.toMap
+    rank.toSeq.sortBy { case (t, r) => (-r, t) }.take(k).zipWithIndex
+      .map { case ((t, r), i) => (t, r, (i + 1).toLong) }
+      .toDF("term", "rank", "pos")
   }
 
   // ---- readability ------------------------------------------------------
