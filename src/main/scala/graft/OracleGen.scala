@@ -592,19 +592,16 @@ object OracleGen {
     * groups), window minima via a position→window-start explode with the
     * rightmost-tie argmax join, then the capped distinct-fingerprint pair
     * count. */
-  def winnowPairsSql(
-      k: Int = 8,
-      w: Int = 4,
-      minShared: Long = 2L,
-      maxBucket: Int = 1000
-  ): String = {
+  /** the winnowing selection CTE chain up to `fps(doc_id, fp)` DISTINCT —
+    * shared by the pair miner and the ingest gate. */
+  private def winnowFpCtes(k: Int, w: Int): String = {
     val P        = 2147483647L
     def pw(e: Int): Long = BigInt(31).pow(e).mod(BigInt(P)).toLong
     val seedTerm = (BigInt(7) * BigInt(31).pow(k)).mod(BigInt(P)).toLong
     // ::BIGINT before the multiply: ascii() is INT32 and DuckDB would
     // otherwise overflow INT32 on code·power before widening
     val terms = (0 until k).map(j => s"cs[(p + $j)::INT]::BIGINT * ${pw(k - 1 - j)}").mkString(" + ")
-    s"""WITH co AS MATERIALIZED (SELECT doc_id,
+    s"""co AS MATERIALIZED (SELECT doc_id,
        |    list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i::INT, 1))) AS cs,
        |    (length(text) - ${k - 1})::BIGINT AS g
        |  FROM documents WHERE length(text) >= $k),
@@ -616,12 +613,37 @@ object OracleGen {
        |pick AS (SELECT w.doc_id, w.s, w.mfp AS fp, max(h.p) AS pos
        |  FROM win w JOIN hg h ON h.doc_id = w.doc_id AND h.fp = w.mfp AND h.p BETWEEN w.s AND w.s + ${w - 1}
        |  GROUP BY 1, 2, 3),
-       |fps AS (SELECT DISTINCT doc_id, fp FROM pick),
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM pick)""".stripMargin
+  }
+
+  def winnowPairsSql(
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000
+  ): String =
+    s"""WITH ${winnowFpCtes(k, w)},
        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxBucket)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id JOIN ok ON ok.fp = a.fp
        |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
-  }
+
+  /** mirror of [[graft.pipeline.Dedup.winnowGateAgainstCorpus]] with the
+    * corpus/batch mod split used by every gate oracle: the CORPUS side's
+    * degenerate fingerprints cap before the join, a batch doc matching
+    * `minShared`+ distinct corpus fps on ANY single corpus doc is
+    * rejected, survivors pass through. */
+  def winnowGateSql(k: Int, w: Int, minShared: Long, maxBucket: Int, mod: Int): String =
+    s"""WITH ${winnowFpCtes(k, w)},
+       |fc AS (SELECT * FROM fps WHERE doc_id % $mod <> 0),
+       |fn AS (SELECT * FROM fps WHERE doc_id % $mod = 0),
+       |ok AS (SELECT fp FROM fc GROUP BY fp HAVING count(*) <= $maxBucket),
+       |fc2 AS (SELECT fc.* FROM fc JOIN ok USING (fp)),
+       |m AS (SELECT DISTINCT n.doc_id FROM fn n JOIN fc2 c USING (fp)
+       |      GROUP BY n.doc_id, c.doc_id HAVING count(*) >= $minShared)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % $mod = 0 AND doc_id NOT IN (SELECT doc_id FROM m)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** mirror of the per-language BPE fertility panel: [[bpeCtes]]' final
     * vocab joins the corpus word explode, doc token counts roll up by the

@@ -287,6 +287,14 @@ object SparkEntry {
       Dedup.gateAgainstCorpus(all.filter(col("doc_id") % 4 === 0), corpus, 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // span-level ingest gate: batch docs sharing >= 2 winnow fingerprints
+    // with any single archived doc are rejected (splice catcher at ingest)
+    "d_winnow_gate" -> ((s, d) => {
+      val all    = docs(s, d)
+      val corpus = Dedup.winnowFpIndex(all.filter(col("doc_id") % 4 =!= 0)).localCheckpoint(true)
+      Dedup.winnowGateAgainstCorpus(all.filter(col("doc_id") % 4 === 0), corpus)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // true duplicate clusters: connected components over the pair graph
     "d_cc" -> ((s, d) => Dedup.duplicateClusters(docs(s, d), 0.5).orderBy("doc_id")),
@@ -1344,6 +1352,7 @@ object SparkEntry {
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_winnow"   -> OracleGen.winnowPairsSql(k = 16, w = 8, minShared = 2L, maxBucket = 200),
+    "d_winnow_gate" -> OracleGen.winnowGateSql(k = 16, w = 8, minShared = 2L, maxBucket = 200, mod = 4),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

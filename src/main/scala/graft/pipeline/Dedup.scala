@@ -461,6 +461,62 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * Persisted-index face of [[winnowPairs]]: the corpus's DISTINCT
+   * `(id, fp)` winnowing fingerprints, one native pass per document —
+   * write it once (parquet, e.g. partitioned/bucketed by `fp`) and every
+   * future ingest batch gates against it without re-fingerprinting the
+   * archive (the [[signatureIndex]] contract, at span granularity).
+   */
+  def winnowFpIndex(
+      df: DataFrame,
+      k: Int = 16,
+      w: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k >= 2 && k <= 32, "gram size k must be in [2,32]")
+    require(w >= 2 && w <= 64, "window w must be in [2,64]")
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), explode(GraftFunctions.winnowFps(col(textCol), k, w)).as("fp"))
+  }
+
+  /**
+   * Ingest-time SPAN gate — the winnowing complement of
+   * [[gateAgainstCorpus]]'s whole-document Jaccard: a new document is
+   * rejected when it shares `minShared`+ distinct fingerprints with ANY
+   * single corpus document (a lifted ≥ `w+k−1`-char span is guaranteed to
+   * collide), which catches splice reuse that whole-document similarity
+   * dilutes below every threshold. `maxBucket` caps degenerate CORPUS
+   * fingerprints (ubiquitous boilerplate spans) before the join, so they
+   * cannot quadratically amplify a batch. Scale shape: the batch side is
+   * micro-batch-sized (AQE broadcasts it into the index scan); the only
+   * aggregations are fp-keyed and (batch×corpus-candidate)-keyed skinny
+   * int rows. Returns the surviving rows of `newDocs`.
+   */
+  def winnowGateAgainstCorpus(
+      newDocs: DataFrame,
+      corpusFps: DataFrame,
+      minShared: Long = 2L,
+      maxBucket: Int = 200,
+      k: Int = 16,
+      w: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val small  = corpusFps.groupBy(col("fp")).count().filter(col("count") <= maxBucket).select("fp")
+    val capped = corpusFps.join(small, Seq("fp"), "left_semi")
+    val fresh  = winnowFpIndex(newDocs, k, w, textCol, idCol)
+      .select(col("id").as("__id_new"), col("fp"))
+    val matched = fresh.join(capped, "fp")
+      .groupBy(col("__id_new"), col("id"))
+      .agg(count(lit(1)).as("__n_shared"))
+      .filter(col("__n_shared") >= minShared)
+      .select(col("__id_new").as(idCol))
+      .distinct()
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** `(id, band, bucket)` LSH band relation of a signature table: bucket =
     * the band's signature slice itself (string concat — equality is all
     * that matters, and it stays engine-portable for the oracle). */

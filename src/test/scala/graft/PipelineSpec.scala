@@ -752,6 +752,25 @@ class PipelineSpec extends SparkTestBase {
       .count() shouldBe 0L
   }
 
+  "Dedup.winnowGateAgainstCorpus" should "reject batch docs sharing a span with any archived doc" in {
+    val corpus = Seq(
+      (1L, "the archive holds this exact sentence about spark shuffles forever"),
+      (3L, "completely unrelated archived content nothing shared here at all!")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a new doc that lifted: the archive holds this exact sentence about spark"),
+      (12L, "fresh original writing with zero overlap anywhere in the span space")
+    ).toDF("doc_id", "text")
+    val ix = Dedup.winnowFpIndex(corpus, k = 16, w = 8)
+    val out = Dedup.winnowGateAgainstCorpus(batch, ix, minShared = 2L, maxBucket = 200, k = 16, w = 8)
+      .select("doc_id").collect().map(_.getLong(0))
+    out shouldBe Array(12L) // the splice is caught, the original passes
+    // a capped (boilerplate) corpus fingerprint cannot reject on its own:
+    // with maxBucket = 0 every corpus fp is degenerate and everything passes
+    Dedup.winnowGateAgainstCorpus(batch, ix, minShared = 2L, maxBucket = 0, k = 16, w = 8)
+      .count() shouldBe 2L
+  }
+
   "Dedup.winnowPairs" should "guarantee a shared fingerprint for a >= w+k-1 char span" in {
     // docs 0/1 share " hello world " (13 chars >= 4+8-1): the winnowing
     // theorem promises at least one common SELECTED fingerprint
