@@ -199,6 +199,11 @@ class GrpcApi(
       else if (payload.trim.isEmpty) Some("missing security payload")
       else { val r = check; if (r.isDenied) Some(r.failReason) else None }
 
+    // NOTE on the path literals: gRPC routes on the fully-qualified proto
+    // service name, so wire compatibility with reference clients REQUIRES
+    // the reference's public proto package (`package io.radicalbit.nsdb
+    // .rpc` in nsdb-rpc/src/main/protobuf) verbatim — these strings are
+    // the wire contract, exactly like an HTTP route path.
     private def dispatch(ctx: ChannelHandlerContext): Unit = {
       implicit val tc: TimeContext = TimeContext(System.currentTimeMillis())
       try path match {
