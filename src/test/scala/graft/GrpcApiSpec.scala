@@ -112,6 +112,44 @@ class GrpcApiSpec extends SparkTestBase {
     }
   }
 
+  it should "fan out HTTP writes to gRPC subscribers through a shared hub" in {
+    // the SubscriptionHub is transport-independent: one hub wired into
+    // both the REST and gRPC surfaces makes every transport's writes
+    // visible to every transport's subscribers (reference PublisherActor)
+    val root   = Files.createTempDirectory("graft_grpc_hub_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val hub    = new graft.http.SubscriptionHub
+    val http   = new graft.http.HttpApi(engine, hub = hub)
+    val grpc   = new GrpcApi(engine, hub = hub)
+    val hport  = http.start()
+    val gport  = grpc.start()
+    val client = new GrpcClient(port = gport)
+    try {
+      engine.initMetric("db", "ns", "m", 86400000L)
+      client.write(RpcInsert("db", "ns", "m", 500L, LongValue(1L), Map.empty, Map.empty))
+        .toOption.get.completedSuccessfully shouldBe true
+      val events = new LinkedBlockingQueue[SqlStreamingResponse]()
+      val sub = client.subscribe(SqlRequest("db", "ns", "m", "select * from m"))(events.put)
+      events.poll(10, TimeUnit.SECONDS).payload shouldBe a[SubscribedByQueryString]
+      // write through the REST surface -> push arrives on the gRPC stream
+      val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$hport/data"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"db":"db","namespace":"ns","metric":"m","bit":{"timestamp":900,"value":7}}"""))
+        .header("Content-Type", "application/json").build()
+      java.net.http.HttpClient.newHttpClient()
+        .send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() shouldBe 200
+      val push = events.poll(10, TimeUnit.SECONDS)
+      push should not be null
+      val recs = push.payload.asInstanceOf[RecordsPublished]
+      recs.records.head.timestamp shouldBe 900L
+      recs.records.head.value shouldBe LongValue(7L)
+      sub.close()
+    } finally {
+      client.close(); grpc.stop(); http.stop()
+    }
+  }
+
   it should "enforce per-level authorization with the reference's write-permission contract" in {
     val root   = Files.createTempDirectory("graft_grpc_auth_").toString
     val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
