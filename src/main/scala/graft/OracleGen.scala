@@ -628,6 +628,22 @@ object OracleGen {
        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id JOIN ok ON ok.fp = a.fp
        |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Dedup.winnowContainment]]: the pair select
+    * joined back to the UNCAPPED per-doc fingerprint counts; the two
+    * fractions are single rounded divisions of exact int64s. */
+  def winnowContainmentSql(k: Int, w: Int, minShared: Long, maxBucket: Int): String =
+    s"""WITH ${winnowFpCtes(k, w)},
+       |cnt AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM fps GROUP BY doc_id),
+       |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxBucket),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id JOIN ok ON ok.fp = a.fp
+       |      GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT id_a, id_b, n_shared,
+       |  round(n_shared::DOUBLE / ca.nfp::DOUBLE, 6) AS frac_a,
+       |  round(n_shared::DOUBLE / cb.nfp::DOUBLE, 6) AS frac_b
+       |FROM p JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.pipeline.Dedup.winnowGateAgainstCorpus]] with the
     * corpus/batch mod split used by every gate oracle: the CORPUS side's
     * degenerate fingerprints cap before the join, a batch doc matching

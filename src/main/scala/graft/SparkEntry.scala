@@ -287,6 +287,10 @@ object SparkEntry {
       Dedup.gateAgainstCorpus(all.filter(col("doc_id") % 4 === 0), corpus, 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // asymmetric span coverage: n_shared / per-doc fingerprint count —
+    // "fragment of" vs "contains" separation the symmetric pair count hides
+    "d_winnow_contain" -> ((s, d) =>
+      Dedup.winnowContainment(docs(s, d)).orderBy("id_a", "id_b")),
     // span-level ingest gate: batch docs sharing >= 2 winnow fingerprints
     // with any single archived doc are rejected (splice catcher at ingest)
     "d_winnow_gate" -> ((s, d) => {
@@ -1353,6 +1357,7 @@ object SparkEntry {
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_winnow"   -> OracleGen.winnowPairsSql(k = 16, w = 8, minShared = 2L, maxBucket = 200),
     "d_winnow_gate" -> OracleGen.winnowGateSql(k = 16, w = 8, minShared = 2L, maxBucket = 200, mod = 4),
+    "d_winnow_contain" -> OracleGen.winnowContainmentSql(k = 16, w = 8, minShared = 2L, maxBucket = 200),
     "d_gate"    -> OracleGen.gateAgainstCorpusSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, mod = 4),
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),

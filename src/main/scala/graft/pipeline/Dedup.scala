@@ -450,6 +450,13 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     val fps = df.select(col(idCol).as("id"),
       explode(GraftFunctions.winnowFps(col(textCol), k, w)).as("fp"))
+    winnowPairsFrom(fps, minShared, maxBucket)
+  }
+
+  /** the bucket-capped shared-fingerprint pair count over a prepared
+    * `(id, fp)` DISTINCT relation — shared by [[winnowPairs]] and
+    * [[winnowContainment]] (which pins the relation for reuse). */
+  private def winnowPairsFrom(fps: DataFrame, minShared: Long, maxBucket: Int): DataFrame = {
     val small = fps.groupBy("fp").count()
       .filter(col("count") <= maxBucket).select("fp")
     val capped = fps.join(small, Seq("fp"), "left_semi")
@@ -459,6 +466,43 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * WINNOW CONTAINMENT — [[winnowPairs]] plus the per-side coverage
+   * fractions `n_shared / |fps(doc)|`: the "how MUCH of this document is
+   * lifted" readout (a near-1 `frac_a` with a small `frac_b` says doc A
+   * is essentially a fragment of doc B — the asymmetric signal symmetric
+   * pair counts and Jaccard both hide). The uncapped per-doc fingerprint
+   * counts are the denominators, so a boilerplate-capped bucket lowers a
+   * fraction but never inflates it.
+   *
+   * Scale shape: identical to [[winnowPairs]] (the `(id, fp)` relation
+   * pins once and feeds the pair join AND the two count joins); the
+   * fractions are one rounded division per surviving pair.
+   */
+  def winnowContainment(
+      df: DataFrame,
+      k: Int = 16,
+      w: Int = 8,
+      minShared: Long = 2L,
+      maxBucket: Int = 200,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k >= 2 && k <= 32, "gram size k must be in [2,32]")
+    require(w >= 2 && w <= 64, "window w must be in [2,64]")
+    import graft.pipeline.Checkpoints.PinOps
+    GraftFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+      explode(GraftFunctions.winnowFps(col(textCol), k, w)).as("fp")).pinned
+    val counts = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    winnowPairsFrom(fps, minShared, maxBucket)
+      .join(counts.select(col("id").as("id_a"), col("nfp").as("__na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nfp").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__na").cast("double"), 6).as("frac_a"),
+        round(col("n_shared").cast("double") / col("__nb").cast("double"), 6).as("frac_b"))
   }
 
   /**

@@ -752,6 +752,24 @@ class PipelineSpec extends SparkTestBase {
       .count() shouldBe 0L
   }
 
+  "Dedup.winnowContainment" should "expose the fragment-of asymmetry" in {
+    // doc 1 IS a fragment of doc 0: every selected fingerprint of 1
+    // appears in 0, while 0 keeps fingerprints of its own extra text
+    val base = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val d = Seq(
+      (0L, s"$base and then a very long unrelated continuation follows here after it"),
+      (1L, base),
+      (2L, "entirely different words that never touch the other documents")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowContainment(d, k = 16, w = 8, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    out.map(t => (t._1, t._2)) shouldBe Array((0L, 1L))
+    val (_, _, shared, fracA, fracB) = out.head
+    shared should be >= 1L
+    fracB shouldBe 1.0    // the fragment is fully covered
+    fracA should be < 1.0 // the container is not
+  }
+
   "Dedup.winnowGateAgainstCorpus" should "reject batch docs sharing a span with any archived doc" in {
     val corpus = Seq(
       (1L, "the archive holds this exact sentence about spark shuffles forever"),
