@@ -752,6 +752,26 @@ class PipelineSpec extends SparkTestBase {
       .count() shouldBe 0L
   }
 
+  "PortableHash.winnow" should "agree with the HOF spelling on random corpora and parameters" in {
+    // differential test: the native rolling-hash + monotonic-deque kernel
+    // vs the declarative window-min form, over seeded random ASCII docs
+    // (repetition-heavy alphabet maximizes tie-rule exercise) and several
+    // (k, w) shapes — any deque/rolling-hash off-by-one diverges somewhere
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc d"
+    val corpus = (0L until 8L).map { i =>
+      val len = 5 + rnd.nextInt(120)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((2, 2), (3, 5), (7, 3))) {
+      val kern = Dedup.winnowFingerprints(corpus, k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val hof = Dedup.winnowFingerprintsHof(corpus, k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      withClue(s"k=$k w=$w: ") { kern shouldBe hof }
+    }
+  }
+
   "Dedup.winnowContainment" should "expose the fragment-of asymmetry" in {
     // doc 1 IS a fragment of doc 0: every selected fingerprint of 1
     // appears in 0, while 0 keeps fingerprints of its own extra text
