@@ -1924,8 +1924,10 @@ object OracleGen {
     * from the corpus (`doc_id % qmod == 0`, terms = the doc's first
     * `qTerms` whitespace tokens, set semantics): per-(query, doc) sorted-
     * fold BM25 scores, per-query rank ≤ k. */
-  def bm25JoinSql(k: Int, qmod: Int, qTerms: Int, k1: Double = 1.2, b: Double = 0.75): String =
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  /** the batch-BM25 CTE chain through `r(query_id, doc_id, score, rank)` —
+    * shared by the join gate and the MRR eval. */
+  private def bm25JoinCtes(qmod: Int, qTerms: Int, k1: Double, b: Double): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |p AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY term, doc_id),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
        |stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
@@ -1939,9 +1941,28 @@ object OracleGen {
        |        JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats),
        |s AS (SELECT query_id, doc_id, $foldSumSql AS score FROM wts GROUP BY query_id, doc_id),
        |r AS (SELECT query_id, doc_id, score,
-       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)""".stripMargin
+
+  def bm25JoinSql(k: Int, qmod: Int, qTerms: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25JoinCtes(qmod, qTerms, k1, b)}
        |SELECT query_id, doc_id, round(r.score, 4) AS score, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.Retrieval.mrrAtK]] over the self-retrieval
+    * relevance (each query's source doc is its one relevant result):
+    * first-relevant rank per query, reciprocal-rank sorted fold, one
+    * mirrored division by the query count. */
+  def bm25SelfMrrSql(k: Int, qmod: Int, qTerms: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25JoinCtes(qmod, qTerms, k1, b)},
+       |top AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= $k),
+       |f AS (SELECT query_id, min(rank)::BIGINT AS fr FROM top WHERE query_id = doc_id GROUP BY query_id),
+       |nq AS (SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % $qmod = 0),
+       |hit AS (SELECT count(*)::BIGINT AS n_hit,
+       |          list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(1.0 / fr::DOUBLE))), (a, b) -> a + b) AS s
+       |        FROM f)
+       |SELECT nq.n AS n_queries, hit.n_hit,
+       |  round(COALESCE(hit.s, 0.0) / nq.n::DOUBLE, 6) AS mrr
+       |FROM nq CROSS JOIN hit""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.pipeline.Retrieval.phraseMatches]]: per-term
     * positional postings, consecutive-position equi-joins, per-doc

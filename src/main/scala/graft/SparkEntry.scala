@@ -1051,6 +1051,16 @@ object SparkEntry {
       Retrieval.bm25Join(queries, Retrieval.termIndexPinned(docs(s, d)), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // lexical retrieval-quality eval: self-retrieval MRR@5 of the batch
+    // join (each query's source doc is its one relevant result)
+    "rt_mrr" -> ((s, d) => {
+      val all = docs(s, d)
+      val queries = all.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), slice(split(col("text"), " "), 1, 3).as("terms"))
+      val nq  = queries.count()
+      val res = Retrieval.bm25Join(queries, Retrieval.termIndexPinned(all), k = 5)
+      Retrieval.mrrAtK(res, queries.select(col("query_id"), col("query_id").as("doc_id")), nq)
+    }),
     "rt_hybrid" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       Retrieval.hybridTopK(docs(s, d), emb(s, d), Seq("spark", "join"), q, k = 10, n = 50)
@@ -2324,6 +2334,7 @@ object SparkEntry {
     "rt_mmr"       -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_mmr_idx"   -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
+    "rt_mrr"       -> OracleGen.bm25SelfMrrSql(k = 5, qmod = 100, qTerms = 3),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     // levenshtein is the same DP distance in both engines; counts are ints
     "rt_fuzzy" ->

@@ -370,6 +370,43 @@ object Retrieval {
       .withColumn("score", round(col("score"), dp))
   }
 
+  /**
+   * MEAN RECIPROCAL RANK of a batch-retrieval result against a relevance
+   * relation — the lexical-side quality eval next to the vector family's
+   * recall@k/nDCG: per query, the reciprocal of the FIRST relevant hit's
+   * rank (0 when nothing relevant surfaced), averaged over ALL `nQueries`
+   * (missed queries count against the mean — the standard definition).
+   *
+   * Arithmetic portability: ranks are exact ints, each reciprocal is one
+   * IEEE division, the sum is the ascending-sorted fold, and the mean is
+   * one mirrored division. Scale shape: one semi-join of the result list
+   * (already ≤ queries×k rows) against the relevance pairs, a per-query
+   * min, and a single-group fold over ≤ one-value-per-query reciprocals —
+   * query-batch-sized throughout, never corpus-sized.
+   */
+  def mrrAtK(
+      results: DataFrame,
+      relevant: DataFrame,
+      nQueries: Long,
+      dp: Int = 6,
+      qidCol: String = "query_id",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nQueries > 0, "nQueries must be positive")
+    graft.functions.GraftFunctions.register(results.sparkSession)
+    val firsts = results.join(relevant, Seq(qidCol, idCol), "left_semi")
+      .groupBy(col(qidCol)).agg(min(col("rank")).as("__fr"))
+    firsts
+      .agg(
+        count(lit(1)).as("n_hit"),
+        graft.functions.GraftFunctions
+          .foldSum(collect_list(lit(1.0) / col("__fr").cast("double"))).as("__s"))
+      .select(
+        lit(nQueries).as("n_queries"),
+        col("n_hit"),
+        round(coalesce(col("__s"), lit(0.0)) / lit(nQueries.toDouble), dp).as("mrr"))
+  }
+
   /** Top-`k` documents by [[bm25Scores]], ties broken by id; the score is
     * rounded AFTER the ordering (the unrounded value sorts). */
   def bm25TopK(

@@ -48,6 +48,22 @@ class RetrievalSpec extends SparkTestBase {
     same shouldBe out
   }
 
+  "Retrieval.mrrAtK" should "average first-relevant reciprocals over ALL queries" in {
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),  // q1: relevant 11 at rank 2
+      (2L, 11L, 1L), (2L, 12L, 2L),  // q2: relevant 12 at rank 2, 13 never surfaces
+      (3L, 10L, 1L)                  // q3: nothing relevant
+    ).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 11L), (2L, 12L), (2L, 13L), (3L, 99L)).toDF("query_id", "doc_id")
+    val r = Retrieval.mrrAtK(results, rel, nQueries = 3L).head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 2L))
+    r.getDouble(2) shouldBe BigDecimal((0.5 + 0.5) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // no relevant hits anywhere -> mrr 0, not null
+    val none = Retrieval.mrrAtK(results, Seq((9L, 9L)).toDF("query_id", "doc_id"), nQueries = 3L).head()
+    (none.getLong(1), none.getDouble(2)) shouldBe ((0L, 0.0))
+  }
+
   "Retrieval.hybridTopK" should "fuse lexical and vector ranks reciprocally" in {
     // vectors: doc 2 is the query's nearest neighbor, doc 0 second, doc 1 far
     val emb = Seq(
