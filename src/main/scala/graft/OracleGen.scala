@@ -333,6 +333,32 @@ object OracleGen {
       .stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.operators.Graph.hits]]: mined pairs directed
+    * `id_b → id_a`, `rounds` synchronous hub/authority updates with the
+    * order-free ∞-norm normalization, each half-round snapped to 6 dp
+    * (the same noise-kill as [[pageRankSql]]'s per-iteration round). */
+  def hitsSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+              maxBucket: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""ar$t AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS ar
+         |  FROM e JOIN h${t - 1} h ON h.id = e.src GROUP BY e.dst),
+         |a$t AS MATERIALIZED (SELECT id, round(ar / (SELECT max(ar) FROM ar$t), 6) AS a FROM ar$t),
+         |hr$t AS MATERIALIZED (SELECT e.src AS id, sum(a.a) AS hr
+         |  FROM e JOIN a$t a ON a.id = e.dst GROUP BY e.src),
+         |h$t AS MATERIALIZED (SELECT id, round(hr / (SELECT max(hr) FROM hr$t), 6) AS h FROM hr$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |p AS MATERIALIZED (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |e AS MATERIALIZED (SELECT id_b AS src, id_a AS dst FROM p),
+       |h0 AS MATERIALIZED (SELECT DISTINCT id, 1.0::DOUBLE AS h
+       |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |$roundCtes
+       |SELECT d.doc_id, coalesce(h.h, 0.0) AS hub, coalesce(a.a, 0.0) AS authority
+       |FROM documents d LEFT JOIN h$rounds h ON h.id = d.doc_id
+       |LEFT JOIN a$rounds a ON a.id = d.doc_id ORDER BY d.doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** shared LPA CTE chain (mined pairs `p`, undirected edges `e`,
     * synchronous rounds `l1..l$rounds`, full labeling `lab(id, c)` with
     * singleton fallbacks) — base of [[labelPropagationSql]] /
@@ -1963,6 +1989,37 @@ object OracleGen {
        |SELECT nq.n AS n_queries, hit.n_hit,
        |  round(COALESCE(hit.s, 0.0) / nq.n::DOUBLE, 6) AS mrr
        |FROM nq CROSS JOIN hit""".stripMargin.replace("\n", " ")
+
+  /** mirror of the `rt_ndcg` composition ([[Similarity.rankEval]] over the
+    * [[bm25JoinSql]] retrieval chain with SOURCE relevance): dense source
+    * labels by rank over the distinct sources, per-query ln-discount
+    * DCG/nDCG/MRR/P@k, every fold ascending-rank — [[rankEvalSql]]'s tail
+    * verbatim, pointed at the lexical join. */
+  def lexRankEvalSql(k: Int, qmod: Int, qTerms: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val dcg = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(rr, e2 -> e2.rel::DOUBLE / ln(e2.rank::DOUBLE + 1.0))), (a, b) -> a + b)"
+    s"""WITH ${bm25JoinCtes(qmod, qTerms, k1, b)},
+       |nb AS (SELECT query_id, doc_id AS id, rank FROM r WHERE rank <= $k),
+       |sl AS (SELECT source, row_number() OVER (ORDER BY source) AS label
+       |       FROM (SELECT DISTINCT source FROM documents)),
+       |lb AS (SELECT d.doc_id AS vid, sl.label FROM documents d JOIN sl USING (source)),
+       |rl AS (SELECT nb.query_id, nb.rank,
+       |         (CASE WHEN lq.label = ln2.label THEN 1 ELSE 0 END)::BIGINT AS rel
+       |       FROM nb JOIN lb lq ON lq.vid = nb.query_id
+       |               JOIN lb ln2 ON ln2.vid = nb.id),
+       |g AS (SELECT query_id,
+       |        list_sort(list(struct_pack(rank := rank, rel := rel))) AS rr,
+       |        sum(rel)::BIGINT AS n_rel,
+       |        min(CASE WHEN rel = 1 THEN rank END) AS frank
+       |      FROM rl GROUP BY query_id)
+       |SELECT query_id, n_rel,
+       |  round($dcg, 6) AS dcg,
+       |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+       |    round($dcg / list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, least(n_rel, $k)), i -> 1.0::DOUBLE / ln(i::DOUBLE + 1.0))), (a, b) -> a + b), 6) END AS ndcg,
+       |  CASE WHEN frank IS NULL THEN 0.0::DOUBLE ELSE round(1.0::DOUBLE / frank::DOUBLE, 6) END AS mrr,
+       |  round(n_rel::DOUBLE / ${k}.0, 6) AS p_at_k
+       |FROM g ORDER BY query_id""".stripMargin.replace("\n", " ")
+  }
 
   /** mirror of [[graft.pipeline.Retrieval.phraseMatches]]: per-term
     * positional postings, consecutive-position equi-joins, per-doc

@@ -230,6 +230,14 @@ object SparkEntry {
       graft.operators.Graph.pageRank(
         Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd).orderBy("doc_id")
     }),
+    // HITS over the same graph, directed later→earlier: authorities are
+    // the canonical originals, hubs the aggregator/re-post docs — the
+    // role split pageRank's undirected centrality can't make
+    "d_hits" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Graph.hits(
+        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
+    }),
     // clique structure of the near-dup graph: triangle triples + per-doc
     // participation counts (template-family detection beyond CC chains)
     "d_triangles" -> ((s, d) =>
@@ -847,6 +855,11 @@ object SparkEntry {
     "ts_trend" -> ((s, d) =>
       TimeSeries.trendForecast(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         horizon = 24).orderBy("event_type")),
+    // Theil–Sen robust trend on the same hourly grid: exact median of all
+    // pairwise grid slopes — the outlier-proof line next to ts_trend's OLS
+    "ts_theilsen" -> ((s, d) =>
+      TimeSeries.theilSen(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type")),
     // LTTB: 24-point visual downsample of each type's hourly grid
     "ts_lttb" -> ((s, d) =>
       TimeSeries.lttb(evUs(s, d), Seq("event_type"), "ts", "value", HourUs, nOut = 24)
@@ -1060,6 +1073,24 @@ object SparkEntry {
       val nq  = queries.count()
       val res = Retrieval.bm25Join(queries, Retrieval.termIndexPinned(all), k = 5)
       Retrieval.mrrAtK(res, queries.select(col("query_id"), col("query_id").as("doc_id")), nq)
+    }),
+    // lexical ranking eval with GRADED ground truth: same-source docs are
+    // relevant (each query has a 25-doc relevance class, not just itself),
+    // scored per query as ln-discount DCG/nDCG/MRR/P@5 — the vector
+    // family's rankEval harness pointed at the BM25 batch join
+    "rt_ndcg" -> ((s, d) => {
+      val all = docs(s, d)
+      val queries = all.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), slice(split(col("text"), " "), 1, 3).as("terms"))
+      // dense source ids via a broadcast-sized rank of the distinct
+      // sources (never a corpus-wide window)
+      val srcIds = all.select("source").distinct()
+        .withColumn("label", row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("int"))
+      val labels = all.join(broadcast(srcIds), "source").select(col("doc_id").as("vec_id"), col("label"))
+      val nb = Retrieval.bm25Join(queries, Retrieval.termIndexPinned(all), k = 5)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      Similarity.rankEval(nb, labels, k = 5).orderBy("query_id")
     }),
     "rt_hybrid" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
@@ -1355,6 +1386,8 @@ object SparkEntry {
     "d_pagerank" -> OracleGen.pageRankSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, iterations = 5, damping = 0.85),
     "d_labelprop" -> OracleGen.labelPropagationSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
+      maxBucket = 1000, rounds = 4),
+    "d_hits" -> OracleGen.hitsSql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, rounds = 4),
     "d_modularity" -> OracleGen.modularitySql(0.5, numHashes = 64, bands = 16, shingleK = 3,
       maxBucket = 1000, rounds = 4),
@@ -2025,6 +2058,29 @@ object SparkEntry {
          |  round(intercept + slope * (xmax + $h)::DOUBLE, 6) AS forecast
          |FROM b ORDER BY event_type""".stripMargin.replace("\n", " ")
     },
+    // Theil–Sen: pairwise slopes divide identical lattice-snapped doubles;
+    // the exact median spells the same middle-order-statistic sum/count on
+    // both sides; the intercept residuals reuse the 6-dp-rounded slope
+    "ts_theilsen" -> {
+      val med = (src: String, c: String, out: String) =>
+        s"""(SELECT event_type, round(sum($c) / count(*), 6) AS $out, max(n)::BIGINT AS ${out}_n
+           |  FROM (SELECT event_type, $c,
+           |          row_number() OVER (PARTITION BY event_type ORDER BY $c) AS rn,
+           |          count(*) OVER (PARTITION BY event_type) AS n FROM $src)
+           |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2 GROUP BY event_type)""".stripMargin
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, ts // $HourUs AS x, value AS v FROM r),
+         |pr AS (SELECT a.event_type, (b.v - a.v) / (b.x - a.x)::DOUBLE AS s
+         |       FROM g a JOIN g b ON a.event_type = b.event_type AND a.x < b.x),
+         |ms AS ${med("pr", "s", "slope")},
+         |ri AS (SELECT g.event_type, v - slope * x::DOUBLE AS i FROM g JOIN ms USING (event_type)),
+         |mi AS ${med("ri", "i", "intercept")},
+         |np AS (SELECT event_type, count(*)::BIGINT AS n_points FROM g GROUP BY 1)
+         |SELECT event_type, n_points, slope_n AS n_pairs, slope, intercept
+         |FROM np JOIN ms USING (event_type) JOIN mi USING (event_type)
+         |ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
     // incremental rollup: the merged stats table must equal DuckDB's full
     // direct aggregation (sum snap round(,3); mean divides the 6-dp snap)
     "roll_maint" ->
@@ -2335,6 +2391,7 @@ object SparkEntry {
     "rt_mmr_idx"   -> OracleGen.mmrRerankSql(Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7),
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_mrr"       -> OracleGen.bm25SelfMrrSql(k = 5, qmod = 100, qTerms = 3),
+    "rt_ndcg"      -> OracleGen.lexRankEvalSql(k = 5, qmod = 100, qTerms = 3),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     // levenshtein is the same DP distance in both engines; counts are ints
     "rt_fuzzy" ->

@@ -362,6 +362,76 @@ object Graph {
     out
   }
 
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) over the DIRECTED form of the
+   * near-dup pair list: each mined pair `(id_a < id_b)` becomes the edge
+   * `id_b → id_a` — the later document "cites" its earlier near-duplicate,
+   * so AUTHORITIES are the canonical originals whose content radiates
+   * through a crawl and HUBS are the aggregator/re-post documents that
+   * copy from many originals. [[pageRank]] scores undirected centrality;
+   * this splits it into the source/sink roles a curation pass acts on
+   * (keep authorities, down-weight hubs).
+   *
+   * Fixed `rounds` of the synchronous update with ∞-NORM normalization:
+   * `a(v) = Σ_{u→v} h(u)` then `a ← a / max(a)`, `h(u) = Σ_{u→v} a(v)`
+   * then `h ← h / max(h)`. Dividing by the max — not the conventional L2
+   * norm — is deliberate: max is ORDER-FREE, so normalization adds no
+   * summation-order noise of its own, and each half-round's scores snap
+   * to 6 dp exactly like [[pageRank]] ranks (per-group sum noise ~1e-16
+   * cannot compound across rounds — same accepted residual-risk class).
+   * Nodes with no in-edge score authority 0; no out-edge, hub 0; docs in
+   * no pair score 0 on both.
+   *
+   * Scale shape: per half-round ONE join of the score frame into the edge
+   * relation (shuffle on node id) and one partial-aggregated groupBy —
+   * O(edges), no adjacency materialization. The max is computed IN-PLAN
+   * (a 1-row aggregate crossJoined back), never collected. Score frames
+   * pin per round and free the previous ([[Checkpoints]]); the input edge
+   * frame is consumed.
+   */
+  def hits(
+      edges: DataFrame,
+      nodes: DataFrame,
+      rounds: Int = 4,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val dir = edges.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")).pinned
+    Checkpoints.free(edges) // input consumed: release any pins beneath it
+    // h0 = 1 on every participant (only out-edge nodes ever feed an `a`
+    // sum, but the uniform start matches the textbook definition)
+    var hubs = dir.select(col("src").as("id"))
+      .union(dir.select(col("dst").as("id"))).distinct()
+      .withColumn("h", lit(1.0)).pinned
+    var auths = hubs.select(col("id"), lit(0.0).as("a")).limit(0) // replaced in round 1
+    for (r <- 1 to rounds) {
+      val aRaw = dir
+        .join(hubs.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__ar")).pinned
+      val nextA = aRaw
+        .crossJoin(aRaw.agg(max(col("__ar")).as("__am")))
+        .select(col("id"), round(col("__ar") / col("__am"), 6).as("a")).pinned
+      Checkpoints.free(aRaw)
+      if (r > 1) Checkpoints.free(auths)
+      auths = nextA
+      val hRaw = dir
+        .join(auths.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("__hr")).pinned
+      val nextH = hRaw
+        .crossJoin(hRaw.agg(max(col("__hr")).as("__hm")))
+        .select(col("id"), round(col("__hr") / col("__hm"), 6).as("h")).pinned
+      Checkpoints.free(hRaw, hubs)
+      hubs = nextH
+    }
+    Checkpoints.free(dir)
+    nodes.select(col(idCol).as("id"))
+      .join(hubs, Seq("id"), "left")
+      .join(auths, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("authority"))
+  }
+
   def localClusteringCoefficient(pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val e = pairs.select(col("id_a"), col("id_b")).distinct()
     val deg = e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))

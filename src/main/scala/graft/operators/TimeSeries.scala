@@ -78,6 +78,74 @@ object TimeSeries {
   }
 
   /**
+   * THEIL–SEN ROBUST TREND per key, fit on the [[resample]] grid: the
+   * slope is the exact MEDIAN of all pairwise grid slopes
+   * `(v_j − v_i)/(x_j − x_i)`, the intercept the median of the residuals
+   * `v_i − slope·x_i` — the estimator that shrugs off the outliers that
+   * bend [[trendForecast]]'s OLS line (breakdown point 29 %, vs 0 for
+   * OLS). Run both over the same grid and a gap between the two slopes IS
+   * the outlier alarm.
+   *
+   * Engine-portable determinism: grid values come off [[resample]]'s
+   * 1e-6-lattice snap, the grid index is an exact long, so each pairwise
+   * slope is ONE IEEE division of identical operands on both engines; the
+   * exact median (middle order statistic; mean of the two middles when
+   * even — `sum/count` over the ≤2 selected values, spelled identically
+   * in the oracle) never interpolates beyond that one addition. The
+   * intercept reuses the 6 dp-ROUNDED slope, so its residuals are again
+   * identical doubles.
+   *
+   * Scale shape: the pair join is quadratic in GRID POINTS per key —
+   * never in raw rows — and `maxPoints` refuses a key whose grid would
+   * explode (pick a coarser `step` instead; the probe is one tiny
+   * aggregate over the already-downsampled grid). The median is one
+   * per-key window sort of the pair frame — `keys × C(points,2)` rows,
+   * bounded by construction.
+   */
+  def theilSen(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      maxPoints: Int = 4096
+  ): DataFrame = {
+    require(maxPoints >= 2, "maxPoints must be >= 2")
+    val kc = keys.map(col)
+    val grid = resample(df, keys, tsCol, valueCol, step)
+      .withColumn("__x", expr(floorDiv(tsCol, step)))
+      .localCheckpoint(true) // read 3x below (pairs, residuals, counts)
+    val worst = grid.groupBy(kc: _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head(1).headOption.flatMap(r => Option(r.get(0)))
+    worst.foreach(n => require(n.asInstanceOf[Long] <= maxPoints,
+      s"a key has $n grid points > maxPoints=$maxPoints (C(n,2) pair slopes); use a coarser step"))
+    val a = grid.select(kc :+ col("__x").as("__xa") :+ col(valueCol).as("__va"): _*)
+    val b = grid.select(kc :+ col("__x").as("__xb") :+ col(valueCol).as("__vb"): _*)
+    val pairs = a.join(b, keys).filter(col("__xa") < col("__xb"))
+      .select(kc :+ ((col("__vb") - col("__va")) / (col("__xb") - col("__xa")).cast("double")).as("__s"): _*)
+    // exact median: 1-indexed middle order statistic(s) (n+1)/2 .. (n+2)/2
+    def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(kc: _*).orderBy(col(c))
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+        .filter(col("__rn") >= expr("(__n + 1) div 2") && col("__rn") <= expr("(__n + 2) div 2"))
+        .groupBy(kc: _*)
+        .agg(round(sum(col(c)) / count(lit(1)), 6).as(out), max(col("__n")).as(s"${out}_n"))
+    }
+    val slopes = medianOf(pairs, "__s", "slope")
+      .withColumnRenamed("slope_n", "n_pairs")
+    val resid = grid.join(slopes, keys)
+      .select(kc :+ (col(valueCol) - col("slope") * col("__x").cast("double")).as("__i"): _*)
+    val inters = medianOf(resid, "__i", "intercept").drop("intercept_n")
+    val counts = grid.groupBy(kc: _*).agg(count(lit(1)).as("n_points"))
+    // the grid pin stays live: the returned (lazy) frame reads it three
+    // ways — the caller releases it via Checkpoints.free(result) after the
+    // last action, the standard result-frame lifecycle
+    counts.join(slopes, keys).join(inters, keys)
+      .select(kc ++ Seq(col("n_points"), col("n_pairs"), col("slope"), col("intercept")): _*)
+  }
+
+  /**
    * RESAMPLE to a fixed grid: floor each timestamp to its `step` bucket and
    * average the values per `(keys, bucket)`. Returns `(keys*, tsCol,
    * valueCol)` with `tsCol` on the grid (bucket lower edge). One map-side-

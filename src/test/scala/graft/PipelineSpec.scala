@@ -416,6 +416,31 @@ class PipelineSpec extends SparkTestBase {
     core shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
   }
 
+  "Graph.hits" should "split originals (authorities) from re-posters (hubs) on the directed pair graph" in {
+    import graft.operators.Graph
+    // pairs (a<b) direct b→a: edges 2→1, 3→1, 3→2. Node 1 is the pure
+    // original (no out-edge), node 3 the pure re-poster (no in-edge);
+    // node 4 is isolated. Round 1 by hand: ar(1)=h2+h3=2, ar(2)=h3=1,
+    // max 2 → a=(1.0, 0.5); hr(2)=a1=1, hr(3)=a1+a2=1.5, max 1.5 →
+    // h(2)=round(1/1.5)=0.666667, h(3)=1.0.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val r1 = Graph.hits(pairs, nodes, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    r1 shouldBe Map(
+      1L -> ((0.0, 1.0)), 2L -> ((0.666667, 0.5)),
+      3L -> ((1.0, 0.0)), 4L -> ((0.0, 0.0)))
+    // more rounds keep the roles and the ∞-norm pins the max at exactly 1
+    val p2 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val r4 = Graph.hits(p2, nodes, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    r4(1L)._2 shouldBe 1.0 // strongest authority
+    r4(3L)._1 shouldBe 1.0 // strongest hub
+    r4(2L)._1 should (be > 0.0 and be < 1.0)
+    r4(2L)._2 should (be > 0.0 and be < 1.0)
+    r4(4L) shouldBe ((0.0, 0.0))
+  }
+
   "Graph.localClusteringCoefficient" should "score clique members 1.0 and degree-1 leaves 0.0" in {
     import graft.operators.Graph
     // triangle {1,2,3} + leaf 4 on node 3: lcc(1)=lcc(2)=1 (deg 2, 1 tri),

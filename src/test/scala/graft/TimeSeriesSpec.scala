@@ -16,6 +16,33 @@ class TimeSeriesSpec extends SparkTestBase {
       Array(("a", 0L, 3.0), ("a", 20L, 7.0), ("b", 10L, 1.0))
   }
 
+  "TimeSeries.theilSen" should "shrug off the outlier that bends the OLS line" in {
+    // y = x + 1 on ticks 0..3, then a wild spike at tick 4: of the 10
+    // pairwise slopes six are exactly 1, so the median slope stays 1 and
+    // the residual median pins the intercept at 1 — while OLS is dragged
+    // far above 1 by the same spike
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 3.0), ("a", 30L, 4.0),
+      ("a", 40L, 100.0)).toDF("k", "ts", "v")
+    val ts = TimeSeries.theilSen(df, Seq("k"), "ts", "v", step = 10L).collect()
+    ts.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))) shouldBe
+      Array(("a", 5L, 10L, 1.0, 1.0))
+    val ols = TimeSeries.trendForecast(df, Seq("k"), "ts", "v", step = 10L)
+      .select("slope").head().getDouble(0)
+    ols should be > 10.0
+  }
+
+  it should "average the two middle slopes on an even pair count and refuse an oversized grid" in {
+    // 4 points, 6 pairwise slopes sorted [1, 1.5, 2, 3, 3.5, 6]: the even
+    // count averages the two middles — (2+3)/2
+    val df = Seq(("a", 0L, 0.0), ("a", 10L, 2.0), ("a", 20L, 3.0), ("a", 30L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.theilSen(df, Seq("k"), "ts", "v", step = 10L).head()
+    out.getLong(2) shouldBe 6L
+    out.getDouble(3) shouldBe 2.5
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.theilSen(df, Seq("k"), "ts", "v", step = 10L, maxPoints = 3).head()
+  }
+
   private lazy val grid = Seq( // key a: observations at 0, 30, 40 (gap 10..20)
     ("a", 0L, 1.0), ("a", 30L, 4.0), ("a", 40L, 10.0),
     ("b", 100L, 5.0) // single observation: nothing to fill
