@@ -2166,6 +2166,63 @@ object OracleGen {
 
   /** mirror of [[graft.pipeline.Sampling.holdoutSplit]]: the sampling id
     * hash against cumulative 10000-lattice cutoffs. */
+  /** mirror of [[graft.pipeline.TextAnalysis.tokenKlShift]] over the
+    * [[holdoutSplitSql]] hash split: add-1-smoothed KL both ways + JS over
+    * the union vocabulary — exact int64 counts, per-term contributions in
+    * the engine's operand order, all three totals ascending-sorted folds. */
+  def tokenKlShiftSql(weights: Seq[(String, Double)], seed: Long,
+                      aSplit: String, bSplit: String): String = {
+    val h    = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail
+    val cases = weights.init.zip(cuts.init)
+      .map { case ((name, _), cut) => s"WHEN h < $cut THEN '$name'" }
+      .mkString(" ")
+    def fold(c: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_sort(list($c))), (a, b) -> a + b)"
+    s"""WITH sp AS (SELECT text, CASE $cases ELSE '${weights.last._1}' END AS split
+       |            FROM (SELECT doc_id, text, $h AS h FROM documents)),
+       |ta AS (SELECT unnest(string_split(text, ' ')) AS t FROM sp WHERE split = '$aSplit'),
+       |tb AS (SELECT unnest(string_split(text, ' ')) AS t FROM sp WHERE split = '$bSplit'),
+       |ka AS (SELECT t, count(*)::BIGINT AS c FROM ta GROUP BY 1),
+       |kb AS (SELECT t, count(*)::BIGINT AS c FROM tb GROUP BY 1),
+       |j AS (SELECT coalesce(ka.c, 0)::BIGINT AS ca, coalesce(kb.c, 0)::BIGINT AS cb
+       |      FROM ka FULL JOIN kb ON ka.t = kb.t),
+       |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb, count(*)::BIGINT AS v FROM j),
+       |pq AS (SELECT na, nb, v,
+       |         (ca + 1)::DOUBLE / (na + v)::DOUBLE AS p,
+       |         (cb + 1)::DOUBLE / (nb + v)::DOUBLE AS q
+       |       FROM j CROSS JOIN tot),
+       |cc AS (SELECT na, nb, v,
+       |         p * ln(p / q) AS kab, q * ln(q / p) AS kba,
+       |         p * ln(p / ((p + q) / 2.0::DOUBLE)) AS jp,
+       |         q * ln(q / ((p + q) / 2.0::DOUBLE)) AS jq FROM pq)
+       |SELECT na AS n_tokens_a, nb AS n_tokens_b, v AS n_terms,
+       |  round(${fold("kab")}, 6) AS kl_ab,
+       |  round(${fold("kba")}, 6) AS kl_ba,
+       |  round(0.5::DOUBLE * ${fold("jp")} + 0.5::DOUBLE * ${fold("jq")}, 6) AS js
+       |FROM cc GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Similarity.kCenterCoreset]]: farthest-point
+    * traversal seeded at the smallest id, the `k−1` greedy picks UNROLLED
+    * one CTE per step — each candidate's min `list_distance` to the
+    * selected set snaps to 6 dp BEFORE the argmax (ties by id), exactly as
+    * the engine rounds before its TakeOrdered(1). */
+  def kCenterCoresetSql(k: Int): String = {
+    val steps = (2 to k).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT x.vec_id, round(min(list_distance(x.v, c.v)), 6) AS d
+         |  FROM e x JOIN e c ON c.vec_id IN (SELECT vec_id FROM u${r - 1})
+         |  WHERE x.vec_id NOT IN (SELECT vec_id FROM u${r - 1}) GROUP BY x.vec_id),
+         |s$r AS (SELECT $r::BIGINT AS rank, vec_id, d FROM c$r ORDER BY d DESC, vec_id LIMIT 1),
+         |u$r AS MATERIALIZED (SELECT * FROM u${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u1 AS MATERIALIZED (SELECT 1::BIGINT AS rank, vec_id, 0.0::DOUBLE AS d
+       |  FROM e ORDER BY vec_id LIMIT 1),
+       |$steps
+       |SELECT rank, vec_id, d AS dist FROM u$k ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
+
   def holdoutSplitSql(weights: Seq[(String, Double)], seed: Long): String = {
     val h    = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
     val cuts = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail

@@ -497,6 +497,9 @@ object SparkEntry {
     "sem_report" -> ((s, d) => Similarity.clusterReport(emb(s, d), nlist = 16).orderBy("centroid")),
     // label-side health: per-cluster majority-label share
     "sem_purity" -> ((s, d) => Similarity.clusterPurity(emb(s, d), nlist = 16).orderBy("centroid")),
+    // farthest-point k-center coreset: the maximally-diverse 8-vector
+    // panel + its coverage-radius curve (diversity-first data pruning)
+    "sem_kcenter" -> ((s, d) => Similarity.kCenterCoreset(emb(s, d), k = 8).orderBy("rank")),
     // index-health harness: recall@20 of the probed IVF vs brute force
     "ann_recall" -> ((s, d) => {
       val e   = emb(s, d)
@@ -1160,6 +1163,18 @@ object SparkEntry {
     "tx_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d), k = 20)),
     // per-doc token-distribution entropy (gibberish/boilerplate signal)
     "tx_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(docs(s, d)).orderBy("doc_id")),
+    // per-doc lexical diversity: type–token ratio + hapax fraction (the
+    // variety axis of quality filtering; both tails are curation cuts)
+    "tx_lexdiv" -> ((s, d) => TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("doc_id")),
+    // train/val token-distribution shift: smoothed KL both ways + JS over
+    // the union vocab — the drift check a split pipeline runs before
+    // training (leaning splits show up as KL asymmetry)
+    "tx_kldiv" -> ((s, d) => {
+      val sp = Sampling.holdoutSplit(docs(s, d), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .localCheckpoint(true) // two slices read one hash pass
+      TextAnalysis.tokenKlShift(
+        sp.filter(col("split") === "train"), sp.filter(col("split") === "val"))
+    }),
     // deterministic 80/10/10 holdout split by portable id hash
     "tx_split" -> ((s, d) =>
       Sampling.holdoutSplit(docs(s, d), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1441,6 +1456,7 @@ object SparkEntry {
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "sem_report" -> OracleGen.clusterReportSql(nlist = 16, dim = 64),
     "sem_purity" -> OracleGen.clusterPuritySql(nlist = 16, dim = 64),
+    "sem_kcenter" -> OracleGen.kCenterCoresetSql(k = 8),
     "ann_recall" -> OracleGen.annRecallSql(nlist = 16, nprobe = 4, k = 20, dim = 64),
     "sem_balance" -> OracleGen.clusterBalancedSampleSql(nlist = 16, perCluster = 10, dim = 64),
     "ann_join"  -> OracleGen.annJoinSql(k = 5, qmod = 50, planesPerTable = 6, tables = 8, dim = 64),
@@ -2562,6 +2578,19 @@ object SparkEntry {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "tx_split" -> OracleGen.holdoutSplitSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L),
+    // lexical diversity: both ratios divide exact int64 counts
+    "tx_lexdiv" ->
+      """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |            GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS ttr,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS hapax_frac
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "tx_kldiv" -> OracleGen.tokenKlShiftSql(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L,
+      aSplit = "train", bSplit = "val"),
     "mm_meta"  -> MmMetaSql,
     // sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly the payload
     // bytes the Spark side hashes (withPayload encodes text as UTF-8)

@@ -1261,6 +1261,66 @@ object Similarity {
   }
 
   /**
+   * K-CENTER GREEDY CORESET over the embedding column (farthest-point
+   * traversal, the classic 2-approximation to the k-center cover): start
+   * from the smallest id, then `k−1` times pick the vector FARTHEST from
+   * every center chosen so far — the maximally-diverse subset selection
+   * used for active-learning seed sets, eval-panel picking and
+   * diversity-first data pruning (the opposite end of the spectrum from
+   * [[semDedup]], which removes the redundant middle). Returns the
+   * selection order `(rank, vec_id, dist)` — `dist` is the pick's
+   * min-distance to the prior centers, a non-increasing sequence that
+   * doubles as the coverage-radius curve (stop where it elbows).
+   *
+   * Determinism: distances are the sequential per-dim Euclidean fold
+   * (identical IEEE sequence in the oracle's `list_distance`), the
+   * min-over-centers is order-free, and each candidate's min-distance
+   * SNAPS to `dp` BEFORE the argmax (ties by id) — so a 1-ulp fold
+   * difference can never flip a pick.
+   *
+   * Scale shape: k full scans, each against ≤ k BROADCAST literal center
+   * vectors (k·dim doubles — the bounded-collect class, enforced k ≤ 64);
+   * the argmax is one `TakeOrdered(1)`. No pairwise matrix, no shuffle
+   * beyond the top-1 reductions. Centers ride the closure as literals, so
+   * every scan stays inside whole-stage codegen.
+   */
+  def kCenterCoreset(
+      df: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 6
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k (k scans, k collected vectors)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seed = src.orderBy(col("id")).head(1)
+    if (seed.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("rank", idCol, "dist")
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+    val picks = scala.collection.mutable.ArrayBuffer((seed(0).getLong(0), 0.0))
+    var centers = Vector(vecOf(seed(0)))
+    for (_ <- 2 to k) {
+      val minD = centers.map { c =>
+        sqrt(aggregate(zip_with(col("v"), lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, e) => acc + e))
+      }.reduce(least(_, _))
+      val chosenIds = picks.map(_._1).toSeq
+      val best = src.filter(!col("id").isin(chosenIds: _*))
+        .select(col("id"), col("v"), round(minD, dp).as("d"))
+        .orderBy(col("d").desc, col("id")).head(1)
+      best.headOption.foreach { r => // fewer than k vectors: stop early
+        picks += ((r.getLong(0), r.getDouble(2)))
+        centers :+= vecOf(r)
+      }
+    }
+    picks.toSeq.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("rank", idCol, "dist")
+  }
+
+  /**
    * RANKING-QUALITY EVALUATION of a retrieval result against label
    * relevance — per query: ln-discount DCG, nDCG, MRR and precision@k.
    * The order-sensitive half of the eval harness ([[recallAtK]] grades

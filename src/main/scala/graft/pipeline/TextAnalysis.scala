@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.GraftFunctions
 import graft.pipeline.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -36,6 +37,39 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all($textCol, r'$BpeTokenPattern', 0)")).cast("long").as("n_bpe_tokens"),
       round(length(regexp_replace(col(textCol), " ", "")).cast("double") / size(w), 4).as("avg_word_len")
     )
+  }
+
+  /**
+   * LEXICAL DIVERSITY per document: type–token ratio and the hapax
+   * fraction (share of types occurring exactly once) — the vocabulary-
+   * richness half of quality filtering ([[tokenStats]] counts volume;
+   * this scores variety). Template/boilerplate docs sit at low TTR with
+   * near-zero hapax share; gibberish sits at TTR → 1 with hapax → 1; real
+   * prose lands between, which is exactly what makes both tails cheap
+   * curation cuts.
+   *
+   * Scale shape: one map-side-combined `(doc, term)` count, one per-doc
+   * aggregation — no windows, no joins. Both ratios divide exact int64
+   * counts (one IEEE division each, snapped), so the oracle replays them
+   * bit-identically.
+   */
+  def lexicalDiversity(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 6
+  ): DataFrame = {
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    tf.groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol),
+        col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), dp).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), dp).as("hapax_frac"))
   }
 
   // ---- document chunking -------------------------------------------------
@@ -740,6 +774,58 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(-aggregate(array_sort(collect_list(col("__e"))), lit(0.0),
         (acc, x) => acc + x), dp).as("entropy"))
+  }
+
+  /**
+   * TOKEN-DISTRIBUTION SHIFT between two corpus slices — add-1-smoothed
+   * KL divergence both ways plus the symmetric Jensen–Shannon divergence
+   * over the union vocabulary: the one-row drift check that catches a
+   * train/val split leaning on different domains, a crawl snapshot
+   * drifting from its predecessor, or a filtered subset losing a
+   * register. JS is bounded by ln 2, so it doubles as a normalized
+   * 0..0.693 score; the KL asymmetry says WHICH side holds mass the
+   * other lacks.
+   *
+   * `p(t) = (c_a(t)+1)/(N_a+V)`, `q(t)` likewise; every count is an exact
+   * int64, each per-term contribution a short fixed chain of IEEE ops,
+   * and the three totals fold through the ascending-sorted kernel
+   * ([[graft.functions.GraftFunctions.foldSum]]) — so the oracle replays
+   * the identical sequence. Scale shape: one map-side-combined count per
+   * side, one full-outer term join (shuffle on the term — the natural
+   * key), one vocab-bounded single-group fold; nothing corpus-sized ever
+   * reaches one task (the fold list is V doubles — at web scale cap the
+   * vocab upstream, e.g. min-count or hash-bucket terms first).
+   */
+  def tokenKlShift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String = "text",
+      dp: Int = 6
+  ): DataFrame = {
+    GraftFunctions.register(a.sparkSession)
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(words(col(textCol))).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__t"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"), coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tots = joined.agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"), count(lit(1)).as("__v"))
+    val p = (col("__ca") + 1L).cast("double") / (col("__na") + col("__v")).cast("double")
+    val q = (col("__cb") + 1L).cast("double") / (col("__nb") + col("__v")).cast("double")
+    val m = (col("__p") + col("__q")) / 2.0
+    joined.crossJoin(tots)
+      .select(col("__na"), col("__nb"), col("__v"), p.as("__p"), q.as("__q"))
+      .select(col("__na"), col("__nb"), col("__v"),
+        (col("__p") * log(col("__p") / col("__q"))).as("__kab"),
+        (col("__q") * log(col("__q") / col("__p"))).as("__kba"),
+        (col("__p") * log(col("__p") / m)).as("__jp"),
+        (col("__q") * log(col("__q") / m)).as("__jq"))
+      .groupBy(col("__na").as("n_tokens_a"), col("__nb").as("n_tokens_b"), col("__v").as("n_terms"))
+      .agg(
+        round(GraftFunctions.foldSum(collect_list(col("__kab"))), dp).as("kl_ab"),
+        round(GraftFunctions.foldSum(collect_list(col("__kba"))), dp).as("kl_ba"),
+        round(lit(0.5) * GraftFunctions.foldSum(collect_list(col("__jp")))
+          + lit(0.5) * GraftFunctions.foldSum(collect_list(col("__jq"))), dp).as("js"))
   }
 
   /**

@@ -1473,6 +1473,48 @@ class PipelineSpec extends SparkTestBase {
     out(2L) shouldBe math.log(2.0) +- 5e-5
   }
 
+  "TextAnalysis.lexicalDiversity" should "compute TTR and hapax fraction from exact counts" in {
+    val corpus = Seq((0L, "a a b c"), (1L, "x x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(corpus).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    out(0L) shouldBe ((4L, 3L, 2L, 0.75, 0.666667)) // types {a,b,c}, hapax {b,c}
+    out(1L) shouldBe ((4L, 1L, 0L, 0.25, 0.0))      // one type, no hapax
+  }
+
+  "TextAnalysis.tokenKlShift" should "score identical slices zero and diverging slices asymmetrically" in {
+    val a = Seq((0L, "x x x y")).toDF("doc_id", "text")
+    val same = TextAnalysis.tokenKlShift(a, a).head()
+    same.getDouble(3) shouldBe 0.0 // kl_ab
+    same.getDouble(4) shouldBe 0.0 // kl_ba
+    same.getDouble(5) shouldBe 0.0 // js
+    val b = Seq((1L, "x y y y")).toDF("doc_id", "text")
+    val ab = TextAnalysis.tokenKlShift(a, b).head()
+    ab.getDouble(3) should be > 0.0
+    // JS is symmetric; the two KLs need not be equal but both positive
+    val ba = TextAnalysis.tokenKlShift(b, a).head()
+    ab.getDouble(5) shouldBe ba.getDouble(5)
+    ab.getDouble(3) shouldBe ba.getDouble(4)
+    ab.getDouble(5) should be < math.log(2.0) // JS bounded by ln 2
+  }
+
+  "Similarity.kCenterCoreset" should "walk the farthest-point traversal in pick order" in {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterCoreset(vecs, k = 4).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // seed = min id; then farthest-from-selected each round:
+    // 1 at d=10, then 3 at min(√50,√50)=√50, then 2 at min-dist 1
+    picks shouldBe Array(
+      (1L, 0L, 0.0), (2L, 1L, 10.0), (3L, 3L, 7.071068), (4L, 2L, 1.0))
+    // k beyond the corpus stops early, and the radius curve never rises
+    val all4 = Similarity.kCenterCoreset(vecs, k = 10).collect()
+    all4.length shouldBe 4
+    val ds = all4.sortBy(_.getLong(0)).map(_.getDouble(2)).drop(1)
+    ds.zip(ds.tail).foreach { case (hi, lo) => lo should be <= hi }
+  }
+
   "TextAnalysis.nbModel" should "rank per-label terms by count with term tie-break" in {
     val top = TextAnalysis.nbModel(docs, topK = 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
