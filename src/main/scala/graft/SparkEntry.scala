@@ -1010,6 +1010,27 @@ object SparkEntry {
     // YoY growth: month rollup key-joined to itself on ym - 100
     "st_yoy" -> ((s, d) =>
       graft.operators.Star.yoyGrowth(tbl(s, d, "lineitem"))),
+    // Q4-shaped: EXISTS-late-lineitem as a predicate-carrying semi join
+    "st_priority" -> ((s, d) =>
+      graft.operators.Star.orderPriorityCheck(tbl(s, d, "orders"), tbl(s, d, "lineitem"),
+        java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1996, 7, 1, 0, 0),
+        lateDays = 30)),
+    // Q12-shaped: critical-vs-low CASE-sums per shipping-delay band
+    "st_shipdelay" -> ((s, d) =>
+      graft.operators.Star.shippingDelayBands(tbl(s, d, "orders"), tbl(s, d, "lineitem"),
+        java.time.LocalDateTime.of(1996, 1, 1, 0, 0), java.time.LocalDateTime.of(1997, 1, 1, 0, 0))),
+    // Q21-shaped: sole latest shipper on finished multi-supplier orders
+    "st_latesupp" -> ((s, d) =>
+      graft.operators.Star.soleLatestShippers(tbl(s, d, "supplier"), tbl(s, d, "orders"),
+        tbl(s, d, "lineitem"), k = 20)),
+    // Q22-shaped: above-average-balance customers who never ordered
+    "st_noorders" -> ((s, d) =>
+      graft.operators.Star.salesOpportunity(tbl(s, d, "customer"), tbl(s, d, "orders"),
+        tbl(s, d, "nation"))),
+    // Q9-shaped: per-nation-and-year profit with a retail-price cost proxy
+    "st_profit" -> ((s, d) =>
+      graft.operators.Star.productTypeProfit(tbl(s, d, "nation"), tbl(s, d, "supplier"),
+        tbl(s, d, "part"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), pType = "PROMO")),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // Dirichlet query-likelihood: the LM scorer next to BM25 (mu=2000)
     "rt_ql" -> ((s, d) => Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20)),
@@ -2399,6 +2420,65 @@ object SparkEntry {
         |  round((a.rev - b.rev)::DOUBLE / b.rev::DOUBLE, 6) AS yoy_growth
         |FROM m a LEFT JOIN m b ON a.ym = b.ym + 100
         |ORDER BY a.ym""".stripMargin.replace("\n", " "),
+    // Q4-shaped: EXISTS over late lineitems (date_diff mirrors datediff's
+    // calendar-day count on NTZ timestamps), exact int day compare
+    "st_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND date_diff('day', o.o_orderdate, l.l_shipdate) > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    // Q12-shaped: explicit CASE bands (no floor division — Spark's `div`
+    // truncates toward zero, engines disagree on negative delays)
+    "st_shipdelay" ->
+      """WITH j AS (SELECT date_diff('day', o_orderdate, l_shipdate) AS days, o_orderpriority
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT CASE WHEN days < 0 THEN 'early' WHEN days < 90 THEN '0-89'
+        |  WHEN days < 365 THEN '90-364' WHEN days < 730 THEN '365-729' ELSE '730+' END AS delay_band,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    // Q21-shaped: sole latest shipper over finished multi-supplier orders
+    "st_latesupp" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        |  SEMI JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+        |per AS (SELECT l_orderkey, max(l_shipdate) AS last, count(DISTINCT l_suppkey)::BIGINT AS ns
+        |  FROM li GROUP BY 1),
+        |lastsh AS (SELECT li.l_orderkey,
+        |    count(DISTINCT li.l_suppkey)::BIGINT AS nl, min(li.l_suppkey) AS supp
+        |  FROM li JOIN per ON li.l_orderkey = per.l_orderkey AND li.l_shipdate = per.last
+        |  WHERE per.ns >= 2 GROUP BY 1)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM lastsh JOIN supplier ON supp = s_suppkey
+        |WHERE nl = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " "),
+    // Q22-shaped: the st_dormant cross-multiplied integer threshold, with
+    // the Q22 ordering (count desc) and anti-join no-orders test
+    "st_noorders" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, round(c_acctbal*100)::BIGINT AS bal FROM customer),
+        |t AS (SELECT sum(bal)::BIGINT AS total, count(*)::BIGINT AS n FROM c WHERE bal > 0),
+        |f AS (SELECT c.* FROM c, t WHERE bal * n > total),
+        |nf AS (SELECT f.* FROM f ANTI JOIN orders ON f.c_custkey = orders.o_custkey)
+        |SELECT n_name, count(*)::BIGINT AS numcust, sum(bal)::DOUBLE / 100.0 AS totacctbal
+        |FROM nf JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY numcust DESC, n_name""".stripMargin.replace("\n", " "),
+    // Q9-shaped: profit = Σ rev_num − Σ qty·retail·80, both exact cent·pct
+    // int64 sums, one division at the end
+    "st_profit" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    round(l_quantity)::BIGINT AS q,
+        |    round(l_extendedprice*100)::BIGINT AS ep, round(l_discount*100)::BIGINT AS d
+        |  FROM lineitem),
+        |p AS (SELECT p_partkey, round(p_retailprice*100)::BIGINT AS rc FROM part WHERE p_type = 'PROMO')
+        |SELECT n_name, year(o_orderdate)::INT AS o_year,
+        |  (sum(ep*(100-d))::BIGINT - sum(q*rc*80)::BIGINT)::DOUBLE / 10000.0 AS profit
+        |FROM li JOIN p ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_ql"        -> OracleGen.qlTopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),

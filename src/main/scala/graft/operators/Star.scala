@@ -458,6 +458,149 @@ object Star {
   }
 
   /**
+   * TPC-H Q4-shaped order-priority check: per priority class, how many
+   * orders placed in `[lo, hi)` had at least one lineitem shipped more
+   * than `lateDays` after the order date. The EXISTS is a left-semi join
+   * on the order key with the lateness predicate folded into the join
+   * condition — no fact×fact product ever materializes, and the count is
+   * a 5-group aggregation.
+   */
+  def orderPriorityCheck(
+      orders: DataFrame, lineitem: DataFrame,
+      lo: LocalDateTime, hi: LocalDateTime, lateDays: Int = 30): DataFrame =
+    orders.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /**
+   * TPC-H Q12-shaped shipping-delay bands: lineitems bucketed by how long
+   * after the order date they shipped (CASE bands over exact day diffs —
+   * explicit bands, not floor-division, because Spark's `div` truncates
+   * toward zero while other engines floor, and negative "shipped early"
+   * delays would split), counting critical-priority (1-URGENT/2-HIGH)
+   * orders against the rest — Q12's two CASE-sums per group. One
+   * fact↔fact join on the order key, then a |bands|-row aggregation.
+   */
+  def shippingDelayBands(
+      orders: DataFrame, lineitem: DataFrame,
+      lo: LocalDateTime, hi: LocalDateTime): DataFrame = {
+    val days = datediff(col("l_shipdate"), col("o_orderdate"))
+    val band = when(days < 0, "early").when(days < 90, "0-89")
+      .when(days < 365, "90-364").when(days < 730, "365-729").otherwise("730+")
+    val crit = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    lineitem.filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(band.as("delay_band"))
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("delay_band"))
+  }
+
+  /**
+   * TPC-H Q21-shaped waiting-supplier audit (adapted to this schema's
+   * columns: no commit/receipt dates, so "kept the order waiting" means
+   * SOLE LATEST SHIPPER): over finished multi-supplier orders, the
+   * suppliers who alone shipped an order's last line. Per order one
+   * max-shipdate + distinct-supplier aggregation, latest shippers kept
+   * when exactly one supplier sits at the max — all exact dates/ints, a
+   * deterministic top-k by count then name.
+   */
+  def soleLatestShippers(
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      k: Int = 20): DataFrame = {
+    val li = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val per = li.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("__last"), count_distinct(col("l_suppkey")).as("__ns"))
+      .filter(col("__ns") >= 2)
+    val lastShippers = li.join(per, "l_orderkey")
+      .filter(col("l_shipdate") === col("__last"))
+      .groupBy(col("l_orderkey")).agg(
+        count_distinct(col("l_suppkey")).as("__nl"),
+        min(col("l_suppkey")).as("__supp")) // unique when __nl = 1
+      .filter(col("__nl") === 1)
+    lastShippers
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("__supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
+  /**
+   * TPC-H Q22-shaped sales opportunity: per nation, the count and total
+   * balance of above-average-balance customers who never ordered. The
+   * average is never materialized as a float: `bal·n > Σbal` compares
+   * exact integer cents cross-multiplied (the [[dormantHighBalance]]
+   * idiom), the no-orders test is one anti join, and only the final
+   * per-nation balance sum divides back to currency.
+   */
+  def salesOpportunity(
+      customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
+    val balCents = round(col("c_acctbal") * 100, 0).cast("long")
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"), balCents.as("__bal"))
+    val Array(total, n) = cust.filter(col("__bal") > 0L)
+      .agg(sum(col("__bal")), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    cust
+      .filter(col("__bal") * lit(n) > lit(total))
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        (sum(col("__bal")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy(col("numcust").desc, col("n_name"))
+  }
+
+  /**
+   * TPC-H Q9-shaped product-type profit (cost proxied as `costPct`% of
+   * the part's retail price — this schema carries no partsupp supply
+   * cost): per supplying nation and order year,
+   * `Σ rev − Σ qty·retail·costPct` over lineitems of one part type. Both
+   * sums are exact cent·pct int64s (`qty` is integer, retail is 2 dp), so
+   * the single ÷1e4 at the end is engine-portable. Part and the
+   * supplier→nation chain broadcast; the one real shuffle is
+   * lineitem↔orders on the order key.
+   */
+  def productTypeProfit(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      pType: String, costPct: Int = 80): DataFrame = {
+    require(costPct >= 0 && costPct <= 100, "costPct must be a percentage")
+    val retailCents = round(col("p_retailprice") * 100, 0).cast("long")
+    val costNum = col("__q") * col("__rc") * lit(costPct.toLong)
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity"), 0).cast("long").as("__q"),
+        epCents.as("__ep"), dPct.as("__d"))
+      .join(broadcast(part.filter(col("p_type") === pType)
+        .select(col("p_partkey"), retailCents.as("__rc"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(((sum(revNum) - sum(costNum)).cast("double") / 10000.0).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /**
    * MARKET-BASKET co-occurrence: the top-k part pairs ordered together in
    * the most orders, with the LIFT of each pair (how much more often the
    * two parts co-occur than independence predicts:

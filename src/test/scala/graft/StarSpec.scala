@@ -34,6 +34,42 @@ class StarSpec extends SparkTestBase {
     out shouldBe Array((1L, 100.0), (2L, 100.0))
   }
 
+  "Star.soleLatestShippers" should "credit only the unique last shipper of multi-supplier orders" in {
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // order 10 (F, two suppliers): s2 ships last alone → credited
+    // order 11 (F, two suppliers): s1 and s3 tie at the max → nobody
+    // order 12 (F, single supplier): excluded (ns < 2)
+    // order 13 (O): excluded by status
+    val li = Seq(
+      (10L, 1L, ts("2000-01-01")), (10L, 2L, ts("2000-02-01")),
+      (11L, 1L, ts("2000-03-01")), (11L, 3L, ts("2000-03-01")),
+      (12L, 3L, ts("2000-04-01")),
+      (13L, 2L, ts("2000-05-01")), (13L, 1L, ts("2000-01-05"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq((10L, "F"), (11L, "F"), (12L, "F"), (13L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val out = Star.soleLatestShippers(supplier, orders, li)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("s2", 1L))
+  }
+
+  "Star.orderPriorityCheck" should "count an order once no matter how many late lines it has" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, ts("2000-02-01"), "1-URGENT"),  // two late lines → counted once
+      (2L, ts("2000-02-01"), "1-URGENT"),  // shipped on time → not counted
+      (3L, ts("1999-01-01"), "5-LOW")      // outside the window
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("2000-06-01")), (1L, ts("2000-07-01")),
+      (2L, ts("2000-02-10")), (3L, ts("2000-06-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = Star.orderPriorityCheck(orders, li, t0, LocalDateTime.of(2001, 1, 1, 0, 0))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("1-URGENT", 1L))
+  }
+
   "Star.dormantHighBalance" should "compare against the positive-balance average exactly" in {
     // positive balances 10.00, 20.00, 30.00 → avg 20.00; only cust 3 (30)
     // exceeds it; cust 4 (-5) is excluded from the average; cust 3 has no
