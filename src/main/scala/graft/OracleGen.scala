@@ -1877,6 +1877,24 @@ object OracleGen {
        |sc AS (SELECT doc_id, $foldSumSql AS score FROM wts GROUP BY doc_id)""".stripMargin
   }
 
+  /** mirror of [[graft.pipeline.Retrieval.rankAgreement]]: both lists
+    * re-ranked by their reported (rounded, gate-proven-identical) scores
+    * with id tie-break, then Kendall τ over the C(m,2) intersection
+    * pairs — exact int concordant/discordant counts, one division. */
+  def rankAgreementSql(aSql: String, bSql: String): String =
+    s"""WITH a AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra FROM ($aSql)),
+       |b AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb FROM ($bSql)),
+       |j AS (SELECT a.doc_id AS id, ra, rb FROM a JOIN b USING (doc_id)),
+       |p AS (SELECT (x.ra - y.ra) * (x.rb - y.rb) AS s FROM j x JOIN j y ON x.id < y.id),
+       |agg AS (SELECT count(*)::BIGINT AS n_pairs,
+       |  coalesce(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_concordant,
+       |  coalesce(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_discordant FROM p),
+       |m AS (SELECT count(*)::BIGINT AS n_common FROM j)
+       |SELECT n_common, n_pairs, n_concordant, n_discordant,
+       |  CASE WHEN n_pairs = 0 THEN 0.0::DOUBLE
+       |       ELSE round((n_concordant - n_discordant)::DOUBLE / n_pairs::DOUBLE, 6) END AS tau
+       |FROM m CROSS JOIN agg""".stripMargin.replace("\n", " ")
+
   /** mirror of `Retrieval.foldSum`: ascending sort + seeded left fold. */
   private val foldSumSql =
     "list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(wt))), (a, b) -> a + b)"

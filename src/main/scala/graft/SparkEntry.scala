@@ -1034,6 +1034,11 @@ object SparkEntry {
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // Dirichlet query-likelihood: the LM scorer next to BM25 (mu=2000)
     "rt_ql" -> ((s, d) => Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    // inter-scorer agreement: Kendall τ between the BM25 and QL top-20
+    // rankings of the same query (τ→1: second scorer adds nothing)
+    "rt_tau" -> ((s, d) => Retrieval.rankAgreement(
+      Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
+      Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20))),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
       Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7)),
@@ -1136,6 +1141,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
+    // burstiest terms: variance-to-mean of per-doc counts, zeros included
+    // (clumped topical/template vocabulary that DF alone can't see)
+    "tx_burst" -> ((s, d) => TextAnalysis.burstyTerms(docs(s, d), k = 20, minCount = 5L)),
     // BPE trainer round: corpus-wide adjacent char-pair counts, top 50
     "tx_bpe" -> ((s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50)),
     // full BPE merge training over the word histogram: the learned rules
@@ -2488,6 +2496,9 @@ object SparkEntry {
     "rt_bm25_join" -> OracleGen.bm25JoinSql(k = 5, qmod = 100, qTerms = 3),
     "rt_mrr"       -> OracleGen.bm25SelfMrrSql(k = 5, qmod = 100, qTerms = 3),
     "rt_ndcg"      -> OracleGen.lexRankEvalSql(k = 5, qmod = 100, qTerms = 3),
+    "rt_tau" -> OracleGen.rankAgreementSql(
+      OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+      OracleGen.qlTopKSql(Seq("spark", "join"), k = 20)),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     // levenshtein is the same DP distance in both engines; counts are ints
     "rt_fuzzy" ->
@@ -2658,6 +2669,22 @@ object SparkEntry {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "tx_split" -> OracleGen.holdoutSplitSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L),
+    // burstiness: three exact int64 moments per term + the doc-count
+    // scalar; the VMR chain is spelled in the engine's operand order and
+    // snapped to 6 dp BEFORE the top-k cut (ties by term)
+    "tx_burst" ->
+      """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |            GROUP BY 1, 2),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |a AS (SELECT term, count(*)::BIGINT AS n_docs, sum(c)::BIGINT AS tot, sum(c*c)::BIGINT AS sq
+        |      FROM tf GROUP BY 1),
+        |b AS (SELECT term, n_docs, tot AS total,
+        |        round((sq::DOUBLE / n::DOUBLE - (tot::DOUBLE / n::DOUBLE) * (tot::DOUBLE / n::DOUBLE))
+        |          / (tot::DOUBLE / n::DOUBLE), 6) AS burstiness
+        |      FROM a CROSS JOIN n WHERE tot >= 5)
+        |SELECT term, n_docs, total, burstiness FROM b
+        |ORDER BY burstiness DESC, term LIMIT 20""".stripMargin.replace("\n", " "),
     // lexical diversity: both ratios divide exact int64 counts
     "tx_lexdiv" ->
       """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS c

@@ -407,6 +407,57 @@ object Retrieval {
         round(coalesce(col("__s"), lit(0.0)) / lit(nQueries.toDouble), dp).as("mrr"))
   }
 
+  /**
+   * KENDALL RANK AGREEMENT between two top-k retrieval lists (e.g. BM25
+   * vs query-likelihood over the same query): over the documents BOTH
+   * scorers surfaced, the fraction of pairs they order the same way —
+   * `τ = (concordant − discordant) / C(m, 2)`. The inter-scorer agreement
+   * eval next to [[mrrAtK]]/rankEval's ground-truth evals: τ → 1 means a
+   * second scorer adds nothing; τ near 0 flags rankings worth fusing
+   * ([[hybridTopK]]) or A/B-ing.
+   *
+   * Both lists re-rank HERE by `(score desc, id)` over their REPORTED
+   * (rounded) scores — deterministic cross-engine by construction, since
+   * the rounded scores are themselves gate-proven identical. Ranks are
+   * then distinct ints, so no tie terms in τ. Everything after the two
+   * input scans is k-bounded: a k-row intersection join, a C(k,2) pair
+   * product (bounded nested-loop — k ≤ 1000 enforced), three exact int
+   * counts, one division.
+   */
+  def rankAgreement(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      dp: Int = 6,
+      maxK: Int = 1000
+  ): DataFrame = {
+    def ranked(df: DataFrame, out: String) = {
+      val rows = df.limit(maxK + 1).count()
+      require(rows <= maxK, s"rank list exceeds maxK=$maxK (C(k,2) pair product)")
+      df.select(col(idCol).as("id"),
+        row_number().over(
+          Window.orderBy(col(scoreCol).desc, col(idCol))).as(out))
+    }
+    val j = ranked(a, "ra").join(ranked(b, "rb"), "id")
+    val x = j.select(col("id").as("i1"), col("ra").as("ra1"), col("rb").as("rb1"))
+    val y = j.select(col("id").as("i2"), col("ra").as("ra2"), col("rb").as("rb2"))
+    val s = (col("ra1") - col("ra2")) * (col("rb1") - col("rb2"))
+    val pairs = x.join(y, col("i1") < col("i2"))
+      .select(when(s > 0, 1L).otherwise(0L).as("__c"), when(s < 0, 1L).otherwise(0L).as("__d"))
+    val m = j.count()
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__c")).as("n_concordant"),
+        sum(col("__d")).as("n_discordant"))
+      .select(lit(m).as("n_common"), col("n_pairs"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        when(col("n_pairs") === 0, lit(0.0)).otherwise(
+          round((coalesce(col("n_concordant"), lit(0L)) - coalesce(col("n_discordant"), lit(0L)))
+            .cast("double") / col("n_pairs").cast("double"), dp)).as("tau"))
+  }
+
   /** Top-`k` documents by [[bm25Scores]], ties broken by id; the score is
     * rounded AFTER the ordering (the unrounded value sorts). */
   def bm25TopK(

@@ -777,6 +777,52 @@ object TextAnalysis {
   }
 
   /**
+   * BURSTY TERMS — the `k` terms with the highest variance-to-mean ratio
+   * of their per-document counts (zeros included): a term that spreads
+   * evenly (function words) sits near the Poisson baseline 1; a term
+   * whose occurrences CLUMP into few documents scores ≫ 1 — the classic
+   * burstiness signal for topical/template vocabulary, complementing
+   * [[pmiCollocations]] (which finds sticky pairs) and DF (which can't
+   * tell 1-per-doc from 100-in-one-doc). `minCount` drops rare-term
+   * noise; ties after rounding break by the term.
+   *
+   * With zeros included the moments collapse to three exact int64s per
+   * term (doc frequency, Σc, Σc²) plus the corpus doc count N:
+   * `VMR = (Σc²/N − (Σc/N)²) / (Σc/N)` — a short fixed chain of IEEE ops
+   * over identical operands, snapped to 6 dp BEFORE the top-k ordering so
+   * the cut is engine-portable. Scale shape: one map-side-combined
+   * `(doc, term)` count, one per-term aggregation, a `TakeOrdered` top-k;
+   * N is one bounded scalar.
+   */
+  def burstyTerms(
+      df: DataFrame,
+      k: Int,
+      minCount: Long = 5L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 6
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.count()
+    require(n > 0, "empty corpus")
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__c"))
+    val nD   = lit(n.toDouble)
+    val mean = col("__tot").cast("double") / nD
+    val exsq = col("__sq").cast("double") / nD
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__c")).as("__tot"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .filter(col("__tot") >= minCount)
+      .select(col("term"), col("n_docs"), col("__tot").as("total"),
+        round((exsq - mean * mean) / mean, dp).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(k)
+  }
+
+  /**
    * TOKEN-DISTRIBUTION SHIFT between two corpus slices — add-1-smoothed
    * KL divergence both ways plus the symmetric Jensen–Shannon divergence
    * over the union vocabulary: the one-row drift check that catches a

@@ -1515,6 +1515,15 @@ class PipelineSpec extends SparkTestBase {
     ds.zip(ds.tail).foreach { case (hi, lo) => lo should be <= hi }
   }
 
+  "TextAnalysis.burstyTerms" should "rank clumped terms above evenly-spread ones" in {
+    // x clumps (4 in one doc, 0 in the other): VMR = (16/2 − 4)/2 = 2.0
+    // y spreads (1 and 3):                     VMR = (10/2 − 4)/2 = 0.5
+    val corpus = Seq((0L, "x x x x y"), (1L, "y y y")).toDF("doc_id", "text")
+    val out = TextAnalysis.burstyTerms(corpus, k = 10, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(("x", 1L, 4L, 2.0), ("y", 2L, 4L, 0.5))
+  }
+
   "TextAnalysis.nbModel" should "rank per-label terms by count with term tie-break" in {
     val top = TextAnalysis.nbModel(docs, topK = 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

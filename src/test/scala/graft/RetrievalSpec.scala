@@ -335,4 +335,22 @@ class RetrievalSpec extends SparkTestBase {
     // doc 2 (window window sort) matches neither query nor expansion terms
     ids should not contain 2L
   }
+
+  "Retrieval.rankAgreement" should "score identical rankings 1, reversals -1, and mixes between" in {
+    val a = Seq((0L, 3.0), (1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    val same = Retrieval.rankAgreement(a, a).head()
+    same.getLong(0) shouldBe 3L  // n_common
+    same.getLong(1) shouldBe 3L  // C(3,2) pairs
+    same.getDouble(4) shouldBe 1.0
+    val rev = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("doc_id", "score")
+    Retrieval.rankAgreement(a, rev).head().getDouble(4) shouldBe -1.0
+    // one swapped adjacent pair out of three: τ = (2 − 1)/3
+    val mix = Seq((0L, 3.0), (1L, 1.0), (2L, 2.0)).toDF("doc_id", "score")
+    Retrieval.rankAgreement(a, mix).head().getDouble(4) shouldBe 0.333333
+    // disjoint lists: no common docs, τ = 0 by convention
+    val other = Seq((7L, 1.0)).toDF("doc_id", "score")
+    val none = Retrieval.rankAgreement(a, other).head()
+    none.getLong(0) shouldBe 0L
+    none.getDouble(4) shouldBe 0.0
+  }
 }
