@@ -140,11 +140,43 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  "the round-12 second-wave additions" should "keep their prescribed shuffle shapes" in {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    import graft.pipeline.TextAnalysis
+    // Theil–Sen: the pair blow-up is an EQUI join on the keys (hash or
+    // sort-merge) with the x<y filter applied after — never a nested-loop
+    // product over the grid
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 4.0)).toDF("k", "ts", "v")
+    val tsPlan = TimeSeries.theilSen(df, Seq("k"), "ts", "v", 10L)
+      .queryExecution.executedPlan.toString
+    withClue(tsPlan) {
+      tsPlan should not include "CartesianProduct"
+      tsPlan should not include "BroadcastNestedLoopJoin"
+    }
+    // KL shift: the vocab join is full-outer on the term (the natural
+    // key); the three folds run the native sorted kernel in ONE final
+    // single-group aggregation
+    val corpus = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
+    val klQe = TextAnalysis.tokenKlShift(corpus, corpus).queryExecution
+    withClue(klQe.executedPlan.toString) {
+      klQe.executedPlan.toString should not include "CartesianProduct"
+      klQe.optimizedPlan.toString should include("graft_fold_sum")
+    }
+    // burstiness: the top-k is a TakeOrdered, never a global sort
+    val btPlan = TextAnalysis.burstyTerms(corpus, k = 5, minCount = 1L)
+      .queryExecution.executedPlan.toString
+    withClue(btPlan) {
+      btPlan should include("TakeOrderedAndProject")
+      btPlan should not include "CartesianProduct"
+    }
+  }
+
   "the star-schema gates" should "broadcast every dimension side" in {
     // q3/q5: dims (customer slice, supplier, nation, region) broadcast;
     // only the fact-fact order-key join may shuffle. If a dim ever falls
     // back to sort-merge, the 100 TB plan pays a fact-sized exchange.
-    Seq("st_shipprio", "st_localrev", "st_mktshare").foreach { name =>
+    Seq("st_shipprio", "st_localrev", "st_mktshare", "st_profit").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       withClue(s"$name:\n$plan") {
         plan should include("BroadcastHashJoin")
@@ -154,7 +186,8 @@ class PlanShapeSpec extends SparkTestBase {
     }
     // q13/q22: the outer/anti order join may shuffle (both sides fact-
     // sized), but nothing may degrade to a nested-loop product
-    Seq("st_custdist", "st_dormant").foreach { name =>
+    Seq("st_custdist", "st_dormant", "st_priority", "st_shipdelay",
+      "st_latesupp", "st_noorders").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       withClue(s"$name:\n$plan") {
         plan should not include "CartesianProduct"
