@@ -1237,6 +1237,13 @@ object SparkEntry {
       Chat.passAtK(
         evRaw(s, d).select(col("user_id").as("prompt_id"), (col("value") >= 50.0).as("passed")),
         k = 3).orderBy("prompt_id")),
+    // best-of-n expected-max curve: the real-valued companion to pass@k
+    // (what reward does a BoN sampler expect at n = 1/2/4 draws)
+    "sft_bon" -> ((s, d) =>
+      Chat.bestOfN(
+        evRaw(s, d).select(col("user_id").as("prompt_id"), col("event_id").as("cand_id"),
+          round(col("value"), 2).as("score")),
+        ns = Seq(1, 2, 4)).orderBy("prompt_id")),
     // GRPO group-relative advantages: per-prompt z-scores over exact
     // integer cent sums — one aggregation, no window
     "sft_adv" -> ((s, d) =>
@@ -1707,6 +1714,27 @@ object SparkEntry {
         |              (x, y) -> x * y), 6)
         |  END AS pass_at_k
         |FROM a WHERE n_samples >= 3 ORDER BY prompt_id""".stripMargin.replace("\n", " "),
+    // best-of-n: the pass@k product form per ascending score rank —
+    // C(i−1,n−1)/C(N,n) = (Π_{j<n} (i−j)/(N−j))·n/i — times the score,
+    // per-prompt ascending-sorted fold, endpoints emax_1 = mean
+    "sft_bon" -> {
+      val emax = (nv: Int) => {
+        val wgt = s"""list_reduce(list_prepend(1.0::DOUBLE, list_transform(range(0, $nv),
+                     |  j -> (i::DOUBLE - j) / (n::DOUBLE - j))), (x, y) -> x * y)
+                     |  * ($nv.0::DOUBLE / i::DOUBLE) * score""".stripMargin
+        s"""round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(
+           |  CASE WHEN i >= $nv THEN $wgt ELSE 0.0::DOUBLE END))), (a, b) -> a + b), 6) AS emax_$nv"""
+          .stripMargin
+      }
+      s"""WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
+         |r AS (SELECT prompt_id, score,
+         |        row_number() OVER (PARTITION BY prompt_id ORDER BY score, cand_id) AS i,
+         |        count(*) OVER (PARTITION BY prompt_id) AS n FROM c)
+         |SELECT prompt_id, count(*)::BIGINT AS n_samples, max(score) AS best,
+         |  ${emax(1)}, ${emax(2)}, ${emax(4)}
+         |FROM r GROUP BY prompt_id HAVING count(*) >= 4 ORDER BY prompt_id"""
+        .stripMargin.replace("\n", " ")
+    },
     "sft_adv" ->
       """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score
         |            FROM events WHERE value IS NOT NULL),

@@ -240,6 +240,63 @@ object Chat {
   }
 
   /**
+   * BEST-OF-N EXPECTED-MAX CURVE — for each prompt's candidate pool, the
+   * unbiased estimate of the best score a sampler would get drawing a
+   * uniform random `n`-subset, for every `n` in `ns`: with candidates at
+   * ascending score rank `i` of `N`,
+   * `E[max@n] = Σ_i s_(i) · C(i−1, n−1) / C(N, n)` — the order-statistics
+   * companion to [[passAtK]] (that one grades binary pass/fail; this
+   * grades a real-valued reward, the curve a BoN-sampling or
+   * reranker-budget decision reads). `emax_1` is the pool mean and
+   * `emax_N` the pool max, so the curve's endpoints self-check.
+   *
+   * The binomial ratio is computed in the [[passAtK]] product form —
+   * `C(i−1,n−1)/C(N,n) = (Π_{j<n} (i−j)/(N−j)) · n/i`, each factor a
+   * ratio of exact small ints — and the per-prompt sum folds through the
+   * ascending-sorted kernel, so the oracle replays every IEEE op. Ranks
+   * tie-break by candidate id; equal scores make the weight assignment
+   * within a tied block arbitrary but the SUM invariant, so the estimate
+   * is still deterministic. Prompts with fewer than `max(ns)` candidates
+   * drop (the estimator needs the subset to exist), mirroring
+   * [[passAtK]]'s filter.
+   *
+   * Scale shape: one prompt-partitioned window (rank + count), one
+   * map-side-combined aggregation; pool-bounded lists, nothing
+   * corpus-sized anywhere.
+   */
+  def bestOfN(
+      cands: DataFrame,
+      ns: Seq[Int],
+      promptCol: String = "prompt_id",
+      candCol: String = "cand_id",
+      scoreCol: String = "score",
+      dp: Int = 6
+  ): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    graft.functions.GraftFunctions.register(cands.sparkSession)
+    import graft.functions.GraftFunctions.foldSum
+    val w = Window.partitionBy(col(promptCol)).orderBy(col(scoreCol).asc, col(candCol).asc)
+    val ranked = cands
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(promptCol))))
+    val iD = col("__i").cast("double")
+    val nD = col("__n").cast("double")
+    def weighted(n: Int): Column = {
+      val prod = aggregate(sequence(lit(0), lit(n - 1)), lit(1.0),
+        (acc, j) => acc * ((iD - j.cast("double")) / (nD - j.cast("double"))))
+      when(col("__i") >= n, prod * (lit(n.toDouble) / iD) * col(scoreCol)).otherwise(lit(0.0))
+    }
+    ranked
+      .select(Seq(col(promptCol), col(scoreCol)) ++
+        ns.map(n => weighted(n).as(s"__c$n")): _*)
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_samples"),
+        max(col(scoreCol)).as("best") +:
+          ns.map(n => round(foldSum(collect_list(col(s"__c$n"))), dp).as(s"emax_$n")): _*)
+      .filter(col("n_samples") >= ns.max)
+  }
+
+  /**
    * Group-relative advantages (the GRPO normalization): per prompt,
    * candidates' scores standardize against their OWN group —
    * `(score − mean) / (std + eps)` with the population std — so reward

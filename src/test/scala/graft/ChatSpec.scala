@@ -225,4 +225,23 @@ class ChatSpec extends SparkTestBase {
     Chat.trimToBudget(turns.filter(col("conv_id") === 1L), maxTokens = 0L + 1)
       .filter(col("turn_idx") === 2L).count() shouldBe 0L
   }
+
+  "Chat.bestOfN" should "pin the curve endpoints at mean and max and match the hand formula between" in {
+    // prompt 1: scores 1..4 → emax_1 = mean 2.5, emax_4 = max 4,
+    // emax_2 = Σ s_(i)·(i−1)/C(4,2) = (0·1 + 1·2 + 2·3 + 3·4)/6 = 20/6
+    // prompt 2: only 3 candidates → dropped (needs max(ns) = 4)
+    val cands = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0),
+      (2L, 1L, 9.0), (2L, 2L, 9.0), (2L, 3L, 9.0)
+    ).toDF("prompt_id", "cand_id", "score")
+    val out = Chat.bestOfN(cands, ns = Seq(1, 2, 4)).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getLong(0) shouldBe 1L
+    r.getLong(1) shouldBe 4L     // n_samples
+    r.getDouble(2) shouldBe 4.0  // best
+    r.getDouble(3) shouldBe 2.5  // emax_1 = pool mean
+    r.getDouble(4) shouldBe 3.333333 // 20/6 rounded
+    r.getDouble(5) shouldBe 4.0  // emax_N = pool max
+  }
 }
