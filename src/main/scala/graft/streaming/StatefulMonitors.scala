@@ -25,6 +25,15 @@ final case class TopKState(counts: Map[String, Long], overs: Map[String, Long])
 final case class HeavyHitter(group: String, item: String, count: Long,
                              overcount: Long, rank: Int)
 
+/** carried P² quantile state per key: observation count, the five marker
+  * heights (ascending) and their integer positions. Until five samples
+  * arrive, `heights` is the raw sorted buffer. */
+final case class P2State(count: Long, heights: Seq[Double], positions: Seq[Long])
+
+/** one emitted quantile estimate: the key's current P² estimate of `p`
+  * after `n` observations (exact while n ≤ 5). */
+final case class QuantileEstimate(key: String, n: Long, p: Double, estimate: Double)
+
 /**
  * Arbitrary-stateful streaming monitors (`flatMapGroupsWithState`) — state
  * beyond what windowed aggregation can carry: a recurrence whose value
@@ -265,6 +274,111 @@ object StatefulMonitors {
             }
             .iterator
       }
+  }
+
+  /**
+   * STREAMING QUANTILE MONITOR — per key, maintain the P² estimate (Jain &
+   * Chlamtac 1985) of the `p`-quantile of the value stream in O(1) state:
+   * five marker heights whose positions chase the ideal `p`-split of the
+   * count via parabolic interpolation. The latency-percentile /
+   * value-distribution tracker next to [[ewmaMonitor]]'s level tracker —
+   * an exact streaming quantile needs the full history, this needs 10
+   * numbers per key and is the textbook trade.
+   *
+   * Emits one [[QuantileEstimate]] per key per micro-batch (Update mode).
+   * EXACT while a key has ≤ 5 observations (the buffer IS the data;
+   * nearest-rank-interpolated); after that, the P² approximation —
+   * accuracy is distribution-dependent (typically ≲1 % mid-quantiles on
+   * unimodal data), so treat the output as a monitor signal, not an
+   * oracle-class statistic (the batch exact quantiles remain the
+   * ground truth).
+   *
+   * Determinism: a key's batch slice replays in ascending `(ts, value)`
+   * order, so the marker recurrence — order-dependent, like every
+   * streaming sketch — is reproducible under any shuffle given the same
+   * batch boundaries. Scale shape: state is 2×5 numbers + a count per
+   * key; keys parallelize across executors.
+   *
+   * Input columns: `(key string, ts long, value double)`. Update mode.
+   */
+  def quantileMonitor(
+      stream: DataFrame,
+      p: Double = 0.5,
+      keyCol: String = "key",
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): Dataset[QuantileEstimate] = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .selectExpr(s"CAST($keyCol AS STRING) AS _1", s"CAST($tsCol AS LONG) AS _2",
+        s"CAST($valueCol AS DOUBLE) AS _3")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[P2State]) =>
+          var st = state.getOption.getOrElse(P2State(0L, Vector.empty, Vector.empty))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, x) =>
+            st = p2Observe(st, x, p)
+          }
+          state.update(st)
+          if (st.count == 0L) Iterator.empty
+          else Iterator.single(QuantileEstimate(key, st.count, p, p2Estimate(st, p)))
+      }
+  }
+
+  /** one P² observation step (exact sorted buffer until 5 samples). */
+  private[graft] def p2Observe(st: P2State, x: Double, p: Double): P2State = {
+    if (st.count < 5L) {
+      val buf = (st.heights :+ x).sorted
+      val pos = if (buf.size == 5) Vector(1L, 2L, 3L, 4L, 5L) else Vector.empty[Long]
+      return P2State(st.count + 1L, buf, pos)
+    }
+    val q = st.heights.toArray
+    val n = st.positions.toArray
+    // marker cell of x (clamping the extremes to the outer markers)
+    val k =
+      if (x < q(0)) { q(0) = x; 0 }
+      else if (x >= q(4)) { q(4) = x; 3 }
+      else (0 to 3).reverse.find(i => q(i) <= x).get
+    for (i <- (k + 1) to 4) n(i) += 1L
+    val count = st.count + 1L
+    // desired marker positions for the current count
+    val d = Array(1.0, 1.0 + (count - 1) * p / 2.0, 1.0 + (count - 1) * p,
+      1.0 + (count - 1) * (1.0 + p) / 2.0, count.toDouble)
+    for (i <- 1 to 3) {
+      val delta = d(i) - n(i)
+      if ((delta >= 1.0 && n(i + 1) - n(i) > 1L) || (delta <= -1.0 && n(i - 1) - n(i) < -1L)) {
+        val s = if (delta >= 1.0) 1L else -1L
+        val sD = s.toDouble
+        // parabolic (P²) height update; fall back to linear if it would
+        // break marker monotonicity
+        val para = q(i) + sD / (n(i + 1) - n(i - 1)) * (
+          (n(i) - n(i - 1) + s) * (q(i + 1) - q(i)) / (n(i + 1) - n(i)) +
+            (n(i + 1) - n(i) - s) * (q(i) - q(i - 1)) / (n(i) - n(i - 1)))
+        q(i) =
+          if (q(i - 1) < para && para < q(i + 1)) para
+          else q(i) + sD * (q((i + s).toInt) - q(i)) / (n((i + s).toInt) - n(i))
+        n(i) += s
+      }
+    }
+    P2State(count, q.toVector, n.toVector)
+  }
+
+  /** current estimate: the middle marker after 5 samples; the nearest-rank
+    * interpolation of the exact sorted buffer before that. */
+  private[graft] def p2Estimate(st: P2State, p: Double): Double = {
+    val b = st.heights
+    if (st.count >= 5L) b(2)
+    else {
+      val pos  = (b.size - 1) * p
+      val lo   = math.floor(pos).toInt
+      val hi   = math.ceil(pos).toInt
+      val frac = pos - lo
+      b(lo) + frac * (b(hi) - b(lo))
+    }
   }
 
   /**

@@ -245,6 +245,54 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StatefulMonitors.quantileMonitor" should "stay exact through 5 samples and track the median after" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val cp    = Files.createTempDirectory("graft_p2_mon_").toString
+    val q = StatefulMonitors.quantileMonitor(
+        input.toDF().toDF("key", "ts", "value"), p = 0.5)
+      .writeStream.format("memory").queryName("p2_mon").outputMode("update")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      // 4 samples: exact interpolated median of {1, 3, 5, 7} = 4
+      input.addData(("m", 0L, 5.0), ("m", 1L, 1.0), ("m", 2L, 7.0), ("m", 3L, 3.0))
+      q.processAllAvailable()
+      val b1 = spark.table("p2_mon").collect().last
+      (b1.getLong(1), b1.getDouble(3)) shouldBe ((4L, 4.0))
+      // a big uniform batch: the P² median estimate lands near the true
+      // median (~500 for 0..999 uniform) — a monitor-accuracy band, not
+      // an oracle equality
+      input.addData((0 until 1000).map(i => ("m", 10L + i, ((i * 617) % 1000).toDouble)): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("p2_mon").collect().last
+      b2.getLong(1) shouldBe 1004L
+      b2.getDouble(3) shouldBe 500.0 +- 50.0
+      // independent key: its own markers, exact small-n estimate
+      input.addData(("other", 0L, 42.0))
+      q.processAllAvailable()
+      val oth = spark.table("p2_mon").collect().filter(_.getString(0) == "other").last
+      (oth.getLong(1), oth.getDouble(3)) shouldBe ((1L, 42.0))
+    } finally q.stop()
+  }
+
+  it should "replay deterministically for the same batch boundaries" in {
+    import graft.streaming.P2State
+    import graft.streaming.StatefulMonitors.{p2Estimate, p2Observe}
+    // the kernel, driven directly: same observation order → same state
+    val xs = (0 until 200).map(i => ((i * 137) % 200).toDouble)
+    def runAll() = xs.foldLeft(P2State(0L, Vector.empty, Vector.empty))((s, x) => p2Observe(s, x, 0.9))
+    val a = runAll()
+    val b = runAll()
+    a shouldBe b
+    p2Estimate(a, 0.9) shouldBe p2Estimate(b, 0.9)
+    // p0.9 of ~uniform 0..199 sits near 180
+    p2Estimate(a, 0.9) shouldBe 180.0 +- 20.0
+    // markers stay sorted and positions strictly increase (P² invariants)
+    a.heights shouldBe a.heights.sorted
+    a.positions.zip(a.positions.tail).foreach { case (lo, hi) => lo should be < hi }
+  }
+
   "StatefulMonitors.heavyHitters" should "carry counts across batches and bound eviction overcount" in {
     import graft.streaming.StatefulMonitors
     implicit val sqlc = spark.sqlContext
