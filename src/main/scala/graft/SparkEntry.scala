@@ -923,6 +923,14 @@ object SparkEntry {
     // activity concentration: exact Gini over per-user event counts
     "ev_gini" -> ((s, d) =>
       graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
+    // Spearman over the user panel: do users who DO more also SPEND more
+    // (monotone association, scale-free; exact integer rank moments)
+    "ev_spearman" -> ((s, d) => {
+      val per = evRaw(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("spend_cents"))
+      graft.operators.Relational.rankCorrelation(per, "n_events", "spend_cents", "user_id")
+    }),
     // Benford first-digit audit of event values (organic-vs-synthetic screen)
     "ev_benford" -> ((s, d) =>
       graft.operators.Relational.benfordDigits(evRaw(s, d).select("value")).orderBy("digit")),
@@ -1853,6 +1861,22 @@ object SparkEntry {
         |             sum(c * (m * r + m * (m + 1) // 2))::BIGINT AS t FROM w)
         |SELECT n AS n_keys, s AS n_events,
         |  round((2.0 * t::DOUBLE) / (n * s)::DOUBLE - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+        |FROM a""".stripMargin.replace("\n", " "),
+    // Spearman: total-order (metric, id) ranks → exact int64 moments →
+    // one closed-form division of identical doubles
+    "ev_spearman" ->
+      """WITH per AS (SELECT user_id, count(*)::BIGINT AS ne,
+        |        sum(round(value*100)::BIGINT)::BIGINT AS sp FROM events GROUP BY 1),
+        |r AS (SELECT user_id,
+        |        row_number() OVER (ORDER BY ne, user_id) AS rx,
+        |        row_number() OVER (ORDER BY sp, user_id) AS ry FROM per),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+        |        sum(rx*rx)::BIGINT AS sxx, sum(ry*ry)::BIGINT AS syy, sum(rx*ry)::BIGINT AS sxy
+        |      FROM r)
+        |SELECT n, CASE WHEN n = 1 THEN 0.0::DOUBLE ELSE
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |           * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) END AS rho
         |FROM a""".stripMargin.replace("\n", " "),
     // Kaplan-Meier: exact int64 risk/death counts over day-bucketed
     // lifetimes; the survival scan is the [x]-wrapped prefix-product fold

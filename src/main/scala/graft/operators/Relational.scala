@@ -794,6 +794,51 @@ object Relational {
    * final two divisions, so they agree bit-for-bit. Two divisions and one
    * subtraction are the only float ops, in the oracle's spelled order.
    */
+  /**
+   * SPEARMAN RANK CORRELATION between two metrics over one population —
+   * "do users who DO more also SPEND more", monotone association robust
+   * to the metric scales (Pearson on ranks). Ranks are the TOTAL ORDER
+   * `(metric, id)` — id tie-break instead of statistical average ranks —
+   * so both engines assign identical integer ranks and every moment
+   * (`Σr`, `Σr²`, `Σr_x·r_y`) is an exact int64; rho's closed form then
+   * divides identical doubles (exact below 2^53, the [[Graph]] ARI
+   * convention beyond).
+   *
+   * Scale shape: two rank windows over the population — a global sort
+   * each, so this is an EVAL statistic for bounded populations (cohorts,
+   * panels), guarded by `maxRows` like `markovSteadyState.maxStates`;
+   * the corpus-scale path would range-partition the rank prefix like
+   * [[giniConcentration]]'s fallback. One |rows|-row aggregation ends it.
+   */
+  def rankCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      idCol: String,
+      maxRows: Long = 100000L,
+      dp: Int = 6
+  ): DataFrame = {
+    val n = df.count()
+    require(n > 0, "empty population")
+    require(n <= maxRows,
+      s"population $n exceeds maxRows=$maxRows (two global rank sorts); pre-aggregate or sample")
+    val rx = row_number().over(Window.orderBy(col(xCol), col(idCol))).cast("long")
+    val ry = row_number().over(Window.orderBy(col(yCol), col(idCol))).cast("long")
+    val ranked = df.select(col(idCol), col(xCol), col(yCol))
+      .withColumn("__rx", rx).withColumn("__ry", ry)
+    val nD = lit(n.toDouble)
+    val num = nD * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
+    val dnx = nD * col("__sxx").cast("double") - col("__sx").cast("double") * col("__sx").cast("double")
+    val dny = nD * col("__syy").cast("double") - col("__sy").cast("double") * col("__sy").cast("double")
+    ranked.agg(
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"), sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+      .select(lit(n).as("n"),
+        when(lit(n) === 1L, lit(0.0))
+          .otherwise(round(num / sqrt(dnx * dny), dp)).as("rho"))
+  }
+
   def giniConcentration(
       events: DataFrame,
       keyCol: String = "user_id",

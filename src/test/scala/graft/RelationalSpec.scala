@@ -545,4 +545,17 @@ class RelationalSpec extends SparkTestBase {
     (r.getLong(0), r.getLong(1)) shouldBe ((0L, 1L))
     r.isNullAt(5) shouldBe true
   }
+
+  "Relational.rankCorrelation" should "score monotone 1, antitone -1, and enforce the population guard" in {
+    val mono = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L)).toDF("id", "x", "y")
+    val m = Relational.rankCorrelation(mono, "x", "y", "id").head()
+    (m.getLong(0), m.getDouble(1)) shouldBe ((3L, 1.0))
+    val anti = Seq((1L, 1L, 30L), (2L, 2L, 20L), (3L, 3L, 10L)).toDF("id", "x", "y")
+    Relational.rankCorrelation(anti, "x", "y", "id").head().getDouble(1) shouldBe -1.0
+    // a swapped middle pair: ranks x=(1,2,3), y=(1,3,2) → rho = 1 - 6·2/24
+    val mid = Seq((1L, 1L, 10L), (2L, 2L, 30L), (3L, 3L, 20L)).toDF("id", "x", "y")
+    Relational.rankCorrelation(mid, "x", "y", "id").head().getDouble(1) shouldBe 0.5
+    an[IllegalArgumentException] should be thrownBy
+      Relational.rankCorrelation(mono, "x", "y", "id", maxRows = 2L)
+  }
 }
