@@ -123,21 +123,27 @@ object TimeSeries {
     val b = grid.select(kc :+ col("__x").as("__xb") :+ col(valueCol).as("__vb"): _*)
     val pairs = a.join(b, keys).filter(col("__xa") < col("__xb"))
       .select(kc :+ ((col("__vb") - col("__va")) / (col("__xb") - col("__xa")).cast("double")).as("__s"): _*)
-    // exact median: 1-indexed middle order statistic(s) (n+1)/2 .. (n+2)/2
-    def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+    val counts = grid.groupBy(kc: _*).agg(count(lit(1)).as("n_points"))
+    // exact median: 1-indexed middle order statistic(s) (n+1)/2 .. (n+2)/2.
+    // Row counts are KNOWN up front (grid x's are distinct per key, so the
+    // pair frame holds exactly C(points, 2) rows per key) and broadcast in
+    // — a second count-window pass over the C(P,2)-row frame would double
+    // the dominant sort stage's input traffic for a number we already have
+    def medianOf(in: DataFrame, c: String, nDf: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy(kc: _*).orderBy(col(c))
-      in.withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+      in.join(broadcast(nDf), keys)
+        .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") >= expr("(__n + 1) div 2") && col("__rn") <= expr("(__n + 2) div 2"))
         .groupBy(kc: _*)
         .agg(round(sum(col(c)) / count(lit(1)), 6).as(out), max(col("__n")).as(s"${out}_n"))
     }
-    val slopes = medianOf(pairs, "__s", "slope")
+    val nPairs  = counts.select(kc :+ expr("n_points * (n_points - 1) div 2").as("__n"): _*)
+    val nPoints = counts.select(kc :+ col("n_points").as("__n"): _*)
+    val slopes = medianOf(pairs, "__s", nPairs, "slope")
       .withColumnRenamed("slope_n", "n_pairs")
     val resid = grid.join(slopes, keys)
       .select(kc :+ (col(valueCol) - col("slope") * col("__x").cast("double")).as("__i"): _*)
-    val inters = medianOf(resid, "__i", "intercept").drop("intercept_n")
-    val counts = grid.groupBy(kc: _*).agg(count(lit(1)).as("n_points"))
+    val inters = medianOf(resid, "__i", nPoints, "intercept").drop("intercept_n")
     // the grid pin stays live: the returned (lazy) frame reads it three
     // ways — the caller releases it via Checkpoints.free(result) after the
     // last action, the standard result-frame lifecycle
