@@ -1524,6 +1524,53 @@ class PipelineSpec extends SparkTestBase {
     out shouldBe Array(("x", 1L, 4L, 2.0), ("y", 2L, 4L, 0.5))
   }
 
+  "the round-12 operators" should "hold their differential properties on random inputs" in {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(29)
+    // Theil–Sen ≡ OLS on NOISELESS linear series (any slope/intercept):
+    // both estimators must recover the exact line
+    (1 to 3).foreach { _ =>
+      val slope = (rnd.nextInt(199) - 99) / 10.0 // 1-dp lattice keeps products exact
+      val icept = rnd.nextInt(100) / 10.0
+      val pts = (0 until 12).map(i => ("k", i * 10L, icept + slope * i))
+      val df  = pts.toDF("k", "ts", "v")
+      val ts  = TimeSeries.theilSen(df, Seq("k"), "ts", "v", step = 10L).head()
+      val ols = TimeSeries.trendForecast(df, Seq("k"), "ts", "v", step = 10L)
+        .select("slope", "intercept").head()
+      (ts.getDouble(3), ts.getDouble(4)) shouldBe ((ols.getDouble(0), ols.getDouble(1)))
+      ts.getDouble(3) shouldBe slope
+    }
+    // best-of-n curve is monotone in n and capped by the pool max
+    (1 to 3).foreach { _ =>
+      val pool = (1 to 8).map(c => (1L, c.toLong, rnd.nextInt(1000) / 100.0))
+      val r = graft.pipeline.Chat
+        .bestOfN(pool.toDF("prompt_id", "cand_id", "score"), ns = Seq(1, 2, 4, 8)).head()
+      val best = r.getDouble(2)
+      val curve = (3 to 6).map(r.getDouble)
+      curve.zip(curve.tail).foreach { case (lo, hi) => lo should be <= hi }
+      curve.last shouldBe best
+      curve.head shouldBe (pool.map(_._3).sum / 8) +- 1e-6
+    }
+    // KL shift: zero against itself; JS symmetric across random corpora
+    val mk = (seed: Int) => {
+      val r2 = new scala.util.Random(seed)
+      (0 until 6).map(i => (i.toLong, Seq.fill(8)("w" + r2.nextInt(5)).mkString(" ")))
+        .toDF("doc_id", "text")
+    }
+    val (ca, cb) = (mk(1), mk(2))
+    val self = TextAnalysis.tokenKlShift(ca, ca).head()
+    (self.getDouble(3), self.getDouble(4), self.getDouble(5)) shouldBe ((0.0, 0.0, 0.0))
+    val ab = TextAnalysis.tokenKlShift(ca, cb).head()
+    val ba = TextAnalysis.tokenKlShift(cb, ca).head()
+    ab.getDouble(5) shouldBe ba.getDouble(5) // JS symmetric
+    // k-center radius curve never rises; picks are distinct
+    val vecs = (0L until 12L).map(i => (i, Seq.fill(4)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterCoreset(vecs, k = 6).orderBy("rank").collect()
+    picks.map(_.getLong(1)).distinct.length shouldBe 6
+    val ds = picks.map(_.getDouble(2)).drop(1)
+    ds.zip(ds.tail).foreach { case (hi, lo) => lo should be <= hi }
+  }
+
   "TextAnalysis.nbModel" should "rank per-label terms by count with term tie-break" in {
     val top = TextAnalysis.nbModel(docs, topK = 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
