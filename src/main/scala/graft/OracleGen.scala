@@ -773,6 +773,24 @@ object OracleGen {
        |ORDER BY qt.vec_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Similarity.pcaTopKRerank]]: the
+    * [[pcaProjectSql]] coordinates (6-dp, gate-proven identical) feed a
+    * reduced-space cosine shortlist (ties by id), then the `ann_topk`
+    * cosine/round spelling re-ranks the candidates at full dimension. */
+  def pcaTopKRerankSql(dim: Int, kDims: Int, iters: Int, qid: Long, k: Int, nCand: Int): String = {
+    val pcArr = (1 to kDims).map(i => s"pc$i").mkString("[", ", ", "]")
+    s"""WITH pj AS MATERIALIZED (SELECT vec_id, $pcArr AS v FROM (${pcaProjectSql(dim, kDims, iters)})),
+       |q AS (SELECT v AS qv FROM pj WHERE vec_id = $qid),
+       |cd AS (SELECT pj.vec_id AS id FROM pj, q
+       |       ORDER BY ${cosSql("pj", "v", "q", "qv", kDims)} DESC, pj.vec_id LIMIT $nCand),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |q2 AS (SELECT embedding AS qe FROM e WHERE vec_id = $qid),
+       |rr AS (SELECT e2.vec_id, list_cosine_similarity(e2.embedding::DOUBLE[], (SELECT qe::DOUBLE[] FROM q2)) AS s
+       |       FROM e e2 JOIN cd ON cd.id = e2.vec_id)
+       |SELECT vec_id, round(s, 3) AS sim FROM rr ORDER BY s DESC, vec_id LIMIT $k"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Similarity.pcaVarianceReport]]:
     * per-component eigenvalue (original units) + share of the
     * pre-deflation trace. */

@@ -402,6 +402,10 @@ object SparkEntry {
       Similarity.pcaVarianceReport(emb(s, d), k = 2, iters = 12).orderBy("component")),
     "ann_whiten" -> ((s, d) =>
       Similarity.pcaProject(emb(s, d), k = 2, iters = 12, whiten = true).orderBy("vec_id")),
+    // reduce-then-index end-to-end: PCA-reduced cosine shortlist (4 of 64
+    // dims scanned), exact full-dimension re-rank of the candidates
+    "ann_pca_topk" -> ((s, d) =>
+      Similarity.pcaTopKRerank(emb(s, d), qid = 0L, k = 10, nCand = 50, kDims = 4, iters = 12)),
     // embedding distribution drift between the parity halves of the corpus
     "ann_drift" -> ((s, d) => {
       val e = emb(s, d)
@@ -1520,6 +1524,8 @@ object SparkEntry {
         tables = Similarity.tablesFor(kP, simTarget = 0.9, recall = 0.9), dim = 64)
     },
     "ann_pca"    -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12),
+    "ann_pca_topk" -> OracleGen.pcaTopKRerankSql(dim = 64, kDims = 4, iters = 12,
+      qid = 0L, k = 10, nCand = 50),
     "ann_pcavar" -> OracleGen.pcaVarianceSql(dim = 64, k = 2, iters = 12),
     "ann_whiten" -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12, whiten = true),
     "ann_drift"  -> OracleGen.embeddingDriftSql(dim = 64),

@@ -1261,6 +1261,60 @@ object Similarity {
   }
 
   /**
+   * PCA-REDUCED TWO-STAGE RETRIEVAL — "reduce then index" made concrete:
+   * project the corpus to its top `kDims` principal coordinates
+   * ([[pcaProject]]), shortlist `nCand` candidates by cosine in the
+   * REDUCED space (a `kDims`-component fold instead of a full-dimension
+   * one — the scan the reduced index replaces), then re-rank the
+   * candidates by exact full-dimension cosine. [[matryoshkaTopK]] does
+   * the same two-stage with prefix dimensions a model was TRAINED to
+   * concentrate; this is the classical post-hoc alternative when the
+   * encoder wasn't (PCA concentrates the variance instead).
+   *
+   * Determinism: projected coordinates come 6-dp-snapped off
+   * [[pcaProject]], so the shortlist cosine folds identical doubles on
+   * both engines; the re-rank is `ann_topk`'s proven cosine/round
+   * spelling. The query's projected vector is one bounded head() — the
+   * same one-row-collect class as every literal-query gate.
+   */
+  def pcaTopKRerank(
+      df: DataFrame,
+      qid: Long,
+      k: Int,
+      nCand: Int,
+      kDims: Int = 4,
+      iters: Int = 12,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 3
+  ): DataFrame = {
+    require(nCand >= k, "nCand must be >= k")
+    GraftFunctions.register(df.sparkSession)
+    val proj = pcaProject(df, kDims, iters, idCol, vecCol)
+    val pv = proj.select(col(idCol).as("id"),
+      array((1 to kDims).map(i => col(s"pc$i")): _*).as("__v"))
+      .localCheckpoint(true) // the query row and the shortlist scan share one projection
+    // the pv checkpoint truncates lineage, so pcaProject's internal pin
+    // (the snapped vector column) would otherwise leak — free it now
+    Checkpoints.free(proj)
+    val qRow = pv.filter(col("id") === qid).head(1)
+    require(qRow.nonEmpty, s"query id $qid not found")
+    val qv = lit(qRow(0).getSeq[Double](1).toArray)
+    val cand = pv
+      .select(col("id"), (fdot(col("__v"), qv) / (fnorm(col("__v")) * fnorm(qv))).as("psim"))
+      .orderBy(col("psim").desc, col("id"))
+      .limit(nCand)
+      .select(col("id"))
+    val qFull = df.filter(col(idCol) === qid).select(col(vecCol)).head().getSeq[Float](0)
+    val q = lit(qFull.map(_.toDouble).toArray)
+    df.join(broadcast(cand), df(idCol) === cand("id"))
+      .select(col(idCol), (fdot(col(vecCol), q) / (fnorm(col(vecCol)) * fnorm(q))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim"), dp).as("sim"))
+  }
+
+  /**
    * K-CENTER GREEDY CORESET over the embedding column (farthest-point
    * traversal, the classic 2-approximation to the k-center cover): start
    * from the smallest id, then `k−1` times pick the vector FARTHEST from
