@@ -1249,6 +1249,18 @@ object SparkEntry {
       Chat.passAtK(
         evRaw(s, d).select(col("user_id").as("prompt_id"), (col("value") >= 50.0).as("passed")),
         k = 3).orderBy("prompt_id")),
+    // DPO length-bias audit: is "chosen" just "longer"? (props.k plays
+    // the candidate length; rate far from 0.5 = a length prior in the data)
+    "sft_lenbias" -> ((s, d) => {
+      val ev = evRaw(s, d)
+      val pairs = Chat.preferencePairs(
+        ev.select(col("user_id").as("prompt_id"), col("event_id").as("cand_id"),
+          round(col("value"), 2).as("score")),
+        minMargin = 1.0)
+      val attrs = ev.select(col("event_id").as("cand_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("length"))
+      Chat.lengthBias(pairs, attrs)
+    }),
     // best-of-n expected-max curve: the real-valued companion to pass@k
     // (what reward does a BoN sampler expect at n = 1/2/4 draws)
     "sft_bon" -> ((s, d) =>
@@ -1728,6 +1740,34 @@ object SparkEntry {
         |              (x, y) -> x * y), 6)
         |  END AS pass_at_k
         |FROM a WHERE n_samples >= 3 ORDER BY prompt_id""".stripMargin.replace("\n", " "),
+    // length bias: the sft_prefs pair chain joined to props.k lengths;
+    // all counts exact int64, the two ratios one division each
+    "sft_lenbias" ->
+      """WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score
+        |            FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT prompt_id, cand_id, score,
+        |        row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, cand_id) AS rb,
+        |        row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, cand_id) AS rw FROM c),
+        |b AS (SELECT prompt_id, cand_id AS chosen_id, score AS bs FROM r WHERE rb = 1),
+        |w AS (SELECT prompt_id, cand_id AS rejected_id, score AS ws FROM r WHERE rw = 1),
+        |p AS (SELECT chosen_id, rejected_id FROM b JOIN w ON b.prompt_id = w.prompt_id
+        |      WHERE b.chosen_id <> w.rejected_id AND b.bs - w.ws >= 1.0),
+        |l AS (SELECT event_id AS cand_id, json_extract_string(props, '$.k')::BIGINT AS len
+        |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |j AS (SELECT lc.len AS lc, lr.len AS lr FROM p
+        |      JOIN l lc ON lc.cand_id = p.chosen_id
+        |      JOIN l lr ON lr.cand_id = p.rejected_id),
+        |a AS (SELECT count(*)::BIGINT AS n_pairs,
+        |        sum(CASE WHEN lc > lr THEN 1 ELSE 0 END)::BIGINT AS n_chosen_longer,
+        |        sum(CASE WHEN lc < lr THEN 1 ELSE 0 END)::BIGINT AS n_rejected_longer,
+        |        sum(lc - lr)::BIGINT AS d FROM j)
+        |SELECT n_pairs, coalesce(n_chosen_longer, 0)::BIGINT AS n_chosen_longer,
+        |  coalesce(n_rejected_longer, 0)::BIGINT AS n_rejected_longer,
+        |  CASE WHEN n_pairs = 0 THEN 0.0::DOUBLE
+        |       ELSE round(n_chosen_longer::DOUBLE / n_pairs::DOUBLE, 6) END AS chosen_longer_rate,
+        |  CASE WHEN n_pairs = 0 THEN 0.0::DOUBLE
+        |       ELSE round(d::DOUBLE / n_pairs::DOUBLE, 6) END AS mean_len_diff
+        |FROM a""".stripMargin.replace("\n", " "),
     // best-of-n: the pass@k product form per ascending score rank —
     // C(i−1,n−1)/C(N,n) = (Π_{j<n} (i−j)/(N−j))·n/i — times the score,
     // per-prompt ascending-sorted fold, endpoints emax_1 = mean

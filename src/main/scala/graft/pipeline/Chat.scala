@@ -200,6 +200,48 @@ object Chat {
       .filter(col("chosen_id") =!= col("rejected_id") && col("margin") >= minMargin)
 
   /**
+   * PREFERENCE-PAIR LENGTH-BIAS AUDIT — over a [[preferencePairs]] result
+   * joined to per-candidate lengths: how often the CHOSEN side is simply
+   * the LONGER one, and the mean length gap. The classic DPO data
+   * pathology (reward models prefer verbosity; a pair set whose
+   * chosen-longer rate is far from 0.5 trains a length prior, not a
+   * quality prior) caught BEFORE training. Candidates with NULL length
+   * drop on both sides (inner joins), so the audit only scores measured
+   * pairs.
+   *
+   * One row out: `(n_pairs, n_chosen_longer, n_rejected_longer,
+   * chosen_longer_rate, mean_len_diff)` — every count an exact int64,
+   * the two ratios one division each. Scale shape: two id-keyed joins
+   * (the pair frame is prompts-sized), one global aggregation.
+   */
+  def lengthBias(
+      pairs: DataFrame,
+      attrs: DataFrame,
+      candCol: String = "cand_id",
+      lenCol: String = "length"
+  ): DataFrame = {
+    val a = attrs.filter(col(lenCol).isNotNull)
+      .select(col(candCol), col(lenCol).cast("long"))
+    pairs
+      .join(a.toDF("chosen_id", "__lc"), "chosen_id")
+      .join(a.toDF("rejected_id", "__lr"), "rejected_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__lc") > col("__lr"), 1L).otherwise(0L)).as("n_chosen_longer"),
+        sum(when(col("__lc") < col("__lr"), 1L).otherwise(0L)).as("n_rejected_longer"),
+        sum(col("__lc") - col("__lr")).as("__d"))
+      .select(col("n_pairs"),
+        coalesce(col("n_chosen_longer"), lit(0L)).as("n_chosen_longer"),
+        coalesce(col("n_rejected_longer"), lit(0L)).as("n_rejected_longer"),
+        when(col("n_pairs") === 0, lit(0.0)).otherwise(
+          round(col("n_chosen_longer").cast("double") / col("n_pairs").cast("double"), 6))
+          .as("chosen_longer_rate"),
+        when(col("n_pairs") === 0, lit(0.0)).otherwise(
+          round(col("__d").cast("double") / col("n_pairs").cast("double"), 6))
+          .as("mean_len_diff"))
+  }
+
+  /**
    * Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
    * prompt with `n` samples of which `c` passed,
    * `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability at least one of

@@ -226,6 +226,19 @@ class ChatSpec extends SparkTestBase {
       .filter(col("turn_idx") === 2L).count() shouldBe 0L
   }
 
+  "Chat.lengthBias" should "count longer-chosen pairs exactly and drop unmeasured candidates" in {
+    // pairs: (chosen 1, rejected 2) lens (10, 4) → chosen longer, diff +6
+    //        (chosen 3, rejected 4) lens (2, 8)  → rejected longer, diff −6
+    //        (chosen 5, rejected 6) — cand 6 has NULL length → dropped
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("chosen_id", "rejected_id")
+    val attrs = Seq((1L, Some(10L)), (2L, Some(4L)), (3L, Some(2L)),
+      (4L, Some(8L)), (5L, Some(9L)), (6L, None)).toDF("cand_id", "length")
+    val r = Chat.lengthBias(pairs, attrs).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((2L, 1L, 1L))
+    r.getDouble(3) shouldBe 0.5
+    r.getDouble(4) shouldBe 0.0 // +6 and −6 cancel
+  }
+
   "Chat.bestOfN" should "pin the curve endpoints at mean and max and match the hand formula between" in {
     // prompt 1: scores 1..4 → emax_1 = mean 2.5, emax_4 = max 4,
     // emax_2 = Σ s_(i)·(i−1)/C(4,2) = (0·1 + 1·2 + 2·3 + 3·4)/6 = 20/6
