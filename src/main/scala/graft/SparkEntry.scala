@@ -858,6 +858,11 @@ object SparkEntry {
     "ts_sanom" -> ((s, d) =>
       TimeSeries.seasonalAnomalies(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         period = 24, k = 2.0).orderBy("event_type", "ts")),
+    // seasonal/trend strength triage (Hyndman F_T/F_S): which model does
+    // each metric deserve — cycle, line, or plain outlier cuts
+    "ts_strength" -> ((s, d) =>
+      TimeSeries.seasonStrength(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        period = 24).orderBy("event_type")),
     // per-type OLS trend on the hourly grid, forecast one day out
     "ts_trend" -> ((s, d) =>
       TimeSeries.trendForecast(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
@@ -2142,6 +2147,56 @@ object SparkEntry {
          |  unnest(list_transform(range(1, len(vs) + 1), i -> sm[${ph("i")}::INT + 1])) AS seasonal,
          |  unnest(list_transform(range(1, len(vs) + 1), i -> vs[i] - tr[i] - sm[${ph("i")}::INT + 1])) AS resid
          |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
+    },
+    // seasonal/trend strength: the decompose chain exploded at the
+    // trend-bearing points; each variance is the two-pass population form
+    // with ascending-sorted folds (mean fold, then deviation fold)
+    "ts_strength" -> {
+      val h    = 12
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val half = "0.5::DOUBLE"
+      def ph(i: String) = s"((tss[$i] // $HourUs) % 24)"
+      val cond = (i: String) => s"${ph(i)} = j AND tr[$i] IS NOT NULL"
+      val trend =
+        s"""list_transform(vs, (x, i) -> CASE WHEN i > $h AND i <= len(vs) - $h THEN
+           |  ($half * vs[i - $h]
+           |   + list_reduce(list_prepend($zero, vs[i - $h + 1 : i + $h - 1]), (a, b) -> a + b)
+           |   + $half * vs[i + $h]) / CAST(24.0 AS DOUBLE)
+           |END)""".stripMargin
+      val seasonal =
+        s"""list_transform(range(0, 24), j -> CASE WHEN
+           |  len(list_filter(range(1, len(vs) + 1), i -> ${cond("i")})) > 0 THEN
+           |  list_reduce(list_prepend($zero, list_transform(range(1, len(vs) + 1),
+           |    i -> CASE WHEN ${cond("i")} THEN vs[i] - tr[i] ELSE $zero END)), (a, b) -> a + b)
+           |  / len(list_filter(range(1, len(vs) + 1), i -> ${cond("i")}))
+           |END)""".stripMargin
+      def fold(x: String) =
+        s"list_reduce(list_prepend($zero, list_sort(list($x))), (a, b) -> a + b)"
+      def strength(v: String, den: String) =
+        s"""CASE WHEN $den <= $zero THEN 0.0::DOUBLE
+           |     ELSE round(greatest($zero, 1.0::DOUBLE - $v / $den), 6) END""".stripMargin
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |t AS (SELECT event_type, tss, vs, $trend AS tr FROM g),
+         |s AS (SELECT event_type, tss, vs, tr, $seasonal AS sm FROM t),
+         |u0 AS (SELECT event_type, tr[i] AS tv, sm[${ph("i")}::INT + 1] AS sv,
+         |         vs[i] - tr[i] - sm[${ph("i")}::INT + 1] AS rv
+         |       FROM s, unnest(range(1, len(vs) + 1)) AS q(i) WHERE tr[i] IS NOT NULL),
+         |u AS (SELECT event_type, rv, tv + rv AS trr, sv + rv AS srr FROM u0),
+         |m AS (SELECT event_type, count(*)::BIGINT AS n_points,
+         |        ${fold("rv")} / count(*)::DOUBLE AS mr,
+         |        ${fold("trr")} / count(*)::DOUBLE AS mtr,
+         |        ${fold("srr")} / count(*)::DOUBLE AS msr FROM u GROUP BY 1),
+         |v AS (SELECT u.event_type, max(n_points)::BIGINT AS n_points,
+         |        ${fold("(rv - mr) * (rv - mr)")} / count(*)::DOUBLE AS vr,
+         |        ${fold("(trr - mtr) * (trr - mtr)")} / count(*)::DOUBLE AS vtr,
+         |        ${fold("(srr - msr) * (srr - msr)")} / count(*)::DOUBLE AS vsr
+         |      FROM u JOIN m USING (event_type) GROUP BY u.event_type)
+         |SELECT event_type, n_points,
+         |  ${strength("vr", "vtr")} AS trend_strength,
+         |  ${strength("vr", "vsr")} AS seasonal_strength
+         |FROM v ORDER BY event_type""".stripMargin.replace("\n", " ")
     },
     // seasonal anomalies: the decompose chain plus a ts-ordered RMS fold
     // over the non-null residuals and an unrounded |resid| > k*rms cut

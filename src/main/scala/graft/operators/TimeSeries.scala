@@ -810,6 +810,65 @@ object TimeSeries {
   }
 
   /**
+   * SEASONAL / TREND STRENGTH per key (Hyndman & Athanasopoulos FPP):
+   * `F_T = max(0, 1 − Var(R)/Var(T+R))` and
+   * `F_S = max(0, 1 − Var(R)/Var(S+R))` over [[decompose]]'s channels at
+   * the points where the centered-MA trend exists — the two numbers that
+   * triage a metric fleet: F_S ≈ 1 → model the cycle ([[decompose]] +
+   * [[seasonalAnomalies]]); F_T ≈ 1 → fit the line ([[trendForecast]] /
+   * [[theilSen]]); both ≈ 0 → plain [[zscoreOutliers]] is enough.
+   *
+   * Determinism: each variance is the two-pass population form — the mean
+   * an ascending-sorted fold over the channel, then the squared-deviation
+   * fold — so both engines replay identical IEEE sequences; `T+R` and
+   * `S+R` are per-row additions of [[decompose]]'s (unrounded,
+   * bit-identical) channel values. Degenerate channels (zero variance)
+   * score 0. Scale shape: the decomposition's per-key grid folds, one
+   * |keys|-row means table broadcast back, one more |keys|-row
+   * aggregation.
+   */
+  def seasonStrength(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      period: Int = 24,
+      dp: Int = 6
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    val kc = keys.map(col)
+    val dec = decompose(df, keys, tsCol, valueCol, step, period)
+      .filter(col("trend").isNotNull)
+      .select(kc :+ col("resid").as("__r") :+
+        (col("trend") + col("resid")).as("__tr") :+
+        (col("seasonal") + col("resid")).as("__sr"): _*)
+      .localCheckpoint(true) // the means pass and the deviations pass share it
+    def fs(c: Column) = GraftFunctions.foldSum(collect_list(c))
+    val nD = count(lit(1)).cast("double")
+    val means = dec.groupBy(kc: _*).agg(
+      count(lit(1)).as("n_points"),
+      (fs(col("__r")) / nD).as("__mr"),
+      (fs(col("__tr")) / nD).as("__mtr"),
+      (fs(col("__sr")) / nD).as("__msr"))
+    def dev(c: String, m: String) = fs((col(c) - col(m)) * (col(c) - col(m)))
+    def strength(v: Column, den: Column) =
+      when(den <= 0.0, lit(0.0))
+        .otherwise(round(greatest(lit(0.0), lit(1.0) - v / den), dp))
+    dec.join(broadcast(means), keys)
+      .groupBy(kc: _*)
+      .agg(
+        max(col("n_points")).as("n_points"),
+        (dev("__r", "__mr") / nD).as("__vr"),
+        (dev("__tr", "__mtr") / nD).as("__vtr"),
+        (dev("__sr", "__msr") / nD).as("__vsr"))
+      .select(kc ++ Seq(col("n_points"),
+        strength(col("__vr"), col("__vtr")).as("trend_strength"),
+        strength(col("__vr"), col("__vsr")).as("seasonal_strength")): _*)
+  }
+
+  /**
    * SEASONAL ANOMALIES — [[decompose]]'s residual channel turned into an
    * alarm: flag grid points whose residual exceeds `k` times the key's
    * residual RMS. The de-seasonalized counterpart of [[zscoreOutliers]]:

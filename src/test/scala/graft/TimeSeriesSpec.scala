@@ -43,6 +43,21 @@ class TimeSeriesSpec extends SparkTestBase {
       TimeSeries.theilSen(df, Seq("k"), "ts", "v", step = 10L, maxPoints = 3).head()
   }
 
+  "TimeSeries.seasonStrength" should "separate pure-seasonal from pure-trend series exactly" in {
+    // key s: period-4 alternation 0,10,0,10 → centered MA is exactly 5
+    //   (constant trend), seasonal carries everything: (F_T, F_S) = (0, 1)
+    // key t: exact linear ramp → the MA reproduces the line, residual and
+    //   seasonal are exactly 0: (F_T, F_S) = (1, 0)
+    val rows =
+      (0 until 16).map(i => ("s", i.toLong, if (i % 2 == 0) 0.0 else 10.0)) ++
+        (0 until 16).map(i => ("t", i.toLong, i.toDouble))
+    val out = TimeSeries.seasonStrength(rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v",
+        step = 1L, period = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out("s") shouldBe ((12L, 0.0, 1.0))
+    out("t") shouldBe ((12L, 1.0, 0.0))
+  }
+
   private lazy val grid = Seq( // key a: observations at 0, 30, 40 (gap 10..20)
     ("a", 0L, 1.0), ("a", 30L, 4.0), ("a", 40L, 10.0),
     ("b", 100L, 5.0) // single observation: nothing to fill
