@@ -1027,6 +1027,12 @@ object SparkEntry {
     // YoY growth: month rollup key-joined to itself on ym - 100
     "st_yoy" -> ((s, d) =>
       graft.operators.Star.yoyGrowth(tbl(s, d, "lineitem"))),
+    // Z-order layout evidence: 16 fixed Morton-keyspace slices of
+    // (partkey, suppkey) with each slice's bounding box on BOTH columns —
+    // tight boxes on both axes are the row-group-skipping win
+    "st_zorder" -> ((s, d) =>
+      graft.operators.Layout.zorderBuckets(tbl(s, d, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 16, nBuckets = 16).orderBy("bucket")),
     // Q4-shaped: EXISTS-late-lineitem as a predicate-carrying semi join
     "st_priority" -> ((s, d) =>
       graft.operators.Star.orderPriorityCheck(tbl(s, d, "orders"), tbl(s, d, "lineitem"),
@@ -2581,6 +2587,16 @@ object SparkEntry {
         |  round((a.rev - b.rev)::DOUBLE / b.rev::DOUBLE, 6) AS yoy_growth
         |FROM m a LEFT JOIN m b ON a.ym = b.ym + 100
         |ORDER BY a.ym""".stripMargin.replace("\n", " "),
+    // Z-order: the bit-interleave is shared SQL (Layout.mortonSql), every
+    // box bound an exact int64 min/max
+    "st_zorder" -> {
+      val z = graft.operators.Layout.mortonSql("l_partkey", "l_suppkey", bits = 16)
+      val span = (1L << 32) / 16
+      s"""SELECT ($z // ${span}) AS bucket, count(*)::BIGINT AS n,
+         |  min(l_partkey)::BIGINT AS x_min, max(l_partkey)::BIGINT AS x_max,
+         |  min(l_suppkey)::BIGINT AS y_min, max(l_suppkey)::BIGINT AS y_max
+         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")
+    },
     // Q4-shaped: EXISTS over late lineitems (date_diff mirrors datediff's
     // calendar-day count on NTZ timestamps), exact int day compare
     "st_priority" ->

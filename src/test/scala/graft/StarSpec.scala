@@ -34,6 +34,45 @@ class StarSpec extends SparkTestBase {
     out shouldBe Array((1L, 100.0), (2L, 100.0))
   }
 
+  "Layout.mortonKey" should "interleave bits exactly and keep quadrants ordered" in {
+    import graft.operators.Layout
+    // morton(3, 5): x bits 1,1 at even positions, y bits 1,0,1 at odd →
+    // 1 + 2 + 4 + 0 + 0 + 32 = 39; corners pin the full-domain ends
+    val pts = Seq((3L, 5L), (0L, 0L), (65535L, 65535L)).toDF("x", "y")
+    val keys = pts.select(Layout.mortonKey(col("x"), col("y"), bits = 16))
+      .collect().map(_.getLong(0))
+    keys(0) shouldBe 39L
+    keys(1) shouldBe 0L
+    keys(2) shouldBe (1L << 32) - 1
+    // every key in the low quadrant sorts below every key with the top y
+    // bit set (bit 31 dominates) — the locality that bounds the boxes
+    val rnd = new scala.util.Random(3)
+    val lo = (1 to 20).map(_ => (rnd.nextInt(32768).toLong, rnd.nextInt(32768).toLong))
+    val hi = (1 to 20).map(_ => (rnd.nextInt(65536).toLong, 32768L + rnd.nextInt(32768)))
+    val ks = (lo ++ hi).toDF("x", "y")
+      .select(Layout.mortonKey(col("x"), col("y"), bits = 16)).collect().map(_.getLong(0))
+    ks.take(20).max should be < ks.drop(20).min
+  }
+
+  "Layout.zorderBuckets" should "bound both axes within each keyspace slice" in {
+    import graft.operators.Layout
+    // a 16×16 grid over the full 16-bit domain: the 16 slices are the
+    // 4×4 top-bit boxes, each holding 16 points within one quarter-span
+    // box on BOTH axes — the data-skipping evidence itself
+    val grid = for { i <- 0 until 16; j <- 0 until 16 } yield (i * 4096L, j * 4096L)
+    val out = Layout.zorderBuckets(grid.toDF("x", "y"), "x", "y", bits = 16, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4)))
+    out.length shouldBe 16
+    out.foreach { case (_, n, xSpan, ySpan) =>
+      n shouldBe 16L
+      xSpan should be <= 16384L
+      ySpan should be <= 16384L
+    }
+    // the layout op itself: within-partition sortedness and row parity
+    val laid = Layout.zorderBy(grid.toDF("x", "y"), "x", "y", bits = 16, partitions = 4)
+    laid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe grid.sorted
+  }
+
   "Star.soleLatestShippers" should "credit only the unique last shipper of multi-supplier orders" in {
     val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
