@@ -1913,6 +1913,23 @@ object OracleGen {
        |       ELSE round((n_concordant - n_discordant)::DOUBLE / n_pairs::DOUBLE, 6) END AS tau
        |FROM m CROSS JOIN agg""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.pipeline.Retrieval.rankBiasedOverlap]]: the SAME
+    * `p^{d−1}/d` weight doubles computed here once and embedded as
+    * literals (no cross-engine `pow`), per-id slice folds in array order,
+    * one sorted total fold, the `1−p` factor as the identical double. */
+  def rankBiasedOverlapSql(aSql: String, bSql: String, k: Int, p: Double): String = {
+    val w   = (1 to k).map(d => (math.pow(p, d - 1) / d).toString).mkString("[", ",", "]") + "::DOUBLE[]"
+    val omp = s"${1.0 - p}::DOUBLE"
+    s"""WITH a AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra FROM ($aSql)),
+       |b AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb FROM ($bSql)),
+       |j AS (SELECT a.doc_id AS id, ra, rb FROM a JOIN b USING (doc_id) WHERE ra <= $k AND rb <= $k),
+       |c AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_slice($w, greatest(ra, rb)::INT, $k::INT)), (x, y) -> x + y) AS cv FROM j)
+       |SELECT count(*)::BIGINT AS n_common,
+       |  round($omp * coalesce(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(cv))), (x, y) -> x + y), 0.0), 6) AS rbo
+       |FROM c""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of `Retrieval.foldSum`: ascending sort + seeded left fold. */
   private val foldSumSql =
     "list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(wt))), (a, b) -> a + b)"

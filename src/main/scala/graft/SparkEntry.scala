@@ -1062,6 +1062,11 @@ object SparkEntry {
     "rt_tau" -> ((s, d) => Retrieval.rankAgreement(
       Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
       Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20))),
+    // top-weighted agreement: bounded min-RBO between the same two lists
+    // (τ's complement for partially-overlapping top-k rankings)
+    "rt_rbo" -> ((s, d) => Retrieval.rankBiasedOverlap(
+      Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
+      Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20), k = 20, p = 0.9)),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
       Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7)),
@@ -2668,6 +2673,9 @@ object SparkEntry {
     "rt_tau" -> OracleGen.rankAgreementSql(
       OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
       OracleGen.qlTopKSql(Seq("spark", "join"), k = 20)),
+    "rt_rbo" -> OracleGen.rankBiasedOverlapSql(
+      OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+      OracleGen.qlTopKSql(Seq("spark", "join"), k = 20), k = 20, p = 0.9),
     "rt_prf"       -> OracleGen.prfTopKSql(Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5),
     // levenshtein is the same DP distance in both engines; counts are ints
     "rt_fuzzy" ->

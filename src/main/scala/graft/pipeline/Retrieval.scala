@@ -458,6 +458,50 @@ object Retrieval {
             .cast("double") / col("n_pairs").cast("double"), dp)).as("tau"))
   }
 
+  /**
+   * RANK-BIASED OVERLAP (Webber et al. 2010), the bounded min-RBO at
+   * depth `k`: `(1−p) · Σ_{d≤k} p^{d−1} · |A_{:d} ∩ B_{:d}| / d` — the
+   * TOP-WEIGHTED agreement measure next to [[rankAgreement]]'s Kendall τ
+   * (τ weighs all intersection pairs equally and ignores non-conjoint
+   * tails; RBO is built for top-k lists that only partially overlap, and
+   * `p` sets how top-heavy the comparison is). Each common document at
+   * ranks `(ra, rb)` contributes to every depth `d ≥ max(ra, rb)`, so the
+   * whole double sum collapses to one bounded per-id fold over a LITERAL
+   * weight table `p^{d−1}/d` — the literals are computed once here and
+   * the oracle embeds the identical doubles, so no `pow` is ever
+   * re-evaluated cross-engine.
+   *
+   * Lists re-rank by their reported (rounded, gate-proven) scores like
+   * [[rankAgreement]]; ranks beyond `k` drop. Everything after the two
+   * input scans is k-bounded.
+   */
+  def rankBiasedOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      p: Double = 0.9,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      dp: Int = 6
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    val wOverD = (1 to k).map(d => math.pow(p, d - 1) / d).toArray
+    def ranked(df: DataFrame, out: String) =
+      df.select(col(idCol).as("id"),
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))).as(out))
+    val j = ranked(a, "ra").join(ranked(b, "rb"), "id")
+      .filter(col("ra") <= k && col("rb") <= k)
+    val m = greatest(col("ra"), col("rb"))
+    val contrib = aggregate(
+      slice(lit(wOverD), m, lit(k) - m + 1), lit(0.0), (acc, w) => acc + w)
+    j.select(contrib.as("__c"))
+      .agg(count(lit(1)).as("n_common"),
+        round(lit(1.0 - p) *
+          foldSum(collect_list(col("__c"))), dp).as("rbo"))
+  }
+
   /** Top-`k` documents by [[bm25Scores]], ties broken by id; the score is
     * rounded AFTER the ordering (the unrounded value sorts). */
   def bm25TopK(

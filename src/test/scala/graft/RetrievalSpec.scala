@@ -336,6 +336,29 @@ class RetrievalSpec extends SparkTestBase {
     ids should not contain 2L
   }
 
+  "Retrieval.rankBiasedOverlap" should "score identical lists (1-p^k)-normalized full and disjoint lists 0" in {
+    val a = Seq((0L, 3.0), (1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    // identical lists at k = depth: min-RBO = (1−p)·Σ_{d≤k} p^{d−1} (the
+    // bounded bound, < 1 by construction — it climbs to 1 as k → ∞)
+    val p = 0.9
+    val expect = (1 - p) * (1 to 3).map(d => math.pow(p, d - 1)).sum
+    val same = Retrieval.rankBiasedOverlap(a, a, k = 3, p = p).head()
+    same.getLong(0) shouldBe 3L
+    same.getDouble(1) shouldBe (math.rint(expect * 1e6) / 1e6)
+    // disjoint lists: zero overlap at every depth
+    val other = Seq((7L, 1.0)).toDF("doc_id", "score")
+    val none = Retrieval.rankBiasedOverlap(a, other, k = 3, p = p).head()
+    (none.getLong(0), none.getDouble(1)) shouldBe ((0L, 0.0))
+    // top-weighting: sharing ONLY the rank-1 doc (0.1·1.72 = 0.172)
+    // outscores sharing BOTH tail docs (0.1·0.99 = 0.099)
+    val topAgree  = Seq((0L, 9.0), (8L, 2.0), (9L, 1.0)).toDF("doc_id", "score")
+    val tailAgree = Seq((5L, 9.0), (1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    val hi = Retrieval.rankBiasedOverlap(a, topAgree, k = 3, p = p).head().getDouble(1)
+    val lo = Retrieval.rankBiasedOverlap(a, tailAgree, k = 3, p = p).head().getDouble(1)
+    hi shouldBe 0.172
+    lo shouldBe 0.099
+  }
+
   "Retrieval.rankAgreement" should "score identical rankings 1, reversals -1, and mixes between" in {
     val a = Seq((0L, 3.0), (1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
     val same = Retrieval.rankAgreement(a, a).head()
