@@ -932,6 +932,15 @@ object SparkEntry {
     // activity concentration: exact Gini over per-user event counts
     "ev_gini" -> ((s, d) =>
       graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
+    // k-anonymity audit: (event_type, day, value band) as the
+    // quasi-identifier tuple — the re-identification exposure report a
+    // behavioral table gets before shipping to a training pipeline
+    "ev_kanon" -> ((s, d) =>
+      graft.operators.Relational.kAnonymity(
+        evUs(s, d).select(col("event_type"),
+          expr(s"ts div ${24 * HourUs}L").as("day"),
+          floor(col("value")).cast("long").as("value_band")),
+        Seq("event_type", "day", "value_band"), ks = Seq(2, 5, 10))),
     // Spearman over the user panel: do users who DO more also SPEND more
     // (monotone association, scale-free; exact integer rank moments)
     "ev_spearman" -> ((s, d) => {
@@ -1924,6 +1933,22 @@ object SparkEntry {
         |SELECT n AS n_keys, s AS n_events,
         |  round((2.0 * t::DOUBLE) / (n * s)::DOUBLE - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
         |FROM a""".stripMargin.replace("\n", " "),
+    // k-anonymity: exact class counts over the QI tuple; one exposure
+    // division per threshold (floor() for the band — round() halves split
+    // across engines)
+    "ev_kanon" -> {
+      val ltCols = Seq(2, 5, 10).map { k =>
+        s"""sum(CASE WHEN c < $k THEN 1 ELSE 0 END)::BIGINT AS classes_lt_$k,
+           |  round(sum(CASE WHEN c < $k THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE, 6) AS exposure_lt_$k"""
+          .stripMargin
+      }.mkString(", ")
+      s"""WITH q AS (SELECT event_type, (epoch_us(ts) // ${24 * HourUs}) AS day,
+         |             floor(value)::BIGINT AS value_band FROM events),
+         |cc AS (SELECT count(*)::BIGINT AS c FROM q GROUP BY event_type, day, value_band)
+         |SELECT count(*)::BIGINT AS n_classes, sum(c)::BIGINT AS n_rows, min(c)::BIGINT AS min_class,
+         |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons, $ltCols
+         |FROM cc""".stripMargin.replace("\n", " ")
+    },
     // Spearman: total-order (metric, id) ranks → exact int64 moments →
     // one closed-form division of identical doubles
     "ev_spearman" ->

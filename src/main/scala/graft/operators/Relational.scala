@@ -795,6 +795,40 @@ object Relational {
    * subtraction are the only float ops, in the oracle's spelled order.
    */
   /**
+   * K-ANONYMITY AUDIT over a quasi-identifier combination — before a
+   * behavioral table ships to a training pipeline, how re-identifiable
+   * are its rows? Groups rows by the `quasiCols` tuple and reports, for
+   * each threshold in `ks`: how many equivalence classes fall below it
+   * and what fraction of ROWS sits in those classes (the re-identification
+   * exposure; a singleton class IS an identified individual). One
+   * map-side-combined aggregation + one |classes|-row pass; every number
+   * an exact int64 except the one exposure division per threshold.
+   */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      ks: Seq[Int] = Seq(2, 5, 10),
+      dp: Int = 6
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(ks.nonEmpty && ks.forall(_ >= 2), "thresholds must be >= 2")
+    val classes = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__c"))
+    val aggs = Seq(
+      count(lit(1)).as("n_classes"),
+      sum(col("__c")).as("n_rows"),
+      min(col("__c")).as("min_class"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_singletons")) ++
+      ks.flatMap(k => Seq(
+        sum(when(col("__c") < k, 1L).otherwise(0L)).as(s"classes_lt_$k"),
+        sum(when(col("__c") < k, col("__c")).otherwise(0L)).as(s"__rows_lt_$k")))
+    classes.agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("n_classes"), col("n_rows"), col("min_class"), col("n_singletons")) ++
+        ks.flatMap(k => Seq(col(s"classes_lt_$k"),
+          round(col(s"__rows_lt_$k").cast("double") / col("n_rows").cast("double"), dp)
+            .as(s"exposure_lt_$k"))): _*)
+  }
+
+  /**
    * SPEARMAN RANK CORRELATION between two metrics over one population —
    * "do users who DO more also SPEND more", monotone association robust
    * to the metric scales (Pearson on ranks). Ranks are the TOTAL ORDER

@@ -546,6 +546,17 @@ class RelationalSpec extends SparkTestBase {
     r.isNullAt(5) shouldBe true
   }
 
+  "Relational.kAnonymity" should "count sub-threshold classes and their row exposure exactly" in {
+    // classes: (a,1)×4, (a,2)×1 (a singleton), (b,1)×2 → 7 rows, 3 classes
+    val rows = Seq.fill(4)(("a", 1L)) ++ Seq(("a", 2L)) ++ Seq.fill(2)(("b", 1L))
+    val r = Relational.kAnonymity(rows.toDF("t", "g"), Seq("t", "g"), ks = Seq(2, 5)).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((3L, 7L, 1L, 1L))
+    r.getLong(4) shouldBe 1L                 // classes_lt_2: just the singleton
+    r.getDouble(5) shouldBe (1.0 / 7 * 1e6).round / 1e6 // exposure_lt_2
+    r.getLong(6) shouldBe 3L   // classes_lt_5: sizes 4, 1 and 2 all qualify
+    r.getDouble(7) shouldBe 1.0 // every row is exposed below k = 5
+  }
+
   "Relational.rankCorrelation" should "score monotone 1, antitone -1, and enforce the population guard" in {
     val mono = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L)).toDF("id", "x", "y")
     val m = Relational.rankCorrelation(mono, "x", "y", "id").head()
