@@ -1036,6 +1036,10 @@ object SparkEntry {
     // YoY growth: month rollup key-joined to itself on ym - 100
     "st_yoy" -> ((s, d) =>
       graft.operators.Star.yoyGrowth(tbl(s, d, "lineitem"))),
+    // join-skew measurement on the shuffle key: max/p99/skew-factor — the
+    // report that decides plain shuffle vs AQE skew split vs salting
+    "st_skew" -> ((s, d) =>
+      graft.operators.Relational.joinSkewReport(tbl(s, d, "lineitem"), "l_orderkey")),
     // Z-order layout evidence: 16 fixed Morton-keyspace slices of
     // (partkey, suppkey) with each slice's bounding box on BOTH columns —
     // tight boxes on both axes are the row-group-skipping win
@@ -2617,6 +2621,19 @@ object SparkEntry {
         |  round((a.rev - b.rev)::DOUBLE / b.rev::DOUBLE, 6) AS yoy_growth
         |FROM m a LEFT JOIN m b ON a.ym = b.ym + 100
         |ORDER BY a.ym""".stripMargin.replace("\n", " "),
+    // join skew: exact count-of-counts histogram; p99 = smallest class
+    // size whose cumulative key count reaches ceil(0.99·n), integer math
+    "st_skew" ->
+      """WITH cls AS (SELECT l_orderkey, count(*)::BIGINT AS c FROM lineitem GROUP BY 1),
+        |h AS (SELECT c, count(*)::BIGINT AS m FROM cls GROUP BY c),
+        |cu AS (SELECT c, m, sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM h),
+        |t AS (SELECT sum(m)::BIGINT AS n_keys, sum(c*m)::BIGINT AS n_rows, max(c)::BIGINT AS max_per_key FROM cu),
+        |f AS (SELECT min(c)::BIGINT AS p99_per_key, max(n_keys)::BIGINT AS n_keys,
+        |        max(n_rows)::BIGINT AS n_rows, max(max_per_key)::BIGINT AS max_per_key
+        |      FROM cu CROSS JOIN t WHERE cum >= (99 * n_keys + 99) // 100)
+        |SELECT n_keys, n_rows, max_per_key, p99_per_key,
+        |  round(max_per_key::DOUBLE / (n_rows::DOUBLE / n_keys::DOUBLE), 6) AS skew_factor
+        |FROM f""".stripMargin.replace("\n", " "),
     // Z-order: the bit-interleave is shared SQL (Layout.mortonSql), every
     // box bound an exact int64 min/max
     "st_zorder" -> {

@@ -795,6 +795,48 @@ object Relational {
    * subtraction are the only float ops, in the oracle's spelled order.
    */
   /**
+   * JOIN-SKEW REPORT for a prospective shuffle key — the numbers that
+   * decide between a plain shuffle join, AQE skew splitting and explicit
+   * salting ([[graft.pipeline.Skew.saltedJoin]]): per-key row counts
+   * summarized as max, EXACT p99 and the max/mean skew factor. A key
+   * whose max is 100× its mean hot-spots one reducer at any cluster size;
+   * this report is the measurement that precedes the fix.
+   *
+   * Scale shape: one map-side-combined count per key, then a COUNT-OF-
+   * COUNTS histogram (rows = distinct class sizes — bounded by the
+   * heaviest key, not by key count) carries the exact p99 as a running
+   * cumulative over that tiny relation; no corpus-sized window anywhere.
+   * `ceil(0.99·n)` is exact integer arithmetic; the one float op is the
+   * final skew division.
+   */
+  def joinSkewReport(
+      df: DataFrame,
+      keyCol: String,
+      percentile: Int = 99,
+      dp: Int = 6
+  ): DataFrame = {
+    require(percentile >= 1 && percentile <= 100, "percentile must be in [1, 100]")
+    val cls  = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val hist = cls.groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+    val w    = Window.orderBy(col("__c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum  = hist.withColumn("__cum", sum(col("__m")).over(w))
+    val tot  = cum.agg(
+      sum(col("__m")).as("n_keys"),
+      sum(col("__c") * col("__m")).as("n_rows"),
+      max(col("__c")).as("max_per_key"))
+    // smallest class size whose cumulative key count reaches ceil(p·n)
+    val pRank = expr(s"($percentile * n_keys + ${100 - 1}) div 100")
+    cum.crossJoin(tot)
+      .filter(col("__cum") >= pRank)
+      .agg(min(col("__c")).as(s"p${percentile}_per_key"),
+        max(col("n_keys")).as("n_keys"), max(col("n_rows")).as("n_rows"),
+        max(col("max_per_key")).as("max_per_key"))
+      .select(col("n_keys"), col("n_rows"), col("max_per_key"), col(s"p${percentile}_per_key"),
+        round(col("max_per_key").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), dp).as("skew_factor"))
+  }
+
+  /**
    * K-ANONYMITY AUDIT over a quasi-identifier combination — before a
    * behavioral table ships to a training pipeline, how re-identifiable
    * are its rows? Groups rows by the `quasiCols` tuple and reports, for

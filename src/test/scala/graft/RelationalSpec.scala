@@ -546,6 +546,18 @@ class RelationalSpec extends SparkTestBase {
     r.isNullAt(5) shouldBe true
   }
 
+  "Relational.joinSkewReport" should "pick the exact percentile class size from the histogram" in {
+    // 10 keys: nine singletons and one hot key with 91 rows → 100 rows,
+    // mean 10, max 91, skew 9.1; p90 over sizes [1×9, 91]: ceil(0.9·10)=9
+    // → the 9th smallest size is 1; p99 rank 10 → 91
+    val rows = (1 to 9).map(k => Seq.fill(1)(k.toLong)).flatten ++ Seq.fill(91)(100L)
+    val df = rows.toDF("k")
+    val r99 = Relational.joinSkewReport(df, "k", percentile = 99).head()
+    (r99.getLong(0), r99.getLong(1), r99.getLong(2), r99.getLong(3)) shouldBe ((10L, 100L, 91L, 91L))
+    r99.getDouble(4) shouldBe 9.1
+    Relational.joinSkewReport(df, "k", percentile = 90).head().getLong(3) shouldBe 1L
+  }
+
   "Relational.kAnonymity" should "count sub-threshold classes and their row exposure exactly" in {
     // classes: (a,1)×4, (a,2)×1 (a singleton), (b,1)×2 → 7 rows, 3 classes
     val rows = Seq.fill(4)(("a", 1L)) ++ Seq(("a", 2L)) ++ Seq.fill(2)(("b", 1L))
