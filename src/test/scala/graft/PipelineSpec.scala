@@ -1571,6 +1571,33 @@ class PipelineSpec extends SparkTestBase {
     ds.zip(ds.tail).foreach { case (hi, lo) => lo should be <= hi }
   }
 
+  "the round-12 operators" should "flow empty inputs through without errors" in {
+    import graft.operators.{Relational, TimeSeries}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEv   = Seq.empty[(String, Long, Double)].toDF("k", "ts", "v")
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val noCand = Seq.empty[(Long, Long, Double)].toDF("prompt_id", "cand_id", "score")
+    val noScored = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    TimeSeries.theilSen(noEv, Seq("k"), "ts", "v", 10L).count() shouldBe 0L
+    TimeSeries.seasonStrength(noEv, Seq("k"), "ts", "v", 10L, period = 4).count() shouldBe 0L
+    Similarity.kCenterCoreset(noVecs, k = 3).count() shouldBe 0L
+    graft.pipeline.Chat.bestOfN(noCand, ns = Seq(1, 2)).count() shouldBe 0L
+    TextAnalysis.lexicalDiversity(noDocs).count() shouldBe 0L
+    TextAnalysis.burstyTerms(Seq((0L, "x")).toDF("doc_id", "text"), k = 5, minCount = 9L)
+      .count() shouldBe 0L // everything under minCount
+    an[IllegalArgumentException] should be thrownBy TextAnalysis.burstyTerms(noDocs, k = 5)
+    // the one-row evals report their zero state instead of vanishing
+    val tau = Retrieval.rankAgreement(noScored, noScored).head()
+    (tau.getLong(0), tau.getDouble(4)) shouldBe ((0L, 0.0))
+    val rbo = Retrieval.rankBiasedOverlap(noScored, noScored, k = 5).head()
+    (rbo.getLong(0), rbo.getDouble(1)) shouldBe ((0L, 0.0))
+    // audits on empty relations return a single all-zero/NULL row, no throw
+    Relational.kAnonymity(noDocs.select(col("doc_id")), Seq("doc_id")).head().getLong(0) shouldBe 0L
+    Relational.joinSkewReport(noDocs, "doc_id").collect().length should be <= 1
+    an[IllegalArgumentException] should be thrownBy
+      Relational.rankCorrelation(noCand, "cand_id", "score", "prompt_id")
+  }
+
   "TextAnalysis.nbModel" should "rank per-label terms by count with term tie-break" in {
     val top = TextAnalysis.nbModel(docs, topK = 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
