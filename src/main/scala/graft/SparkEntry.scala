@@ -932,6 +932,10 @@ object SparkEntry {
     // activity concentration: exact Gini over per-user event counts
     "ev_gini" -> ((s, d) =>
       graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
+    // power-law tail exponent of per-user activity (Clauset MLE): the
+    // generative-shape twin of ev_gini's concentration snapshot
+    "ev_alpha" -> ((s, d) =>
+      graft.operators.Relational.powerLawAlpha(evRaw(s, d).select("user_id"), "user_id", xmin = 5L)),
     // k-anonymity audit: (event_type, day, value band) as the
     // quasi-identifier tuple — the re-identification exposure report a
     // behavioral table gets before shipping to a training pipeline
@@ -1936,6 +1940,17 @@ object SparkEntry {
         |             sum(c * (m * r + m * (m + 1) // 2))::BIGINT AS t FROM w)
         |SELECT n AS n_keys, s AS n_events,
         |  round((2.0 * t::DOUBLE) / (n * s)::DOUBLE - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+        |FROM a""".stripMargin.replace("\n", " "),
+    // power-law alpha: exact per-user counts, ln of identical operands,
+    // ascending-sorted fold, one closing division
+    "ev_alpha" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |t AS (SELECT x FROM c WHERE x >= 5),
+        |a AS (SELECT count(*)::BIGINT AS n_tail,
+        |        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(ln(x::DOUBLE / 4.5)))), (p, q) -> p + q) AS s
+        |      FROM t)
+        |SELECT n_tail, 5::BIGINT AS xmin,
+        |  CASE WHEN s > 0.0 THEN round(1.0::DOUBLE + n_tail::DOUBLE / s, 6) END AS alpha
         |FROM a""".stripMargin.replace("\n", " "),
     // k-anonymity: exact class counts over the QI tuple; one exposure
     // division per threshold (floor() for the band — round() halves split

@@ -795,6 +795,43 @@ object Relational {
    * subtraction are the only float ops, in the oracle's spelled order.
    */
   /**
+   * POWER-LAW TAIL EXPONENT of a count distribution — the discrete MLE
+   * (Clauset, Shalizi & Newman 2009, eq. 3.7 approximation):
+   * `α̂ = 1 + n / Σ ln(x_i / (xmin − ½))` over observations `x ≥ xmin`.
+   * The one-number heaviness summary of per-user activity (or per-key
+   * group sizes): α near 2 = extremely heavy tail (whale users dominate;
+   * expect skew everywhere downstream), α ≥ 3 = finite variance, tame.
+   * The token-side twin of [[graft.pipeline.TextAnalysis]]'s Zipf fit,
+   * pointed at behavior; pairs with [[giniConcentration]] (concentration
+   * NOW) as the generative-shape diagnosis.
+   *
+   * Determinism: each x is an exact int64, each `ln(x/(xmin−½))` one
+   * division + one ln of identical operands, the sum the ascending-sorted
+   * fold, then one division — the oracle replays every op. Scale shape:
+   * one map-side-combined count per key, one |tail|-element single-group
+   * fold (tail-bounded; raise `xmin` on corpora whose tail alone is
+   * huge — the estimator only needs the tail by definition).
+   */
+  def powerLawAlpha(
+      df: DataFrame,
+      keyCol: String,
+      xmin: Long = 5L,
+      dp: Int = 6
+  ): DataFrame = {
+    require(xmin >= 1, "xmin must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val tail = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+      .filter(col("__x") >= xmin)
+    tail.agg(
+        count(lit(1)).as("n_tail"),
+        graft.functions.GraftFunctions.foldSum(
+          collect_list(log(col("__x").cast("double") / lit(xmin - 0.5)))).as("__s"))
+      .select(col("n_tail"), lit(xmin).as("xmin"),
+        when(col("__s") > 0.0,
+          round(lit(1.0) + col("n_tail").cast("double") / col("__s"), dp)).as("alpha"))
+  }
+
+  /**
    * JOIN-SKEW REPORT for a prospective shuffle key — the numbers that
    * decide between a plain shuffle join, AQE skew splitting and explicit
    * salting ([[graft.pipeline.Skew.saltedJoin]]): per-key row counts

@@ -546,6 +546,26 @@ class RelationalSpec extends SparkTestBase {
     r.isNullAt(5) shouldBe true
   }
 
+  "Relational.powerLawAlpha" should "recover the exponent of a synthetic Zipf tail" in {
+    // per-key counts drawn as round(xmin·u^(−1/(α−1))) with α = 2.5. The
+    // estimator's −0.5 discreteness shift assumes zeta-generated counts;
+    // on rounded-continuous draws it reads a few tenths low — the band
+    // accepts that known bias while still pinning the tail family
+    val rnd = new scala.util.Random(17)
+    val alpha = 2.5
+    val rows = (1 to 2000).flatMap { k =>
+      val x = math.max(5L, math.round(5.0 * math.pow(rnd.nextDouble(), -1.0 / (alpha - 1))))
+      Seq.fill(math.min(x, 5000L).toInt)(k.toLong)
+    }
+    val r = Relational.powerLawAlpha(rows.toDF("user_id"), "user_id", xmin = 5L).head()
+    r.getLong(0) shouldBe 2000L
+    r.getDouble(2) shouldBe 2.5 +- 0.35
+    // degenerate tail (every count exactly xmin): Σln = 0-ish but positive
+    // (ln(5/4.5) per obs), still finite and > 1
+    val flat = (1 to 10).flatMap(k => Seq.fill(5)(k.toLong)).toDF("user_id")
+    Relational.powerLawAlpha(flat, "user_id", xmin = 5L).head().getDouble(2) should be > 1.0
+  }
+
   "Relational.joinSkewReport" should "pick the exact percentile class size from the histogram" in {
     // 10 keys: nine singletons and one hot key with 91 rows → 100 rows,
     // mean 10, max 91, skew 9.1; p90 over sizes [1×9, 91]: ceil(0.9·10)=9
