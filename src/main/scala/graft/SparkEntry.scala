@@ -932,6 +932,11 @@ object SparkEntry {
     // activity concentration: exact Gini over per-user event counts
     "ev_gini" -> ((s, d) =>
       graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
+    // Lorenz decile curve: exact bottom-d/10 event shares — the curve
+    // under ev_gini's scalar, no interpolation anywhere
+    "ev_lorenz" -> ((s, d) =>
+      graft.operators.Relational.lorenzCurve(evRaw(s, d).select("user_id"), "user_id")
+        .orderBy("decile")),
     // power-law tail exponent of per-user activity (Clauset MLE): the
     // generative-shape twin of ev_gini's concentration snapshot
     "ev_alpha" -> ((s, d) =>
@@ -1941,6 +1946,21 @@ object SparkEntry {
         |SELECT n AS n_keys, s AS n_events,
         |  round((2.0 * t::DOUBLE) / (n * s)::DOUBLE - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
         |FROM a""".stripMargin.replace("\n", " "),
+    // Lorenz: histogram cumulative + exact straddling-class arithmetic;
+    // one share division per decile
+    "ev_lorenz" ->
+      """WITH h AS (SELECT c, count(*)::BIGINT AS m FROM
+        |             (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1) GROUP BY c),
+        |cu AS (SELECT c, m, sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)::BIGINT AS cu,
+        |         sum(c * m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)::BIGINT AS ce FROM h),
+        |t AS (SELECT max(cu)::BIGINT AS n_keys, max(ce)::BIGINT AS n_events FROM cu),
+        |d AS (SELECT unnest(range(1, 11)) AS decile),
+        |k AS (SELECT decile, (decile * n_keys) // 10 AS kd, n_events FROM d CROSS JOIN t)
+        |SELECT k.decile, k.kd AS n_bottom_keys,
+        |  CASE WHEN k.kd = 0 THEN 0.0::DOUBLE
+        |       ELSE round((cu.ce - (cu.cu - k.kd) * cu.c)::DOUBLE / k.n_events::DOUBLE, 6) END AS event_share
+        |FROM k LEFT JOIN cu ON cu.cu - cu.m < k.kd AND k.kd <= cu.cu
+        |ORDER BY k.decile""".stripMargin.replace("\n", " "),
     // power-law alpha: exact per-user counts, ln of identical operands,
     // ascending-sorted fold, one closing division
     "ev_alpha" ->

@@ -795,6 +795,48 @@ object Relational {
    * subtraction are the only float ops, in the oracle's spelled order.
    */
   /**
+   * LORENZ CURVE of a count distribution at decile resolution — for each
+   * bottom-`d/deciles` slice of keys (ascending activity), the share of
+   * total events that slice holds: the CURVE under [[giniConcentration]]'s
+   * scalar (gini = 1 − 2·area under this), and the "bottom 90 % of users
+   * produce x % of events" statement a sampling or capping decision
+   * quotes. EXACT at every point: the boundary key count `k_d = ⌊d·n/D⌋`
+   * is integer math and the straddling equivalence class contributes
+   * exactly `(k_d − users_below)·c` events — no interpolation.
+   *
+   * Scale shape: the same count-of-counts histogram as
+   * [[joinSkewReport]] (rows bounded by the heaviest key's size, never by
+   * key count), one running cumulative over it, a |deciles|-row join.
+   */
+  def lorenzCurve(
+      df: DataFrame,
+      keyCol: String,
+      deciles: Int = 10,
+      dp: Int = 6
+  ): DataFrame = {
+    require(deciles >= 1, "deciles must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("__c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cu", sum(col("__m")).over(w))
+      .withColumn("__ce", sum(col("__c") * col("__m")).over(w))
+    val tot = cum.agg(max(col("__cu")).as("n_keys"), max(col("__ce")).as("n_events"))
+    val ds  = (1 to deciles).map(_.toLong).toDF("decile")
+    val kD  = expr(s"(decile * n_keys) div $deciles")
+    // the straddling class: users strictly below it < k_d ≤ users through it
+    ds.crossJoin(tot)
+      .withColumn("__k", kD)
+      .join(cum, col("__cu") - col("__m") < col("__k") && col("__k") <= col("__cu"), "left")
+      .select(col("decile"), col("__k").as("n_bottom_keys"),
+        when(col("__k") === 0L, lit(0.0)).otherwise(
+          round((col("__ce") - (col("__cu") - col("__k")) * col("__c")).cast("double")
+            / col("n_events").cast("double"), dp)).as("event_share"))
+  }
+
+  /**
    * POWER-LAW TAIL EXPONENT of a count distribution — the discrete MLE
    * (Clauset, Shalizi & Newman 2009, eq. 3.7 approximation):
    * `α̂ = 1 + n / Σ ln(x_i / (xmin − ½))` over observations `x ≥ xmin`.

@@ -546,6 +546,17 @@ class RelationalSpec extends SparkTestBase {
     r.isNullAt(5) shouldBe true
   }
 
+  "Relational.lorenzCurve" should "compute exact bottom-slice shares through straddling classes" in {
+    // counts 1, 1, 3, 5 (10 events): quartile shares 0.1 / 0.2 / 0.5 / 1.0
+    // — the k=1 point lands INSIDE the size-1 class (2 users), proving the
+    // straddle arithmetic, and the curve ends at exactly 1
+    val rows = Seq(1L) ++ Seq(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(5)(4L)
+    val out = Relational.lorenzCurve(rows.toDF("user_id"), "user_id", deciles = 4)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array((1L, 1L, 0.1), (2L, 2L, 0.2), (3L, 3L, 0.5), (4L, 4L, 1.0))
+  }
+
   "Relational.powerLawAlpha" should "recover the exponent of a synthetic Zipf tail" in {
     // per-key counts drawn as round(xmin·u^(−1/(α−1))) with α = 2.5. The
     // estimator's −0.5 discreteness shift assumes zeta-generated counts;
