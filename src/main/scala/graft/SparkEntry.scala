@@ -1191,6 +1191,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     // corpus top-20 bigrams (boilerplate/template mining; integer counts)
     "tx_ngrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
+    // inverse-Simpson effective vocabulary per lang: the diversity number
+    // a million once-off tail terms can't move (vs raw vocab counts)
+    "tx_simpson" -> ((s, d) => TextAnalysis.effectiveVocab(docs(s, d)).orderBy("lang")),
     // burstiest terms: variance-to-mean of per-doc counts, zeros included
     // (clumped topical/template vocabulary that DF alone can't see)
     "tx_burst" -> ((s, d) => TextAnalysis.burstyTerms(docs(s, d), k = 20, minCount = 5L)),
@@ -2923,6 +2926,18 @@ object SparkEntry {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "tx_split" -> OracleGen.holdoutSplitSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L),
+    // effective vocab: N²/Σc² over exact int64 moments; the ratio divides
+    // the SAME quotient expression again (engine operand order)
+    "tx_simpson" ->
+      """WITH tf AS (SELECT lang, term, count(*)::BIGINT AS c
+        |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |            GROUP BY 1, 2),
+        |a AS (SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+        |        sum(c*c)::BIGINT AS sq FROM tf GROUP BY lang)
+        |SELECT lang, n_tokens, vocab,
+        |  round((n_tokens::DOUBLE * n_tokens::DOUBLE) / sq::DOUBLE, 6) AS eff_vocab,
+        |  round(((n_tokens::DOUBLE * n_tokens::DOUBLE) / sq::DOUBLE) / vocab::DOUBLE, 6) AS eff_ratio
+        |FROM a ORDER BY lang""".stripMargin.replace("\n", " "),
     // burstiness: three exact int64 moments per term + the doc-count
     // scalar; the VMR chain is spelled in the engine's operand order and
     // snapped to 6 dp BEFORE the top-k cut (ties by term)

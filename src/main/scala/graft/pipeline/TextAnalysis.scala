@@ -777,6 +777,39 @@ object TextAnalysis {
   }
 
   /**
+   * EFFECTIVE VOCABULARY per group — the inverse Simpson index
+   * `N² / Σ c_t²`: "how many equally-common terms would produce this
+   * distribution". Where [[tokenEntropy]] scores per-document surprise
+   * and [[vocabStats]] counts raw types, this is the diversity number
+   * that doesn't move when a million once-off typos join the tail — a
+   * Zipfian slice with vocab 30 000 can have an effective vocabulary of
+   * 40, and THAT is the number token-budget and mixing decisions should
+   * weigh. Both moments are exact int64 sums (one map-side-combined
+   * count, one per-group aggregation), so the single closing division is
+   * engine-portable; `ratio = eff/vocab` (snapped) is the tail-heaviness
+   * score directly comparable across groups.
+   */
+  def effectiveVocab(
+      df: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      dp: Int = 6
+  ): DataFrame = {
+    val tf = df.select(col(groupCol), explode(words(col(textCol))).as("__t"))
+      .groupBy(col(groupCol), col("__t")).agg(count(lit(1)).as("__c"))
+    tf.groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"),
+        round((col("n_tokens").cast("double") * col("n_tokens").cast("double"))
+          / col("__sq").cast("double"), dp).as("eff_vocab"),
+        round(((col("n_tokens").cast("double") * col("n_tokens").cast("double"))
+          / col("__sq").cast("double")) / col("vocab").cast("double"), dp).as("eff_ratio"))
+  }
+
+  /**
    * BURSTY TERMS — the `k` terms with the highest variance-to-mean ratio
    * of their per-document counts (zeros included): a term that spreads
    * evenly (function words) sits near the Poisson baseline 1; a term

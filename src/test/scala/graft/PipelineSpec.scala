@@ -1515,6 +1515,17 @@ class PipelineSpec extends SparkTestBase {
     ds.zip(ds.tail).foreach { case (hi, lo) => lo should be <= hi }
   }
 
+  "TextAnalysis.effectiveVocab" should "score uniform vocab at its size and skewed vocab far below" in {
+    val corpus = Seq(
+      (0L, "en", "a b c d"),         // uniform over 4: eff = 16/4 = 4 (ratio 1)
+      (1L, "de", "x x x x x x x y")  // 7-vs-1 skew: eff = 64/50 = 1.28 over vocab 2
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.effectiveVocab(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out("en") shouldBe ((4L, 4L, 4.0, 1.0))
+    out("de") shouldBe ((8L, 2L, 1.28, 0.64))
+  }
+
   "TextAnalysis.burstyTerms" should "rank clumped terms above evenly-spread ones" in {
     // x clumps (4 in one doc, 0 in the other): VMR = (16/2 − 4)/2 = 2.0
     // y spreads (1 and 3):                     VMR = (10/2 − 4)/2 = 0.5
