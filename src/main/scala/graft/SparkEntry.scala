@@ -1821,7 +1821,8 @@ object SparkEntry {
            |  CASE WHEN i >= $nv THEN $wgt ELSE 0.0::DOUBLE END))), (a, b) -> a + b), 6) AS emax_$nv"""
           .stripMargin
       }
-      s"""WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score FROM events),
+      s"""WITH c AS (SELECT user_id AS prompt_id, event_id AS cand_id, round(value, 2) AS score
+         |           FROM events WHERE value IS NOT NULL),
          |r AS (SELECT prompt_id, score,
          |        row_number() OVER (PARTITION BY prompt_id ORDER BY score, cand_id) AS i,
          |        count(*) OVER (PARTITION BY prompt_id) AS n FROM c)

@@ -82,7 +82,12 @@ object Layout {
       nBuckets: Int = 16
   ): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    val span = (1L << (2 * bits)) / nBuckets
+    val keyspace = 1L << (2 * bits)
+    require(nBuckets <= keyspace,
+      s"nBuckets ($nBuckets) must be <= 4^bits ($keyspace) or slices would be empty")
+    // ceil-division: every key lands in [0, nBuckets), even when nBuckets
+    // does not divide the keyspace (floor would push top keys to bucket == nBuckets)
+    val span = (keyspace + nBuckets - 1) / nBuckets
     df.select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
         mortonKey(col(xCol), col(yCol), bits).as("__z"))
       .groupBy(expr(s"__z div ${span}L").as("bucket"))

@@ -618,14 +618,27 @@ object Star {
   def coPurchasePairs(
       lineitem: DataFrame,
       minSupport: Long = 2L,
-      topK: Int = 50
+      topK: Int = 50,
+      maxItemsPerOrder: Int = 1000
   ): DataFrame = {
     import graft.pipeline.Checkpoints
     import graft.pipeline.Checkpoints.PinOps
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topK >= 1, "topK must be >= 1")
+    require(maxItemsPerOrder >= 2, "maxItemsPerOrder must be >= 2")
     val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().pinned
+    // fan-out guard: the self-join blows up C(items, 2) per order — a hot
+    // order with 10^5 distinct parts would emit ~5·10^9 pairs from ONE key.
+    // Fail loud before the join rather than melt an executor (the same
+    // pre-check discipline as markovTransitions / theilSen).
+    val hot = li.groupBy(col("ok")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxItems = if (hot.isNullAt(0)) 0L else hot.getLong(0)
+    require(maxItems <= maxItemsPerOrder,
+      s"an order holds $maxItems distinct parts (> maxItemsPerOrder=$maxItemsPerOrder): " +
+        s"the pair fan-out would be ~${maxItems * (maxItems - 1) / 2} rows from one order key; " +
+        "raise maxItemsPerOrder explicitly if that blow-up is intended")
     val nOrders = li.select(col("ok")).distinct().count()
     val pc = li.groupBy(col("pk")).agg(count(lit(1)).as("__c"))
     val pairs = li.toDF("ok", "pa")

@@ -318,7 +318,9 @@ object Chat {
     graft.functions.GraftFunctions.register(cands.sparkSession)
     import graft.functions.GraftFunctions.foldSum
     val w = Window.partitionBy(col(promptCol)).orderBy(col(scoreCol).asc, col(candCol).asc)
-    val ranked = cands
+    // null scores would rank first in Spark ASC but last in DuckDB — drop
+    // them defensively (the sibling sft_prefs/sft_adv chains do the same)
+    val ranked = cands.filter(col(scoreCol).isNotNull)
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(promptCol))))
     val iD = col("__i").cast("double")

@@ -1300,8 +1300,12 @@ object Similarity {
     val qRow = pv.filter(col("id") === qid).head(1)
     require(qRow.nonEmpty, s"query id $qid not found")
     val qv = lit(qRow(0).getSeq[Double](1).toArray)
+    // an all-zero projection would make psim 0/0 = NaN, and NaN sorts
+    // ABOVE every real double in a descending order — pin it to -1 so a
+    // degenerate vector can never crowd real candidates out of the shortlist
     val cand = pv
-      .select(col("id"), (fdot(col("__v"), qv) / (fnorm(col("__v")) * fnorm(qv))).as("psim"))
+      .select(col("id"), when(fnorm(col("__v")) === 0, lit(-1.0))
+        .otherwise(fdot(col("__v"), qv) / (fnorm(col("__v")) * fnorm(qv))).as("psim"))
       .orderBy(col("psim").desc, col("id"))
       .limit(nCand)
       .select(col("id"))
@@ -1355,7 +1359,9 @@ object Similarity {
       r.getSeq[Float](1).iterator.map(_.toDouble).toArray
     val picks = scala.collection.mutable.ArrayBuffer((seed(0).getLong(0), 0.0))
     var centers = Vector(vecOf(seed(0)))
-    for (_ <- 2 to k) {
+    var exhausted = false // fewer than k vectors: stop issuing empty-remainder scans
+    var round_ = 2
+    while (round_ <= k && !exhausted) {
       val minD = centers.map { c =>
         sqrt(aggregate(zip_with(col("v"), lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (acc, e) => acc + e))
@@ -1364,10 +1370,13 @@ object Similarity {
       val best = src.filter(!col("id").isin(chosenIds: _*))
         .select(col("id"), col("v"), round(minD, dp).as("d"))
         .orderBy(col("d").desc, col("id")).head(1)
-      best.headOption.foreach { r => // fewer than k vectors: stop early
-        picks += ((r.getLong(0), r.getDouble(2)))
-        centers :+= vecOf(r)
+      best.headOption match {
+        case Some(r) =>
+          picks += ((r.getLong(0), r.getDouble(2)))
+          centers :+= vecOf(r)
+        case None => exhausted = true
       }
+      round_ += 1
     }
     picks.toSeq.zipWithIndex
       .map { case ((id, d), i) => (i + 1L, id, d) }

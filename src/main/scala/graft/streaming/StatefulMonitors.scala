@@ -299,6 +299,13 @@ object StatefulMonitors {
    * batch boundaries. Scale shape: state is 2×5 numbers + a count per
    * key; keys parallelize across executors.
    *
+   * `deterministic = false` folds the batch slice in ITERATOR order —
+   * O(1) per row, no per-batch sort buffer, mirroring [[heavyHitters]]'s
+   * flag: the right posture for a hot key whose single-trigger volume is
+   * itself a memory concern. The P² invariants (marker monotonicity,
+   * count conservation) hold either way; only the exact marker heights —
+   * and therefore replay determinism — depend on arrival order.
+   *
    * Input columns: `(key string, ts long, value double)`. Update mode.
    */
   def quantileMonitor(
@@ -306,7 +313,8 @@ object StatefulMonitors {
       p: Double = 0.5,
       keyCol: String = "key",
       tsCol: String = "ts",
-      valueCol: String = "value"
+      valueCol: String = "value",
+      deterministic: Boolean = true
   ): Dataset[QuantileEstimate] = {
     require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
     val spark = stream.sparkSession
@@ -320,7 +328,9 @@ object StatefulMonitors {
         (key: String, rows: Iterator[(String, Long, Double)],
          state: GroupState[P2State]) =>
           var st = state.getOption.getOrElse(P2State(0L, Vector.empty, Vector.empty))
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, x) =>
+          val ordered =
+            if (deterministic) rows.toSeq.sortBy(r => (r._2, r._3)).iterator else rows
+          ordered.foreach { case (_, _, x) =>
             st = p2Observe(st, x, p)
           }
           state.update(st)

@@ -257,4 +257,16 @@ class ChatSpec extends SparkTestBase {
     r.getDouble(4) shouldBe 3.333333 // 20/6 rounded
     r.getDouble(5) shouldBe 4.0  // emax_N = pool max
   }
+
+  it should "drop null scores before ranking" in {
+    // a null score would rank FIRST in Spark ASC but LAST in DuckDB —
+    // the defensive filter makes the pool identical to the null-free one
+    val withNull = Seq(
+      (1L, 1L, Some(1.0)), (1L, 2L, Some(2.0)), (1L, 3L, Some(3.0)),
+      (1L, 4L, Some(4.0)), (1L, 5L, None)
+    ).toDF("prompt_id", "cand_id", "score")
+    val clean = withNull.filter(col("score").isNotNull)
+    Chat.bestOfN(withNull, ns = Seq(1, 2, 4)).collect() shouldBe
+      Chat.bestOfN(clean, ns = Seq(1, 2, 4)).collect()
+  }
 }

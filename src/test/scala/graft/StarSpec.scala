@@ -139,4 +139,33 @@ class StarSpec extends SparkTestBase {
     // lift(1,2) = 2·3/(3·2) = 1.0, lift(1,3) = 1.0
     out shouldBe Array((1L, 2L, 2L, 1.0), (1L, 3L, 2L, 1.0))
   }
+
+  it should "reject a hot order whose pair fan-out exceeds the guard" in {
+    // one order with 6 distinct parts: C(6,2)=15 pairs is fine normally,
+    // but under maxItemsPerOrder=5 the pre-check must fail LOUD before
+    // the self-join, naming the offending size
+    val hot = (1L to 6L).map(p => (99L, p)).toDF("l_orderkey", "l_partkey")
+    val ex = intercept[IllegalArgumentException] {
+      Star.coPurchasePairs(hot, minSupport = 1L, topK = 10, maxItemsPerOrder = 5)
+    }
+    ex.getMessage should include("6 distinct parts")
+    // the same basket passes with the guard at its size
+    Star.coPurchasePairs(hot, minSupport = 1L, topK = 100, maxItemsPerOrder = 6)
+      .count() shouldBe 15L
+  }
+
+  "Layout.zorderBuckets ceil-span" should "keep bucket ids in [0, nBuckets) when nBuckets does not divide the keyspace" in {
+    import graft.operators.Layout
+    // bits=2 → keyspace 16; nBuckets=3 → span=ceil(16/3)=6: buckets 0,1,2
+    // (floor-division span=5 would put keys 15 into bucket 3)
+    val pts = (for { x <- 0L until 4L; y <- 0L until 4L } yield (x, y)).toDF("x", "y")
+    val ids = Layout.zorderBuckets(pts, "x", "y", bits = 2, nBuckets = 3)
+      .select("bucket").collect().map(_.getLong(0)).sorted
+    ids.head should be >= 0L
+    ids.last should be < 3L
+    // more buckets than keys is a config error, not silent null buckets
+    intercept[IllegalArgumentException] {
+      Layout.zorderBuckets(pts, "x", "y", bits = 2, nBuckets = 20)
+    }
+  }
 }

@@ -276,6 +276,31 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "agree with the unordered fold on a tie-free one-row-per-batch stream" in {
+    import graft.streaming.StatefulMonitors
+    implicit val sqlc = spark.sqlContext
+    // one row per micro-batch: iterator order is trivially the arrival
+    // order, so deterministic=false must walk the IDENTICAL P² recurrence
+    // — the flag only skips the per-batch sort buffer
+    val xs = Seq(5.0, 1.0, 7.0, 3.0, 9.0, 2.0, 8.0, 4.0, 6.0, 0.0)
+    def run(det: Boolean): Seq[(Long, Double)] = {
+      val input = MemoryStream[(String, Long, Double)]
+      val cp    = Files.createTempDirectory("graft_p2_det_").toString
+      val name  = s"p2_det_$det"
+      val q = StatefulMonitors.quantileMonitor(
+          input.toDF().toDF("key", "ts", "value"), p = 0.5, deterministic = det)
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", s"$cp/cp").start()
+      try {
+        xs.zipWithIndex.foreach { case (x, i) =>
+          input.addData(("m", i.toLong, x)); q.processAllAvailable()
+        }
+        spark.table(name).collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      } finally q.stop()
+    }
+    run(det = true) shouldBe run(det = false)
+  }
+
   it should "replay deterministically for the same batch boundaries" in {
     import graft.streaming.P2State
     import graft.streaming.StatefulMonitors.{p2Estimate, p2Observe}
