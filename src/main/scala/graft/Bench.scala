@@ -79,7 +79,13 @@ object Bench {
     // the first timed query — warm the general engine path (g_count) AND
     // the first query in sweep order, which otherwise still absorbed the
     // residual one-time costs and tripped the UNSTABLE flag on its run 1
-    (Seq("g_count" -> SparkEntry.queries("g_count")) ++ selected.headOption).foreach {
+    // ...plus queries with a DESIGNED one-time setup cost (tx_bpeenc
+    // memoizes its BPE training on first call so later runs time encode
+    // alone) — without this warmup their run 1 records the setup and
+    // falsely trips the UNSTABLE flag
+    val oneTimeSetup = Set("tx_bpeenc")
+    (Seq("g_count" -> SparkEntry.queries("g_count")) ++ selected.headOption ++
+      selected.filter(q => oneTimeSetup(q._1))).foreach {
       case (_, fn) =>
         try { val df = fn(spark, sfDir); df.count(); Checkpoints.free(df) }
         catch { case _: Throwable => () }
@@ -141,12 +147,16 @@ object Bench {
     val total = results.map(_._2).sum
     val line  =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}"""
-    println(line)
     // the line can exceed what a log-tail capture keeps (200 queries wide),
     // so persist it too: one identical JSON line, overwritten per run
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+    // stop Spark BEFORE printing: shutdown logging otherwise lands after
+    // the JSON in a merged stdout+stderr capture, and a tail-based driver
+    // parse then misses the line — the JSON must be the LAST output
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -25,6 +25,11 @@ object SparkEntry {
   implicit private val tc: TimeContext = TimeContext(Now)
 
   // fixed temporal window for interval queries (within the events range at all SFs)
+  // trained BPE merge rules per sfDir (see tx_bpeenc): lets the bench's
+  // min-of-runs isolate the encode phase without retiming training
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
   private val T1   = 1704500000000L
   private val T2   = 1706500000000L
   private val Day  = 86400000L
@@ -1211,6 +1216,17 @@ object SparkEntry {
     "tx_bpeapply" -> ((s, d) => {
       val m = TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), m).orderBy("doc_id")
+    }),
+    // ENCODE-ONLY half of the loop: the trained merges memoize per sfDir,
+    // so the bench's min-of-runs floor times bpeEncode alone (run 1 pays
+    // train once; later runs replay the cached rules) — a regression now
+    // bisects mechanically: tx_bpemerge = train, tx_bpeenc = encode,
+    // tx_bpeapply = the closed loop a cold tokenizer pipeline pays
+    "tx_bpeenc" -> ((s, d) => {
+      val m = bpeMergesCache.getOrElseUpdate(d,
+        TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
       TextAnalysis.bpeEncode(docs(s, d), m).orderBy("doc_id")
     }),
     // tokenizer fertility panel: BPE tokens-per-word by language — the
@@ -2903,6 +2919,7 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " "),
     "tx_bpemerge" -> OracleGen.bpeTrainSql(merges = 8),
     "tx_bpeapply" -> OracleGen.bpeEncodeSql(merges = 8),
+    "tx_bpeenc" -> OracleGen.bpeEncodeSql(merges = 8),
     "tx_fert"     -> OracleGen.bpeFertilitySql(merges = 8),
     "tx_nbmodel"  -> OracleGen.nbModelSql(topK = 20),
     "tx_nbconf"   -> OracleGen.nbConfusionSql,
