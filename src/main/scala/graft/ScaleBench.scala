@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Checkpoints
+
+/** Scale-probe harness: measures how the flagship scale-path queries grow
+  * as the data grows, converting "scale-safe by design" plan arguments
+  * into a measured scaling exponent per query.
+  *
+  * Sweeps the probe queries over the base sfDir (1×) and `ScaleGen`-built
+  * 3× and 10× replicas, takes the min-of-runs floor at each scale, and
+  * reports the 10×/1× time ratio plus the log-log slope fitted through
+  * the three points (slope ≈ 1 = linear; the probe flags anything whose
+  * ratio exceeds `factor^1.3`, i.e. clearly superlinear growth beyond
+  * constant-overhead noise). Writes `BENCH_SCALE.json` and prints the
+  * same JSON as the LAST stdout line.
+  *
+  * The probe set is the flagship of each scale-critical family: MinHash
+  * LSH dedup pairs + their connected-component clusters, IVF and
+  * LSH-join ANN, the BM25 indexed build+query, the full curation mix,
+  * the basket self-join, and incremental rollup maintenance.
+  *
+  * Usage: `runMain graft.ScaleBench <baseSfDir> <workDir> [runs]`
+  * (workDir holds the generated x3/x10 replicas; reused if present).
+  */
+object ScaleBench {
+
+  val probeQueries: Seq[String] = Seq(
+    "d_minhash", "d_cc", "ann_ivf", "ann_join",
+    "rt_bm25_idx", "tx_mix", "st_basket", "roll_maint")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val runs    = if (args.length > 2) args(2).toInt else 3
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // default sweep 1/3/10/30: the 30x tail point separates data-driven
+    // growth from the ~0.3-0.5 s fixed per-query overhead that dominates
+    // small scales and would otherwise flatter the fitted exponent
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    require(factors.contains(1) && factors.contains(10),
+      "factors must include 1 and 10 (the reported ratio10 baseline)")
+    val dirs = factors.map {
+      case 1 => 1 -> baseDir
+      case f =>
+        val dir = s"$workDir/x$f"
+        if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+          System.err.println(s"[scale] generating ${f}x replica at $dir")
+          ScaleGen.generate(spark, baseDir, dir, f)
+        }
+        f -> dir
+    }
+
+    // warmup: pay JVM/codegen startup outside the timed region
+    SparkEntry.queries("g_count")(spark, baseDir).count()
+
+    // scale-major order (all queries at 1x, then 3x, then 10x): each
+    // query's plans JIT at the small scale first, so the large-scale
+    // floors measure data growth, not compilation
+    val times = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    var failed = List.empty[(String, Int, String)]
+    for ((f, dir) <- dirs; name <- probeQueries) {
+      val fn = SparkEntry.queries(name)
+      var rows = -1L
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, dir)
+          rows = df.count()
+          Checkpoints.free(df)
+        } catch {
+          case e: Throwable =>
+            failed ::= ((name, f, String.valueOf(e.getMessage).take(200)))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = ts.min
+      System.err.println(f"[scale] x$f%-3d $name%-12s $best%8.3f s  rows=$rows%-9d " +
+        s"runs=[${ts.map(t => f"$t%.3f").mkString(",")}]")
+      times.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)(f) = best
+    }
+
+    // per-query growth: 10x/1x ratio and the least-squares log-log slope
+    // through (log f, log t) — the empirical scaling exponent
+    def slope(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val report = probeQueries.map { name =>
+      val t  = times(name)
+      val r  = t(10) / t(1)
+      val ex = slope(factors.map(f => (math.log(f.toDouble), math.log(math.max(t(f), 1e-4)))))
+      (name, t, r, ex)
+    }
+    val superlinear = report.filter { case (_, _, r, _) => r > math.pow(10.0, 1.3) }
+    superlinear.foreach { case (n, _, r, ex) =>
+      System.err.println(f"[scale] SUPERLINEAR $n: 10x data -> $r%.1fx time (exponent $ex%.2f)")
+    }
+
+    def jnum(d: Double) = f"$d%.3f"
+    val perQ = report.map { case (name, t, r, ex) =>
+      s""""$name":{${factors.map(f => s""""x$f":${jnum(t(f))}""").mkString(",")},""" +
+        s""""ratio10":${jnum(r)},"exponent":${jnum(ex)}}"""
+    }.mkString("{", ",", "}")
+    val fails = failed.reverse.map { case (n, f, m) =>
+      s"""{"query":"$n","factor":$f,"error":"${m.replace("\"", "'")}"}"""
+    }.mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"scale_probe","base":"$baseDir","factors":[${factors.mkString(",")}],"runs":$runs,""" +
+        s""""queries":$perQ,"superlinear":${superlinear.size},"failures":$fails}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[scale] write failed: ${e.getMessage}") }
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

@@ -94,8 +94,30 @@ final case class MetricRef(
   * runs as `approx_count_distinct` (HyperLogLog++, relative sd = the
   * value) instead of the exact shuffle-heavy form — the documented 100 TB
   * opt-in (SURVEY §7.4: the reference is exact via per-shard sets; exact
-  * stays the default for parity). */
-final case class ExecConfig(approxDistinctRsd: Option[Double] = None)
+  * stays the default for parity).
+  *
+  * `emitEmptyBuckets`: temporal buckets with no matching rows emit
+  * anyway — value 0 for COUNT/COUNT DISTINCT/SUM/MIN/MAX, null otherwise
+  * — matching the reference's Lucene range facets, which report EVERY
+  * declared range (`FacetRangeIndex.executeRangeFacet:42-77` builds one
+  * `LongRange` per computed bucket and `labelValues` returns them all,
+  * zero-count ranges included; empty min/max facets report 0, the origin
+  * of the documented min-zero merge quirk). Default off: emitting only
+  * populated buckets is the natural groupBy semantics and what the
+  * oracle checks.
+  *
+  * `anchorUnboundedAtNow`: a temporal query with NO time predicate
+  * anchors its newest bucket at the query's `now` (`TimeContext
+  * .currentTime`, clamped no earlier than the data's max) instead of the
+  * data/shard upper bound — matching the reference, whose unbounded
+  * buckets anchor at the LIVE shard location's interval end (≈ wall
+  * clock) rather than the newest point (`ReadCoordinator.scala:259-272`:
+  * `upperBound = limitedLocations.last.to`). Default off: data-bound
+  * anchoring keeps results reproducible across re-runs. */
+final case class ExecConfig(
+    approxDistinctRsd: Option[Double] = None,
+    emitEmptyBuckets: Boolean = false,
+    anchorUnboundedAtNow: Boolean = false)
 
 object Executor {
 
@@ -371,15 +393,20 @@ object Executor {
     // bounds (metadata-only, mirrors `ReadCoordinator.scala:252-272` using
     // location bounds); else — unsharded in-memory metrics — a min/max scan
     val rawSpans = TimeBuckets.extractSpans(p.where, tc)
+    // unbounded parity opt-in: anchor the newest bucket at the query's
+    // `now` (clamped to cover the data) like the reference's live-shard
+    // location end, instead of the data/shard max (see ExecConfig)
+    def anchored(lo: Long, hi: Long): Span =
+      if (cfg.anchorUnboundedAtNow) Span(lo, math.max(hi, tc.currentTime)) else Span(lo, hi)
     val spans0 =
       if (rawSpans.nonEmpty) rawSpans
       else m.shard.flatMap(_.liveBounds) match {
-        case Some((lo, hi)) => Seq(Span(lo, hi))
+        case Some((lo, hi)) => Seq(anchored(lo, hi))
         case None =>
           val bounds: Array[Row] =
             filtered(m, p.where, tc).agg(min(col("timestamp")), max(col("timestamp"))).collect()
           bounds.headOption match {
-            case Some(r) if !r.isNullAt(0) => Seq(Span(r.getLong(0), r.getLong(1)))
+            case Some(r) if !r.isNullAt(0) => Seq(anchored(r.getLong(0), r.getLong(1)))
             case _                         => Seq.empty
           }
       }
@@ -454,14 +481,40 @@ object Executor {
           .select(col("upperBound").as("timestamp"), col("lowerBound"), col("upperBound"), col("value"))
     }
 
+    // empty-bucket parity opt-in: left-join the full bucket lattice so
+    // zero-row buckets emit like the reference's range facets (ExecConfig
+    // scaladoc). The lattice is `spark.range`-generated — distributed,
+    // never a driver-side materialization, so a year of 1s buckets stays
+    // a 31M-row range scan, not a collect.
+    val withEmpty =
+      if (!cfg.emitEmptyBuckets) grouped
+      else {
+        val spark = m.df.sparkSession
+        val lattice = spans.map { s =>
+          val nB = TimeBuckets.bucketCount(s, len)
+          val upper = lit(s.hi) - col("id") * lit(len)
+          spark.range(nB).select(upper.as("upperBound"),
+            greatest(lit(s.lo), upper - lit(len)).as("lowerBound"))
+        }.reduce(_ unionByName _)
+        val zeroFill = p.agg match {
+          // Lucene count/sum/min-max facets report 0 over an empty range
+          case _: CountAgg | _: CountDistinctAgg => Some(lit(0L))
+          case _: SumAgg | _: MinAgg | _: MaxAgg => Some(lit(0).cast(valueType))
+          case _                                 => None // avg/first/last: null
+        }
+        val filled = lattice.join(grouped.drop("timestamp"), Seq("lowerBound", "upperBound"), "left")
+        zeroFill.fold(filled)(z => filled.withColumn("value", coalesce(col("value"), z)))
+          .select(col("upperBound").as("timestamp"), col("lowerBound"), col("upperBound"), col("value"))
+      }
+
     // default ordering is timestamp asc; LIMIT without explicit order keeps
     // the LAST v buckets (reference: `post_proc.applyOrderingWithLimit:56-94`)
     val desc = p.order.exists(_.desc)
     (p.limit, desc) match {
       case (Some(v), false) =>
-        grouped.orderBy(col("timestamp").desc).limit(v).orderBy(col("timestamp").asc)
-      case (Some(v), true) => grouped.orderBy(col("timestamp").desc).limit(v)
-      case (None, d)       => grouped.orderBy(if (d) col("timestamp").desc else col("timestamp").asc)
+        withEmpty.orderBy(col("timestamp").desc).limit(v).orderBy(col("timestamp").asc)
+      case (Some(v), true) => withEmpty.orderBy(col("timestamp").desc).limit(v)
+      case (None, d)       => withEmpty.orderBy(if (d) col("timestamp").desc else col("timestamp").asc)
     }
   }
 

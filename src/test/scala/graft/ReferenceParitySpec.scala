@@ -13,10 +13,12 @@ import graft.plan.TimeContext
  * (`ReadCoordinatorAggregatedStatementsSpec.scala`,
  * `ReadCoordinatorTemporalAggregatedStatementsSpec.scala`).
  *
- * Known intentional deviations (documented in COVERAGE.md): empty temporal
+ * Default-behavior deviations (documented in COVERAGE.md): empty temporal
  * buckets are not emitted, and unbounded temporal queries anchor at the
- * data/shard bounds rather than wall-clock now — so the ported temporal
- * cases use explicit time ranges.
+ * data/shard bounds rather than wall-clock now. Both are closed by the
+ * `ExecConfig(emitEmptyBuckets, anchorUnboundedAtNow)` opt-ins — the
+ * `parityEngine` cases at the bottom reproduce the reference's exact
+ * emissions with the flags on; defaults are unchanged.
  */
 class ReferenceParitySpec extends SparkTestBase {
 
@@ -322,5 +324,60 @@ class ReferenceParitySpec extends SparkTestBase {
     run("select sum(value) from temporalMetric where timestamp in (0, 160000) group by interval 30 s")
       .map(r => (r.getAs[Long]("upperBound"), r.getAs[Long]("value"))) shouldBe
       Seq((10000L, 1L), (40000L, 4L), (70000L, 7L), (100000L, 5L), (130000L, 3L), (160000L, 2L))
+  }
+
+  // ---- the two documented temporal deviations, closed by opt-in flags ------
+
+  /** Engine with the parity flags ON: empty buckets emit, and unbounded
+    * temporal queries anchor at the query `now` — standing in for the
+    * reference's LIVE shard location end (its fixture locations span
+    * [0, 190000], `AbstractTemporalReadCoordinatorSpec.scala:29-30`, so
+    * the unbounded upper bound is 190000 regardless of the data max
+    * 150000). The two reference cases below are reproduced EXACTLY. */
+  private lazy val parityEngine: GraftEngine = {
+    val e = new GraftEngine(spark,
+      execConfig = graft.exec.ExecConfig(emitEmptyBuckets = true, anchorUnboundedAtNow = true))
+    e.registerMetric("db", "ns", "temporalMetric", temporalMetric, col("timestamp"), col("value"), tags = Set("name"))
+    e
+  }
+  private def runParity(q: String): Seq[Row] =
+    parityEngine.sql("db", "ns", q)(TimeContext(190000L))
+      .fold(err => fail(err), _.collect().toSeq)
+
+  it should "reproduce the UNBOUNDED 30s count including the trailing empty bucket (temporal spec lines 31-63)" in {
+    runParity("select count(*) from temporalMetric group by interval 30 s")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("lowerBound"),
+        r.getAs[Long]("upperBound"), r.getAs[Long]("value"))) shouldBe Seq(
+      (10000L, 0L, 10000L, 1L),
+      (40000L, 10000L, 40000L, 1L),
+      (70000L, 40000L, 70000L, 1L),
+      (100000L, 70000L, 100000L, 1L),
+      (130000L, 100000L, 130000L, 1L),
+      (160000L, 130000L, 160000L, 1L),
+      (190000L, 160000L, 190000L, 0L))
+  }
+
+  it should "reproduce the 20s count whose ranges contain empty buckets (temporal spec lines 184-220)" in {
+    runParity("select count(value) from temporalMetric group by interval 20 s")
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[Long]("lowerBound"),
+        r.getAs[Long]("upperBound"), r.getAs[Long]("value"))) shouldBe Seq(
+      (10000L, 0L, 10000L, 1L),
+      (30000L, 10000L, 30000L, 1L),
+      (50000L, 30000L, 50000L, 0L),
+      (70000L, 50000L, 70000L, 1L),
+      (90000L, 70000L, 90000L, 1L),
+      (110000L, 90000L, 110000L, 0L),
+      (130000L, 110000L, 130000L, 1L),
+      (150000L, 130000L, 150000L, 1L),
+      (170000L, 150000L, 170000L, 0L),
+      (190000L, 170000L, 190000L, 0L))
+  }
+
+  it should "keep the default flags-off emission unchanged (populated buckets, data-max anchor)" in {
+    // same unbounded query through the DEFAULT engine: six populated
+    // buckets anchored at the data max — the deviation the flags close
+    run("select count(*) from temporalMetric group by interval 30 s")
+      .map(r => (r.getAs[Long]("upperBound"), r.getAs[Long]("value"))) shouldBe
+      Seq((30000L, 2L), (60000L, 1L), (90000L, 1L), (120000L, 1L), (150000L, 1L))
   }
 }
