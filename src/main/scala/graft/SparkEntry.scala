@@ -922,6 +922,15 @@ object SparkEntry {
       val ev = evUsAll(s, d).select("user_id", "event_type", "value")
       graft.operators.Relational.abTestReport(ev, "purchase")
     }),
+    // CUPED variance-reduced readout of the same experiment: event-count
+    // covariate, regression-adjusted arm means + achieved R-squared
+    "ev_cuped" -> ((s, d) => {
+      val ev = evUsAll(s, d).select("user_id", "event_type", "value")
+      graft.operators.Relational.cupedReport(ev, "purchase")
+    }),
+    // sample-ratio-mismatch health check on the deterministic 50/50 split
+    "ev_srm" -> ((s, d) =>
+      graft.operators.Relational.srmCheck(evUsAll(s, d).select("user_id"))),
     // Pareto concentration: share of events from the top 20% of users
     "ev_powerusers" -> ((s, d) =>
       graft.operators.Relational.powerUserConcentration(
@@ -1054,6 +1063,27 @@ object SparkEntry {
     // report that decides plain shuffle vs AQE skew split vs salting
     "st_skew" -> ((s, d) =>
       graft.operators.Relational.joinSkewReport(tbl(s, d, "lineitem"), "l_orderkey")),
+    // SALTED two-phase aggregation EQUALITY gate: the hot-key spreading
+    // rewrite must be result-identical to the plain groupBy (l_quantity
+    // is integral, so partial-sum reassociation is exact) — the oracle is
+    // deliberately the UNSALTED SQL
+    "st_salted" -> ((s, d) =>
+      graft.pipeline.Skew.saltedSum(tbl(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity", saltFactor = 16)
+        .withColumnRenamed("sum", "sum_qty")
+        .orderBy("l_returnflag", "l_linestatus")),
+    // SALTED replicated-right join equality gate: salt-split left x
+    // salt-replicated right must reproduce the plain join's aggregate
+    "st_saltjoin" -> ((s, d) => {
+      val urgent = tbl(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.pipeline.Skew.saltedJoin(
+          tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+          urgent.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", saltFactor = 8)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").cast("long").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     // Z-order layout evidence: 16 fixed Morton-keyspace slices of
     // (partkey, suppkey) with each slice's bounding box on BOTH columns —
     // tight boxes on both axes are the row-group-skipping win
@@ -2678,6 +2708,17 @@ object SparkEntry {
         |ORDER BY a.ym""".stripMargin.replace("\n", " "),
     // join skew: exact count-of-counts histogram; p99 = smallest class
     // size whose cumulative key count reaches ceil(0.99·n), integer math
+    // salted aggregation: the oracle is the PLAIN group-by — equality IS
+    // the property under test
+    "st_salted" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // salted join: plain join + aggregate
+    "st_saltjoin" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines, sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "st_skew" ->
       """WITH cls AS (SELECT l_orderkey, count(*)::BIGINT AS c FROM lineitem GROUP BY 1),
         |h AS (SELECT c, count(*)::BIGINT AS m FROM cls GROUP BY c),
@@ -2870,6 +2911,53 @@ object SparkEntry {
         |    / sqrt(((qa - sa * sa / n_a::DOUBLE) / (n_a - 1)::DOUBLE) / n_a::DOUBLE
         |         + ((qb - sb * sb / n_b::DOUBLE) / (n_b - 1)::DOUBLE) / n_b::DOUBLE)
         |  ELSE NULL END AS t_stat
+        |FROM a""".stripMargin.replace("\n", " "),
+    // CUPED: six pooled sums + per-arm sums, theta = cov/var, adjusted
+    // means replayed in the engine's exact arithmetic order
+    "ev_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS y,
+        |  count(*)::BIGINT AS x, user_id % 2 AS arm FROM events GROUP BY user_id),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, round(sum(y), 6) AS sy,
+        |  sum(x * x)::BIGINT AS sxx, round(sum(x::DOUBLE * y), 6) AS sxy,
+        |  round(sum(y * y), 6) AS syy,
+        |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |  sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sxa,
+        |  sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sxb,
+        |  round(sum(CASE WHEN arm = 0 THEN y ELSE 0.0 END), 6) AS sya,
+        |  round(sum(CASE WHEN arm = 1 THEN y ELSE 0.0 END), 6) AS syb FROM u),
+        |c AS (SELECT *,
+        |  sxy - sx::DOUBLE * sy / n::DOUBLE AS cov_xy,
+        |  sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS var_x,
+        |  syy - sy * sy / n::DOUBLE AS var_y,
+        |  sx::DOUBLE / n::DOUBLE AS mx FROM g),
+        |f AS (SELECT *, cov_xy / var_x AS theta,
+        |  (var_y - cov_xy * cov_xy / var_x) / (n - 1)::DOUBLE AS var_adj,
+        |  sya / n_a::DOUBLE - (cov_xy / var_x) * (sxa::DOUBLE / n_a::DOUBLE - mx) AS adj_a,
+        |  syb / n_b::DOUBLE - (cov_xy / var_x) * (sxb::DOUBLE / n_b::DOUBLE - mx) AS adj_b FROM c)
+        |SELECT n_a, n_b,
+        |  CASE WHEN var_x > 0 THEN round(theta, 6) END AS theta,
+        |  CASE WHEN var_x > 0 AND var_y > 0 THEN round(cov_xy * cov_xy / (var_x * var_y), 6) END AS r2,
+        |  CASE WHEN var_x > 0 AND n_a > 0 THEN round(adj_a, 6) END AS adj_mean_a,
+        |  CASE WHEN var_x > 0 AND n_b > 0 THEN round(adj_b, 6) END AS adj_mean_b,
+        |  CASE WHEN var_x > 0 AND n_a > 0 AND n_b > 0 THEN round(adj_b - adj_a, 6) END AS adj_lift,
+        |  CASE WHEN var_x > 0 AND n_a > 1 AND n_b > 1 AND var_adj > 0
+        |    THEN round((adj_b - adj_a) / sqrt(var_adj / n_a::DOUBLE + var_adj / n_b::DOUBLE), 6)
+        |  END AS t_stat
+        |FROM f""".stripMargin.replace("\n", " "),
+    // SRM: distinct users, integer arm counts, z and z-squared
+    "ev_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b FROM u)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    round((n_b - n_a)::DOUBLE / sqrt((n_a + n_b)::DOUBLE), 6) END AS srm_z,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    round(((n_b - n_a)::DOUBLE / sqrt((n_a + n_b)::DOUBLE))
+        |        * ((n_b - n_a)::DOUBLE / sqrt((n_a + n_b)::DOUBLE)), 6) END AS srm_chi2
         |FROM a""".stripMargin.replace("\n", " "),
     // Pareto share: k = ceil(0.2 * n) via the same IEEE product; rank-
     // select mirrors the engine's (count desc, user) TakeOrdered cut

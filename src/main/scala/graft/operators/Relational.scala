@@ -770,6 +770,112 @@ object Relational {
   }
 
   /**
+   * CUPED-ADJUSTED A/B REPORT (Deng et al. 2013, "Improving the
+   * Sensitivity of Online Controlled Experiments"): regression-adjust the
+   * per-user metric with a pre-experiment covariate —
+   * `Y' = Y − θ(X − mean(X))`, `θ = cov(X,Y)/var(X)` pooled across arms —
+   * the industry-standard variance-reduction that shrinks required sample
+   * sizes by the metric's covariate R². The covariate here is the user's
+   * total event COUNT (exact integer, no pre-period boundary to agree
+   * on); the metric is the user's 2-dp-rounded value sum over
+   * `metricEvent` rows — [[abTestReport]]'s exact spelling, so the two
+   * reports compare like-for-like. Arms split deterministically by
+   * `user_id % 2` (the fixture convention).
+   *
+   * Emits one row: θ, the covariate R² (= achieved variance-reduction
+   * fraction), per-arm ADJUSTED means, adjusted lift, and the adjusted
+   * t-statistic. Degenerate guards mirror [[abTestReport]]: NULL (never
+   * inf/NaN) when an arm is empty/singleton or var(X) = 0.
+   *
+   * Determinism: everything reduces to six global sums (n, ΣX, ΣY, ΣX²,
+   * ΣXY, ΣY²) plus per-arm (n, ΣX, ΣY) — each rounded to 6 dp at the
+   * aggregate exactly like the sibling report, so both engines fold the
+   * same doubles; θ/means/t are a fixed arithmetic tree over those.
+   * Scale shape: one map-side-combined per-user aggregation, one global
+   * fold. Nothing per-user survives the second aggregation.
+   */
+  def cupedReport(
+      events: DataFrame,
+      metricEvent: String,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        round(sum(when(col(typeCol) === metricEvent, col(valueCol)).otherwise(0.0)), 2).as("__y"),
+        count(lit(1)).as("__x"))
+      .withColumn("__arm", pmod(col(userCol), lit(2L)))
+    val x = col("__x").cast("double")
+    val g = perUser.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), // exact integer
+      round(sum(col("__y")), 6).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"), // exact integer
+      round(sum(x * col("__y")), 6).as("sxy"),
+      round(sum(col("__y") * col("__y")), 6).as("syy"),
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 0L, col("__x")).otherwise(0L)).as("sxa"),
+      sum(when(col("__arm") === 1L, col("__x")).otherwise(0L)).as("sxb"),
+      round(sum(when(col("__arm") === 0L, col("__y")).otherwise(0.0)), 6).as("sya"),
+      round(sum(when(col("__arm") === 1L, col("__y")).otherwise(0.0)), 6).as("syb"))
+    val n  = col("n").cast("double")
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val naD = na.cast("double"); val nbD = nb.cast("double")
+    val mx  = col("sx").cast("double") / n
+    val covXY = col("sxy") - col("sx").cast("double") * col("sy") / n
+    val varX  = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n
+    val varY  = col("syy") - col("sy") * col("sy") / n
+    val theta = covXY / varX
+    val r2    = covXY * covXY / (varX * varY)
+    // adjusted arm mean: mean_arm(Y) − θ·(mean_arm(X) − mean(X))
+    val adjA = col("sya") / naD - theta * (col("sxa").cast("double") / naD - mx)
+    val adjB = col("syb") / nbD - theta * (col("sxb").cast("double") / nbD - mx)
+    // adjusted pooled variance: var(Y)·(1 − R²) / (n−1), per arm via the
+    // pooled residual variance (the standard CUPED t approximation)
+    val varAdj = (varY - covXY * covXY / varX) / (n - 1.0)
+    val ok = varX > 0.0
+    g.select(
+      na, nb,
+      when(ok, round(theta, 6)).as("theta"),
+      when(ok && varY > 0.0, round(r2, 6)).as("r2"),
+      when(ok && na > 0L, round(adjA, 6)).as("adj_mean_a"),
+      when(ok && nb > 0L, round(adjB, 6)).as("adj_mean_b"),
+      when(ok && na > 0L && nb > 0L, round(adjB - adjA, 6)).as("adj_lift"),
+      // varAdj can round to a hair below zero when the covariate explains
+      // ~all variance — guard the sqrt, don't emit NaN
+      when(ok && na > 1L && nb > 1L && varAdj > 0.0,
+        round((adjB - adjA) / sqrt(varAdj / naD + varAdj / nbD), 6)).as("t_stat"))
+  }
+
+  /**
+   * SAMPLE-RATIO-MISMATCH CHECK — the first gate every experiment readout
+   * must pass: with a deterministic 50/50 split (`user_id % 2`), is the
+   * realized arm imbalance within chance? Emits the arm counts, the
+   * imbalance z-score `(n_b − n_a)/√n` and the χ² statistic `z²`; |z| > 3
+   * (χ² > 9) is the conventional "diagnose the assignment pipeline before
+   * reading the metric" alarm. One count-only aggregation; integer until
+   * the final two float ops.
+   */
+  def srmCheck(
+      events: DataFrame,
+      userCol: String = "user_id"
+  ): DataFrame = {
+    val arms = events.select(col(userCol)).distinct()
+      .groupBy()
+      .agg(
+        sum(when(pmod(col(userCol), lit(2L)) === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col(userCol), lit(2L)) === 1L, 1L).otherwise(0L)).as("n_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val z = (col("n_b") - col("n_a")).cast("double") / sqrt(n)
+    arms.select(col("n_a"), col("n_b"),
+      when(n > 0.0, round(z, 6)).as("srm_z"),
+      when(n > 0.0, round(z * z, 6)).as("srm_chi2"))
+  }
+
+  /**
    * GINI COEFFICIENT of per-key activity — the standard concentration
    * measure over the event log (0 = everyone equally active, → 1 = all
    * activity from one key), the summary number behind

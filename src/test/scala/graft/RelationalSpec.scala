@@ -538,6 +538,44 @@ class RelationalSpec extends SparkTestBase {
     r.isNullAt(4) shouldBe true
   }
 
+  "Relational.cupedReport" should "regression-adjust arm means with the event-count covariate" in {
+    // X (counts) = [2,1,3,2], Y (purchase sums) = [10,30,20,50]:
+    // cov = 210-220 = -10, varX = 18-16 = 2 -> theta = -5, mx = 2
+    // adjA = 15 - (-5)(2.5-2) = 17.5, adjB = 40 - (-5)(1.5-2) = 37.5
+    // varAdj = (875 - 50)/3 = 275 -> t = 20/sqrt(275) = 1.206045
+    val ev = Seq(
+      (0L, "purchase", 10.0), (0L, "view", 0.0),
+      (1L, "purchase", 30.0),
+      (2L, "purchase", 15.0), (2L, "purchase", 5.0), (2L, "view", 0.0),
+      (3L, "purchase", 50.0), (3L, "view", 0.0)
+    ).toDF("user_id", "event_type", "value")
+    val r = Relational.cupedReport(ev, "purchase").head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((2L, 2L))
+    r.getDouble(2) shouldBe -5.0           // theta
+    r.getDouble(3) shouldBe 0.057143       // r2 = 100/1750
+    r.getDouble(4) shouldBe 17.5           // adj_mean_a
+    r.getDouble(5) shouldBe 37.5           // adj_mean_b
+    r.getDouble(6) shouldBe 20.0           // adj_lift
+    r.getDouble(7) shouldBe 1.206045       // 20/sqrt(275), 6 dp
+  }
+
+  it should "null theta when the covariate is constant (varX = 0)" in {
+    val ev = Seq((0L, "purchase", 1.0), (1L, "purchase", 2.0)).toDF("user_id", "event_type", "value")
+    val r = Relational.cupedReport(ev, "purchase").head()
+    r.isNullAt(2) shouldBe true
+    r.isNullAt(6) shouldBe true
+  }
+
+  "Relational.srmCheck" should "flag the arm imbalance z over distinct users" in {
+    // users 0..4 (dupe rows collapse): 3 even vs 2 odd
+    // z = (2-3)/sqrt(5) = -0.447214, chi2 = 0.2
+    val ev = Seq(0L, 1L, 2L, 3L, 4L, 4L, 2L).toDF("user_id")
+    val r = Relational.srmCheck(ev).head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 2L))
+    r.getDouble(2) shouldBe -0.447214
+    r.getDouble(3) shouldBe 0.2
+  }
+
   "Relational.abTestReport" should "null the t statistic when an arm is degenerate (n <= 1)" in {
     // only odd ids: arm A is empty, arm B has one user — no sample variance
     val ev = Seq((1L, "purchase", 30.0)).toDF("user_id", "event_type", "value")
