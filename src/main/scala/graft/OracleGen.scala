@@ -278,6 +278,27 @@ object OracleGen {
        |SELECT id AS doc_id, count(*)::BIGINT AS n_triangles
        |FROM m GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Graph.adamicAdar]]: symmetrized adjacency,
+    * integer degrees, wedge join on the shared neighbor, existing edges
+    * anti-joined out, and the per-pair 1/ln(deg) fold over the common
+    * neighbors sorted ascending by id — the engine's exact IEEE order. */
+  def adamicAdarSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                    maxBucket: Int, topK: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |aae AS (SELECT DISTINCT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |aaj AS (SELECT id_a AS id, id_b AS nb FROM aae UNION ALL SELECT id_b, id_a FROM aae),
+       |aad AS (SELECT id, count(*)::BIGINT AS d FROM aaj GROUP BY id),
+       |aaw AS (SELECT x.id AS id_a, y.id AS id_b, x.nb AS via
+       |      FROM aaj x JOIN aaj y ON x.nb = y.nb AND x.id < y.id
+       |      WHERE NOT EXISTS (SELECT 1 FROM aae WHERE aae.id_a = x.id AND aae.id_b = y.id)),
+       |aas AS (SELECT aaw.id_a, aaw.id_b, count(*)::BIGINT AS n_common,
+       |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(list(dg.d ORDER BY aaw.via), dd -> 1.0 / ln(dd))),
+       |          (a, b) -> a + b), 6) AS aa
+       |      FROM aaw JOIN aad dg ON dg.id = aaw.via GROUP BY aaw.id_a, aaw.id_b)
+       |SELECT id_a, id_b, n_common, aa FROM aas
+       |ORDER BY aa DESC, id_a, id_b LIMIT $topK""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.operators.Graph.kCore]]: the same FIXED round count
     * unrolled as CTEs — round t keeps nodes with ≥ k neighbors in round
     * t−1's survivor set; the tail re-derives degree within the final set. */

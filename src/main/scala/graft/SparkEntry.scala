@@ -251,6 +251,10 @@ object SparkEntry {
     "d_tricount" -> ((s, d) =>
       graft.operators.Graph.triangleCounts(Dedup.minhashLshPairs(docs(s, d), 0.5))
         .orderBy("doc_id")),
+    // Adamic-Adar link prediction over the near-dup graph: the non-edges
+    // most likely to be LSH-banding misses, ranked for an exact-verify pass
+    "d_adamic" -> ((s, d) =>
+      graft.operators.Graph.adamicAdar(Dedup.minhashLshPairs(docs(s, d), 0.5), topK = 50)),
     // per-doc local clustering coefficient: clique-family (lcc→1) vs
     // shared-fragment-hub (lcc→0) topology over the same near-dup graph
     "d_lcc" -> ((s, d) =>
@@ -1274,6 +1278,9 @@ object SparkEntry {
     }),
     // Zipf slope/intercept over the top-100 term frequencies
     "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(docs(s, d), n = 100)),
+    // Heaps' law vocabulary-growth exponent over 16 doc-id checkpoints
+    // (V = k*N^beta; the tokenizer-vocab / dedup-aggressiveness dial)
+    "tx_heaps" -> ((s, d) => TextAnalysis.heapsFit(docs(s, d), bins = 16)),
     // per-language vocabulary/TTR panel (pure int64 — ttr in ppm)
     "tx_vocab" -> ((s, d) => TextAnalysis.vocabStats(docs(s, d)).orderBy("lang")),
     // multinomial NB model head: top-20 terms per language label
@@ -1557,6 +1564,7 @@ object SparkEntry {
       maxBucket = 1000, rounds = 4),
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_adamic"    -> OracleGen.adamicAdarSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, topK = 50),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
@@ -2997,6 +3005,39 @@ object SparkEntry {
          |o AS (SELECT l, sx, sy, (l * sxy - sx * sy) / (l * sxx - sx * sx) AS slope FROM s)
          |SELECT l::BIGINT AS n_terms, round(slope, 6) AS slope,
          |  round((sy - slope * sx) / l, 6) AS intercept FROM o""".stripMargin.replace("\n", " ")
+    },
+    // Heaps: 16 integer doc-id checkpoints, first-occurrence vocabulary
+    // histogram + token histogram cumulated over 16 bins, ln-ln fit in
+    // ascending-bin fold order
+    "tx_heaps" -> {
+      val zero = "CAST(0.0 AS DOUBLE)"
+      def f(terms: String) = s"list_reduce(list_prepend($zero, $terms), (a, b) -> a + b)"
+      val binOf = (c: String) =>
+        s"(len(list_filter(list_transform(range(1, 17), j -> (j * m) // 16), x -> x < $c)) + 1)"
+      s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS m FROM documents),
+         |tokh AS (SELECT ${binOf("doc_id")} AS bin,
+         |    sum(len(list_filter(string_split(text, ' '), w -> length(w) > 0)))::BIGINT AS t
+         |  FROM documents CROSS JOIN mx GROUP BY 1),
+         |fo AS (SELECT term, min(doc_id)::BIGINT AS fd FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE length(term) > 0 GROUP BY term),
+         |voch AS (SELECT ${binOf("fd")} AS bin, count(*)::BIGINT AS v
+         |  FROM fo CROSS JOIN mx GROUP BY 1),
+         |bins AS (SELECT unnest(range(1, 17)) AS bin),
+         |curve AS (SELECT bin,
+         |    sum(coalesce(t, 0)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS nn,
+         |    sum(coalesce(v, 0)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS vv
+         |  FROM bins LEFT JOIN tokh USING (bin) LEFT JOIN voch USING (bin)),
+         |g AS (SELECT count(*)::DOUBLE AS l, max(nn)::BIGINT AS n_tokens, max(vv)::BIGINT AS n_vocab,
+         |    ${f("list(ln(nn) ORDER BY bin)")} AS sx,
+         |    ${f("list(ln(vv) ORDER BY bin)")} AS sy,
+         |    ${f("list(ln(nn) * ln(vv) ORDER BY bin)")} AS sxy,
+         |    ${f("list(ln(nn) * ln(nn) ORDER BY bin)")} AS sxx
+         |  FROM curve WHERE nn > 0 AND vv > 0),
+         |o AS (SELECT *, (l * sxy - sx * sy) / (l * sxx - sx * sx) AS beta FROM g)
+         |SELECT l::BIGINT AS n_points, n_tokens, n_vocab,
+         |  round(beta, 6) AS beta, round((sy - beta * sx) / l, 6) AS ln_k
+         |FROM o""".stripMargin.replace("\n", " ")
     },
     // BPE pair counts: 1-based 2-char slices inside whitespace words
     "tx_bpe" ->

@@ -285,6 +285,55 @@ object Graph {
    * (`maxBucket`); feed this capped pairs, and per-node degree is bounded
    * by construction.
    */
+  /**
+   * ADAMIC–ADAR LINK PREDICTION over the undirected pair graph: for every
+   * NON-adjacent pair with at least one common neighbor, the score
+   * `AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))` — common neighbors
+   * weighted inversely by how promiscuous they are (Adamic & Adar 2003).
+   * On the near-dup graph this ranks the pairs LSH banding *missed*:
+   * two docs sharing several low-degree (i.e. specific, non-boilerplate)
+   * neighbors are prime candidates for an exact-verify pass — the
+   * recall-repair loop next to [[triangleCounts]]'s precision signal.
+   * Returns the top-`k` `(id_a, id_b, n_common, aa)` by (score, ids).
+   *
+   * Determinism: every common neighbor has degree ≥ 2 (it touches both
+   * endpoints), so `ln(deg) ≥ ln 2` and the fold never divides by zero;
+   * the per-pair sum folds over the neighbor list sorted ascending by
+   * node id, and the score SNAPS to 6 dp before the (score desc, ids)
+   * top-k cut — the oracle replays the identical IEEE sequence.
+   *
+   * Scale shape: degree is one partial-aggregated groupBy; the wedge
+   * enumeration is the [[triangles]] self-join on the shared neighbor
+   * (O(Σ deg(w)²), bounded by the max-degree cap the pair miner already
+   * enforces); the existing-edge exclusion is a left-anti join; per-pair
+   * state is the common-neighbor list, bounded by degree. Top-k runs as
+   * TakeOrdered, never a global sort.
+   */
+  def adamicAdar(pairs: DataFrame, topK: Int = 50): DataFrame = {
+    import graft.functions.GraftFunctions
+    require(topK >= 1, "topK must be >= 1")
+    GraftFunctions.register(pairs.sparkSession)
+    import GraftFunctions.foldSum
+    val e = pairs.select(col("id_a"), col("id_b")).distinct().pinned
+    val adj = e.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(e.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("id").as("id_a"), col("nb").as("via"))
+      .join(adj.select(col("id").as("id_b"), col("nb").as("via")), "via")
+      .filter(col("id_a") < col("id_b"))
+      .join(e, Seq("id_a", "id_b"), "left_anti")
+    val out = wedges
+      .join(deg.select(col("id").as("via"), col("d")), "via")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(foldSum(expr("transform(array_sort(collect_list(struct(via, d))), p -> 1.0 / ln(p.d))")), 6)
+          .as("aa"))
+      .orderBy(col("aa").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+    Checkpoints.free(pairs)
+    out
+  }
+
   def triangles(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("id_a"), col("id_b")).distinct()
     e.select(col("id_a").as("a"), col("id_b").as("b"))

@@ -1059,6 +1059,81 @@ object TextAnalysis {
    * portability rule) and the slope/intercept doubles agree exactly
    * before the final 6 dp snap.
    */
+  /**
+   * HEAPS' LAW FIT — vocabulary growth `V(N) = k·N^β` over the corpus in
+   * doc-id order: the standard "how fast does this corpus stop teaching
+   * new words" curve (β ≈ 0.4–0.6 for natural text; a β near 1 means
+   * near-random token soup, near 0 a closed template vocabulary) — the
+   * companion diagnostic to [[zipfFit]]'s frequency slope, and the number
+   * a tokenizer-vocab-size or dedup-aggressiveness decision reads.
+   *
+   * The curve samples at `bins` exact-integer doc-id checkpoints
+   * `c_j = ⌊j·maxId/bins⌋`: `N_j` = tokens in docs ≤ c_j, `V_j` =
+   * distinct terms whose FIRST doc ≤ c_j. β/ln k fit by least squares
+   * over the (ln N_j, ln V_j) points (positive-N checkpoints only, folded
+   * in ascending-bin order — the oracle replays the IEEE sequence).
+   * Emits one row: checkpoint count, total tokens/vocab, β, ln k.
+   *
+   * Scale shape: NOTHING cumulates per-doc — per-doc token counts and
+   * per-term first-occurrence docs histogram into `bins` buckets (two
+   * map-side-combined aggregations over a bounded key space), and the
+   * running sums walk the ≤`bins`-row histogram. The checkpoint lattice
+   * rides as a broadcast one-row max; no global window over docs, ever.
+   */
+  def heapsFit(
+      df: DataFrame,
+      bins: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val zero = "CAST(0.0 AS DOUBLE)"
+    def foldSum(terms: String) = s"aggregate($terms, $zero, (a, x) -> a + x)"
+    // bin of a doc id: smallest j in 1..bins with floor(j*maxId/bins) >= id
+    def binOf(c: Column): Column =
+      size(filter(expr(s"transform(sequence(1, $bins), j -> (j * __m) div $bins)"),
+        x => x < c)) + 1
+    val mx = df.agg(max(col(idCol).cast("long")).as("__m"))
+    val tok = df.select(col(idCol).cast("long").as("__d"),
+        size(filter(words(col(textCol)), w => length(w) > 0)).cast("long").as("__nt"))
+      .crossJoin(broadcast(mx))
+      .groupBy(binOf(col("__d")).as("__bin"))
+      .agg(sum(col("__nt")).as("__t"))
+    val voc = df.select(col(idCol).cast("long").as("__d"), explode(words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w"))
+      .agg(min(col("__d")).as("__fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(binOf(col("__fd")).as("__bin"))
+      .agg(count(lit(1)).as("__v"))
+    val base = df.sparkSession.range(1, bins + 1).select(col("id").cast("int").as("__bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = base
+      .join(tok, Seq("__bin"), "left").join(voc, Seq("__bin"), "left")
+      .select(col("__bin"),
+        sum(coalesce(col("__t"), lit(0L))).over(w).as("__N"),
+        sum(coalesce(col("__v"), lit(0L))).over(w).as("__V"))
+      .filter(col("__N") > 0L && col("__V") > 0L)
+    curve
+      .agg(array_sort(collect_list(struct(col("__bin"), col("__N"), col("__V")))).as("__pts"))
+      .withColumn("__xs", expr("transform(__pts, p -> ln(p.__N))"))
+      .withColumn("__ys", expr("transform(__pts, p -> ln(p.__V))"))
+      .withColumn("__len", size(col("__pts")).cast("double"))
+      .withColumn("__sx", expr(foldSum("__xs")))
+      .withColumn("__sy", expr(foldSum("__ys")))
+      .withColumn("__sxy", expr(foldSum("zip_with(__xs, __ys, (x, y) -> x * y)")))
+      .withColumn("__sxx", expr(foldSum("transform(__xs, x -> x * x)")))
+      .withColumn("__beta", expr(
+        "(__len * __sxy - __sx * __sy) / (__len * __sxx - __sx * __sx)"))
+      .select(
+        col("__len").cast("long").as("n_points"),
+        expr("element_at(__pts, -1).__N").as("n_tokens"),
+        expr("element_at(__pts, -1).__V").as("n_vocab"),
+        round(col("__beta"), 6).as("beta"),
+        round(expr("(__sy - __beta * __sx) / __len"), 6).as("ln_k"))
+  }
+
   def zipfFit(
       df: DataFrame,
       n: Int = 100,

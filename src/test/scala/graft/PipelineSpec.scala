@@ -405,6 +405,35 @@ class PipelineSpec extends SparkTestBase {
     counts shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L) // 4 is in no triangle
   }
 
+  "Graph.adamicAdar" should "score the square's diagonals and skip existing edges" in {
+    import graft.operators.Graph
+    // 4-cycle 1-2-3-4-1: the only non-edges are the diagonals (1,3) and
+    // (2,4), each with two degree-2 common neighbors -> AA = 2/ln(2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Graph.adamicAdar(pairs, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSet shouldBe Set((1L, 3L, 2L, 2.88539), (2L, 4L, 2L, 2.88539))
+    // path 1-2-3: one wedge, its hub has degree 2 -> 1/ln(2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    Graph.adamicAdar(path, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))) shouldBe
+      Array((1L, 3L, 1.442695))
+  }
+
+  "TextAnalysis.heapsFit" should "fit the two-checkpoint log-log line exactly" in {
+    import graft.pipeline.TextAnalysis
+    // ids 1..4, bins=2 -> checkpoints {2, 4}: N = [4, 8] tokens,
+    // V = [3, 6] first-occurrences -> beta = ln2/ln2 = 1,
+    // ln k = (ln18 - ln32)/2
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "e f")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, bins = 2).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((2L, 8L, 6L))
+    r.getDouble(3) shouldBe 1.0
+    r.getDouble(4) shouldBe (math.log(18.0 / 32.0) / 2 +- 1e-6)
+  }
+
   "Graph.kCore" should "peel chains transitively and keep the clique" in {
     import graft.operators.Graph
     // triangle {1,2,3} + chain 3-4-5: removing leaf 5 drops 4 to degree 1,
