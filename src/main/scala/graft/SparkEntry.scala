@@ -1091,6 +1091,12 @@ object SparkEntry {
     // Z-order layout evidence: 16 fixed Morton-keyspace slices of
     // (partkey, suppkey) with each slice's bounding box on BOTH columns —
     // tight boxes on both axes are the row-group-skipping win
+    // Hilbert-curve layout evidence: the unit-step space-filling key's 16
+    // keyspace slices over masked (partkey, suppkey) — the comparative
+    // bounding-box report against st_zorder's Morton slices
+    "st_hilbert" -> ((s, d) =>
+      graft.operators.Layout.hilbertBuckets(tbl(s, d, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 8, nBuckets = 16).orderBy("bucket")),
     "st_zorder" -> ((s, d) =>
       graft.operators.Layout.zorderBuckets(tbl(s, d, "lineitem"), "l_partkey", "l_suppkey",
         bits = 16, nBuckets = 16).orderBy("bucket")),
@@ -2747,6 +2753,19 @@ object SparkEntry {
          |  min(l_partkey)::BIGINT AS x_min, max(l_partkey)::BIGINT AS x_max,
          |  min(l_suppkey)::BIGINT AS y_min, max(l_suppkey)::BIGINT AS y_max
          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")
+    },
+    // Hilbert: the xy2d fold as an 8-round CTE chain (Layout.hilbertSqlCtes
+    // — the engine's exact rotate/reflect arithmetic), ceil-span slices
+    "st_hilbert" -> {
+      val ctes = graft.operators.Layout.hilbertSqlCtes(
+        "(SELECT (l_partkey & 255)::BIGINT AS hx0, (l_suppkey & 255)::BIGINT AS hy0 FROM lineitem)",
+        Seq("hx0", "hy0"), "hx0", "hy0", bits = 8)
+      val span = ((1L << 16) + 15) / 16
+      s"""WITH $ctes
+         |SELECT (hkey // ${span}) AS bucket, count(*)::BIGINT AS n,
+         |  min(hx0)::BIGINT AS x_min, max(hx0)::BIGINT AS x_max,
+         |  min(hy0)::BIGINT AS y_min, max(hy0)::BIGINT AS y_max
+         |FROM h8 GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")
     },
     // Q4-shaped: EXISTS over late lineitems (date_diff mirrors datediff's
     // calendar-day count on NTZ timestamps), exact int day compare

@@ -154,6 +154,25 @@ class StarSpec extends SparkTestBase {
       .count() shouldBe 15L
   }
 
+  "Layout.withHilbertKey" should "walk every cell exactly once in unit steps" in {
+    import graft.operators.Layout
+    // the Hilbert invariant that separates it from Morton: sorting the
+    // full 8x8 grid by key yields a permutation of 0..63 whose CONSECUTIVE
+    // cells are always grid neighbors (|dx| + |dy| = 1) — Z-order jumps
+    // at every quadrant boundary, Hilbert never does
+    val grid = (for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)).toDF("x", "y")
+    val walk = Layout.withHilbertKey(grid, "x", "y", bits = 3)
+      .orderBy("hkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    walk.map(_._3) shouldBe (0L until 64L).toArray
+    walk.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1L
+    }
+    // orientation pin: the classic curve starts (0,0) -> (0,1)
+    (walk(0)._1, walk(0)._2) shouldBe ((0L, 0L))
+    (walk(1)._1, walk(1)._2) shouldBe ((0L, 1L))
+  }
+
   "Layout.zorderBuckets ceil-span" should "keep bucket ids in [0, nBuckets) when nBuckets does not divide the keyspace" in {
     import graft.operators.Layout
     // bits=2 → keyspace 16; nBuckets=3 → span=ceil(16/3)=6: buckets 0,1,2
