@@ -840,6 +840,11 @@ object SparkEntry {
     "ts_acf" -> ((s, d) =>
       TimeSeries.acfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         maxLag = 6).orderBy("event_type")),
+    // PACF via Durbin-Levinson over the hourly-grid ACF: the AR-order
+    // cut-off signature the ACF alone cannot show
+    "ts_pacf" -> ((s, d) =>
+      TimeSeries.pacfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        maxLag = 4).orderBy("event_type")),
     // lagged cross-correlation click→error on the shared hourly grid (one
     // conditional-agg pass; every statistic a ts-ordered fold)
     "ts_xcorr" -> ((s, d) =>
@@ -2175,6 +2180,35 @@ object SparkEntry {
          |      FROM m)
          |SELECT event_type, len(vs)::BIGINT AS n, $lags
          |FROM d ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // PACF: the acf CTE chain at 4 lags, then ONE CTE layer per
+    // Durbin-Levinson scalar — the identical expression strings the
+    // engine folds through withColumn (TimeSeries.pacfExprs)
+    "ts_pacf" -> {
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val lags = (1 to 4).map { k =>
+        s"""CASE WHEN len(vs) > $k AND den > $zero THEN
+           |  list_reduce(list_prepend($zero, list_transform(vs[:len(vs)-$k],
+           |    (x, i) -> (x - mu) * (vs[i+$k] - mu))), (a, b) -> a + b) / den
+           |END AS acf_$k""".stripMargin
+      }.mkString(", ")
+      val phis = TimeSeries.pacfExprs(4, k => s"acf_$k")
+      val phiCtes = phis.zipWithIndex.map { case ((name, e), i) =>
+        val prev = if (i == 0) "a0" else s"p${i - 1}"
+        s"p$i AS (SELECT *, $e AS $name FROM $prev)"
+      }.mkString(", ")
+      val last = s"p${phis.length - 1}"
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |m AS (SELECT event_type, vs, list_reduce(list_prepend($zero, vs), (a, b) -> a + b) / len(vs) AS mu FROM g),
+         |d AS (SELECT event_type, vs, mu,
+         |        list_reduce(list_prepend($zero, list_transform(vs, x -> (x - mu) * (x - mu))), (a, b) -> a + b) AS den
+         |      FROM m),
+         |a0 AS (SELECT event_type, len(vs)::BIGINT AS n, $lags FROM d),
+         |$phiCtes
+         |SELECT event_type, n, ${(1 to 4).map(k => s"round(phi_${k}_$k, 6) AS pacf_$k").mkString(", ")}
+         |FROM $last ORDER BY event_type""".stripMargin.replace("\n", " ")
     },
     // LTTB: bucket bounds are exact integer index arithmetic (1-based here,
     // 0-based in the engine — same buckets), bucket averages are ordered

@@ -953,6 +953,59 @@ object TimeSeries {
   }
 
   /**
+   * DURBIN–LEVINSON recursion as ENGINE-PORTABLE expression strings: each
+   * step defines one named scalar over previously-named ones, so both
+   * engines evaluate the identical arithmetic tree — Spark via a
+   * `withColumn(name, expr(s))` fold, DuckDB via one CTE layer per
+   * order-`k` block. `acf(k)` supplies the autocorrelation column name at
+   * lag k. The Σ's spell as fixed left-to-right additions (IEEE order
+   * pinned); a zero innovation denominator yields NULL, and a NULL acf
+   * propagates through the recursion naturally in both engines.
+   */
+  def pacfExprs(maxLag: Int, acf: Int => String): Seq[(String, String)] = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    out += (("phi_1_1", acf(1)))
+    for (k <- 2 to maxLag) {
+      val num = s"(${acf(k)} - (${(1 until k).map(j => s"phi_${k - 1}_$j * ${acf(k - j)}").mkString(" + ")}))"
+      val den = s"(1.0 - (${(1 until k).map(j => s"phi_${k - 1}_$j * ${acf(j)}").mkString(" + ")}))"
+      out += ((s"phi_${k}_$k", s"CASE WHEN $den <> 0.0 THEN $num / $den END"))
+      for (j <- 1 until k)
+        out += ((s"phi_${k}_$j", s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}"))
+    }
+    out.toSeq
+  }
+
+  /**
+   * PACF PROFILE — partial autocorrelation of each key's grid at lags
+   * `1..maxLag` via the Durbin–Levinson recursion over [[acfProfile]]'s
+   * estimates: `pacf_k` is the lag-k correlation with lags 1..k−1
+   * regressed out — the AR-ORDER identification companion to the ACF
+   * (an AR(p) series' PACF cuts off after p; the ACF alone cannot
+   * distinguish AR from MA signatures). Output mirrors [[acfProfile]]:
+   * one bounded row per key, `n` + `pacf_1..pacf_maxLag` (6 dp).
+   *
+   * Scale shape: [[acfProfile]]'s one-shuffle fold plus a LITERAL
+   * arithmetic tree of O(maxLag²) scalar columns — no extra pass over
+   * data. Null acf (short/constant series) nulls the dependent orders.
+   */
+  def pacfProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      maxLag: Int = 4
+  ): DataFrame = {
+    val base = acfProfile(df, keys, tsCol, valueCol, step, maxLag)
+    val withPhi = pacfExprs(maxLag, k => s"acf_$k").foldLeft(base) {
+      case (acc, (name, e)) => acc.withColumn(name, expr(e))
+    }
+    withPhi.select(keys.map(col) ++ (col("n") +:
+      (1 to maxLag).map(k => round(col(s"phi_${k}_$k"), 6).as(s"pacf_$k"))): _*)
+  }
+
+  /**
    * LTTB DOWNSAMPLING — Largest-Triangle-Three-Buckets (Steinarsson 2013,
    * "Downsampling Time Series for Visual Representation"): reduce each
    * key's grid to `nOut` points keeping the visual shape — first and last

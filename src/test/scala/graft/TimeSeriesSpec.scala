@@ -334,6 +334,31 @@ class TimeSeriesSpec extends SparkTestBase {
     r.isNullAt(3) shouldBe true
   }
 
+  "TimeSeries.pacfExprs" should "cut off after lag 1 on an exact AR(1) correlogram" in {
+    import org.apache.spark.sql.functions.expr
+    // acf_k = 0.5^k is the exact AR(1) signature: Durbin-Levinson gives
+    // pacf_1 = 0.5 and pacf_k = 0 for k >= 2 — numerators cancel EXACTLY
+    // (0.25 - 0.5*0.5 = 0), so this pins the recursion, not an approximation
+    val row = Seq((0.5, 0.25, 0.125, 0.0625)).toDF("acf_1", "acf_2", "acf_3", "acf_4")
+    val out = TimeSeries.pacfExprs(4, k => s"acf_$k").foldLeft(row) {
+      case (acc, (n, e)) => acc.withColumn(n, expr(e))
+    }.select("phi_1_1", "phi_2_2", "phi_3_3", "phi_4_4").head()
+    out.getDouble(0) shouldBe 0.5
+    out.getDouble(1) shouldBe 0.0
+    out.getDouble(2) shouldBe 0.0
+    out.getDouble(3) shouldBe 0.0
+  }
+
+  "TimeSeries.pacfProfile" should "equal the acf at lag 1 and propagate short-series nulls" in {
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 3.0), ("a", 20L, 1.0), ("a", 30L, 3.0))
+      .toDF("k", "ts", "v")
+    val r = TimeSeries.pacfProfile(df, Seq("k"), "ts", "v", step = 10L, maxLag = 4).head()
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe -0.75 // pacf_1 = acf_1
+    // acf_4 is null (no pairs) -> order-4 block nulls
+    r.isNullAt(5) shouldBe true
+  }
+
   "TimeSeries.crossCorrelation" should "peak at the true lag of a shifted copy" in {
     // over the shared ticks 10..40, a = [3,1,3,1] and b = [6,8,6,8] (a
     // delayed one step, +5 level). Full-series denominators (the acf
