@@ -940,6 +940,12 @@ object SparkEntry {
     // sample-ratio-mismatch health check on the deterministic 50/50 split
     "ev_srm" -> ((s, d) =>
       graft.operators.Relational.srmCheck(evUsAll(s, d).select("user_id"))),
+    // difference-in-differences at the window midpoint: pre-period
+    // baseline absorbs user-level heterogeneity the plain lift cannot
+    "ev_did" -> ((s, d) =>
+      graft.operators.Relational.didReport(
+        evUsAll(s, d).select("user_id", "event_type", "ts", "value"),
+        "purchase", boundaryTs = 1705500000000000L)),
     // Pareto concentration: share of events from the top 20% of users
     "ev_powerusers" -> ((s, d) =>
       graft.operators.Relational.powerUserConcentration(
@@ -3007,6 +3013,40 @@ object SparkEntry {
         |    THEN round((adj_b - adj_a) / sqrt(var_adj / n_a::DOUBLE + var_adj / n_b::DOUBLE), 6)
         |  END AS t_stat
         |FROM f""".stripMargin.replace("\n", " "),
+    // DiD: per-user pre/post cells (0-filled), cell means, paired-diff
+    // Welch t — the engine's exact rounded-sum arithmetic replayed
+    "ev_did" -> {
+      val b = 1705500000000000L
+      s"""WITH u AS (SELECT user_id,
+         |  round(sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) < $b THEN value ELSE 0.0 END), 2) AS pre,
+         |  round(sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= $b THEN value ELSE 0.0 END), 2) AS post,
+         |  user_id % 2 AS arm FROM events GROUP BY user_id),
+         |g AS (SELECT
+         |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |  round(sum(CASE WHEN arm = 0 THEN pre ELSE 0.0 END), 6) AS pa,
+         |  round(sum(CASE WHEN arm = 0 THEN post ELSE 0.0 END), 6) AS qa,
+         |  round(sum(CASE WHEN arm = 1 THEN pre ELSE 0.0 END), 6) AS pb,
+         |  round(sum(CASE WHEN arm = 1 THEN post ELSE 0.0 END), 6) AS qb,
+         |  round(sum(CASE WHEN arm = 0 THEN post - pre ELSE 0.0 END), 6) AS sda,
+         |  round(sum(CASE WHEN arm = 1 THEN post - pre ELSE 0.0 END), 6) AS sdb,
+         |  round(sum(CASE WHEN arm = 0 THEN (post - pre) * (post - pre) ELSE 0.0 END), 6) AS qda,
+         |  round(sum(CASE WHEN arm = 1 THEN (post - pre) * (post - pre) ELSE 0.0 END), 6) AS qdb
+         |  FROM u),
+         |f AS (SELECT *,
+         |  (qb / n_b::DOUBLE - pb / n_b::DOUBLE) - (qa / n_a::DOUBLE - pa / n_a::DOUBLE) AS did,
+         |  (qda - sda * sda / n_a::DOUBLE) / (n_a - 1)::DOUBLE AS vda,
+         |  (qdb - sdb * sdb / n_b::DOUBLE) / (n_b - 1)::DOUBLE AS vdb FROM g)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(pa / n_a::DOUBLE, 6) END AS pre_a,
+         |  CASE WHEN n_a > 0 THEN round(qa / n_a::DOUBLE, 6) END AS post_a,
+         |  CASE WHEN n_b > 0 THEN round(pb / n_b::DOUBLE, 6) END AS pre_b,
+         |  CASE WHEN n_b > 0 THEN round(qb / n_b::DOUBLE, 6) END AS post_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(did, 6) END AS did,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND (vda / n_a::DOUBLE + vdb / n_b::DOUBLE) > 0
+         |    THEN round(did / sqrt(vda / n_a::DOUBLE + vdb / n_b::DOUBLE), 6) END AS t_stat
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
     // SRM: distinct users, integer arm counts, z and z-squared
     "ev_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -851,6 +851,64 @@ object Relational {
   }
 
   /**
+   * DIFFERENCE-IN-DIFFERENCES READOUT — the quasi-experimental companion
+   * to [[abTestReport]]: per user, the 2-dp metric sum splits at
+   * `boundaryTs` into pre/post cells (absent cells are exact 0 — the
+   * user universe is everyone seen anywhere), and the estimate is the
+   * classic `DiD = (B_post − B_pre) − (A_post − A_pre)` over per-arm cell
+   * means, with the t computed from the per-user PAIRED differences
+   * `d_u = y_post − y_pre` (Welch over the two arms' d-variances) — the
+   * pre-period baseline absorbs persistent user-level heterogeneity the
+   * plain lift cannot.
+   *
+   * Determinism/scale: [[cupedReport]]'s exact discipline — one per-user
+   * aggregation (conditional sums), one global fold of 6-dp-rounded
+   * sums; NULL guards (never NaN) on empty/singleton arms.
+   */
+  def didReport(
+      events: DataFrame,
+      metricEvent: String,
+      boundaryTs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val isMetric = col(typeCol) === metricEvent
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        round(sum(when(isMetric && col(tsCol) < boundaryTs, col(valueCol)).otherwise(0.0)), 2).as("__pre"),
+        round(sum(when(isMetric && col(tsCol) >= boundaryTs, col(valueCol)).otherwise(0.0)), 2).as("__post"))
+      .withColumn("__arm", pmod(col(userCol), lit(2L)))
+      .withColumn("__d", col("__post") - col("__pre"))
+    val g = perUser.groupBy().agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      round(sum(when(col("__arm") === 0L, col("__pre")).otherwise(0.0)), 6).as("pa"),
+      round(sum(when(col("__arm") === 0L, col("__post")).otherwise(0.0)), 6).as("qa"),
+      round(sum(when(col("__arm") === 1L, col("__pre")).otherwise(0.0)), 6).as("pb"),
+      round(sum(when(col("__arm") === 1L, col("__post")).otherwise(0.0)), 6).as("qb"),
+      round(sum(when(col("__arm") === 0L, col("__d")).otherwise(0.0)), 6).as("sda"),
+      round(sum(when(col("__arm") === 1L, col("__d")).otherwise(0.0)), 6).as("sdb"),
+      round(sum(when(col("__arm") === 0L, col("__d") * col("__d")).otherwise(0.0)), 6).as("qda"),
+      round(sum(when(col("__arm") === 1L, col("__d") * col("__d")).otherwise(0.0)), 6).as("qdb"))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val naD = na.cast("double"); val nbD = nb.cast("double")
+    val did = (col("qb") / nbD - col("pb") / nbD) - (col("qa") / naD - col("pa") / naD)
+    val vda = (col("qda") - col("sda") * col("sda") / naD) / (na - 1L).cast("double")
+    val vdb = (col("qdb") - col("sdb") * col("sdb") / nbD) / (nb - 1L).cast("double")
+    g.select(na, nb,
+      when(na > 0L, round(col("pa") / naD, 6)).as("pre_a"),
+      when(na > 0L, round(col("qa") / naD, 6)).as("post_a"),
+      when(nb > 0L, round(col("pb") / nbD, 6)).as("pre_b"),
+      when(nb > 0L, round(col("qb") / nbD, 6)).as("post_b"),
+      when(na > 0L && nb > 0L, round(did, 6)).as("did"),
+      when(na > 1L && nb > 1L && (vda / naD + vdb / nbD) > 0.0,
+        round(did / sqrt(vda / naD + vdb / nbD), 6)).as("t_stat"))
+  }
+
+  /**
    * SAMPLE-RATIO-MISMATCH CHECK — the first gate every experiment readout
    * must pass: with a deterministic 50/50 split (`user_id % 2`), is the
    * realized arm imbalance within chance? Emits the arm counts, the

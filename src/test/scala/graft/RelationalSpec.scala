@@ -566,6 +566,25 @@ class RelationalSpec extends SparkTestBase {
     r.isNullAt(6) shouldBe true
   }
 
+  "Relational.didReport" should "difference the paired pre/post cell means" in {
+    // boundary 100: A-users d = [20, 0], B-users d = [40, 10]
+    // cells: pre_a 15, post_a 25, pre_b 5, post_b 30 -> DiD = 25 - 10 = 15
+    // var_d: A = 200, B = 450 -> t = 15/sqrt(100 + 225) = 0.83205
+    val ev = Seq(
+      (0L, "purchase", 50L, 10.0), (0L, "purchase", 150L, 30.0),
+      (2L, "purchase", 60L, 20.0), (2L, "purchase", 160L, 20.0),
+      (1L, "purchase", 50L, 10.0), (1L, "purchase", 150L, 50.0),
+      (3L, "purchase", 150L, 10.0),
+      (3L, "view", 50L, 999.0) // non-metric never counts
+    ).toDF("user_id", "event_type", "ts", "value")
+    val r = Relational.didReport(ev, "purchase", boundaryTs = 100L).head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((2L, 2L))
+    (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)) shouldBe
+      ((15.0, 25.0, 5.0, 30.0))
+    r.getDouble(6) shouldBe 15.0
+    r.getDouble(7) shouldBe 0.83205
+  }
+
   "Relational.srmCheck" should "flag the arm imbalance z over distinct users" in {
     // users 0..4 (dupe rows collapse): 3 even vs 2 odd
     // z = (2-3)/sqrt(5) = -0.447214, chi2 = 0.2
