@@ -1776,6 +1776,25 @@ object OracleGen {
        |FROM a1 JOIN c1 ON a1.centroid = c1.cid
        |GROUP BY a1.centroid ORDER BY a1.centroid""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[Similarity.clusterOutliers]]: snapped member cosines,
+    * exact per-cluster int moments (Σ² in doubles), bottom-k by the
+    * unrounded within-cluster z with id ties. */
+  def clusterOutliersSql(nlist: Int, dim: Int, k: Int): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim)},
+       |sc AS (SELECT a1.id, a1.centroid,
+       |         round(${cosSql("a1", "v", "c1", "cvec", dim)} * 1000000.0)::BIGINT AS s6
+       |       FROM a1 JOIN c1 ON a1.centroid = c1.cid),
+       |mo AS (SELECT centroid, count(*)::BIGINT AS n, sum(s6)::BIGINT AS ss,
+       |         sum(s6 * s6)::DOUBLE AS qq FROM sc GROUP BY centroid),
+       |f AS (SELECT sc.id, sc.centroid, sc.s6, mo.n,
+       |        ss::DOUBLE / n::DOUBLE AS mean6,
+       |        (qq - ss::DOUBLE * ss::DOUBLE / n::DOUBLE) / (n - 1)::DOUBLE AS var6
+       |      FROM sc JOIN mo USING (centroid))
+       |SELECT id AS vec_id, centroid, round(s6 / 1000000.0, 6) AS sim,
+       |  round((s6::DOUBLE - mean6) / sqrt(var6), 6) AS z
+       |FROM f WHERE n > 1 AND var6 > 0
+       |ORDER BY (s6::DOUBLE - mean6) / sqrt(var6), id LIMIT $k""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Similarity.clusterPurity]]: refined assignment joined to
     * labels, per-cluster majority share with smaller-label ties. */
   def clusterPuritySql(nlist: Int, dim: Int): String =

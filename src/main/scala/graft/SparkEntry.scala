@@ -508,6 +508,9 @@ object SparkEntry {
     "sem_dedup" -> ((s, d) => Similarity.semDedup(emb(s, d), 0.4, nlist = 16).orderBy("id")),
     // cluster cohesion panel over the same k-means assignment
     "sem_report" -> ((s, d) => Similarity.clusterReport(emb(s, d), nlist = 16).orderBy("centroid")),
+    // embedding-quality audit: bottom-20 members by within-cluster
+    // centroid-cosine z — the re-embed/re-label review queue
+    "sem_outlier" -> ((s, d) => Similarity.clusterOutliers(emb(s, d), nlist = 16, k = 20)),
     // label-side health: per-cluster majority-label share
     "sem_purity" -> ((s, d) => Similarity.clusterPurity(emb(s, d), nlist = 16).orderBy("centroid")),
     // farthest-point k-center coreset: the maximally-diverse 8-vector
@@ -1627,6 +1630,7 @@ object SparkEntry {
       nprobe = Similarity.nprobeFor(Similarity.nlistFor(embCount)), k = 20, dim = 64),
     "sem_dedup" -> OracleGen.semDedupSql(tau = 0.4, nlist = 16, dim = 64),
     "sem_report" -> OracleGen.clusterReportSql(nlist = 16, dim = 64),
+    "sem_outlier" -> OracleGen.clusterOutliersSql(nlist = 16, dim = 64, k = 20),
     "sem_purity" -> OracleGen.clusterPuritySql(nlist = 16, dim = 64),
     "sem_kcenter" -> OracleGen.kCenterCoresetSql(k = 8),
     "ann_recall" -> OracleGen.annRecallSql(nlist = 16, nprobe = 4, k = 20, dim = 64),

@@ -1184,6 +1184,67 @@ object Similarity {
   }
 
   /**
+   * CLUSTER OUTLIERS — the members FARTHEST from their own centroid,
+   * z-scored within their cluster: `z = (cos − mean_c)/std_c` over each
+   * cluster's member-to-centroid cosines, bottom-`k` across the corpus.
+   * The embedding-quality audit next to [[clusterReport]]'s per-cluster
+   * cohesion: a very negative z marks a vector the coarse quantizer
+   * placed badly (mislabeled point, encoder glitch, genuine novelty) —
+   * the candidates a curation pass re-embeds, re-labels, or routes to
+   * human review first.
+   *
+   * Determinism: member cosines snap to 1e-6 FIXED POINT (the
+   * [[clusterReport]] spelling), so per-cluster n/Σ/Σ² are exact int64
+   * and mean/variance/z are a fixed arithmetic tree over them (Σ² in
+   * doubles — a cluster's Σs6² would brush int64 range); the bottom-k
+   * orders by the unrounded z with id ties. Singleton and zero-variance
+   * clusters are excluded (no z exists).
+   *
+   * Scale shape: the [[ivfBuild]] assignment + one broadcast centroid
+   * join + one partial-aggregated per-cluster moment pass + a TakeOrdered
+   * bottom-k. Nothing pairwise, nothing per-cluster beyond 3 numbers.
+   */
+  def clusterOutliers(
+      df: DataFrame,
+      nlist: Int,
+      k: Int,
+      refineIterations: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(k >= 1, "k must be >= 1")
+    val ix = ivfBuild(df, nlist, refineIterations, vecCol, idCol)
+    val seedRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(ix.centroids.toSeq.sortBy(_._1).map { case (cid, v) =>
+        org.apache.spark.sql.Row(cid, v.map(_.toDouble))
+      }: _*)
+    val seeds = df.sparkSession.createDataFrame(seedRows,
+      StructType(Seq(StructField("centroid", LongType), StructField("cv", ArrayType(DoubleType)))))
+    val sim = fdot(col("v"), col("cv")) / (fnorm(col("v")) * fnorm(col("cv")))
+    val scored = ix.assigned.join(broadcast(seeds), "centroid")
+      .select(col("id"), col("centroid"),
+        round(sim * lit(1000000.0)).cast("long").as("__s6"))
+      .pinned // one pass feeds both the moment aggregation and the z join
+    val moments = scored.groupBy(col("centroid"))
+      .agg(count(lit(1)).as("__n"), sum(col("__s6")).as("__ss"),
+        sum(col("__s6") * col("__s6")).cast("double").as("__qq"))
+    val nD  = col("__n").cast("double")
+    val ssD = col("__ss").cast("double")
+    val out = scored.join(moments, "centroid")
+      .withColumn("__mean", ssD / nD)
+      .withColumn("__var", (col("__qq") - ssD * ssD / nD) / (col("__n") - 1L).cast("double"))
+      .filter(col("__n") > 1L && col("__var") > 0.0)
+      .withColumn("__z", (col("__s6").cast("double") - col("__mean")) / sqrt(col("__var")))
+      .orderBy(col("__z"), col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("centroid"),
+        round(col("__s6").cast("double") / 1000000.0, 6).as("sim"),
+        round(col("__z"), 6).as("z"))
+    out // scored's pin rides the result lineage; the caller's free releases it
+  }
+
+  /**
    * CLUSTER PURITY against ground-truth labels — per k-means cluster, the
    * majority label's share: the label-side health check of the IVF/
    * SemDeDup clustering ([[clusterReport]] scores geometric cohesion;

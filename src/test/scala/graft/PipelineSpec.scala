@@ -1527,6 +1527,22 @@ class PipelineSpec extends SparkTestBase {
     ab.getDouble(5) should be < math.log(2.0) // JS bounded by ln 2
   }
 
+  "Similarity.clusterOutliers" should "surface the planted far member with the most negative z" in {
+    // two tight clusters on the axes + one vector at ~26 degrees off the
+    // x-axis: it stays assigned to the x-cluster but sits far below the
+    // others' centroid cosine, so it must rank first (lowest z)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(1.0f, -0.01f)),
+      (4L, Array(0.9f, 0.44f)),
+      (1L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 1.0f)), (6L, Array(-0.01f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterOutliers(vecs, nlist = 2, k = 3).collect()
+    out.head.getLong(0) shouldBe 4L
+    out.head.getDouble(3) should be < -1.0
+    // z-scores ascend (bottom-k ordering) and all rows carry a valid sim
+    out.map(_.getDouble(3)).toSeq shouldBe out.map(_.getDouble(3)).toSeq.sorted
+  }
+
   "Similarity.kCenterCoreset" should "walk the farthest-point traversal in pick order" in {
     val vecs = Seq(
       (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(5f, 5f))
