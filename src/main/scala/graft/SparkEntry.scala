@@ -904,6 +904,12 @@ object SparkEntry {
     }),
     // hourly → daily re-grain without touching raw events: coarser serving
     // aggregates derived from the stats table alone
+    // trailing 24h window served from the hourly stats cells (RANGE
+    // frame over bucket value: gaps contribute nothing)
+    "roll_moving" -> ((s, d) =>
+      Rollup.movingWindow(
+        Rollup.build(evUs(s, d), Seq("event_type"), "ts", "value", HourUs),
+        HourUs, windowSteps = 24).orderBy("event_type", "bucket")),
     "roll_regrain" -> ((s, d) => {
       val hourly = Rollup.build(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
       Rollup.serve(Rollup.regrain(hourly, 24 * HourUs)).orderBy("event_type", "bucket")
@@ -2470,6 +2476,17 @@ object SparkEntry {
          |  min(value) AS vmin, max(value) AS vmax,
          |  round(sum(value), 6) / count(*) AS mean
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "roll_moving" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS bucket,
+         |  count(*)::BIGINT AS n, round(sum(value), 6) AS vsum,
+         |  min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2)
+         |SELECT event_type, bucket, sum(n) OVER w AS w_n,
+         |  round(sum(vsum) OVER w, 3) AS w_total,
+         |  min(vmin) OVER w AS w_min, max(vmax) OVER w AS w_max,
+         |  round(sum(vsum) OVER w, 6) / sum(n) OVER w AS w_mean
+         |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |  RANGE BETWEEN ${23L * HourUs} PRECEDING AND CURRENT ROW)
+         |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "roll_regrain" ->
       s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % ${24 * HourUs} AS bucket,
          |  count(*)::BIGINT AS n, round(sum(value), 3) AS total,

@@ -116,6 +116,43 @@ object Rollup {
   }
 
   /**
+   * TRAILING-WINDOW SERVING from the stats table — per key and cell, the
+   * last-`windowSteps`-cells aggregate (count/total/min/max/mean) WITHOUT
+   * touching raw events: the "last 24 h" dashboard panel served from
+   * hourly sufficient statistics, the moving companion to [[regrain]]'s
+   * coarse re-grain. A RANGE frame over the bucket VALUE (not row
+   * position) makes gap cells contribute nothing instead of silently
+   * stretching the window.
+   *
+   * Determinism: per-cell sums snap to 6 dp before the window fold, so
+   * both engines fold identical doubles in bucket order (window-internal
+   * add/remove strategies may differ at the last ulp — inside the
+   * compare tolerance). Scale shape: one shuffle on the key, per-key
+   * frames bounded by the CELL count (≤ hours in retention), never the
+   * event count.
+   */
+  def movingWindow(
+      rollup: DataFrame,
+      step: Long,
+      windowSteps: Int,
+      sumDp: Int = 3
+  ): DataFrame = {
+    require(windowSteps >= 1, "windowSteps must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val groupCols = rollup.columns.filterNot(Set("bucket", "n", "vsum", "vmin", "vmax")).toSeq
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+      .rangeBetween(-step * (windowSteps - 1), 0)
+    val v6 = round(col("vsum"), 6)
+    rollup.select(groupCols.map(col) ++ Seq(
+      col("bucket"),
+      sum(col("n")).over(w).as("w_n"),
+      round(sum(v6).over(w), sumDp).as("w_total"),
+      min(col("vmin")).over(w).as("w_min"),
+      max(col("vmax")).over(w).as("w_max"),
+      (round(sum(v6).over(w), 6) / sum(col("n")).over(w)).as("w_mean")): _*)
+  }
+
+  /**
    * Re-grain a stats table to a coarser bucket (e.g. hourly → daily)
    * without touching raw data — `coarseStep` must be a multiple of the
    * built step for exact containment.

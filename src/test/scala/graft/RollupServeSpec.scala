@@ -156,4 +156,22 @@ class RollupServeSpec extends SparkTestBase {
     val served = run(e, q).map(_.getLong(3)).sum
     served shouldBe run(raw, q).map(_.getLong(3)).sum * 2
   }
+
+  "Rollup.movingWindow" should "not stretch the trailing window across gap cells" in {
+    import graft.operators.Rollup
+    // hourly cells at buckets 0, 1, 3 (gap at 2); a 2-step RANGE window at
+    // bucket 3 covers values {2,3} -> ONLY cell 3; a row-based frame would
+    // wrongly pull cell 1 in
+    val step = 10L
+    val ev = Seq(("a", 0L, 1.0), ("a", 5L, 3.0), ("a", 10L, 5.0), ("a", 30L, 7.0))
+      .toDF("k", "ts", "v")
+    val cells = Rollup.build(ev, Seq("k"), "ts", "v", step)
+    val out = Rollup.movingWindow(cells, step, windowSteps = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(
+      (0L, 2L, 4.0),  // cells {0}: n=2, total=4
+      (10L, 3L, 9.0), // cells {0,10}: n=3, total=9
+      (30L, 1L, 7.0)) // gap at 20 -> window [20,30] holds only cell 30
+  }
 }
