@@ -1151,6 +1151,9 @@ object SparkEntry {
       Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20))),
     // top-weighted agreement: bounded min-RBO between the same two lists
     // (τ's complement for partially-overlapping top-k rankings)
+    // tf-idf doc-doc cosine: the weighted-lexical pair modality next to
+    // minhash (set overlap) and embeddings (dense) — maxDf bounds the join
+    "rt_docsim" -> ((s, d) => Retrieval.tfidfDocSim(docs(s, d), k = 50, maxDf = 100)),
     "rt_rbo" -> ((s, d) => Retrieval.rankBiasedOverlap(
       Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
       Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20), k = 20, p = 0.9)),
@@ -2899,6 +2902,23 @@ object SparkEntry {
     "rt_tau" -> OracleGen.rankAgreementSql(
       OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
       OracleGen.qlTopKSql(Seq("spark", "join"), k = 20)),
+    "rt_docsim" ->
+      """WITH p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM p0 WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::BIGINT AS dfc FROM tfq GROUP BY term HAVING count(*) <= 100),
+        |wv AS (SELECT tfq.doc_id, tfq.term,
+        |         tfq.tf::DOUBLE * ln((SELECT count(*) FROM documents)::DOUBLE / dfc::DOUBLE) AS w
+        |       FROM tfq JOIN dfq USING (term)),
+        |nr AS (SELECT doc_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(w * w ORDER BY term)), (x, y) -> x + y)) AS nrm FROM wv GROUP BY doc_id),
+        |dt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(a.w * b.w ORDER BY a.term)), (x, y) -> x + y) AS dot
+        |       FROM wv a JOIN wv b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |f AS (SELECT id_a, id_b, n_shared, dot / (na.nrm * nb.nrm) AS sim
+        |      FROM dt JOIN nr na ON na.doc_id = id_a JOIN nr nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, n_shared, round(sim, 6) AS sim FROM f
+        |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin.replace("\n", " "),
     "rt_rbo" -> OracleGen.rankBiasedOverlapSql(
       OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
       OracleGen.qlTopKSql(Seq("spark", "join"), k = 20), k = 20, p = 0.9),

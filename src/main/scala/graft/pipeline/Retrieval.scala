@@ -975,4 +975,67 @@ object Retrieval {
     }
     spark.createDataFrame(selected.toSeq).toDF("rank", idCol, "mmr_score")
   }
+
+  /**
+   * TF-IDF DOC–DOC COSINE top-k — all-pairs lexical similarity through
+   * the inverted index: `w(d,t) = tf·ln(N/df)`, documents l2-normalized,
+   * pairs enumerated by joining postings ON THE TERM (the sparse-dot
+   * identity: only co-occurring terms contribute), ranked by cosine. The
+   * third lexical-similarity modality next to MinHash (set overlap) and
+   * embeddings (dense semantics) — tf-idf weighs WHICH terms are shared,
+   * so two docs sharing three rare terms outrank two sharing thirty
+   * stopwords.
+   *
+   * `maxDf` drops terms appearing in more than that many docs from the
+   * vector space entirely (weights AND norms) — the standard stop-term
+   * cut that simultaneously BOUNDS the term-join fan-out at
+   * `Σ_t df(t)² ≤ maxDf·Σ df` (linear in the corpus for fixed maxDf, the
+   * [[graft.pipeline.Dedup]] maxBucket discipline).
+   *
+   * Determinism: norms and dots fold term-sorted ([[foldSum]]); the
+   * top-k orders by the unrounded cosine with id ties, output snapped to
+   * 6 dp. Scale shape: one tokenization (pinned postings), two
+   * partial-aggregated groupBys, the capped term join, TakeOrdered.
+   */
+  def tfidfDocSim(
+      docs: DataFrame,
+      k: Int = 50,
+      maxDf: Long = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import graft.pipeline.Checkpoints.PinOps
+    require(k >= 1, "k must be >= 1")
+    require(maxDf >= 1, "maxDf must be >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ix = termIndexPinned(docs, textCol, idCol)
+    val dfreq = ix.postings.filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val w = ix.postings.join(dfreq, "term")
+      .select(col(idCol).as("id"), col("term"),
+        (col("tf").cast("double") * log(lit(ix.n.toDouble) / col("__df").cast("double"))).as("w"))
+      .pinned // feeds the norm pass and BOTH sides of the term join
+    // w is materialized: the index pins are dead weight now (they are NOT
+    // in w's truncated lineage, so the caller's free can't reach them)
+    graft.pipeline.Checkpoints.free(ix.postings, ix.doclens)
+    val norms = w.groupBy(col("id"))
+      .agg(foldSum(expr(
+        "transform(array_sort(collect_list(named_struct('t', term, 'p', w * w))), s -> s.p)")).as("__nsq"))
+      .select(col("id"), sqrt(col("__nsq")).as("__nrm"))
+    val dots = w.select(col("id").as("id_a"), col("term"), col("w").as("__wa"))
+      .join(w.select(col("id").as("id_b"), col("term"), col("w").as("__wb")), "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        foldSum(expr(
+          "transform(array_sort(collect_list(named_struct('t', term, 'p', __wa * __wb))), s -> s.p)")).as("__dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("__nrm").as("__na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("__nrm").as("__nb")), "id_b")
+      .withColumn("__sim", col("__dot") / (col("__na") * col("__nb")))
+      .orderBy(col("__sim").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col("n_shared"), round(col("__sim"), 6).as("sim"))
+  }
 }
