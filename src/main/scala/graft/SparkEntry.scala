@@ -1423,6 +1423,11 @@ object SparkEntry {
     "mm_hashdup" -> ((s, d) => Multimodal.contentDedup(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx")),
+    // VAD-shaped per-window RMS energy over the raw payload bytes — real
+    // byte arithmetic on the binary column, no stub, no UDF
+    "mm_vad" -> ((s, d) =>
+      Multimodal.audioEnergyWindows(Multimodal.withPayload(docs(s, d)))
+        .orderBy("doc_id", "window_idx")),
     // resize: gate compares the size/dimension arithmetic (binary payload
     // itself is stub bytes, excluded from the oracle projection)
     "mm_resize" -> ((s, d) => Multimodal.resizeBatched(Multimodal.withPayload(docs(s, d)))
@@ -3256,6 +3261,24 @@ object SparkEntry {
         |count(*)::BIGINT AS n_copies, max(octet_length(encode(text)))::BIGINT AS n_bytes
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "mm_batch" -> MmMetaSql,
+    // VAD: bytes via hex(payload) 2-char slices, exact integer frame
+    // sums, one divide + sqrt per frame
+    "mm_vad" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+        |fr AS (SELECT doc_id, u AS window_idx,
+        |         least(nb - u * 256, 256)::BIGINT AS n_samples,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(
+        |           range(u * 256 + 1, u * 256 + least(nb - u * 256, 256) + 1),
+        |           i -> (CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+        |                  + (strpos('123456789ABCDEF', hx[2*i:2*i])) - 128 AS BIGINT)
+        |               * CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+        |                  + (strpos('123456789ABCDEF', hx[2*i:2*i])) - 128 AS BIGINT)))),
+        |           (a, b) -> a + b) AS sq
+        |       FROM b, unnest(range(0, (nb + 255) // 256)) AS un(u))
+        |SELECT doc_id, window_idx, n_samples,
+        |  round(sqrt(sq::DOUBLE / n_samples::DOUBLE), 6) AS rms,
+        |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active
+        |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
     "mm_frames" ->
       "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx",
     "mm_resize" ->

@@ -81,6 +81,48 @@ object Multimodal {
     )
 
   /**
+   * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
+   * byte stream is treated as unsigned PCM8 samples, cut into
+   * `window`-sample frames, and each frame scores its RMS energy around
+   * the 128 midpoint plus an activity flag (`rms >= threshold`) — the
+   * voice-activity-detection shape (silence trimming, speech/music
+   * segmentation) every audio-curation pipeline runs before the
+   * expensive model pass. Unlike the decode stubs this is REAL byte
+   * arithmetic end to end: bytes extract natively
+   * (`substring(binary) → hex → conv`, all codegen'd builtins — no UDF),
+   * frame sums are exact integers, and the only float ops are one
+   * divide + sqrt per frame — so the DuckDB oracle replays it exactly
+   * from `hex(payload)`.
+   *
+   * Scale shape: row-local (no shuffle before the explode), output rows
+   * = ceil(bytes/window) per record; payload bytes never shuffle — only
+   * the per-frame sums survive the projection.
+   */
+  def audioEnergyWindows(
+      media: DataFrame,
+      window: Int = 256,
+      threshold: Double = 40.0,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    media
+      .select(col(idCol),
+        expr(s"transform(sequence(1, octet_length($payloadCol)), " +
+          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(__bs) / ${window}.0) AS INT) - 1), " +
+          s"w -> slice(__bs, w * $window + 1, $window))")).as(Seq("window_idx", "__fr")))
+      .select(col(idCol), col("window_idx").cast("long").as("window_idx"),
+        size(col("__fr")).cast("long").as("n_samples"),
+        sqrt(expr("aggregate(__fr, 0L, (a, b) -> a + cast((b - 128) * (b - 128) AS BIGINT))")
+          .cast("double") / size(col("__fr")).cast("double")).as("__rms"))
+      .select(col(idCol), col("window_idx"), col("n_samples"),
+        round(col("__rms"), 6).as("rms"),
+        (col("__rms") >= threshold).as("active"))
+  }
+
+  /**
    * Partition-batched decode: the mapPartitions/mapInPandas shape a real
    * codec needs (amortize model/codec init per batch, bounded batch
    * memory). The per-record decode is the same STUB arithmetic.

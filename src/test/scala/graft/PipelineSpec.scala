@@ -1140,6 +1140,17 @@ class PipelineSpec extends SparkTestBase {
     out shouldBe Array((3L, 2L, 10L), (7L, 1L, 15L))
   }
 
+  "Multimodal.audioEnergyWindows" should "score exact per-frame RMS from the raw bytes" in {
+    // 'A' = 65 -> (65-128)^2 = 3969 -> rms 63 (loud); 'x' = 120 -> rms 8
+    // (quiet). 256 'A's + 44 'x's: frame 0 full/active, frame 1 short/idle
+    val media = Multimodal.withPayload(Seq(
+      (1L, "A" * 256 + "x" * 44, "en", "a", 300L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Multimodal.audioEnergyWindows(media).orderBy("window_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    out shouldBe Array((0L, 256L, 63.0, true), (1L, 44L, 8.0, false))
+  }
+
   "Sampling.stratifiedHashSample" should "apply per-stratum rates and drop unlisted strata" in {
     val corpus = (0L until 300L).map(i => (i, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
       .toDF("doc_id", "text", "lang")
