@@ -282,11 +282,11 @@ object OracleGen {
     * integer degrees, wedge join on the shared neighbor, existing edges
     * anti-joined out, and the per-pair 1/ln(deg) fold over the common
     * neighbors sorted ascending by id — the engine's exact IEEE order. */
-  def adamicAdarSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
-                    maxBucket: Int, topK: Int): String =
-    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
-       |aae AS (SELECT DISTINCT id_a, id_b FROM v WHERE jaccard >= $threshold),
-       |aaj AS (SELECT id_a AS id, id_b AS nb FROM aae UNION ALL SELECT id_b, id_a FROM aae),
+  /** the [[graft.operators.Graph.adamicAdar]] chain over an `aae`
+    * edge CTE (columns id_a, id_b): symmetrized adjacency, integer
+    * degrees, wedge join, existing-edge exclusion, id-sorted 1/ln fold. */
+  private def adamicAdarChain(topK: Int): String =
+    s"""aaj AS (SELECT id_a AS id, id_b AS nb FROM aae UNION ALL SELECT id_b, id_a FROM aae),
        |aad AS (SELECT id, count(*)::BIGINT AS d FROM aaj GROUP BY id),
        |aaw AS (SELECT x.id AS id_a, y.id AS id_b, x.nb AS via
        |      FROM aaj x JOIN aaj y ON x.nb = y.nb AND x.id < y.id
@@ -297,7 +297,21 @@ object OracleGen {
        |          (a, b) -> a + b), 6) AS aa
        |      FROM aaw JOIN aad dg ON dg.id = aaw.via GROUP BY aaw.id_a, aaw.id_b)
        |SELECT id_a, id_b, n_common, aa FROM aas
-       |ORDER BY aa DESC, id_a, id_b LIMIT $topK""".stripMargin.replace("\n", " ")
+       |ORDER BY aa DESC, id_a, id_b LIMIT $topK""".stripMargin
+
+  def adamicAdarSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                    maxBucket: Int, topK: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |aae AS (SELECT DISTINCT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |${adamicAdarChain(topK)}""".stripMargin.replace("\n", " ")
+
+  /** [[adamicAdarSql]] over the CO-PURCHASE part graph (edges = part
+    * pairs ordered together in ≥ `minSupport` orders). */
+  def adamicAdarBasketSql(minSupport: Long, topK: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |aae AS (SELECT a.pk AS id_a, b.pk AS id_b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |        GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |${adamicAdarChain(topK)}""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.operators.Graph.kCore]]: the same FIXED round count
     * unrolled as CTEs — round t keeps nodes with ≥ k neighbors in round

@@ -28,7 +28,12 @@ object ScaleBench {
 
   val probeQueries: Seq[String] = Seq(
     "d_minhash", "d_cc", "ann_ivf", "ann_join",
-    "rt_bm25_idx", "tx_mix", "st_basket", "roll_maint")
+    "rt_bm25_idx", "tx_mix", "st_basket", "roll_maint",
+    // round-13 join-heavy additions: the tf-idf term join (maxDf-capped
+    // fan-out) and the Adamic-Adar wedge join over the co-purchase
+    // graph (degree-bounded by the support cut) — the two shapes most likely to hide a
+    // quadratic term if their caps were wrong
+    "rt_docsim", "st_alsobought")
 
   /** Probe overrides where the GATE's fixed small-data parameters are the
     * scale bottleneck, not the operator: the probe instead applies the
@@ -43,6 +48,37 @@ object ScaleBench {
     * occupancy constant, and `tablesForMultiProbe` re-amplifies recall at
     * the target similarity. The probe measures THAT spelling. */
   val probeOverrides: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // rt_docsim: the replicated probe corpus has DISJOINT per-replica
+    // vocabularies, so per-term df stays flat while N grows — a pure
+    // fractional stop-cut then loosens with scale and lets stopword df²
+    // fan-out creep back in (measured: the 10x sweep ran minutes, not
+    // seconds). The operator's maxDfCap is exactly this knob: pin the
+    // absolute cut at the 1x level (1000 docs) so the vector space stays
+    // comparable across scales.
+    "rt_docsim" -> { (s, d) =>
+      graft.pipeline.Retrieval.tfidfDocSim(
+        s.read.parquet(s"$d/documents.parquet"), k = 50,
+        maxDfFrac = 0.2, maxDfCap = 1000L)
+    },
+    // st_alsobought: replicated baskets keep their partkeys, so per-pair
+    // co-purchase SUPPORT scales with the factor and an absolute cut
+    // admits every pair at 3x+ (measured: 2 s -> 48 s, then flat — the
+    // all-pairs edge set saturates). Frequent-itemset practice states
+    // support as a FRACTION of transactions for exactly this reason; the
+    // probe pins the 1x gate's fraction (2 per 150k orders).
+    "st_alsobought" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = li.select("ok").distinct().count()
+      val cut = math.max(2L, math.ceil(nOrders * 2.0 / 150000.0).toLong)
+      System.err.println(s"[scale] st_alsobought support cut = $cut (2-in-150k fraction)")
+      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= cut)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      graft.operators.Graph.adamicAdar(edges, topK = 50)
+    },
     "ann_join" -> { (s, d) =>
       import org.apache.spark.sql.functions._
       import graft.pipeline.Similarity

@@ -251,10 +251,20 @@ object SparkEntry {
     "d_tricount" -> ((s, d) =>
       graft.operators.Graph.triangleCounts(Dedup.minhashLshPairs(docs(s, d), 0.5))
         .orderBy("doc_id")),
-    // Adamic-Adar link prediction over the near-dup graph: the non-edges
-    // most likely to be LSH-banding misses, ranked for an exact-verify pass
-    "d_adamic" -> ((s, d) =>
-      graft.operators.Graph.adamicAdar(Dedup.minhashLshPairs(docs(s, d), 0.5), topK = 50)),
+    // Adamic-Adar link prediction over the CO-PURCHASE part graph: parts
+    // sharing several low-degree co-purchase partners but never bought
+    // together — the "customers also bought" candidate ranking. (The
+    // near-dup doc graph is transitively closed by construction — every
+    // wedge is already an edge — so basket data is where AA has signal.)
+    "st_alsobought" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= 2L)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      graft.operators.Graph.adamicAdar(edges, topK = 50)
+    }),
     // per-doc local clustering coefficient: clique-family (lcc→1) vs
     // shared-fragment-hub (lcc→0) topology over the same near-dup graph
     "d_lcc" -> ((s, d) =>
@@ -1153,7 +1163,7 @@ object SparkEntry {
     // (τ's complement for partially-overlapping top-k rankings)
     // tf-idf doc-doc cosine: the weighted-lexical pair modality next to
     // minhash (set overlap) and embeddings (dense) — maxDf bounds the join
-    "rt_docsim" -> ((s, d) => Retrieval.tfidfDocSim(docs(s, d), k = 50, maxDf = 100)),
+    "rt_docsim" -> ((s, d) => Retrieval.tfidfDocSim(docs(s, d), k = 50, maxDfFrac = 0.2)),
     "rt_rbo" -> ((s, d) => Retrieval.rankBiasedOverlap(
       Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
       Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20), k = 20, p = 0.9)),
@@ -1598,7 +1608,7 @@ object SparkEntry {
       maxBucket = 1000, rounds = 4),
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
-    "d_adamic"    -> OracleGen.adamicAdarSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, topK = 50),
+    "st_alsobought" -> OracleGen.adamicAdarBasketSql(minSupport = 2L, topK = 50),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
@@ -2910,7 +2920,8 @@ object SparkEntry {
     "rt_docsim" ->
       """WITH p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM p0 WHERE length(term) > 0 GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*)::BIGINT AS dfc FROM tfq GROUP BY term HAVING count(*) <= 100),
+        |dfq AS (SELECT term, count(*)::BIGINT AS dfc FROM tfq GROUP BY term
+        |        HAVING count(*) <= ceil((SELECT count(*) FROM documents) * 0.2)),
         |wv AS (SELECT tfq.doc_id, tfq.term,
         |         tfq.tf::DOUBLE * ln((SELECT count(*) FROM documents)::DOUBLE / dfc::DOUBLE) AS w
         |       FROM tfq JOIN dfq USING (term)),

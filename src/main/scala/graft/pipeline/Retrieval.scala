@@ -986,11 +986,12 @@ object Retrieval {
    * so two docs sharing three rare terms outrank two sharing thirty
    * stopwords.
    *
-   * `maxDf` drops terms appearing in more than that many docs from the
-   * vector space entirely (weights AND norms) — the standard stop-term
-   * cut that simultaneously BOUNDS the term-join fan-out at
-   * `Σ_t df(t)² ≤ maxDf·Σ df` (linear in the corpus for fixed maxDf, the
-   * [[graft.pipeline.Dedup]] maxBucket discipline).
+   * `maxDfFrac` drops terms appearing in more than that FRACTION of docs
+   * from the vector space entirely (weights AND norms) — the standard
+   * stop-term cut, fraction-scaled so the same setting works at every
+   * corpus size, and the bound that keeps the term-join fan-out at
+   * `Σ_t df(t)² ≤ (maxDfFrac·N)·Σ df` (the [[graft.pipeline.Dedup]]
+   * maxBucket discipline).
    *
    * Determinism: norms and dots fold term-sorted ([[foldSum]]); the
    * top-k orders by the unrounded cosine with id ties, output snapped to
@@ -1000,15 +1001,25 @@ object Retrieval {
   def tfidfDocSim(
       docs: DataFrame,
       k: Int = 50,
-      maxDf: Long = 100,
+      maxDfFrac: Double = 0.2,
+      maxDfCap: Long = Long.MaxValue,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     import graft.pipeline.Checkpoints.PinOps
     require(k >= 1, "k must be >= 1")
-    require(maxDf >= 1, "maxDf must be >= 1")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
+    require(maxDfCap >= 1, "maxDfCap must be >= 1")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val ix = termIndexPinned(docs, textCol, idCol)
+    // the stop-term cut scales WITH the corpus (a fixed count would drop
+    // every term once N grows past it): terms in more than maxDfFrac of
+    // docs leave the vector space; fan-out stays ≤ (maxDfFrac·N)·Σdf.
+    // `maxDfCap` is the absolute ceiling on top — the knob for corpora
+    // whose per-term df does NOT grow with N (federated/sharded unions of
+    // disjoint vocabularies), where a pure fraction would loosen the cut
+    // as N grows and let df² fan-out creep back in
+    val maxDf = math.min(math.ceil(ix.n * maxDfFrac).toLong, maxDfCap)
     val dfreq = ix.postings.filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
