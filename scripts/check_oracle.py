@@ -5,8 +5,11 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
-compares row count, schema (column names sorted), and values (rows sorted,
-exact for non-floats, 1e-9-relative for floats).
+compares row count, schema (column names sorted), column TYPES (DESCRIBE of
+the oracle vs the parquet read — the driver's hash is type-sensitive, so a
+HUGEINT 24 != BIGINT 24 even when every value compares equal; see the r13
+roll_moving post-mortem), and values (rows sorted, exact for non-floats,
+1e-9-relative for floats).
 """
 import json
 import math
@@ -59,11 +62,21 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name])
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
+            # DBAPI type codes collapse int widths; DESCRIBE gives the real
+            # DuckDB types (BIGINT vs HUGEINT vs DECIMAL, FLOAT vs DOUBLE)
+            dg = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchall()}
+            de = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle[name]}").fetchall()}
             g_rows, g_cols = canon(got_rows, got_cols)
             e_rows, e_cols = canon(exp_rows, exp_cols)
             status["rows"] = len(g_rows) == len(e_rows)
             status["schema"] = g_cols == e_cols
-            match = status["rows"] and status["schema"]
+            type_diffs = {c: [dg.get(c), de.get(c)]
+                          for c in set(dg) | set(de) if dg.get(c) != de.get(c)}
+            status["types"] = not type_diffs
+            if type_diffs:
+                status["type_diff"] = type_diffs
+            match = status["rows"] and status["schema"] and status["types"]
             if match:
                 for gr, er in zip(g_rows, e_rows):
                     if not all(vals_eq(a, b) for a, b in zip(gr, er)):

@@ -147,16 +147,27 @@ object Bench {
     val total = results.map(_._2).sum
     val line  =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}"""
-    // the line can exceed what a log-tail capture keeps (200 queries wide),
-    // so persist it too: one identical JSON line, overwritten per run
+    // the full line (300 queries wide) exceeds a 2000-char log-tail capture
+    // — it lives in BENCH_SELF.json; stdout's LAST line is a compact
+    // per-family digest that always fits a tail window
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+    // compact digest: per-family (prefix before '_') summed floors — the
+    // round-over-round comparison unit when the full line can't be captured
+    val fams = results.groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + f"${rs.map(_._2).sum}%.3f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+        f""""queries":$fams,"per_query":"BENCH_SELF.json"}"""
     // stop Spark BEFORE printing: shutdown logging otherwise lands after
     // the JSON in a merged stdout+stderr capture, and a tail-based driver
-    // parse then misses the line — the JSON must be the LAST output
+    // parse then misses the line — the compact JSON must be the LAST output
     spark.stop()
     println(line)
+    println(compact)
     System.out.flush()
   }
 }

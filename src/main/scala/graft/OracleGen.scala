@@ -286,11 +286,13 @@ object OracleGen {
     * edge CTE (columns id_a, id_b): symmetrized adjacency, integer
     * degrees, wedge join, existing-edge exclusion, id-sorted 1/ln fold. */
   private def adamicAdarChain(topK: Int): String =
-    s"""aaj AS (SELECT id_a AS id, id_b AS nb FROM aae UNION ALL SELECT id_b, id_a FROM aae),
+    s"""aac AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+       |      FROM aae WHERE id_a <> id_b),
+       |aaj AS (SELECT id_a AS id, id_b AS nb FROM aac UNION ALL SELECT id_b, id_a FROM aac),
        |aad AS (SELECT id, count(*)::BIGINT AS d FROM aaj GROUP BY id),
        |aaw AS (SELECT x.id AS id_a, y.id AS id_b, x.nb AS via
        |      FROM aaj x JOIN aaj y ON x.nb = y.nb AND x.id < y.id
-       |      WHERE NOT EXISTS (SELECT 1 FROM aae WHERE aae.id_a = x.id AND aae.id_b = y.id)),
+       |      WHERE NOT EXISTS (SELECT 1 FROM aac WHERE aac.id_a = x.id AND aac.id_b = y.id)),
        |aas AS (SELECT aaw.id_a, aaw.id_b, count(*)::BIGINT AS n_common,
        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |          list_transform(list(dg.d ORDER BY aaw.via), dd -> 1.0 / ln(dd))),
@@ -861,6 +863,68 @@ object OracleGen {
        |q AS (SELECT * FROM e WHERE doc_id = 0)
        |SELECT e.doc_id AS vec_id, round($dotEQ / (sqrt($dotEE) * sqrt($dotQQ)), 3) AS sim
        |FROM e, q ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Multimodal.syntheticContainers]] +
+    * [[graft.pipeline.Multimodal.containerMeta]]: the identical hex stream
+    * is rebuilt per doc (PNG IHDR / two-segment JPEG / raw, cycling on
+    * doc_id % 3), then the SAME fixed-offset header reads and the SAME
+    * bounded JPEG marker walk replay over hex-string slices — byte `p`
+    * (1-indexed) is hex chars `[2p−1, 2p]`, big-endian words are longer
+    * slices cast via the `0x` prefix. Exact integer arithmetic end to end
+    * (try_cast → −1 keeps out-of-range reads total; the walk's guards mean
+    * they never reach the output). */
+  def containerMetaSql(maxSegments: Int = 8): String = {
+    // byte/word reads over the hex string: B(pos) and BE(pos, nBytes)
+    def be(pos: String, n: Int): String =
+      s"coalesce(try_cast('0x' || hx[2*($pos)-1 : 2*($pos)+${2 * n - 2}] AS BIGINT), -1)"
+    def b1(pos: String): String = be(pos, 1)
+    val fixture =
+      s"""p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN
+         |    '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+         |    lpad(hex(1 + (doc_id * 7) % 4096), 8, '0') || lpad(hex(1 + (doc_id * 13) % 4096), 8, '0') ||
+         |    '08' || CASE WHEN doc_id % 2 = 0 THEN '02' ELSE '06' END || '000000' || hex(encode(text))
+         |  WHEN doc_id % 3 = 1 THEN
+         |    'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' || '00010001' || '0000' ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN 'FFC0' || '0011' || '08' || lpad(hex(1 + (doc_id * 13) % 4096), 4, '0') ||
+         |           lpad(hex(1 + (doc_id * 7) % 4096), 4, '0') || '03' || '011100021101031101'
+         |      ELSE 'FFC2' || '000B' || '08' || lpad(hex(1 + (doc_id * 13) % 4096), 4, '0') ||
+         |           lpad(hex(1 + (doc_id * 7) % 4096), 4, '0') || '01' || '011100' END || hex(encode(text))
+         |  ELSE hex(encode(text)) END AS hx
+         |FROM documents)""".stripMargin
+    val base =
+      s"""j0 AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+         |  3::BIGINT AS pos, (-1)::BIGINT AS h, (-1)::BIGINT AS w, (-1)::BIGINT AS c FROM p)"""
+        .stripMargin
+    val steps = (1 to maxSegments).map { k =>
+      val live = s"pos >= 3 AND pos + 9 <= nb AND ${b1("pos")} = 255"
+      val sof  = s"${b1("pos + 1")} BETWEEN 192 AND 195"
+      s"""j$k AS (SELECT doc_id, hx, nb,
+         |  CASE WHEN h >= 0 THEN pos
+         |       WHEN $live AND $sof THEN pos
+         |       WHEN $live THEN pos + 2 + ${be("pos + 2", 2)}
+         |       ELSE -1 END AS pos,
+         |  CASE WHEN h >= 0 THEN h WHEN $live AND $sof THEN ${be("pos + 5", 2)} ELSE -1 END AS h,
+         |  CASE WHEN h >= 0 THEN w WHEN $live AND $sof THEN ${be("pos + 7", 2)} ELSE -1 END AS w,
+         |  CASE WHEN h >= 0 THEN c WHEN $live AND $sof THEN ${b1("pos + 9")} ELSE -1 END AS c
+         |FROM j${k - 1})""".stripMargin
+    }
+    val isPng  = s"nb >= 33 AND hx[1:16] = '89504E470D0A1A0A' AND hx[25:32] = '49484452'"
+    val isJpeg = s"NOT ($isPng) AND nb >= 4 AND hx[1:4] = 'FFD8'"
+    s"""WITH $fixture, $base, ${steps.mkString(", ")},
+       |d AS (SELECT doc_id, hx, nb, h, w, c, ($isPng) AS png, (($isJpeg) AND h >= 0) AS jok
+       |      FROM j$maxSegments)
+       |SELECT doc_id,
+       |  CASE WHEN png THEN 'png' WHEN jok THEN 'jpeg' ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN png THEN ${be("17", 4)} WHEN jok THEN w ELSE 64 + nb % 193 END)::BIGINT AS width,
+       |  (CASE WHEN png THEN ${be("21", 4)} WHEN jok THEN h ELSE 64 + (nb * 31) % 177 END)::BIGINT AS height,
+       |  (CASE WHEN png THEN (CASE ${b1("26")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+       |     WHEN 4 THEN 2 WHEN 6 THEN 4 ELSE 3 END)
+       |   WHEN jok THEN c ELSE 3 END)::BIGINT AS channels
+       |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[graft.pipeline.Similarity.pqBuild]]+[[graft.pipeline.Similarity.pqTopK]]:
@@ -1791,8 +1855,9 @@ object OracleGen {
        |GROUP BY a1.centroid ORDER BY a1.centroid""".stripMargin.replace("\n", " ")
 
   /** mirror of [[Similarity.clusterOutliers]]: snapped member cosines,
-    * exact per-cluster int moments (Σ² in doubles), bottom-k by the
-    * unrounded within-cluster z with id ties. */
+    * exact per-cluster int moments (Σ² folds exactly — HUGEINT here,
+    * decimal(38,0) engine-side — then ONE cast to double), bottom-k by
+    * the unrounded within-cluster z with id ties. */
   def clusterOutliersSql(nlist: Int, dim: Int, k: Int): String =
     s"""WITH ${ivfAssignCtes(nlist, dim)},
        |sc AS (SELECT a1.id, a1.centroid,

@@ -33,7 +33,12 @@ object ScaleBench {
     // fan-out) and the Adamic-Adar wedge join over the co-purchase
     // graph (degree-bounded by the support cut) — the two shapes most likely to hide a
     // quadratic term if their caps were wrong
-    "rt_docsim", "st_alsobought")
+    "rt_docsim", "st_alsobought",
+    // round-14 additions: the payload-byte explode (output rows = bytes /
+    // window — linear BY DESIGN, now measured), and the two most
+    // expensive gates on the r13 board (d_ari two-labellings-over-one-
+    // pair-graph, tx_mix2 whole composed curation pipeline)
+    "mm_vad", "d_ari", "tx_mix2")
 
   /** Probe overrides where the GATE's fixed small-data parameters are the
     * scale bottleneck, not the operator: the probe instead applies the
@@ -141,22 +146,34 @@ object ScaleBench {
     for ((f, dir) <- dirs; name <- probeQueries) {
       val fn = probeOverrides.getOrElse(name, SparkEntry.queries(name))
       var rows = -1L
+      // (ok, seconds) per run: a run that throws fails FAST, and feeding
+      // its small elapsed into the min-floor would flatten the fitted
+      // exponent — exactly the superlinear signal the probe exists to
+      // catch. Only successful runs contribute to the floor.
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, dir)
-          rows = df.count()
-          Checkpoints.free(df)
-        } catch {
-          case e: Throwable =>
-            failed ::= ((name, f, String.valueOf(e.getMessage).take(200)))
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            val df = fn(spark, dir)
+            rows = df.count()
+            Checkpoints.free(df)
+            true
+          } catch {
+            case e: Throwable =>
+              failed ::= ((name, f, String.valueOf(e.getMessage).take(200)))
+              false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      val best = ts.min
-      System.err.println(f"[scale] x$f%-3d $name%-12s $best%8.3f s  rows=$rows%-9d " +
-        s"runs=[${ts.map(t => f"$t%.3f").mkString(",")}]")
-      times.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)(f) = best
+      val good = ts.collect { case (true, t) => t }
+      if (good.nonEmpty) {
+        val best = good.min
+        System.err.println(f"[scale] x$f%-3d $name%-12s $best%8.3f s  rows=$rows%-9d " +
+          s"runs=[${ts.map(t => f"${t._2}%.3f${if (t._1) "" else "!"}").mkString(",")}]")
+        times.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)(f) = best
+      } else {
+        System.err.println(s"[scale] x$f $name ALL $runs RUNS FAILED — scale point excluded from fit")
+      }
     }
 
     // per-query growth: 10x/1x ratio and the least-squares log-log slope
@@ -169,20 +186,26 @@ object ScaleBench {
       (n * sxy - sx * sy) / (n * sxx - sx * sx)
     }
     val report = probeQueries.map { name =>
-      val t  = times(name)
-      val r  = t(10) / t(1)
-      val ex = slope(factors.map(f => (math.log(f.toDouble), math.log(math.max(t(f), 1e-4)))))
+      val t = times.getOrElse(name, scala.collection.mutable.LinkedHashMap.empty[Int, Double])
+      val present = factors.filter(t.contains)
+      val r =
+        if (t.contains(1) && t.contains(10)) t(10) / t(1) else Double.NaN
+      val ex =
+        if (present.size >= 2)
+          slope(present.map(f => (math.log(f.toDouble), math.log(math.max(t(f), 1e-4)))))
+        else Double.NaN
       (name, t, r, ex)
     }
-    val superlinear = report.filter { case (_, _, r, _) => r > math.pow(10.0, 1.3) }
+    val superlinear = report.filter { case (_, _, r, _) => !r.isNaN && r > math.pow(10.0, 1.3) }
     superlinear.foreach { case (n, _, r, ex) =>
       System.err.println(f"[scale] SUPERLINEAR $n: 10x data -> $r%.1fx time (exponent $ex%.2f)")
     }
 
-    def jnum(d: Double) = f"$d%.3f"
+    def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
     val perQ = report.map { case (name, t, r, ex) =>
-      s""""$name":{${factors.map(f => s""""x$f":${jnum(t(f))}""").mkString(",")},""" +
-        s""""ratio10":${jnum(r)},"exponent":${jnum(ex)}}"""
+      val pts = factors.map(f =>
+        s""""x$f":${t.get(f).map(jnum).getOrElse("null")}""").mkString(",")
+      s""""$name":{$pts,"ratio10":${jnum(r)},"exponent":${jnum(ex)}}"""
     }.mkString("{", ",", "}")
     val fails = failed.reverse.map { case (n, f, m) =>
       s"""{"query":"$n","factor":$f,"error":"${m.replace("\"", "'")}"}"""

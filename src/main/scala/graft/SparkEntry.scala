@@ -1438,6 +1438,13 @@ object SparkEntry {
     "mm_vad" -> ((s, d) =>
       Multimodal.audioEnergyWindows(Multimodal.withPayload(docs(s, d)))
         .orderBy("doc_id", "window_idx")),
+    // REAL container-header decode: minimal PNG/JPEG fixtures wrap the
+    // text bytes (see syntheticContainers), then width/height/channels
+    // parse from the actual header bytes — fixed-offset IHDR reads and a
+    // bounded SOF marker walk, no codec library, no UDF
+    "mm_dims" -> ((s, d) =>
+      Multimodal.containerMeta(Multimodal.syntheticContainers(docs(s, d)))
+        .orderBy("doc_id")),
     // resize: gate compares the size/dimension arithmetic (binary payload
     // itself is stub bytes, excluded from the oracle projection)
     "mm_resize" -> ((s, d) => Multimodal.resizeBatched(Multimodal.withPayload(docs(s, d)))
@@ -2494,17 +2501,21 @@ object SparkEntry {
          |  min(value) AS vmin, max(value) AS vmax,
          |  round(sum(value), 6) / count(*) AS mean
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // window sums fold on the micro-unit BIGINT lattice (round(v6*1e6)) so
+    // the fold is exact on any engine; sums cast ::BIGINT — DuckDB's uncast
+    // sum(BIGINT) is HUGEINT and the driver hash is type-sensitive
     "roll_moving" ->
       s"""WITH c AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS bucket,
-         |  count(*)::BIGINT AS n, round(sum(value), 6) AS vsum,
-         |  min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2)
-         |SELECT event_type, bucket, sum(n) OVER w AS w_n,
-         |  round(sum(vsum) OVER w, 3) AS w_total,
-         |  min(vmin) OVER w AS w_min, max(vmax) OVER w AS w_max,
-         |  round(sum(vsum) OVER w, 6) / sum(n) OVER w AS w_mean
+         |  count(*)::BIGINT AS n, CAST(round(round(sum(value), 6) * 1e6, 0) AS BIGINT) AS vmicro,
+         |  min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2),
+         |wdf AS (SELECT event_type, bucket,
+         |  (sum(n) OVER w)::BIGINT AS w_n, (sum(vmicro) OVER w)::BIGINT AS w_micro,
+         |  min(vmin) OVER w AS w_min, max(vmax) OVER w AS w_max
          |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-         |  RANGE BETWEEN ${23L * HourUs} PRECEDING AND CURRENT ROW)
-         |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+         |  RANGE BETWEEN ${23L * HourUs} PRECEDING AND CURRENT ROW))
+         |SELECT event_type, bucket, w_n, round(w_micro::DOUBLE / 1e6, 3) AS w_total,
+         |  w_min, w_max, (w_micro::DOUBLE / 1e6) / w_n AS w_mean
+         |FROM wdf ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "roll_regrain" ->
       s"""SELECT event_type, epoch_us(ts) - epoch_us(ts) % ${24 * HourUs} AS bucket,
          |  count(*)::BIGINT AS n, round(sum(value), 3) AS total,
@@ -3290,6 +3301,7 @@ object SparkEntry {
         |  round(sqrt(sq::DOUBLE / n_samples::DOUBLE), 6) AS rms,
         |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active
         |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
+    "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
     "mm_frames" ->
       "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx",
     "mm_resize" ->

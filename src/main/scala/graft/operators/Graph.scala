@@ -314,7 +314,14 @@ object Graph {
     require(topK >= 1, "topK must be >= 1")
     GraftFunctions.register(pairs.sparkSession)
     import GraftFunctions.foldSum
-    val e = pairs.select(col("id_a"), col("id_b")).distinct().pinned
+    // canonicalize before distinct: a caller-supplied (5,3) must collapse
+    // with (3,5) — otherwise the edge escapes the left-anti exclusion and
+    // double-counts degrees when both orientations are present
+    val e = pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct().pinned
     val adj = e.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionAll(e.select(col("id_b").as("id"), col("id_a").as("nb")))
     val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("d"))

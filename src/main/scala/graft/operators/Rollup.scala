@@ -124,12 +124,13 @@ object Rollup {
    * position) makes gap cells contribute nothing instead of silently
    * stretching the window.
    *
-   * Determinism: per-cell sums snap to 6 dp before the window fold, so
-   * both engines fold identical doubles in bucket order (window-internal
-   * add/remove strategies may differ at the last ulp — inside the
-   * compare tolerance). Scale shape: one shuffle on the key, per-key
-   * frames bounded by the CELL count (≤ hours in retention), never the
-   * event count.
+   * Determinism: per-cell sums snap to 6 dp and then to the micro-unit
+   * INTEGER lattice (`round(v6*1e6)` as long) before the window fold, so
+   * the fold itself is exact integer arithmetic on any engine/version —
+   * no window-internal add/remove float-order sensitivity at all. The
+   * single divide back to units is one exact IEEE op. Scale shape: one
+   * shuffle on the key, per-key frames bounded by the CELL count
+   * (≤ hours in retention), never the event count.
    */
   def movingWindow(
       rollup: DataFrame,
@@ -142,14 +143,15 @@ object Rollup {
     val groupCols = rollup.columns.filterNot(Set("bucket", "n", "vsum", "vmin", "vmax")).toSeq
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
       .rangeBetween(-step * (windowSteps - 1), 0)
-    val v6 = round(col("vsum"), 6)
+    val micro = round(round(col("vsum"), 6) * lit(1e6), 0).cast("long")
+    val t6 = sum(micro).over(w).cast("double") / lit(1e6)
     rollup.select(groupCols.map(col) ++ Seq(
       col("bucket"),
       sum(col("n")).over(w).as("w_n"),
-      round(sum(v6).over(w), sumDp).as("w_total"),
+      round(t6, sumDp).as("w_total"),
       min(col("vmin")).over(w).as("w_min"),
       max(col("vmax")).over(w).as("w_max"),
-      (round(sum(v6).over(w), 6) / sum(col("n")).over(w)).as("w_mean")): _*)
+      (t6 / sum(col("n")).over(w)).as("w_mean")): _*)
   }
 
   /**

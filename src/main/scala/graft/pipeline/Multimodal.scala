@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,19 +66,119 @@ object Multimodal {
       .select(col(idCol), col("content_hash"), col("n_copies"), col("n_bytes"))
 
   /**
-   * Column-level metadata "decode": deterministic dimensions derived from
-   * payload size. STUB — a real implementation would parse the codec
-   * header; the arithmetic stands in so the pipeline shape (and its
-   * oracle) is testable end-to-end.
+   * CONTAINER-HEADER metadata decode over the raw payload bytes — REAL
+   * parsing for the two fixed-layout image containers, no codec library,
+   * no UDF (`substring(binary) → hex → conv`, all codegen'd builtins —
+   * the [[audioEnergyWindows]] discipline applied to headers):
+   *
+   *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+   *    chunk at FIXED offsets — width is the big-endian uint32 at byte 17
+   *    (1-indexed), height at 21, color type at byte 26 (channels map:
+   *    0→1 gray, 2→3 RGB, 3→1 palette, 4→2 gray+α, 6→4 RGBA).
+   *  - JPEG: SOI `FF D8`, then a BOUNDED marker walk (each segment is
+   *    `FF xx` + big-endian uint16 length INCLUDING the length bytes) to
+   *    the first SOF0–SOF3 frame header: precision at +4, height BE16 at
+   *    +5, width at +7, component count at +9. Real headers put SOF
+   *    within the first handful of segments (APP0/APPn/DQT/DHT), so the
+   *    walk unrolls `maxSegments` plan-side steps — a desynced or
+   *    SOF-less stream falls through to the stub.
+   *
+   * Unknown containers (and failed walks) fall back to the deterministic
+   * size-derived STUB arithmetic, loudly tagged `format = 'raw'`.
+   */
+  def containerMeta(
+      media: DataFrame,
+      maxSegments: Int = 8,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+    // byte/word reads: 1-indexed byte offset → big-endian unsigned value
+    def be(pos: Column, len: Int): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+    // JPEG marker walk: one NAMED projection per step (the Hilbert-walk
+    // discipline — composing raw Columns inlines each step's tree into the
+    // next and the plan grows exponentially; named step columns are
+    // non-cheap, so CollapseProject keeps the chain linear)
+    var cur = media.select(col(idCol), col(payloadCol).as("__pl"),
+      octet_length(col(payloadCol)).cast("long").as("__nb"),
+      lit(3L).as("__pos"), lit(-1L).as("__h"), lit(-1L).as("__w"), lit(-1L).as("__c"))
+    for (_ <- 1 to maxSegments) {
+      val pos   = col("__pos")
+      val live  = col("__h") < 0L && pos >= 3L && pos + 9L <= col("__nb") && be(pos, 1) === 255L
+      val mkr   = be(pos + 1L, 1)
+      val isSof = live && mkr >= 192L && mkr <= 195L
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"),
+        when(col("__h") >= 0L, pos)
+          .when(isSof, pos)
+          .when(live, pos + 2L + be(pos + 2L, 2))
+          .otherwise(lit(-1L)).as("__pos"),
+        when(isSof, be(pos + 5L, 2)).otherwise(col("__h")).as("__h"),
+        when(isSof, be(pos + 7L, 2)).otherwise(col("__w")).as("__w"),
+        when(isSof, be(pos + 9L, 1)).otherwise(col("__c")).as("__c"))
+    }
+    val nb = col("__nb")
+    val isPng = nb >= 33L &&
+      hex(col("__pl").substr(lit(1), lit(8))) === "89504E470D0A1A0A" &&
+      hex(col("__pl").substr(lit(13), lit(4))) === "49484452" // "IHDR"
+    val jpegOk = nb >= 4L && hex(col("__pl").substr(lit(1), lit(2))) === "FFD8" &&
+      !isPng && col("__h") >= 0L
+    val pngCh = be(lit(26L), 1) // color type → channel count
+    val pngChannels =
+      when(pngCh === 0L, 1L).when(pngCh === 2L, 3L).when(pngCh === 3L, 1L)
+        .when(pngCh === 4L, 2L).when(pngCh === 6L, 4L).otherwise(lit(3L))
+    val stubW = (lit(64L) + pmod(nb, lit(193L)))
+    val stubH = (lit(64L) + pmod(nb * 31L, lit(177L)))
+    cur.select(
+      col(idCol),
+      when(isPng, "png").when(jpegOk, "jpeg").otherwise("raw").as("format"),
+      nb.as("n_bytes"),
+      when(isPng, be(lit(17L), 4)).when(jpegOk, col("__w")).otherwise(stubW).as("width"),
+      when(isPng, be(lit(21L), 4)).when(jpegOk, col("__h")).otherwise(stubH).as("height"),
+      when(isPng, pngChannels).when(jpegOk, col("__c")).otherwise(lit(3L)).as("channels"))
+  }
+
+  /**
+   * Column-level metadata decode: [[containerMeta]]'s real PNG/JPEG header
+   * parse with the deterministic size-derived fallback for unknown
+   * containers (the historical all-raw shape — same output schema).
    */
   def decodeMeta(media: DataFrame): DataFrame =
-    media.select(
+    containerMeta(media).select("doc_id", "n_bytes", "width", "height", "channels")
+
+  /**
+   * FIXTURE WRAPPER (gate/spec harness aid, not a production operator):
+   * wrap each doc's UTF-8 text bytes in a REAL minimal container — PNG
+   * IHDR for `doc_id % 3 == 0` (color type 2/6 alternating), a two-segment
+   * JPEG (APP0 JFIF then SOF0/SOF2 alternating, 3 or 1 components) for
+   * `doc_id % 3 == 1`, raw bytes otherwise — with dimensions derived from
+   * the id. Gives [[containerMeta]] genuine headers to parse in an
+   * environment whose testdata payloads are text; the oracle rebuilds the
+   * identical hex stream.
+   */
+  def syntheticContainers(docs: DataFrame): DataFrame = {
+    val w = lit(1L) + pmod(col("doc_id") * 7L, lit(4096L))
+    val h = lit(1L) + pmod(col("doc_id") * 13L, lit(4096L))
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "02").otherwise("06"),
+      lit("000000"), textHex)
+    val jfif = "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00010001" + "0000"
+    val sof0 = concat(lit("FFC0" + "0011" + "08"), lpad(hex(h), 4, "0"),
+      lpad(hex(w), 4, "0"), lit("03" + "011100021101031101"))
+    val sof2 = concat(lit("FFC2" + "000B" + "08"), lpad(hex(h), 4, "0"),
+      lpad(hex(w), 4, "0"), lit("01" + "011100"))
+    val jpegHex = concat(lit(jfif),
+      when(pmod(col("doc_id"), lit(2)) === 0, sof0).otherwise(sof2), textHex)
+    docs.select(
       col("doc_id"),
-      octet_length(col("payload")).cast("long").as("n_bytes"),
-      (lit(64) + pmod(octet_length(col("payload")), lit(193))).cast("long").as("width"),
-      (lit(64) + pmod(octet_length(col("payload")) * 31, lit(177))).cast("long").as("height"),
-      lit(3L).as("channels")
-    )
+      unhex(
+        when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+          .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
+          .otherwise(textHex)).as("payload"))
+  }
 
   /**
    * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
@@ -107,6 +207,10 @@ object Multimodal {
   ): DataFrame = {
     require(window >= 1, "window must be >= 1")
     media
+      // Spark's sequence(1, 0) yields the DESCENDING [1, 0] — an empty
+      // payload would emit one spurious window row (the oracle's
+      // range(0, 0) emits none); drop empties before the explode
+      .filter(expr(s"octet_length($payloadCol)") > 0)
       .select(col(idCol),
         expr(s"transform(sequence(1, octet_length($payloadCol)), " +
           s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))

@@ -1194,10 +1194,12 @@ object Similarity {
    * human review first.
    *
    * Determinism: member cosines snap to 1e-6 FIXED POINT (the
-   * [[clusterReport]] spelling), so per-cluster n/Σ/Σ² are exact int64
-   * and mean/variance/z are a fixed arithmetic tree over them (Σ² in
-   * doubles — a cluster's Σs6² would brush int64 range); the bottom-k
-   * orders by the unrounded z with id ties. Singleton and zero-variance
+   * [[clusterReport]] spelling), so per-cluster n/Σ are exact int64 and
+   * Σ² folds exactly in decimal(38,0) — mirroring the oracle's HUGEINT;
+   * each s6² is ~1e12, so an int64 fold would silently wrap past ~9.2M
+   * members — before one cast to double; mean/variance/z are then a
+   * fixed arithmetic tree; the bottom-k orders by the unrounded z with
+   * id ties. Singleton and zero-variance
    * clusters are excluded (no z exists).
    *
    * Scale shape: the [[ivfBuild]] assignment + one broadcast centroid
@@ -1228,7 +1230,7 @@ object Similarity {
       .pinned // one pass feeds both the moment aggregation and the z join
     val moments = scored.groupBy(col("centroid"))
       .agg(count(lit(1)).as("__n"), sum(col("__s6")).as("__ss"),
-        sum(col("__s6") * col("__s6")).cast("double").as("__qq"))
+        sum((col("__s6") * col("__s6")).cast("decimal(38,0)")).cast("double").as("__qq"))
     val nD  = col("__n").cast("double")
     val ssD = col("__ss").cast("double")
     val out = scored.join(moments, "centroid")

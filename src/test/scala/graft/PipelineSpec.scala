@@ -1151,6 +1151,56 @@ class PipelineSpec extends SparkTestBase {
     out shouldBe Array((0L, 256L, 63.0, true), (1L, 44L, 8.0, false))
   }
 
+  "Multimodal.containerMeta" should "parse real PNG IHDR and JPEG SOF headers and stub unknown bytes" in {
+    def hexb(s: String): Array[Byte] = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32(v: Int)                 = hexb(f"$v%08X")
+    def be16(v: Int)                 = hexb(f"$v%04X")
+    // minimal PNG: signature + IHDR(640x480, color type 6 = RGBA) + tail bytes
+    val png = hexb("89504E470D0A1A0A" + "0000000D" + "49484452") ++ be32(640) ++ be32(480) ++
+      hexb("08" + "06" + "000000") ++ "tail".getBytes("UTF-8")
+    // minimal JPEG: SOI, APP0(JFIF, len 16), DQT(len 4), SOF2(99x77, 1 component)
+    val jpeg = hexb("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00010001" + "0000") ++
+      hexb("FFDB" + "0004" + "0000") ++
+      hexb("FFC2" + "000B" + "08") ++ be16(77) ++ be16(99) ++ hexb("01" + "011100") ++
+      "entropy".getBytes("UTF-8")
+    val desync = hexb("FFD8" + "00AA" + "BBCC") // second marker lacks FF: walk dies -> stub
+    val raw    = "just text".getBytes("UTF-8")
+    val media = Seq((1L, png), (2L, jpeg), (3L, desync), (4L, raw), (5L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.containerMeta(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    out(0) shouldBe ((1L, "png", 640L, 480L, 4L))
+    out(1) shouldBe ((2L, "jpeg", 99L, 77L, 1L)) // SOF walked past APP0 + DQT
+    def stub(nb: Long) = (64L + nb % 193L, 64L + (nb * 31) % 177L)
+    val (w3, h3) = stub(desync.length.toLong)
+    out(2) shouldBe ((3L, "raw", w3, h3, 3L))
+    val (w4, h4) = stub(raw.length.toLong)
+    out(3) shouldBe ((4L, "raw", w4, h4, 3L))
+    out(4) shouldBe ((5L, "raw", 64L, 64L, 3L))
+    // the walk is BOUNDED: with maxSegments = 2 the SOF in segment 3 is
+    // never reached and the row falls back to the stub
+    val bounded = Multimodal.containerMeta(media.filter($"doc_id" === 2L), maxSegments = 2)
+      .collect().head
+    bounded.getString(1) shouldBe "raw"
+  }
+
+  "Multimodal.syntheticContainers" should "round-trip id-derived dimensions through real headers" in {
+    val docsDf = Seq(
+      (0L, "png rgb doc"), (1L, "jpeg sof2 gray doc"), (2L, "raw doc"),
+      (3L, "png rgba doc"), (4L, "jpeg sof0 rgb doc")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.containerMeta(Multimodal.syntheticContainers(docsDf))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    def w(id: Long) = 1L + (id * 7)  % 4096L
+    def h(id: Long) = 1L + (id * 13) % 4096L
+    out(0) shouldBe ((0L, "png", w(0), h(0), 3L))  // color type 2
+    out(1) shouldBe ((1L, "jpeg", w(1), h(1), 1L)) // SOF2, 1 component
+    out(2)._2 shouldBe "raw"
+    out(3) shouldBe ((3L, "png", w(3), h(3), 4L))  // color type 6
+    out(4) shouldBe ((4L, "jpeg", w(4), h(4), 3L)) // SOF0, 3 components
+  }
+
   "Sampling.stratifiedHashSample" should "apply per-stratum rates and drop unlisted strata" in {
     val corpus = (0L until 300L).map(i => (i, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
       .toDF("doc_id", "text", "lang")
