@@ -977,6 +977,13 @@ object SparkEntry {
     "ev_survival" -> ((s, d) =>
       graft.operators.Relational.survivalCurve(evUsAll(s, d).select("user_id", "ts"),
         bucketUs = 86400000000L, horizonUs = 7L * 86400000000L).orderBy("t")),
+    // hot-key report: the salting-decision evidence — top-20 heaviest
+    // user keys with share/cum-share/load-vs-mean-key
+    "ev_hotkeys" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet").select("user_id")
+      graft.pipeline.Skew.hotKeys(ev, Seq("user_id"), topK = 20)
+        .orderBy(col("n").desc, col("user_id"))
+    }),
     // activity concentration: exact Gini over per-user event counts
     "ev_gini" -> ((s, d) =>
       graft.operators.Relational.giniConcentration(evRaw(s, d).select("user_id"))),
@@ -1445,6 +1452,11 @@ object SparkEntry {
     "mm_dims" -> ((s, d) =>
       Multimodal.containerMeta(Multimodal.syntheticContainers(docs(s, d)))
         .orderBy("doc_id")),
+    // per-column table profile: the ingest data-quality report (nulls,
+    // exact distincts, native-typed min/max rendered to one string schema)
+    "qa_profile" -> ((s, d) =>
+      graft.pipeline.Curate.profile(docs(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("col_name")),
     // resize: gate compares the size/dimension arithmetic (binary payload
     // itself is stub bytes, excluded from the oracle projection)
     "mm_resize" -> ((s, d) => Multimodal.resizeBatched(Multimodal.withPayload(docs(s, d)))
@@ -3302,6 +3314,29 @@ object SparkEntry {
         |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active
         |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
     "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
+    // per-column profile: one UNION ALL branch per column, min/max on the
+    // native type THEN rendered ::VARCHAR (mirrors the engine's cast)
+    "qa_profile" -> {
+      val branches = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_v, max($c)::VARCHAR AS max_v FROM documents""".stripMargin
+      }
+      s"""SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY col_name"""
+        .replace("\n", " ")
+    },
+    // hot-key report: exact counts, ties broken by the key ascending in
+    // both the top-k cut and the cumulative window
+    "ev_hotkeys" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS k FROM c),
+        |top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 20)
+        |SELECT user_id, n,
+        |  round(n::DOUBLE / t::DOUBLE, 6) AS share,
+        |  round((sum(n) OVER (ORDER BY n DESC, user_id))::DOUBLE / t::DOUBLE, 6) AS cum_share,
+        |  round(n::DOUBLE * k::DOUBLE / t::DOUBLE, 6) AS x_mean
+        |FROM top, t ORDER BY n DESC, user_id""".stripMargin.replace("\n", " "),
     "mm_frames" ->
       "SELECT doc_id, u AS frame_idx, u*64 AS byte_offset, n_bytes FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, least(greatest(octet_length(encode(text))//64, 1), 8) AS nf FROM documents) t, unnest(range(0, t.nf)) AS un(u) ORDER BY doc_id, frame_idx",
     "mm_resize" ->

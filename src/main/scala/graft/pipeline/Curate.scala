@@ -188,4 +188,41 @@ object Curate {
         (if (survMat ne survivors) Seq(survMat) else Nil): _*)
     packed
   }
+
+  /**
+   * TABLE PROFILE — the per-column data-quality report every ingest runs
+   * before a table enters the training mix: per column, row count, null
+   * count, exact distinct count, and min/max (rendered to strings so one
+   * schema serves every column type; min/max compute on the NATIVE type
+   * first, so numerics order numerically). The report that catches the
+   * all-null column, the constant column, and the id that isn't unique.
+   *
+   * Plan shape at 100 TB: ONE aggregation pass — Spark plans the multiple
+   * exact `count(DISTINCT)`s as a single Expand (one scan, rows × columns
+   * intermediate) with partial aggregation on every path; the unpivot to
+   * one row per column happens on the 1-row aggregate result. No joins,
+   * no window, nothing driver-sized. For very wide tables at extreme
+   * scale, profile column batches (the Expand factor is `cols.size`).
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val tot = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__n_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"))
+    }
+    tot.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

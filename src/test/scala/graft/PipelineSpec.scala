@@ -1201,6 +1201,40 @@ class PipelineSpec extends SparkTestBase {
     out(4) shouldBe ((4L, "jpeg", w(4), h(4), 3L)) // SOF0, 3 components
   }
 
+  "Skew.hotKeys" should "rank the heaviest keys with exact shares and mean-relative load" in {
+    // key 1: 6 rows, key 2: 3 rows, key 3: 1 row -> 10 rows over 3 keys
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).map(Tuple1(_)).toDF("k")
+    val out = graft.pipeline.Skew.hotKeys(df, Seq("k"), topK = 2)
+      .orderBy($"n".desc, $"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    out shouldBe Array(
+      (1L, 6L, 0.6, 0.6, 1.8), // 6/10 share, 6 vs mean 10/3 -> 1.8
+      (2L, 3L, 0.3, 0.9, 0.9))
+  }
+
+  it should "break count ties by the key ascending in cut and cumulative window" in {
+    val df = Seq(5L, 5L, 4L, 4L, 9L).map(Tuple1(_)).toDF("k") // 5->2, 4->2, 9->1
+    val out = graft.pipeline.Skew.hotKeys(df, Seq("k"), topK = 2)
+      .orderBy($"n".desc, $"k").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    out shouldBe Array((4L, 0.4), (5L, 0.8)) // tie on n=2: key 4 before key 5
+  }
+
+  "Curate.profile" should "report nulls, exact distincts and native-typed min/max per column" in {
+    val df = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, Some("a"), None),
+      (3L, None, Some(2L)),
+      (4L, Some("a"), Some(10L))
+    ).toDF("id", "s", "v")
+    val out = graft.pipeline.Curate.profile(df, Seq("id", "s", "v")).orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+    out shouldBe Array(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("s", 4L, 1L, 2L, "a", "b"),
+      // min/max on the NATIVE long: 2 < 10 (a string min would say "10")
+      ("v", 4L, 1L, 2L, "2", "10"))
+  }
+
   "Sampling.stratifiedHashSample" should "apply per-stratum rates and drop unlisted strata" in {
     val corpus = (0L until 300L).map(i => (i, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
       .toDF("doc_id", "text", "lang")
