@@ -204,6 +204,29 @@ object OracleGen {
        |FROM documents d LEFT JOIN reps r ON r.id = d.doc_id ORDER BY d.doc_id"""
       .stripMargin.replace("\n", " ")
 
+  /** mirror of [[Dedup.duplicatedNgramRate]]: per-doc-distinct shingle
+    * hashes exploded, doc-frequency counted per (source, gram), then the
+    * per-source posting/distinct rollup and the 6-dp dup rate. */
+  def dupNgramRateSql(k: Int): String =
+    s"""WITH ${shingleCtes(k)},
+       |eg AS (SELECT d.source, unnest(s.sh) AS g FROM s JOIN documents d USING (doc_id)),
+       |cg AS (SELECT source, g, count(*)::BIGINT AS c FROM eg GROUP BY 1, 2)
+       |SELECT source, sum(c)::BIGINT AS n_postings, count(*)::BIGINT AS n_distinct,
+       |  round(sum(c - 1)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_rate
+       |FROM cg GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[Dedup.componentWeights]]: the CC labeling (singletons
+    * self-labeled), component sizes, and the 6-dp `1/size` weight. */
+  def componentWeightsSql(threshold: Double, numHashes: Int, bands: Int,
+                          shingleK: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${ccLabelCtes(threshold, numHashes, bands, shingleK, maxBucket)},
+       |cl AS (SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+       |       FROM documents d LEFT JOIN reps r ON r.id = d.doc_id),
+       |sz AS (SELECT rep, count(*)::BIGINT AS cluster_size FROM cl GROUP BY rep)
+       |SELECT cl.doc_id, cl.rep, sz.cluster_size,
+       |  round(1.0 / cluster_size::DOUBLE, 6) AS weight
+       |FROM cl JOIN sz USING (rep) ORDER BY cl.doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[Dedup.dedupReport]]: per-source doc counts, non-representative
     * counts, and the 4-dp duplicate rate over the CC labeling. */
   def dedupReportSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =

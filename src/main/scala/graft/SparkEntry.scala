@@ -335,6 +335,11 @@ object SparkEntry {
         .orderBy("cluster_size")),
     // per-source duplicate-rate dashboard over the same labeling
     "d_report" -> ((s, d) => Dedup.dedupReport(docs(s, d), 0.5).orderBy("source")),
+    // duplicate-aware sampling weights: each near-dup component contributes
+    // one doc's worth of mass (the soft alternative to dropping dups)
+    "d_ccweight" -> ((s, d) => Dedup.componentWeights(docs(s, d), 0.5).orderBy("doc_id")),
+    // memorization-risk dashboard: per-source duplicated 8-gram posting rate
+    "d_dupgrams" -> ((s, d) => Dedup.duplicatedNgramRate(docs(s, d), k = 8).orderBy("source")),
     // which sources copy from each other: near-dup pair counts per
     // unordered source pair (diagonal = within-source duplication)
     "d_crossdup" -> ((s, d) =>
@@ -1638,6 +1643,8 @@ object SparkEntry {
     "d_cc"      -> OracleGen.ccClustersSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_cc_hist" -> OracleGen.clusterHistogramSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_report"  -> OracleGen.dedupReportSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_ccweight" -> OracleGen.componentWeightsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_dupgrams" -> OracleGen.dupNgramRateSql(k = 8),
     "d_crossdup" -> OracleGen.crossSourceDuplicatesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_novelty" -> OracleGen.noveltyScoresSql(shingleK = 3),
     "d_lines"   -> OracleGen.segmentDedupSql(segWords = 4, minDocs = 2),

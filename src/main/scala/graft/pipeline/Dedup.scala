@@ -1077,6 +1077,69 @@ object Dedup {
   }
 
   /**
+   * DUPLICATED k-GRAM RATE per group — the memorization-risk summary from
+   * the dedup literature: of all per-doc-DISTINCT k-gram postings in a
+   * group, what fraction are cross-document repeats
+   * (`(Σc − #grams) / Σc` where `c` is each gram's doc frequency).
+   * Per-doc distinct shingles keep intra-doc repetition (tx_rep's axis)
+   * out of the number; [[repeatedSpans]] lists the offending spans, this
+   * is the one-row-per-source dashboard figure above it.
+   *
+   * Scale shape: one map-side span explode (hashes, never strings), one
+   * partial-aggregated groupBy on (group, gram hash), one tiny per-group
+   * rollup. The corpus text never shuffles.
+   */
+  def duplicatedNgramRate(
+      df: DataFrame,
+      k: Int = 8,
+      groupCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol), explode(GraftFunctions.shingles(col(textCol), k)).as("__g"))
+      .groupBy(col(groupCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("n_postings"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") - 1L).as("__dup"))
+      .select(col(groupCol), col("n_postings"), col("n_distinct"),
+        round(col("__dup").cast("double") / col("n_postings").cast("double"), 6).as("dup_rate"))
+  }
+
+  /**
+   * DUPLICATE-AWARE SAMPLING WEIGHTS — the soft alternative to dropping
+   * near-dups: every document weighs `1 / |its near-dup component|`, so
+   * each component contributes ONE document's worth of mass to the
+   * training mix (singletons weigh 1). The standard middle ground when
+   * hard dedup is too blunt: variants stay in the corpus for coverage,
+   * their over-count is neutralized. Feed the `weight` column to
+   * [[Sampling.weightedSample]] / loss weighting downstream.
+   *
+   * Scale shape: [[duplicateClusters]]' bounded CC labeling + one
+   * rep-keyed count + one id-keyed join; weights are one exact divide,
+   * snapped to 6 dp.
+   */
+  def componentWeights(
+      df: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val cc = duplicateClusters(df, threshold, numHashes, bands, shingleK, maxBucket,
+      textCol, idCol)
+    val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "rep")
+      .select(col(idCol), col("rep"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
+  }
+
+  /**
    * Cluster-size HISTOGRAM over a [[duplicateClusters]] labeling — the
    * dedup health report ("how much of the corpus is singletons vs
    * near-dup families, and how big do families get"): `(cluster_size,

@@ -414,7 +414,7 @@ object Similarity {
       idCol = idCol)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
     nn.filter(col("sim") < dupCut)
-      .withColumn("neg_rank", row_number().over(w))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= m)
       .select(col("query_id"), col("id"), col("sim"), col("neg_rank"))
   }
@@ -536,7 +536,7 @@ object Similarity {
     val w  = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
     nn.join(broadcast(pos.withColumnRenamed("id_a", "query_id")), "query_id")
       .filter(col("sim") < dupCut && col("id") =!= col("positive_id"))
-      .withColumn("neg_rank", row_number().over(w))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= m)
       .select(col("query_id").as("anchor_id"), col("positive_id"),
         col("id").as("negative_id"), col("sim"), col("neg_rank"))

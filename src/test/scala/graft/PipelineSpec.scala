@@ -677,7 +677,7 @@ class PipelineSpec extends SparkTestBase {
     val t = Similarity.contrastiveTriplets(docs, vecs,
       jaccardThreshold = 0.5, m = 2, dupCut = 0.95, searchK = 4,
       planesPerTable = 2, tables = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
     t should not be empty
     t.foreach { case (a, p, n, _) =>
       n should not be a // never the anchor itself
@@ -692,10 +692,10 @@ class PipelineSpec extends SparkTestBase {
     val qs     = vecs.filter(col("vec_id") === 0L) // base vector; vec 1 is ~parallel
     val negs = Similarity.hardNegatives(qs, corpus, m = 3, dupCut = 0.95, searchK = 5,
       planesPerTable = 2, tables = 8)
-      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
     negs.map(_._1) should not contain 1L     // the planted near-dup is filtered
     negs.foreach(_._2 should be < 0.95)      // every negative is below the cutoff
-    negs.map(_._3).sorted shouldBe (1 to negs.length).toArray // dense re-rank
+    negs.map(_._3).sorted shouldBe (1L to negs.length.toLong).toArray // dense re-rank
     negs.length should be <= 3
   }
 
@@ -1199,6 +1199,31 @@ class PipelineSpec extends SparkTestBase {
     out(2)._2 shouldBe "raw"
     out(3) shouldBe ((3L, "png", w(3), h(3), 4L))  // color type 6
     out(4) shouldBe ((4L, "jpeg", w(4), h(4), 3L)) // SOF0, 3 components
+  }
+
+  "Dedup.duplicatedNgramRate" should "count cross-doc repeated postings over per-doc-distinct grams" in {
+    val corpus = Seq(
+      (1L, "a b c", "s1"), // bigrams {ab, bc}
+      (2L, "a b d", "s1"), // bigrams {ab, bd} -> ab repeats across docs
+      (3L, "x y", "s2")    // bigram {xy}
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.duplicatedNgramRate(corpus, k = 2).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // s1: postings 4 (ab,bc,ab,bd), distinct 3 -> dup rate 1/4
+    out shouldBe Array(("s1", 4L, 3L, 0.25), ("s2", 1L, 1L, 0.0))
+  }
+
+  "Dedup.componentWeights" should "weigh each doc by the inverse of its near-dup component size" in {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, text, "s1"), (2L, text, "s1"), (3L, text, "s1"), // one 3-doc exact-dup component
+      (4L, "completely different words nothing shared here at all", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.componentWeights(corpus, 0.5).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(
+      (1L, 1L, 3L, 0.333333), (2L, 1L, 3L, 0.333333), (3L, 1L, 3L, 0.333333),
+      (4L, 4L, 1L, 1.0))
   }
 
   "Skew.hotKeys" should "rank the heaviest keys with exact shares and mean-relative load" in {
