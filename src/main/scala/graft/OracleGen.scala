@@ -2418,6 +2418,12 @@ object OracleGen {
        |SELECT rank, vec_id, d AS dist FROM u$k ORDER BY rank""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Sampling.kfold]]: the portable id hash on
+    * the 10000 lattice, folded modulo k. */
+  def kfoldSql(k: Int, seed: Long): String =
+    s"""SELECT doc_id, (${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000) % $k AS fold
+       |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   def holdoutSplitSql(weights: Seq[(String, Double)], seed: Long): String = {
     val h    = s"${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000"
     val cuts = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail

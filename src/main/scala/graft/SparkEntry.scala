@@ -1462,6 +1462,33 @@ object SparkEntry {
     "qa_profile" -> ((s, d) =>
       graft.pipeline.Curate.profile(docs(s, d),
         Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("col_name")),
+    // referential-integrity audit: orders whose customer is missing from a
+    // deliberately holed parent (every 7th key dropped — testdata itself
+    // holds RI, so the hole gives the report signal)
+    "qa_orphans" -> ((s, d) =>
+      graft.pipeline.Curate.orphanReport(
+        tbl(s, d, "orders"),
+        tbl(s, d, "customer").filter(col("c_custkey") % 7 =!= 0),
+        "o_custkey", "c_custkey")),
+    // per-type freshness/staleness vs the global newest event
+    "qa_fresh" -> ((s, d) =>
+      graft.pipeline.Curate.freshness(evUsAll(s, d).select("event_type", "ts"))
+        .orderBy("event_type")),
+    // canary-string leakage audit: verbatim containment counts for planted
+    // phrases (last one never occurs -> 0 with NULL pointer)
+    "tx_canary" -> ((s, d) =>
+      Dedup.canaryScan(docs(s, d), CanaryPhrases).orderBy("canary")),
+    // deterministic 5-fold CV assignment by the portable id hash
+    "tx_kfold" -> ((s, d) =>
+      graft.pipeline.Sampling.kfold(docs(s, d), k = 5)
+        .select("doc_id", "fold").orderBy("doc_id")),
+    // PK-violation report over a deliberately doubled key slice (testdata
+    // keys are unique, so the planted dups give the report signal)
+    "qa_dups" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select("o_orderkey")
+      graft.pipeline.Curate.pkViolations(
+        o.unionAll(o.filter(col("o_orderkey") % 997 === 0)), "o_orderkey", topK = 20)
+    }),
     // resize: gate compares the size/dimension arithmetic (binary payload
     // itself is stub bytes, excluded from the oracle projection)
     "mm_resize" -> ((s, d) => Multimodal.resizeBatched(Multimodal.withPayload(docs(s, d)))
@@ -1491,6 +1518,13 @@ object SparkEntry {
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
+
+  /** planted phrases for the tx_canary leakage audit (shared by gate and
+    * oracle; the last one never occurs in the synthetic corpus — the
+    * zero-hit/NULL-pointer path must survive the compare too). */
+  private val CanaryPhrases = Seq(
+    "key agg row", "window spark order", "slow filter value",
+    "table window table", "graft canary zzz")
 
   /** Synthetic TURNS relation for the sft_* gates, derived deterministically
     * from `documents` (the multimodal-gate pattern: plumbing real, input
@@ -3321,6 +3355,33 @@ object SparkEntry {
         |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active
         |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
     "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
+    "tx_kfold" -> OracleGen.kfoldSql(k = 5, seed = 7L),
+    "qa_dups" ->
+      """WITH u AS (SELECT o_orderkey FROM orders
+        |           UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 997 = 0),
+        |c AS (SELECT o_orderkey, count(*)::BIGINT AS n FROM u GROUP BY 1)
+        |SELECT o_orderkey, n FROM c WHERE n > 1
+        |ORDER BY n DESC, o_orderkey LIMIT 20""".stripMargin.replace("\n", " "),
+    "qa_orphans" ->
+      """WITH p AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+        |  round(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS orphan_rate
+        |FROM orders o LEFT JOIN p ON o.o_custkey = p.c_custkey""".stripMargin.replace("\n", " "),
+    "qa_fresh" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gm FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_events, max(epoch_us(ts))::BIGINT AS last_ts,
+        |  (gm - max(epoch_us(ts)))::BIGINT AS lag_us,
+        |  sum(CASE WHEN epoch_us(ts) > gm - 86400000000 THEN 1 ELSE 0 END)::BIGINT AS n_window
+        |FROM events, g GROUP BY event_type, gm ORDER BY event_type""".stripMargin.replace("\n", " "),
+    "tx_canary" -> {
+      val list = CanaryPhrases.map(c => s"'${c.replace("'", "''")}'").mkString(", ")
+      s"""WITH c AS (SELECT unnest([$list]) AS canary),
+         |h AS (SELECT c.canary, count(*)::BIGINT AS n_docs, min(d.doc_id) AS first_doc
+         |      FROM documents d JOIN c ON contains(d.text, c.canary) GROUP BY 1)
+         |SELECT c.canary, coalesce(h.n_docs, 0)::BIGINT AS n_docs, h.first_doc
+         |FROM c LEFT JOIN h USING (canary) ORDER BY canary""".stripMargin.replace("\n", " ")
+    },
     // per-column profile: one UNION ALL branch per column, min/max on the
     // native type THEN rendered ::VARCHAR (mirrors the engine's cast)
     "qa_profile" -> {

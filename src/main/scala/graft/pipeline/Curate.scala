@@ -225,4 +225,77 @@ object Curate {
     }
     tot.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * REFERENTIAL-INTEGRITY AUDIT — one row: child rows, orphan rows (child
+   * key with NO matching parent key), and the 6-dp orphan rate. The
+   * ingest gate that catches a late or truncated dimension load before a
+   * silently-shrinking inner join does (an orphan-producing join drops
+   * those child rows without a trace; this report names the loss first).
+   *
+   * Scale shape: one left-anti join on the key (the parent side is
+   * distinct-projected to keys only — broadcast when it fits, shuffle
+   * otherwise) + two scalar counts. Nothing driver-sized.
+   */
+  def orphanReport(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String
+  ): DataFrame = {
+    val c = child.select(col(childKey).as("__k"))
+    val p = parent.select(col(parentKey).as("__k")).distinct()
+    val tot = c.agg(count(lit(1)).as("n_rows"))
+    val orp = c.join(p, Seq("__k"), "left_anti").agg(count(lit(1)).as("n_orphans"))
+    tot.crossJoin(orp).select(
+      col("n_rows"), col("n_orphans"),
+      round(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6)
+        .as("orphan_rate"))
+  }
+
+  /**
+   * PRIMARY-KEY VIOLATION REPORT — the key values that appear more than
+   * once, heaviest first: the actionable companion to [[profile]]'s
+   * `n_distinct < n_rows` signal (profile says THE key isn't unique; this
+   * names WHICH values, for the upstream-dedup ticket). One
+   * partial-aggregated groupBy + a TakeOrdered top-k; ties break by the
+   * key ascending, so the report is stable across engines.
+   */
+  def pkViolations(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L)
+      .orderBy(col("n").desc, col(key))
+      .limit(topK)
+  }
+
+  /**
+   * FRESHNESS / STALENESS REPORT per category — for each `typeCol` value:
+   * event count, last-seen timestamp, lag behind the GLOBAL newest event,
+   * and the count inside the trailing `windowUs` window (anchored at the
+   * global max, so every category is judged against the same "now"). The
+   * pipeline-health dashboard that catches a stalled producer: a category
+   * whose `lag_us` grows while its `n_window` hits zero stopped flowing.
+   *
+   * Scale shape: one scalar max (broadcast back as a 1-row cross join) +
+   * one partial-aggregated groupBy over (type). Exact integers only.
+   */
+  def freshness(
+      ev: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      windowUs: Long = 86400000000L
+  ): DataFrame = {
+    val g = ev.agg(max(col(tsCol)).as("__gmax"))
+    ev.select(col(typeCol), col(tsCol))
+      .crossJoin(broadcast(g))
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col(tsCol)).as("last_ts"),
+        max(col("__gmax")).as("__g"),
+        sum(when(col(tsCol) > col("__gmax") - windowUs, 1L).otherwise(0L)).as("n_window"))
+      .select(col(typeCol), col("n_events"), col("last_ts"),
+        (col("__g") - col("last_ts")).as("lag_us"), col("n_window"))
+  }
 }

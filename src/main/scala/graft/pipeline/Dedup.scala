@@ -1077,6 +1077,39 @@ object Dedup {
   }
 
   /**
+   * CANARY LEAKAGE SCAN — count, per planted canary string, the documents
+   * whose text CONTAINS it verbatim (plain substring, no tokenization, no
+   * wildcard semantics — a canary with `%` or `_` in it must not become a
+   * pattern), plus the smallest containing doc id as the audit pointer.
+   * Canaries that never occur report `n_docs = 0` with a NULL pointer.
+   * The memorization/extraction audit run against a corpus before AND
+   * after training-set assembly ([[decontaminate]] guards against EVAL
+   * overlap; this guards against known planted secrets).
+   *
+   * Scale shape: the canary list is tiny and BROADCAST; one corpus scan
+   * evaluates all containments, one partial-aggregated groupBy on the
+   * canary. Text never shuffles.
+   */
+  def canaryScan(
+      df: DataFrame,
+      canaries: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(canaries.nonEmpty, "canaries must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val canDf = canaries.toDF("canary")
+    val hits = df.select(col(idCol), col(textCol))
+      .crossJoin(broadcast(canDf))
+      .filter(col(textCol).contains(col("canary")))
+      .groupBy(col("canary"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("first_doc"))
+    canDf.join(hits, Seq("canary"), "left")
+      .select(col("canary"), coalesce(col("__n"), lit(0L)).as("n_docs"), col("first_doc"))
+  }
+
+  /**
    * DUPLICATED k-GRAM RATE per group — the memorization-risk summary from
    * the dedup literature: of all per-doc-DISTINCT k-gram postings in a
    * group, what fraction are cross-document repeats

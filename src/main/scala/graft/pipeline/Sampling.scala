@@ -174,6 +174,20 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /**
+   * K-FOLD ASSIGNMENT — deterministic cross-validation folds by the
+   * portable id hash: every row gets `fold ∈ [0, k)` forever, independent
+   * of partitioning, order, parallelism or engine — so fold `i`'s
+   * train/eval complement reproduces anywhere, with no RNG state and no
+   * shuffle ([[holdoutSplit]] is the named-weights sibling; this is the
+   * uniform-k rotation CV wants). Row-local projection; folds are
+   * near-uniform (exactly uniform when k divides the 10000 hash lattice).
+   */
+  def kfold(df: DataFrame, k: Int, seed: Long = 7L, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2 && k <= 10000, "k must be in [2, 10000]")
+    df.withColumn("fold", pmod(sampleHash(col(idCol), seed), lit(k.toLong)))
+  }
+
   /** [[stratifiedHashSample]] with [[temperatureMixRates]]-derived rates —
     * corpus-driven, no hand-pinned per-language numbers. */
   def temperatureSample(

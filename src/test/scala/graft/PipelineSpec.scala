@@ -1201,6 +1201,52 @@ class PipelineSpec extends SparkTestBase {
     out(4) shouldBe ((4L, "jpeg", w(4), h(4), 3L)) // SOF0, 3 components
   }
 
+  "Sampling.kfold" should "assign every row a stable fold in [0, k) with all folds populated" in {
+    val ids = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val folds = graft.pipeline.Sampling.kfold(ids, k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    folds.values.toSet shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    // deterministic: a second run assigns identical folds
+    val again = graft.pipeline.Sampling.kfold(ids, k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe folds
+    // folds partition the corpus: each row in exactly one fold (by construction)
+    folds.size shouldBe 500
+  }
+
+  "Curate.pkViolations" should "name duplicated key values heaviest first with key tiebreak" in {
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L, 4L).map(Tuple1(_)).toDF("k")
+    val out = graft.pipeline.Curate.pkViolations(df, "k", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((3L, 3L), (2L, 2L)) // n=2 tie between keys 2 and 4 -> smaller key
+  }
+
+  "Curate.orphanReport" should "count child keys with no matching parent" in {
+    val child  = Seq(1L, 2L, 3L, 3L).map(Tuple1(_)).toDF("ck")
+    val parent = Seq(1L, 2L, 2L).map(Tuple1(_)).toDF("pk")
+    val r = graft.pipeline.Curate.orphanReport(child, parent, "ck", "pk").collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((4L, 2L, 0.5))
+  }
+
+  "Curate.freshness" should "report per-type lag and trailing-window counts against the global max" in {
+    val ev = Seq(("a", 100L), ("a", 90L), ("b", 50L)).toDF("event_type", "ts")
+    val out = graft.pipeline.Curate.freshness(ev, windowUs = 30L).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out shouldBe Array(("a", 2L, 100L, 0L, 2L), ("b", 1L, 50L, 50L, 0L))
+  }
+
+  "Dedup.canaryScan" should "count verbatim containment without wildcard semantics" in {
+    val corpus = Seq(
+      (1L, "the quick brown fox"), (2L, "quick brown only"), (3L, "total is 100% done")
+    ).toDF("doc_id", "text")
+    val out = Dedup.canaryScan(corpus, Seq("quick brown", "fox", "zebra", "100%"))
+      .orderBy("canary").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // "100%" must match literally — a LIKE-based scan would treat % as a wildcard
+    out shouldBe Array(
+      ("100%", 1L, 3L), ("fox", 1L, 1L), ("quick brown", 2L, 1L), ("zebra", 0L, -1L))
+  }
+
   "Dedup.duplicatedNgramRate" should "count cross-doc repeated postings over per-doc-distinct grams" in {
     val corpus = Seq(
       (1L, "a b c", "s1"), // bigrams {ab, bc}
