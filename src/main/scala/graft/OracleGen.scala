@@ -950,6 +950,70 @@ object OracleGen {
        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Multimodal.syntheticAvContainers]] +
+    * [[graft.pipeline.Multimodal.avContainerMeta]]: the identical hex
+    * stream is rebuilt per doc (canonical WAV / GIF89a / BMP / raw cycling
+    * on doc_id % 4, negative top-down BMP heights every 5th id), then the
+    * SAME fixed-offset reads replay over hex slices — a little-endian word
+    * is the positional sum of its byte reads (never a string reverse), the
+    * signed BMP height folds down by 2^32, and every output casts ::BIGINT
+    * so no column widens to HUGEINT. */
+  def avContainerMetaSql: String = {
+    def b1(pos: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($pos)-1 : 2*($pos)] AS BIGINT), -1)"
+    def le(pos: Int, n: Int): String =
+      (0 until n).map(i => s"${b1((pos + i).toString)} * ${1L << (8 * i)}").mkString("(", " + ", ")")
+    def leHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * i}) & 255), 2, '0')").mkString(" || ")
+    val dlen = "octet_length(encode(text))"
+    val wav =
+      s"""'52494646' || ${leHex(s"$dlen + 36", 4)} || '57415645' ||
+         |'666D7420' || ${leHex("16", 4)} || ${leHex("1", 2)} ||
+         |${leHex("1 + doc_id % 2", 2)} || ${leHex("8000 + (doc_id * 441) % 40000", 4)} ||
+         |${leHex("(8000 + (doc_id * 441) % 40000) * ((1 + doc_id % 2) * (1 + doc_id % 3))", 4)} ||
+         |${leHex("(1 + doc_id % 2) * (1 + doc_id % 3)", 2)} || ${leHex("(1 + doc_id % 3) * 8", 2)} ||
+         |'64617461' || ${leHex(dlen, 4)} || hex(encode(text))""".stripMargin
+    val gif =
+      s"""'474946383961' || ${leHex("1 + (doc_id * 5) % 65536", 2)} ||
+         |${leHex("1 + (doc_id * 9) % 65536", 2)} || ${leHex("128 + doc_id % 8", 1)} ||
+         |'0000' || hex(encode(text))""".stripMargin
+    val bmpH = "CASE WHEN doc_id % 5 = 0 THEN 4294967296 - (1 + (doc_id * 17) % 3000) " +
+      "ELSE 1 + (doc_id * 17) % 3000 END"
+    val bmpBpp = "CASE WHEN doc_id % 3 = 0 THEN 8 WHEN doc_id % 3 = 1 THEN 24 ELSE 32 END"
+    val bmp =
+      s"""'424D' || ${leHex(s"$dlen + 54", 4)} || '00000000' || ${leHex("54", 4)} ||
+         |${leHex("40", 4)} || ${leHex("1 + (doc_id * 11) % 3000", 4)} || ${leHex(bmpH, 4)} ||
+         |${leHex("1", 2)} || ${leHex(bmpBpp, 2)} || hex(encode(text))""".stripMargin
+    val sLe32 = s"(CASE WHEN ${le(19, 4)} >= 2147483648 THEN ${le(19, 4)} - 4294967296 ELSE ${le(19, 4)} END)"
+    val hLe32 = s"(CASE WHEN ${le(23, 4)} >= 2147483648 THEN ${le(23, 4)} - 4294967296 ELSE ${le(23, 4)} END)"
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 4 = 0 THEN $wav
+       |       WHEN doc_id % 4 = 1 THEN $gif
+       |       WHEN doc_id % 4 = 2 THEN $bmp
+       |       ELSE hex(encode(text)) END AS hx
+       |FROM documents),
+       |d AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+       |  (length(hx) // 2 >= 44 AND hx[1:8] = '52494646' AND hx[17:24] = '57415645'
+       |   AND hx[25:32] = '666D7420' AND hx[73:80] = '64617461') AS iswav,
+       |  (length(hx) // 2 >= 13 AND (hx[1:12] = '474946383961' OR hx[1:12] = '474946383761')) AS isgif,
+       |  (length(hx) // 2 >= 30 AND hx[1:4] = '424D') AS isbmp
+       |FROM p)
+       |SELECT doc_id,
+       |  CASE WHEN iswav THEN 'wav' WHEN isgif THEN 'gif' WHEN isbmp THEN 'bmp' ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN isgif THEN ${le(7, 2)} WHEN isbmp THEN abs($sLe32) ELSE -1 END)::BIGINT AS width,
+       |  (CASE WHEN isgif THEN ${le(9, 2)} WHEN isbmp THEN abs($hLe32) ELSE -1 END)::BIGINT AS height,
+       |  (CASE WHEN iswav THEN ${le(25, 4)} ELSE -1 END)::BIGINT AS sample_rate,
+       |  (CASE WHEN iswav THEN ${le(23, 2)} WHEN isgif THEN 3
+       |        WHEN isbmp THEN (CASE WHEN ${le(29, 2)} >= 8 THEN ${le(29, 2)} // 8 ELSE 1 END)
+       |        ELSE -1 END)::BIGINT AS channels,
+       |  (CASE WHEN iswav THEN ${le(35, 2)} WHEN isgif THEN ${b1("11")} % 8 + 1
+       |        WHEN isbmp THEN ${le(29, 2)} ELSE -1 END)::BIGINT AS bits,
+       |  (CASE WHEN iswav AND ${le(33, 2)} > 0 THEN ${le(41, 4)} // ${le(33, 2)}
+       |        ELSE -1 END)::BIGINT AS n_samples
+       |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Similarity.pqBuild]]+[[graft.pipeline.Similarity.pqTopK]]:
     * sub-centroids = subspace slices of the first `kpq` vectors by id;
     * codes = per-(vector, subspace) argmin of the ascending-dim squared-L2

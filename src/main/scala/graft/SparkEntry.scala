@@ -1010,6 +1010,16 @@ object SparkEntry {
           expr(s"ts div ${24 * HourUs}L").as("day"),
           floor(col("value")).cast("long").as("value_band")),
         Seq("event_type", "day", "value_band"), ks = Seq(2, 5, 10))),
+    // l-diversity over the same QI tuple as ev_kanon with user_id as the
+    // sensitive attribute: a k-anonymous class whose rows all belong to
+    // ONE user still discloses that user (the homogeneity attack)
+    "ev_ldiv" -> ((s, d) =>
+      graft.operators.Relational.lDiversity(
+        evUsAll(s, d).select(col("event_type"),
+          expr(s"ts div ${24 * HourUs}L").as("day"),
+          floor(col("value")).cast("long").as("value_band"),
+          col("user_id")),
+        Seq("event_type", "day", "value_band"), "user_id", ls = Seq(2, 3))),
     // Spearman over the user panel: do users who DO more also SPEND more
     // (monotone association, scale-free; exact integer rank moments)
     "ev_spearman" -> ((s, d) => {
@@ -1457,6 +1467,13 @@ object SparkEntry {
     "mm_dims" -> ((s, d) =>
       Multimodal.containerMeta(Multimodal.syntheticContainers(docs(s, d)))
         .orderBy("doc_id")),
+    // REAL little-endian container decode: canonical WAV / GIF89a / BMP
+    // fixtures wrap the text bytes, then sample-rate/dims/depth parse from
+    // the actual header bytes — LE words as positional byte sums, signed
+    // BMP heights folded down by 2^32; no codec library, no UDF
+    "mm_av" -> ((s, d) =>
+      Multimodal.avContainerMeta(Multimodal.syntheticAvContainers(docs(s, d)))
+        .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
     "qa_profile" -> ((s, d) =>
@@ -1488,6 +1505,25 @@ object SparkEntry {
       val o = tbl(s, d, "orders").select("o_orderkey")
       graft.pipeline.Curate.pkViolations(
         o.unionAll(o.filter(col("o_orderkey") % 997 === 0)), "o_orderkey", topK = 20)
+    }),
+    // join-cardinality preflight: the EXACT lineitem⨝part output size (and
+    // the heaviest key) from the two key histograms — never the join itself
+    "qa_joinsize" -> ((s, d) =>
+      graft.pipeline.Curate.joinCardinality(
+        tbl(s, d, "lineitem"), tbl(s, d, "part"), "l_partkey", "p_partkey")),
+    // snapshot diff between two pipeline runs: every 11th doc "not yet
+    // crawled" in the old run, every 13th dropped and every 7th re-crawled
+    // with changed text in the new one — added/removed/changed/unchanged
+    // counted null-safely per column, no canonicalization hash
+    "qa_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val oldV = base.filter(col("doc_id") % 11 =!= 3)
+      val newV = base.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.pipeline.Curate.snapshotDiff(oldV, newV, "doc_id",
+        Seq("text", "lang", "source"))
     }),
     // resize: gate compares the size/dimension arithmetic (binary payload
     // itself is stub bytes, excluded from the oracle projection)
@@ -2150,6 +2186,24 @@ object SparkEntry {
          |SELECT count(*)::BIGINT AS n_classes, sum(c)::BIGINT AS n_rows, min(c)::BIGINT AS min_class,
          |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons, $ltCols
          |FROM cc""".stripMargin.replace("\n", " ")
+    },
+    // l-diversity: two-level exact aggregation (QI+sensitive → QI), then
+    // the same threshold scan shape as ev_kanon over DISTINCT counts
+    "ev_ldiv" -> {
+      val ltCols = Seq(2, 3).map { l =>
+        s"""sum(CASE WHEN d < $l THEN 1 ELSE 0 END)::BIGINT AS classes_lt_$l,
+           |  round(sum(CASE WHEN d < $l THEN n ELSE 0 END)::DOUBLE / sum(n)::DOUBLE, 6) AS exposure_lt_$l"""
+          .stripMargin
+      }.mkString(", ")
+      s"""WITH q AS (SELECT event_type, (epoch_us(ts) // ${24 * HourUs}) AS day,
+         |             floor(value)::BIGINT AS value_band, user_id FROM events),
+         |cs AS (SELECT event_type, day, value_band, user_id, count(*)::BIGINT AS c
+         |       FROM q GROUP BY 1, 2, 3, 4),
+         |cl AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS d
+         |       FROM cs GROUP BY event_type, day, value_band)
+         |SELECT count(*)::BIGINT AS n_classes, sum(n)::BIGINT AS n_rows, min(d)::BIGINT AS min_diversity,
+         |  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous, $ltCols
+         |FROM cl""".stripMargin.replace("\n", " ")
     },
     // Spearman: total-order (metric, id) ranks → exact int64 moments →
     // one closed-form division of identical doubles
@@ -3355,6 +3409,7 @@ object SparkEntry {
         |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active
         |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
     "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
+    "mm_av" -> OracleGen.avContainerMetaSql,
     "tx_kfold" -> OracleGen.kfoldSql(k = 5, seed = 7L),
     "qa_dups" ->
       """WITH u AS (SELECT o_orderkey FROM orders
@@ -3362,6 +3417,39 @@ object SparkEntry {
         |c AS (SELECT o_orderkey, count(*)::BIGINT AS n FROM u GROUP BY 1)
         |SELECT o_orderkey, n FROM c WHERE n > 1
         |ORDER BY n DESC, o_orderkey LIMIT 20""".stripMargin.replace("\n", " "),
+    // join-size preflight: Σ cl·cr over the shared key histogram; the sum
+    // folds in HUGEINT then casts ::BIGINT (mirrors the engine's
+    // decimal(38,0) fold); top key = ORDER BY product DESC, key ASC
+    "qa_joinsize" ->
+      """WITH la AS (SELECT l_partkey AS k, count(*)::BIGINT AS cl FROM lineitem
+        |            WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |ra AS (SELECT p_partkey AS k, count(*)::BIGINT AS cr FROM part
+        |       WHERE p_partkey IS NOT NULL GROUP BY 1),
+        |lt AS (SELECT count(*)::BIGINT AS n_left, count(DISTINCT l_partkey)::BIGINT AS n_left_keys FROM lineitem),
+        |rt AS (SELECT count(*)::BIGINT AS n_right, count(DISTINCT p_partkey)::BIGINT AS n_right_keys FROM part),
+        |pd AS (SELECT k, cl * cr AS p FROM la JOIN ra USING (k)),
+        |pr AS (SELECT count(*)::BIGINT AS n_shared_keys, sum(p)::BIGINT AS join_rows,
+        |       max(p)::BIGINT AS max_key_rows FROM pd),
+        |tk AS (SELECT k AS top_key FROM pd ORDER BY p DESC, k LIMIT 1)
+        |SELECT n_left, n_right, n_left_keys, n_right_keys, n_shared_keys,
+        |  join_rows, max_key_rows, top_key
+        |FROM lt, rt, pr, tk""".stripMargin.replace("\n", " "),
+    // snapshot diff: full-outer key join, per-column IS DISTINCT FROM
+    "qa_diff" ->
+      """WITH o AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text,
+        |      lang, source FROM documents WHERE doc_id % 13 <> 5),
+        |j AS (SELECT o.doc_id AS ok, n.doc_id AS nk,
+        |      (o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+        |       OR o.source IS DISTINCT FROM n.source) AS diff
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT sum(CASE WHEN ok IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_old,
+        |  sum(CASE WHEN nk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+        |  sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND diff THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND NOT diff THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+        |FROM j""".stripMargin.replace("\n", " "),
     "qa_orphans" ->
       """WITH p AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
         |SELECT count(*)::BIGINT AS n_rows,

@@ -1114,6 +1114,48 @@ object Relational {
   }
 
   /**
+   * L-DIVERSITY AUDIT — [[kAnonymity]]'s necessary companion: a class can
+   * be k-anonymous yet leak everything if all k rows share one SENSITIVE
+   * value (the "homogeneity attack"). Groups rows by the `quasiCols`
+   * tuple and reports, for each threshold in `ls`: how many equivalence
+   * classes carry fewer than `l` DISTINCT sensitive values and the
+   * fraction of rows inside them, plus the global minimum diversity and
+   * the count of fully-homogeneous classes (diversity 1 — every row's
+   * sensitive value is disclosed by class membership alone). Exact
+   * distincts (one two-level aggregation: (QI, sensitive) → QI), exact
+   * int64 counts, one exposure division per threshold.
+   */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      ls: Seq[Int] = Seq(2, 3),
+      dp: Int = 6
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(ls.nonEmpty && ls.forall(_ >= 2), "thresholds must be >= 2")
+    val qi = quasiCols.map(col)
+    val classes = df
+      .groupBy(qi :+ col(sensitiveCol): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(qi: _*)
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__d"))
+    val aggs = Seq(
+      count(lit(1)).as("n_classes"),
+      sum(col("__n")).as("n_rows"),
+      min(col("__d")).as("min_diversity"),
+      sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_homogeneous")) ++
+      ls.flatMap(l => Seq(
+        sum(when(col("__d") < l, 1L).otherwise(0L)).as(s"classes_lt_$l"),
+        sum(when(col("__d") < l, col("__n")).otherwise(0L)).as(s"__rows_lt_$l")))
+    classes.agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("n_classes"), col("n_rows"), col("min_diversity"),
+        col("n_homogeneous")) ++
+        ls.flatMap(l => Seq(col(s"classes_lt_$l"),
+          round(col(s"__rows_lt_$l").cast("double") / col("n_rows").cast("double"), dp)
+            .as(s"exposure_lt_$l"))): _*)
+  }
+
+  /**
    * SPEARMAN RANK CORRELATION between two metrics over one population —
    * "do users who DO more also SPEND more", monotone association robust
    * to the metric scales (Pearson on ranks). Ranks are the TOTAL ORDER

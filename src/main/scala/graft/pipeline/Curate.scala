@@ -298,4 +298,81 @@ object Curate {
       .select(col(typeCol), col("n_events"), col("last_ts"),
         (col("__g") - col("last_ts")).as("lag_us"), col("n_window"))
   }
+
+  /**
+   * JOIN-CARDINALITY PREFLIGHT — the EXACT output size of
+   * `left ⨝ right ON leftKey = rightKey`, computed from the two key
+   * histograms WITHOUT executing the join: `|A ⨝ B| = Σ_k cntA(k)·cntB(k)`.
+   * The 100-TB "will this enrichment join explode" check — two
+   * partial-aggregated groupBys and a histogram-sized join cost orders of
+   * magnitude less than the join they predict, and `max_key_rows`/`top_key`
+   * name the skew key a blowup would come from (feed it to
+   * [[Skew.saltedJoin]]). NULL keys never match an equi-join, so both
+   * histograms drop them. Per-key products fold in decimal(38,0) — two
+   * 1e9-row skewed sides would overflow an int64 product sum — and the
+   * total casts back to BIGINT only if it fits (callers at that scale read
+   * `join_rows` as the signal it is).
+   */
+  def joinCardinality(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String
+  ): DataFrame = {
+    val la = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))
+    val ra = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    val lt = left.agg(count(lit(1)).as("n_left"),
+      count_distinct(col(leftKey)).as("n_left_keys"))
+    val rt = right.agg(count(lit(1)).as("n_right"),
+      count_distinct(col(rightKey)).as("n_right_keys"))
+    val prod = la.join(ra, "__k")
+      .select(col("__k"), (col("__cl") * col("__cr")).as("__p"))
+      .agg(
+        count(lit(1)).as("n_shared_keys"),
+        sum(col("__p").cast("decimal(38,0)")).cast("long").as("join_rows"),
+        max(col("__p")).as("max_key_rows"),
+        min(struct((-col("__p")).as("np"), col("__k").as("k"))).as("__top"))
+    lt.crossJoin(rt).crossJoin(prod).select(
+      col("n_left"), col("n_right"), col("n_left_keys"), col("n_right_keys"),
+      col("n_shared_keys"), col("join_rows"), col("max_key_rows"),
+      col("__top.k").as("top_key"))
+  }
+
+  /**
+   * SNAPSHOT DIFF between two versions of a table keyed by `pk` — how many
+   * rows were ADDED, REMOVED, CHANGED (same key, any `compareCols` value
+   * differs — null-safe, so NULL→value and value→NULL both count), or
+   * UNCHANGED. The ingest-regression tripwire between two pipeline runs:
+   * "yesterday's crawl vs today's" in one row, long before a downstream
+   * metric notices. One full-outer key join; per-column comparison happens
+   * on the joined row (no canonicalization hash, so column types stay
+   * native and engines can't disagree on a serialization).
+   */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      pk: String,
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val o = oldDf.select(col(pk).as("__k") +: lit(true).as("__ho") +:
+      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(col(pk).as("__k") +: lit(true).as("__hn") +:
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val j = o.join(n, Seq("__k"), "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    j.agg(
+      sum(when(col("__ho").isNotNull, 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("__hn").isNotNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("__ho").isNull, 1L).otherwise(0L)).as("n_added"),
+      sum(when(col("__hn").isNull, 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("__ho").isNotNull && col("__hn").isNotNull && differs, 1L)
+        .otherwise(0L)).as("n_changed"),
+      sum(when(col("__ho").isNotNull && col("__hn").isNotNull && !differs, 1L)
+        .otherwise(0L)).as("n_unchanged"))
+  }
 }

@@ -181,6 +181,129 @@ object Multimodal {
   }
 
   /**
+   * A/V CONTAINER-HEADER metadata decode — the LITTLE-ENDIAN counterpart
+   * of [[containerMeta]]: real fixed-layout header parsing for the three
+   * classic LE containers, no codec library, no UDF (every read is the
+   * codegen'd `substring(binary) → hex → conv` byte extract; an LE word is
+   * the positional sum of its bytes, never a string reverse):
+   *
+   *  - WAV (canonical RIFF): `RIFF` at 1, `WAVE` at 9, `fmt ` at 13,
+   *    `data` at 37 — channels LE16 at 23, sample rate LE32 at 25, block
+   *    align LE16 at 33, bits/sample LE16 at 35, data size LE32 at 41;
+   *    `n_samples = data_size / block_align`. (Bounded to the canonical
+   *    44-byte layout every standard encoder writes; a chunk-reordered
+   *    stream falls through to `raw`.)
+   *  - GIF (87a/89a): width LE16 at 7, height LE16 at 9; the packed byte
+   *    at 11 carries the palette depth in its low 3 bits (`bits = low3+1`);
+   *    pixels are palette-RGB, so channels reports 3.
+   *  - BMP (BITMAPINFOHEADER): `BM` at 1, width SIGNED LE32 at 19, height
+   *    SIGNED LE32 at 23 (negative = top-down scan order — reported as the
+   *    magnitude), bits/pixel LE16 at 29; channels = bpp/8 for the byte-
+   *    aligned depths, 1 for palette depths below 8.
+   *
+   * Unknown containers report `format = 'raw'` with every decoded field
+   * at −1 (n_bytes stays real). Row-local single projection: no shuffle,
+   * no explode; payload bytes never leave the scan projection — at 100 TB
+   * this is a map-only metadata sweep.
+   */
+  def avContainerMeta(
+      media: DataFrame,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val pl = col(payloadCol)
+    val nb = octet_length(pl).cast("long")
+    // byte at 1-indexed pos → unsigned value; LE word = positional byte sum
+    def b1(pos: Int): Column =
+      conv(hex(pl.substr(lit(pos), lit(1))), 16, 10).cast("long")
+    def le(pos: Int, n: Int): Column =
+      (0 until n).map(i => b1(pos + i) * lit(1L << (8 * i))).reduce(_ + _)
+    // signed LE32: two's complement fold-down
+    def leS32(pos: Int): Column = {
+      val u = le(pos, 4)
+      when(u >= lit(1L << 31), u - lit(1L << 32)).otherwise(u)
+    }
+    def magic(pos: Int, hexStr: String): Column =
+      hex(pl.substr(lit(pos), lit(hexStr.length / 2))) === hexStr
+    val isWav = nb >= 44L && magic(1, "52494646") && magic(9, "57415645") &&
+      magic(13, "666D7420") && magic(37, "64617461")
+    val isGif = nb >= 13L &&
+      (magic(1, "474946383961") || magic(1, "474946383761"))
+    val isBmp = nb >= 30L && magic(1, "424D")
+    val blockAlign = le(33, 2)
+    val dataSize   = le(41, 4)
+    val bmpBpp     = le(29, 2)
+    val neg1       = lit(-1L)
+    media.select(
+      col(idCol),
+      when(isWav, "wav").when(isGif, "gif").when(isBmp, "bmp")
+        .otherwise("raw").as("format"),
+      nb.as("n_bytes"),
+      when(isGif, le(7, 2)).when(isBmp, abs(leS32(19))).otherwise(neg1).as("width"),
+      when(isGif, le(9, 2)).when(isBmp, abs(leS32(23))).otherwise(neg1).as("height"),
+      when(isWav, le(25, 4)).otherwise(neg1).as("sample_rate"),
+      when(isWav, le(23, 2)).when(isGif, lit(3L))
+        .when(isBmp, when(bmpBpp >= 8L, (bmpBpp / 8L).cast("long")).otherwise(lit(1L)))
+        .otherwise(neg1).as("channels"),
+      when(isWav, le(35, 2)).when(isGif, pmod(b1(11), lit(8L)) + 1L)
+        .when(isBmp, bmpBpp).otherwise(neg1).as("bits"),
+      when(isWav && blockAlign > 0L, (dataSize / blockAlign).cast("long"))
+        .otherwise(neg1).as("n_samples"))
+  }
+
+  /**
+   * FIXTURE WRAPPER for [[avContainerMeta]] (gate/spec harness aid): wrap
+   * each doc's UTF-8 text bytes in a REAL minimal little-endian container —
+   * canonical WAV for `doc_id % 4 == 0` (1/2 channels, 8/16/24-bit,
+   * id-derived sample rate), GIF89a for `% 4 == 1`, BITMAPINFOHEADER BMP
+   * for `% 4 == 2` (every 5th id stores a NEGATIVE top-down height), raw
+   * bytes otherwise. The oracle rebuilds the identical hex stream.
+   */
+  def syntheticAvContainers(docs: DataFrame): DataFrame = {
+    val id      = col("doc_id")
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    def leHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0")): _*)
+    // WAV: canonical 44-byte header, data = the text bytes
+    val wavCh    = lit(1L) + pmod(id, lit(2L))
+    val wavBytes = lit(1L) + pmod(id, lit(3L)) // bytes per sample: 1/2/3
+    val wavBits  = wavBytes * 8L
+    val wavRate  = lit(8000L) + pmod(id * 441L, lit(40000L))
+    val wavAlign = wavCh * wavBytes
+    val dataLen  = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val wavHex = concat(
+      lit("52494646"), leHex(dataLen + 36L, 4), lit("57415645"),
+      lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),
+      leHex(wavCh, 2), leHex(wavRate, 4), leHex(wavRate * wavAlign, 4),
+      leHex(wavAlign, 2), leHex(wavBits, 2),
+      lit("64617461"), leHex(dataLen, 4), textHex)
+    // GIF89a: screen descriptor + packed byte carrying the palette depth
+    val gifW = lit(1L) + pmod(id * 5L, lit(65536L))
+    val gifH = lit(1L) + pmod(id * 9L, lit(65536L))
+    val gifHex = concat(
+      lit("474946383961"), leHex(gifW, 2), leHex(gifH, 2),
+      leHex(lit(128L) + pmod(id, lit(8L)), 1), lit("0000"), textHex)
+    // BMP: 14-byte file header + BITMAPINFOHEADER prefix, pixels = text
+    val bmpW   = lit(1L) + pmod(id * 11L, lit(3000L))
+    val bmpHpx = lit(1L) + pmod(id * 17L, lit(3000L))
+    val bmpH   = when(pmod(id, lit(5L)) === 0L, lit(1L << 32) - bmpHpx).otherwise(bmpHpx)
+    val bmpBpp = when(pmod(id, lit(3L)) === 0L, 8L).when(pmod(id, lit(3L)) === 1L, 24L)
+      .otherwise(lit(32L))
+    val bmpHex = concat(
+      lit("424D"), leHex(dataLen + 54L, 4), lit("00000000"), leHex(lit(54L), 4),
+      leHex(lit(40L), 4), leHex(bmpW, 4), leHex(bmpH, 4),
+      leHex(lit(1L), 2), leHex(bmpBpp, 2), textHex)
+    docs.select(
+      id,
+      unhex(
+        when(pmod(id, lit(4L)) === 0L, wavHex)
+          .when(pmod(id, lit(4L)) === 1L, gifHex)
+          .when(pmod(id, lit(4L)) === 2L, bmpHex)
+          .otherwise(textHex)).as("payload"))
+  }
+
+  /**
    * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
    * byte stream is treated as unsigned PCM8 samples, cut into
    * `window`-sample frames, and each frame scores its RMS energy around

@@ -1201,6 +1201,77 @@ class PipelineSpec extends SparkTestBase {
     out(4) shouldBe ((4L, "jpeg", w(4), h(4), 3L)) // SOF0, 3 components
   }
 
+  "Curate.joinCardinality" should "predict the exact join size from the key histograms" in {
+    val left = Seq(Some(1L) -> "a", Some(1L) -> "b", Some(2L) -> "c",
+      Some(3L) -> "d", (None: Option[Long]) -> "z").toDF("k", "v")
+    val right = Seq(Some(1L) -> "x", Some(2L) -> "y", Some(2L) -> "y2",
+      Some(4L) -> "w", (None: Option[Long]) -> "z").toDF("k", "v")
+    val r = graft.pipeline.Curate.joinCardinality(left, right, "k", "k").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((5L, 5L, 3L, 3L))
+    (r.getLong(4), r.getLong(5), r.getLong(6)) shouldBe ((2L, 4L, 2L))
+    r.getLong(7) shouldBe 1L // keys 1 and 2 tie at product 2 -> smaller key
+    // the prediction IS the executed join's count (NULLs never match)
+    left.join(right, "k").count() shouldBe 4L
+  }
+
+  "Curate.snapshotDiff" should "classify added/removed/changed/unchanged null-safely" in {
+    val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String])).toDF("id", "t")
+    val n = Seq((2L, Some("b")), (3L, Some("x")), (4L, Some("d")),
+      (5L, Some("e"))).toDF("id", "t")
+    val r = graft.pipeline.Curate.snapshotDiff(o, n, "id", Seq("t")).head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((4L, 4L))
+    (r.getLong(2), r.getLong(3)) shouldBe ((1L, 1L))       // added 5, removed 1
+    (r.getLong(4), r.getLong(5)) shouldBe ((2L, 1L))       // changed 3 and 4 (null->d)
+  }
+
+  "Multimodal.avContainerMeta" should "parse real WAV/GIF/BMP headers and tag unknown bytes raw" in {
+    def hexb(s: String): Array[Byte] = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 255L).toByte).toArray
+    // canonical 44-byte WAV: stereo, 16-bit, 44100 Hz, 8 data bytes (2 frames)
+    val wav = "RIFF".getBytes ++ le(36 + 8, 4) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+      le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++ le(44100L * 4, 4) ++
+      le(4, 2) ++ le(16, 2) ++ "data".getBytes ++ le(8, 4) ++ Array.fill(8)(0.toByte)
+    // GIF89a, 320x200, packed byte 0x87 -> low3 = 7 -> 8-bit palette
+    val gif = "GIF89a".getBytes ++ le(320, 2) ++ le(200, 2) ++ hexb("87" + "0000") ++ "px".getBytes
+    // BMP with a NEGATIVE (top-down) height -600 and 24 bpp
+    val bmp = "BM".getBytes ++ le(54 + 3, 4) ++ le(0, 4) ++ le(54, 4) ++
+      le(40, 4) ++ le(800, 4) ++ le((1L << 32) - 600, 4) ++ le(1, 2) ++ le(24, 2) ++ "rgb".getBytes
+    val raw = "just text".getBytes("UTF-8")
+    val media = Seq((1L, wav), (2L, gif), (3L, bmp), (4L, raw), (5L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.avContainerMeta(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    out(0) shouldBe ((1L, "wav", -1L, -1L, 44100L, 2L, 16L, 2L)) // 8 bytes / align 4 = 2 frames
+    out(1) shouldBe ((2L, "gif", 320L, 200L, -1L, 3L, 8L, -1L))
+    out(2) shouldBe ((3L, "bmp", 800L, 600L, -1L, 3L, 24L, -1L)) // |−600| top-down
+    out(3) shouldBe ((4L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
+    out(4) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
+  }
+
+  "Multimodal.syntheticAvContainers" should "round-trip id-derived parameters through real headers" in {
+    val docsDf = Seq(
+      (0L, "wav mono 8bit"), (1L, "gif doc"), (2L, "bmp 32bpp doc"),
+      (3L, "raw doc"), (4L, "wav mono 16bit"), (10L, "bmp negative-height 24bpp")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.avContainerMeta(Multimodal.syntheticAvContainers(docsDf))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    // id 0: wav, ch = 1, bytes/sample = 1 (8-bit), rate = 8000, 13 data bytes
+    out(0) shouldBe ((0L, "wav", -1L, -1L, 8000L, 1L, 8L, 13L))
+    // id 1: gif, w = 1+5 = 6, h = 1+9 = 10, bits = 1%8+1 = 2
+    out(1) shouldBe ((1L, "gif", 6L, 10L, -1L, 3L, 2L, -1L))
+    // id 2: bmp, w = 23, h = 35, bpp = 32 (id%3 = 2) -> 4 channels
+    out(2) shouldBe ((2L, "bmp", 23L, 35L, -1L, 4L, 32L, -1L))
+    out(3)._2 shouldBe "raw"
+    // id 4: wav, ch = 1, bytes = 2 (16-bit), rate = 8000+441*4, 14 bytes -> 7 frames
+    out(4) shouldBe ((4L, "wav", -1L, -1L, 9764L, 1L, 16L, 7L))
+    // id 10: bmp (10%4 = 2) with 10%5 = 0 -> NEGATIVE stored height, |h| = 171
+    out(5) shouldBe ((10L, "bmp", 111L, 171L, -1L, 3L, 24L, -1L))
+  }
+
   "Sampling.kfold" should "assign every row a stable fold in [0, k) with all folds populated" in {
     val ids = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val folds = graft.pipeline.Sampling.kfold(ids, k = 5)

@@ -657,6 +657,19 @@ class RelationalSpec extends SparkTestBase {
     r.getDouble(7) shouldBe 1.0 // every row is exposed below k = 5
   }
 
+  "Relational.lDiversity" should "count low-diversity classes and catch the homogeneity attack" in {
+    // class a: one user ×3 (homogeneous), class b: 2 users, class c: 3 users
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", 1L), ("b", 2L),
+      ("c", 1L), ("c", 2L), ("c", 3L)).toDF("t", "u")
+    val r = Relational.lDiversity(rows, Seq("t"), "u", ls = Seq(2, 3)).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((3L, 8L, 1L, 1L))
+    r.getLong(4) shouldBe 1L      // classes_lt_2: only the homogeneous one
+    r.getDouble(5) shouldBe 0.375 // 3 of 8 rows
+    r.getLong(6) shouldBe 2L      // classes_lt_3: a and b
+    r.getDouble(7) shouldBe 0.625 // 5 of 8 rows
+  }
+
   "Relational.rankCorrelation" should "score monotone 1, antitone -1, and enforce the population guard" in {
     val mono = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L)).toDF("id", "x", "y")
     val m = Relational.rankCorrelation(mono, "x", "y", "id").head()
