@@ -1705,6 +1705,28 @@ object OracleGen {
        |FROM f""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[Similarity.isotropyReport]]: the identical normalize →
+    * 1e-6 snap → exact integer moments chain — per-dim sums square in
+    * HUGEINT (the engine's decimal(38,0)), `‖Σu‖² − Σ‖u‖²` subtracts
+    * exactly, and each side casts to double ONCE for the two divisions. */
+  def isotropyReportSql(dim: Int): String = {
+    val dot = foldDot(i => s"embedding[$i]::DOUBLE", i => s"embedding[$i]::DOUBLE", dim)
+    s"""WITH q AS (SELECT list_transform(range(1, ${dim + 1}),
+       |             i -> round(embedding[i::INT]::DOUBLE / sqrt($dot) * 1000000.0)::BIGINT) AS u
+       |           FROM embeddings WHERE sqrt($dot) > 0),
+       |r AS (SELECT u, list_reduce(list_prepend(0::BIGINT, list_transform(u, x -> x * x)),
+       |        (a, b) -> a + b) AS q2 FROM q),
+       |tot AS (SELECT count(*)::BIGINT AS n, sum(q2)::BIGINT AS sq2, $dim::BIGINT AS dim FROM r),
+       |ds AS (SELECT i, sum(u[i::INT])::BIGINT AS s
+       |       FROM (SELECT u, unnest(generate_series(1, $dim)) AS i FROM r) GROUP BY i),
+       |sq AS (SELECT sum(s::HUGEINT * s::HUGEINT) AS ss FROM ds)
+       |SELECT n, dim,
+       |  CASE WHEN n > 1 THEN
+       |    round((ss - sq2)::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0) * 1e12), 6) END AS mean_pair_cos,
+       |  round(sqrt(ss::DOUBLE) / (n::DOUBLE * 1000000.0), 6) AS centroid_norm
+       |FROM tot, sq""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Similarity.rankEval]] over the [[annJoinSql]] retrieval
     * chain: per-query ln-discount DCG / nDCG / MRR / P@k against label
     * relevance, every fold ascending-rank. */

@@ -435,6 +435,12 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.embeddingDrift(e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
     }),
+    // isotropy health of the embedding space: exact mean pairwise cosine
+    // via ||Σu||² − Σ||u||² (one pass, never a pair join) + centroid norm
+    "ann_isotropy" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Similarity.isotropyReport(emb(s, d))
+    }),
     // FILTERED vector search (the vector-DB "metadata pre-filter" shape):
     // the predicate pushes into the scan BEFORE scoring, so a selective
     // filter shrinks the candidate set instead of post-filtering top-k —
@@ -876,6 +882,11 @@ object SparkEntry {
     // walk-forward forecast eval: one-step-ahead MAE/RMSE of the Holt scan
     "ts_backtest" -> ((s, d) =>
       TimeSeries.holtBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        alpha = 0.5, beta = 0.25).orderBy("event_type")),
+    // scale-free forecast eval: Holt MAE over the naive (lag-1) MAE on the
+    // same horizon — mase < 1 = the model beats "predict yesterday"
+    "ts_mase" -> ((s, d) =>
+      TimeSeries.maseBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         alpha = 0.5, beta = 0.25).orderBy("event_type")),
     // CUSUM-argmax changepoint: the most likely level-shift hour per key
     "ts_cpt" -> ((s, d) =>
@@ -1777,6 +1788,7 @@ object SparkEntry {
     "ann_pcavar" -> OracleGen.pcaVarianceSql(dim = 64, k = 2, iters = 12),
     "ann_whiten" -> OracleGen.pcaProjectSql(dim = 64, k = 2, iters = 12, whiten = true),
     "ann_drift"  -> OracleGen.embeddingDriftSql(dim = 64),
+    "ann_isotropy" -> OracleGen.isotropyReportSql(dim = 64),
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(s, 3) AS sim FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s FROM embeddings) ORDER BY s DESC, vec_id LIMIT 20""",
     "ann_filter" ->
@@ -2695,6 +2707,36 @@ object SparkEntry {
          |SELECT event_type, nf AS n_forecasts,
          |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(errs, x -> abs(x))), (a2, b2) -> a2 + b2) / nf::DOUBLE, 6) AS mae,
          |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(errs, x -> x * x)), (a2, b2) -> a2 + b2) / nf::DOUBLE), 6) AS rmse
+         |FROM er ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // MASE: same Holt error channel as ts_backtest + the naive lag-1
+    // channel over the same horizon; mase divides the two raw abs-sums
+    // (the 1/nf cancels), null on a flat series
+    "ts_mase" -> {
+      val a    = "CAST(0.5 AS DOUBLE)"
+      val b    = "CAST(0.25 AS DOUBLE)"
+      val one  = "CAST(1.0 AS DOUBLE)"
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val lNew = s"$a * e[1].l + ($one - $a) * (a[-1].l + a[-1].b)"
+      def sumAbs(e: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($e, x -> abs(x))), (a2, b2) -> a2 + b2)"
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |s AS (SELECT event_type, vs,
+         |        list_reduce(
+         |          list_prepend([{'l': vs[1], 'b': $zero}], list_transform(vs[2:], x -> [{'l': x, 'b': $zero}])),
+         |          (a, e) -> list_append(a, {'l': $lNew,
+         |                                    'b': $b * (($lNew) - a[-1].l) + ($one - $b) * a[-1].b})) AS hs
+         |      FROM g WHERE len(vs) >= 2),
+         |er AS (SELECT event_type, len(vs)::BIGINT - 1 AS nf,
+         |         ${sumAbs("list_transform(generate_series(2, len(vs)), i -> vs[i::INT] - (hs[(i - 1)::INT].l + hs[(i - 1)::INT].b))")} AS me,
+         |         ${sumAbs("list_transform(generate_series(2, len(vs)), i -> vs[i::INT] - vs[(i - 1)::INT])")} AS mn
+         |       FROM s)
+         |SELECT event_type, nf AS n_forecasts,
+         |  round(me / nf::DOUBLE, 6) AS mae,
+         |  round(mn / nf::DOUBLE, 6) AS naive_mae,
+         |  CASE WHEN mn > 0.0 THEN round(me / mn, 6) END AS mase
          |FROM er ORDER BY event_type""".stripMargin.replace("\n", " ")
     },
     // EWMA/CUSUM scans: list_reduce folds the SAME ts-ordered list with the

@@ -744,6 +744,54 @@ object TimeSeries {
   }
 
   /**
+   * MASE BACKTEST — [[holtBacktest]]'s MAE scaled by the in-sample NAIVE
+   * (lag-1) forecaster's MAE over the SAME one-step horizon (Hyndman &
+   * Koehler's scale-free error): `mase < 1` means the model beats "predict
+   * yesterday", the only forecast-quality readout comparable ACROSS keys
+   * whose value scales differ. A per-key `mase` that drifts above 1 says
+   * the fitted trend is now worse than no model — retire it.
+   *
+   * Float portability: both error channels fold ascending over the key's
+   * own grid array with identical literals; `mase` divides the two raw
+   * SUMS (the `1/nf` cancels — one division, not three). A flat series
+   * (naive MAE 0) emits a null mase. Same two-shuffle in-array shape as
+   * [[holtBacktest]]; per-element work O(n) fold steps.
+   */
+  def maseBacktest(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      alpha: Double = 0.5,
+      beta: Double = 0.25
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    val scan = holtStateScanExpr(valueCol, alpha, beta)
+    val errs =
+      s"""transform(sequence(2, size(__pts)), i ->
+         |  CAST(element_at(__pts, i).$valueCol AS DOUBLE)
+         |    - (element_at(__hs, i - 1).l + element_at(__hs, i - 1).b))""".stripMargin
+    val naive =
+      s"""transform(sequence(2, size(__pts)), i ->
+         |  CAST(element_at(__pts, i).$valueCol AS DOUBLE)
+         |    - CAST(element_at(__pts, i - 1).$valueCol AS DOUBLE))""".stripMargin
+    val sumAbs = "aggregate(%s, CAST(0.0 AS DOUBLE), (a2, x) -> a2 + abs(x))"
+    gridSeries(df, keys, tsCol, valueCol, step)
+      .filter(size(col("__pts")) >= 2)
+      .withColumn("__hs", expr(scan))
+      .withColumn("__me", expr(sumAbs.format(errs)))
+      .withColumn("__mn", expr(sumAbs.format(naive)))
+      .withColumn("__nf", (size(col("__pts")) - 1).cast("long"))
+      .select(keys.map(col) ++ Seq(
+        col("__nf").as("n_forecasts"),
+        round(col("__me") / col("__nf").cast("double"), 6).as("mae"),
+        round(col("__mn") / col("__nf").cast("double"), 6).as("naive_mae"),
+        when(col("__mn") > 0.0, round(col("__me") / col("__mn"), 6)).as("mase")): _*)
+  }
+
+  /**
    * SEASONAL DECOMPOSITION — classical additive decomposition of each
    * key's [[resample]]d grid with period `p` (hourly grid, `p`=24 → daily
    * seasonality): `value = trend + seasonal + resid`, where

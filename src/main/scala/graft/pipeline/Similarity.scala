@@ -1513,6 +1513,54 @@ object Similarity {
    * divisions/sqrt are the identical IEEE sequence the oracle replays.
    * Degenerate zero-mean sides floor the cosine denominator at 1e-12.
    */
+  /**
+   * ISOTROPY REPORT of an embedding cloud — the representation-health
+   * scalar pair behind "embeddings collapse" audits: for the UNIT-
+   * normalized vectors `u`, the exact mean pairwise cosine over all
+   * distinct pairs via the identity `Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u‖²`
+   * (one pass, never a pair join), and the centroid norm `‖mean(u)‖`
+   * (≈0 for an isotropic cloud, →1 as directions collapse). A cloud
+   * whose mean cosine drifts up is losing contrast — ANN shortlists and
+   * [[semDedup]] thresholds silently degrade long before recall metrics
+   * notice.
+   *
+   * Determinism: coordinates normalize on doubles (the kernel fold) and
+   * SNAP to the 1e-6 lattice, so per-dim sums `S_i` and per-row `Σq²`
+   * are exact int64; `ΣS_i²` folds in decimal(38,0) (S_i is up to n·10⁶ —
+   * its square overflows int64 long before 100-TB row counts), and each
+   * side casts to double ONCE for the final two divisions. Zero vectors
+   * drop (no direction to report). n = 1 emits no pair mean (null).
+   *
+   * Scale shape: one row-local projection + one per-dim partial-aggregated
+   * groupBy (dim rows) + two scalar aggregations — no pair join anywhere.
+   */
+  def isotropyReport(
+      df: DataFrame,
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val norm = fnorm(col(vecCol))
+    val q = df.filter(norm > 0.0).select(
+      transform(col(vecCol),
+        x => round(x.cast("double") / norm * lit(1000000.0)).cast("long")).as("u"))
+      .select(col("u"),
+        expr("aggregate(u, 0L, (a, b) -> a + b * b)").as("__q2"),
+        size(col("u")).cast("long").as("__dim"))
+    val tot = q.agg(count(lit(1)).as("n"), sum(col("__q2")).as("__sq2"),
+      max(col("__dim")).as("dim"))
+    val ss = q.select(posexplode(col("u")).as(Seq("__i", "__ui")))
+      .groupBy(col("__i")).agg(sum(col("__ui")).as("__s"))
+      .agg(sum(col("__s").cast("decimal(19,0)") * col("__s").cast("decimal(19,0)"))
+        .as("__ss"))
+    tot.crossJoin(ss).select(
+      col("n"), col("dim"),
+      when(col("n") > 1L,
+        round((col("__ss") - col("__sq2")).cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0) * lit(1e12)), 6))
+        .as("mean_pair_cos"),
+      round(sqrt(col("__ss").cast("double")) / (col("n").cast("double") * lit(1000000.0)), 6)
+        .as("centroid_norm"))
+  }
+
   def embeddingDrift(
       a: DataFrame,
       b: DataFrame,

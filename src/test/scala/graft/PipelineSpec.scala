@@ -1201,6 +1201,28 @@ class PipelineSpec extends SparkTestBase {
     out(4) shouldBe ((4L, "jpeg", w(4), h(4), 3L)) // SOF0, 3 components
   }
 
+  "Similarity.isotropyReport" should "score collapse 1, orthogonal 0, and drop zero vectors" in {
+    graft.functions.GraftFunctions.register(spark)
+    def rep(vs: Seq[Array[Float]]) =
+      Similarity.isotropyReport(vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")).head()
+    // fully collapsed: identical directions (scale must not matter)
+    val c = rep(Seq(Array(1f, 0f), Array(3f, 0f), Array(0.5f, 0f)))
+    (c.getLong(0), c.getLong(1), c.getDouble(2), c.getDouble(3)) shouldBe ((3L, 2L, 1.0, 1.0))
+    // orthogonal pair: mean cosine 0, centroid norm = √2/2
+    val o = rep(Seq(Array(1f, 0f), Array(0f, 1f)))
+    (o.getDouble(2), o.getDouble(3)) shouldBe ((0.0, 0.707107))
+    // opposite pair: mean cosine −1, centroid at the origin
+    val p = rep(Seq(Array(1f, 0f), Array(-1f, 0f)))
+    (p.getDouble(2), p.getDouble(3)) shouldBe ((-1.0, 0.0))
+    // a zero vector has no direction: dropped, not a NaN in the moments
+    val z = rep(Seq(Array(1f, 0f), Array(0f, 1f), Array(0f, 0f)))
+    (z.getLong(0), z.getDouble(2)) shouldBe ((2L, 0.0))
+    // single vector: no pair to average — null mean, centroid norm 1
+    val s1 = rep(Seq(Array(0f, 2f)))
+    (s1.getLong(0), s1.isNullAt(2), s1.getDouble(3)) shouldBe ((1L, true, 1.0))
+  }
+
   "Curate.joinCardinality" should "predict the exact join size from the key histograms" in {
     val left = Seq(Some(1L) -> "a", Some(1L) -> "b", Some(2L) -> "c",
       Some(3L) -> "d", (None: Option[Long]) -> "z").toDF("k", "v")

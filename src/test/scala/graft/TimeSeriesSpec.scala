@@ -259,6 +259,20 @@ class TimeSeriesSpec extends SparkTestBase {
     out("a") shouldBe ((2L, 3.375, r6(math.sqrt((4.0 + 22.5625) / 2.0))))
   }
 
+  "TimeSeries.maseBacktest" should "scale the Holt MAE by the naive lag-1 MAE" in {
+    // x = [1, 2, 3, 4]: Holt errs 1, 1.375, 1.390625 → sum 3.765625;
+    // naive errs all 1 → naive_mae 1, mase = 3.765625 / 3
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 3.0), ("a", 30L, 4.0))
+      .toDF("k", "ts", "v")
+    val r = TimeSeries.maseBacktest(df, Seq("k"), "ts", "v", step = 10L).head()
+    (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) shouldBe
+      ((3L, 1.255208, 1.0, 1.255208))
+    // a flat series: model errors 0, naive errors 0 → mase is NULL, not ∞
+    val flat = Seq(("a", 0L, 5.0), ("a", 10L, 5.0), ("a", 20L, 5.0)).toDF("k", "ts", "v")
+    val f = TimeSeries.maseBacktest(flat, Seq("k"), "ts", "v", step = 10L).head()
+    (f.getDouble(2), f.getDouble(3), f.isNullAt(4)) shouldBe ((0.0, 0.0, true))
+  }
+
   it should "hold a linear series' trend once locked on" in {
     // after convergence on x_t = 5t the forecast tracks within the ramp
     val df = (0 until 30).map(i => ("a", i.toLong * 10, i * 5.0)).toDF("k", "ts", "v")
