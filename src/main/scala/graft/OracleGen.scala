@@ -338,6 +338,35 @@ object OracleGen {
        |        GROUP BY 1, 2 HAVING count(*) >= $minSupport),
        |${adamicAdarChain(topK)}""".stripMargin.replace("\n", " ")
 
+  /** mirror of [[graft.operators.Graph.personalizedPageRank]] over the
+    * basket pair graph, SINGLE seed = the smallest id_a in the mined pairs
+    * (teleport mass 1.0): the same unrolled iterations as [[pageRankSql]]
+    * with the base term `(1−d)·p` instead of `(1−d)`. */
+  def personalizedPageRankBasketSql(minSupport: Long, iterations: Int,
+                                    damping: Double, topK: Int): String = {
+    val base = s"${1.0 - damping}"
+    val iterCtes = (1 to iterations).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT n.id, round($base * n.p + $damping * coalesce(s.c, 0), 6) AS r
+         |  FROM n LEFT JOIN (SELECT e.dst,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(rr.r / deg.deg ORDER BY e.src)), (a, b) -> a + b) AS c
+         |    FROM e JOIN r${t - 1} rr ON rr.id = e.src JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pp AS MATERIALIZED (SELECT a.pk AS id_a, b.pk AS id_b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pp UNION ALL SELECT id_b, id_a FROM pp),
+       |deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+       |n AS MATERIALIZED (SELECT id,
+       |      CASE WHEN id = (SELECT min(id_a) FROM pp) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS p
+       |      FROM (SELECT DISTINCT src AS id FROM e)),
+       |r0 AS (SELECT id, round(p, 6) AS r FROM n),
+       |$iterCtes
+       |SELECT id, r AS rank FROM r$iterations
+       |ORDER BY r DESC, id LIMIT $topK""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.operators.Graph.kCore]]: the same FIXED round count
     * unrolled as CTEs — round t keeps nodes with ≥ k neighbors in round
     * t−1's survivor set; the tail re-derives degree within the final set. */

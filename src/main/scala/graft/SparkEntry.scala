@@ -265,6 +265,20 @@ object SparkEntry {
         .select(col("pa").as("id_a"), col("pb").as("id_b"))
       graft.operators.Graph.adamicAdar(edges, topK = 50)
     }),
+    // personalized PageRank from the smallest part in the co-purchase
+    // graph: rank mass = proximity to the seed through shared baskets (the
+    // recommendation walk; plain PageRank only scores global popularity)
+    "st_ppr" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= 2L)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
+        iterations = 5, damping = 0.85, topK = 50)
+    }),
     // per-doc local clustering coefficient: clique-family (lcc→1) vs
     // shared-fragment-hub (lcc→0) topology over the same near-dup graph
     "d_lcc" -> ((s, d) =>
@@ -1714,6 +1728,8 @@ object SparkEntry {
     "d_triangles" -> OracleGen.trianglesSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_tricount"  -> OracleGen.triangleCountsSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "st_alsobought" -> OracleGen.adamicAdarBasketSql(minSupport = 2L, topK = 50),
+    "st_ppr" -> OracleGen.personalizedPageRankBasketSql(minSupport = 2L,
+      iterations = 5, damping = 0.85, topK = 50),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),

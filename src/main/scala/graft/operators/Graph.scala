@@ -72,6 +72,74 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PAGERANK from a seed set — [[pageRank]] with the teleport
+   * mass restricted to `seeds` instead of spread uniformly:
+   * `r₊(v) = (1−d)·p(v) + d·Σ_{u~v} r(u)/deg(u)` with `p` uniform ON THE
+   * SEEDS and zero elsewhere. Rank mass therefore measures proximity to
+   * the seeds through the graph — the classic "customers who bought THIS
+   * also gravitate to..." recommendation walk over the co-purchase graph
+   * (seeds = a basket), where plain PageRank only measures global
+   * popularity. Nodes in components the seeds can't reach score exactly 0.
+   *
+   * Determinism: fixed iteration count; each node's contribution sum
+   * folds over its in-neighbor list SORTED BY source id (the [[adamicAdar]]
+   * sorted-fold rule — on the basket graph's denser nodes a plain float
+   * `sum()` lands on 6-dp rounding boundaries, so the per-iteration snap
+   * alone is NOT enough), then the rank SNAPS to 6 dp; the final top-k cut
+   * orders `(rank DESC, id)`. Scale shape per iteration: one join of the
+   * rank frame into the edge relation + one per-node fold whose state is
+   * the in-neighbor contribution list, bounded by degree; rank frames pin
+   * per round and free the previous ([[graft.pipeline.Checkpoints]]
+   * lifecycle).
+   */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      topK: Int = 50
+  ): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    require(seeds.nonEmpty, "need at least one seed node")
+    require(topK >= 1, "topK must be >= 1")
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(edges.sparkSession)
+    import GraftFunctions.foldSum
+    val sym = edges.select(col("id_a"), col("id_b"))
+    val und = sym.toDF("src", "dst")
+      .union(sym.select(col("id_b"), col("id_a")).toDF("src", "dst")).pinned
+    Checkpoints.free(edges)
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
+    val ids = und.select(col("src").as("id")).distinct().pinned
+    val p   = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    var ranks = ids.select(col("id"), round(p, 6).as("r")).pinned
+    for (_ <- 1 to iterations) {
+      val contrib = und
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("rc"))
+        .groupBy(col("dst"))
+        .agg(foldSum(expr(
+          "transform(array_sort(collect_list(struct(src, rc))), q -> q.rc)")).as("c"))
+      val next = ids
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          round(lit(1.0 - damping) * p + lit(damping) * coalesce(col("c"), lit(0.0)), 6)
+            .as("r"))
+        .pinned
+      Checkpoints.free(ranks)
+      ranks = next
+    }
+    val out = ranks
+      .orderBy(col("r").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("r").as("rank"))
+    Checkpoints.free(und, deg, ids)
+    out
+  }
+
+  /**
    * SYNCHRONOUS LABEL PROPAGATION communities (Raghavan et al. 2007) in
    * the deterministic fixed-round form: labels start as node ids; each
    * round every node adopts the label most frequent among its NEIGHBORS

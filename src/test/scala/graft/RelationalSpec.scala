@@ -147,6 +147,24 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Graph.personalizedPageRank" should "concentrate rank near the seed and zero unreachable components" in {
+    import graft.pipeline.Checkpoints
+    import org.apache.spark.storage.StorageLevel
+    // path 1-2-3 plus a disconnected edge 4-5; seed = 1, d = 0.5, 2 iters:
+    // r1 = (0.5, 0.5, 0), r2 = (0.5·1 + 0.5·0.25, 0.5·0.5, 0.5·0.25)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val (out, pins) = Checkpoints.scoped {
+      graft.operators.Graph.personalizedPageRank(edges, Seq(1L),
+        iterations = 2, damping = 0.5, topK = 5)
+    }
+    val rows = out.collect().map(x => (x.getLong(0), x.getDouble(1)))
+    rows shouldBe Array((1L, 0.625), (2L, 0.25), (3L, 0.125), (4L, 0.0), (5L, 0.0))
+    def live = pins.filter(_.getStorageLevel != StorageLevel.NONE)
+    live.size should be <= 1
+    Checkpoints.free(out)
+    live shouldBe empty
+  }
+
   "Graph.labelPropagation" should "split bridged triangles into two communities and free its pins" in {
     import graft.pipeline.Checkpoints
     import org.apache.spark.storage.StorageLevel
