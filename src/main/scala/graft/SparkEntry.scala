@@ -1035,6 +1035,11 @@ object SparkEntry {
           expr(s"ts div ${24 * HourUs}L").as("day"),
           floor(col("value")).cast("long").as("value_band")),
         Seq("event_type", "day", "value_band"), ks = Seq(2, 5, 10))),
+    // weekly view→purchase conversion with the Wilson 95% interval: the
+    // small-n-safe funnel-health readout (exact distinct-user counts)
+    "ev_wilson" -> ((s, d) =>
+      graft.operators.Relational.conversionWilson(evUsAll(s, d), "view", "purchase")
+        .orderBy("bucket")),
     // l-diversity over the same QI tuple as ev_kanon with user_id as the
     // sensitive attribute: a k-anonymous class whose rows all belong to
     // ONE user still discloses that user (the homogeneity attack)
@@ -1199,6 +1204,11 @@ object SparkEntry {
       graft.operators.Star.productTypeProfit(tbl(s, d, "nation"), tbl(s, d, "supplier"),
         tbl(s, d, "part"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), pType = "PROMO")),
     "rt_bm25" -> ((s, d) => Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    // boolean postings algebra: every must-term AND no must-not term —
+    // the exact-match complement to BM25's ranked list
+    "rt_bool" -> ((s, d) =>
+      Retrieval.booleanMatches(docs(s, d), Seq("spark", "join"), Seq("vector"))
+        .orderBy("doc_id")),
     // Dirichlet query-likelihood: the LM scorer next to BM25 (mu=2000)
     "rt_ql" -> ((s, d) => Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20)),
     // inter-scorer agreement: Kendall τ between the BM25 and QL top-20
@@ -1484,6 +1494,11 @@ object SparkEntry {
     // byte arithmetic on the binary column, no stub, no UDF
     "mm_vad" -> ((s, d) =>
       Multimodal.audioEnergyWindows(Multimodal.withPayload(docs(s, d)))
+        .orderBy("doc_id", "window_idx")),
+    // segment boundaries over the same energy channel: windows whose RMS
+    // jumps against the predecessor — in-array lag, no shuffle, no window
+    "mm_scenes" -> ((s, d) =>
+      Multimodal.energySegments(Multimodal.withPayload(docs(s, d)), jump = 2.0)
         .orderBy("doc_id", "window_idx")),
     // REAL container-header decode: minimal PNG/JPEG fixtures wrap the
     // text bytes (see syntheticContainers), then width/height/channels
@@ -2214,6 +2229,28 @@ object SparkEntry {
          |SELECT count(*)::BIGINT AS n_classes, sum(c)::BIGINT AS n_rows, min(c)::BIGINT AS min_class,
          |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons, $ltCols
          |FROM cc""".stripMargin.replace("\n", " ")
+    },
+    // Wilson interval: exact distinct-user counts, one fixed double chain
+    // per bucket spelled identically to the engine's column expressions
+    "ev_wilson" -> {
+      val z  = 1.96
+      val z2 = z * z
+      val p  = "n_conv::DOUBLE / n_base::DOUBLE"
+      val nd = "n_base::DOUBLE"
+      val den = s"(1.0 + $z2 / $nd)"
+      val ctr = s"($p + $z2 / (2.0 * $nd)) / $den"
+      val haf = s"($z * sqrt((($p) * (1.0 - $p) + $z2 / (4.0 * $nd)) / $nd)) / $den"
+      s"""WITH per AS (SELECT (epoch_us(ts) // ${7L * 86400000000L}) AS bucket, user_id,
+         |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS f,
+         |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS t
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT bucket, count(*)::BIGINT AS n_base, sum(t)::BIGINT AS n_conv
+         |      FROM per WHERE f = 1 GROUP BY bucket)
+         |SELECT bucket, n_base, n_conv,
+         |  round($p, 6) AS rate,
+         |  round(($ctr) - ($haf), 6) AS wilson_lo,
+         |  round(($ctr) + ($haf), 6) AS wilson_hi
+         |FROM a ORDER BY bucket""".stripMargin.replace("\n", " ")
     },
     // l-diversity: two-level exact aggregation (QI+sensitive → QI), then
     // the same threshold scan shape as ev_kanon over DISTINCT counts
@@ -3082,6 +3119,14 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin.replace("\n", " "),
     "rt_bm25"      -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
+    // boolean AND/NOT postings algebra: exact integer hit counts
+    "rt_bool" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |h AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS nm, count(*)::BIGINT AS n_hits
+        |      FROM toks WHERE term IN ('spark', 'join') GROUP BY doc_id),
+        |x AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('vector'))
+        |SELECT h.doc_id, h.n_hits FROM h LEFT JOIN x USING (doc_id)
+        |WHERE h.nm = 2 AND x.doc_id IS NULL ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "rt_ql"        -> OracleGen.qlTopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_idx"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
     "rt_bm25_app"  -> OracleGen.bm25TopKSql(Seq("spark", "join"), k = 20),
@@ -3466,6 +3511,27 @@ object SparkEntry {
         |  round(sqrt(sq::DOUBLE / n_samples::DOUBLE), 6) AS rms,
         |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active
         |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
+    // segment boundaries: the same per-window RMS values as mm_vad, lag
+    // pair within each doc, UNROUNDED delta against the jump threshold
+    "mm_scenes" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+        |fr AS (SELECT doc_id, u AS window_idx,
+        |         least(nb - u * 256, 256)::BIGINT AS ns,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(
+        |           range(u * 256 + 1, u * 256 + least(nb - u * 256, 256) + 1),
+        |           i -> (CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+        |                  + (strpos('123456789ABCDEF', hx[2*i:2*i])) - 128 AS BIGINT)
+        |               * CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+        |                  + (strpos('123456789ABCDEF', hx[2*i:2*i])) - 128 AS BIGINT)))),
+        |           (a, b) -> a + b) AS sq
+        |       FROM b, unnest(range(0, (nb + 255) // 256)) AS un(u)),
+        |r AS (SELECT doc_id, window_idx, sqrt(sq::DOUBLE / ns::DOUBLE) AS rmu FROM fr)
+        |SELECT a.doc_id, b2.window_idx::BIGINT AS window_idx,
+        |  round(a.rmu, 6) AS prev_rms, round(b2.rmu, 6) AS rms,
+        |  round(b2.rmu - a.rmu, 6) AS delta
+        |FROM r a JOIN r b2 ON a.doc_id = b2.doc_id AND b2.window_idx = a.window_idx + 1
+        |WHERE abs(b2.rmu - a.rmu) >= 2.0
+        |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
     "mm_av" -> OracleGen.avContainerMetaSql,
     "tx_kfold" -> OracleGen.kfoldSql(k = 5, seed = 7L),

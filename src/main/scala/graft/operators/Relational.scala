@@ -1114,6 +1114,51 @@ object Relational {
   }
 
   /**
+   * CONVERSION RATE WITH WILSON 95% INTERVAL per time bucket — the
+   * funnel-health readout with honest uncertainty: per bucket, the share
+   * of `fromType` users who also fired `toType`, bounded by the Wilson
+   * score interval (the small-n-safe interval — a 3-user bucket at 100%
+   * reports [0.44, 1], where the naive ±1.96·se collapses to a point).
+   * Counts are exact distinct-user integers; the interval is one fixed
+   * double-arithmetic chain per bucket, spelled identically in the
+   * oracle. One (bucket, user) pre-aggregation + one per-bucket
+   * reduction — both partial-aggregated, no window anywhere.
+   */
+  def conversionWilson(
+      ev: DataFrame,
+      fromType: String,
+      toType: String,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      bucketUs: Long = 7L * 86400000000L,
+      z: Double = 1.96,
+      dp: Int = 6
+  ): DataFrame = {
+    require(bucketUs >= 1, "bucketUs must be >= 1")
+    require(z > 0.0, "z must be positive")
+    val per = ev
+      .select(expr(s"$tsCol div ${bucketUs}L").as("bucket"), col(userCol),
+        col(typeCol))
+      .groupBy(col("bucket"), col(userCol))
+      .agg(max(when(col(typeCol) === fromType, 1L).otherwise(0L)).as("__f"),
+        max(when(col(typeCol) === toType, 1L).otherwise(0L)).as("__t"))
+      .filter(col("__f") === 1L)
+    val z2 = z * z
+    val agg = per.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_base"), sum(col("__t")).as("n_conv"))
+    val nd    = col("n_base").cast("double")
+    val p     = col("n_conv").cast("double") / nd
+    val denom = lit(1.0) + lit(z2) / nd
+    val center = (p + lit(z2) / (lit(2.0) * nd)) / denom
+    val half = (lit(z) * sqrt((p * (lit(1.0) - p) + lit(z2) / (lit(4.0) * nd)) / nd)) / denom
+    agg.select(col("bucket"), col("n_base"), col("n_conv"),
+      round(p, dp).as("rate"),
+      round(center - half, dp).as("wilson_lo"),
+      round(center + half, dp).as("wilson_hi"))
+  }
+
+  /**
    * L-DIVERSITY AUDIT — [[kAnonymity]]'s necessary companion: a class can
    * be k-anonymous yet leak everything if all k rows share one SENSITIVE
    * value (the "homogeneity attack"). Groups rows by the `quasiCols`

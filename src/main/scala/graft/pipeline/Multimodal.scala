@@ -350,6 +350,51 @@ object Multimodal {
   }
 
   /**
+   * ENERGY SEGMENT BOUNDARIES — scene-change detection over the
+   * [[audioEnergyWindows]] channel: a window whose RMS jumps by at least
+   * `jump` against its predecessor marks a segment boundary (speech↔
+   * silence, music↔speech — the cut points an audio-curation pipeline
+   * samples around, and the 1-D shape of video scene detection). Same
+   * REAL byte arithmetic as the VAD op — exact integer frame sums, one
+   * sqrt per window — but the per-window RMS list stays row-local (one
+   * array per record, never an explode-then-window), so the lag compare
+   * is an in-array transform: no shuffle, no window function anywhere.
+   * The boundary test compares UNROUNDED doubles (both engines build the
+   * identical value from exact integers); emitted columns snap to 6 dp.
+   * Output rows = boundaries only; `window_idx` is the LATER window.
+   */
+  def energySegments(
+      media: DataFrame,
+      window: Int = 256,
+      jump: Double = 20.0,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(jump >= 0.0, "jump must be >= 0")
+    media
+      .filter(expr(s"octet_length($payloadCol)") > 0)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, octet_length($payloadCol)), " +
+          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))
+      .select(col(idCol), expr(
+        s"transform(transform(sequence(0, cast(ceil(size(__bs) / ${window}.0) AS INT) - 1), " +
+          s"w -> slice(__bs, w * $window + 1, $window)), fr -> " +
+          "sqrt(cast(aggregate(fr, 0L, (a, b) -> a + cast((b - 128) * (b - 128) AS BIGINT)) AS DOUBLE)" +
+          " / cast(size(fr) AS DOUBLE)))").as("__rs"))
+      .filter(size(col("__rs")) >= 2)
+      .select(col(idCol), explode(expr(
+        s"filter(transform(sequence(2, size(__rs)), i -> " +
+          "struct(i AS i, element_at(__rs, i - 1) AS pr, element_at(__rs, i) AS cr)), " +
+          s"s -> abs(s.cr - s.pr) >= $jump)")).as("__b"))
+      .select(col(idCol),
+        (col("__b.i") - 1).cast("long").as("window_idx"),
+        round(col("__b.pr"), 6).as("prev_rms"),
+        round(col("__b.cr"), 6).as("rms"),
+        round(col("__b.cr") - col("__b.pr"), 6).as("delta"))
+  }
+
+  /**
    * Partition-batched decode: the mapPartitions/mapInPandas shape a real
    * codec needs (amortize model/codec init per batch, bounded batch
    * memory). The per-record decode is the same STUB arithmetic.

@@ -104,6 +104,38 @@ object Retrieval {
     scoreHits(tf, dfreq, dl, n, sumDl.toDouble / n, k1, b, idCol)
   }
 
+  /**
+   * BOOLEAN RETRIEVAL — the exact-match complement to [[bm25Scores]]'
+   * ranked list: documents containing EVERY `must` term AND NONE of the
+   * `mustNot` terms (classic AND/NOT postings algebra; `n_hits` reports
+   * the total `must`-term occurrences for a downstream ranker). The
+   * filter-first discipline of the BM25 scan applies: tokens cut to the
+   * query's terms BEFORE any aggregation, so the shuffled relation is
+   * query-term hits only; the NOT side is a distinct-id left-anti join
+   * (never a per-token scan of the exclusion list). Exact integers only.
+   */
+  def booleanMatches(
+      docs: DataFrame,
+      must: Seq[String],
+      mustNot: Seq[String] = Nil,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(must.nonEmpty, "need at least one required term")
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("__term"))
+    val hits = toks.filter(col("__term").isin(must: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("__term")).as("__nm"), count(lit(1)).as("n_hits"))
+      .filter(col("__nm") === must.distinct.size.toLong)
+    val kept =
+      if (mustNot.isEmpty) hits
+      else hits.join(
+        toks.filter(col("__term").isin(mustNot: _*)).select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    kept.select(col(idCol), col("n_hits"))
+  }
+
   // ---- persisted inverted index (the tokenize-once 100 TB path) --------
 
   /** Inverted-index relations: `postings` = (term, idCol, tf), `doclens` =

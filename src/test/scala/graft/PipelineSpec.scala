@@ -1247,6 +1247,33 @@ class PipelineSpec extends SparkTestBase {
     (r.getLong(4), r.getLong(5)) shouldBe ((2L, 1L))       // changed 3 and 4 (null->d)
   }
 
+  "Retrieval.booleanMatches" should "require every must term and reject must-not docs" in {
+    val d = Seq(
+      (1L, "spark join fast"), (2L, "spark join vector"),
+      (3L, "spark fast"), (4L, "join spark spark")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.booleanMatches(d, Seq("spark", "join"), Seq("vector"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 2L), (4L, 3L)) // 2 holds vector, 3 lacks join
+    // no exclusions: the must-only algebra keeps doc 2
+    Retrieval.booleanMatches(d, Seq("spark", "join")).count() shouldBe 3L
+  }
+
+  "Multimodal.energySegments" should "flag RMS jumps against the predecessor window" in {
+    // 256 'A's (rms 63) then 256 'x's (rms 8): one boundary, delta −55;
+    // a doc with one window and an empty doc emit nothing
+    val media = Multimodal.withPayload(Seq(
+      (1L, "A" * 256 + "x" * 256, "en", "a", 512L),
+      (2L, "A" * 100, "en", "a", 100L),
+      (3L, "", "en", "a", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Multimodal.energySegments(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    out shouldBe Array((1L, 1L, 63.0, 8.0, -55.0))
+    // below the jump threshold: no boundary
+    Multimodal.energySegments(media, jump = 60.0).count() shouldBe 0L
+  }
+
   "Multimodal.avContainerMeta" should "parse real WAV/GIF/BMP headers and tag unknown bytes raw" in {
     def hexb(s: String): Array[Byte] = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     def le(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 255L).toByte).toArray

@@ -675,6 +675,19 @@ class RelationalSpec extends SparkTestBase {
     r.getDouble(7) shouldBe 1.0 // every row is exposed below k = 5
   }
 
+  "Relational.conversionWilson" should "bound the rate with the small-n-safe interval" in {
+    // one week, 4 viewing users, 1 converts: p = 0.25, Wilson 95% =
+    // [0.045586, 0.699364] (the naive ±1.96·se would dip below 0)
+    val ev = Seq(
+      (1L, "view"), (2L, "view"), (3L, "view"), (4L, "view"),
+      (2L, "purchase"),
+      (9L, "purchase") // a purchase with no view: not in the base
+    ).map { case (u, t) => (1000L, u, t) }.toDF("ts", "user_id", "event_type")
+    val r = Relational.conversionWilson(ev, "view", "purchase").head()
+    (r.getLong(1), r.getLong(2)) shouldBe ((4L, 1L))
+    (r.getDouble(3), r.getDouble(4), r.getDouble(5)) shouldBe ((0.25, 0.045586, 0.699364))
+  }
+
   "Relational.lDiversity" should "count low-diversity classes and catch the homogeneity attack" in {
     // class a: one user ×3 (homogeneous), class b: 2 users, class c: 3 users
     val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L),
