@@ -1734,6 +1734,32 @@ object OracleGen {
        |FROM f""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.operators.Relational.bootstrapMeanSe]] over the
+    * per-user spend-cents panel: the identical `"id#b"` portable-hash
+    * Poisson(1) weights (cum-pmf thresholds on the 1e-4 lattice, cap 6),
+    * per-replica weighted means (HUGEINT sum mirrors the decimal fold),
+    * and ORDER BY-replica moment folds. */
+  def bootstrapMeanSeSql(replicas: Int, seed: Long): String = {
+    val h = s"(${wordPolySql("CAST(id AS VARCHAR) || '#' || CAST(b AS VARCHAR)", 131L, seed)} % 10000)"
+    s"""WITH per AS (SELECT user_id AS id, sum(round(value*100)::BIGINT)::BIGINT AS x FROM events GROUP BY 1),
+       |pt AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM per),
+       |rep AS (SELECT id, x, b, $h AS h FROM per, unnest(range(0, $replicas)) AS u(b)),
+       |wt AS (SELECT b, x, CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1 WHEN h < 9197 THEN 2
+       |         WHEN h < 9810 THEN 3 WHEN h < 9963 THEN 4 WHEN h < 9994 THEN 5 ELSE 6 END AS w FROM rep),
+       |ms AS (SELECT b, sum(w)::BIGINT AS sw, sum(w * x) AS swx FROM wt GROUP BY b),
+       |mm AS (SELECT list(swx::DOUBLE / sw::DOUBLE ORDER BY b) AS msl FROM ms WHERE sw > 0),
+       |st AS (SELECT len(msl)::BIGINT AS n_replicas,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), msl), (a, x) -> a + x)
+       |           / len(msl)::DOUBLE AS mbar, msl FROM mm),
+       |se AS (SELECT n_replicas,
+       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(msl, x -> (x - mbar) * (x - mbar))), (a, y) -> a + y)
+       |           / (n_replicas::DOUBLE - 1.0)) AS sev FROM st)
+       |SELECT pt.n, round(pt.sx::DOUBLE / pt.n::DOUBLE, 6) AS mean,
+       |  se.n_replicas, round(se.sev, 6) AS boot_se
+       |FROM pt, se""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[Similarity.isotropyReport]]: the identical normalize →
     * 1e-6 snap → exact integer moments chain — per-dim sums square in
     * HUGEINT (the engine's decimal(38,0)), `‖Σu‖² − Σ‖u‖²` subtracts

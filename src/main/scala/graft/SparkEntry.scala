@@ -902,6 +902,12 @@ object SparkEntry {
     "ts_mase" -> ((s, d) =>
       TimeSeries.maseBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         alpha = 0.5, beta = 0.25).orderBy("event_type")),
+    // dominant-period auto-detect: ANOVA phase-variance strength over
+    // candidate periods 2..24 on the hourly grid (exact phase sums — no
+    // transcendentals, so the oracle replays it bit-identically)
+    "ts_period" -> ((s, d) =>
+      TimeSeries.dominantPeriod(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type")),
     // CUSUM-argmax changepoint: the most likely level-shift hour per key
     "ts_cpt" -> ((s, d) =>
       TimeSeries.changePoint(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
@@ -1035,6 +1041,13 @@ object SparkEntry {
           expr(s"ts div ${24 * HourUs}L").as("day"),
           floor(col("value")).cast("long").as("value_band")),
         Seq("event_type", "day", "value_band"), ks = Seq(2, 5, 10))),
+    // deterministic Poisson bootstrap of revenue-per-user: SE from 32
+    // hash-weighted resamples in ONE pass (explode ×B, never B shuffles)
+    "ev_boot" -> ((s, d) => {
+      val per = evRaw(s, d).groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend_cents"))
+      graft.operators.Relational.bootstrapMeanSe(per, "user_id", "spend_cents")
+    }),
     // weekly view→purchase conversion with the Wilson 95% interval: the
     // small-n-safe funnel-health readout (exact distinct-user counts)
     "ev_wilson" -> ((s, d) =>
@@ -2230,6 +2243,7 @@ object SparkEntry {
          |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons, $ltCols
          |FROM cc""".stripMargin.replace("\n", " ")
     },
+    "ev_boot" -> OracleGen.bootstrapMeanSeSql(replicas = 32, seed = 7L),
     // Wilson interval: exact distinct-user counts, one fixed double chain
     // per bucket spelled identically to the engine's column expressions
     "ev_wilson" -> {
@@ -2718,6 +2732,29 @@ object SparkEntry {
          |  unnest(list_transform(hs, h -> h.l + h.b)) AS forecast
          |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
+    // dominant period: exact int64 phase sums on the 1e-6 value lattice,
+    // HUGEINT square fold (mirrors decimal(38,0)), per-(key, P) phase
+    // terms folded ORDER BY phase, argmax via (strength DESC, P) rank
+    "ts_period" ->
+      s"""WITH r AS (SELECT event_type, (epoch_us(ts) // $HourUs) AS idx, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |v AS (SELECT event_type, idx, CAST(round(value * 1000000.0) AS BIGINT) AS v6 FROM r),
+         |t AS (SELECT event_type, count(*)::BIGINT AS n, sum(v6)::BIGINT AS s,
+         |        sum(v6::HUGEINT * v6::HUGEINT) AS ss FROM v GROUP BY 1),
+         |p AS (SELECT event_type, pp AS P, idx % pp AS ph, count(*)::BIGINT AS np, sum(v6)::BIGINT AS sp
+         |      FROM v, unnest(range(2, 25)) AS u(pp) GROUP BY 1, 2, 3),
+         |b AS (SELECT p.event_type, p.P,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list(np::DOUBLE * (sp::DOUBLE / np::DOUBLE - t.s::DOUBLE / t.n::DOUBLE)
+         |               * (sp::DOUBLE / np::DOUBLE - t.s::DOUBLE / t.n::DOUBLE) ORDER BY ph)),
+         |          (a, b) -> a + b) AS ssb,
+         |        max(t.ss::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE) AS sst
+         |      FROM p JOIN t ON p.event_type = t.event_type GROUP BY 1, 2),
+         |k AS (SELECT event_type, P, ssb / sst AS r,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY ssb / sst DESC, P) AS rn
+         |      FROM b WHERE sst > 0.0)
+         |SELECT event_type, P::BIGINT AS period, round(r, 6) AS strength
+         |FROM k WHERE rn = 1 ORDER BY event_type""".stripMargin.replace("\n", " "),
     // CUSUM location: the ts_cusum mean + a zero-seeded prefix scan, then
     // a relational (|S| DESC, k ASC) rank instead of a fold argmax (the
     // struct-accumulator fold is the DuckDB shape that loses state)

@@ -1114,6 +1114,67 @@ object Relational {
   }
 
   /**
+   * DETERMINISTIC POISSON BOOTSTRAP of a per-key mean — the standard-error
+   * readout for a metric whose distribution is too skewed to trust the
+   * normal formula (revenue per user): `replicas` resamples, each giving
+   * every key a Poisson(1) weight, mean recomputed per replica, SE = the
+   * replica means' standard deviation. NO RNG anywhere: the weight is the
+   * Poisson(1) inverse-CDF of the portable id⊕replica hash (the
+   * [[graft.pipeline.Sampling.hashSample]] polynomial over `"id#b"`,
+   * thresholds = the cumulative pmf on the 1e-4 lattice, capped at 6) —
+   * identical on any engine, any partitioning, any rerun; this is the
+   * map-side bootstrap shape that needs ONE pass at 100 TB (explode ×B,
+   * never B shuffles of the data). Per-replica weighted sums fold in
+   * decimal(38,0) (`w ≤ 6`, so the per-row product stays in int64 for any
+   * per-key value below 1.5e18); the replica-mean moments fold sorted by
+   * replica index. Replicas whose weights all landed 0 are excluded (the
+   * divisor is the surviving replica count).
+   */
+  def bootstrapMeanSe(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicas: Int = 32,
+      seed: Long = 7L,
+      dp: Int = 6
+  ): DataFrame = {
+    require(replicas >= 2 && replicas <= 1024, "replicas must be in [2, 1024]")
+    val per = df.select(col(idCol).as("__id"), col(valueCol).cast("long").as("__x"))
+      .groupBy(col("__id")).agg(sum(col("__x")).as("__x"))
+    val pt = per.agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"))
+    val h = graft.pipeline.Sampling.sampleHash(
+      concat_ws("#", col("__id"), col("__b")), seed)
+    // Poisson(1) inverse CDF on the 1e-4 hash lattice: cum pmf ·10⁴
+    val w = when(h < 3679L, 0L).when(h < 7358L, 1L).when(h < 9197L, 2L)
+      .when(h < 9810L, 3L).when(h < 9963L, 4L).when(h < 9994L, 5L).otherwise(6L)
+    val reps = per
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0L), lit(replicas - 1L))).as("__b"))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum((col("__w") * col("__x")).cast("decimal(38,0)")).as("__swx"))
+      .filter(col("__sw") > 0L)
+      .select(col("__b"), (col("__swx").cast("double") / col("__sw").cast("double")).as("__m"))
+    val stats = reps
+      .agg(array_sort(collect_list(struct(col("__b"), col("__m")))).as("__a"))
+      .select(expr("transform(__a, q -> q.__m)").as("__ms"))
+      .select(col("__ms"), size(col("__ms")).cast("long").as("n_replicas"),
+        expr("aggregate(__ms, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("__sm"))
+      .withColumn("__mbar", col("__sm") / col("n_replicas").cast("double"))
+      .select(col("n_replicas"),
+        sqrt(expr(
+          "aggregate(transform(__ms, x -> (x - __mbar) * (x - __mbar)), " +
+            "CAST(0.0 AS DOUBLE), (a, y) -> a + y)")
+          / (col("n_replicas").cast("double") - 1.0)).as("__se"))
+    pt.crossJoin(stats).select(
+      col("n"),
+      round(col("__sx").cast("double") / col("n").cast("double"), dp).as("mean"),
+      col("n_replicas"),
+      round(col("__se"), dp).as("boot_se"))
+  }
+
+  /**
    * CONVERSION RATE WITH WILSON 95% INTERVAL per time bucket — the
    * funnel-health readout with honest uncertainty: per bucket, the share
    * of `fromType` users who also fired `toType`, bounded by the Wilson

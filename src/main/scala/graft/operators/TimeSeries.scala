@@ -179,6 +179,80 @@ object TimeSeries {
   }
 
   /**
+   * DOMINANT-PERIOD DETECTION — which cycle length explains a key's grid
+   * best: for every candidate period `P` in `[minPeriod, maxPeriod]`, the
+   * ANOVA periodicity strength `SS_between(P) / SS_total` (the share of
+   * variance explained by grouping ticks into `P` phases — the folded-
+   * profile statistic; 1.0 = a perfect P-cycle, 0 = no structure at P),
+   * reporting each key's argmax period. The auto-detect that feeds
+   * [[decompose]]/[[seasonalProfile]] their `period` argument instead of
+   * assuming 24. Unlike a DFT periodogram it needs NO transcendentals —
+   * `cos` differs in the last ulp across math libraries, while this is
+   * exact integer phase sums + one fixed double chain, so the oracle
+   * replays it bit-identically.
+   *
+   * Determinism: grid values snap to the 1e-6 lattice (exact int64 phase
+   * sums; squares fold in decimal(38,0)); per-(key, P) the phase terms
+   * fold SORTED BY PHASE; ties on strength break to the smaller period.
+   * Keys with zero total variance (constant series) are absent — there is
+   * no period to report. Scale shape: the grid explodes ×|periods| (a
+   * bounded constant), then two partial-aggregated groupBys and a per-key
+   * argmax — no window over the corpus, no driver-side series.
+   */
+  def dominantPeriod(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      minPeriod: Int = 2,
+      maxPeriod: Int = 24
+  ): DataFrame = {
+    require(minPeriod >= 2, "minPeriod must be >= 2")
+    require(maxPeriod >= minPeriod, "maxPeriod must be >= minPeriod")
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    import GraftFunctions.foldSum
+    import graft.pipeline.Checkpoints.PinOps
+    val v = resample(df, keys, tsCol, valueCol, step)
+      .select(keys.map(col) :+ expr(s"$tsCol div ${step}L").as("__idx") :+
+        round(col(valueCol) * lit(1000000.0)).cast("long").as("__v6"): _*)
+      .pinned // one grid pass feeds both the totals and the phase explode
+    val tot = v.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v6")).as("__s"),
+        sum(col("__v6").cast("decimal(19,0)") * col("__v6").cast("decimal(19,0)"))
+          .as("__ss"))
+    val ph = v
+      .select(keys.map(col) ++ Seq(col("__idx"), col("__v6"),
+        explode(sequence(lit(minPeriod.toLong), lit(maxPeriod.toLong))).as("__p")): _*)
+      .groupBy(keys.map(col) ++ Seq(col("__p"), pmod(col("__idx"), col("__p")).as("__ph")): _*)
+      .agg(count(lit(1)).as("__np"), sum(col("__v6")).as("__sp"))
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val term = col("__np").cast("double") *
+      (col("__sp").cast("double") / col("__np").cast("double") - mean) *
+      (col("__sp").cast("double") / col("__np").cast("double") - mean)
+    val strength = ph.join(tot, keys)
+      .select(keys.map(col) ++ Seq(col("__p"), col("__ph"),
+        col("__ss"), col("__s"), col("__n"), term.as("__t")): _*)
+      .groupBy(keys.map(col) ++ Seq(col("__p")): _*)
+      .agg(foldSum(expr("transform(array_sort(collect_list(struct(__ph, __t))), q -> q.__t)"))
+        .as("__ssb"),
+        max(col("__ss")).as("__ss"), max(col("__s")).as("__s"), max(col("__n")).as("__n"))
+      .withColumn("__sst",
+        col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("__n").cast("double"))
+      .filter(col("__sst") > 0.0)
+      .withColumn("__r", col("__ssb") / col("__sst"))
+    val out = strength
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct((-col("__r")).as("nr"), col("__p").as("p"))).as("__b"))
+      .select(keys.map(col) ++ Seq(
+        col("__b.p").as("period"),
+        round(-col("__b.nr"), 6).as("strength")): _*)
+    out // the grid's pin rides the result lineage; the caller's free releases it
+  }
+
+  /**
    * GAP-FILL a gridded series (e.g. the output of [[resample]]): emit one
    * row per `step` tick between each key's first and last observation,
    * synthesizing the missing ticks. `mode`:

@@ -675,6 +675,21 @@ class RelationalSpec extends SparkTestBase {
     r.getDouble(7) shouldBe 1.0 // every row is exposed below k = 5
   }
 
+  "Relational.bootstrapMeanSe" should "be rerun-deterministic and exactly zero on a constant metric" in {
+    val users = (1L to 40L).map(u => (u, u * 100L)).toDF("user_id", "cents")
+    val r1 = Relational.bootstrapMeanSe(users, "user_id", "cents").head()
+    val r2 = Relational.bootstrapMeanSe(users, "user_id", "cents").head()
+    r1 shouldBe r2 // no RNG: the same frame twice gives the same SE
+    r1.getLong(0) shouldBe 40L
+    r1.getDouble(1) shouldBe 2050.0 // Σ u·100 / 40
+    r1.getLong(2) should be <= 32L
+    r1.getDouble(3) should be > 0.0
+    // constant metric: every replica's weighted mean IS the constant
+    val const = (1L to 40L).map(u => (u, 500L)).toDF("user_id", "cents")
+    val c = Relational.bootstrapMeanSe(const, "user_id", "cents").head()
+    (c.getDouble(1), c.getDouble(3)) shouldBe ((500.0, 0.0))
+  }
+
   "Relational.conversionWilson" should "bound the rate with the small-n-safe interval" in {
     // one week, 4 viewing users, 1 converts: p = 0.25, Wilson 95% =
     // [0.045586, 0.699364] (the naive ±1.96·se would dip below 0)

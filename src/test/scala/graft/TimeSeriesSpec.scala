@@ -259,6 +259,17 @@ class TimeSeriesSpec extends SparkTestBase {
     out("a") shouldBe ((2L, 3.375, r6(math.sqrt((4.0 + 22.5625) / 2.0))))
   }
 
+  "TimeSeries.dominantPeriod" should "find the cycle length and break multiples to the smallest" in {
+    // perfect 3-cycle [0, 10, 20] over 12 ticks: P = 3 explains ALL the
+    // variance (as do its multiples 6, 9, 12 — the tie breaks to 3)
+    val cyc = (0 until 12).map(i => ("a", i.toLong * 10, (i % 3) * 10.0))
+    // plus a constant key: zero variance, no period to report
+    val df = (cyc ++ (0 until 6).map(i => ("b", i.toLong * 10, 7.0))).toDF("k", "ts", "v")
+    val out = TimeSeries.dominantPeriod(df, Seq("k"), "ts", "v", step = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(("a", 3L, 1.0))
+  }
+
   "TimeSeries.maseBacktest" should "scale the Holt MAE by the naive lag-1 MAE" in {
     // x = [1, 2, 3, 4]: Holt errs 1, 1.375, 1.390625 → sum 3.765625;
     // naive errs all 1 → naive_mae 1, mase = 3.765625 / 3
