@@ -604,8 +604,11 @@ object OracleGen {
     * enters once as `dl·ln(tot+V)`; prior, fold and length terms compose
     * left-to-right exactly as the engine writes them. Argmax ties break
     * by label asc on the unrounded score. */
-  def nbConfusionSql: String =
-    s"""WITH tk AS MATERIALIZED (SELECT doc_id, term FROM (
+  /** shared NB log-score CTE chain (ends at `sc(doc_id, lab, score)`) —
+    * the decomposed spelling both [[nbConfusionSql]] and
+    * [[nbMarginCalibSql]] rank over. */
+  private val nbScoreCtes: String =
+    s"""tk AS MATERIALIZED (SELECT doc_id, term FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
        |  WHERE length(term) >= 1),
        |cnt AS MATERIALIZED (SELECT d.lang AS lab, t.term, count(*)::BIGINT AS c
@@ -624,12 +627,32 @@ object OracleGen {
        |         ln(nd.nd::DOUBLE) - ln(gl.n::DOUBLE) + COALESCE(h.fold, 0.0)
        |           - d.dl::DOUBLE * ln((l.tot + v)::DOUBLE) AS score
        |       FROM dls d CROSS JOIN tot l JOIN nd ON nd.lab = l.lab CROSS JOIN gl CROSS JOIN vv
-       |       LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lab = l.lab),
+       |       LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lab = l.lab)""".stripMargin
+
+  def nbConfusionSql: String =
+    s"""WITH $nbScoreCtes,
        |pred AS (SELECT doc_id, lab AS pred,
        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS r FROM sc)
        |SELECT d.lang, p.pred, count(*)::BIGINT AS n
        |FROM pred p JOIN documents d USING (doc_id) WHERE p.r = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.pipeline.TextAnalysis.nbMarginCalibration]]: the
+    * same score chain, top-2 rank per doc, identical-double margins
+    * binned by `floor(margin / binWidth)` capped at `bins − 1`. */
+  def nbMarginCalibSql(binWidth: Double, bins: Int): String =
+    s"""WITH $nbScoreCtes,
+       |rk AS (SELECT doc_id, lab, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS r FROM sc),
+       |mg AS (SELECT a.doc_id, a.lab AS pred,
+       |         least(floor((a.score - b.score) / $binWidth), ${bins - 1})::BIGINT AS bin
+       |       FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.r = 1 AND b.r = 2),
+       |ag AS (SELECT m.bin, count(*)::BIGINT AS n_docs,
+       |         sum(CASE WHEN m.pred = d.lang THEN 1 ELSE 0 END)::BIGINT AS n_correct
+       |       FROM mg m JOIN documents d USING (doc_id) GROUP BY m.bin)
+       |SELECT bin, round(bin::DOUBLE * $binWidth, 6) AS bin_lo, n_docs, n_correct,
+       |  round(n_correct::DOUBLE / n_docs::DOUBLE, 6) AS accuracy
+       |FROM ag ORDER BY bin""".stripMargin.replace("\n", " ")
 
   /** mirror of [[graft.pipeline.TextAnalysis.textRankKeywords]]: the
     * bounded co-occurrence graph (adjacent pairs, count-thresholded, top

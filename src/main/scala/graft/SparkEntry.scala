@@ -1397,6 +1397,9 @@ object SparkEntry {
       TextAnalysis.nbModel(docs(s, d), topK = 20).orderBy("lang", "rank")),
     // NB self-prediction confusion matrix (Laplace-1, argmax ties by label)
     "tx_nbconf" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred")),
+    // margin-calibration curve: does NB confidence (top-2 log-score gap)
+    // predict accuracy — the safety check before confidence-gated routing
+    "tx_calib" -> ((s, d) => TextAnalysis.nbMarginCalibration(docs(s, d)).orderBy("bin")),
     // Flesch reading-ease panel (vowel-group syllables, terminal-punct sentences)
     "tx_read" -> ((s, d) => TextAnalysis.readability(docs(s, d)).orderBy("doc_id")),
     // TextRank corpus keywords: PageRank over the bounded co-occurrence graph
@@ -3460,6 +3463,7 @@ object SparkEntry {
     "tx_fert"     -> OracleGen.bpeFertilitySql(merges = 8),
     "tx_nbmodel"  -> OracleGen.nbModelSql(topK = 20),
     "tx_nbconf"   -> OracleGen.nbConfusionSql,
+    "tx_calib"    -> OracleGen.nbMarginCalibSql(binWidth = 0.25, bins = 8),
     "tx_read"     -> OracleGen.readabilitySql,
     "tx_textrank" -> OracleGen.textRankSql(minCount = 5L, maxEdges = 300,
       iterations = 10, damping = 0.85, k = 30),

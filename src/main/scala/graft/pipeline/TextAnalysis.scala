@@ -1369,12 +1369,15 @@ object TextAnalysis {
    * CLASSIFIER — guarded); the only driver values are the two corpus
    * scalars (N docs, V vocab).
    */
-  def nbConfusion(
+  /** shared NB scoring chain of [[nbConfusion]] / [[nbMarginCalibration]]:
+    * one row per (doc, label) with the Laplace-1 multinomial log-score in
+    * the decomposed spelling both oracles replay. */
+  private def nbScored(
       df: DataFrame,
-      labelCol: String = "lang",
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      maxLabels: Int = 100
+      labelCol: String,
+      textCol: String,
+      idCol: String,
+      maxLabels: Int
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val lab = df.select(col(idCol), col(labelCol).as("__lab"))
@@ -1402,12 +1405,24 @@ object TextAnalysis {
     // stats broadcast; a label with no term hits still gets its prior and
     // smoothing-denominator terms (fold defaults to 0.0 — the empty fold)
     val dl = dtf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    val scored = dl.crossJoin(broadcast(stats))
+    dl.crossJoin(broadcast(stats))
       .join(hits, Seq(idCol, "__lab"), "left")
       .withColumn("__score",
         log(col("__nd").cast("double")) - log(lit(nDocs.toDouble)) +
           coalesce(col("__fold"), lit(0.0)) -
           col("__dl").cast("double") * log((col("__tot") + lit(vocab)).cast("double")))
+      .select(col(idCol), col("__lab"), col("__score"))
+  }
+
+  def nbConfusion(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxLabels: Int = 100
+  ): DataFrame = {
+    val scored = nbScored(df, labelCol, textCol, idCol, maxLabels)
+    val lab    = df.select(col(idCol), col(labelCol).as("__lab"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
     val pred = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col(idCol), col("__lab").as("pred"))
@@ -1416,6 +1431,51 @@ object TextAnalysis {
     pred.join(lab, idCol)
       .groupBy(col("__lab").as(labelCol), col("pred"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * NB MARGIN-CALIBRATION CURVE — does the classifier's CONFIDENCE mean
+   * anything? Per margin bin (`margin` = top log-score minus runner-up,
+   * binned at `binWidth`, top bin open-ended), the prediction accuracy
+   * against the true label: a calibrated model's accuracy rises with the
+   * bin; a flat curve says the margin carries no signal and confidence-
+   * gated routing (auto-accept above a margin) is unsafe. Margin, not
+   * softmax: `exp` is not IEEE-portable across engines, the log-score
+   * difference is — every margin is the same fixed double chain the
+   * `tx_nbconf` gate already replays, so `floor(margin / binWidth)` lands
+   * identically. One windowed top-2 per doc + one bin aggregation.
+   */
+  def nbMarginCalibration(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      binWidth: Double = 0.25,
+      bins: Int = 8,
+      maxLabels: Int = 100
+  ): DataFrame = {
+    require(binWidth > 0.0, "binWidth must be positive")
+    require(bins >= 2, "bins must be >= 2")
+    val scored = nbScored(df, labelCol, textCol, idCol, maxLabels)
+    val w  = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
+    val rk = scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= 2)
+    val top = rk.filter(col("__r") === 1)
+      .select(col(idCol), col("__lab").as("__pred"), col("__score").as("__s1"))
+    val snd = rk.filter(col("__r") === 2)
+      .select(col(idCol), col("__score").as("__s2"))
+    val lab = df.select(col(idCol), col(labelCol).as("__true"))
+    top.join(snd, idCol).join(lab, idCol)
+      .select(
+        least(floor((col("__s1") - col("__s2")) / binWidth), lit(bins - 1L))
+          .cast("long").as("bin"),
+        when(col("__pred") === col("__true"), 1L).otherwise(0L).as("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("n_correct"))
+      .select(col("bin"),
+        round(col("bin").cast("double") * binWidth, 6).as("bin_lo"),
+        col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"))
   }
 
   /**

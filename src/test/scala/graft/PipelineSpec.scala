@@ -1963,6 +1963,21 @@ class PipelineSpec extends SparkTestBase {
         labelCol = "big", maxLabels = 3).collect()
   }
 
+  "TextAnalysis.nbMarginCalibration" should "bin top-2 margins, cap the top bin, and sum to the corpus" in {
+    val out = TextAnalysis.nbMarginCalibration(docs, binWidth = 0.25, bins = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    out.map(_._3).sum shouldBe 6L                    // every doc lands in one bin
+    all(out.map(_._1)) should be <= 7L               // top bin is open-ended
+    all(out.map(_._1)) should be >= 0L
+    out.foreach { case (bin, lo, n, ok, acc) =>
+      lo shouldBe bin * 0.25
+      ok should be <= n
+      acc shouldBe BigDecimal(ok.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // the separable corpus self-predicts: every bin is 100% accurate
+    all(out.map(_._5)) shouldBe 1.0
+  }
+
   "TextAnalysis.readability" should "count syllables as vowel groups (min 1) and drop empty docs" in {
     val corpus = Seq(
       (0L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 one-group syllables
