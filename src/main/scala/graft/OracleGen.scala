@@ -1757,6 +1757,47 @@ object OracleGen {
        |FROM f""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Multimodal.blockhashDedup]]: the identical
+    * byte reads from hex slices (the `strpos` nibble trick maps '0'→0),
+    * per-block integer sums over ceil-length ranges (DuckDB's `range` is
+    * empty when start ≥ stop, matching Spark's empty `slice`), the same
+    * cross-multiplied mean compare, and `1 << b` signature bits. */
+  def blockhashDedupSql(blocks: Int): String = {
+    def byte(i: String): String =
+      s"(CAST(strpos('123456789ABCDEF', hx[2*($i)-1:2*($i)-1]) * 16 " +
+        s"+ strpos('123456789ABCDEF', hx[2*($i):2*($i)]) AS BIGINT))"
+    def sum(lo: String, hi: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range($lo, $hi), i -> ${byte("i")})), (a, c) -> a + c)"
+    s"""WITH b0 AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text))::BIGINT AS nb
+       |            FROM documents WHERE octet_length(encode(text)) > 0),
+       |t AS (SELECT doc_id, hx, nb, ((nb + ${blocks - 1}) // $blocks)::BIGINT AS bl,
+       |        ${sum("1", "nb + 1")} AS ts FROM b0),
+       |blk AS (SELECT doc_id, nb, ts, u.b AS b,
+       |          ${sum("b * bl + 1", "least((b + 1) * bl, nb) + 1")} AS sb,
+       |          greatest(0, least(bl, nb - b * bl))::BIGINT AS m
+       |        FROM t, unnest(range(0, $blocks)) AS u(b)),
+       |sig AS (SELECT doc_id,
+       |          sum(CASE WHEN m > 0 AND sb * nb > ts * m THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS signature
+       |        FROM blk GROUP BY doc_id)
+       |SELECT min(doc_id)::BIGINT AS doc_id, signature, count(*)::BIGINT AS n_docs
+       |FROM sig GROUP BY signature ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.TextAnalysis.watermarkScores]]: the same
+    * seeded portable word-hash parity greenlist, exact int64 counts, one
+    * fixed double chain per doc. */
+  def watermarkScoresSql(seed: Long, minTokens: Long): String =
+    s"""WITH toks AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1),
+       |g AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |        sum(CASE WHEN (${wordPolySql("w", 131L, seed)} % 2) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_green
+       |      FROM toks GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_green,
+       |  round(n_green::DOUBLE / n_tokens::DOUBLE, 6) AS green_frac,
+       |  round((2.0 * n_green::DOUBLE - n_tokens::DOUBLE) / sqrt(n_tokens::DOUBLE), 6) AS z
+       |FROM g WHERE n_tokens >= $minTokens ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** mirror of [[graft.operators.Relational.bootstrapMeanSe]] over the
     * per-user spend-cents panel: the identical `"id#b"` portable-hash
     * Poisson(1) weights (cum-pmf thresholds on the 1e-4 lattice, cap 6),

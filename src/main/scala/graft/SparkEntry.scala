@@ -678,6 +678,9 @@ object SparkEntry {
     "tx_langid"      -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "tx_langacc"     -> ((s, d) => TextAnalysis.langIdAccuracy(docs(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // greenlist-watermark z-score per doc: the synthetic-text bias audit
+    // (hash-parity greenlist, RNG-free, engine-identical)
+    "tx_watermark" -> ((s, d) => TextAnalysis.watermarkScores(docs(s, d)).orderBy("doc_id")),
     // Gopher-style repetition signals: one row-local projection, no shuffle
     "tx_rep" -> ((s, d) => TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
     // unigram-LM score: vocabSize=20 < the corpus vocab, so OOV floor is live
@@ -1504,6 +1507,10 @@ object SparkEntry {
     "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     // byte-identical asset dedup by SHA-256 (runs before any decode)
     "mm_hashdup" -> ((s, d) => Multimodal.contentDedup(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
+    // blockhash-style perceptual signature dedup: block-mean-vs-global-mean
+    // bits, exact cross-multiplied compares — the near-dup step between the
+    // content hash and an embedding model
+    "mm_phash" -> ((s, d) => Multimodal.blockhashDedup(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx")),
     // VAD-shaped per-window RMS energy over the raw payload bytes — real
@@ -1974,6 +1981,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
+    "tx_watermark" -> OracleGen.watermarkScoresSql(seed = 7L, minTokens = 16L),
     "tx_json" ->
       // sum(BIGINT) is HUGEINT in DuckDB — cast back so the hash compare sees int64
       """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
@@ -3533,6 +3541,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
         |count(*)::BIGINT AS n_copies, max(octet_length(encode(text)))::BIGINT AS n_bytes
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "mm_phash" -> OracleGen.blockhashDedupSql(blocks = 16),
     "mm_batch" -> MmMetaSql,
     // VAD: bytes via hex(payload) 2-char slices, exact integer frame
     // sums, one divide + sqrt per frame

@@ -181,6 +181,46 @@ object Multimodal {
   }
 
   /**
+   * BLOCKHASH-STYLE PERCEPTUAL SIGNATURE dedup (Yang et al.'s blockhash
+   * shape, 1-D over the byte stream) — the near-dup step between
+   * [[contentDedup]] (exact SHA-256) and a real embedding model: split the
+   * payload into `blocks` equal byte runs, bit `b` = 1 iff block b's mean
+   * exceeds the whole payload's mean, group by the resulting signature.
+   * Robust to small local edits (a changed byte rarely flips its block's
+   * mean across the global mean) where the content hash is not. EXACT
+   * integer arithmetic only: the mean comparison cross-multiplies
+   * (`sum_b·n > total·n_b`) so no float ever exists; empty tail blocks
+   * contribute 0. Row-local signature (one projection, payload never
+   * shuffles — only the int64 signature and id survive), one
+   * map-side-combined groupBy.
+   */
+  def blockhashDedup(
+      media: DataFrame,
+      blocks: Int = 16,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(blocks >= 1 && blocks <= 62, "blocks must be in [1, 62]")
+    val sl = "slice(__bs, b * __bl + 1, __bl)"
+    media
+      .filter(expr(s"octet_length($payloadCol)") > 0)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, octet_length($payloadCol)), " +
+          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))
+      .withColumn("__bl", expr(s"cast(ceil(size(__bs) / ${blocks}.0) AS INT)"))
+      .withColumn("__n", size(col("__bs")).cast("long"))
+      .withColumn("__ts", expr("aggregate(__bs, 0L, (a, c) -> a + c)"))
+      .withColumn("__sig", expr(
+        s"aggregate(sequence(0, ${blocks - 1}), 0L, (acc, b) -> acc + " +
+          s"(CASE WHEN size($sl) > 0 AND " +
+          s"aggregate($sl, 0L, (a, c) -> a + c) * __n > __ts * cast(size($sl) AS BIGINT) " +
+          "THEN shiftleft(cast(1 AS BIGINT), b) ELSE 0L END))"))
+      .groupBy(col("__sig"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_docs"))
+      .select(col(idCol), col("__sig").as("signature"), col("n_docs"))
+  }
+
+  /**
    * A/V CONTAINER-HEADER metadata decode — the LITTLE-ENDIAN counterpart
    * of [[containerMeta]]: real fixed-layout header parsing for the three
    * classic LE containers, no codec library, no UDF (every read is the

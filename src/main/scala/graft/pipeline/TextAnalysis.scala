@@ -746,6 +746,41 @@ object TextAnalysis {
   }
 
   /**
+   * GREENLIST WATERMARK DETECTION (Kirchenbauer et al. 2023 shape) — is a
+   * document statistically biased toward a hash-keyed "green" half of the
+   * vocabulary, the signature a watermarking sampler leaves in generated
+   * text? Per doc: the green-token fraction and the one-proportion
+   * z-score `(2g − n)/√n` against the null p=1/2; |z| ≥ 4 is parts-per-
+   * million false-positive territory. Greenlist membership is the
+   * portable word hash's parity — the same seeded polynomial the sampling
+   * ops replay in SQL — so the score is RNG-free and engine-identical.
+   * The synthetic-data-contamination audit a human-text corpus runs
+   * before training. Row-local token fold + one projection; exact int64
+   * counts, one fixed double chain.
+   */
+  def watermarkScores(
+      df: DataFrame,
+      seed: Long = 7L,
+      minTokens: Long = 16L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(minTokens >= 1, "minTokens must be >= 1")
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 1)
+    val green = when(pmod(Dedup.polyHash(col("__w"), 131L, seed), lit(2L)) === 0L, 1L)
+      .otherwise(0L)
+    toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(green).as("n_green"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("n_tokens"), col("n_green"),
+        round(col("n_green").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("green_frac"),
+        round((lit(2.0) * col("n_green").cast("double") - col("n_tokens").cast("double"))
+          / sqrt(col("n_tokens").cast("double")), 6).as("z"))
+  }
+
+  /**
    * TOKEN ENTROPY — per-document Shannon entropy of the token
    * distribution, `−Σ p·ln p` in nats: the classic gibberish/boilerplate
    * signal (repeated-template docs score near 0, natural prose sits in a

@@ -1247,6 +1247,40 @@ class PipelineSpec extends SparkTestBase {
     (r.getLong(4), r.getLong(5)) shouldBe ((2L, 1L))       // changed 3 and 4 (null->d)
   }
 
+  "TextAnalysis.watermarkScores" should "score hash-parity bias with the one-proportion z" in {
+    // a 16-repeat single-word doc is all-green or all-red: |z| = √16 = 4,
+    // frac ∈ {0, 1}; a 15-token doc falls under minTokens
+    val d = Seq((1L, Seq.fill(16)("alpha").mkString(" ")),
+      (2L, Seq.fill(16)("beta").mkString(" ")),
+      (3L, Seq.fill(15)("gamma").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.watermarkScores(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out.values.foreach { case (n, g, frac, z) =>
+      n shouldBe 16L
+      Set(0L, 16L) should contain(g)
+      frac shouldBe g.toDouble / 16.0
+      math.abs(z) shouldBe 4.0
+    }
+    // deterministic: the same corpus scores identically on a rerun
+    TextAnalysis.watermarkScores(d).collect() shouldBe TextAnalysis.watermarkScores(d).collect()
+  }
+
+  "Multimodal.blockhashDedup" should "group near-identical payloads and split contrasting ones" in {
+    // blocks = 2 over 'a'*64+'z'*64: block means 97 vs 122, global 109.5 →
+    // bits (0, 1) → signature 2; one flipped byte keeps the signature; the
+    // mirrored payload inverts the bits → signature 1
+    val media = Seq(
+      (1L, ("a" * 64 + "z" * 64).getBytes("UTF-8")),
+      (2L, ("a" * 63 + "b" + "z" * 64).getBytes("UTF-8")),
+      (3L, ("z" * 64 + "a" * 64).getBytes("UTF-8")),
+      (4L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.blockhashDedup(media, blocks = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((1L, 2L, 2L), (3L, 1L, 1L)) // empty payload dropped
+  }
+
   "Retrieval.booleanMatches" should "require every must term and reject must-not docs" in {
     val d = Seq(
       (1L, "spark join fast"), (2L, "spark join vector"),
