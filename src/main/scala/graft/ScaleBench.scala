@@ -38,7 +38,14 @@ object ScaleBench {
     // window — linear BY DESIGN, now measured), and the two most
     // expensive gates on the r13 board (d_ari two-labellings-over-one-
     // pair-graph, tx_mix2 whole composed curation pipeline)
-    "mm_vad", "d_ari", "tx_mix2")
+    "mm_vad", "d_ari", "tx_mix2",
+    // round-14 session-2 additions: the iterative personalized-PageRank
+    // walk (per-iteration edge join + degree-bounded sorted folds — the
+    // shape that would expose a super-linear contribution blow-up), the
+    // row-local blockhash signature (16 in-array block folds per payload,
+    // linear by design), and the join-size preflight (two histograms +
+    // a histogram-sized join — must stay far below the join it predicts)
+    "st_ppr", "mm_phash", "qa_joinsize")
 
   /** Probe overrides where the GATE's fixed small-data parameters are the
     * scale bottleneck, not the operator: the probe instead applies the
@@ -83,6 +90,24 @@ object ScaleBench {
         .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= cut)
         .select(col("pa").as("id_a"), col("pb").as("id_b"))
       graft.operators.Graph.adamicAdar(edges, topK = 50)
+    },
+    // st_ppr: same fractional support convention as st_alsobought (a fixed
+    // cut of 2 would admit every replicated pair and densify the graph
+    // with the factor instead of with the data's structure)
+    "st_ppr" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = li.select("ok").distinct().count()
+      val cut = math.max(2L, math.ceil(nOrders * 2.0 / 150000.0).toLong)
+      System.err.println(s"[scale] st_ppr support cut = $cut (2-in-150k fraction)")
+      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= cut)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
+        iterations = 5, damping = 0.85, topK = 50)
     },
     "ann_join" -> { (s, d) =>
       import org.apache.spark.sql.functions._

@@ -1044,6 +1044,12 @@ object SparkEntry {
           expr(s"ts div ${24 * HourUs}L").as("day"),
           floor(col("value")).cast("long").as("value_band")),
         Seq("event_type", "day", "value_band"), ks = Seq(2, 5, 10))),
+    // exact p50/p90/p99 value bands per event type from the count-of-counts
+    // histogram — the window runs over the HISTOGRAM, never the rows
+    "ev_pctl" -> ((s, d) =>
+      graft.operators.Relational.exactQuantiles(
+        evRaw(s, d).select("event_type", "value"), "event_type", "value")
+        .orderBy("event_type")),
     // deterministic Poisson bootstrap of revenue-per-user: SE from 32
     // hash-weighted resamples in ONE pass (explode ×B, never B shuffles)
     "ev_boot" -> ((s, d) => {
@@ -2255,6 +2261,20 @@ object SparkEntry {
          |FROM cc""".stripMargin.replace("\n", " ")
     },
     "ev_boot" -> OracleGen.bootstrapMeanSeSql(replicas = 32, seed = 7L),
+    // exact type-1 percentiles: every window sum casts ::BIGINT (DuckDB
+    // widens windowed sum(BIGINT) to HUGEINT — the roll_moving lesson)
+    "ev_pctl" -> {
+      def pick(p: Int) =
+        s"min(CASE WHEN cum >= ($p * n + 99) // 100 THEN c END)::BIGINT AS p${p}_cents"
+      s"""WITH h AS (SELECT event_type AS k, round(value * 100)::BIGINT AS c, count(*)::BIGINT AS m
+         |           FROM events GROUP BY 1, 2),
+         |cum AS (SELECT k, c, m,
+         |          sum(m) OVER (PARTITION BY k ORDER BY c ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         |          sum(m) OVER (PARTITION BY k)::BIGINT AS n FROM h)
+         |SELECT k AS event_type, count(*)::BIGINT AS n_values, max(n)::BIGINT AS n_rows,
+         |  ${pick(50)}, ${pick(90)}, ${pick(99)}
+         |FROM cum GROUP BY k ORDER BY 1""".stripMargin.replace("\n", " ")
+    },
     // Wilson interval: exact distinct-user counts, one fixed double chain
     // per bucket spelled identically to the engine's column expressions
     "ev_wilson" -> {

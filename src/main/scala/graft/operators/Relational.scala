@@ -1114,6 +1114,42 @@ object Relational {
   }
 
   /**
+   * EXACT PER-GROUP VALUE PERCENTILES from the count-of-counts histogram —
+   * p50/p90/p99 of the cent-lattice value per group with NO row-level
+   * sort: the value histogram (one partial-aggregated groupBy) is
+   * cumulated per group (a window over the HISTOGRAM — bounded by
+   * distinct values, not rows), and percentile p is the smallest value
+   * whose cumulative count reaches `ceil(p·n/100)` (type-1 / lower
+   * quantile — the only definition two engines can't disagree on, no
+   * interpolation). The latency-band readout (`approx_percentile` gives
+   * the fast approximate path; this is the exact, still-scale-safe one).
+   */
+  def exactQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percents: Seq[Int] = Seq(50, 90, 99)
+  ): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val hist = df.select(col(keyCol).as("__k"), cents.as("__c"))
+      .groupBy(col("__k"), col("__c")).agg(count(lit(1)).as("__m"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__m")).over(w))
+      .withColumn("__n", sum(col("__m")).over(Window.partitionBy(col("__k"))))
+    val aggs = count(lit(1)).as("n_values") +:
+      max(col("__n")).as("n_rows") +:
+      percents.map(p =>
+        min(when(col("__cum") >= expr(s"($p * __n + 99) div 100"), col("__c")))
+          .as(s"p${p}_cents"))
+    cum.groupBy(col("__k").as(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * DETERMINISTIC POISSON BOOTSTRAP of a per-key mean — the standard-error
    * readout for a metric whose distribution is too skewed to trust the
    * normal formula (revenue per user): `replicas` resamples, each giving

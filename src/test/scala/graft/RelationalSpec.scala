@@ -675,6 +675,20 @@ class RelationalSpec extends SparkTestBase {
     r.getDouble(7) shouldBe 1.0 // every row is exposed below k = 5
   }
 
+  "Relational.exactQuantiles" should "pick type-1 percentiles from the histogram" in {
+    // values 1..10 (in cents: 100..1000): p50 = ceil(0.5·10) = rank 5 →
+    // 500; p90 → rank 9 → 900; p99 → rank 10 → 1000
+    val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("k", "v")
+    val r = Relational.exactQuantiles(df, "k", "v").head()
+    (r.getLong(1), r.getLong(2)) shouldBe ((10L, 10L))
+    (r.getLong(3), r.getLong(4), r.getLong(5)) shouldBe ((500L, 900L, 1000L))
+    // duplicated values collapse in the histogram but keep exact ranks:
+    // [1,1,1,9]: p50 = rank 2 → 100; p99 = rank 4 → 900
+    val dup = Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 9.0)).toDF("k", "v")
+    val d2 = Relational.exactQuantiles(dup, "k", "v").head()
+    (d2.getLong(1), d2.getLong(2), d2.getLong(3), d2.getLong(5)) shouldBe ((2L, 4L, 100L, 900L))
+  }
+
   "Relational.bootstrapMeanSe" should "be rerun-deterministic and exactly zero on a constant metric" in {
     val users = (1L to 40L).map(u => (u, u * 100L)).toDF("user_id", "cents")
     val r1 = Relational.bootstrapMeanSe(users, "user_id", "cents").head()
