@@ -896,6 +896,13 @@ object SparkEntry {
     "ts_holt" -> ((s, d) =>
       TimeSeries.holtScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
         alpha = 0.5, beta = 0.25).orderBy("event_type", "ts")),
+    // Holt–Winters triple smoothing: level + trend + rolling 24-slot
+    // additive seasonal vector (the forecaster that tracks both a trend
+    // and the daily cycle holtScan smears into the trend)
+    "ts_hw" -> ((s, d) =>
+      TimeSeries.holtWintersScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        period = 24, alpha = 0.5, beta = 0.25, gamma = 0.25)
+        .orderBy("event_type", "ts")),
     // walk-forward forecast eval: one-step-ahead MAE/RMSE of the Holt scan
     "ts_backtest" -> ((s, d) =>
       TimeSeries.holtBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
@@ -1044,6 +1051,12 @@ object SparkEntry {
           expr(s"ts div ${24 * HourUs}L").as("day"),
           floor(col("value")).cast("long").as("value_band")),
         Seq("event_type", "day", "value_band"), ks = Seq(2, 5, 10))),
+    // linear multi-touch attribution: every touch in the 7-day lookback
+    // shares the purchase equally on the exact cent lattice (remainder to
+    // the last touch — conservation to the cent is an invariant)
+    "ev_mta" -> ((s, d) =>
+      graft.operators.Relational.linearAttribution(evUsAll(s, d))
+        .orderBy("event_type")),
     // exact p50/p90/p99 value bands per event type from the count-of-counts
     // histogram — the window runs over the HISTOGRAM, never the rows
     "ev_pctl" -> ((s, d) =>
@@ -2261,6 +2274,22 @@ object SparkEntry {
          |FROM cc""".stripMargin.replace("\n", " ")
     },
     "ev_boot" -> OracleGen.bootstrapMeanSeSql(replicas = 32, seed = 7L),
+    // linear MTA: floor-div credit + remainder to the (ts, tid)-last touch;
+    // credit sums fold in HUGEINT (mirrors decimal(38,0)) then cast back
+    "ev_mta" ->
+      s"""WITH cv AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ct,
+         |             round(value * 100)::BIGINT AS cents FROM events WHERE event_type = 'purchase'),
+         |tc AS (SELECT user_id, event_id AS tid, epoch_us(ts) AS tt, event_type
+         |       FROM events WHERE event_type <> 'purchase'),
+         |j AS (SELECT cv.cid, cv.cents, tc.tid, tc.tt, tc.event_type
+         |      FROM cv JOIN tc ON cv.user_id = tc.user_id
+         |        AND tc.tt <= cv.ct AND tc.tt > cv.ct - ${7L * 86400000000L}),
+         |r AS (SELECT j.*, row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC) AS rn,
+         |        count(*) OVER (PARTITION BY cid)::BIGINT AS k FROM j),
+         |cr AS (SELECT event_type,
+         |         (cents // k) + CASE WHEN rn = 1 THEN cents % k ELSE 0 END AS credit FROM r)
+         |SELECT event_type, count(*)::BIGINT AS n_touches, sum(credit)::BIGINT AS credit_cents
+         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     // exact type-1 percentiles: every window sum casts ::BIGINT (DuckDB
     // widens windowed sum(BIGINT) to HUGEINT — the roll_moving lesson)
     "ev_pctl" -> {
@@ -2829,6 +2858,39 @@ object SparkEntry {
          |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(errs, x -> abs(x))), (a2, b2) -> a2 + b2) / nf::DOUBLE, 6) AS mae,
          |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(errs, x -> x * x)), (a2, b2) -> a2 + b2) / nf::DOUBLE), 6) AS rmse
          |FROM er ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+    // Holt–Winters: the ts_holt list fold with a seasonal vector in the
+    // state; only the tick's phase slot updates (1-based index lambda vs
+    // the engine's 0-based transform — the CASE compares j = phi + 1);
+    // lNew spelled inline everywhere, identical literals
+    "ts_hw" -> {
+      val p    = 24
+      val a    = "CAST(0.5 AS DOUBLE)"
+      val b    = "CAST(0.25 AS DOUBLE)"
+      val g    = "CAST(0.25 AS DOUBLE)"
+      val one  = "CAST(1.0 AS DOUBLE)"
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val zeros = "[" + Seq.fill(p)(zero).mkString(", ") + "]"
+      val sPrev = s"a[-1].sv[(len(a) % $p) + 1]"
+      val lNew  = s"$a * (e[1].l - $sPrev) + ($one - $a) * (a[-1].l + a[-1].b)"
+      s"""WITH r AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS ts, round(sum(value), 6) / count(*) AS value
+         |           FROM events GROUP BY 1, 2),
+         |gg AS (SELECT event_type, list(ts ORDER BY ts) AS tss, list(value ORDER BY ts) AS vs FROM r GROUP BY 1),
+         |s AS (SELECT event_type, tss, vs,
+         |        list_reduce(
+         |          list_prepend([{'l': vs[1], 'b': $zero, 'sv': $zeros}],
+         |            list_transform(vs[2:], x -> [{'l': x, 'b': $zero, 'sv': $zeros}])),
+         |          (a, e) -> list_append(a, {'l': $lNew,
+         |            'b': $b * (($lNew) - a[-1].l) + ($one - $b) * a[-1].b,
+         |            'sv': list_transform(a[-1].sv, (v, j) -> CASE WHEN j = (len(a) % $p) + 1
+         |              THEN $g * (e[1].l - ($lNew)) + ($one - $g) * v ELSE v END)})) AS hw
+         |      FROM gg)
+         |SELECT event_type, unnest(tss) AS ts, unnest(vs) AS value,
+         |  unnest(list_transform(hw, h -> h.l)) AS level,
+         |  unnest(list_transform(hw, h -> h.b)) AS trend,
+         |  unnest(list_transform(hw, (h, t) -> h.sv[((t - 1) % $p) + 1])) AS seasonal,
+         |  unnest(list_transform(hw, (h, t) -> h.l + h.b + h.sv[(t % $p) + 1])) AS forecast
+         |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
     // MASE: same Holt error channel as ts_backtest + the naive lag-1
     // channel over the same horizon; mase divides the two raw abs-sums

@@ -1114,6 +1114,51 @@ object Relational {
   }
 
   /**
+   * LINEAR MULTI-TOUCH ATTRIBUTION — every touch inside the lookback
+   * window before a conversion shares the conversion's value EQUALLY
+   * (the fairness counterpoint to [[lastTouchAttribution]]'s
+   * winner-take-all). Credit is an EXACT integer split on the cent
+   * lattice: each touch gets `cents div k` and the LAST touch (by ts,
+   * then touch id — a total order, so duplicate timestamps can't
+   * double-credit) absorbs the remainder, so per-channel credits sum to
+   * the converted revenue to the cent — conservation is an invariant,
+   * not a rounding hope. The windows partition by CONVERSION id
+   * (state bounded by one conversion's touch count, never a user's
+   * history); credit sums fold in decimal(38,0) and cast back.
+   */
+  def linearAttribution(
+      ev: DataFrame,
+      convType: String = "purchase",
+      windowUs: Long = 7L * 86400000000L,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      valueCol: String = "value",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    require(windowUs >= 1, "windowUs must be >= 1")
+    val cv = ev.filter(col(typeCol) === convType)
+      .select(col(idCol).as("__cid"), col(userCol).as("__u"), col(tsCol).as("__ct"),
+        round(col(valueCol) * 100, 0).cast("long").as("__cents"))
+    val tc = ev.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__tid"), col(tsCol).as("__tt"),
+        col(typeCol).as("__ty"))
+    val j = cv.join(tc, Seq("__u"))
+      .filter(col("__tt") <= col("__ct") && col("__tt") > col("__ct") - windowUs)
+    val wLast = Window.partitionBy(col("__cid")).orderBy(col("__tt").desc, col("__tid").desc)
+    val wK    = Window.partitionBy(col("__cid"))
+    j.withColumn("__rn", row_number().over(wLast))
+      .withColumn("__k", count(lit(1)).over(wK))
+      .select(col("__ty").as(typeCol),
+        (expr("__cents div __k") +
+          when(col("__rn") === 1, pmod(col("__cents"), col("__k"))).otherwise(0L))
+          .as("__credit"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit").cast("decimal(38,0)")).cast("long").as("credit_cents"))
+  }
+
+  /**
    * EXACT PER-GROUP VALUE PERCENTILES from the count-of-counts histogram —
    * p50/p90/p99 of the cent-lattice value per group with NO row-level
    * sort: the value histogram (one partial-aggregated groupBy) is

@@ -732,6 +732,78 @@ object TimeSeries {
        |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b)))""".stripMargin
   }
 
+  /** [[holtWintersScan]]'s state fold: `{l, b, sv[period]}` per tick; the
+    * step-t phase is `size(acc) % period` (0-based), and only that slot of
+    * the seasonal vector updates. `lNew` is spelled inline everywhere it
+    * appears (the [[holtStateScanExpr]] rule) so both engines run the
+    * identical op sequence. */
+  private def hwStateScanExpr(
+      valueCol: String, alpha: Double, beta: Double, gamma: Double, period: Int): String = {
+    val a    = s"CAST($alpha AS DOUBLE)"
+    val b    = s"CAST($beta AS DOUBLE)"
+    val g    = s"CAST($gamma AS DOUBLE)"
+    val one  = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val prev = "element_at(acc, -1)"
+    val phi  = s"(size(acc) % $period)"
+    val sPrev = s"element_at($prev.sv, $phi + 1)"
+    val lNew  = s"$a * (x.$valueCol - $sPrev) + ($one - $a) * ($prev.l + $prev.b)"
+    s"""aggregate(slice(__pts, 2, size(__pts) - 1),
+       |  array(named_struct('l', CAST(__pts[0].$valueCol AS DOUBLE), 'b', $zero,
+       |    'sv', array_repeat($zero, $period))),
+       |  (acc, x) -> array_append(acc, named_struct(
+       |    'l', $lNew,
+       |    'b', $b * (($lNew) - $prev.l) + ($one - $b) * $prev.b,
+       |    'sv', transform($prev.sv, (v, j) -> CASE WHEN j = $phi
+       |      THEN $g * (x.$valueCol - ($lNew)) + ($one - $g) * v ELSE v END))))""".stripMargin
+  }
+
+  /**
+   * HOLT–WINTERS SCAN — triple exponential smoothing (additive seasonal)
+   * over the [[resample]]d grid: [[holtScan]]'s level/trend recurrence
+   * plus a rolling `period`-slot seasonal vector,
+   * `l = α(x − s_prev) + (1−α)(l' + b')`, `b = β(l − l') + (1−β)b'`,
+   * `s_φ = γ(x − l) + (1−γ)s_prev` (only the tick's own phase slot
+   * updates), seeded `l₁ = x₁, b₁ = 0, s = 0⃗` — the forecaster that
+   * tracks BOTH a trend and a daily cycle where [[holtScan]] smears the
+   * cycle into the trend. Emits level/trend/seasonal and the one-step
+   * forecast `l + b + s_{next phase}` per tick, unrounded (fixed IEEE op
+   * chains, every literal spelled identically in the oracle).
+   *
+   * Same shape as [[holtScan]]: one codegen'd fold per key over the grid
+   * array (state O(period) per step), then one explode — no window
+   * functions, no joins beyond the resample shuffle.
+   */
+  def holtWintersScan(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      period: Int = 24,
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.25
+  ): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0, 1]")
+    val scan = hwStateScanExpr(valueCol, alpha, beta, gamma, period)
+    gridSeries(df, keys, tsCol, valueCol, step)
+      .withColumn("__hw", expr(scan))
+      .select(keys.map(col) :+
+        posexplode(arrays_zip(col("__pts"), col("__hw"))).as(Seq("__i", "__e")): _*)
+      .select(keys.map(col) ++ Seq(
+        col(s"__e.__pts.$tsCol").as(tsCol),
+        col(s"__e.__pts.$valueCol").as(valueCol),
+        col("__e.__hw.l").as("level"),
+        col("__e.__hw.b").as("trend"),
+        expr(s"element_at(__e.__hw.sv, (__i % $period) + 1)").as("seasonal"),
+        (col("__e.__hw.l") + col("__e.__hw.b") +
+          expr(s"element_at(__e.__hw.sv, ((__i + 1) % $period) + 1)")).as("forecast")): _*)
+  }
+
   /**
    * HOLT SCAN — double exponential smoothing (Holt's linear-trend method)
    * over the [[resample]]d grid: per key, in time order,

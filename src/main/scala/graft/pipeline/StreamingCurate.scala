@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -129,6 +129,36 @@ object StreamingCurate {
         lit(0.0), (a, x) => a + x) / size(ws), 6)
     val scored = stream.withColumn("weight", weight)
     minWeight.fold(scored)(t => scored.filter(col("weight") >= t))
+  }
+
+  /**
+   * STREAMING WATERMARK GATE — the streaming face of
+   * [[TextAnalysis.watermarkScores]]: drop (or tag) documents whose
+   * greenlist-parity z-score exceeds `maxAbsZ` at ingest, BEFORE they
+   * enter the corpus — the synthetic-text firewall. The batch op is
+   * row-local by construction (nested in-array folds, no shuffle), so
+   * this is the [[graft.pipeline.Chat.chatGateStream]] stateless-gate
+   * shape: the same expressions run unchanged on a stream, batch ≡
+   * streaming per record, no state, no watermark needed.
+   */
+  def watermarkGateStream(
+      stream: DataFrame,
+      maxAbsZ: Double = 4.0,
+      seed: Long = 7L,
+      minTokens: Long = 16L,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(maxAbsZ > 0.0, "maxAbsZ must be positive")
+    val ws = filter(TextAnalysis.words(col(textCol)), w => length(w) >= 1)
+    val green = (acc: Column, w: Column) =>
+      acc + when(pmod(Dedup.polyHash(w, 131L, seed), lit(2L)) === 0L, 1L).otherwise(0L)
+    stream
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("wm_z",
+        round((lit(2.0) * aggregate(ws, lit(0L), green).cast("double")
+          - col("n_tokens").cast("double")) / sqrt(col("n_tokens").cast("double")), 6))
+      // under minTokens there is no evidence either way: the doc passes
+      .filter(col("n_tokens") < minTokens || abs(col("wm_z")) < maxAbsZ)
   }
 
   /**

@@ -755,8 +755,11 @@ object TextAnalysis {
    * portable word hash's parity — the same seeded polynomial the sampling
    * ops replay in SQL — so the score is RNG-free and engine-identical.
    * The synthetic-data-contamination audit a human-text corpus runs
-   * before training. Row-local token fold + one projection; exact int64
-   * counts, one fixed double chain.
+   * before training. ROW-LOCAL end to end — the per-doc counts are
+   * in-array folds (a nested hash fold inside the token fold), so there
+   * is NO shuffle anywhere and the op is streaming-safe as-is (the
+   * [[graft.pipeline.Chat.chatGateStream]] stateless-gate shape); exact
+   * int64 counts, one fixed double chain.
    */
   def watermarkScores(
       df: DataFrame,
@@ -766,12 +769,12 @@ object TextAnalysis {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(minTokens >= 1, "minTokens must be >= 1")
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
-      .filter(length(col("__w")) >= 1)
-    val green = when(pmod(Dedup.polyHash(col("__w"), 131L, seed), lit(2L)) === 0L, 1L)
-      .otherwise(0L)
-    toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(green).as("n_green"))
+    val ws = filter(words(col(textCol)), w => length(w) >= 1)
+    val green = (acc: Column, w: Column) =>
+      acc + when(pmod(Dedup.polyHash(w, 131L, seed), lit(2L)) === 0L, 1L).otherwise(0L)
+    df.select(col(idCol),
+        size(ws).cast("long").as("n_tokens"),
+        aggregate(ws, lit(0L), green).as("n_green"))
       .filter(col("n_tokens") >= minTokens)
       .select(col(idCol), col("n_tokens"), col("n_green"),
         round(col("n_green").cast("double") / col("n_tokens").cast("double"), 6)

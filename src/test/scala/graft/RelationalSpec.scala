@@ -675,6 +675,21 @@ class RelationalSpec extends SparkTestBase {
     r.getDouble(7) shouldBe 1.0 // every row is exposed below k = 5
   }
 
+  "Relational.linearAttribution" should "split cents exactly with the remainder on the last touch" in {
+    val W = 7L * 86400000000L
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 0.0),
+      (2L, 10L, 1L, "view", 0.0),
+      (3L, 20L, 1L, "purchase", 1.01),   // 101 cents over 2 touches → 50 + 51
+      (4L, 100L - W, 2L, "click", 0.0),  // exactly window edge: excluded (strict >)
+      (5L, 100L, 2L, "purchase", 5.0)    // no in-window touch → no credit anywhere
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.linearAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map("click" -> ((1L, 50L)), "view" -> ((1L, 51L)))
+    out.values.map(_._2).sum shouldBe 101L // conservation to the cent
+  }
+
   "Relational.exactQuantiles" should "pick type-1 percentiles from the histogram" in {
     // values 1..10 (in cents: 100..1000): p50 = ceil(0.5·10) = rank 5 →
     // 500; p90 → rank 9 → 900; p99 → rank 10 → 1000

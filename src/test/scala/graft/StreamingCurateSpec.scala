@@ -42,6 +42,35 @@ class StreamingCurateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "StreamingCurate.watermarkGateStream" should "gate a live stream exactly like the batch scorer" in {
+    implicit val sqlc = spark.sqlContext
+    // an all-one-word doc maxes |z| at √n; a short doc has no evidence
+    val biased  = Seq.fill(25)("alpha").mkString(" ")
+    val natural = good
+    val shorty  = "tiny doc"
+    val corpus  = Seq((0L, natural), (1L, biased), (2L, shorty)).toDF("doc_id", "text")
+    val batchZ = TextAnalysis.watermarkScores(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val input = MemoryStream[ScDoc]
+    val cp    = Files.createTempDirectory("graft_sc_wm_").toString
+    val q = StreamingCurate.watermarkGateStream(input.toDF(), maxAbsZ = 4.0)
+      .writeStream.format("memory").queryName("sc_wm").outputMode("append")
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      val t0 = new Timestamp(1000000L)
+      input.addData(ScDoc(t0, 0L, natural), ScDoc(t0, 1L, biased), ScDoc(t0, 2L, shorty))
+      q.processAllAvailable()
+      val streamed = spark.table("sc_wm").select("doc_id", "wm_z").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // the 25-repeat doc hits |z| = 5 and is gated out; the natural doc
+      // passes with the IDENTICAL z the batch operator reports; the short
+      // doc passes (no evidence) with its z present but unjudged
+      streamed.keySet shouldBe Set(0L, 2L)
+      math.abs(batchZ(1L)) shouldBe 5.0
+      streamed(0L) shouldBe batchZ(0L)
+    } finally q.stop()
+  }
+
   "StreamingCurate.importanceScoreStream" should "score a live stream within 1e-9 of the batch operator" in {
     implicit val sqlc = spark.sqlContext
     val corpus = Seq((0L, good), (1L, spam), (2L, pii), (3L, es)).toDF("doc_id", "text")

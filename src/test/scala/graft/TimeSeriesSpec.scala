@@ -259,6 +259,22 @@ class TimeSeriesSpec extends SparkTestBase {
     out("a") shouldBe ((2L, 3.375, r6(math.sqrt((4.0 + 22.5625) / 2.0))))
   }
 
+  "TimeSeries.holtWintersScan" should "update one seasonal slot per tick and compose the forecast" in {
+    // p = 2, α = β = γ = 0.5 over [10, 20, 30], by hand:
+    // t1: l=10  b=0     sv=[0, 0]        seasonal sv[0]=0      f=10+0+sv[1]=10
+    // t2: l=15  b=2.5   sv=[0, 2.5]      seasonal sv[1]=2.5    f=15+2.5+sv[0]=17.5
+    // t3: l=23.75 b=5.625 sv=[3.125,2.5] seasonal sv[0]=3.125  f=23.75+5.625+2.5=31.875
+    val df = Seq(("a", 0L, 10.0), ("a", 10L, 20.0), ("a", 20L, 30.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.holtWintersScan(df, Seq("k"), "ts", "v", step = 10L,
+      period = 2, alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .orderBy("ts").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    out shouldBe Array(
+      (10.0, 0.0, 0.0, 10.0),
+      (15.0, 2.5, 2.5, 17.5),
+      (23.75, 5.625, 3.125, 31.875))
+  }
+
   "TimeSeries.dominantPeriod" should "find the cycle length and break multiples to the smallest" in {
     // perfect 3-cycle [0, 10, 20] over 12 ticks: P = 3 explains ALL the
     // variance (as do its multiples 6, 9, 12 — the tie breaks to 3)
