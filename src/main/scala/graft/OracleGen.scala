@@ -367,6 +367,27 @@ object OracleGen {
        |ORDER BY r DESC, id LIMIT $topK""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.operators.Graph.bfsHops]] over the basket pair
+    * graph, seed = the smallest id_a in the mined pairs: the same
+    * `maxHops` unrolled frontier expansions, each round a DISTINCT
+    * neighbor join minus everything already visited. */
+  def bfsHopsBasketSql(minSupport: Long, maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { h =>
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS id, $h::BIGINT AS hop
+         |  FROM e JOIN v${h - 1} v ON e.src = v.id AND v.hop = ${h - 1}
+         |  WHERE e.dst NOT IN (SELECT id FROM v${h - 1})),
+         |v$h AS MATERIALIZED (SELECT id, hop FROM v${h - 1} UNION ALL SELECT id, hop FROM f$h)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pp AS MATERIALIZED (SELECT a.pk AS id_a, b.pk AS id_b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pp UNION ALL SELECT id_b, id_a FROM pp),
+       |v0 AS (SELECT (SELECT min(id_a) FROM pp) AS id, 0::BIGINT AS hop),
+       |$rounds
+       |SELECT id, hop FROM v$maxHops ORDER BY hop, id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.operators.Graph.kCore]]: the same FIXED round count
     * unrolled as CTEs — round t keeps nodes with ≥ k neighbors in round
     * t−1's survivor set; the tail re-derives degree within the final set. */

@@ -141,6 +141,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration aid (mirrors Verify's SPARK_GRAFT_ONLY): restrict the
+    // sweep to the named probes — new probes measure without re-running the
+    // whole committed sweep; the runner merges the JSONs
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    val sweepQueries = probeQueries.filter(q => only.forall(_.contains(q)))
+
     // default sweep 1/3/10/30: the 30x tail point separates data-driven
     // growth from the ~0.3-0.5 s fixed per-query overhead that dominates
     // small scales and would otherwise flatter the fitted exponent
@@ -168,7 +174,7 @@ object ScaleBench {
     val times = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     var failed = List.empty[(String, Int, String)]
-    for ((f, dir) <- dirs; name <- probeQueries) {
+    for ((f, dir) <- dirs; name <- sweepQueries) {
       val fn = probeOverrides.getOrElse(name, SparkEntry.queries(name))
       var rows = -1L
       // (ok, seconds) per run: a run that throws fails FAST, and feeding
@@ -210,7 +216,7 @@ object ScaleBench {
       val sxy = pts.map(p => p._1 * p._2).sum
       (n * sxy - sx * sy) / (n * sxx - sx * sx)
     }
-    val report = probeQueries.map { name =>
+    val report = sweepQueries.map { name =>
       val t = times.getOrElse(name, scala.collection.mutable.LinkedHashMap.empty[Int, Double])
       val present = factors.filter(t.contains)
       val r =

@@ -265,6 +265,18 @@ object SparkEntry {
         .select(col("pa").as("id_a"), col("pb").as("id_b"))
       graft.operators.Graph.adamicAdar(edges, topK = 50)
     }),
+    // exact BFS recommendation radius: parts one/two/three baskets away
+    // from the seed, labeled with their first-reach hop
+    "st_hops" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= 2L)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      graft.operators.Graph.bfsHops(edges, seed, maxHops = 3).orderBy("hop", "id")
+    }),
     // personalized PageRank from the smallest part in the co-purchase
     // graph: rank mass = proximity to the seed through shared baskets (the
     // recommendation walk; plain PageRank only scores global popularity)
@@ -1787,6 +1799,7 @@ object SparkEntry {
     "st_alsobought" -> OracleGen.adamicAdarBasketSql(minSupport = 2L, topK = 50),
     "st_ppr" -> OracleGen.personalizedPageRankBasketSql(minSupport = 2L,
       iterations = 5, damping = 0.85, topK = 50),
+    "st_hops" -> OracleGen.bfsHopsBasketSql(minSupport = 2L, maxHops = 3),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),

@@ -140,6 +140,49 @@ object Graph {
   }
 
   /**
+   * BOUNDED BFS HOP DISTANCE from a seed node — the exact "degrees of
+   * separation" frontier expansion [[personalizedPageRank]]'s soft
+   * proximity mass approximates: every node reachable within `maxHops`
+   * undirected hops, labeled with its FIRST-reach hop count. On the
+   * co-purchase graph this is the recommendation radius ("products one /
+   * two baskets away"); on the near-dup graph, contamination blast
+   * radius. Exact set semantics — no floats, no ties to break.
+   *
+   * Scale shape: `maxHops` rounds of (frontier ⋈ edges) + a left-anti
+   * against the visited set — O(edges touched) per round, the standard
+   * distributed BFS; visited frames pin per round and free the previous
+   * ([[graft.pipeline.Checkpoints]] lifecycle). The hop bound is the
+   * contract: unbounded BFS on a 100-TB graph is a different algorithm
+   * (connected components — [[graft.pipeline.Dedup.duplicateClusters]]).
+   */
+  def bfsHops(
+      edges: DataFrame,
+      seed: Long,
+      maxHops: Int = 3
+  ): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, "maxHops must be in [1, 16]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("id_a"), col("id_b"))
+    val und = sym.toDF("src", "dst")
+      .union(sym.select(col("id_b"), col("id_a")).toDF("src", "dst")).pinned
+    Checkpoints.free(edges)
+    var visited = Seq((seed, 0L)).toDF("id", "hop").pinned
+    for (h <- 1 to maxHops) {
+      val next = und
+        .join(visited.filter(col("hop") === (h - 1).toLong).select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hop"))
+      val grown = visited.unionAll(next).pinned
+      Checkpoints.free(visited)
+      visited = grown
+    }
+    Checkpoints.free(und)
+    visited
+  }
+
+  /**
    * SYNCHRONOUS LABEL PROPAGATION communities (Raghavan et al. 2007) in
    * the deterministic fixed-round form: labels start as node ids; each
    * round every node adopts the label most frequent among its NEIGHBORS

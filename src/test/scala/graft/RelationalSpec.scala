@@ -147,6 +147,24 @@ class RelationalSpec extends SparkTestBase {
     live shouldBe empty
   }
 
+  "Graph.bfsHops" should "label first-reach hops and stop at the bound" in {
+    import graft.pipeline.Checkpoints
+    import org.apache.spark.storage.StorageLevel
+    // path 1-2-3-4-5 plus a shortcut 1-3 and an island 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val (out, pins) = Checkpoints.scoped {
+      graft.operators.Graph.bfsHops(edges, seed = 1L, maxHops = 2)
+    }
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is reached at hop 1 via the shortcut, NOT at 2 via the path
+    m shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
+    def live = pins.filter(_.getStorageLevel != StorageLevel.NONE)
+    live.size should be <= 1
+    Checkpoints.free(out)
+    live shouldBe empty
+  }
+
   "Graph.personalizedPageRank" should "concentrate rank near the seed and zero unreachable components" in {
     import graft.pipeline.Checkpoints
     import org.apache.spark.storage.StorageLevel
