@@ -1605,6 +1605,15 @@ object SparkEntry {
     "qa_joinsize" -> ((s, d) =>
       graft.pipeline.Curate.joinCardinality(
         tbl(s, d, "lineitem"), tbl(s, d, "part"), "l_partkey", "p_partkey")),
+    // PSI distribution drift of doc length between the same two snapshot
+    // versions qa_diff churns — drift even when row counts barely move
+    "qa_psi" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.pipeline.Curate.psiReport(
+        base.filter(col("doc_id") % 11 =!= 3),
+        base.filter(col("doc_id") % 13 =!= 5).filter(col("n_chars") < 400),
+        "n_chars", binWidth = 50L, maxBins = 12)
+    }),
     // snapshot diff between two pipeline runs: every 11th doc "not yet
     // crawled" in the old run, every 13th dropped and every 7th re-crawled
     // with changed text in the new one — added/removed/changed/unchanged
@@ -3703,6 +3712,30 @@ object SparkEntry {
         |SELECT n_left, n_right, n_left_keys, n_right_keys, n_shared_keys,
         |  join_rows, max_key_rows, top_key
         |FROM lt, rt, pr, tk""".stripMargin.replace("\n", " "),
+    // PSI: fixed 20-bin universe, +1-smoothed shares, contributions folded
+    // VALUE-sorted (the engine's graft_fold_sum sorts ascending —
+    // list_sort, the nbConfusion convention); top bin by (contrib, bin)
+    "qa_psi" -> {
+      val p = "(coalesce(ho.c, 0) + 1)::DOUBLE / (no.n::DOUBLE + 12.0)"
+      val q = "(coalesce(hn.c, 0) + 1)::DOUBLE / (nn.n::DOUBLE + 12.0)"
+      s"""WITH o AS (SELECT least(n_chars // 50, 11) AS b FROM documents WHERE doc_id % 11 <> 3),
+         |nw AS (SELECT least(n_chars // 50, 11) AS b FROM documents
+         |       WHERE doc_id % 13 <> 5 AND n_chars < 400),
+         |no AS (SELECT count(*)::BIGINT AS n FROM o),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nw),
+         |ho AS (SELECT b, count(*)::BIGINT AS c FROM o GROUP BY b),
+         |hn AS (SELECT b, count(*)::BIGINT AS c FROM nw GROUP BY b),
+         |u AS (SELECT unnest(range(0, 12)) AS b),
+         |cb AS (SELECT u.b, (($p) - ($q)) * ln(($p) / ($q)) AS c
+         |       FROM u LEFT JOIN ho USING (b) LEFT JOIN hn USING (b)
+         |       CROSS JOIN no CROSS JOIN nn),
+         |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(c))),
+         |        (a, x) -> a + x) AS psi FROM cb),
+         |t AS (SELECT b, c, row_number() OVER (ORDER BY c DESC, b) AS rn FROM cb)
+         |SELECT no.n AS n_old, nn.n AS n_new, round(s.psi, 6) AS psi,
+         |  t.b::BIGINT AS top_bin, round(t.c, 6) AS top_contrib
+         |FROM s, t, no, nn WHERE t.rn = 1""".stripMargin.replace("\n", " ")
+    },
     // snapshot diff: full-outer key join, per-column IS DISTINCT FROM
     "qa_diff" ->
       """WITH o AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 11 <> 3),

@@ -341,6 +341,58 @@ object Curate {
   }
 
   /**
+   * POPULATION STABILITY INDEX between two snapshots of a numeric column —
+   * the industry-standard "did this feature's distribution move" scalar
+   * ([[snapshotDiff]] counts row churn; this scores DISTRIBUTION drift
+   * even when row counts barely change): values band into a FIXED
+   * `maxBins`-bin universe (`least(value div binWidth, maxBins−1)`, so
+   * both engines agree on empty bins), per-bin shares Laplace-smooth by
+   * +1 over the bin count (PSI's ln explodes on empty bins otherwise),
+   * and `PSI = Σ (p−q)·ln(p/q)` folds ASCENDING BY BIN — one fixed double
+   * chain per bin, engine-identical. Rule of thumb: <0.1 stable, 0.1–0.25
+   * drifting, >0.25 investigate. Also names the top-contributing bin.
+   * Two partial-aggregated histogram passes + a bins-sized join: the 100-TB
+   * cost is two scans, never a shuffle of the data itself.
+   */
+  def psiReport(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      valueCol: String,
+      binWidth: Long,
+      maxBins: Int = 20,
+      dp: Int = 6
+  ): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(maxBins >= 2 && maxBins <= 1000, "maxBins must be in [2, 1000]")
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(oldDf.sparkSession)
+    import GraftFunctions.foldSum
+    def hist(df: DataFrame, cnt: String): DataFrame =
+      df.select(least(expr(s"$valueCol div ${binWidth}L"), lit(maxBins - 1L)).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as(cnt))
+    val universe = oldDf.sparkSession.range(0, maxBins).select(col("id").as("__b"))
+    val no = oldDf.count()
+    val nn = newDf.count()
+    val bD = maxBins.toDouble
+    val p  = (coalesce(col("__co"), lit(0L)) + 1L).cast("double") / (lit(no.toDouble) + bD)
+    val q  = (coalesce(col("__cn"), lit(0L)) + 1L).cast("double") / (lit(nn.toDouble) + bD)
+    val contrib = (p - q) * log(p / q)
+    universe
+      .join(hist(oldDf, "__co"), Seq("__b"), "left_outer")
+      .join(hist(newDf, "__cn"), Seq("__b"), "left_outer")
+      .select(col("__b"), contrib.as("__c"))
+      .agg(
+        foldSum(expr("transform(array_sort(collect_list(struct(__b, __c))), s -> s.__c)"))
+          .as("__psi"),
+        min(struct((-col("__c")).as("nc"), col("__b").as("b"), col("__c").as("c")))
+          .as("__top"))
+      .select(lit(no).as("n_old"), lit(nn).as("n_new"),
+        round(col("__psi"), dp).as("psi"),
+        col("__top.b").as("top_bin"),
+        round(col("__top.c"), dp).as("top_contrib"))
+  }
+
+  /**
    * SNAPSHOT DIFF between two versions of a table keyed by `pk` — how many
    * rows were ADDED, REMOVED, CHANGED (same key, any `compareCols` value
    * differs — null-safe, so NULL→value and value→NULL both count), or

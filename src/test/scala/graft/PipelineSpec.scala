@@ -1236,6 +1236,19 @@ class PipelineSpec extends SparkTestBase {
     left.join(right, "k").count() shouldBe 4L
   }
 
+  "Curate.psiReport" should "score zero on identical snapshots and a full shift symmetrically" in {
+    val a = (1L to 10L).map(i => (i, 0L)).toDF("id", "v")
+    val same = graft.pipeline.Curate.psiReport(a, a, "v", binWidth = 50L, maxBins = 4).head()
+    (same.getLong(0), same.getLong(1), same.getDouble(2)) shouldBe ((10L, 10L, 0.0))
+    // all mass moves bin 0 -> bin 2: psi = 2 · (10/14) · ln(11); the two
+    // bins contribute EQUALLY, so the top-bin tie breaks to the smaller
+    val b = (1L to 10L).map(i => (i, 100L)).toDF("id", "v")
+    val r = graft.pipeline.Curate.psiReport(a, b, "v", binWidth = 50L, maxBins = 4).head()
+    val expect = BigDecimal(2.0 * (10.0 / 14.0) * math.log(11.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r.getDouble(2), r.getLong(3)) shouldBe ((expect, 0L))
+  }
+
   "Curate.snapshotDiff" should "classify added/removed/changed/unchanged null-safely" in {
     val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
       (4L, None: Option[String])).toDF("id", "t")
