@@ -1549,6 +1549,11 @@ object SparkEntry {
     "mm_vad" -> ((s, d) =>
       Multimodal.audioEnergyWindows(Multimodal.withPayload(docs(s, d)))
         .orderBy("doc_id", "window_idx")),
+    // header-aware VAD: parse the RIFF container, keep PCM8 mono, window
+    // the data chunk, stamp each window from the container's sample rate
+    "mm_wavvad" -> ((s, d) =>
+      Multimodal.wavEnergyWindows(Multimodal.syntheticAvContainers(docs(s, d)))
+        .orderBy("doc_id", "window_idx")),
     // segment boundaries over the same energy channel: windows whose RMS
     // jumps against the predecessor — in-array lag, no shuffle, no window
     "mm_scenes" -> ((s, d) =>
@@ -3688,6 +3693,28 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
     "mm_av" -> OracleGen.avContainerMetaSql,
+    // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
+    // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
+    // the window math IS mm_vad's, plus the rate-derived start stamp
+    "mm_wavvad" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb,
+        |            (8000 + (doc_id * 441) % 40000)::BIGINT AS rate
+        |           FROM documents WHERE doc_id % 12 = 0),
+        |fr AS (SELECT doc_id, rate, u AS window_idx,
+        |         least(nb - u * 256, 256)::BIGINT AS n_samples,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(
+        |           range(u * 256 + 1, u * 256 + least(nb - u * 256, 256) + 1),
+        |           i -> (CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+        |                  + (strpos('123456789ABCDEF', hx[2*i:2*i])) - 128 AS BIGINT)
+        |               * CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+        |                  + (strpos('123456789ABCDEF', hx[2*i:2*i])) - 128 AS BIGINT)))),
+        |           (a, b) -> a + b) AS sq
+        |       FROM b, unnest(range(0, (nb + 255) // 256)) AS un(u))
+        |SELECT doc_id, window_idx, n_samples,
+        |  round(sqrt(sq::DOUBLE / n_samples::DOUBLE), 6) AS rms,
+        |  sqrt(sq::DOUBLE / n_samples::DOUBLE) >= 40.0 AS active,
+        |  round((window_idx * 256)::DOUBLE / rate::DOUBLE, 6) AS t_start_sec
+        |FROM fr ORDER BY doc_id, window_idx""".stripMargin.replace("\n", " "),
     "tx_kfold" -> OracleGen.kfoldSql(k = 5, seed = 7L),
     "qa_dups" ->
       """WITH u AS (SELECT o_orderkey FROM orders

@@ -435,6 +435,38 @@ object Multimodal {
   }
 
   /**
+   * WAV-AWARE ENERGY WINDOWS — [[avContainerMeta]] ∘ [[audioEnergyWindows]]
+   * composed end to end: parse the RIFF header from the raw bytes, keep
+   * only the containers whose samples ARE bytes (PCM8 mono — wider
+   * samples need a real decode path and are excluded, not mis-read), then
+   * window the DATA CHUNK (bytes 45+) exactly as the VAD op does, with
+   * each window stamped `t_start_sec` from the container's own sample
+   * rate. The "parse the container, then do signal math on its payload"
+   * pipeline in one declarative plan — header reads, chunk slice and
+   * frame sums are all codegen'd builtins; the only join is the tiny
+   * header-metadata relation back onto the payload by id.
+   */
+  def wavEnergyWindows(
+      media: DataFrame,
+      window: Int = 256,
+      threshold: Double = 40.0,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val meta = avContainerMeta(media, payloadCol, idCol)
+      .filter(col("format") === "wav" && col("bits") === 8L && col("channels") === 1L)
+      .select(col(idCol), col("sample_rate"))
+    val data = media.select(col(idCol),
+      expr(s"substring($payloadCol, 45, octet_length($payloadCol) - 44)").as("payload"))
+    audioEnergyWindows(meta.join(data, Seq(idCol)).select(col(idCol), col("payload")),
+      window, threshold, "payload", idCol)
+      .join(meta, Seq(idCol))
+      .select(col(idCol), col("window_idx"), col("n_samples"), col("rms"), col("active"),
+        round((col("window_idx") * lit(window.toLong)).cast("double")
+          / col("sample_rate").cast("double"), 6).as("t_start_sec"))
+  }
+
+  /**
    * Partition-batched decode: the mapPartitions/mapInPandas shape a real
    * codec needs (amortize model/codec init per batch, bounded batch
    * memory). The per-record decode is the same STUB arithmetic.

@@ -1368,6 +1368,23 @@ class PipelineSpec extends SparkTestBase {
     out(5) shouldBe ((10L, "bmp", 111L, 171L, -1L, 3L, 24L, -1L))
   }
 
+  "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {
+    // id 0: PCM8 mono wav (kept); id 4: 16-bit wav (excluded, not
+    // mis-read); id 1: gif (excluded); id 12: PCM8 mono (kept)
+    val docsDf = Seq((0L, "A" * 300), (4L, "A" * 300), (1L, "gif doc"), (12L, "x" * 10))
+      .toDF("doc_id", "text")
+    val out = Multimodal.wavEnergyWindows(Multimodal.syntheticAvContainers(docsDf))
+      .orderBy("doc_id", "window_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5)))
+    out.map(_._1).distinct shouldBe Array(0L, 12L)
+    // id 0 rate = 8000: window 1 starts at 256/8000 = 0.032 s; the data
+    // chunk is the text bytes, so rms matches the raw VAD math ('A' = 63)
+    out.filter(_._1 == 0L) shouldBe Array(
+      (0L, 0L, 256L, 63.0, 0.0), (0L, 1L, 44L, 63.0, 0.032))
+    // id 12 rate = 8000 + (12·441 % 40000) = 13292; 10 'x' bytes → rms 8
+    out.filter(_._1 == 12L) shouldBe Array((12L, 0L, 10L, 8.0, 0.0))
+  }
+
   "Sampling.kfold" should "assign every row a stable fold in [0, k) with all folds populated" in {
     val ids = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val folds = graft.pipeline.Sampling.kfold(ids, k = 5)
