@@ -18,7 +18,18 @@ import graft.pipeline.Checkpoints
   * is released deterministically ([[Checkpoints.free]]), and per-query JVM
   * health (code-cache occupancy, GC time delta, live persisted-RDD count)
   * is printed next to the timing so any recurrence is attributable from
-  * the bench log alone. */
+  * the bench log alone.
+  *
+  * Wall-clock budget (round 15): the adaptive walk-downs multiplied a
+  * 319-gate sweep into ~2200 timed runs and blew past the driver's time
+  * limit (BENCH_r14.json rc=124 — no timings recorded at all). The sweep
+  * now runs against a deadline (SPARK_GRAFT_BENCH_BUDGET_S, default 1080 s
+  * of timed running): past 55% of budget the adaptive extensions stop
+  * (every query still gets its base runs), past 85% remaining queries get
+  * a single run each, so the sweep ALWAYS completes with a row for every
+  * gate. BENCH_SELF.json is rewritten after every query, so even a hard
+  * kill leaves a parseable partial artifact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +81,17 @@ object Bench {
     // improves the floor, up to a cap — stable queries stop at `runs`
     // (latest run no longer best), converging ones walk down to their floor.
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "10").toInt.max(runs)
+    // wall-clock budget for the TIMED portion of the sweep (seconds).
+    // The driver's whole-process limit also covers sbt compile + Spark
+    // startup; 1080 s here leaves that headroom inside a ~30 min cap.
+    val budgetS   = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1080").toDouble
+    val sweepT0   = System.nanoTime()
+    def elapsedS  = (System.nanoTime() - sweepT0) / 1e9
+    // budget phases: <55% normal (adaptive walk-downs allowed); 55-85%
+    // base runs only; >85% single run per remaining query. The sweep
+    // never skips a query — worst case every gate still gets one timing.
+    def phase: Int =
+      if (elapsedS < 0.55 * budgetS) 0 else if (elapsedS < 0.85 * budgetS) 1 else 2
     // targeted iteration (mirrors Verify): unset = full sweep, as the driver runs it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -91,8 +113,21 @@ object Bench {
         catch { case _: Throwable => () }
     }
 
-    val results = selected
-      .map { case (name, fn) =>
+    // incremental artifact: rewritten after EVERY query so any truncation
+    // (driver timeout, OOM kill) still leaves per-query data on disk
+    def writeSelf(rs: Seq[(String, Double, Double, Int)], done: Boolean): Unit = {
+      val qs = rs.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val rc = rs.map { case (k, _, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+      val total = rs.map(_._2).sum
+      val line =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir","complete":$done}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+    }
+
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int)]
+    selected.foreach { case (name, fn) =>
       var rows = -1L
       val gc0  = gcMillis
       def oneRun(): Double = {
@@ -108,9 +143,10 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
+      val baseRuns = if (phase >= 2) 1 else runs
       val times = {
-        val buf = scala.collection.mutable.ArrayBuffer.fill(runs)(0.0)
-        for (i <- 0 until runs) buf(i) = oneRun()
+        val buf = scala.collection.mutable.ArrayBuffer.fill(baseRuns)(0.0)
+        for (i <- 0 until baseRuns) buf(i) = oneRun()
         // extend while still converging: the floor was set within the last
         // `patience` runs. Round-11 data: expensive JIT-heavy queries
         // (d_lev, ts_sanom, rt_bm25_join) improve monotonically through
@@ -118,11 +154,14 @@ object Bench {
         // stopped the extension 30-90% above their converged floors. So
         // queries still above 0.4 s get a guaranteed 8 runs and patience 3;
         // cheap stable queries keep stopping at `runs` (floor already old).
+        // Budget phases 1-2 suppress the extensions entirely: a floor
+        // measured with fewer runs is recorded as such in `runs`, and the
+        // round-over-round diff reads the run count before crying regression.
         def floorAge  = buf.length - 1 - buf.indexOf(buf.min)
         def expensive = buf.min > 0.4
         def wanted    = if (expensive) 8.min(maxRuns) else runs
         def patience  = if (expensive) 3 else 2
-        while (buf.length < maxRuns && (buf.length < wanted || floorAge < patience))
+        while (phase == 0 && buf.length < maxRuns && (buf.length < wanted || floorAge < patience))
           buf += oneRun()
         buf.toSeq
       }
@@ -131,14 +170,20 @@ object Bench {
       val all   = times.map(t => f"$t%.3f").mkString(",")
       System.err.println(
         f"[bench] $name%-16s $best%8.3f s  max=$worst%8.3f  rows=$rows%-8d runs=[$all]  " +
-          f"cc=${codeCacheUsedMb}%3dMB meta=${metaspaceUsedMb}%3dMB gc+=${gcMillis - gc0}%4dms rdds=$persistedRdds%3d")
-      (name, best, worst, times.length)
+          f"cc=${codeCacheUsedMb}%3dMB meta=${metaspaceUsedMb}%3dMB gc+=${gcMillis - gc0}%4dms rdds=$persistedRdds%3d " +
+          f"t=${elapsedS}%5.0fs ph=$phase")
+      acc += ((name, best, worst, times.length))
+      writeSelf(acc.toSeq, done = false)
     }
+    val results = acc.toSeq
     // loud summary of any query whose worst run cliffed vs its best — the
     // round-7 artifact (245 s recorded for an 11 s query) stays visible
     results.filter { case (_, b, w, _) => b > 0 && w / b > 3.0 }.foreach { case (n, b, w, _) =>
       System.err.println(f"[bench] UNSTABLE $n: min=$b%.3f max=$w%.3f (${w / b}%.1fx)")
     }
+    if (phase > 0) System.err.println(
+      f"[bench] BUDGET: sweep hit ${elapsedS}%.0f s of $budgetS%.0f s budget (final phase $phase) — " +
+        "late queries measured with fewer runs; see per-query runs counts")
     val qs    = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     // per-query run counts: adaptive extension means floors come from
     // differing run counts — record them so round-over-round diffs can
@@ -146,13 +191,8 @@ object Bench {
     val rc    = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line  =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir"}"""
-    // the full line (300 queries wide) exceeds a 2000-char log-tail capture
-    // — it lives in BENCH_SELF.json; stdout's LAST line is a compact
-    // per-family digest that always fits a tail window
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir","complete":true}"""
+    writeSelf(results, done = true)
     // compact digest: per-family (prefix before '_') summed floors — the
     // round-over-round comparison unit when the full line can't be captured
     val fams = results.groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }

@@ -307,7 +307,8 @@ object OracleGen {
     * neighbors sorted ascending by id — the engine's exact IEEE order. */
   /** the [[graft.operators.Graph.adamicAdar]] chain over an `aae`
     * edge CTE (columns id_a, id_b): symmetrized adjacency, integer
-    * degrees, wedge join, existing-edge exclusion, id-sorted 1/ln fold. */
+    * degrees, wedge join, existing-edge exclusion, value-sorted 1/ln fold
+    * (graft_fold_sum's ascending-value kernel order). */
   private def adamicAdarChain(topK: Int): String =
     s"""aac AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
        |      FROM aae WHERE id_a <> id_b),
@@ -318,7 +319,7 @@ object OracleGen {
        |      WHERE NOT EXISTS (SELECT 1 FROM aac WHERE aac.id_a = x.id AND aac.id_b = y.id)),
        |aas AS (SELECT aaw.id_a, aaw.id_b, count(*)::BIGINT AS n_common,
        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |          list_transform(list(dg.d ORDER BY aaw.via), dd -> 1.0 / ln(dd))),
+       |          list_sort(list(1.0 / ln(dg.d)))),
        |          (a, b) -> a + b), 6) AS aa
        |      FROM aaw JOIN aad dg ON dg.id = aaw.via GROUP BY aaw.id_a, aaw.id_b)
        |SELECT id_a, id_b, n_common, aa FROM aas
@@ -349,7 +350,7 @@ object OracleGen {
       s"""r$t AS MATERIALIZED (SELECT n.id, round($base * n.p + $damping * coalesce(s.c, 0), 6) AS r
          |  FROM n LEFT JOIN (SELECT e.dst,
          |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list(rr.r / deg.deg ORDER BY e.src)), (a, b) -> a + b) AS c
+         |        list_sort(list(rr.r / deg.deg))), (a, b) -> a + b) AS c
          |    FROM e JOIN r${t - 1} rr ON rr.id = e.src JOIN deg ON deg.src = e.src
          |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
     }.mkString(",\n")
@@ -1085,6 +1086,70 @@ object OracleGen {
        |  (CASE WHEN iswav AND ${le(33, 2)} > 0 THEN ${le(41, 4)} // ${le(33, 2)}
        |        ELSE -1 END)::BIGINT AS n_samples
        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Multimodal.gifFrameCount]] over the
+    * [[graft.pipeline.Multimodal.syntheticAnimatedGifs]] fixture: the
+    * identical hex stream is rebuilt, then the SAME bounded block walk
+    * unrolls as chained CTEs — one step per block header or sub-block,
+    * byte reads replayed from the hex slice (out-of-range reads coalesce
+    * to -1, matching the engine's null-comparison falls-through). */
+  def gifFrameCountSql(maxBlocks: Int): String = {
+    def b1(p: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($p)-1 : 2*($p)] AS BIGINT), -1)"
+    def leHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * i}) & 255), 2, '0')").mkString(" || ")
+    def frame(k: Int): String = {
+      val lct = s"CASE WHEN doc_id % 6 = 1 AND $k = 0 THEN '80DEADBEDEADBE' ELSE '00' END"
+      s"""CASE WHEN 1 + doc_id % 3 > $k THEN
+         |  '21F90400' || ${leHex(s"(doc_id * 3 + $k) % 60000", 2)} || '0000' ||
+         |  '2C' || ${leHex(k.toString, 2)} || ${leHex("0", 2)} ||
+         |  ${leHex(s"1 + $k", 2)} || ${leHex("1", 2)} || $lct || '0204DEADBEEF00'
+         |  ELSE '' END""".stripMargin
+    }
+    val gifHex =
+      s"""'474946383961' || ${leHex("1 + (doc_id * 5) % 65536", 2)} ||
+         |${leHex("1 + (doc_id * 9) % 65536", 2)} ||
+         |CASE WHEN doc_id % 2 = 0 THEN ${leHex("128 + doc_id % 3", 1)} ELSE '00' END ||
+         |'0000' ||
+         |CASE WHEN doc_id % 2 = 0 THEN repeat('ABCDEF', CAST(pow(2, (doc_id % 3) + 1) AS INT)) ELSE '' END ||
+         |${frame(0)} || ${frame(1)} || ${frame(2)} || '3B' || hex(encode(text))""".stripMargin
+    val steps = (1 to maxBlocks).map { i =>
+      val b    = b1("pos")
+      val live = "(gif AND NOT done AND pos >= 14 AND pos <= nb)"
+      val lct  = s"CASE WHEN ${b1("pos + 9")} >= 128 " +
+        s"THEN 3 * (1 << CAST((${b1("pos + 9")} % 8) + 1 AS INT)) ELSE 0 END"
+      val bad  = s"($live AND mode = 0 AND $b NOT IN (59, 44, 33))"
+      s"""w$i AS (SELECT doc_id, hx, nb, gif,
+         |  CASE WHEN $live AND mode = 0 AND $b = 44 THEN pos + 11 + ($lct)
+         |       WHEN $live AND mode = 0 AND $b = 33 THEN pos + 2
+         |       WHEN $live AND mode = 1 AND $b = 0 THEN pos + 1
+         |       WHEN $live AND mode = 1 THEN pos + 1 + $b
+         |       ELSE pos END AS pos,
+         |  CASE WHEN $live AND mode = 0 AND $b = 44 THEN fr + 1 ELSE fr END AS fr,
+         |  CASE WHEN $live AND mode = 0 AND $b IN (44, 33) THEN 1
+         |       WHEN $live AND mode = 1 AND $b = 0 THEN 0 ELSE mode END AS mode,
+         |  (done OR ($live AND mode = 0 AND $b = 59) OR $bad) AS done,
+         |  (ok AND NOT $bad) AS ok
+         |FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 4 = 3 THEN hex(encode(text)) ELSE $gifHex END AS hx
+       |  FROM documents),
+       |d AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+       |  (length(hx) // 2 >= 14 AND
+       |   (hx[1:12] = '474946383961' OR hx[1:12] = '474946383761')) AS gif FROM p),
+       |w0 AS (SELECT doc_id, hx, nb, gif,
+       |  CASE WHEN gif THEN 14 + (CASE WHEN ${b1("11")} >= 128
+       |    THEN 3 * (1 << CAST((${b1("11")} % 8) + 1 AS INT)) ELSE 0 END)
+       |    ELSE -1 END AS pos,
+       |  0::BIGINT AS fr, 0 AS mode, false AS done, true AS ok FROM d),
+       |$steps
+       |SELECT doc_id,
+       |  CASE WHEN gif THEN 'gif' ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN gif AND done AND ok THEN fr ELSE -1 END)::BIGINT AS n_frames
+       |FROM w$maxBlocks ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[graft.pipeline.Similarity.pqBuild]]+[[graft.pipeline.Similarity.pqTopK]]:
@@ -1837,9 +1902,10 @@ object OracleGen {
        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), msl), (a, x) -> a + x)
        |           / len(msl)::DOUBLE AS mbar, msl FROM mm),
        |se AS (SELECT n_replicas,
-       |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |           list_transform(msl, x -> (x - mbar) * (x - mbar))), (a, y) -> a + y)
-       |           / (n_replicas::DOUBLE - 1.0)) AS sev FROM st)
+       |         CASE WHEN n_replicas > 1 THEN
+       |           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(msl, x -> (x - mbar) * (x - mbar))), (a, y) -> a + y)
+       |             / (n_replicas::DOUBLE - 1.0)) END AS sev FROM st)
        |SELECT pt.n, round(pt.sx::DOUBLE / pt.n::DOUBLE, 6) AS mean,
        |  se.n_replicas, round(se.sev, 6) AS boot_se
        |FROM pt, se""".stripMargin.replace("\n", " ")
@@ -1856,7 +1922,7 @@ object OracleGen {
        |           FROM embeddings WHERE sqrt($dot) > 0),
        |r AS (SELECT u, list_reduce(list_prepend(0::BIGINT, list_transform(u, x -> x * x)),
        |        (a, b) -> a + b) AS q2 FROM q),
-       |tot AS (SELECT count(*)::BIGINT AS n, sum(q2)::BIGINT AS sq2, $dim::BIGINT AS dim FROM r),
+       |tot AS (SELECT count(*)::BIGINT AS n, sum(q2) AS sq2, $dim::BIGINT AS dim FROM r),
        |ds AS (SELECT i, sum(u[i::INT])::BIGINT AS s
        |       FROM (SELECT u, unnest(generate_series(1, $dim)) AS i FROM r) GROUP BY i),
        |sq AS (SELECT sum(s::HUGEINT * s::HUGEINT) AS ss FROM ds)

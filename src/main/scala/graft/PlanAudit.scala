@@ -19,6 +19,13 @@ import org.apache.spark.sql.execution.SparkPlan
   *    AQE is DISABLED in this session so the digest records Catalyst's
   *    static choice deterministically (AQE may still re-plan at runtime;
   *    the static plan is the comparable artifact).
+  *  - `runMain graft.PlanAudit --check [digest.json] [sfDir]` — TRIPWIRE:
+  *    regenerate the digest in memory and diff it against the committed
+  *    file; prints every ADDED/REMOVED/CHANGED gate and exits 2 on any
+  *    difference. Run before each lock — a gate whose join strategy or
+  *    exchange count moved without a commit touching its code path is a
+  *    silent plan regression and should be explained (or the digest
+  *    intentionally regenerated with `--digest`) before locking.
   */
 object PlanAudit {
 
@@ -44,7 +51,8 @@ object PlanAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    val digestMode = args.contains("--digest")
+    val checkMode  = args.contains("--check")
+    val digestMode = args.contains("--digest") || checkMode
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -54,7 +62,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val pos = args.filterNot(_ == "--digest")
+    val pos = args.filterNot(a => a == "--digest" || a == "--check")
     if (digestMode) {
       val out = if (pos.length > 0) pos(0) else "PLAN_DIGEST.json"
       val dir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.01"
@@ -72,6 +80,35 @@ object PlanAudit {
             System.err.println(s"[plan] $name FAILED to plan: ${e.getMessage}")
             Some(s""""$name":{"error":"${String.valueOf(e.getMessage).take(120).replace("\"", "'")}"}""")
         }
+      }
+      if (checkMode) {
+        // tripwire mode: compare the fresh digest against the committed
+        // one — a gate whose join strategy / exchange count moved without
+        // a commit touching its path is a silent plan regression. Exit 2
+        // on any difference so the lock script can gate on it.
+        val committed = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+        def toMap(lines: Seq[String]): Map[String, String] = lines.flatMap { l =>
+          val t = l.trim.stripSuffix(",")
+          val m = "^\"([^\"]+)\":(\\{.*\\})$".r.findFirstMatchIn(t)
+          m.map(g => g.group(1) -> g.group(2))
+        }.toMap
+        val oldM = toMap(committed.split("\n").toSeq)
+        val newM = toMap(entries)
+        val added   = (newM.keySet -- oldM.keySet).toSeq.sorted
+        val removed = (oldM.keySet -- newM.keySet).toSeq.sorted
+        val changed = (newM.keySet & oldM.keySet).filter(k => newM(k) != oldM(k)).toSeq.sorted
+        added.foreach(k => println(s"[plan-check] ADDED   $k ${newM(k)}"))
+        removed.foreach(k => println(s"[plan-check] REMOVED $k"))
+        changed.foreach { k =>
+          println(s"[plan-check] CHANGED $k")
+          println(s"[plan-check]   committed: ${oldM(k)}")
+          println(s"[plan-check]   fresh:     ${newM(k)}")
+        }
+        val n = added.size + removed.size + changed.size
+        println(s"[plan-check] ${if (n == 0) "OK — all digests match" else s"$n digest(s) differ"}")
+        spark.stop()
+        sys.exit(if (n == 0) 0 else 2)
       }
       val json = entries.mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))

@@ -79,32 +79,19 @@ object ScaleBench {
     // support as a FRACTION of transactions for exactly this reason; the
     // probe pins the 1x gate's fraction (2 per 150k orders).
     "st_alsobought" -> { (s, d) =>
-      import org.apache.spark.sql.functions._
-      val li = s.read.parquet(s"$d/lineitem.parquet")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val nOrders = li.select("ok").distinct().count()
-      val cut = math.max(2L, math.ceil(nOrders * 2.0 / 150000.0).toLong)
-      System.err.println(s"[scale] st_alsobought support cut = $cut (2-in-150k fraction)")
-      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= cut)
-        .select(col("pa").as("id_a"), col("pb").as("id_b"))
-      graft.operators.Graph.adamicAdar(edges, topK = 50)
+      graft.operators.Graph.adamicAdar(
+        graft.operators.Star.coPurchaseEdges(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          minSupportFrac = Some(2.0 / 150000.0)), topK = 50)
     },
     // st_ppr: same fractional support convention as st_alsobought (a fixed
     // cut of 2 would admit every replicated pair and densify the graph
     // with the factor instead of with the data's structure)
     "st_ppr" -> { (s, d) =>
       import org.apache.spark.sql.functions._
-      val li = s.read.parquet(s"$d/lineitem.parquet")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val nOrders = li.select("ok").distinct().count()
-      val cut = math.max(2L, math.ceil(nOrders * 2.0 / 150000.0).toLong)
-      System.err.println(s"[scale] st_ppr support cut = $cut (2-in-150k fraction)")
-      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= cut)
-        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      val edges = graft.operators.Star.coPurchaseEdges(
+        s.read.parquet(s"$d/lineitem.parquet"),
+        minSupportFrac = Some(2.0 / 150000.0))
       val seed = edges.agg(min(col("id_a"))).head().getLong(0)
       graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
         iterations = 5, damping = 0.85, topK = 50)

@@ -256,24 +256,15 @@ object SparkEntry {
     // together — the "customers also bought" candidate ranking. (The
     // near-dup doc graph is transitively closed by construction — every
     // wedge is already an edge — so basket data is where AA has signal.)
-    "st_alsobought" -> ((s, d) => {
-      val li = tbl(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= 2L)
-        .select(col("pa").as("id_a"), col("pb").as("id_b"))
-      graft.operators.Graph.adamicAdar(edges, topK = 50)
-    }),
+    "st_alsobought" -> ((s, d) =>
+      graft.operators.Graph.adamicAdar(
+        graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem")), topK = 50)),
     // exact BFS recommendation radius: parts one/two/three baskets away
-    // from the seed, labeled with their first-reach hop
+    // from the seed, labeled with their first-reach hop. The edge frame
+    // comes back PINNED from the guarded builder, so the seed probe and
+    // the walk share one enumeration of the per-order self-join.
     "st_hops" -> ((s, d) => {
-      val li = tbl(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= 2L)
-        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      val edges = graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem"))
       val seed = edges.agg(min(col("id_a"))).head().getLong(0)
       graft.operators.Graph.bfsHops(edges, seed, maxHops = 3).orderBy("hop", "id")
     }),
@@ -281,12 +272,7 @@ object SparkEntry {
     // graph: rank mass = proximity to the seed through shared baskets (the
     // recommendation walk; plain PageRank only scores global popularity)
     "st_ppr" -> ((s, d) => {
-      val li = tbl(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val edges = li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("__s")).filter(col("__s") >= 2L)
-        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      val edges = graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem"))
       val seed = edges.agg(min(col("id_a"))).head().getLong(0)
       graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
         iterations = 5, damping = 0.85, topK = 50)
@@ -1573,6 +1559,13 @@ object SparkEntry {
     "mm_av" -> ((s, d) =>
       Multimodal.avContainerMeta(Multimodal.syntheticAvContainers(docs(s, d)))
         .orderBy("doc_id")),
+    // REAL GIF frame count: a bounded block walk over multi-frame GIF89a
+    // fixtures (GCT/LCT skips, extension + image-data sub-block chains,
+    // trailer detection, post-trailer garbage ignored) — the
+    // animation-vs-still readout, no codec library, no UDF
+    "mm_gif" -> ((s, d) =>
+      Multimodal.gifFrameCount(Multimodal.syntheticAnimatedGifs(docs(s, d)))
+        .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
     "qa_profile" -> ((s, d) =>
@@ -2314,7 +2307,8 @@ object SparkEntry {
          |r AS (SELECT j.*, row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC) AS rn,
          |        count(*) OVER (PARTITION BY cid)::BIGINT AS k FROM j),
          |cr AS (SELECT event_type,
-         |         (cents // k) + CASE WHEN rn = 1 THEN cents % k ELSE 0 END AS credit FROM r)
+         |         ((cents - ((cents % k) + k) % k) // k)
+         |           + CASE WHEN rn = 1 THEN ((cents % k) + k) % k ELSE 0 END AS credit FROM r)
          |SELECT event_type, count(*)::BIGINT AS n_touches, sum(credit)::BIGINT AS credit_cents
          |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     // exact type-1 percentiles: every window sum casts ::BIGINT (DuckDB
@@ -2821,7 +2815,8 @@ object SparkEntry {
     },
     // dominant period: exact int64 phase sums on the 1e-6 value lattice,
     // HUGEINT square fold (mirrors decimal(38,0)), per-(key, P) phase
-    // terms folded ORDER BY phase, argmax via (strength DESC, P) rank
+    // terms folded ascending by VALUE (graft_fold_sum's kernel order),
+    // argmax via (strength DESC, P) rank
     "ts_period" ->
       s"""WITH r AS (SELECT event_type, (epoch_us(ts) // $HourUs) AS idx, round(sum(value), 6) / count(*) AS value
          |           FROM events GROUP BY 1, 2),
@@ -2832,8 +2827,8 @@ object SparkEntry {
          |      FROM v, unnest(range(2, 25)) AS u(pp) GROUP BY 1, 2, 3),
          |b AS (SELECT p.event_type, p.P,
          |        list_reduce(list_prepend(0.0::DOUBLE,
-         |          list(np::DOUBLE * (sp::DOUBLE / np::DOUBLE - t.s::DOUBLE / t.n::DOUBLE)
-         |               * (sp::DOUBLE / np::DOUBLE - t.s::DOUBLE / t.n::DOUBLE) ORDER BY ph)),
+         |          list_sort(list(np::DOUBLE * (sp::DOUBLE / np::DOUBLE - t.s::DOUBLE / t.n::DOUBLE)
+         |               * (sp::DOUBLE / np::DOUBLE - t.s::DOUBLE / t.n::DOUBLE)))),
          |          (a, b) -> a + b) AS ssb,
          |        max(t.ss::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE) AS sst
          |      FROM p JOIN t ON p.event_type = t.event_type GROUP BY 1, 2),
@@ -3693,6 +3688,8 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "mm_dims" -> OracleGen.containerMetaSql(maxSegments = 8),
     "mm_av" -> OracleGen.avContainerMetaSql,
+    // GIF frame count: the identical bounded block walk unrolled as CTEs
+    "mm_gif" -> OracleGen.gifFrameCountSql(maxBlocks = 24),
     // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
     // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
     // the window math IS mm_vad's, plus the rate-derived start stamp
@@ -3745,8 +3742,8 @@ object SparkEntry {
     "qa_psi" -> {
       val p = "(coalesce(ho.c, 0) + 1)::DOUBLE / (no.n::DOUBLE + 12.0)"
       val q = "(coalesce(hn.c, 0) + 1)::DOUBLE / (nn.n::DOUBLE + 12.0)"
-      s"""WITH o AS (SELECT least(n_chars // 50, 11) AS b FROM documents WHERE doc_id % 11 <> 3),
-         |nw AS (SELECT least(n_chars // 50, 11) AS b FROM documents
+      s"""WITH o AS (SELECT greatest(0, least(n_chars // 50, 11)) AS b FROM documents WHERE doc_id % 11 <> 3),
+         |nw AS (SELECT greatest(0, least(n_chars // 50, 11)) AS b FROM documents
          |       WHERE doc_id % 13 <> 5 AND n_chars < 400),
          |no AS (SELECT count(*)::BIGINT AS n FROM o),
          |nn AS (SELECT count(*)::BIGINT AS n FROM nw),

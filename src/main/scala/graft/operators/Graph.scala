@@ -82,9 +82,10 @@ object Graph {
    * popularity. Nodes in components the seeds can't reach score exactly 0.
    *
    * Determinism: fixed iteration count; each node's contribution sum
-   * folds over its in-neighbor list SORTED BY source id (the [[adamicAdar]]
-   * sorted-fold rule — on the basket graph's denser nodes a plain float
-   * `sum()` lands on 6-dp rounding boundaries, so the per-iteration snap
+   * folds over its in-neighbor contributions SORTED ASCENDING BY VALUE
+   * ([[graft.functions.GraftFunctions.foldSum]]'s kernel order — on the
+   * basket graph's denser nodes a plain float `sum()` lands on 6-dp
+   * rounding boundaries, so the per-iteration snap
    * alone is NOT enough), then the rank SNAPS to 6 dp; the final top-k cut
    * orders `(rank DESC, id)`. Scale shape per iteration: one join of the
    * rank frame into the edge relation + one per-node fold whose state is
@@ -118,10 +119,9 @@ object Graph {
       val contrib = und
         .join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .select(col("dst"), col("src"), (col("r") / col("deg")).as("rc"))
+        .select(col("dst"), (col("r") / col("deg")).as("rc"))
         .groupBy(col("dst"))
-        .agg(foldSum(expr(
-          "transform(array_sort(collect_list(struct(src, rc))), q -> q.rc)")).as("c"))
+        .agg(foldSum(collect_list(col("rc"))).as("c"))
       val next = ids
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .select(col("id"),
@@ -409,8 +409,9 @@ object Graph {
    *
    * Determinism: every common neighbor has degree ≥ 2 (it touches both
    * endpoints), so `ln(deg) ≥ ln 2` and the fold never divides by zero;
-   * the per-pair sum folds over the neighbor list sorted ascending by
-   * node id, and the score SNAPS to 6 dp before the (score desc, ids)
+   * the per-pair sum folds over the `1/ln(deg)` terms sorted ascending by
+   * VALUE ([[graft.functions.GraftFunctions.foldSum]]'s kernel order),
+   * and the score SNAPS to 6 dp before the (score desc, ids)
    * top-k cut — the oracle replays the identical IEEE sequence.
    *
    * Scale shape: degree is one partial-aggregated groupBy; the wedge
@@ -444,7 +445,7 @@ object Graph {
       .join(deg.select(col("id").as("via"), col("d")), "via")
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"),
-        round(foldSum(expr("transform(array_sort(collect_list(struct(via, d))), p -> 1.0 / ln(p.d))")), 6)
+        round(foldSum(collect_list(lit(1.0) / log(col("d").cast("double")))), 6)
           .as("aa"))
       .orderBy(col("aa").desc, col("id_a"), col("id_b"))
       .limit(topK)

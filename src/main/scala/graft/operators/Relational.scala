@@ -1118,11 +1118,12 @@ object Relational {
    * window before a conversion shares the conversion's value EQUALLY
    * (the fairness counterpoint to [[lastTouchAttribution]]'s
    * winner-take-all). Credit is an EXACT integer split on the cent
-   * lattice: each touch gets `cents div k` and the LAST touch (by ts,
-   * then touch id — a total order, so duplicate timestamps can't
-   * double-credit) absorbs the remainder, so per-channel credits sum to
-   * the converted revenue to the cent — conservation is an invariant,
-   * not a rounding hope. The windows partition by CONVERSION id
+   * lattice: each touch gets the FLOOR share `(cents - pmod(cents, k)) / k`
+   * and the LAST touch (by ts, then touch id — a total order, so duplicate
+   * timestamps can't double-credit) absorbs the non-negative floor-mod
+   * remainder, so per-channel credits sum to the converted revenue to the
+   * cent FOR ANY SIGN of the value (refunds included) — conservation is
+   * an invariant, not a rounding hope. The windows partition by CONVERSION id
    * (state bounded by one conversion's touch count, never a user's
    * history); credit sums fold in decimal(38,0) and cast back.
    */
@@ -1147,11 +1148,18 @@ object Relational {
       .filter(col("__tt") <= col("__ct") && col("__tt") > col("__ct") - windowUs)
     val wLast = Window.partitionBy(col("__cid")).orderBy(col("__tt").desc, col("__tid").desc)
     val wK    = Window.partitionBy(col("__cid"))
+    // FLOOR-division split: base = (cents - floormod) / k is exact for ANY
+    // sign of cents (Spark's `div` truncates toward zero but the numerator
+    // is a multiple of k, so every convention agrees), and base·k + m
+    // always reconstitutes cents — a negative conversion (a refund) keeps
+    // the conservation invariant that `cents div k` + pmod broke
+    // (-5 div 2 = -2 but pmod(-5,2) = 1: -2·2+1 = -3 ≠ -5).
     j.withColumn("__rn", row_number().over(wLast))
       .withColumn("__k", count(lit(1)).over(wK))
+      .withColumn("__m", pmod(col("__cents"), col("__k")))
       .select(col("__ty").as(typeCol),
-        (expr("__cents div __k") +
-          when(col("__rn") === 1, pmod(col("__cents"), col("__k"))).otherwise(0L))
+        (expr("(__cents - __m) div __k") +
+          when(col("__rn") === 1, col("__m")).otherwise(0L))
           .as("__credit"))
       .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_touches"),
@@ -1220,6 +1228,16 @@ object Relational {
       dp: Int = 6
   ): DataFrame = {
     require(replicas >= 2 && replicas <= 1024, "replicas must be in [2, 1024]")
+    // the decimal(38,0) weighted-sum guarantee is stated on an INTEGER
+    // lattice — a fractional value column would be silently truncated by
+    // the long cast, so reject it at plan time: scale to cents/micros
+    // explicitly first (round-14 advice item)
+    val vt = df.schema(valueCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(vt),
+      s"$valueCol must be an integral column (scale to a cent/micro lattice first); got $vt")
     val per = df.select(col(idCol).as("__id"), col(valueCol).cast("long").as("__x"))
       .groupBy(col("__id")).agg(sum(col("__x")).as("__x"))
     val pt = per.agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"))
@@ -1244,10 +1262,13 @@ object Relational {
         expr("aggregate(__ms, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("__sm"))
       .withColumn("__mbar", col("__sm") / col("n_replicas").cast("double"))
       .select(col("n_replicas"),
-        sqrt(expr(
-          "aggregate(transform(__ms, x -> (x - __mbar) * (x - __mbar)), " +
-            "CAST(0.0 AS DOUBLE), (a, y) -> a + y)")
-          / (col("n_replicas").cast("double") - 1.0)).as("__se"))
+        // a degenerate run (one surviving replica) must yield null, not
+        // the NaN a 0-divisor sqrt would emit
+        when(col("n_replicas") > 1L,
+          sqrt(expr(
+            "aggregate(transform(__ms, x -> (x - __mbar) * (x - __mbar)), " +
+              "CAST(0.0 AS DOUBLE), (a, y) -> a + y)")
+            / (col("n_replicas").cast("double") - 1.0))).as("__se"))
     pt.crossJoin(stats).select(
       col("n"),
       round(col("__sx").cast("double") / col("n").cast("double"), dp).as("mean"),

@@ -235,8 +235,7 @@ object TimeSeries {
       .select(keys.map(col) ++ Seq(col("__p"), col("__ph"),
         col("__ss"), col("__s"), col("__n"), term.as("__t")): _*)
       .groupBy(keys.map(col) ++ Seq(col("__p")): _*)
-      .agg(foldSum(expr("transform(array_sort(collect_list(struct(__ph, __t))), q -> q.__t)"))
-        .as("__ssb"),
+      .agg(foldSum(collect_list(col("__t"))).as("__ssb"),
         max(col("__ss")).as("__ss"), max(col("__s")).as("__s"), max(col("__n")).as("__n"))
       .withColumn("__sst",
         col("__ss").cast("double") -

@@ -367,8 +367,13 @@ object Curate {
     import graft.functions.GraftFunctions
     GraftFunctions.register(oldDf.sparkSession)
     import GraftFunctions.foldSum
+    // clamp BOTH ends into the [0, maxBins) universe: a negative value
+    // otherwise lands in a negative bin the universe join silently drops
+    // while still inflating the denominator — per-bin shares stop summing
+    // to 1 and the PSI quietly understates (round-14 advice item)
     def hist(df: DataFrame, cnt: String): DataFrame =
-      df.select(least(expr(s"$valueCol div ${binWidth}L"), lit(maxBins - 1L)).as("__b"))
+      df.select(greatest(lit(0L),
+          least(expr(s"$valueCol div ${binWidth}L"), lit(maxBins - 1L))).as("__b"))
         .groupBy(col("__b")).agg(count(lit(1)).as(cnt))
     val universe = oldDf.sparkSession.range(0, maxBins).select(col("id").as("__b"))
     val no = oldDf.count()
@@ -382,8 +387,7 @@ object Curate {
       .join(hist(newDf, "__cn"), Seq("__b"), "left_outer")
       .select(col("__b"), contrib.as("__c"))
       .agg(
-        foldSum(expr("transform(array_sort(collect_list(struct(__b, __c))), s -> s.__c)"))
-          .as("__psi"),
+        foldSum(collect_list(col("__c"))).as("__psi"),
         min(struct((-col("__c")).as("nc"), col("__b").as("b"), col("__c").as("c")))
           .as("__top"))
       .select(lit(no).as("n_old"), lit(nn).as("n_new"),

@@ -344,6 +344,137 @@ object Multimodal {
   }
 
   /**
+   * GIF FRAME COUNT via a BOUNDED BLOCK WALK over the payload bytes —
+   * the animation-vs-still readout (a video-curation pipeline prices a
+   * 200-frame GIF very differently from a logo), REAL parsing with no
+   * codec library and no UDF (the [[containerMeta]] JPEG-marker-walk
+   * discipline applied to GIF's block grammar):
+   *
+   *  - header `GIF87a`/`GIF89a`, logical screen descriptor, then the
+   *    GLOBAL COLOR TABLE skip (3·2^(N+1) bytes when the packed byte's
+   *    bit 7 is set, N = its low 3 bits);
+   *  - then a block walk: `0x21` extension (label + length-prefixed
+   *    sub-blocks to a 0 terminator), `0x2C` image descriptor (9 bytes,
+   *    optional LOCAL color table, LZW min-code byte, then the image
+   *    data sub-block chain) — each image descriptor is ONE FRAME —
+   *    and `0x3B` trailer ends the file.
+   *
+   * The walk unrolls `maxBlocks` plan-side steps (one NAMED projection
+   * per step — the [[containerMeta]] linear-plan discipline); each step
+   * consumes one block header or one sub-block. A GIF whose walk does
+   * not reach the trailer within the budget (real-world frames carry
+   * many KB-sized sub-blocks) reports `n_frames = -1` — honest "not
+   * decoded", never a guess; raising `maxBlocks` buys depth linearly.
+   * Non-GIF payloads report `format = 'raw'`, `n_frames = -1`.
+   *
+   * Scale shape: row-local projection chain — payload bytes never
+   * shuffle; only (id, format, n_bytes, n_frames) survive.
+   */
+  def gifFrameCount(
+      media: DataFrame,
+      maxBlocks: Int = 24,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxBlocks >= 1 && maxBlocks <= 96, "maxBlocks must be in [1, 96]")
+    def be(pos: Column, len: Int): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+    val nb0 = octet_length(col(payloadCol)).cast("long")
+    val isGif0 = nb0 >= 14L &&
+      (hex(col(payloadCol).substr(lit(1), lit(6))) === "474946383961" ||
+        hex(col(payloadCol).substr(lit(1), lit(6))) === "474946383761")
+    var cur = media.select(col(idCol), col(payloadCol).as("__pl"), nb0.as("__nb"),
+      isGif0.as("__gif"), lit(0L).as("__fr"), lit(0L).as("__mode"),
+      lit(false).as("__done"), lit(true).as("__ok"))
+    // skip the screen descriptor + optional global color table in one
+    // named step (3·2^(N+1) bytes; N ∈ 0..7 → a flat when-chain keeps the
+    // arithmetic integer and codegen'd)
+    val packed0 = be(lit(11L), 1)
+    def pow2(n: Column): Column =
+      when(n === 0L, 2L).when(n === 1L, 4L).when(n === 2L, 8L).when(n === 3L, 16L)
+        .when(n === 4L, 32L).when(n === 5L, 64L).when(n === 6L, 128L).otherwise(lit(256L))
+    val gctLen = when(packed0 >= 128L, lit(3L) * pow2(pmod(packed0, lit(8L)))).otherwise(lit(0L))
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__gif"),
+      when(col("__gif"), lit(14L) + gctLen).otherwise(lit(-1L)).as("__pos"),
+      col("__fr"), col("__mode"), col("__done"), col("__ok"))
+    for (_ <- 1 to maxBlocks) {
+      val pos  = col("__pos")
+      val live = col("__gif") && !col("__done") && pos >= 14L && pos <= col("__nb")
+      val b    = be(pos, 1)
+      val m0   = col("__mode") === 0L
+      val isTrailer = live && m0 && b === 59L  // 0x3B
+      val isImg     = live && m0 && b === 44L  // 0x2C
+      val isExt     = live && m0 && b === 33L  // 0x21
+      val badBlock  = live && m0 && !(b === 59L || b === 44L || b === 33L)
+      val imgPacked = be(pos + 9L, 1)
+      val lctLen = when(imgPacked >= 128L, lit(3L) * pow2(pmod(imgPacked, lit(8L))))
+        .otherwise(lit(0L))
+      val subLen = b
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__gif"),
+        when(isImg, pos + 10L + lctLen + 1L)
+          .when(isExt, pos + 2L)
+          .when(live && !m0 && subLen === 0L, pos + 1L)
+          .when(live && !m0, pos + 1L + subLen)
+          .otherwise(pos).as("__pos"),
+        when(isImg, col("__fr") + 1L).otherwise(col("__fr")).as("__fr"),
+        when(isImg || isExt, lit(1L))
+          .when(live && !m0 && subLen === 0L, lit(0L))
+          .otherwise(col("__mode")).as("__mode"),
+        (col("__done") || isTrailer ||
+          coalesce(badBlock, lit(false))).as("__done"),
+        (col("__ok") && !coalesce(badBlock, lit(false))).as("__ok"))
+    }
+    cur.select(
+      col(idCol),
+      when(col("__gif"), "gif").otherwise("raw").as("format"),
+      col("__nb").as("n_bytes"),
+      when(col("__gif") && col("__done") && col("__ok"), col("__fr"))
+        .otherwise(lit(-1L)).as("n_frames"))
+  }
+
+  /**
+   * FIXTURE WRAPPER for [[gifFrameCount]] (gate/spec harness aid): build
+   * a REAL multi-frame GIF89a stream per doc — `1 + doc_id % 3` frames,
+   * each a graphic-control extension (4-byte sub-block + terminator)
+   * followed by an image descriptor + LZW min-code + one 4-byte data
+   * sub-block + terminator; even ids carry a GLOBAL color table
+   * (3·2^(id%3+1) bytes) and `id % 6 == 1` puts a 6-byte LOCAL color
+   * table on frame 0, so both skip paths execute; the trailer is
+   * followed by the doc's text bytes (post-trailer garbage the walk must
+   * ignore). `doc_id % 4 == 3` stays raw text. The oracle rebuilds the
+   * identical hex stream.
+   */
+  def syntheticAnimatedGifs(docs: DataFrame): DataFrame = {
+    val id      = col("doc_id")
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    def leHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0")): _*)
+    val n       = pmod(id, lit(3L))
+    val hasGct  = pmod(id, lit(2L)) === 0L
+    val packed  = when(hasGct, leHex(lit(128L) + n, 1)).otherwise(lit("00"))
+    val gctHex  = when(hasGct,
+      expr("repeat('ABCDEF', CAST(pow(2, (doc_id % 3) + 1) AS INT))")).otherwise(lit(""))
+    val frames  = lit(1L) + pmod(id, lit(3L))
+    def frame(k: Int): Column = {
+      val gce = concat(lit("21F904" + "00"),
+        leHex(pmod(id * 3L + k, lit(60000L)), 2), lit("00" + "00"))
+      val lct = pmod(id, lit(6L)) === 1L && lit(k) === 0
+      val img = concat(lit("2C"), leHex(lit(k.toLong), 2), leHex(lit(0L), 2),
+        leHex(lit(1L + k), 2), leHex(lit(1L), 2),
+        when(lct, "80" + "DEADBEDEADBE").otherwise(lit("00")))
+      val data = lit("02" + "04" + "DEADBEEF" + "00")
+      when(frames > k, concat(gce, img, data)).otherwise(lit(""))
+    }
+    val gifHex = concat(
+      lit("474946383961"), leHex(lit(1L) + pmod(id * 5L, lit(65536L)), 2),
+      leHex(lit(1L) + pmod(id * 9L, lit(65536L)), 2), packed, lit("0000"), gctHex,
+      frame(0), frame(1), frame(2), lit("3B"), textHex)
+    docs.select(id,
+      unhex(when(pmod(id, lit(4L)) === 3L, textHex).otherwise(gifHex)).as("payload"))
+  }
+
+  /**
    * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
    * byte stream is treated as unsigned PCM8 samples, cut into
    * `window`-sample frames, and each frame scores its RMS energy around

@@ -1526,8 +1526,10 @@ object Similarity {
    *
    * Determinism: coordinates normalize on doubles (the kernel fold) and
    * SNAP to the 1e-6 lattice, so per-dim sums `S_i` and per-row `Σq²`
-   * are exact int64; `ΣS_i²` folds in decimal(38,0) (S_i is up to n·10⁶ —
-   * its square overflows int64 long before 100-TB row counts), and each
+   * are exact int64; `ΣS_i²` AND the corpus-wide `Σq²` fold in
+   * decimal(38,0) (S_i is up to n·10⁶ — its square overflows int64 long
+   * before 100-TB row counts; each row's q² is ~10¹², wrapping an int64
+   * sum at ~9.2M rows), and each
    * side casts to double ONCE for the final two divisions. Zero vectors
    * drop (no direction to report). n = 1 emits no pair mean (null).
    *
@@ -1545,7 +1547,11 @@ object Similarity {
       .select(col("u"),
         expr("aggregate(u, 0L, (a, b) -> a + b * b)").as("__q2"),
         size(col("u")).cast("long").as("__dim"))
-    val tot = q.agg(count(lit(1)).as("n"), sum(col("__q2")).as("__sq2"),
+    // Σq² folds in decimal(38,0) like ΣS²: each unit row contributes ~1e12
+    // on the 1e-6 lattice, so a plain int64 sum would wrap at ~9.2M rows —
+    // far below the corpora this report targets (round-14 advice item)
+    val tot = q.agg(count(lit(1)).as("n"),
+      sum(col("__q2").cast("decimal(38,0)")).as("__sq2"),
       max(col("__dim")).as("dim"))
     val ss = q.select(posexplode(col("u")).as(Seq("__i", "__ui")))
       .groupBy(col("__i")).agg(sum(col("__ui")).as("__s"))

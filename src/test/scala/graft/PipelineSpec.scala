@@ -1249,6 +1249,19 @@ class PipelineSpec extends SparkTestBase {
     (r.getDouble(2), r.getLong(3)) shouldBe ((expect, 0L))
   }
 
+  it should "clamp NEGATIVE values into bin 0 instead of silently dropping them" in {
+    // all-negative old vs all-bin-2 new: identical to the full-shift case
+    // above once the negatives clamp to bin 0 — before the clamp the old
+    // rows fell outside the [0, maxBins) universe (inflating n_old while
+    // contributing nothing) and PSI was quietly understated
+    val neg = (1L to 10L).map(i => (i, -120L)).toDF("id", "v")
+    val hi  = (1L to 10L).map(i => (i, 100L)).toDF("id", "v")
+    val r = graft.pipeline.Curate.psiReport(neg, hi, "v", binWidth = 50L, maxBins = 4).head()
+    val expect = BigDecimal(2.0 * (10.0 / 14.0) * math.log(11.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)) shouldBe ((10L, 10L, expect, 0L))
+  }
+
   "Curate.snapshotDiff" should "classify added/removed/changed/unchanged null-safely" in {
     val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
       (4L, None: Option[String])).toDF("id", "t")
@@ -1366,6 +1379,61 @@ class PipelineSpec extends SparkTestBase {
     out(4) shouldBe ((4L, "wav", -1L, -1L, 9764L, 1L, 16L, 7L))
     // id 10: bmp (10%4 = 2) with 10%5 = 0 -> NEGATIVE stored height, |h| = 171
     out(5) shouldBe ((10L, "bmp", 111L, 171L, -1L, 3L, 24L, -1L))
+  }
+
+  "Multimodal.gifFrameCount" should "count image descriptors through GCT/LCT skips and honest-fail otherwise" in {
+    def hexb(s: String): Array[Byte] = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 255L).toByte).toArray
+    val hdrNoGct = "GIF89a".getBytes ++ le(10, 2) ++ le(8, 2) ++ hexb("000000")
+    // a frame: image descriptor (no LCT) + LZW min-code + one 2-byte sub-block + terminator
+    val frame = hexb("2C") ++ le(0, 2) ++ le(0, 2) ++ le(1, 2) ++ le(1, 2) ++
+      hexb("00" + "02" + "02") ++ "ab".getBytes ++ hexb("00")
+    val twoFrames = hdrNoGct ++ frame ++ frame ++ hexb("3B")
+    // GCT (packed 0x80 -> 2 entries = 6 bytes) + GCE + a frame with an LCT
+    val gce = hexb("21F904" + "00" + "0A00" + "00" + "00")
+    val lctFrame = hexb("2C") ++ le(0, 2) ++ le(0, 2) ++ le(1, 2) ++ le(1, 2) ++
+      hexb("80") ++ hexb("DEADBEDEADBE") ++ hexb("02" + "02") ++ "cd".getBytes ++ hexb("00")
+    val gctOne = "GIF89a".getBytes ++ le(4, 2) ++ le(4, 2) ++ hexb("800000") ++
+      hexb("ABCDEF" * 2) ++ gce ++ lctFrame ++ hexb("3B")
+    // truncated: descriptor promised but the stream ends — walk stalls -> -1
+    val truncated = hdrNoGct ++ hexb("2C") ++ le(0, 2)
+    // zero frames, then trailer, then post-trailer garbage (must be ignored)
+    val zeroFrames = hdrNoGct ++ hexb("3B") ++ "trailing junk".getBytes
+    // an unknown block byte aborts honestly instead of guessing
+    val badBlock = hdrNoGct ++ hexb("7F") ++ frame ++ hexb("3B")
+    val media = Seq(
+      (1L, twoFrames), (2L, gctOne), (3L, truncated),
+      (4L, "just text".getBytes("UTF-8")), (5L, zeroFrames), (6L, badBlock)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.gifFrameCount(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    out(0) shouldBe ((1L, "gif", 2L))
+    out(1) shouldBe ((2L, "gif", 1L))
+    out(2) shouldBe ((3L, "gif", -1L))
+    out(3) shouldBe ((4L, "raw", -1L))
+    out(4) shouldBe ((5L, "gif", 0L))
+    out(5) shouldBe ((6L, "gif", -1L))
+    // a budget too small to reach the trailer reports -1, never a guess
+    val bounded = Multimodal.gifFrameCount(media.filter($"doc_id" === 1L), maxBlocks = 3)
+      .head()
+    (bounded.getString(1), bounded.getLong(3)) shouldBe (("gif", -1L))
+  }
+
+  "Multimodal.syntheticAnimatedGifs" should "round-trip id-derived frame counts through the walk" in {
+    val docsDf = (0L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.gifFrameCount(Multimodal.syntheticAnimatedGifs(docsDf))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // frames = 1 + id % 3; id % 4 == 3 stays raw; even ids carry a GCT and
+    // id 1 puts an LCT on frame 0 — every skip path executes here
+    out(0) shouldBe ((0L, "gif", 1L))
+    out(1) shouldBe ((1L, "gif", 2L))
+    out(2) shouldBe ((2L, "gif", 3L))
+    out(3) shouldBe ((3L, "raw", -1L))
+    out(4) shouldBe ((4L, "gif", 2L))
+    out(5) shouldBe ((5L, "gif", 3L))
+    out(6) shouldBe ((6L, "gif", 1L))
+    out(7) shouldBe ((7L, "raw", -1L))
   }
 
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {

@@ -708,6 +708,21 @@ class RelationalSpec extends SparkTestBase {
     out.values.map(_._2).sum shouldBe 101L // conservation to the cent
   }
 
+  it should "conserve cents for a NEGATIVE conversion (refund) via the floor split" in {
+    // -5 cents over 2 touches: floor share = (-5 - pmod(-5,2))/2 = -3,
+    // last touch absorbs the non-negative remainder 1 → -3 + (-3+1) = -5.
+    // (The old trunc-div split credited -2 + (-2+1) = -3 ≠ -5.)
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 0.0),
+      (2L, 10L, 1L, "view", 0.0),
+      (3L, 20L, 1L, "purchase", -0.05)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.linearAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    out shouldBe Map("click" -> -3L, "view" -> -2L)
+    out.values.sum shouldBe -5L
+  }
+
   "Relational.exactQuantiles" should "pick type-1 percentiles from the histogram" in {
     // values 1..10 (in cents: 100..1000): p50 = ceil(0.5·10) = rank 5 →
     // 500; p90 → rank 9 → 900; p99 → rank 10 → 1000
@@ -735,6 +750,14 @@ class RelationalSpec extends SparkTestBase {
     val const = (1L to 40L).map(u => (u, 500L)).toDF("user_id", "cents")
     val c = Relational.bootstrapMeanSe(const, "user_id", "cents").head()
     (c.getDouble(1), c.getDouble(3)) shouldBe ((500.0, 0.0))
+  }
+
+  it should "reject a fractional value column at plan time" in {
+    // the decimal(38,0) guarantee is stated on an integer lattice — a
+    // double column would be silently truncated by the long cast
+    val frac = Seq((1L, 1.25), (2L, 2.5)).toDF("user_id", "spend")
+    an[IllegalArgumentException] should be thrownBy
+      Relational.bootstrapMeanSe(frac, "user_id", "spend")
   }
 
   "Relational.conversionWilson" should "bound the rate with the small-n-safe interval" in {
