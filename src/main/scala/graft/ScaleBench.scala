@@ -45,7 +45,13 @@ object ScaleBench {
     // row-local blockhash signature (16 in-array block folds per payload,
     // linear by design), and the join-size preflight (two histograms +
     // a histogram-sized join — must stay far below the join it predicts)
-    "st_ppr", "mm_phash", "qa_joinsize")
+    "st_ppr", "mm_phash", "qa_joinsize",
+    // round-15 additions: the heaviest r14 board gate (mm_scenes —
+    // payload-byte array math, row-local and linear by design, now
+    // measured), and the bounded-BFS frontier expansion (per-round
+    // frontier ⋈ edges + visited anti-join — the shape that would expose
+    // a frontier blow-up if the support cut or hop bound were wrong)
+    "mm_scenes", "st_hops")
 
   /** Probe overrides where the GATE's fixed small-data parameters are the
     * scale bottleneck, not the operator: the probe instead applies the
@@ -83,6 +89,15 @@ object ScaleBench {
         graft.operators.Star.coPurchaseEdges(
           s.read.parquet(s"$d/lineitem.parquet"),
           minSupportFrac = Some(2.0 / 150000.0)), topK = 50)
+    },
+    // st_hops: same fractional support convention as st_ppr below
+    "st_hops" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val edges = graft.operators.Star.coPurchaseEdges(
+        s.read.parquet(s"$d/lineitem.parquet"),
+        minSupportFrac = Some(2.0 / 150000.0))
+      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      graft.operators.Graph.bfsHops(edges, seed, maxHops = 3).orderBy("hop", "id")
     },
     // st_ppr: same fractional support convention as st_alsobought (a fixed
     // cut of 2 would admit every replicated pair and densify the graph
