@@ -23,12 +23,16 @@ import graft.pipeline.Checkpoints
   * Wall-clock budget (round 15): the adaptive walk-downs multiplied a
   * 319-gate sweep into ~2200 timed runs and blew past the driver's time
   * limit (BENCH_r14.json rc=124 — no timings recorded at all). The sweep
-  * now runs against a deadline (SPARK_GRAFT_BENCH_BUDGET_S, default 1080 s
-  * of timed running): past 55% of budget the adaptive extensions stop
-  * (every query still gets its base runs), past 85% remaining queries get
-  * a single run each, so the sweep ALWAYS completes with a row for every
-  * gate. BENCH_SELF.json is rewritten after every query, so even a hard
-  * kill leaves a parseable partial artifact.
+  * now runs in PASSES against a deadline (SPARK_GRAFT_BENCH_BUDGET_S,
+  * default 1080 s of timed running): pass 1 times every query once
+  * (unconditionally — every gate always gets a row), then whole-board
+  * passes repeat while budget remains, so floors converge UNIFORMLY —
+  * the first deadline cut (phase thresholds inside one alphabetical
+  * sweep) recorded codegen-inflated single-run floors for exactly the
+  * alphabetically-late families. Per-query run counts are recorded so a
+  * diff can tell "regressed" from "measured with fewer passes".
+  * BENCH_SELF.json is rewritten after every query, so even a hard kill
+  * leaves a parseable partial artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,32 +70,25 @@ object Bench {
       .filter(_.getName == "Metaspace").map(_.getUsage.getUsed).sum >> 20
     def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
 
-    // min of three runs per query: absorbs one-off JIT/IO/scheduler noise
+    // floor = min over passes: absorbs one-off JIT/IO/scheduler noise
     // (observed ±2-4x swings on shared hardware — a single noisy window
     // once recorded a phantom regression, so all per-run times are printed,
-    // and max/min exposes a mid-session cliff even when min looks fine)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // ...but 3 runs is NOT always the floor: the round-10 "retrieval
-    // regression" (rt_bm25_join 1.74->2.73 s) bisected to measurement, not
-    // code — no commit touched those paths, and a 10-run probe converged to
-    // 1.57 s (BETTER than round 9). JIT-heavy queries (bm25Join's
-    // broadcast-term joins compile ~10 codegen stages) keep improving past
-    // run 3 when hundreds of other plans compete for the code cache. So:
-    // after the base runs, keep re-running while the latest run still
-    // improves the floor, up to a cap — stable queries stop at `runs`
-    // (latest run no longer best), converging ones walk down to their floor.
-    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "10").toInt.max(runs)
+    // and max/min exposes a mid-session cliff even when min looks fine).
+    // JIT-heavy queries (bm25Join compiles ~10 codegen stages) keep
+    // improving through run 8+ when hundreds of plans compete for the
+    // code cache — whole-board passes give every query the same number of
+    // warm re-measurements instead of spending the budget alphabetically.
+    // guaranteed full passes (default 1: the artifact contract is one row
+    // per gate; every later pass is budget-gated so a slow machine still
+    // finishes inside the driver's process cap)
+    val minPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "10").toInt.max(minPasses)
     // wall-clock budget for the TIMED portion of the sweep (seconds).
     // The driver's whole-process limit also covers sbt compile + Spark
     // startup; 1080 s here leaves that headroom inside a ~30 min cap.
     val budgetS   = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1080").toDouble
     val sweepT0   = System.nanoTime()
     def elapsedS  = (System.nanoTime() - sweepT0) / 1e9
-    // budget phases: <55% normal (adaptive walk-downs allowed); 55-85%
-    // base runs only; >85% single run per remaining query. The sweep
-    // never skips a query — worst case every gate still gets one timing.
-    def phase: Int =
-      if (elapsedS < 0.55 * budgetS) 0 else if (elapsedS < 0.85 * budgetS) 1 else 2
     // targeted iteration (mirrors Verify): unset = full sweep, as the driver runs it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -126,64 +123,61 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     }
 
-    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int)]
-    selected.foreach { case (name, fn) =>
+    // per-query accumulated run times across passes, in sweep order
+    val names = selected.map(_._1)
+    val fns   = selected.map(_._2)
+    val times = Array.fill(names.size)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    def snapshot(): Seq[(String, Double, Double, Int)] =
+      names.indices.filter(i => times(i).nonEmpty).map { i =>
+        (names(i), times(i).min, times(i).max, times(i).length)
+      }
+    def oneRun(i: Int): Unit = {
       var rows = -1L
       val gc0  = gcMillis
-      def oneRun(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          rows = df.count()
-          // release this run's checkpoint blocks NOW — pipeline queries
-          // otherwise stack ~1 dead frame per run until the ContextCleaner
-          // happens to win, which is exactly the late-session degradation
-          Checkpoints.free(df)
-        }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+      val t0   = System.nanoTime()
+      try {
+        val df = fns(i)(spark, sfDir)
+        rows = df.count()
+        // release this run's checkpoint blocks NOW — pipeline queries
+        // otherwise stack ~1 dead frame per run until the ContextCleaner
+        // happens to win, which is exactly the late-session degradation
+        Checkpoints.free(df)
       }
-      val baseRuns = if (phase >= 2) 1 else runs
-      val times = {
-        val buf = scala.collection.mutable.ArrayBuffer.fill(baseRuns)(0.0)
-        for (i <- 0 until baseRuns) buf(i) = oneRun()
-        // extend while still converging: the floor was set within the last
-        // `patience` runs. Round-11 data: expensive JIT-heavy queries
-        // (d_lev, ts_sanom, rt_bm25_join) improve monotonically through
-        // run 8+ in ISOLATION, but in a full sweep a 2-run noisy plateau
-        // stopped the extension 30-90% above their converged floors. So
-        // queries still above 0.4 s get a guaranteed 8 runs and patience 3;
-        // cheap stable queries keep stopping at `runs` (floor already old).
-        // Budget phases 1-2 suppress the extensions entirely: a floor
-        // measured with fewer runs is recorded as such in `runs`, and the
-        // round-over-round diff reads the run count before crying regression.
-        def floorAge  = buf.length - 1 - buf.indexOf(buf.min)
-        def expensive = buf.min > 0.4
-        def wanted    = if (expensive) 8.min(maxRuns) else runs
-        def patience  = if (expensive) 3 else 2
-        while (phase == 0 && buf.length < maxRuns && (buf.length < wanted || floorAge < patience))
-          buf += oneRun()
-        buf.toSeq
-      }
-      val best  = times.min
-      val worst = times.max
-      val all   = times.map(t => f"$t%.3f").mkString(",")
+      catch { case e: Throwable => System.err.println(s"[bench] ${names(i)} failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(i) += dt
       System.err.println(
-        f"[bench] $name%-16s $best%8.3f s  max=$worst%8.3f  rows=$rows%-8d runs=[$all]  " +
+        f"[bench] ${names(i)}%-16s $dt%8.3f s  floor=${times(i).min}%8.3f  rows=$rows%-8d pass=${times(i).length}  " +
           f"cc=${codeCacheUsedMb}%3dMB meta=${metaspaceUsedMb}%3dMB gc+=${gcMillis - gc0}%4dms rdds=$persistedRdds%3d " +
-          f"t=${elapsedS}%5.0fs ph=$phase")
-      acc += ((name, best, worst, times.length))
-      writeSelf(acc.toSeq, done = false)
+          f"t=${elapsedS}%5.0fs")
+      writeSelf(snapshot(), done = false)
     }
-    val results = acc.toSeq
+    // the first `minPasses` passes run the FULL board unconditionally
+    // (every gate gets its rows no matter what); later passes stop
+    // mid-board the moment the budget runs out — a partial pass still
+    // updates every query it reached, and the recorded per-query run
+    // count says how many passes each floor saw
+    var pass = 1
+    var continue = true
+    while (continue) {
+      var i = 0
+      while (i < names.size && (pass <= minPasses || elapsedS < budgetS)) {
+        oneRun(i)
+        i += 1
+      }
+      System.err.println(f"[bench] pass $pass done at t=${elapsedS}%.0fs of $budgetS%.0fs")
+      pass += 1
+      continue = pass <= maxPasses && elapsedS < budgetS
+    }
+    val results = snapshot()
     // loud summary of any query whose worst run cliffed vs its best — the
     // round-7 artifact (245 s recorded for an 11 s query) stays visible
     results.filter { case (_, b, w, _) => b > 0 && w / b > 3.0 }.foreach { case (n, b, w, _) =>
       System.err.println(f"[bench] UNSTABLE $n: min=$b%.3f max=$w%.3f (${w / b}%.1fx)")
     }
-    if (phase > 0) System.err.println(
-      f"[bench] BUDGET: sweep hit ${elapsedS}%.0f s of $budgetS%.0f s budget (final phase $phase) — " +
-        "late queries measured with fewer runs; see per-query runs counts")
+    if (elapsedS >= budgetS) System.err.println(
+      f"[bench] BUDGET: sweep hit ${elapsedS}%.0f s of $budgetS%.0f s budget after ${pass - 1} pass(es) — " +
+        "per-query run counts say how many passes each floor saw")
     val qs    = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     // per-query run counts: adaptive extension means floors come from
     // differing run counts — record them so round-over-round diffs can

@@ -412,6 +412,49 @@ object OracleGen {
        |GROUP BY e.src ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.operators.Graph.degreeAssortativity]] over the
+    * mined near-dup pair graph: exact HUGEINT moment sums (the engine's
+    * decimal(38,0)), one double division, 6-dp snap. */
+  def degreeAssortativitySql(threshold: Double, numHashes: Int, bands: Int,
+                             shingleK: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |pp AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM v WHERE jaccard >= $threshold AND id_a <> id_b),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pp UNION ALL SELECT b, a FROM pp),
+       |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+       |das_ends AS (SELECT dx.d AS dx, dy.d AS dy
+       |      FROM e JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst),
+       |das_m AS (SELECT count(*)::BIGINT AS m, sum(dx::HUGEINT) AS sx,
+       |      sum((dx * dy)::HUGEINT) AS sxy, sum((dx * dx)::HUGEINT) AS sxx FROM das_ends)
+       |SELECT m AS m_ends,
+       |  CASE WHEN m::HUGEINT * sxx - sx * sx <> 0 THEN
+       |    round((m::HUGEINT * sxy - sx * sx)::DOUBLE /
+       |          (m::HUGEINT * sxx - sx * sx)::DOUBLE, 6) END AS assortativity
+       |FROM das_m""".stripMargin.replace("\n", " ")
+
+  /** mirror of [[graft.operators.Graph.kTruss]]: the identical fixed-round
+    * edge peel — per round, wedge-join support restricted to surviving
+    * edges, keep `support >= k-2`; output = the LAST round's filtered
+    * support list. MATERIALIZED per round (each referenced twice). */
+  def kTrussSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+                maxBucket: Int, k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""adj$t AS MATERIALIZED (SELECT a AS id, b AS nb FROM e${t - 1}
+         |      UNION ALL SELECT b, a FROM e${t - 1}),
+         |s$t AS MATERIALIZED (SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS c
+         |      FROM adj$t x JOIN adj$t y ON x.nb = y.nb AND x.id < y.id
+         |      WHERE EXISTS (SELECT 1 FROM e${t - 1} ee WHERE ee.a = x.id AND ee.b = y.id)
+         |      GROUP BY 1, 2),
+         |e$t AS MATERIALIZED (SELECT a, b FROM s$t WHERE c >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(numHashes, bands, shingleK, maxBucket)},
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM v WHERE jaccard >= $threshold AND id_a <> id_b),
+       |$roundCtes
+       |SELECT a AS id_a, b AS id_b, c AS support FROM s$rounds WHERE c >= ${k - 2}
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.operators.Graph.localClusteringCoefficient]]. */
   def lccSql(threshold: Double, numHashes: Int, bands: Int, shingleK: Int, maxBucket: Int): String =
     s"""WITH ${triangleCtes(threshold, numHashes, bands, shingleK, maxBucket)},
@@ -1150,6 +1193,71 @@ object OracleGen {
        |  nb AS n_bytes,
        |  (CASE WHEN gif AND done AND ok THEN fr ELSE -1 END)::BIGINT AS n_frames
        |FROM w$maxBlocks ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** mirror of [[graft.pipeline.Multimodal.tiffMeta]] over the
+    * [[graft.pipeline.Multimodal.syntheticTiffs]] fixture: identical hex
+    * rebuild, then the SAME byte-order-branching fixed-offset entry reads;
+    * per-tag value = the LAST matching entry (coalesce over descending
+    * entry index mirrors the engine's overwrite-on-match). */
+  def tiffMetaSql(maxEntries: Int): String = {
+    def b1(p: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($p)-1 : 2*($p)] AS BIGINT), -1)"
+    def u16(p: String): String =
+      s"(CASE WHEN le THEN ${b1(p)} + 256 * ${b1(s"($p) + 1")} " +
+        s"ELSE 256 * ${b1(p)} + ${b1(s"($p) + 1")} END)"
+    def u32(p: String): String =
+      s"(CASE WHEN le THEN ${b1(p)} + 256 * ${b1(s"($p) + 1")} + 65536 * ${b1(s"($p) + 2")} + 16777216 * ${b1(s"($p) + 3")} " +
+        s"ELSE 16777216 * ${b1(p)} + 65536 * ${b1(s"($p) + 1")} + 256 * ${b1(s"($p) + 2")} + ${b1(s"($p) + 3")} END)"
+    def leHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * i}) & 255), 2, '0')").mkString(" || ")
+    def beHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * (n - 1 - i)}) & 255), 2, '0')").mkString(" || ")
+    def entry(hx: (String, Int) => String, tag: Long, typ: Long, value: String): String =
+      s"${hx(tag.toString, 2)} || ${hx(typ.toString, 2)} || ${hx("1", 4)} || " +
+        (if (typ == 3L) s"${hx(value, 2)} || '0000'" else hx(value, 4))
+    val w = "1 + (doc_id * 7) % 5000"; val h = "1 + (doc_id * 11) % 5000"
+    val bits = "8 * (1 + doc_id % 4)"; val nEnt = "3 + (doc_id + 1) % 2"
+    def body(hx: (String, Int) => String): String =
+      s"${hx("8", 4)} || ${hx(nEnt, 2)} || ${entry(hx, 256L, 3L, w)} || " +
+        s"${entry(hx, 257L, 3L, h)} || ${entry(hx, 258L, 4L, bits)} || " +
+        s"CASE WHEN ($nEnt) = 4 THEN ${entry(hx, 259L, 3L, "1")} ELSE '' END || " +
+        s"${hx("0", 4)} || hex(encode(text))"
+    // entry picks: coalesce over DESCENDING index = last write wins
+    def pick(tag: Long): String = {
+      val cases = (maxEntries - 1 to 0 by -1).map { i =>
+        val base = s"ifd + 2 + ${12 * i}"
+        val live = s"(tiff AND $i < cnt AND ($base) + 11 <= nb)"
+        val t    = u16(base)
+        val typ  = u16(s"($base) + 2")
+        val v    = s"(CASE WHEN $typ = 3 THEN ${u16(s"($base) + 8")} " +
+          s"WHEN $typ = 4 THEN ${u32(s"($base) + 8")} ELSE -1 END)"
+        s"CASE WHEN $live AND $t = $tag THEN $v END"
+      }.mkString(", ")
+      s"coalesce($cases, -1)"
+    }
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN '49492A00' || ${body(leHex)}
+       |       WHEN doc_id % 3 = 1 THEN '4D4D002A' || ${body(beHex)}
+       |       ELSE hex(encode(text)) END AS hx
+       |  FROM documents),
+       |d AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+       |  (hx[1:8] = '49492A00') AS le,
+       |  (hx[1:8] = '49492A00' OR hx[1:8] = '4D4D002A') AS tiff FROM p),
+       |f AS (SELECT doc_id, hx, nb, le, tiff,
+       |  CASE WHEN tiff THEN ${u32("5")} + 1 ELSE -1 END AS ifd FROM d),
+       |g AS (SELECT doc_id, hx, nb, le, tiff, ifd,
+       |  CASE WHEN tiff AND ifd >= 1 AND ifd + 1 <= nb THEN ${u16("ifd")}
+       |       ELSE -1 END AS cnt FROM f)
+       |SELECT doc_id,
+       |  CASE WHEN tiff AND le THEN 'tiff_le' WHEN tiff THEN 'tiff_be'
+       |       ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN tiff THEN cnt ELSE -1 END)::BIGINT AS n_entries,
+       |  (${pick(256L)})::BIGINT AS width,
+       |  (${pick(257L)})::BIGINT AS height,
+       |  (${pick(258L)})::BIGINT AS bits
+       |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   /** mirror of [[graft.pipeline.Similarity.pqBuild]]+[[graft.pipeline.Similarity.pqTopK]]:

@@ -287,6 +287,16 @@ object SparkEntry {
     "d_kcore" -> ((s, d) =>
       graft.operators.Graph.kCore(Dedup.minhashLshPairs(docs(s, d), 0.5), k = 2, rounds = 6)
         .orderBy("doc_id")),
+    // degree assortativity of the near-dup graph: clique communities
+    // (r > 0) vs template hubs (r < 0) — one exact-moment Pearson over
+    // edge-endpoint degrees, decimal(38,0) sums, one double division
+    "d_assort" -> ((s, d) =>
+      graft.operators.Graph.degreeAssortativity(Dedup.minhashLshPairs(docs(s, d), 0.5))),
+    // 3-truss skeleton of the near-dup graph: edges surviving only while
+    // triangle-supported (fixed 4-round peel, oracle unrolls the same) —
+    // boilerplate hub spokes shear off where k-core keeps them
+    "d_truss" -> ((s, d) =>
+      graft.operators.Graph.kTruss(Dedup.minhashLshPairs(docs(s, d), 0.5), k = 3, rounds = 4)),
     // synchronous label-propagation communities over the same pair graph:
     // the finer structure underneath d_cc (a single bridge doc never
     // outvotes a family's internal edges)
@@ -915,6 +925,12 @@ object SparkEntry {
     // transcendentals, so the oracle replays it bit-identically)
     "ts_period" -> ((s, d) =>
       TimeSeries.dominantPeriod(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type")),
+    // turning-point randomness test: exact strict-extrema count on the
+    // hourly cent grid + Kendall's z vs the i.i.d.-noise expectation —
+    // the is-there-even-signal preflight before trend/decomp spend
+    "ts_turning" -> ((s, d) =>
+      TimeSeries.turningPointTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
         .orderBy("event_type")),
     // CUSUM-argmax changepoint: the most likely level-shift hour per key
     "ts_cpt" -> ((s, d) =>
@@ -1566,6 +1582,12 @@ object SparkEntry {
     "mm_gif" -> ((s, d) =>
       Multimodal.gifFrameCount(Multimodal.syntheticAnimatedGifs(docs(s, d)))
         .orderBy("doc_id")),
+    // REAL TIFF/EXIF IFD decode: byte-order-branching reads (II and MM
+    // fixtures), fixed-offset 12-byte entry scan, left-justified SHORT
+    // and full LONG values — width/height/bits from the actual tag bytes
+    "mm_exif" -> ((s, d) =>
+      Multimodal.tiffMeta(Multimodal.syntheticTiffs(docs(s, d)))
+        .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
     "qa_profile" -> ((s, d) =>
@@ -1809,6 +1831,8 @@ object SparkEntry {
     "st_hops" -> OracleGen.bfsHopsBasketSql(minSupport = 2L, maxHops = 3),
     "d_lcc"       -> OracleGen.lccSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
     "d_kcore"     -> OracleGen.kCoreSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 2, rounds = 6),
+    "d_assort"    -> OracleGen.degreeAssortativitySql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000),
+    "d_truss"     -> OracleGen.kTrussSql(0.5, numHashes = 64, bands = 16, shingleK = 3, maxBucket = 1000, k = 3, rounds = 4),
     "d_cdc"      -> OracleGen.cdcPairsSql(divisor = 8, minWords = 3, minShared = 2L, maxBucket = 1000),
     "d_winnow"   -> OracleGen.winnowPairsSql(k = 16, w = 8, minShared = 2L, maxBucket = 200),
     "d_winnow_gate" -> OracleGen.winnowGateSql(k = 16, w = 8, minShared = 2L, maxBucket = 200, mod = 4),
@@ -2813,6 +2837,25 @@ object SparkEntry {
          |  unnest(list_transform(hs, h -> h.l + h.b)) AS forecast
          |FROM s ORDER BY event_type, ts""".stripMargin.replace("\n", " ")
     },
+    // turning-point test: strict extrema on the hourly cent grid + the
+    // Kendall z against E[T] = 2(n-2)/3, Var = (16n-29)/90
+    "ts_turning" ->
+      s"""WITH r AS (SELECT event_type, (epoch_us(ts) // $HourUs) * $HourUs AS t,
+         |             round(sum(value), 6) / count(*) AS v FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, t, CAST(round(v * 100) AS BIGINT) AS c FROM r),
+         |l AS (SELECT event_type, c,
+         |        lag(c) OVER (PARTITION BY event_type ORDER BY t) AS p,
+         |        lead(c) OVER (PARTITION BY event_type ORDER BY t) AS nx FROM c),
+         |g AS (SELECT event_type, count(*)::BIGINT AS n,
+         |        sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL AND
+         |              ((c > p AND c > nx) OR (c < p AND c < nx)) THEN 1 ELSE 0 END)::BIGINT
+         |          AS turning_points
+         |      FROM l GROUP BY 1)
+         |SELECT event_type, n, turning_points,
+         |  CASE WHEN n >= 3 THEN
+         |    round((turning_points::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0)
+         |          / sqrt((16.0 * n::DOUBLE - 29.0) / 90.0), 6) END AS z
+         |FROM g ORDER BY event_type""".stripMargin.replace("\n", " "),
     // dominant period: exact int64 phase sums on the 1e-6 value lattice,
     // HUGEINT square fold (mirrors decimal(38,0)), per-(key, P) phase
     // terms folded ascending by VALUE (graft_fold_sum's kernel order),
@@ -3690,6 +3733,8 @@ object SparkEntry {
     "mm_av" -> OracleGen.avContainerMetaSql,
     // GIF frame count: the identical bounded block walk unrolled as CTEs
     "mm_gif" -> OracleGen.gifFrameCountSql(maxBlocks = 24),
+    // TIFF IFD decode: byte-order-branching fixed-offset entry reads
+    "mm_exif" -> OracleGen.tiffMetaSql(maxEntries = 16),
     // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
     // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
     // the window math IS mm_vad's, plus the rate-derived start stamp

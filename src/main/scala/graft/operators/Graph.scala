@@ -531,6 +531,102 @@ object Graph {
   }
 
   /**
+   * DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of the
+   * degrees at the two ends of every edge: positive when hubs link to
+   * hubs (social/citation shape), negative when hubs link to leaves
+   * (star/hub-and-spoke — the shape a boilerplate-fragment near-dup hub
+   * produces). One number that tells a curation pass whether its dup
+   * graph is clique-like communities (prune whole clusters) or a few
+   * template hubs (prune the hub docs). Each undirected edge contributes
+   * both orientations (the standard convention), so `Σx = Σy` and
+   * `r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)`.
+   *
+   * Determinism: degrees are exact int64; all five moment sums fold in
+   * decimal(38,0) (deg ≤ n, deg² ≤ n² — int64 dies long before 100-TB
+   * edge counts); ONE double division at the end, then a 6-dp snap — no
+   * float ever sums. A degree-regular graph (denominator 0) yields null.
+   *
+   * Scale shape: one degree groupBy + two broadcast-or-shuffle joins of
+   * the degree table into the edge list + one scalar aggregation — never
+   * a pair-of-pairs join.
+   */
+  def degreeAssortativity(pairs: DataFrame, dp: Int = 6): DataFrame = {
+    // pin the canonical edge list: it fans out into the adjacency (read
+    // twice via deg and ends) — unpinned, each branch would re-run the
+    // whole upstream pair miner
+    val p = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().pinned
+    val adj = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("d")).pinned
+    val ends = adj
+      .join(deg, "src").withColumnRenamed("d", "dx")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // pin the one-row moment aggregate (forcing it) BEFORE releasing the
+    // input's checkpoint blocks — the returned frame must not depend on
+    // freed pins (the kCore discipline)
+    val s = ends.agg(
+      count(lit(1)).as("m"),
+      sum(dec(col("dx"))).as("__sx"),
+      sum(dec(col("dx") * col("dy"))).as("__sxy"),
+      sum(dec(col("dx") * col("dx"))).as("__sxx")).pinned
+    Checkpoints.free(pairs, p, deg)
+    s.select(col("m").as("m_ends"),
+      when(dec(col("m")) * col("__sxx") - col("__sx") * col("__sx") =!= lit(0),
+        round((dec(col("m")) * col("__sxy") - col("__sx") * col("__sx")).cast("double") /
+          (dec(col("m")) * col("__sxx") - col("__sx") * col("__sx")).cast("double"), dp))
+        .as("assortativity"))
+  }
+
+  /**
+   * K-TRUSS edge peel (Cohen 2008) — the EDGE-level cohesion filter
+   * [[kCore]]'s node-level peel approximates: keep an edge only while it
+   * participates in ≥ `k−2` triangles among the surviving edges. A
+   * k-core keeps a star's hub; a k-truss does not — every surviving edge
+   * is triangle-supported, so the output is the cluster SKELETON a
+   * dedup/community pass can trust (boilerplate hubs shear off first).
+   * Returns the surviving `(id_a, id_b, support)` edges after `rounds`
+   * fixed peels (the [[kCore]] fixed-round convention — both engines run
+   * exactly `rounds`; convergence is ≤ diameter on bucket-capped graphs).
+   *
+   * Scale shape per round: one adjacency self-join on the shared
+   * neighbor (the [[triangles]] wedge enumeration — O(Σ deg²), bounded
+   * by the pair miner's bucket caps), one semi restriction to current
+   * edges, one partial-aggregated support count. Exact ints end to end —
+   * no floats anywhere. Edge frames pin per round and free the previous.
+   */
+  def kTruss(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 3, "k must be >= 3 (k=2 keeps every edge)")
+    require(rounds >= 1, "rounds must be >= 1")
+    var e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().pinned
+    Checkpoints.free(pairs)
+    var sup: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val adj = e.select(col("a").as("id"), col("b").as("nb"))
+        .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+      val s = adj.select(col("id").as("a"), col("nb").as("via"))
+        .join(adj.select(col("id").as("b"), col("nb").as("via")), "via")
+        .filter(col("a") < col("b"))
+        .join(e, Seq("a", "b"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+        .pinned
+      Checkpoints.free(e)
+      if (sup != null) Checkpoints.free(sup)
+      sup = s
+      e = s.select(col("a"), col("b"))
+    }
+    sup.select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
    * HITS hubs & authorities (Kleinberg 1999) over the DIRECTED form of the
    * near-dup pair list: each mined pair `(id_a < id_b)` becomes the edge
    * `id_b → id_a` — the later document "cites" its earlier near-duplicate,

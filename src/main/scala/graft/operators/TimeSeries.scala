@@ -193,7 +193,8 @@ object TimeSeries {
    *
    * Determinism: grid values snap to the 1e-6 lattice (exact int64 phase
    * sums; squares fold in decimal(38,0)); per-(key, P) the phase terms
-   * fold SORTED BY PHASE; ties on strength break to the smaller period.
+   * fold ASCENDING BY VALUE ([[graft.functions.GraftFunctions.foldSum]]'s
+   * kernel order); ties on strength break to the smaller period.
    * Keys with zero total variance (constant series) are absent — there is
    * no period to report. Scale shape: the grid explodes ×|periods| (a
    * bounded constant), then two partial-aggregated groupBys and a per-key
@@ -1355,5 +1356,58 @@ object TimeSeries {
     withLags.select(
       expr("size(__vas)").cast("long").as("n") +:
         (0 to maxLag).map(k => col(s"xcorr_$k")): _*)
+  }
+
+  /**
+   * TURNING-POINT RANDOMNESS TEST (Kendall) per series — counts interior
+   * STRICT local extrema on the cent lattice and scores the one-sample z
+   * against the i.i.d.-noise expectation `E[T] = 2(n−2)/3`,
+   * `Var[T] = (16n−29)/90`: |z| small ⇒ the series is indistinguishable
+   * from noise (a metric whose "trend" an anomaly pass should not chase),
+   * z strongly negative ⇒ smooth/trending, strongly positive ⇒
+   * oscillating faster than noise (a polling/aliasing artifact). The
+   * cheap is-there-even-signal preflight before [[theilSen]]/[[decompose]]
+   * spend real compute.
+   *
+   * Determinism: values snap to the cent lattice BEFORE comparison, so a
+   * turning point is an exact integer predicate (ties in the lattice are
+   * NOT extrema — strict inequalities both sides, the only convention two
+   * engines can't disagree on); T and n are exact ints; z is one double
+   * chain snapped to `dp`. Series shorter than 3 grid points yield null z.
+   *
+   * Scale shape: one per-(key, tick) pre-aggregation, then lag/lead
+   * windows partitioned BY KEY (state = one series per partition — the
+   * [[resample]] contract that keys fan out, points per key stay bounded)
+   * and a per-key count. No collect, no cross-key shuffle beyond the one
+   * groupBy.
+   */
+  def turningPointTest(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long,
+      dp: Int = 6
+  ): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val kc = keys.map(col)
+    val grid = resample(df, keys, tsCol, valueCol, step)
+      .select(kc :+ col(tsCol) :+
+        round(col(valueCol) * 100, 0).cast("long").as("__c"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col(tsCol))
+    val tp = grid
+      .withColumn("__p", lag(col("__c"), 1).over(w))
+      .withColumn("__n", lead(col("__c"), 1).over(w))
+      .withColumn("__t",
+        when(col("__p").isNotNull && col("__n").isNotNull &&
+          ((col("__c") > col("__p") && col("__c") > col("__n")) ||
+            (col("__c") < col("__p") && col("__c") < col("__n"))), 1L).otherwise(0L))
+    val nD = col("n").cast("double")
+    tp.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__t")).as("turning_points"))
+      .select(kc ++ Seq(col("n"), col("turning_points"),
+        when(col("n") >= 3L,
+          round((col("turning_points").cast("double") - lit(2.0) * (nD - 2.0) / 3.0) /
+            sqrt((lit(16.0) * nD - 29.0) / 90.0), dp)).as("z")): _*)
   }
 }

@@ -475,6 +475,120 @@ object Multimodal {
   }
 
   /**
+   * TIFF/EXIF IFD metadata decode — REAL parsing of the third container
+   * family, and the first BYTE-ORDER-BRANCHING one: TIFF declares its own
+   * endianness (`II` little, `MM` big) and every subsequent word honors
+   * it, which is exactly the bug farm a codec library hides. No library,
+   * no UDF — the [[containerMeta]] substring→hex→conv discipline:
+   *
+   *  - header: `II 2A00` / `MM 002A`, then the uint32 offset of IFD0;
+   *  - IFD0: a uint16 entry count, then FIXED-SIZE 12-byte entries
+   *    (tag u16, type u16, count u32, value field u32) — no walk state
+   *    needed, entry `i` sits at a computable offset;
+   *  - values: type 3 (SHORT) reads the LEFT-JUSTIFIED first two bytes
+   *    of the value field in the declared byte order; type 4 (LONG)
+   *    reads all four. Tags decoded: 256 ImageWidth, 257 ImageLength,
+   *    258 BitsPerSample.
+   *
+   * The scan unrolls `maxEntries` plan-side reads gated by the declared
+   * entry count; a tag living beyond the budget is simply not found (its
+   * field stays −1 — honest, never a guess), and `n_entries` always
+   * reports the declared count. Non-TIFF payloads report `format='raw'`.
+   * Scale shape: row-local projection chain, payload bytes never shuffle.
+   */
+  def tiffMeta(
+      media: DataFrame,
+      maxEntries: Int = 16,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxEntries >= 1 && maxEntries <= 64, "maxEntries must be in [1, 64]")
+    def b1(pos: Column): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def u16(pos: Column): Column =
+      when(col("__le"), b1(pos) + b1(pos + 1L) * 256L)
+        .otherwise(b1(pos) * 256L + b1(pos + 1L))
+    def u32(pos: Column): Column =
+      when(col("__le"),
+        b1(pos) + b1(pos + 1L) * 256L + b1(pos + 2L) * 65536L + b1(pos + 3L) * 16777216L)
+        .otherwise(
+          b1(pos) * 16777216L + b1(pos + 2L) * 256L + b1(pos + 1L) * 65536L + b1(pos + 3L))
+    val nb = octet_length(col(payloadCol)).cast("long")
+    val hdr = hex(col(payloadCol).substr(lit(1), lit(4)))
+    val isLe = hdr === "49492A00"
+    val isBe = hdr === "4D4D002A"
+    var cur = media.select(col(idCol), col(payloadCol).as("__pl"), nb.as("__nb"),
+      (isLe || isBe).as("__tiff"), isLe.as("__le"))
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+      when(col("__tiff"), u32(lit(5L)) + 1L).otherwise(lit(-1L)).as("__ifd"))
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+      col("__ifd"),
+      when(col("__tiff") && col("__ifd") >= 1L && col("__ifd") + 1L <= col("__nb"),
+        u16(col("__ifd"))).otherwise(lit(-1L)).as("__cnt"),
+      lit(-1L).as("__w"), lit(-1L).as("__h"), lit(-1L).as("__bits"))
+    for (i <- 0 until maxEntries) {
+      val base = col("__ifd") + 2L + lit(12L * i)
+      val live = col("__tiff") && lit(i.toLong) < col("__cnt") &&
+        base + 11L <= col("__nb")
+      val tag = u16(base)
+      val typ = u16(base + 2L)
+      val v = when(typ === 3L, u16(base + 8L)).when(typ === 4L, u32(base + 8L))
+        .otherwise(lit(-1L))
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+        col("__ifd"), col("__cnt"),
+        when(live && tag === 256L, v).otherwise(col("__w")).as("__w"),
+        when(live && tag === 257L, v).otherwise(col("__h")).as("__h"),
+        when(live && tag === 258L, v).otherwise(col("__bits")).as("__bits"))
+    }
+    cur.select(
+      col(idCol),
+      when(col("__tiff") && col("__le"), "tiff_le")
+        .when(col("__tiff"), "tiff_be").otherwise("raw").as("format"),
+      col("__nb").as("n_bytes"),
+      when(col("__tiff"), col("__cnt")).otherwise(lit(-1L)).as("n_entries"),
+      col("__w").as("width"), col("__h").as("height"), col("__bits").as("bits"))
+  }
+
+  /**
+   * FIXTURE WRAPPER for [[tiffMeta]] (gate/spec harness aid): wrap each
+   * doc's text bytes behind a REAL minimal TIFF — `doc_id % 3 == 0`
+   * little-endian (`II`), `% 3 == 1` BIG-endian (`MM`, every word
+   * byte-swapped), raw otherwise. IFD0 holds 3 or 4 entries (even ids
+   * add a Compression entry the decoder must skip): ImageWidth as a
+   * left-justified SHORT, ImageLength as a SHORT, BitsPerSample as a
+   * full LONG — so both value widths and both byte orders execute. The
+   * oracle rebuilds the identical hex stream.
+   */
+  def syntheticTiffs(docs: DataFrame): DataFrame = {
+    val id      = col("doc_id")
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    def leHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0")): _*)
+    def beHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * (n - 1 - i)), lit(256L))), 2, "0")): _*)
+    val w    = lit(1L) + pmod(id * 7L, lit(5000L))
+    val h    = lit(1L) + pmod(id * 11L, lit(5000L))
+    val bits = lit(8L) * (lit(1L) + pmod(id, lit(4L)))
+    val nEnt = lit(3L) + pmod(id + 1L, lit(2L)) // even ids: 4 entries
+    def entry(hx: (Column, Int) => Column, tag: Long, typ: Long, value: Column) =
+      concat(hx(lit(tag), 2), hx(lit(typ), 2), hx(lit(1L), 4),
+        if (typ == 3L) concat(hx(value, 2), lit("0000")) else hx(value, 4))
+    def body(hx: (Column, Int) => Column): Column = concat(
+      hx(lit(8L), 4), hx(nEnt, 2),
+      entry(hx, 256L, 3L, w), entry(hx, 257L, 3L, h), entry(hx, 258L, 4L, bits),
+      when(nEnt === 4L, entry(hx, 259L, 3L, lit(1L))).otherwise(lit("")),
+      hx(lit(0L), 4), textHex)
+    val tiffLe = concat(lit("49492A00"), body(leHex))
+    val tiffBe = concat(lit("4D4D002A"), body(beHex))
+    docs.select(id,
+      unhex(when(pmod(id, lit(3L)) === 0L, tiffLe)
+        .when(pmod(id, lit(3L)) === 1L, tiffBe)
+        .otherwise(textHex)).as("payload"))
+  }
+
+  /**
    * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
    * byte stream is treated as unsigned PCM8 samples, cut into
    * `window`-sample frames, and each frame scores its RMS energy around

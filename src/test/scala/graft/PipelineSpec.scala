@@ -445,6 +445,38 @@ class PipelineSpec extends SparkTestBase {
     core shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
   }
 
+  "Graph.degreeAssortativity" should "score a star negative and a clique-chain mix by hand" in {
+    import graft.operators.Graph
+    // star 1-{2,3,4}: ends pairs (3,1)x3 and (1,3)x3 -> m=6, Sx=12,
+    // Sxy=18, Sxx=30: r = (6*18 - 144) / (6*30 - 144) = -36/36 = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val r1 = Graph.degreeAssortativity(star).head()
+    (r1.getLong(0), r1.getDouble(1)) shouldBe ((6L, -1.0))
+    // a clique (all degrees equal) is degree-regular: denominator 0 -> null
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val r2 = Graph.degreeAssortativity(k3).head()
+    (r2.getLong(0), r2.isNullAt(1)) shouldBe ((6L, true))
+    // duplicate/reversed input edges collapse before counting
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    Graph.degreeAssortativity(dup).head().getLong(0) shouldBe 6L
+  }
+
+  "Graph.kTruss" should "keep only triangle-supported edges and peel cascades" in {
+    import graft.operators.Graph
+    // two triangles sharing edge (2,3) + a pendant edge (4,5): the pendant
+    // has no triangle and drops; the shared edge has support 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Graph.kTruss(pairs, k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L)
+    // a lone triangle has per-edge support 1, so the 4-truss (support
+    // >= 2) peels it entirely
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    Graph.kTruss(tri, k = 4, rounds = 2).count() shouldBe 0L
+  }
+
   "Graph.hits" should "split originals (authorities) from re-posters (hubs) on the directed pair graph" in {
     import graft.operators.Graph
     // pairs (a<b) direct b→a: edges 2→1, 3→1, 3→2. Node 1 is the pure
@@ -1434,6 +1466,47 @@ class PipelineSpec extends SparkTestBase {
     out(5) shouldBe ((5L, "gif", 3L))
     out(6) shouldBe ((6L, "gif", 1L))
     out(7) shouldBe ((7L, "raw", -1L))
+  }
+
+  "Multimodal.tiffMeta" should "read both byte orders, both value widths, and honest-fail truncation" in {
+    def le(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 255L).toByte).toArray
+    def be(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 255L).toByte).toArray
+    def entryLe(tag: Long, typ: Long, v: Long): Array[Byte] =
+      le(tag, 2) ++ le(typ, 2) ++ le(1, 4) ++ (if (typ == 3) le(v, 2) ++ le(0, 2) else le(v, 4))
+    def entryBe(tag: Long, typ: Long, v: Long): Array[Byte] =
+      be(tag, 2) ++ be(typ, 2) ++ be(1, 4) ++ (if (typ == 3) be(v, 2) ++ be(0, 2) else be(v, 4))
+    val tiffLe = "II".getBytes ++ le(42, 2) ++ le(8, 4) ++ le(2, 2) ++
+      entryLe(256, 3, 800) ++ entryLe(257, 4, 600) ++ le(0, 4)
+    val tiffBe = "MM".getBytes ++ be(42, 2) ++ be(8, 4) ++ be(3, 2) ++
+      entryBe(256, 3, 1024) ++ entryBe(257, 3, 768) ++ entryBe(258, 4, 16) ++ be(0, 4)
+    val truncated = "II".getBytes ++ le(42, 2) ++ le(8, 4)
+    val media = Seq((1L, tiffLe), (2L, tiffBe), (3L, truncated),
+      (4L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.tiffMeta(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    out(0) shouldBe ((1L, "tiff_le", 2L, 800L, 600L, -1L))
+    out(1) shouldBe ((2L, "tiff_be", 3L, 1024L, 768L, 16L))
+    out(2) shouldBe ((3L, "tiff_le", -1L, -1L, -1L, -1L))
+    out(3) shouldBe ((4L, "raw", -1L, -1L, -1L, -1L))
+    // entry budget: with maxEntries = 1 only the first tag is seen — the
+    // others stay -1 (honest), the declared count still reports
+    val b = Multimodal.tiffMeta(media.filter($"doc_id" === 2L), maxEntries = 1).head()
+    (b.getLong(3), b.getLong(4), b.getLong(5), b.getLong(6)) shouldBe ((3L, 1024L, -1L, -1L))
+  }
+
+  "Multimodal.syntheticTiffs" should "round-trip id-derived dimensions through both byte orders" in {
+    val docsDf = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.tiffMeta(Multimodal.syntheticTiffs(docsDf))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    out(0) shouldBe ((0L, "tiff_le", 4L, 1L, 1L, 8L))
+    out(1) shouldBe ((1L, "tiff_be", 3L, 8L, 12L, 16L))
+    out(2) shouldBe ((2L, "raw", -1L, -1L, -1L, -1L))
+    out(3) shouldBe ((3L, "tiff_le", 3L, 22L, 34L, 32L))
+    out(4) shouldBe ((4L, "tiff_be", 4L, 29L, 45L, 8L))
+    out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L))
   }
 
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {

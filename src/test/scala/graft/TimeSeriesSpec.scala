@@ -286,6 +286,27 @@ class TimeSeriesSpec extends SparkTestBase {
     out shouldBe Array(("a", 3L, 1.0))
   }
 
+  "TimeSeries.turningPointTest" should "count strict extrema only and score Kendall's z" in {
+    // [1, 3, 2, 5, 4]: interior points 3 (peak), 2 (valley), 5 (peak) -> T = 3
+    val df = Seq(0, 1, 2, 3, 4).zip(Seq(1.0, 3.0, 2.0, 5.0, 4.0))
+      .map { case (i, v) => ("a", i.toLong * 10, v) }.toDF("k", "ts", "v")
+    val r = TimeSeries.turningPointTest(df, Seq("k"), "ts", "v", step = 10L).head()
+    (r.getLong(1), r.getLong(2)) shouldBe ((5L, 3L))
+    val zExp = BigDecimal((3.0 - 2.0 * (5.0 - 2.0) / 3.0) /
+      math.sqrt((16.0 * 5.0 - 29.0) / 90.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getDouble(3) shouldBe zExp
+    // lattice ties are NOT extrema (strict both sides): [1, 2, 2, 1] -> 0
+    val tie = Seq(0, 1, 2, 3).zip(Seq(1.0, 2.0, 2.0, 1.0))
+      .map { case (i, v) => ("a", i.toLong * 10, v) }.toDF("k", "ts", "v")
+    val t = TimeSeries.turningPointTest(tie, Seq("k"), "ts", "v", step = 10L).head()
+    (t.getLong(1), t.getLong(2)) shouldBe ((4L, 0L))
+    // a 2-point series has no interior: z is null, not a divide-by-zero
+    val short = Seq(("a", 0L, 1.0), ("a", 10L, 9.0)).toDF("k", "ts", "v")
+    val s = TimeSeries.turningPointTest(short, Seq("k"), "ts", "v", step = 10L).head()
+    (s.getLong(1), s.getLong(2), s.isNullAt(3)) shouldBe ((2L, 0L, true))
+  }
+
   "TimeSeries.maseBacktest" should "scale the Holt MAE by the naive lag-1 MAE" in {
     // x = [1, 2, 3, 4]: Holt errs 1, 1.375, 1.390625 → sum 3.765625;
     // naive errs all 1 → naive_mae 1, mase = 3.765625 / 3
