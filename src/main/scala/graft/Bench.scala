@@ -156,18 +156,34 @@ object Bench {
     // (every gate gets its rows no matter what); later passes stop
     // mid-board the moment the budget runs out — a partial pass still
     // updates every query it reached, and the recorded per-query run
-    // count says how many passes each floor saw
+    // count says how many passes each floor saw.
+    //
+    // From pass 3 on, a query re-runs only while it still "deserves"
+    // budget: it is expensive (floor ≥ 0.4 s — the JIT-heavy class that
+    // measurably improves through run 8+ while hundreds of plans compete
+    // for the code cache) or its floor improved ≥ 2% within its last two
+    // runs (still converging). Cheap stable queries stop at 2-3 runs, so
+    // the budget concentrates exactly where extra passes change the floor
+    // — a 3-full-pass sweep recorded cheap-query floors 2-3x their
+    // converged values purely from run-count starvation.
+    def stillConverging(i: Int): Boolean = {
+      val ts = times(i)
+      ts.length < 3 || ts.min < ts.dropRight(2).min * 0.98
+    }
+    def deserves(i: Int): Boolean = times(i).min >= 0.4 || stillConverging(i)
     var pass = 1
     var continue = true
     while (continue) {
       var i = 0
+      var ran = 0
       while (i < names.size && (pass <= minPasses || elapsedS < budgetS)) {
-        oneRun(i)
+        if (pass <= 2 || deserves(i)) { oneRun(i); ran += 1 }
         i += 1
       }
-      System.err.println(f"[bench] pass $pass done at t=${elapsedS}%.0fs of $budgetS%.0fs")
+      System.err.println(
+        f"[bench] pass $pass done ($ran/${names.size} run) at t=${elapsedS}%.0fs of $budgetS%.0fs")
       pass += 1
-      continue = pass <= maxPasses && elapsedS < budgetS
+      continue = pass <= maxPasses && elapsedS < budgetS && ran > 0
     }
     val results = snapshot()
     // loud summary of any query whose worst run cliffed vs its best — the

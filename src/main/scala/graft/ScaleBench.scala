@@ -160,7 +160,19 @@ object ScaleBench {
       case 1 => 1 -> baseDir
       case f =>
         val dir = s"$workDir/x$f"
-        if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val marker = new java.io.File(s"$dir/documents.parquet")
+        // staleness guard: the driver regenerates the base testdata each
+        // round — a replica built from the PREVIOUS round's base would
+        // make x1 and x3 measure different data and corrupt the exponent
+        val baseM = new java.io.File(s"$baseDir/documents.parquet").lastModified()
+        if (marker.exists() && marker.lastModified() < baseM) {
+          System.err.println(s"[scale] replica $dir is older than $baseDir — regenerating")
+          def rm(fl: java.io.File): Unit = {
+            Option(fl.listFiles()).foreach(_.foreach(rm)); fl.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+        if (!marker.exists() || marker.lastModified() < baseM) {
           System.err.println(s"[scale] generating ${f}x replica at $dir")
           ScaleGen.generate(spark, baseDir, dir, f)
         }

@@ -791,6 +791,12 @@ object SparkEntry {
         .orderBy("cohort", "bucket_offset")
     }),
     // ordered-stage funnel: greedy-earliest matching per user
+    // funnel step TRANSITION TIMES: per consecutive pair, exact type-1
+    // p50/p90 seconds between a user's first occurrences — "how fast do
+    // converters move", the latency the stage counts can't see
+    "ev_steptime" -> ((s, d) =>
+      graft.operators.Relational.stepTransitionTimes(evUsAll(s, d),
+        Seq("view", "click", "purchase"))),
     "ev_funnel" -> ((s, d) => {
       val ev = evUsAll(s, d)
       graft.operators.Relational.funnelCounts(ev.select("user_id", "ts", "event_type"),
@@ -1625,6 +1631,12 @@ object SparkEntry {
     "qa_joinsize" -> ((s, d) =>
       graft.pipeline.Curate.joinCardinality(
         tbl(s, d, "lineitem"), tbl(s, d, "part"), "l_partkey", "p_partkey")),
+    // per-day ingest volume outliers: robust z (median/MAD from count
+    // histograms — exact type-1 medians) over daily event counts; the
+    // double-volume / half-volume ingest regression detector
+    "qa_volume" -> ((s, d) =>
+      graft.pipeline.Curate.volumeOutliers(
+        evUsAll(s, d).withColumn("day", expr("ts div 86400000000")), "day")),
     // PSI distribution drift of doc length between the same two snapshot
     // versions qa_diff churns — drift even when row counts barely move
     "qa_psi" -> ((s, d) => {
@@ -2335,6 +2347,23 @@ object SparkEntry {
          |           + CASE WHEN rn = 1 THEN ((cents % k) + k) % k ELSE 0 END AS credit FROM r)
          |SELECT event_type, count(*)::BIGINT AS n_touches, sum(credit)::BIGINT AS credit_cents
          |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    // funnel step transition times: first-occurrence joins per pair, then
+    // exact type-1 p50/p90 over the whole-second delta histogram
+    "ev_steptime" ->
+      """WITH f AS (SELECT user_id AS u, event_type AS s, min(epoch_us(ts))::BIGINT AS t
+        |           FROM events WHERE event_type IN ('view', 'click', 'purchase') GROUP BY 1, 2),
+        |pr AS (SELECT 0 AS i, 'view' AS step_from, 'click' AS step_to, (b.t - a.t) // 1000000 AS d
+        |       FROM f a JOIN f b ON a.u = b.u AND a.s = 'view' AND b.s = 'click' AND b.t >= a.t
+        |       UNION ALL
+        |       SELECT 1, 'click', 'purchase', (b.t - a.t) // 1000000
+        |       FROM f a JOIN f b ON a.u = b.u AND a.s = 'click' AND b.s = 'purchase' AND b.t >= a.t),
+        |h AS (SELECT i, step_from, step_to, d, count(*)::BIGINT AS m FROM pr GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT *, sum(m) OVER (PARTITION BY i ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        |        sum(m) OVER (PARTITION BY i)::BIGINT AS n FROM h)
+        |SELECT step_from, step_to, max(n)::BIGINT AS n_users,
+        |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN d END)::BIGINT AS p50_s,
+        |  min(CASE WHEN cum >= (90 * n + 99) // 100 THEN d END)::BIGINT AS p90_s
+        |FROM cum GROUP BY i, step_from, step_to ORDER BY i""".stripMargin.replace("\n", " "),
     // exact type-1 percentiles: every window sum casts ::BIGINT (DuckDB
     // widens windowed sum(BIGINT) to HUGEINT — the roll_moving lesson)
     "ev_pctl" -> {
@@ -3784,6 +3813,28 @@ object SparkEntry {
     // PSI: fixed 20-bin universe, +1-smoothed shares, contributions folded
     // VALUE-sorted (the engine's graft_fold_sum sorts ascending —
     // list_sort, the nbConfusion convention); top bin by (contrib, bin)
+    // per-day volume outliers: type-1 medians from count histograms, the
+    // same (n+1) div 2 lower-median pick as the engine
+    "qa_volume" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+        |           FROM events GROUP BY 1),
+        |h1 AS (SELECT c AS v, count(*)::BIGINT AS m FROM c GROUP BY 1),
+        |m1 AS (SELECT min(v)::BIGINT AS med FROM
+        |        (SELECT v, sum(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        |                sum(m) OVER ()::BIGINT AS n FROM h1)
+        |       WHERE cum >= (n + 1) // 2),
+        |h2 AS (SELECT abs(c.c - m1.med) AS v, count(*)::BIGINT AS m FROM c, m1 GROUP BY 1),
+        |m2 AS (SELECT min(v)::BIGINT AS mad FROM
+        |        (SELECT v, sum(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        |                sum(m) OVER ()::BIGINT AS n FROM h2)
+        |       WHERE cum >= (n + 1) // 2),
+        |z AS (SELECT c.day, c.c, m1.med, m2.mad,
+        |        CASE WHEN m2.mad > 0 THEN round((c.c - m1.med)::DOUBLE / (1.4826 * m2.mad), 6)
+        |             WHEN c.c = m1.med THEN 0.0 END AS z
+        |      FROM c, m1, m2)
+        |SELECT day, c AS n_rows, med AS median_rows, z,
+        |  (z IS NOT NULL AND abs(z) > 3.5) AS is_outlier
+        |FROM z ORDER BY day""".stripMargin.replace("\n", " "),
     "qa_psi" -> {
       val p = "(coalesce(ho.c, 0) + 1)::DOUBLE / (no.n::DOUBLE + 12.0)"
       val q = "(coalesce(hn.c, 0) + 1)::DOUBLE / (nn.n::DOUBLE + 12.0)"

@@ -1167,6 +1167,66 @@ object Relational {
   }
 
   /**
+   * FUNNEL STEP TRANSITION TIMES — for each consecutive step pair of a
+   * named funnel, the distribution of the time users take to move from
+   * their FIRST occurrence of step `i` to their FIRST occurrence of step
+   * `i+1`: user count plus EXACT type-1 p50/p90 on the whole-second
+   * lattice. The "users convert, but HOW FAST" readout funnel counts
+   * ([[funnel]]) can't answer — a checkout whose median time doubles is
+   * broken long before its conversion rate moves.
+   *
+   * Determinism: first-occurrence timestamps are exact int64 µs minima;
+   * deltas floor to whole seconds (`div` — the only convention two
+   * engines can't disagree on); percentiles are type-1 lower quantiles
+   * picked from the per-pair delta HISTOGRAM via a cumulative window (the
+   * [[exactQuantiles]] shape — a window over the histogram, never the
+   * users). Only ordered transitions count (`ts_b >= ts_a`); a user who
+   * did step `i+1` before ever doing step `i` is not a transition.
+   *
+   * Scale shape: one partial-aggregated (user, step) min-ts groupBy, one
+   * equi-join per step pair on the user key, then histogram-sized windows
+   * — never a sort of the user list.
+   */
+  def stepTransitionTimes(
+      ev: DataFrame,
+      steps: Seq[String],
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      userCol: String = "user_id"
+  ): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    val first = ev.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol).as("__u"), col(typeCol).as("__s"))
+      .agg(min(col(tsCol)).as("__t")).pinned
+    val pairs = steps.zip(steps.tail).zipWithIndex.map { case ((a, b), i) =>
+      first.filter(col("__s") === a).select(col("__u"), col("__t").as("__ta"))
+        .join(first.filter(col("__s") === b).select(col("__u"), col("__t").as("__tb")), "__u")
+        .filter(col("__tb") >= col("__ta"))
+        .select(lit(i).as("__i"), lit(a).as("step_from"), lit(b).as("step_to"),
+          expr("(__tb - __ta) div 1000000").as("__d"))
+    }.reduce(_ unionAll _)
+    val hist = pairs.groupBy(col("__i"), col("step_from"), col("step_to"), col("__d"))
+      .agg(count(lit(1)).as("__m"))
+    val w = Window.partitionBy(col("__i")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__m")).over(w))
+      .withColumn("__n", sum(col("__m")).over(Window.partitionBy(col("__i"))))
+    val out = cum.groupBy(col("__i"), col("step_from"), col("step_to"))
+      .agg(max(col("__n")).as("n_users"),
+        min(when(col("__cum") >= expr("(50 * __n + 99) div 100"), col("__d"))).as("p50_s"),
+        min(when(col("__cum") >= expr("(90 * __n + 99) div 100"), col("__d"))).as("p90_s"))
+      .orderBy(col("__i"))
+      .select(col("step_from"), col("step_to"), col("n_users"), col("p50_s"), col("p90_s"))
+      .pinned
+    Checkpoints.free(first)
+    out
+  }
+
+  /**
    * EXACT PER-GROUP VALUE PERCENTILES from the count-of-counts histogram —
    * p50/p90/p99 of the cent-lattice value per group with NO row-level
    * sort: the value histogram (one partial-aggregated groupBy) is

@@ -300,6 +300,59 @@ object Curate {
   }
 
   /**
+   * PARTITION-VOLUME OUTLIER REPORT — which ingest partitions (a source,
+   * a crawl day, a shard) carry anomalous row counts: per-key counts
+   * scored with the ROBUST z `(c − median) / (1.4826 · MAD)` — median and
+   * MAD instead of mean/stddev because volume anomalies are exactly the
+   * rows that would poison the moments used to find them. The
+   * double-this-partition / half-that-partition ingest regression is the
+   * most common silent corpus skew, and it is invisible to per-row QA.
+   *
+   * Determinism: counts are exact int64; median and MAD are TYPE-1 lower
+   * medians picked from count HISTOGRAMS via cumulative windows (the
+   * [[graft.operators.Relational.exactQuantiles]] shape — a window over
+   * the histogram, never the keys), so both are exact integers; z is one
+   * double chain snapped to `dp`. MAD = 0 (over half the partitions share
+   * one count) yields null z for off-median keys rather than ±∞.
+   *
+   * Scale shape: one partial-aggregated count per key, two histogram
+   * aggregations (bounded by DISTINCT count values, not keys), and two
+   * single-row broadcast attachments. Never a sort of the key list.
+   */
+  def volumeOutliers(
+      df: DataFrame,
+      keyCol: String,
+      zCut: Double = 3.5,
+      dp: Int = 6
+  ): DataFrame = {
+    require(zCut > 0.0, "zCut must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c")).pinned
+    // type-1 lower median of a histogram: smallest value whose cumulative
+    // count reaches ceil(n/2)
+    def medianOf(values: DataFrame): Long = {
+      val h = values.groupBy(col("v")).agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = h.withColumn("__cum", sum(col("m")).over(w))
+        .withColumn("__n", sum(col("m")).over(Window.partitionBy()))
+        .filter(col("__cum") >= expr("(__n + 1) div 2"))
+        .agg(min(col("v"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val med = medianOf(cnt.select(col("c").as("v")))
+    val mad = medianOf(cnt.select(abs(col("c") - med).as("v")))
+    val z = when(lit(mad) > 0L,
+      round((col("c") - med).cast("double") / (lit(1.4826) * mad), dp))
+      .otherwise(when(col("c") === med, lit(0.0)))
+    val out = cnt.select(col("k").as(keyCol), col("c").as("n_rows"),
+        lit(med).as("median_rows"), z.as("z"),
+        (z.isNotNull && abs(z) > zCut).as("is_outlier"))
+      .orderBy(col(keyCol)).pinned
+    Checkpoints.free(cnt)
+    out
+  }
+
+  /**
    * JOIN-CARDINALITY PREFLIGHT — the EXACT output size of
    * `left ⨝ right ON leftKey = rightKey`, computed from the two key
    * histograms WITHOUT executing the join: `|A ⨝ B| = Σ_k cntA(k)·cntB(k)`.

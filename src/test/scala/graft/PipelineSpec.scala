@@ -1294,6 +1294,27 @@ class PipelineSpec extends SparkTestBase {
     (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)) shouldBe ((10L, 10L, expect, 0L))
   }
 
+  "Curate.volumeOutliers" should "flag a volume spike with the robust z and null-out zero-MAD cases" in {
+    // per-key row counts [1, 2, 3, 4, 100]: median = 3 (lower, rank 3),
+    // |c - med| sorted [0, 1, 1, 2, 97] -> MAD = 1; z(100) = 97/1.4826
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d") ++ Seq.fill(100)("e")).toDF("k")
+    val out = graft.pipeline.Curate.volumeOutliers(rows, "k").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    out("c") shouldBe ((3L, 3L, 0.0, false))
+    val z = BigDecimal(97.0 / 1.4826).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out("e") shouldBe ((100L, 3L, z, true))
+    out("a")._4 shouldBe false
+    // degenerate spread: over half the keys share the median count ->
+    // MAD = 0 -> off-median z is NULL (never ±inf), median keys score 0
+    val flat = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(10)("d") ++ Seq.fill(10)("f") ++ Seq.fill(100)("g")).toDF("k")
+    val f = graft.pipeline.Curate.volumeOutliers(flat, "k").collect()
+      .map(r => r.getString(0) -> ((r.isNullAt(3), r.getBoolean(4)))).toMap
+    f("a") shouldBe ((false, false)) // at the median: z = 0
+    f("g") shouldBe ((true, false))  // off-median with MAD 0: null, not ±inf
+  }
+
   "Curate.snapshotDiff" should "classify added/removed/changed/unchanged null-safely" in {
     val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
       (4L, None: Option[String])).toDF("id", "t")

@@ -723,6 +723,21 @@ class RelationalSpec extends SparkTestBase {
     out.values.sum shouldBe -5L
   }
 
+  "Relational.stepTransitionTimes" should "time first-occurrence transitions and skip disordered users" in {
+    def us(s: Long) = s * 1000000L
+    val ev = Seq(
+      (1L, us(0), "view"), (1L, us(5), "click"), (1L, us(10), "purchase"),
+      (2L, us(0), "view"), (2L, us(20), "click"),
+      (3L, us(10), "view"), (3L, us(0), "click") // click BEFORE view: not a v->c transition
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.stepTransitionTimes(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // v->c: users 1 and 2, deltas [5, 20] -> p50 = rank 1 = 5, p90 = rank 2 = 20
+    out(0) shouldBe (("view", "click", 2L, 5L, 20L))
+    // c->p: user 1 only (user 3's purchase never happened)
+    out(1) shouldBe (("click", "purchase", 1L, 5L, 5L))
+  }
+
   "Relational.exactQuantiles" should "pick type-1 percentiles from the histogram" in {
     // values 1..10 (in cents: 100..1000): p50 = ceil(0.5·10) = rank 5 →
     // 500; p90 → rank 9 → 900; p99 → rank 10 → 1000
