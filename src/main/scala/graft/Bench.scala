@@ -111,16 +111,19 @@ object Bench {
     }
 
     // incremental artifact: rewritten after EVERY query so any truncation
-    // (driver timeout, OOM kill) still leaves per-query data on disk
+    // (driver timeout, OOM kill) still leaves per-query data on disk.
+    // Targeted runs (SPARK_GRAFT_ONLY) write a SEPARATE file — a 2-query
+    // probe must never clobber the committed full-sweep floor record.
+    val selfPath = if (only.isDefined) "BENCH_SELF_ONLY.json" else "BENCH_SELF.json"
     def writeSelf(rs: Seq[(String, Double, Double, Int)], done: Boolean): Unit = {
       val qs = rs.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val rc = rs.map { case (k, _, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
       val total = rs.map(_._2).sum
       val line =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir","complete":$done}"""
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
         (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+      catch { case e: Throwable => System.err.println(s"[bench] $selfPath write failed: ${e.getMessage}") }
     }
 
     // per-query accumulated run times across passes, in sweep order
@@ -211,7 +214,7 @@ object Bench {
       .mkString("{", ",", "}")
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
-        f""""queries":$fams,"per_query":"BENCH_SELF.json"}"""
+        f""""queries":$fams,"per_query":"$selfPath"}"""
     // stop Spark BEFORE printing: shutdown logging otherwise lands after
     // the JSON in a merged stdout+stderr capture, and a tail-based driver
     // parse then misses the line — the compact JSON must be the LAST output
