@@ -49,14 +49,18 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val sym = edges.toDF("src", "dst")
-    val und = sym.union(sym.select(col("dst"), col("src"))).pinned
+    val und0 = sym.union(sym.select(col("dst"), col("src"))).pinned
     Checkpoints.free(edges) // input consumed: release any pins beneath it
-    val deg = und.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
+    val deg = und0.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
+    // attach the (static) degree to the edge relation ONCE: each of the
+    // `iterations` rounds then joins only the current rank frame instead
+    // of re-joining the degree table every round
+    val und = und0.join(deg, "src").pinned
+    Checkpoints.free(und0, deg)
     val ids = nodes.select(col(idCol).as("id"))
     var ranks = ids.withColumn("r", lit(1.0)).pinned
     for (_ <- 1 to iterations) {
       val contrib = und
-        .join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
       val next = ids
@@ -67,7 +71,7 @@ object Graph {
       Checkpoints.free(ranks)
       ranks = next
     }
-    Checkpoints.free(und, deg)
+    Checkpoints.free(und)
     ranks.select(col("id").as(idCol), col("r").as("rank"))
   }
 
@@ -108,16 +112,19 @@ object Graph {
     GraftFunctions.register(edges.sparkSession)
     import GraftFunctions.foldSum
     val sym = edges.select(col("id_a"), col("id_b"))
-    val und = sym.toDF("src", "dst")
+    val und0 = sym.toDF("src", "dst")
       .union(sym.select(col("id_b"), col("id_a")).toDF("src", "dst")).pinned
     Checkpoints.free(edges)
-    val deg = und.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
-    val ids = und.select(col("src").as("id")).distinct().pinned
+    val deg = und0.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
+    val ids = und0.select(col("src").as("id")).distinct().pinned
+    // degree attaches to the edge relation ONCE (static across rounds):
+    // each iteration then joins only the current rank frame
+    val und = und0.join(deg, "src").pinned
+    Checkpoints.free(und0, deg)
     val p   = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
     var ranks = ids.select(col("id"), round(p, 6).as("r")).pinned
     for (_ <- 1 to iterations) {
       val contrib = und
-        .join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), (col("r") / col("deg")).as("rc"))
         .groupBy(col("dst"))
@@ -135,7 +142,7 @@ object Graph {
       .orderBy(col("r").desc, col("id"))
       .limit(topK)
       .select(col("id"), col("r").as("rank"))
-    Checkpoints.free(und, deg, ids)
+    Checkpoints.free(und, ids)
     out
   }
 
