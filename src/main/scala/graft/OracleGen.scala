@@ -1217,12 +1217,15 @@ object OracleGen {
       s"${hx(tag.toString, 2)} || ${hx(typ.toString, 2)} || ${hx("1", 4)} || " +
         (if (typ == 3L) s"${hx(value, 2)} || '0000'" else hx(value, 4))
     val w = "1 + (doc_id * 7) % 5000"; val h = "1 + (doc_id * 11) % 5000"
-    val bits = "8 * (1 + doc_id % 4)"; val nEnt = "3 + (doc_id + 1) % 2"
+    val bits = "8 * (1 + doc_id % 4)"; val nEnt = "4 + (doc_id + 1) % 2"
+    val xn = "72 + doc_id % 100"; val xd = "1 + doc_id % 3"
+    val ratOff = s"14 + 12 * ($nEnt)"
     def body(hx: (String, Int) => String): String =
       s"${hx("8", 4)} || ${hx(nEnt, 2)} || ${entry(hx, 256L, 3L, w)} || " +
         s"${entry(hx, 257L, 3L, h)} || ${entry(hx, 258L, 4L, bits)} || " +
-        s"CASE WHEN ($nEnt) = 4 THEN ${entry(hx, 259L, 3L, "1")} ELSE '' END || " +
-        s"${hx("0", 4)} || hex(encode(text))"
+        s"${hx("282", 2)} || ${hx("5", 2)} || ${hx("1", 4)} || ${hx(ratOff, 4)} || " +
+        s"CASE WHEN ($nEnt) = 5 THEN ${entry(hx, 259L, 3L, "1")} ELSE '' END || " +
+        s"${hx("0", 4)} || ${hx(xn, 4)} || ${hx(xd, 4)} || hex(encode(text))"
     // entry picks: coalesce over DESCENDING index = last write wins
     def pick(tag: Long): String = {
       val cases = (maxEntries - 1 to 0 by -1).map { i =>
@@ -1233,6 +1236,20 @@ object OracleGen {
         val v    = s"(CASE WHEN $typ = 3 THEN ${u16(s"($base) + 8")} " +
           s"WHEN $typ = 4 THEN ${u32(s"($base) + 8")} ELSE -1 END)"
         s"CASE WHEN $live AND $t = $tag THEN $v END"
+      }.mkString(", ")
+      s"coalesce($cases, -1)"
+    }
+    // RATIONAL pointer-chase picks: value field = 0-based offset to the
+    // 8-byte num/den pair; `off` selects the numerator (0) or denominator (4)
+    def pickRat(tag: Long, off: Int): String = {
+      val cases = (maxEntries - 1 to 0 by -1).map { i =>
+        val base = s"ifd + 2 + ${12 * i}"
+        val live = s"(tiff AND $i < cnt AND ($base) + 11 <= nb)"
+        val t    = u16(base)
+        val typ  = u16(s"($base) + 2")
+        val ptr  = s"(${u32(s"($base) + 8")} + 1)"
+        s"CASE WHEN $live AND $t = $tag AND $typ = 5 AND $ptr >= 1 AND $ptr + 7 <= nb " +
+          s"THEN ${u32(s"$ptr + $off")} END"
       }.mkString(", ")
       s"coalesce($cases, -1)"
     }
@@ -1256,7 +1273,9 @@ object OracleGen {
        |  (CASE WHEN tiff THEN cnt ELSE -1 END)::BIGINT AS n_entries,
        |  (${pick(256L)})::BIGINT AS width,
        |  (${pick(257L)})::BIGINT AS height,
-       |  (${pick(258L)})::BIGINT AS bits
+       |  (${pick(258L)})::BIGINT AS bits,
+       |  (${pickRat(282L, 0)})::BIGINT AS xres_num,
+       |  (${pickRat(282L, 4)})::BIGINT AS xres_den
        |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 

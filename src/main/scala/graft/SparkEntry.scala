@@ -689,6 +689,16 @@ object SparkEntry {
     // greenlist-watermark z-score per doc: the synthetic-text bias audit
     // (hash-parity greenlist, RNG-free, engine-identical)
     "tx_watermark" -> ((s, d) => TextAnalysis.watermarkScores(docs(s, d)).orderBy("doc_id")),
+    // encoding-anomaly (mojibake) rates per source: control chars injected
+    // on every 13th doc, U+FFFD on every 17th (13∧17 overlap → control
+    // branch wins, mirrored in the oracle CASE order)
+    "tx_mojibake" -> ((s, d) => {
+      val dirty = docs(s, d).withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit("\u0001\u0002")))
+          .when(col("doc_id") % 17 === 0, concat(col("text"), lit("\uFFFD")))
+          .otherwise(col("text")))
+      TextAnalysis.encodingAnomalies(dirty).orderBy("source")
+    }),
     // Gopher-style repetition signals: one row-local projection, no shuffle
     "tx_rep" -> ((s, d) => TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
     // unigram-LM score: vocabSize=20 < the corpus vocab, so OOV floor is live
@@ -1631,6 +1641,15 @@ object SparkEntry {
     "qa_joinsize" -> ((s, d) =>
       graft.pipeline.Curate.joinCardinality(
         tbl(s, d, "lineitem"), tbl(s, d, "part"), "l_partkey", "p_partkey")),
+    // functional-dependency audit: does user_id determine event_type?
+    // (heavily violated by design — the gate pins the audit's arithmetic)
+    "qa_fd" -> ((s, d) =>
+      graft.pipeline.Curate.functionalDependency(evUsAll(s, d), "user_id", "event_type")),
+    // header/detail totals audit: o_totalprice vs the lineitem pricing
+    // formula on the cent lattice (the synthetic data violates it —
+    // which is exactly what an audit is for)
+    "qa_totals" -> ((s, d) =>
+      graft.pipeline.Curate.totalsAudit(tbl(s, d, "orders"), tbl(s, d, "lineitem"))),
     // per-day ingest volume outliers: robust z (median/MAD from count
     // histograms — exact type-1 medians) over daily event counts; the
     // double-volume / half-volume ingest regression detector
@@ -2057,6 +2076,27 @@ object SparkEntry {
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
     "tx_watermark" -> OracleGen.watermarkScoresSql(seed = 7L, minTokens = 16L),
+    // mojibake: same injected anomalies (CASE order = engine when order),
+    // explicit codepoint class so Java regex and RE2 agree; worst doc =
+    // (anomaly count DESC, doc_id) rank 1
+    "tx_mojibake" ->
+      """WITH dirty AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || chr(1) || chr(2)
+        |       WHEN doc_id % 17 = 0 THEN text || chr(65533) ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, length(text)::BIGINT AS n,
+        |  (length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')))::BIGINT AS c,
+        |  (length(text) - length(replace(text, chr(65533), '')))::BIGINT AS r FROM dirty),
+        |w AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY (c + r) DESC, doc_id) AS rn FROM s),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_chars,
+        |        sum(c)::BIGINT AS n_control, sum(r)::BIGINT AS n_replacement FROM s GROUP BY 1)
+        |SELECT g.source, n_docs, n_chars, n_control, n_replacement,
+        |  round(n_control::DOUBLE * 10000.0 / greatest(n_chars, 1)::DOUBLE, 6) AS control_per_10k,
+        |  round(n_replacement::DOUBLE * 10000.0 / greatest(n_chars, 1)::DOUBLE, 6) AS replacement_per_10k,
+        |  w.doc_id AS worst_doc
+        |FROM g JOIN w ON w.source = g.source AND w.rn = 1
+        |ORDER BY g.source""".stripMargin.replace("\n", " "),
     "tx_json" ->
       // sum(BIGINT) is HUGEINT in DuckDB — cast back so the hash compare sees int64
       """SELECT event_type, count(json_extract_string(props, '$.k')::BIGINT) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum FROM events GROUP BY event_type ORDER BY event_type""",
@@ -3813,6 +3853,33 @@ object SparkEntry {
     // PSI: fixed 20-bin universe, +1-smoothed shares, contributions folded
     // VALUE-sorted (the engine's graft_fold_sum sorts ascending —
     // list_sort, the nbConfusion convention); top bin by (contrib, bin)
+    // FD audit: two-level grouping (null dependents count as values,
+    // unlike count(DISTINCT) which would drop them)
+    "qa_fd" ->
+      """WITH p AS (SELECT user_id AS k, event_type AS v FROM events GROUP BY 1, 2),
+        |g AS (SELECT k, count(*)::BIGINT AS nd FROM p GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_keys,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS violation_rate,
+        |  max(nd)::BIGINT AS max_images,
+        |  min(CASE WHEN nd > 1 THEN k END)::BIGINT AS example_key
+        |FROM g""".stripMargin.replace("\n", " "),
+    // totals audit: per-line cents round once, integer sums, left join
+    // so a detail-less header compares against 0
+    "qa_totals" ->
+      """WITH rc AS (SELECT l_orderkey AS ok,
+        |        sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)::BIGINT)::BIGINT AS cents
+        |      FROM lineitem GROUP BY 1),
+        |j AS (SELECT round(o.o_totalprice * 100)::BIGINT - coalesce(rc.cents, 0) AS d
+        |      FROM orders o LEFT JOIN rc ON o.o_orderkey = rc.ok)
+        |SELECT count(*)::BIGINT AS n_orders,
+        |  sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+        |  round(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS mismatch_rate,
+        |  max(abs(d))::BIGINT AS max_abs_diff_cents,
+        |  round(sum(abs(d))::DOUBLE / count(*)::DOUBLE / 100.0, 2) AS mean_abs_diff
+        |FROM j""".stripMargin.replace("\n", " "),
     // per-day volume outliers: type-1 medians from count histograms, the
     // same (n+1) div 2 lower-median pick as the engine
     "qa_volume" ->

@@ -353,6 +353,79 @@ object Curate {
   }
 
   /**
+   * FUNCTIONAL-DEPENDENCY AUDIT — does column `detCol` determine column
+   * `depCol`? Counts determinant values mapping to MORE than one distinct
+   * dependent value — the "one order, two customers" class of silent
+   * referential corruption that a null/orphan audit ([[profile]],
+   * `qa_orphans`) cannot see because every row looks locally fine. Exact
+   * distinct counts (never approximate — an FD audit that can
+   * false-negative is worse than none); the example is the SMALLEST
+   * violating determinant, so reruns name the same row to go look at.
+   *
+   * Scale shape: one partial-aggregated two-level groupBy (pairs, then
+   * determinants) + one scalar aggregation. Nulls: a null dependent is a
+   * VALUE for FD purposes (two rows, one null one 'x' → violation);
+   * null determinants group like any other key.
+   */
+  def functionalDependency(
+      df: DataFrame,
+      detCol: String,
+      depCol: String,
+      dp: Int = 6
+  ): DataFrame = {
+    val pairs = df.select(col(detCol).as("__k"), col(depCol).as("__v"))
+      .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+    val perKey = pairs.groupBy(col("__k")).agg(count(lit(1)).as("__nd"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("__nd") > 1L, 1L).otherwise(0L)).as("n_violating"),
+      max(col("__nd")).as("max_images"),
+      min(when(col("__nd") > 1L, col("__k"))).as("example_key"))
+      .select(col("n_keys"), col("n_violating"),
+        round(col("n_violating").cast("double") / col("n_keys").cast("double"), dp)
+          .as("violation_rate"),
+        col("max_images"), col("example_key"))
+  }
+
+  /**
+   * CROSS-TABLE TOTALS AUDIT — does every order's stored total equal the
+   * sum of its line items under the pricing formula
+   * `Σ round(extprice·(1−disc)·(1+tax), 2)`? The classic
+   * header/detail consistency invariant; a pipeline that re-derives
+   * revenue from lineitem while dashboards read o_totalprice silently
+   * disagrees by exactly what this reports. All comparison on the cent
+   * lattice: per-line cents round once (one fixed double chain, identical
+   * in both engines), then integer sums; the diff distribution reports
+   * max and mean |diff| in cents. Orders with NO line items compare
+   * against 0 (a header with no details is itself a finding).
+   */
+  def totalsAudit(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      dp: Int = 2
+  ): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("__ok"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax")) * 100.0, 0).cast("long").as("__lc"))
+      .groupBy(col("__ok")).agg(sum(col("__lc")).as("__cents"))
+    val j = orders.select(col("o_orderkey").as("__ok"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("__oc"))
+      .join(li, Seq("__ok"), "left_outer")
+      .select(col("__ok"), (col("__oc") - coalesce(col("__cents"), lit(0L))).as("__d"))
+    j.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("__d") =!= 0L, 1L).otherwise(0L)).as("n_mismatched"),
+      max(abs(col("__d"))).as("max_abs_diff_cents"),
+      sum(abs(col("__d")).cast("decimal(38,0)")).as("__sad"))
+      .select(col("n_orders"), col("n_mismatched"),
+        round(col("n_mismatched").cast("double") / col("n_orders").cast("double"), 6)
+          .as("mismatch_rate"),
+        col("max_abs_diff_cents"),
+        round(col("__sad").cast("double") / col("n_orders").cast("double") / 100.0, dp)
+          .as("mean_abs_diff"))
+  }
+
+  /**
    * JOIN-CARDINALITY PREFLIGHT — the EXACT output size of
    * `left ⨝ right ON leftKey = rightKey`, computed from the two key
    * histograms WITHOUT executing the join: `|A ⨝ B| = Σ_k cntA(k)·cntB(k)`.

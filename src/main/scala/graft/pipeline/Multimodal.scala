@@ -487,8 +487,12 @@ object Multimodal {
    *    needed, entry `i` sits at a computable offset;
    *  - values: type 3 (SHORT) reads the LEFT-JUSTIFIED first two bytes
    *    of the value field in the declared byte order; type 4 (LONG)
-   *    reads all four. Tags decoded: 256 ImageWidth, 257 ImageLength,
-   *    258 BitsPerSample.
+   *    reads all four; type 5 (RATIONAL) is the first POINTER-CHASE in
+   *    the decode family — the value field holds a byte OFFSET to an
+   *    8-byte numerator/denominator pair elsewhere in the file, both
+   *    read in the declared byte order. Tags decoded: 256 ImageWidth,
+   *    257 ImageLength, 258 BitsPerSample, 282 XResolution (rational →
+   *    `xres_num`/`xres_den`).
    *
    * The scan unrolls `maxEntries` plan-side reads gated by the declared
    * entry count; a tag living beyond the budget is simply not found (its
@@ -525,20 +529,39 @@ object Multimodal {
       col("__ifd"),
       when(col("__tiff") && col("__ifd") >= 1L && col("__ifd") + 1L <= col("__nb"),
         u16(col("__ifd"))).otherwise(lit(-1L)).as("__cnt"),
-      lit(-1L).as("__w"), lit(-1L).as("__h"), lit(-1L).as("__bits"))
+      lit(-1L).as("__w"), lit(-1L).as("__h"), lit(-1L).as("__bits"),
+      lit(-1L).as("__xn"), lit(-1L).as("__xd"))
+    val state = Seq("__pl", "__nb", "__tiff", "__le", "__ifd", "__cnt",
+      "__w", "__h", "__bits", "__xn", "__xd").map(col)
     for (i <- 0 until maxEntries) {
       val base = col("__ifd") + 2L + lit(12L * i)
       val live = col("__tiff") && lit(i.toLong) < col("__cnt") &&
         base + 11L <= col("__nb")
-      val tag = u16(base)
-      val typ = u16(base + 2L)
-      val v = when(typ === 3L, u16(base + 8L)).when(typ === 4L, u32(base + 8L))
+      // step A: NAME the per-entry reads once — inlining them into every
+      // state branch duplicated the byte-read trees ~6x per step and the
+      // unrolled plan's analysis cost exploded (47 s cold at sf0.1)
+      val typA = u16(base + 2L)
+      val valA = when(typA === 3L, u16(base + 8L)).when(typA === 4L, u32(base + 8L))
         .otherwise(lit(-1L))
+      cur = cur.select(col(idCol) +: state :+
+        u16(base).as("__tag") :+ typA.as("__typ") :+ valA.as("__val") :+
+        live.as("__live") :+ (u32(base + 8L) + 1L).as("__ptr"): _*)
+      // step B: fold into the tag state off the named columns
+      val tag = col("__tag")
+      val typ = col("__typ")
+      val lv  = col("__live")
+      val v   = col("__val")
+      // RATIONAL pointer-chase: the value field is a 0-based byte offset
+      // to an 8-byte num/den pair; both words honor the byte order
+      val ptr   = col("__ptr")
+      val ratOk = typ === 5L && ptr >= 1L && ptr + 7L <= col("__nb")
       cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
         col("__ifd"), col("__cnt"),
-        when(live && tag === 256L, v).otherwise(col("__w")).as("__w"),
-        when(live && tag === 257L, v).otherwise(col("__h")).as("__h"),
-        when(live && tag === 258L, v).otherwise(col("__bits")).as("__bits"))
+        when(lv && tag === 256L, v).otherwise(col("__w")).as("__w"),
+        when(lv && tag === 257L, v).otherwise(col("__h")).as("__h"),
+        when(lv && tag === 258L, v).otherwise(col("__bits")).as("__bits"),
+        when(lv && tag === 282L && ratOk, u32(ptr)).otherwise(col("__xn")).as("__xn"),
+        when(lv && tag === 282L && ratOk, u32(ptr + 4L)).otherwise(col("__xd")).as("__xd"))
     }
     cur.select(
       col(idCol),
@@ -546,18 +569,21 @@ object Multimodal {
         .when(col("__tiff"), "tiff_be").otherwise("raw").as("format"),
       col("__nb").as("n_bytes"),
       when(col("__tiff"), col("__cnt")).otherwise(lit(-1L)).as("n_entries"),
-      col("__w").as("width"), col("__h").as("height"), col("__bits").as("bits"))
+      col("__w").as("width"), col("__h").as("height"), col("__bits").as("bits"),
+      col("__xn").as("xres_num"), col("__xd").as("xres_den"))
   }
 
   /**
    * FIXTURE WRAPPER for [[tiffMeta]] (gate/spec harness aid): wrap each
    * doc's text bytes behind a REAL minimal TIFF — `doc_id % 3 == 0`
    * little-endian (`II`), `% 3 == 1` BIG-endian (`MM`, every word
-   * byte-swapped), raw otherwise. IFD0 holds 3 or 4 entries (even ids
+   * byte-swapped), raw otherwise. IFD0 holds 4 or 5 entries (even ids
    * add a Compression entry the decoder must skip): ImageWidth as a
    * left-justified SHORT, ImageLength as a SHORT, BitsPerSample as a
-   * full LONG — so both value widths and both byte orders execute. The
-   * oracle rebuilds the identical hex stream.
+   * full LONG, XResolution as a RATIONAL whose value field POINTS at an
+   * 8-byte num/den pair after the IFD — so both value widths, both byte
+   * orders, and the pointer chase all execute. The oracle rebuilds the
+   * identical hex stream.
    */
   def syntheticTiffs(docs: DataFrame): DataFrame = {
     val id      = col("doc_id")
@@ -571,15 +597,21 @@ object Multimodal {
     val w    = lit(1L) + pmod(id * 7L, lit(5000L))
     val h    = lit(1L) + pmod(id * 11L, lit(5000L))
     val bits = lit(8L) * (lit(1L) + pmod(id, lit(4L)))
-    val nEnt = lit(3L) + pmod(id + 1L, lit(2L)) // even ids: 4 entries
+    val xn   = lit(72L) + pmod(id, lit(100L))
+    val xd   = lit(1L) + pmod(id, lit(3L))
+    val nEnt = lit(4L) + pmod(id + 1L, lit(2L)) // even ids: 5 entries
+    // rational payload sits right after the next-IFD pointer:
+    // 0-based offset = 8 (IFD start) + 2 (count) + 12·nEnt + 4 (next ptr)
+    val ratOff = lit(14L) + lit(12L) * nEnt
     def entry(hx: (Column, Int) => Column, tag: Long, typ: Long, value: Column) =
       concat(hx(lit(tag), 2), hx(lit(typ), 2), hx(lit(1L), 4),
         if (typ == 3L) concat(hx(value, 2), lit("0000")) else hx(value, 4))
     def body(hx: (Column, Int) => Column): Column = concat(
       hx(lit(8L), 4), hx(nEnt, 2),
       entry(hx, 256L, 3L, w), entry(hx, 257L, 3L, h), entry(hx, 258L, 4L, bits),
-      when(nEnt === 4L, entry(hx, 259L, 3L, lit(1L))).otherwise(lit("")),
-      hx(lit(0L), 4), textHex)
+      concat(hx(lit(282L), 2), hx(lit(5L), 2), hx(lit(1L), 4), hx(ratOff, 4)),
+      when(nEnt === 5L, entry(hx, 259L, 3L, lit(1L))).otherwise(lit("")),
+      hx(lit(0L), 4), hx(xn, 4), hx(xd, 4), textHex)
     val tiffLe = concat(lit("49492A00"), body(leHex))
     val tiffBe = concat(lit("4D4D002A"), body(beHex))
     docs.select(id,

@@ -761,6 +761,53 @@ object TextAnalysis {
    * [[graft.pipeline.Chat.chatGateStream]] stateless-gate shape); exact
    * int64 counts, one fixed double chain.
    */
+  /**
+   * ENCODING-ANOMALY REPORT per source — the mojibake detector: counts
+   * CONTROL characters (codepoints < 0x20 except tab/LF/CR) and U+FFFD
+   * REPLACEMENT characters (the residue of a wrong-charset decode) per
+   * feed. A crawler that silently switched from UTF-8 to Latin-1 poisons
+   * every downstream tokenizer; per-row QA never sees it because each
+   * row still "has text". Counting is `length(text) −
+   * length(regexp_replace(text, class, ''))` — an explicit codepoint
+   * class (no locale-dependent shorthand like `\p{Cntrl}`), so the Java
+   * and RE2 engines agree character for character. Rates are per 10k
+   * characters on one double division, 6-dp snap; `worst_doc` is the
+   * smallest doc id attaining the max per-doc anomaly count.
+   *
+   * Scale shape: one row-local projection (two codegen'd regex passes
+   * over the text) + one partial-aggregated groupBy on the source key.
+   */
+  def encodingAnomalies(
+      df: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dp: Int = 6
+  ): DataFrame = {
+    val ctl  = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    val repl = "\\uFFFD"
+    val scored = df.select(col(srcCol).as("__s"), col(idCol).as("__id"),
+      length(col(textCol)).cast("long").as("__n"),
+      (length(col(textCol)) - length(regexp_replace(col(textCol), ctl, "")))
+        .cast("long").as("__c"),
+      (length(col(textCol)) - length(regexp_replace(col(textCol), repl, "")))
+        .cast("long").as("__r"))
+    scored.groupBy(col("__s").as(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_chars"),
+        sum(col("__c")).as("n_control"),
+        sum(col("__r")).as("n_replacement"),
+        min(struct((-(col("__c") + col("__r"))).as("na"), col("__id").as("id"))).as("__w"))
+      .select(col(srcCol), col("n_docs"), col("n_chars"), col("n_control"),
+        col("n_replacement"),
+        round(col("n_control").cast("double") * 10000.0 /
+          greatest(col("n_chars"), lit(1L)).cast("double"), dp).as("control_per_10k"),
+        round(col("n_replacement").cast("double") * 10000.0 /
+          greatest(col("n_chars"), lit(1L)).cast("double"), dp).as("replacement_per_10k"),
+        col("__w.id").as("worst_doc"))
+  }
+
   def watermarkScores(
       df: DataFrame,
       seed: Long = 7L,

@@ -1315,6 +1315,45 @@ class PipelineSpec extends SparkTestBase {
     f("g") shouldBe ((true, false))  // off-median with MAD 0: null, not ±inf
   }
 
+  "Curate.functionalDependency" should "count violating determinants with nulls as values" in {
+    val df = Seq(
+      (1L, Some("a")), (1L, Some("a")),                    // key 1: one image -> fine
+      (2L, Some("a")), (2L, Some("b")), (2L, Some("c")),   // key 2: three images
+      (3L, Some("x")), (3L, None: Option[String])          // key 3: null IS a second value
+    ).toDF("k", "v")
+    val r = graft.pipeline.Curate.functionalDependency(df, "k", "v").head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((3L, 2L, 0.666667, 3L, 2L))
+  }
+
+  "Curate.totalsAudit" should "compare header totals to the lineitem pricing formula in cents" in {
+    val orders = Seq((1L, 10.0), (2L, 5.0), (3L, 7.5)).toDF("o_orderkey", "o_totalprice")
+    // order 1: 2 lines -> round(4*1.0*1.0)=4.00 + round(6.0)=6.00 = 10.00 (match)
+    // order 2: one line 2.0*(1-0.5)*(1+1.0) = 2.00 vs header 5.00 -> diff 300 cents
+    // order 3: NO lines -> compares against 0 -> diff 750 cents
+    val li = Seq(
+      (1L, 4.0, 0.0, 0.0), (1L, 6.0, 0.0, 0.0),
+      (2L, 2.0, 0.5, 1.0)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = graft.pipeline.Curate.totalsAudit(orders, li).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((3L, 2L, 0.666667))
+    (r.getLong(3), r.getDouble(4)) shouldBe ((750L, 3.5)) // (0+300+750)/3 = 350 cents
+  }
+
+  "TextAnalysis.encodingAnomalies" should "count control and replacement chars per source" in {
+    import graft.pipeline.TextAnalysis
+    val docsDf = Seq(
+      (1L, "clean text", "a"),
+      (2L, "bad\u0001\u0002text", "a"), // 2 control chars
+      (3L, "lost\uFFFD\uFFFD\uFFFDbytes", "b"), // 3 replacement chars
+      (4L, "tab\tand\nnewline ok", "b")     // tab/LF are NOT anomalies
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.encodingAnomalies(docsDf).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(7)))
+    out(0) shouldBe (("a", 2L, 2L, 0L, 2L))
+    out(1) shouldBe (("b", 2L, 0L, 3L, 3L))
+  }
+
   "Curate.snapshotDiff" should "classify added/removed/changed/unchanged null-safely" in {
     val o = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
       (4L, None: Option[String])).toDF("id", "t")
@@ -1496,8 +1535,12 @@ class PipelineSpec extends SparkTestBase {
       le(tag, 2) ++ le(typ, 2) ++ le(1, 4) ++ (if (typ == 3) le(v, 2) ++ le(0, 2) else le(v, 4))
     def entryBe(tag: Long, typ: Long, v: Long): Array[Byte] =
       be(tag, 2) ++ be(typ, 2) ++ be(1, 4) ++ (if (typ == 3) be(v, 2) ++ be(0, 2) else be(v, 4))
-    val tiffLe = "II".getBytes ++ le(42, 2) ++ le(8, 4) ++ le(2, 2) ++
-      entryLe(256, 3, 800) ++ entryLe(257, 4, 600) ++ le(0, 4)
+    // LE with a RATIONAL XResolution: entry 2's value field POINTS at the
+    // 8-byte 300/2 pair sitting after the next-IFD pointer (0-based 50)
+    val tiffLe = "II".getBytes ++ le(42, 2) ++ le(8, 4) ++ le(3, 2) ++
+      entryLe(256, 3, 800) ++ entryLe(257, 4, 600) ++
+      le(282, 2) ++ le(5, 2) ++ le(1, 4) ++ le(50, 4) ++
+      le(0, 4) ++ le(300, 4) ++ le(2, 4)
     val tiffBe = "MM".getBytes ++ be(42, 2) ++ be(8, 4) ++ be(3, 2) ++
       entryBe(256, 3, 1024) ++ entryBe(257, 3, 768) ++ entryBe(258, 4, 16) ++ be(0, 4)
     val truncated = "II".getBytes ++ le(42, 2) ++ le(8, 4)
@@ -1505,11 +1548,11 @@ class PipelineSpec extends SparkTestBase {
       (4L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val out = Multimodal.tiffMeta(media).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6)))
-    out(0) shouldBe ((1L, "tiff_le", 2L, 800L, 600L, -1L))
-    out(1) shouldBe ((2L, "tiff_be", 3L, 1024L, 768L, 16L))
-    out(2) shouldBe ((3L, "tiff_le", -1L, -1L, -1L, -1L))
-    out(3) shouldBe ((4L, "raw", -1L, -1L, -1L, -1L))
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    out(0) shouldBe ((1L, "tiff_le", 3L, 800L, 600L, -1L, 300L, 2L))
+    out(1) shouldBe ((2L, "tiff_be", 3L, 1024L, 768L, 16L, -1L, -1L))
+    out(2) shouldBe ((3L, "tiff_le", -1L, -1L, -1L, -1L, -1L, -1L))
+    out(3) shouldBe ((4L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
     // entry budget: with maxEntries = 1 only the first tag is seen — the
     // others stay -1 (honest), the declared count still reports
     val b = Multimodal.tiffMeta(media.filter($"doc_id" === 2L), maxEntries = 1).head()
@@ -1521,13 +1564,13 @@ class PipelineSpec extends SparkTestBase {
     val out = Multimodal.tiffMeta(Multimodal.syntheticTiffs(docsDf))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6)))
-    out(0) shouldBe ((0L, "tiff_le", 4L, 1L, 1L, 8L))
-    out(1) shouldBe ((1L, "tiff_be", 3L, 8L, 12L, 16L))
-    out(2) shouldBe ((2L, "raw", -1L, -1L, -1L, -1L))
-    out(3) shouldBe ((3L, "tiff_le", 3L, 22L, 34L, 32L))
-    out(4) shouldBe ((4L, "tiff_be", 4L, 29L, 45L, 8L))
-    out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L))
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    out(0) shouldBe ((0L, "tiff_le", 5L, 1L, 1L, 8L, 72L, 1L))
+    out(1) shouldBe ((1L, "tiff_be", 4L, 8L, 12L, 16L, 73L, 2L))
+    out(2) shouldBe ((2L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
+    out(3) shouldBe ((3L, "tiff_le", 4L, 22L, 34L, 32L, 75L, 1L))
+    out(4) shouldBe ((4L, "tiff_be", 5L, 29L, 45L, 8L, 76L, 2L))
+    out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
   }
 
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {
