@@ -1195,6 +1195,19 @@ object OracleGen {
        |FROM w$maxBlocks ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Sampling.interleaveBySource]]: identical
+    * portable id hash, per-source rank window, (round, source, hash, id)
+    * order prefix. */
+  def interleaveSql(k: Int, seed: Long): String = {
+    val h = s"(${wordPolySql("CAST(doc_id AS VARCHAR)", 131L, seed)} % 10000)"
+    s"""WITH hh AS (SELECT source, doc_id, $h AS h FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM hh),
+       |t AS (SELECT * FROM r ORDER BY rn, source, h, doc_id LIMIT $k)
+       |SELECT row_number() OVER (ORDER BY rn, source, h, doc_id)::BIGINT AS pos,
+       |  source, doc_id
+       |FROM t ORDER BY pos""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Multimodal.tiffMeta]] over the
     * [[graft.pipeline.Multimodal.syntheticTiffs]] fixture: identical hex
     * rebuild, then the SAME byte-order-branching fixed-offset entry reads;

@@ -689,6 +689,12 @@ object SparkEntry {
     // greenlist-watermark z-score per doc: the synthetic-text bias audit
     // (hash-parity greenlist, RNG-free, engine-identical)
     "tx_watermark" -> ((s, d) => TextAnalysis.watermarkScores(docs(s, d)).orderBy("doc_id")),
+    // deterministic source-interleaved training-order prefix: round-robin
+    // across sources, portable-hash shuffle within each — identical on
+    // any engine/partitioning/rerun (an RNG shuffle is exactly what a
+    // reproducible data order cannot be built on)
+    "tx_interleave" -> ((s, d) =>
+      graft.pipeline.Sampling.interleaveBySource(docs(s, d), k = 100)),
     // encoding-anomaly (mojibake) rates per source: control chars injected
     // on every 13th doc, U+FFFD on every 17th (13∧17 overlap → control
     // branch wins, mirrored in the oracle CASE order)
@@ -2076,6 +2082,7 @@ object SparkEntry {
     "tx_fingerprint" ->
       "SELECT doc_id, list_reduce(list_transform(string_split(text,' '), w -> ((length(w)*131 + ascii(substr(w,1,1))) % 1000000007)::BIGINT), (a,b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id",
     "tx_watermark" -> OracleGen.watermarkScoresSql(seed = 7L, minTokens = 16L),
+    "tx_interleave" -> OracleGen.interleaveSql(k = 100, seed = 7L),
     // mojibake: same injected anomalies (CASE order = engine when order),
     // explicit codepoint class so Java regex and RE2 agree; worst doc =
     // (anomaly count DESC, doc_id) rank 1

@@ -551,4 +551,44 @@ object Sampling {
   def shardBalance(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
+  /**
+   * DETERMINISTIC SOURCE-INTERLEAVED TRAINING ORDER — the order a trainer
+   * should read a multi-source corpus in: round-robin across sources
+   * (every source appears once before any appears twice, proportional
+   * exposure without a curriculum cliff of one feed followed by another),
+   * with WITHIN-source order decided by the portable id hash (the
+   * [[hashSample]] polynomial — shuffled-looking, yet identical on any
+   * engine, any partitioning, any rerun; an RNG shuffle is exactly what a
+   * reproducible data order cannot be built on). The global order key is
+   * `(round, source, hash, id)` where `round` is the row's rank inside
+   * its source: sources with fewer docs simply run out and the remaining
+   * feeds keep alternating.
+   *
+   * Returns the FIRST `k` positions as `(pos, source, doc_id)` — the
+   * deterministic order prefix (a data-order audit, a warmup slice). The
+   * top-k cut runs as TakeOrdered over the rank key, never a global sort;
+   * the per-source rank is one window whose state is a counter.
+   */
+  def interleaveBySource(
+      df: DataFrame,
+      k: Int = 100,
+      srcCol: String = "source",
+      idCol: String = "doc_id",
+      seed: Long = 7L
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = sampleHash(col(idCol), seed)
+    val w = Window.partitionBy(col(srcCol)).orderBy(h.asc, col(idCol).asc)
+    df.select(col(srcCol), col(idCol), h.as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .orderBy(col("__rn"), col(srcCol), col("__h"), col(idCol))
+      .limit(k)
+      .select(
+        row_number().over(
+          Window.orderBy(col("__rn"), col(srcCol), col("__h"), col(idCol)))
+          .cast("long").as("pos"),
+        col(srcCol), col(idCol))
+  }
 }

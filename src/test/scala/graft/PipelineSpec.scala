@@ -2500,6 +2500,27 @@ class PipelineSpec extends SparkTestBase {
     kept shouldBe Set(1L, 3L, 4L) // n >= 3 per group's median
   }
 
+  "Sampling.interleaveBySource" should "round-robin sources until each runs out, deterministically" in {
+    import graft.pipeline.Sampling
+    val docsDf = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c")
+    ).toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(docsDf, k = 100, srcCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // round 1 = one doc per source in source order, round 2 = {a, b},
+    // round 3 = the last a — regardless of the within-source hash order
+    out.map(_._2).toSeq shouldBe Seq("a", "b", "c", "a", "b", "a")
+    out.map(_._1).toSeq shouldBe (1L to 6L)
+    // rerun-identical (no RNG anywhere)
+    val again = Sampling.interleaveBySource(docsDf, k = 100, srcCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val first = Sampling.interleaveBySource(docsDf, k = 100, srcCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    again.toSeq shouldBe first.toSeq
+    // the k cut keeps the order prefix
+    Sampling.interleaveBySource(docsDf, k = 4).count() shouldBe 4L
+  }
+
   "Sampling.temperatureMixRates" should "upweight low-resource strata and clamp at 1" in {
     import graft.pipeline.Sampling
     val d = (Seq.fill(900)("en") ++ Seq.fill(90)("de") ++ Seq.fill(10)("zh")).zipWithIndex
