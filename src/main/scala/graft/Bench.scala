@@ -161,19 +161,19 @@ object Bench {
     // updates every query it reached, and the recorded per-query run
     // count says how many passes each floor saw.
     //
-    // From pass 3 on, a query re-runs only while it still "deserves"
-    // budget: it is expensive (floor ≥ 0.4 s — the JIT-heavy class that
-    // measurably improves through run 8+ while hundreds of plans compete
-    // for the code cache) or its floor improved ≥ 2% within its last two
-    // runs (still converging). Cheap stable queries stop at 2-3 runs, so
-    // the budget concentrates exactly where extra passes change the floor
-    // — a 3-full-pass sweep recorded cheap-query floors 2-3x their
-    // converged values purely from run-count starvation.
-    def stillConverging(i: Int): Boolean = {
+    // From pass 3 on, a query re-runs only while it is STILL CONVERGING:
+    // its floor moved ≥ 2% within its last two runs. Expense is NOT a
+    // ticket to more runs — a heavy-but-stable query (a linear byte-math
+    // scan at 6 s) re-running every pass is exactly what starves the rest
+    // of the board: with a floor-sum of ~250 s/pass, the stable-heavy
+    // class consumed the budget at 3 passes while JIT-converging cheap
+    // queries recorded floors 2-3x their converged values. Stable queries
+    // stop at 3 runs; converging ones (any cost) walk down to their floor
+    // while the budget holds.
+    def deserves(i: Int): Boolean = {
       val ts = times(i)
       ts.length < 3 || ts.min < ts.dropRight(2).min * 0.98
     }
-    def deserves(i: Int): Boolean = times(i).min >= 0.4 || stillConverging(i)
     var pass = 1
     var continue = true
     while (continue) {
