@@ -12,6 +12,19 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // interactive stdin for graft.Cli
+// Bench/Verify print machine-parsed JSON lines on stdout. sbt's default
+// LoggedOutput wraps forked-process stdout as "[info] ..." and appends a
+// "[success] Total time..." line AFTER the program's last line — which is
+// why every BENCH_r*.json so far has `parsed: null`: no raw JSON line ever
+// reached the driver. StdoutOutput passes the forked process's streams
+// through untouched, and showSuccess/showTiming=false drop the trailing
+// [success] line, so the program's final println IS the process's final
+// stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// consumed by sbt commands, not tasks — lintUnused false-positives
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

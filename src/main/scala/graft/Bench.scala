@@ -80,9 +80,21 @@ object Bench {
     // warm re-measurements instead of spending the budget alphabetically.
     // guaranteed full passes (default 1: the artifact contract is one row
     // per gate; every later pass is budget-gated so a slow machine still
-    // finishes inside the driver's process cap)
-    val minPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
-    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "10").toInt.max(minPasses)
+    // finishes inside the driver's process cap).
+    // SPARK_GRAFT_BENCH_RUNS historically meant "runs per query" (default
+    // 3) and was repurposed to "guaranteed full passes" in round 15 — the
+    // new names say what they mean; the old names still work but warn, so
+    // a stale invocation fails loud instead of silently changing meaning.
+    def passesEnv(name: String, legacy: String, default: Int): Int = {
+      val old = sys.env.get(legacy)
+      old.foreach(v => System.err.println(
+        s"[bench] WARNING: $legacy is a deprecated alias for $name " +
+          s"(it now means guaranteed FULL PASSES, not per-query runs) — honoring $legacy=$v"))
+      sys.env.get(name).orElse(old).getOrElse(default.toString).toInt
+    }
+    val minPasses = passesEnv("SPARK_GRAFT_BENCH_MIN_PASSES", "SPARK_GRAFT_BENCH_RUNS", 1).max(1)
+    val maxPasses = passesEnv("SPARK_GRAFT_BENCH_MAX_PASSES", "SPARK_GRAFT_BENCH_MAX_RUNS", 10)
+      .max(minPasses)
     // wall-clock budget for the TIMED portion of the sweep (seconds).
     // The driver's whole-process limit also covers sbt compile + Spark
     // startup; 1080 s here leaves that headroom inside a ~30 min cap.
@@ -177,14 +189,27 @@ object Bench {
     var pass = 1
     var continue = true
     while (continue) {
-      var i = 0
+      // pass 1 runs in sweep (name) order; every later pass runs in
+      // ASCENDING current-floor order, so a budget cut mid-pass lands on
+      // the expensive tail. The r15 driver artifact is the motivating
+      // failure: pass 2 ran alphabetically, spent the residual budget on
+      // the ann_* family, and left 328/330 gates with a single cold run
+      // (p_eq recorded 2.24 s against a 0.10 s converged floor). In
+      // ascending order the ~200 sub-second gates — whose 1-run floors
+      // are proportionally the most JIT-inflated — all re-run in well
+      // under two minutes before the first multi-second gate repeats.
+      val order: IndexedSeq[Int] =
+        if (pass == 1) names.indices
+        else names.indices.sortBy(i => (if (times(i).isEmpty) 0.0 else times(i).min, names(i)))
+      var k = 0
       var ran = 0
-      while (i < names.size && (pass <= minPasses || elapsedS < budgetS)) {
+      while (k < order.size && (pass <= minPasses || elapsedS < budgetS)) {
+        val i = order(k)
         if (pass <= 2 || deserves(i)) { oneRun(i); ran += 1 }
-        i += 1
+        k += 1
       }
       System.err.println(
-        f"[bench] pass $pass done ($ran/${names.size} run) at t=${elapsedS}%.0fs of $budgetS%.0fs")
+        f"[bench] pass $pass done ($ran/${names.size} run, reached ${k}/${order.size}) at t=${elapsedS}%.0fs of $budgetS%.0fs")
       pass += 1
       continue = pass <= maxPasses && elapsedS < budgetS && ran > 0
     }
@@ -215,9 +240,19 @@ object Bench {
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
         f""""queries":$fams,"per_query":"$selfPath"}"""
+    // machine-readable digest file: fifteen rounds of BENCH_r*.json have
+    // `parsed: null` because sbt's logger wrapped stdout ([info] prefixes
+    // + a trailing [success] line). The FILE is the contract that cannot
+    // be garbled by any log decoration: full per-query line, always.
+    val digestPath = if (only.isDefined) "BENCH_DIGEST_ONLY.json" else "BENCH_DIGEST.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(digestPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] $digestPath write failed: ${e.getMessage}") }
     // stop Spark BEFORE printing: shutdown logging otherwise lands after
     // the JSON in a merged stdout+stderr capture, and a tail-based driver
-    // parse then misses the line — the compact JSON must be the LAST output
+    // parse then misses the line — the JSON must be the LAST stdout (the
+    // build also sets run/outputStrategy=StdoutOutput + showSuccess=false
+    // so these two lines reach stdout RAW and nothing prints after them)
     spark.stop()
     println(line)
     println(compact)

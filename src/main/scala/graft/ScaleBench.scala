@@ -96,7 +96,7 @@ object ScaleBench {
       val edges = graft.operators.Star.coPurchaseEdges(
         s.read.parquet(s"$d/lineitem.parquet"),
         minSupportFrac = Some(2.0 / 150000.0))
-      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      val seed = graft.operators.Star.walkSeed(edges)
       graft.operators.Graph.bfsHops(edges, seed, maxHops = 3).orderBy("hop", "id")
     },
     // st_ppr: same fractional support convention as st_alsobought (a fixed
@@ -107,7 +107,7 @@ object ScaleBench {
       val edges = graft.operators.Star.coPurchaseEdges(
         s.read.parquet(s"$d/lineitem.parquet"),
         minSupportFrac = Some(2.0 / 150000.0))
-      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      val seed = graft.operators.Star.walkSeed(edges)
       graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
         iterations = 5, damping = 0.85, topK = 50)
     },

@@ -265,7 +265,7 @@ object SparkEntry {
     // the walk share one enumeration of the per-order self-join.
     "st_hops" -> ((s, d) => {
       val edges = graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem"))
-      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      val seed = graft.operators.Star.walkSeed(edges)
       graft.operators.Graph.bfsHops(edges, seed, maxHops = 3).orderBy("hop", "id")
     }),
     // personalized PageRank from the smallest part in the co-purchase
@@ -273,7 +273,7 @@ object SparkEntry {
     // recommendation walk; plain PageRank only scores global popularity)
     "st_ppr" -> ((s, d) => {
       val edges = graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem"))
-      val seed = edges.agg(min(col("id_a"))).head().getLong(0)
+      val seed = graft.operators.Star.walkSeed(edges)
       graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
         iterations = 5, damping = 0.85, topK = 50)
     }),
@@ -3873,12 +3873,14 @@ object SparkEntry {
         |  min(CASE WHEN nd > 1 THEN k END)::BIGINT AS example_key
         |FROM g""".stripMargin.replace("\n", " "),
     // totals audit: per-line cents round once, integer sums, left join
-    // so a detail-less header compares against 0
+    // so a detail-less header compares against 0; ::DOUBLE casts mirror
+    // the engine's explicit casts — both sides run ONE fixed double
+    // chain even if the parquet schema ever becomes DECIMAL
     "qa_totals" ->
       """WITH rc AS (SELECT l_orderkey AS ok,
-        |        sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)::BIGINT)::BIGINT AS cents
+        |        sum(round(l_extendedprice::DOUBLE * (1 - l_discount::DOUBLE) * (1 + l_tax::DOUBLE) * 100)::BIGINT)::BIGINT AS cents
         |      FROM lineitem GROUP BY 1),
-        |j AS (SELECT round(o.o_totalprice * 100)::BIGINT - coalesce(rc.cents, 0) AS d
+        |j AS (SELECT round(o.o_totalprice::DOUBLE * 100)::BIGINT - coalesce(rc.cents, 0) AS d
         |      FROM orders o LEFT JOIN rc ON o.o_orderkey = rc.ok)
         |SELECT count(*)::BIGINT AS n_orders,
         |  sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,

@@ -697,27 +697,47 @@ object Star {
     minSupportFrac.foreach(f => require(f > 0.0 && f < 1.0, "minSupportFrac must be in (0, 1)"))
     val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().pinned
-    // fused guard probe: per-order max distinct items (the fan-out check)
-    // and the order count (the fractional-cut denominator) in ONE job
-    val stats = li.groupBy(col("ok")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n")), count(lit(1))).head()
-    val maxItems = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    require(maxItems <= maxItemsPerOrder,
-      s"an order holds $maxItems distinct parts (> maxItemsPerOrder=$maxItemsPerOrder): " +
-        s"the pair fan-out would be ~${maxItems * (maxItems - 1) / 2} rows from one order key; " +
-        "raise maxItemsPerOrder explicitly if that blow-up is intended")
-    val nOrders = stats.getLong(1)
-    val cut = minSupportFrac
-      .map(f => math.max(minSupport, math.ceil(nOrders * f).toLong))
-      .getOrElse(minSupport)
-    val edges = li.toDF("ok", "pa")
-      .join(li.toDF("ok", "pb"), "ok")
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__s"))
-      .filter(col("__s") >= cut)
-      .select(col("pa").as("id_a"), col("pb").as("id_b"))
-      .pinned
-    Checkpoints.free(li, lineitem)
-    edges
+    // finally-scoped free: the fan-out require below is a FAILURE path —
+    // without it a rejected build leaked the `li` pin for the session
+    try {
+      // fused guard probe: per-order max distinct items (the fan-out check)
+      // and the order count (the fractional-cut denominator) in ONE job
+      val stats = li.groupBy(col("ok")).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n")), count(lit(1))).head()
+      val maxItems = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      require(maxItems <= maxItemsPerOrder,
+        s"an order holds $maxItems distinct parts (> maxItemsPerOrder=$maxItemsPerOrder): " +
+          s"the pair fan-out would be ~${maxItems * (maxItems - 1) / 2} rows from one order key; " +
+          "raise maxItemsPerOrder explicitly if that blow-up is intended")
+      val nOrders = stats.getLong(1)
+      val cut = minSupportFrac
+        .map(f => math.max(minSupport, math.ceil(nOrders * f).toLong))
+        .getOrElse(minSupport)
+      li.toDF("ok", "pa")
+        .join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__s"))
+        .filter(col("__s") >= cut)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+        .pinned
+    } finally Checkpoints.free(li, lineitem)
+  }
+
+  /**
+   * Deterministic walk seed for a [[coPurchaseEdges]] frame: the smallest
+   * `id_a`. An EMPTY edge set (a fractional support cut can legally prune
+   * every pair) previously surfaced as a bare NullPointerException from
+   * `getLong` at the caller; here it frees the pinned frame and fails with
+   * a named message instead.
+   */
+  def walkSeed(edges: DataFrame): Long = {
+    val r = edges.agg(min(col("id_a"))).head()
+    if (r.isNullAt(0)) {
+      graft.pipeline.Checkpoints.free(edges)
+      throw new IllegalArgumentException(
+        "co-purchase edge set is empty (the support cut pruned every pair): no walk seed — " +
+          "lower minSupport/minSupportFrac or verify the input has multi-item orders")
+    }
+    r.getLong(0)
   }
 }

@@ -382,7 +382,10 @@ object Curate {
       max(col("__nd")).as("max_images"),
       min(when(col("__nd") > 1L, col("__k"))).as("example_key"))
       .select(col("n_keys"), col("n_violating"),
-        round(col("n_violating").cast("double") / col("n_keys").cast("double"), dp)
+        // null (not NaN) on empty input — the convention bootstrapMeanSe
+        // and degreeAssortativity already follow
+        when(col("n_keys") > 0L,
+          round(col("n_violating").cast("double") / col("n_keys").cast("double"), dp))
           .as("violation_rate"),
         col("max_images"), col("example_key"))
   }
@@ -404,12 +407,16 @@ object Curate {
       lineitem: DataFrame,
       dp: Int = 2
   ): DataFrame = {
+    // explicit double casts pin the "one fixed double chain" contract in
+    // code: were the price columns ever DECIMAL, DuckDB's exact decimal
+    // round could diverge from this double round at half-cent boundaries
     val li = lineitem.select(col("l_orderkey").as("__ok"),
-      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-        (lit(1.0) + col("l_tax")) * 100.0, 0).cast("long").as("__lc"))
+      round(col("l_extendedprice").cast("double") *
+        (lit(1.0) - col("l_discount").cast("double")) *
+        (lit(1.0) + col("l_tax").cast("double")) * 100.0, 0).cast("long").as("__lc"))
       .groupBy(col("__ok")).agg(sum(col("__lc")).as("__cents"))
     val j = orders.select(col("o_orderkey").as("__ok"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("__oc"))
+        round(col("o_totalprice").cast("double") * 100, 0).cast("long").as("__oc"))
       .join(li, Seq("__ok"), "left_outer")
       .select(col("__ok"), (col("__oc") - coalesce(col("__cents"), lit(0L))).as("__d"))
     j.agg(
@@ -418,10 +425,13 @@ object Curate {
       max(abs(col("__d"))).as("max_abs_diff_cents"),
       sum(abs(col("__d")).cast("decimal(38,0)")).as("__sad"))
       .select(col("n_orders"), col("n_mismatched"),
-        round(col("n_mismatched").cast("double") / col("n_orders").cast("double"), 6)
+        // null (not NaN) rates on an empty orders input
+        when(col("n_orders") > 0L,
+          round(col("n_mismatched").cast("double") / col("n_orders").cast("double"), 6))
           .as("mismatch_rate"),
         col("max_abs_diff_cents"),
-        round(col("__sad").cast("double") / col("n_orders").cast("double") / 100.0, dp)
+        when(col("n_orders") > 0L,
+          round(col("__sad").cast("double") / col("n_orders").cast("double") / 100.0, dp))
           .as("mean_abs_diff"))
   }
 
