@@ -48,6 +48,34 @@ object SparkEntry {
   // no need to repeat it for each of ~50 queries in a bench run
   private val engines = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraftEngine]()
 
+  // one SYNTHETIC MEDIA frame per (session, dir, kind): the mm_* gates wrap
+  // the documents table in fixture containers whose hex-concat synthesis is
+  // a large codegen'd expression tree — rebuilding it per gate, and up to
+  // 3x inside wavEnergyWindows' meta/data/join references to the same
+  // input, made mm_wavvad the board's single heaviest line (89 s cold in
+  // the r15 driver sweep). persist (NOT localCheckpoint) is deliberate:
+  // lineage survives, and Bench's Checkpoints.free on a result frame only
+  // unpersists LogicalRDD leaves, so the shared input cannot be collapsed
+  // out from under the memo. ~1.5 MB per frame at sf0.1 — the cache cost
+  // is noise; at 100 TB the equivalent is writing the synthesized/decoded
+  // container relation once and scanning it, not re-deriving it per query.
+  private val mediaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def sharedMedia(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    // spec suites churn sessions: drop entries whose context has stopped
+    val it = mediaMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    mediaMemo.computeIfAbsent((s, d, kind), _ => {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once; every mm_* gate scans the cached frame
+      df
+    })
+  }
+  private def mmPayload(s: SparkSession, d: String): DataFrame =
+    sharedMedia("payload", s, d)(Multimodal.withPayload(docs(s, d)))
+  private def mmAv(s: SparkSession, d: String): DataFrame =
+    sharedMedia("av", s, d)(Multimodal.syntheticAvContainers(docs(s, d)))
+
   /** raw events. Older driver testdata typed `ts` int64 epoch-nanos (the
     * legacy conf keeps that LongType; set before the read so it holds
     * regardless of query order); current testdata types it timestamp[us]
@@ -1559,56 +1587,56 @@ object SparkEntry {
       Chat.chatGateStream(chatConvs(s, d), minMaskRatio = 0.2)
         .select("conv_id", "n_turns", "mask_ratio").orderBy("conv_id")),
     // ---- multimodal plumbing (decode step stubbed, Spark shape real)
-    "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
+    "mm_meta"   -> ((s, d) => Multimodal.decodeMeta(mmPayload(s, d)).orderBy("doc_id")),
     // byte-identical asset dedup by SHA-256 (runs before any decode)
-    "mm_hashdup" -> ((s, d) => Multimodal.contentDedup(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
+    "mm_hashdup" -> ((s, d) => Multimodal.contentDedup(mmPayload(s, d)).orderBy("doc_id")),
     // blockhash-style perceptual signature dedup: block-mean-vs-global-mean
     // bits, exact cross-multiplied compares — the near-dup step between the
     // content hash and an embedding model
-    "mm_phash" -> ((s, d) => Multimodal.blockhashDedup(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
-    "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(Multimodal.withPayload(docs(s, d))).orderBy("doc_id")),
-    "mm_frames" -> ((s, d) => Multimodal.frameSample(Multimodal.withPayload(docs(s, d))).orderBy("doc_id", "frame_idx")),
+    "mm_phash" -> ((s, d) => Multimodal.blockhashDedup(mmPayload(s, d)).orderBy("doc_id")),
+    "mm_batch"  -> ((s, d) => Multimodal.decodeBatched(mmPayload(s, d)).orderBy("doc_id")),
+    "mm_frames" -> ((s, d) => Multimodal.frameSample(mmPayload(s, d)).orderBy("doc_id", "frame_idx")),
     // VAD-shaped per-window RMS energy over the raw payload bytes — real
     // byte arithmetic on the binary column, no stub, no UDF
     "mm_vad" -> ((s, d) =>
-      Multimodal.audioEnergyWindows(Multimodal.withPayload(docs(s, d)))
+      Multimodal.audioEnergyWindows(mmPayload(s, d))
         .orderBy("doc_id", "window_idx")),
     // header-aware VAD: parse the RIFF container, keep PCM8 mono, window
     // the data chunk, stamp each window from the container's sample rate
     "mm_wavvad" -> ((s, d) =>
-      Multimodal.wavEnergyWindows(Multimodal.syntheticAvContainers(docs(s, d)))
+      Multimodal.wavEnergyWindows(mmAv(s, d))
         .orderBy("doc_id", "window_idx")),
     // segment boundaries over the same energy channel: windows whose RMS
     // jumps against the predecessor — in-array lag, no shuffle, no window
     "mm_scenes" -> ((s, d) =>
-      Multimodal.energySegments(Multimodal.withPayload(docs(s, d)), jump = 2.0)
+      Multimodal.energySegments(mmPayload(s, d), jump = 2.0)
         .orderBy("doc_id", "window_idx")),
     // REAL container-header decode: minimal PNG/JPEG fixtures wrap the
     // text bytes (see syntheticContainers), then width/height/channels
     // parse from the actual header bytes — fixed-offset IHDR reads and a
     // bounded SOF marker walk, no codec library, no UDF
     "mm_dims" -> ((s, d) =>
-      Multimodal.containerMeta(Multimodal.syntheticContainers(docs(s, d)))
+      Multimodal.containerMeta(sharedMedia("png", s, d)(Multimodal.syntheticContainers(docs(s, d))))
         .orderBy("doc_id")),
     // REAL little-endian container decode: canonical WAV / GIF89a / BMP
     // fixtures wrap the text bytes, then sample-rate/dims/depth parse from
     // the actual header bytes — LE words as positional byte sums, signed
     // BMP heights folded down by 2^32; no codec library, no UDF
     "mm_av" -> ((s, d) =>
-      Multimodal.avContainerMeta(Multimodal.syntheticAvContainers(docs(s, d)))
+      Multimodal.avContainerMeta(mmAv(s, d))
         .orderBy("doc_id")),
     // REAL GIF frame count: a bounded block walk over multi-frame GIF89a
     // fixtures (GCT/LCT skips, extension + image-data sub-block chains,
     // trailer detection, post-trailer garbage ignored) — the
     // animation-vs-still readout, no codec library, no UDF
     "mm_gif" -> ((s, d) =>
-      Multimodal.gifFrameCount(Multimodal.syntheticAnimatedGifs(docs(s, d)))
+      Multimodal.gifFrameCount(sharedMedia("gif", s, d)(Multimodal.syntheticAnimatedGifs(docs(s, d))))
         .orderBy("doc_id")),
     // REAL TIFF/EXIF IFD decode: byte-order-branching reads (II and MM
     // fixtures), fixed-offset 12-byte entry scan, left-justified SHORT
     // and full LONG values — width/height/bits from the actual tag bytes
     "mm_exif" -> ((s, d) =>
-      Multimodal.tiffMeta(Multimodal.syntheticTiffs(docs(s, d)))
+      Multimodal.tiffMeta(sharedMedia("tiff", s, d)(Multimodal.syntheticTiffs(docs(s, d))))
         .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
@@ -1687,11 +1715,11 @@ object SparkEntry {
     }),
     // resize: gate compares the size/dimension arithmetic (binary payload
     // itself is stub bytes, excluded from the oracle projection)
-    "mm_resize" -> ((s, d) => Multimodal.resizeBatched(Multimodal.withPayload(docs(s, d)))
+    "mm_resize" -> ((s, d) => Multimodal.resizeBatched(mmPayload(s, d))
       .select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")),
     // feature extraction: per-dimension portable fold, unpacked to scalar
     // columns for the oracle compare
-    "mm_embed" -> ((s, d) => Multimodal.embedBatched(Multimodal.withPayload(docs(s, d)))
+    "mm_embed" -> ((s, d) => Multimodal.embedBatched(mmPayload(s, d))
       .select(col("doc_id"),
         element_at(col("embedding"), 1).as("e0"), element_at(col("embedding"), 2).as("e1"),
         element_at(col("embedding"), 3).as("e2"), element_at(col("embedding"), 4).as("e3"))
@@ -1702,7 +1730,7 @@ object SparkEntry {
     "mm_ann" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.GraftFunctions.dotProduct
-      val e = Multimodal.embedBatched(Multimodal.withPayload(docs(s, d)))
+      val e = Multimodal.embedBatched(mmPayload(s, d))
         .withColumnRenamed("doc_id", "vec_id")
       val q  = e.filter(col("vec_id") === 0).head().getSeq[Double](1)
       val qv = lit(q.toArray)
