@@ -1292,6 +1292,118 @@ object OracleGen {
        |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Multimodal.tiffExifMeta]] over the
+    * [[graft.pipeline.Multimodal.syntheticExifTiffs]] fixture: identical
+    * two-table hex rebuild, IFD0 picks (width/height and the tag-34665
+    * sub-IFD pointer), then the SAME entry reads over the pointed-to Exif
+    * IFD — ISO, and the ExposureTime RATIONAL dereferenced through its
+    * second-level pointer. coalesce over descending entry index mirrors
+    * the engine's overwrite-on-match folds in both tables. */
+  def tiffExifMetaSql(maxEntries: Int, maxExifEntries: Int): String = {
+    def b1(p: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($p)-1 : 2*($p)] AS BIGINT), -1)"
+    def u16(p: String): String =
+      s"(CASE WHEN le THEN ${b1(p)} + 256 * ${b1(s"($p) + 1")} " +
+        s"ELSE 256 * ${b1(p)} + ${b1(s"($p) + 1")} END)"
+    def u32(p: String): String =
+      s"(CASE WHEN le THEN ${b1(p)} + 256 * ${b1(s"($p) + 1")} + 65536 * ${b1(s"($p) + 2")} + 16777216 * ${b1(s"($p) + 3")} " +
+        s"ELSE 16777216 * ${b1(p)} + 65536 * ${b1(s"($p) + 1")} + 256 * ${b1(s"($p) + 2")} + ${b1(s"($p) + 3")} END)"
+    def leHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * i}) & 255), 2, '0')").mkString(" || ")
+    def beHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * (n - 1 - i)}) & 255), 2, '0')").mkString(" || ")
+    def entry(hx: (String, Int) => String, tag: Long, typ: Long, value: String): String =
+      s"${hx(tag.toString, 2)} || ${hx(typ.toString, 2)} || ${hx("1", 4)} || " +
+        (if (typ == 3L) s"${hx(value, 2)} || '0000'" else hx(value, 4))
+    val w = "1 + (doc_id * 7) % 5000"; val h = "1 + (doc_id * 11) % 5000"
+    val iso = "100 * (1 + doc_id % 16)"
+    val en = "1"; val ed = "2 + (doc_id * 3) % 998"
+    val nE2 = "2 + doc_id % 2"
+    val ratOff = s"56 + 12 * ($nE2)"
+    def body(hx: (String, Int) => String): String =
+      s"${hx("8", 4)} || ${hx("3", 2)} || ${entry(hx, 256L, 3L, w)} || " +
+        s"${entry(hx, 257L, 3L, h)} || ${entry(hx, 34665L, 4L, "50")} || ${hx("0", 4)} || " +
+        s"${hx(nE2, 2)} || ${entry(hx, 34855L, 3L, iso)} || " +
+        s"CASE WHEN ($nE2) = 3 THEN ${entry(hx, 37385L, 3L, "1")} ELSE '' END || " +
+        s"${hx("33434", 2)} || ${hx("5", 2)} || ${hx("1", 4)} || ${hx(ratOff, 4)} || " +
+        s"${hx("0", 4)} || ${hx(en, 4)} || ${hx(ed, 4)} || hex(encode(text))"
+    // IFD0 picks: coalesce over DESCENDING index = last write wins
+    def pick0(tag: Long): String = {
+      val cases = (maxEntries - 1 to 0 by -1).map { i =>
+        val base = s"ifd + 2 + ${12 * i}"
+        val live = s"(tiff AND $i < cnt AND ($base) + 11 <= nb)"
+        val t    = u16(base)
+        val typ  = u16(s"($base) + 2")
+        val v    = s"(CASE WHEN $typ = 3 THEN ${u16(s"($base) + 8")} " +
+          s"WHEN $typ = 4 THEN ${u32(s"($base) + 8")} ELSE -1 END)"
+        s"CASE WHEN $live AND $t = $tag THEN $v END"
+      }.mkString(", ")
+      s"coalesce($cases, -1)"
+    }
+    // the sub-IFD pointer: tag 34665 LONG value, stored 1-based
+    val xifdPick = {
+      val cases = (maxEntries - 1 to 0 by -1).map { i =>
+        val base = s"ifd + 2 + ${12 * i}"
+        val live = s"(tiff AND $i < cnt AND ($base) + 11 <= nb)"
+        s"CASE WHEN $live AND ${u16(base)} = 34665 AND ${u16(s"($base) + 2")} = 4 " +
+          s"THEN ${u32(s"($base) + 8")} + 1 END"
+      }.mkString(", ")
+      s"coalesce($cases, -1)"
+    }
+    // Exif sub-IFD picks off the pointed-to table
+    def pick2(tag: Long): String = {
+      val cases = (maxExifEntries - 1 to 0 by -1).map { j =>
+        val base = s"xifd + 2 + ${12 * j}"
+        val live = s"(tiff AND xifd >= 1 AND $j < cnt2 AND ($base) + 11 <= nb)"
+        val typ  = u16(s"($base) + 2")
+        val v    = s"(CASE WHEN $typ = 3 THEN ${u16(s"($base) + 8")} " +
+          s"WHEN $typ = 4 THEN ${u32(s"($base) + 8")} ELSE -1 END)"
+        s"CASE WHEN $live AND ${u16(base)} = $tag THEN $v END"
+      }.mkString(", ")
+      s"coalesce($cases, -1)"
+    }
+    def pick2Rat(tag: Long, off: Int): String = {
+      val cases = (maxExifEntries - 1 to 0 by -1).map { j =>
+        val base = s"xifd + 2 + ${12 * j}"
+        val live = s"(tiff AND xifd >= 1 AND $j < cnt2 AND ($base) + 11 <= nb)"
+        val typ  = u16(s"($base) + 2")
+        val ptr  = s"(${u32(s"($base) + 8")} + 1)"
+        s"CASE WHEN $live AND ${u16(base)} = $tag AND $typ = 5 AND $ptr >= 1 AND $ptr + 7 <= nb " +
+          s"THEN ${u32(s"$ptr + $off")} END"
+      }.mkString(", ")
+      s"coalesce($cases, -1)"
+    }
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN '49492A00' || ${body(leHex)}
+       |       WHEN doc_id % 3 = 1 THEN '4D4D002A' || ${body(beHex)}
+       |       ELSE hex(encode(text)) END AS hx
+       |  FROM documents),
+       |d AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+       |  (hx[1:8] = '49492A00') AS le,
+       |  (hx[1:8] = '49492A00' OR hx[1:8] = '4D4D002A') AS tiff FROM p),
+       |f AS (SELECT doc_id, hx, nb, le, tiff,
+       |  CASE WHEN tiff THEN ${u32("5")} + 1 ELSE -1 END AS ifd FROM d),
+       |g AS (SELECT doc_id, hx, nb, le, tiff, ifd,
+       |  CASE WHEN tiff AND ifd >= 1 AND ifd + 1 <= nb THEN ${u16("ifd")}
+       |       ELSE -1 END AS cnt FROM f),
+       |x AS (SELECT doc_id, hx, nb, le, tiff, cnt,
+       |  (${pick0(256L)}) AS w, (${pick0(257L)}) AS h,
+       |  ($xifdPick) AS xifd FROM g),
+       |y AS (SELECT doc_id, hx, nb, le, tiff, cnt, w, h, xifd,
+       |  CASE WHEN tiff AND xifd >= 1 AND xifd + 1 <= nb THEN ${u16("xifd")}
+       |       ELSE -1 END AS cnt2 FROM x)
+       |SELECT doc_id,
+       |  CASE WHEN tiff AND le THEN 'tiff_le' WHEN tiff THEN 'tiff_be'
+       |       ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  w::BIGINT AS width, h::BIGINT AS height,
+       |  cnt2::BIGINT AS n_exif,
+       |  (${pick2(34855L)})::BIGINT AS iso,
+       |  (${pick2Rat(33434L, 0)})::BIGINT AS exp_num,
+       |  (${pick2Rat(33434L, 4)})::BIGINT AS exp_den
+       |FROM y ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Similarity.pqBuild]]+[[graft.pipeline.Similarity.pqTopK]]:
     * sub-centroids = subspace slices of the first `kpq` vectors by id;
     * codes = per-(vector, subspace) argmin of the ascending-dim squared-L2

@@ -1638,6 +1638,13 @@ object SparkEntry {
     "mm_exif" -> ((s, d) =>
       Multimodal.tiffMeta(sharedMedia("tiff", s, d)(Multimodal.syntheticTiffs(docs(s, d))))
         .orderBy("doc_id")),
+    // the pointer chase GENERALIZED past one table: IFD0's tag-34665 LONG
+    // points at a second (Exif) IFD, walked with the same named-read
+    // steps for ISO and the ExposureTime RATIONAL (itself a third pointer
+    // to the num/den pair) — two chained hops, both byte orders
+    "mm_exif2" -> ((s, d) =>
+      Multimodal.tiffExifMeta(sharedMedia("exif2", s, d)(Multimodal.syntheticExifTiffs(docs(s, d))))
+        .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
     "qa_profile" -> ((s, d) =>
@@ -3839,6 +3846,7 @@ object SparkEntry {
     "mm_gif" -> OracleGen.gifFrameCountSql(maxBlocks = 24),
     // TIFF IFD decode: byte-order-branching fixed-offset entry reads
     "mm_exif" -> OracleGen.tiffMetaSql(maxEntries = 16),
+    "mm_exif2" -> OracleGen.tiffExifMetaSql(maxEntries = 8, maxExifEntries = 8),
     // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
     // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
     // the window math IS mm_vad's, plus the rate-derived start stamp

@@ -621,6 +621,164 @@ object Multimodal {
   }
 
   /**
+   * TIFF + EXIF SUB-IFD decode — [[tiffMeta]]'s pointer-chase walk
+   * GENERALIZED past one table: IFD0 yields width/height plus the
+   * ExifIFDPointer (tag 34665, a LONG 0-based byte offset to a SECOND
+   * IFD), and that sub-IFD is walked with the same named-read step
+   * discipline for ISOSpeedRatings (tag 34855) and ExposureTime (tag
+   * 33434) — a RATIONAL whose value field is itself a third pointer to
+   * an 8-byte num/den pair. Two chained pointer hops (IFD0 → Exif IFD →
+   * rational payload), both byte orders, all as codegen'd
+   * substring→hex→conv columns; no codec library, no UDF. Non-TIFF
+   * payloads pass through as format='raw' with -1 fields; a 34665 value
+   * pointing outside the payload yields n_exif = -1 (never a mis-read).
+   * Layout per the public TIFF 6.0 / EXIF 2.x specifications.
+   */
+  def tiffExifMeta(
+      media: DataFrame,
+      maxEntries: Int = 8,
+      maxExifEntries: Int = 8,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxEntries >= 1 && maxEntries <= 64, "maxEntries must be in [1, 64]")
+    require(maxExifEntries >= 1 && maxExifEntries <= 64, "maxExifEntries must be in [1, 64]")
+    def b1(pos: Column): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def u16(pos: Column): Column =
+      when(col("__le"), b1(pos) + b1(pos + 1L) * 256L)
+        .otherwise(b1(pos) * 256L + b1(pos + 1L))
+    def u32(pos: Column): Column =
+      when(col("__le"),
+        b1(pos) + b1(pos + 1L) * 256L + b1(pos + 2L) * 65536L + b1(pos + 3L) * 16777216L)
+        .otherwise(
+          b1(pos) * 16777216L + b1(pos + 2L) * 256L + b1(pos + 1L) * 65536L + b1(pos + 3L))
+    val nb  = octet_length(col(payloadCol)).cast("long")
+    val hdr = hex(col(payloadCol).substr(lit(1), lit(4)))
+    val isLe = hdr === "49492A00"
+    val isBe = hdr === "4D4D002A"
+    var cur = media.select(col(idCol), col(payloadCol).as("__pl"), nb.as("__nb"),
+      (isLe || isBe).as("__tiff"), isLe.as("__le"))
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+      when(col("__tiff"), u32(lit(5L)) + 1L).otherwise(lit(-1L)).as("__ifd"))
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+      col("__ifd"),
+      when(col("__tiff") && col("__ifd") >= 1L && col("__ifd") + 1L <= col("__nb"),
+        u16(col("__ifd"))).otherwise(lit(-1L)).as("__cnt"),
+      lit(-1L).as("__w"), lit(-1L).as("__h"), lit(-1L).as("__xifd"))
+    val st0 = Seq("__pl", "__nb", "__tiff", "__le", "__ifd", "__cnt",
+      "__w", "__h", "__xifd").map(col)
+    for (i <- 0 until maxEntries) {
+      val base = col("__ifd") + 2L + lit(12L * i)
+      val live = col("__tiff") && lit(i.toLong) < col("__cnt") &&
+        base + 11L <= col("__nb")
+      // named per-entry reads (the tiffMeta plan-cost fix: inlining them
+      // into every fold branch duplicated the byte-read trees ~6x/step)
+      val typA = u16(base + 2L)
+      val valA = when(typA === 3L, u16(base + 8L)).when(typA === 4L, u32(base + 8L))
+        .otherwise(lit(-1L))
+      cur = cur.select(col(idCol) +: st0 :+
+        u16(base).as("__tag") :+ typA.as("__typ") :+ valA.as("__val") :+
+        live.as("__live"): _*)
+      val tag = col("__tag"); val typ = col("__typ")
+      val lv  = col("__live"); val v = col("__val")
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+        col("__ifd"), col("__cnt"),
+        when(lv && tag === 256L, v).otherwise(col("__w")).as("__w"),
+        when(lv && tag === 257L, v).otherwise(col("__h")).as("__h"),
+        // the SUB-IFD hop: tag 34665's LONG value is the 0-based offset
+        // of the Exif IFD; store it 1-based for the substr reads below
+        when(lv && tag === 34665L && typ === 4L, v + 1L).otherwise(col("__xifd")).as("__xifd"))
+    }
+    // second table: entry count at the pointed-to offset, bounds-guarded
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+      col("__cnt"), col("__w"), col("__h"), col("__xifd"),
+      when(col("__tiff") && col("__xifd") >= 1L && col("__xifd") + 1L <= col("__nb"),
+        u16(col("__xifd"))).otherwise(lit(-1L)).as("__cnt2"),
+      lit(-1L).as("__iso"), lit(-1L).as("__en"), lit(-1L).as("__ed"))
+    val st1 = Seq("__pl", "__nb", "__tiff", "__le", "__cnt",
+      "__w", "__h", "__xifd", "__cnt2", "__iso", "__en", "__ed").map(col)
+    for (j <- 0 until maxExifEntries) {
+      val base = col("__xifd") + 2L + lit(12L * j)
+      val live = col("__tiff") && col("__xifd") >= 1L &&
+        lit(j.toLong) < col("__cnt2") && base + 11L <= col("__nb")
+      val typA = u16(base + 2L)
+      val valA = when(typA === 3L, u16(base + 8L)).when(typA === 4L, u32(base + 8L))
+        .otherwise(lit(-1L))
+      cur = cur.select(col(idCol) +: st1 :+
+        u16(base).as("__tag") :+ typA.as("__typ") :+ valA.as("__val") :+
+        live.as("__live") :+ (u32(base + 8L) + 1L).as("__ptr"): _*)
+      val tag = col("__tag"); val typ = col("__typ")
+      val lv  = col("__live"); val v = col("__val"); val ptr = col("__ptr")
+      val ratOk = typ === 5L && ptr >= 1L && ptr + 7L <= col("__nb")
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__tiff"), col("__le"),
+        col("__cnt"), col("__w"), col("__h"), col("__xifd"), col("__cnt2"),
+        when(lv && tag === 34855L, v).otherwise(col("__iso")).as("__iso"),
+        when(lv && tag === 33434L && ratOk, u32(ptr)).otherwise(col("__en")).as("__en"),
+        when(lv && tag === 33434L && ratOk, u32(ptr + 4L)).otherwise(col("__ed")).as("__ed"))
+    }
+    cur.select(
+      col(idCol),
+      when(col("__tiff") && col("__le"), "tiff_le")
+        .when(col("__tiff"), "tiff_be").otherwise("raw").as("format"),
+      col("__nb").as("n_bytes"),
+      col("__w").as("width"), col("__h").as("height"),
+      col("__cnt2").as("n_exif"),
+      col("__iso").as("iso"),
+      col("__en").as("exp_num"), col("__ed").as("exp_den"))
+  }
+
+  /**
+   * FIXTURE WRAPPER for [[tiffExifMeta]] (gate/spec harness aid): a REAL
+   * minimal two-table TIFF — IFD0 (3 entries: SHORT width/height and the
+   * tag-34665 LONG pointer) chains to an Exif sub-IFD holding
+   * ISOSpeedRatings, a skip-me Flash entry on odd ids, and an
+   * ExposureTime RATIONAL whose value field points at the 8-byte num/den
+   * pair after the table — so the sub-IFD hop, the in-table skip, and
+   * the second-level pointer chase all execute in both byte orders
+   * (`doc_id % 3`: 0 = II, 1 = MM, 2 = raw). The oracle rebuilds the
+   * identical hex stream.
+   */
+  def syntheticExifTiffs(docs: DataFrame): DataFrame = {
+    val id      = col("doc_id")
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    def leHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0")): _*)
+    def beHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * (n - 1 - i)), lit(256L))), 2, "0")): _*)
+    val w    = lit(1L) + pmod(id * 7L, lit(5000L))
+    val h    = lit(1L) + pmod(id * 11L, lit(5000L))
+    val iso  = lit(100L) * (lit(1L) + pmod(id, lit(16L)))
+    val en   = lit(1L)
+    val ed   = lit(2L) + pmod(id * 3L, lit(998L))
+    val nE2  = lit(2L) + pmod(id, lit(2L)) // odd ids: 3 sub-IFD entries
+    // fixed layout (0-based): hdr 0..7, IFD0 8..49 (count + 3×12 + next),
+    // Exif IFD at 50, rational pair right after its next-IFD pointer
+    val exifOff = lit(50L)
+    val ratOff  = lit(56L) + lit(12L) * nE2
+    def entry(hx: (Column, Int) => Column, tag: Long, typ: Long, value: Column) =
+      concat(hx(lit(tag), 2), hx(lit(typ), 2), hx(lit(1L), 4),
+        if (typ == 3L) concat(hx(value, 2), lit("0000")) else hx(value, 4))
+    def body(hx: (Column, Int) => Column): Column = concat(
+      hx(lit(8L), 4), hx(lit(3L), 2),
+      entry(hx, 256L, 3L, w), entry(hx, 257L, 3L, h), entry(hx, 34665L, 4L, exifOff),
+      hx(lit(0L), 4),
+      hx(nE2, 2),
+      entry(hx, 34855L, 3L, iso),
+      when(nE2 === 3L, entry(hx, 37385L, 3L, lit(1L))).otherwise(lit("")),
+      concat(hx(lit(33434L), 2), hx(lit(5L), 2), hx(lit(1L), 4), hx(ratOff, 4)),
+      hx(lit(0L), 4), hx(en, 4), hx(ed, 4), textHex)
+    val tiffLe = concat(lit("49492A00"), body(leHex))
+    val tiffBe = concat(lit("4D4D002A"), body(beHex))
+    docs.select(id,
+      unhex(when(pmod(id, lit(3L)) === 0L, tiffLe)
+        .when(pmod(id, lit(3L)) === 1L, tiffBe)
+        .otherwise(textHex)).as("payload"))
+  }
+
+  /**
    * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
    * byte stream is treated as unsigned PCM8 samples, cut into
    * `window`-sample frames, and each frame scores its RMS energy around

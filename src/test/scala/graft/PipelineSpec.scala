@@ -1573,6 +1573,60 @@ class PipelineSpec extends SparkTestBase {
     out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
   }
 
+  "Multimodal.tiffExifMeta" should "chase the 34665 pointer into a second IFD in both byte orders" in {
+    def le(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 255L).toByte).toArray
+    def be(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 255L).toByte).toArray
+    def entryLe(tag: Long, typ: Long, v: Long): Array[Byte] =
+      le(tag, 2) ++ le(typ, 2) ++ le(1, 4) ++ (if (typ == 3) le(v, 2) ++ le(0, 2) else le(v, 4))
+    def entryBe(tag: Long, typ: Long, v: Long): Array[Byte] =
+      be(tag, 2) ++ be(typ, 2) ++ be(1, 4) ++ (if (typ == 3) be(v, 2) ++ be(0, 2) else be(v, 4))
+    // LE, two tables: IFD0 (width + 34665 → 0-based 38), Exif IFD at 38
+    // (ISO SHORT + ExposureTime RATIONAL pointing at the 1/60 pair at 68)
+    val exifLe = "II".getBytes ++ le(42, 2) ++ le(8, 4) ++
+      le(2, 2) ++ entryLe(256, 3, 640) ++ entryLe(34665, 4, 38) ++ le(0, 4) ++
+      le(2, 2) ++ entryLe(34855, 3, 400) ++
+      le(33434, 2) ++ le(5, 2) ++ le(1, 4) ++ le(68, 4) ++ le(0, 4) ++
+      le(1, 4) ++ le(60, 4)
+    // BE, three sub-IFD entries: a Flash entry the walk must SKIP, ISO as
+    // a full LONG, and the rational pair at 92 — every read byte-swapped
+    val exifBe = "MM".getBytes ++ be(42, 2) ++ be(8, 4) ++
+      be(3, 2) ++ entryBe(256, 3, 1024) ++ entryBe(257, 3, 768) ++ entryBe(34665, 4, 50) ++ be(0, 4) ++
+      be(3, 2) ++ entryBe(37385, 3, 1) ++ entryBe(34855, 4, 1600) ++
+      be(33434, 2) ++ be(5, 2) ++ be(1, 4) ++ be(92, 4) ++ be(0, 4) ++
+      be(1, 4) ++ be(250, 4)
+    // a 34665 value pointing outside the payload: n_exif = -1, no mis-read
+    val badPtr = "II".getBytes ++ le(42, 2) ++ le(8, 4) ++
+      le(2, 2) ++ entryLe(256, 3, 800) ++ entryLe(34665, 4, 9999) ++ le(0, 4)
+    val media = Seq((1L, exifLe), (2L, exifBe), (3L, badPtr),
+      (4L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.tiffExifMeta(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    out(0) shouldBe ((1L, "tiff_le", 640L, -1L, 2L, 400L, 1L, 60L))
+    out(1) shouldBe ((2L, "tiff_be", 1024L, 768L, 3L, 1600L, 1L, 250L))
+    out(2) shouldBe ((3L, "tiff_le", 800L, -1L, -1L, -1L, -1L, -1L))
+    out(3) shouldBe ((4L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
+    // sub-IFD entry budget: with maxExifEntries = 1 only the first entry
+    // is seen — later tags stay -1 (honest), the declared count reports
+    val b = Multimodal.tiffExifMeta(media.filter($"doc_id" === 2L), maxExifEntries = 1).head()
+    (b.getLong(5), b.getLong(6), b.getLong(7)) shouldBe ((3L, -1L, -1L))
+  }
+
+  "Multimodal.syntheticExifTiffs" should "round-trip id-derived EXIF fields through the two-table walk" in {
+    val docsDf = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.tiffExifMeta(Multimodal.syntheticExifTiffs(docsDf))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    // iso = 100·(1+id%16), exp = 1/(2+3·id%998); odd ids add a skip entry
+    out(0) shouldBe ((0L, "tiff_le", 1L, 1L, 2L, 100L, 1L, 2L))
+    out(1) shouldBe ((1L, "tiff_be", 8L, 12L, 3L, 200L, 1L, 5L))
+    out(2) shouldBe ((2L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
+    out(3) shouldBe ((3L, "tiff_le", 22L, 34L, 3L, 400L, 1L, 11L))
+    out(4) shouldBe ((4L, "tiff_be", 29L, 45L, 2L, 500L, 1L, 14L))
+    out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
+  }
+
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {
     // id 0: PCM8 mono wav (kept); id 4: 16-bit wav (excluded, not
     // mis-read); id 1: gif (excluded); id 12: PCM8 mono (kept)

@@ -304,6 +304,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  "the TIFF pointer-chase walks" should "keep their unrolled plans below the duplication tripwire" in {
+    import graft.pipeline.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // regression guard for the r15 plan-cost explosion: inlining the
+    // per-entry byte reads into every fold branch duplicated the read
+    // trees ~6x per unrolled step and mm_exif's analysis cost hit 47 s.
+    // The fix names each read once per step (Multimodal.tiffMeta step A);
+    // these digests sit at ~29/~45 nodes — a refactor that reintroduces
+    // the duplication blows past 120 and fails here before it ships.
+    val exif = Multimodal.tiffMeta(Multimodal.syntheticTiffs(docs), maxEntries = 16)
+      .orderBy("doc_id")
+    val n1 = graft.PlanAudit.digest(exif.queryExecution.executedPlan)
+      .toMap.apply("nodes")
+    withClue(s"mm_exif-shaped plan nodes = $n1") { n1 should be < 120 }
+    val exif2 = Multimodal.tiffExifMeta(Multimodal.syntheticExifTiffs(docs))
+      .orderBy("doc_id")
+    val n2 = graft.PlanAudit.digest(exif2.queryExecution.executedPlan)
+      .toMap.apply("nodes")
+    withClue(s"mm_exif2-shaped plan nodes = $n2") { n2 should be < 120 }
+  }
+
   "fuzzy retrieval" should "broadcast the variant terms, never sort-merge the postings" in {
     val plan = SparkEntry.queries("rt_fuzzy")(spark, dir).queryExecution.executedPlan.toString
     withClue(plan) {
