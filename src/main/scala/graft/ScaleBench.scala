@@ -51,7 +51,13 @@ object ScaleBench {
     // measured), and the bounded-BFS frontier expansion (per-round
     // frontier ⋈ edges + visited anti-join — the shape that would expose
     // a frontier blow-up if the support cut or hop bound were wrong)
-    "mm_scenes", "st_hops")
+    "mm_scenes", "st_hops",
+    // round-16 addition: the remaining top-5 floor absent from the probe
+    // set — HITS' fixed-round hub/authority mutual recursion over the
+    // near-dup pair graph (per-round edge joins + normalizing sums; the
+    // shape that would expose densification if the LSH pair graph grew
+    // superlinearly)
+    "d_hits")
 
   /** Probe overrides where the GATE's fixed small-data parameters are the
     * scale bottleneck, not the operator: the probe instead applies the
@@ -247,18 +253,43 @@ object ScaleBench {
     }
 
     def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
-    val perQ = report.map { case (name, t, r, ex) =>
+    val sweptQ = report.map { case (name, t, r, ex) =>
       val pts = factors.map(f =>
         s""""x$f":${t.get(f).map(jnum).getOrElse("null")}""").mkString(",")
-      s""""$name":{$pts,"ratio10":${jnum(r)},"exponent":${jnum(ex)}}"""
-    }.mkString("{", ",", "}")
+      name -> s"""{$pts,"ratio10":${jnum(r)},"exponent":${jnum(ex)}}"""
+    }
+    // targeted runs MERGE into the committed record (overlay the swept
+    // probes onto the existing per-query snippets) — before this, a
+    // 1-probe run silently clobbered the full 18-probe artifact. The
+    // per-query objects are flat (no nested braces), so a brace-free
+    // regex lifts them out of our own one-line format safely.
+    val prior: Seq[(String, String)] =
+      if (only.isDefined && new java.io.File("BENCH_SCALE.json").exists()) {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_SCALE.json")), "UTF-8")
+        val qRegion = txt.indexOf("\"queries\":{")
+        if (qRegion < 0) Seq.empty
+        else """"([a-z0-9_]+)":\{([^{}]*)\}""".r
+          .findAllMatchIn(txt.substring(qRegion))
+          .map(m => m.group(1) -> s"{${m.group(2)}}")
+          .filter { case (_, snip) => snip.contains("ratio10") }
+          .toSeq
+      } else Seq.empty
+    val sweptNames = sweptQ.map(_._1).toSet
+    val merged = (prior.filterNot(p => sweptNames(p._1)) ++ sweptQ).sortBy(_._1)
+    val perQ = merged.map { case (n, snip) => s""""$n":$snip""" }.mkString("{", ",", "}")
+    // recompute the flag over the MERGED set from each snippet's ratio10
+    val superCount = merged.count { case (_, snip) =>
+      """"ratio10":([0-9.]+)""".r.findFirstMatchIn(snip)
+        .exists(_.group(1).toDouble > math.pow(10.0, 1.3))
+    }
     val fails = failed.reverse.map { case (n, f, m) =>
       s"""{"query":"$n","factor":$f,"error":"${m.replace("\"", "'")}"}"""
     }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"scale_probe","base":"$baseDir","factors":[${factors.mkString(",")}],"runs":$runs,""" +
         s""""sized_probes":[${probeOverrides.keys.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""queries":$perQ,"superlinear":${superlinear.size},"failures":$fails}"""
+        s""""queries":$perQ,"superlinear":$superCount,"failures":$fails}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[scale] write failed: ${e.getMessage}") }
