@@ -122,6 +122,23 @@ object Bench {
         catch { case _: Throwable => () }
     }
 
+    // testdata fingerprint: per-table file bytes, mtime, and row count.
+    // Scan-bound floors move when the driver REGENERATES the testdata
+    // (row-group layout, value distribution) with zero code diffs — the
+    // r15 ts_trend/ts_anomint "regressions" took a per-round bisect to
+    // acquit. With the fingerprint embedded in every floor record, that
+    // class of phantom becomes a one-line diff: fingerprint changed ⇒
+    // re-anchor; fingerprint identical ⇒ investigate the code.
+    val fingerprint: String = {
+      val dir = new java.io.File(sfDir)
+      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      tables.map { f =>
+        val rows = try spark.read.parquet(f.getPath).count() catch { case _: Throwable => -1L }
+        s""""${f.getName.stripSuffix(".parquet")}":{"bytes":${f.length()},"mtime":${f.lastModified()},"rows":$rows}"""
+      }.mkString("{", ",", "}")
+    }
+
     // incremental artifact: rewritten after EVERY query so any truncation
     // (driver timeout, OOM kill) still leaves per-query data on disk.
     // Targeted runs (SPARK_GRAFT_ONLY) write a SEPARATE file — a 2-query
@@ -132,7 +149,8 @@ object Bench {
       val rc = rs.map { case (k, _, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
       val total = rs.map(_._2).sum
       val line =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir","complete":$done}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,""" +
+          f""""sf":"$sfDir","fingerprint":$fingerprint,"complete":$done}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] $selfPath write failed: ${e.getMessage}") }
@@ -229,8 +247,17 @@ object Bench {
     val rc    = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line  =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,"sf":"$sfDir","complete":true}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rc,""" +
+        f""""sf":"$sfDir","fingerprint":$fingerprint,"complete":true}"""
     writeSelf(results, done = true)
+    // re-anchoring record: a full sweep run with SPARK_GRAFT_BASELINE_FLOOR=1
+    // (the round's lock sweep) also writes BASELINE_FLOOR.json — committed,
+    // cited in the lock message. Next round's phantom-regression triage
+    // starts by diffing its fingerprint, not by bisecting commits.
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BASELINE_FLOOR").contains("1"))
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BASELINE_FLOOR.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BASELINE_FLOOR.json write failed: ${e.getMessage}") }
     // compact digest: per-family (prefix before '_') summed floors — the
     // round-over-round comparison unit when the full line can't be captured
     val fams = results.groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }
