@@ -156,6 +156,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $selfPath write failed: ${e.getMessage}") }
     }
 
+    // per-family session isolation (A/B mode, r15 verdict #8): each gate
+    // family (name prefix before '_') runs on its own spark.newSession()
+    // over the SAME JVM/SparkContext — fresh analyzer/optimizer/catalog
+    // state per family, bounding whatever cross-family session state
+    // contributes to the observed late-sweep floor drift (the JVM-global
+    // code cache is shared either way; this isolates the Spark layer).
+    // A/B results recorded in docs/diagnostics.md.
+    val freshFamily = sys.env.get("SPARK_GRAFT_FRESH_FAMILY").contains("1")
+    val familySessions = scala.collection.mutable.Map.empty[String, SparkSession]
+    def sessionFor(name: String): SparkSession =
+      if (!freshFamily) spark
+      else familySessions.getOrElseUpdate(name.takeWhile(_ != '_'), spark.newSession())
+
     // per-query accumulated run times across passes, in sweep order
     val names = selected.map(_._1)
     val fns   = selected.map(_._2)
@@ -169,7 +182,7 @@ object Bench {
       val gc0  = gcMillis
       val t0   = System.nanoTime()
       try {
-        val df = fns(i)(spark, sfDir)
+        val df = fns(i)(sessionFor(names(i)), sfDir)
         rows = df.count()
         // release this run's checkpoint blocks NOW — pipeline queries
         // otherwise stack ~1 dead frame per run until the ContextCleaner

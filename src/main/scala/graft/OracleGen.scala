@@ -1208,6 +1208,75 @@ object OracleGen {
        |FROM t ORDER BY pos""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Multimodal.pngChunkWalk]] over the
+    * [[graft.pipeline.Multimodal.syntheticPngChunks]] fixture: identical
+    * chunked hex rebuild, then the SAME length-field hops — u32-BE chunk
+    * lengths, type compares on the hex slice, the 16-byte NUL probe for
+    * the tEXt keyword, IDAT byte sums, IEND/overrun/budget termination. */
+  def pngChunkWalkSql(maxChunks: Int): String = {
+    def b1(p: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($p)-1 : 2*($p)] AS BIGINT), -1)"
+    def u32(p: String): String =
+      s"(16777216 * ${b1(p)} + 65536 * ${b1(s"($p) + 1")} + 256 * ${b1(s"($p) + 2")} + ${b1(s"($p) + 3")})"
+    def beHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * (n - 1 - i)}) & 255), 2, '0')").mkString(" || ")
+    val kwHex =
+      """CASE doc_id % 6 WHEN 0 THEN '6B6579' WHEN 1 THEN '6B657977'
+        | WHEN 2 THEN '6B6579776F' WHEN 3 THEN '6B6579776F72'
+        | WHEN 4 THEN '6B6579776F7264' ELSE '6B6579776F726473' END""".stripMargin
+    val ihdr = s"'0000000D49484452' || ${beHex("1 + (doc_id * 13) % 4000", 4)} || " +
+      s"${beHex("1 + (doc_id * 19) % 4000", 4)} || '080200000000000000'"
+    val textC = s"${beHex("(3 + doc_id % 6) + 1 + octet_length(encode(text))", 4)} || '74455874' || " +
+      s"($kwHex) || '00' || hex(encode(text)) || '00000000'"
+    val idat = s"${beHex("5 + doc_id % 7", 4)} || '49444154' || " +
+      "repeat('AB', CAST(5 + doc_id % 7 AS INT)) || '00000000'"
+    val pngHex = s"'89504E470D0A1A0A' || $ihdr || $textC || ($idat) || " +
+      s"CASE WHEN 1 + doc_id % 3 >= 2 THEN ($idat) ELSE '' END || " +
+      s"CASE WHEN 1 + doc_id % 3 >= 3 THEN ($idat) ELSE '' END || " +
+      "'0000000049454E4400000000'"
+    val steps = (1 to maxChunks).map { i =>
+      val live = "(png AND NOT done AND pos >= 9 AND pos + 7 <= nb)"
+      val kwl = "CASE " + (0 until 16).map(j =>
+        s"WHEN $j < len AND ${b1(s"pos + 8 + $j")} = 0 THEN $j").mkString(" ") +
+        " ELSE -1 END"
+      s"""a$i AS (SELECT doc_id, hx, nb, png, pos, n, idat, kw, done, ok,
+         |  ${u32("pos")} AS len,
+         |  hx[2*(pos+4)-1 : 2*(pos+7)] AS typ,
+         |  $live AS live
+         |FROM w${i - 1}),
+         |b$i AS (SELECT doc_id, hx, nb, png, pos, n, idat, kw, done, ok, len, typ, live,
+         |  (live AND pos + 11 + len > nb) AS bad,
+         |  ($kwl) AS kwl
+         |FROM a$i),
+         |w$i AS (SELECT doc_id, hx, nb, png,
+         |  CASE WHEN live AND NOT bad AND typ <> '49454E44' THEN pos + 12 + len ELSE pos END AS pos,
+         |  CASE WHEN live AND NOT bad THEN n + 1 ELSE n END AS n,
+         |  CASE WHEN live AND NOT bad AND typ = '49444154' THEN idat + len ELSE idat END AS idat,
+         |  CASE WHEN live AND NOT bad AND typ = '74455874' AND kw IS NULL AND kwl >= 1
+         |       THEN hx[2*(pos+8)-1 : 2*(pos+7+kwl)] ELSE kw END AS kw,
+         |  (done OR (live AND NOT bad AND typ = '49454E44') OR coalesce(bad, false)) AS done,
+         |  (ok AND NOT coalesce(bad, false)) AS ok
+         |FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN $pngHex ELSE hex(encode(text)) END AS hx
+       |  FROM documents),
+       |w0 AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+       |  (length(hx) // 2 >= 8 AND hx[1:16] = '89504E470D0A1A0A') AS png,
+       |  CASE WHEN (length(hx) // 2 >= 8 AND hx[1:16] = '89504E470D0A1A0A')
+       |       THEN 9 ELSE -1 END AS pos,
+       |  0::BIGINT AS n, 0::BIGINT AS idat, NULL::VARCHAR AS kw,
+       |  false AS done, true AS ok FROM p),
+       |$steps
+       |SELECT doc_id,
+       |  CASE WHEN png THEN 'png' ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN png AND done AND ok THEN n ELSE -1 END)::BIGINT AS n_chunks,
+       |  (CASE WHEN png AND done AND ok THEN idat ELSE -1 END)::BIGINT AS idat_bytes,
+       |  (CASE WHEN png AND done AND ok THEN kw END) AS text_kw_hex
+       |FROM w$maxChunks ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Multimodal.tiffMeta]] over the
     * [[graft.pipeline.Multimodal.syntheticTiffs]] fixture: identical hex
     * rebuild, then the SAME byte-order-branching fixed-offset entry reads;

@@ -1645,6 +1645,14 @@ object SparkEntry {
     "mm_exif2" -> ((s, d) =>
       Multimodal.tiffExifMeta(sharedMedia("exif2", s, d)(Multimodal.syntheticExifTiffs(docs(s, d))))
         .orderBy("doc_id")),
+    // PNG chunk-grammar walk: u32-BE length-field hops to IEND — chunk
+    // count, summed IDAT payload bytes (compressed-image volume vs
+    // container overhead), and the first tEXt keyword via a bounded NUL
+    // probe (the embedded-annotation channel), returned as hex
+    "mm_pngtext" -> ((s, d) =>
+      Multimodal.pngChunkWalk(
+        sharedMedia("pngc", s, d)(Multimodal.syntheticPngChunks(docs(s, d))), maxChunks = 8)
+        .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
     "qa_profile" -> ((s, d) =>
@@ -3847,6 +3855,7 @@ object SparkEntry {
     // TIFF IFD decode: byte-order-branching fixed-offset entry reads
     "mm_exif" -> OracleGen.tiffMetaSql(maxEntries = 16),
     "mm_exif2" -> OracleGen.tiffExifMetaSql(maxEntries = 8, maxExifEntries = 8),
+    "mm_pngtext" -> OracleGen.pngChunkWalkSql(maxChunks = 8),
     // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
     // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
     // the window math IS mm_vad's, plus the rate-derived start stamp

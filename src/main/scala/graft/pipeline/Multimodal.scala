@@ -779,6 +779,134 @@ object Multimodal {
   }
 
   /**
+   * PNG CHUNK WALK — the [[gifFrameCount]] block-walk discipline applied
+   * to PNG's length-prefixed chunk grammar: after the 8-byte signature,
+   * each chunk is `u32-BE length, 4-byte type, data[length], CRC`, so the
+   * walk hops by the LENGTH FIELD (a chain of data-dependent jumps, where
+   * GIF chains 1-byte sub-block counts) until the IEND chunk. Readouts a
+   * media-curation pipeline prices on: total chunk count, the summed IDAT
+   * payload bytes (the actual compressed-image volume vs container
+   * overhead), and the first tEXt chunk's NUL-terminated keyword (the
+   * embedded-annotation channel — where generator tags like "Software"
+   * live), probed over the first 16 data bytes with the named-read
+   * discipline and returned as hex. REAL parsing, no codec library, no
+   * UDF; CRCs are skipped, not validated (a curation readout, not an
+   * integrity checker). Truncated or over-running chunks poison the walk
+   * (-1/null, never a mis-read), as does budget exhaustion.
+   */
+  def pngChunkWalk(
+      media: DataFrame,
+      maxChunks: Int = 24,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxChunks >= 1 && maxChunks <= 96, "maxChunks must be in [1, 96]")
+    def b1(pos: Column): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def be(pos: Column, len: Int): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+    val nb0 = octet_length(col(payloadCol)).cast("long")
+    val isPng0 = nb0 >= 8L &&
+      hex(col(payloadCol).substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    var cur = media.select(col(idCol), col(payloadCol).as("__pl"), nb0.as("__nb"),
+      isPng0.as("__png"),
+      when(isPng0, lit(9L)).otherwise(lit(-1L)).as("__pos"),
+      lit(0L).as("__n"), lit(0L).as("__idat"),
+      lit(null).cast("string").as("__kw"),
+      lit(false).as("__done"), lit(true).as("__ok"))
+    val state = Seq("__pl", "__nb", "__png", "__pos", "__n", "__idat",
+      "__kw", "__done", "__ok").map(col)
+    for (_ <- 1 to maxChunks) {
+      val pos  = col("__pos")
+      val live = col("__png") && !col("__done") && pos >= 9L && pos + 7L <= col("__nb")
+      // step A: NAME the per-chunk reads once (the tiffMeta plan-cost
+      // discipline) — length, type, and liveness feed every fold branch
+      cur = cur.select(col(idCol) +: state :+
+        be(pos, 4).as("__len") :+
+        hex(col("__pl").substr((pos + 4L).cast("int"), lit(4))).as("__typ") :+
+        live.as("__live"): _*)
+      val len = col("__len"); val typ = col("__typ"); val lv = col("__live")
+      // a declared length that runs past the payload poisons the walk
+      val bad = lv && (pos + 11L + len > col("__nb"))
+      // step B: the tEXt keyword NUL probe over the first 16 data bytes,
+      // named before the folds (each read appears ONCE in the plan)
+      val kwl = (0 until 16).foldRight(lit(-1L)) { (j, rest) =>
+        when(lit(j.toLong) < len && b1(pos + 8L + j) === 0L, lit(j.toLong)).otherwise(rest)
+      }
+      cur = cur.select(col(idCol) +: state :+ col("__len") :+ col("__typ") :+
+        col("__live") :+ bad.as("__bad") :+ kwl.as("__kwl"): _*)
+      val bd  = col("__bad"); val kl = col("__kwl")
+      val isEnd  = lv && !bd && typ === "49454E44"
+      val isIdat = lv && !bd && typ === "49444154"
+      val isText = lv && !bd && typ === "74455874"
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__png"),
+        when(lv && !bd && !isEnd, pos + 12L + len).otherwise(pos).as("__pos"),
+        when(lv && !bd, col("__n") + 1L).otherwise(col("__n")).as("__n"),
+        when(isIdat, col("__idat") + len).otherwise(col("__idat")).as("__idat"),
+        when(isText && col("__kw").isNull && kl >= 1L,
+          hex(col("__pl").substr((pos + 8L).cast("int"), kl.cast("int"))))
+          .otherwise(col("__kw")).as("__kw"),
+        (col("__done") || isEnd || coalesce(bd, lit(false))).as("__done"),
+        (col("__ok") && !coalesce(bd, lit(false))).as("__ok"))
+    }
+    cur.select(
+      col(idCol),
+      when(col("__png"), "png").otherwise("raw").as("format"),
+      col("__nb").as("n_bytes"),
+      when(col("__png") && col("__done") && col("__ok"), col("__n"))
+        .otherwise(lit(-1L)).as("n_chunks"),
+      when(col("__png") && col("__done") && col("__ok"), col("__idat"))
+        .otherwise(lit(-1L)).as("idat_bytes"),
+      when(col("__png") && col("__done") && col("__ok"), col("__kw"))
+        .otherwise(lit(null).cast("string")).as("text_kw_hex"))
+  }
+
+  /**
+   * FIXTURE WRAPPER for [[pngChunkWalk]] (gate/spec harness aid): even
+   * ids wrap the doc text in a REAL chunked PNG — IHDR (id-derived
+   * dimensions), a tEXt chunk whose NUL-terminated keyword varies in
+   * LENGTH with the id (3–8 bytes of "keywords") and whose value is the
+   * doc text, 1–3 IDAT chunks of id-derived length, then IEND — so the
+   * length-field hops, the keyword probe, and the IDAT sum all execute.
+   * Odd ids stay raw. CRC fields are present (zeroed) and skipped, as
+   * the walk documents. The oracle rebuilds the identical hex stream.
+   */
+  def syntheticPngChunks(docs: DataFrame): DataFrame = {
+    val id      = col("doc_id")
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    def beHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * (n - 1 - i)), lit(256L))), 2, "0")): _*)
+    val w = lit(1L) + pmod(id * 13L, lit(4000L))
+    val h = lit(1L) + pmod(id * 19L, lit(4000L))
+    // keyword = first 3 + id%6 chars of "keywords" (hex literals keep the
+    // fixture and the oracle on one spelling)
+    val kwHex = when(pmod(id, lit(6L)) === 0L, "6B6579")
+      .when(pmod(id, lit(6L)) === 1L, "6B657977")
+      .when(pmod(id, lit(6L)) === 2L, "6B6579776F")
+      .when(pmod(id, lit(6L)) === 3L, "6B6579776F72")
+      .when(pmod(id, lit(6L)) === 4L, "6B6579776F7264")
+      .otherwise(lit("6B6579776F726473"))
+    val kwLen   = lit(3L) + pmod(id, lit(6L))
+    val textLen = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val nIdat   = lit(1L) + pmod(id, lit(3L))
+    val idatLen = lit(5L) + pmod(id, lit(7L))
+    val ihdr = concat(lit("0000000D49484452"), beHex(w, 4), beHex(h, 4),
+      lit("080200000000000000"))
+    val text = concat(beHex(kwLen + 1L + textLen, 4), lit("74455874"),
+      kwHex, lit("00"), textHex, lit("00000000"))
+    val idat = concat(beHex(idatLen, 4), lit("49444154"),
+      expr("repeat('AB', CAST(5 + doc_id % 7 AS INT))"), lit("00000000"))
+    val idats = concat(idat,
+      when(nIdat >= 2L, idat).otherwise(lit("")),
+      when(nIdat >= 3L, idat).otherwise(lit("")))
+    val pngHex = concat(lit("89504E470D0A1A0A"), ihdr, text, idats,
+      lit("0000000049454E4400000000"))
+    docs.select(id,
+      unhex(when(pmod(id, lit(2L)) === 0L, pngHex).otherwise(textHex)).as("payload"))
+  }
+
+  /**
    * AUDIO-ENERGY WINDOWS over the raw payload BYTES — per record, the
    * byte stream is treated as unsigned PCM8 samples, cut into
    * `window`-sample frames, and each frame scores its RMS energy around

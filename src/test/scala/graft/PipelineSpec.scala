@@ -1627,6 +1627,50 @@ class PipelineSpec extends SparkTestBase {
     out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, -1L, -1L, -1L))
   }
 
+  "Multimodal.pngChunkWalk" should "hop chunk lengths to IEND, sum IDAT and extract the tEXt keyword" in {
+    def be(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 255L).toByte).toArray
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+      be(data.length.toLong, 4) ++ typ.getBytes("UTF-8") ++ data ++ be(0, 4)
+    val ihdr = chunk("IHDR", be(640, 4) ++ be(480, 4) ++ Array[Byte](8, 2, 0, 0, 0))
+    // minimal: IHDR + IEND, no tEXt → keyword null, idat 0
+    val minimal = sig ++ ihdr ++ chunk("IEND", Array.empty[Byte])
+    // full: tEXt "Software\0ab" + two IDATs of 5 and 7 bytes
+    val full = sig ++ ihdr ++
+      chunk("tEXt", "Software".getBytes("UTF-8") ++ Array[Byte](0) ++ "ab".getBytes("UTF-8")) ++
+      chunk("IDAT", Array.fill[Byte](5)(1)) ++ chunk("IDAT", Array.fill[Byte](7)(2)) ++
+      chunk("IEND", Array.empty[Byte])
+    // truncated: an IDAT declaring 99 bytes with 3 present → poisoned, -1
+    val truncated = sig ++ ihdr ++ be(99, 4) ++ "IDAT".getBytes("UTF-8") ++ Array.fill[Byte](3)(0)
+    val media = Seq((1L, minimal), (2L, full), (3L, truncated),
+      (4L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.pngChunkWalk(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        Option(r.getString(5)).orNull))
+    out(0) shouldBe ((1L, "png", 2L, 0L, null))
+    out(1) shouldBe ((2L, "png", 5L, 12L, "536F667477617265")) // hex("Software")
+    out(2) shouldBe ((3L, "png", -1L, -1L, null))
+    out(3) shouldBe ((4L, "raw", -1L, -1L, null))
+    // a budget too small to reach IEND reports -1, never a guess
+    val b = Multimodal.pngChunkWalk(media.filter($"doc_id" === 2L), maxChunks = 2).head()
+    (b.getLong(3), b.getLong(4)) shouldBe ((-1L, -1L))
+  }
+
+  "Multimodal.syntheticPngChunks" should "round-trip id-derived chunk layouts through the walk" in {
+    val docsDf = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.pngChunkWalk(Multimodal.syntheticPngChunks(docsDf), maxChunks = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        Option(r.getString(5)).orNull))
+    // chunks = 3 + (1 + id%3); idat = (1+id%3)·(5+id%7); kw = 3+id%6 chars
+    out(0) shouldBe ((0L, "png", 4L, 5L, "6B6579"))
+    out(1) shouldBe ((1L, "raw", -1L, -1L, null))
+    out(2) shouldBe ((2L, "png", 6L, 21L, "6B6579776F"))
+    out(3) shouldBe ((3L, "raw", -1L, -1L, null))
+    out(4) shouldBe ((4L, "png", 5L, 18L, "6B6579776F7264"))
+    out(5) shouldBe ((5L, "raw", -1L, -1L, null))
+  }
+
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {
     // id 0: PCM8 mono wav (kept); id 4: 16-bit wav (excluded, not
     // mis-read); id 1: gif (excluded); id 12: PCM8 mono (kept)
