@@ -982,6 +982,13 @@ object SparkEntry {
     "ts_turning" -> ((s, d) =>
       TimeSeries.turningPointTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
         .orderBy("event_type")),
+    // Wald–Wolfowitz runs test: distribution-free randomness check around
+    // the exact median on the hourly grid — too few runs = trending,
+    // too many = oscillating (the permutation-moment companion to
+    // ts_turning's derivative-sign test)
+    "ts_runs" -> ((s, d) =>
+      TimeSeries.runsTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type")),
     // CUSUM-argmax changepoint: the most likely level-shift hour per key
     "ts_cpt" -> ((s, d) =>
       TimeSeries.changePoint(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
@@ -1705,6 +1712,13 @@ object SparkEntry {
     "qa_volume" -> ((s, d) =>
       graft.pipeline.Curate.volumeOutliers(
         evUsAll(s, d).withColumn("day", expr("ts div 86400000000")), "day")),
+    // impossible-sequence audit: lineitems shipped BEFORE their order was
+    // placed — temporal referential consistency on exact day math (the
+    // synthetic data violates the invariant, which is the audit's signal)
+    "qa_dateorder" -> ((s, d) =>
+      graft.pipeline.Curate.temporalConsistency(
+        tbl(s, d, "lineitem"), tbl(s, d, "orders"),
+        "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate")),
     // PSI distribution drift of doc length between the same two snapshot
     // versions qa_diff churns — drift even when row counts barely move
     "qa_psi" -> ((s, d) => {
@@ -2975,6 +2989,36 @@ object SparkEntry {
          |    round((turning_points::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0)
          |          / sqrt((16.0 * n::DOUBLE - 29.0) / 90.0), 6) END AS z
          |FROM g ORDER BY event_type""".stripMargin.replace("\n", " "),
+    // runs test: type-1 lower median from the per-key value histogram,
+    // median ties dropped, runs counted on the time-ordered lag; the z
+    // moments are the engine's exact-long products in one double chain
+    "ts_runs" ->
+      s"""WITH r AS (SELECT event_type, (epoch_us(ts) // $HourUs) * $HourUs AS t,
+         |             round(sum(value), 6) / count(*) AS v FROM events GROUP BY 1, 2),
+         |h AS (SELECT event_type, v, count(*)::BIGINT AS m FROM r GROUP BY 1, 2),
+         |md AS (SELECT event_type, min(v) AS med FROM
+         |        (SELECT event_type, v,
+         |           sum(m) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         |           sum(m) OVER (PARTITION BY event_type)::BIGINT AS n FROM h)
+         |       WHERE cum >= (n + 1) // 2 GROUP BY 1),
+         |s AS (SELECT r.event_type, t, CASE WHEN v > med THEN 1 ELSE -1 END AS sg
+         |      FROM r JOIN md USING (event_type) WHERE v <> med),
+         |l AS (SELECT event_type, sg,
+         |        lag(sg) OVER (PARTITION BY event_type ORDER BY t) AS p FROM s),
+         |a AS (SELECT event_type,
+         |        sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_above,
+         |        sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT AS n_below,
+         |        sum(CASE WHEN p IS NULL OR sg <> p THEN 1 ELSE 0 END)::BIGINT AS n_runs
+         |      FROM l GROUP BY 1)
+         |SELECT event_type, n_above, n_below, n_runs,
+         |  CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+         |        AND ((2 * n_above * n_below) * (2 * n_above * n_below - (n_above + n_below)))::DOUBLE > 0
+         |       THEN round((n_runs::DOUBLE -
+         |           ((2 * n_above * n_below)::DOUBLE / (n_above + n_below)::DOUBLE + 1.0))
+         |         / sqrt(((2 * n_above * n_below) * (2 * n_above * n_below - (n_above + n_below)))::DOUBLE
+         |             / (((n_above + n_below) * (n_above + n_below) * (n_above + n_below - 1))::DOUBLE)), 4)
+         |       END AS z
+         |FROM a ORDER BY event_type""".stripMargin.replace("\n", " "),
     // dominant period: exact int64 phase sums on the 1e-6 value lattice,
     // HUGEINT square fold (mirrors decimal(38,0)), per-(key, P) phase
     // terms folded ascending by VALUE (graft_fold_sum's kernel order),
@@ -3933,6 +3977,19 @@ object SparkEntry {
         |    AS mismatch_rate,
         |  max(abs(d))::BIGINT AS max_abs_diff_cents,
         |  round(sum(abs(d))::DOUBLE / count(*)::DOUBLE / 100.0, 2) AS mean_abs_diff
+        |FROM j""".stripMargin.replace("\n", " "),
+    // temporal referential consistency: exact day diffs, left-anchored on
+    // the child (inner join — a childless parent is a different audit)
+    "qa_dateorder" ->
+      """WITH j AS (SELECT l_orderkey AS k,
+        |             date_diff('day', o_orderdate, l_shipdate)::BIGINT AS d
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+        |  round(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS violation_rate,
+        |  min(d)::BIGINT AS min_lead_days,
+        |  min(CASE WHEN d < 0 THEN k END)::BIGINT AS example_key
         |FROM j""".stripMargin.replace("\n", " "),
     // per-day volume outliers: type-1 medians from count histograms, the
     // same (n+1) div 2 lower-median pick as the engine

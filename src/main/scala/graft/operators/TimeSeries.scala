@@ -179,6 +179,65 @@ object TimeSeries {
   }
 
   /**
+   * WALD–WOLFOWITZ RUNS TEST per key over the [[resample]] grid — is the
+   * series RANDOM around its median, or does it trend/oscillate? Each
+   * grid value classifies above/below the key's exact type-1 lower
+   * median (ties ON the median drop, the standard treatment); a run is a
+   * maximal same-side stretch in time order; the z-score compares the
+   * observed run count against the exact permutation moments
+   * μ = 2·n1·n2/(n1+n2) + 1 and σ² = 2n1n2(2n1n2 − n1 − n2) /
+   * ((n1+n2)²(n1+n2−1)). Too FEW runs = trending/clustered (z < 0), too
+   * MANY = oscillating (z > 0) — the distribution-free companion to
+   * [[turningPoints]]. Engine-portable: run/side counts are exact
+   * integers, the moments are one fixed double chain off exact longs,
+   * and z is null when σ = 0 (degenerate n1/n2). Scale shape: the
+   * resample aggregation, one value-histogram median per key, one
+   * per-key time-ordered lag — never a global sort.
+   */
+  def runsTest(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long
+  ): DataFrame = {
+    val grid = resample(df, keys, tsCol, valueCol, step)
+    val kc   = keys.map(col)
+    // exact type-1 lower median from the per-key value histogram
+    val h  = grid.groupBy(kc :+ col(valueCol).as("__v"): _*).agg(count(lit(1)).as("__m"))
+    val cw = Window.partitionBy(kc: _*).orderBy(col("__v"))
+    val nw = Window.partitionBy(kc: _*)
+    val med = h
+      .withColumn("__cum", sum(col("__m")).over(cw))
+      .withColumn("__n", sum(col("__m")).over(nw))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy(kc: _*).agg(min(col("__v")).as("__med"))
+    val signed = grid.join(med, keys)
+      .filter(col(valueCol) =!= col("__med"))
+      .select(kc :+ col(tsCol) :+
+        when(col(valueCol) > col("__med"), 1L).otherwise(-1L).as("__s"): _*)
+    val tw = Window.partitionBy(kc: _*).orderBy(col(tsCol))
+    val agg = signed
+      .withColumn("__p", lag(col("__s"), 1).over(tw))
+      .groupBy(kc: _*)
+      .agg(
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__p").isNull || col("__s") =!= col("__p"), 1L).otherwise(0L))
+          .as("n_runs"))
+    val n1 = col("n_above"); val n2 = col("n_below"); val nn = n1 + n2
+    val two = lit(2L) * n1 * n2 // ≤ 2·(n/2)² — exact long far below 2^53
+    val mu  = two.cast("double") / nn.cast("double") + 1.0
+    val varNum = (two * (two - nn)).cast("double")
+    val varDen = (nn * nn * (nn - 1L)).cast("double")
+    agg.select(kc ++ Seq(
+      n1, n2, col("n_runs"),
+      when(n1 > 0L && n2 > 0L && nn > 1L && varNum > 0.0,
+        round((col("n_runs").cast("double") - mu) / sqrt(varNum / varDen), 4))
+        .as("z")): _*)
+  }
+
+  /**
    * DOMINANT-PERIOD DETECTION — which cycle length explains a key's grid
    * best: for every candidate period `P` in `[minPeriod, maxPeriod]`, the
    * ANOVA periodicity strength `SS_between(P) / SS_total` (the share of

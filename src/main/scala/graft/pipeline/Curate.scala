@@ -436,6 +436,40 @@ object Curate {
   }
 
   /**
+   * TEMPORAL REFERENTIAL-CONSISTENCY AUDIT — can a child event precede
+   * its parent? `datediff(child_ts, parent_ts) < 0` joined on the key:
+   * lineitems shipped before their order was placed, events stamped
+   * before the account existed — the impossible-sequence class of data
+   * bug (clock skew, timezone double-conversion, backfilled defaults).
+   * Reports the violation count/rate, the most-negative lead in days,
+   * and a concrete example key to pull. All exact integer day math; the
+   * rate is null (not NaN) on an empty join.
+   */
+  def temporalConsistency(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String,
+      childTs: String,
+      parentTs: String,
+      dp: Int = 6
+  ): DataFrame = {
+    val j = child.select(col(childKey).as("__k"), col(childTs).as("__ct"))
+      .join(parent.select(col(parentKey).as("__k"), col(parentTs).as("__pt")), Seq("__k"))
+      .select(col("__k"), datediff(col("__ct"), col("__pt")).cast("long").as("__d"))
+    j.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("__d") < 0L, 1L).otherwise(0L)).as("n_violations"),
+      min(col("__d")).as("min_lead_days"),
+      min(when(col("__d") < 0L, col("__k"))).as("example_key"))
+      .select(col("n_pairs"), col("n_violations"),
+        when(col("n_pairs") > 0L,
+          round(col("n_violations").cast("double") / col("n_pairs").cast("double"), dp))
+          .as("violation_rate"),
+        col("min_lead_days"), col("example_key"))
+  }
+
+  /**
    * JOIN-CARDINALITY PREFLIGHT — the EXACT output size of
    * `left ⨝ right ON leftKey = rightKey`, computed from the two key
    * histograms WITHOUT executing the join: `|A ⨝ B| = Σ_k cntA(k)·cntB(k)`.

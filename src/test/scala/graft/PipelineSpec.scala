@@ -1340,6 +1340,25 @@ class PipelineSpec extends SparkTestBase {
     (r.getLong(3), r.getDouble(4)) shouldBe ((750L, 3.5)) // (0+300+750)/3 = 350 cents
   }
 
+  "Curate.temporalConsistency" should "flag children stamped before their parent on exact day math" in {
+    val child = Seq(
+      (1L, "2024-01-01 00:00:00"), // 4 days BEFORE the parent -> violation
+      (2L, "2024-01-10 00:00:00"), // after -> fine
+      (3L, "2024-01-01 00:00:00")  // orphan: inner join drops it
+    ).toDF("k", "cts").select($"k", to_timestamp($"cts").as("cts"))
+    val parent = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-01-02 00:00:00"))
+      .toDF("pk", "pts").select($"pk", to_timestamp($"pts").as("pts"))
+    val r = graft.pipeline.Curate.temporalConsistency(
+      child, parent, "k", "pk", "cts", "pts").head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((2L, 1L, 0.5, -4L, 1L))
+    // empty join: null rate (never NaN) and null counters/extrema — the
+    // totalsAudit/functionalDependency empty-input convention
+    val e = graft.pipeline.Curate.temporalConsistency(
+      child.limit(0), parent, "k", "pk", "cts", "pts").head()
+    (e.getLong(0), e.isNullAt(1), e.isNullAt(2), e.isNullAt(3)) shouldBe ((0L, true, true, true))
+  }
+
   "TextAnalysis.encodingAnomalies" should "count control and replacement chars per source" in {
     import graft.pipeline.TextAnalysis
     val docsDf = Seq(

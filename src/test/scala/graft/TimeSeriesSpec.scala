@@ -307,6 +307,30 @@ class TimeSeriesSpec extends SparkTestBase {
     (s.getLong(1), s.getLong(2), s.isNullAt(3)) shouldBe ((2L, 0L, true))
   }
 
+  "TimeSeries.runsTest" should "count median runs and score the exact permutation z" in {
+    // [1, 9, 5, 9, 1, 9]: lower median = 5 (cum 3 of 6 at v=5), the 5
+    // drops as a tie; signs [-,+,+,-,+] -> 4 runs, n1=3 above, n2=2 below
+    val df = Seq(1.0, 9.0, 5.0, 9.0, 1.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong * 10, v) }.toDF("k", "ts", "v")
+    val r = TimeSeries.runsTest(df, Seq("k"), "ts", "v", step = 10L).head()
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((3L, 2L, 4L))
+    val zExp = BigDecimal((4.0 - (12.0 / 5.0 + 1.0)) /
+      math.sqrt((12.0 * (12.0 - 5.0)) / (25.0 * 4.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getDouble(4) shouldBe zExp
+    // a monotone trend has the FEWEST runs: [1..6] -> med 3 drops,
+    // signs [-,-,+,+,+] -> 2 runs, z < 0
+    val up = (1 to 6).map(i => ("a", i.toLong * 10, i.toDouble)).toDF("k", "ts", "v")
+    val u = TimeSeries.runsTest(up, Seq("k"), "ts", "v", step = 10L).head()
+    (u.getLong(1), u.getLong(2), u.getLong(3)) shouldBe ((3L, 2L, 2L))
+    u.getDouble(4) should be < 0.0
+    // one-sided after the median drop (constant-ish series): z is null
+    val flat = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong * 10, v) }.toDF("k", "ts", "v")
+    val f = TimeSeries.runsTest(flat, Seq("k"), "ts", "v", step = 10L).head()
+    (f.getLong(1), f.getLong(2), f.isNullAt(4)) shouldBe ((3L, 0L, true))
+  }
+
   "TimeSeries.maseBacktest" should "scale the Holt MAE by the naive lag-1 MAE" in {
     // x = [1, 2, 3, 4]: Holt errs 1, 1.375, 1.390625 → sum 3.765625;
     // naive errs all 1 → naive_mae 1, mase = 3.765625 / 3
