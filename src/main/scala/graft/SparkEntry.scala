@@ -989,6 +989,12 @@ object SparkEntry {
     "ts_runs" -> ((s, d) =>
       TimeSeries.runsTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
         .orderBy("event_type")),
+    // Bandt–Pompe permutation entropy (m=3): ordinal-pattern complexity
+    // on the hourly grid — noise-like (→1) vs ordered regimes (→0); the
+    // ORDER-structure companion to ts_runs/ts_turning
+    "ts_pentropy" -> ((s, d) =>
+      TimeSeries.permutationEntropy(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .orderBy("event_type")),
     // CUSUM-argmax changepoint: the most likely level-shift hour per key
     "ts_cpt" -> ((s, d) =>
       TimeSeries.changePoint(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
@@ -2989,6 +2995,32 @@ object SparkEntry {
          |    round((turning_points::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0)
          |          / sqrt((16.0 * n::DOUBLE - 29.0) / 90.0), 6) END AS z
          |FROM g ORDER BY event_type""".stripMargin.replace("\n", " "),
+    // permutation entropy: ordinal patterns of strict 3-tick windows
+    // (ties excluded on the exact lattice), value-sorted entropy fold,
+    // one division by ln 6
+    "ts_pentropy" ->
+      s"""WITH r AS (SELECT event_type, (epoch_us(ts) // $HourUs) * $HourUs AS t,
+         |             round(sum(value), 6) / count(*) AS v FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, v AS v1,
+         |        lead(v, 1) OVER tw AS v2, lead(v, 2) OVER tw AS v3
+         |      FROM r WINDOW tw AS (PARTITION BY event_type ORDER BY t)),
+         |f AS (SELECT event_type,
+         |        CASE WHEN v1 < v2 AND v2 < v3 THEN 0
+         |             WHEN v1 < v3 AND v3 < v2 THEN 1
+         |             WHEN v2 < v1 AND v1 < v3 THEN 2
+         |             WHEN v2 < v3 AND v3 < v1 THEN 3
+         |             WHEN v3 < v1 AND v1 < v2 THEN 4
+         |             ELSE 5 END AS pat
+         |      FROM w WHERE v2 IS NOT NULL AND v3 IS NOT NULL
+         |        AND v1 <> v2 AND v1 <> v3 AND v2 <> v3),
+         |c AS (SELECT event_type, pat, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+         |n AS (SELECT event_type, pat, c,
+         |        sum(c) OVER (PARTITION BY event_type)::BIGINT AS n FROM c)
+         |SELECT event_type, max(n)::BIGINT AS n_windows, count(*)::BIGINT AS n_patterns,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_sort(list((c::DOUBLE / n::DOUBLE) * ln(n::DOUBLE / c::DOUBLE)))),
+         |      (a, b) -> a + b) / ln(6.0), 6) AS pentropy
+         |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
     // runs test: type-1 lower median from the per-key value histogram,
     // median ties dropped, runs counted on the time-ordered lag; the z
     // moments are the engine's exact-long products in one double chain

@@ -238,6 +238,66 @@ object TimeSeries {
   }
 
   /**
+   * PERMUTATION ENTROPY (Bandt–Pompe, order m=3) per key over the
+   * [[resample]] grid — the model-free COMPLEXITY readout: slide a
+   * 3-tick window along the series, classify each window by the ORDINAL
+   * PATTERN of its values (which of the 6 orderings the triple forms),
+   * and score the normalized Shannon entropy of the pattern histogram.
+   * ≈1 = the six patterns equiprobable (noise-like), ≈0 = one pattern
+   * dominates (monotone ramps, strict cycles) — the regime-detection
+   * companion to [[runsTest]] (randomness around a LEVEL) and
+   * [[turningPointTest]] (extrema count): this one sees ORDER structure.
+   *
+   * Determinism: windows with any TIE among the three values are
+   * excluded (strict ordinal patterns only — on the cent lattice ties
+   * are exact, never float-adjacent), pattern counts are exact integers,
+   * and the entropy folds its ≤6 `p·ln(1/p)` terms VALUE-SORTED
+   * ([[graft.functions.GraftFunctions.foldSum]]) before one division by
+   * ln 6. Scale shape: the resample aggregation, one per-key ordered
+   * window (two leads), one |keys × ≤6|-row aggregation — never a
+   * global sort.
+   */
+  def permutationEntropy(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: Long
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
+    import GraftFunctions.foldSum
+    val grid = resample(df, keys, tsCol, valueCol, step)
+    val kc = keys.map(col)
+    val tw = Window.partitionBy(kc: _*).orderBy(col(tsCol))
+    val v1 = col("__v1"); val v2 = col("__v2"); val v3 = col("__v3")
+    val pat = when(v1 < v2 && v2 < v3, 0L)
+      .when(v1 < v3 && v3 < v2, 1L)
+      .when(v2 < v1 && v1 < v3, 2L)
+      .when(v2 < v3 && v3 < v1, 3L)
+      .when(v3 < v1 && v1 < v2, 4L)
+      .otherwise(5L)
+    val wins = grid
+      .select(kc :+ col(valueCol).as("__v1") :+
+        lead(col(valueCol), 1).over(tw).as("__v2") :+
+        lead(col(valueCol), 2).over(tw).as("__v3"): _*)
+      .filter(v2.isNotNull && v3.isNotNull &&
+        v1 =!= v2 && v1 =!= v3 && v2 =!= v3)
+      .select(kc :+ pat.as("__p"): _*)
+    val counts = wins.groupBy(kc :+ col("__p"): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(kc: _*)))
+    val term = (col("__c").cast("double") / col("__n").cast("double")) *
+      log(col("__n").cast("double") / col("__c").cast("double"))
+    counts
+      .select(kc :+ col("__c") :+ col("__n") :+ term.as("__t"): _*)
+      .groupBy(kc: _*)
+      .agg(
+        max(col("__n")).as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        round(foldSum(collect_list(col("__t"))) / math.log(6.0), 6).as("pentropy"))
+  }
+
+  /**
    * DOMINANT-PERIOD DETECTION — which cycle length explains a key's grid
    * best: for every candidate period `P` in `[minPeriod, maxPeriod]`, the
    * ANOVA periodicity strength `SS_between(P) / SS_total` (the share of

@@ -331,6 +331,26 @@ class TimeSeriesSpec extends SparkTestBase {
     (f.getLong(1), f.getLong(2), f.isNullAt(4)) shouldBe ((3L, 0L, true))
   }
 
+  "TimeSeries.permutationEntropy" should "score ordinal-pattern complexity with strict ties dropped" in {
+    // [1,3,2,5,4,6]: windows (1,3,2)->132, (3,2,5)->213, (2,5,4)->132,
+    // (5,4,6)->213 — two patterns at p=1/2 each: H = ln2, norm = ln2/ln6
+    val df = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong * 10, v) }.toDF("k", "ts", "v")
+    val r = TimeSeries.permutationEntropy(df, Seq("k"), "ts", "v", step = 10L).head()
+    (r.getLong(1), r.getLong(2)) shouldBe ((4L, 2L))
+    r.getDouble(3) shouldBe BigDecimal(math.log(2.0) / math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a monotone ramp is ONE pattern: entropy exactly 0
+    val up = (1 to 4).map(i => ("a", i.toLong * 10, i.toDouble)).toDF("k", "ts", "v")
+    val u = TimeSeries.permutationEntropy(up, Seq("k"), "ts", "v", step = 10L).head()
+    (u.getLong(1), u.getLong(2), u.getDouble(3)) shouldBe ((2L, 1L, 0.0))
+    // windows carrying a TIE are excluded, never force-ranked: a series
+    // whose every window ties produces no row for the key
+    val tie = Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong * 10, v) }.toDF("k", "ts", "v")
+    TimeSeries.permutationEntropy(tie, Seq("k"), "ts", "v", step = 10L).count() shouldBe 0L
+  }
+
   "TimeSeries.maseBacktest" should "scale the Holt MAE by the naive lag-1 MAE" in {
     // x = [1, 2, 3, 4]: Holt errs 1, 1.375, 1.390625 → sum 3.765625;
     // naive errs all 1 → naive_mae 1, mase = 3.765625 / 3
