@@ -191,6 +191,40 @@ class GraftEngine(val spark: SparkSession, val warehouse: Option[graft.catalog.W
           case PlannedQuery.Delete(where) => Seq(
             Seq("plan", "Delete"), Seq("where", where.toString))
         }
+      // ---- pipeline commands (beyond the reference surface) -------------
+      case Ast.DedupExact(m) =>
+        // the exact-dedup operator ([[graft.pipeline.Dedup.exact]]: digest
+        // group-by, ~32-byte shuffle payload per record) applied to the
+        // metric's full visible record: rows sharing every field are one
+        // group. Reports duplicate groups only — (representative
+        // timestamp, n_copies), heaviest first, capped at 100 rows (the
+        // command surface is a diagnostic readout, not an export path).
+        resolve(db, namespace, m).map { ref =>
+          val visible = ref.schema.orderedNames
+          val keyed = ref.df.select(
+            col("timestamp").as("__id"),
+            // explicit per-field null sentinel (concat_ws silently SKIPS
+            // nulls, which would alias (null, "x") with ("x", null))
+            concat_ws("\u0001",
+              visible.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+              .as("__content"))
+          graft.pipeline.Dedup.exact(keyed, textCol = "__content", idCol = "__id")
+            .filter(col("n_copies") > 1L)
+            .orderBy(col("n_copies").desc, col("__id"))
+            .limit(100)
+            .collect().toSeq
+            .map(r => Seq(r.get(0).toString, r.get(1).toString))
+        }
+      case Ast.AuditProfile(m) =>
+        // the ingest data-quality profile ([[graft.pipeline.Curate.profile]])
+        // over the metric's visible columns: one row per column —
+        // (col_name, n_rows, n_null, n_distinct, min_v, max_v).
+        resolve(db, namespace, m).map { ref =>
+          val visible = ref.schema.orderedNames
+          graft.pipeline.Curate.profile(ref.df.select(visible.map(col _): _*), visible)
+            .collect().toSeq
+            .map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("null")))
+        }
     }
 
   /** Plan without executing (validation surface for tests / error parity). */

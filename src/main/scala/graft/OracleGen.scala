@@ -1277,6 +1277,113 @@ object OracleGen {
        |FROM w$maxChunks ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Multimodal.zipCentralDirectory]] over the
+    * [[graft.pipeline.Multimodal.syntheticZips]] fixture: identical hex
+    * rebuild (local headers + central directory + EOCD with LE sizes and
+    * offsets), then the SAME backward EOCD scan (16 candidates, comment-
+    * length self-consistency), up-front cd-bounds check, and u16-LE
+    * length-field hops over the central-directory entries. */
+  def zipCentralDirectorySql(maxEntries: Int): String = {
+    def b1(p: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($p)-1 : 2*($p)] AS BIGINT), -1)"
+    def u16(p: String): String = s"(${b1(p)} + 256 * ${b1(s"($p) + 1")})"
+    def u32(p: String): String =
+      s"(${b1(p)} + 256 * ${b1(s"($p) + 1")} + 65536 * ${b1(s"($p) + 2")} + 16777216 * ${b1(s"($p) + 3")})"
+    def leHex(v: String, n: Int): String =
+      (0 until n).map(i => s"lpad(hex((($v) >> ${8 * i}) & 255), 2, '0')").mkString(" || ")
+    def sig4(p: String): String = s"hx[2*($p)-1 : 2*(($p)+3)]"
+    // ---- fixture rebuild (mirrors syntheticZips field for field) ----
+    val nm0 =
+      """CASE doc_id % 6 WHEN 0 THEN '6D616E' WHEN 1 THEN '6D616E69'
+        | WHEN 2 THEN '6D616E6966' WHEN 3 THEN '6D616E696665'
+        | WHEN 4 THEN '6D616E69666573' ELSE '6D616E6966657374' END""".stripMargin
+    val nl0 = "(3 + doc_id % 6)"
+    val tl  = "octet_length(encode(text))"
+    val c1  = "(5 + doc_id % 9)"
+    val c2  = "(5 + (doc_id + 3) % 9)"
+    val cmt1 = "(doc_id % 3)"
+    val zc   = "((doc_id * 7) % 12)"
+    val nE   = "(1 + doc_id % 3)"
+    def lfh(meth: String, c: String, u: String, nl: String, name: String, data: String) =
+      s"'504B030414000000$meth' || '00000000' || '00000000' || " +
+        s"${leHex(c, 4)} || ${leHex(u, 4)} || ${leHex(nl, 2)} || '0000' || $name || $data"
+    def cde(meth: String, c: String, u: String, nl: String, cmt: String,
+            off: String, name: String, cmtHex: String) =
+      s"'504B01021E031400' || '0000$meth' || '00000000' || '00000000' || " +
+        s"${leHex(c, 4)} || ${leHex(u, 4)} || ${leHex(nl, 2)} || '0000' || ${leHex(cmt, 2)} || " +
+        s"'000000000000' || '0000' || ${leHex(off, 4)} || $name || $cmtHex"
+    val off1   = s"(30 + $nl0 + $tl)"
+    val off2   = s"($off1 + 36 + $c1)"
+    val cdOff  = s"($off1 + CASE WHEN $nE >= 2 THEN $c1 + 36 ELSE 0 END + " +
+      s"CASE WHEN $nE >= 3 THEN $c2 + 36 ELSE 0 END)"
+    val cdSize = s"(46 + $nl0 + CASE WHEN $nE >= 2 THEN $cmt1 + 52 ELSE 0 END + " +
+      s"CASE WHEN $nE >= 3 THEN 52 ELSE 0 END)"
+    val data1 = s"repeat('AB', CAST($c1 AS INT))"
+    val data2 = s"repeat('CD', CAST($c2 AS INT))"
+    val zipHex =
+      s"${lfh("0000", tl, tl, nl0, s"($nm0)", "hex(encode(text))")} || " +
+        s"CASE WHEN $nE >= 2 THEN ${lfh("0800", c1, s"($c1 + 11)", "6", "'656E74727931'", data1)} ELSE '' END || " +
+        s"CASE WHEN $nE >= 3 THEN ${lfh("0800", c2, s"($c2 + 23)", "6", "'656E74727932'", data2)} ELSE '' END || " +
+        s"${cde("0000", tl, tl, nl0, "0", "0", s"($nm0)", "''")} || " +
+        s"CASE WHEN $nE >= 2 THEN ${cde("0800", c1, s"($c1 + 11)", "6", cmt1, off1, "'656E74727931'",
+          s"('4E4F')[1 : CAST(2 * $cmt1 AS INT)]")} ELSE '' END || " +
+        s"CASE WHEN $nE >= 3 THEN ${cde("0800", c2, s"($c2 + 23)", "6", "0", off2, "'656E74727932'", "''")} ELSE '' END || " +
+        s"'504B050600000000' || ${leHex(nE, 2)} || ${leHex(nE, 2)} || " +
+        s"${leHex(cdSize, 4)} || ${leHex(cdOff, 4)} || ${leHex(zc, 2)} || " +
+        s"('7A697066696C652D6E6F7465')[1 : CAST(2 * $zc AS INT)]"
+    // ---- EOCD backward scan: tail-most self-consistent candidate ----
+    val pScan = "CASE " + (0 until 16).map { off =>
+      val p = s"(nb - ${21 + off})"
+      s"WHEN $p >= 1 AND ${sig4(p)} = '504B0506' AND $p + 21 + ${u16(s"$p + 20")} = nb THEN $p"
+    }.mkString(" ") + " ELSE -1 END"
+    val steps = (1 to maxEntries).map { i =>
+      val live = "(zip AND ok AND NOT done AND q >= 1 AND q + 45 <= nb)"
+      s"""a$i AS (SELECT doc_id, hx, nb, zip, p, tot, q, n, c, u, nm, done, ok,
+         |  ${sig4("q")} AS sig, ${u16("q + 28")} AS nl, ${u16("q + 30")} AS el,
+         |  ${u16("q + 32")} AS cl, ${u32("q + 20")} AS cc, ${u32("q + 24")} AS uu,
+         |  $live AS live
+         |FROM w${i - 1}),
+         |b$i AS (SELECT doc_id, hx, nb, zip, p, tot, q, n, c, u, nm, done, ok,
+         |  nl, el, cl, cc, uu, live,
+         |  (live AND (sig <> '504B0102' OR q + 45 + nl + el + cl > nb)) AS bad,
+         |  hx[2*(q+46)-1 : 2*(q + 45 + least(nl, 16))] AS nmp
+         |FROM a$i),
+         |w$i AS (SELECT doc_id, hx, nb, zip, p, tot,
+         |  CASE WHEN live AND NOT bad THEN q + 46 + nl + el + cl ELSE q END AS q,
+         |  CASE WHEN live AND NOT bad THEN n + 1 ELSE n END AS n,
+         |  CASE WHEN live AND NOT bad THEN c + cc ELSE c END AS c,
+         |  CASE WHEN live AND NOT bad THEN u + uu ELSE u END AS u,
+         |  CASE WHEN live AND NOT bad AND n = 0 THEN nmp ELSE nm END AS nm,
+         |  (done OR (live AND NOT bad AND n + 1 = tot) OR coalesce(bad, false)) AS done,
+         |  (ok AND NOT coalesce(bad, false)) AS ok
+         |FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pay AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 4 <> 3 THEN $zipHex ELSE hex(encode(text)) END AS hx
+       |  FROM documents),
+       |d0 AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb FROM pay),
+       |d1 AS (SELECT doc_id, hx, nb, ($pScan)::BIGINT AS p FROM d0),
+       |d2 AS (SELECT doc_id, hx, nb, p, (p >= 1) AS zip,
+       |  CASE WHEN p >= 1 THEN ${u16("p + 10")} ELSE -1 END AS tot,
+       |  CASE WHEN p >= 1 THEN ${u32("p + 12")} ELSE -1 END AS cds,
+       |  CASE WHEN p >= 1 THEN ${u32("p + 16")} + 1 ELSE -1 END AS q
+       |FROM d1),
+       |w0 AS (SELECT doc_id, hx, nb, zip, p, tot, q,
+       |  0::BIGINT AS n, 0::BIGINT AS c, 0::BIGINT AS u, NULL::VARCHAR AS nm,
+       |  (tot = 0) AS done,
+       |  (NOT zip OR (q >= 1 AND q + cds = p)) AS ok
+       |FROM d2),
+       |$steps
+       |SELECT doc_id,
+       |  CASE WHEN zip THEN 'zip' ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN zip AND done AND ok THEN tot ELSE -1 END)::BIGINT AS n_entries,
+       |  (CASE WHEN zip AND done AND ok THEN c ELSE -1 END)::BIGINT AS comp_bytes,
+       |  (CASE WHEN zip AND done AND ok THEN u ELSE -1 END)::BIGINT AS uncomp_bytes,
+       |  (CASE WHEN zip AND done AND ok THEN nm END) AS first_name_hex
+       |FROM w$maxEntries ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Multimodal.tiffMeta]] over the
     * [[graft.pipeline.Multimodal.syntheticTiffs]] fixture: identical hex
     * rebuild, then the SAME byte-order-branching fixed-offset entry reads;

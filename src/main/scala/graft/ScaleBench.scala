@@ -57,7 +57,15 @@ object ScaleBench {
     // near-dup pair graph (per-round edge joins + normalizing sums; the
     // shape that would expose densification if the LSH pair graph grew
     // superlinearly)
-    "d_hits")
+    "d_hits",
+    // round-17 additions: the two top-10 floors previously absent.
+    // ts_theilsen's C(n,2) pair join is quadratic in GRID POINTS per key
+    // — the replicas keep the time span (constant buckets, linear rows),
+    // so the probe must stay ~linear; a tripped maxPoints require or a
+    // rising exponent would mean the resample guard is mis-stated.
+    // ann_pca_topk is the reduce-then-index path: power-iteration PCA
+    // (linear per round) + reduced-dim shortlist + bounded re-rank.
+    "ts_theilsen", "ann_pca_topk")
 
   /** Probe overrides where the GATE's fixed small-data parameters are the
     * scale bottleneck, not the operator: the probe instead applies the
@@ -283,11 +291,33 @@ object ScaleBench {
       """"ratio10":([0-9.]+)""".r.findFirstMatchIn(snip)
         .exists(_.group(1).toDouble > math.pow(10.0, 1.3))
     }
-    val fails = failed.reverse.map { case (n, f, m) =>
-      s"""{"query":"$n","factor":$f,"error":"${m.replace("\"", "'")}"}"""
-    }.mkString("[", ",", "]")
+    // a targeted overlay must not erase evidence it did not re-gather:
+    // prior failures for queries NOT re-swept this run are carried over
+    // (a re-swept query's prior failures are superseded by this run —
+    // whether it now passes or fails afresh). Same flat-object regex lift
+    // as the per-query snippets.
+    val priorFails: Seq[(String, String)] =
+      if (only.isDefined && new java.io.File("BENCH_SCALE.json").exists()) {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_SCALE.json")), "UTF-8")
+        val fRegion = txt.indexOf("\"failures\":[")
+        if (fRegion < 0) Seq.empty
+        else """\{"query":"([a-z0-9_]+)",([^{}]*)\}""".r
+          .findAllMatchIn(txt.substring(fRegion))
+          .map(m => m.group(1) -> s"""{"query":"${m.group(1)}",${m.group(2)}}""")
+          .toSeq
+      } else Seq.empty
+    val fails = (priorFails.filterNot(p => sweptNames(p._1)).map(_._2) ++
+      failed.reverse.map { case (n, f, m) =>
+        s"""{"query":"$n","factor":$f,"error":"${m.replace("\"", "'")}"}"""
+      }).mkString("[", ",", "]")
+    // factors/runs describe THIS run's sweep; `swept` names the queries
+    // they apply to, so a 1-probe overlay no longer stamps its factors on
+    // per-query snippets measured by an earlier full sweep
+    val sweptList = sweptQ.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"scale_probe","base":"$baseDir","factors":[${factors.mkString(",")}],"runs":$runs,""" +
+        s""""swept":$sweptList,"merged":${only.isDefined && prior.nonEmpty},""" +
         s""""sized_probes":[${probeOverrides.keys.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":$perQ,"superlinear":$superCount,"failures":$fails}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),

@@ -76,6 +76,24 @@ object SparkEntry {
   private def mmAv(s: SparkSession, d: String): DataFrame =
     sharedMedia("av", s, d)(Multimodal.syntheticAvContainers(docs(s, d)))
 
+  // one TERM INDEX per (session, dir) — the mm_* pinning discipline applied
+  // to the rt_* family (round 17): six gates (bm25_idx, mmr_idx, prf,
+  // bm25_join, mrr, ndcg) each re-derived the tokenized postings/doclens
+  // per gate, so the driver sweep re-tokenized the corpus six times over.
+  // termIndexPersisted uses persist (NOT localCheckpoint), so the bench
+  // harness's per-query Checkpoints.free on a result frame cannot evict
+  // the shared relations. At 100 TB the equivalent is the persisted
+  // on-disk index (writeTermIndex) that rt_bm25_app exercises — which
+  // deliberately keeps its own build, as incremental maintenance IS its
+  // subject.
+  private val termIxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Retrieval.TermIndex]()
+  private def sharedTermIndex(s: SparkSession, d: String): Retrieval.TermIndex = {
+    val it = termIxMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    termIxMemo.computeIfAbsent((s, d), _ => Retrieval.termIndexPersisted(docs(s, d)))
+  }
+
   /** raw events. Older driver testdata typed `ts` int64 epoch-nanos (the
     * legacy conf keeps that LongType; set before the read so it holds
     * regardless of query order); current testdata types it timestamp[us]
@@ -1343,9 +1361,9 @@ object SparkEntry {
     // path) — shares rt_bm25's oracle, proving corpus-scan/index parity
     "rt_bm25_idx" -> ((s, d) =>
       // stand in for the persisted postings/doclens (writeTermIndex):
-      // the pinned build tokenizes ONCE and the query reads the pins
-      Retrieval.bm25TopKIndexed(Retrieval.termIndexPinned(docs(s, d)),
-        Seq("spark", "join"), k = 20)),
+      // the shared build tokenizes ONCE per session+dir and every
+      // index-reading rt_* gate queries the same cached relations
+      Retrieval.bm25TopKIndexed(sharedTermIndex(s, d), Seq("spark", "join"), k = 20)),
     // incremental maintenance: base index + appended batch ≡ full rebuild
     // (the oracle stays the whole-corpus scan)
     "rt_bm25_app" -> ((s, d) => {
@@ -1362,16 +1380,10 @@ object SparkEntry {
     // MMR through the prebuilt index: shortlist from postings, word sets
     // for the Jaccard sims from postings too — the text is never read;
     // shares rt_mmr's oracle, proving corpus-scan/index parity
-    "rt_mmr_idx" -> ((s, d) => {
-      val ix = Retrieval.termIndexPinned(docs(s, d))
-      val out = Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20,
-        lambda = 0.7, ix = Some(ix))
-      // the greedy pick collects inside mmrRerank, so the result is a local
-      // relation with no lineage to the pins — release them here, not via
-      // the caller's Checkpoints.free(result)
-      graft.pipeline.Checkpoints.free(ix.postings, ix.doclens)
-      out
-    }),
+    "rt_mmr_idx" -> ((s, d) =>
+      // shared session index (lives in the memo — no per-gate release)
+      Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20,
+        lambda = 0.7, ix = Some(sharedTermIndex(s, d)))),
     // typo-tolerant term retrieval: vocab scan under levenshtein <= 1,
     // variants broadcast into the postings join — all-integer output
     "rt_fuzzy" -> ((s, d) =>
@@ -1380,14 +1392,14 @@ object SparkEntry {
     // expansion terms (sum-tf x ln(N/df), ties by term); the union query
     // re-ranks through the index — two index passes, no corpus rescan
     "rt_prf" -> ((s, d) =>
-      Retrieval.prfTopK(Retrieval.termIndexPinned(docs(s, d)),
+      Retrieval.prfTopK(sharedTermIndex(s, d),
         Seq("spark", "join"), k = 20, nSeed = 10, nExpand = 5)),
     // batch lexical retrieval: every 100th doc's first 3 tokens play a
     // query; per-query top-5 against the index (the lexical ann_join)
     "rt_bm25_join" -> ((s, d) => {
       val queries = docs(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"), slice(split(col("text"), " "), 1, 3).as("terms"))
-      Retrieval.bm25Join(queries, Retrieval.termIndexPinned(docs(s, d)), k = 5)
+      Retrieval.bm25Join(queries, sharedTermIndex(s, d), k = 5)
         .orderBy("query_id", "rank")
     }),
     // lexical retrieval-quality eval: self-retrieval MRR@5 of the batch
@@ -1397,7 +1409,7 @@ object SparkEntry {
       val queries = all.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"), slice(split(col("text"), " "), 1, 3).as("terms"))
       val nq  = queries.count()
-      val res = Retrieval.bm25Join(queries, Retrieval.termIndexPinned(all), k = 5)
+      val res = Retrieval.bm25Join(queries, sharedTermIndex(s, d), k = 5)
       Retrieval.mrrAtK(res, queries.select(col("query_id"), col("query_id").as("doc_id")), nq)
     }),
     // lexical ranking eval with GRADED ground truth: same-source docs are
@@ -1414,7 +1426,7 @@ object SparkEntry {
         .withColumn("label", row_number()
           .over(org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("int"))
       val labels = all.join(broadcast(srcIds), "source").select(col("doc_id").as("vec_id"), col("label"))
-      val nb = Retrieval.bm25Join(queries, Retrieval.termIndexPinned(all), k = 5)
+      val nb = Retrieval.bm25Join(queries, sharedTermIndex(s, d), k = 5)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
       Similarity.rankEval(nb, labels, k = 5).orderBy("query_id")
     }),
@@ -1665,6 +1677,15 @@ object SparkEntry {
     "mm_pngtext" -> ((s, d) =>
       Multimodal.pngChunkWalk(
         sharedMedia("pngc", s, d)(Multimodal.syntheticPngChunks(docs(s, d))), maxChunks = 8)
+        .orderBy("doc_id")),
+    // ZIP/OOXML central-directory walk (the container every real crawl
+    // contains: docx/xlsx/epub/jar): backward EOCD scan with comment-
+    // length self-consistency, u32-LE hop to the central directory,
+    // u16-LE length-field hops per entry — entry count, compressed vs
+    // uncompressed byte volumes, first entry name
+    "mm_zipdir" -> ((s, d) =>
+      Multimodal.zipCentralDirectory(
+        sharedMedia("zip", s, d)(Multimodal.syntheticZips(docs(s, d))), maxEntries = 4)
         .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
@@ -3932,6 +3953,7 @@ object SparkEntry {
     "mm_exif" -> OracleGen.tiffMetaSql(maxEntries = 16),
     "mm_exif2" -> OracleGen.tiffExifMetaSql(maxEntries = 8, maxExifEntries = 8),
     "mm_pngtext" -> OracleGen.pngChunkWalkSql(maxChunks = 8),
+    "mm_zipdir"  -> OracleGen.zipCentralDirectorySql(maxEntries = 4),
     // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
     // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
     // the window math IS mm_vad's, plus the rate-derived start stamp

@@ -91,11 +91,18 @@ object Graph {
    * basket graph's denser nodes a plain float `sum()` lands on 6-dp
    * rounding boundaries, so the per-iteration snap
    * alone is NOT enough), then the rank SNAPS to 6 dp; the final top-k cut
-   * orders `(rank DESC, id)`. Scale shape per iteration: one join of the
-   * rank frame into the edge relation + one per-node fold whose state is
-   * the in-neighbor contribution list, bounded by degree; rank frames pin
-   * per round and free the previous ([[graft.pipeline.Checkpoints]]
-   * lifecycle).
+   * orders `(rank DESC, id)`. Scale shape per iteration (SPARSE frontier,
+   * round 17): the rank frame carries only nodes the walk has touched —
+   * one join of that frame into the edge relation + one per-node fold
+   * whose state is the in-neighbor contribution list, bounded by degree,
+   * then a union with the (broadcast-sized) seed teleport rows. Untouched
+   * nodes are implicitly 0 all the way through; the single full-node
+   * left-outer join happens ONCE at the end to restore the dense output
+   * (zero-rank rows participate in the `(rank DESC, id)` top-k tie-break),
+   * not once per iteration. Zero-rank rows in the dense formulation
+   * contribute exact 0.0 terms to the ascending-value fold, so dropping
+   * them changes no sum bit-for-bit. Rank frames pin per round and free
+   * the previous ([[graft.pipeline.Checkpoints]] lifecycle).
    */
   def personalizedPageRank(
       edges: DataFrame,
@@ -121,28 +128,45 @@ object Graph {
     // each iteration then joins only the current rank frame
     val und = und0.join(deg, "src").pinned
     Checkpoints.free(und0, deg)
+    val spark = edges.sparkSession
+    import spark.implicits._
     val p   = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
-    var ranks = ids.select(col("id"), round(p, 6).as("r")).pinned
+    // seed teleport rows: broadcast-sized by contract (a basket, not a table)
+    val seedDf = seeds.toDF("id").select(col("id"), lit(0.0).as("c"))
+    // sparse frontier: only seeds carry mass at t=0; untouched nodes are
+    // implicitly 0 (their dense rows would contribute exact-0.0 fold terms)
+    var ranks = seeds.toDF("id").select(col("id"), round(p, 6).as("r")).pinned
     for (_ <- 1 to iterations) {
       val contrib = und
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), (col("r") / col("deg")).as("rc"))
         .groupBy(col("dst"))
         .agg(foldSum(collect_list(col("rc"))).as("c"))
-      val next = ids
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+      // seeds must stay present even with no inbound mass this round: the
+      // union + re-sum is exact (the extra term is 0.0) and runs over the
+      // TOUCHED set only — never the full node table
+      val next = contrib.withColumnRenamed("dst", "id")
+        .unionByName(seedDf)
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
         .select(col("id"),
-          round(lit(1.0 - damping) * p + lit(damping) * coalesce(col("c"), lit(0.0)), 6)
-            .as("r"))
+          round(lit(1.0 - damping) * p + lit(damping) * col("c"), 6).as("r"))
         .pinned
       Checkpoints.free(ranks)
       ranks = next
     }
-    val out = ranks
+    // restore the dense output ONCE: zero-rank nodes re-enter here so the
+    // (rank DESC, id) top-k tie-break sees the same universe as the oracle
+    val out = ids
+      .join(ranks, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("r"), lit(0.0)).as("r"))
       .orderBy(col("r").desc, col("id"))
       .limit(topK)
       .select(col("id"), col("r").as("rank"))
-    Checkpoints.free(und, ids)
+    // und is lineage-truncated out of `out` (the last pinned rank frame
+    // sits between them) — release it now. ids and the final rank pin ARE
+    // `out`'s LogicalRDD leaves: the caller's Checkpoints.free(out)
+    // releases both after the last action.
+    Checkpoints.free(und)
     out
   }
 

@@ -789,7 +789,13 @@ object Multimodal {
    * overhead), and the first tEXt chunk's NUL-terminated keyword (the
    * embedded-annotation channel — where generator tags like "Software"
    * live), probed over the first 16 data bytes with the named-read
-   * discipline and returned as hex. REAL parsing, no codec library, no
+   * discipline and returned as hex. The 16-byte probe is a declared
+   * LIMIT, not a bug guard: PNG permits keywords up to 79 bytes, so the
+   * reported keyword is that of the first tEXt chunk whose keyword's NUL
+   * lands inside its first 16 data bytes — a tEXt with a longer keyword
+   * is counted but skipped for the readout (a later short-keyword tEXt
+   * then reports instead). Raise the probe window if a corpus's
+   * annotation keys exceed 16 bytes. REAL parsing, no codec library, no
    * UDF; CRCs are skipped, not validated (a curation readout, not an
    * integrity checker). Truncated or over-running chunks poison the walk
    * (-1/null, never a mis-read), as does budget exhaustion.
@@ -904,6 +910,178 @@ object Multimodal {
       lit("0000000049454E4400000000"))
     docs.select(id,
       unhex(when(pmod(id, lit(2L)) === 0L, pngHex).otherwise(textHex)).as("payload"))
+  }
+
+  /**
+   * ZIP/OOXML CENTRAL-DIRECTORY WALK — the container format every real
+   * crawl actually contains (docx/xlsx/epub/jar are all ZIP), read the
+   * way `unzip -l` reads it: find the End-Of-Central-Directory record by
+   * scanning BACKWARD from the payload tail (EOCD is sig `PK\x05\x06` +
+   * 18 fixed bytes + a variable trailing archive comment, so its start
+   * floats; candidates are validated by `pos + 22 + comment_len ==
+   * file_end`, never by signature alone), then hop to the central
+   * directory at the EOCD's u32-LE offset and walk its entries — each
+   * `46 + name_len + extra_len + comment_len` bytes, three u16-LE
+   * length fields driving the hop (the TIFF/PNG named-read offset-hop
+   * discipline, little-endian this time). Readouts a curation pipeline
+   * prices on: entry count, summed compressed/uncompressed byte volumes
+   * (the compression-ratio signal), and the first entry's name (probed
+   * to `min(name_len, 16)` bytes — a declared cap like the PNG keyword
+   * probe — and returned as hex; an OOXML doc announces itself by
+   * `[Content_Types].xml`-style names). Consistency is enforced, not
+   * assumed: the central directory must end exactly at the EOCD
+   * (`cd_offset + cd_size == eocd_pos`), every entry must carry the
+   * `PK\x01\x02` signature and fit the payload, and a walk the
+   * `maxEntries` budget can't finish poisons to -1/null — honest, never
+   * a mis-read. The EOCD backward scan probes 16 candidate positions
+   * (archive comments up to 15 bytes; longer-comment archives report
+   * raw — a declared limit). REAL parsing, no codec library, no UDF;
+   * CRCs skipped, not validated. Scale shape: row-local projection
+   * chain, payload bytes never shuffle.
+   */
+  def zipCentralDirectory(
+      media: DataFrame,
+      maxEntries: Int = 8,
+      payloadCol: String = "payload",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(maxEntries >= 1 && maxEntries <= 64, "maxEntries must be in [1, 64]")
+    def b1(pos: Column): Column =
+      conv(hex(col("__pl").substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def u16(pos: Column): Column = b1(pos) + b1(pos + 1L) * 256L
+    def u32(pos: Column): Column =
+      b1(pos) + b1(pos + 1L) * 256L + b1(pos + 2L) * 65536L + b1(pos + 3L) * 16777216L
+    def sig4(pos: Column): Column = hex(col("__pl").substr(pos.cast("int"), lit(4)))
+    val nb0 = octet_length(col(payloadCol)).cast("long")
+    var cur = media.select(col(idCol), col(payloadCol).as("__pl"), nb0.as("__nb"))
+    // EOCD backward scan: first (= tail-most) candidate whose sig AND
+    // comment-length self-consistency both hold
+    val pCand = (0 until 16).foldRight(lit(-1L)) { (off, rest) =>
+      val p = col("__nb") - lit(21L + off)
+      when(p >= 1L && sig4(p) === "504B0506" && p + 21L + u16(p + 20L) === col("__nb"), p)
+        .otherwise(rest)
+    }
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), pCand.as("__p"))
+    val p0 = col("__p")
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__p"),
+      (p0 >= 1L).as("__zip"),
+      when(p0 >= 1L, u16(p0 + 10L)).otherwise(lit(-1L)).as("__tot"),
+      when(p0 >= 1L, u32(p0 + 12L)).otherwise(lit(-1L)).as("__cds"),
+      when(p0 >= 1L, u32(p0 + 16L) + 1L).otherwise(lit(-1L)).as("__q"))
+    // up-front directory-bounds consistency: the CD must END at the EOCD
+    cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__zip"), col("__p"),
+      col("__tot"), col("__q"),
+      lit(0L).as("__n"), lit(0L).as("__c"), lit(0L).as("__u"),
+      lit(null).cast("string").as("__nm"),
+      (col("__tot") === 0L).as("__done"),
+      (!col("__zip") || (col("__q") >= 1L && col("__q") + col("__cds") === col("__p")))
+        .as("__ok"))
+    val state = Seq("__pl", "__nb", "__zip", "__p", "__tot", "__q",
+      "__n", "__c", "__u", "__nm", "__done", "__ok").map(col)
+    for (_ <- 1 to maxEntries) {
+      val q    = col("__q")
+      val live = col("__zip") && col("__ok") && !col("__done") && q >= 1L && q + 45L <= col("__nb")
+      // step A: NAME the per-entry reads once (the tiffMeta plan-cost
+      // discipline) — signature, the three hop lengths, the two volumes
+      cur = cur.select(col(idCol) +: state :+
+        sig4(q).as("__sig") :+ u16(q + 28L).as("__nl") :+ u16(q + 30L).as("__el") :+
+        u16(q + 32L).as("__cl") :+ u32(q + 20L).as("__cc") :+ u32(q + 24L).as("__uu") :+
+        live.as("__live"): _*)
+      val lv = col("__live"); val nl = col("__nl"); val el = col("__el"); val cl = col("__cl")
+      val bad = lv && (col("__sig") =!= "504B0102" || q + 45L + nl + el + cl > col("__nb"))
+      // step B: the name probe reads off the NAMED name_len
+      cur = cur.select(col(idCol) +: state :+ col("__nl") :+ col("__el") :+ col("__cl") :+
+        col("__cc") :+ col("__uu") :+ col("__live") :+ bad.as("__bad") :+
+        hex(col("__pl").substr((q + 46L).cast("int"), least(nl, lit(16L)).cast("int")))
+          .as("__nmp"): _*)
+      val bd  = coalesce(col("__bad"), lit(false))
+      val adv = col("__live") && !bd
+      cur = cur.select(col(idCol), col("__pl"), col("__nb"), col("__zip"), col("__p"),
+        col("__tot"),
+        when(adv, q + 46L + col("__nl") + col("__el") + col("__cl")).otherwise(q).as("__q"),
+        when(adv, col("__n") + 1L).otherwise(col("__n")).as("__n"),
+        when(adv, col("__c") + col("__cc")).otherwise(col("__c")).as("__c"),
+        when(adv, col("__u") + col("__uu")).otherwise(col("__u")).as("__u"),
+        when(adv && col("__n") === 0L, col("__nmp")).otherwise(col("__nm")).as("__nm"),
+        (col("__done") || (adv && col("__n") + 1L === col("__tot")) || bd).as("__done"),
+        (col("__ok") && !bd).as("__ok"))
+    }
+    val good = col("__zip") && col("__done") && col("__ok")
+    cur.select(
+      col(idCol),
+      when(col("__zip"), "zip").otherwise("raw").as("format"),
+      col("__nb").as("n_bytes"),
+      when(good, col("__tot")).otherwise(lit(-1L)).as("n_entries"),
+      when(good, col("__c")).otherwise(lit(-1L)).as("comp_bytes"),
+      when(good, col("__u")).otherwise(lit(-1L)).as("uncomp_bytes"),
+      when(good, col("__nm")).otherwise(lit(null).cast("string")).as("first_name_hex"))
+  }
+
+  /**
+   * FIXTURE WRAPPER for [[zipCentralDirectory]] (gate/spec harness aid):
+   * `doc_id % 4 != 3` wraps the doc text in a REAL multi-entry ZIP —
+   * 1–3 entries (`1 + id % 3`): entry 0 STORES the doc text under a name
+   * whose length varies with the id (3–8 bytes of "manifest" — the name
+   * probe), entries 1/2 are deflate-flagged synthetic payloads whose
+   * compressed and uncompressed sizes DIFFER (the ratio readout), entry
+   * 1's central record carries a 0–2 byte comment (the comment-length
+   * hop), and the EOCD carries a 0–11 byte archive comment (the backward
+   * scan). Local headers, central directory, and EOCD are all present
+   * with correct LE sizes and offsets; CRCs are zeroed and skipped, as
+   * the walk documents. Odd-one-out ids stay raw. The oracle rebuilds
+   * the identical hex stream.
+   */
+  def syntheticZips(docs: DataFrame): DataFrame = {
+    val id      = col("doc_id")
+    val textHex = hex(encode(col("text"), "UTF-8"))
+    def leHex(v: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(v, 8 * i), lit(256L))), 2, "0")): _*)
+    val textLen = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val nE   = lit(1L) + pmod(id, lit(3L))
+    val nm0  = when(pmod(id, lit(6L)) === 0L, "6D616E")
+      .when(pmod(id, lit(6L)) === 1L, "6D616E69")
+      .when(pmod(id, lit(6L)) === 2L, "6D616E6966")
+      .when(pmod(id, lit(6L)) === 3L, "6D616E696665")
+      .when(pmod(id, lit(6L)) === 4L, "6D616E69666573")
+      .otherwise(lit("6D616E6966657374"))
+    val nl0  = lit(3L) + pmod(id, lit(6L))
+    val c1   = lit(5L) + pmod(id, lit(9L));      val u1 = c1 + 11L
+    val c2   = lit(5L) + pmod(id + 3L, lit(9L)); val u2 = c2 + 23L
+    val cmt1 = pmod(id, lit(3L))
+    val cmt1Hex = lit("4E4F").substr(lit(1), (cmt1 * 2L).cast("int"))
+    val zc      = pmod(id * 7L, lit(12L))
+    val zcHex   = lit("7A697066696C652D6E6F7465").substr(lit(1), (zc * 2L).cast("int"))
+    val data1 = expr("repeat('AB', CAST(5 + doc_id % 9 AS INT))")
+    val data2 = expr("repeat('CD', CAST(5 + (doc_id + 3) % 9 AS INT))")
+    def lfh(methHex: String, c: Column, u: Column, nl: Column,
+            nameHex: Column, dataHex: Column): Column =
+      concat(lit("504B03041400" + "0000" + methHex + "0000" + "0000" + "00000000"),
+        leHex(c, 4), leHex(u, 4), leHex(nl, 2), lit("0000"), nameHex, dataHex)
+    def cde(methHex: String, c: Column, u: Column, nl: Column, cmt: Column,
+            off: Column, nameHex: Column, cmtHex: Column): Column =
+      concat(lit("504B0102" + "1E03" + "1400" + "0000" + methHex + "0000" + "0000" + "00000000"),
+        leHex(c, 4), leHex(u, 4), leHex(nl, 2), lit("0000"), leHex(cmt, 2),
+        lit("0000" + "0000" + "00000000"), leHex(off, 4), nameHex, cmtHex)
+    val off1   = lit(30L) + nl0 + textLen
+    val off2   = off1 + 36L + c1
+    val cdOff  = off1 + when(nE >= 2L, c1 + 36L).otherwise(lit(0L)) +
+      when(nE >= 3L, c2 + 36L).otherwise(lit(0L))
+    val cdSize = lit(46L) + nl0 + when(nE >= 2L, cmt1 + 52L).otherwise(lit(0L)) +
+      when(nE >= 3L, lit(52L)).otherwise(lit(0L))
+    val zipHex = concat(
+      lfh("0000", textLen, textLen, nl0, nm0, textHex),
+      when(nE >= 2L, lfh("0800", c1, u1, lit(6L), lit("656E74727931"), data1)).otherwise(lit("")),
+      when(nE >= 3L, lfh("0800", c2, u2, lit(6L), lit("656E74727932"), data2)).otherwise(lit("")),
+      cde("0000", textLen, textLen, nl0, lit(0L), lit(0L), nm0, lit("")),
+      when(nE >= 2L, cde("0800", c1, u1, lit(6L), cmt1, off1, lit("656E74727931"), cmt1Hex))
+        .otherwise(lit("")),
+      when(nE >= 3L, cde("0800", c2, u2, lit(6L), lit(0L), off2, lit("656E74727932"), lit("")))
+        .otherwise(lit("")),
+      lit("504B0506" + "0000" + "0000"), leHex(nE, 2), leHex(nE, 2),
+      leHex(cdSize, 4), leHex(cdOff, 4), leHex(zc, 2), zcHex)
+    docs.select(id,
+      unhex(when(pmod(id, lit(4L)) =!= 3L, zipHex).otherwise(textHex)).as("payload"))
   }
 
   /**

@@ -195,6 +195,36 @@ object Retrieval {
     TermIndex(postings, doclens, n, sumDl)
   }
 
+  /** [[termIndexPinned]] built for SHARING across many queries in one
+    * session: the two relations persist (MEMORY_AND_DISK) instead of
+    * local-checkpointing. Lineage survives, and — decisively for a shared
+    * index — [[Checkpoints.free]] on a frame DERIVED from the index cannot
+    * evict it (free unpersists only the `LogicalRDD` leaves a local
+    * checkpoint leaves behind), so a per-query result cleanup never tears
+    * the index out from under the next query. Same discipline as the
+    * gates' shared synthetic-media memo; release explicitly with
+    * `ix.postings.unpersist()` / `ix.doclens.unpersist()` when the
+    * session retires the index. Build cost: one tokenization shuffle for
+    * the postings + one narrow corpus scan for the doclens, both
+    * materialized here. */
+  def termIndexPersisted(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): TermIndex = {
+    import org.apache.spark.storage.StorageLevel
+    val toks     = docs.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+    val postings = toks.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val doclens  = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(TextAnalysis.words(col(textCol))).cast("long").as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val Array(n, sumDl) = doclens.agg(count(lit(1)), sum(col("dl"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    postings.count() // materialize: every sharer scans the cached relation
+    TermIndex(postings, doclens, n, sumDl)
+  }
+
   /** serializes [[appendToTermIndex]] writers on one index: JVM monitor
     * per normalized path (two engines in-process), plus an advisory file
     * lock on `path/.lock` when the path is a plain local one (two driver

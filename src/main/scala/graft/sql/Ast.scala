@@ -153,4 +153,9 @@ object Ast {
   final case class DescribeMetric(metric: String) extends Command
   /** beyond-reference diagnostic: plan a SELECT/DELETE without running it. */
   final case class Explain(query: String)         extends Command
+  /** beyond-reference pipeline commands: the curation library surfaced
+    * through the dialect, so the engine stays a queryable SYSTEM rather
+    * than a library of mains. */
+  final case class DedupExact(metric: String)     extends Command
+  final case class AuditProfile(metric: String)   extends Command
 }

@@ -19,7 +19,11 @@ object CommandParser extends RegexParsers {
       kw("show metrics") ^^^ ShowMetrics |
       kw("use") ~> ident ^^ (UseNamespace(_)) |
       (kw("describe") | kw("desc")) ~> ident ^^ (DescribeMetric(_)) |
-      kw("explain") ~> """.+""".r ^^ (q => Explain(q.trim))
+      kw("explain") ~> """.+""".r ^^ (q => Explain(q.trim)) |
+      // pipeline commands (beyond the reference surface): the curation
+      // library reachable from the dialect, not only from Scala
+      kw("dedup exact on") ~> ident ^^ (DedupExact(_)) |
+      kw("audit profile on") ~> ident ^^ (AuditProfile(_))
 
   def parse(input: String): Either[String, Command] =
     parseAll(command, input.trim.stripSuffix(";")) match {

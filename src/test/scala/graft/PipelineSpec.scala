@@ -1690,6 +1690,71 @@ class PipelineSpec extends SparkTestBase {
     out(5) shouldBe ((5L, "raw", -1L, -1L, null))
   }
 
+  "Multimodal.zipCentralDirectory" should "scan the EOCD backward and hop the central directory" in {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 255L).toByte).toArray
+    def lfh(meth: Int, data: Array[Byte], u: Int, name: String): Array[Byte] =
+      Array[Byte]('P', 'K', 3, 4) ++ le(20, 2) ++ le(0, 2) ++ le(meth, 2) ++ le(0, 2) ++
+        le(0, 2) ++ le(0, 4) ++ le(data.length.toLong, 4) ++ le(u.toLong, 4) ++
+        le(name.length.toLong, 2) ++ le(0, 2) ++ name.getBytes("UTF-8") ++ data
+    def cde(meth: Int, c: Int, u: Int, name: String, off: Int, cmt: String): Array[Byte] =
+      Array[Byte]('P', 'K', 1, 2) ++ le(0x031E, 2) ++ le(20, 2) ++ le(0, 2) ++ le(meth, 2) ++
+        le(0, 2) ++ le(0, 2) ++ le(0, 4) ++ le(c.toLong, 4) ++ le(u.toLong, 4) ++
+        le(name.length.toLong, 2) ++ le(0, 2) ++ le(cmt.length.toLong, 2) ++ le(0, 2) ++
+        le(0, 2) ++ le(0, 4) ++ le(off.toLong, 4) ++ name.getBytes("UTF-8") ++ cmt.getBytes("UTF-8")
+    def eocd(n: Int, cdSize: Int, cdOff: Int, comment: String): Array[Byte] =
+      Array[Byte]('P', 'K', 5, 6) ++ le(0, 2) ++ le(0, 2) ++ le(n.toLong, 2) ++ le(n.toLong, 2) ++
+        le(cdSize.toLong, 4) ++ le(cdOff.toLong, 4) ++ le(comment.length.toLong, 2) ++
+        comment.getBytes("UTF-8")
+    // two entries (stored text + deflate-flagged blob whose sizes differ),
+    // a per-entry comment, AND a trailing archive comment (backward scan)
+    val d1 = "hello world".getBytes("UTF-8"); val d2 = Array.fill[Byte](4)(0x41)
+    val l1 = lfh(0, d1, d1.length, "a.txt"); val l2 = lfh(8, d2, 9, "b.bin")
+    val cd = cde(0, d1.length, d1.length, "a.txt", 0, "") ++
+      cde(8, 4, 9, "b.bin", l1.length, "nb")
+    val zip2 = l1 ++ l2 ++ cd ++ eocd(2, cd.length, l1.length + l2.length, "trailing!")
+    // empty archive: EOCD only, zero entries
+    val zip0 = eocd(0, 0, 0, "")
+    // long entry name: probe caps the readout at 16 bytes
+    val lname = "abcdefghijklmnopqrst"
+    val l3 = lfh(0, d2, 4, lname)
+    val cd3 = cde(0, 4, 4, lname, 0, "")
+    val zip3 = l3 ++ cd3 ++ eocd(1, cd3.length, l3.length, "")
+    // corrupt: cd offset disagrees with the EOCD position → bounds poison
+    val badZip = l1 ++ cde(0, d1.length, d1.length, "a.txt", 0, "") ++ eocd(1, 51, 999, "")
+    val media = Seq((1L, zip2), (2L, zip0), (3L, zip3), (4L, badZip),
+      (5L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.zipCentralDirectory(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.getString(6)).orNull))
+    def hx(s: String) = s.getBytes("UTF-8").map(b => f"$b%02X").mkString
+    out(0) shouldBe ((1L, "zip", 2L, (d1.length + 4).toLong, (d1.length + 9).toLong, hx("a.txt")))
+    out(1) shouldBe ((2L, "zip", 0L, 0L, 0L, null))
+    out(2) shouldBe ((3L, "zip", 1L, 4L, 4L, hx(lname.take(16))))
+    out(3) shouldBe ((4L, "zip", -1L, -1L, -1L, null))
+    out(4) shouldBe ((5L, "raw", -1L, -1L, -1L, null))
+    // a budget too small to finish the walk reports -1, never a guess
+    val b = Multimodal.zipCentralDirectory(media.filter($"doc_id" === 1L), maxEntries = 1).head()
+    (b.getLong(3), b.getLong(4)) shouldBe ((-1L, -1L))
+  }
+
+  "Multimodal.syntheticZips" should "round-trip id-derived entry layouts through the walk" in {
+    val docsDf = (0L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.zipCentralDirectory(Multimodal.syntheticZips(docsDf), maxEntries = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.getString(6)).orNull))
+    // nE = 1+id%3; text 5 bytes; c1 = 5+id%9 (u +11); c2 = 5+(id+3)%9 (u +23)
+    out(0) shouldBe ((0L, "zip", 1L, 5L, 5L, "6D616E"))                    // "man"
+    out(1) shouldBe ((1L, "zip", 2L, 5L + 6L, 5L + 17L, "6D616E69"))       // "mani"
+    out(2) shouldBe ((2L, "zip", 3L, 5L + 7L + 10L, 5L + 18L + 33L, "6D616E6966")) // "manif"
+    out(3) shouldBe ((3L, "raw", -1L, -1L, -1L, null))
+    out(4) shouldBe ((4L, "zip", 2L, 5L + 9L, 5L + 20L, "6D616E69666573")) // "manifes"
+    out(5) shouldBe ((5L, "zip", 3L, 5L + 10L + 13L, 5L + 21L + 36L, "6D616E6966657374"))
+    out(6) shouldBe ((6L, "zip", 1L, 5L, 5L, "6D616E"))
+    out(7) shouldBe ((7L, "raw", -1L, -1L, -1L, null))
+  }
+
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {
     // id 0: PCM8 mono wav (kept); id 4: 16-bit wav (excluded, not
     // mis-read); id 1: gif (excluded); id 12: PCM8 mono (kept)

@@ -43,6 +43,17 @@ class TimeSeriesSpec extends SparkTestBase {
       TimeSeries.theilSen(df, Seq("k"), "ts", "v", step = 10L, maxPoints = 3).head()
   }
 
+  it should "refuse a grid denser than the DEFAULT maxPoints budget" in {
+    // 4097 distinct ticks on one key: one past the default 4096 cap —
+    // the C(n,2) pair join must refuse with the coarser-step hint, not
+    // launch an 8M-row-per-key self-join (the ScaleBench 30x probe
+    // relies on exactly this guard being stated correctly)
+    val dense = (0 to 4096).map(i => ("a", i.toLong * 10L, i.toDouble)).toDF("k", "ts", "v")
+    val ex = the[IllegalArgumentException] thrownBy
+      TimeSeries.theilSen(dense, Seq("k"), "ts", "v", step = 10L).head()
+    ex.getMessage should include("maxPoints")
+  }
+
   "TimeSeries.seasonStrength" should "separate pure-seasonal from pure-trend series exactly" in {
     // key s: period-4 alternation 0,10,0,10 → centered MA is exactly 5
     //   (constant trend), seasonal carries everything: (F_T, F_S) = (0, 1)

@@ -567,6 +567,31 @@ class WarehouseSpec extends SparkTestBase {
     CommandParser.parse("bogus").isLeft shouldBe true
   }
 
+  it should "run pipeline commands through the dialect (DEDUP EXACT / AUDIT PROFILE)" in {
+    import graft.sql.CommandParser
+    // surface: the curation operators reachable as commands, not only as
+    // library calls — parse, plan (resolve), execute
+    CommandParser.parse("DEDUP EXACT ON mm") shouldBe Right(Ast.DedupExact("mm"))
+    CommandParser.parse("audit profile on mm") shouldBe Right(Ast.AuditProfile("mm"))
+    val (engine, wh, _) = freshEngine()
+    val c = Coords("db", "nsA", "mm")
+    seed(wh, c)
+    // plant an exact triple: the same full record (all visible fields) 3x
+    wh.append(c, Seq(
+      (5 * 86400000L, 9.0, "dup", "z"),
+      (5 * 86400000L, 9.0, "dup", "z"),
+      (5 * 86400000L, 9.0, "dup", "z")).toDF("timestamp", "value", "name", "grp"),
+      tags = Set("grp")).fold(fail(_), identity)
+    val dups = engine.command("db", "nsA", Ast.DedupExact("mm")).fold(fail(_), identity)
+    dups shouldBe Seq(Seq((5 * 86400000L).toString, "3"))
+    val prof = engine.command("db", "nsA", Ast.AuditProfile("mm")).fold(fail(_), identity)
+    prof.map(_.head) should contain allOf ("timestamp", "value", "name", "grp")
+    val nameRow = prof.find(_.head == "name").get
+    nameRow(1) shouldBe "7" // n_rows: 4 seeded + 3 dups
+    // unknown metric surfaces as a planner error, not an exception
+    engine.command("db", "nsA", Ast.DedupExact("nope")).isLeft shouldBe true
+  }
+
   it should "explain a statement's plan without executing it" in {
     val (engine, wh, _) = freshEngine()
     val c = Coords("db", "nsA", "mm")
