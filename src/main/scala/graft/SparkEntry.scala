@@ -94,6 +94,21 @@ object SparkEntry {
     termIxMemo.computeIfAbsent((s, d), _ => Retrieval.termIndexPersisted(docs(s, d)))
   }
 
+  // one CO-PURCHASE edge relation per (session, dir) — the same shared-
+  // input discipline for the graph-walk family: st_ppr, st_hops and
+  // st_alsobought each re-ran the lineitem distinct + per-order self-join
+  // + support cut (3 shuffles over the largest fact table) before their
+  // actual walk. The persisted builder keeps full lineage (no pins), so
+  // the walks' standard on-entry Checkpoints.free(edges) is a no-op.
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedCoPurchase(s: SparkSession, d: String): DataFrame = {
+    val it = edgesMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    edgesMemo.computeIfAbsent((s, d),
+      _ => graft.operators.Star.coPurchaseEdgesShared(tbl(s, d, "lineitem")))
+  }
+
   /** raw events. Older driver testdata typed `ts` int64 epoch-nanos (the
     * legacy conf keeps that LongType; set before the read so it holds
     * regardless of query order); current testdata types it timestamp[us]
@@ -303,14 +318,13 @@ object SparkEntry {
     // near-dup doc graph is transitively closed by construction — every
     // wedge is already an edge — so basket data is where AA has signal.)
     "st_alsobought" -> ((s, d) =>
-      graft.operators.Graph.adamicAdar(
-        graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem")), topK = 50)),
+      graft.operators.Graph.adamicAdar(sharedCoPurchase(s, d), topK = 50)),
     // exact BFS recommendation radius: parts one/two/three baskets away
     // from the seed, labeled with their first-reach hop. The edge frame
-    // comes back PINNED from the guarded builder, so the seed probe and
-    // the walk share one enumeration of the per-order self-join.
+    // is the SHARED persisted relation, so the seed probe, this walk, and
+    // the other graph gates all read one enumeration of the self-join.
     "st_hops" -> ((s, d) => {
-      val edges = graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem"))
+      val edges = sharedCoPurchase(s, d)
       val seed = graft.operators.Star.walkSeed(edges)
       graft.operators.Graph.bfsHops(edges, seed, maxHops = 3).orderBy("hop", "id")
     }),
@@ -318,7 +332,7 @@ object SparkEntry {
     // graph: rank mass = proximity to the seed through shared baskets (the
     // recommendation walk; plain PageRank only scores global popularity)
     "st_ppr" -> ((s, d) => {
-      val edges = graft.operators.Star.coPurchaseEdges(tbl(s, d, "lineitem"))
+      val edges = sharedCoPurchase(s, d)
       val seed = graft.operators.Star.walkSeed(edges)
       graft.operators.Graph.personalizedPageRank(edges, Seq(seed),
         iterations = 5, damping = 0.85, topK = 50)

