@@ -1384,6 +1384,95 @@ object OracleGen {
        |FROM w$maxEntries ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** mirror of [[graft.pipeline.Multimodal.tarHeaderWalk]] over the
+    * [[graft.pipeline.Multimodal.syntheticTars]] fixture: identical hex
+    * rebuild (ustar headers, POSIX 11-digit octal sizes, 512-padded data,
+    * two zero end-blocks), then the SAME block walk — magic check, octal
+    * digit-validity + value in one pass, NUL-probed first name, dir/file
+    * split, 512-granular hop. */
+  def tarHeaderWalkSql(maxEntries: Int): String = {
+    def b1(p: String): String =
+      s"coalesce(try_cast('0x' || hx[2*($p)-1 : 2*($p)] AS BIGINT), -1)"
+    // ---- fixture rebuild (mirrors syntheticTars field for field) ----
+    def octalHex(v: String): String =
+      (10 to 0 by -1).map(k =>
+        s"lpad(hex(48 + ((($v) >> ${3 * k}) & 7)), 2, '0')").mkString(" || ") + " || '00'"
+    def zeros(n: Int) = s"repeat('00', $n)"
+    val nm0 =
+      """CASE doc_id % 6 WHEN 0 THEN '6D616E' WHEN 1 THEN '6D616E69'
+        | WHEN 2 THEN '6D616E6966' WHEN 3 THEN '6D616E696665'
+        | WHEN 4 THEN '6D616E69666573' ELSE '6D616E6966657374' END""".stripMargin
+    val nl0   = "(3 + doc_id % 6)"
+    val tl    = "octet_length(encode(text))"
+    val sz2   = "(5 + (doc_id * 3) % 200)"
+    val nE    = "(1 + doc_id % 3)"
+    val fixed = "'3030303036343400' || '3030303030303000' || '3030303030303000'"
+    val mtime = s"'${"30" * 11}00'"
+    val chks  = s"'${"20" * 8}'"
+    val tail  = s"'757374617200' || '3030' || ${zeros(247)}"
+    def hdr(nameHex: String, nameLen: String, size: String, typeflag: String): String =
+      s"($nameHex) || repeat('00', CAST(100 - ($nameLen) AS INT)) || $fixed || " +
+        s"${octalHex(size)} || $mtime || $chks || '$typeflag' || ${zeros(100)} || $tail"
+    val pad0 = s"((512 - ($tl) % 512) % 512)"
+    val pad2 = s"((512 - ($sz2) % 512) % 512)"
+    val e0 = s"${hdr(nm0, nl0, tl, "30")} || hex(encode(text)) || repeat('00', CAST($pad0 AS INT))"
+    val e1 = hdr("'646174612F'", "5", "0", "35")
+    val e2 = s"${hdr("'656E747279322E62696E'", "10", sz2, "30")} || " +
+      s"repeat('AB', CAST($sz2 AS INT)) || repeat('00', CAST($pad2 AS INT))"
+    val tarHex = s"($e0) || CASE WHEN $nE >= 2 THEN ($e1) ELSE '' END || " +
+      s"CASE WHEN $nE >= 3 THEN ($e2) ELSE '' END || ${zeros(1024)}"
+    // ---- the walk ----
+    val steps = (1 to maxEntries).map { i =>
+      val live = "(tar AND NOT done AND q >= 1 AND q + 511 <= nb)"
+      val szVal = (0 to 10).map(j =>
+        s"(${b1(s"q + ${124 + j}")} - 48) * ${1L << (3 * (10 - j))}").mkString(" + ")
+      val szOk = (0 to 10).map(j =>
+        s"${b1(s"q + ${124 + j}")} BETWEEN 48 AND 55").mkString(" AND ")
+      val kwl = "CASE " + (0 until 16).map(j =>
+        s"WHEN ${b1(s"q + $j")} = 0 THEN $j").mkString(" ") + " ELSE 16 END"
+      s"""a$i AS (SELECT doc_id, hx, nb, tar, q, n, dirs, fb, nm, done, ok,
+         |  (${b1("q")} = 0) AS fin,
+         |  (hx[2*(q+257)-1 : 2*(q+261)] = '7573746172') AS mag,
+         |  ($szVal) AS sz, ($szOk) AS szok,
+         |  ${b1("q + 156")} AS tf, ($kwl) AS kwl,
+         |  $live AS live
+         |FROM w${i - 1}),
+         |b$i AS (SELECT doc_id, hx, nb, tar, q, n, dirs, fb, nm, done, ok,
+         |  fin, sz, tf, live,
+         |  (live AND NOT fin AND (NOT mag OR NOT szok)) AS bad,
+         |  hx[2*q-1 : 2*(q + kwl - 1)] AS nmp
+         |FROM a$i),
+         |w$i AS (SELECT doc_id, hx, nb, tar,
+         |  CASE WHEN live AND NOT fin AND NOT bad
+         |       THEN q + 512 + ((sz + 511) >> 9) * 512 ELSE q END AS q,
+         |  CASE WHEN live AND NOT fin AND NOT bad THEN n + 1 ELSE n END AS n,
+         |  CASE WHEN live AND NOT fin AND NOT bad AND tf = 53 THEN dirs + 1 ELSE dirs END AS dirs,
+         |  CASE WHEN live AND NOT fin AND NOT bad AND tf <> 53 THEN fb + sz ELSE fb END AS fb,
+         |  CASE WHEN live AND NOT fin AND NOT bad AND n = 0 THEN nmp ELSE nm END AS nm,
+         |  (done OR (live AND fin) OR coalesce(bad, false)) AS done,
+         |  (ok AND NOT coalesce(bad, false)) AS ok
+         |FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pay AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 4 <> 1 THEN $tarHex ELSE hex(encode(text)) END AS hx
+       |  FROM documents),
+       |w0 AS (SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS nb,
+       |  (length(hx) // 2 >= 512 AND hx[2*258-1 : 2*262] = '7573746172') AS tar,
+       |  CASE WHEN (length(hx) // 2 >= 512 AND hx[2*258-1 : 2*262] = '7573746172')
+       |       THEN 1 ELSE -1 END AS q,
+       |  0::BIGINT AS n, 0::BIGINT AS dirs, 0::BIGINT AS fb, NULL::VARCHAR AS nm,
+       |  false AS done, true AS ok FROM pay),
+       |$steps
+       |SELECT doc_id,
+       |  CASE WHEN tar THEN 'tar' ELSE 'raw' END AS format,
+       |  nb AS n_bytes,
+       |  (CASE WHEN tar AND done AND ok THEN n ELSE -1 END)::BIGINT AS n_entries,
+       |  (CASE WHEN tar AND done AND ok THEN dirs ELSE -1 END)::BIGINT AS n_dirs,
+       |  (CASE WHEN tar AND done AND ok THEN fb ELSE -1 END)::BIGINT AS file_bytes,
+       |  (CASE WHEN tar AND done AND ok THEN nm END) AS first_name_hex
+       |FROM w$maxEntries ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** mirror of [[graft.pipeline.Multimodal.tiffMeta]] over the
     * [[graft.pipeline.Multimodal.syntheticTiffs]] fixture: identical hex
     * rebuild, then the SAME byte-order-branching fixed-offset entry reads;

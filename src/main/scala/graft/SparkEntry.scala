@@ -1701,6 +1701,13 @@ object SparkEntry {
       Multimodal.zipCentralDirectory(
         sharedMedia("zip", s, d)(Multimodal.syntheticZips(docs(s, d))), maxEntries = 4)
         .orderBy("doc_id")),
+    // ustar block walk (tarballs — the other container every crawl holds):
+    // ASCII-octal size fields drive 512-granular hops; entry/dir counts,
+    // regular-file byte volume, NUL-probed first entry name
+    "mm_tar" -> ((s, d) =>
+      Multimodal.tarHeaderWalk(
+        sharedMedia("tar", s, d)(Multimodal.syntheticTars(docs(s, d))), maxEntries = 6)
+        .orderBy("doc_id")),
     // per-column table profile: the ingest data-quality report (nulls,
     // exact distincts, native-typed min/max rendered to one string schema)
     "qa_profile" -> ((s, d) =>
@@ -3968,6 +3975,7 @@ object SparkEntry {
     "mm_exif2" -> OracleGen.tiffExifMetaSql(maxEntries = 8, maxExifEntries = 8),
     "mm_pngtext" -> OracleGen.pngChunkWalkSql(maxChunks = 8),
     "mm_zipdir"  -> OracleGen.zipCentralDirectorySql(maxEntries = 4),
+    "mm_tar"     -> OracleGen.tarHeaderWalkSql(maxEntries = 6),
     // header-aware VAD: the fixture's PCM8-mono wavs are doc_id % 12 == 0
     // (wav ∧ 1 byte/sample ∧ 1 channel); data chunk = the text bytes, so
     // the window math IS mm_vad's, plus the rate-derived start stamp

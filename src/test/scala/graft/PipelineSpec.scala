@@ -1755,6 +1755,69 @@ class PipelineSpec extends SparkTestBase {
     out(7) shouldBe ((7L, "raw", -1L, -1L, -1L, null))
   }
 
+  "Multimodal.tarHeaderWalk" should "hop 512-padded blocks by ASCII-octal sizes to the zero marker" in {
+    def oct(v: Long): Array[Byte] =
+      (f"${java.lang.Long.toOctalString(v)}%11s".replace(' ', '0') + " ").getBytes("ISO-8859-1")
+    def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
+      val b = new Array[Byte](512)
+      val n = name.getBytes("UTF-8"); System.arraycopy(n, 0, b, 0, n.length)
+      System.arraycopy("0000644 ".getBytes, 0, b, 100, 8)
+      System.arraycopy("0000000 ".getBytes, 0, b, 108, 8)
+      System.arraycopy("0000000 ".getBytes, 0, b, 116, 8)
+      System.arraycopy(oct(size), 0, b, 124, 12)
+      System.arraycopy(oct(0L).dropRight(1) :+ ' '.toByte, 0, b, 136, 12)
+      java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+      b(156) = typeflag.toByte
+      System.arraycopy("ustar 00".getBytes("ISO-8859-1"), 0, b, 257, 8)
+      b
+    }
+    def padded(data: Array[Byte]): Array[Byte] =
+      data ++ new Array[Byte]((512 - data.length % 512) % 512)
+    val d1 = "file body".getBytes("UTF-8")
+    val d2 = Array.fill[Byte](600)(0x41) // spans two data blocks
+    val full = header("a.txt", d1.length.toLong, '0') ++ padded(d1) ++
+      header("docs/", 0L, '5') ++
+      header("big.bin", 600L, '0') ++ padded(d2) ++ new Array[Byte](1024)
+    val empty = header("only bad", 0L, '0').take(0) ++ new Array[Byte](1024) // no magic → raw
+    // malformed: a size digit outside '0'..'7' poisons the walk
+    val badHdr = header("x", 0L, '0'); badHdr(130) = '9'
+    val bad = badHdr ++ new Array[Byte](1024)
+    // long name: probe caps the readout at the first 16 bytes
+    val lname = "abcdefghijklmnopqrst.txt"
+    val long = header(lname, 0L, '0') ++ new Array[Byte](1024)
+    val media = Seq((1L, full), (2L, empty), (3L, bad), (4L, long),
+      (5L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.tarHeaderWalk(media).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.getString(6)).orNull))
+    def hx(s: String) = s.getBytes("UTF-8").map(b => f"$b%02X").mkString
+    out(0) shouldBe ((1L, "tar", 3L, 1L, (d1.length + 600).toLong, hx("a.txt")))
+    out(1) shouldBe ((2L, "raw", -1L, -1L, -1L, null))
+    out(2) shouldBe ((3L, "tar", -1L, -1L, -1L, null))
+    out(3) shouldBe ((4L, "tar", 1L, 0L, 0L, hx(lname.take(16))))
+    out(4) shouldBe ((5L, "raw", -1L, -1L, -1L, null))
+    // a budget too small to reach the end marker reports -1, never a guess
+    val b = Multimodal.tarHeaderWalk(media.filter($"doc_id" === 1L), maxEntries = 2).head()
+    (b.getLong(3), b.getLong(5)) shouldBe ((-1L, -1L))
+  }
+
+  "Multimodal.syntheticTars" should "round-trip id-derived entry layouts through the walk" in {
+    val docsDf = (0L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.tarHeaderWalk(Multimodal.syntheticTars(docsDf), maxEntries = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.getString(6)).orNull))
+    // nE = 1+id%3; text 5 bytes; entry2 size = 5+(id*3)%200; id%4==1 raw
+    out(0) shouldBe ((0L, "tar", 1L, 0L, 5L, "6D616E"))                    // "man"
+    out(1) shouldBe ((1L, "raw", -1L, -1L, -1L, null))
+    out(2) shouldBe ((2L, "tar", 3L, 1L, 5L + 11L, "6D616E6966"))          // "manif"
+    out(3) shouldBe ((3L, "tar", 1L, 0L, 5L, "6D616E696665"))
+    out(4) shouldBe ((4L, "tar", 2L, 1L, 5L, "6D616E69666573"))
+    out(5) shouldBe ((5L, "raw", -1L, -1L, -1L, null))
+    out(6) shouldBe ((6L, "tar", 1L, 0L, 5L, "6D616E"))
+    out(7) shouldBe ((7L, "tar", 2L, 1L, 5L, "6D616E69"))
+  }
+
   "Multimodal.wavEnergyWindows" should "window only PCM8-mono data chunks with rate-derived stamps" in {
     // id 0: PCM8 mono wav (kept); id 4: 16-bit wav (excluded, not
     // mis-read); id 1: gif (excluded); id 12: PCM8 mono (kept)
