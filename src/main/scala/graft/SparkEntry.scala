@@ -109,6 +109,42 @@ object SparkEntry {
       _ => graft.operators.Star.coPurchaseEdgesShared(tbl(s, d, "lineitem")))
   }
 
+  // one MINED NEAR-DUP PAIR RELATION per (session, dir) — the shared-input
+  // discipline (mm_* synthetic frames, rt_* term index, st_* co-purchase
+  // edges) applied to the near-dup graph/report family: 17 d_* gates each
+  // re-ran the whole shingle → minhash → capped-band self-join → Jaccard
+  // verify mining pipeline (~1.2-1.5 s of every gate's floor) before their
+  // actual graph walk or report aggregation. All of them consume the SAME
+  // relation: minhashLshPairs(docs, 0.5) with default params. Full lineage
+  // (persist, no pins), so consumers' on-entry Checkpoints.free(pairs) is
+  // a no-op. At 100 TB the equivalent is writing the mined pair table once
+  // and pointing every downstream consumer at it.
+  private val dupPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedDupPairs(s: SparkSession, d: String): DataFrame = {
+    val it = dupPairsMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    dupPairsMemo.computeIfAbsent((s, d),
+      _ => Dedup.minhashLshPairsShared(docs(s, d), 0.5))
+  }
+
+  // one PCA MODEL per (session, dir): ann_pca / ann_pcavar / ann_whiten /
+  // ann_pca_topk each re-ran the full covariance pass (the d(d+1)/2
+  // products explode + aggregation, ~2.5 s of each gate's floor) to fit
+  // the same spectrum. kMax=4 covers k=2 (projection, whitening, variance
+  // report) and kDims=4 (reduced-scan re-rank): deflation is strictly
+  // sequential, so the top-2 of a kMax=4 fit are bit-identical to a
+  // dedicated k=2 fit. Full-lineage persist on the snapped relation, same
+  // sharing discipline as the other memos above.
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Option[Similarity.PcaModel]]()
+  private def sharedPcaModel(s: SparkSession, d: String): Option[Similarity.PcaModel] = {
+    val it = pcaMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    pcaMemo.computeIfAbsent((s, d),
+      _ => Similarity.pcaModelShared(emb(s, d), kMax = 4, iters = 12))
+  }
+
   /** raw events. Older driver testdata typed `ts` int64 epoch-nanos (the
     * legacy conf keeps that LongType; set before the read so it holds
     * regardless of query order); current testdata types it timestamp[us]
@@ -271,7 +307,7 @@ object SparkEntry {
     // over the same bigram shingles) — gated separately so the 100 TB plan
     // has its own correctness evidence, not just the blocked variant's
     "d_ngram_banded" -> ((s, d) => Dedup.ngramJaccardPairsBanded(docs(s, d), 0.5).orderBy("id_a", "id_b")),
-    "d_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), 0.5).orderBy("id_a", "id_b")),
+    "d_minhash" -> ((s, d) => sharedDupPairs(s, d).orderBy("id_a", "id_b")),
     // asymmetric containment over the capped shingle inverted index:
     // catches short-doc-inside-long-doc subset duplication Jaccard misses
     "d_contain" -> ((s, d) => Dedup.containmentPairs(docs(s, d), 0.8).orderBy("id_a", "id_b")),
@@ -294,7 +330,7 @@ object SparkEntry {
     "d_pagerank" -> ((s, d) => {
       val dd = docs(s, d)
       graft.operators.Graph.pageRank(
-        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd).orderBy("doc_id")
+        sharedDupPairs(s, d).select("id_a", "id_b"), dd).orderBy("doc_id")
     }),
     // HITS over the same graph, directed later→earlier: authorities are
     // the canonical originals, hubs the aggregator/re-post docs — the
@@ -302,15 +338,15 @@ object SparkEntry {
     "d_hits" -> ((s, d) => {
       val dd = docs(s, d)
       graft.operators.Graph.hits(
-        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
+        sharedDupPairs(s, d).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
     }),
     // clique structure of the near-dup graph: triangle triples + per-doc
     // participation counts (template-family detection beyond CC chains)
     "d_triangles" -> ((s, d) =>
-      graft.operators.Graph.triangles(Dedup.minhashLshPairs(docs(s, d), 0.5))
+      graft.operators.Graph.triangles(sharedDupPairs(s, d))
         .orderBy("a", "b", "c")),
     "d_tricount" -> ((s, d) =>
-      graft.operators.Graph.triangleCounts(Dedup.minhashLshPairs(docs(s, d), 0.5))
+      graft.operators.Graph.triangleCounts(sharedDupPairs(s, d))
         .orderBy("doc_id")),
     // Adamic-Adar link prediction over the CO-PURCHASE part graph: parts
     // sharing several low-degree co-purchase partners but never bought
@@ -340,50 +376,46 @@ object SparkEntry {
     // per-doc local clustering coefficient: clique-family (lcc→1) vs
     // shared-fragment-hub (lcc→0) topology over the same near-dup graph
     "d_lcc" -> ((s, d) =>
-      graft.operators.Graph.localClusteringCoefficient(Dedup.minhashLshPairs(docs(s, d), 0.5))
+      graft.operators.Graph.localClusteringCoefficient(sharedDupPairs(s, d))
         .orderBy("doc_id")),
     // 2-core of the near-dup graph: strips dangling chain links before
     // community analysis (fixed 6-round peel, oracle unrolls the same)
     "d_kcore" -> ((s, d) =>
-      graft.operators.Graph.kCore(Dedup.minhashLshPairs(docs(s, d), 0.5), k = 2, rounds = 6)
+      graft.operators.Graph.kCore(sharedDupPairs(s, d), k = 2, rounds = 6)
         .orderBy("doc_id")),
     // degree assortativity of the near-dup graph: clique communities
     // (r > 0) vs template hubs (r < 0) — one exact-moment Pearson over
     // edge-endpoint degrees, decimal(38,0) sums, one double division
     "d_assort" -> ((s, d) =>
-      graft.operators.Graph.degreeAssortativity(Dedup.minhashLshPairs(docs(s, d), 0.5))),
+      graft.operators.Graph.degreeAssortativity(sharedDupPairs(s, d))),
     // 3-truss skeleton of the near-dup graph: edges surviving only while
     // triangle-supported (fixed 4-round peel, oracle unrolls the same) —
     // boilerplate hub spokes shear off where k-core keeps them
     "d_truss" -> ((s, d) =>
-      graft.operators.Graph.kTruss(Dedup.minhashLshPairs(docs(s, d), 0.5), k = 3, rounds = 4)),
+      graft.operators.Graph.kTruss(sharedDupPairs(s, d), k = 3, rounds = 4)),
     // synchronous label-propagation communities over the same pair graph:
     // the finer structure underneath d_cc (a single bridge doc never
     // outvotes a family's internal edges)
     "d_labelprop" -> ((s, d) => {
       val dd = docs(s, d)
       graft.operators.Graph.labelPropagation(
-        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
+        sharedDupPairs(s, d).select("id_a", "id_b"), dd, rounds = 4).orderBy("doc_id")
     }),
     // adjusted Rand index: how far the LPA communities differ from the
-    // CC clusters over the same mined pair graph
+    // CC clusters over the same mined pair graph (both labelings read the
+    // shared persisted relation; their on-entry frees are no-ops on it)
     "d_ari" -> ((s, d) => {
       val dd = docs(s, d)
-      // ONE mining run; each labeling consumes its own checkpointed handle
-      val lazyPairs = Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b")
-      val p1 = lazyPairs.localCheckpoint(true)
-      graft.pipeline.Checkpoints.free(lazyPairs)
-      val p2 = p1.localCheckpoint(true)
-      val cc = Dedup.duplicateClustersFromPairs(p1, dd)
-      val lp = graft.operators.Graph.labelPropagation(p2, dd, rounds = 4)
+      val pairs = sharedDupPairs(s, d).select("id_a", "id_b")
+      val cc = Dedup.duplicateClustersFromPairs(pairs, dd)
+      val lp = graft.operators.Graph.labelPropagation(pairs, dd, rounds = 4)
       graft.operators.Graph.partitionAgreement(cc, lp, "rep", "community")
     }),
     // Newman modularity of the LPA partition, decomposed per community
-    // (one shared materialization of the mined pair graph)
     "d_modularity" -> ((s, d) => {
       val dd = docs(s, d)
       graft.operators.Graph.labelPropagationModularity(
-        Dedup.minhashLshPairs(dd, 0.5).select("id_a", "id_b"), dd, rounds = 4)
+        sharedDupPairs(s, d).select("id_a", "id_b"), dd, rounds = 4)
         .orderBy("community")
     }),
     // ingest-time corpus gate: docs with doc_id % 4 == 0 play the incoming
@@ -410,22 +442,30 @@ object SparkEntry {
     }),
     "d_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), 3).orderBy("id_a", "id_b")),
     // true duplicate clusters: connected components over the pair graph
-    "d_cc" -> ((s, d) => Dedup.duplicateClusters(docs(s, d), 0.5).orderBy("doc_id")),
+    "d_cc" -> ((s, d) =>
+      Dedup.duplicateClustersFromPairs(sharedDupPairs(s, d).select("id_a", "id_b"), docs(s, d))
+        .orderBy("doc_id")),
     // dedup health report: cluster-size histogram over the CC labeling
     "d_cc_hist" -> ((s, d) =>
-      Dedup.clusterSizeHistogram(Dedup.duplicateClusters(docs(s, d), 0.5))
+      Dedup.clusterSizeHistogram(
+        Dedup.duplicateClustersFromPairs(sharedDupPairs(s, d).select("id_a", "id_b"), docs(s, d)))
         .orderBy("cluster_size")),
     // per-source duplicate-rate dashboard over the same labeling
-    "d_report" -> ((s, d) => Dedup.dedupReport(docs(s, d), 0.5).orderBy("source")),
+    "d_report" -> ((s, d) =>
+      Dedup.dedupReportFromPairs(sharedDupPairs(s, d).select("id_a", "id_b"), docs(s, d))
+        .orderBy("source")),
     // duplicate-aware sampling weights: each near-dup component contributes
     // one doc's worth of mass (the soft alternative to dropping dups)
-    "d_ccweight" -> ((s, d) => Dedup.componentWeights(docs(s, d), 0.5).orderBy("doc_id")),
+    "d_ccweight" -> ((s, d) =>
+      Dedup.componentWeightsFromPairs(sharedDupPairs(s, d).select("id_a", "id_b"), docs(s, d))
+        .orderBy("doc_id")),
     // memorization-risk dashboard: per-source duplicated 8-gram posting rate
     "d_dupgrams" -> ((s, d) => Dedup.duplicatedNgramRate(docs(s, d), k = 8).orderBy("source")),
     // which sources copy from each other: near-dup pair counts per
     // unordered source pair (diagonal = within-source duplication)
     "d_crossdup" -> ((s, d) =>
-      Dedup.crossSourceDuplicates(docs(s, d), 0.5).orderBy("source_a", "source_b")),
+      Dedup.crossSourceDuplicatesFromPairs(sharedDupPairs(s, d), docs(s, d))
+        .orderBy("source_a", "source_b")),
     // boilerplate detector: per-doc fraction of shingles unique to the doc
     "d_novelty" -> ((s, d) => Dedup.noveltyScores(docs(s, d)).orderBy("doc_id")),
     // corpus-wide line/segment dedup: drop 4-word segments repeated across
@@ -503,15 +543,16 @@ object SparkEntry {
     // PCA by deterministic power iteration: top-2 coordinates per vector
     // (reduce-then-index) and the explained-variance spectrum report
     "ann_pca" -> ((s, d) =>
-      Similarity.pcaProject(emb(s, d), k = 2, iters = 12).orderBy("vec_id")),
+      Similarity.pcaProjectFrom(sharedPcaModel(s, d), emb(s, d), k = 2).orderBy("vec_id")),
     "ann_pcavar" -> ((s, d) =>
-      Similarity.pcaVarianceReport(emb(s, d), k = 2, iters = 12).orderBy("component")),
+      Similarity.pcaVarianceReportFrom(sharedPcaModel(s, d), s, k = 2).orderBy("component")),
     "ann_whiten" -> ((s, d) =>
-      Similarity.pcaProject(emb(s, d), k = 2, iters = 12, whiten = true).orderBy("vec_id")),
+      Similarity.pcaProjectFrom(sharedPcaModel(s, d), emb(s, d), k = 2, whiten = true)
+        .orderBy("vec_id")),
     // reduce-then-index end-to-end: PCA-reduced cosine shortlist (4 of 64
     // dims scanned), exact full-dimension re-rank of the candidates
     "ann_pca_topk" -> ((s, d) =>
-      Similarity.pcaTopKRerank(emb(s, d), qid = 0L, k = 10, nCand = 50, kDims = 4, iters = 12)),
+      Similarity.pcaTopKRerankFrom(sharedPcaModel(s, d), emb(s, d), qid = 0L, k = 10, nCand = 50, kDims = 4)),
     // embedding distribution drift between the parity halves of the corpus
     "ann_drift" -> ((s, d) => {
       val e = emb(s, d)
@@ -1063,9 +1104,14 @@ object SparkEntry {
     // against DuckDB's direct aggregation over all events)
     "roll_maint" -> ((s, d) => {
       val ev = evUsAll(s, d).select("event_id", "event_type", "ts", "value")
-      val base  = Rollup.build(ev.filter(col("event_id") % 5 =!= 0), Seq("event_type"), "ts", "value", HourUs)
-      val delta = Rollup.build(ev.filter(col("event_id") % 5 === 0), Seq("event_type"), "ts", "value", HourUs)
-      Rollup.serve(Rollup.merge(base, delta)).orderBy("event_type", "bucket")
+      // the two disjoint slices build in ONE grouped pass (the segment id
+      // rides the grouping key), so the events parquet scans once instead
+      // of once per slice; the per-segment stats rows are exactly the
+      // union merge() would form, and coalesceStats IS merge's kernel —
+      // same stats algebra, same result, half the input scans
+      val seg = ev.withColumn("__seg", (col("event_id") % 5 === 0).cast("int"))
+      val perSeg = Rollup.build(seg, Seq("event_type", "__seg"), "ts", "value", HourUs)
+      Rollup.serve(Rollup.coalesceStats(perSeg.drop("__seg"))).orderBy("event_type", "bucket")
     }),
     // hourly → daily re-grain without touching raw events: coarser serving
     // aggregates derived from the stats table alone

@@ -511,9 +511,15 @@ object TimeSeries {
    * (stddev 0 or a single row) produce no outliers. Returns the flagged
    * rows plus a rounded `z` column.
    *
-   * ONE shuffle on `keys`: mean and stddev ride an unbounded window over
-   * the same partitioning (no join back), then a plain filter — at 100 TB
-   * this is a window aggregate + scan, nothing else.
+   * ZERO shuffles of the rows themselves: per-key mean/stddev come from
+   * ONE map-side-combined aggregation (the shuffle carries per-partition
+   * partial moments, not rows) broadcast back onto the scan — the former
+   * unbounded-window spelling shuffled AND sorted every raw row by key to
+   * compute the same two numbers, and a single hot key owned a whole
+   * window partition. Assumes the per-key stats table broadcasts (bounded
+   * key cardinality — the metric/tag model throughout this engine); the
+   * null-safe join keys keep null-keyed groups flagged exactly as the
+   * window partition did.
    */
   def zscoreOutliers(
       df: DataFrame,
@@ -523,14 +529,17 @@ object TimeSeries {
       dp: Int = 3
   ): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    val w  = Window.partitionBy(keys.map(col): _*)
-    val m  = avg(col(valueCol)).over(w)
-    val sd = stddev_samp(col(valueCol)).over(w)
-    val z: Column = (col(valueCol) - m) / sd
-    df.withColumn("__z", when(sd > 0, z))
+    val stats = df
+      .groupBy(keys.map(col): _*)
+      .agg(avg(col(valueCol)).as("__m"), stddev_samp(col(valueCol)).as("__sd"))
+      .select(keys.map(k => col(k).as(s"__k_$k")) ++ Seq(col("__m"), col("__sd")): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val z: Column = (col(valueCol) - col("__m")) / col("__sd")
+    df.join(broadcast(stats), joinCond)
+      .withColumn("__z", when(col("__sd") > 0, z))
       .filter(abs(col("__z")) > threshold)
       .withColumn("z", round(col("__z"), dp))
-      .drop("__z")
+      .drop("__z" +: "__m" +: "__sd" +: keys.map(k => s"__k_$k"): _*)
   }
 
   /**

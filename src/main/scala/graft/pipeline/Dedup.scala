@@ -215,6 +215,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * [[minhashLshPairs]] materialized for SHARING across many consumers in
+   * one session: identical algebra and output, but the result persists with
+   * FULL LINEAGE (`Dataset.persist`, not `localCheckpoint`), so downstream
+   * operators' standard on-entry `Checkpoints.free(pairs)` is a no-op — the
+   * same discipline as [[graft.operators.Star.coPurchaseEdgesShared]]. The
+   * signature relation persists only for the one materialization and is
+   * released before returning. At 100 TB the equivalent is writing the
+   * mined pair table out once and pointing every graph/report consumer at
+   * it; release with `pairs.unpersist()` when the session retires it.
+   */
+  def minhashLshPairsShared(
+      df: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
+    val rows = numHashes / bands
+    val prepped = df
+      .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = lshCandidatePairs(prepped, bands, rows, maxBucket)
+    val sh = prepped.select(col("id"), col("sh"))
+    val out = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize once; every sharer scans the cached relation
+    prepped.unpersist(false) // lineage intact: a lost block just recomputes
+    out
+  }
+
   /** Distinct candidate id pairs `(id_a, id_b)`, `id_a < id_b`, of a
     * signature relation `(id, sig, ...)`: band the signatures, cap
     * pathological buckets, self-join on the bucket key. The banded relation
@@ -856,8 +897,23 @@ object Dedup {
       sourceCol: String = "source",
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    dedupReportFromPairs(
+      minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+        .select(col("id_a"), col("id_b")),
+      df, sourceCol, idCol)
+
+  /** [[dedupReport]] over PREBUILT near-dup pairs (consumed) — the
+    * shared-mining path: one [[minhashLshPairsShared]] relation can feed
+    * this report, [[componentWeightsFromPairs]] and the CC labeling without
+    * re-mining per consumer. */
+  def dedupReportFromPairs(
+      pairsIn: DataFrame,
+      df: DataFrame,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val clusters = duplicateClusters(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+    val clusters = duplicateClustersFromPairs(pairsIn, df, idCol)
     df.select(col(idCol), col(sourceCol))
       .join(clusters, idCol)
       .groupBy(col(sourceCol))
@@ -892,9 +948,20 @@ object Dedup {
       sourceCol: String = "source",
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    crossSourceDuplicatesFromPairs(
+      minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol),
+      df, sourceCol, idCol)
+
+  /** [[crossSourceDuplicates]] over PREBUILT near-dup pairs — the
+    * shared-mining path (see [[dedupReportFromPairs]]). */
+  def crossSourceDuplicatesFromPairs(
+      pairsIn: DataFrame,
+      df: DataFrame,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val pairs = minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
-      .select(col("id_a"), col("id_b")).distinct()
+    val pairs = pairsIn.select(col("id_a"), col("id_b")).distinct()
     val src = df.select(col(idCol), col(sourceCol))
     pairs
       .join(src.toDF("id_a", "__sa"), "id_a")
@@ -1163,9 +1230,20 @@ object Dedup {
       maxBucket: Int = 1000,
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    componentWeightsFromPairs(
+      minhashLshPairs(df, threshold, numHashes, bands, shingleK, maxBucket, textCol, idCol)
+        .select(col("id_a"), col("id_b")),
+      df, idCol)
+
+  /** [[componentWeights]] over PREBUILT near-dup pairs (consumed) — the
+    * shared-mining path (see [[dedupReportFromPairs]]). */
+  def componentWeightsFromPairs(
+      pairsIn: DataFrame,
+      df: DataFrame,
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val cc = duplicateClusters(df, threshold, numHashes, bands, shingleK, maxBucket,
-      textCol, idCol)
+    val cc = duplicateClustersFromPairs(pairsIn, df, idCol)
     val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "rep")
       .select(col(idCol), col("rep"), col("cluster_size"),

@@ -1352,8 +1352,32 @@ object Similarity {
       dp: Int = 3
   ): DataFrame = {
     require(nCand >= k, "nCand must be >= k")
+    pcaRerankOn(pcaProject(df, kDims, iters, idCol, vecCol), df, qid, k, nCand, kDims, vecCol, idCol, dp)
+  }
+
+  /** [[pcaTopKRerank]] off a prebuilt [[PcaModel]] (`kDims ≤ model.kMax`):
+    * the reduced-scan shortlist reads the shared snapped relation instead
+    * of re-fitting the basis per call. */
+  def pcaTopKRerankFrom(
+      model: Option[PcaModel],
+      df: DataFrame,
+      qid: Long,
+      k: Int,
+      nCand: Int,
+      kDims: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      dp: Int = 3
+  ): DataFrame = {
+    require(nCand >= k, "nCand must be >= k")
+    pcaRerankOn(pcaProjectFrom(model, df, kDims, idCol), df, qid, k, nCand, kDims, vecCol, idCol, dp)
+  }
+
+  private def pcaRerankOn(
+      proj: DataFrame, df: DataFrame, qid: Long, k: Int, nCand: Int,
+      kDims: Int, vecCol: String, idCol: String, dp: Int
+  ): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val proj = pcaProject(df, kDims, iters, idCol, vecCol)
     val pv = proj.select(col(idCol).as("id"),
       array((1 to kDims).map(i => col(s"pc$i")): _*).as("__v"))
       .localCheckpoint(true) // the query row and the shortlist scan share one projection
@@ -1635,19 +1659,36 @@ object Similarity {
     * PARTITION (at d=64: 4096 longs), never per row. The explode could
     * halve via symmetry; full d² keeps the index arithmetic trivial.
     */
+  /** The lattice snap shared by every PCA entry point: `(idCol, q)` with
+    * `q` the 1e-4-lattice int64 coordinates. */
+  private def pcaSnap(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * lit(10000.0), 0).cast("long")).as("q"))
+
   private def pcaCore(
       df: DataFrame, k: Int, iters: Int, idCol: String, vecCol: String
   ): Option[(DataFrame, Array[Double], Array[Array[Double]], Array[Double], Double)] = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1 && iters <= 256, "iters must be in [1,256]")
-    val snapped = df.select(col(idCol),
-      transform(col(vecCol), x => round(x.cast("double") * lit(10000.0), 0).cast("long")).as("q"))
+    val snapped = pcaSnap(df, idCol, vecCol)
       .pinned // materialize the snap: the d² explode must read a stored
               // column, not re-evaluate the transform per product
+    pcaSpectrum(snapped, k, iters) match {
+      case None => Checkpoints.free(snapped); None
+      case Some((means, comps, lams, trace)) => Some((snapped, means, comps, lams, trace))
+    }
+  }
+
+  /** Covariance spectrum over a MATERIALIZED snapped relation — the driver-
+    * side half of [[pcaCore]], factored out so a session-shared persisted
+    * snap ([[pcaModelShared]]) runs it once for many consumers. */
+  private def pcaSpectrum(
+      snapped: DataFrame, k: Int, iters: Int
+  ): Option[(Array[Double], Array[Array[Double]], Array[Double], Double)] = {
     val dimRows = snapped.select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("i").agg(count(lit(1)).as("c"), sum("qi").as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    if (dimRows.isEmpty) { Checkpoints.free(snapped); return None }
+    if (dimRows.isEmpty) return None
     val d = dimRows.length
     require(k <= d, s"k=$k exceeds embedding dim $d")
     val nD = dimRows.head._2.toDouble
@@ -1695,7 +1736,78 @@ object Similarity {
       lams(ci) = lamR
       for (i <- 0 until d; j <- 0 until d) c(i)(j) = c(i)(j) - (lamR * v(i)) * v(j)
     }
-    Some((snapped, si.map(_.toDouble / nD), comps, lams, trace))
+    Some((si.map(_.toDouble / nD), comps, lams, trace))
+  }
+
+  /**
+   * Session-shareable PCA model: the snapped relation persisted with FULL
+   * LINEAGE (`Dataset.persist`, not `localCheckpoint` — consumers' frees
+   * are no-ops on it, the [[graft.operators.Star.coPurchaseEdgesShared]]
+   * discipline) plus the driver-side spectrum computed ONCE at `kMax`
+   * components. Deflation is strictly sequential, so components `1..k` of
+   * a `kMax`-run are bit-identical to a dedicated `k`-run for any
+   * `k ≤ kMax` — one model serves projection, whitening, the variance
+   * report and the reduced-scan re-rank without re-running the covariance
+   * pass per consumer. At 100 TB the equivalent is fitting the reducer
+   * once and persisting `(snapped table, basis)` as index artifacts.
+   */
+  final case class PcaModel(
+      snapped: DataFrame,
+      means: Array[Double],
+      comps: Array[Array[Double]],
+      lams: Array[Double],
+      trace: Double)
+
+  def pcaModelShared(
+      df: DataFrame,
+      kMax: Int,
+      iters: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Option[PcaModel] = {
+    require(kMax >= 1, "kMax must be >= 1")
+    require(iters >= 1 && iters <= 256, "iters must be in [1,256]")
+    val snapped = pcaSnap(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    snapped.count() // materialize once; every consumer scans the cached snap
+    pcaSpectrum(snapped, kMax, iters) match {
+      case None =>
+        snapped.unpersist(false); None
+      case Some((means, comps, lams, trace)) =>
+        Some(PcaModel(snapped, means, comps, lams, trace))
+    }
+  }
+
+  /** [[pcaProject]] off a prebuilt [[PcaModel]] (`k ≤ model.kMax`); `df`
+    * only shapes the empty frame when the model is absent (empty input). */
+  def pcaProjectFrom(
+      model: Option[PcaModel],
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      whiten: Boolean = false
+  ): DataFrame = model match {
+    case None =>
+      df.limit(0).select(col(idCol) +: (1 to k).map(i => lit(0.0).as(s"pc$i")): _*)
+    case Some(m) =>
+      require(k >= 1 && k <= m.comps.length, s"k=$k exceeds model components ${m.comps.length}")
+      m.snapped.select(col(idCol) +: pcaProjCols(m.means, m.comps, m.lams, k, whiten): _*)
+  }
+
+  /** [[pcaVarianceReport]] off a prebuilt [[PcaModel]]. */
+  def pcaVarianceReportFrom(model: Option[PcaModel], spark: org.apache.spark.sql.SparkSession, k: Int): DataFrame = {
+    import spark.implicits._
+    model match {
+      case None =>
+        Seq.empty[(Long, Double, Double)].toDF("component", "eigenvalue", "explained_ratio")
+      case Some(m) =>
+        require(k >= 1 && k <= m.lams.length, s"k=$k exceeds model components ${m.lams.length}")
+        m.lams.take(k).zipWithIndex.map { case (l, i) => ((i + 1).toLong, l, m.trace) }.toSeq
+          .toDF("component", "__lam", "__tr")
+          .select(col("component"),
+            round(col("__lam") / lit(100000000.0), 6).as("eigenvalue"),
+            round(col("__lam") / col("__tr"), 6).as("explained_ratio"))
+    }
   }
 
   /**
@@ -1718,20 +1830,27 @@ object Similarity {
     case None =>
       df.limit(0).select(col(idCol) +: (1 to k).map(i => lit(0.0).as(s"pc$i")): _*)
     case Some((snapped, means, comps, lams, _)) =>
-      val mLit = array(means.map(lit): _*)
-      val cols = comps.zipWithIndex.map { case (v, ci) =>
-        val vLit = array(v.map(lit): _*)
-        val fold = aggregate(sequence(lit(0), lit(means.length - 1)), lit(0.0), (acc, i) =>
-          acc + element_at(vLit, i + lit(1)) *
-            (element_at(col("q"), i + lit(1)).cast("double") - element_at(mLit, i + lit(1))))
-        val proj = fold / lit(10000.0)
-        // whitening rescales each axis to unit variance (÷√λ in original
-        // units, floored against degenerate flat axes) — the standard
-        // preconditioning before cosine/L2 indexing of the reduced vectors
-        val out = if (whiten) proj / lit(math.sqrt(math.max(lams(ci) / 1.0e8, 1e-12))) else proj
-        round(out, 6).as(s"pc${ci + 1}")
-      }
-      snapped.select(col(idCol) +: cols.toSeq: _*)
+      snapped.select(col(idCol) +: pcaProjCols(means, comps, lams, k, whiten): _*)
+  }
+
+  /** The per-component projection folds over a snapped relation's `q`
+    * column — shared by [[pcaProject]] and [[pcaProjectFrom]]. */
+  private def pcaProjCols(
+      means: Array[Double], comps: Array[Array[Double]], lams: Array[Double],
+      k: Int, whiten: Boolean): Seq[Column] = {
+    val mLit = array(means.map(lit): _*)
+    comps.take(k).zipWithIndex.map { case (v, ci) =>
+      val vLit = array(v.map(lit): _*)
+      val fold = aggregate(sequence(lit(0), lit(means.length - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(vLit, i + lit(1)) *
+          (element_at(col("q"), i + lit(1)).cast("double") - element_at(mLit, i + lit(1))))
+      val proj = fold / lit(10000.0)
+      // whitening rescales each axis to unit variance (÷√λ in original
+      // units, floored against degenerate flat axes) — the standard
+      // preconditioning before cosine/L2 indexing of the reduced vectors
+      val out = if (whiten) proj / lit(math.sqrt(math.max(lams(ci) / 1.0e8, 1e-12))) else proj
+      round(out, 6).as(s"pc${ci + 1}")
+    }.toSeq
   }
 
   /**
