@@ -145,6 +145,19 @@ object SparkEntry {
       _ => Similarity.pcaModelShared(emb(s, d), kMax = 4, iters = 12))
   }
 
+  // one NB SCORED RELATION per (session, dir): tx_nbconf and tx_calib each
+  // trained and scored the same Laplace-1 multinomial NB (the corpus
+  // tokenize + count + score chain) before their own small readout
+  // aggregation — one shared scoring pass serves both.
+  private val nbMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedNbScored(s: SparkSession, d: String): DataFrame = {
+    val it = nbMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    nbMemo.computeIfAbsent((s, d),
+      _ => pipeline.TextAnalysis.nbScoredShared(docs(s, d)))
+  }
+
   /** raw events. Older driver testdata typed `ts` int64 epoch-nanos (the
     * legacy conf keeps that LongType; set before the read so it holds
     * regardless of query order); current testdata types it timestamp[us]
@@ -685,7 +698,8 @@ object SparkEntry {
     // (minhash), embedding hard negatives, positive excluded pre-rank
     "ann_triplets" -> ((s, d) =>
       Similarity.contrastiveTriplets(docs(s, d), emb(s, d),
-        jaccardThreshold = 0.5, m = 3, dupCut = 0.95, searchK = 10)
+        jaccardThreshold = 0.5, m = 3, dupCut = 0.95, searchK = 10,
+        pairsIn = Some(sharedDupPairs(s, d)))
         .orderBy("anchor_id", "neg_rank")),
     // contrastive hard negatives: top-10 retrieval, near-dups (sim >= .95)
     // dropped as unlabeled positives, top-5 kept per query
@@ -1399,21 +1413,27 @@ object SparkEntry {
     "rt_bool" -> ((s, d) =>
       Retrieval.booleanMatches(docs(s, d), Seq("spark", "join"), Seq("vector"))
         .orderBy("doc_id")),
-    // Dirichlet query-likelihood: the LM scorer next to BM25 (mu=2000)
-    "rt_ql" -> ((s, d) => Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20)),
+    // Dirichlet query-likelihood: the LM scorer next to BM25 (mu=2000);
+    // runs off the shared session index (scan/index parity, same rows)
+    "rt_ql" -> ((s, d) =>
+      Retrieval.qlTopKIndexed(sharedTermIndex(s, d), Seq("spark", "join"), k = 20)),
     // inter-scorer agreement: Kendall τ between the BM25 and QL top-20
-    // rankings of the same query (τ→1: second scorer adds nothing)
+    // rankings of the same query (τ→1: second scorer adds nothing); both
+    // scorers read the shared index — the corpus is never re-tokenized
     "rt_tau" -> ((s, d) => Retrieval.rankAgreement(
-      Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
-      Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20))),
+      Retrieval.bm25TopKIndexed(sharedTermIndex(s, d), Seq("spark", "join"), k = 20),
+      Retrieval.qlTopKIndexed(sharedTermIndex(s, d), Seq("spark", "join"), k = 20))),
     // top-weighted agreement: bounded min-RBO between the same two lists
     // (τ's complement for partially-overlapping top-k rankings)
     // tf-idf doc-doc cosine: the weighted-lexical pair modality next to
-    // minhash (set overlap) and embeddings (dense) — maxDf bounds the join
-    "rt_docsim" -> ((s, d) => Retrieval.tfidfDocSim(docs(s, d), k = 50, maxDfFrac = 0.2)),
+    // minhash (set overlap) and embeddings (dense) — maxDf bounds the join;
+    // vectors come off the shared index (postings ARE the (doc,term,tf))
+    "rt_docsim" -> ((s, d) =>
+      Retrieval.tfidfDocSimIndexed(sharedTermIndex(s, d), k = 50, maxDfFrac = 0.2)),
     "rt_rbo" -> ((s, d) => Retrieval.rankBiasedOverlap(
-      Retrieval.bm25TopK(docs(s, d), Seq("spark", "join"), k = 20),
-      Retrieval.qlTopK(docs(s, d), Seq("spark", "join"), k = 20), k = 20, p = 0.9)),
+      Retrieval.bm25TopKIndexed(sharedTermIndex(s, d), Seq("spark", "join"), k = 20),
+      Retrieval.qlTopKIndexed(sharedTermIndex(s, d), Seq("spark", "join"), k = 20),
+      k = 20, p = 0.9)),
     // MMR diversified top-5 over the same shortlist (greedy, λ = 0.7)
     "rt_mmr" -> ((s, d) =>
       Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20, lambda = 0.7)),
@@ -1445,9 +1465,11 @@ object SparkEntry {
       Retrieval.mmrRerank(docs(s, d), Seq("spark", "join"), k = 5, kCand = 20,
         lambda = 0.7, ix = Some(sharedTermIndex(s, d)))),
     // typo-tolerant term retrieval: vocab scan under levenshtein <= 1,
-    // variants broadcast into the postings join — all-integer output
+    // variants broadcast into the postings join — all-integer output;
+    // vocab + postings come off the shared index (no per-gate tokenize)
     "rt_fuzzy" -> ((s, d) =>
-      Retrieval.fuzzyMatches(docs(s, d), "spark", maxDist = 1).orderBy("doc_id")),
+      Retrieval.fuzzyMatchesIndexed(sharedTermIndex(s, d), "spark", maxDist = 1)
+        .orderBy("doc_id")),
     // pseudo-relevance-feedback expansion: top-10 seed docs mine 5
     // expansion terms (sum-tf x ln(N/df), ties by term); the union query
     // re-ranks through the index — two index passes, no corpus rescan
@@ -1492,10 +1514,15 @@ object SparkEntry {
     }),
     "rt_hybrid" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-      Retrieval.hybridTopK(docs(s, d), emb(s, d), Seq("spark", "join"), q, k = 10, n = 50)
+      // lexical half reads the shared index (row-identical scores)
+      Retrieval.hybridTopK(docs(s, d), emb(s, d), Seq("spark", "join"), q, k = 10, n = 50,
+        ix = Some(sharedTermIndex(s, d)))
     }),
-    // per-doc tf-idf keyword extraction (top-3 salient terms)
-    "rt_keywords" -> ((s, d) => Retrieval.topTfIdfTerms(docs(s, d), k = 3).orderBy("doc_id", "rank")),
+    // per-doc tf-idf keyword extraction (top-3 salient terms) off the
+    // shared index; nDocs passed in = the scan path's all-docs count
+    "rt_keywords" -> ((s, d) =>
+      Retrieval.topTfIdfTermsIndexed(sharedTermIndex(s, d), docs(s, d).count(), k = 3)
+        .orderBy("doc_id", "rank")),
     // exact consecutive-phrase match over positional postings
     "rt_phrase" -> ((s, d) =>
       Retrieval.phraseMatches(Retrieval.positionalPostings(docs(s, d)), Seq("table", "hash"))
@@ -1567,10 +1594,12 @@ object SparkEntry {
     "tx_nbmodel" -> ((s, d) =>
       TextAnalysis.nbModel(docs(s, d), topK = 20).orderBy("lang", "rank")),
     // NB self-prediction confusion matrix (Laplace-1, argmax ties by label)
-    "tx_nbconf" -> ((s, d) => TextAnalysis.nbConfusion(docs(s, d)).orderBy("lang", "pred")),
+    "tx_nbconf" -> ((s, d) =>
+      TextAnalysis.nbConfusionFrom(sharedNbScored(s, d), docs(s, d)).orderBy("lang", "pred")),
     // margin-calibration curve: does NB confidence (top-2 log-score gap)
     // predict accuracy — the safety check before confidence-gated routing
-    "tx_calib" -> ((s, d) => TextAnalysis.nbMarginCalibration(docs(s, d)).orderBy("bin")),
+    "tx_calib" -> ((s, d) =>
+      TextAnalysis.nbMarginCalibrationFrom(sharedNbScored(s, d), docs(s, d)).orderBy("bin")),
     // Flesch reading-ease panel (vowel-group syllables, terminal-punct sentences)
     "tx_read" -> ((s, d) => TextAnalysis.readability(docs(s, d)).orderBy("doc_id")),
     // TextRank corpus keywords: PageRank over the bounded co-occurrence graph

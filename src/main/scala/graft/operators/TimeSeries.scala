@@ -563,7 +563,19 @@ object TimeSeries {
       threshold: Double,
       dp: Int = 3
   ): DataFrame = {
-    val flagged = zscoreOutliers(resample(df, keys, tsCol, valueCol, step), keys, valueCol, threshold, dp)
+    // z-flags via an unbounded window INLINE over the grid: the input here
+    // is the already-aggregated resample frame (key × bucket cardinality,
+    // tiny at any corpus scale), so one window pass beats zscoreOutliers'
+    // raw-stream shape (stats aggregation + join back), which would either
+    // re-execute the resample per branch or pay an extra materialization
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val m  = avg(col(valueCol)).over(wk)
+    val sd = stddev_samp(col(valueCol)).over(wk)
+    val flagged = resample(df, keys, tsCol, valueCol, step)
+      .withColumn("__z", when(sd > 0, (col(valueCol) - m) / sd))
+      .filter(abs(col("__z")) > threshold)
+      .withColumn("z", round(col("__z"), dp))
+      .drop("__z")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     flagged
       .withColumn("__anchor", col(tsCol) - lit(step) * row_number().over(w))

@@ -656,6 +656,44 @@ object Retrieval {
   }
 
   /**
+   * [[qlTopK]] over a prebuilt [[TermIndex]] — no corpus read: `tf` is the
+   * postings subset for the query terms, `cf_t = Σ tf` over that subset
+   * (exactly the token-occurrence count the scan path tallies), doclens
+   * and `|C|` come off the index. Same fold, same rounding, identical
+   * rows — the scan/index parity class of [[bm25TopKIndexed]].
+   */
+  def qlTopKIndexed(
+      ix: TermIndex,
+      terms: Seq[String],
+      k: Int,
+      mu: Double = 2000.0,
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(mu > 0.0, "Dirichlet mu must be positive")
+    require(ix.sumDl > 0, "empty corpus")
+    graft.functions.GraftFunctions.register(ix.postings.sparkSession)
+    val ts = terms.distinct
+    val tf = ix.postings.filter(col("term").isin(ts: _*))
+      .select(col(idCol), col("term").as("__term"), col("tf").as("__tf"))
+    val cf = tf.groupBy(col("__term")).agg(sum(col("__tf")).as("__cf"))
+    val dl = ix.doclens.select(col(idCol), col("dl").as("__dl"))
+    val wt = log((coalesce(col("__tf"), lit(0L)).cast("double") +
+        lit(mu) * col("__cf").cast("double") / lit(ix.sumDl.toDouble)) /
+      (col("__dl").cast("double") + lit(mu)))
+    val scored = tf.select(col(idCol)).distinct()
+      .join(dl, idCol)
+      .crossJoin(broadcast(cf))
+      .join(tf, Seq(idCol, "__term"), "left")
+      .groupBy(col(idCol))
+      .agg(graft.functions.GraftFunctions.foldSum(collect_list(wt)).as("score"))
+    scored.orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score"), dp).as("score"))
+  }
+
+  /**
    * BEST SNIPPET per document: the `width`-token window holding the most
    * query-term hits (ties: more DISTINCT terms, then the earliest window)
    * — the result-page highlight extractor, and the "show me where it
@@ -792,6 +830,33 @@ object Retrieval {
     val tf   = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("__tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
     val score = col("__tf") * log(lit(n.toDouble) / col("__df"))
+    val w     = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("score", round(col("score"), dp))
+  }
+
+  /**
+   * [[topTfIdfTerms]] over a prebuilt [[TermIndex]] — no corpus read: the
+   * postings ARE the `(doc, term, tf)` relation the scan path aggregates,
+   * and df derives from them identically. `nDocs` is passed in (the scan
+   * path counts ALL docs, including null-text rows the index omits — the
+   * caller supplies the same count for row-identical output).
+   */
+  def topTfIdfTermsIndexed(
+      ix: TermIndex,
+      nDocs: Long,
+      k: Int,
+      idCol: String = "doc_id",
+      dp: Int = 4
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nDocs > 0, "empty corpus")
+    val tf = ix.postings.select(col(idCol), col("term"), col("tf").cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val score = col("__tf") * log(lit(nDocs.toDouble) / col("__df"))
     val w     = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
       .select(col(idCol), col("term"), score.as("score"))
@@ -941,12 +1006,19 @@ object Retrieval {
       textCol: String = "text",
       idCol: String = "doc_id",
       vecCol: String = "embedding",
-      vecIdCol: String = "vec_id"
+      vecIdCol: String = "vec_id",
+      ix: Option[TermIndex] = None
   ): DataFrame = {
     // both rank windows run over ≤n rows (post-TakeOrdered) — bounded
     val bmRank  = Window.orderBy(col("score").desc, col(idCol))
     val cosRank = Window.orderBy(col("sim").desc, col(vecIdCol))
-    val bm = bm25Scores(docs, terms, textCol = textCol, idCol = idCol)
+    // a prebuilt index replaces the lexical half's corpus scan (the
+    // scan/index parity class — row-identical scores either way)
+    val bmScores = ix match {
+      case Some(index) => bm25ScoresIndexed(index, terms, idCol = idCol)
+      case None        => bm25Scores(docs, terms, textCol = textCol, idCol = idCol)
+    }
+    val bm = bmScores
       .orderBy(col("score").desc, col(idCol)).limit(n)
       .select(col(idCol).as("__id"), row_number().over(bmRank).cast("long").as("r_bm25"))
     val cos = Similarity.bruteForceTopK(embeddings, queryVec, n, vecCol, vecIdCol)
@@ -1067,13 +1139,29 @@ object Retrieval {
       maxDfCap: Long = Long.MaxValue,
       textCol: String = "text",
       idCol: String = "doc_id"
+  ): DataFrame =
+    tfidfDocSimOn(termIndexPinned(docs, textCol, idCol), k, maxDfFrac, maxDfCap, idCol,
+      consumeIndex = true)
+
+  /** [[tfidfDocSim]] over a prebuilt [[TermIndex]] — no corpus read and the
+    * index is NOT consumed (a session-shared index survives the call). */
+  def tfidfDocSimIndexed(
+      ix: TermIndex,
+      k: Int = 50,
+      maxDfFrac: Double = 0.2,
+      maxDfCap: Long = Long.MaxValue,
+      idCol: String = "doc_id"
+  ): DataFrame = tfidfDocSimOn(ix, k, maxDfFrac, maxDfCap, idCol, consumeIndex = false)
+
+  private def tfidfDocSimOn(
+      ix: TermIndex, k: Int, maxDfFrac: Double, maxDfCap: Long, idCol: String,
+      consumeIndex: Boolean
   ): DataFrame = {
     import graft.pipeline.Checkpoints.PinOps
     require(k >= 1, "k must be >= 1")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
     require(maxDfCap >= 1, "maxDfCap must be >= 1")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val ix = termIndexPinned(docs, textCol, idCol)
+    graft.functions.GraftFunctions.register(ix.postings.sparkSession)
     // the stop-term cut scales WITH the corpus (a fixed count would drop
     // every term once N grows past it): terms in more than maxDfFrac of
     // docs leave the vector space; fan-out stays ≤ (maxDfFrac·N)·Σdf.
@@ -1089,9 +1177,10 @@ object Retrieval {
       .select(col(idCol).as("id"), col("term"),
         (col("tf").cast("double") * log(lit(ix.n.toDouble) / col("__df").cast("double"))).as("w"))
       .pinned // feeds the norm pass and BOTH sides of the term join
-    // w is materialized: the index pins are dead weight now (they are NOT
-    // in w's truncated lineage, so the caller's free can't reach them)
-    graft.pipeline.Checkpoints.free(ix.postings, ix.doclens)
+    // w is materialized: an OWNED index's pins are dead weight now (they
+    // are NOT in w's truncated lineage, so the caller's free can't reach
+    // them); a shared index is left alone
+    if (consumeIndex) graft.pipeline.Checkpoints.free(ix.postings, ix.doclens)
     val norms = w.groupBy(col("id"))
       .agg(foldSum(expr(
         "transform(array_sort(collect_list(named_struct('t', term, 'p', w * w))), s -> s.p)")).as("__nsq"))

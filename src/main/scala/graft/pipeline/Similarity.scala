@@ -524,10 +524,16 @@ object Similarity {
       planesPerTable: Int = 6,
       tables: Int = 8,
       docIdCol: String = "doc_id",
-      vecIdCol: String = "vec_id"
+      vecIdCol: String = "vec_id",
+      pairsIn: Option[DataFrame] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = Dedup.minhashLshPairs(docsDf, jaccardThreshold, idCol = docIdCol)
+    // a prebuilt mined-pair relation (the session-shared
+    // Dedup.minhashLshPairsShared) replaces the per-call mining pass —
+    // identical relation, so identical triplets
+    val minedPairs = pairsIn.getOrElse(
+      Dedup.minhashLshPairs(docsDf, jaccardThreshold, idCol = docIdCol))
+    val pos = minedPairs
       .groupBy(col("id_a")).agg(min(col("id_b")).as("positive_id"))
       .pinned // read twice: the anchor semi-join and the positive-exclusion join
     val anchors = embDf.join(pos.select(col("id_a").as(vecIdCol)), Seq(vecIdCol), "left_semi")

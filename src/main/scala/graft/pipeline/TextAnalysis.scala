@@ -1463,18 +1463,44 @@ object TextAnalysis {
       textCol: String,
       idCol: String,
       maxLabels: Int
+  ): DataFrame = nbScoredImpl(df, labelCol, textCol, idCol, maxLabels, shared = false)
+
+  /** [[nbScored]] materialized for SHARING across consumers in one session
+    * (the [[graft.pipeline.Dedup.minhashLshPairsShared]] discipline): the
+    * scored relation persists with FULL LINEAGE and no pins, so consumers'
+    * `Checkpoints.free` calls are no-ops on it — one training + scoring
+    * pass serves the confusion matrix AND the calibration curve. At 100 TB
+    * the equivalent is persisting the scored table once as a model-eval
+    * artifact. Release with `scored.unpersist()` to retire it. */
+  def nbScoredShared(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxLabels: Int = 100
+  ): DataFrame = nbScoredImpl(df, labelCol, textCol, idCol, maxLabels, shared = true)
+
+  private def nbScoredImpl(
+      df: DataFrame,
+      labelCol: String,
+      textCol: String,
+      idCol: String,
+      maxLabels: Int,
+      shared: Boolean
   ): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lab = df.select(col(idCol), col(labelCol).as("__lab"))
     val tk  = nbToks(df, textCol, idCol)
-    val cnt = tk.join(lab, idCol)
+    val cnt0 = tk.join(lab, idCol)
       .groupBy(col("__lab"), col("__term")).agg(count(lit(1)).as("__c"))
-      .pinned
+    val cnt = if (shared) cnt0.persist(mad) else cnt0.pinned
     // per-label totals + doc counts: tiny (≤ labels rows); N and V are the
     // two bounded driver scalars
     val tot = cnt.groupBy(col("__lab")).agg(sum(col("__c")).as("__tot"))
     val nd  = df.groupBy(col(labelCol).as("__lab")).agg(count(lit(1)).as("__nd"))
-    val stats = tot.join(nd, "__lab").pinned
+    val stats0 = tot.join(nd, "__lab")
+    val stats = if (shared) stats0.persist(mad) else stats0.pinned
     require(stats.count() <= maxLabels,
       s"nbConfusion: label cardinality exceeds $maxLabels — not a classification column")
     val nDocs = df.count()
@@ -1490,13 +1516,20 @@ object TextAnalysis {
     // stats broadcast; a label with no term hits still gets its prior and
     // smoothing-denominator terms (fold defaults to 0.0 — the empty fold)
     val dl = dtf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    dl.crossJoin(broadcast(stats))
+    val scored = dl.crossJoin(broadcast(stats))
       .join(hits, Seq(idCol, "__lab"), "left")
       .withColumn("__score",
         log(col("__nd").cast("double")) - log(lit(nDocs.toDouble)) +
           coalesce(col("__fold"), lit(0.0)) -
           col("__dl").cast("double") * log((col("__tot") + lit(vocab)).cast("double")))
       .select(col(idCol), col("__lab"), col("__score"))
+    if (!shared) scored
+    else {
+      val out = scored.persist(mad)
+      out.count() // materialize once; every consumer scans the cached relation
+      cnt.unpersist(false); stats.unpersist(false) // lineage intact
+      out
+    }
   }
 
   def nbConfusion(
@@ -1505,8 +1538,17 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxLabels: Int = 100
+  ): DataFrame =
+    nbConfusionFrom(nbScored(df, labelCol, textCol, idCol, maxLabels), df, labelCol, idCol)
+
+  /** [[nbConfusion]] over a PREBUILT scored relation ([[nbScoredShared]])
+    * — the shared-scoring path. */
+  def nbConfusionFrom(
+      scored: DataFrame,
+      df: DataFrame,
+      labelCol: String = "lang",
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val scored = nbScored(df, labelCol, textCol, idCol, maxLabels)
     val lab    = df.select(col(idCol), col(labelCol).as("__lab"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
     val pred = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
@@ -1538,10 +1580,22 @@ object TextAnalysis {
       binWidth: Double = 0.25,
       bins: Int = 8,
       maxLabels: Int = 100
+  ): DataFrame =
+    nbMarginCalibrationFrom(nbScored(df, labelCol, textCol, idCol, maxLabels), df,
+      labelCol, idCol, binWidth, bins)
+
+  /** [[nbMarginCalibration]] over a PREBUILT scored relation
+    * ([[nbScoredShared]]) — the shared-scoring path. */
+  def nbMarginCalibrationFrom(
+      scored: DataFrame,
+      df: DataFrame,
+      labelCol: String = "lang",
+      idCol: String = "doc_id",
+      binWidth: Double = 0.25,
+      bins: Int = 8
   ): DataFrame = {
     require(binWidth > 0.0, "binWidth must be positive")
     require(bins >= 2, "bins must be >= 2")
-    val scored = nbScored(df, labelCol, textCol, idCol, maxLabels)
     val w  = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lab"))
     val rk = scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= 2)
     val top = rk.filter(col("__r") === 1)
