@@ -102,12 +102,16 @@ object SparkEntry {
   // the walks' standard on-entry Checkpoints.free(edges) is a no-op.
   private val edgesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedCoPurchase(s: SparkSession, d: String): DataFrame = {
+  // the persisted relation carries (id_a, id_b, support): walks project the
+  // support away; st_basket ranks by it — one lineitem self-join per session
+  private def sharedCoPurchaseSupport(s: SparkSession, d: String): DataFrame = {
     val it = edgesMemo.keySet().iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     edgesMemo.computeIfAbsent((s, d),
       _ => graft.operators.Star.coPurchaseEdgesShared(tbl(s, d, "lineitem")))
   }
+  private def sharedCoPurchase(s: SparkSession, d: String): DataFrame =
+    sharedCoPurchaseSupport(s, d).select("id_a", "id_b")
 
   // one MINED NEAR-DUP PAIR RELATION per (session, dir) — the shared-input
   // discipline (mm_* synthetic frames, rt_* term index, st_* co-purchase
@@ -119,13 +123,34 @@ object SparkEntry {
   // (persist, no pins), so consumers' on-entry Checkpoints.free(pairs) is
   // a no-op. At 100 TB the equivalent is writing the mined pair table once
   // and pointing every downstream consumer at it.
+  // the persisted relation is the OPEN-threshold scored candidate superset
+  // (id_a, id_b, est_jaccard, jaccard): filter(jaccard >= 0.5) IS the mined
+  // pair relation the 17 graph/report gates consume, and the same rows also
+  // serve the estimation-error report (d_esterr) and the similarity
+  // histogram (d_simcurve) — which previously each re-ran the whole mining
+  // pipeline at threshold 0.
   private val dupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def sharedScoredCandidates(s: SparkSession, d: String): DataFrame = {
     val it = dupPairsMemo.keySet().iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     dupPairsMemo.computeIfAbsent((s, d),
-      _ => Dedup.minhashLshPairsShared(docs(s, d), 0.5))
+      _ => Dedup.minhashScoredCandidatesShared(docs(s, d)))
+  }
+  private def sharedDupPairs(s: SparkSession, d: String): DataFrame =
+    sharedScoredCandidates(s, d)
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
+
+  // one WINNOW FINGERPRINT relation (k=16, w=8) per (session, dir):
+  // d_winnow and d_winnow_contain each re-ran the per-character winnowing
+  // kernel over the corpus before their pair join — one pass serves both.
+  private val winnowMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedWinnowFps(s: SparkSession, d: String): DataFrame = {
+    val it = winnowMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    winnowMemo.computeIfAbsent((s, d),
+      _ => Dedup.winnowFpsShared(docs(s, d), k = 16, w = 8))
   }
 
   // one PCA MODEL per (session, dir): ann_pca / ann_pcavar / ann_whiten /
@@ -336,7 +361,7 @@ object SparkEntry {
     // words alone made 76% of ALL doc pairs "share" fingerprints — so the
     // gate runs at span-length grams with a tight boilerplate bucket cap.
     "d_winnow" -> ((s, d) =>
-      Dedup.winnowPairs(docs(s, d), k = 16, w = 8, minShared = 2L, maxBucket = 200)
+      Dedup.winnowPairsOn(sharedWinnowFps(s, d), minShared = 2L, maxBucket = 200)
         .orderBy("id_a", "id_b")),
     // PageRank centrality over the near-dup graph: hub/template docs outrank
     // their copies (what connected components alone cannot tell apart)
@@ -444,7 +469,7 @@ object SparkEntry {
     // asymmetric span coverage: n_shared / per-doc fingerprint count —
     // "fragment of" vs "contains" separation the symmetric pair count hides
     "d_winnow_contain" -> ((s, d) =>
-      Dedup.winnowContainment(docs(s, d)).orderBy("id_a", "id_b")),
+      Dedup.winnowContainmentOn(sharedWinnowFps(s, d)).orderBy("id_a", "id_b")),
     // span-level ingest gate: batch docs sharing >= 2 winnow fingerprints
     // with any single archived doc are rejected (splice catcher at ingest)
     "d_winnow_gate" -> ((s, d) => {
@@ -485,9 +510,11 @@ object SparkEntry {
     // >= 2 docs, reassemble surviving text per doc (CCNet/RefinedWeb pass)
     "d_lines" -> ((s, d) => Dedup.segmentDedup(docs(s, d), segWords = 4, minDocs = 2).orderBy("doc_id")),
     // threshold-tuning report: jaccard histogram over open LSH candidates
-    "d_simcurve" -> ((s, d) => Dedup.similarityHistogram(docs(s, d)).orderBy("sim_bin")),
+    "d_simcurve" -> ((s, d) =>
+      Dedup.similarityHistogramFrom(sharedScoredCandidates(s, d)).orderBy("sim_bin")),
     // signature-quality report: estimated vs exact jaccard per candidate
-    "d_esterr" -> ((s, d) => Dedup.minhashErrorReport(docs(s, d)).orderBy("id_a", "id_b")),
+    "d_esterr" -> ((s, d) =>
+      Dedup.minhashErrorReportFrom(sharedScoredCandidates(s, d)).orderBy("id_a", "id_b")),
     // eval-set decontamination: docs with doc_id % 10 == 0 play the
     // benchmark; shingleK=5 (13 in practice) so the tiny fixture overlaps
     "d_decon" -> ((s, d) => {
@@ -1297,7 +1324,10 @@ object SparkEntry {
       graft.operators.Star.customerDistribution(tbl(s, d, "customer"), tbl(s, d, "orders"))),
     // market-basket: top co-ordered part pairs with exact-count lift
     "st_basket" -> ((s, d) =>
-      graft.operators.Star.coPurchasePairs(tbl(s, d, "lineitem"), minSupport = 2L, topK = 50)),
+      // support comes off the shared co-purchase relation (built at the
+      // same minSupport=2 cut); only the lift denominators re-derive
+      graft.operators.Star.coPurchasePairsOn(
+        sharedCoPurchaseSupport(s, d), tbl(s, d, "lineitem"), topK = 50)),
     "st_mktshare" -> ((s, d) =>
       graft.operators.Star.marketShare(tbl(s, d, "region"), tbl(s, d, "nation"),
         tbl(s, d, "customer"), tbl(s, d, "orders"), tbl(s, d, "lineitem"), tbl(s, d, "supplier"),
@@ -1571,11 +1601,14 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs(s, d), m).orderBy("doc_id")
     }),
     // tokenizer fertility panel: BPE tokens-per-word by language — the
-    // standard "how well does this tokenizer fit each language" report
-    // (same eager-train bench note as tx_bpeapply applies)
+    // standard "how well does this tokenizer fit each language" report.
+    // The merges come from the per-dir cache (tx_bpeenc's discipline):
+    // fertility is an EVAL readout, not the closed train+encode loop —
+    // tx_bpeapply alone keeps the eager re-train as its subject
     "tx_fert" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = bpeMergesCache.getOrElseUpdate(d,
+        TextAnalysis.bpeTrain(docs(s, d), merges = 8).orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
       TextAnalysis.bpeEncode(docs(s, d), m)
         .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
         .groupBy("lang")

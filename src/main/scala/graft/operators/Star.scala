@@ -764,10 +764,40 @@ object Star {
       .filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__s"))
       .filter(col("__s") >= cut)
-      .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      // support rides along (graph walks project it away; the basket
+      // ranking consumes it — one self-join serves both)
+      .select(col("pa").as("id_a"), col("pb").as("id_b"), col("__s").as("support"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize: every sharer scans the cached relation
     out
+  }
+
+  /**
+   * [[coPurchasePairs]] over the PREBUILT support-bearing pair relation
+   * ([[coPurchaseEdgesShared]]) — the C(items, 2) self-join and support
+   * count are NOT re-run; only the lift denominators (per-part order
+   * counts, order count) re-derive from `lineitem` in one distinct pass.
+   * Identical ranking, identical rounding. The shared relation must have
+   * been built at the same `minSupport` cut.
+   */
+  def coPurchasePairsOn(
+      pairsWithSupport: DataFrame,
+      lineitem: DataFrame,
+      topK: Int = 50
+  ): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(col("ok")).distinct().count()
+    val pc = li.groupBy(col("pk")).agg(count(lit(1)).as("__c"))
+    pairsWithSupport
+      .select(col("id_a").as("pa"), col("id_b").as("pb"), col("support"))
+      .join(pc.select(col("pk").as("pa"), col("__c").as("__ca")), "pa")
+      .join(pc.select(col("pk").as("pb"), col("__c").as("__cb")), "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("support"),
+        round((col("support").cast("double") * lit(nOrders.toDouble)) /
+          (col("__ca").cast("double") * col("__cb").cast("double")), 6).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(topK)
   }
 
   /**

@@ -256,6 +256,62 @@ object Dedup {
     out
   }
 
+  /**
+   * The OPEN-THRESHOLD scored candidate relation, materialized for SHARING:
+   * every LSH candidate pair with its signature-estimated AND exact
+   * verified Jaccard — the superset every minhash-family readout derives
+   * from. `filter(jaccard >= t).select(id_a, id_b, jaccard)` IS
+   * [[minhashLshPairs]] at threshold `t` (same 4-dp snap, same null-drop
+   * semantics); [[minhashErrorReportFrom]] and [[similarityHistogramFrom]]
+   * are projections/aggregations of the same rows. One mining pass serves
+   * the whole family; same persist discipline as [[minhashLshPairsShared]].
+   */
+  def minhashScoredCandidatesShared(
+      df: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
+    val rows = numHashes / bands
+    val prepped = df
+      .select(col(idCol).as("id"), GraftFunctions.shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", GraftFunctions.minhash(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = lshCandidatePairs(prepped, bands, rows, maxBucket)
+    val side = prepped.select(col("id"), col("sh"), col("sig"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    val out = candidates
+      .join(side.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(est, 4).as("est_jaccard"),
+        round(fastJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize once; every sharer scans the cached relation
+    prepped.unpersist(false) // lineage intact: a lost block just recomputes
+    out
+  }
+
+  /** [[minhashErrorReport]] over the PREBUILT scored candidate relation
+    * ([[minhashScoredCandidatesShared]]) — no re-mining, identical rows. */
+  def minhashErrorReportFrom(scored: DataFrame): DataFrame =
+    scored.withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+
+  /** [[similarityHistogram]] over the PREBUILT scored candidate relation —
+    * the threshold-0 filter replays [[minhashLshPairs]]'s null-drop before
+    * binning, so rows match the mining path exactly. */
+  def similarityHistogramFrom(scored: DataFrame): DataFrame =
+    scored.filter(col("jaccard") >= 0.0)
+      .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long").as("sim_bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Distinct candidate id pairs `(id_a, id_b)`, `id_a < id_b`, of a
     * signature relation `(id, sig, ...)`: band the signatures, cap
     * pathological buckets, self-join on the bucket key. The banded relation
@@ -492,6 +548,53 @@ object Dedup {
     val fps = df.select(col(idCol).as("id"),
       explode(GraftFunctions.winnowFps(col(textCol), k, w)).as("fp"))
     winnowPairsFrom(fps, minShared, maxBucket)
+  }
+
+  /**
+   * The corpus's DISTINCT `(id, fp)` winnowing fingerprint relation,
+   * materialized for SHARING across consumers in one session: one native
+   * fingerprint pass serves [[winnowPairsOn]] AND [[winnowContainmentOn]]
+   * (before, each gate re-ran the per-character winnow kernel over the
+   * whole corpus). Full-lineage persist, same discipline as
+   * [[minhashLshPairsShared]]; at 100 TB this is the persisted
+   * [[winnowFpIndex]] table. Release with `fps.unpersist()`.
+   */
+  def winnowFpsShared(
+      df: DataFrame,
+      k: Int = 16,
+      w: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k >= 2 && k <= 32, "gram size k must be in [2,32]")
+    require(w >= 2 && w <= 64, "window w must be in [2,64]")
+    GraftFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+        explode(GraftFunctions.winnowFps(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count() // materialize once; every sharer scans the cached relation
+    fps
+  }
+
+  /** [[winnowPairs]] over a PREBUILT `(id, fp)` relation
+    * ([[winnowFpsShared]]) — no re-fingerprinting, identical rows. */
+  def winnowPairsOn(fps: DataFrame, minShared: Long = 2L, maxBucket: Int = 1000): DataFrame =
+    winnowPairsFrom(fps, minShared, maxBucket)
+
+  /** [[winnowContainment]] over a PREBUILT `(id, fp)` relation — the
+    * shared relation replaces the per-call pin, identical rows. */
+  def winnowContainmentOn(
+      fps: DataFrame,
+      minShared: Long = 2L,
+      maxBucket: Int = 200
+  ): DataFrame = {
+    val counts = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    winnowPairsFrom(fps, minShared, maxBucket)
+      .join(counts.select(col("id").as("id_a"), col("nfp").as("__na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nfp").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__na").cast("double"), 6).as("frac_a"),
+        round(col("n_shared").cast("double") / col("__nb").cast("double"), 6).as("frac_b"))
   }
 
   /** the bucket-capped shared-fingerprint pair count over a prepared
