@@ -170,6 +170,27 @@ object SparkEntry {
       _ => Similarity.pcaModelShared(emb(s, d), kMax = 4, iters = 12))
   }
 
+  // one HOURLY RESAMPLED GRID per (session, dir): ~20 ts_* gates each
+  // re-ran the same resample aggregation (floor-to-bucket + snapped mean
+  // over the full event stream) before their own per-key fold/window —
+  // the single most-repeated subtree on the board. The persisted grid is
+  // key × bucket cardinality (3,385 rows at sf0.1 vs 100k events), so
+  // every consumer's input collapses to a cached scan. resample is NOT
+  // idempotent (the 6-dp sum snap re-rounds), so operators take the grid
+  // through an explicit gridIn hook rather than re-deriving it.
+  private val gridMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedHourlyGrid(s: SparkSession, d: String): DataFrame = {
+    val it = gridMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    gridMemo.computeIfAbsent((s, d), _ => {
+      val g = TimeSeries.resample(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g.count() // materialize once; every ts_* gate scans the cached grid
+      g
+    })
+  }
+
   // one NB SCORED RELATION per (session, dir): tx_nbconf and tx_calib each
   // trained and scored the same Laplace-1 multinomial NB (the corpus
   // tokenize + count + score chain) before their own small readout
@@ -997,11 +1018,10 @@ object SparkEntry {
     // gap-fill interpolation, counter rates, rolling range aggregates and
     // z-score outliers — per-key windowed, one-or-two-shuffle shapes
     "ts_resample" -> ((s, d) =>
-      TimeSeries.resample(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type", "ts")),
+      sharedHourlyGrid(s, d).orderBy("event_type", "ts")),
     // resample→gap-fill composed: the hourly grid has ~5-7% holes per type
     "ts_gapfill" -> ((s, d) => {
-      val grid = TimeSeries.resample(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
+      val grid = sharedHourlyGrid(s, d)
       TimeSeries.gapFill(grid, Seq("event_type"), "ts", "value", HourUs)
         .orderBy("event_type", "ts")
     }),
@@ -1022,7 +1042,7 @@ object SparkEntry {
     // integer anchor ts − step·row_number (one row per alert episode)
     "ts_anomint" -> ((s, d) =>
       TimeSeries.anomalyIntervals(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        threshold = 2.5).orderBy("event_type", "start_ts")),
+        threshold = 2.5, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "start_ts")),
     // robust (median/MAD) anomaly flags — the Hampel test. Threshold 3.75:
     // the 2 dp value lattice puts deviations EXACTLY on t×MAD for many
     // round t (measured margin ~1e-16 at 3.0-3.6 at sf0.1); at 3.75 every
@@ -1042,22 +1062,22 @@ object SparkEntry {
     // alpha=0.25 spelled identically in both engines -> bit-identical)
     "ts_ewma" -> ((s, d) =>
       TimeSeries.ewmaScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        alpha = 0.25).orderBy("event_type", "ts")),
+        alpha = 0.25, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "ts")),
     // Page's CUSUM change statistic over the hourly grid (two-sided),
     // mean + scans all ts-ordered folds -> bit-identical unrounded doubles
     "ts_cusum" -> ((s, d) =>
       TimeSeries.cusumScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        slack = 0.5).orderBy("event_type", "ts")),
+        slack = 0.5, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "ts")),
     // sample autocorrelation at lags 1..6 per type (wide |keys|x8 profile;
     // every statistic a ts-ordered fold -> bit-identical unrounded)
     "ts_acf" -> ((s, d) =>
       TimeSeries.acfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        maxLag = 6).orderBy("event_type")),
+        maxLag = 6, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // PACF via Durbin-Levinson over the hourly-grid ACF: the AR-order
     // cut-off signature the ACF alone cannot show
     "ts_pacf" -> ((s, d) =>
       TimeSeries.pacfProfile(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        maxLag = 4).orderBy("event_type")),
+        maxLag = 4, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // lagged cross-correlation click→error on the shared hourly grid (one
     // conditional-agg pass; every statistic a ts-ordered fold)
     "ts_xcorr" -> ((s, d) =>
@@ -1067,79 +1087,80 @@ object SparkEntry {
     // recurrence; level spelled inside trend identically in both engines)
     "ts_holt" -> ((s, d) =>
       TimeSeries.holtScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        alpha = 0.5, beta = 0.25).orderBy("event_type", "ts")),
+        alpha = 0.5, beta = 0.25, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "ts")),
     // Holt–Winters triple smoothing: level + trend + rolling 24-slot
     // additive seasonal vector (the forecaster that tracks both a trend
     // and the daily cycle holtScan smears into the trend)
     "ts_hw" -> ((s, d) =>
       TimeSeries.holtWintersScan(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        period = 24, alpha = 0.5, beta = 0.25, gamma = 0.25)
+        period = 24, alpha = 0.5, beta = 0.25, gamma = 0.25,
+        gridIn = Some(sharedHourlyGrid(s, d)))
         .orderBy("event_type", "ts")),
     // walk-forward forecast eval: one-step-ahead MAE/RMSE of the Holt scan
     "ts_backtest" -> ((s, d) =>
       TimeSeries.holtBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        alpha = 0.5, beta = 0.25).orderBy("event_type")),
+        alpha = 0.5, beta = 0.25, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // scale-free forecast eval: Holt MAE over the naive (lag-1) MAE on the
     // same horizon — mase < 1 = the model beats "predict yesterday"
     "ts_mase" -> ((s, d) =>
       TimeSeries.maseBacktest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        alpha = 0.5, beta = 0.25).orderBy("event_type")),
+        alpha = 0.5, beta = 0.25, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // dominant-period auto-detect: ANOVA phase-variance strength over
     // candidate periods 2..24 on the hourly grid (exact phase sums — no
     // transcendentals, so the oracle replays it bit-identically)
     "ts_period" -> ((s, d) =>
-      TimeSeries.dominantPeriod(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type")),
+      TimeSeries.dominantPeriod(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // turning-point randomness test: exact strict-extrema count on the
     // hourly cent grid + Kendall's z vs the i.i.d.-noise expectation —
     // the is-there-even-signal preflight before trend/decomp spend
     "ts_turning" -> ((s, d) =>
-      TimeSeries.turningPointTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type")),
+      TimeSeries.turningPointTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // Wald–Wolfowitz runs test: distribution-free randomness check around
     // the exact median on the hourly grid — too few runs = trending,
     // too many = oscillating (the permutation-moment companion to
     // ts_turning's derivative-sign test)
     "ts_runs" -> ((s, d) =>
-      TimeSeries.runsTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type")),
+      TimeSeries.runsTest(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // Bandt–Pompe permutation entropy (m=3): ordinal-pattern complexity
     // on the hourly grid — noise-like (→1) vs ordered regimes (→0); the
     // ORDER-structure companion to ts_runs/ts_turning
     "ts_pentropy" -> ((s, d) =>
-      TimeSeries.permutationEntropy(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type")),
+      TimeSeries.permutationEntropy(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // CUSUM-argmax changepoint: the most likely level-shift hour per key
     "ts_cpt" -> ((s, d) =>
-      TimeSeries.changePoint(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type")),
+      TimeSeries.changePoint(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // classical additive decomposition: centered 2x24 MA trend, per-phase
     // seasonal means of the detrended grid, residual — all in-array folds
     "ts_decomp" -> ((s, d) =>
       TimeSeries.decompose(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        period = 24).orderBy("event_type", "ts")),
+        period = 24, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "ts")),
     // de-seasonalized alarms: residual channel cut at k x per-key RMS
     "ts_sanom" -> ((s, d) =>
       TimeSeries.seasonalAnomalies(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        period = 24, k = 2.0).orderBy("event_type", "ts")),
+        period = 24, k = 2.0, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "ts")),
     // seasonal/trend strength triage (Hyndman F_T/F_S): which model does
     // each metric deserve — cycle, line, or plain outlier cuts
     "ts_strength" -> ((s, d) =>
       TimeSeries.seasonStrength(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        period = 24).orderBy("event_type")),
+        period = 24, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // per-type OLS trend on the hourly grid, forecast one day out
     "ts_trend" -> ((s, d) =>
       TimeSeries.trendForecast(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
-        horizon = 24).orderBy("event_type")),
+        horizon = 24, gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // Theil–Sen robust trend on the same hourly grid: exact median of all
     // pairwise grid slopes — the outlier-proof line next to ts_trend's OLS
     "ts_theilsen" -> ((s, d) =>
-      TimeSeries.theilSen(evUs(s, d), Seq("event_type"), "ts", "value", HourUs)
-        .orderBy("event_type")),
+      TimeSeries.theilSen(evUs(s, d), Seq("event_type"), "ts", "value", HourUs,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type")),
     // LTTB: 24-point visual downsample of each type's hourly grid
     "ts_lttb" -> ((s, d) =>
-      TimeSeries.lttb(evUs(s, d), Seq("event_type"), "ts", "value", HourUs, nOut = 24)
-        .orderBy("event_type", "ts")),
+      TimeSeries.lttb(evUs(s, d), Seq("event_type"), "ts", "value", HourUs, nOut = 24,
+        gridIn = Some(sharedHourlyGrid(s, d))).orderBy("event_type", "ts")),
     // incrementally-maintained rollup: stats built on two disjoint event
     // slices then MERGED must equal a full recompute (proven cross-engine
     // against DuckDB's direct aggregation over all events)

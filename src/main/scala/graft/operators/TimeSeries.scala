@@ -45,10 +45,11 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      horizon: Int = 1
+      horizon: Int = 1,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(horizon >= 0, "horizon must be non-negative")
-    val grid = resample(df, keys, tsCol, valueCol, step)
+    val grid = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
     val kc   = keys.map(col)
     val mins = grid.groupBy(kc: _*).agg(min(col(tsCol)).as("__t0"))
     val xy = grid.join(mins, keys)
@@ -108,11 +109,12 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      maxPoints: Int = 4096
+      maxPoints: Int = 4096,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(maxPoints >= 2, "maxPoints must be >= 2")
     val kc = keys.map(col)
-    val grid = resample(df, keys, tsCol, valueCol, step)
+    val grid = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
       .withColumn("__x", expr(floorDiv(tsCol, step)))
       .localCheckpoint(true) // read 3x below (pairs, residuals, counts)
     val worst = grid.groupBy(kc: _*).agg(count(lit(1)).as("n"))
@@ -199,9 +201,10 @@ object TimeSeries {
       keys: Seq[String],
       tsCol: String,
       valueCol: String,
-      step: Long
+      step: Long,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
-    val grid = resample(df, keys, tsCol, valueCol, step)
+    val grid = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
     val kc   = keys.map(col)
     // exact type-1 lower median from the per-key value histogram
     val h  = grid.groupBy(kc :+ col(valueCol).as("__v"): _*).agg(count(lit(1)).as("__m"))
@@ -262,12 +265,13 @@ object TimeSeries {
       keys: Seq[String],
       tsCol: String,
       valueCol: String,
-      step: Long
+      step: Long,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(df.sparkSession)
     import GraftFunctions.foldSum
-    val grid = resample(df, keys, tsCol, valueCol, step)
+    val grid = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
     val kc = keys.map(col)
     val tw = Window.partitionBy(kc: _*).orderBy(col(tsCol))
     val v1 = col("__v1"); val v2 = col("__v2"); val v3 = col("__v3")
@@ -326,7 +330,8 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       minPeriod: Int = 2,
-      maxPeriod: Int = 24
+      maxPeriod: Int = 24,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(minPeriod >= 2, "minPeriod must be >= 2")
     require(maxPeriod >= minPeriod, "maxPeriod must be >= minPeriod")
@@ -334,7 +339,7 @@ object TimeSeries {
     GraftFunctions.register(df.sparkSession)
     import GraftFunctions.foldSum
     import graft.pipeline.Checkpoints.PinOps
-    val v = resample(df, keys, tsCol, valueCol, step)
+    val v = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
       .select(keys.map(col) :+ expr(s"$tsCol div ${step}L").as("__idx") :+
         round(col(valueCol) * lit(1000000.0)).cast("long").as("__v6"): _*)
       .pinned // one grid pass feeds both the totals and the phase explode
@@ -561,7 +566,8 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       threshold: Double,
-      dp: Int = 3
+      dp: Int = 3,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     // z-flags via an unbounded window INLINE over the grid: the input here
     // is the already-aggregated resample frame (key × bucket cardinality,
@@ -571,7 +577,7 @@ object TimeSeries {
     val wk = Window.partitionBy(keys.map(col): _*)
     val m  = avg(col(valueCol)).over(wk)
     val sd = stddev_samp(col(valueCol)).over(wk)
-    val flagged = resample(df, keys, tsCol, valueCol, step)
+    val flagged = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
       .withColumn("__z", when(sd > 0, (col(valueCol) - m) / sd))
       .filter(abs(col("__z")) > threshold)
       .withColumn("z", round(col("__z"), dp))
@@ -703,9 +709,10 @@ object TimeSeries {
       keys: Seq[String],
       tsCol: String,
       valueCol: String,
-      step: Long
+      step: Long,
+      gridIn: Option[DataFrame] = None
   ): DataFrame =
-    resample(df, keys, tsCol, valueCol, step)
+    gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(col(tsCol), col(valueCol)))).as("__pts"))
 
@@ -753,7 +760,8 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      alpha: Double = 0.25
+      alpha: Double = 0.25,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val a = s"CAST($alpha AS DOUBLE)"
@@ -762,7 +770,7 @@ object TimeSeries {
          |  array(__pts[0].$valueCol),
          |  (acc, x) -> array_append(acc,
          |    $a * x.$valueCol + (CAST(1.0 AS DOUBLE) - $a) * element_at(acc, -1)))""".stripMargin
-    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+    val grid = gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__ewma", expr(scan))
     explodeScan(grid, keys, tsCol, valueCol, Seq("__ewma"))
   }
@@ -794,7 +802,8 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      slack: Double = 0.5
+      slack: Double = 0.5,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(slack >= 0.0, "slack must be non-negative")
     val kk   = s"CAST($slack AS DOUBLE)"
@@ -804,7 +813,7 @@ object TimeSeries {
       s"""slice(aggregate(__pts, array($zero),
          |  (acc, x) -> array_append(acc, greatest($zero, $stepExpr))),
          |  2, size(__pts))""".stripMargin
-    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+    val grid = gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__mu", expr(mu))
       .withColumn("__cusum_hi",
         expr(scan(s"element_at(acc, -1) + x.$valueCol - __mu - $kk")))
@@ -832,7 +841,8 @@ object TimeSeries {
       keys: Seq[String],
       tsCol: String,
       valueCol: String,
-      step: Long
+      step: Long,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     val zero = "CAST(0.0 AS DOUBLE)"
     val mu   = s"aggregate(__pts, $zero, (a, x) -> a + x.$valueCol) / size(__pts)"
@@ -845,7 +855,7 @@ object TimeSeries {
          |  named_struct('i', 0, 'm', CAST(-1.0 AS DOUBLE)),
          |  (acc, k) -> IF(abs(element_at(__ss, k)) > acc.m,
          |    named_struct('i', CAST(k AS INT), 'm', abs(element_at(__ss, k))), acc))""".stripMargin
-    gridSeries(df, keys, tsCol, valueCol, step)
+    gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__mu", expr(mu))
       .withColumn("__ss", expr(scan))
       .withColumn("__am", expr(am))
@@ -923,14 +933,15 @@ object TimeSeries {
       period: Int = 24,
       alpha: Double = 0.5,
       beta: Double = 0.25,
-      gamma: Double = 0.25
+      gamma: Double = 0.25,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(period >= 2, "period must be >= 2")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
     require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0, 1]")
     val scan = hwStateScanExpr(valueCol, alpha, beta, gamma, period)
-    gridSeries(df, keys, tsCol, valueCol, step)
+    gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__hw", expr(scan))
       .select(keys.map(col) :+
         posexplode(arrays_zip(col("__pts"), col("__hw"))).as(Seq("__i", "__e")): _*)
@@ -967,12 +978,13 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       alpha: Double = 0.5,
-      beta: Double = 0.25
+      beta: Double = 0.25,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
     val scan = holtStateScanExpr(valueCol, alpha, beta)
-    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+    val grid = gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__hs", expr(scan))
       .withColumn("__e", explode(arrays_zip(col("__pts"), col("__hs"))))
     grid.select(keys.map(col) ++ Seq(
@@ -1007,7 +1019,8 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       alpha: Double = 0.5,
-      beta: Double = 0.25
+      beta: Double = 0.25,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
@@ -1016,7 +1029,7 @@ object TimeSeries {
       s"""transform(sequence(2, size(__pts)), i ->
          |  CAST(element_at(__pts, i).$valueCol AS DOUBLE)
          |    - (element_at(__hs, i - 1).l + element_at(__hs, i - 1).b))""".stripMargin
-    gridSeries(df, keys, tsCol, valueCol, step)
+    gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .filter(size(col("__pts")) >= 2)
       .withColumn("__hs", expr(scan))
       .withColumn("__errs", expr(errs))
@@ -1050,7 +1063,8 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       alpha: Double = 0.5,
-      beta: Double = 0.25
+      beta: Double = 0.25,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
@@ -1064,7 +1078,7 @@ object TimeSeries {
          |  CAST(element_at(__pts, i).$valueCol AS DOUBLE)
          |    - CAST(element_at(__pts, i - 1).$valueCol AS DOUBLE))""".stripMargin
     val sumAbs = "aggregate(%s, CAST(0.0 AS DOUBLE), (a2, x) -> a2 + abs(x))"
-    gridSeries(df, keys, tsCol, valueCol, step)
+    gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .filter(size(col("__pts")) >= 2)
       .withColumn("__hs", expr(scan))
       .withColumn("__me", expr(sumAbs.format(errs)))
@@ -1106,7 +1120,8 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      period: Int = 24
+      period: Int = 24,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(period >= 2 && period % 2 == 0, "period must be even and >= 2")
     val h    = period / 2
@@ -1128,7 +1143,7 @@ object TimeSeries {
          |              THEN element_at(__vs, i) - element_at(__tr, i) ELSE $zero END)
          |  / size(filter(sequence(1, size(__vs)), i -> ${phase("i")} = j AND element_at(__tr, i) IS NOT NULL))
          |END)""".stripMargin
-    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+    val grid = gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__tss", expr(s"transform(__pts, s -> s.$tsCol)"))
       .withColumn("__vs", expr(s"transform(__pts, s -> s.$valueCol)"))
       .withColumn("__tr", expr(trend))
@@ -1168,12 +1183,13 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       period: Int = 24,
-      dp: Int = 6
+      dp: Int = 6,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(df.sparkSession)
     val kc = keys.map(col)
-    val dec = decompose(df, keys, tsCol, valueCol, step, period)
+    val dec = decompose(df, keys, tsCol, valueCol, step, period, gridIn)
       .filter(col("trend").isNotNull)
       .select(kc :+ col("resid").as("__r") :+
         (col("trend") + col("resid")).as("__tr") :+
@@ -1222,10 +1238,11 @@ object TimeSeries {
       valueCol: String,
       step: Long,
       period: Int = 24,
-      k: Double = 3.0
+      k: Double = 3.0,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val dec = decompose(df, keys, tsCol, valueCol, step, period)
+    val dec = decompose(df, keys, tsCol, valueCol, step, period, gridIn)
     val rms = dec.filter(col("resid").isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(expr(s"array_sort(collect_list(struct($tsCol AS t, resid AS r)))").as("__rs"))
@@ -1262,13 +1279,14 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      maxLag: Int = 6
+      maxLag: Int = 6,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val zero = "CAST(0.0 AS DOUBLE)"
     val foldSum = (terms: String) =>
       s"aggregate($terms, $zero, (a, x) -> a + x)"
-    val base = gridSeries(df, keys, tsCol, valueCol, step)
+    val base = gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__vs", expr(s"transform(__pts, p -> p.$valueCol)"))
       .withColumn("__mu", expr(s"${foldSum(s"__vs")} / size(__vs)"))
       .withColumn("__den",
@@ -1329,7 +1347,8 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      maxLag: Int = 4
+      maxLag: Int = 4,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     val base = acfProfile(df, keys, tsCol, valueCol, step, maxLag)
     val withPhi = pacfExprs(maxLag, k => s"acf_$k").foldLeft(base) {
@@ -1370,7 +1389,8 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      nOut: Int
+      nOut: Int,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(nOut >= 3, "nOut must be >= 3 (first + last + at least one middle point)")
     val m    = nOut - 2
@@ -1424,7 +1444,7 @@ object TimeSeries {
          |    (acc, b) -> named_struct('sel', array_append(acc.sel, $argmax),
          |      'bax', acc.bax, 'bay', acc.bay)).sel,
          |  $n - 1) END""".stripMargin
-    val grid = gridSeries(df, keys, tsCol, valueCol, step)
+    val grid = gridSeries(df, keys, tsCol, valueCol, step, gridIn)
       .withColumn("__bs", expr(
         s"transform(sequence(0, $m - 1), b -> CAST(1 + (b * ($n - 2)) div $m AS INT))"))
       .withColumn("__be", expr(
@@ -1527,11 +1547,12 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       step: Long,
-      dp: Int = 6
+      dp: Int = 6,
+      gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(step >= 1, "step must be >= 1")
     val kc = keys.map(col)
-    val grid = resample(df, keys, tsCol, valueCol, step)
+    val grid = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
       .select(kc :+ col(tsCol) :+
         round(col(valueCol) * 100, 0).cast("long").as("__c"): _*)
     val w = Window.partitionBy(kc: _*).orderBy(col(tsCol))
