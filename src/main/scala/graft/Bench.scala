@@ -160,6 +160,25 @@ object Bench {
       System.err.println(
         f"[bench] warm-up: $warmed/${selected.size} gates at $warmDir in ${(System.nanoTime() - wt0) / 1e9}%.0f s " +
           f"(cap $warmBudgetS%.0f s)")
+      // the warm-dir copies of the session-shared relations served their
+      // purpose (JIT) — release them so they do not occupy executor
+      // storage for the whole timed sweep
+      try SparkEntry.releaseShared(spark, warmDir) catch { case _: Throwable => () }
+    }
+
+    // UNTIMED build of the session-shared relations at the TIMED dir: a
+    // shared build is a session-level cost amortized across its consumers
+    // (floors carried that semantics already via min-over-runs), but a
+    // budget-starved runs=1 row fused build+gate into the artifact — the
+    // sweep-2 d_pagerank row recorded 59 s for a 256-edge walk because it
+    // absorbed cold JIT plus the first-consumer mining build and never
+    // re-ran. Building the relations here keeps every timed row a measure
+    // of the GATE's work; `cold` still records the first timed run.
+    locally {
+      val pt0 = System.nanoTime()
+      try SparkEntry.prebuildShared(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] prebuild failed: ${e.getMessage}") }
+      System.err.println(f"[bench] shared-relation prebuild at $sfDir in ${(System.nanoTime() - pt0) / 1e9}%.0f s")
     }
 
     // testdata fingerprint: per-table file bytes, mtime, and row count.
@@ -233,7 +252,11 @@ object Bench {
       val gc0  = gcMillis
       val t0   = System.nanoTime()
       try {
-        val df = fns(i)(sessionFor(names(i)), sfDir)
+        val s = sessionFor(names(i))
+        // label the jobs (guide §1): event logs / any attached UI attribute
+        // every stage to its gate
+        s.sparkContext.setJobDescription(s"bench:${names(i)}")
+        val df = fns(i)(s, sfDir)
         rows = df.count()
         // release this run's checkpoint blocks NOW — pipeline queries
         // otherwise stack ~1 dead frame per run until the ContextCleaner
@@ -271,17 +294,20 @@ object Bench {
     var pass = 1
     var continue = true
     while (continue) {
-      // pass 1 runs in sweep (name) order; every later pass runs in
-      // ASCENDING current-floor order, so a budget cut mid-pass lands on
-      // the expensive tail. The r15 driver artifact is the motivating
-      // failure: pass 2 ran alphabetically, spent the residual budget on
-      // the ann_* family, and left 328/330 gates with a single cold run
-      // (p_eq recorded 2.24 s against a 0.10 s converged floor). In
-      // ascending order the ~200 sub-second gates — whose 1-run floors
-      // are proportionally the most JIT-inflated — all re-run in well
-      // under two minutes before the first multi-second gate repeats.
+      // pass 1 runs in sweep (name) order. Pass 2 runs in DESCENDING
+      // pass-1 order: every gate's pass-1 row is already warm (per-gate
+      // warm-up + shared-relation prebuild), so the residual risk is the
+      // HEAVY tail being left at runs=1 when the budget dies mid-pass —
+      // r17 sweep evidence: pass 2 ascending re-converged ~200 sub-second
+      // gates first and left every multi-second gate single-run (the r15
+      // motivation for ascending predates the warm-up; a cheap gate's
+      // pass-1 row no longer carries 2-3x JIT inflation). Passes 3+ run
+      // ASCENDING current-floor order so a late budget cut lands on the
+      // expensive-but-already-twice-run tail.
       val order: IndexedSeq[Int] =
         if (pass == 1) names.indices
+        else if (pass == 2)
+          names.indices.sortBy(i => (-(if (times(i).isEmpty) 0.0 else times(i).min), names(i)))
         else names.indices.sortBy(i => (if (times(i).isEmpty) 0.0 else times(i).min, names(i)))
       var k = 0
       var ran = 0
