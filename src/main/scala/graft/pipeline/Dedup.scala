@@ -1015,8 +1015,19 @@ object Dedup {
       df: DataFrame,
       sourceCol: String = "source",
       idCol: String = "doc_id"
-  ): DataFrame = {
-    val clusters = duplicateClustersFromPairs(pairsIn, df, idCol)
+  ): DataFrame =
+    dedupReportFromClusters(duplicateClustersFromPairs(pairsIn, df, idCol), df, sourceCol, idCol)
+
+  /** [[dedupReport]]'s readout over a PREBUILT CC labeling
+    * ([[duplicateClustersShared]]) — the report is one join + one
+    * aggregation over the labeling; re-running the convergence loop per
+    * readout was the cost, not the readout. Identical rows. */
+  def dedupReportFromClusters(
+      clusters: DataFrame,
+      df: DataFrame,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame =
     df.select(col(idCol), col(sourceCol))
       .join(clusters, idCol)
       .groupBy(col(sourceCol))
@@ -1025,7 +1036,6 @@ object Dedup {
         sum(when(col(idCol) === col("rep"), 0L).otherwise(1L)).as("n_dups"))
       .withColumn("dup_rate",
         round(col("n_dups").cast("double") / col("n_docs").cast("double"), 4))
-  }
 
   /**
    * CROSS-SOURCE DUPLICATE FLOW — the near-dup pair counts per (unordered)
@@ -1247,6 +1257,36 @@ object Dedup {
   }
 
   /**
+   * [[duplicateClustersFromPairs]]' labeling, materialized for SHARING:
+   * the per-call convergence loop runs VERBATIM (same algebra, same
+   * checkpoint-truncated rounds — truncation keeps per-action planning
+   * O(round), which is the whole reason the per-call path checkpoints:
+   * a full-lineage variant was measured at 1.5–5 s of pure driver-side
+   * re-analysis PER READ of the memoized frame, the iterative plan
+   * re-canonicalized on every consumer action). The final labeling is
+   * then persisted, materialized once, and the now-read-dead checkpoint
+   * beneath the cache is released HERE — so a consumer's
+   * [[Checkpoints.free]] on a frame derived from it finds no live
+   * checkpoint leaves and is behaviorally a no-op (spec-asserted). One
+   * convergence loop serves the labeling gate, the size histogram, the
+   * per-source report, the sampling weights and the ARI agreement.
+   * Lifecycle: the cache is MEMORY_AND_DISK — an evicted block moves to
+   * disk, it is never silently dropped; materialize once, then scan.
+   */
+  def duplicateClustersShared(
+      pairsIn: DataFrame,
+      df: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 50
+  ): DataFrame = {
+    val out = duplicateClustersFromPairs(pairsIn, df, idCol, maxIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize once; every sharer scans the cached relation
+    Checkpoints.free(out) // final labels checkpoint: dead for reads now
+    out
+  }
+
+  /**
    * CANARY LEAKAGE SCAN — count, per planted canary string, the documents
    * whose text CONTAINS it verbatim (plain substring, no tokenization, no
    * wildcard semantics — a canary with `%` or `_` in it must not become a
@@ -1345,8 +1385,16 @@ object Dedup {
       pairsIn: DataFrame,
       df: DataFrame,
       idCol: String = "doc_id"
+  ): DataFrame =
+    componentWeightsFromClusters(duplicateClustersFromPairs(pairsIn, df, idCol), idCol)
+
+  /** [[componentWeights]]' readout over a PREBUILT CC labeling
+    * ([[duplicateClustersShared]]) — size counts + the 1/size weight are
+    * two cheap passes over the labeling; identical rows. */
+  def componentWeightsFromClusters(
+      cc: DataFrame,
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val cc = duplicateClustersFromPairs(pairsIn, df, idCol)
     val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "rep")
       .select(col(idCol), col("rep"), col("cluster_size"),

@@ -66,6 +66,39 @@ class SharedRelationParitySpec extends SparkTestBase {
     } finally fps.unpersist()
   }
 
+  behavior of "duplicateClustersShared / labelPropagationShared"
+
+  it should "reproduce the per-call CC and LPA labelings and their readouts" in {
+    // two chained families (0-1-2 via transitivity, 3-4) + singletons 5, 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val cc  = Dedup.duplicateClustersShared(pairs, docsFx)
+    val lpa = graft.operators.Graph.labelPropagationShared(pairs, docsFx, rounds = 4)
+    try {
+      val ccRows  = rows(cc.orderBy("doc_id"))
+      val lpaRows = rows(lpa.orderBy("doc_id"))
+      ccRows shouldBe
+        rows(Dedup.duplicateClustersFromPairs(pairs, docsFx).orderBy("doc_id"))
+      lpaRows shouldBe
+        rows(graft.operators.Graph.labelPropagation(pairs, docsFx, rounds = 4).orderBy("doc_id"))
+      // the builders release the dead checkpoint beneath the cache, so a
+      // consumer's Checkpoints.free on a derived frame is behaviorally a
+      // no-op: later readers still scan the materialized relation
+      graft.pipeline.Checkpoints.free(cc.orderBy("doc_id"), lpa.orderBy("doc_id"))
+      rows(cc.orderBy("doc_id")) shouldBe ccRows
+      rows(lpa.orderBy("doc_id")) shouldBe lpaRows
+      rows(Dedup.dedupReportFromClusters(cc, docsFx.withColumn("source", $"doc_id" % 2))
+        .orderBy("source")) shouldBe
+        rows(Dedup.dedupReportFromPairs(pairs, docsFx.withColumn("source", $"doc_id" % 2))
+          .orderBy("source"))
+      rows(Dedup.componentWeightsFromClusters(cc).orderBy("doc_id")) shouldBe
+        rows(Dedup.componentWeightsFromPairs(pairs, docsFx).orderBy("doc_id"))
+      // modularity over the shared labeling ≡ the composed per-call path
+      rows(graft.operators.Graph.modularity(pairs, lpa).orderBy("community")) shouldBe
+        rows(graft.operators.Graph.labelPropagationModularity(pairs, docsFx, rounds = 4)
+          .orderBy("community"))
+    } finally { cc.unpersist(); lpa.unpersist() }
+  }
+
   behavior of "coPurchaseEdgesShared"
 
   it should "carry support and feed coPurchasePairsOn row-identically" in {
