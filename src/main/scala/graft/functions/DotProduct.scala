@@ -196,6 +196,14 @@ object GraftFunctions {
         NearestCentroid(exprs.head, cents, norms, exprs(3).eval().asInstanceOf[Number].intValue())
       },
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid")),
+    ("graft_rms_windows",
+      (exprs: Seq[Expression]) => RmsWindows(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[RmsWindows].getName, "graft_rms_windows")),
+    ("graft_blockhash",
+      (exprs: Seq[Expression]) => BlockhashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[BlockhashSig].getName, "graft_blockhash")),
     ("graft_pq_encode",
       (exprs: Seq[Expression]) => {
         val cents = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
@@ -231,6 +239,18 @@ object GraftFunctions {
   /** 128-bit SimHash signature of a word-hash array, packed as two
     * non-negative longs `[lo, hi]` (requires [[register]]). */
   def simhash(wordHashes: Column): Column = call_function("graft_simhash", wordHashes)
+
+  /** per-`window` RMS energy array of a binary payload read as unsigned
+    * PCM8 around the 128 midpoint (requires [[register]]). */
+  def rmsWindows(payload: Column, window: Int): Column =
+    call_function("graft_rms_windows", payload,
+      org.apache.spark.sql.functions.lit(window))
+
+  /** blockhash mean-vs-global-mean bit signature of a binary payload
+    * (requires [[register]]). */
+  def blockhashSig(payload: Column, blocks: Int): Column =
+    call_function("graft_blockhash", payload,
+      org.apache.spark.sql.functions.lit(blocks))
 
   /** sorted distinct k-word shingle hashes of a text column (requires [[register]]). */
   def shingles(text: Column, k: Int): Column =

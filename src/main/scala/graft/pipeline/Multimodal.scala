@@ -201,20 +201,11 @@ object Multimodal {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(blocks >= 1 && blocks <= 62, "blocks must be in [1, 62]")
-    val sl = "slice(__bs, b * __bl + 1, __bl)"
+    graft.functions.GraftFunctions.register(media.sparkSession)
     media
       .filter(expr(s"octet_length($payloadCol)") > 0)
-      .select(col(idCol),
-        expr(s"transform(sequence(1, octet_length($payloadCol)), " +
-          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))
-      .withColumn("__bl", expr(s"cast(ceil(size(__bs) / ${blocks}.0) AS INT)"))
-      .withColumn("__n", size(col("__bs")).cast("long"))
-      .withColumn("__ts", expr("aggregate(__bs, 0L, (a, c) -> a + c)"))
-      .withColumn("__sig", expr(
-        s"aggregate(sequence(0, ${blocks - 1}), 0L, (acc, b) -> acc + " +
-          s"(CASE WHEN size($sl) > 0 AND " +
-          s"aggregate($sl, 0L, (a, c) -> a + c) * __n > __ts * cast(size($sl) AS BIGINT) " +
-          "THEN shiftleft(cast(1 AS BIGINT), b) ELSE 0L END))"))
+      .withColumn("__sig",
+        graft.functions.GraftFunctions.blockhashSig(col(payloadCol), blocks))
       .groupBy(col("__sig"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_docs"))
       .select(col(idCol), col("__sig").as("signature"), col("n_docs"))
@@ -1245,11 +1236,11 @@ object Multimodal {
    * voice-activity-detection shape (silence trimming, speech/music
    * segmentation) every audio-curation pipeline runs before the
    * expensive model pass. Unlike the decode stubs this is REAL byte
-   * arithmetic end to end: bytes extract natively
-   * (`substring(binary) → hex → conv`, all codegen'd builtins — no UDF),
-   * frame sums are exact integers, and the only float ops are one
-   * divide + sqrt per frame — so the DuckDB oracle replays it exactly
-   * from `hex(payload)`.
+   * arithmetic end to end: the per-window RMS array comes from the
+   * [[graft.functions.RmsWindows]] kernel (one compiled pass over the
+   * bytes — no UDF, no interpreted lambda), frame sums are exact
+   * integers, and the only float ops are one divide + sqrt per frame —
+   * so the DuckDB oracle replays it exactly from `hex(payload)`.
    *
    * Scale shape: row-local (no shuffle before the explode), output rows
    * = ceil(bytes/window) per record; payload bytes never shuffle — only
@@ -1263,21 +1254,22 @@ object Multimodal {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(window >= 1, "window must be >= 1")
+    graft.functions.GraftFunctions.register(media.sparkSession)
     media
-      // Spark's sequence(1, 0) yields the DESCENDING [1, 0] — an empty
-      // payload would emit one spurious window row (the oracle's
-      // range(0, 0) emits none); drop empties before the explode
+      // an empty payload emits no window rows (the oracle's range(0, 0)
+      // emits none); drop empties before the explode
       .filter(expr(s"octet_length($payloadCol)") > 0)
       .select(col(idCol),
-        expr(s"transform(sequence(1, octet_length($payloadCol)), " +
-          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, cast(ceil(size(__bs) / ${window}.0) AS INT) - 1), " +
-          s"w -> slice(__bs, w * $window + 1, $window))")).as(Seq("window_idx", "__fr")))
+        expr(s"octet_length($payloadCol)").cast("long").as("__nb"),
+        graft.functions.GraftFunctions.rmsWindows(col(payloadCol), window).as("__rs"))
+      .select(col(idCol), col("__nb"),
+        posexplode(col("__rs")).as(Seq("window_idx", "__rms")))
       .select(col(idCol), col("window_idx").cast("long").as("window_idx"),
-        size(col("__fr")).cast("long").as("n_samples"),
-        sqrt(expr("aggregate(__fr, 0L, (a, b) -> a + cast((b - 128) * (b - 128) AS BIGINT))")
-          .cast("double") / size(col("__fr")).cast("double")).as("__rms"))
+        // the last frame is the remainder — recovered arithmetically from
+        // the byte count instead of materializing the per-window slices
+        least(col("__nb") - col("window_idx") * lit(window.toLong),
+          lit(window.toLong)).as("n_samples"),
+        col("__rms"))
       .select(col(idCol), col("window_idx"), col("n_samples"),
         round(col("__rms"), 6).as("rms"),
         (col("__rms") >= threshold).as("active"))
@@ -1306,16 +1298,11 @@ object Multimodal {
   ): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(jump >= 0.0, "jump must be >= 0")
+    graft.functions.GraftFunctions.register(media.sparkSession)
     media
       .filter(expr(s"octet_length($payloadCol)") > 0)
       .select(col(idCol),
-        expr(s"transform(sequence(1, octet_length($payloadCol)), " +
-          s"i -> cast(conv(hex(substring($payloadCol, i, 1)), 16, 10) AS INT))").as("__bs"))
-      .select(col(idCol), expr(
-        s"transform(transform(sequence(0, cast(ceil(size(__bs) / ${window}.0) AS INT) - 1), " +
-          s"w -> slice(__bs, w * $window + 1, $window)), fr -> " +
-          "sqrt(cast(aggregate(fr, 0L, (a, b) -> a + cast((b - 128) * (b - 128) AS BIGINT)) AS DOUBLE)" +
-          " / cast(size(fr) AS DOUBLE)))").as("__rs"))
+        graft.functions.GraftFunctions.rmsWindows(col(payloadCol), window).as("__rs"))
       .filter(size(col("__rs")) >= 2)
       .select(col(idCol), explode(expr(
         s"filter(transform(sequence(2, size(__rs)), i -> " +

@@ -1418,6 +1418,28 @@ class PipelineSpec extends SparkTestBase {
     out shouldBe Array((1L, 2L, 2L), (3L, 1L, 1L)) // empty payload dropped
   }
 
+  "graft_rms_windows / graft_blockhash kernels" should "read bytes UNSIGNED and handle remainder/past-end slices" in {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // 0xFF must read as 255 (d = 127), not as the sign-extended -1
+    // (d = -129): rms over four 0xFF bytes is exactly 127
+    val media = Seq(
+      (1L, Array.fill(4)(0xFF.toByte)),                    // one short window
+      (2L, Array.fill(6)(0x80.toByte)),                    // 4 + remainder 2, all zero energy
+      (3L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val rms = media.select($"doc_id", GraftFunctions.rmsWindows($"payload", 4).as("rs"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    rms shouldBe Array((1L, Seq(127.0)), (2L, Seq(0.0, 0.0)), (3L, Seq.empty[Double]))
+    // blocks = 4 over 6 bytes -> block len 2: blocks 0-2 cover the data,
+    // block 3 starts past the end and must be SKIPPED (no bit), exactly as
+    // the old chain's size > 0 guard; 'z' blocks exceed the global mean
+    val sig = Seq((1L, ("aazz" + "zz").getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(GraftFunctions.blockhashSig($"payload", 4)).head().getLong(0)
+    sig shouldBe 6L // bits 1 and 2 (the two 'zz' blocks), bit 3 skipped
+  }
+
   "Retrieval.booleanMatches" should "require every must term and reject must-not docs" in {
     val d = Seq(
       (1L, "spark join fast"), (2L, "spark join vector"),
