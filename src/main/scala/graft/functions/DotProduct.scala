@@ -196,6 +196,10 @@ object GraftFunctions {
         NearestCentroid(exprs.head, cents, norms, exprs(3).eval().asInstanceOf[Number].intValue())
       },
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid")),
+    ("graft_cdc_chunks",
+      (exprs: Seq[Expression]) => CdcChunks(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks")),
     ("graft_rms_windows",
       (exprs: Seq[Expression]) => RmsWindows(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
@@ -239,6 +243,12 @@ object GraftFunctions {
   /** 128-bit SimHash signature of a word-hash array, packed as two
     * non-negative longs `[lo, hi]` (requires [[register]]). */
   def simhash(wordHashes: Column): Column = call_function("graft_simhash", wordHashes)
+
+  /** content-defined chunk list of a text column as packed
+    * `n_words·2^32+chunk_hash` longs in chunk order (requires [[register]]). */
+  def cdcChunks(text: Column, divisor: Int): Column =
+    call_function("graft_cdc_chunks", text,
+      org.apache.spark.sql.functions.lit(divisor))
 
   /** per-`window` RMS energy array of a binary payload read as unsigned
     * PCM8 around the 128 midpoint (requires [[register]]). */

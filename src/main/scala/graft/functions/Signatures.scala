@@ -263,6 +263,39 @@ object PortableHash extends Serializable {
     }
     new GenericArrayData(sortedDistinct(wh))
   }
+
+  /**
+   * Content-defined chunk list over the single-space word stream, ONE
+   * compiled pass: word `i` CLOSES a chunk when its polynomial hash
+   * (base 131, seed 7 — [[wordPoly]]) is ≡ 0 mod `divisor`; the last word
+   * always closes the final chunk. Each element packs
+   * `n_words · 2^32 + chunk_hash`, where the chunk hash is the base-131
+   * seed-7 fold of the chunk's word hashes mod P31 (< 2^31, so the pack
+   * is lossless for documents under 2^31 words). Value-identical to the
+   * HOF reference form [[graft.pipeline.Dedup.cdcChunksHof]]
+   * (spec-asserted), element order = chunk order.
+   */
+  def cdcChunkList(text: UTF8String, divisor: Int): ArrayData = {
+    val bytes  = text.getBytes
+    val bounds = wordBounds(bytes)
+    val nw     = bounds.length / 2
+    val tmp    = new Array[Long](nw)
+    var nc     = 0
+    var acc    = 7L
+    var len    = 0
+    var i      = 0
+    while (i < nw) {
+      val wh = wordPoly(bytes, bounds(2 * i), bounds(2 * i + 1), 131L, 7L)
+      acc = (acc * 131L + wh) % P31
+      len += 1
+      if (wh % divisor == 0 || i == nw - 1) {
+        tmp(nc) = (len.toLong << 32) | acc
+        nc += 1; acc = 7L; len = 0
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(tmp, nc))
+  }
 }
 
 /**
@@ -288,6 +321,31 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
     nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.shingleSet($in, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native content-defined-chunk kernel (single-space words, boundary at
+  * word-hash ≡ 0 mod `divisor`, packed `n_words·2^32+chunk_hash` longs in
+  * chunk order) — see [[PortableHash.cdcChunkList]]. */
+case class CdcChunks(child: Expression, divisor: Int) extends UnaryExpression {
+  require(divisor >= 2, "divisor must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_cdc_chunks requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.cdcChunkList(v.asInstanceOf[UTF8String], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("portableHash", PortableHash, PortableHash.getClass.getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ph.cdcChunkList($in, $divisor);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)

@@ -384,9 +384,36 @@ object Dedup {
    * (the rsync/backup-dedup principle, applied at word granularity).
    * Expected chunk length ≈ `divisor` words. Emits `(doc_id, chunk_idx,
    * chunk_hash, n_words)`; the chunk hash is a polynomial fold of the
-   * span's word hashes. One generator projection, zero shuffles.
+   * span's word hashes. One generator projection, zero shuffles — the
+   * chunking itself is ONE native pass per document
+   * ([[graft.functions.PortableHash.cdcChunkList]], packed
+   * `n_words·2^32+chunk_hash` longs); the HOF reference form
+   * [[cdcChunksHof]] states the same semantics declaratively and a spec
+   * asserts row-identity (the [[graft.functions.ShingleSet]] /
+   * winnow discipline applied to the chunker — its interpreted per-word
+   * transform + per-chunk slice/aggregate lambdas were the d_cdc floor).
    */
   def cdcChunks(
+      df: DataFrame,
+      divisor: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        posexplode(GraftFunctions.cdcChunks(col(textCol), divisor))
+          .as(Seq("chunk_idx", "__p")))
+      .select(
+        col("id").as(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__p").bitwiseAND(lit(0xFFFFFFFFL)).as("chunk_hash"),
+        shiftright(col("__p"), 32).as("n_words"))
+  }
+
+  /** [[cdcChunks]]' declarative HOF reference form — same rows, stated in
+    * portable builtins (the spec's ground truth for the native kernel). */
+  def cdcChunksHof(
       df: DataFrame,
       divisor: Int = 8,
       textCol: String = "text",

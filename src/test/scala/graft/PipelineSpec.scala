@@ -804,6 +804,23 @@ class PipelineSpec extends SparkTestBase {
       (3L, "w10", 1L)) // start=9 < 10 tokens: the tail chunk is emitted, truncated
   }
 
+  "Dedup.cdcChunks (native kernel)" should "match the HOF reference form row-for-row" in {
+    // edge cases the packer must honor: empty text (one empty word, one
+    // chunk), leading/trailing/double spaces (empty words), a boundary
+    // word CLOSING the last chunk (no spurious extra), non-ASCII
+    // codepoints (the wordPoly fallback path), and a long chain
+    val d = Seq(
+      (0L, ""), (1L, " a  b "), (2L, "héllo wörld ünïcode"),
+      (3L, (1 to 97).map(i => s"tok$i word$i").mkString(" ")),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    for (div <- Seq(2, 4, 8)) {
+      val fast = Dedup.cdcChunks(d, divisor = div).orderBy("doc_id", "chunk_idx").collect()
+      val ref  = Dedup.cdcChunksHof(d, divisor = div).orderBy("doc_id", "chunk_idx").collect()
+      fast shouldBe ref
+    }
+  }
+
   "Dedup.cdcOverlapPairs" should "survive a prefix insertion that shifts every fixed window" in {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(
