@@ -914,9 +914,11 @@ object Retrieval {
    * terms excluded) with their weights.
    *
    * Scale shape: everything runs off the prebuilt [[TermIndex]] — the
-   * corpus text is never touched. The seed list (`nSeed` ids) and its
-   * term set (`nSeed` docs' vocabulary) broadcast; the only data-sized
-   * work is the postings semi-join computing df for the candidate terms.
+   * corpus text is never touched. The seed list is a hard-bounded
+   * shortlist (≤ `nSeed` ids — collected driver-side, the MMR-shortlist
+   * discipline) that filters the postings directly; the seed docs'
+   * vocabulary (pinned, one pass) broadcasts into the postings semi-join
+   * computing df for the candidate terms — the only data-sized work.
    *
    * Determinism: Σtf and df are exact integers, the weight is one
    * `ln` + one multiply per term, and the top-`nExpand` cut breaks ties
@@ -934,11 +936,24 @@ object Retrieval {
       dp: Int = 4
   ): DataFrame = {
     require(nSeed > 0 && nExpand > 0, "nSeed and nExpand must be positive")
-    val seed = bm25ScoresIndexed(ix, terms, k1, b, idCol)
+    import graft.pipeline.Checkpoints
+    import graft.pipeline.Checkpoints.PinOps
+    // the seed list is a HARD-BOUNDED shortlist (≤ nSeed rows by the
+    // limit) — collect the ids and filter the postings directly (the MMR
+    // shortlist discipline): left lazy, the seed's scoring subtree
+    // re-executed inside stf, stf inside dfa AND the final join — the
+    // multiplicative re-execution was the whole rt_prf floor (measured
+    // 8.5 s where single index passes cost ~0.14 s each)
+    val seedIds = bm25ScoresIndexed(ix, terms, k1, b, idCol)
       .orderBy(col("score").desc, col(idCol)).limit(nSeed)
-      .select(col(idCol))
-    val stf = ix.postings.join(broadcast(seed), idCol)
-      .groupBy(col("term")).agg(sum(col("tf")).as("__stf"))
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val seedPost =
+      if (seedIds.isEmpty) ix.postings.filter(lit(false))
+      else ix.postings.filter(col(idCol).isin(seedIds: _*))
+    // the seed docs' vocabulary (stf) feeds BOTH the df semi-join and the
+    // final weight join — pin it so the pass runs once
+    val stf = seedPost
+      .groupBy(col("term")).agg(sum(col("tf")).as("__stf")).pinned
     val dfa = ix.postings.join(broadcast(stf.select(col("term"))), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     stf.join(dfa, "term")
@@ -955,7 +970,10 @@ object Retrieval {
    * [[prfExpansionTerms]] against the index. The classic recall lever for
    * short queries — documents discussing the topic in the feedback set's
    * vocabulary surface even when they share no term with the original
-   * query. Two index passes (seed + final), zero corpus scans.
+   * query. The expansion is a hard-bounded shortlist (≤ `nExpand` rows)
+   * collected driver-side, so the final ranking IS [[bm25TopKIndexed]]
+   * over the widened term set — index passes only, zero corpus scans,
+   * and no subtree executes more than once per call.
    */
   def prfTopK(
       ix: TermIndex,
@@ -969,18 +987,17 @@ object Retrieval {
       dp: Int = 4
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val spark = ix.postings.sparkSession
-    val orig  = spark.createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
-      .toDF("term")
-    val qterms = prfExpansionTerms(ix, terms, nSeed, nExpand, k1, b, idCol)
-      .select(col("term")).union(orig).distinct()
-    val tf = ix.postings.join(broadcast(qterms), "term")
-      .select(col(idCol), col("term").as("__term"), col("tf").cast("double").as("__tf"))
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
-    val dl    = ix.doclens.select(col(idCol), col("dl").as("__dl"))
-    scoreHits(tf, dfreq, dl, ix.n, ix.sumDl.toDouble / ix.n, k1, b, idCol)
-      .orderBy(col("score").desc, col(idCol)).limit(k)
-      .select(col(idCol), round(col("score"), dp).as("score"))
+    import graft.pipeline.Checkpoints
+    // the expansion is a HARD-BOUNDED shortlist (≤ nExpand rows by the
+    // limit) — collect it and the final pass IS the single-query indexed
+    // retrieval over the widened term set (same tf filter, same df
+    // aggregate, same scoreHits trees — bit-equal scores). Left lazy, the
+    // whole expansion mining re-executed inside BOTH scoreHits branches.
+    val expansion = prfExpansionTerms(ix, terms, nSeed, nExpand, k1, b, idCol)
+    val qterms = (expansion.select(col("term")).collect().map(_.getString(0))
+      ++ terms).distinct.toSeq
+    Checkpoints.free(expansion) // collected: the mining pin is dead
+    bm25TopKIndexed(ix, qterms, k, k1, b, idCol, dp)
   }
 
   /**
