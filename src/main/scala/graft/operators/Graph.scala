@@ -24,15 +24,20 @@ object Graph {
    * UNDIRECTED edge set (each input pair contributes both directions).
    * Nodes absent from every edge keep the floor rank `1-d`.
    *
-   * Scale shape: per iteration ONE join of the rank frame into the edge
-   * relation (shuffle on node id) and one partial-aggregated `groupBy(dst)`
-   * — O(edges) per round, no adjacency materialization, no driver-side
-   * graph. The edge relation and degree table pin once; each round's rank
-   * frame pins and the previous frees ([[Checkpoints]]), so a long session
-   * holds exactly one live rank frame. The INPUT edge frame is consumed:
-   * its backing checkpoint blocks (e.g. the minhash signature pin under a
-   * [[graft.pipeline.Dedup.minhashLshPairs]] edge list) are released once
-   * the symmetrized relation is pinned.
+   * Scale shape: per iteration ONE join of the rank frame into the
+   * degree-attached edge relation (shuffle on node id) and one
+   * partial-aggregated `groupBy(dst)` — O(edges) per round, no adjacency
+   * materialization, no driver-side graph. Only edge PARTICIPANTS iterate
+   * (round 17): in the undirected relation every participant receives a
+   * contribution each round, so isolated nodes are loop-invariant at the
+   * teleport floor and the dense left-outer join against the node table
+   * runs ONCE at the end, not once per round. The edge relation pins once
+   * (degree via count window — no separate degree table); each round's
+   * rank frame pins and the previous frees ([[Checkpoints]]), so a long
+   * session holds exactly one live rank frame. The INPUT edge frame is
+   * consumed: its backing checkpoint blocks (e.g. the minhash signature
+   * pin under a [[graft.pipeline.Dedup.minhashLshPairs]] edge list) are
+   * released once the symmetrized relation is pinned.
    *
    * Engine-portable determinism: every iteration's rank snaps to 6 dp, so
    * the next round's input is a short exact decimal in both engines and
@@ -49,30 +54,42 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val sym = edges.toDF("src", "dst")
-    val und0 = sym.union(sym.select(col("dst"), col("src"))).pinned
+    // degree attaches to the edge relation ONCE via an unordered count
+    // window — one pinned frame instead of the former und0/deg/und chain
+    // (three pins + a degree join), the [[personalizedPageRank]] shape
+    val und = sym.union(sym.select(col("dst"), col("src")))
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+        .cast("double"))
+      .pinned
     Checkpoints.free(edges) // input consumed: release any pins beneath it
-    val deg = und0.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).pinned
-    // attach the (static) degree to the edge relation ONCE: each of the
-    // `iterations` rounds then joins only the current rank frame instead
-    // of re-joining the degree table every round
-    val und = und0.join(deg, "src").pinned
-    Checkpoints.free(und0, deg)
-    val ids = nodes.select(col(idCol).as("id"))
-    var ranks = ids.withColumn("r", lit(1.0)).pinned
+    // iterate over edge PARTICIPANTS only: the relation is undirected, so
+    // every participant receives >= 1 contribution each round (all its
+    // neighbors carry ranks) and the per-round dense left-outer join was
+    // loop-invariant — isolated nodes sit at the constant teleport floor.
+    // It runs ONCE at the end instead of once per round (each round used
+    // to re-scan the nodes parquet and pay one more Exchange).
+    var ranks = und.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(1.0)).pinned
     for (_ <- 1 to iterations) {
-      val contrib = und
+      val next = und
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
-      val next = ids
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
-        .select(col("id"),
-          round(lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)), 6).as("r"))
+        .select(col("dst").as("id"),
+          round(lit(1.0 - damping) + lit(damping) * col("c"), 6).as("r"))
         .pinned
       Checkpoints.free(ranks)
       ranks = next
     }
+    // restore the dense output ONCE: isolated nodes carry the exact
+    // expression the dense rounds computed for a zero contribution sum
+    val out = nodes.select(col(idCol).as("id"))
+      .join(ranks, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("r"),
+          round(lit(1.0 - damping) + lit(damping) * lit(0.0), 6)).as("rank"))
     Checkpoints.free(und)
-    ranks.select(col("id").as(idCol), col("r").as("rank"))
+    out
   }
 
   /**
@@ -716,8 +733,10 @@ object Graph {
    * Scale shape: per half-round ONE join of the score frame into the edge
    * relation (shuffle on node id) and one partial-aggregated groupBy —
    * O(edges), no adjacency materialization. The max is computed IN-PLAN
-   * (a 1-row aggregate crossJoined back), never collected. Score frames
-   * pin per round and free the previous ([[Checkpoints]]); the input edge
+   * (a 1-row aggregate crossJoined back), never collected. Only the raw
+   * sum frame pins per half-round (round 17; the normalized projection
+   * stays lazy over it — re-evaluating the 1-row max per consumer is a
+   * cached scan) and the previous frees ([[Checkpoints]]); the input edge
    * frame is consumed.
    */
   def hits(
@@ -731,28 +750,33 @@ object Graph {
     Checkpoints.free(edges) // input consumed: release any pins beneath it
     // h0 = 1 on every participant (only out-edge nodes ever feed an `a`
     // sum, but the uniform start matches the textbook definition)
-    var hubs = dir.select(col("src").as("id"))
+    var hubsPin = dir.select(col("src").as("id"))
       .union(dir.select(col("dst").as("id"))).distinct()
       .withColumn("h", lit(1.0)).pinned
-    var auths = hubs.select(col("id"), lit(0.0).as("a")).limit(0) // replaced in round 1
+    var hubs = hubsPin
+    var auths: DataFrame = null
+    var authsPin: DataFrame = null
     for (r <- 1 to rounds) {
+      // ONE pin per half-round (round 17; was two): the raw sums pin, the
+      // max-normalization stays a LAZY projection over them — max is a
+      // 1-row aggregate of a pinned frame, so re-evaluating it per
+      // consumer is a cached scan, not a recomputation of the join
       val aRaw = dir
         .join(hubs.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__ar")).pinned
-      val nextA = aRaw
+      if (r > 1) Checkpoints.free(authsPin)
+      authsPin = aRaw
+      auths = aRaw
         .crossJoin(aRaw.agg(max(col("__ar")).as("__am")))
-        .select(col("id"), round(col("__ar") / col("__am"), 6).as("a")).pinned
-      Checkpoints.free(aRaw)
-      if (r > 1) Checkpoints.free(auths)
-      auths = nextA
+        .select(col("id"), round(col("__ar") / col("__am"), 6).as("a"))
       val hRaw = dir
         .join(auths.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("__hr")).pinned
-      val nextH = hRaw
+      Checkpoints.free(hubsPin)
+      hubsPin = hRaw
+      hubs = hRaw
         .crossJoin(hRaw.agg(max(col("__hr")).as("__hm")))
-        .select(col("id"), round(col("__hr") / col("__hm"), 6).as("h")).pinned
-      Checkpoints.free(hRaw, hubs)
-      hubs = nextH
+        .select(col("id"), round(col("__hr") / col("__hm"), 6).as("h"))
     }
     Checkpoints.free(dir)
     nodes.select(col(idCol).as("id"))
