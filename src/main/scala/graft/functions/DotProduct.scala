@@ -208,6 +208,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BlockhashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       new ExpressionInfo(classOf[BlockhashSig].getName, "graft_blockhash")),
+    ("graft_ts_slope_median",
+      (exprs: Seq[Expression]) => TheilSenSlopeMedian(exprs.head, exprs(1)),
+      new ExpressionInfo(classOf[TheilSenSlopeMedian].getName, "graft_ts_slope_median")),
+    ("graft_ts_resid_median",
+      (exprs: Seq[Expression]) => TheilSenResidMedian(exprs.head, exprs(1), exprs(2)),
+      new ExpressionInfo(classOf[TheilSenResidMedian].getName, "graft_ts_resid_median")),
     ("graft_pq_encode",
       (exprs: Seq[Expression]) => {
         val cents = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
@@ -307,6 +313,16 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(dsub),
       org.apache.spark.sql.functions.lit(kpq))
+
+  /** median of all pairwise Theil–Sen slopes over collected grid arrays
+    * (requires [[register]]). */
+  def tsSlopeMedian(xs: Column, vs: Column): Column =
+    call_function("graft_ts_slope_median", xs, vs)
+
+  /** median of the per-point residuals `v − slope·x` over collected grid
+    * arrays (requires [[register]]). */
+  def tsResidMedian(xs: Column, vs: Column, slope: Column): Column =
+    call_function("graft_ts_resid_median", xs, vs, slope)
 
   /** per-table LSH sign buckets of a vector column against literal
     * hyperplane tables, one pass over the vector (requires [[register]]). */

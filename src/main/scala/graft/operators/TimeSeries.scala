@@ -96,12 +96,17 @@ object TimeSeries {
    * intercept reuses the 6 dp-ROUNDED slope, so its residuals are again
    * identical doubles.
    *
-   * Scale shape: the pair join is quadratic in GRID POINTS per key —
-   * never in raw rows — and `maxPoints` refuses a key whose grid would
-   * explode (pick a coarser `step` instead; the probe is one tiny
-   * aggregate over the already-downsampled grid). The median is one
-   * per-key window sort of the pair frame — `keys × C(points,2)` rows,
-   * bounded by construction.
+   * Scale shape (round 17 — kernel form): the per-key grid is BOUNDED by
+   * contract (`maxPoints`, refused up front with the coarser-step hint —
+   * the probe is one tiny aggregate over the already-downsampled grid),
+   * so the whole estimator is ONE grouped collect of the `(x, value)`
+   * grid arrays plus two compiled per-key kernels
+   * ([[graft.functions.TheilSenMedians]]): pairwise-slope median and
+   * residual median, ≤ C(maxPoints, 2) ≈ 64 MB scratch per key — the
+   * same bound that capped the former C(points,2) pair SELF-JOIN, whose
+   * `keys × C(points,2)`-row frame and per-key window sort dominated the
+   * gate while computing exactly these selections. Same IEEE divisions,
+   * same positional median (sum of middles / count), same 6-dp snaps.
    */
   def theilSen(
       df: DataFrame,
@@ -113,44 +118,35 @@ object TimeSeries {
       gridIn: Option[DataFrame] = None
   ): DataFrame = {
     require(maxPoints >= 2, "maxPoints must be >= 2")
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(df.sparkSession)
     val kc = keys.map(col)
     val grid = gridIn.getOrElse(resample(df, keys, tsCol, valueCol, step))
       .withColumn("__x", expr(floorDiv(tsCol, step)))
-      .localCheckpoint(true) // read 3x below (pairs, residuals, counts)
+      .localCheckpoint(true) // read twice below (maxPoints probe, series)
     val worst = grid.groupBy(kc: _*).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head(1).headOption.flatMap(r => Option(r.get(0)))
     worst.foreach(n => require(n.asInstanceOf[Long] <= maxPoints,
       s"a key has $n grid points > maxPoints=$maxPoints (C(n,2) pair slopes); use a coarser step"))
-    val a = grid.select(kc :+ col("__x").as("__xa") :+ col(valueCol).as("__va"): _*)
-    val b = grid.select(kc :+ col("__x").as("__xb") :+ col(valueCol).as("__vb"): _*)
-    val pairs = a.join(b, keys).filter(col("__xa") < col("__xb"))
-      .select(kc :+ ((col("__vb") - col("__va")) / (col("__xb") - col("__xa")).cast("double")).as("__s"): _*)
-    val counts = grid.groupBy(kc: _*).agg(count(lit(1)).as("n_points"))
-    // exact median: 1-indexed middle order statistic(s) (n+1)/2 .. (n+2)/2.
-    // Row counts are KNOWN up front (grid x's are distinct per key, so the
-    // pair frame holds exactly C(points, 2) rows per key) and broadcast in
-    // — a second count-window pass over the C(P,2)-row frame would double
-    // the dominant sort stage's input traffic for a number we already have
-    def medianOf(in: DataFrame, c: String, nDf: DataFrame, out: String): DataFrame = {
-      val w = Window.partitionBy(kc: _*).orderBy(col(c))
-      in.join(broadcast(nDf), keys)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") >= expr("(__n + 1) div 2") && col("__rn") <= expr("(__n + 2) div 2"))
-        .groupBy(kc: _*)
-        .agg(round(sum(col(c)) / count(lit(1)), 6).as(out), max(col("__n")).as(s"${out}_n"))
-    }
-    val nPairs  = counts.select(kc :+ expr("n_points * (n_points - 1) div 2").as("__n"): _*)
-    val nPoints = counts.select(kc :+ col("n_points").as("__n"): _*)
-    val slopes = medianOf(pairs, "__s", nPairs, "slope")
-      .withColumnRenamed("slope_n", "n_pairs")
-    val resid = grid.join(slopes, keys)
-      .select(kc :+ (col(valueCol) - col("slope") * col("__x").cast("double")).as("__i"): _*)
-    val inters = medianOf(resid, "__i", nPoints, "intercept").drop("intercept_n")
-    // the grid pin stays live: the returned (lazy) frame reads it three
-    // ways — the caller releases it via Checkpoints.free(result) after the
-    // last action, the standard result-frame lifecycle
-    counts.join(slopes, keys).join(inters, keys)
-      .select(kc ++ Seq(col("n_points"), col("n_pairs"), col("slope"), col("intercept")): _*)
+    // one grouped collect; sort_array orders by x (distinct per key), so
+    // the kernels see a deterministic layout. Keys with a single grid
+    // point have no pair slope — the former inner join against the pair
+    // frame dropped them; the filter keeps that contract.
+    val series = grid
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_points"),
+        sort_array(collect_list(struct(col("__x").as("x"), col(valueCol).as("v")))).as("__sv"))
+      .filter(col("n_points") >= 2L)
+      .withColumn("slope",
+        round(GraftFunctions.tsSlopeMedian(col("__sv.x"), col("__sv.v")), 6))
+    // the grid pin stays live under the returned (lazy) frame — the caller
+    // releases it via Checkpoints.free(result), the standard lifecycle
+    series.select(kc ++ Seq(
+      col("n_points"),
+      expr("n_points * (n_points - 1) div 2").as("n_pairs"),
+      col("slope"),
+      round(GraftFunctions.tsResidMedian(col("__sv.x"), col("__sv.v"), col("slope")), 6)
+        .as("intercept")): _*)
   }
 
   /**
