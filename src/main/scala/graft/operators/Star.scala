@@ -513,21 +513,34 @@ object Star {
    * max-shipdate + distinct-supplier aggregation, latest shippers kept
    * when exactly one supplier sits at the max — all exact dates/ints, a
    * deterministic top-k by count then name.
+   *
+   * Shape (round 17): the line-level frame first PARTIAL-AGGREGATES to
+   * one `(order, supplier, max shipdate)` row — a supplier ships an
+   * order's last line iff its own latest shipdate IS the order's max, so
+   * every downstream answer (distinct-supplier count, suppliers at the
+   * max, min suppkey at the max) reads off this relation — then pins: the
+   * per-order stats and the last-shipper filter both consume it without
+   * re-scanning lineitem, the exact `count_distinct`s become plain counts
+   * (the relation is distinct on the pair by construction), and the fat
+   * join carries pair-level rows instead of line-level ones.
    */
   def soleLatestShippers(
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
       k: Int = 20): DataFrame = {
-    val li = lineitem
+    import graft.pipeline.Checkpoints.PinOps
+    val m = lineitem
       .join(orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val per = li.groupBy(col("l_orderkey"))
-      .agg(max(col("l_shipdate")).as("__last"), count_distinct(col("l_suppkey")).as("__ns"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("__sd"))
+      .pinned // read twice: per-order stats + the last-shipper filter
+    val per = m.groupBy(col("l_orderkey"))
+      .agg(max(col("__sd")).as("__last"), count(lit(1)).as("__ns"))
       .filter(col("__ns") >= 2)
-    val lastShippers = li.join(per, "l_orderkey")
-      .filter(col("l_shipdate") === col("__last"))
+    val lastShippers = m.join(per, "l_orderkey")
+      .filter(col("__sd") === col("__last"))
       .groupBy(col("l_orderkey")).agg(
-        count_distinct(col("l_suppkey")).as("__nl"),
+        count(lit(1)).as("__nl"),
         min(col("l_suppkey")).as("__supp")) // unique when __nl = 1
       .filter(col("__nl") === 1)
     lastShippers
