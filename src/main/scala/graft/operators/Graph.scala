@@ -583,34 +583,44 @@ object Graph {
    * oracle run exactly `rounds`; peeling converges in ≤ diameter rounds on
    * bucket-capped pair graphs — raise `rounds` for deeper chains; the
    * fixpoint check would be one more isEmpty probe per round). Per round:
-   * two semi-joins restrict the edge list to the survivor set and one
-   * partial-aggregated degree count — O(edges) a round, no adjacency
-   * materialization. Membership frames pin per round and free the
-   * previous ([[Checkpoints]]); exact int counts end to end.
+   * one partial-aggregated degree count over the surviving edges and two
+   * semi-joins restricting them to the next survivor set — O(surviving
+   * edges) a round, no adjacency materialization. The surviving-edge
+   * frames pin per round and free the previous ([[Checkpoints]]); exact
+   * int counts end to end.
    */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 8, idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     val p = pairs.select(col("id_a"), col("id_b")).distinct()
-    val edges = p.union(p.select(col("id_b"), col("id_a")).toDF("id_a", "id_b")).pinned
+    // the iterated state is the EDGE set among survivors (round 17; the
+    // member-set iteration re-restricted the FULL edge relation with two
+    // semi-joins every round — including round 1, whose member set was
+    // every participant, making both joins no-ops). Each round's degree
+    // count now scans the shrinking pinned edge frame directly; the
+    // restriction joins see only surviving edges. Peeling is monotone
+    // (a dropped node keeps no edges, so it can never re-qualify), so
+    // edges-among-survivors after round r is exactly the member
+    // formulation's restriction — same degrees, same output rows.
+    var e = p.union(p.select(col("id_b"), col("id_a")).toDF("id_a", "id_b")).pinned
     Checkpoints.free(pairs)
-    def degreesIn(members: DataFrame): DataFrame = edges
-      .join(members.withColumnRenamed("id", "__ma"), col("id_a") === col("__ma"), "left_semi")
-      .join(members.withColumnRenamed("id", "__mb"), col("id_b") === col("__mb"), "left_semi")
-      .groupBy(col("id_a").as("id"))
-      .agg(count(lit(1)).as("degree"))
-    var members = edges.select(col("id_a").as("id")).distinct().pinned
+    def degrees(ed: DataFrame): DataFrame =
+      ed.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("degree"))
     (1 to rounds).foreach { _ =>
-      val next = degreesIn(members).filter(col("degree") >= k).select(col("id")).pinned
-      Checkpoints.free(members)
-      members = next
+      val surv = degrees(e).filter(col("degree") >= k).select(col("id"))
+      val next = e
+        .join(surv.withColumnRenamed("id", "__ma"), col("id_a") === col("__ma"), "left_semi")
+        .join(surv.withColumnRenamed("id", "__mb"), col("id_b") === col("__mb"), "left_semi")
+        .pinned
+      Checkpoints.free(e)
+      e = next
     }
     // pin the result (forcing the last degree pass) BEFORE releasing the
-    // edge/membership pins it reads — the returned frame must not depend
-    // on freed blocks; the caller releases it with Checkpoints.free(out)
-    val out = degreesIn(members)
+    // edge pin it reads — the returned frame must not depend on freed
+    // blocks; the caller releases it with Checkpoints.free(out)
+    val out = degrees(e)
       .select(col("id").as(idCol), col("degree").as("core_degree")).pinned
-    Checkpoints.free(edges, members)
+    Checkpoints.free(e)
     out
   }
 

@@ -522,10 +522,14 @@ object TextAnalysis {
       dp: Int = 4
   ): DataFrame = {
     val w = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    // the exploded doc-bigram frame feeds BOTH the corpus bigram counts
+    // and the probe side of the scoring join — pinned, the corpus
+    // tokenizes + explodes once instead of twice (round 17)
     val bg = w.filter(size(col("__ws")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))")).as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .pinned
     val uni = df.select(explode(words(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("__c1")).pinned
     val v   = uni.count().toDouble
