@@ -208,6 +208,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BlockhashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       new ExpressionInfo(classOf[BlockhashSig].getName, "graft_blockhash")),
+    ("graft_min_eucl",
+      (exprs: Seq[Expression]) => {
+        val cents = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        MinEuclDist(exprs.head, cents, exprs(2).eval().asInstanceOf[Number].intValue())
+      },
+      new ExpressionInfo(classOf[MinEuclDist].getName, "graft_min_eucl")),
     ("graft_ts_slope_median",
       (exprs: Seq[Expression]) => TheilSenSlopeMedian(exprs.head, exprs(1)),
       new ExpressionInfo(classOf[TheilSenSlopeMedian].getName, "graft_ts_slope_median")),
@@ -313,6 +319,16 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(dsub),
       org.apache.spark.sql.functions.lit(kpq))
+
+  /** minimum Euclidean distance of a vector column to a literal center
+    * set, one compiled pass (requires [[register]]). */
+  def minEuclDist(vec: Column, cents: Seq[Array[Double]]): Column = {
+    val dim  = cents.head.length
+    val flat = cents.iterator.flatMap(_.iterator).toArray
+    call_function("graft_min_eucl", vec,
+      org.apache.spark.sql.functions.lit(flat),
+      org.apache.spark.sql.functions.lit(dim))
+  }
 
   /** median of all pairwise Theil–Sen slopes over collected grid arrays
     * (requires [[register]]). */

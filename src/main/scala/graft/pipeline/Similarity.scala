@@ -1432,8 +1432,10 @@ object Similarity {
    * Scale shape: k full scans, each against ≤ k BROADCAST literal center
    * vectors (k·dim doubles — the bounded-collect class, enforced k ≤ 64);
    * the argmax is one `TakeOrdered(1)`. No pairwise matrix, no shuffle
-   * beyond the top-1 reductions. Centers ride the closure as literals, so
-   * every scan stays inside whole-stage codegen.
+   * beyond the top-1 reductions. Each scan's min-distance is ONE compiled
+   * kernel pass ([[graft.functions.MinEuclDist]], round 17) — the former
+   * per-center `zip_with`/`aggregate` chain evaluated its lambdas
+   * INTERPRETED per element and re-read the vector once per center.
    */
   def kCenterCoreset(
       df: DataFrame,
@@ -1454,11 +1456,9 @@ object Similarity {
     var centers = Vector(vecOf(seed(0)))
     var exhausted = false // fewer than k vectors: stop issuing empty-remainder scans
     var round_ = 2
+    graft.functions.GraftFunctions.register(spark)
     while (round_ <= k && !exhausted) {
-      val minD = centers.map { c =>
-        sqrt(aggregate(zip_with(col("v"), lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, e) => acc + e))
-      }.reduce(least(_, _))
+      val minD = graft.functions.GraftFunctions.minEuclDist(col("v"), centers)
       val chosenIds = picks.map(_._1).toSeq
       val best = src.filter(!col("id").isin(chosenIds: _*))
         .select(col("id"), col("v"), round(minD, dp).as("d"))

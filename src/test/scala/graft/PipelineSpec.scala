@@ -2399,6 +2399,28 @@ class PipelineSpec extends SparkTestBase {
     ds.zip(ds.tail).foreach { case (hi, lo) => lo should be <= hi }
   }
 
+  "the graft_min_eucl kernel" should "replicate the zip_with/aggregate least-distance chain bit-for-bit" in {
+    import org.apache.spark.sql.functions.{aggregate, col, least, lit, sqrt, zip_with}
+    graft.functions.GraftFunctions.register(spark)
+    // float-precision-sensitive values: the widening float->double casts
+    // and the sequential (x-y)^2 fold order must match the HOF chain
+    val vecs = Seq(
+      (0L, Seq(0.1f, 0.2f, 0.3f)), (1L, Seq(-1.5f, 2.25f, 0f)),
+      (2L, Seq(1e-3f, 1e3f, -7.77f)), (3L, Seq(0f, 0f, 0f))
+    ).toDF("vec_id", "v")
+    val centers = Seq(Array(0.05, 0.21, 0.29), Array(-1.5, 2.25, 1e-4), Array(100.0, -5.0, 0.0))
+    val hof = centers.map { c =>
+      sqrt(aggregate(zip_with(col("v"), lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, e) => acc + e))
+    }.reduce(least(_, _))
+    val rows = vecs.select(col("vec_id"), hof.as("ref"),
+      graft.functions.GraftFunctions.minEuclDist(col("v"), centers).as("ker")).collect()
+    rows.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(2)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
   "TextAnalysis.effectiveVocab" should "score uniform vocab at its size and skewed vocab far below" in {
     val corpus = Seq(
       (0L, "en", "a b c d"),         // uniform over 4: eff = 16/4 = 4 (ratio 1)
