@@ -1250,21 +1250,23 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // the previous label rides the union as a second column (every id
+      // has exactly ONE row in `labels`, so max-over-group recovers it),
+      // making the convergence probe a filter SCAN of the pinned round
+      // result instead of a join of two label frames per round
       val fromNeighbors = edges
-        .join(labels.withColumnRenamed("id", "__nid"), col("id_b") === col("__nid"))
-        .select(col("id_a").as("id"), col("rep"))
-      val next = fromNeighbors.union(labels)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .join(labels.select(col("id").as("__nid"), col("rep")), col("id_b") === col("__nid"))
+        .select(col("id_a").as("id"), col("rep"), lit(null).cast("long").as("__prev"))
+      val next = fromNeighbors
+        .union(labels.select(col("id"), col("rep"), col("rep").as("__prev")))
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"), max(col("__prev")).as("__prev"))
         .pinned
-      converged = next
-        .join(labels.withColumnRenamed("rep", "__prev"), "id")
-        .filter(col("rep") =!= col("__prev"))
-        .isEmpty
-      // the convergence probe was this round's last read of the previous
-      // labels — free its blocks now instead of waiting on GC (a long
-      // session otherwise accumulates one dead frame per round per call)
+      converged = next.filter(col("rep") =!= col("__prev")).isEmpty
+      // the probe was this round's last read of the previous labels —
+      // free its blocks now instead of waiting on GC (a long session
+      // otherwise accumulates one dead frame per round per call)
       Checkpoints.free(labels)
-      labels = next
+      labels = next.select(col("id"), col("rep"))
       i += 1
     }
     // the edge relation (and the pairs checkpoint beneath it) is dead once
