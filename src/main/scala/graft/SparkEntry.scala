@@ -361,7 +361,10 @@ object SparkEntry {
       val k = mit.next()
       if (k._1 == s && k._2 == d) { try mediaMemo.get(k).unpersist(false) catch { case _: Throwable => () }; mit.remove() }
     }
-    drop(termIxMemo)(ix => { ix.postings.unpersist(false); ix.doclens.unpersist(false) })
+    drop(termIxMemo)(ix => {
+      ix.postings.unpersist(false); ix.doclens.unpersist(false)
+      ix.statsIn.foreach(_.unpersist(false))
+    })
     drop(edgesMemo)(_.unpersist(false))
     drop(dupPairsMemo)(_.unpersist(false))
     drop(winnowMemo)(_.unpersist(false))

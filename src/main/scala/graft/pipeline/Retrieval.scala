@@ -141,8 +141,26 @@ object Retrieval {
   /** Inverted-index relations: `postings` = (term, idCol, tf), `doclens` =
     * (idCol, dl), plus the two corpus scalars BM25 needs. Build once with
     * [[termIndex]], persist with [[writeTermIndex]], query forever without
-    * touching the text again. */
-  case class TermIndex(postings: DataFrame, doclens: DataFrame, n: Long, sumDl: Long)
+    * touching the text again.
+    *
+    * `statsIn` optionally carries the MATERIALIZED per-term statistics
+    * `(term, __df, __cf)` — document frequency and collection frequency,
+    * exact longs (round 17: every indexed scoring path used to re-derive
+    * df/cf from the postings with one aggregation Exchange per query;
+    * a df-bearing index answers them with a filter over a vocab-sized
+    * cached relation). [[termStats]] falls back to the identical
+    * derivation when absent, so readers of on-disk indexes and ad-hoc
+    * pinned indexes keep their former shape and values. */
+  case class TermIndex(postings: DataFrame, doclens: DataFrame, n: Long, sumDl: Long,
+      statsIn: Option[DataFrame] = None) {
+    /** per-term `(term, __df, __cf)` — materialized when the index was
+      * built for sharing, derived from the postings otherwise (same rows:
+      * df = docs per term, cf = Σ tf per term, exact longs; a query's
+      * term filter pushes below the fallback aggregation, the group key). */
+    def termStats: DataFrame = statsIn.getOrElse(
+      postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("__df"), sum(col("tf")).as("__cf")))
+  }
 
   /** Tokenize the corpus into [[TermIndex]] relations. Doclens derive from
     * the postings (`dl = Σ tf`), so only ONE aggregation reads the token
@@ -222,7 +240,13 @@ object Retrieval {
     val Array(n, sumDl) = doclens.agg(count(lit(1)), sum(col("dl"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     postings.count() // materialize: every sharer scans the cached relation
-    TermIndex(postings, doclens, n, sumDl)
+    // per-term df/cf materialize WITH the shared index (one aggregation
+    // over the cached postings) so no query pays the derivation again
+    val stats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"), sum(col("tf")).as("__cf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    stats.count()
+    TermIndex(postings, doclens, n, sumDl, Some(stats))
   }
 
   /** serializes [[appendToTermIndex]] writers on one index: JVM monitor
@@ -357,7 +381,10 @@ object Retrieval {
     require(ix.n > 0, "empty corpus")
     val tf = ix.postings.filter(col("term").isin(terms: _*))
       .select(col(idCol), col("term").as("__term"), col("tf").cast("double").as("__tf"))
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    // df off the index's per-term stats — a vocab-sized filter instead of
+    // a per-query aggregation Exchange over the postings (same exact long)
+    val dfreq = ix.termStats.filter(col("term").isin(terms: _*))
+      .select(col("term").as("__term"), col("__df").cast("double").as("__df"))
     val dl    = ix.doclens.select(col(idCol), col("dl").as("__dl"))
     scoreHits(tf, dfreq, dl, ix.n, ix.sumDl.toDouble / ix.n, k1, b, idCol)
   }
@@ -412,7 +439,10 @@ object Retrieval {
     // relation both df-counting and scoring read
     val tpost = ix.postings.join(broadcast(qterms), col("term") === col("__term"))
       .select(col("__term"), col(idCol), col("tf").cast("double").as("__tf"))
-    val dfreq = tpost.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    // df off the index's per-term stats restricted to the query vocabulary
+    val dfreq = ix.termStats
+      .join(broadcast(qterms), col("term") === col("__term"))
+      .select(col("__term"), col("__df").cast("double").as("__df"))
     // the SAME idf/wt expression trees scoreHits builds — kept literally
     // identical so batch-join scores stay bit-equal to the single-query
     // paths and the oracle replay
@@ -677,7 +707,9 @@ object Retrieval {
     val ts = terms.distinct
     val tf = ix.postings.filter(col("term").isin(ts: _*))
       .select(col(idCol), col("term").as("__term"), col("tf").as("__tf"))
-    val cf = tf.groupBy(col("__term")).agg(sum(col("__tf")).as("__cf"))
+    // collection frequency off the index's per-term stats (same exact long)
+    val cf = ix.termStats.filter(col("term").isin(ts: _*))
+      .select(col("term").as("__term"), col("__cf").as("__cf"))
     val dl = ix.doclens.select(col(idCol), col("dl").as("__dl"))
     val wt = log((coalesce(col("__tf"), lit(0L)).cast("double") +
         lit(mu) * col("__cf").cast("double") / lit(ix.sumDl.toDouble)) /
@@ -855,7 +887,7 @@ object Retrieval {
     require(k > 0, "k must be positive")
     require(nDocs > 0, "empty corpus")
     val tf = ix.postings.select(col(idCol), col("term"), col("tf").cast("double").as("__tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val dfreq = ix.termStats.select(col("term"), col("__df").cast("double").as("__df"))
     val score = col("__tf") * log(lit(nDocs.toDouble) / col("__df"))
     val w     = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
@@ -954,8 +986,10 @@ object Retrieval {
     // final weight join — pin it so the pass runs once
     val stf = seedPost
       .groupBy(col("term")).agg(sum(col("tf")).as("__stf")).pinned
-    val dfa = ix.postings.join(broadcast(stf.select(col("term"))), "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    // global df per seed-vocabulary term off the index's per-term stats
+    // (the former semi-join + aggregation over the full postings)
+    val dfa = ix.termStats.join(broadcast(stf.select(col("term"))), "term")
+      .select(col("term"), col("__df"))
     stf.join(dfa, "term")
       .filter(!col("term").isin(terms: _*))
       .withColumn("__w",
@@ -1187,8 +1221,10 @@ object Retrieval {
     // disjoint vocabularies), where a pure fraction would loosen the cut
     // as N grows and let df² fan-out creep back in
     val maxDf = math.min(math.ceil(ix.n * maxDfFrac).toLong, maxDfCap)
-    val dfreq = ix.postings.filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    // df off the index's per-term stats — the length guard filters GROUPS
+    // (term is the grouping key), so filtering the stats rows is identical
+    val dfreq = ix.termStats.filter(length(col("term")) > 0)
+      .select(col("term"), col("__df"))
       .filter(col("__df") <= maxDf)
     val w = ix.postings.join(dfreq, "term")
       .select(col(idCol).as("id"), col("term"),
