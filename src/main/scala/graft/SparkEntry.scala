@@ -153,6 +153,24 @@ object SparkEntry {
       _ => Dedup.winnowFpsShared(docs(s, d), k = 16, w = 8))
   }
 
+  // one winnow PAIR RELATION per (session, dir): d_winnow and
+  // d_winnow_contain run the IDENTICAL bucket-capped fp self-join
+  // (minShared=2, maxBucket=200) over the shared fps — the dominant term
+  // of both floors; the containment gate adds only the two denominator
+  // joins on top. Full-lineage persist, the standard discipline.
+  private val winnowPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedWinnowPairs(s: SparkSession, d: String): DataFrame = {
+    val it = winnowPairsMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    winnowPairsMemo.computeIfAbsent((s, d), _ => {
+      val p = Dedup.winnowPairsOn(sharedWinnowFps(s, d), minShared = 2L, maxBucket = 200)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize once; both winnow gates scan the cache
+      p
+    })
+  }
+
   // one PCA MODEL per (session, dir): ann_pca / ann_pcavar / ann_whiten /
   // ann_pca_topk each re-ran the full covariance pass (the d(d+1)/2
   // products explode + aggregation, ~2.5 s of each gate's floor) to fit
@@ -338,6 +356,7 @@ object SparkEntry {
     try sharedCoPurchaseSupport(s, d) catch { case _: Throwable => () }
     try sharedScoredCandidates(s, d) catch { case _: Throwable => () }
     try sharedWinnowFps(s, d) catch { case _: Throwable => () }
+    try sharedWinnowPairs(s, d) catch { case _: Throwable => () }
     try sharedPcaModel(s, d) catch { case _: Throwable => () }
     try sharedNbScored(s, d) catch { case _: Throwable => () }
     try sharedVectorIndex68(s, d) catch { case _: Throwable => () }
@@ -368,6 +387,7 @@ object SparkEntry {
     drop(edgesMemo)(_.unpersist(false))
     drop(dupPairsMemo)(_.unpersist(false))
     drop(winnowMemo)(_.unpersist(false))
+    drop(winnowPairsMemo)(_.unpersist(false))
     drop(pcaMemo)(_.foreach(_.snapped.unpersist(false)))
     drop(nbMemo)(_.unpersist(false))
     drop(vecIxMemo)(_.unpersist(false))
@@ -563,8 +583,7 @@ object SparkEntry {
     // words alone made 76% of ALL doc pairs "share" fingerprints — so the
     // gate runs at span-length grams with a tight boilerplate bucket cap.
     "d_winnow" -> ((s, d) =>
-      Dedup.winnowPairsOn(sharedWinnowFps(s, d), minShared = 2L, maxBucket = 200)
-        .orderBy("id_a", "id_b")),
+      sharedWinnowPairs(s, d).orderBy("id_a", "id_b")),
     // PageRank centrality over the near-dup graph: hub/template docs outrank
     // their copies (what connected components alone cannot tell apart)
     "d_pagerank" -> ((s, d) => {
@@ -666,7 +685,8 @@ object SparkEntry {
     // asymmetric span coverage: n_shared / per-doc fingerprint count —
     // "fragment of" vs "contains" separation the symmetric pair count hides
     "d_winnow_contain" -> ((s, d) =>
-      Dedup.winnowContainmentOn(sharedWinnowFps(s, d)).orderBy("id_a", "id_b")),
+      Dedup.winnowContainmentFrom(sharedWinnowPairs(s, d), sharedWinnowFps(s, d))
+        .orderBy("id_a", "id_b")),
     // span-level ingest gate: batch docs sharing >= 2 winnow fingerprints
     // with any single archived doc are rejected (splice catcher at ingest)
     "d_winnow_gate" -> ((s, d) => {

@@ -614,9 +614,17 @@ object Dedup {
       fps: DataFrame,
       minShared: Long = 2L,
       maxBucket: Int = 200
-  ): DataFrame = {
+  ): DataFrame =
+    winnowContainmentFrom(winnowPairsFrom(fps, minShared, maxBucket), fps)
+
+  /** [[winnowContainment]]'s fraction readout over a PREBUILT pair
+    * relation ([[winnowPairsOn]]'s rows at the same params) plus the
+    * `(id, fp)` relation for the denominators — identical rows. When the
+    * pair relation is session-shared, the fp self-join (the dominant
+    * term) is paid once for both the pair gate and this readout. */
+  def winnowContainmentFrom(pairs: DataFrame, fps: DataFrame): DataFrame = {
     val counts = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
-    winnowPairsFrom(fps, minShared, maxBucket)
+    pairs
       .join(counts.select(col("id").as("id_a"), col("nfp").as("__na")), "id_a")
       .join(counts.select(col("id").as("id_b"), col("nfp").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
