@@ -941,7 +941,8 @@ object SparkEntry {
     "ann_triplets" -> ((s, d) =>
       Similarity.contrastiveTriplets(docs(s, d), emb(s, d),
         jaccardThreshold = 0.5, m = 3, dupCut = 0.95, searchK = 10,
-        pairsIn = Some(sharedDupPairs(s, d)))
+        pairsIn = Some(sharedDupPairs(s, d)),
+        corpusIn = Some(sharedVectorIndex68(s, d)))
         .orderBy("anchor_id", "neg_rank")),
     // contrastive hard negatives: top-10 retrieval, near-dups (sim >= .95)
     // dropped as unlabeled positives, top-5 kept per query

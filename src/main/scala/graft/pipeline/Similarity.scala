@@ -525,7 +525,8 @@ object Similarity {
       tables: Int = 8,
       docIdCol: String = "doc_id",
       vecIdCol: String = "vec_id",
-      pairsIn: Option[DataFrame] = None
+      pairsIn: Option[DataFrame] = None,
+      corpusIn: Option[DataFrame] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // a prebuilt mined-pair relation (the session-shared
@@ -537,7 +538,10 @@ object Similarity {
       .groupBy(col("id_a")).agg(min(col("id_b")).as("positive_id"))
       .pinned // read twice: the anchor semi-join and the positive-exclusion join
     val anchors = embDf.join(pos.select(col("id_a").as(vecIdCol)), Seq(vecIdCol), "left_semi")
-    val corpus  = vectorIndex(embDf, planesPerTable, tables).pinned
+    // a prebuilt full-corpus index (the session-shared persisted one)
+    // replaces the per-call build + pin — [[vectorIndex]] is row-local
+    // under seed-fixed planes, so it is the identical relation
+    val corpus = corpusIn.getOrElse(vectorIndex(embDf, planesPerTable, tables).pinned)
     val nn = annJoin(anchors, corpus, searchK, planesPerTable, tables, idCol = vecIdCol)
     val w  = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
     nn.join(broadcast(pos.withColumnRenamed("id_a", "query_id")), "query_id")
